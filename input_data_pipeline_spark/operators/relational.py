@@ -1,0 +1,487 @@
+"""Core relational operator surface (SURVEY.md §2.4 J2-J4, §2.5 A7-A8, §2.7).
+
+Everything here is declarative DataFrame API: Catalyst handles predicate
+pushdown, column pruning, join strategy (broadcast for the geography dims is
+hinted where it's always right), and AQE does runtime coalesce/skew handling.
+
+Design notes for the 100 TB target:
+- fact-to-fact joins (lineitem ⋈ orders) shuffle on the order key — both sides
+  are written bucketed by orderkey in a production deployment, turning this
+  into a co-located join; here we rely on AQE.
+- dimension joins broadcast (region/nation always; customer/supplier/part by
+  AQE size estimate), so the star probe is one shuffle-free stage.
+- aggregates are partial+final automatically (hash agg with spill).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from input_data_pipeline_spark.plans.registry import register
+from input_data_pipeline_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: revenue by region (scan→filter→join×4→agg→sort)
+# ---------------------------------------------------------------------------
+
+@register(
+    "revenue_by_region",
+    oracle="""
+    SELECT r.r_name AS region,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY r.r_name
+    ORDER BY revenue DESC
+    """,
+)
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship star query: 1996 revenue per region.
+
+    lineitem⋈orders shuffles on the order key; the three geography hops are
+    broadcast joins (nation/region hinted, customer via AQE), so the whole
+    probe side stays in one stage.
+    """
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+
+    return (
+        lineitem
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .orderBy(F.desc("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 shape: wide grouped aggregate with partial+final hash agg
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: 8 aggregates over 2 group keys.
+
+    Catalyst plans this as partial hash-agg (map-side) → shuffle on the two
+    low-cardinality keys → final hash-agg; the scan reads only the 7 needed
+    columns (column pruning) with the date filter pushed to parquet.
+    """
+    lineitem = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem
+        .filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k (TakeOrderedAndProject), broadcast dim join
+# ---------------------------------------------------------------------------
+
+@register(
+    "top_customers_by_revenue",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, custkey ASC
+    LIMIT 10
+    """,
+)
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by lifetime revenue (ties broken by key).
+
+    The final orderBy+limit compiles to TakeOrderedAndProject — each partition
+    keeps only its local top-10, so no global sort materializes.
+    """
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        lineitem
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (J4, J1's Spark shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "customers_with_open_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    ORDER BY c_custkey
+    """,
+)
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence filter as a left-semi join: customers holding an open order.
+
+    Semi join never duplicates the probe side and only ships the join key of
+    the build side — the Spark-native form of the reference's `in existing`
+    set membership (main.py:94).
+    """
+    customer = _t(spark, sf_dir, "customer")
+    open_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        customer
+        .join(open_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "customers_without_urgent_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+    """,
+)
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: the reference's new-files-since-last-run diff (SURVEY J1)
+    generalized — rows in the left with no match on the right."""
+    customer = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Outer join with null-handling (J3 + P3's null-ify inverse)
+# ---------------------------------------------------------------------------
+
+@register(
+    "nation_order_counts_left",
+    oracle="""
+    SELECT n.n_name AS nation,
+           COUNT(o.o_orderkey) AS order_count,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS total_spend
+    FROM nation n
+    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def nation_order_counts_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer joins preserving empty nations; COUNT over a nullable col
+    counts matches only, COALESCE backfills the no-order case."""
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        nation
+        .join(customer, F.col("c_nationkey") == F.col("n_nationkey"), "left")
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup / grouping sets (A8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "order_priority_rollup",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity report via ROLLUP — Catalyst expands to a single
+    Expand+hash-agg, one pass over the fact table for all three grains."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct & set ops (O2-O4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "distinct_flag_status",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus
+    FROM lineitem
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct = groupBy on all columns; partial dedup map-side first."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "nations_with_both_roles",
+    oracle="""
+    SELECT n_nationkey AS nationkey
+    FROM (SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+          INTERSECT
+          SELECT DISTINCT s_nationkey FROM supplier) t
+    ORDER BY nationkey
+    """,
+)
+def nations_with_both_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of two key sets (nations having customers AND suppliers)."""
+    cust_nations = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    supp_nations = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return cust_nations.intersect(supp_nations).orderBy("nationkey")
+
+
+@register(
+    "account_balance_union",
+    oracle="""
+    SELECT role, COUNT(*) AS n, ROUND(SUM(acctbal), 2) AS total_bal
+    FROM (
+      SELECT 'customer' AS role, c_acctbal AS acctbal FROM customer
+      UNION ALL
+      SELECT 'supplier' AS role, s_acctbal AS acctbal FROM supplier
+    ) u
+    GROUP BY role
+    ORDER BY role
+    """,
+)
+def account_balance_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName of heterogeneous sources into one table (SURVEY O3) —
+    the collectors-into-one-JSONL pattern of the reference's main.py."""
+    customer = _t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("role"), F.col("c_acctbal").alias("acctbal")
+    )
+    supplier = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("role"), F.col("s_acctbal").alias("acctbal")
+    )
+    return (
+        customer.unionByName(supplier)
+        .groupBy("role")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("acctbal"), 2).alias("total_bal"))
+        .orderBy("role")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Predicates: IN-list, BETWEEN, LIKE, null checks (P-series)
+# ---------------------------------------------------------------------------
+
+@register(
+    "urgent_high_value_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, ROUND(o_totalprice, 2) AS totalprice
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_totalprice BETWEEN 100000 AND 200000
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+    ORDER BY o_orderkey
+    """,
+)
+def urgent_high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive pushdown: IN + BETWEEN + date bound all reach the parquet
+    scan as PushedFilters."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & F.col("o_totalprice").between(100000, 200000)
+            & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderpriority", F.round("o_totalprice", 2).alias("totalprice"))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "part_type_stats",
+    oracle="""
+    SELECT p_type,
+           COUNT(*) AS n_parts,
+           ROUND(AVG(p_retailprice), 4) AS avg_price,
+           MIN(p_size) AS min_size,
+           MAX(p_size) AS max_size
+    FROM part
+    WHERE p_name LIKE '%steel%' OR p_brand LIKE 'Brand#1%'
+    GROUP BY p_type
+    ORDER BY p_type
+    """,
+)
+def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE-predicate filters (prefix LIKE pushes down as a range) + min/max/avg."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%steel%") | F.col("p_brand").like("Brand#1%"))
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+        )
+        .orderBy("p_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# count distinct / max_by (A6, A7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "order_cardinalities",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+)
+def order_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT DISTINCT — Catalyst plans Expand + two-phase agg so the
+    distinct dedup is distributed, not single-node."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
+    "latest_order_per_customer",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderdate, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders)
+    SELECT o_custkey AS custkey,
+           o_orderdate AS latest_orderdate,
+           o_orderkey AS latest_orderkey
+    FROM ranked WHERE rn = 1
+    ORDER BY custkey
+    """,
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by with a deterministic (date, key) tiebreak — the reference's
+    newest-file-by-mtime pick (main.py:105,110) as a grouped aggregate."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("latest_orderdate"),
+            F.max_by("o_orderkey", F.struct("o_orderdate", "o_orderkey")).alias("latest_orderkey"),
+        )
+        .orderBy("custkey")
+    )

@@ -1,0 +1,80 @@
+"""Query registry: every engine operator is exposed as a named query.
+
+Each query is a ``(spark, sf_dir) -> DataFrame`` callable plus, when the
+semantics are ANSI-SQL-expressible, a DuckDB oracle SQL string computing the
+same result on the same parquet tables. The driver (``__spark_entry__.py``)
+compares them at sf0.01 — row count, schema, and order-insensitive value
+hash with columns sorted by name. Hence the two hard rules for authors:
+
+1. alias every computed column identically in the DataFrame code and the SQL;
+2. make float outputs comparison-stable (round aggregates; avoid
+   non-deterministic functions — derive ids from content hashes, not uuid).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL, or None → driver does a rows-only check
+    doc: str
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator registering a query under ``name`` with an optional oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # The caller may hand us an arbitrarily-configured session (the
+            # round driver does). Timestamp semantics must not depend on it:
+            # parquet instants + our literal date bounds are defined in UTC.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        _REGISTRY[name] = QuerySpec(name=name, fn=wrapped, oracle=oracle, doc=fn.__doc__ or "")
+        return wrapped
+
+    return deco
+
+
+def _load_all() -> None:
+    """Import every operator module for its registration side effects."""
+    import input_data_pipeline_spark.operators.relational  # noqa: F401
+    import input_data_pipeline_spark.operators.windows  # noqa: F401
+    import input_data_pipeline_spark.operators.textstats  # noqa: F401
+    import input_data_pipeline_spark.operators.dedup  # noqa: F401
+    import input_data_pipeline_spark.operators.similarity  # noqa: F401
+    import input_data_pipeline_spark.operators.multimodal  # noqa: F401
+    import input_data_pipeline_spark.operators.ingest  # noqa: F401
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _load_all()
+    return {name: spec.fn for name, spec in _REGISTRY.items()}
+
+
+def all_oracle_sql() -> dict[str, str]:
+    _load_all()
+    return {name: spec.oracle for name, spec in _REGISTRY.items() if spec.oracle is not None}
+
+
+def get(name: str) -> QuerySpec:
+    _load_all()
+    return _REGISTRY[name]

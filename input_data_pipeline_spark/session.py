@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The knobs here are the ones that matter at the 100 TB design point
+(AQE re-planning, skew-join splitting, partition sizing) plus the ones
+required for oracle-exact correctness (UTC session timezone, ANSI off to
+match DuckDB's permissive arithmetic on the test queries).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "input_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    On a real cluster ``master`` comes from spark-submit; locally we default
+    to ``local[$SPARK_GRAFT_CPUS]``. Shuffle partitions default to the lesser
+    of 2x cores locally; on a cluster you'd size them so post-shuffle
+    partitions land near 128-256 MB (AQE coalescing handles the rest).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- correctness vs the DuckDB oracle ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- adaptive execution: runtime re-plan, skew split, coalesce ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- scan sizing: keep splits near the sweet spot for parquet ---
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # --- broadcast: dims in a star schema should always broadcast ---
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- Arrow for every pandas/py boundary (UDFs, toPandas) ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # keep the UI off in test/bench loops; it costs startup time
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,46 @@
+"""Star-schema + text/embedding table loaders.
+
+All engine queries consume these loaders rather than calling
+``spark.read.parquet`` directly, so scan-level decisions (schema pruning,
+partition sizing, future bucketing) live in one place.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at any scale factor we target.
+# At 100 TB, region/nation stay tiny; customer/supplier/part grow with SF but
+# remain orders of magnitude under the fact tables — we still let AQE decide
+# for them rather than forcing a hint, and hard-broadcast only the fixed-size
+# geography dims.
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so SQL-form queries can run."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
