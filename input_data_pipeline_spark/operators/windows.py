@@ -1,1 +1,298 @@
-"""Placeholder — populated in a later milestone."""
+"""Window functions + events analytics (SURVEY.md §2.6, J5, §2.9 batch forms).
+
+Window specs shuffle once on the partition key and sort within partitions;
+every function over the same (partitionBy, orderBy) shares that one exchange.
+Sessionization is the batch form of streaming session windows: lag-gap flag +
+cumulative sum — the DuckDB-checkable stand-in the streaming layer mirrors.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from input_data_pipeline_spark.plans.registry import register
+from input_data_pipeline_spark.tables import load_table
+
+SESSION_GAP_MINUTES = 30
+
+
+@register(
+    "top_events_per_user",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_id, ts, ROUND(value, 4) AS value, rn
+    FROM ranked
+    WHERE rn <= 3
+    ORDER BY user_id, rn
+    """,
+)
+def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 latest events per user: the canonical top-k-per-group.
+
+    One shuffle on user_id; row_number is computed streaming over the sorted
+    partition, and the rn<=3 filter cuts cardinality before anything wide.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "ts", F.round("value", 4).alias("value"), "rn")
+        .orderBy("user_id", "rn")
+    )
+
+
+@register(
+    "event_value_deltas",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           ROUND(value, 4) AS value,
+           ROUND(value - LAG(value) OVER w, 4) AS delta_prev,
+           ROUND(LEAD(value) OVER w - value, 4) AS delta_next
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def event_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead deltas over each user's purchase history (SURVEY §2.6
+    analytic functions); NULL at partition edges by construction."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round("value", 4).alias("value"),
+            F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta_prev"),
+            F.round(F.lead("value").over(w) - F.col("value"), 4).alias("delta_next"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+@register(
+    "user_running_totals",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS running_value,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running_events
+    FROM events
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame aggregates (rowsBetween unboundedPreceding→current)."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(F.sum("value").over(w), 4).alias("running_value"),
+            F.count(F.lit(1)).over(w).alias("running_events"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+@register(
+    "order_rank_in_priority",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority AS priority,
+           ROUND(o_totalprice, 2) AS totalprice,
+           RANK() OVER w AS price_rank,
+           DENSE_RANK() OVER w AS price_dense_rank,
+           NTILE(4) OVER w AS price_quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY priority, price_rank, o_orderkey
+    """,
+)
+def order_rank_in_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile sharing one window exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders
+        .select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("priority"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.rank().over(w).alias("price_rank"),
+            F.dense_rank().over(w).alias("price_dense_rank"),
+            F.ntile(4).over(w).alias("price_quartile"),
+        )
+        .orderBy("priority", "price_rank", "o_orderkey")
+    )
+
+
+@register(
+    "user_sessions",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL {SESSION_GAP_MINUTES} MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new,
+             event_id
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: {SESSION_GAP_MINUTES}-min-gap sessions per user.
+
+    Batch equivalent of streaming ``session_window`` (streaming/pipelines.py):
+    lag-gap flag → running sum → grouped agg. Two window passes share the
+    same (user_id; ts) shuffle+sort; the final groupBy is partial-aggregated.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    return (
+        events
+        .withColumn(
+            "is_new",
+            F.when(gap.isNull() | (gap > SESSION_GAP_MINUTES * 60), 1).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("is_new").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "event_type_hourly",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS hour,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour, event_type
+    """,
+)
+def event_type_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window agg in batch form (date_trunc hour) — mirror of the
+    streaming tumbling window in streaming/pipelines.py."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+@register(
+    "event_props_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction (SURVEY F8): parse the props JSON column
+    with an explicit schema (from_json, JVM-side) and aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "struct<k:int>").getField("k")
+    return (
+        events
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "clicks_before_purchase",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.ts AS purchase_ts, c.ts AS click_ts
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+     AND c.ts < p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    ORDER BY purchase_id, click_id
+    """,
+)
+def clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (SURVEY J5): clicks in the 10 minutes before each purchase
+    by the same user. The equi part (user_id) keeps it a hash join; the range
+    predicate filters post-probe, so this never degrades to a
+    broadcast-nested-loop. At 100 TB you'd additionally band both sides on
+    time buckets to bound the per-key fan-out."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+    )
+    return (
+        purchases.join(clicks, cond)
+        .select("purchase_id", "click_id", "purchase_ts", "click_ts")
+        .orderBy("purchase_id", "click_id")
+    )

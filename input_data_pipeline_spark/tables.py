@@ -7,6 +7,7 @@ partition sizing, future bucketing) live in one place.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 TABLE_NAMES = (
@@ -33,6 +34,15 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # events.parquet stores ts as TIMESTAMP(NANOS), which vanilla Spark
+        # refuses. Read nanos as raw longs, then truncate to microseconds —
+        # byte-identical to how DuckDB (µs-precision timestamps) reads it.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
