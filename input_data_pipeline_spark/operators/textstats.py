@@ -1,1 +1,259 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators over ``documents`` (SURVEY.md §2.10 + BASELINE N★).
+
+All of these stay expression-only (functions/text.py) — no Python UDFs — so
+at 100 TB the whole text-statistics pass is one codegen'd scan with a
+low-cardinality aggregate behind it.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from input_data_pipeline_spark.functions import text as T
+from input_data_pipeline_spark.plans.registry import register
+from input_data_pipeline_spark.tables import load_table
+
+# DuckDB fragment: non-empty whitespace tokens of ``text``
+_DUCK_TOKENS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"
+
+
+@register(
+    "lang_distribution",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS share
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language histogram with global share (window-over-aggregate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+    return (
+        agg.withColumn(
+            "share", F.round(F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy()), 6)
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, len({_DUCK_TOKENS}) AS n_tokens,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace
+      FROM documents)
+    SELECT lang,
+           SUM(n_tokens) AS total_tokens,
+           ROUND(AVG(n_tokens), 4) AS avg_tokens,
+           ROUND(SUM(n_nonspace) * 1.0 / SUM(n_tokens), 4) AS avg_token_len
+    FROM tok
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per language — whitespace tokenizer, expression-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            T.token_count("text").alias("n_tokens"),
+            F.length(F.regexp_replace("text", r"\s+", "")).alias("n_nonspace"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.sum("n_nonspace") / F.sum("n_tokens"), 4).alias("avg_token_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "top_tokens",
+    oracle=f"""
+    SELECT t.token, COUNT(*) AS n
+    FROM documents, UNNEST({_DUCK_TOKENS}) AS t(token)
+    GROUP BY t.token
+    ORDER BY n DESC, t.token
+    LIMIT 20
+    """,
+)
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 token frequencies: explode → partial-agg → top-k.
+
+    The map-side partial aggregate collapses the exploded rows before the
+    shuffle, so cardinality on the wire is |vocab|, not |tokens| — the
+    property that keeps this viable on 100 TB of text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "doc_quality",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             len({_DUCK_TOKENS}) AS n_tokens,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace,
+             len(list_filter({_DUCK_TOKENS},
+                 t -> lower(t) IN ('the','a','and','of','to','is','in'))) AS n_stop
+      FROM documents)
+    SELECT doc_id, lang, n_tokens,
+           ROUND(CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0 END, 6) AS stop_ratio,
+           ROUND(LEAST(n_tokens / 200.0, 1.0) * 0.7 +
+                 CASE WHEN n_tokens > 0
+                       AND n_nonspace * 1.0 / n_tokens BETWEEN 2 AND 12
+                      THEN 1.0 ELSE 0.5 END * 0.3, 6) AS quality
+    FROM tok
+    ORDER BY doc_id
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality scoring (length/stopword heuristics, SURVEY §2.10)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            T.token_count("text").alias("n_tokens"),
+            F.round(T.stopword_ratio("text", "en"), 6).alias("stop_ratio"),
+            T.quality_score("text").alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_previews",
+    oracle="""
+    SELECT doc_id,
+           'doc_' || substr(sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 12)
+             AS content_id,
+           CASE WHEN length(text) > 100 THEN substr(text, 1, 100) || '...'
+                ELSE text END AS preview
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_previews(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content ids + preview truncation (SURVEY F7, P7):
+    the reference's uuid ids re-expressed as reproducible content hashes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            T.content_id(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), "doc").alias("content_id"),
+            T.preview("text").alias("preview"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "language_confusion",
+    oracle="""
+    WITH scored AS (
+      SELECT lang,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 t -> t IN ('the','a','and','of','to','is','in'))) AS h_en,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 t -> t IN ('le','la','et','de','un','est','dans'))) AS h_fr,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 t -> t IN ('el','la','y','de','un','es','en'))) AS h_es,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 t -> t IN ('der','die','und','von','ein','ist','in'))) AS h_de
+      FROM documents)
+    SELECT lang,
+           CASE WHEN h_en = 0 AND h_fr = 0 AND h_es = 0 AND h_de = 0 THEN 'unknown'
+                WHEN h_en >= h_fr AND h_en >= h_es AND h_en >= h_de THEN 'en'
+                WHEN h_fr >= h_es AND h_fr >= h_de THEN 'fr'
+                WHEN h_es >= h_de THEN 'es'
+                ELSE 'de' END AS predicted,
+           COUNT(*) AS n
+    FROM scored
+    GROUP BY 1, 2
+    ORDER BY lang, predicted
+    """,
+)
+def language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID (function-word voting) × labeled lang —
+    a confusion matrix. Deterministic tie-break: en > fr > es > de."""
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    def _hits(words: tuple[str, ...]):
+        return F.size(F.filter(low, lambda t: t.isin(*words)))
+
+    hits = {lang: _hits(words) for lang, words in T.STOPWORDS.items()}
+    predicted = (
+        F.when((hits["en"] == 0) & (hits["fr"] == 0) & (hits["es"] == 0) & (hits["de"] == 0), "unknown")
+        .when((hits["en"] >= hits["fr"]) & (hits["en"] >= hits["es"]) & (hits["en"] >= hits["de"]), "en")
+        .when((hits["fr"] >= hits["es"]) & (hits["fr"] >= hits["de"]), "fr")
+        .when(hits["es"] >= hits["de"], "es")
+        .otherwise("de")
+    )
+    return (
+        docs.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@register(
+    "youtube_id_extraction",
+    oracle="""
+    WITH urls(url) AS (VALUES
+      ('https://www.youtube.com/watch?v=dQw4w9WgXcQ'),
+      ('https://youtu.be/abc123DEF45?t=10'),
+      ('https://www.youtube.com/embed/zyx987WVU65'),
+      ('https://www.youtube.com/shorts/qwe456RTY78'),
+      ('dQw4w9WgXcQ'),
+      ('https://example.com/not-a-video'),
+      ('https://www.youtube.com/watch?list=PL123&v=mno345PQR67&t=1s'))
+    SELECT url,
+           COALESCE(
+             CASE WHEN regexp_full_match(trim(url), '[A-Za-z0-9_-]{11}') THEN trim(url) END,
+             nullif(regexp_extract(trim(url), '[?&]v=([A-Za-z0-9_-]{11})', 1), ''),
+             nullif(regexp_extract(trim(url), 'youtu\\.be/([A-Za-z0-9_-]{11})', 1), ''),
+             nullif(regexp_extract(trim(url), 'embed/([A-Za-z0-9_-]{11})', 1), ''),
+             nullif(regexp_extract(trim(url), 'shorts/([A-Za-z0-9_-]{11})', 1), '')
+           ) AS video_id
+    FROM urls
+    ORDER BY url
+    """,
+)
+def youtube_id_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's URL→video-id extractor (SURVEY P1) as one expression,
+    exercised on a fixed literal URL set shared with the oracle."""
+    urls = [
+        "https://www.youtube.com/watch?v=dQw4w9WgXcQ",
+        "https://youtu.be/abc123DEF45?t=10",
+        "https://www.youtube.com/embed/zyx987WVU65",
+        "https://www.youtube.com/shorts/qwe456RTY78",
+        "dQw4w9WgXcQ",
+        "https://example.com/not-a-video",
+        "https://www.youtube.com/watch?list=PL123&v=mno345PQR67&t=1s",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    return df.select("url", T.youtube_id("url").alias("video_id")).orderBy("url")

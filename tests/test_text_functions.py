@@ -1,0 +1,63 @@
+"""Unit tests for functions/text.py column expressions."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from input_data_pipeline_spark.functions import text as T
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_youtube_id_patterns(spark):
+    cases = {
+        "https://www.youtube.com/watch?v=dQw4w9WgXcQ": "dQw4w9WgXcQ",
+        "https://youtu.be/abc123DEF45?t=9": "abc123DEF45",
+        "https://www.youtube.com/embed/zyx987WVU65": "zyx987WVU65",
+        "https://www.youtube.com/shorts/qwe456RTY78": "qwe456RTY78",
+        "dQw4w9WgXcQ": "dQw4w9WgXcQ",
+        "  dQw4w9WgXcQ  ": "dQw4w9WgXcQ",  # reference trims first
+        "https://example.com/": None,
+        "short": None,
+    }
+    for url, expected in cases.items():
+        assert _one(spark, T.youtube_id(F.lit(url))) == expected, url
+
+
+def test_sentences_split_and_filter(spark):
+    got = _one(spark, T.sentences(F.lit("One. Two!  Three? four")))
+    assert got == ["One.", "Two!", "Three? four"] or got == ["One.", "Two!", "Three?", "four"]
+    # lookbehind split keeps the punctuation attached to the left sentence
+    assert got[0] == "One."
+    assert _one(spark, T.sentences(F.lit("   "))) == []
+
+
+def test_preview_truncation(spark):
+    assert _one(spark, T.preview(F.lit("x" * 150))) == "x" * 100 + "..."
+    assert _one(spark, T.preview(F.lit("short"))) == "short"
+
+
+def test_content_id_deterministic(spark):
+    a = _one(spark, T.content_id(F.lit("hello world"), "doc"))
+    b = _one(spark, T.content_id(F.lit("hello world"), "doc"))
+    assert a == b and a.startswith("doc_") and len(a) == 4 + 12
+
+
+def test_tokens_and_counts(spark):
+    assert _one(spark, T.tokens(F.lit("  a  b\tc "))) == ["a", "b", "c"]
+    assert _one(spark, T.token_count(F.lit("one two three"))) == 3
+    assert _one(spark, T.token_count(F.lit(""))) == 0
+
+
+def test_word_shingles(spark):
+    got = _one(spark, T.word_shingles(F.lit("a b c d"), 3))
+    assert got == ["a b c", "b c d"]
+    # short doc → one whole-text shingle
+    assert _one(spark, T.word_shingles(F.lit("a b"), 3)) == ["a b"]
+
+
+def test_stopword_ratio_bounds(spark):
+    assert _one(spark, T.stopword_ratio(F.lit("the cat"), "en")) == 0.5
+    assert _one(spark, T.stopword_ratio(F.lit(""), "en")) == 0.0
