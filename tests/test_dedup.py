@@ -1,0 +1,30 @@
+"""Property tests for dedup: LSH recall vs exact ground truth (SURVEY §5.4)."""
+
+from __future__ import annotations
+
+from input_data_pipeline_spark.operators.dedup import (
+    dedup_minhash_lsh,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
+    """Every pair with true 2-gram Jaccard >= 0.8 must be recalled by the
+    MinHash-LSH candidates (est >= 0.5) at >= 90%."""
+    truth = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(spark, sf_dir).collect()}
+    cand = {(r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, sf_dir).collect()}
+    assert truth, "ground-truth near-dup set is empty — fixture assumption broken"
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9 ({len(truth)} true pairs)"
+
+
+def test_simhash_close_on_near_duplicates(spark, sf_dir):
+    """Pairs that are exact near-dups (Jaccard >= 0.8) should also be close
+    in SimHash space (hamming <= 3) for the large majority."""
+    truth = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(spark, sf_dir).collect()}
+    sim = {(r.doc_a, r.doc_b) for r in simhash_near_pairs(spark, sf_dir).collect()}
+    hit = len(truth & sim) / len(truth)
+    # 32-bit SimHash over distinct-token sets is a coarser signal than
+    # shingle Jaccard; ~0.75-0.8 overlap is its expected operating point here.
+    assert hit >= 0.7, f"only {hit:.2f} of true near-dups are simhash-close"
