@@ -1,0 +1,37 @@
+"""Similarity-search property tests: ANN recall vs exact brute force."""
+
+from __future__ import annotations
+
+from input_data_pipeline_spark.operators.similarity import (
+    TOP_K,
+    knn_bruteforce,
+    knn_bruteforce_np,
+    knn_hyperplane_lsh,
+)
+
+
+def _topk_sets(df):
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_np_path_matches_expression_path(spark, sf_dir):
+    """The mapInPandas/numpy tier must reproduce the expression tier exactly."""
+    a = {(r.query_id, r.rank, r.neighbor_id) for r in knn_bruteforce(spark, sf_dir).collect()}
+    b = {(r.query_id, r.rank, r.neighbor_id) for r in knn_bruteforce_np(spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """Banded hyperplane LSH should recall >= 50% of true top-10 on average
+    (2 bands of 8 bits is a coarse, fast setting; exact re-rank keeps
+    precision at 1.0 by construction)."""
+    truth = _topk_sets(knn_bruteforce(spark, sf_dir))
+    approx = _topk_sets(knn_hyperplane_lsh(spark, sf_dir))
+    recalls = [
+        len(truth[q] & approx.get(q, set())) / min(TOP_K, len(truth[q])) for q in truth
+    ]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.5, f"LSH avg recall {avg:.2f} < 0.5 ({recalls})"
