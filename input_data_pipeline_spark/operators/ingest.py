@@ -1,1 +1,227 @@
-"""Placeholder — populated in a later milestone."""
+"""Ingestion-pipeline operators (SURVEY §1, §2.2, §3.2) as oracle-checked queries.
+
+These re-express the reference's batch-collection shape — ``source list →
+fan-out → validate → union → append sink + status tally`` (reference
+``inputs/transcript_collector.py:47-68``, ``main.py:81-96``,
+``inputs/json_to_toxic_label.py``) — on the driver's testdata. The JSONL
+read/write/round-trip half of the data model lives in
+``sources/ingest_model.py`` and is exercised by ``tests/test_ingest.py``
+(filesystem side effects don't belong in driver-run queries).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from input_data_pipeline_spark.plans.registry import register
+from input_data_pipeline_spark.tables import load_table
+
+# Fixture for the sentence splitter: multi-sentence, blank-tail, unicode, and
+# punctuation-free cases (the testdata documents contain no [.!?], so the
+# splitter is exercised on literals — same pattern as youtube_id_extraction).
+_SENTENCE_FIXTURE = [
+    ("r1", "One plus one. Two minus two! Is it three? Yes."),
+    ("r2", "No terminal punctuation here"),
+    ("r3", "Trailing spaces after stop.   And a tab\tinside. End!  "),
+    ("r4", "Đây là câu một. Và câu thứ hai! ¿Tercera frase?"),
+    ("r5", ""),
+]
+
+_SENTENCE_VALUES = ",\n      ".join(
+    "('{}', '{}')".format(rid, txt.replace("'", "''")) for rid, txt in _SENTENCE_FIXTURE
+)
+
+
+@register(
+    "toxic_label_scaffold",
+    oracle=f"""
+    WITH recs(rec_id, text) AS (VALUES
+      {_SENTENCE_VALUES}),
+    split AS (
+      SELECT rec_id,
+             unnest(string_split(
+               regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g'),
+               chr(1))) AS s
+      FROM recs)
+    SELECT rec_id, trim(s) AS sentence, FALSE AS toxic
+    FROM split
+    WHERE trim(s) <> ''
+    ORDER BY rec_id, sentence
+    """,
+)
+def toxic_label_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-split labeling dataset (SURVEY F3/P2/P4; reference
+    ``inputs/json_to_toxic_label.py:10-14``): lookbehind regex split →
+    explode → blank filter → constant ``toxic=false`` label column.
+
+    The label column is the designed seam for a future classifier UDF
+    (SURVEY U5); today it is the reference's human-in-the-loop default.
+    """
+    recs = spark.createDataFrame(_SENTENCE_FIXTURE, ["rec_id", "text"])
+    return (
+        recs.select(
+            "rec_id",
+            F.explode(F.split("text", r"(?<=[.!?])\s+")).alias("s"),
+        )
+        .select("rec_id", F.trim("s").alias("sentence"), F.lit(False).alias("toxic"))
+        .filter(F.col("sentence") != "")
+        .orderBy("rec_id", "sentence")
+    )
+
+
+@register(
+    "incremental_new_docs",
+    oracle="""
+    SELECT d.source, COUNT(*) AS n_new
+    FROM documents d
+    ANTI JOIN (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) m
+      USING (doc_id)
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-already-ingested anti-join (SURVEY J1/O2; reference
+    ``main.py:81-96`` dir-diff and yt-dlp ``overwrites: False``).
+
+    The manifest (here: every 7th doc, standing in for the committed-ids
+    table) is broadcast — incoming data never shuffles, which is the only
+    acceptable plan when "incoming" is a 100 TB scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    manifest = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    return (
+        docs.join(F.broadcast(manifest), "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+        .orderBy("source")
+    )
+
+
+@register(
+    "collect_status_tally",
+    oracle="""
+    SELECT CASE WHEN n_chars < 100 THEN 'SKIP'
+                WHEN doc_id % 13 = 0 THEN 'ERR'
+                ELSE 'OK' END AS status,
+           COUNT(*) AS n
+    FROM documents
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def collect_status_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OK/SKIP/ERR tally (SURVEY A5; reference's ok/fail counters at
+    ``inputs/transcript_collector.py:54-68``). The per-item try/except
+    taxonomy becomes a status column + low-cardinality hash aggregate —
+    partial (map-side) combine makes this a near-free pass at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    status = (
+        F.when(F.col("n_chars") < 100, "SKIP")
+        .when(F.col("doc_id") % 13 == 0, "ERR")
+        .otherwise("OK")
+    )
+    return (
+        docs.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )
+
+
+@register(
+    "union_source_batches",
+    oracle="""
+    WITH unioned AS (
+      SELECT doc_id, lang FROM documents WHERE source IN ('src0','src1','src2')
+      UNION ALL
+      SELECT doc_id, NULL AS lang FROM documents WHERE source NOT IN ('src0','src1','src2')
+    )
+    SELECT COALESCE(lang, 'unknown') AS lang, COUNT(*) AS n_docs
+    FROM unioned
+    GROUP BY COALESCE(lang, 'unknown')
+    ORDER BY lang
+    """,
+)
+def union_source_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of heterogeneous collector batches (SURVEY O3; reference writes
+    all three collectors into one JSONL, ``main.py:14,140``).
+
+    Batch B lacks the ``lang`` column — ``unionByName(allowMissingColumns)``
+    null-fills it, the Spark analog of Pydantic's optional fields across
+    collectors with different metadata.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    head_sources = ("src0", "src1", "src2")
+    batch_a = docs.filter(F.col("source").isin(*head_sources)).select("doc_id", "lang")
+    batch_b = docs.filter(~F.col("source").isin(*head_sources)).select("doc_id")
+    unioned = batch_a.unionByName(batch_b, allowMissingColumns=True)
+    return (
+        unioned.select(F.coalesce("lang", F.lit("unknown")).alias("lang"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "segments_flatten",
+    oracle="""
+    WITH recs(id, source_type) AS (VALUES
+      ('rec_a', 'youtube_transcript'), ('rec_b', 'system_audio'), ('rec_c', 'youtube')),
+    segs AS (
+      SELECT r.id, r.source_type, g.n AS seg_idx,
+             (g.n * 2.5)::DOUBLE AS start,
+             2.0::DOUBLE AS duration,
+             'seg ' || r.id || ' #' || g.n AS text
+      FROM recs r CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS n) g)
+    SELECT id, source_type,
+           string_agg(text, chr(10) ORDER BY seg_idx) AS text,
+           COUNT(*) AS n_segments,
+           MIN(start) AS first_start,
+           ROUND(MAX(start + duration) - MIN(start), 6) AS span_sec
+    FROM segs
+    GROUP BY id, source_type
+    ORDER BY id
+    """,
+)
+def segments_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested segments array → flat transcript + span stats (SURVEY A1/A3;
+    reference flattens at ``transcript_collector.py:32`` and derives segment
+    spans from first/last word timings at ``system_audio_collector.py:49-63``).
+
+    Spark side builds the nested array-of-struct shape of ``INGEST_SCHEMA``
+    and reduces it with array expressions — no explode/re-group shuffle; the
+    array order inside each record is authoritative.
+    """
+    from input_data_pipeline_spark.sources.ingest_model import flatten_segments_text
+
+    recs = spark.createDataFrame(
+        [("rec_a", "youtube_transcript"), ("rec_b", "system_audio"), ("rec_c", "youtube")],
+        ["id", "source_type"],
+    )
+    seg = lambda n: F.struct(  # noqa: E731
+        (F.lit(n) * 2.5).alias("start"),
+        F.lit(2.0).alias("duration"),
+        F.concat(F.lit("seg "), F.col("id"), F.lit(f" #{n}")).alias("text"),
+    )
+    nested = recs.select(
+        "id",
+        "source_type",
+        F.lit(None).cast("string").alias("text"),
+        F.array(*[seg(n) for n in range(4)]).alias("segments"),
+    )
+    flat = flatten_segments_text(nested)
+    last = F.element_at("segments", -1)
+    return flat.select(
+        "id",
+        "source_type",
+        "text",
+        F.size("segments").cast("long").alias("n_segments"),
+        F.element_at("segments", 1)["start"].alias("first_start"),
+        F.round(
+            last["start"] + last["duration"] - F.element_at("segments", 1)["start"], 6
+        ).alias("span_sec"),
+    ).orderBy("id")

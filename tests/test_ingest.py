@@ -1,0 +1,120 @@
+"""Ingestion data model tests (SURVEY §1, §5.2): schema enforcement at read,
+JSONL round-trip fidelity (the golden-serialization check), union of
+heterogeneous batches, and the anti-join manifest pattern."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from input_data_pipeline_spark.sources.ingest_model import (
+    anti_join_manifest,
+    append_jsonl,
+    flatten_segments_text,
+    read_jsonl,
+    union_batches,
+)
+
+# A golden record with the exact field shape the reference serializes
+# (inputs/schema.py:12-18 + observed meta keys): nested segments, multimodal
+# binary_path pointer, open meta map, non-ASCII text (ensure_ascii=False).
+GOLDEN = {
+    "id": "sysaudio_rec_0001",
+    "source_type": "system_audio",
+    "text": "xin chào thế giới",
+    "segments": [
+        {"start": 0.0, "duration": 1.5, "text": "xin chào"},
+        {"start": 1.5, "duration": 1.25, "text": "thế giới"},
+    ],
+    "binary_path": "out/audio/rec_0001.wav",
+    "meta": {
+        "device": "Stereo Mix",
+        "sec": "8",
+        "sr": "16000",
+        "channels": "1",
+        "engine": "vosk",
+        "created_at": "2026-01-28T00:00:00Z",
+    },
+}
+
+
+@pytest.fixture()
+def jsonl_dir(tmp_path):
+    p = tmp_path / "ingest"
+    p.mkdir()
+    (p / "records.jsonl").write_text(
+        json.dumps(GOLDEN, ensure_ascii=False) + "\n", encoding="utf-8"
+    )
+    return str(p)
+
+
+def test_jsonl_read_golden_record(spark, jsonl_dir):
+    df = read_jsonl(spark, jsonl_dir, mode="FAILFAST")
+    [row] = df.collect()
+    assert row.id == GOLDEN["id"]
+    assert row.source_type == "system_audio"
+    assert row.text == "xin chào thế giới"  # non-ASCII survives
+    assert [s.asDict() for s in row.segments] == GOLDEN["segments"]
+    assert row.binary_path == GOLDEN["binary_path"]
+    assert row.meta["engine"] == "vosk"
+
+
+def test_jsonl_roundtrip(spark, jsonl_dir, tmp_path):
+    """read → write(append) → read re-produces identical rows, and the bytes
+    keep non-ASCII unescaped (the ensure_ascii=False contract, K1)."""
+    out = str(tmp_path / "out")
+    df = read_jsonl(spark, jsonl_dir, mode="FAILFAST")
+    append_jsonl(df, out)
+    back = read_jsonl(spark, out, mode="FAILFAST")
+    assert back.schema == df.schema
+    assert back.collect() == df.collect()
+    raw = b"".join(
+        p.read_bytes() for p in (tmp_path / "out").glob("part-*.json")
+    ).decode("utf-8")
+    assert "xin chào thế giới" in raw
+    assert "\\u" not in raw.split('"text"')[1][:60]
+
+
+def test_permissive_routes_corrupt_rows(spark, tmp_path):
+    p = tmp_path / "mixed"
+    p.mkdir()
+    (p / "data.jsonl").write_text(
+        json.dumps(GOLDEN, ensure_ascii=False) + "\n" + "{not json at all\n",
+        encoding="utf-8",
+    )
+    df = read_jsonl(spark, str(p), mode="PERMISSIVE").cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 1 and bad.count() == 1
+    assert bad.collect()[0]._corrupt_record.startswith("{not json")
+
+
+def test_union_batches_null_fills_missing_columns(spark):
+    a = spark.createDataFrame(
+        [("a1", "youtube_transcript", "hello")], ["id", "source_type", "text"]
+    )
+    b = spark.createDataFrame([("b1", "system_audio")], ["id", "source_type"])
+    u = union_batches(a, b)
+    rows = {r.id: r for r in u.collect()}
+    assert set(rows) == {"a1", "b1"}
+    assert rows["b1"].text is None
+
+
+def test_anti_join_manifest(spark):
+    incoming = spark.createDataFrame([(f"r{i}",) for i in range(10)], ["id"])
+    manifest = spark.createDataFrame([("r0",), ("r5",), ("zz",)], ["id"])
+    fresh = anti_join_manifest(incoming, manifest)
+    assert sorted(r.id for r in fresh.collect()) == sorted(
+        f"r{i}" for i in range(10) if i not in (0, 5)
+    )
+
+
+def test_flatten_segments_prefers_array_order(spark):
+    df = spark.createDataFrame(
+        [("x", None, [(0.0, 1.0, "first"), (1.0, 1.0, "second")])],
+        "id string, text string, segments array<struct<start:double,duration:double,text:string>>",
+    )
+    [row] = flatten_segments_text(df).collect()
+    assert row.text == "first\nsecond"
