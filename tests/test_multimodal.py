@@ -1,0 +1,104 @@
+"""Multimodal plumbing tests (SURVEY §1.3, §2.10): binaryFile source,
+opaque-binary feature extraction, frame expansion, and the per-executor
+singleton pattern for heavy decoders."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+from input_data_pipeline_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_media_stub,
+    frame_sample,
+    multimodal_binary_meta,
+)
+
+
+def test_binaryfile_source_reads_wav_blobs(spark, tmp_path):
+    """SURVEY S5/S8: binaryFile source yields (path, modificationTime,
+    length, content) — the Spark replacement for wave.open + os.listdir."""
+    blobs = {f"rec_{i}.wav": bytes([i]) * (100 + i) for i in range(3)}
+    for name, payload in blobs.items():
+        (tmp_path / name).write_bytes(payload)
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(str(tmp_path))
+    )
+    assert {"path", "modificationTime", "length", "content"} <= set(df.columns)
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == set(blobs)
+    for name, payload in blobs.items():
+        assert rows[name].length == len(payload)
+        assert bytes(rows[name].content) == payload
+
+
+def test_newest_file_max_by_mtime(spark, tmp_path):
+    """SURVEY A6/O1 on the binaryFile metadata: top-1 newest file."""
+    import os
+    import time
+
+    for i, name in enumerate(["old.wav", "mid.wav", "new.wav"]):
+        p = tmp_path / name
+        p.write_bytes(b"x")
+        t = time.time() - (10 - i)
+        os.utime(p, (t, t))
+    df = spark.read.format("binaryFile").load(str(tmp_path))
+    newest = df.select(F.max_by("path", "modificationTime").alias("path")).collect()
+    assert newest[0].path.endswith("new.wav")
+
+
+def test_decode_stub_is_explicitly_unimplemented():
+    with pytest.raises(NotImplementedError, match="media libraries"):
+        decode_media_stub(b"RIFF....WAVE", "audio")
+
+
+def test_binary_meta_matches_local_hash(spark, sf_dir):
+    df = multimodal_binary_meta(spark, sf_dir).limit(20)
+    docs = {r.doc_id: r.text for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20).collect()}
+    for r in df.collect():
+        if r.doc_id in docs:
+            raw = docs[r.doc_id].encode("utf-8")
+            assert r.n_bytes == len(raw)
+            assert r.fingerprint == hashlib.sha256(raw).hexdigest()[:16]
+
+
+def test_frame_sample_expands_one_to_many(spark, sf_dir):
+    out = frame_sample(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    assert out.count() > n_docs  # every doc has ≥1 frame; most have several
+    idx = out.select("frame_idx").distinct().collect()
+    assert all(r.frame_idx % 2 == 0 for r in idx)  # stride honored
+
+
+def test_per_executor_singleton_pattern(spark):
+    """U2: heavy decoders load once per worker process, not per batch/row.
+    The stand-in 'model' records its constructions in a module-level cache;
+    mapInPandas over many partitions must construct at most once per worker."""
+    df = spark.range(0, 200, numPartitions=8).withColumn(
+        "payload", F.encode(F.col("id").cast("string"), "UTF-8")
+    )
+
+    def infer(batches):
+        import os
+
+        import pandas as pd
+
+        global _MODEL  # per-python-worker singleton
+        try:
+            _MODEL
+        except NameError:
+            _MODEL = {"pid": os.getpid(), "loads": 1}
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"id": pdf["id"], "pid": _MODEL["pid"], "loads": _MODEL["loads"]}
+            )
+
+    out = df.mapInPandas(infer, "id long, pid long, loads int").collect()
+    assert len(out) == 200
+    assert all(r.loads == 1 for r in out)  # never re-constructed within a worker
