@@ -296,3 +296,85 @@ def clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("purchase_id", "click_id", "purchase_ts", "click_ts")
         .orderBy("purchase_id", "click_id")
     )
+
+
+@register(
+    "session_window_native",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL {SESSION_GAP_MINUTES} MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {SESSION_GAP_MINUTES} MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS session_value
+    FROM sessions
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native ``F.session_window`` run in batch mode, differentially
+    checked against the classic lag-gap sessionization SQL (the two must
+    agree exactly; session_window's end = last event + gap). This is the
+    batch-checkable face of streaming/pipelines.py::session_windows.
+
+    Scale: one shuffle on user_id; session assembly is then per-partition.
+    Hot users are single-key-bound by nature of sessions — AQE skew-join
+    doesn't apply to aggs, so at 100 TB the guard is the watermark (streaming)
+    or date-partitioned input (batch) keeping any one user's span bounded.
+    """
+    from input_data_pipeline_spark.streaming.pipelines import session_windows
+
+    events = load_table(spark, sf_dir, "events")
+    # Batch mode ignores the watermark clause; reuse the exact streaming op.
+    return session_windows(events, gap=f"{SESSION_GAP_MINUTES} minutes").orderBy(
+        "user_id", "session_start"
+    )
+
+
+@register(
+    "sliding_window_counts",
+    oracle="""
+    WITH slid AS (
+      SELECT e.event_type, e.value,
+             time_bucket(INTERVAL '2 hours', e.ts) - k.off * INTERVAL '2 hours'
+               AS window_start
+      FROM events e,
+           LATERAL (SELECT unnest([0, 1]) AS off) k)
+    SELECT window_start,
+           window_start + INTERVAL '4 hours' AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM slid
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (4h wide, 2h slide) in batch mode — the
+    batch-checkable face of streaming/pipelines.py::windowed_counts. Each
+    event lands in exactly width/slide = 2 windows; the oracle replays that
+    as an explicit 2-way window-start expansion over ``time_bucket``.
+
+    Scale: F.window with slide explodes rows by width/slide *before* the
+    partial agg, so keep that ratio small; the shuffle carries only
+    (window, type) partials thanks to map-side combine.
+    """
+    from input_data_pipeline_spark.streaming.pipelines import windowed_counts
+
+    events = load_table(spark, sf_dir, "events")
+    return windowed_counts(events, size="4 hours", slide="2 hours").orderBy(
+        "window_start", "event_type"
+    )

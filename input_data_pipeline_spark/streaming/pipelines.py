@@ -1,0 +1,126 @@
+"""Structured Streaming layer (SURVEY §2.9).
+
+The reference's collectors are streaming-shaped batch scripts: they run
+repeatedly and *append* to JSONL logs (``inputs/schema.py:34-35``), audio
+arrives in fixed-duration chunks, and the Vosk recognizer is an incremental
+stateful consumer emitting final results per utterance plus an end-of-stream
+flush (``inputs/system_audio_collector.py:39-63``) — exactly Structured
+Streaming's append mode + terminal flush. This module gives that usage
+pattern a first-class engine surface:
+
+- ``stream_jsonl`` / ``stream_events``: schema-enforced file-source streams
+  (tailing the collectors' output directory).
+- ``windowed_counts``: tumbling/sliding event-time windows with a watermark
+  bounding state ("late data" handling).
+- ``session_windows``: native ``F.session_window`` gap sessions — the
+  streaming form of the batch lag-gap sessionization in operators/windows.py.
+- ``dedup_within_watermark``: stateful dedup with bounded state
+  (``dropDuplicatesWithinWatermark``) — the streaming form of the
+  skip-already-ingested manifest anti-join.
+
+Scale notes: every stateful op here carries a watermark so the state store
+stays bounded no matter how long the stream runs — unbounded state is the
+way streaming jobs die at production scale. Windows/sessions key state by
+(group keys, window), so hot keys shard across ``spark.sql.shuffle.partitions``
+state-store partitions; checkpointing makes each sink exactly-once.
+
+The batch-mode oracle checks for these operators (``F.session_window`` /
+sliding ``F.window`` run in batch, hash-compared against lag-gap and
+double-bucket DuckDB SQL) live in ``operators/windows.py`` —
+``session_window_native`` and ``sliding_window_counts``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from input_data_pipeline_spark.sources.ingest_model import INGEST_SCHEMA
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def stream_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Tail the collectors' JSONL output directory as an unbounded table
+    (SURVEY §2.9 row 1). Schema is enforced, never inferred — inference
+    would re-scan history on every restart."""
+    return spark.readStream.schema(INGEST_SCHEMA).json(path)
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of event rows (JSONL) with the events schema."""
+    return spark.readStream.schema(EVENT_SCHEMA).json(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    size: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` differs from ``size``) event-time
+    window counts with late-data bound (SURVEY §2.9 rows 2+4).
+
+    Append-mode semantics: a window emits once, when the watermark passes its
+    end; events later than the watermark are dropped. State per key-window
+    pair is freed at emission — bounded state at any stream length.
+    """
+    win = F.window("ts", size, slide) if slide else F.window("ts", size)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Gap-based session windows per user (SURVEY §2.9 row 3): a session
+    closes when no event arrives within ``gap``; the watermark decides when
+    closed sessions are final enough to emit."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str], watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stateful streaming dedup with bounded state (SURVEY §2.9 row 5):
+    duplicates of a key arriving within the watermark horizon are dropped;
+    state for a key is released once the watermark passes it. The streaming
+    form of the reference's skip-existing ingestion (yt-dlp
+    ``overwrites: False``; manifest anti-join in sources/ingest_model.py)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "append"):
+    """Start a memory-sink query for tests/inspection. Callers drive it with
+    ``q.processAllAvailable()`` after each source append — deterministic
+    micro-batch boundaries, no wall-clock dependence."""
+    return (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )

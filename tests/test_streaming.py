@@ -1,0 +1,177 @@
+"""Structured Streaming tests (SURVEY §2.9, §5.5): file-source ingestion,
+watermark late-data drops, session windows, stateful dedup. Determinism:
+each test appends a file then drives the query with processAllAvailable()
+— one file per micro-batch, no wall-clock dependence."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from input_data_pipeline_spark.streaming.pipelines import (
+    dedup_within_watermark,
+    run_to_memory,
+    session_windows,
+    stream_events,
+    stream_jsonl,
+    windowed_counts,
+)
+
+_QUERY_SEQ = 0
+
+
+def _unique(name: str) -> str:
+    global _QUERY_SEQ
+    _QUERY_SEQ += 1
+    return f"{name}_{_QUERY_SEQ}"
+
+
+def _write_events(dirpath, fname: str, rows: list[dict]) -> None:
+    (dirpath / fname).write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\n", encoding="utf-8"
+    )
+
+
+def _ev(eid, ts, user=1, etype="click", value=1.0):
+    return {
+        "event_id": eid,
+        "ts": ts,
+        "user_id": user,
+        "event_type": etype,
+        "value": value,
+        "props": "{}",
+    }
+
+
+@pytest.fixture()
+def src(tmp_path):
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    return d
+
+
+def test_stream_jsonl_ingest(spark, src):
+    """Tailing the collector output dir: each appended file is a micro-batch."""
+    rec = {
+        "id": "r1",
+        "source_type": "youtube_transcript",
+        "text": "xin chào",
+        "segments": [{"start": 0.0, "duration": 1.0, "text": "xin chào"}],
+        "binary_path": None,
+        "meta": {"video_id": "abc123DEF45"},
+    }
+    (src / "b1.jsonl").write_text(json.dumps(rec, ensure_ascii=False) + "\n")
+    name = _unique("ingest")
+    q = run_to_memory(stream_jsonl(spark, str(src)), name)
+    try:
+        q.processAllAvailable()
+        assert spark.table(name).count() == 1
+        (src / "b2.jsonl").write_text(
+            json.dumps({**rec, "id": "r2"}, ensure_ascii=False) + "\n"
+        )
+        q.processAllAvailable()
+        rows = {r.id: r for r in spark.table(name).collect()}
+        assert set(rows) == {"r1", "r2"}
+        assert rows["r1"].text == "xin chào"
+        assert rows["r1"].meta["video_id"] == "abc123DEF45"
+    finally:
+        q.stop()
+
+
+def test_watermark_drops_late_rows(spark, src):
+    """Append mode: a 10-min tumbling window emits once the watermark passes
+    its end, and rows older than the watermark are dropped."""
+    _write_events(src, "b1.jsonl", [
+        _ev(1, "2024-01-01 10:01:00"),
+        _ev(2, "2024-01-01 10:02:00"),
+        _ev(3, "2024-01-01 11:00:00"),
+    ])
+    name = _unique("wm")
+    sdf = windowed_counts(stream_events(spark, str(src)),
+                          size="10 minutes", watermark="5 minutes")
+    q = run_to_memory(sdf, name, output_mode="append")
+    try:
+        q.processAllAvailable()  # b1: watermark still epoch → nothing final
+        # b2: fresh row advances watermark to 11:00-5min=10:55 → the
+        # 10:00-10:10 window finalizes; a late row at 10:03 must be dropped.
+        _write_events(src, "b2.jsonl", [
+            _ev(4, "2024-01-01 10:03:00"),   # late: < watermark 10:55
+            _ev(5, "2024-01-01 12:00:00"),   # fresh
+        ])
+        q.processAllAvailable()
+        # b3: advance watermark past 11:00-11:10 so window of event 3 emits.
+        _write_events(src, "b3.jsonl", [_ev(6, "2024-01-01 13:00:00")])
+        q.processAllAvailable()
+        out = {
+            (str(r.window_start), r.event_type): r.n
+            for r in spark.table(name).collect()
+        }
+        assert out[("2024-01-01 10:00:00", "click")] == 2  # late row NOT counted
+        assert out[("2024-01-01 11:00:00", "click")] == 1
+    finally:
+        q.stop()
+
+
+def test_session_window_stream_matches_batch(spark, src):
+    """Differential: the same events through the streaming session op and
+    through batch mode produce identical closed sessions."""
+    rows = [
+        _ev(1, "2024-01-01 09:00:00", user=7),
+        _ev(2, "2024-01-01 09:10:00", user=7),   # same session (gap 30m)
+        _ev(3, "2024-01-01 11:00:00", user=7),   # new session
+        _ev(4, "2024-01-01 09:05:00", user=8),
+    ]
+    _write_events(src, "b1.jsonl", rows)
+    name = _unique("sess")
+    q = run_to_memory(session_windows(stream_events(spark, str(src))), name)
+    try:
+        q.processAllAvailable()
+        # close all sessions by pushing the watermark far ahead
+        _write_events(src, "b2.jsonl", [_ev(9, "2024-01-02 00:00:00", user=9)])
+        q.processAllAvailable()
+        streamed = {
+            (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+            for r in spark.table(name).collect()
+        }
+        batch_df = spark.createDataFrame(
+            [(r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"], r["props"])
+             for r in rows],
+            "event_id long, ts string, user_id long, event_type string, value double, props string",
+        ).selectExpr("event_id", "CAST(ts AS timestamp) ts", "user_id", "event_type", "value", "props")
+        batch = {
+            (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+            for r in session_windows(batch_df).collect()
+        }
+        assert batch <= streamed  # closed streaming sessions = batch sessions
+        assert {(7, "2024-01-01 09:00:00", "2024-01-01 09:40:00", 2),
+                (7, "2024-01-01 11:00:00", "2024-01-01 11:30:00", 1),
+                (8, "2024-01-01 09:05:00", "2024-01-01 09:35:00", 1)} <= streamed
+    finally:
+        q.stop()
+
+
+def test_dedup_within_watermark(spark, src):
+    """Duplicates of event_id arriving within the watermark horizon are
+    dropped across micro-batches; state stays bounded by the watermark."""
+    _write_events(src, "b1.jsonl", [
+        _ev(1, "2024-01-01 10:00:00"),
+        _ev(1, "2024-01-01 10:00:30"),   # same batch dup
+        _ev(2, "2024-01-01 10:01:00"),
+    ])
+    name = _unique("dd")
+    sdf = dedup_within_watermark(
+        stream_events(spark, str(src)), ["event_id"], watermark="10 minutes"
+    )
+    q = run_to_memory(sdf, name, output_mode="append")
+    try:
+        q.processAllAvailable()
+        _write_events(src, "b2.jsonl", [
+            _ev(1, "2024-01-01 10:02:00"),   # cross-batch dup, inside horizon
+            _ev(3, "2024-01-01 10:03:00"),
+        ])
+        q.processAllAvailable()
+        ids = sorted(r.event_id for r in spark.table(name).collect())
+        assert ids == [1, 2, 3]
+    finally:
+        q.stop()
