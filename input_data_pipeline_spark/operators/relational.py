@@ -485,3 +485,53 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@register(
+    "order_status_cube",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           o_orderpriority AS priority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gid, status, priority
+    """,
+)
+def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) — all 4 grouping sets in one pass
+    (SURVEY A8). Catalyst plans this as Expand + single hash agg, so the
+    multi-granularity report costs one shuffle, not four; grouping_id
+    disambiguates subtotal rows from genuine NULL keys."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube(F.col("o_orderstatus").alias("status"), F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select("status", "priority", "gid", "n_orders", "total_price")
+        .orderBy("gid", "status", "priority")
+    )
+
+
+@register("approx_distinct_users")  # no oracle: HLL estimates are impl-specific
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per event_type next to the exact
+    count (SURVEY A7). No DuckDB oracle — HLL estimates differ across
+    implementations by design; tests/test_relational_extras.py bounds the
+    relative error (<5%) against the exact count instead. At 100 TB the
+    approx variant is the one you can afford: fixed-size sketch per group,
+    mergeable map-side, no distinct-expand shuffle."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,90 @@
+"""Unit tests for the as-of join operator, CUBE, and approx distinct."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from input_data_pipeline_spark.operators.asof import asof_join
+
+
+def _d(s: str) -> dt.date:
+    return dt.date.fromisoformat(s)
+
+
+def test_asof_join_planted_cases(spark):
+    """Planted semantics: at-or-before match, same-day inclusion, tie-break
+    to greatest right key, and no-match → nulls."""
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _d("2024-01-10")),  # after both u1 orders → latest wins
+            (2, "u1", _d("2024-01-05")),  # same-day order counts (<=)
+            (3, "u1", _d("2024-01-01")),  # before any order → nulls
+            (4, "u2", _d("2024-01-10")),  # tie: two orders same day → max key
+            (5, "u3", _d("2024-01-10")),  # user with no orders at all
+        ],
+        "event_id long, user_id string, probe_date date",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _d("2024-01-03"), 100, 10.0),
+            ("u1", _d("2024-01-05"), 101, 20.0),
+            ("u2", _d("2024-01-04"), 200, 30.0),
+            ("u2", _d("2024-01-04"), 201, 40.0),
+        ],
+        "user_id string, o_date date, o_orderkey long, o_totalprice double",
+    )
+    out = {
+        r.event_id: (r.asof_o_orderkey, r.asof_o_totalprice, r.asof_o_date)
+        for r in asof_join(
+            left, right, on="user_id", left_time="probe_date",
+            right_time="o_date", right_cols=["o_orderkey", "o_totalprice"],
+        ).collect()
+    }
+    assert out[1] == (101, 20.0, _d("2024-01-05"))
+    assert out[2] == (101, 20.0, _d("2024-01-05"))   # same-day inclusive
+    assert out[3] == (None, None, None)
+    assert out[4] == (201, 40.0, _d("2024-01-04"))   # tie → greatest key
+    assert out[5] == (None, None, None)
+
+
+def test_asof_plan_has_single_shuffle(spark):
+    """The merge-style as-of must shuffle once (on the key), never fan out
+    through a nested-loop join."""
+    left = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 5).alias("k"),
+        F.to_date(F.lit("2024-01-01")).alias("t"),
+    )
+    right = spark.range(50).select(
+        (F.col("id") % 5).alias("k"),
+        F.to_date(F.lit("2023-12-31")).alias("rt"),
+        F.col("id").alias("rk"),
+    )
+    plan = asof_join(
+        left, right, on="k", left_time="t", right_time="rt", right_cols=["rk"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # no join operator at all — union + window
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    from input_data_pipeline_spark.operators.relational import approx_distinct_users
+
+    for r in approx_distinct_users(spark, sf_dir).collect():
+        assert abs(r.approx_users - r.exact_users) / r.exact_users < 0.05, (
+            f"{r.event_type}: approx {r.approx_users} vs exact {r.exact_users}"
+        )
+
+
+def test_cube_totals_consistent(spark, sf_dir):
+    from input_data_pipeline_spark.operators.relational import order_status_cube
+
+    rows = order_status_cube(spark, sf_dir).collect()
+    grand = [r for r in rows if r.gid == 3]
+    assert len(grand) == 1
+    by_status = sum(r.n_orders for r in rows if r.gid == 1)
+    by_priority = sum(r.n_orders for r in rows if r.gid == 2)
+    detail = sum(r.n_orders for r in rows if r.gid == 0)
+    assert grand[0].n_orders == by_status == by_priority == detail
