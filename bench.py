@@ -20,11 +20,23 @@ from input_data_pipeline_spark.session import get_spark
 # The headline set: one per operator family (star join, wide agg, top-k,
 # windows, dedup, similarity, text stats). Extended as families land.
 HEADLINE = [
+    # relational star-schema core
     "revenue_by_region",
     "pricing_summary",
     "top_customers_by_revenue",
     "order_priority_rollup",
     "latest_order_per_customer",
+    # windows / events analytics / streaming-native ops
+    "user_sessions",
+    "session_window_native",
+    "sliding_window_counts",
+    "asof_order_context",
+    # text analysis
+    "doc_token_stats",
+    "doc_quality",
+    # dedup + similarity at scale
+    "dedup_minhash_lsh",
+    "knn_bruteforce_np",
 ]
 
 

@@ -110,21 +110,32 @@ def _shingles2(col: Column | str) -> Column:
     return F.array_distinct(T.word_shingles(col, 2))
 
 
-def _minhash_sig(shingles: Column) -> Column:
-    """12-element MinHash signature; hash h_i(s) = md5('{i}|' || s).
-
-    md5 gives identical values in Spark and DuckDB, so the signature — and
-    everything downstream of it — is cross-engine deterministic.
-    """
-    def _minhash(prefix: str) -> Column:
-        return F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s))))
-
-    return F.array(*[_minhash(f"{i}|") for i in range(N_MINHASH)])
-
 
 def _docs_with_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig) with the signature computed in codegen, not in
+    higher-order array functions.
+
+    Shape matters for speed: explode shingles to rows, evaluate the 12
+    md5(i|shingle) hashes as ordinary projected columns (whole-stage
+    codegen — interpreted lambda-transforms over arrays are ~10× slower),
+    then min-aggregate back per doc. The shuffle carries only the 12
+    partial mins per doc (map-side combine), so this scales linearly in
+    corpus size regardless of shingle fan-out. MinHash is duplicate-
+    insensitive (min over a multiset), so no array_distinct pass is needed.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", _minhash_sig(_shingles2("text")).alias("sig"))
+    shingled = docs.select(
+        "doc_id", F.explode(T.word_shingles("text", 2)).alias("sh")
+    )
+    hashed = shingled.select(
+        "doc_id",
+        *[F.md5(F.concat(F.lit(f"{i}|"), F.col("sh"))).alias(f"h{i}") for i in range(N_MINHASH)],
+    )
+    return (
+        hashed.groupBy("doc_id")
+        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(N_MINHASH)])
+        .select("doc_id", F.array(*[f"h{i}" for i in range(N_MINHASH)]).alias("sig"))
+    )
 
 
 @register(
@@ -167,13 +178,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Candidate generation is an equi self-join on (band, band_key) — the
     only shuffle keys are band hashes, so cost scales with collisions,
-    not with |docs|². The signature join afterwards re-reads only
-    (doc_id, sig).
+    not with |docs|². Each side carries its fixed-size signature, so the
+    Jaccard estimate falls out of the join with no further lookups.
     """
     sigs = _docs_with_sigs(spark, sf_dir)
 
+    # Bands carry the (small, fixed-size) signature with them so the
+    # candidate self-join yields both signatures directly — no signature
+    # re-join, and the signature subplan is evaluated once per join side
+    # instead of once per downstream consumer.
     bands = sigs.select(
         "doc_id",
+        "sig",
         F.explode(
             F.array(
                 *[
@@ -189,9 +205,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.b", "band.band_key")
+    ).select("doc_id", "sig", "band.b", "band.band_key")
 
-    cand = (
+    matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+    return (
         bands.alias("a")
         .join(
             bands.alias("bb"),
@@ -199,16 +216,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.b") == F.col("bb.b"))
             & (F.col("a.doc_id") < F.col("bb.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("bb.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("bb.sig").alias("sig_b"),
+        )
         .distinct()
-    )
-
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
