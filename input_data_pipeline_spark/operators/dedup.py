@@ -444,3 +444,77 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", "label_a", "label_b", "cosine")
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (rolling-hash) document fingerprints
+# ---------------------------------------------------------------------------
+
+GRAM_CHARS = 8     # char k-gram size
+WINNOW_WINDOW = 16  # grams per winnowing window
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(s) - {GRAM_CHARS - 1}, 1) + 1),
+                            i -> md5(substr(s, i::INT, {GRAM_CHARS}))) AS gs
+      FROM norm),
+    winnowed AS (
+      SELECT doc_id, gs,
+             list_sort(list_distinct(
+               list_transform(range(1, greatest(len(gs) - {WINNOW_WINDOW - 1}, 1) + 1),
+                              w -> list_min(list_slice(gs, w::INT, w::INT + {WINNOW_WINDOW - 1})))
+             )) AS fps
+      FROM grams)
+    SELECT doc_id,
+           len(gs) AS n_grams,
+           len(fps) AS n_fingerprints,
+           md5(array_to_string(fps, '')) AS fp_digest
+    FROM winnowed
+    ORDER BY doc_id
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (MOSS-style rolling-hash selection):
+    hash every char {GRAM_CHARS}-gram, slide a {WINNOW_WINDOW}-gram window,
+    keep each window's minimum hash — the classic guarantee that any match
+    of length >= window+gram-1 chars shares at least one fingerprint.
+
+    Expression-only (sequence/transform/slice/array_min stay JVM-side), so
+    the fingerprint pass is a map-only scan: no shuffle at all until
+    fingerprints are joined for plagiarism/near-dup candidate generation.
+    The md5 rolling hash is shared verbatim with the DuckDB oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s) - (GRAM_CHARS - 1), F.lit(1))),
+        lambda i: F.md5(F.substring(s, i, GRAM_CHARS)),
+    )
+    with_grams = docs.select("doc_id", grams.alias("gs"))
+    fps = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("gs") - (WINNOW_WINDOW - 1), F.lit(1))
+                ),
+                lambda w: F.array_min(F.slice("gs", w, WINNOW_WINDOW)),
+            )
+        )
+    )
+    return (
+        with_grams.select("doc_id", F.size("gs").alias("n_grams"), fps.alias("fps"))
+        .select(
+            "doc_id",
+            "n_grams",
+            F.size("fps").alias("n_fingerprints"),
+            F.md5(F.concat_ws("", "fps")).alias("fp_digest"),
+        )
+        .orderBy("doc_id")
+    )

@@ -365,3 +365,123 @@ def label_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("label", "assigned")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN (coarse quantize → probe nearest cells → exact re-rank)
+# ---------------------------------------------------------------------------
+
+N_CELLS = 8
+N_PROBE = 2
+
+
+def _cell_value(cell: int, dim: int) -> float:
+    h = hashlib.md5(f"cell:{cell}:{dim}".encode()).hexdigest()[:8]
+    return round(int(h, 16) / 2**32 * 2 - 1, 9)
+
+
+CENTROIDS: list[list[float]] = [
+    [_cell_value(c, d) for d in range(DIM)] for c in range(N_CELLS)
+]
+
+
+def _duck_centroid_literal() -> str:
+    rows = ", ".join(
+        "(" + str(c) + ", [" + ", ".join(str(v) for v in CENTROIDS[c]) + "]::DOUBLE[])"
+        for c in range(N_CELLS)
+    )
+    return f"(VALUES {rows}) AS c(cell, cvec)"
+
+
+_DUCK_CELL_COS = (
+    "list_sum(list_transform(range(1, {d} + 1), i -> x.e[i] * c.cvec[i]))"
+    " / (sqrt(list_sum(list_transform(x.e, t -> t * t)))"
+    " * sqrt(list_sum(list_transform(c.cvec, t -> t * t))))"
+).format(d=DIM)
+
+_DUCK_IVF_COS = (
+    "list_sum(list_transform(range(1, {d} + 1), i -> p.qe[i] * a.e[i]))"
+    " / (sqrt(list_sum(list_transform(p.qe, t -> t * t)))"
+    " * sqrt(list_sum(list_transform(a.e, t -> t * t))))"
+).format(d=DIM)
+
+
+@register(
+    "knn_ivf",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    assign AS (
+      SELECT vec_id, label, e, cell FROM (
+        SELECT x.vec_id, x.label, x.e, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                  ORDER BY {_DUCK_CELL_COS} DESC, c.cell) AS rn
+        FROM v x, {_duck_centroid_literal()})
+      WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, e AS qe, cell FROM (
+        SELECT x.vec_id, x.e, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                  ORDER BY {_DUCK_CELL_COS} DESC, c.cell) AS rn
+        FROM v x, {_duck_centroid_literal()}
+        WHERE x.vec_id < {N_QUERIES})
+      WHERE rn <= {N_PROBE}),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, a.label AS neighbor_label,
+             ROUND({_DUCK_IVF_COS}, 4) AS cosine
+      FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, neighbor_label, cosine, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest of
+    {N_CELLS} centroid cells, then answer each query by exact re-ranking
+    only the vectors in its {N_PROBE} nearest cells — the inverted-file
+    pattern that bounds scored candidates to ~n_probe/n_cells of the corpus.
+
+    Centroids here are deterministic md5-seeded constants (shared verbatim
+    with the oracle) so the whole path is hash-checkable; on a real corpus
+    you'd train them with spark.ml KMeans and persist the assignment as a
+    bucketed table, making the probe join shuffle-free. The cell assignment
+    is a broadcast join against 8 rows + one window — map-side except the
+    tiny per-vector top-1 shuffle.
+    """
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    cents = spark.createDataFrame(
+        [(c, CENTROIDS[c]) for c in range(N_CELLS)], "cell int, cvec array<double>"
+    )
+    scored_cells = emb.join(F.broadcast(cents)).withColumn(
+        "cell_cos", cosine(F.col("e"), F.col("cvec"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
+    ranked_cells = scored_cells.withColumn("rn", F.row_number().over(w_assign))
+    assign = ranked_cells.filter(F.col("rn") == 1).select("vec_id", "label", "e", "cell")
+    probes = (
+        ranked_cells.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE))
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("cell")
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(probes)
+        .join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            F.round(cosine(F.col("qe"), F.col("e")), 4).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )

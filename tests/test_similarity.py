@@ -35,3 +35,22 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     ]
     avg = sum(recalls) / len(recalls)
     assert avg >= 0.5, f"LSH avg recall {avg:.2f} < 0.5 ({recalls})"
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with 2/8 probed cells must recover a reasonable share of the true
+    top-10 (random pseudo-centroids, mid-cosine neighborhoods — we bound
+    recall loosely but positively, and require exact scores on hits)."""
+    from input_data_pipeline_spark.operators.similarity import knn_bruteforce, knn_ivf
+
+    truth = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in knn_bruteforce(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id): r.cosine for r in knn_ivf(spark, sf_dir).collect()
+    }
+    hits = set(truth) & set(approx)
+    assert len(hits) / len(truth) >= 0.2, f"IVF recall {len(hits)}/{len(truth)}"
+    for k in hits:
+        assert truth[k] == approx[k]  # exact re-rank: identical rounded scores
