@@ -1,0 +1,168 @@
+"""Collector pipelines: the reference's entry points re-expressed on Spark.
+
+Reference shapes covered (SURVEY §3):
+- §3.2 batch collection (``inputs/transcript_collector.py:47-68``):
+  ``source list → fan-out fetch → validate → union → append sink + status
+  tally``. The sequential per-URL loop becomes partition-parallel
+  ``mapInPandas``; the ok/fail counters become ``groupBy('status').count()``.
+- §3.1 flagship fallback (``main.py:25-161``): try transcript; on failure
+  fall through to audio download → normalize → STT. The try/except
+  coalesce of two sub-pipelines becomes a *union of branches*: the STT
+  branch's input is the transcript branch's failure set, so when everything
+  succeeds the fallback stage gets zero tasks — the reference's early-exit
+  (``main.py:68``) for free, with no custom control flow.
+
+External engines (youtube-transcript-api, yt-dlp, ffmpeg, Google STT) are
+injected as batch functions so production swaps in real network/subprocess
+calls (with per-executor singletons + tenacity retry, SURVEY U1-U4) while
+tests and CI use the deterministic fakes below — no network, same plumbing.
+
+Scale notes: fetch stages are map-only (no shuffle); ``repartition(n)``
+on the URL list is the fan-out knob (the reference's loop parallelism=1
+becomes n partitions × arrow batches). The fallback union re-plans per
+branch, and AQE collapses empty branches to zero tasks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+from typing import TYPE_CHECKING
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from input_data_pipeline_spark.functions import text as T
+from input_data_pipeline_spark.sources.ingest_model import append_jsonl
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+# Result schema of every fetch stage: an IngestRecord projection plus a
+# status column driving branch routing (SURVEY P6 error-row routing).
+FETCH_RESULT_SCHEMA = (
+    "url string, video_id string, id string, source_type string, "
+    "text string, status string"
+)
+
+BatchFn = Callable[["pd.DataFrame"], "pd.DataFrame"]
+
+
+def fake_transcript_fetch(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Deterministic stand-in for the YouTube transcript API (SURVEY S1).
+
+    Success iff the URL has an extractable video id whose md5 is even —
+    a stable ~50/50 split exercising both branches. Success rows carry a
+    content-derived record id (the deterministic replacement for uuid ids,
+    SURVEY F7) and a fake transcript.
+    """
+    import pandas as pd
+
+    out = []
+    for url, vid in zip(pdf["url"], pdf["video_id"]):
+        if vid is None:
+            out.append((url, vid, None, None, None, "ERR_NO_ID"))
+        elif int(hashlib.md5(vid.encode()).hexdigest(), 16) % 2 == 0:
+            rec_id = "yt_" + hashlib.sha256(vid.encode()).hexdigest()[:12]
+            out.append(
+                (url, vid, rec_id, "youtube_transcript",
+                 f"transcript of {vid}", "OK")
+            )
+        else:
+            out.append((url, vid, None, None, None, "SKIP_NO_TRANSCRIPT"))
+    return pd.DataFrame(
+        out, columns=["url", "video_id", "id", "source_type", "text", "status"]
+    )
+
+
+def fake_download_and_stt(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Deterministic stand-in for yt-dlp download + ffmpeg 16k normalize +
+    STT (SURVEY S2/U1/U3). Produces the ``source_type='youtube'`` records
+    the reference builds at ``main.py:134-138``."""
+    import pandas as pd
+
+    out = []
+    for url, vid in zip(pdf["url"], pdf["video_id"]):
+        rec_id = "yta_" + hashlib.sha256(vid.encode()).hexdigest()[:12]
+        out.append(
+            (url, vid, rec_id, "youtube", f"stt transcript of {vid}", "OK_STT")
+        )
+    return pd.DataFrame(
+        out, columns=["url", "video_id", "id", "source_type", "text", "status"]
+    )
+
+
+def _map_batches(df: DataFrame, fn: BatchFn) -> DataFrame:
+    def runner(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if len(pdf):
+                yield fn(pdf)
+
+    return df.mapInPandas(runner, FETCH_RESULT_SCHEMA)
+
+
+def collect_batch(
+    spark: SparkSession,
+    urls: list[str],
+    fetch: BatchFn = fake_transcript_fetch,
+    n_partitions: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """§3.2 batch collection. Returns (records, status_tally).
+
+    ``repartition(n_partitions)`` is the fan-out: each partition fetches its
+    URLs inside one Arrow-batched UDF call (the reference's sequential loop,
+    parallelized). The tally aggregates the per-item OK/SKIP/ERR taxonomy.
+    """
+    urls_df = (
+        spark.createDataFrame([(u,) for u in urls], ["url"])
+        .repartition(n_partitions)
+        .withColumn("video_id", T.youtube_id("url"))
+    )
+    fetched = _map_batches(urls_df, fetch)
+    records = fetched.filter(F.col("status") == "OK").drop("status")
+    tally = fetched.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+    return records, tally
+
+
+def ingest_with_fallback(
+    spark: SparkSession,
+    urls: list[str],
+    transcript_fetch: BatchFn = fake_transcript_fetch,
+    stt_fetch: BatchFn = fake_download_and_stt,
+    out_dir: str | None = None,
+) -> DataFrame:
+    """§3.1 flagship pipeline: transcript path ∪ (failures → STT path).
+
+    The fallback branch's input is exactly the transcript branch's
+    SKIP/timeout set (not hard errors — those have no video id to retry),
+    so transcript success prunes the expensive download+STT work per row,
+    like the reference's early return. Output rows are IngestRecord
+    projections from BOTH branches unioned by name; optionally appended
+    to a JSONL sink (K1).
+    """
+    urls_df = (
+        spark.createDataFrame([(u,) for u in urls], ["url"])
+        .withColumn("video_id", T.youtube_id("url"))
+    )
+    primary = _map_batches(urls_df, transcript_fetch)
+    ok = primary.filter(F.col("status") == "OK")
+    retryable = primary.filter(F.col("status") == "SKIP_NO_TRANSCRIPT").select(
+        "url", "video_id"
+    )
+    fallback = _map_batches(retryable, stt_fetch).filter(
+        F.col("status") == "OK_STT"
+    )
+    records = ok.drop("status").unionByName(fallback.drop("status"))
+    out = records.select(
+        "id",
+        "source_type",
+        "text",
+        F.lit(None).cast(
+            "array<struct<start:double,duration:double,text:string>>"
+        ).alias("segments"),
+        F.lit(None).cast("string").alias("binary_path"),
+        F.create_map(F.lit("video_id"), F.col("video_id")).alias("meta"),
+    )
+    if out_dir is not None:
+        append_jsonl(out, out_dir)
+    return out
