@@ -88,3 +88,33 @@ def test_cube_totals_consistent(spark, sf_dir):
     by_priority = sum(r.n_orders for r in rows if r.gid == 2)
     detail = sum(r.n_orders for r in rows if r.gid == 0)
     assert grand[0].n_orders == by_status == by_priority == detail
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """A pathologically hot key must land in multiple salt buckets, and the
+    salted join must still produce exactly the plain-join result."""
+    import pyspark.sql.functions as F
+
+    from input_data_pipeline_spark.operators.skew import salted_join
+
+    fact = spark.range(10_000).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id") % 100).alias("k"),
+        F.lit(1.0).alias("v"),
+    )  # ~90% of rows share k=1
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(100)], ["k", "tag"])
+
+    salted = salted_join(fact, dim, key="k", salt_src="event_id")
+    plain = fact.join(dim, "k")
+    assert salted.count() == plain.count()
+    s = {(r.k, r.n) for r in salted.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    p = {(r.k, r.n) for r in plain.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert s == p
+    # the hot key's rows really are spread across several salt buckets
+    buckets = (
+        fact.filter(F.col("k") == 1)
+        .select(F.pmod(F.hash("event_id"), F.lit(8)).alias("b"))
+        .distinct()
+        .count()
+    )
+    assert buckets == 8
