@@ -225,3 +225,36 @@ def segments_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
             last["start"] + last["duration"] - F.element_at("segments", 1)["start"], 6
         ).alias("span_sec"),
     ).orderBy("id")
+
+
+@register(
+    "eta_formatting",
+    oracle="""
+    SELECT event_id,
+           CAST(floor(abs(value) * 60) AS BIGINT) AS eta_sec,
+           printf('%02d:%02d', CAST(floor(abs(value) * 60) AS BIGINT) // 60,
+                  CAST(floor(abs(value) * 60) AS BIGINT) % 60) AS eta_mmss
+    FROM events
+    WHERE event_id % 100 = 0
+    ORDER BY event_id
+    """,
+)
+def eta_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mm:ss progress formatting (SURVEY F10; the reference's download-ETA
+    display at ``inputs/youtube_audio_extractor.py:12``) as a pure
+    ``format_string`` projection over a sampled event subset. floor+abs
+    keeps the double→int conversion identical across engines (Spark casts
+    truncate, DuckDB casts round)."""
+    events = load_table(spark, sf_dir, "events")
+    eta = F.floor(F.abs(F.col("value")) * 60).cast("long")
+    return (
+        events.filter(F.col("event_id") % 100 == 0)
+        .select(
+            "event_id",
+            eta.alias("eta_sec"),
+            F.format_string("%02d:%02d", (eta / 60).cast("long"), eta % 60).alias(
+                "eta_mmss"
+            ),
+        )
+        .orderBy("event_id")
+    )

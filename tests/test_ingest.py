@@ -118,3 +118,30 @@ def test_flatten_segments_prefers_array_order(spark):
     )
     [row] = flatten_segments_text(df).collect()
     assert row.text == "first\nsecond"
+
+
+def test_multiline_json_manifest_roundtrip(spark, tmp_path):
+    """SURVEY S6 + K2: the run manifest — a single pretty-printed JSON doc —
+    written via coalesce(1) overwrite and read back with multiLine."""
+    import json
+
+    manifest = {
+        "timestamp": "2026-01-28T00:00:00Z",
+        "url": "https://www.youtube.com/watch?v=dQw4w9WgXcQ",
+        "title": "t",
+        "source": "youtube_transcript",
+        "record_id": "yt_abc",
+    }
+    src = tmp_path / "last_run.json"
+    src.write_text(json.dumps(manifest, indent=2), encoding="utf-8")
+    df = spark.read.option("multiLine", "true").json(str(src))
+    [row] = df.collect()
+    assert row.record_id == "yt_abc" and row.source == "youtube_transcript"
+
+    out = str(tmp_path / "manifest_out")
+    df.coalesce(1).write.mode("overwrite").json(out)
+    again = spark.read.json(out)
+    assert again.collect() == df.collect()
+    # overwrite semantics: second write replaces, not appends
+    df.coalesce(1).write.mode("overwrite").json(out)
+    assert spark.read.json(out).count() == 1
