@@ -36,7 +36,11 @@ HEADLINE = [
     "doc_quality",
     # dedup + similarity at scale
     "dedup_minhash_lsh",
+    "winnowing_fingerprints",
     "knn_bruteforce_np",
+    "knn_ivf",
+    # skew-mitigated join
+    "skew_salted_user_join",
 ]
 
 

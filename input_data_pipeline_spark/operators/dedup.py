@@ -491,25 +491,40 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints are joined for plagiarism/near-dup candidate generation.
     The md5 rolling hash is shared verbatim with the DuckDB oracle.
     """
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     s = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(s) - (GRAM_CHARS - 1), F.lit(1))),
-        lambda i: F.md5(F.substring(s, i, GRAM_CHARS)),
+    # Explode gram positions to rows so the md5s and the windowed min run in
+    # whole-stage codegen / a window operator — the interpreted
+    # transform/slice/array_min formulation is ~10× slower (same lesson as
+    # the MinHash signature pass above).
+    normed = docs.select(
+        "doc_id",
+        s.alias("s"),
+        F.greatest(F.length(s) - (GRAM_CHARS - 1), F.lit(1)).alias("n_grams"),
     )
-    with_grams = docs.select("doc_id", grams.alias("gs"))
-    fps = F.array_sort(
-        F.array_distinct(
-            F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(F.size("gs") - (WINNOW_WINDOW - 1), F.lit(1))
-                ),
-                lambda w: F.array_min(F.slice("gs", w, WINNOW_WINDOW)),
-            )
-        )
+    grams = normed.select(
+        "doc_id",
+        "n_grams",
+        F.explode(F.sequence(F.lit(1), F.col("n_grams"))).alias("i"),
+        "s",
+    ).select(
+        "doc_id", "n_grams", "i", F.md5(F.substring(F.col("s"), F.col("i"), GRAM_CHARS)).alias("gh")
+    )
+    # window w covers grams [w, w+WINDOW-1]; the frame clips at partition end
+    # exactly like list_slice clamps, so short docs degenerate identically.
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, WINNOW_WINDOW - 1)
+    )
+    mins = grams.withColumn("wm", F.min("gh").over(frame)).filter(
+        F.col("i") <= F.greatest(F.col("n_grams") - (WINNOW_WINDOW - 1), F.lit(1))
     )
     return (
-        with_grams.select("doc_id", F.size("gs").alias("n_grams"), fps.alias("fps"))
+        mins.groupBy("doc_id", "n_grams")
+        .agg(F.array_sort(F.collect_set("wm")).alias("fps"))
         .select(
             "doc_id",
             "n_grams",
