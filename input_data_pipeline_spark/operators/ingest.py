@@ -258,3 +258,68 @@ def eta_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "path_ops",
+    oracle="""
+    WITH files(path) AS (VALUES
+      ('out/audio/rec_0001.wav'),
+      ('out/audio/nested/dir/clip.final.mp3'),
+      ('toplevel.json'),
+      ('out/audio/no_extension'),
+      ('out/audio/rec_0002_16k.wav')),
+    parts AS (
+      SELECT path,
+             CASE WHEN path LIKE '%/%'
+                  THEN regexp_extract(path, '([^/]+)$', 1)
+                  ELSE path END AS basename
+      FROM files)
+    SELECT path, basename,
+           CASE WHEN basename LIKE '%.%'
+                THEN regexp_replace(basename, '\\.[^.]*$', '')
+                ELSE basename END AS stem,
+           CASE WHEN basename LIKE '%.%'
+                THEN regexp_extract(basename, '(\\.[^.]*)$', 1)
+                ELSE '' END AS ext,
+           CASE WHEN basename LIKE '%.%'
+                THEN regexp_replace(basename, '\\.[^.]*$', '') || '_16k.wav'
+                ELSE basename || '_16k.wav' END AS normalized_name
+    FROM parts
+    ORDER BY path
+    """,
+)
+def path_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path manipulation as column expressions (SURVEY F5: basename /
+    splitext at reference ``main.py:132`` and ``speech_to_text.py:18``, and
+    the idempotent ``_16k.wav`` artifact naming). Fixture literals shared
+    with the oracle; the same expressions apply to ``binaryFile`` source
+    ``path`` columns in production.
+    """
+    paths = [
+        "out/audio/rec_0001.wav",
+        "out/audio/nested/dir/clip.final.mp3",
+        "toplevel.json",
+        "out/audio/no_extension",
+        "out/audio/rec_0002_16k.wav",
+    ]
+    files = spark.createDataFrame([(p,) for p in paths], ["path"])
+    basename = F.when(
+        F.col("path").contains("/"),
+        F.regexp_extract("path", r"([^/]+)$", 1),
+    ).otherwise(F.col("path"))
+    with_base = files.select("path", basename.alias("basename"))
+    has_ext = F.col("basename").contains(".")
+    stem = F.when(
+        has_ext, F.regexp_replace("basename", r"\.[^.]*$", "")
+    ).otherwise(F.col("basename"))
+    ext = F.when(
+        has_ext, F.regexp_extract("basename", r"(\.[^.]*)$", 1)
+    ).otherwise(F.lit(""))
+    return with_base.select(
+        "path",
+        "basename",
+        stem.alias("stem"),
+        ext.alias("ext"),
+        F.concat(stem, F.lit("_16k.wav")).alias("normalized_name"),
+    ).orderBy("path")

@@ -175,3 +175,39 @@ def test_dedup_within_watermark(spark, src):
         assert ids == [1, 2, 3]
     finally:
         q.stop()
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Stop a checkpointed stream mid-way, append more data, restart from
+    the same checkpoint: already-processed files are not reprocessed and
+    nothing is lost — exactly-once over the file source."""
+    src = tmp_path / "ck_in"
+    src.mkdir()
+    out = tmp_path / "ck_out"
+    ck = str(tmp_path / "ck")
+
+    def write(fname, ids):
+        _write_events(src, fname, [_ev(i, f"2024-01-01 10:{i:02d}:00") for i in ids])
+
+    def run_until_drained():
+        q = (
+            stream_events(spark, str(src))
+            .writeStream.format("json")
+            .option("path", str(out))
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write("b1.jsonl", [1, 2, 3])
+    run_until_drained()
+    write("b2.jsonl", [4, 5])
+    run_until_drained()  # restarted query resumes from checkpoint
+    got = sorted(
+        r.event_id for r in spark.read.json(str(out)).collect()
+    )
+    assert got == [1, 2, 3, 4, 5]  # no dupes (reprocessing), no losses
