@@ -18,3 +18,13 @@ pipeline; see SURVEY.md) as a distributed, Spark-first engine:
 __version__ = "0.1.0"
 
 from input_data_pipeline_spark.session import get_spark  # noqa: F401
+from input_data_pipeline_spark.plans.registry import (  # noqa: F401
+    all_oracle_sql,
+    all_queries,
+    get,
+)
+from input_data_pipeline_spark.tables import (  # noqa: F401
+    load_table,
+    load_tables,
+    register_views,
+)
