@@ -124,3 +124,43 @@ def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "append"):
         .outputMode(output_mode)
         .start()
     )
+
+
+def write_idempotent_merge(
+    sdf: DataFrame,
+    target_dir: str,
+    key: str,
+    checkpoint_dir: str,
+):
+    """foreachBatch sink with idempotent merge semantics (SURVEY §2.9 +
+    K1's append discipline made restart-safe).
+
+    Each micro-batch upserts into a parquet target: new keys append,
+    re-delivered keys (possible when a batch retries after a sink-side
+    failure — foreachBatch is at-least-once) are dropped by an anti-join
+    against the current target. Combined with checkpointing this yields
+    effectively-exactly-once delivery to a plain parquet directory.
+
+    The anti-join reads only the target's key column, broadcast while the
+    key set is broadcast-sized. Once it isn't, swap the manifest for a
+    date/bucket-partitioned key table so each batch prunes to the
+    partitions its keys can live in (or a Bloom-filter pre-prune) — the
+    merge body is the only thing that changes; the sink contract doesn't.
+    """
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = batch_df.dropDuplicates([key])
+        try:
+            existing = spark.read.parquet(target_dir).select(key)
+        except Exception:  # first batch: target doesn't exist yet
+            existing = None
+        if existing is not None:
+            fresh = fresh.join(F.broadcast(existing), key, "left_anti")
+        fresh.write.mode("append").parquet(target_dir)
+
+    return (
+        sdf.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )

@@ -211,3 +211,41 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
         r.event_id for r in spark.read.json(str(out)).collect()
     )
     assert got == [1, 2, 3, 4, 5]  # no dupes (reprocessing), no losses
+
+
+def test_foreachbatch_idempotent_merge(spark, tmp_path):
+    """The foreachBatch merge sink deduplicates re-delivered keys across
+    batches: replaying overlapping input yields each key exactly once."""
+    from input_data_pipeline_spark.streaming.pipelines import (
+        write_idempotent_merge,
+    )
+
+    src = tmp_path / "fb_in"
+    src.mkdir()
+    target = str(tmp_path / "fb_target")
+    ck = str(tmp_path / "fb_ck")
+
+    def run():
+        q = write_idempotent_merge(
+            stream_events(spark, str(src)), target, key="event_id",
+            checkpoint_dir=ck,
+        ).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _write_events(src, "b1.jsonl", [
+        _ev(1, "2024-01-01 10:00:00"),
+        _ev(2, "2024-01-01 10:01:00"),
+        _ev(2, "2024-01-01 10:01:30"),   # in-batch dup
+    ])
+    run()
+    # b2 re-delivers key 2 (cross-batch dup) plus a new key
+    _write_events(src, "b2.jsonl", [
+        _ev(2, "2024-01-01 10:02:00"),
+        _ev(3, "2024-01-01 10:03:00"),
+    ])
+    run()
+    rows = spark.read.parquet(target).collect()
+    assert sorted(r.event_id for r in rows) == [1, 2, 3]
