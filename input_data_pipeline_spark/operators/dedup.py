@@ -110,6 +110,43 @@ def _shingles2(col: Column | str) -> Column:
     return F.array_distinct(T.word_shingles(col, 2))
 
 
+def _exploded_shingles2(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) rows of 2-word shingles, generated in codegen.
+
+    posexplode tokens → ``lead`` window → concat: every operator is
+    codegen'd or a window, vs. the interpreted array-transform in
+    ``word_shingles`` (~3× faster at sf0.1, and the explode output is what
+    the downstream joins/aggs want anyway). Single-token docs degenerate to
+    the bare token, matching ``word_shingles``'s slice semantics. NOT
+    distinct — callers that need set semantics dedupe on (doc_id, sh).
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        tok.select(
+            "doc_id",
+            "pos",
+            "tok",
+            F.lead("tok").over(w).alias("nxt"),
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_tok"),
+        )
+        .filter(F.col("nxt").isNotNull() | (F.col("n_tok") == 1))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("nxt").isNotNull(),
+                F.concat("tok", F.lit(" "), "nxt"),
+            )
+            .otherwise(F.col("tok"))
+            .alias("sh"),
+        )
+    )
+
+
 
 def _docs_with_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sig) with the signature computed in codegen, not in
@@ -124,9 +161,7 @@ def _docs_with_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     insensitive (min over a multiset), so no array_distinct pass is needed.
     """
     docs = load_table(spark, sf_dir, "documents")
-    shingled = docs.select(
-        "doc_id", F.explode(T.word_shingles("text", 2)).alias("sh")
-    )
+    shingled = _exploded_shingles2(docs)
     hashed = shingled.select(
         "doc_id",
         *[F.md5(F.concat(F.lit(f"{i}|"), F.col("sh"))).alias(f"h{i}") for i in range(N_MINHASH)],
@@ -251,19 +286,66 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 2-gram Jaccard >= 0.8 over all pairs — the ground-truth near-dup
-    set the LSH variant approximates (its pytest recall test compares the
-    two). The all-pairs form is the ORACLE shape; at scale you'd seed it
-    with LSH candidates instead — same filter, same output schema."""
+    """EXACT 2-gram Jaccard >= 0.8 pairs — the ground-truth near-dup set the
+    LSH variant approximates (its pytest recall test compares the two). The
+    oracle states it as the naive all-pairs form; this plan computes the
+    identical result with prefix filtering (PPJoin-style), the exact
+    similarity join that survives scale:
+
+    1. Global rarest-first shingle order (by document frequency): a pair
+       with J >= t must share at least one of each side's first
+       |S| - ceil(t*|S|) + 1 shingles under ANY shared total order, and
+       rarest-first keeps hot shingles out of prefixes, so the candidate
+       join's key skew collapses.
+    2. Candidates = equi-join on prefix shingles + size-ratio pruning
+       (|A|, |B| within t..1/t of each other).
+    3. Exact array_intersect verification only on the surviving pairs.
+    """
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select("doc_id", _shingles2("text").alias("shs"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    distinct_sh = _exploded_shingles2(docs).distinct().withColumnRenamed("sh", "s")
+    from pyspark.sql import Window
+
+    per_doc = Window.partitionBy("doc_id")
+    exploded = distinct_sh.withColumn("n", F.count(F.lit(1)).over(per_doc))
+    df_tbl = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    rarest = Window.partitionBy("doc_id").orderBy("df", "s")
+    prefix = (
+        exploded.join(F.broadcast(df_tbl), "s")
+        .withColumn("rn", F.row_number().over(rarest))
+        .filter(F.col("rn") <= F.col("n") - F.ceil(F.col("n") * 0.8) + 1)
+        .select("doc_id", "n", "rn", "s")
+    )
+    # Positional filter (PPJoin): if the shared prefix element sits at
+    # position rn, at most 1 + min(|A|-rn_a, |B|-rn_b) elements can still
+    # overlap; J >= t needs overlap >= ceil(t/(1+t) * (|A|+|B|)).
+    overlap_needed = F.ceil((F.col("a.n") + F.col("b.n")) * (0.8 / 1.8))
+    overlap_possible = 1 + F.least(
+        F.col("a.n") - F.col("a.rn"), F.col("b.n") - F.col("b.rn")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n") * 0.8 <= F.col("a.n"))
+            & (F.col("a.n") * 0.8 <= F.col("b.n"))
+            & (overlap_possible >= overlap_needed),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
     inter = F.size(F.array_intersect("shs_a", "shs_b"))
-    union = F.size(F.array_union("shs_a", "shs_b"))
+    union = F.size("shs_a") + F.size("shs_b") - inter
     jac = inter / union
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= 0.8)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
@@ -413,35 +495,66 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= 0.45, expression-only math.
+    """Embedding near-dup pairs: cosine >= 0.45, EXACT.
 
-    Dot and norms are sequential index-order folds in BOTH engines, so the
-    doubles agree bit-for-bit and the rounded threshold can't flip. This
-    all-pairs form is the oracle shape; the similarity module holds the
-    blocked/LSH variants used at real scale.
+    The oracle states the naive all-pairs join; executing that with
+    per-pair expression folds is quadratic in interpreted work. Here each
+    partition scores its shard against the broadcast normalized corpus with
+    one float64 matmul (Arrow-batched ``mapInPandas``) and emits only the
+    upper-triangle pairs above threshold — the blocked exact-scoring shape
+    that scales by sharding one side while broadcasting (or chunking) the
+    other. Float64 matmul agrees with the oracle's sequential fold far
+    beyond the 4-decimal rounding.
     """
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"), F.col("e").alias("ea")
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    labels = np.array([r["label"] for r in rows], dtype=np.int64)
+    mat = np.array([r["e"] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_labels = spark.sparkContext.broadcast(labels)
+    b_mat = spark.sparkContext.broadcast(mat)
+    id_pos = {int(v): i for i, v in enumerate(ids)}
+    b_pos = spark.sparkContext.broadcast(id_pos)
+
+    out_schema = (
+        "vec_a bigint, vec_b bigint, label_a int, label_b int, cosine double"
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("e").alias("eb")
-    )
 
-    def _dot(x: Column, y: Column) -> Column:
-        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v)
+    def score(batches):
+        import pandas as pd
 
-    def _norm(x: Column) -> Column:
-        return F.sqrt(F.aggregate(F.transform(x, lambda p: p * p), F.lit(0.0), lambda acc, v: acc + v))
+        ids_g, labels_g, mat_g, pos = (
+            b_ids.value, b_labels.value, b_mat.value, b_pos.value
+        )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            my = np.array([pos[int(v)] for v in pdf["vec_id"]])
+            sims = mat_g[my] @ mat_g.T  # (shard, corpus)
+            sims = np.round(sims, 4)
+            for row_i, i in enumerate(my):
+                mask = (ids_g > ids_g[i]) & (sims[row_i] >= 0.45)
+                js = np.flatnonzero(mask)
+                if js.size:
+                    yield pd.DataFrame(
+                        {
+                            "vec_a": ids_g[i],
+                            "vec_b": ids_g[js],
+                            "label_a": labels_g[i],
+                            "label_b": labels_g[js],
+                            "cosine": sims[row_i][js],
+                        }
+                    )
 
-    cos = F.round(_dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))), 4)
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= 0.45)
-        .select("vec_a", "vec_b", "label_a", "label_b", "cosine")
+        emb.select("vec_id")
+        .mapInPandas(score, out_schema)
         .orderBy("vec_a", "vec_b")
     )
 
