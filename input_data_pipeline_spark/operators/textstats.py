@@ -130,15 +130,54 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc quality scoring (length/stopword heuristics, SURVEY §2.10)."""
+    """Per-doc quality scoring (length/stopword heuristics, SURVEY §2.10).
+
+    Tokenizes ONCE: explode tokens → per-doc agg of (count, stopword hits)
+    in codegen with map-side combine, then derive the ratio/score columns.
+    The naive form (token_count + stopword_ratio + quality_score helpers
+    in one projection) re-splits the text four times through interpreted
+    array filters — 2× slower at sf0.1 and worse with document length.
+    """
     docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens("text")).alias("tok")
+    )
+    counts = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(
+            F.when(F.lower("tok").isin(*T.STOPWORDS["en"]), 1).otherwise(0)
+        ).alias("n_stop"),
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.length(F.regexp_replace("text", r"\s+", "")).alias("n_nonspace"),
+    )
+    j = base.join(counts, "doc_id", "left").na.fill(
+        {"n_tokens": 0, "n_stop": 0}
+    )
+    avg_tok_len = F.when(
+        F.col("n_tokens") > 0, F.col("n_nonspace") / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
+    quality = F.round(
+        F.least(F.col("n_tokens") / F.lit(200.0), F.lit(1.0)) * 0.7
+        + F.when((avg_tok_len >= 2) & (avg_tok_len <= 12), F.lit(1.0))
+        .otherwise(F.lit(0.5))
+        * 0.3,
+        6,
+    )
     return (
-        docs.select(
+        j.select(
             "doc_id",
             "lang",
-            T.token_count("text").alias("n_tokens"),
-            F.round(T.stopword_ratio("text", "en"), 6).alias("stop_ratio"),
-            T.quality_score("text").alias("quality"),
+            "n_tokens",
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0, F.col("n_stop") / F.col("n_tokens")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("stop_ratio"),
+            quality.alias("quality"),
         )
         .orderBy("doc_id")
     )

@@ -28,3 +28,27 @@ def test_each_query_runs_sf0001(spark, sf_dir):
         df = fn(spark, sf_dir)
         assert df.columns, f"{name} produced no columns"
         df.limit(5).collect()  # plan executes
+
+
+def test_sql_surface_over_registered_views(spark, sf_dir):
+    """The engine is SQL-first too: register_views + spark.sql must agree
+    with the DataFrame form of the same query."""
+    import pyspark.sql.functions as F
+
+    from input_data_pipeline_spark.tables import load_table, register_views
+
+    register_views(spark, sf_dir)
+    sql_rows = spark.sql(
+        """
+        SELECT o_orderstatus AS status, COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY status
+        """
+    ).collect()
+    df_rows = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+        .collect()
+    )
+    assert sql_rows == df_rows
