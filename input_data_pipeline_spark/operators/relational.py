@@ -535,3 +535,125 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "event_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 6) AS p25,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           ROUND(stddev_samp(value), 6) AS sd,
+           ROUND(corr(value, user_id), 6) AS corr_value_user
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles + dispersion/correlation stats per event type
+    (SURVEY A7 extension). ``percentile`` (exact, linear interpolation)
+    matches DuckDB's ``quantile_cont`` bit-for-bit on this data; at 100 TB
+    you swap in ``percentile_approx`` (fixed-size t-digest-style sketch,
+    mergeable map-side) at the cost of oracle exactness — the same trade
+    as approx_distinct_users documents for HLL.
+    """
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.25D)"), 6).alias("p25"),
+            F.round(F.expr("percentile(value, 0.5D)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9D)"), 6).alias("p90"),
+            F.round(F.stddev_samp("value"), 6).alias("sd"),
+            F.round(F.corr("value", "user_id"), 6).alias("corr_value_user"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "event_type_pivot",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'error') AS error,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup') AS signup,
+           COUNT(*) FILTER (event_type = 'view') AS view
+    FROM events
+    GROUP BY user_id % 10
+    ORDER BY user_bucket
+    """,
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) with an EXPLICIT value list — per user bucket, one
+    count column per event type. Passing the values avoids Spark's extra
+    distinct-collection job at plan time (an O(n) pre-pass you never want
+    at 100 TB); the pivot itself is then one hash agg with 5 conditional
+    counters, map-side combined.
+    """
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0)
+        .orderBy("user_bucket")
+    )
+
+
+@register(
+    "customer_period_setops",
+    oracle="""
+    WITH y95 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
+    y96 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+    SELECT 'retained' AS cohort, COUNT(*) AS n FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+    UNION ALL
+    SELECT 'churned' AS cohort, COUNT(*) AS n FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+    UNION ALL
+    SELECT 'new' AS cohort, COUNT(*) AS n FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y95)
+    ORDER BY cohort
+    """,
+)
+def customer_period_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations (SURVEY O2 extension): retained /
+    churned / new customer cohorts between 1995 and 1996. Spark plans both
+    as aggregating joins (left-semi / left-anti over distinct inputs) — no
+    row-by-row set state, shuffles only on the key.
+    """
+    orders = _t(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= f"{y}-01-01")
+                & (F.col("o_orderdate") < f"{y + 1}-01-01")
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y95, y96 = year(1995), year(1996)
+    retained = y95.intersect(y96)
+    churned = y95.subtract(y96)
+    new = y96.subtract(y95)
+    rows = [
+        retained.select(F.lit("retained").alias("cohort"), F.col("o_custkey")),
+        churned.select(F.lit("churned").alias("cohort"), F.col("o_custkey")),
+        new.select(F.lit("new").alias("cohort"), F.col("o_custkey")),
+    ]
+    unioned = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    return (
+        unioned.groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cohort")
+    )
