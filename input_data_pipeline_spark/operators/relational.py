@@ -657,3 +657,76 @@ def customer_period_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("cohort")
     )
+
+
+@register(
+    "suppliers_above_nation_avg",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name,
+           ROUND(s.s_acctbal, 2) AS acctbal,
+           ROUND((SELECT AVG(s2.s_acctbal) FROM supplier s2
+                  WHERE s2.s_nationkey = s.s_nationkey), 2) AS nation_avg
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_acctbal > (SELECT AVG(s2.s_acctbal) FROM supplier s2
+                         WHERE s2.s_nationkey = s.s_nationkey)
+    ORDER BY s.s_suppkey
+    """,
+)
+def suppliers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q2/Q17 shape): suppliers richer
+    than their nation's average balance. Expressed as SQL so Catalyst's
+    subquery decorrelation does the rewrite — the correlated aggregate
+    becomes one grouped subplan + an equi join, not a per-row re-scan
+    (which at 100 TB is the difference between 2 passes and |rows| passes).
+    """
+    from input_data_pipeline_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s.s_suppkey, s.s_name, n.n_name,
+               ROUND(s.s_acctbal, 2) AS acctbal,
+               ROUND((SELECT AVG(s2.s_acctbal) FROM supplier s2
+                      WHERE s2.s_nationkey = s.s_nationkey), 2) AS nation_avg
+        FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE s.s_acctbal > (SELECT AVG(s2.s_acctbal) FROM supplier s2
+                             WHERE s2.s_nationkey = s.s_nationkey)
+        ORDER BY s.s_suppkey
+        """
+    )
+
+
+@register(
+    "loyal_customers_all_quarters",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders_1995
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+    GROUP BY o_custkey
+    HAVING COUNT(DISTINCT date_part('quarter', o_orderdate)) = 4
+    ORDER BY o_custkey
+    """,
+)
+def loyal_customers_all_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division ("for all" semantics): customers with at least
+    one order in EVERY quarter of 1995. The double-NOT-EXISTS classic is
+    rewritten as count-distinct-equals-domain-size — one aggregate instead
+    of two correlated anti-joins; the domain (4 quarters) is a constant so
+    no domain-side scan exists at all.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders_1995"),
+            F.countDistinct(F.quarter("o_orderdate")).alias("nq"),
+        )
+        .filter(F.col("nq") == 4)
+        .drop("nq")
+        .orderBy("o_custkey")
+    )
