@@ -646,3 +646,42 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# spark.ml LSH variant (library path; custom LSH above stays the oracle path)
+# ---------------------------------------------------------------------------
+
+@register("dedup_minhash_ml")  # rows-only: ml seeds aren't DuckDB-replayable
+def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates via ``spark.ml`` MinHashLSH + approxSimilarityJoin
+    (SURVEY §2.10's library mapping), seeded for run-to-run determinism.
+
+    Complements the hand-rolled md5 MinHash above: same banding theory, but
+    hashing/banding live in the JVM library and the join is the built-in
+    ``approxSimilarityJoin`` (distCol = exact Jaccard distance on the sparse
+    vectors, so the output threshold is exact even though candidate
+    generation is approximate). No DuckDB oracle — the ml hash family's
+    coefficients aren't replayable in SQL; tests bound recall against the
+    exact ``ngram_jaccard_pairs`` ground truth instead.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", _shingles2("text").alias("shs")).filter(
+        F.size("shs") > 0
+    )
+    tf = HashingTF(inputCol="shs", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=6, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.2, distCol="jaccard_dist")
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1 - F.col("jaccard_dist"), 4).alias("est_jaccard"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -296,3 +296,47 @@ def youtube_id_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     df = spark.createDataFrame([(u,) for u in urls], ["url"])
     return df.select("url", T.youtube_id("url").alias("video_id")).orderBy("url")
+
+
+@register(
+    "normalized_text_hash",
+    oracle="""
+    SELECT doc_id,
+           sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS norm_hash,
+           length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS norm_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def normalized_text_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Arrow ``@pandas_udf`` surface (SURVEY U1-U4's vectorized
+    little sibling): batch text normalization in pandas, hashed JVM-side.
+    Exists to pin the pattern — a true scalar pandas UDF (column in,
+    column out, Arrow both ways) as opposed to ``mapInPandas`` — while the
+    oracle checks the normalization byte-exactly. In production this slot
+    holds tokenizer/cleaner logic that genuinely needs Python libraries;
+    anything expressible as expressions (like this normalization) should
+    graduate to them.
+    """
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _normalize_batch(texts):  # pd.Series -> pd.Series, Arrow both ways
+        ws = _re.compile(r"\s+")
+        return texts.map(lambda t: ws.sub(" ", t.strip().lower()))
+
+    # functional form: the module uses postponed annotations, which the
+    # decorator's type-hint inspection can't read
+    normalize = pandas_udf(_normalize_batch, "string")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", normalize("text").alias("norm"))
+        .select(
+            "doc_id",
+            F.sha2("norm", 256).alias("norm_hash"),
+            F.length("norm").alias("norm_len"),
+        )
+        .orderBy("doc_id")
+    )

@@ -28,3 +28,20 @@ def test_simhash_close_on_near_duplicates(spark, sf_dir):
     # 32-bit SimHash over distinct-token sets is a coarser signal than
     # shingle Jaccard; ~0.75-0.8 overlap is its expected operating point here.
     assert hit >= 0.7, f"only {hit:.2f} of true near-dups are simhash-close"
+
+
+def test_ml_minhash_recall_vs_exact(spark, sf_dir):
+    """spark.ml MinHashLSH candidates must recover most of the exact
+    Jaccard>=0.8 ground-truth pairs (its threshold 0.2 distance = 0.8 sim)."""
+    from input_data_pipeline_spark.operators.dedup import (
+        dedup_minhash_ml,
+        ngram_jaccard_pairs,
+    )
+
+    truth = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(spark, sf_dir).collect()}
+    got = {(r.doc_a, r.doc_b) for r in dedup_minhash_ml(spark, sf_dir).collect()}
+    assert truth, "ground truth empty — fixture changed?"
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, f"ml LSH recall {recall:.2f} over {len(truth)} pairs"
+    # and the est_jaccard threshold means no wildly-dissimilar pairs
+    assert all(a < b for a, b in got)
