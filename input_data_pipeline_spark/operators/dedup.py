@@ -673,7 +673,7 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = HashingTF(inputCol="shs", outputCol="features", numFeatures=1 << 18)
     feats = tf.transform(sh)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=6, seed=42)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=3, seed=42)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.2, distCol="jaccard_dist")
     return (
