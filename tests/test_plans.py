@@ -51,3 +51,39 @@ def test_agg_is_partial_then_final(spark, sf_dir):
     plan = _executed_plan(pricing_summary(spark, sf_dir))
     assert len(re.findall(r"HashAggregate", plan)) >= 2
     assert "partial_" in plan  # partial agg functions present map-side
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join: a pathologically skewed key must be split across
+    multiple tasks at runtime (plan shows skew=true) — the automatic
+    counterpart of the manual salted join in operators/skew.py."""
+    import pyspark.sql.functions as F
+
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.shuffle.partitions": "4",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 100 < 98, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), F.col("id").cast("string").alias("tag")
+        )
+        joined = fact.join(dim, "k").groupBy("tag").count()
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
