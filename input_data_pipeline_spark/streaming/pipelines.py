@@ -164,3 +164,39 @@ def write_idempotent_merge(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
+
+
+def join_clicks_to_purchases(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join (SURVEY §2.9 + J5's streaming form):
+    each purchase matched to same-user clicks in the preceding ``within``.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can size the state store exactly: a click's state is
+    droppable once the watermark passes click_ts + within; purchase state
+    once matched or expired. Without the time bound this join would buffer
+    both streams forever — the bound IS the scale design.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {within}"))
+    )
+    return p.join(c, cond, "inner").select(
+        "purchase_id", "click_id", F.col("p_user").alias("user_id"),
+        "purchase_ts", "click_ts",
+    )

@@ -249,3 +249,43 @@ def test_foreachbatch_idempotent_merge(spark, tmp_path):
     run()
     rows = spark.read.parquet(target).collect()
     assert sorted(r.event_id for r in rows) == [1, 2, 3]
+
+
+def test_stream_stream_interval_join(spark, src):
+    """Purchases match preceding same-user clicks within the interval; a
+    click outside the window or from another user never joins."""
+    from input_data_pipeline_spark.streaming.pipelines import (
+        join_clicks_to_purchases,
+    )
+
+    events = stream_events(spark, str(src))
+    clicks = events.filter(events.event_type == "click")
+    purchases = events.filter(events.event_type == "purchase")
+    name = _unique("ssj")
+    q = run_to_memory(
+        join_clicks_to_purchases(clicks, purchases), name, output_mode="append"
+    )
+    try:
+        _write_events(src, "b1.jsonl", [
+            _ev(1, "2024-01-01 10:00:00", user=1, etype="click"),
+            _ev(2, "2024-01-01 10:30:00", user=1, etype="click"),   # too early
+            _ev(3, "2024-01-01 10:05:00", user=2, etype="click"),   # other user
+        ])
+        q.processAllAvailable()
+        _write_events(src, "b2.jsonl", [
+            _ev(10, "2024-01-01 10:08:00", user=1, etype="purchase"),  # joins 1
+            _ev(11, "2024-01-01 11:00:00", user=1, etype="purchase"),  # joins none
+        ])
+        q.processAllAvailable()
+        _write_events(src, "b3.jsonl", [  # advance both watermarks, flush
+            _ev(20, "2024-01-01 12:00:00", user=9, etype="click"),
+            _ev(21, "2024-01-01 12:00:00", user=9, etype="purchase"),
+        ])
+        q.processAllAvailable()
+        got = {(r.purchase_id, r.click_id) for r in spark.table(name).collect()}
+        assert (10, 1) in got
+        assert not any(p == 11 for p, _ in got)      # out-of-window never joins
+        assert not any(c == 3 for _, c in got)       # cross-user never joins
+        assert (21, 20) in got                       # same-instant click joins
+    finally:
+        q.stop()
