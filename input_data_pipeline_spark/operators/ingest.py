@@ -323,3 +323,65 @@ def path_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ext.alias("ext"),
         F.concat(stem, F.lit("_16k.wav")).alias("normalized_name"),
     ).orderBy("path")
+
+
+@register(
+    "meta_map_ops",
+    oracle="""
+    WITH recs AS (
+      SELECT 'rec_yt' AS id,
+             MAP {'video_id': 'dQw4w9WgXcQ', 'languages': 'vi,en',
+                  'created_at': '2026-01-28T00:00:00Z'} AS meta
+      UNION ALL
+      SELECT 'rec_sys',
+             MAP {'device': 'Stereo Mix', 'sec': '8', 'sr': '16000',
+                  'channels': '1', 'engine': 'vosk'}
+      UNION ALL
+      SELECT 'rec_stt', MAP {'provider': 'google', 'language': 'vi-VN'}),
+    exploded AS (
+      SELECT r.id, u.e.key AS meta_key, u.e.value AS meta_value,
+             len(map_keys(r.meta)) AS n_keys,
+             coalesce(r.meta['engine'][1], 'none') AS engine
+      FROM recs r, UNNEST(map_entries(r.meta)) AS u(e))
+    SELECT id, meta_key, meta_value, n_keys, engine
+    FROM exploded
+    ORDER BY id, meta_key
+    """,
+)
+def meta_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open ``meta`` map surface (SURVEY F12 + §1's dynamic column):
+    construction with ``create_map``, key counting, typed promotion of one
+    key (``element_at``), and entry explosion — the operations queries use
+    to reach into the reference's schemaless metadata. Fixture literals
+    mirror the three collectors' observed meta shapes
+    (transcript_collector.py:34, system_audio_collector.py:92-99,
+    speech_to_text.py:96-99).
+    """
+    fixtures = [
+        ("rec_yt", {"video_id": "dQw4w9WgXcQ", "languages": "vi,en",
+                    "created_at": "2026-01-28T00:00:00Z"}),
+        ("rec_sys", {"device": "Stereo Mix", "sec": "8", "sr": "16000",
+                     "channels": "1", "engine": "vosk"}),
+        ("rec_stt", {"provider": "google", "language": "vi-VN"}),
+    ]
+    rows = []
+    for rid, meta in fixtures:
+        kv = []
+        for k, v in meta.items():
+            kv.extend([F.lit(k), F.lit(v)])
+        rows.append((rid, kv))
+    recs = None
+    for rid, kv in rows:
+        one = spark.range(1).select(
+            F.lit(rid).alias("id"), F.create_map(*kv).alias("meta")
+        )
+        recs = one if recs is None else recs.unionByName(one)
+    return (
+        recs.select(
+            "id",
+            F.explode("meta").alias("meta_key", "meta_value"),
+            F.size(F.map_keys("meta")).alias("n_keys"),
+            F.coalesce(F.element_at("meta", "engine"), F.lit("none")).alias("engine"),
+        )
+        .orderBy("id", "meta_key")
+    )
