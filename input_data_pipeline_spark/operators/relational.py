@@ -566,11 +566,18 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.groupBy("event_type")
         .agg(
-            F.round(F.expr("percentile(value, 0.25D)"), 6).alias("p25"),
-            F.round(F.expr("percentile(value, 0.5D)"), 6).alias("p50"),
-            F.round(F.expr("percentile(value, 0.9D)"), 6).alias("p90"),
+            # one percentile buffer per group, not three
+            F.expr("percentile(value, array(0.25D, 0.5D, 0.9D))").alias("ps"),
             F.round(F.stddev_samp("value"), 6).alias("sd"),
             F.round(F.corr("value", "user_id"), 6).alias("corr_value_user"),
+        )
+        .select(
+            "event_type",
+            F.round(F.element_at("ps", 1), 6).alias("p25"),
+            F.round(F.element_at("ps", 2), 6).alias("p50"),
+            F.round(F.element_at("ps", 3), 6).alias("p90"),
+            "sd",
+            "corr_value_user",
         )
         .orderBy("event_type")
     )
