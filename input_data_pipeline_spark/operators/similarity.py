@@ -485,3 +485,65 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "semantic_doc_search",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    scored AS (
+      SELECT qa.vec_id AS query_doc, c.vec_id AS match_doc,
+             ROUND({_DUCK_COS}, 4) AS cosine
+      FROM v qa JOIN v c ON qa.vec_id < 3 AND c.vec_id <> qa.vec_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_doc
+                                   ORDER BY cosine DESC, match_doc) AS rank
+      FROM scored)
+    SELECT r.query_doc, r.match_doc, r.rank, r.cosine,
+           d.lang AS match_lang,
+           CASE WHEN length(d.text) > 60 THEN substr(d.text, 1, 60) || '...'
+                ELSE d.text END AS match_preview
+    FROM ranked r
+    JOIN documents d ON d.doc_id = r.match_doc
+    WHERE r.rank <= 5
+    ORDER BY r.query_doc, r.rank
+    """,
+)
+def semantic_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table composition: ANN over ``embeddings`` joined back to
+    ``documents`` for human-readable results (vec_id keys doc_id) — the
+    end-to-end retrieval shape (embed → search → hydrate) a training-data
+    pipeline runs for dedup review and eval-set mining. The hydration join
+    is broadcast: only 15 result rows probe the documents table.
+    """
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_doc"), F.col("e").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("match_doc"), F.col("e").alias("ce"))
+    w = Window.partitionBy("query_doc").orderBy(F.desc("cosine"), F.asc("match_doc"))
+    hits = (
+        F.broadcast(q)
+        .join(c, F.col("match_doc") != F.col("query_doc"))
+        .withColumn("cosine", F.round(cosine(F.col("qe"), F.col("ce")), 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_doc", "match_doc", "rank", "cosine")
+    )
+    preview = F.when(
+        F.length("text") > 60, F.concat(F.substring("text", 1, 60), F.lit("..."))
+    ).otherwise(F.col("text"))
+    return (
+        F.broadcast(hits)
+        .join(docs, hits["match_doc"] == docs["doc_id"])
+        .select(
+            "query_doc", "match_doc", "rank", "cosine",
+            F.col("lang").alias("match_lang"),
+            preview.alias("match_preview"),
+        )
+        .orderBy("query_doc", "rank")
+    )
