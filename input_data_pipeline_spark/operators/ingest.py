@@ -385,3 +385,43 @@ def meta_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id", "meta_key")
     )
+
+
+@register(
+    "dataset_split_assignment",
+    oracle="""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT)
+                       % 100 < 80 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT)
+                       % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, lang, COUNT(*) AS n_docs
+    FROM assigned
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+)
+def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content-keyed hash —
+    the training-data split pattern that stays stable under reruns,
+    repartitioning, and incremental appends (unlike ``df.sample``, whose
+    seed is partition-layout-dependent). A document's split is a pure
+    function of its id: new data lands in splits without reshuffling old
+    assignments, and any engine (here: DuckDB) reproduces the exact split.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id"))), 1, 8), 16, 10
+    ).cast("long") % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
