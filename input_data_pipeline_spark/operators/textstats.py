@@ -340,3 +340,58 @@ def normalized_text_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rank
+      FROM scored)
+    SELECT doc_id, token, rank, tfidf
+    FROM ranked WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the classic keyword extractor.
+
+    Three aggregates, all map-side combined: term frequency per (doc, token),
+    document frequency per token (broadcast back — |vocab| rows), and the
+    corpus size as a literal-sized cross join. At 100 TB the df table is the
+    only global state and it's vocabulary-sized; everything else stays
+    partitioned by doc.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_tbl), "token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "rank", "tfidf")
+        .orderBy("doc_id", "rank")
+    )
