@@ -395,3 +395,107 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "token", "rank", "tfidf")
         .orderBy("doc_id", "rank")
     )
+
+
+# char-trigram profiles: the most characteristic trigrams per language,
+# chosen from function words so they generalize; literals shared verbatim
+# with the oracle (same pattern as the youtube_id fixture).
+TRIGRAM_PROFILES = {
+    "en": ("the", "and", "ing", "ion", " th", "he ", " of", "of "),
+    "fr": ("le ", " le", "es ", "de ", " de", "ent", "que", " qu"),
+    "es": ("el ", " el", "os ", "de ", " de", "ión", "que", " qu"),
+    "de": ("der", "die", "und", " un", "ein", "sch", "ich", "en "),
+}
+
+_LID_FIXTURE = [
+    ("s1", "the cat sat on the mat and the dog slept by the door"),
+    ("s2", "le chat est sur le tapis et le chien dort près de la porte"),
+    ("s3", "el gato está en la alfombra y el perro duerme junto a la puerta"),
+    ("s4", "der hund und die katze schlafen unter einem schönen baum"),
+    ("s5", "zzz qqq xxx www"),  # matches no profile → unknown
+]
+
+_LID_VALUES = ",\n      ".join(
+    "('{}', '{}')".format(sid, txt.replace("'", "''")) for sid, txt in _LID_FIXTURE
+)
+
+_DUCK_PROFILE_VALUES = ",\n      ".join(
+    f"('{lang}', '{tri}')"
+    for lang, tris in TRIGRAM_PROFILES.items()
+    for tri in tris
+)
+
+
+@register(
+    "charngram_language_id",
+    oracle=f"""
+    WITH samples(sample_id, text) AS (VALUES
+      {_LID_VALUES}),
+    profiles(lang, tri) AS (VALUES
+      {_DUCK_PROFILE_VALUES}),
+    grams AS (
+      SELECT sample_id,
+             substr(lower(text), g.i::INT, 3) AS tri
+      FROM samples, LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i) g),
+    hits AS (
+      SELECT g.sample_id, p.lang, COUNT(*) AS n_hits
+      FROM grams g JOIN profiles p USING (tri)
+      GROUP BY g.sample_id, p.lang),
+    best AS (
+      SELECT sample_id, lang, n_hits,
+             ROW_NUMBER() OVER (PARTITION BY sample_id
+                                ORDER BY n_hits DESC, lang) AS rn
+      FROM hits)
+    SELECT s.sample_id,
+           COALESCE(b.lang, 'unknown') AS predicted,
+           COALESCE(b.n_hits, 0) AS n_hits
+    FROM samples s
+    LEFT JOIN best b ON b.sample_id = s.sample_id AND b.rn = 1
+    ORDER BY s.sample_id
+    """,
+)
+def charngram_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language ID (the n-gram heuristic, BASELINE N★ text
+    analysis): slide a 3-char window over the text, count hits against
+    fixed per-language trigram profiles, argmax with deterministic
+    tie-break, unknown when nothing matches.
+
+    The trigram explode is codegen (sequence+substring); profile matching
+    is a broadcast join against a 32-row table; scoring is one partial-agg
+    — the shape that scales to profile tables with thousands of n-grams.
+    Exercised on multilingual literals shared with the oracle (the testdata
+    corpus is synthetic English-ish for every lang label).
+    """
+    from pyspark.sql import Window
+
+    samples = spark.createDataFrame(_LID_FIXTURE, ["sample_id", "text"])
+    profiles = spark.createDataFrame(
+        [(lang, tri) for lang, tris in TRIGRAM_PROFILES.items() for tri in tris],
+        ["lang", "tri"],
+    )
+    low = F.lower("text")
+    grams = samples.select(
+        "sample_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(low) - 2),
+                lambda i: F.substring(low, i, 3),
+            )
+        ).alias("tri"),
+    )
+    hits = (
+        grams.join(F.broadcast(profiles), "tri")
+        .groupBy("sample_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w = Window.partitionBy("sample_id").orderBy(F.desc("n_hits"), F.asc("lang"))
+    best = hits.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        samples.join(best, "sample_id", "left")
+        .select(
+            "sample_id",
+            F.coalesce("lang", F.lit("unknown")).alias("predicted"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        )
+        .orderBy("sample_id")
+    )
