@@ -737,3 +737,135 @@ def loyal_customers_all_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("nq")
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "order_price_histogram",
+    oracle="""
+    WITH binned AS (
+      SELECT LEAST(CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT), 9) AS bucket
+      FROM orders)
+    SELECT bucket,
+           bucket * CAST(50000.0 AS DOUBLE) AS bucket_lo,
+           COUNT(*) AS n_orders
+    FROM binned
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (10 × 50k buckets, top bucket
+    open-ended) — the data-profiling shape: one codegen'd bucket expression,
+    one low-cardinality partial-agg. No sort of the raw data ever happens.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 50000.0).cast("long"), F.lit(9)
+    )
+    return (
+        orders.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select("bucket", (F.col("bucket") * 50000.0).alias("bucket_lo"), "n_orders")
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "orders_profile",
+    oracle="""
+    SELECT 'o_custkey' AS column_name, COUNT(*) - COUNT(o_custkey) AS n_null,
+           COUNT(DISTINCT o_custkey) AS n_distinct FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority) FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice) FROM orders
+    ORDER BY column_name
+    """,
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (null + distinct counts) — the first pass any
+    ingestion pipeline runs on a new table. One aggregate computes every
+    column's stats in a single scan (Catalyst expands the distincts), vs
+    the oracle's literal one-subquery-per-column statement.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.count(c).alias(f"nn_{c}") for c in cols],
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in cols],
+    )
+    stacked = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        (F.col("_n") - F.col(f"nn_{c}")).alias("n_null"),
+                        F.col(f"nd_{c}").alias("n_distinct"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    )
+    return stacked.select("s.column_name", "s.n_null", "s.n_distinct").orderBy(
+        "column_name"
+    )
+
+
+@register(
+    "signup_funnel",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             MIN(ts) FILTER (event_type = 'signup') AS t_signup,
+             MIN(ts) FILTER (event_type = 'click') AS t_click,
+             MIN(ts) FILTER (event_type = 'purchase') AS t_purchase
+      FROM events
+      GROUP BY user_id),
+    flags AS (
+      SELECT user_id,
+             t_signup IS NOT NULL AS s1,
+             t_signup IS NOT NULL AND t_click > t_signup AS s2,
+             t_signup IS NOT NULL AND t_click > t_signup
+               AND t_purchase > t_click AS s3
+      FROM stages)
+    SELECT COUNT(*) FILTER (s1) AS n_signed_up,
+           COUNT(*) FILTER (s2) AS n_clicked_after,
+           COUNT(*) FILTER (s3) AS n_purchased_after,
+           ROUND(COUNT(*) FILTER (s3) * 1.0 / COUNT(*) FILTER (s1), 6)
+             AS conversion
+    FROM flags
+    """,
+)
+def signup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup → first later click → first later
+    purchase): per-user conditional min-timestamps in ONE aggregate pass,
+    then ordering flags — no self-joins, no window sort of raw events. The
+    standard funnel formulation that stays one shuffle at any event volume.
+    """
+    events = _t(spark, sf_dir, "events")
+    stage = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    stages = events.groupBy("user_id").agg(
+        stage("signup").alias("t_signup"),
+        stage("click").alias("t_click"),
+        stage("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_signup"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    return stages.agg(
+        F.sum(s1.cast("long")).alias("n_signed_up"),
+        F.sum(s2.cast("long")).alias("n_clicked_after"),
+        F.sum(s3.cast("long")).alias("n_purchased_after"),
+        F.round(
+            F.sum(s3.cast("long")) / F.sum(s1.cast("long")), 6
+        ).alias("conversion"),
+    )
