@@ -378,3 +378,91 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_counts(events, size="4 hours", slide="2 hours").orderBy(
         "window_start", "event_type"
     )
+
+
+@register(
+    "event_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type, next_type, COUNT(*) AS n,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY event_type), 6)
+             AS p_next
+    FROM ordered
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY event_type, next_type
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (first-order Markov estimate): lead()
+    per user stream, then bigram counts normalized per source state — the
+    behavioral-analytics primitive behind next-action prediction features.
+    One shuffle for the window, one for the count; the normalizing window
+    runs over the 25-row aggregate, not the events.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norm = Window.partitionBy("event_type")
+    return (
+        pairs.withColumn(
+            "p_next", F.round(F.col("n") / F.sum("n").over(norm), 6)
+        )
+        .orderBy("event_type", "next_type")
+    )
+
+
+@register(
+    "weekly_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(datediff('week', f.cohort_week, date_trunc('week', e.ts)) AS BIGINT)
+               AS week_offset
+      FROM events e JOIN firsts f USING (user_id))
+    SELECT cohort_week, week_offset, COUNT(*) AS n_active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-activity week, then
+    counted per (cohort, weeks-since-first) — the retention-matrix shape.
+    The cohort table is |users| rows and broadcasts; the activity distinct
+    collapses events to (user, week) before the final count.
+    """
+    events = load_table(spark, sf_dir, "events")
+    # to_date: DuckDB's week-trunc yields DATE; match the type exactly
+    week = F.to_date(F.date_trunc("week", F.col("ts")))
+    firsts = events.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = (
+        events.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(week, F.col("cohort_week")) / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
