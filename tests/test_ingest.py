@@ -145,3 +145,34 @@ def test_multiline_json_manifest_roundtrip(spark, tmp_path):
     # overwrite semantics: second write replaces, not appends
     df.coalesce(1).write.mode("overwrite").json(out)
     assert spark.read.json(out).count() == 1
+
+
+def test_reference_golden_record_roundtrip(spark, tmp_path):
+    """FIXTURES §1's byte-level target: the reference's one real captured
+    record (/root/reference/out/audio.jsonl) must survive
+    read → schema-typed DataFrame → write → read with every field intact,
+    including Vietnamese text and float segment timings."""
+    import shutil
+
+    src = "/root/reference/out/audio.jsonl"
+    if not __import__("os").path.exists(src):
+        pytest.skip("reference golden record not available")
+    d = tmp_path / "golden"
+    d.mkdir()
+    shutil.copy(src, d / "audio.jsonl")
+    df = read_jsonl(spark, str(d), mode="FAILFAST")
+    [row] = df.collect()
+    original = json.loads(open(src, encoding="utf-8").read())
+    assert row.id == original["id"]
+    assert row.source_type == original["source_type"]
+    assert row.text == original["text"]          # Vietnamese survives typed read
+    assert row.binary_path == original["binary_path"]
+    assert [s.asDict() for s in row.segments] == original["segments"]
+    assert dict(row.meta) == {k: str(v) for k, v in original["meta"].items()}
+
+    out = str(tmp_path / "golden_out")
+    append_jsonl(df, out)
+    back = read_jsonl(spark, out, mode="FAILFAST")
+    assert back.collect() == df.collect()
+    raw = b"".join(p.read_bytes() for p in (tmp_path / "golden_out").glob("part-*.json"))
+    assert original["text"].encode("utf-8") in raw  # ensure_ascii=False bytes
