@@ -869,3 +869,94 @@ def signup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(s3.cast("long")) / F.sum(s1.cast("long")), 6
         ).alias("conversion"),
     )
+
+
+@register(
+    "brand_revenue_by_supplier_nation",
+    oracle="""
+    SELECT p.p_brand AS brand, n.n_name AS supplier_nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY p.p_brand, n.n_name
+    ORDER BY brand, supplier_nation
+    """,
+)
+def brand_revenue_by_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimension star probe (part AND supplier→nation off one fact
+    scan): the shape where join ORDER matters — Catalyst/AQE keeps
+    lineitem as the probe side throughout and broadcasts every dim, so the
+    fact is scanned once and never shuffled for the dims.
+    """
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("p_brand").alias("brand"), F.col("n_name").alias("supplier_nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("brand", "supplier_nation")
+    )
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0),
+    new AS (
+      SELECT o_orderkey, o_totalprice * CASE WHEN o_orderkey % 13 = 0
+                                             THEN 1.1 ELSE 1.0 END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0)
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_totalprice <> n.o_totalprice THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           COUNT(*) AS n
+    FROM old o
+    FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    GROUP BY change
+    ORDER BY change
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation via FULL OUTER join (the data-diff op every
+    incremental pipeline needs): classify keys as added / removed /
+    changed / unchanged between two table versions (simulated here by
+    deterministic key filters + a price bump). One shuffle on the key; at
+    100 TB both snapshots would be bucketed on it, making the diff
+    co-located and shuffle-free.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        F.col("o_orderkey").alias("k_old"), F.col("o_totalprice").alias("p_old")
+    )
+    new = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k_new"),
+        (
+            F.col("o_totalprice")
+            * F.when(F.col("o_orderkey") % 13 == 0, 1.1).otherwise(1.0)
+        ).alias("p_new"),
+    )
+    change = (
+        F.when(F.col("k_old").isNull(), "added")
+        .when(F.col("k_new").isNull(), "removed")
+        .when(F.col("p_old") != F.col("p_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        old.join(new, F.col("k_old") == F.col("k_new"), "full_outer")
+        .select(change.alias("change"))
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("change")
+    )
