@@ -960,3 +960,49 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("change")
     )
+
+
+@register(
+    "revenue_grouping_sets",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+             o_orderpriority AS priority, o_totalprice
+      FROM orders)
+    SELECT order_year, priority,
+           CAST(GROUPING(order_year) AS INT) AS g_year,
+           CAST(GROUPING(priority) AS INT) AS g_priority,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           COUNT(*) AS n_orders
+    FROM o
+    GROUP BY GROUPING SETS ((order_year, priority), (order_year), ())
+    ORDER BY g_year, g_priority, order_year, priority
+    """,
+)
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (SURVEY A8, beyond rollup/cube): per
+    (year, priority), per year, and grand total in one pass, with
+    grouping() flags disambiguating real NULL group keys from
+    super-aggregate rows.
+
+    Catalyst expands the sets into a single Expand + one hash aggregate —
+    one scan and one shuffle regardless of how many granularities are
+    requested, which is exactly why this beats unioning three groupBys
+    at 100 TB (3 scans → 1).
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("order_year"),
+        F.col("o_orderpriority").alias("priority"),
+        "o_totalprice",
+    )
+    return (
+        o.groupingSets([["order_year", "priority"], ["order_year"], []],
+                       "order_year", "priority")
+        .agg(
+            F.grouping("order_year").cast("int").alias("g_year"),
+            F.grouping("priority").cast("int").alias("g_priority"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("g_year", "g_priority", "order_year", "priority")
+    )

@@ -499,3 +499,95 @@ def charngram_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sample_id")
     )
+
+
+# Per-language sampling rates (percent of each stratum to keep): downsample
+# the dominant language, keep the tail whole — corpus rebalancing for
+# training-data curation.
+STRATUM_RATES = {"en": 25, "zh": 100, "es": 100, "de": 100, "fr": 100}
+
+
+@register(
+    "stratified_doc_sample",
+    oracle="""
+    WITH tagged AS (
+      SELECT lang, n_chars,
+             CAST(('0x' || substr(md5('sample:' || doc_id), 1, 8)) AS BIGINT)
+               % 100 AS bucket,
+             CASE lang WHEN 'en' THEN 25 ELSE 100 END AS rate
+      FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE bucket < rate) AS n_sampled,
+           ROUND(AVG(n_chars) FILTER (WHERE bucket < rate), 4) AS avg_chars_sampled
+    FROM tagged
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep-rates applied by
+    content-keyed hash bucket (downsample dominant 'en' to 25%, keep the
+    rest). Same stability argument as ``dataset_split_assignment`` — a doc's
+    fate is a pure function of its id, so reruns, repartitioning, and
+    incremental appends never resample old data (``df.sampleBy`` can't
+    promise that: its RNG is partition-layout-dependent). One scan, one
+    low-cardinality aggregate; the filter is codegen'd, no shuffle of the
+    unsampled majority.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("sample:"), F.col("doc_id"))), 1, 8), 16, 10
+    ).cast("long") % 100
+    rate = F.when(F.col("lang") == "en", F.lit(25)).otherwise(F.lit(100))
+    keep = bucket < rate
+    return (
+        docs.select("lang", "n_chars", keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("keep"), 1)).alias("n_sampled"),
+            F.round(F.avg(F.when(F.col("keep"), F.col("n_chars"))), 4)
+             .alias("avg_chars_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "quality_percentile_filter",
+    oracle="""
+    WITH cut AS (
+      SELECT lang, quantile_cont(n_chars, 0.25) AS p25
+      FROM documents GROUP BY lang)
+    SELECT d.lang,
+           COUNT(*) AS n_kept,
+           ROUND(MIN(d.n_chars), 4) AS min_chars_kept,
+           ROUND(AVG(d.n_chars), 4) AS avg_chars_kept
+    FROM documents d JOIN cut c ON d.lang = c.lang
+    WHERE d.n_chars >= c.p25
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-threshold corpus filtering: drop each language's shortest
+    quartile (a stand-in for any per-stratum quality cut). Thresholds are
+    computed as a tiny per-language aggregate and **broadcast** back onto
+    the scan — at 100 TB the cut table is |langs| rows, so the second pass
+    over documents stays shuffle-free; never window-partition the full
+    corpus just to compare against a group percentile.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cuts = docs.groupBy("lang").agg(F.percentile("n_chars", 0.25).alias("p25"))
+    return (
+        docs.join(F.broadcast(cuts), "lang")
+        .filter(F.col("n_chars") >= F.col("p25"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.min("n_chars"), 4).alias("min_chars_kept"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars_kept"),
+        )
+        .orderBy("lang")
+    )

@@ -466,3 +466,43 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "customer_value_quartiles",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend
+      FROM orders GROUP BY o_custkey)
+    SELECT o_custkey, spend,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM spend
+    WINDOW w AS (ORDER BY spend, o_custkey)
+    ORDER BY spend, o_custkey
+    """,
+)
+def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist (SURVEY §2.6 ranking set): customer
+    spend quartiles over a global ordering, deterministic via the custkey
+    tiebreak.
+
+    A window with no partitionBy is a single-task sort — acceptable here
+    only because it runs *after* the groupBy collapsed orders to one row
+    per customer (cardinality ≪ fact table). At 100 TB the same pattern
+    holds: rank post-aggregation output, never raw facts; for fact-grain
+    ranking use percentile cutpoints joined back instead.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    w = Window.orderBy("spend", "o_custkey")
+    return spend.select(
+        "o_custkey",
+        "spend",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("spend", "o_custkey")
