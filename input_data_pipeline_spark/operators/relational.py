@@ -1006,3 +1006,61 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g_year", "g_priority", "order_year", "priority")
     )
+
+
+@register(
+    "customer_order_setops_all",
+    oracle="""
+    WITH y95 AS (
+      SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995),
+    y96 AS (
+      SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996),
+    ia AS (SELECT o_custkey FROM y95 INTERSECT ALL SELECT o_custkey FROM y96),
+    ea AS (SELECT o_custkey FROM y95 EXCEPT ALL SELECT o_custkey FROM y96)
+    SELECT 'intersect_all' AS op, o_custkey, COUNT(*) AS n FROM ia GROUP BY o_custkey
+    UNION ALL
+    SELECT 'except_all' AS op, o_custkey, COUNT(*) AS n FROM ea GROUP BY o_custkey
+    ORDER BY op, o_custkey
+    """,
+)
+def customer_order_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set ops (SURVEY O2 beyond the DISTINCT forms): INTERSECT ALL
+    keeps min(multiplicity), EXCEPT ALL subtracts multiplicities — here over
+    the bag of per-order customer keys in 1995 vs 1996, so a customer with
+    5 orders in '95 and 2 in '96 contributes 2 to the intersection and 3 to
+    the difference. Catalyst rewrites both into a single count-compare
+    aggregate per side (no sort, one shuffle on the key)."""
+    orders = _t(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    ia = (
+        y95.intersectAll(y96).groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "o_custkey", "n")
+    )
+    ea = (
+        y95.exceptAll(y96).groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "o_custkey", "n")
+    )
+    return ia.unionByName(ea).orderBy("op", "o_custkey")
+
+
+@register("event_value_approx_percentiles")  # no oracle: sketch estimates are impl-specific
+def event_value_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL/Greenwald-Khanna-style sketch) per event type —
+    the percentile you can afford at 100 TB: fixed-size mergeable sketch,
+    map-side partials, no full sort. Rows-only in the driver (estimates are
+    implementation-specific by design); tests/test_sampling_rollups.py
+    bounds the error against the exact percentile instead."""
+    events = _t(spark, sf_dir, "events")
+    pcts = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000)
+    return (
+        events.groupBy("event_type")
+        .agg(
+            pcts.alias("approx_p50_p90_p99"),
+            F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+             .alias("exact_p50_p90_p99"),
+        )
+        .orderBy("event_type")
+    )

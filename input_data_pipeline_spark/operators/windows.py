@@ -506,3 +506,109 @@ def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     ).orderBy("spend", "o_custkey")
+
+
+@register(
+    "event_hourly_gapfill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             COUNT(*) AS n, AVG(value) AS avg_v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+      FROM events),
+    grid AS (
+      SELECT g.t AS hour FROM bounds, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS g(t)),
+    dense AS (
+      SELECT et.event_type, grid.hour
+      FROM (SELECT DISTINCT event_type FROM events) et CROSS JOIN grid)
+    SELECT d.event_type, d.hour,
+           COALESCE(h.n, 0) AS n_events,
+           ROUND(last_value(h.avg_v IGNORE NULLS)
+                 OVER (PARTITION BY d.event_type ORDER BY d.hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS ffill_avg_value
+    FROM dense d
+    LEFT JOIN hourly h ON d.event_type = h.event_type AND d.hour = h.hour
+    ORDER BY d.event_type, d.hour
+    """,
+)
+def event_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: densify per-type hourly counts onto the full
+    [min, max] hour grid (zero-fill) and forward-fill the last known hourly
+    mean into empty hours (``last(ignorenulls)`` over a cumulative frame).
+
+    The grid is sequence+explode from a 1-row bounds aggregate — generated,
+    never materialized as input — and joins against the *aggregated* hourly
+    table, so the dense side is |types| × |hours| regardless of event
+    volume. At 100 TB the raw scan collapses to that same small table
+    before anything cross-joins.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_v"))
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour")
+    )
+    dense = events.select("event_type").distinct().crossJoin(F.broadcast(grid))
+    w = (
+        Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dense.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.round(F.last("avg_v", ignorenulls=True).over(w), 4).alias("ffill_avg_value"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+@register(
+    "user_trailing_window",
+    oracle="""
+    SELECT user_id, event_id, ts, ROUND(value, 4) AS value,
+           ROUND(SUM(value) OVER w, 4) AS trailing_7d_value,
+           COUNT(*) OVER w AS trailing_7d_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def user_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based frame (rangeBetween, SURVEY §2.6): per-user trailing-7-day
+    sum/count at every event. Unlike a row frame, the window is defined on
+    the *time axis* (epoch seconds, so peers at the same second aggregate
+    together in any engine). One shuffle on user_id; the frame is evaluated
+    by a sliding accumulator over the sorted partition, not by re-scanning
+    7 days per row.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-604800, 0)
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round("value", 4).alias("value"),
+            F.round(F.sum("value").over(w), 4).alias("trailing_7d_value"),
+            F.count(F.lit(1)).over(w).alias("trailing_7d_events"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )

@@ -66,3 +66,93 @@ def test_grouping_sets_granularities(spark, sf_dir):
     assert grand[0]["n_orders"] == sum(r["n_orders"] for r in per_year)
     assert grand[0]["n_orders"] == sum(r["n_orders"] for r in detail)
     assert abs(grand[0]["revenue"] - round(sum(r["revenue"] for r in detail), 2)) < 1.0
+
+
+def test_approx_percentiles_within_bound(spark, sf_dir):
+    from input_data_pipeline_spark.operators.relational import (
+        event_value_approx_percentiles,
+    )
+    from input_data_pipeline_spark.tables import load_table
+
+    values = {}
+    for row in load_table(spark, sf_dir, "events").select("event_type", "value").collect():
+        values.setdefault(row["event_type"], []).append(row["value"])
+    for vs in values.values():
+        vs.sort()
+    # The sketch guarantee is on RANK, not value: the returned element's
+    # empirical quantile must sit near the target (exact interpolated values
+    # can differ arbitrarily where the distribution has gaps).
+    for r in event_value_approx_percentiles(spark, sf_dir).collect():
+        vs = values[r["event_type"]]
+        n = len(vs)
+        for q, approx in zip((0.5, 0.9, 0.99), r["approx_p50_p90_p99"]):
+            rank = sum(1 for v in vs if v <= approx)
+            assert abs(rank / n - q) <= 1 / 10000 + 2 / n, (r["event_type"], q, approx)
+
+
+def test_gapfill_grid_is_dense_and_zero_filled(spark, sf_dir):
+    from input_data_pipeline_spark.operators.windows import event_hourly_gapfill
+
+    rows = event_hourly_gapfill(spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    n_hours = {t: len(rs) for t, rs in by_type.items()}
+    # Every type covers the identical full grid.
+    assert len(set(n_hours.values())) == 1
+    # sf0.001 is sparse: gap rows exist, are zero-count, and carry a
+    # forward-filled average from an earlier real hour.
+    gaps = [r for r in rows if r["n_events"] == 0]
+    assert gaps, "expected empty hours at sf0.001"
+    for t, rs in by_type.items():
+        seen_real = False
+        for r in sorted(rs, key=lambda r: r["hour"]):
+            if r["n_events"] > 0:
+                seen_real = True
+            elif seen_real:
+                assert r["ffill_avg_value"] is not None
+
+
+def test_trailing_window_matches_bruteforce(spark, sf_dir):
+    from input_data_pipeline_spark.operators.windows import user_trailing_window
+
+    rows = user_trailing_window(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    uid, urows = max(by_user.items(), key=lambda kv: len(kv[1]))
+    for r in urows:
+        t = r["ts"].replace(microsecond=0)
+        want = sum(
+            x["value"] for x in urows
+            if -604800 <= (x["ts"].replace(microsecond=0) - t).total_seconds() <= 0
+        )
+        assert abs(r["trailing_7d_value"] - round(want, 4)) < 0.01
+
+
+def test_setops_all_multiset_identity(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from input_data_pipeline_spark.operators.relational import (
+        customer_order_setops_all,
+    )
+    from input_data_pipeline_spark.tables import load_table
+
+    rows = customer_order_setops_all(spark, sf_dir).collect()
+    inter = {r["o_custkey"]: r["n"] for r in rows if r["op"] == "intersect_all"}
+    exc = {r["o_custkey"]: r["n"] for r in rows if r["op"] == "except_all"}
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = {
+        r["o_custkey"]: r["n"]
+        for r in orders.filter(F.year("o_orderdate") == 1995)
+        .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    y96 = {
+        r["o_custkey"]: r["n"]
+        for r in orders.filter(F.year("o_orderdate") == 1996)
+        .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for k, n95 in y95.items():
+        n96 = y96.get(k, 0)
+        assert inter.get(k, 0) == min(n95, n96)
+        assert exc.get(k, 0) == max(n95 - n96, 0)
