@@ -19,7 +19,7 @@ Scale design (100 TB):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from input_data_pipeline_spark.functions import text as T
 from input_data_pipeline_spark.plans.registry import register
@@ -684,4 +684,103 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("doc_a") < F.col("doc_b"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Iterative min-label propagation: (src, dst) undirected edges →
+    (id, label) with label = min vertex id in the component.
+
+    Each round every vertex takes the min of its own label and its
+    neighbors' labels; convergence in <= diameter rounds. ``localCheckpoint``
+    truncates the lineage per round — without it the plan doubles every
+    iteration and the driver dies on analysis long before the data does.
+    At 100 TB scale swap the propagation body for the large-star/small-star
+    rewrite (O(log n) rounds on skewed graphs); the loop scaffolding,
+    convergence test, and checkpointing stay identical.
+    """
+    e = (
+        edges.select(F.col("src"), F.col("dst"))
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = e.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    for _ in range(max_iter):
+        msgs = e.join(labels, e["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "label"
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+@register(
+    "dedup_cluster_assignment",
+    oracle=f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents),
+    sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES2} AS shs FROM tok),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a
+      JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shs, b.shs)) * 1.0
+            / len(list_distinct(a.shs || b.shs)) >= 0.8),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    labeled AS (
+      SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM labeled
+    ORDER BY doc_id
+    """,
+)
+def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: union-find over the exact-Jaccard(>=0.8) near-dup
+    graph, each doc labeled with its component's min doc_id (the canonical
+    survivor) plus the component size. Transitive: A~B and B~C cluster
+    A,B,C together even when A and C themselves are below threshold —
+    which pairwise dedup queries cannot express.
+
+    The pair graph comes from the PPJoin-filtered ``ngram_jaccard_pairs``
+    plan; components are computed by the iterative propagation above (the
+    oracle states the same fixpoint as a recursive CTE — transitive
+    closure is fine for DuckDB at test scale, quadratic at real scale,
+    which is exactly why the engine iterates instead).
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels = connected_components(edges)
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .orderBy("doc_id")
     )

@@ -45,3 +45,33 @@ def test_ml_minhash_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.8, f"ml LSH recall {recall:.2f} over {len(truth)} pairs"
     # and the est_jaccard threshold means no wildly-dissimilar pairs
     assert all(a < b for a, b in got)
+
+
+def test_connected_components_transitive_chain(spark):
+    from input_data_pipeline_spark.operators.dedup import connected_components
+
+    # a-b-c-d chain + isolated pair (x, y): one 4-cluster, one 2-cluster.
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("c", "d"), ("y", "x")], ["src", "dst"]
+    )
+    got = {r["id"]: r["label"] for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_cluster_assignment_matches_pairs(spark, sf_dir):
+    from input_data_pipeline_spark.operators.dedup import (
+        dedup_cluster_assignment,
+        ngram_jaccard_pairs,
+    )
+
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_cluster_assignment(spark, sf_dir).collect()
+    }
+    pairs = ngram_jaccard_pairs(spark, sf_dir).collect()
+    assert pairs, "expected near-dup pairs at sf0.001"
+    for p in pairs:
+        # Every near-dup pair ends up in the same cluster,
+        assert labels[p["doc_a"]] == labels[p["doc_b"]]
+        # and the label is the lexicographic min of the component.
+        assert labels[p["doc_a"]] <= min(p["doc_a"], p["doc_b"])
