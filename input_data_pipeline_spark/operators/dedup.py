@@ -148,23 +148,42 @@ def _exploded_shingles2(docs: DataFrame) -> DataFrame:
 
 
 
+# Affine hash family h_i(x) = (A_i*x + B_i) mod p over a single 32-bit base
+# hash per shingle. p = smallest prime > 2^32; A_i odd 31-bit, so A_i*x < 2^63.
+# Constants are fixed (not per-run random) so the DuckDB oracle reproduces
+# the exact signatures.
+_MINHASH_P = 4294967311
+_rng = __import__("random").Random(20260813)
+_MINHASH_A = [(_rng.getrandbits(30) * 2 + 1) for _ in range(N_MINHASH)]
+_MINHASH_B = [_rng.getrandbits(32) for _ in range(N_MINHASH)]
+
+
 def _docs_with_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sig) with the signature computed in codegen, not in
     higher-order array functions.
 
-    Shape matters for speed: explode shingles to rows, evaluate the 12
-    md5(i|shingle) hashes as ordinary projected columns (whole-stage
-    codegen — interpreted lambda-transforms over arrays are ~10× slower),
-    then min-aggregate back per doc. The shuffle carries only the 12
-    partial mins per doc (map-side combine), so this scales linearly in
-    corpus size regardless of shingle fan-out. MinHash is duplicate-
+    Shape matters for speed twice over: (1) explode shingles to rows and
+    evaluate hashes as ordinary projected columns (whole-stage codegen —
+    interpreted lambda-transforms over arrays are ~10× slower), then
+    min-aggregate back per doc, so the shuffle carries only the 12 partial
+    mins per doc (map-side combine). (2) ONE md5 per shingle, not 12: its
+    first 32 bits become the base hash x, and the 12 MinHash functions are
+    the universal affine family h_i = (A_i*x + B_i) mod p with 12 fixed
+    independent constant pairs — integer-only after the single digest.
+    (A single shared (a,b) pair across i is NOT enough: the argmin shingle
+    then barely changes with i, correlating the 12 coordinates and
+    inflating the collision estimate ~2.5×.) MinHash is duplicate-
     insensitive (min over a multiset), so no array_distinct pass is needed.
     """
     docs = load_table(spark, sf_dir, "documents")
     shingled = _exploded_shingles2(docs)
+    x = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
     hashed = shingled.select(
         "doc_id",
-        *[F.md5(F.concat(F.lit(f"{i}|"), F.col("sh"))).alias(f"h{i}") for i in range(N_MINHASH)],
+        *[
+            ((F.lit(_MINHASH_A[i]) * x + F.lit(_MINHASH_B[i])) % _MINHASH_P).alias(f"h{i}")
+            for i in range(N_MINHASH)
+        ],
     )
     return (
         hashed.groupBy("doc_id")
@@ -180,15 +199,19 @@ def _docs_with_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents),
     sh AS (
       SELECT doc_id, {_DUCK_SHINGLES2} AS shs FROM tok),
+    shx AS (
+      SELECT doc_id, UNNEST(shs) AS s FROM sh),
+    based AS (
+      SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x FROM shx),
     sig AS (
       SELECT doc_id,
-             [list_min(list_transform(shs, s -> md5(h::VARCHAR || '|' || s)))
-              FOR h IN range({N_MINHASH})] AS sig
-      FROM sh),
+             list_value({", ".join(f"MIN(({_MINHASH_A[i]} * x + {_MINHASH_B[i]}) % {_MINHASH_P})" for i in range(N_MINHASH))}) AS sig
+      FROM based GROUP BY doc_id),
     bands AS (
       SELECT doc_id, b,
-             md5(sig[b * {ROWS_PER_BAND} + 1] || sig[b * {ROWS_PER_BAND} + 2]
-                 || sig[b * {ROWS_PER_BAND} + 3]) AS band_key
+             md5(sig[b * {ROWS_PER_BAND} + 1]::VARCHAR || '|'
+                 || sig[b * {ROWS_PER_BAND} + 2]::VARCHAR || '|'
+                 || sig[b * {ROWS_PER_BAND} + 3]::VARCHAR) AS band_key
       FROM sig, UNNEST(range({N_BANDS})) AS t(b)),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -216,12 +239,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     not with |docs|². Each side carries its fixed-size signature, so the
     Jaccard estimate falls out of the join with no further lookups.
     """
-    sigs = _docs_with_sigs(spark, sf_dir)
+    # Materialize the signature table once (localCheckpoint → executor-local
+    # blocks): the self-join otherwise re-runs the whole shingle+hash
+    # pipeline per side — plan-identical, but Spark's exchange reuse does
+    # not fire across the band-explode, and at any scale the signature
+    # pass is the expensive one. |docs| × 12 longs is small enough to
+    # checkpoint at 100 TB too.
+    sigs = _docs_with_sigs(spark, sf_dir).localCheckpoint(eager=True)
 
     # Bands carry the (small, fixed-size) signature with them so the
     # candidate self-join yields both signatures directly — no signature
-    # re-join, and the signature subplan is evaluated once per join side
-    # instead of once per downstream consumer.
+    # re-join.
     bands = sigs.select(
         "doc_id",
         "sig",
@@ -231,8 +259,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(b).alias("b"),
                         F.md5(
-                            F.concat(
-                                *[F.element_at("sig", b * ROWS_PER_BAND + r + 1) for r in range(ROWS_PER_BAND)]
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at("sig", b * ROWS_PER_BAND + r + 1).cast("string")
+                                    for r in range(ROWS_PER_BAND)
+                                ],
                             )
                         ).alias("band_key"),
                     )
@@ -567,6 +599,48 @@ GRAM_CHARS = 8     # char k-gram size
 WINNOW_WINDOW = 16  # grams per winnowing window
 
 
+# Gram hash for winnowing: codepoint polynomial (base 131, codepoints mod
+# 251, positions past end of string contribute 0) mixed by a multiplicative
+# step mod the >2^32 prime. Integer-only, exactly reproducible in numpy
+# (uint64, no overflow: max term 250*131^7*8 < 2^61) and in DuckDB SQL.
+_WINNOW_P = 4294967311
+_WINNOW_A = 1103515245
+_DUCK_GRAM_TERMS = " + ".join(
+    f"(coalesce(ascii(nullif(substr(s, (i + {r})::INT, 1), '')), 0) % 251)::BIGINT"
+    f" * {131 ** (GRAM_CHARS - 1 - r)}::BIGINT"
+    for r in range(GRAM_CHARS)
+)
+
+
+def _winnow_batches(batches):
+    """Arrow-batched winnowing kernel: per doc, gram hashes + sliding-window
+    min entirely in numpy — no per-gram rows ever exist."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    pows = np.uint64(131) ** np.arange(GRAM_CHARS - 1, -1, -1, dtype=np.uint64)
+    for pdf in batches:
+        out = []
+        for doc_id, s, n_chars in zip(pdf["doc_id"], pdf["s"], pdf["n_chars"]):
+            cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64) % 251
+            n_grams = max(int(n_chars) - (GRAM_CHARS - 1), 1)
+            padded = np.concatenate([cp, np.zeros(GRAM_CHARS, dtype=np.uint64)])
+            wins = np.lib.stride_tricks.sliding_window_view(padded, GRAM_CHARS)[:n_grams]
+            h = (wins * pows).sum(axis=1) % _WINNOW_P * _WINNOW_A % _WINNOW_P
+            if n_grams >= WINNOW_WINDOW:
+                wm = np.lib.stride_tricks.sliding_window_view(h, WINNOW_WINDOW).min(axis=1)
+            else:
+                wm = h.min(keepdims=True)
+            fps = np.unique(wm)
+            digest = hashlib.md5("".join(str(int(v)) for v in fps).encode()).hexdigest()
+            out.append((doc_id, n_grams, len(fps), digest))
+        yield pd.DataFrame(
+            out, columns=["doc_id", "n_grams", "n_fingerprints", "fp_digest"]
+        )
+
+
 @register(
     "winnowing_fingerprints",
     oracle=f"""
@@ -576,7 +650,8 @@ WINNOW_WINDOW = 16  # grams per winnowing window
     grams AS (
       SELECT doc_id,
              list_transform(range(1, greatest(length(s) - {GRAM_CHARS - 1}, 1) + 1),
-                            i -> md5(substr(s, i::INT, {GRAM_CHARS}))) AS gs
+                            i -> (({_DUCK_GRAM_TERMS}) % {_WINNOW_P}::BIGINT)
+                                 * {_WINNOW_A}::BIGINT % {_WINNOW_P}::BIGINT) AS gs
       FROM norm),
     winnowed AS (
       SELECT doc_id, gs,
@@ -599,53 +674,24 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep each window's minimum hash — the classic guarantee that any match
     of length >= window+gram-1 chars shares at least one fingerprint.
 
-    Expression-only (sequence/transform/slice/array_min stay JVM-side), so
-    the fingerprint pass is a map-only scan: no shuffle at all until
-    fingerprints are joined for plagiarism/near-dup candidate generation.
-    The md5 rolling hash is shared verbatim with the DuckDB oracle.
+    This is the showcase for the vectorized-UDF escape hatch: the
+    expression-only formulation must explode ~|chars| rows per doc through
+    a shuffle just to run a windowed min (measured ~5.5s at sf0.1), while
+    the semantics are embarrassingly per-doc. So: normalize in codegen
+    (string semantics stay JVM/oracle-identical), then one Arrow batch per
+    partition computes gram hashes and sliding mins in numpy — map-only,
+    zero shuffle, ~4× faster, and the same shape scales to any corpus
+    since no per-gram row ever materializes. The gram hash is integer
+    polynomial mixing shared exactly with the DuckDB oracle (md5 would
+    cost 12.5M hashlib calls per 5k docs in Python).
     """
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     s = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    # Explode gram positions to rows so the md5s and the windowed min run in
-    # whole-stage codegen / a window operator — the interpreted
-    # transform/slice/array_min formulation is ~10× slower (same lesson as
-    # the MinHash signature pass above).
-    normed = docs.select(
-        "doc_id",
-        s.alias("s"),
-        F.greatest(F.length(s) - (GRAM_CHARS - 1), F.lit(1)).alias("n_grams"),
+    normed = docs.select("doc_id", s.alias("s"), F.length(s).alias("n_chars"))
+    schema = (
+        "doc_id long, n_grams long, n_fingerprints long, fp_digest string"
     )
-    grams = normed.select(
-        "doc_id",
-        "n_grams",
-        F.explode(F.sequence(F.lit(1), F.col("n_grams"))).alias("i"),
-        "s",
-    ).select(
-        "doc_id", "n_grams", "i", F.md5(F.substring(F.col("s"), F.col("i"), GRAM_CHARS)).alias("gh")
-    )
-    # window w covers grams [w, w+WINDOW-1]; the frame clips at partition end
-    # exactly like list_slice clamps, so short docs degenerate identically.
-    frame = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(Window.currentRow, WINNOW_WINDOW - 1)
-    )
-    mins = grams.withColumn("wm", F.min("gh").over(frame)).filter(
-        F.col("i") <= F.greatest(F.col("n_grams") - (WINNOW_WINDOW - 1), F.lit(1))
-    )
-    return (
-        mins.groupBy("doc_id", "n_grams")
-        .agg(F.array_sort(F.collect_set("wm")).alias("fps"))
-        .select(
-            "doc_id",
-            "n_grams",
-            F.size("fps").alias("n_fingerprints"),
-            F.md5(F.concat_ws("", "fps")).alias("fp_digest"),
-        )
-        .orderBy("doc_id")
-    )
+    return normed.mapInPandas(_winnow_batches, schema).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -425,3 +425,72 @@ def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("split", "lang")
     )
+
+
+@register(
+    "orders_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, 'P' AS o_orderstatus, ROUND(o_totalprice * 1.1, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'N', 100.0
+      FROM orders WHERE o_orderkey % 1000 = 0),
+    merged AS (
+      SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+             COALESCE(u.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+             COALESCE(u.o_totalprice, ROUND(t.o_totalprice, 2)) AS o_totalprice,
+             CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+                  WHEN u.o_orderkey IS NULL THEN 'keep'
+                  ELSE 'update' END AS action
+      FROM orders t FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey)
+    SELECT action, o_orderstatus,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM merged
+    GROUP BY action, o_orderstatus
+    ORDER BY action, o_orderstatus
+    """,
+)
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (upsert) as a full-outer join + coalesce — the
+    batch CDC pattern behind the streaming ``write_idempotent_merge`` sink:
+    matched keys take the update's values, unmatched updates insert,
+    unmatched targets pass through. The deterministic 'updates' batch is
+    derived from the target itself so the oracle can replay it. At 100 TB
+    both sides hash-shuffle once on the key — or zero times if the target
+    is bucketed by key, which is how the idempotent sink stores it.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("P").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 1000 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(100.0).alias("o_totalprice"),
+            )
+        )
+    )
+    t, u = orders.alias("t"), updates.alias("u")
+    merged = t.join(u, F.col("t.o_orderkey") == F.col("u.o_orderkey"), "full_outer").select(
+        F.coalesce("u.o_orderkey", "t.o_orderkey").alias("o_orderkey"),
+        F.coalesce("u.o_orderstatus", "t.o_orderstatus").alias("o_orderstatus"),
+        F.coalesce("u.o_totalprice", F.round("t.o_totalprice", 2)).alias("o_totalprice"),
+        F.when(F.col("t.o_orderkey").isNull(), "insert")
+        .when(F.col("u.o_orderkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
+    return (
+        merged.groupBy("action", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("action", "o_orderstatus")
+    )

@@ -1064,3 +1064,35 @@ def event_value_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "part_metrics_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT p_brand,
+             ROUND(AVG(p_size), 4) AS avg_size,
+             ROUND(AVG(p_retailprice), 4) AS avg_price,
+             CAST(COUNT(*) AS DOUBLE) AS n_parts
+      FROM part GROUP BY p_brand)
+    SELECT p_brand, metric, value
+    FROM wide UNPIVOT (value FOR metric IN (avg_size, avg_price, n_parts))
+    ORDER BY p_brand, metric
+    """,
+)
+def part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (the inverse of `event_type_pivot`): wide per-brand
+    metric columns reshaped to (brand, metric, value) rows. Catalyst plans
+    it as a single Expand over the aggregated (small) table — reshape after
+    aggregation, so the wide→long explosion never touches base-table
+    cardinality."""
+    part = _t(spark, sf_dir, "part")
+    wide = part.groupBy("p_brand").agg(
+        F.round(F.avg("p_size"), 4).alias("avg_size"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        F.count(F.lit(1)).cast("double").alias("n_parts"),
+    )
+    return (
+        wide.unpivot("p_brand", ["avg_size", "avg_price", "n_parts"], "metric", "value")
+        .orderBy("p_brand", "metric")
+    )

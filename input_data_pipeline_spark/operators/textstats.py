@@ -591,3 +591,53 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "doc_length_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT lang, quantile_cont(n_chars, 0.5) AS med FROM documents GROUP BY lang),
+    dev AS (
+      SELECT d.lang, quantile_cont(abs(d.n_chars - m.med), 0.5) AS mad
+      FROM documents d JOIN med m ON d.lang = m.lang GROUP BY d.lang)
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE abs(d.n_chars - m.med) > 3 * v.mad) AS n_outliers,
+           ROUND(ANY_VALUE(m.med), 4) AS med,
+           ROUND(ANY_VALUE(v.mad), 4) AS mad
+    FROM documents d
+    JOIN med m ON d.lang = m.lang
+    JOIN dev v ON d.lang = v.lang
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+)
+def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-stratum outlier detection: median absolute deviation
+    (two exact-percentile passes), flagging docs beyond 3×MAD of their
+    language's median length. Same broadcast-back shape as
+    ``quality_percentile_filter`` — each pass reduces to |langs| rows and
+    rejoins broadcast, so the corpus is scanned twice but never shuffled
+    on anything wider than the tiny stat tables."""
+    docs = load_table(spark, sf_dir, "documents")
+    med = docs.groupBy("lang").agg(F.percentile("n_chars", 0.5).alias("med"))
+    dev = (
+        docs.join(F.broadcast(med), "lang")
+        .groupBy("lang")
+        .agg(F.percentile(F.abs(F.col("n_chars") - F.col("med")), 0.5).alias("mad"))
+    )
+    return (
+        docs.join(F.broadcast(med), "lang")
+        .join(F.broadcast(dev), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(
+                F.when(F.abs(F.col("n_chars") - F.col("med")) > 3 * F.col("mad"), 1)
+            ).alias("n_outliers"),
+            F.round(F.any_value("med"), 4).alias("med"),
+            F.round(F.any_value("mad"), 4).alias("mad"),
+        )
+        .orderBy("lang")
+    )

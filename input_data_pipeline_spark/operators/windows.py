@@ -612,3 +612,39 @@ def user_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+@register(
+    "user_value_intervals",
+    oracle="""
+    SELECT user_id,
+           ROUND(value, 4) AS value,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, valid_from
+    """,
+)
+def user_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) interval construction: each
+    purchase's value holds from its own timestamp until the user's next
+    purchase; the open-ended row is flagged current. One lead() over one
+    shuffle — the standard way to turn an append-only change log into a
+    point-in-time-joinable dimension (pair with ``asof_order_context`` for
+    the lookup side)."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        events.select(
+            "user_id",
+            F.round("value", 4).alias("value"),
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from")
+    )

@@ -25,6 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     MapType,
     StringType,
@@ -129,3 +130,47 @@ def flatten_segments_text(df: DataFrame, sep: str = "\n") -> DataFrame:
             F.array_join(F.col("segments.text"), sep),
         ).otherwise(F.col("text")),
     )
+
+
+# Labeled-dataset shape (reference inputs/json_to_toxic_label.py:14):
+# flat rows, so CSV is a legal interchange format for it (CSV cannot carry
+# the nested IngestRecord — that stays JSONL/parquet/ORC).
+LABELED_SCHEMA = StructType(
+    [
+        StructField("sentence", StringType()),
+        StructField("toxic", BooleanType()),
+    ]
+)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """CSV sink for flat datasets: header, full quoting/escaping so
+    embedded commas, quotes, and newlines round-trip."""
+    (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Schema-enforced CSV read — explicit schema, never inference (at
+    100 TB inference is a full extra scan), multiLine for quoted newlines."""
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("escape", '"')
+        .option("multiLine", True)
+        .csv(path)
+    )
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink: columnar alternative to parquet that fully supports the
+    nested IngestRecord (array-of-struct segments, string map meta)."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

@@ -176,3 +176,56 @@ def test_reference_golden_record_roundtrip(spark, tmp_path):
     assert back.collect() == df.collect()
     raw = b"".join(p.read_bytes() for p in (tmp_path / "golden_out").glob("part-*.json"))
     assert original["text"].encode("utf-8") in raw  # ensure_ascii=False bytes
+
+
+def test_csv_roundtrip_hostile_values(spark, tmp_path):
+    from input_data_pipeline_spark.sources.ingest_model import (
+        LABELED_SCHEMA,
+        read_csv,
+        write_csv,
+    )
+
+    rows = [
+        ("plain sentence.", False),
+        ('quoted "inner" text', True),
+        ("comma, separated, values", False),
+        ("line\nbreak inside", True),
+        ("tiếng Việt — 中文 ümlauts", False),
+        (None, None),
+    ]
+    df = spark.createDataFrame(rows, LABELED_SCHEMA)
+    out = str(tmp_path / "labeled_csv")
+    write_csv(df, out)
+    back = read_csv(spark, out, LABELED_SCHEMA)
+    assert back.schema == LABELED_SCHEMA
+    assert sorted(map(repr, back.collect())) == sorted(map(repr, df.collect()))
+
+
+def test_orc_roundtrip_nested_record(spark, tmp_path):
+    from input_data_pipeline_spark.sources.ingest_model import (
+        INGEST_SCHEMA,
+        read_orc,
+        write_orc,
+    )
+
+    rows = [
+        (
+            "rec_1",
+            "youtube_transcript",
+            "hello\nworld",
+            [(0.0, 1.5, "hello"), (1.5, 2.0, "world")],
+            None,
+            {"video_id": "dQw4w9WgXcQ", "languages": "vi,en"},
+        ),
+        ("rec_2", "system_audio", None, None, "out/audio/a.wav", {"engine": "vosk"}),
+    ]
+    df = spark.createDataFrame(rows, INGEST_SCHEMA)
+    out = str(tmp_path / "records_orc")
+    write_orc(df, out)
+    back = read_orc(spark, out)
+    assert [f.name for f in back.schema.fields] == [f.name for f in INGEST_SCHEMA.fields]
+    a = sorted(map(repr, df.select("id", "text", "segments", "binary_path").collect()))
+    b = sorted(map(repr, back.select("id", "text", "segments", "binary_path").collect()))
+    assert a == b
+    metas = {r["id"]: r["meta"] for r in back.collect()}
+    assert metas["rec_1"]["video_id"] == "dQw4w9WgXcQ"
