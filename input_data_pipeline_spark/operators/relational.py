@@ -1096,3 +1096,77 @@ def part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.unpivot("p_brand", ["avg_size", "avg_price", "n_parts"], "metric", "value")
         .orderBy("p_brand", "metric")
     )
+
+
+@register(
+    "segment_top_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1998-01-01'
+      AND l.l_shipdate > DATE '1998-01-01'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def segment_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers ⋈ orders ⋈ lineitem,
+    revenue per not-yet-shipped order, top 10. The segment filter prunes
+    customers before the join (pushed to the scan), the date filters prune
+    both fact scans, and the final top-10 plans as TakeOrderedAndProject —
+    no global sort materializes."""
+    customer = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    lineitem = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "returned_revenue_by_customer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS lost_revenue,
+           COUNT(*) AS n_returned_lines
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY lost_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer with
+    their nation, top 20. Returnflag filter reaches the lineitem scan;
+    nation broadcasts; the customer join shuffles once on the key that the
+    aggregate then reuses (no second exchange between join and groupBy)."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("lost_revenue"),
+            F.count(F.lit(1)).alias("n_returned_lines"),
+        )
+        .orderBy(F.desc("lost_revenue"), "c_custkey")
+        .limit(20)
+    )

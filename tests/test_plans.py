@@ -87,3 +87,19 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    """Q3/Q10-shaped top-k must plan as TakeOrderedAndProject (bounded
+    per-partition heaps), never a global Sort before the limit."""
+    from input_data_pipeline_spark.operators.relational import (
+        returned_revenue_by_customer,
+        segment_top_orders,
+    )
+
+    for fn in (segment_top_orders, returned_revenue_by_customer):
+        plan = _executed_plan(fn(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, fn.__name__
+        assert re.search(r"PushedFilters: \[[^\]]*(EqualTo|GreaterThan|LessThan)", plan), (
+            f"{fn.__name__}: no filter reached a scan"
+        )
