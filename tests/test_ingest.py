@@ -229,3 +229,24 @@ def test_orc_roundtrip_nested_record(spark, tmp_path):
     assert a == b
     metas = {r["id"]: r["meta"] for r in back.collect()}
     assert metas["rec_1"]["video_id"] == "dQw4w9WgXcQ"
+
+
+def test_observe_ingest_quality_counters(spark):
+    from input_data_pipeline_spark.sources.ingest_model import (
+        INGEST_SCHEMA,
+        observe_ingest_quality,
+    )
+
+    rows = [
+        ("r1", "youtube_transcript", "hi", [(0.0, 1.0, "hi")], None, {}),
+        ("r2", "system_audio", None, None, "a.wav", {}),
+        ("r3", "youtube", "yo", None, "b.wav", {}),
+    ]
+    df = spark.createDataFrame(rows, INGEST_SCHEMA)
+    observed, obs = observe_ingest_quality(df)
+    assert observed.count() == 3  # the action that populates the observation
+    got = obs.get
+    assert got["n_rows"] == 3
+    assert got["n_null_text"] == 1
+    assert got["n_null_segments"] == 2
+    assert got["n_source_types"] == 3

@@ -94,3 +94,30 @@ def test_ingestion_layout_partition_pruning(spark, tmp_path):
     # data filters list must NOT contain the partition columns (they never
     # reach row-level evaluation)
     assert re.search(r"partition.*4|ReadSchema", plan)
+
+
+def test_dynamic_partition_pruning_from_join(spark, sf_dir, tmp_path):
+    """Join-driven pruning (the star-schema date-dim pattern at 100 TB):
+    when the fact is partitioned on the join key and the dim side carries a
+    selective filter, the fact scan must be pruned by a runtime subquery —
+    visible as a dynamicpruning expression in its PartitionFilters — not
+    scan all partitions and filter after the join."""
+    from input_data_pipeline_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_by_type")
+    events.write.partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("signup", 2), ("click", 3)], "event_type string, pri int"
+    ).filter(F.col("pri") == 1)
+
+    joined = fact.join(dim, "event_type").groupBy("event_type").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    joined.collect()
+    assert "dynamicpruning" in plan or "dynamicpruning" in (
+        joined._jdf.queryExecution().executedPlan().toString()
+    ), "no dynamic partition pruning subquery on the fact scan"
+    got = {r["event_type"] for r in joined.collect()}
+    assert got == {"purchase"}
