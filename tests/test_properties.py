@@ -79,3 +79,45 @@ def test_topk_plans_as_take_ordered(spark, sf_dir):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+@given(
+    text=st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        min_size=0,
+        max_size=300,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_winnow_kernel_matches_naive_reference(text):
+    """The numpy winnowing kernel must agree with a direct transliteration
+    of the spec (gram hash = codepoint polynomial; fingerprints = distinct
+    sliding-window minima) on arbitrary unicode input — including strings
+    shorter than one gram or one window."""
+    import pandas as pd
+
+    from input_data_pipeline_spark.operators.dedup import (
+        GRAM_CHARS,
+        WINNOW_WINDOW,
+        _WINNOW_A,
+        _WINNOW_P,
+        _winnow_batches,
+    )
+
+    # Naive spec: positions 1..max(len-7,1); chars past the end contribute 0.
+    cps = [ord(c) % 251 for c in text]
+    n_grams = max(len(cps) - (GRAM_CHARS - 1), 1)
+    hs = []
+    for i in range(n_grams):
+        acc = 0
+        for r in range(GRAM_CHARS):
+            c = cps[i + r] if i + r < len(cps) else 0
+            acc += c * 131 ** (GRAM_CHARS - 1 - r)
+        hs.append(acc % _WINNOW_P * _WINNOW_A % _WINNOW_P)
+    n_keep = max(n_grams - (WINNOW_WINDOW - 1), 1)
+    want_fps = sorted({min(hs[i:i + WINNOW_WINDOW]) for i in range(n_keep)})
+
+    pdf = pd.DataFrame({"doc_id": [1], "s": [text], "n_chars": [len(text)]})
+    got = next(_winnow_batches(iter([pdf])))
+    assert int(got["n_grams"][0]) == n_grams
+    assert int(got["n_fingerprints"][0]) == len(want_fps)
