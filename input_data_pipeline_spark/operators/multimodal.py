@@ -162,3 +162,42 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(sample, schema)
         .orderBy("doc_id", "frame_idx")
     )
+
+
+CHUNK_BYTES = 4000  # mirrors the reference's 4000-frame chunked WAV read
+
+
+def chunk_binary_payloads(docs_with_payload: DataFrame) -> DataFrame:
+    """Split each opaque binary payload into fixed-size chunk rows
+    ``(doc_id, chunk_idx, byte_start, byte_len, chunk)`` — the distributed
+    form of the reference's chunked recognizer feed
+    (``inputs/system_audio_collector.py:39-41``: readframes(4000) loop).
+
+    mapInPandas so the slicing happens per Arrow batch with zero JVM↔Python
+    row chatter; chunk rows inherit the input partitioning, so a downstream
+    per-chunk inference UDF (ASR, embedding) runs map-side with no shuffle.
+    The last chunk is short, never padded, matching the reference loop.
+    """
+    import pandas as pd
+
+    def slice_batches(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "chunk_idx": [], "byte_start": [], "byte_len": [], "chunk": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload or b"")
+                n = len(data)
+                idx = 0
+                for start in range(0, max(n, 1), CHUNK_BYTES):
+                    piece = data[start:start + CHUNK_BYTES]
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(idx)
+                    out["byte_start"].append(start)
+                    out["byte_len"].append(len(piece))
+                    out["chunk"].append(piece)
+                    idx += 1
+            yield pd.DataFrame(out)
+
+    return docs_with_payload.mapInPandas(
+        slice_batches,
+        "doc_id long, chunk_idx int, byte_start long, byte_len long, chunk binary",
+    )

@@ -641,3 +641,48 @@ def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "source_quota_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5('quota:' || doc_id), doc_id) AS rn
+      FROM documents)
+    SELECT source,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE rn <= 50) AS n_kept,
+           ROUND(AVG(n_chars) FILTER (WHERE rn <= 50), 4) AS avg_chars_kept
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (cap docs per domain — the batch form of
+    streaming quota enforcement): rank each source's docs in a
+    content-keyed pseudorandom order and keep the first 50, so the sample
+    within the cap is unbiased and reruns pick the identical winners.
+    One shuffle on source; row_number streams over each sorted partition
+    and everything past the cap is dropped before any wide operation."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("quota:"), F.col("doc_id"))), "doc_id"
+    )
+    ranked = docs.select(
+        "source", "n_chars", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("rn") <= 50, 1)).alias("n_kept"),
+            F.round(F.avg(F.when(F.col("rn") <= 50, F.col("n_chars"))), 4)
+             .alias("avg_chars_kept"),
+        )
+        .orderBy("source")
+    )

@@ -102,3 +102,35 @@ def test_per_executor_singleton_pattern(spark):
     out = df.mapInPandas(infer, "id long, pid long, loads int").collect()
     assert len(out) == 200
     assert all(r.loads == 1 for r in out)  # never re-constructed within a worker
+
+
+def test_chunk_binary_payloads_roundtrip(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        CHUNK_BYTES,
+        attach_binary_payload,
+        chunk_binary_payloads,
+    )
+    from input_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    chunks = chunk_binary_payloads(attach_binary_payload(docs))
+    rows = chunks.collect()
+    by_doc = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    originals = {
+        r["doc_id"]: r["text"].encode("utf-8") for r in docs.collect()
+    }
+    assert set(by_doc) == set(originals)
+    for doc_id, rs in by_doc.items():
+        # chunk indices dense from 0; offsets contiguous; concat == original
+        assert [r["chunk_idx"] for r in rs] == list(range(len(rs)))
+        assert all(r["byte_start"] == i * CHUNK_BYTES for i, r in enumerate(rs))
+        assert all(len(r["chunk"]) == r["byte_len"] for r in rs)
+        assert all(r["byte_len"] == CHUNK_BYTES for r in rs[:-1])
+        assert b"".join(bytes(r["chunk"]) for r in rs) == originals[doc_id]
+    # no shuffle: chunking is map-only over the scan
+    plan = chunks._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
