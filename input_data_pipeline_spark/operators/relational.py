@@ -1170,3 +1170,89 @@ def returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lost_revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "part_name_fuzzy_pairs",
+    oracle="""
+    SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a
+    JOIN part b
+      ON a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+     AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+    ORDER BY a.p_brand, key_a, key_b
+    """,
+)
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (the entity-resolution cousin of
+    n-gram dedup): near-identical part names within a brand, Levenshtein
+    distance 1-2. Blocking on the equi key (brand) turns the quadratic
+    self-join into per-block quadratics — the levenshtein predicate only
+    ever runs inside a block, which is the standard scale pattern for
+    fuzzy joins (block on cheap keys: brand, length bucket, first char;
+    verify expensive distance inside)."""
+    part = _t(spark, sf_dir, "part")
+    a, b = part.alias("a"), part.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & dist.between(1, 2),
+        )
+        .select(
+            F.col("a.p_brand").alias("p_brand"),
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.alias("dist"),
+        )
+        .orderBy("p_brand", "key_a", "key_b")
+    )
+
+
+@register(
+    "priority_nullsafe_join",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, NULLIF(o_orderpriority, '3-MEDIUM') AS pr, o_totalprice
+      FROM orders),
+    dim AS (
+      SELECT * FROM (VALUES ('1-URGENT', 'high'), ('2-HIGH', 'high'),
+                            ('4-NOT SPECIFIED', 'low'), ('5-LOW', 'low'),
+                            (NULL, 'default')) AS t(pr, tier))
+    SELECT d.tier, COUNT(*) AS n_orders, ROUND(SUM(o.o_totalprice), 2) AS total
+    FROM o JOIN dim d ON o.pr IS NOT DISTINCT FROM d.pr
+    GROUP BY d.tier
+    ORDER BY d.tier
+    """,
+)
+def priority_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match the dimension's explicit NULL row instead of vanishing — the
+    'unknown bucket' pattern for dirty keys. Plans as a regular broadcast
+    hash join because null-safe equality is still an equi key."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.nullif("o_orderpriority", F.lit("3-MEDIUM")).alias("pr"),
+        "o_totalprice",
+    )
+    dim = spark.createDataFrame(
+        [("1-URGENT", "high"), ("2-HIGH", "high"),
+         ("4-NOT SPECIFIED", "low"), ("5-LOW", "low"), (None, "default")],
+        "pr string, tier string",
+    )
+    return (
+        orders.join(F.broadcast(dim), orders["pr"].eqNullSafe(dim["pr"]))
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("tier")
+    )

@@ -648,3 +648,37 @@ def user_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from")
     )
+
+
+@register(
+    "user_rolling_distinct_types",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           len(list_distinct(list(event_type)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))) AS distinct_types_10
+    FROM events
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def user_rolling_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct count — COUNT(DISTINCT) isn't a legal window
+    aggregate in any engine, so the frame collects and dedups instead:
+    size(array_distinct(collect_list over frame)). The frame is 10 rows,
+    so per-row state is bounded; for unbounded frames use approx sketches
+    per group, never a window."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+             .alias("distinct_types_10"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
