@@ -686,3 +686,18 @@ def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register("frequent_tokens_sketch")  # no oracle: sketch contents are impl-specific
+def frequent_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the Karp-Papadimitriou-Shenker sketch
+    (``DataFrame.stat.freqItems``): single pass, fixed memory ~1/support
+    counters per partition, mergeable — the 100 TB answer to "which tokens
+    dominate the corpus" without a full token groupBy. Guarantee: every
+    token with frequency >= support is present (false positives possible,
+    no false negatives) — bounded by tests/test_sampling_rollups.py against
+    exact counts. Output array sorted for run-to-run stability."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokens("text")).alias("tok"))
+    freq = toks.stat.freqItems(["tok"], support=0.02)
+    return freq.select(F.sort_array(F.col("tok_freqItems")).alias("frequent_tokens"))

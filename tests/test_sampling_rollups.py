@@ -156,3 +156,24 @@ def test_setops_all_multiset_identity(spark, sf_dir):
         n96 = y96.get(k, 0)
         assert inter.get(k, 0) == min(n95, n96)
         assert exc.get(k, 0) == max(n95 - n96, 0)
+
+
+def test_frequent_tokens_sketch_no_false_negatives(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from input_data_pipeline_spark.functions import text as T
+    from input_data_pipeline_spark.operators.textstats import frequent_tokens_sketch
+    from input_data_pipeline_spark.tables import load_table
+
+    got = set(frequent_tokens_sketch(spark, sf_dir).collect()[0]["frequent_tokens"])
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(T.tokens("text")).alias("tok"))
+    )
+    total = toks.count()
+    exact = {
+        r["tok"]
+        for r in toks.groupBy("tok").count().filter(F.col("count") >= 0.02 * total).collect()
+    }
+    # KPS guarantee: no false negatives above the support threshold.
+    assert exact <= got, exact - got

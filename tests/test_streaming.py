@@ -289,3 +289,47 @@ def test_stream_stream_interval_join(spark, src):
         assert (21, 20) in got                       # same-instant click joins
     finally:
         q.stop()
+
+
+def test_stream_batch_unification_same_definition(spark, sf_dir, tmp_path):
+    """One transformation, two execution modes: `windowed_counts` applied to
+    the batch events table and to a file-stream of the exact same rows must
+    produce identical windows (complete mode so tail windows emit too) —
+    the unified-API property SURVEY §1.3 designs for."""
+    import json as _json
+
+    from input_data_pipeline_spark.streaming.pipelines import (
+        stream_events,
+        windowed_counts,
+    )
+    from input_data_pipeline_spark.tables import load_table
+
+    batch = load_table(spark, sf_dir, "events").limit(500)
+    rows = batch.collect()
+    expected = sorted(
+        map(repr, (tuple(r) for r in windowed_counts(
+            spark.createDataFrame(rows, batch.schema), size="1 hour"
+        ).collect()))
+    )
+
+    src = tmp_path / "ev_unify"
+    src.mkdir()
+    with open(src / "all.jsonl", "w") as f:
+        for r in rows:
+            d = r.asDict()
+            d["ts"] = d["ts"].isoformat()
+            f.write(_json.dumps(d) + "\n")
+    name = _unique("unify")
+    q = (
+        windowed_counts(stream_events(spark, str(src)), size="1 hour")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(map(repr, (tuple(r) for r in spark.table(name).collect())))
+        assert got == expected
+    finally:
+        q.stop()
