@@ -1256,3 +1256,37 @@ def priority_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+@register(
+    "lateral_top_customers_per_nation",
+    oracle="""
+    SELECT n.n_name AS nation, t.c_name, t.bal
+    FROM nation n,
+    LATERAL (SELECT c_name, ROUND(c_acctbal, 2) AS bal
+             FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_name
+             LIMIT 2) t
+    ORDER BY nation, bal DESC, c_name
+    """,
+)
+def lateral_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery through the SQL surface: top-2 customers
+    by balance per nation, the per-row-subquery formulation of
+    top-k-per-group. Catalyst decorrelates it into the same
+    window/row_number plan the DataFrame form produces — proof the SQL and
+    DataFrame surfaces share one optimizer, and that a correlated LIMIT
+    subquery does NOT execute per driving row at scale."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql("""
+        SELECT n.n_name AS nation, t.c_name, t.bal
+        FROM nation n,
+        LATERAL (SELECT c_name, ROUND(c_acctbal, 2) AS bal
+                 FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name
+                 LIMIT 2) t
+        ORDER BY nation, bal DESC, c_name
+    """)

@@ -121,3 +121,49 @@ def test_dynamic_partition_pruning_from_join(spark, sf_dir, tmp_path):
     ), "no dynamic partition pruning subquery on the fact scan"
     got = {r["event_type"] for r in joined.collect()}
     assert got == {"purchase"}
+
+
+def test_sorted_write_tightens_rowgroup_stats(spark, sf_dir, tmp_path):
+    """Sorting within partitions before writing gives parquet row groups
+    disjoint min/max ranges on the sort key — the layout that lets any
+    engine skip row groups on a ts predicate. Unsorted writes interleave
+    the key range across row groups and skip nothing."""
+    import pyarrow.parquet as pq
+
+    from input_data_pipeline_spark.tables import load_table
+
+    # sf0.1: enough rows for multiple row groups at a small block size
+    events = load_table(spark, "/root/testdata/sf0.1", "events")
+
+    def rowgroup_spans(path):
+        import glob
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = [md.schema.column(i).name for i in range(md.num_columns)].index("event_id")
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                spans.append((st.min, st.max))
+        return spans
+
+    small_groups = {"parquet.block.size": str(64 * 1024)}
+    sorted_out = str(tmp_path / "sorted")
+    (events.repartition(1).sortWithinPartitions("event_id")
+     .write.options(**small_groups).parquet(sorted_out))
+    unsorted_out = str(tmp_path / "unsorted")
+    (events.orderBy(F.col("value")).repartition(1)
+     .write.options(**small_groups).parquet(unsorted_out))
+
+    s_spans = sorted(rowgroup_spans(sorted_out))
+    u_spans = sorted(rowgroup_spans(unsorted_out))
+    assert len(s_spans) > 1, "need multiple row groups for the comparison"
+    # sorted: consecutive row-group ranges never overlap
+    overlaps_sorted = sum(
+        1 for (a, b) in zip(s_spans, s_spans[1:]) if a[1] > b[0]
+    )
+    assert overlaps_sorted == 0, s_spans
+    # unsorted: nearly every row group spans nearly the whole ts range
+    overlaps_unsorted = sum(
+        1 for (a, b) in zip(u_spans, u_spans[1:]) if a[1] > b[0]
+    )
+    assert overlaps_unsorted > 0, "control: unsorted layout should overlap"
