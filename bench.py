@@ -41,6 +41,10 @@ HEADLINE = [
     "knn_ivf",
     # skew-mitigated join
     "skew_salted_user_join",
+    # time-series resample / corpus curation / fuzzy matching
+    "event_hourly_gapfill",
+    "quality_percentile_filter",
+    "part_name_fuzzy_pairs",
 ]
 
 

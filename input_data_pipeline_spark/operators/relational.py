@@ -1189,19 +1189,42 @@ def returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy matching (the entity-resolution cousin of
     n-gram dedup): near-identical part names within a brand, Levenshtein
-    distance 1-2. Blocking on the equi key (brand) turns the quadratic
-    self-join into per-block quadratics — the levenshtein predicate only
-    ever runs inside a block, which is the standard scale pattern for
-    fuzzy joins (block on cheap keys: brand, length bucket, first char;
-    verify expensive distance inside)."""
-    part = _t(spark, sf_dir, "part")
-    a, b = part.alias("a"), part.alias("b")
+    distance 1-2. Two-level blocking turns the quadratic self-join into
+    small per-block quadratics: equi keys are (brand, length band), where
+    one side explodes into its band and both neighbors — dist <= 2 implies
+    a length difference <= 2, so banding loses nothing — and a cheap
+    length-delta conjunct short-circuits before levenshtein ever runs.
+    Blocking keys are the standard scale pattern for fuzzy joins; without
+    the band, 800-part brand blocks cost 8M levenshtein calls at sf0.1
+    (26s); with it, ~4s."""
+    _BAND = 3
+    part = _t(spark, sf_dir, "part").withColumn("nlen", F.length("p_name"))
+    a = part.withColumn("band", (F.col("nlen") / _BAND).cast("int")).alias("a")
+    b = part.withColumn(
+        "probe",
+        F.explode(
+            F.array(
+                (F.col("nlen") / _BAND).cast("int") - 1,
+                (F.col("nlen") / _BAND).cast("int"),
+                (F.col("nlen") / _BAND).cast("int") + 1,
+            )
+        ),
+    ).alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    # Explicit repartition on the block keys: the inputs are only a few MB,
+    # so AQE would coalesce the join to ~1 task — but the work here is the
+    # per-pair levenshtein inside each block, invisible to size-based
+    # planning. Compute-bound joins must pin their parallelism to the
+    # blocks, not the bytes.
+    a = a.repartition(32, F.col("a.p_brand"), F.col("a.band"))
+    b = b.repartition(32, F.col("b.p_brand"), F.col("b.probe"))
     return (
         a.join(
             b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.band") == F.col("b.probe"))
             & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (F.abs(F.col("a.nlen") - F.col("b.nlen")) <= 2)
             & dist.between(1, 2),
         )
         .select(
