@@ -167,3 +167,74 @@ def test_sorted_write_tightens_rowgroup_stats(spark, sf_dir, tmp_path):
         1 for (a, b) in zip(u_spans, u_spans[1:]) if a[1] > b[0]
     )
     assert overlaps_unsorted > 0, "control: unsorted layout should overlap"
+
+
+def test_z_order_key_matches_reference(spark):
+    from input_data_pipeline_spark.functions.layout import z_order_key
+
+    rows = [(a, b) for a in range(8) for b in range(8)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select("a", "b", z_order_key([F.col("a"), F.col("b")], bits=3).alias("z")).collect()
+    }
+
+    def morton(a, b, bits=3):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(a, b): morton(a, b) for a, b in rows}
+
+
+def test_z_order_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-ordered writes must give row groups tight spans on BOTH interleaved
+    dimensions, where a single-column sort is tight on one and spans
+    everything on the other."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from input_data_pipeline_spark.functions.layout import scale_to_bits, z_order_key
+    from input_data_pipeline_spark.tables import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.1", "events").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("epoch")
+    )
+    lo_u, hi_u, lo_t, hi_t = events.agg(
+        F.min("user_id"), F.max("user_id"), F.min("epoch"), F.max("epoch")
+    ).first()
+    z = z_order_key(
+        [scale_to_bits(F.col("user_id"), lo_u, hi_u, 12),
+         scale_to_bits(F.col("epoch"), lo_t, hi_t, 12)],
+        bits=12,
+    )
+    opts = {"parquet.block.size": str(64 * 1024)}
+
+    def spans(path, col):
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = [md.schema.column(i).name for i in range(md.num_columns)].index(col)
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                out.append(st.max - st.min)
+        return out
+
+    z_out = str(tmp_path / "zorder")
+    (events.repartition(1).sortWithinPartitions(z)
+     .write.options(**opts).parquet(z_out))
+    t_out = str(tmp_path / "tsorted")
+    (events.repartition(1).sortWithinPartitions("epoch")
+     .write.options(**opts).parquet(t_out))
+
+    full_u, full_t = hi_u - lo_u, hi_t - lo_t
+    avg = lambda xs: sum(xs) / len(xs)
+    # time-sorted: epoch spans tiny, user_id spans ~the whole range
+    assert avg(spans(t_out, "epoch")) < 0.25 * full_t
+    assert avg(spans(t_out, "user_id")) > 0.8 * full_u
+    # z-ordered: BOTH dimensions materially tighter than the full range
+    assert avg(spans(z_out, "user_id")) < 0.5 * full_u
+    assert avg(spans(z_out, "epoch")) < 0.5 * full_t
