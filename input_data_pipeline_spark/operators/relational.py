@@ -1313,3 +1313,95 @@ def lateral_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFr
                  LIMIT 2) t
         ORDER BY nation, bal DESC, c_name
     """)
+
+
+@register(
+    "event_value_winsorized",
+    oracle="""
+    WITH cuts AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           ROUND(AVG(e.value), 4) AS avg_raw,
+           ROUND(AVG(LEAST(GREATEST(e.value, c.p05), c.p95)), 4) AS avg_winsorized,
+           COUNT(*) FILTER (WHERE e.value < c.p05 OR e.value > c.p95) AS n_clipped
+    FROM events e JOIN cuts c ON e.event_type = c.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def event_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (clip to the 5th/95th percentile per group) — the
+    standard robust preprocessing step before training-statistics
+    aggregation. Same two-pass broadcast-back shape as the MAD outlier
+    query: percentile cuts reduce to |groups| rows and rejoin broadcast."""
+    events = _t(spark, sf_dir, "events")
+    cuts = events.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        events.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_raw"),
+            F.round(F.avg(clipped), 4).alias("avg_winsorized"),
+            F.count(
+                F.when((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95")), 1)
+            ).alias("n_clipped"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "orders_by_weekday",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM orders),
+    calendar AS (
+      SELECT CAST(g.d AS DATE) AS cal_date,
+             CAST(isodow(g.d) - 1 AS INT) AS dow,  -- Monday=0, matching Spark weekday()
+             CAST(EXTRACT(month FROM g.d) AS INT) AS month
+      FROM bounds, UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS g(d))
+    SELECT c.dow,
+           COUNT(DISTINCT c.cal_date) AS n_days,
+           COUNT(o.o_orderkey) AS n_orders,
+           ROUND(COUNT(o.o_orderkey) * 1.0 / COUNT(DISTINCT c.cal_date), 4)
+             AS orders_per_day
+    FROM calendar c
+    LEFT JOIN orders o ON o.o_orderdate = c.cal_date
+    GROUP BY c.dow
+    ORDER BY c.dow
+    """,
+)
+def orders_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension (sequence+explode from a 1-row bounds
+    aggregate, like the gap-fill grid) left-joined to the fact — the
+    standard star-schema date-dim without ever storing one. The calendar
+    side is |days| rows and broadcasts; weekday rates correctly count
+    orderless days via the left join, which a plain GROUP BY over orders
+    cannot see."""
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+    calendar = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("cal_ts")
+    ).select(
+        F.to_date("cal_ts").alias("cal_date"),
+        F.weekday("cal_ts").alias("dow"),
+    )
+    return (
+        F.broadcast(calendar)
+        .join(orders, F.to_date(orders["o_orderdate"]) == F.col("cal_date"), "left")
+        .groupBy("dow")
+        .agg(
+            F.countDistinct("cal_date").alias("n_days"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.count("o_orderkey") / F.countDistinct("cal_date"), 4)
+             .alias("orders_per_day"),
+        )
+        .orderBy("dow")
+    )
