@@ -547,3 +547,49 @@ def semantic_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_doc", "rank")
     )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+    WITH norms AS (
+      SELECT label,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+      FROM embeddings)
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           ROUND(AVG(l2), 4) AS avg_norm,
+           ROUND(stddev_samp(l2), 4) AS sd_norm,
+           ROUND(MIN(l2), 4) AS min_norm,
+           ROUND(MAX(l2), 4) AS max_norm
+    FROM norms
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column quality statistics: L2 norm distribution per label —
+    the sanity check run before any cosine-based dedup/search (zero or
+    wildly-scaled norms poison cosine). posexplode to rows so the square
+    and the sum run in codegen with map-side combine (same lesson as the
+    MinHash signatures: interpreted array lambdas are the slow path), then
+    one tiny per-label aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id", "label", (F.col("x").cast("double") * F.col("x").cast("double")).alias("x2")
+    )
+    norms = sq.groupBy("vec_id", "label").agg(F.sqrt(F.sum("x2")).alias("l2"))
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("l2"), 4).alias("avg_norm"),
+            F.round(F.stddev_samp("l2"), 4).alias("sd_norm"),
+            F.round(F.min("l2"), 4).alias("min_norm"),
+            F.round(F.max("l2"), 4).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
