@@ -47,27 +47,39 @@ def asof_join(
         F.col(on).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
-    ).withColumn(f"{prefix}{right_time}", F.col("_t"))
+        # One struct per right row: the carry below forwards it atomically,
+        # so every output row's carried fields come from the SAME right row
+        # even when some right columns hold NULL (per-column last(...,
+        # ignorenulls) would silently mix field values across right rows).
+        F.struct(
+            *[F.col(c).alias(c) for c in right_cols],
+            F.col(right_time).alias(right_time),
+        ).alias("_r"),
+    )
     l = left.select(  # noqa: E741
         F.col(on).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"),
         *left.columns,
     )
-    merged = l.unionByName(r, allowMissingColumns=True)
+    merged = l.unionByName(r, allowMissingColumns=True)  # left rows: _r IS NULL
     # Rights sort before lefts at equal time (<= semantics); among equal-time
     # rights the last one in right_cols order wins.
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_side").asc(), *[F.col(f"{prefix}{c}").asc_nulls_first() for c in right_cols])
+        .orderBy(
+            F.col("_t").asc(),
+            F.col("_side").asc(),
+            *[F.col("_r").getField(c).asc_nulls_first() for c in right_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [f"{prefix}{c}" for c in right_cols] + [f"{prefix}{right_time}"]
-    out = merged
-    for c in carried:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return out.filter(F.col("_side") == 1).drop("_k", "_t", "_side")
+    out = merged.withColumn("_r", F.last("_r", ignorenulls=True).over(w)).filter(
+        F.col("_side") == 1
+    )
+    for c in [*right_cols, right_time]:
+        out = out.withColumn(f"{prefix}{c}", F.col("_r").getField(c))
+    return out.drop("_k", "_t", "_side", "_r")
 
 
 @register(

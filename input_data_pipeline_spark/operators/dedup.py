@@ -117,16 +117,25 @@ def _exploded_shingles2(docs: DataFrame) -> DataFrame:
     codegen'd or a window, vs. the interpreted array-transform in
     ``word_shingles`` (~3× faster at sf0.1, and the explode output is what
     the downstream joins/aggs want anyway). Single-token docs degenerate to
-    the bare token, matching ``word_shingles``'s slice semantics. NOT
-    distinct — callers that need set semantics dedupe on (doc_id, sh).
+    the bare token, and zero-token docs to a single empty-string sentinel
+    shingle — both exactly matching ``word_shingles``'s slice semantics, so
+    the two shingle paths (and the DuckDB oracle fragment) stay
+    interchangeable on every input. NOT distinct — callers that need set
+    semantics dedupe on (doc_id, sh).
     """
     from pyspark.sql import Window
 
     tok = docs.select(
         "doc_id", F.posexplode(T.tokens("text")).alias("pos", "tok")
     )
+    # posexplode emits nothing for an empty array, which would silently drop
+    # zero-token docs from the minhash/jaccard pipelines; word_shingles gives
+    # them the degenerate [""] instead. Route them back in as a sentinel.
+    empty = docs.filter(F.size(T.tokens("text")) == 0).select(
+        "doc_id", F.lit("").alias("sh")
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    return (
+    shingled = (
         tok.select(
             "doc_id",
             "pos",
@@ -145,7 +154,7 @@ def _exploded_shingles2(docs: DataFrame) -> DataFrame:
             .alias("sh"),
         )
     )
-
+    return shingled.unionByName(empty)
 
 
 # Affine hash family h_i(x) = (A_i*x + B_i) mod p over a single 32-bit base
@@ -571,6 +580,9 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
+EMB_PAIR_BLOCKS = 8  # B: corpus splits; memory per task ~ 2/B of the corpus
+
+
 @register(
     "embedding_near_pairs",
     oracle="""
@@ -591,64 +603,96 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine >= 0.45, EXACT.
 
-    The oracle states the naive all-pairs join; executing that with
-    per-pair expression folds is quadratic in interpreted work. Here each
-    partition scores its shard against the broadcast normalized corpus with
-    one float64 matmul (Arrow-batched ``mapInPandas``) and emits only the
-    upper-triangle pairs above threshold — the blocked exact-scoring shape
-    that scales by sharding one side while broadcasting (or chunking) the
-    other. Float64 matmul agrees with the oracle's sequential fold far
-    beyond the 4-decimal rounding.
+    The oracle states the naive all-pairs join; this executes it as a
+    blocked block×block self-join with NO driver-side materialization:
+    every vector lands in block ``vec_id % B``; a broadcast (B*(B+1)/2)-row
+    block-pair table replicates each vector to its B pair-groups (a-side
+    for its own block, b-side for every partner block); one
+    ``applyInPandas`` per pair-group runs a float64 matmul over the two
+    blocks and emits only ordered pairs at/above threshold.
+
+    Scale shape: shuffle volume is n*(B+1) rows and task memory is 2
+    blocks = 2n/B vectors, so B grows ~sqrt(corpus/executor-mem) while the
+    driver holds nothing — vs the previous broadcast-whole-matrix variant,
+    which OOMed the driver at scale. Each unordered pair is produced in
+    exactly one group (min-block, max-block), so no post-dedup is needed.
+    Float64 matmul agrees with the oracle's sequential fold far beyond the
+    4-decimal rounding.
     """
     import numpy as np
+    import pandas as pd
 
+    B = EMB_PAIR_BLOCKS
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
-    rows = emb.collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    labels = np.array([r["label"] for r in rows], dtype=np.int64)
-    mat = np.array([r["e"] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_labels = spark.sparkContext.broadcast(labels)
-    b_mat = spark.sparkContext.broadcast(mat)
-    id_pos = {int(v): i for i, v in enumerate(ids)}
-    b_pos = spark.sparkContext.broadcast(id_pos)
+    blk = emb.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(B)).cast("int"))
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(B) for j in range(i, B)], "ba int, bb int"
+    )
+    a_side = blk.join(F.broadcast(pairs), F.col("blk") == F.col("ba")).select(
+        "ba", "bb", F.lit("a").alias("side"), "vec_id", "label", "e"
+    )
+    b_side = blk.join(
+        F.broadcast(pairs),
+        (F.col("blk") == F.col("bb")) & (F.col("ba") != F.col("bb")),
+    ).select("ba", "bb", F.lit("b").alias("side"), "vec_id", "label", "e")
+    tagged = a_side.unionByName(b_side)
 
     out_schema = (
         "vec_a bigint, vec_b bigint, label_a int, label_b int, cosine double"
     )
 
-    def score(batches):
-        import pandas as pd
-
-        ids_g, labels_g, mat_g, pos = (
-            b_ids.value, b_labels.value, b_mat.value, b_pos.value
+    def score_pair(key, pdf):
+        ba, bb = int(key[0]), int(key[1])
+        left = pdf[pdf["side"] == "a"]
+        right = left if ba == bb else pdf[pdf["side"] == "b"]
+        if not len(left) or not len(right):
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in (
+                    ("vec_a", "int64"), ("vec_b", "int64"),
+                    ("label_a", "int32"), ("label_b", "int32"),
+                    ("cosine", "float64"),
+                )}
+            )
+        ids_l = left["vec_id"].to_numpy()
+        ids_r = right["vec_id"].to_numpy()
+        lab_l = left["label"].to_numpy()
+        lab_r = right["label"].to_numpy()
+        ml = np.array(left["e"].tolist(), dtype=np.float64)
+        ml /= np.linalg.norm(ml, axis=1, keepdims=True)
+        if ba == bb:
+            mr = ml
+        else:
+            mr = np.array(right["e"].tolist(), dtype=np.float64)
+            mr /= np.linalg.norm(mr, axis=1, keepdims=True)
+        sims = np.round(ml @ mr.T, 4)
+        ii, jj = np.nonzero(sims >= 0.45)
+        if ba == bb:  # upper triangle only (self-pairs excluded)
+            keep = ids_l[ii] < ids_r[jj]
+        else:  # cross-block: every (l, r) pair occurs once; drop nothing
+            keep = np.ones(ii.shape, dtype=bool)
+        ii, jj = ii[keep], jj[keep]
+        ida, idb = ids_l[ii], ids_r[jj]
+        la, lb = lab_l[ii], lab_r[jj]
+        swap = ida > idb  # order output as (min_id, max_id)
+        ida2 = np.where(swap, idb, ida)
+        idb2 = np.where(swap, ida, idb)
+        la2 = np.where(swap, lb, la)
+        lb2 = np.where(swap, la, lb)
+        return pd.DataFrame(
+            {
+                "vec_a": ida2,
+                "vec_b": idb2,
+                "label_a": la2,
+                "label_b": lb2,
+                "cosine": sims[ii, jj],
+            }
         )
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            my = np.array([pos[int(v)] for v in pdf["vec_id"]])
-            sims = mat_g[my] @ mat_g.T  # (shard, corpus)
-            sims = np.round(sims, 4)
-            for row_i, i in enumerate(my):
-                mask = (ids_g > ids_g[i]) & (sims[row_i] >= 0.45)
-                js = np.flatnonzero(mask)
-                if js.size:
-                    yield pd.DataFrame(
-                        {
-                            "vec_a": ids_g[i],
-                            "vec_b": ids_g[js],
-                            "label_a": labels_g[i],
-                            "label_b": labels_g[js],
-                            "cosine": sims[row_i][js],
-                        }
-                    )
 
     return (
-        emb.select("vec_id")
-        .mapInPandas(score, out_schema)
+        tagged.groupBy("ba", "bb")
+        .applyInPandas(score_pair, out_schema)
         .orderBy("vec_a", "vec_b")
     )
 
@@ -799,45 +843,84 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup clustering: connected components over the near-dup pair graph
 # ---------------------------------------------------------------------------
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
-    """Iterative min-label propagation: (src, dst) undirected edges →
-    (id, label) with label = min vertex id in the component.
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: connect every neighbor LARGER than u to the
+    minimum of u's closed neighborhood. This is the skew-killer: a hot
+    vertex's whole fringe re-attaches directly to the component min in one
+    round, halving long chains instead of walking them."""
+    from pyspark.sql import Window
 
-    Each round every vertex takes the min of its own label and its
-    neighbors' labels; convergence in <= diameter rounds. ``localCheckpoint``
-    truncates the lineage per round — without it the plan doubles every
-    iteration and the driver dies on analysis long before the data does.
-    At 100 TB scale swap the propagation body for the large-star/small-star
-    rewrite (O(log n) rounds on skewed graphs); the loop scaffolding,
-    convergence test, and checkpointing stay identical.
+    both = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = F.least(F.col("u"), F.min("v").over(Window.partitionBy("u")))
+    return (
+        both.select("u", "v", m.alias("m"))
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient edges (larger, smaller), then connect u
+    and all its smaller neighbors to the minimum of the closed
+    neighborhood."""
+    from pyspark.sql import Window
+
+    orient = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    d = orient.select(
+        "u", "v", F.least(F.col("u"), F.min("v").over(Window.partitionBy("u"))).alias("m")
+    )
+    nbrs = d.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    selfs = d.select("u", F.col("m").alias("v")).distinct()
+    return nbrs.unionByName(selfs).filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Large-star/small-star connected components: (src, dst) undirected
+    edges → (id, label) with label = min vertex id in the component.
+
+    The alternating star rewrites (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) converge in O(log n) rounds even on
+    skewed/long-diameter graphs — vs. diameter rounds for plain min-label
+    propagation, whose hot-vertex neighborhoods also all collide in one
+    reduce task every round. Here each round is two window-over-shuffle
+    passes plus a distinct; ``localCheckpoint`` truncates lineage per round
+    so the plan stays flat no matter the round count. Convergence = the
+    small-star output equals its input (checked with two LIMIT-1
+    anti-semi-joins, not a full count).
+
+    At convergence the edge set is a star forest (child → component min);
+    labels read off directly, roots labeling themselves.
     """
-    e = (
-        edges.select(F.col("src"), F.col("dst"))
-        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e0 = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = e.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    verts = (
+        e0.select(F.col("u").alias("id"))
+        .unionByName(e0.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = e0
     for _ in range(max_iter):
-        msgs = e.join(labels, e["src"] == labels["id"]).select(
-            F.col("dst").alias("id"), "label"
-        )
-        new_labels = (
-            labels.unionByName(msgs)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        grew = new_e.join(e, ["u", "v"], "left_anti").limit(1).count()
+        shrank = e.join(new_e, ["u", "v"], "left_anti").limit(1).count()
+        e = new_e
+        if grew == 0 and shrank == 0:
+            stars = e.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("label"))
+            return (
+                verts.join(stars, "id", "left")
+                .select("id", F.coalesce("label", "id").alias("label"))
+            )
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from input_data_pipeline_spark.functions.stable import stable_sum
 from input_data_pipeline_spark.plans.registry import register
 from input_data_pipeline_spark.tables import load_table
 
@@ -446,7 +447,7 @@ def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders t FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey)
     SELECT action, o_orderstatus,
            COUNT(*) AS n,
-           ROUND(SUM(o_totalprice), 2) AS total
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
     FROM merged
     GROUP BY action, o_orderstatus
     ORDER BY action, o_orderstatus
@@ -491,6 +492,6 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         merged.groupBy("action", "o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), stable_sum("o_totalprice", 2).alias("total"))
         .orderBy("action", "o_orderstatus")
     )

@@ -18,6 +18,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from input_data_pipeline_spark.functions.stable import (
+    sql_corr,
+    sql_stddev_samp,
+    stable_avg,
+    stable_corr,
+    stable_stddev_samp,
+    stable_sum,
+)
 from input_data_pipeline_spark.plans.registry import register
 from input_data_pipeline_spark.tables import load_table
 
@@ -34,7 +42,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "revenue_by_region",
     oracle="""
     SELECT r.r_name AS region,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS revenue,
            COUNT(*) AS line_count
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -72,7 +81,7 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"),
             F.count(F.lit(1)).alias("line_count"),
         )
         .orderBy(F.desc("revenue"))
@@ -87,13 +96,18 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                             AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(l_quantity), 4) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(l_extendedprice), 4) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(l_discount), 4) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -115,13 +129,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            stable_sum("l_quantity", 2).alias("sum_qty"),
+            stable_sum("l_extendedprice", 2).alias("sum_base_price"),
+            stable_sum(disc_price, 2).alias("sum_disc_price"),
+            stable_sum(disc_price * (1 + F.col("l_tax")), 2).alias("sum_charge"),
+            stable_avg("l_quantity", 4).alias("avg_qty"),
+            stable_avg("l_extendedprice", 4).alias("avg_price"),
+            stable_avg("l_discount", 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -136,7 +150,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_customers_by_revenue",
     oracle="""
     SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -166,7 +181,7 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_name").alias("name"),
             F.col("n_name").alias("nation"),
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("custkey"))
         .limit(10)
     )
@@ -236,7 +251,8 @@ def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     SELECT n.n_name AS nation,
            COUNT(o.o_orderkey) AS order_count,
-           ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS total_spend
+           CAST(ROUND(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))), 0), 2) AS DOUBLE)
+             AS total_spend
     FROM nation n
     LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
     LEFT JOIN orders o ON o.o_custkey = c.c_custkey
@@ -257,7 +273,9 @@ def nation_order_counts_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count("o_orderkey").alias("order_count"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+            # COALESCE placement differs from the oracle (outside the round
+            # here, inside there) — equivalent since round(0) = 0.
+            F.coalesce(stable_sum("o_totalprice", 2), F.lit(0.0)).alias("total_spend"),
         )
         .orderBy("nation")
     )
@@ -273,7 +291,7 @@ def nation_order_counts_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o_orderstatus, 'ALL') AS status,
            COALESCE(o_orderpriority, 'ALL') AS priority,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_price
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     ORDER BY status, priority
@@ -288,7 +306,7 @@ def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            stable_sum("o_totalprice", 2).alias("total_price"),
         )
         .select(
             F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
@@ -342,7 +360,8 @@ def nations_with_both_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "account_balance_union",
     oracle="""
-    SELECT role, COUNT(*) AS n, ROUND(SUM(acctbal), 2) AS total_bal
+    SELECT role, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
     FROM (
       SELECT 'customer' AS role, c_acctbal AS acctbal FROM customer
       UNION ALL
@@ -364,7 +383,7 @@ def account_balance_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         customer.unionByName(supplier)
         .groupBy("role")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("acctbal"), 2).alias("total_bal"))
+        .agg(F.count(F.lit(1)).alias("n"), stable_sum("acctbal", 2).alias("total_bal"))
         .orderBy("role")
     )
 
@@ -404,7 +423,8 @@ def urgent_high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_type,
            COUNT(*) AS n_parts,
-           ROUND(AVG(p_retailprice), 4) AS avg_price,
+           ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(p_retailprice), 4) AS avg_price,
            MIN(p_size) AS min_size,
            MAX(p_size) AS max_size
     FROM part
@@ -421,7 +441,7 @@ def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            stable_avg("p_retailprice", 4).alias("avg_price"),
             F.min("p_size").alias("min_size"),
             F.max("p_size").alias("max_size"),
         )
@@ -494,7 +514,7 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
            o_orderpriority AS priority,
            GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_price
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     ORDER BY gid, status, priority
@@ -511,7 +531,7 @@ def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            stable_sum("o_totalprice", 2).alias("total_price"),
         )
         .select("status", "priority", "gid", "n_orders", "total_price")
         .orderBy("gid", "status", "priority")
@@ -542,13 +562,13 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 @register(
     "event_value_percentiles",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            ROUND(quantile_cont(value, 0.25), 6) AS p25,
            ROUND(quantile_cont(value, 0.5), 6) AS p50,
            ROUND(quantile_cont(value, 0.9), 6) AS p90,
-           ROUND(stddev_samp(value), 6) AS sd,
-           ROUND(corr(value, user_id), 6) AS corr_value_user
+           {sql_stddev_samp("value", 6, "sd")},
+           {sql_corr("value", "user_id", 6, "corr_value_user")}
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -568,8 +588,8 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             # one percentile buffer per group, not three
             F.expr("percentile(value, array(0.25D, 0.5D, 0.9D))").alias("ps"),
-            F.round(F.stddev_samp("value"), 6).alias("sd"),
-            F.round(F.corr("value", "user_id"), 6).alias("corr_value_user"),
+            stable_stddev_samp("value", 6).alias("sd"),
+            stable_corr("value", "user_id", 6).alias("corr_value_user"),
         )
         .select(
             "event_type",
@@ -671,10 +691,12 @@ def customer_period_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT s.s_suppkey, s.s_name, n.n_name,
            ROUND(s.s_acctbal, 2) AS acctbal,
-           ROUND((SELECT AVG(s2.s_acctbal) FROM supplier s2
+           ROUND((SELECT CAST(SUM(CAST(s2.s_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                         / COUNT(s2.s_acctbal) FROM supplier s2
                   WHERE s2.s_nationkey = s.s_nationkey), 2) AS nation_avg
     FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
-    WHERE s.s_acctbal > (SELECT AVG(s2.s_acctbal) FROM supplier s2
+    WHERE s.s_acctbal > (SELECT CAST(SUM(CAST(s2.s_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                                / COUNT(s2.s_acctbal) FROM supplier s2
                          WHERE s2.s_nationkey = s.s_nationkey)
     ORDER BY s.s_suppkey
     """,
@@ -693,10 +715,12 @@ def suppliers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT s.s_suppkey, s.s_name, n.n_name,
                ROUND(s.s_acctbal, 2) AS acctbal,
-               ROUND((SELECT AVG(s2.s_acctbal) FROM supplier s2
+               ROUND((SELECT CAST(SUM(CAST(s2.s_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                             / COUNT(s2.s_acctbal) FROM supplier s2
                       WHERE s2.s_nationkey = s.s_nationkey), 2) AS nation_avg
         FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
-        WHERE s.s_acctbal > (SELECT AVG(s2.s_acctbal) FROM supplier s2
+        WHERE s.s_acctbal > (SELECT CAST(SUM(CAST(s2.s_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                                    / COUNT(s2.s_acctbal) FROM supplier s2
                              WHERE s2.s_nationkey = s.s_nationkey)
         ORDER BY s.s_suppkey
         """
@@ -875,7 +899,8 @@ def signup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "brand_revenue_by_supplier_nation",
     oracle="""
     SELECT p.p_brand AS brand, n.n_name AS supplier_nation,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -901,7 +926,7 @@ def brand_revenue_by_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFr
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy(F.col("p_brand").alias("brand"), F.col("n_name").alias("supplier_nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
         .orderBy("brand", "supplier_nation")
@@ -972,7 +997,7 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT order_year, priority,
            CAST(GROUPING(order_year) AS INT) AS g_year,
            CAST(GROUPING(priority) AS INT) AS g_priority,
-           ROUND(SUM(o_totalprice), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_orders
     FROM o
     GROUP BY GROUPING SETS ((order_year, priority), (order_year), ())
@@ -1001,7 +1026,7 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping("order_year").cast("int").alias("g_year"),
             F.grouping("priority").cast("int").alias("g_priority"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            stable_sum("o_totalprice", 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy("g_year", "g_priority", "order_year", "priority")
@@ -1052,15 +1077,26 @@ def event_value_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
     the percentile you can afford at 100 TB: fixed-size mergeable sketch,
     map-side partials, no full sort. Rows-only in the driver (estimates are
     implementation-specific by design); tests/test_sampling_rollups.py
-    bounds the error against the exact percentile instead."""
+    bounds the error against the exact percentile instead.
+
+    Output is scalar columns (not arrays): the driver's order-insensitive
+    canonicalizer hashes cell values and list-typed cells are unhashable —
+    its round-1 snapshot crashed on the array form of this query.
+    """
     events = _t(spark, sf_dir, "events")
     pcts = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000)
+    exact = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
     return (
         events.groupBy("event_type")
-        .agg(
-            pcts.alias("approx_p50_p90_p99"),
-            F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
-             .alias("exact_p50_p90_p99"),
+        .agg(pcts.alias("_a"), exact.alias("_e"))
+        .select(
+            "event_type",
+            F.element_at("_a", 1).alias("approx_p50"),
+            F.element_at("_a", 2).alias("approx_p90"),
+            F.element_at("_a", 3).alias("approx_p99"),
+            F.round(F.element_at("_e", 1), 6).alias("exact_p50"),
+            F.round(F.element_at("_e", 2), 6).alias("exact_p90"),
+            F.round(F.element_at("_e", 3), 6).alias("exact_p99"),
         )
         .orderBy("event_type")
     )
@@ -1072,7 +1108,8 @@ def event_value_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
     WITH wide AS (
       SELECT p_brand,
              ROUND(AVG(p_size), 4) AS avg_size,
-             ROUND(AVG(p_retailprice), 4) AS avg_price,
+             ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(p_retailprice), 4) AS avg_price,
              CAST(COUNT(*) AS DOUBLE) AS n_parts
       FROM part GROUP BY p_brand)
     SELECT p_brand, metric, value
@@ -1089,7 +1126,7 @@ def part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     wide = part.groupBy("p_brand").agg(
         F.round(F.avg("p_size"), 4).alias("avg_size"),
-        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        stable_avg("p_retailprice", 4).alias("avg_price"),
         F.count(F.lit(1)).cast("double").alias("n_parts"),
     )
     return (
@@ -1102,7 +1139,8 @@ def part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "segment_top_orders",
     oracle="""
     SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1127,7 +1165,7 @@ def segment_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
     )
@@ -1137,7 +1175,8 @@ def segment_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "returned_revenue_by_customer",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS lost_revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS lost_revenue,
            COUNT(*) AS n_returned_lines
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -1164,7 +1203,7 @@ def returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("lost_revenue"),
+            stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("lost_revenue"),
             F.count(F.lit(1)).alias("n_returned_lines"),
         )
         .orderBy(F.desc("lost_revenue"), "c_custkey")
@@ -1249,7 +1288,8 @@ def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT * FROM (VALUES ('1-URGENT', 'high'), ('2-HIGH', 'high'),
                             ('4-NOT SPECIFIED', 'low'), ('5-LOW', 'low'),
                             (NULL, 'default')) AS t(pr, tier))
-    SELECT d.tier, COUNT(*) AS n_orders, ROUND(SUM(o.o_totalprice), 2) AS total
+    SELECT d.tier, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
     FROM o JOIN dim d ON o.pr IS NOT DISTINCT FROM d.pr
     GROUP BY d.tier
     ORDER BY d.tier
@@ -1275,7 +1315,7 @@ def priority_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tier")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            stable_sum("o_totalprice", 2).alias("total"),
         )
         .orderBy("tier")
     )
@@ -1324,8 +1364,11 @@ def lateral_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFr
              quantile_cont(value, 0.95) AS p95
       FROM events GROUP BY event_type)
     SELECT e.event_type,
-           ROUND(AVG(e.value), 4) AS avg_raw,
-           ROUND(AVG(LEAST(GREATEST(e.value, c.p05), c.p95)), 4) AS avg_winsorized,
+           ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(e.value), 4) AS avg_raw,
+           ROUND(CAST(SUM(CAST(LEAST(GREATEST(e.value, c.p05), c.p95) AS DECIMAL(18,6)))
+                      AS DOUBLE)
+                 / COUNT(e.value), 4) AS avg_winsorized,
            COUNT(*) FILTER (WHERE e.value < c.p05 OR e.value > c.p95) AS n_clipped
     FROM events e JOIN cuts c ON e.event_type = c.event_type
     GROUP BY e.event_type
@@ -1347,8 +1390,10 @@ def event_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.join(F.broadcast(cuts), "event_type")
         .groupBy("event_type")
         .agg(
-            F.round(F.avg("value"), 4).alias("avg_raw"),
-            F.round(F.avg(clipped), 4).alias("avg_winsorized"),
+            stable_avg("value", 4).alias("avg_raw"),
+            F.round(
+                F.sum(clipped.cast("decimal(18,6)")).cast("double") / F.count("value"), 4
+            ).alias("avg_winsorized"),
             F.count(
                 F.when((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95")), 1)
             ).alias("n_clipped"),

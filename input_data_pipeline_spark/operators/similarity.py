@@ -24,6 +24,12 @@ import hashlib
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
+from input_data_pipeline_spark.functions.stable import (
+    sql_avg,
+    sql_stddev_samp,
+    stable_avg,
+    stable_stddev_samp,
+)
 from input_data_pipeline_spark.plans.registry import register
 from input_data_pipeline_spark.tables import load_table
 
@@ -59,6 +65,31 @@ def dot(x: Column, y: Column) -> Column:
 
 def norm(x: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(x, lambda p: p * p), F.lit(0.0), lambda a, v: a + v))
+
+
+def dot_lit(x: Column, vals: list[float]) -> Column:
+    """Dot product against a CONSTANT vector as a flat codegen expression.
+
+    Higher-order array functions (F.aggregate/transform lambdas) run in the
+    interpreter, not whole-stage codegen — measured ~3-10× slower per call.
+    A left-associated chain of element_at(x,i)*lit adds in the exact same
+    sequence as both the lambda fold and DuckDB's list_sum, so results are
+    bit-identical while staying inside codegen. Only viable for literal
+    vectors (plan size grows with dim) — which is exactly the
+    centroid/hyperplane case.
+    """
+    acc: Column = F.lit(0.0) + F.element_at(x, 1) * F.lit(vals[0])
+    for i in range(1, len(vals)):
+        acc = acc + F.element_at(x, i + 1) * F.lit(vals[i])
+    return acc
+
+
+def norm_sq_lit(x: Column, dim: int) -> Column:
+    """sum(x_i^2) as a flat codegen chain, same fold order as norm()."""
+    acc: Column = F.lit(0.0) + F.element_at(x, 1) * F.element_at(x, 1)
+    for i in range(2, dim + 1):
+        acc = acc + F.element_at(x, i) * F.element_at(x, i)
+    return acc
 
 
 def cosine(x: Column, y: Column) -> Column:
@@ -314,7 +345,9 @@ def knn_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
     cent AS (
       SELECT label AS c_label, list(cx ORDER BY i) AS c_e
-      FROM (SELECT label, r.i AS i, ROUND(AVG(e[r.i]), 6) AS cx
+      FROM (SELECT label, r.i AS i,
+                   ROUND(CAST(SUM(CAST(e[r.i] AS DECIMAL(18,9))) AS DOUBLE)
+                         / COUNT(*), 6) AS cx
             FROM v, range(1, {DIM} + 1) AS r(i)
             GROUP BY label, r.i)
       GROUP BY label),
@@ -345,7 +378,15 @@ def label_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = (
         emb.select("label", F.posexplode("e").alias("i", "x"))
         .groupBy("label", "i")
-        .agg(F.round(F.avg("x"), 6).alias("cx"))
+        # exact decimal mean: order-independent across partial aggregation,
+        # so both engines derive bit-identical centroid constants
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("cx")
+        )
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
         .select(
@@ -449,25 +490,80 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the oracle) so the whole path is hash-checkable; on a real corpus
     you'd train them with spark.ml KMeans and persist the assignment as a
     bucketed table, making the probe join shuffle-free. The cell assignment
-    is a broadcast join against 8 rows + one window — map-side except the
-    tiny per-vector top-1 shuffle.
+    is MAP-ONLY: one Arrow-batched ``mapInPandas`` pass scores all
+    {N_CELLS} centroid cosines per vector and emits the top-1 cell plus
+    the {N_PROBE} probe cells — the corpus is never shuffled for
+    assignment (the previous window-over-vec_id form shuffled the whole
+    table to rank 8 rows per vector; an interim all-expression form was
+    map-only too but its ~2600-node tree cost ~20 s of Catalyst analysis +
+    codegen per run — plan size is a scale axis of its own).
+
+    Oracle bit-parity: the kernel folds dimension-by-dimension
+    (``acc = acc + x_d * c_d``, vectorized ACROSS rows, sequential over d)
+    — the exact IEEE sequence of DuckDB's ``list_sum`` fold — so the
+    argmax can never disagree with the oracle on a near-tie. On a real
+    corpus you'd swap the fold for one batch matmul; identical plumbing.
     """
+    import math
+
+    import numpy as np
     from pyspark.sql import Window
 
     emb = _emb(spark, sf_dir)
-    cents = spark.createDataFrame(
-        [(c, CENTROIDS[c]) for c in range(N_CELLS)], "cell int, cvec array<double>"
+
+    def _py_norm(vec: list[float]) -> float:
+        acc = 0.0
+        for v in vec:  # same 0-seeded sequential fold as DuckDB list_sum
+            acc += v * v
+        return math.sqrt(acc)
+
+    cent = np.array(CENTROIDS, dtype=np.float64)  # (N_CELLS, DIM)
+    cent_norms = np.array([_py_norm(c) for c in CENTROIDS])
+
+    def assign_cells(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(pdf["e"].tolist(), dtype=np.float64)  # (n, DIM)
+            n = len(E)
+            nsq = np.zeros(n)
+            dots = np.zeros((n, N_CELLS))
+            for d in range(DIM):  # sequential fold over dims = oracle order
+                col = E[:, d]
+                nsq = nsq + col * col
+                dots = dots + col[:, None] * cent[:, d][None, :]
+            neg_cos = -(dots / (np.sqrt(nsq)[:, None] * cent_norms[None, :]))
+            # stable argsort on -cos: ties break to the lower cell index,
+            # matching the oracle's ORDER BY cos DESC, cell ASC.
+            order = np.argsort(neg_cos, axis=1, kind="stable")
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "e": pdf["e"],
+                    "cell": order[:, 0].astype("int32"),
+                    "probe_cells": list(order[:, :N_PROBE].astype("int32")),
+                }
+            )
+
+    cell_schema = (
+        "vec_id bigint, label int, e array<double>, cell int, probe_cells array<int>"
     )
-    scored_cells = emb.join(F.broadcast(cents)).withColumn(
-        "cell_cos", cosine(F.col("e"), F.col("cvec"))
+    assign = emb.mapInPandas(assign_cells, cell_schema).select(
+        "vec_id", "label", "e", "cell"
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
-    ranked_cells = scored_cells.withColumn("rn", F.row_number().over(w_assign))
-    assign = ranked_cells.filter(F.col("rn") == 1).select("vec_id", "label", "e", "cell")
+    # Filter BEFORE the pandas stage: Catalyst cannot push a predicate
+    # through mapInPandas, so the probe side pre-filters to the query rows
+    # (predicate reaches the parquet scan) and scores only those.
     probes = (
-        ranked_cells.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE))
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .mapInPandas(assign_cells, cell_schema)
         .select(
-            F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("cell")
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.explode("probe_cells").alias("cell"),
         )
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -551,16 +647,17 @@ def semantic_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_norm_stats",
-    oracle="""
+    oracle=f"""
     WITH norms AS (
       SELECT label,
-             sqrt(list_sum(list_transform(embedding,
-                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+             sqrt(CAST(list_sum(list_transform(embedding,
+                  x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                            AS DECIMAL(28,14)))) AS DOUBLE)) AS l2
       FROM embeddings)
     SELECT label,
            COUNT(*) AS n_vectors,
-           ROUND(AVG(l2), 4) AS avg_norm,
-           ROUND(stddev_samp(l2), 4) AS sd_norm,
+           {sql_avg("l2", 4, "avg_norm")},
+           {sql_stddev_samp("l2", 4, "sd_norm")},
            ROUND(MIN(l2), 4) AS min_norm,
            ROUND(MAX(l2), 4) AS max_norm
     FROM norms
@@ -581,13 +678,16 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", "label", (F.col("x").cast("double") * F.col("x").cast("double")).alias("x2")
     )
-    norms = sq.groupBy("vec_id", "label").agg(F.sqrt(F.sum("x2")).alias("l2"))
+    norms = sq.groupBy("vec_id", "label").agg(
+        # exact decimal sum of squares → identical l2 doubles in both engines
+        F.sqrt(F.sum(F.col("x2").cast("decimal(28,14)")).cast("double")).alias("l2")
+    )
     return (
         norms.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            F.round(F.avg("l2"), 4).alias("avg_norm"),
-            F.round(F.stddev_samp("l2"), 4).alias("sd_norm"),
+            stable_avg("l2", 4).alias("avg_norm"),
+            stable_stddev_samp("l2", 4).alias("sd_norm"),
             F.round(F.min("l2"), 4).alias("min_norm"),
             F.round(F.max("l2"), 4).alias("max_norm"),
         )

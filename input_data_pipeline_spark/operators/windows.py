@@ -11,6 +11,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from input_data_pipeline_spark.functions.stable import stable_sum, stable_sum_over
 from input_data_pipeline_spark.plans.registry import register
 from input_data_pipeline_spark.tables import load_table
 
@@ -84,8 +85,9 @@ def event_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_running_totals",
     oracle="""
     SELECT user_id, event_id, ts,
-           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6)))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
              AS running_value,
            COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -108,7 +110,7 @@ def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_id",
             "ts",
-            F.round(F.sum("value").over(w), 4).alias("running_value"),
+            stable_sum_over("value", w, 4).alias("running_value"),
             F.count(F.lit(1)).over(w).alias("running_events"),
         )
         .orderBy("user_id", "ts", "event_id")
@@ -166,7 +168,7 @@ def order_rank_in_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS session_start,
            MAX(ts) AS session_end,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS session_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS session_value
     FROM sessions
     GROUP BY user_id, session_id
     ORDER BY user_id, session_id
@@ -195,7 +197,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("session_value"),
+            stable_sum("value", 4).alias("session_value"),
         )
         .orderBy("user_id", "session_id")
     )
@@ -207,7 +209,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT DATE_TRUNC('hour', ts) AS hour,
            event_type,
            COUNT(*) AS n,
-           ROUND(SUM(value), 4) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     ORDER BY hour, event_type
@@ -220,7 +222,7 @@ def event_type_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events
         .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), stable_sum("value", 4).alias("total_value"))
         .orderBy("hour", "event_type")
     )
 
@@ -317,7 +319,7 @@ def clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL {SESSION_GAP_MINUTES} MINUTE AS session_end,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS session_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS session_value
     FROM sessions
     GROUP BY user_id, sid
     ORDER BY user_id, session_start
@@ -356,7 +358,7 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
            window_start + INTERVAL '4 hours' AS window_end,
            event_type,
            COUNT(*) AS n,
-           ROUND(SUM(value), 4) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
     FROM slid
     GROUP BY window_start, event_type
     ORDER BY window_start, event_type
@@ -472,7 +474,8 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_value_quartiles",
     oracle="""
     WITH spend AS (
-      SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend
+      SELECT o_custkey,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS spend
       FROM orders GROUP BY o_custkey)
     SELECT o_custkey, spend,
            CAST(NTILE(4) OVER w AS INT) AS quartile,
@@ -496,7 +499,7 @@ def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("spend")
+        stable_sum("o_totalprice", 2).alias("spend")
     )
     w = Window.orderBy("spend", "o_custkey")
     return spend.select(
@@ -513,7 +516,8 @@ def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS hour,
-             COUNT(*) AS n, AVG(value) AS avg_v
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS avg_v
       FROM events GROUP BY event_type, date_trunc('hour', ts)),
     bounds AS (
       SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
@@ -548,7 +552,11 @@ def event_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     hourly = (
         events.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
-        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_v"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("value"))
+            .alias("avg_v"),
+        )
     )
     bounds = events.agg(
         F.date_trunc("hour", F.min("ts")).alias("h0"),
@@ -578,7 +586,8 @@ def event_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_trailing_window",
     oracle="""
     SELECT user_id, event_id, ts, ROUND(value, 4) AS value,
-           ROUND(SUM(value) OVER w, 4) AS trailing_7d_value,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER w, 4) AS DOUBLE)
+             AS trailing_7d_value,
            COUNT(*) OVER w AS trailing_7d_events
     FROM events
     WINDOW w AS (PARTITION BY user_id
@@ -607,7 +616,7 @@ def user_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "ts",
             F.round("value", 4).alias("value"),
-            F.round(F.sum("value").over(w), 4).alias("trailing_7d_value"),
+            stable_sum_over("value", w, 4).alias("trailing_7d_value"),
             F.count(F.lit(1)).over(w).alias("trailing_7d_events"),
         )
         .orderBy("user_id", "ts", "event_id")

@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
+from input_data_pipeline_spark.functions.stable import stable_sum
 from input_data_pipeline_spark.sources.ingest_model import INGEST_SCHEMA
 
 EVENT_SCHEMA = (
@@ -72,7 +73,7 @@ def windowed_counts(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(win.alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), stable_sum("value", 4).alias("total_value"))
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
@@ -92,7 +93,7 @@ def session_windows(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), stable_sum("value", 4).alias("session_value"))
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),

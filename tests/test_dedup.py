@@ -75,3 +75,100 @@ def test_cluster_assignment_matches_pairs(spark, sf_dir):
         assert labels[p["doc_a"]] == labels[p["doc_b"]]
         # and the label is the lexicographic min of the component.
         assert labels[p["doc_a"]] <= min(p["doc_a"], p["doc_b"])
+
+
+def test_embedding_near_pairs_blocked_equals_bruteforce(spark, sf_dir):
+    """The blocked block-pair matmul path must reproduce the naive all-pairs
+    expression join exactly (same pairs, same 4-dp cosines) — guards the
+    no-driver-collect rewrite of embedding_near_pairs."""
+    import pyspark.sql.functions as F
+
+    from input_data_pipeline_spark.operators.dedup import embedding_near_pairs
+    from input_data_pipeline_spark.operators.similarity import cosine
+    from input_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
+        F.col("e").alias("ea"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+        F.col("e").alias("eb"),
+    )
+    brute = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(cosine(F.col("ea"), F.col("eb")), 4))
+        .filter(F.col("cosine") >= 0.45)
+        .select("vec_a", "vec_b", "label_a", "label_b", "cosine")
+    )
+    expected = sorted(tuple(r) for r in brute.collect())
+    got = sorted(tuple(r) for r in embedding_near_pairs(spark, sf_dir).collect())
+    assert expected, "expected at least one near pair at sf0.001"
+    assert got == expected
+
+
+def test_shingle_paths_agree_on_degenerate_docs(spark):
+    """_exploded_shingles2 and word_shingles must emit the same (doc_id, sh)
+    sets for EVERY input — including empty, whitespace-only, and single-token
+    docs (the exploded path used to silently drop zero-token docs)."""
+    import pyspark.sql.functions as F
+
+    from input_data_pipeline_spark.functions import text as T
+    from input_data_pipeline_spark.operators.dedup import (
+        _exploded_shingles2,
+        _shingles2,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),                      # zero tokens
+            (2, "   \t  "),               # whitespace only -> zero tokens
+            (3, "solo"),                  # one token -> bare-token shingle
+            (4, "two words"),             # one 2-shingle
+            (5, "a b c"),                 # two 2-shingles
+        ],
+        "doc_id int, text string",
+    )
+    exploded = {
+        (r.doc_id, r.sh)
+        for r in _exploded_shingles2(docs).distinct().collect()
+    }
+    arrayed = {
+        (r.doc_id, r.sh)
+        for r in docs.select(
+            "doc_id", F.explode(_shingles2("text")).alias("sh")
+        ).collect()
+    }
+    assert exploded == arrayed
+    assert (1, "") in exploded and (2, "") in exploded
+
+
+def test_connected_components_star_planted_graphs(spark):
+    """Large-star/small-star CC on adversarial shapes: a 60-node chain (long
+    diameter — plain propagation needs 60 rounds, star rewrites O(log n)), a
+    500-leaf hub (planted skew), a triangle with a tail, and two isolated
+    edges. Every vertex must label to its component's min id."""
+    import pyspark.sql.functions as F
+
+    from input_data_pipeline_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(100, 160)]           # min 100
+    hub = [(1000, 1000 + i) for i in range(1, 501)]          # min 1000
+    tri = [(7, 8), (8, 9), (7, 9), (9, 10)]                  # min 7
+    pair = [(5000, 5001), (6001, 6000)]                      # mins 5000, 6000
+    edges = spark.createDataFrame(chain + hub + tri + pair, "src long, dst long")
+
+    got = {r.id: r.label for r in connected_components(edges, max_iter=12).collect()}
+
+    expected = {}
+    for i in range(100, 161):
+        expected[i] = 100
+    for i in range(1000, 1501):
+        expected[i] = 1000
+    for i in (7, 8, 9, 10):
+        expected[i] = 7
+    expected.update({5000: 5000, 5001: 5000, 6000: 6000, 6001: 6000})
+    assert got == expected

@@ -103,3 +103,13 @@ def test_topk_plans_as_take_ordered(spark, sf_dir):
         assert re.search(r"PushedFilters: \[[^\]]*(EqualTo|GreaterThan|LessThan)", plan), (
             f"{fn.__name__}: no filter reached a scan"
         )
+
+
+def test_ivf_cell_assignment_is_map_only(spark, sf_dir):
+    """knn_ivf must never shuffle the corpus to pick each vector's cell:
+    the 8 centroid scores rank in a per-row array_sort, so no exchange may
+    hash-partition on vec_id (the old window-over-vec_id form did)."""
+    from input_data_pipeline_spark.operators.similarity import knn_ivf
+
+    plan = _executed_plan(knn_ivf(spark, sf_dir))
+    assert "hashpartitioning(vec_id" not in plan

@@ -49,6 +49,30 @@ def test_asof_join_planted_cases(spark):
     assert out[5] == (None, None, None)
 
 
+def test_asof_join_null_right_field_not_mixed(spark):
+    """A matched right row holding NULL in one carried column must surface
+    that NULL — not a value forward-filled from an OLDER right row. Guards
+    the atomic struct-carry (per-column last(..., ignorenulls) mixed rows)."""
+    left = spark.createDataFrame(
+        [(1, "u1", _d("2024-01-10"))],
+        "event_id long, user_id string, probe_date date",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _d("2024-01-03"), 100, 10.0),   # older row, price present
+            ("u1", _d("2024-01-05"), 101, None),   # latest row, price NULL
+        ],
+        "user_id string, o_date date, o_orderkey long, o_totalprice double",
+    )
+    row = asof_join(
+        left, right, on="user_id", left_time="probe_date",
+        right_time="o_date", right_cols=["o_orderkey", "o_totalprice"],
+    ).collect()[0]
+    assert row.asof_o_orderkey == 101
+    assert row.asof_o_totalprice is None  # NOT 10.0 from the older row
+    assert row.asof_o_date == _d("2024-01-05")
+
+
 def test_asof_plan_has_single_shuffle(spark):
     """The merge-style as-of must shuffle once (on the key), never fan out
     through a nested-loop join."""

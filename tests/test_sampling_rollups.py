@@ -85,7 +85,9 @@ def test_approx_percentiles_within_bound(spark, sf_dir):
     for r in event_value_approx_percentiles(spark, sf_dir).collect():
         vs = values[r["event_type"]]
         n = len(vs)
-        for q, approx in zip((0.5, 0.9, 0.99), r["approx_p50_p90_p99"]):
+        for q, approx in zip(
+            (0.5, 0.9, 0.99), (r["approx_p50"], r["approx_p90"], r["approx_p99"])
+        ):
             rank = sum(1 for v in vs if v <= approx)
             assert abs(rank / n - q) <= 1 / 10000 + 2 / n, (r["event_type"], q, approx)
 
