@@ -1,0 +1,378 @@
+"""Corpus-preparation operators a large-scale pretraining pipeline needs.
+
+Beyond per-doc text stats (``textstats.py``) and near-dup detection
+(``dedup.py``), a production training-data pipeline runs corpus-level
+hygiene passes: intra-document repetition scoring, cross-document
+boilerplate mining, eval-set contamination checks, sequence-packing
+planning, and tokenizer-vocabulary coverage. Each is expressed as
+declarative DataFrame ops (explode → codegen projections → map-side
+combinable aggregations) with a DuckDB oracle.
+
+Reference scope note: the reference repo (626 LoC ingestion scripts) has no
+corpus analytics; these extend the engine along SURVEY §6's
+"LLM-data-pipeline operators" axis.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from input_data_pipeline_spark.functions import text as T
+from input_data_pipeline_spark.plans.registry import register
+from input_data_pipeline_spark.tables import load_table
+
+_DUCK_TOKENS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"
+
+# k-gram fragments that yield EMPTY lists for docs shorter than k tokens
+# (range(1, n-k+1) is empty when n < k) — mirrored exactly by the Spark
+# lead-window form below, which drops rows whose lookahead is null.
+_DUCK_SH2 = (
+    "list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])"
+)
+_DUCK_SH3 = (
+    "list_transform(range(1, len(ts) - 1), "
+    "i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])"
+)
+_DUCK_SH5 = (
+    "list_transform(range(1, len(ts) - 3), "
+    "i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] || ' ' "
+    "|| ts[i + 3] || ' ' || ts[i + 4])"
+)
+
+
+def _exploded_kgrams(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, sh) rows of k-word shingles, fully in codegen + one window.
+
+    posexplode tokens → ``lead`` lookaheads → concat; docs with < k tokens
+    emit nothing (matching the DuckDB range() fragment). Same shape as
+    ``dedup._exploded_shingles2`` but parameterized and without the
+    degenerate-doc sentinel — corpus hygiene wants only true k-grams.
+    """
+    tok = docs.select("doc_id", F.posexplode(T.tokens("text")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    return (
+        tok.select("doc_id", *[ld.alias(f"t{i}") for i, ld in enumerate(leads)])
+        .filter(F.col(f"t{k-1}").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", *[f"t{i}" for i in range(k)]).alias("sh"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition (boilerplate / degenerate-generation detector)
+# ---------------------------------------------------------------------------
+
+@register(
+    "intradoc_repetition",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents),
+    sh AS (SELECT doc_id, unnest({_DUCK_SH3}) AS sh FROM tok),
+    per_sh AS (
+      SELECT doc_id, sh, COUNT(*) AS c FROM sh GROUP BY doc_id, sh),
+    per_doc AS (
+      SELECT doc_id, MAX(c) AS max_repeat, SUM(c) AS n_shingles
+      FROM per_sh GROUP BY doc_id)
+    SELECT doc_id, max_repeat, n_shingles,
+           ROUND(CAST(max_repeat AS DOUBLE) / n_shingles, 4) AS repeat_ratio
+    FROM per_doc
+    ORDER BY repeat_ratio DESC, doc_id
+    LIMIT 100
+    """,
+)
+def intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition score: the most-repeated word 3-gram's share of
+    all 3-grams — the standard filter for boilerplate-heavy or
+    degenerate/looping text before pretraining.
+
+    Scale shape: explode → two hash aggregations keyed by (doc_id, sh) then
+    doc_id, both map-side combinable; the final top-100 is a
+    TakeOrderedAndProject, never a full sort. The ratio divides two exact
+    integers, so both engines derive the identical double.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_sh = (
+        _exploded_kgrams(docs, 3)
+        .groupBy("doc_id", "sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_sh.groupBy("doc_id")
+        .agg(F.max("c").alias("max_repeat"), F.sum("c").alias("n_shingles"))
+        .select(
+            "doc_id",
+            "max_repeat",
+            "n_shingles",
+            F.round(
+                F.col("max_repeat").cast("double") / F.col("n_shingles"), 4
+            ).alias("repeat_ratio"),
+        )
+        .orderBy(F.desc("repeat_ratio"), "doc_id")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate mining
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_boilerplate_shingles",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest({_DUCK_SH2}) AS sh FROM tok),
+    df AS (SELECT sh, COUNT(*) AS doc_freq FROM sh GROUP BY sh),
+    total AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT sh, doc_freq,
+           ROUND(CAST(doc_freq AS DOUBLE) / n_docs, 4) AS df_ratio
+    FROM df, total
+    WHERE doc_freq >= 0.05 * n_docs
+    ORDER BY doc_freq DESC, sh
+    """,
+)
+def corpus_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining: word bigrams present in ≥ 5% of all documents —
+    headers/footers/licence blurbs that should be stripped before training.
+
+    Scale shape: distinct (doc, shingle) then a count keyed by shingle —
+    both combine map-side, and high-frequency shingles are mere counters
+    (no row fan-out, so shingle skew is harmless). The corpus size joins in
+    as a broadcast single-row aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df = (
+        _exploded_kgrams(docs, 2)
+        .distinct()
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    return (
+        df.crossJoin(F.broadcast(total))
+        .filter(F.col("doc_freq") >= 0.05 * F.col("n_docs"))
+        .select(
+            "sh",
+            "doc_freq",
+            F.round(F.col("doc_freq").cast("double") / F.col("n_docs"), 4).alias(
+                "df_ratio"
+            ),
+        )
+        .orderBy(F.desc("doc_freq"), "sh")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set contamination check
+# ---------------------------------------------------------------------------
+
+_CONTAM_DF_CAP = 32  # shingles in more docs than this are boilerplate, not signal
+_CONTAM_MIN_SHARED = 2
+
+
+@register(
+    "contamination_overlap",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest({_DUCK_SH5}) AS sh FROM tok),
+    rare AS (
+      SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
+      WHERE df <= {_CONTAM_DF_CAP}),
+    shr AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare r ON s.sh = r.sh),
+    pairs AS (
+      SELECT e.doc_id AS eval_doc, t.doc_id AS train_doc, COUNT(*) AS n_shared
+      FROM shr e JOIN shr t ON e.sh = t.sh
+      WHERE e.doc_id % 20 = 0 AND t.doc_id % 20 <> 0
+      GROUP BY e.doc_id, t.doc_id
+      HAVING COUNT(*) >= {_CONTAM_MIN_SHARED}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY eval_doc
+                                   ORDER BY n_shared DESC, train_doc) AS rn
+      FROM pairs)
+    SELECT eval_doc,
+           (SELECT COUNT(*) FROM pairs p WHERE p.eval_doc = ranked.eval_doc)
+             AS n_contaminating_docs,
+           train_doc AS top_contaminator,
+           n_shared AS top_shared
+    FROM ranked WHERE rn = 1
+    ORDER BY eval_doc
+    """,
+)
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination: for a planted eval split (doc_id % 20 = 0),
+    find training docs sharing ≥ {_CONTAM_MIN_SHARED} distinct rare word
+    5-grams — the n-gram-overlap decontamination check run before every
+    pretraining launch.
+
+    Scale shape: the shingle equi-self-join is the crux. Joining on raw
+    shingles explodes on common n-grams, so shingles with document
+    frequency > {_CONTAM_DF_CAP} are dropped first (they are boilerplate,
+    not leakage signal) — this caps per-key fan-out at {_CONTAM_DF_CAP}²
+    and is exactly the frequency-prefiltering production decontamination
+    uses. Everything else is map-side-combinable aggregation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _exploded_kgrams(docs, 5).distinct()
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _CONTAM_DF_CAP)
+        .select("sh")
+    )
+    shr = sh.join(rare, "sh")
+    ev = shr.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("eval_doc"), "sh"
+    )
+    tr = shr.filter(F.col("doc_id") % 20 != 0).select(
+        F.col("doc_id").alias("train_doc"), "sh"
+    )
+    pairs = (
+        ev.join(tr, "sh")
+        .groupBy("eval_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _CONTAM_MIN_SHARED)
+    )
+    w = Window.partitionBy("eval_doc").orderBy(F.desc("n_shared"), "train_doc")
+    wc = Window.partitionBy("eval_doc")
+    return (
+        pairs.withColumn("n_contaminating_docs", F.count(F.lit(1)).over(wc))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "eval_doc",
+            "n_contaminating_docs",
+            F.col("train_doc").alias("top_contaminator"),
+            F.col("n_shared").alias("top_shared"),
+        )
+        .orderBy("eval_doc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-packing plan
+# ---------------------------------------------------------------------------
+
+_PACK_LEN = 4096
+
+
+@register(
+    "sequence_packing_plan",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             LEAST(len({_DUCK_TOKENS}), {_PACK_LEN}) AS n_tok
+      FROM documents),
+    packed AS (
+      SELECT lang, doc_id, n_tok,
+             CAST(FLOOR(CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                              - n_tok AS DOUBLE) / {_PACK_LEN}) AS BIGINT) AS bin
+      FROM toks)
+    SELECT lang, bin, COUNT(*) AS n_docs, SUM(n_tok) AS bin_tokens,
+           ROUND(CAST(SUM(n_tok) AS DOUBLE) / {_PACK_LEN}, 4) AS fill_ratio
+    FROM packed
+    GROUP BY lang, bin
+    ORDER BY lang, bin
+    """,
+)
+def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs (in deterministic doc_id order, token
+    counts capped at the context length) to {_PACK_LEN}-token training bins
+    per language via an exclusive running sum — the streaming-concatenation
+    packing plan used to batch pretraining sequences, with per-bin fill
+    ratios to audit padding waste.
+
+    Scale shape: one shuffle (window partitioned by lang) plus a map-side
+    combinable group-by. Languages are few, so in production the window
+    would sub-partition by (lang, shard) and offset bins by shard — noted
+    here, unnecessary at test scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.least(T.token_count("text"), F.lit(_PACK_LEN)).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "bin",
+        F.floor(
+            (F.sum("n_tok").over(w) - F.col("n_tok")).cast("double") / _PACK_LEN
+        ),
+    )
+    return (
+        packed.groupBy("lang", "bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("bin_tokens"))
+        .withColumn(
+            "fill_ratio", F.round(F.col("bin_tokens").cast("double") / _PACK_LEN, 4)
+        )
+        .orderBy("lang", "bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-vocabulary coverage
+# ---------------------------------------------------------------------------
+
+_VOCAB_SIZE = 500
+
+
+@register(
+    "oov_rate_by_source",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest({_DUCK_TOKENS}) AS token FROM documents),
+    vocab AS (
+      SELECT token FROM (SELECT token, COUNT(*) AS c FROM tok GROUP BY token)
+      ORDER BY c DESC, token LIMIT {_VOCAB_SIZE}),
+    flagged AS (
+      SELECT t.source, CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok t LEFT JOIN vocab v ON t.token = v.token)
+    SELECT source,
+           COUNT(*) AS n_tokens,
+           SUM(oov) AS n_oov,
+           ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 4) AS oov_share
+    FROM flagged
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: build a top-{_VOCAB_SIZE} corpus vocabulary and
+    measure each source's out-of-vocabulary token share — the
+    tokenizer-fit audit that flags sources a fixed vocab represents poorly
+    (high OOV → more tokens per byte → wasted training compute).
+
+    Scale shape: token counts combine map-side; the vocabulary is a
+    TakeOrdered top-k broadcast back to the token stream (tiny build side),
+    and the per-source tally divides two exact integers, so both engines
+    derive the identical double.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(T.tokens("text")).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "token")
+        .limit(_VOCAB_SIZE)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_share",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 4),
+        )
+        .orderBy("source")
+    )

@@ -65,6 +65,7 @@ def _load_all() -> None:
     import input_data_pipeline_spark.operators.ingest  # noqa: F401
     import input_data_pipeline_spark.operators.asof  # noqa: F401
     import input_data_pipeline_spark.operators.skew  # noqa: F401
+    import input_data_pipeline_spark.operators.corpus  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:
