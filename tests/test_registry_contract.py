@@ -1,0 +1,137 @@
+"""Registry enumeration contract — catches a broken oracle before the driver.
+
+The round driver imports ``__spark_entry__``, enumerates ``queries()`` /
+``oracle_sql()``, and runs every oracle string in DuckDB. A single oracle
+with a syntax error (or an enumeration that takes minutes) poisons the whole
+sequential correctness run, so we gate both properties here — no Spark
+session needed.
+"""
+
+from __future__ import annotations
+
+import time
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_enumeration_is_fast_and_consistent():
+    t0 = time.monotonic()
+    import __spark_entry__ as mod
+
+    queries = mod.queries()
+    oracles = mod.oracle_sql()
+    elapsed = time.monotonic() - t0
+    assert elapsed < 2.0, f"queries()/oracle_sql() enumeration took {elapsed:.1f}s"
+    assert len(queries) >= 100
+    # every oracle key must be a registered query
+    assert set(oracles) <= set(queries)
+    # non-SQL-expressible queries (rows-only) should stay a small minority
+    assert len(oracles) >= len(queries) - 6
+
+
+def test_every_oracle_parses_and_plans_in_duckdb():
+    """EXPLAIN each oracle over the real sf0.001 views: catches syntax errors,
+    bad casts, and references to missing columns — everything short of a
+    runtime data issue — in one cheap pass."""
+    import __spark_entry__ as mod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    failures = []
+    for name, sql in sorted(mod.oracle_sql().items()):
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as exc:  # noqa: BLE001 — collect all, report once
+            failures.append(f"{name}: {type(exc).__name__}: {exc}")
+    assert not failures, "oracle strings failed to plan:\n" + "\n".join(failures)
+
+
+def test_stable_sum_data_invariants(spark):
+    """The split-long stable sums are bit-equal to the DECIMAL(18,6) oracle
+    form only while aggregated columns hold <= 6 true decimal places and
+    |x| < 9e6. Assert that on the testdata so generator drift is loud."""
+    import pyspark.sql.functions as F
+
+    from input_data_pipeline_spark.tables import load_table
+
+    checks = [
+        ("lineitem", ["l_extendedprice", "l_discount", "l_quantity", "l_tax"]),
+        ("orders", ["o_totalprice"]),
+        ("customer", ["c_acctbal"]),
+        ("supplier", ["s_acctbal"]),
+        ("part", ["p_retailprice"]),
+        ("events", ["value"]),
+    ]
+    for table, cols in checks:
+        df = load_table(spark, SF_DIR, table)
+        for c in cols:
+            bad = df.filter(
+                (F.round(c, 6) != F.col(c)) | (F.abs(F.col(c)) >= 9e6)
+            ).count()
+            assert bad == 0, f"{table}.{c}: {bad} rows violate the 6dp/9e6 contract"
+
+
+def test_stable_sum_matches_decimal_form(spark):
+    """stable_sum/stable_avg/stable_sum_over must be BIT-identical to the
+    DECIMAL(18,6) formulation the oracles state, on real data including
+    negatives (acctbal) and derived products (disc price)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from input_data_pipeline_spark.functions.stable import (
+        stable_avg,
+        stable_sum,
+        stable_sum_over,
+    )
+    from input_data_pipeline_spark.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    got = li.groupBy("l_returnflag").agg(
+        stable_sum(disc, 2).alias("s"),
+        stable_avg("l_extendedprice", 4).alias("a"),
+    )
+    want = li.groupBy("l_returnflag").agg(
+        F.round(F.sum(disc.cast("decimal(18,6)")), 2).cast("double").alias("s"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+            / F.count("l_extendedprice"),
+            4,
+        ).alias("a"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    cust = load_table(spark, SF_DIR, "customer")  # negative acctbals present
+    got_c = cust.groupBy("c_mktsegment").agg(stable_sum("c_acctbal", 2).alias("s"))
+    want_c = cust.groupBy("c_mktsegment").agg(
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("s")
+    )
+    assert sorted(map(tuple, got_c.collect())) == sorted(map(tuple, want_c.collect()))
+
+    ev = load_table(spark, SF_DIR, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got_w = ev.select(
+        "event_id", stable_sum_over("value", w, 4).alias("r")
+    )
+    want_w = ev.select(
+        "event_id",
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 4)
+        .cast("double")
+        .alias("r"),
+    )
+    assert sorted(map(tuple, got_w.collect())) == sorted(map(tuple, want_w.collect()))
