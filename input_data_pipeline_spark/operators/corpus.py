@@ -221,7 +221,11 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= _CONTAM_DF_CAP)
         .select("sh")
     )
-    shr = sh.join(rare, "sh")
+    # The filtered shingle table feeds BOTH join sides; without
+    # materialization Spark re-runs the explode→distinct→df-filter pipeline
+    # once per consumer (~4 passes measured). In production this is a
+    # persisted shingle index; here localCheckpoint plays that role.
+    shr = sh.join(rare, "sh").localCheckpoint(eager=False)
     ev = shr.filter(F.col("doc_id") % 20 == 0).select(
         F.col("doc_id").alias("eval_doc"), "sh"
     )
