@@ -975,3 +975,163 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_size", F.count(F.lit(1)).over(w))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (new-batch vs corpus) dedup
+# ---------------------------------------------------------------------------
+
+_INCR_NEW_MOD = 7  # doc_id % 10 == 7 plays the incoming batch (~10% of docs)
+
+
+@register(
+    "incremental_batch_dedup",
+    oracle=f"""
+    WITH newb AS (SELECT * FROM documents WHERE doc_id % 10 = {_INCR_NEW_MOD}),
+    corp AS (SELECT * FROM documents WHERE doc_id % 10 <> {_INCR_NEW_MOD}),
+    nfp AS (
+      SELECT doc_id,
+             sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM newb),
+    cfp AS (
+      SELECT doc_id,
+             sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM corp),
+    exact AS (
+      SELECT n.doc_id, MIN(c.doc_id) AS match_doc
+      FROM nfp n JOIN cfp c ON n.fp = c.fp GROUP BY n.doc_id),
+    ntok AS (SELECT doc_id, {{tokens}} AS ts FROM newb),
+    ctok AS (SELECT doc_id, {{tokens}} AS ts FROM corp),
+    nsh AS (SELECT doc_id, {{sh2}} AS shs FROM ntok),
+    csh AS (SELECT doc_id, {{sh2}} AS shs FROM ctok),
+    near AS (
+      SELECT a.doc_id, b.doc_id AS match_doc,
+             ROUND(len(list_intersect(a.shs, b.shs)) * 1.0
+                   / len(list_distinct(a.shs || b.shs)), 4) AS j
+      FROM nsh a JOIN csh b
+        ON len(list_intersect(a.shs, b.shs)) * 1.0
+           / len(list_distinct(a.shs || b.shs)) >= 0.8),
+    best AS (
+      SELECT doc_id, match_doc, j,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY j DESC, match_doc) AS rn
+      FROM near)
+    SELECT n.doc_id AS new_doc,
+           CASE WHEN e.match_doc IS NOT NULL THEN 'exact_dup'
+                WHEN b.match_doc IS NOT NULL THEN 'near_dup'
+                ELSE 'unique' END AS verdict,
+           COALESCE(e.match_doc, b.match_doc) AS match_doc,
+           CASE WHEN e.match_doc IS NULL THEN b.j END AS jaccard
+    FROM newb n
+    LEFT JOIN exact e ON e.doc_id = n.doc_id
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_id = n.doc_id
+    ORDER BY new_doc
+    """.format(
+        tokens=_DUCK_TOKENS, sh2=_DUCK_SHINGLES2
+    ),
+)
+def incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly-ingest dedup: score an incoming batch (doc_id % 10 =
+    {_INCR_NEW_MOD}) against the existing corpus ONLY — never corpus ×
+    corpus. Each new doc gets a verdict: ``exact_dup`` (normalized sha256
+    fingerprint already present; match = smallest holder), ``near_dup``
+    (2-gram Jaccard ≥ 0.8 with some corpus doc; match = highest-Jaccard,
+    then smallest id), else ``unique``.
+
+    Scale shape: the exact pass broadcasts the (small) batch fingerprints
+    against the corpus scan. The near pass is the PPJoin prefix-filtered
+    similarity join of ``ngram_jaccard_pairs`` restricted to cross-side
+    candidates: the rarest-first prefix order is built over the UNION of
+    corpus and batch (any shared total order is valid for the prefix
+    theorem), so the candidate join's right side stays the ~10% batch and
+    the corpus is never self-joined. Verification uses dictionary-encoded
+    int arrays; the batch side of every join is broadcast-sized by
+    construction.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == _INCR_NEW_MOD
+    newb = docs.filter(is_new)
+
+    # --- exact: normalized fingerprint, batch side broadcast -------------
+    nfp = newb.select(F.col("doc_id").alias("new_doc"), T.fingerprint("text").alias("fp"))
+    cfp = docs.filter(~is_new).select(
+        F.col("doc_id").alias("corp_doc"), T.fingerprint("text").alias("fp")
+    )
+    exact = (
+        cfp.join(F.broadcast(nfp), "fp")
+        .groupBy("new_doc")
+        .agg(F.min("corp_doc").alias("exact_match"))
+    )
+
+    # --- near: cross-side PPJoin (prefix + size + positional filters) ----
+    distinct_sh = _exploded_shingles2(docs).distinct().withColumnRenamed("sh", "s")
+    per_doc = Window.partitionBy("doc_id")
+    exploded = distinct_sh.withColumn("n", F.count(F.lit(1)).over(per_doc))
+    ids = (
+        exploded.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select("s", "df", F.row_number().over(Window.orderBy("s")).alias("sid"))
+    )
+    encoded = (
+        exploded.join(F.broadcast(ids), "s")
+        .select("doc_id", "n", "df", "sid")
+        .localCheckpoint(eager=True)
+    )
+    rarest = Window.partitionBy("doc_id").orderBy("df", "sid")
+    prefix = (
+        encoded.withColumn("rn", F.row_number().over(rarest))
+        .filter(F.col("rn") <= F.col("n") - F.ceil(F.col("n") * 0.8) + 1)
+        .select("doc_id", "n", "rn", "sid")
+    )
+    pnew = prefix.filter(F.col("doc_id") % 10 == _INCR_NEW_MOD)
+    pcorp = prefix.filter(F.col("doc_id") % 10 != _INCR_NEW_MOD)
+    overlap_needed = F.ceil((F.col("a.n") + F.col("b.n")) * (0.8 / 1.8))
+    overlap_possible = 1 + F.least(
+        F.col("a.n") - F.col("a.rn"), F.col("b.n") - F.col("b.rn")
+    )
+    cand = (
+        pnew.alias("a")
+        .join(
+            pcorp.alias("b"),
+            (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("b.n") * 0.8 <= F.col("a.n"))
+            & (F.col("a.n") * 0.8 <= F.col("b.n"))
+            & (overlap_possible >= overlap_needed),
+        )
+        .select(F.col("a.doc_id").alias("new_doc"), F.col("b.doc_id").alias("corp_doc"))
+        .distinct()
+    )
+    shs = encoded.groupBy("doc_id").agg(F.collect_list("sid").alias("shs"))
+    sa = shs.select(F.col("doc_id").alias("new_doc"), F.col("shs").alias("shs_a"))
+    sb = shs.select(F.col("doc_id").alias("corp_doc"), F.col("shs").alias("shs_b"))
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    union = F.size("shs_a") + F.size("shs_b") - inter
+    jac = inter / union
+    w_best = Window.partitionBy("new_doc").orderBy(F.desc("j"), "corp_doc")
+    near = (
+        cand.join(F.broadcast(sa), "new_doc")
+        .join(F.broadcast(sb), "corp_doc")
+        .filter(jac >= 0.8)
+        .select("new_doc", "corp_doc", F.round(jac, 4).alias("j"))
+        .withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("new_doc", F.col("corp_doc").alias("near_match"), "j")
+    )
+
+    return (
+        newb.select(F.col("doc_id").alias("new_doc"))
+        .join(F.broadcast(exact), "new_doc", "left")
+        .join(F.broadcast(near), "new_doc", "left")
+        .select(
+            "new_doc",
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("verdict"),
+            F.coalesce("exact_match", "near_match").alias("match_doc"),
+            F.when(F.col("exact_match").isNull(), F.col("j")).alias("jaccard"),
+        )
+        .orderBy("new_doc")
+    )

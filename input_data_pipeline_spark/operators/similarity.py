@@ -693,3 +693,135 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8              # subspaces
+PQ_SUB = DIM // PQ_M  # dims per subspace
+PQ_K = 16             # codewords per subspace
+
+
+def _pq_codeword_value(m: int, k: int, d: int) -> float:
+    h = hashlib.md5(f"pq:{m}:{k}:{d}".encode()).hexdigest()[:8]
+    return round(int(h, 16) / 2**32 * 2 - 1, 9)
+
+
+PQ_CODEBOOK: list[list[list[float]]] = [
+    [[_pq_codeword_value(m, k, d) for d in range(PQ_SUB)] for k in range(PQ_K)]
+    for m in range(PQ_M)
+]
+
+
+def _duck_pq_codebook() -> str:
+    """Codebook as a nested DuckDB list literal: cb[m+1][k][d] (1-based)."""
+    return (
+        "["
+        + ", ".join(
+            "["
+            + ", ".join(
+                "[" + ", ".join(str(v) for v in PQ_CODEBOOK[m][k]) + "]"
+                for k in range(PQ_K)
+            )
+            + "]"
+            for m in range(PQ_M)
+        )
+        + "]"
+    )
+
+
+@register(
+    "pq_reconstruction_stats",
+    oracle=f"""
+    WITH cbt AS (SELECT {_duck_pq_codebook()} AS cb),
+    v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    per_vec AS (
+      SELECT vec_id, label,
+             list_transform(range(0, {PQ_M}), m ->
+               list_transform(range(1, {PQ_K} + 1), k ->
+                 list_sum(list_transform(range(1, {PQ_SUB} + 1), d ->
+                   pow(e[m * {PQ_SUB} + d] - cb[m + 1][k][d], 2))))) AS dists
+      FROM v, cbt),
+    coded AS (
+      SELECT vec_id, label,
+             list_sum(list_transform(dists, ds -> list_min(ds))) AS mse,
+             list_aggregate(list_transform(dists,
+               ds -> CAST(list_position(ds, list_min(ds)) - 1 AS VARCHAR)),
+               'string_agg', '-') AS code
+      FROM per_vec)
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           COUNT(DISTINCT code) AS n_distinct_codes,
+           ROUND(CAST(SUM(CAST(mse AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_mse,
+           ROUND(MIN(mse), 6) AS min_mse,
+           ROUND(MAX(mse), 6) AS max_mse
+    FROM coded
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def pq_reconstruction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization audit: quantize each vector with an {PQ_M}×{PQ_K}
+    md5-seeded codebook ({PQ_SUB} dims per subspace) and report per-label
+    reconstruction MSE plus code diversity — the compression-quality check
+    run before swapping an ANN index to PQ-compressed storage (a 64-dim
+    float vector becomes {PQ_M} bytes here, a 32× compression).
+
+    Scale shape: assignment is one Arrow-batched map-only kernel (the
+    codebook is a constant; nothing shuffles but the per-label tally).
+    Oracle bit-parity mirrors ``knn_ivf``: distances fold
+    dimension-sequentially (vectorized across rows), min over codewords is
+    order-independent, argmin ties break to the first index in both
+    engines, and the per-vector MSE folds subspace-sequentially; the
+    per-label mean goes through an exact DECIMAL(28,14) sum.
+    """
+    import numpy as np
+
+    emb = _emb(spark, sf_dir)
+    cb = np.array(PQ_CODEBOOK, dtype=np.float64)  # (M, K, SUB)
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(pdf["e"].tolist(), dtype=np.float64)  # (n, DIM)
+            n = len(E)
+            mse = np.zeros(n)
+            codes = np.empty((n, PQ_M), dtype=np.int64)
+            for m in range(PQ_M):  # sequential over subspaces = oracle order
+                dists = np.zeros((n, PQ_K))
+                for d in range(PQ_SUB):  # sequential over dims = oracle order
+                    col = E[:, m * PQ_SUB + d]
+                    diff = col[:, None] - cb[m, :, d][None, :]
+                    dists = dists + diff * diff
+                codes[:, m] = np.argmin(dists, axis=1)  # first min, ties low k
+                mse = mse + dists[np.arange(n), codes[:, m]]
+            yield pd.DataFrame(
+                {
+                    "label": pdf["label"],
+                    "mse": mse,
+                    "code": ["-".join(str(c) for c in row) for row in codes],
+                }
+            )
+
+    coded = emb.mapInPandas(assign, "label int, mse double, code string")
+    return (
+        coded.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count_distinct("code").alias("n_distinct_codes"),
+            F.round(
+                F.sum(F.col("mse").cast("decimal(28,14)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_mse"),
+            F.round(F.min("mse"), 6).alias("min_mse"),
+            F.round(F.max("mse"), 6).alias("max_mse"),
+        )
+        .orderBy("label")
+    )
