@@ -45,6 +45,11 @@ HEADLINE = [
     "event_hourly_gapfill",
     "quality_percentile_filter",
     "part_name_fuzzy_pairs",
+    # corpus hygiene + PQ (added round 2; not in the r1 floor table)
+    "intradoc_repetition",
+    "sequence_packing_plan",
+    "contamination_overlap",
+    "pq_reconstruction_stats",
 ]
 
 

@@ -88,20 +88,40 @@ def intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     all 3-grams — the standard filter for boilerplate-heavy or
     degenerate/looping text before pretraining.
 
-    Scale shape: explode → two hash aggregations keyed by (doc_id, sh) then
-    doc_id, both map-side combinable; the final top-100 is a
-    TakeOrderedAndProject, never a full sort. The ratio divides two exact
+    Scale shape: the semantics are strictly per-document, so the count runs
+    as a map-only Arrow kernel (one Counter pass per doc — the same lesson
+    as winnowing: no explode, no (doc, shingle) shuffle; an exploded
+    window+two-aggregation form measured 5.1 s vs ~1 s for this kernel at
+    sf0.1). Only (doc_id, two ints) rows reach the final top-100, which is
+    a TakeOrderedAndProject, never a full sort. The ratio divides two exact
     integers, so both engines derive the identical double.
     """
     docs = load_table(spark, sf_dir, "documents")
-    per_sh = (
-        _exploded_kgrams(docs, 3)
-        .groupBy("doc_id", "sh")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+
+    def score(batches):
+        import re
+        from collections import Counter
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+")  # same \s+ split as T.tokens / the oracle
+        for pdf in batches:
+            out_id, out_max, out_n = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in ws.split(text or "") if t]
+                if len(toks) < 3:
+                    continue
+                counts = Counter(zip(toks, toks[1:], toks[2:]))
+                out_id.append(doc_id)
+                out_max.append(max(counts.values()))
+                out_n.append(len(toks) - 2)
+            yield pd.DataFrame(
+                {"doc_id": out_id, "max_repeat": out_max, "n_shingles": out_n}
+            )
+
     return (
-        per_sh.groupBy("doc_id")
-        .agg(F.max("c").alias("max_repeat"), F.sum("c").alias("n_shingles"))
+        docs.select("doc_id", "text")
+        .mapInPandas(score, "doc_id bigint, max_repeat bigint, n_shingles bigint")
         .select(
             "doc_id",
             "max_repeat",
