@@ -700,3 +700,134 @@ def frequent_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(F.explode(T.tokens("text")).alias("tok"))
     freq = toks.stat.freqItems(["tok"], support=0.02)
     return freq.select(F.sort_array(F.col("tok_freqItems")).alias("frequent_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# Language rebalancing plan (data-driven sampling rates)
+# ---------------------------------------------------------------------------
+
+@register(
+    "lang_rebalance_plan",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    target AS (SELECT MIN(n_docs) AS floor_docs FROM counts),
+    rates AS (
+      SELECT lang, n_docs,
+             CAST(FLOOR(floor_docs * 10000.0 / n_docs) AS BIGINT) AS rate_bp
+      FROM counts, target),
+    tagged AS (
+      SELECT d.lang, r.n_docs, r.rate_bp,
+             CAST(('0x' || substr(md5('rebal:' || d.doc_id), 1, 8)) AS BIGINT)
+               % 10000 AS bucket
+      FROM documents d JOIN rates r ON d.lang = r.lang)
+    SELECT lang, n_docs, rate_bp,
+           COUNT(*) FILTER (WHERE bucket < rate_bp) AS n_kept
+    FROM tagged
+    GROUP BY lang, n_docs, rate_bp
+    ORDER BY lang
+    """,
+)
+def lang_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven language rebalancing: derive a per-language keep-rate
+    (basis points of the SMALLEST language's count — i.e. downsample every
+    language to the minority size) and apply it with the same
+    content-keyed md5 bucket as ``stratified_doc_sample``, reporting the
+    plan and realized kept-counts. This is the uniform-mix curation pass a
+    multilingual pretraining run performs; unlike the fixed-rate sampler,
+    rates here come from the data.
+
+    Scale shape: the rate table is a ~|langs|-row aggregate joined back by
+    broadcast; the keep predicate is codegen (md5 + modulo vs an integer
+    rate — integer basis points, so both engines compare exactly); one
+    map-side-combinable tally. A doc's fate is a pure function of (doc_id,
+    its language's rate), so incremental appends never resample old data.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    floor_docs = counts.agg(F.min("n_docs").alias("floor_docs"))
+    rates = counts.crossJoin(F.broadcast(floor_docs)).select(
+        "lang",
+        "n_docs",
+        F.floor(F.col("floor_docs") * 10000.0 / F.col("n_docs")).alias("rate_bp"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("rebal:"), F.col("doc_id"))), 1, 8), 16, 10
+    ).cast("long") % 10000
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .join(F.broadcast(rates), "lang")
+        .groupBy("lang", "n_docs", "rate_bp")
+        .agg(F.count(F.when(F.col("bucket") < F.col("rate_bp"), 1)).alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token estimation
+# ---------------------------------------------------------------------------
+
+# Character-class-only pattern → identical semantics in Java regex (Spark)
+# and RE2 (DuckDB): word runs, digit runs, or punctuation runs.
+_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+@register(
+    "bpe_token_estimate",
+    oracle=f"""
+    WITH pretok AS (
+      SELECT source, regexp_extract_all(text, '{_PRETOKEN_RE}') AS pieces,
+             length(text) AS n_chars
+      FROM documents),
+    est AS (
+      SELECT source, n_chars,
+             len(pieces) AS n_pieces,
+             list_sum(list_transform(pieces,
+               p -> CAST(CEIL(length(p) / 4.0) AS BIGINT))) AS est_tokens
+      FROM pretok)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(n_pieces) AS total_pieces,
+           SUM(est_tokens) AS total_est_tokens,
+           ROUND(SUM(est_tokens) * 100.0 / SUM(n_chars), 4)
+             AS est_tokens_per_100_chars
+    FROM est
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token budgeting: pre-tokenize with the classic
+    word/digit/punct-run regex, then estimate subword count as
+    ceil(len/4) per piece — the cheap tokens-per-byte estimator used to
+    budget training compute per source before running a real tokenizer.
+
+    Scale shape: regexp_extract_all + an array fold per row, one
+    map-side-combinable per-source tally; exact integer sums, so the final
+    ratio is the identical double in both engines. The regex uses only
+    character classes, which behave identically in Java regex and RE2.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all("text", F.lit(_PRETOKEN_RE), 0)
+    est = docs.select(
+        "source",
+        F.length("text").alias("n_chars"),
+        F.size(pieces).alias("n_pieces"),
+        F.aggregate(
+            F.transform(pieces, lambda p: F.ceil(F.length(p) / 4.0)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("est_tokens"),
+    )
+    return (
+        est.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pieces").alias("total_pieces"),
+            F.sum("est_tokens").alias("total_est_tokens"),
+            F.round(
+                F.sum("est_tokens") * 100.0 / F.sum("n_chars"), 4
+            ).alias("est_tokens_per_100_chars"),
+        )
+        .orderBy("source")
+    )
