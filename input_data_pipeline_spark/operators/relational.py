@@ -1249,7 +1249,11 @@ def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    # Thresholded levenshtein (Spark 3.5+) runs the banded O(n·k) DP and
+    # bails out early, returning -1 past the bound — the filter below then
+    # rejects those. The vast majority of in-block pairs exceed distance 2,
+    # so the early exit is where the time goes.
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 2)
     # Explicit repartition on the block keys: the inputs are only a few MB,
     # so AQE would coalesce the join to ~1 task — but the work here is the
     # per-pair levenshtein inside each block, invisible to size-based
