@@ -695,11 +695,20 @@ def frequent_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominate the corpus" without a full token groupBy. Guarantee: every
     token with frequency >= support is present (false positives possible,
     no false negatives) — bounded by tests/test_sampling_rollups.py against
-    exact counts. Output array sorted for run-to-run stability."""
+    exact counts. Output is one (rank, token) row per hit, sorted for
+    run-to-run stability — scalar columns only, because the round driver's
+    canonicalizer cannot hash list-typed cells (the r1 lesson from
+    ``event_value_approx_percentiles``)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(T.tokens("text")).alias("tok"))
     freq = toks.stat.freqItems(["tok"], support=0.02)
-    return freq.select(F.sort_array(F.col("tok_freqItems")).alias("frequent_tokens"))
+    return (
+        freq.select(
+            F.posexplode(F.sort_array(F.col("tok_freqItems"))).alias("rank", "token")
+        )
+        .select((F.col("rank") + 1).alias("rank"), "token")
+        .orderBy("rank")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -135,3 +135,20 @@ def test_stable_sum_matches_decimal_form(spark):
         .alias("r"),
     )
     assert sorted(map(tuple, got_w.collect())) == sorted(map(tuple, want_w.collect()))
+
+
+def test_all_result_schemas_are_scalar_only(spark):
+    """The round driver's canonicalizer hashes cell values and crashes on
+    list/map/struct cells (r1: event_value_approx_percentiles). Every
+    query's RESULT schema must therefore be scalar-only — plan-build only,
+    nothing executes."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from input_data_pipeline_spark.plans.registry import all_queries
+
+    offenders = []
+    for name, fn in sorted(all_queries().items()):
+        for f in fn(spark, SF_DIR).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, "non-scalar result columns:\n" + "\n".join(offenders)

@@ -167,7 +167,7 @@ def test_frequent_tokens_sketch_no_false_negatives(spark, sf_dir):
     from input_data_pipeline_spark.operators.textstats import frequent_tokens_sketch
     from input_data_pipeline_spark.tables import load_table
 
-    got = set(frequent_tokens_sketch(spark, sf_dir).collect()[0]["frequent_tokens"])
+    got = {r["token"] for r in frequent_tokens_sketch(spark, sf_dir).collect()}
     toks = (
         load_table(spark, sf_dir, "documents")
         .select(F.explode(T.tokens("text")).alias("tok"))
