@@ -201,3 +201,45 @@ def join_clicks_to_purchases(
         "purchase_id", "click_id", F.col("p_user").alias("user_id"),
         "purchase_ts", "click_ts",
     )
+
+
+DOC_SCHEMA = "doc_id long, ts timestamp, text string, lang string, source string"
+
+
+def stream_docs(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of incoming documents (JSONL) with arrival time."""
+    return spark.readStream.schema(DOC_SCHEMA).json(path)
+
+
+def stream_corpus_hygiene(
+    docs: DataFrame,
+    watermark: str = "10 minutes",
+    min_tokens: int = 3,
+) -> DataFrame:
+    """Streaming corpus-hygiene pass: the ingest-time subset of the batch
+    pipeline (fingerprint dedup + token gate + quality columns), running on
+    an unbounded document stream.
+
+    Batch/stream unification is the point: the fingerprint, tokenizer, and
+    stopword-ratio expressions are THE SAME column objects the batch
+    operators use (``functions/text.py``) — Structured Streaming runs the
+    identical plan incrementally, so batch backfills and the live stream
+    can never disagree on semantics. Exact dups arriving within the
+    watermark horizon drop statefully (bounded state, keyed by the 32-byte
+    fingerprint); sub-``min_tokens`` fragments are gated out map-side
+    before any state is touched. Near-dup detection stays a batch/micro-
+    batch concern (the LSH band join needs the corpus-wide signature
+    table); this pass is the cheap always-on front door.
+    """
+    from input_data_pipeline_spark.functions import text as T
+
+    gated = (
+        docs.withColumn("fp", T.fingerprint("text"))
+        .withColumn("n_tokens", T.token_count("text"))
+        .filter(F.col("n_tokens") >= min_tokens)
+    )
+    return (
+        gated.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .select("doc_id", "ts", "lang", "source", "fp", "n_tokens")
+    )

@@ -410,3 +410,64 @@ def test_stateful_dedup_on_rocksdb_state_store(spark, sf_dir, tmp_path):
         assert progress is not None
     finally:
         q.stop()
+
+
+def test_stream_corpus_hygiene_dedups_and_gates(spark, tmp_path):
+    """Streaming corpus hygiene: exact dups within the watermark drop, short
+    fragments never reach state, and the surviving rows carry the same
+    fingerprint the batch operators would compute."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from input_data_pipeline_spark.functions import text as T
+    from input_data_pipeline_spark.streaming.pipelines import (
+        run_to_memory,
+        stream_corpus_hygiene,
+        stream_docs,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+
+    def emit(name, rows):
+        (src / name).write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n", encoding="utf-8"
+        )
+
+    emit(
+        "b0.jsonl",
+        [
+            {"doc_id": 1, "ts": "2024-01-01T00:00:00", "text": "alpha beta gamma",
+             "lang": "en", "source": "s0"},
+            {"doc_id": 2, "ts": "2024-01-01T00:00:30", "text": "  alpha   beta GAMMA ",
+             "lang": "en", "source": "s1"},          # normalized dup of doc 1
+            {"doc_id": 3, "ts": "2024-01-01T00:01:00", "text": "too short",
+             "lang": "en", "source": "s0"},          # gated: < 3 tokens
+        ],
+    )
+    q = run_to_memory(stream_corpus_hygiene(stream_docs(spark, str(src))), "hyg")
+    try:
+        q.processAllAvailable()
+        emit(
+            "b1.jsonl",
+            [
+                {"doc_id": 4, "ts": "2024-01-01T00:02:00", "text": "alpha beta gamma",
+                 "lang": "en", "source": "s2"},      # dup again, later batch
+                {"doc_id": 5, "ts": "2024-01-01T00:02:30", "text": "delta epsilon zeta eta",
+                 "lang": "fr", "source": "s2"},
+            ],
+        )
+        q.processAllAvailable()
+        rows = {r.doc_id: r for r in spark.sql("SELECT * FROM hyg").collect()}
+    finally:
+        q.stop()
+
+    assert set(rows) == {1, 5}  # 2 & 4 deduped, 3 gated
+    batch_fp = (
+        spark.createDataFrame([("alpha beta gamma",)], "text string")
+        .select(T.fingerprint("text").alias("fp"))
+        .collect()[0]["fp"]
+    )
+    assert rows[1].fp == batch_fp  # stream == batch semantics
+    assert rows[5].n_tokens == 4
