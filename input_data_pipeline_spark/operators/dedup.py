@@ -911,11 +911,20 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     )
     e = e0
     for _ in range(max_iter):
-        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        grew = new_e.join(e, ["u", "v"], "left_anti").limit(1).count()
-        shrank = e.join(new_e, ["u", "v"], "left_anti").limit(1).count()
+        # Lazy checkpoint + a single symmetric-difference action per round:
+        # the convergence count materializes the checkpoint as a side
+        # effect, so each iteration costs ONE Spark job (the eager-
+        # checkpoint + two-anti-join form ran three, and on the tiny
+        # near-dup graphs this loop is scheduling-bound, not data-bound).
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        changed = (
+            new_e.exceptAll(e)
+            .unionByName(e.exceptAll(new_e))
+            .limit(1)
+            .count()
+        )
         e = new_e
-        if grew == 0 and shrank == 0:
+        if changed == 0:
             stars = e.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("label"))
             return (
                 verts.join(stars, "id", "left")
