@@ -1144,3 +1144,54 @@ def incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("new_doc")
     )
+
+
+@register(
+    "source_dup_rates",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents),
+    fam AS (
+      SELECT fp, COUNT(*) AS n_copies, MIN(doc_id) AS survivor FROM fp GROUP BY fp)
+    SELECT f.source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN m.n_copies > 1 AND f.doc_id <> m.survivor
+                    THEN 1 ELSE 0 END) AS n_redundant,
+           ROUND(SUM(CASE WHEN m.n_copies > 1 AND f.doc_id <> m.survivor
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS dup_rate
+    FROM fp f JOIN fam m ON f.fp = m.fp
+    GROUP BY f.source
+    ORDER BY f.source
+    """,
+)
+def source_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication dashboard: the share of each source's docs
+    that are redundant copies (same normalized fingerprint, not the
+    min-doc_id survivor) — the ingest-health rollup that tells a pipeline
+    operator WHICH feed is re-sending content.
+
+    Scale shape: one fingerprint aggregate (map-side combinable) joined
+    back on the 32-byte fingerprint — the join is the standard self-join-
+    on-derived-key shape and shuffles each row once; the per-source tally
+    combines map-side. Ratios divide exact integers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", "source", T.fingerprint("text").alias("fp"))
+    fam = fp.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("survivor")
+    )
+    redundant = F.when(
+        (F.col("n_copies") > 1) & (F.col("doc_id") != F.col("survivor")), 1
+    ).otherwise(0)
+    return (
+        fp.join(fam, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(redundant).alias("n_redundant"),
+            F.round(F.sum(redundant) * 1.0 / F.count(F.lit(1)), 4).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

@@ -840,3 +840,57 @@ def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "quality_calibration",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             len({_DUCK_TOKENS}) AS n_tokens,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang, n_tokens,
+             ROUND(LEAST(n_tokens / 200.0, 1.0) * 0.7 +
+                   CASE WHEN n_tokens > 0
+                         AND n_nonspace * 1.0 / n_tokens BETWEEN 2 AND 12
+                        THEN 1.0 ELSE 0.5 END * 0.3, 6) AS quality
+      FROM tok)
+    SELECT LEAST(CAST(FLOOR(quality * 10) AS BIGINT), 9) AS decile,
+           COUNT(*) AS n_docs,
+           ROUND(SUM(n_tokens) * 1.0 / COUNT(*), 4) AS avg_tokens,
+           ROUND(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS en_share
+    FROM scored
+    GROUP BY 1
+    ORDER BY decile
+    """,
+)
+def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score calibration: bucket the heuristic quality score into
+    deciles and report volume, mean length, and language mix per bucket —
+    the check that a quality classifier's thresholds actually stratify the
+    corpus before using them as sampling weights.
+
+    Composes on the registered ``doc_quality`` operator (same plan, one
+    extra map-side-combinable aggregate); the decile key floors a 6dp-
+    rounded score, so bucketing is identical in both engines, and both
+    reported ratios divide exact integers.
+    """
+    scored = doc_quality(spark, sf_dir)
+    decile = F.least(F.floor(F.col("quality") * 10), F.lit(9)).alias("decile")
+    return (
+        scored.select(decile, "lang", "n_tokens")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("n_tokens") * 1.0 / F.count(F.lit(1)), 4).alias("avg_tokens"),
+            F.round(
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)) * 1.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("en_share"),
+        )
+        .orderBy("decile")
+    )

@@ -113,3 +113,29 @@ def test_ivf_cell_assignment_is_map_only(spark, sf_dir):
 
     plan = _executed_plan(knn_ivf(spark, sf_dir))
     assert "hashpartitioning(vec_id" not in plan
+
+
+def test_corpus_ops_scale_plans(spark, sf_dir):
+    """Round-2 corpus operators keep their scale-critical plan shapes:
+    intradoc top-100 is TakeOrdered (never a full sort), the OOV vocabulary
+    probe broadcasts, and knn_ivf/pq assignment stays free of corpus
+    shuffles before the pandas stage."""
+    from input_data_pipeline_spark.operators.corpus import (
+        intradoc_repetition,
+        oov_rate_by_source,
+    )
+    from input_data_pipeline_spark.operators.similarity import (
+        pq_reconstruction_stats,
+    )
+
+    plan = _executed_plan(intradoc_repetition(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = _executed_plan(oov_rate_by_source(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = _executed_plan(pq_reconstruction_stats(spark, sf_dir))
+    # map-only assignment: the only exchange feeds the per-label aggregate
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
