@@ -1,0 +1,89 @@
+"""Invariant tests for the round-2 corpus/curation operators (beyond the
+oracle hash checks): structural properties that must hold at any SF."""
+
+from __future__ import annotations
+
+
+def test_sequence_packing_covers_all_docs_and_bounds_fill(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from input_data_pipeline_spark.functions import text as T
+    from input_data_pipeline_spark.operators.corpus import (
+        _PACK_LEN,
+        sequence_packing_plan,
+    )
+    from input_data_pipeline_spark.tables import load_table
+
+    rows = sequence_packing_plan(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == load_table(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert 0 < r.bin_tokens
+        # exclusive running sum: a bin overflows by at most one doc's tokens
+        assert r.bin_tokens <= 2 * _PACK_LEN
+        assert abs(r.fill_ratio - round(r.bin_tokens / _PACK_LEN, 4)) < 1e-9
+    # bins are contiguous from 0 within each lang
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.bin)
+    for lang, bins in by_lang.items():
+        assert sorted(bins) == list(range(len(bins))), lang
+
+
+def test_oov_share_bounds_and_token_conservation(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from input_data_pipeline_spark.functions import text as T
+    from input_data_pipeline_spark.operators.corpus import oov_rate_by_source
+    from input_data_pipeline_spark.tables import load_table
+
+    rows = oov_rate_by_source(spark, sf_dir).collect()
+    total = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.sum(T.token_count("text")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert sum(r.n_tokens for r in rows) == total
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert 0.0 <= r.oov_share <= 1.0
+
+
+def test_quality_calibration_deciles_partition_corpus(spark, sf_dir):
+    from input_data_pipeline_spark.operators.textstats import quality_calibration
+    from input_data_pipeline_spark.tables import load_table
+
+    rows = quality_calibration(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == load_table(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert 0 <= r.decile <= 9
+        assert 0.0 <= r.en_share <= 1.0
+
+
+def test_incremental_dedup_verdicts_are_consistent(spark, sf_dir):
+    from input_data_pipeline_spark.operators.dedup import incremental_batch_dedup
+
+    rows = incremental_batch_dedup(spark, sf_dir).collect()
+    assert rows, "batch split produced no incoming docs"
+    for r in rows:
+        assert r.new_doc % 10 == 7
+        if r.verdict == "unique":
+            assert r.match_doc is None and r.jaccard is None
+        elif r.verdict == "exact_dup":
+            assert r.match_doc is not None and r.match_doc % 10 != 7
+            assert r.jaccard is None
+        else:
+            assert r.verdict == "near_dup"
+            assert r.match_doc is not None and r.match_doc % 10 != 7
+            assert r.jaccard >= 0.8
+
+
+def test_lang_rebalance_rates_hit_target(spark, sf_dir):
+    from input_data_pipeline_spark.operators.textstats import lang_rebalance_plan
+
+    rows = lang_rebalance_plan(spark, sf_dir).collect()
+    for r in rows:
+        assert 0 < r.rate_bp <= 10000
+        # realized kept-count lands near n_docs * rate (binomial variance:
+        # allow ~4 sigma plus slack for tiny strata)
+        expected = r.n_docs * r.rate_bp / 10000
+        assert abs(r.n_kept - expected) <= 4 * expected**0.5 + 5, r
