@@ -77,6 +77,12 @@ def content_id(col: Column | str, prefix: str) -> Column:
 # Tokenization + text statistics (LLM-pipeline surface)
 # ---------------------------------------------------------------------------
 
+# DuckDB oracle fragment mirroring :func:`tokens` exactly — ONE definition
+# shared by every oracle module so the tokenization contract cannot
+# desynchronize between the dedup/textstats/corpus oracles.
+DUCK_TOKENS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization to a non-empty-token array."""
     c = F.col(col) if isinstance(col, str) else col

@@ -22,7 +22,9 @@ from input_data_pipeline_spark.functions import text as T
 from input_data_pipeline_spark.plans.registry import register
 from input_data_pipeline_spark.tables import load_table
 
-_DUCK_TOKENS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"
+from input_data_pipeline_spark.functions.text import (
+    DUCK_TOKENS as _DUCK_TOKENS,
+)
 
 # k-gram fragments that yield EMPTY lists for docs shorter than k tokens
 # (range(1, n-k+1) is empty when n < k) — mirrored exactly by the Spark
@@ -104,7 +106,10 @@ def intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         import pandas as pd
 
-        ws = re.compile(r"\s+")  # same \s+ split as T.tokens / the oracle
+        # re.ASCII: Python's \s is Unicode-aware by default, but Java regex
+        # (T.tokens) and RE2 (the oracle) treat \s as ASCII whitespace —
+        # without the flag a U+00A0 in a doc would split here but not there.
+        ws = re.compile(r"\s+", re.ASCII)
         for pdf in batches:
             out_id, out_max, out_n = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):

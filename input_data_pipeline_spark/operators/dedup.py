@@ -25,11 +25,18 @@ from input_data_pipeline_spark.functions import text as T
 from input_data_pipeline_spark.plans.registry import register
 from input_data_pipeline_spark.tables import load_table
 
-# shared DuckDB fragments -----------------------------------------------------
-_DUCK_TOKENS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"
+from input_data_pipeline_spark.functions.text import (
+    DUCK_TOKENS as _DUCK_TOKENS,
+)
+# Degenerate docs match word_shingles exactly: one token → [token], zero
+# tokens → [''] (the old coalesce form emitted a NULL shingle for empty docs
+# — which list_distinct then stripped, silently DROPPING empty docs from the
+# oracle while Spark kept them — and a trailing-space shingle for one-token
+# docs).
 _DUCK_SHINGLES2 = (
-    "list_distinct(list_transform(range(1, greatest(len(ts) - 1, 1) + 1), "
-    "i -> ts[i] || ' ' || coalesce(ts[i + 1], '')))"
+    "CASE WHEN len(ts) = 0 THEN [''] WHEN len(ts) = 1 THEN [ts[1]] "
+    "ELSE list_distinct(list_transform(range(1, len(ts)), "
+    "i -> ts[i] || ' ' || ts[i + 1])) END"
 )
 
 N_MINHASH = 12
@@ -897,15 +904,18 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     At convergence the edge set is a star forest (child → component min);
     labels read off directly, roots labeling themselves.
     """
-    e0 = (
-        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .filter(F.col("u") != F.col("v"))
+    raw = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    # Vertices come from the RAW edge list: a vertex whose only edges are
+    # self-loops must still appear in the output (labeled by itself), so it
+    # is collected before self-loops are dropped from the propagation set.
+    verts = (
+        raw.select(F.col("u").alias("id"))
+        .unionByName(raw.select(F.col("v").alias("id")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    verts = (
-        e0.select(F.col("u").alias("id"))
-        .unionByName(e0.select(F.col("v").alias("id")))
+    e0 = (
+        raw.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -1119,9 +1129,15 @@ def incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     union = F.size("shs_a") + F.size("shs_b") - inter
     jac = inter / union
     w_best = Window.partitionBy("new_doc").orderBy(F.desc("j"), "corp_doc")
+    # No explicit broadcast on the shingle-array sides: sb spans the ~90%
+    # corpus, and forcing it to broadcast would ship the whole corpus index
+    # to every executor — the exact failure the incremental design avoids.
+    # The candidate set is the small side; AQE picks the build side at test
+    # scale, and at production scale these are plain shuffled hash joins
+    # keyed by doc id.
     near = (
-        cand.join(F.broadcast(sa), "new_doc")
-        .join(F.broadcast(sb), "corp_doc")
+        cand.join(sa, "new_doc")
+        .join(sb, "corp_doc")
         .filter(jac >= 0.8)
         .select("new_doc", "corp_doc", F.round(jac, 4).alias("j"))
         .withColumn("rn", F.row_number().over(w_best))

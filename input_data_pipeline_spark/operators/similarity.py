@@ -686,7 +686,17 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         norms.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            stable_avg("l2", 4).alias("avg_norm"),
+            # NOT stable_avg: l2 is a sqrt (arbitrary-precision double), so
+            # the split-long millionths quantization could in principle
+            # round differently from the oracle's DECIMAL(18,6) cast on a
+            # half-boundary product. The literal decimal form matches the
+            # oracle bit-for-bit; per-label groups are small, so the
+            # decimal aggregation cost is irrelevant here.
+            F.round(
+                F.sum(F.col("l2").cast("decimal(18,6)")).cast("double")
+                / F.count("l2"),
+                4,
+            ).alias("avg_norm"),
             stable_stddev_samp("l2", 4).alias("sd_norm"),
             F.round(F.min("l2"), 4).alias("min_norm"),
             F.round(F.max("l2"), 4).alias("max_norm"),

@@ -14,8 +14,9 @@ from input_data_pipeline_spark.functions import text as T
 from input_data_pipeline_spark.plans.registry import register
 from input_data_pipeline_spark.tables import load_table
 
-# DuckDB fragment: non-empty whitespace tokens of ``text``
-_DUCK_TOKENS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"
+from input_data_pipeline_spark.functions.text import (
+    DUCK_TOKENS as _DUCK_TOKENS,
+)
 
 
 @register(

@@ -227,19 +227,30 @@ def stream_corpus_hygiene(
     can never disagree on semantics. Exact dups arriving within the
     watermark horizon drop statefully (bounded state, keyed by the 32-byte
     fingerprint); sub-``min_tokens`` fragments are gated out map-side
-    before any state is touched. Near-dup detection stays a batch/micro-
+    before any state is touched, and the surviving rows carry the
+    stopword-ratio quality signal. Near-dup detection stays a batch/micro-
     batch concern (the LSH band join needs the corpus-wide signature
     table); this pass is the cheap always-on front door.
     """
     from input_data_pipeline_spark.functions import text as T
 
+    # Map-only stopword tally (array filter, no explode): streaming cannot
+    # chain an aggregate before the stateful dedup, and per-row arrays here
+    # are short — the batch operator's explode+agg form stays preferable in
+    # batch, but the COUNTED SET of stopwords is shared via T.STOPWORDS.
+    n_stop = F.size(
+        F.filter(T.tokens("text"), lambda t: F.lower(t).isin(*T.STOPWORDS["en"]))
+    )
     gated = (
         docs.withColumn("fp", T.fingerprint("text"))
         .withColumn("n_tokens", T.token_count("text"))
         .filter(F.col("n_tokens") >= min_tokens)
+        .withColumn(
+            "stop_ratio", F.round(n_stop / F.col("n_tokens"), 6)
+        )
     )
     return (
         gated.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["fp"])
-        .select("doc_id", "ts", "lang", "source", "fp", "n_tokens")
+        .select("doc_id", "ts", "lang", "source", "fp", "n_tokens", "stop_ratio")
     )

@@ -172,3 +172,46 @@ def test_connected_components_star_planted_graphs(spark):
         expected[i] = 7
     expected.update({5000: 5000, 5001: 5000, 6000: 6000, 6001: 6000})
     assert got == expected
+
+
+def test_shingle_oracle_parity_on_degenerate_docs(spark, tmp_path):
+    """Spark and the DuckDB oracle must agree on EMPTY, whitespace-only and
+    single-token docs — the old oracle fragment silently dropped empty docs
+    (list_distinct stripped a NULL shingle) and emitted a trailing-space
+    shingle for one-token docs."""
+    import duckdb
+
+    from input_data_pipeline_spark.plans.registry import get
+
+    rows = [
+        (0, "", "en", "s0", 0),
+        (1, "   \t ", "en", "s0", 5),            # whitespace-only == empty
+        (2, "solo", "en", "s1", 4),
+        (3, "solo", "en", "s1", 4),              # single-token dup pair
+        (4, "alpha beta gamma delta", "en", "s2", 22),
+        (5, "alpha beta gamma delta", "en", "s2", 22),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tgt = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(tgt)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tgt}/*.parquet')"
+    )
+    for name in ("dedup_minhash_lsh", "ngram_jaccard_pairs"):
+        spec = get(name)
+        got = sorted(
+            tuple(float(v) if isinstance(v, float) else v for v in r)
+            for r in spec.fn(spark, str(tmp_path)).collect()
+        )
+        want = sorted(
+            tuple(float(v) if hasattr(v, "__float__") and not isinstance(v, int) else v for v in r)
+            for r in con.execute(spec.oracle).fetchall()
+        )
+        assert got == want, f"{name}: {got} != {want}"
+        assert any(0 in r[:2] and 1 in r[:2] for r in got), (
+            f"{name}: empty-doc pair missing"
+        )
