@@ -132,17 +132,20 @@ def _exploded_shingles2(docs: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # posexplode_outer emits one (NULL, NULL) row for an empty token array —
+    # that row becomes the empty-string sentinel shingle word_shingles gives
+    # zero-token docs, in the SAME generate pass (a plain posexplode needed a
+    # second full scan + re-tokenization of documents just to recover the
+    # empty docs, doubling tokenization work for every shingle consumer).
+    # text is coalesced to "" so a NULL text behaves like a zero-token doc.
     tok = docs.select(
-        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "tok")
-    )
-    # posexplode emits nothing for an empty array, which would silently drop
-    # zero-token docs from the minhash/jaccard pipelines; word_shingles gives
-    # them the degenerate [""] instead. Route them back in as a sentinel.
-    empty = docs.filter(F.size(T.tokens("text")) == 0).select(
-        "doc_id", F.lit("").alias("sh")
+        "doc_id",
+        F.posexplode_outer(
+            T.tokens(F.coalesce(F.col("text"), F.lit("")))
+        ).alias("pos", "tok"),
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    shingled = (
+    return (
         tok.select(
             "doc_id",
             "pos",
@@ -157,11 +160,10 @@ def _exploded_shingles2(docs: DataFrame) -> DataFrame:
                 F.col("nxt").isNotNull(),
                 F.concat("tok", F.lit(" "), "nxt"),
             )
-            .otherwise(F.col("tok"))
+            .otherwise(F.coalesce(F.col("tok"), F.lit("")))
             .alias("sh"),
         )
     )
-    return shingled.unionByName(empty)
 
 
 # Affine hash family h_i(x) = (A_i*x + B_i) mod p over a single 32-bit base
@@ -347,32 +349,61 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
        join's key skew collapses.
     2. Candidates = equi-join on prefix shingles + size-ratio pruning
        (|A|, |B| within t..1/t of each other).
-    3. Dictionary-encode shingles to dense int ids (the vocab table is tiny
-       relative to the corpus — broadcast; the id-assignment window runs
-       over vocab rows, not corpus rows), so the candidate join keys and
-       the exact array_intersect verification operate on ints, not strings
-       — ~2× on the verification pass, which dominates when the corpus
-       vocabulary is small and prefixes prune poorly (this synthetic
-       corpus: ~930 distinct shingles → 660k candidates from 5k docs).
+    3. Encode shingles to 64-bit content-hash ids (xxhash64, with a loud
+       collision guard) so the candidate join keys and the exact
+       array_intersect verification operate on ints, not strings — ~2× on
+       the verification pass, which dominates when the corpus vocabulary is
+       small and prefixes prune poorly (this synthetic corpus: ~930
+       distinct shingles → 660k candidates from 5k docs). Only the
+       small-vocab bitset kernel densifies ids, via a window over ≤4096
+       vocab rows; the scale path never globally sorts the vocabulary.
     """
     docs = load_table(spark, sf_dir, "documents")
     distinct_sh = _exploded_shingles2(docs).distinct().withColumnRenamed("sh", "s")
     from pyspark.sql import Window
 
     per_doc = Window.partitionBy("doc_id")
-    exploded = distinct_sh.withColumn("n", F.count(F.lit(1)).over(per_doc))
-    df_tbl = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    ids = df_tbl.select(
-        "s", "df", F.row_number().over(Window.orderBy("s")).alias("sid")
-    )
+    per_sh = Window.partitionBy("s")
     # Materialize the encoded shingle table once: the prefix self-join, the
     # mask build, and the vocab stat would otherwise each re-run the whole
-    # tokenize→shingle→df pipeline (4 evaluations measured).
-    encoded = (
-        exploded.join(F.broadcast(ids), "s")
-        .select("doc_id", "n", "df", "sid")
+    # tokenize→shingle→df pipeline (4 evaluations measured). Shingle ids are
+    # 64-bit content hashes; df arrives via a window over the same
+    # shuffle-by-shingle pass — no corpus-vocabulary global sort (the old
+    # row_number id funneled every distinct shingle through one task) and no
+    # vocabulary-sized broadcast, so the encoding scales with the corpus.
+    encoded_h = (
+        distinct_sh.withColumn("n", F.count(F.lit(1)).over(per_doc))
+        .withColumn("df", F.count(F.lit(1)).over(per_sh))
+        .withColumn("hid", F.xxhash64("s"))
         .localCheckpoint(eager=True)
     )
+    # One vocab-scale agg doubles as the hash-collision guard (a collision
+    # would silently merge two shingles → wrong intersections; probability
+    # ~V²/2⁶⁵, but it must be loud, not silent) and the kernel-choice stat.
+    stats = encoded_h.agg(
+        F.countDistinct("s").alias("ns"), F.countDistinct("hid").alias("nh")
+    ).first()
+    if stats.ns != stats.nh:
+        raise ValueError(
+            "xxhash64 shingle-id collision detected; rerun with a dictionary encoding"
+        )
+    n_vocab = stats.ns or 0
+    n_words = (n_vocab + 63) // 64
+    if n_words <= 64:
+        # The bitset kernel below needs DENSE 1..V positions: rank the ≤4096
+        # distinct hashes — a window over vocab rows only, not corpus rows —
+        # and map back via a ≤4096-row broadcast. The unbounded-vocab path
+        # keeps the raw hashes as ids.
+        ids = (
+            encoded_h.select("hid")
+            .distinct()
+            .select("hid", F.row_number().over(Window.orderBy("hid")).alias("sid"))
+        )
+        encoded = encoded_h.join(F.broadcast(ids), "hid").select(
+            "doc_id", "n", "df", "sid"
+        )
+    else:
+        encoded = encoded_h.select("doc_id", "n", "df", F.col("hid").alias("sid"))
     rarest = Window.partitionBy("doc_id").orderBy("df", "sid")
     prefix = (
         encoded.withColumn("rn", F.row_number().over(rarest))
@@ -382,7 +413,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Positional filter (PPJoin): if the shared prefix element sits at
     # position rn, at most 1 + min(|A|-rn_a, |B|-rn_b) elements can still
     # overlap; J >= t needs overlap >= ceil(t/(1+t) * (|A|+|B|)).
-    overlap_needed = F.ceil((F.col("a.n") + F.col("b.n")) * (0.8 / 1.8))
+    # ceil(t/(1+t) * (|A|+|B|)) with t=0.8, i.e. ceil(4s/9) — computed in
+    # exact arithmetic: the IEEE constant 0.8/1.8 rounds UP from 4/9, so
+    # s*(0.8/1.8) overshoots the integer whenever 9 | s and the ceil demands
+    # one more overlapping element than Jaccard=0.8 pairs can have (false
+    # negatives vs the oracle). 4*s is exact in double and correctly-rounded
+    # division by 9.0 cannot cross an integer boundary.
+    overlap_needed = F.ceil((4 * (F.col("a.n") + F.col("b.n"))) / F.lit(9.0))
     overlap_possible = 1 + F.least(
         F.col("a.n") - F.col("a.rn"), F.col("b.n") - F.col("b.rn")
     )
@@ -408,8 +445,6 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is W codegen'd AND+popcount terms per candidate — no per-row hash
     # set, no lambda. Larger vocabularies fall back to int
     # array_intersect (still far cheaper than string intersect).
-    n_vocab = encoded.agg(F.max("sid")).first()[0] or 0
-    n_words = (n_vocab + 63) // 64
     if n_words <= 64:
         words = encoded.select(
             "doc_id",
@@ -1063,9 +1098,10 @@ def incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates: the rarest-first prefix order is built over the UNION of
     corpus and batch (any shared total order is valid for the prefix
     theorem), so the candidate join's right side stays the ~10% batch and
-    the corpus is never self-joined. Verification uses dictionary-encoded
-    int arrays; the batch side of every join is broadcast-sized by
-    construction.
+    the corpus is never self-joined. Verification uses hash-encoded int
+    arrays (xxhash64 ids — nothing vocabulary-sized is ever sorted in one
+    task or broadcast); the only broadcast is the batch-sized fingerprint
+    and verdict tables.
     """
     from pyspark.sql import Window
 
@@ -1087,17 +1123,25 @@ def incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # --- near: cross-side PPJoin (prefix + size + positional filters) ----
     distinct_sh = _exploded_shingles2(docs).distinct().withColumnRenamed("sh", "s")
     per_doc = Window.partitionBy("doc_id")
-    exploded = distinct_sh.withColumn("n", F.count(F.lit(1)).over(per_doc))
-    ids = (
-        exploded.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .select("s", "df", F.row_number().over(Window.orderBy("s")).alias("sid"))
-    )
-    encoded = (
-        exploded.join(F.broadcast(ids), "s")
-        .select("doc_id", "n", "df", "sid")
+    # Shingle ids are 64-bit content hashes (xxhash64) and df comes from a
+    # window over the shuffle-by-shingle pass: no corpus-vocabulary global
+    # row_number (one-task bottleneck) and no vocabulary-sized broadcast —
+    # the dictionary scaled with CORPUS vocabulary, not batch size, so
+    # broadcasting it contradicted the incremental design.
+    encoded_h = (
+        distinct_sh.withColumn("n", F.count(F.lit(1)).over(per_doc))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+        .withColumn("sid", F.xxhash64("s"))
         .localCheckpoint(eager=True)
     )
+    chk = encoded_h.agg(
+        F.countDistinct("s").alias("ns"), F.countDistinct("sid").alias("nh")
+    ).first()
+    if chk.ns != chk.nh:
+        raise ValueError(
+            "xxhash64 shingle-id collision detected; rerun with a dictionary encoding"
+        )
+    encoded = encoded_h.select("doc_id", "n", "df", "sid")
     rarest = Window.partitionBy("doc_id").orderBy("df", "sid")
     prefix = (
         encoded.withColumn("rn", F.row_number().over(rarest))
@@ -1106,7 +1150,13 @@ def incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pnew = prefix.filter(F.col("doc_id") % 10 == _INCR_NEW_MOD)
     pcorp = prefix.filter(F.col("doc_id") % 10 != _INCR_NEW_MOD)
-    overlap_needed = F.ceil((F.col("a.n") + F.col("b.n")) * (0.8 / 1.8))
+    # ceil(t/(1+t) * (|A|+|B|)) with t=0.8, i.e. ceil(4s/9) — computed in
+    # exact arithmetic: the IEEE constant 0.8/1.8 rounds UP from 4/9, so
+    # s*(0.8/1.8) overshoots the integer whenever 9 | s and the ceil demands
+    # one more overlapping element than Jaccard=0.8 pairs can have (false
+    # negatives vs the oracle). 4*s is exact in double and correctly-rounded
+    # division by 9.0 cannot cross an integer boundary.
+    overlap_needed = F.ceil((4 * (F.col("a.n") + F.col("b.n"))) / F.lit(9.0))
     overlap_possible = 1 + F.least(
         F.col("a.n") - F.col("a.rn"), F.col("b.n") - F.col("b.rn")
     )
