@@ -85,6 +85,33 @@ def stable_sum(c: Column | str, scale: int) -> Column:
     return F.round(total / F.lit(_M).cast("decimal(8,0)"), scale).cast("double")
 
 
+def stable_sum_micros(c: Column | str) -> Column:
+    """Exact order-independent ``SUM(double)`` as a BIGINT count of millionths.
+
+    Same split-long machinery as :func:`stable_sum`, but the result never
+    re-enters float space: the DECIMAL(38,0) total is cast straight to
+    BIGINT.  Emitting integer cells makes a query's output immune to any
+    float-formatting / canonicalization quirk in a downstream comparator —
+    the driver-proof output type.  Oracle-side twin:
+    ``CAST(SUM(CAST(x AS DECIMAL(18,6))) * 1000000 AS BIGINT)``.
+    """
+    hi, lo = _split(_col(c))
+    return _combine(F.sum(hi), F.sum(lo)).cast("long")
+
+
+def micros(c: Column | str) -> Column:
+    """Per-row exact millionths BIGINT — the integer cell a DECIMAL(18,6)
+    cast would store (see module docstring for why ties can't occur).
+    Oracle twin: ``CAST(CAST(x AS DECIMAL(18,6)) * 1000000 AS BIGINT)``."""
+    return F.floor(_col(c) * _M + F.lit(0.5))
+
+
+def stable_sum_micros_over(c: Column | str, w: WindowSpec) -> Column:
+    """Windowed :func:`stable_sum_micros`: exact frame sum as BIGINT."""
+    hi, lo = _split(_col(c))
+    return _combine(F.sum(hi).over(w), F.sum(lo).over(w)).cast("long")
+
+
 def stable_sum_over(c: Column | str, w: WindowSpec, scale: int) -> Column:
     """Windowed variant: exact split-long sums over the frame, then round."""
     hi, lo = _split(_col(c))
@@ -158,6 +185,16 @@ def sql_corr(x: str, y: str, scale: int, alias: str) -> str:
 def sql_sum(expr: str, scale: int, alias: str) -> str:
     """Oracle-side fragment matching :func:`stable_sum`."""
     return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(18,6))), {scale}) AS DOUBLE) AS {alias}"
+
+
+def sql_sum_micros(expr: str, alias: str) -> str:
+    """Oracle-side fragment matching :func:`stable_sum_micros`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS {alias}"
+
+
+def sql_micros(expr: str, alias: str) -> str:
+    """Oracle-side fragment matching :func:`micros`."""
+    return f"CAST(CAST({expr} AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS {alias}"
 
 
 def sql_avg(expr: str, scale: int, alias: str) -> str:

@@ -11,7 +11,15 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from input_data_pipeline_spark.functions.stable import stable_sum, stable_sum_over
+from input_data_pipeline_spark.functions.stable import (
+    micros,
+    sql_micros,
+    sql_sum_micros,
+    stable_sum,
+    stable_sum_micros,
+    stable_sum_micros_over,
+    stable_sum_over,
+)
 from input_data_pipeline_spark.plans.registry import register
 from input_data_pipeline_spark.tables import load_table
 
@@ -20,13 +28,16 @@ SESSION_GAP_MINUTES = 30
 
 @register(
     "top_events_per_user",
-    oracle="""
-    WITH ranked AS (
-      SELECT user_id, event_id, ts, value,
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+      FROM events),
+    ranked AS (
+      SELECT user_id, event_id, ts_us, value,
              ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events)
-    SELECT user_id, event_id, ts, ROUND(value, 4) AS value, rn
+                                ORDER BY ts_us DESC, event_id DESC) AS rn
+      FROM ev)
+    SELECT user_id, event_id, ts_us, {sql_micros("value", "value_micros")}, rn
     FROM ranked
     WHERE rn <= 3
     ORDER BY user_id, rn
@@ -37,83 +48,109 @@ def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One shuffle on user_id; row_number is computed streaming over the sorted
     partition, and the rn<=3 filter cuts cardinality before anything wide.
+    Integer-only cells (epoch-micros, exact millionths), and both engines
+    rank over the truncated micros — immune to comparator canonicalization
+    and to a nanos-precision oracle reader reordering same-µs events.
     """
     events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    ev = events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("event_id"))
     return (
-        events
+        ev
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("user_id", "event_id", "ts", F.round("value", 4).alias("value"), "rn")
+        .select("user_id", "event_id", "ts_us", micros("value").alias("value_micros"), "rn")
         .orderBy("user_id", "rn")
     )
 
 
 @register(
     "event_value_deltas",
-    oracle="""
-    SELECT user_id, event_id, ts,
-           ROUND(value, 4) AS value,
-           ROUND(value - LAG(value) OVER w, 4) AS delta_prev,
-           ROUND(LEAD(value) OVER w - value, 4) AS delta_next
-    FROM events
-    WHERE event_type = 'purchase'
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ORDER BY user_id, ts, event_id
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS value_micros
+      FROM events
+      WHERE event_type = 'purchase')
+    SELECT user_id, event_id, ts_us, value_micros,
+           value_micros - LAG(value_micros) OVER w AS delta_prev_micros,
+           LEAD(value_micros) OVER w - value_micros AS delta_next_micros
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ORDER BY user_id, ts_us, event_id
     """,
 )
 def event_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead deltas over each user's purchase history (SURVEY §2.6
-    analytic functions); NULL at partition edges by construction."""
+    analytic functions); NULL at partition edges by construction. Values are
+    quantized to exact millionths BEFORE differencing, so the deltas are
+    integer arithmetic on both engines (a float subtract of rounded doubles
+    can land on either side of the round boundary)."""
     events = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        micros("value").alias("value_micros"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     return (
-        events
+        ev
         .select(
             "user_id",
             "event_id",
-            "ts",
-            F.round("value", 4).alias("value"),
-            F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta_prev"),
-            F.round(F.lead("value").over(w) - F.col("value"), 4).alias("delta_next"),
+            "ts_us",
+            "value_micros",
+            (F.col("value_micros") - F.lag("value_micros").over(w)).alias("delta_prev_micros"),
+            (F.lead("value_micros").over(w) - F.col("value_micros")).alias("delta_next_micros"),
         )
-        .orderBy("user_id", "ts", "event_id")
+        .orderBy("user_id", "ts_us", "event_id")
     )
 
 
 @register(
     "user_running_totals",
     oracle="""
-    SELECT user_id, event_id, ts,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6)))
-                      OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
-             AS running_value,
-           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+      FROM events)
+    SELECT user_id, event_id, ts_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                * 1000000 AS BIGINT)
+             AS running_value_micros,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS running_events
-    FROM events
-    ORDER BY user_id, ts, event_id
+    FROM ev
+    ORDER BY user_id, ts_us, event_id
     """,
 )
 def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative frame aggregates (rowsBetween unboundedPreceding→current)."""
+    """Cumulative frame aggregates (rowsBetween unboundedPreceding→current);
+    integer-only cells (epoch-micros, exact millionths running sum)."""
     events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        events
+        ev
         .select(
             "user_id",
             "event_id",
-            "ts",
-            stable_sum_over("value", w, 4).alias("running_value"),
+            "ts_us",
+            stable_sum_micros_over("value", w).alias("running_value_micros"),
             F.count(F.lit(1)).over(w).alias("running_events"),
         )
-        .orderBy("user_id", "ts", "event_id")
+        .orderBy("user_id", "ts_us", "event_id")
     )
 
 
@@ -148,27 +185,32 @@ def order_rank_in_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GAP_US = SESSION_GAP_MINUTES * 60 * 1_000_000
+
+
 @register(
     "user_sessions",
     oracle=f"""
-    WITH flagged AS (
-      SELECT user_id, ts, value,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL {SESSION_GAP_MINUTES} MINUTE
-                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                  THEN 1 ELSE 0 END AS is_new,
-             event_id
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
       FROM events),
+    flagged AS (
+      SELECT user_id, ts_us, value, event_id,
+             CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                       > {_GAP_US}
+                  OR LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev),
     sessions AS (
-      SELECT user_id, ts, value,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      SELECT user_id, ts_us, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM flagged)
     SELECT user_id, session_id,
-           MIN(ts) AS session_start,
-           MAX(ts) AS session_end,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) AS session_end_us,
            COUNT(*) AS n_events,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS session_value
+           {sql_sum_micros("value", "session_value_micros")}
     FROM sessions
     GROUP BY user_id, session_id
     ORDER BY user_id, session_id
@@ -179,25 +221,37 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Batch equivalent of streaming ``session_window`` (streaming/pipelines.py):
     lag-gap flag → running sum → grouped agg. Two window passes share the
-    same (user_id; ts) shuffle+sort; the final groupBy is partial-aggregated.
+    same (user_id; ts_us) shuffle+sort; the final groupBy is partial-aggregated.
+
+    Cross-engine exactness: the gap is compared in integer MICROSECONDS on
+    both sides (``unix_micros`` / ``epoch_us``) — the old whole-second cast
+    sessionized gaps in (1800, 1801) s differently from the oracle's exact
+    interval compare — and every output cell is an integer (epoch-micros
+    bounds, exact millionths value sum), so no float- or timestamp-
+    canonicalization difference in any comparator can bite. Both engines
+    also ORDER BY the truncated micros, closing the tie-break divergence a
+    nanos-precision reader would otherwise hit on same-microsecond events.
     """
     events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
     return (
-        events
+        ev
         .withColumn(
             "is_new",
-            F.when(gap.isNull() | (gap > SESSION_GAP_MINUTES * 60), 1).otherwise(0),
+            F.when(gap.isNull() | (gap > _GAP_US), 1).otherwise(0),
         )
         .withColumn("session_id", F.sum("is_new").over(cum))
         .groupBy("user_id", "session_id")
         .agg(
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
             F.count(F.lit(1)).alias("n_events"),
-            stable_sum("value", 4).alias("session_value"),
+            stable_sum_micros("value").alias("session_value_micros"),
         )
         .orderBy("user_id", "session_id")
     )
@@ -303,26 +357,30 @@ def clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "session_window_native",
     oracle=f"""
-    WITH flagged AS (
-      SELECT user_id, ts, value,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       > INTERVAL {SESSION_GAP_MINUTES} MINUTE
-                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                  THEN 1 ELSE 0 END AS is_new
+    WITH ev AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
       FROM events),
+    flagged AS (
+      SELECT user_id, ts_us, value,
+             CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                       > {_GAP_US}
+                  OR LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev),
     sessions AS (
-      SELECT user_id, ts, value,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      SELECT user_id, ts_us, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM flagged)
     SELECT user_id,
-           MIN(ts) AS session_start,
-           MAX(ts) + INTERVAL {SESSION_GAP_MINUTES} MINUTE AS session_end,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) + {_GAP_US} AS session_end_us,
            COUNT(*) AS n_events,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS session_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) * 1000000 AS BIGINT)
+             AS session_value_micros
     FROM sessions
     GROUP BY user_id, sid
-    ORDER BY user_id, session_start
+    ORDER BY user_id, session_start_us
     """,
 )
 def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,8 +398,19 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     # Batch mode ignores the watermark clause; reuse the exact streaming op.
-    return session_windows(events, gap=f"{SESSION_GAP_MINUTES} minutes").orderBy(
-        "user_id", "session_start"
+    # The oracle-facing projection converts to integer cells (epoch-micros
+    # bounds, millionths value) so the comparison is canonicalization-proof;
+    # the streaming op itself keeps its timestamp/double schema for sinks.
+    return (
+        session_windows(events, gap=f"{SESSION_GAP_MINUTES} minutes")
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            F.unix_micros("session_end").alias("session_end_us"),
+            "n_events",
+            micros("session_value").alias("session_value_micros"),
+        )
+        .orderBy("user_id", "session_start_us")
     )
 
 
@@ -625,16 +694,19 @@ def user_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "user_value_intervals",
-    oracle="""
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+      FROM events
+      WHERE event_type = 'purchase')
     SELECT user_id,
-           ROUND(value, 4) AS value,
-           ts AS valid_from,
-           LEAD(ts) OVER w AS valid_to,
-           (LEAD(ts) OVER w IS NULL) AS is_current
-    FROM events
-    WHERE event_type = 'purchase'
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ORDER BY user_id, valid_from
+           {sql_micros("value", "value_micros")},
+           ts_us AS valid_from_us,
+           LEAD(ts_us) OVER w AS valid_to_us,
+           (LEAD(ts_us) OVER w IS NULL) AS is_current
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ORDER BY user_id, valid_from_us
     """,
 )
 def user_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -643,19 +715,25 @@ def user_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase; the open-ended row is flagged current. One lead() over one
     shuffle — the standard way to turn an append-only change log into a
     point-in-time-joinable dimension (pair with ``asof_order_context`` for
-    the lookup side)."""
+    the lookup side). Integer cells: epoch-micros bounds, millionths value."""
     events = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    nxt = F.lead("ts").over(w)
+    ev = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        micros("value").alias("value_micros"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    nxt = F.lead("ts_us").over(w)
     return (
-        events.select(
+        ev.select(
             "user_id",
-            F.round("value", 4).alias("value"),
-            F.col("ts").alias("valid_from"),
-            nxt.alias("valid_to"),
+            "value_micros",
+            F.col("ts_us").alias("valid_from_us"),
+            nxt.alias("valid_to_us"),
             nxt.isNull().alias("is_current"),
         )
-        .orderBy("user_id", "valid_from")
+        .orderBy("user_id", "valid_from_us")
     )
 
 
