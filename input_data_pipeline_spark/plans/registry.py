@@ -68,14 +68,94 @@ def _load_all() -> None:
     import input_data_pipeline_spark.operators.corpus  # noqa: F401
 
 
+# Externally-visible enumeration order. External snapshots of the registry
+# truncate to a prefix, so the queries that most need fresh differential
+# evidence must enumerate first: the LLM-pipeline core (text analysis,
+# dedup, similarity, multimodal, corpus hygiene) has never appeared in a
+# driver snapshot (rounds 1-2 covered only the first 50 registered names —
+# all relational/window queries, which now carry two rounds of green
+# history and move to the back), plus the re-engineered sessionization.
+# Names not listed keep registration order after the listed ones.
+_PRIORITY: list[str] = [
+    "user_sessions",
+    # --- text analysis / corpus curation (textstats.py) ---
+    "lang_distribution",
+    "doc_token_stats",
+    "top_tokens",
+    "doc_quality",
+    "doc_previews",
+    "language_confusion",
+    "youtube_id_extraction",
+    "normalized_text_hash",
+    "tfidf_top_terms",
+    "charngram_language_id",
+    "stratified_doc_sample",
+    "quality_percentile_filter",
+    "doc_length_outliers",
+    "source_quota_cap",
+    "frequent_tokens_sketch",
+    "lang_rebalance_plan",
+    "bpe_token_estimate",
+    "quality_calibration",
+    # --- deduplication (dedup.py) ---
+    "dedup_exact",
+    "dedup_bow_clusters",
+    "dedup_minhash_lsh",
+    "ngram_jaccard_pairs",
+    "dedup_simhash",
+    "simhash_near_pairs",
+    "embedding_near_pairs",
+    "winnowing_fingerprints",
+    "dedup_minhash_ml",
+    "dedup_cluster_assignment",
+    "incremental_batch_dedup",
+    "source_dup_rates",
+    # --- similarity search (similarity.py) ---
+    "knn_bruteforce",
+    "knn_bruteforce_np",
+    "knn_hyperplane_lsh",
+    "label_centroid_assignment",
+    "knn_ivf",
+    "semantic_doc_search",
+    "embedding_norm_stats",
+    "pq_reconstruction_stats",
+    # --- multimodal (multimodal.py) ---
+    "multimodal_binary_meta",
+    "frame_sample",
+    # --- corpus hygiene (corpus.py) ---
+    "intradoc_repetition",
+    "corpus_boilerplate_shingles",
+    "contamination_overlap",
+    "sequence_packing_plan",
+    "oov_rate_by_source",
+    # --- ingest / custom joins ---
+    "toxic_label_scaffold",
+    "segments_flatten",
+    "asof_order_context",
+    "skew_salted_user_join",
+]
+
+
+def _ordered() -> dict[str, QuerySpec]:
+    """Registry in external enumeration order: _PRIORITY first, then the
+    rest in registration order."""
+    out: dict[str, QuerySpec] = {}
+    for name in _PRIORITY:
+        out[name] = _REGISTRY[name]
+    for name, spec in _REGISTRY.items():
+        if name not in out:
+            out[name] = spec
+    return out
+
+
 def all_queries() -> dict[str, QueryFn]:
     _load_all()
-    return {name: spec.fn for name, spec in _REGISTRY.items()}
+    return {name: spec.fn for name, spec in _ordered().items()}
 
 
 def all_oracle_sql() -> dict[str, str]:
     _load_all()
-    return {name: spec.oracle for name, spec in _REGISTRY.items() if spec.oracle is not None}
+    return {name: spec.oracle for name, spec in _ordered().items() if spec.oracle is not None}
 
 
 def get(name: str) -> QuerySpec:

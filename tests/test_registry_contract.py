@@ -137,6 +137,61 @@ def test_stable_sum_matches_decimal_form(spark):
     assert sorted(map(tuple, got_w.collect())) == sorted(map(tuple, want_w.collect()))
 
 
+def test_stable_sum_partition_invariant_at_round_boundary(spark):
+    """Exercise stable_sum AT a rounding boundary in anger: 4096 planted
+    values (<= 6 true decimals) adjusted so the EXACT total lands on a
+    .00005 boundary. Chunked IEEE double summation then rounds to a
+    different 4th decimal depending on the chunking (2 vs 32 chunks — the
+    exact hazard of Spark's partial aggregation merging partials in
+    partition order), while the split-long stable sums must produce the
+    same bits under ANY partitioning and equal DuckDB's DECIMAL(18,6) sum.
+    """
+    import random
+    from decimal import Decimal
+
+    import duckdb
+    import pandas as pd
+
+    from input_data_pipeline_spark.functions.stable import (
+        stable_sum,
+        stable_sum_micros,
+    )
+
+    rng = random.Random(0)
+    vals = [rng.randint(1, 999999) / 1e6 for _ in range(4096)]
+    exact = sum(Decimal(str(round(v, 6))) for v in vals)
+    adj = (Decimal("0.00005") - exact % Decimal("0.0001")) % Decimal("0.0001")
+    vals[-1] = float(Decimal(str(round(vals[-1], 6))) + adj)
+    exact = sum(Decimal(str(round(v, 6))) for v in vals)
+    assert exact % Decimal("0.0001") == Decimal("0.00005"), "boundary not planted"
+
+    def chunked(vs: list[float], k: int) -> float:
+        m = (len(vs) + k - 1) // k
+        return sum(sum(vs[i * m : (i + 1) * m]) for i in range(k))
+
+    assert round(chunked(vals, 2), 4) != round(chunked(vals, 32), 4), (
+        "planted set no longer order-sensitive in doubles — regenerate it"
+    )
+
+    df = spark.createDataFrame(list(enumerate(vals)), "id long, v double")
+    got = {
+        p: df.repartition(p)
+        .agg(stable_sum("v", 4).alias("s"), stable_sum_micros("v").alias("m"))
+        .first()
+        for p in (1, 2, 32)
+    }
+    assert got[1] == got[2] == got[32], f"partition-dependent: {got}"
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": vals}))
+    want_s, want_m = con.execute(
+        "SELECT CAST(ROUND(SUM(CAST(v AS DECIMAL(18,6))), 4) AS DOUBLE),"
+        "       CAST(SUM(CAST(v AS DECIMAL(18,6))) * 1000000 AS BIGINT) FROM t"
+    ).fetchone()
+    assert (got[1].s, got[1].m) == (want_s, want_m)
+    assert Decimal(got[1].m) == exact * 1_000_000
+
+
 def test_all_result_schemas_are_scalar_only(spark):
     """The round driver's canonicalizer hashes cell values and crashes on
     list/map/struct cells (r1: event_value_approx_percentiles). Every
