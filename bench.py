@@ -50,6 +50,11 @@ HEADLINE = [
     "sequence_packing_plan",
     "contamination_overlap",
     "pq_reconstruction_stats",
+    # shared-token-index consumers (added round 3; the three hygiene
+    # queries above+below tokenize documents ONCE per session via
+    # corpus.corpus_token_index)
+    "corpus_boilerplate_shingles",
+    "oov_rate_by_source",
 ]
 
 

@@ -48,6 +48,28 @@ def test_oov_share_bounds_and_token_conservation(spark, sf_dir):
         assert 0.0 <= r.oov_share <= 1.0
 
 
+def test_hygiene_queries_share_one_token_index(spark, sf_dir):
+    """The three corpus-hygiene queries must all read the SAME persisted
+    token index (one documents scan + tokenization per session), visible as
+    an InMemoryRelation in each optimized plan and a single cache entry."""
+    from input_data_pipeline_spark.operators import corpus
+
+    corpus._TOKEN_INDEX_CACHE.clear()
+    dfs = [
+        corpus.contamination_overlap(spark, sf_dir),
+        corpus.corpus_boilerplate_shingles(spark, sf_dir),
+        corpus.oov_rate_by_source(spark, sf_dir),
+    ]
+    assert len(corpus._TOKEN_INDEX_CACHE) == 1
+    for df in dfs:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # contamination_overlap additionally localCheckpoints its rare-
+        # filtered join input, which shows as LogicalRDD and hides the
+        # upstream cached index; the other two show the InMemoryRelation.
+        assert "InMemoryRelation" in plan or "LogicalRDD" in plan, plan[:500]
+        df.collect()  # materialize through the shared index — must not error
+
+
 def test_quality_calibration_deciles_partition_corpus(spark, sf_dir):
     from input_data_pipeline_spark.operators.textstats import quality_calibration
     from input_data_pipeline_spark.tables import load_table
