@@ -98,6 +98,30 @@ def _kgrams_from_index(tok: DataFrame, k: int) -> DataFrame:
 # Intra-document repetition (boilerplate / degenerate-generation detector)
 # ---------------------------------------------------------------------------
 
+# re.ASCII: Python's \s is Unicode-aware by default, but Java regex
+# (T.tokens) and RE2 (the oracle) treat \s as ASCII whitespace — without
+# the flag a U+00A0 in a doc would split here but not there.
+_WS_ASCII = __import__("re").compile(r"\s+", __import__("re").ASCII)
+
+
+def rep_stats(text: str | None) -> tuple[int, int] | None:
+    """Per-doc max-repeated-3-gram stats: ``(max_repeat, n_shingles)``, or
+    None for docs with < 3 tokens.
+
+    THE shared scoring routine of the batch ``intradoc_repetition``
+    operator and the streaming hygiene gate
+    (``streaming/pipelines.py::stream_corpus_hygiene``) — batch backfills
+    and the live stream score repetition identically by construction.
+    """
+    from collections import Counter
+
+    toks = [t for t in _WS_ASCII.split(text or "") if t]
+    if len(toks) < 3:
+        return None
+    counts = Counter(zip(toks, toks[1:], toks[2:]))
+    return max(counts.values()), len(toks) - 2
+
+
 @register(
     "intradoc_repetition",
     oracle=f"""
@@ -131,25 +155,17 @@ def intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
 
     def score(batches):
-        import re
-        from collections import Counter
-
         import pandas as pd
 
-        # re.ASCII: Python's \s is Unicode-aware by default, but Java regex
-        # (T.tokens) and RE2 (the oracle) treat \s as ASCII whitespace —
-        # without the flag a U+00A0 in a doc would split here but not there.
-        ws = re.compile(r"\s+", re.ASCII)
         for pdf in batches:
             out_id, out_max, out_n = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = [t for t in ws.split(text or "") if t]
-                if len(toks) < 3:
+                s = rep_stats(text)
+                if s is None:
                     continue
-                counts = Counter(zip(toks, toks[1:], toks[2:]))
                 out_id.append(doc_id)
-                out_max.append(max(counts.values()))
-                out_n.append(len(toks) - 2)
+                out_max.append(s[0])
+                out_n.append(s[1])
             yield pd.DataFrame(
                 {"doc_id": out_id, "max_repeat": out_max, "n_shingles": out_n}
             )

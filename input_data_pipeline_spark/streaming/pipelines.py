@@ -211,14 +211,40 @@ def stream_docs(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(DOC_SCHEMA).json(path)
 
 
+def _with_repetition_stats(df: DataFrame) -> DataFrame:
+    """Append ``max_repeat``/``n_shingles`` (most-repeated word 3-gram count
+    and total 3-grams) to every row, Arrow-batched and map-only, using the
+    SAME per-doc scorer as the batch ``intradoc_repetition`` operator
+    (``operators/corpus.py::rep_stats``) — stream/batch parity by
+    construction. Rows with < 3 tokens get NULL stats.
+    """
+    from input_data_pipeline_spark.operators.corpus import rep_stats
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", max_repeat bigint, n_shingles bigint"
+
+    def score(batches):
+        for pdf in batches:
+            stats = [rep_stats(t) for t in pdf["text"]]
+            out = pdf.copy()
+            out["max_repeat"] = [s[0] if s else None for s in stats]
+            out["n_shingles"] = [s[1] if s else None for s in stats]
+            yield out
+
+    return df.mapInPandas(score, out_schema)
+
+
 def stream_corpus_hygiene(
     docs: DataFrame,
     watermark: str = "10 minutes",
     min_tokens: int = 3,
+    max_repeat_ratio: float = 0.2,
+    repetition_min_shingles: int = 20,
 ) -> DataFrame:
     """Streaming corpus-hygiene pass: the ingest-time subset of the batch
-    pipeline (fingerprint dedup + token gate + quality columns), running on
-    an unbounded document stream.
+    pipeline (fingerprint dedup + token gate + intra-doc repetition gate +
+    quality columns), running on an unbounded document stream.
 
     Batch/stream unification is the point: the fingerprint, tokenizer, and
     stopword-ratio expressions are THE SAME column objects the batch
@@ -249,8 +275,26 @@ def stream_corpus_hygiene(
             "stop_ratio", F.round(n_stop / F.col("n_tokens"), 6)
         )
     )
+    # Intra-doc repetition gate (the streaming face of the batch
+    # intradoc_repetition operator, same scorer): docs long enough for the
+    # ratio to mean anything (>= repetition_min_shingles 3-grams) whose
+    # most-repeated 3-gram exceeds max_repeat_ratio of all 3-grams are
+    # boilerplate/degenerate text and are dropped map-side, BEFORE any
+    # state is touched. Short docs pass un-gated (a 3-token doc is always
+    # ratio 1.0 — length, not repetition).
+    scored = _with_repetition_stats(gated).withColumn(
+        "repeat_ratio",
+        F.round(F.col("max_repeat").cast("double") / F.col("n_shingles"), 4),
+    )
+    kept = scored.filter(
+        (F.col("n_shingles") < repetition_min_shingles)
+        | (F.col("repeat_ratio") <= max_repeat_ratio)
+    )
     return (
-        gated.withWatermark("ts", watermark)
+        kept.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["fp"])
-        .select("doc_id", "ts", "lang", "source", "fp", "n_tokens", "stop_ratio")
+        .select(
+            "doc_id", "ts", "lang", "source", "fp", "n_tokens",
+            "stop_ratio", "repeat_ratio",
+        )
     )

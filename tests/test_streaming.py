@@ -471,3 +471,86 @@ def test_stream_corpus_hygiene_dedups_and_gates(spark, tmp_path):
     )
     assert rows[1].fp == batch_fp  # stream == batch semantics
     assert rows[5].n_tokens == 4
+    # short docs carry repetition stats but are never repetition-gated
+    assert rows[1].repeat_ratio == 1.0
+
+
+def test_stream_hygiene_repetition_gate_parity_with_batch(spark, tmp_path):
+    """The streaming repetition gate must make EXACTLY the decisions the
+    batch intradoc_repetition scorer implies: feed a mixed corpus through
+    stream_corpus_hygiene (collected via foreachBatch) and independently
+    compute the batch reference (same fingerprint dedup + token gate +
+    rep_stats ratio gate); the surviving doc_ids and their
+    (max-repeat ratio) columns must match row-for-row."""
+    import json
+
+    from input_data_pipeline_spark.functions import text as T
+    from input_data_pipeline_spark.operators.corpus import rep_stats
+    from input_data_pipeline_spark.streaming.pipelines import (
+        stream_corpus_hygiene,
+        stream_docs,
+    )
+
+    boiler = "buy now click here " * 15          # 60 tokens, ratio >> 0.2
+    clean = " ".join(f"tok{i} word{i*7%13}" for i in range(30))  # 60 distinct-ish
+    docs = [
+        {"doc_id": 10, "ts": "2024-01-01T00:00:00", "text": boiler,
+         "lang": "en", "source": "s0"},           # repetition-gated
+        {"doc_id": 11, "ts": "2024-01-01T00:00:10", "text": clean,
+         "lang": "en", "source": "s0"},           # passes
+        {"doc_id": 12, "ts": "2024-01-01T00:00:20", "text": clean,
+         "lang": "en", "source": "s1"},           # exact dup of 11 → dropped
+        {"doc_id": 13, "ts": "2024-01-01T00:00:30", "text": "tiny doc here",
+         "lang": "en", "source": "s2"},           # short: ratio 1.0 but passes
+        {"doc_id": 14, "ts": "2024-01-01T00:00:40", "text": "no",
+         "lang": "en", "source": "s2"},           # token-gated
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in docs) + "\n", encoding="utf-8"
+    )
+
+    got: dict[int, tuple] = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            got[r.doc_id] = (r.repeat_ratio, r.n_tokens)
+
+    q = (
+        stream_corpus_hygiene(stream_docs(spark, str(src)))
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # Batch reference: same gates computed independently from rep_stats.
+    ws_tokens = {d["doc_id"]: [t for t in (d["text"] or "").split() if t] for d in docs}
+    seen_fp: set[str] = set()
+    expect: dict[int, tuple] = {}
+    fp_rows = (
+        spark.createDataFrame([(d["doc_id"], d["text"]) for d in docs],
+                              "doc_id long, text string")
+        .select("doc_id", T.fingerprint("text").alias("fp"))
+        .collect()
+    )
+    fps = {r.doc_id: r.fp for r in fp_rows}
+    for d in docs:
+        toks = ws_tokens[d["doc_id"]]
+        if len(toks) < 3:
+            continue  # token gate
+        s = rep_stats(d["text"])
+        ratio = round(s[0] / s[1], 4)
+        if s[1] >= 20 and ratio > 0.2:
+            continue  # repetition gate
+        if fps[d["doc_id"]] in seen_fp:
+            continue  # fingerprint dedup keeps first arrival
+        seen_fp.add(fps[d["doc_id"]])
+        expect[d["doc_id"]] = (ratio, len(toks))
+
+    assert got == expect
+    assert set(got) == {11, 13}
