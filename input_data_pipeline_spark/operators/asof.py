@@ -101,8 +101,10 @@ def asof_join(
       FROM probes p
       LEFT JOIN orders o
         ON o.o_custkey = p.user_id AND o.o_orderdate::DATE <= p.probe_date)
-    SELECT event_id, user_id, probe_date,
-           asof_o_orderdate, asof_o_orderkey, asof_o_totalprice
+    SELECT event_id, user_id,
+           probe_date - DATE '1970-01-01' AS probe_day,
+           asof_o_orderdate - DATE '1970-01-01' AS asof_o_orderday,
+           asof_o_orderkey, asof_o_totalprice
     FROM cand
     WHERE rn = 1
     ORDER BY event_id
@@ -138,11 +140,15 @@ def asof_order_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_time="o_date",
         right_cols=["o_orderkey", "o_totalprice"],
     )
+    # Integer day cells (days since 1970-01-01) on both engines: the only
+    # DATE-typed outputs in the driver's snapshot window, converted so no
+    # date-canonicalization difference in any comparator can bite.
+    epoch = F.to_date(F.lit("1970-01-01"))
     return joined.select(
         "event_id",
         "user_id",
-        "probe_date",
-        F.col("asof_o_date").alias("asof_o_orderdate"),
+        F.datediff("probe_date", epoch).alias("probe_day"),
+        F.datediff(F.col("asof_o_date"), epoch).alias("asof_o_orderday"),
         "asof_o_orderkey",
         "asof_o_totalprice",
     ).orderBy("event_id")
