@@ -1,0 +1,375 @@
+"""Data-curation operators rounding out the LLM training-data pipeline.
+
+Round-3 additions along SURVEY §6's "LLM-data-pipeline operators" axis:
+PII detection/redaction, URL/domain extraction, fixed-width chunk-level
+dedup (the substring-dedup proxy), duplicate-cluster size audit, and
+SemDeDup-style embedding clustering (Abbas et al. 2023,
+arXiv:2303.09540) composed from the existing blocked cosine join +
+large-star/small-star connected components.
+
+The synthetic corpus contains no PII or URLs, so the two pattern-matching
+operators run on inline fixtures (the ``toxic_label_scaffold`` pattern in
+``operators/ingest.py``) — the operator logic is corpus-shape-independent
+and the fixtures guarantee every regex branch is exercised by the
+differential oracle. Patterns are written in the common Java-regex/RE2
+subset (no lookbehind, no backreferences) so Spark and DuckDB compile the
+same language.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from input_data_pipeline_spark.operators.corpus import corpus_token_index
+from input_data_pipeline_spark.plans.registry import register
+from input_data_pipeline_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction scaffold
+# ---------------------------------------------------------------------------
+
+_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_RE_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+_RE_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_PII_FIXTURE = [
+    ("p1", "contact alice@example.com or bob.smith+tag@mail.co for details"),
+    ("p2", "call 555-123-4567 today; fax 555.987.6543 tomorrow"),
+    ("p3", "server at 10.0.0.1 and 192.168.100.42 responded"),
+    ("p4", "mixed: carol@web.org, 555-000-1111, 172.16.254.3 in one line"),
+    ("p5", "nothing sensitive here at all"),
+    ("p6", ""),
+]
+
+_PII_VALUES = ",\n      ".join(
+    "('{}', '{}')".format(rid, txt.replace("'", "''")) for rid, txt in _PII_FIXTURE
+)
+
+
+@register(
+    "pii_redaction_scaffold",
+    oracle=f"""
+    WITH recs(rec_id, text) AS (VALUES
+      {_PII_VALUES})
+    SELECT rec_id,
+           len(regexp_extract_all(text, '{_RE_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(text, '{_RE_PHONE}')) AS n_phones,
+           len(regexp_extract_all(
+               regexp_replace(text, '{_RE_PHONE}', '[PHONE]', 'g'),
+               '{_RE_IPV4}')) AS n_ips,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_RE_EMAIL}', '[EMAIL]', 'g'),
+               '{_RE_PHONE}', '[PHONE]', 'g'),
+             '{_RE_IPV4}', '[IP]', 'g') AS redacted
+    FROM recs
+    ORDER BY rec_id
+    """,
+)
+def pii_redaction_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: count and mask emails, NANP-style phone numbers and
+    IPv4 literals — the pre-training redaction step every public-corpus
+    pipeline runs. Counts and the redacted text come from the same three
+    regexes applied in a fixed order (emails → phones → IPs; phones are
+    masked before IP counting so a dotted phone can never double-count as
+    an address). Map-only JVM regex — at 100 TB this is a pure scan stage
+    with nothing to shuffle.
+    """
+    recs = spark.createDataFrame(_PII_FIXTURE, ["rec_id", "text"])
+    no_phone = F.regexp_replace("text", _RE_PHONE, "[PHONE]")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _RE_EMAIL, "[EMAIL]"),
+            _RE_PHONE,
+            "[PHONE]",
+        ),
+        _RE_IPV4,
+        "[IP]",
+    )
+    return (
+        recs.select(
+            "rec_id",
+            F.size(F.regexp_extract_all("text", F.lit(_RE_EMAIL), F.lit(0))).alias(
+                "n_emails"
+            ),
+            F.size(F.regexp_extract_all("text", F.lit(_RE_PHONE), F.lit(0))).alias(
+                "n_phones"
+            ),
+            F.size(F.regexp_extract_all(no_phone, F.lit(_RE_IPV4), F.lit(0))).alias(
+                "n_ips"
+            ),
+            redacted.alias("redacted"),
+        )
+        .orderBy("rec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL / domain extraction
+# ---------------------------------------------------------------------------
+
+_RE_URL = r"https?://[^\s]+"
+_RE_DOMAIN = r"https?://([^/\s:]+)"
+
+_URL_FIXTURE = [
+    ("u1", "see https://docs.example.com/guide and http://example.com/a?b=1"),
+    ("u2", "mirror at https://cdn.example.com/pkg plus https://docs.example.com/faq"),
+    ("u3", "bare host http://localhost:8080/health checked"),
+    ("u4", "no links in this record"),
+    ("u5", "dup host https://cdn.example.com/other and https://other.org"),
+]
+
+_URL_VALUES = ",\n      ".join(
+    "('{}', '{}')".format(rid, txt.replace("'", "''")) for rid, txt in _URL_FIXTURE
+)
+
+
+@register(
+    "url_domain_stats",
+    oracle=f"""
+    WITH recs(rec_id, text) AS (VALUES
+      {_URL_VALUES}),
+    urls AS (
+      SELECT rec_id, unnest(regexp_extract_all(text, '{_RE_URL}')) AS url
+      FROM recs)
+    SELECT regexp_extract(url, '{_RE_DOMAIN}', 1) AS domain,
+           COUNT(*) AS n_urls,
+           COUNT(DISTINCT rec_id) AS n_recs
+    FROM urls
+    GROUP BY domain
+    ORDER BY domain
+    """,
+)
+def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + per-domain rollup: the source-attribution /
+    blocklist-gating primitive of web-corpus curation. regexp_extract_all
+    runs JVM-side; the explode feeds a map-side-combinable count keyed by
+    domain, so at 100 TB the shuffle carries |domains| partials, not
+    |urls| rows.
+    """
+    recs = spark.createDataFrame(_URL_FIXTURE, ["rec_id", "text"])
+    return (
+        recs.select(
+            "rec_id",
+            F.explode(F.regexp_extract_all("text", F.lit(_RE_URL), F.lit(0))).alias(
+                "url"
+            ),
+        )
+        .select("rec_id", F.regexp_extract("url", _RE_DOMAIN, 1).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("rec_id").alias("n_recs"),
+        )
+        .orderBy("domain")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width chunk dedup (substring-dedup proxy)
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 16
+
+
+@register(
+    "chunk_dedup_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT d.doc_id, d.source,
+             string_split(regexp_replace(trim(lower(d.text)), '\\s+', ' ', 'g'), ' ')
+               AS ts
+      FROM documents d
+      WHERE trim(d.text) <> ''),
+    starts AS (
+      SELECT doc_id, source, ts,
+             unnest(range(1, len(ts) + 1, {_CHUNK_TOKENS})) AS s
+      FROM tok),
+    chunks AS (
+      SELECT doc_id, source, s,
+             array_to_string(ts[s:s + {_CHUNK_TOKENS} - 1], ' ') AS chunk
+      FROM starts),
+    ranked AS (
+      SELECT source,
+             ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, s) AS rn
+      FROM chunks)
+    SELECT source,
+           COUNT(*) AS n_chunks,
+           SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_redundant,
+           ROUND(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+             AS dup_rate
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup audit: split every doc into non-overlapping
+    {_CHUNK_TOKENS}-token chunks (ragged tail kept) and measure, per
+    source, the share of chunk occurrences that are redundant copies (not
+    the first (doc_id, offset) holder of that chunk text) — the cheap
+    proxy for exact-substring dedup (à la deduplicating repeated spans)
+    that catches templated/recombined text exact-doc dedup misses.
+
+    Scale shape: chunks derive from the shared persisted token index (one
+    tokenization per session across all hygiene/curation passes); chunk
+    assembly is a per-doc window concat; the redundancy rank is one
+    shuffle keyed by chunk text — sha-hash the chunk key at real scale to
+    keep the exchange narrow, the semantics are identical.
+    """
+    idx = corpus_token_index(spark, sf_dir)
+    # Per-(doc, chunk) ordered concat: sort the (pos, tok) structs inside
+    # each chunk group — arrays are <= {_CHUNK_TOKENS} elements, so the
+    # interpreted transform is bounded per row and never sees corpus scale.
+    chunks = (
+        idx.groupBy(
+            "doc_id",
+            "source",
+            (F.floor(F.col("pos") / _CHUNK_TOKENS)).alias("ck"),
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("chunk")
+        )
+    )
+    rn = F.row_number().over(Window.partitionBy("chunk").orderBy("doc_id", "ck"))
+    return (
+        chunks.withColumn("rn", rn)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_redundant"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(F.col("n_redundant").cast("double") / F.col("n_chunks"), 4),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster size audit
+# ---------------------------------------------------------------------------
+
+@register(
+    "dup_cluster_size_histogram",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ts
+      FROM documents),
+    fp AS (
+      SELECT sha256(array_to_string(list_sort(list_distinct(ts)), ' ')) AS fp
+      FROM tok),
+    fam AS (SELECT fp, COUNT(*) AS cluster_size FROM fp GROUP BY fp)
+    SELECT cluster_size,
+           COUNT(*) AS n_clusters,
+           SUM(cluster_size) AS n_docs
+    FROM fam
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup cluster-size distribution over bag-of-words fingerprint families
+    (the ``dedup_bow_clusters`` key — order/multiplicity-insensitive, so it
+    sees reshuffled boilerplate a byte-exact pass misses): how many
+    families have 1, 2, 3… members — the dedup-health dashboard that
+    distinguishes a corpus with a few mega-clusters (one viral page
+    re-crawled 10k×) from broad low-grade duplication, which need
+    different mitigations. Two map-side-combinable aggregations; nothing
+    wide ever shuffles.
+    """
+    from input_data_pipeline_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    bow_fp = F.sha2(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(T.tokens("text")))), 256
+    )
+    fam = (
+        docs.select(bow_fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return (
+        fam.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup clusters over embeddings
+# ---------------------------------------------------------------------------
+
+_SEM_COS = 0.45  # same threshold as embedding_near_pairs — shared plan
+
+
+@register(
+    "semdedup_embedding_clusters",
+    oracle=f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    prs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE ROUND(
+        list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+        / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+           * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 4) >= {_SEM_COS}),
+    edges AS (
+      SELECT vec_a AS src, vec_b AS dst FROM prs
+      UNION SELECT vec_b, vec_a FROM prs),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    labeled AS (
+      SELECT src AS vec_id, least(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src)
+    SELECT vec_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           (vec_id = cluster_id) AS is_survivor
+    FROM labeled
+    ORDER BY vec_id
+    """,
+)
+def semdedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings whose cosine ≥
+    {_SEM_COS} transitively and keep one survivor (min vec_id) per
+    semantic cluster — the embedding-space analogue of
+    ``dedup_cluster_assignment``, catching paraphrases that share no
+    n-grams.
+
+    Composition of two scale-proven parts: the blocked block×block cosine
+    join of ``embedding_near_pairs`` (shuffle = n·(B+1) rows, driver holds
+    nothing) feeding large-star/small-star ``connected_components``
+    (O(log n) rounds). The oracle states the same fixpoint as a recursive
+    CTE — fine for DuckDB at test scale, quadratic at real scale, which is
+    exactly why the engine iterates instead.
+    """
+    from input_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        embedding_near_pairs,
+    )
+
+    pairs = embedding_near_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    labels = connected_components(edges)
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(F.col("id").alias("vec_id"), F.col("label").alias("cluster_id"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_survivor", F.col("vec_id") == F.col("cluster_id"))
+        .orderBy("vec_id")
+    )

@@ -66,6 +66,7 @@ def _load_all() -> None:
     import input_data_pipeline_spark.operators.asof  # noqa: F401
     import input_data_pipeline_spark.operators.skew  # noqa: F401
     import input_data_pipeline_spark.operators.corpus  # noqa: F401
+    import input_data_pipeline_spark.operators.curation  # noqa: F401
 
 
 # Externally-visible enumeration order. External snapshots of the registry
