@@ -833,9 +833,13 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     polynomial mixing shared exactly with the DuckDB oracle (md5 would
     cost 12.5M hashlib calls per 5k docs in Python).
     """
+    from input_data_pipeline_spark.tables import fan_out
+
     docs = load_table(spark, sf_dir, "documents")
     s = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    normed = docs.select("doc_id", s.alias("s"), F.length(s).alias("n_chars"))
+    normed = fan_out(
+        docs.select("doc_id", s.alias("s"), F.length(s).alias("n_chars"))
+    )
     schema = (
         "doc_id long, n_grams long, n_fingerprints long, fp_digest string"
     )

@@ -50,6 +50,23 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Ensure a frame entering an expensive per-row kernel (Arrow mapInPandas
+    etc.) has at least one partition per core.
+
+    Small test-scale parquet arrives as a SINGLE file split, which would
+    serialize the kernel on one core of 32 (measured: winnowing 3.5 s →
+    0.9 s at sf0.1 after fanning out). At production scale the scan already
+    has ≥ cores splits and this is a no-op — the repartition only fires on
+    degenerate inputs, so the shuffle it adds is bounded by tiny-input
+    cases by construction.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so SQL-form queries can run."""
     for name in TABLE_NAMES:
