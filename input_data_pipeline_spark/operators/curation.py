@@ -309,6 +309,134 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-mix planning
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 1_000_000_000  # tokens per epoch to allocate across languages
+
+
+@register(
+    "mixture_sampling_plan",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang,
+             SUM(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                 t -> t <> ''))) AS n_tokens
+      FROM documents GROUP BY lang),
+    w AS (
+      SELECT lang, n_tokens,
+             CAST(FLOOR(SQRT(n_tokens)) AS BIGINT) AS weight
+      FROM toks),
+    tot AS (SELECT SUM(weight) AS total_w FROM w)
+    SELECT lang, n_tokens, weight,
+           ROUND(weight * 1.0 / total_w, 6) AS sample_prob,
+           CAST(FLOOR(weight * {_MIX_BUDGET}.0 / total_w) AS BIGINT)
+             AS epoch_tokens
+    FROM w, tot
+    ORDER BY lang
+    """,
+)
+def mixture_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed (α = 0.5) language-mixture plan: sampling
+    probability ∝ sqrt(per-language token count), normalized, then a
+    {_MIX_BUDGET}-token epoch budget allocated proportionally — the
+    standard multilingual up-weighting of low-resource languages.
+
+    Cross-engine exactness tactic: the α-smoothing is quantized to
+    INTEGER-sqrt weights (floor of the IEEE-exact sqrt). Every downstream
+    value is then integer arithmetic plus one correctly-rounded division,
+    so both engines derive bit-identical probabilities — pow(x, α) for
+    general α is NOT correctly rounded and could flip a 6th decimal.
+    One map-side-combinable agg; the weight table is |languages| rows.
+    """
+    from input_data_pipeline_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.groupBy("lang").agg(F.sum(T.token_count("text")).alias("n_tokens"))
+    w = toks.withColumn("weight", F.floor(F.sqrt(F.col("n_tokens"))))
+    tot = w.agg(F.sum("weight").alias("total_w"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_tokens",
+            "weight",
+            F.round(F.col("weight") / F.col("total_w"), 6).alias("sample_prob"),
+            F.floor(F.col("weight") * F.lit(float(_MIX_BUDGET)) / F.col("total_w"))
+            .cast("long")
+            .alias("epoch_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SELECT_BUDGET = 100_000  # tokens per language
+
+
+@register(
+    "token_budget_selection",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))
+               AS n_tok
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY n_tok DESC, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tok AS prior_tokens
+      FROM toks)
+    SELECT lang,
+           COUNT(*) AS n_selected,
+           SUM(n_tok) AS selected_tokens,
+           ROUND(SUM(n_tok) * 1.0 / {_SELECT_BUDGET}, 4) AS budget_fill
+    FROM ranked
+    WHERE prior_tokens < {_SELECT_BUDGET}
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-language selection under a {_SELECT_BUDGET}-token budget:
+    docs admitted longest-first (ties by doc_id) while the EXCLUSIVE
+    running token total is under budget — the deterministic budget-capped
+    subset builder for fixed-size training mixes (admitting the doc that
+    crosses the line, so the budget is always reached when enough data
+    exists). Integer-only logic until one final rounded division.
+
+    Scale shape: one shuffle (window by lang) + a map-side-combinable
+    rollup; in production the window would sub-partition by (lang, shard)
+    with shard-offset budgets — same note as sequence_packing_plan.
+    """
+    from input_data_pipeline_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", T.token_count("text").alias("n_tok"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("n_tok"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = toks.withColumn(
+        "prior_tokens", F.sum("n_tok").over(w) - F.col("n_tok")
+    )
+    return (
+        ranked.filter(F.col("prior_tokens") < _SELECT_BUDGET)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("n_tok").alias("selected_tokens"),
+        )
+        .withColumn(
+            "budget_fill",
+            F.round(F.col("selected_tokens") / F.lit(float(_SELECT_BUDGET)), 4),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup: semantic dedup clusters over embeddings
 # ---------------------------------------------------------------------------
 

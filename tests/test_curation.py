@@ -55,6 +55,61 @@ def test_dup_cluster_histogram_conserves_docs(spark, sf_dir):
         assert r.n_docs == r.cluster_size * r.n_clusters
 
 
+def test_mixture_plan_probabilities_partition_budget(spark, sf_dir):
+    from input_data_pipeline_spark.operators.curation import (
+        _MIX_BUDGET,
+        mixture_sampling_plan,
+    )
+
+    rows = mixture_sampling_plan(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r.sample_prob for r in rows) - 1.0) < 1e-4
+    assert sum(r.epoch_tokens for r in rows) <= _MIX_BUDGET  # floors round down
+    assert sum(r.epoch_tokens for r in rows) > 0.999 * _MIX_BUDGET
+    # alpha=0.5 smoothing: probabilities are LESS spread than raw shares
+    tot = sum(r.n_tokens for r in rows)
+    for r in rows:
+        raw = r.n_tokens / tot
+        if raw > 1 / len(rows):
+            assert r.sample_prob <= raw + 1e-6  # big langs down-weighted
+        else:
+            assert r.sample_prob >= raw - 1e-6  # small langs up-weighted
+
+
+def test_token_budget_selection_is_greedy_prefix(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from input_data_pipeline_spark.functions import text as T
+    from input_data_pipeline_spark.operators.curation import (
+        _SELECT_BUDGET,
+        token_budget_selection,
+    )
+    from input_data_pipeline_spark.tables import load_table
+
+    rows = {r.lang: r for r in token_budget_selection(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = {
+        r.lang: sorted(
+            [(x.n, x.doc_id) for x in r.docs], key=lambda t: (-t[0], t[1])
+        )
+        for r in docs.select(
+            "lang", F.struct(T.token_count("text").alias("n"), "doc_id").alias("d")
+        )
+        .groupBy("lang")
+        .agg(F.collect_list("d").alias("docs"))
+        .collect()
+    }
+    for lang, ordered in per_lang.items():
+        total, n_sel = 0, 0
+        for n, _ in ordered:
+            if total >= _SELECT_BUDGET:
+                break
+            total += n
+            n_sel += 1
+        r = rows[lang]
+        assert (r.n_selected, r.selected_tokens) == (n_sel, total), lang
+
+
 def test_semdedup_clusters_are_consistent_with_pairs(spark, sf_dir):
     """Every near-pair must land in one cluster; every cluster's label is
     its min member; every clustered vector belongs to at least one pair."""

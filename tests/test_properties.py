@@ -121,3 +121,29 @@ def test_winnow_kernel_matches_naive_reference(text):
     got = next(_winnow_batches(iter([pdf])))
     assert int(got["n_grams"][0]) == n_grams
     assert int(got["n_fingerprints"][0]) == len(want_fps)
+
+
+@given(
+    toks=st.lists(
+        st.text(alphabet="abX", min_size=1, max_size=2), min_size=0, max_size=40
+    ),
+    sep=st.sampled_from([" ", "  ", "\t", " \t "]),
+)
+@settings(max_examples=300, deadline=None)
+def test_rep_stats_matches_naive_reference(toks, sep):
+    """The shared batch/stream repetition scorer must agree with a direct
+    Counter-over-trigrams transliteration on arbitrary token sequences and
+    whitespace, and return None exactly for sub-3-token docs."""
+    from collections import Counter
+
+    from input_data_pipeline_spark.operators.corpus import rep_stats
+
+    text = sep.join(toks)
+    got = rep_stats(text)
+    if len(toks) < 3:
+        assert got is None
+        return
+    grams = Counter(tuple(toks[i : i + 3]) for i in range(len(toks) - 2))
+    assert got == (max(grams.values()), len(toks) - 2)
+    # invariant: 1 <= max_repeat <= n_shingles
+    assert 1 <= got[0] <= got[1]
