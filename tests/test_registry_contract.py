@@ -35,6 +35,37 @@ def test_enumeration_is_fast_and_consistent():
     assert len(oracles) >= len(queries) - 6
 
 
+def test_priority_window_is_valid_and_covers_the_llm_core():
+    """_PRIORITY drives the externally-visible enumeration order; external
+    snapshots truncate to the first 50 names. Guard: every priority name
+    resolves (a rename/removal would crash enumeration at driver time),
+    there are no duplicates, and the 50-window keeps the queries that need
+    fresh differential evidence."""
+    from input_data_pipeline_spark.plans.registry import (
+        _load_all,
+        _PRIORITY,
+        _REGISTRY,
+        all_queries,
+    )
+
+    _load_all()
+    assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority names"
+    missing = [n for n in _PRIORITY if n not in _REGISTRY]
+    assert not missing, f"priority names not registered: {missing}"
+    first50 = list(all_queries())[:50]
+    assert first50 == _PRIORITY[:50]
+    for must in (
+        "user_sessions",
+        "dedup_minhash_lsh",
+        "ngram_jaccard_pairs",
+        "embedding_near_pairs",
+        "knn_ivf",
+        "contamination_overlap",
+        "doc_quality",
+    ):
+        assert must in first50, f"{must} fell out of the snapshot window"
+
+
 def test_every_oracle_parses_and_plans_in_duckdb():
     """EXPLAIN each oracle over the real sf0.001 views: catches syntax errors,
     bad casts, and references to missing columns — everything short of a
