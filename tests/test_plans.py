@@ -139,3 +139,31 @@ def test_corpus_ops_scale_plans(spark, sf_dir):
     plan = _executed_plan(pq_reconstruction_stats(spark, sf_dir))
     # map-only assignment: the only exchange feeds the per-label aggregate
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_curation_ops_scale_plans(spark, sf_dir):
+    """Round-3 curation operators keep their scale-critical shapes: the mix
+    planners broadcast their single-row/|langs|-row build sides (never a
+    shuffled join), chunk dedup needs no join at all, and every aggregation
+    is partial-then-final (map-side combinable)."""
+    from input_data_pipeline_spark.operators.curation import (
+        chunk_dedup_rate,
+        mixture_sampling_plan,
+        token_budget_selection,
+        url_domain_stats,
+    )
+
+    plan = _executed_plan(mixture_sampling_plan(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+    plan = _executed_plan(token_budget_selection(spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("partial") >= 1  # map-side combine before the rollup
+
+    plan = _executed_plan(chunk_dedup_rate(spark, sf_dir))
+    assert "Join" not in plan  # rank + two aggs, no join anywhere
+    assert "CartesianProduct" not in plan
+
+    plan = _executed_plan(url_domain_stats(spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
