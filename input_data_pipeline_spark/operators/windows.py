@@ -596,7 +596,8 @@ def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense AS (
       SELECT et.event_type, grid.hour
       FROM (SELECT DISTINCT event_type FROM events) et CROSS JOIN grid)
-    SELECT d.event_type, d.hour,
+    SELECT d.event_type,
+           epoch_us(CAST(d.hour AS TIMESTAMP)) AS hour_us,
            COALESCE(h.n, 0) AS n_events,
            ROUND(last_value(h.avg_v IGNORE NULLS)
                  OVER (PARTITION BY d.event_type ORDER BY d.hour
@@ -604,7 +605,7 @@ def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS ffill_avg_value
     FROM dense d
     LEFT JOIN hourly h ON d.event_type = h.event_type AND d.hour = h.hour
-    ORDER BY d.event_type, d.hour
+    ORDER BY d.event_type, hour_us
     """,
 )
 def event_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -643,52 +644,63 @@ def event_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         dense.join(hourly, ["event_type", "hour"], "left")
         .select(
             "event_type",
-            "hour",
+            F.unix_micros("hour").alias("hour_us"),
             F.coalesce("n", F.lit(0)).alias("n_events"),
             F.round(F.last("avg_v", ignorenulls=True).over(w), 4).alias("ffill_avg_value"),
         )
-        .orderBy("event_type", "hour")
+        .orderBy("event_type", "hour_us")
     )
 
 
 @register(
     "user_trailing_window",
     oracle="""
-    SELECT user_id, event_id, ts, ROUND(value, 4) AS value,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER w, 4) AS DOUBLE)
-             AS trailing_7d_value,
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+      FROM events)
+    SELECT user_id, event_id, ts_us,
+           CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS value_micros,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w * 1000000 AS BIGINT)
+             AS trailing_7d_micros,
            COUNT(*) OVER w AS trailing_7d_events
-    FROM events
+    FROM ev
     WINDOW w AS (PARTITION BY user_id
-                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 ORDER BY ts_us // 1000000
                  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
-    ORDER BY user_id, ts, event_id
+    ORDER BY user_id, ts_us, event_id
     """,
 )
 def user_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-based frame (rangeBetween, SURVEY §2.6): per-user trailing-7-day
     sum/count at every event. Unlike a row frame, the window is defined on
-    the *time axis* (epoch seconds, so peers at the same second aggregate
-    together in any engine). One shuffle on user_id; the frame is evaluated
-    by a sliding accumulator over the sorted partition, not by re-scanning
-    7 days per row.
+    the *time axis* (whole epoch seconds — derived by integer division from
+    the same truncated micros on both engines, so peers at the same second
+    aggregate together everywhere). One shuffle on user_id; the frame is
+    evaluated by a sliding accumulator over the sorted partition, not by
+    re-scanning 7 days per row. Integer-only output cells.
     """
     events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
+        .orderBy(F.expr("ts_us div 1000000"))  # integer floor-div, like // in the oracle
         .rangeBetween(-604800, 0)
     )
     return (
-        events.select(
+        ev.select(
             "user_id",
             "event_id",
-            "ts",
-            F.round("value", 4).alias("value"),
-            stable_sum_over("value", w, 4).alias("trailing_7d_value"),
+            "ts_us",
+            micros("value").alias("value_micros"),
+            stable_sum_micros_over("value", w).alias("trailing_7d_micros"),
             F.count(F.lit(1)).over(w).alias("trailing_7d_events"),
         )
-        .orderBy("user_id", "ts", "event_id")
+        .orderBy("user_id", "ts_us", "event_id")
     )
 
 
@@ -740,12 +752,15 @@ def user_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "user_rolling_distinct_types",
     oracle="""
-    SELECT user_id, event_id, ts,
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+      FROM events)
+    SELECT user_id, event_id, ts_us,
            len(list_distinct(list(event_type)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))) AS distinct_types_10
-    FROM events
-    ORDER BY user_id, ts, event_id
+    FROM ev
+    ORDER BY user_id, ts_us, event_id
     """,
 )
 def user_rolling_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -755,17 +770,20 @@ def user_rolling_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     so per-row state is bounded; for unbounded frames use approx sketches
     per group, never a window."""
     events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
     w = (
-        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Window.partitionBy("user_id").orderBy("ts_us", "event_id")
         .rowsBetween(-9, Window.currentRow)
     )
     return (
-        events.select(
+        ev.select(
             "user_id",
             "event_id",
-            "ts",
+            "ts_us",
             F.size(F.array_distinct(F.collect_list("event_type").over(w)))
              .alias("distinct_types_10"),
         )
-        .orderBy("user_id", "ts", "event_id")
+        .orderBy("user_id", "ts_us", "event_id")
     )
