@@ -315,12 +315,16 @@ def event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "clicks_before_purchase",
     oracle="""
-    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.ts AS purchase_ts, c.ts AS click_ts
-    FROM events p
-    JOIN events c
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events)
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.ts_us AS purchase_ts_us, c.ts_us AS click_ts_us
+    FROM ev p
+    JOIN ev c
       ON c.user_id = p.user_id
-     AND c.ts >= p.ts - INTERVAL 10 MINUTE
-     AND c.ts < p.ts
+     AND c.ts_us >= p.ts_us - 600000000
+     AND c.ts_us < p.ts_us
     WHERE p.event_type = 'purchase' AND c.event_type = 'click'
     ORDER BY purchase_id, click_id
     """,
@@ -330,26 +334,31 @@ def clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the same user. The equi part (user_id) keeps it a hash join; the range
     predicate filters post-probe, so this never degrades to a
     broadcast-nested-loop. At 100 TB you'd additionally band both sides on
-    time buckets to bound the per-key fan-out."""
+    time buckets to bound the per-key fan-out. The range compares integer
+    epoch-micros on both engines and the cells are integers — immune to a
+    nanos-precision oracle reader at the 10-minute boundary."""
     events = load_table(spark, sf_dir, "events")
-    purchases = events.filter(F.col("event_type") == "purchase").select(
+    ev = events.select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id").alias("p_user"),
-        F.col("ts").alias("purchase_ts"),
+        F.col("ts_us").alias("purchase_ts_us"),
     )
-    clicks = events.filter(F.col("event_type") == "click").select(
+    clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
         F.col("user_id").alias("c_user"),
-        F.col("ts").alias("click_ts"),
+        F.col("ts_us").alias("click_ts_us"),
     )
     cond = (
         (F.col("c_user") == F.col("p_user"))
-        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES"))
-        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (F.col("click_ts_us") >= F.col("purchase_ts_us") - 600_000_000)
+        & (F.col("click_ts_us") < F.col("purchase_ts_us"))
     )
     return (
         purchases.join(clicks, cond)
-        .select("purchase_id", "click_id", "purchase_ts", "click_ts")
+        .select("purchase_id", "click_id", "purchase_ts_us", "click_ts_us")
         .orderBy("purchase_id", "click_id")
     )
 
