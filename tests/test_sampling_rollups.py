@@ -108,11 +108,16 @@ def test_gapfill_grid_is_dense_and_zero_filled(spark, sf_dir):
     assert gaps, "expected empty hours at sf0.001"
     for t, rs in by_type.items():
         seen_real = False
-        for r in sorted(rs, key=lambda r: r["hour"]):
+        for r in sorted(rs, key=lambda r: r["hour_us"]):
             if r["n_events"] > 0:
                 seen_real = True
             elif seen_real:
                 assert r["ffill_avg_value"] is not None
+    # the grid is hour-aligned epoch micros, hourly-spaced
+    for t, rs in by_type.items():
+        hours = sorted(r["hour_us"] for r in rs)
+        assert all(h % 3_600_000_000 == 0 for h in hours)
+        assert all(b - a == 3_600_000_000 for a, b in zip(hours, hours[1:]))
 
 
 def test_trailing_window_matches_bruteforce(spark, sf_dir):
@@ -124,12 +129,12 @@ def test_trailing_window_matches_bruteforce(spark, sf_dir):
         by_user.setdefault(r["user_id"], []).append(r)
     uid, urows = max(by_user.items(), key=lambda kv: len(kv[1]))
     for r in urows:
-        t = r["ts"].replace(microsecond=0)
+        t = r["ts_us"] // 1_000_000  # whole-second axis, like the operator
         want = sum(
-            x["value"] for x in urows
-            if -604800 <= (x["ts"].replace(microsecond=0) - t).total_seconds() <= 0
+            x["value_micros"] for x in urows
+            if -604800 <= (x["ts_us"] // 1_000_000) - t <= 0
         )
-        assert abs(r["trailing_7d_value"] - round(want, 4)) < 0.01
+        assert r["trailing_7d_micros"] == want
 
 
 def test_setops_all_multiset_identity(spark, sf_dir):
