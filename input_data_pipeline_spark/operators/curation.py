@@ -21,8 +21,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+import input_data_pipeline_spark.operators.dedup as _dedup  # registers first
 from input_data_pipeline_spark.operators.corpus import corpus_token_index
-from input_data_pipeline_spark.plans.registry import register
+from input_data_pipeline_spark.plans.registry import _REGISTRY, register
 from input_data_pipeline_spark.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -433,6 +434,73 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("selected_tokens") / F.lit(float(_SELECT_BUDGET)), 4),
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH quality audit (self-differential: approx path vs exact ground truth)
+# ---------------------------------------------------------------------------
+
+_LSH_CLAIM = 0.8  # MinHash estimate threshold for claiming "near-dup"
+
+
+@register(
+    "minhash_lsh_quality",
+    oracle=f"""
+    WITH est_all AS ({_REGISTRY["dedup_minhash_lsh"].oracle}),
+    tru AS ({_REGISTRY["ngram_jaccard_pairs"].oracle}),
+    est AS (SELECT doc_a, doc_b FROM est_all WHERE est_jaccard >= {_LSH_CLAIM}),
+    u AS (
+      SELECT COALESCE(e.doc_a, t.doc_a) AS doc_a,
+             COALESCE(e.doc_b, t.doc_b) AS doc_b,
+             (e.doc_a IS NOT NULL) AS claimed,
+             (t.doc_a IS NOT NULL) AS actual
+      FROM est e
+      FULL OUTER JOIN tru t ON e.doc_a = t.doc_a AND e.doc_b = t.doc_b)
+    SELECT SUM(CASE WHEN claimed AND actual THEN 1 ELSE 0 END) AS tp,
+           SUM(CASE WHEN claimed AND NOT actual THEN 1 ELSE 0 END) AS fp,
+           SUM(CASE WHEN actual AND NOT claimed THEN 1 ELSE 0 END) AS fn,
+           ROUND(SUM(CASE WHEN claimed AND actual THEN 1 ELSE 0 END) * 1.0
+                 / NULLIF(SUM(CASE WHEN claimed THEN 1 ELSE 0 END), 0), 4)
+             AS precision,
+           ROUND(SUM(CASE WHEN claimed AND actual THEN 1 ELSE 0 END) * 1.0
+                 / NULLIF(SUM(CASE WHEN actual THEN 1 ELSE 0 END), 0), 4)
+             AS recall
+    FROM u
+    """,
+)
+def minhash_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-differential quality audit: precision/recall of the MinHash-LSH
+    near-dup path (estimate ≥ {_LSH_CLAIM}) against the exact n-gram
+    Jaccard ground truth — the approximation-quality dashboard a pipeline
+    operator checks before trusting the cheap path at full scale. The
+    oracle composes the two already-verified oracle stacks as CTEs, so
+    this query is differential all the way down.
+
+    Scale shape: both inputs are the engine's banded/prefix-filtered plans
+    (never all-pairs); the audit itself adds one |pairs|-sized outer join
+    and a single-row aggregate.
+    """
+    est = (
+        _dedup.dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= _LSH_CLAIM)
+        .select("doc_a", "doc_b", F.lit(True).alias("claimed"))
+    )
+    tru = _dedup.ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(True).alias("actual")
+    )
+    u = est.join(tru, ["doc_a", "doc_b"], "full_outer")
+    tp = F.sum(F.when(F.col("claimed") & F.col("actual"), 1).otherwise(0))
+    fp = F.sum(F.when(F.col("claimed") & F.col("actual").isNull(), 1).otherwise(0))
+    fn = F.sum(F.when(F.col("actual") & F.col("claimed").isNull(), 1).otherwise(0))
+    n_claimed = F.sum(F.when(F.col("claimed"), 1).otherwise(0))
+    n_actual = F.sum(F.when(F.col("actual"), 1).otherwise(0))
+    return u.agg(
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+        F.round(tp / F.when(n_claimed > 0, n_claimed), 4).alias("precision"),
+        F.round(tp / F.when(n_actual > 0, n_actual), 4).alias("recall"),
     )
 
 

@@ -138,3 +138,16 @@ def test_semdedup_clusters_are_consistent_with_pairs(spark, sf_dir):
         for v in members:
             assert labels[v].cluster_size == len(members)
             assert labels[v].is_survivor == (v == cid)
+
+
+def test_minhash_lsh_quality_bounds(spark, sf_dir):
+    """The audit row must be internally consistent: counts non-negative,
+    ratios in [0,1] and equal to their count ratios."""
+    from input_data_pipeline_spark.operators.curation import minhash_lsh_quality
+
+    r = minhash_lsh_quality(spark, sf_dir).collect()[0]
+    assert r.tp >= 0 and r.fp >= 0 and r.fn >= 0
+    if r.tp + r.fp:
+        assert abs(r.precision - round(r.tp / (r.tp + r.fp), 4)) < 1e-9
+    if r.tp + r.fn:
+        assert abs(r.recall - round(r.tp / (r.tp + r.fn), 4)) < 1e-9
