@@ -26,13 +26,19 @@ from input_data_pipeline_spark.tables import TABLE_NAMES
 
 
 def canon(v) -> str:
-    """Canonical string for one cell, float-normalized to 9 sig digits."""
+    """Canonical string for one cell — FULL precision.
+
+    Deliberately stricter than any plausible driver canonicalizer: floats
+    compare by repr (shortest round-trip), so any engine/oracle float
+    divergence is locally red. Oracle-checked queries should therefore emit
+    integer/string/date cells only (enforced by tests/test_registry_contract).
+    """
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        return repr(v)
     if isinstance(v, dt.datetime):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
