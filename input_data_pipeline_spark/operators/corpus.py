@@ -139,9 +139,9 @@ def rep_stats(text: str | None) -> tuple[int, int] | None:
       SELECT doc_id, MAX(c) AS max_repeat, SUM(c) AS n_shingles
       FROM per_sh GROUP BY doc_id)
     SELECT doc_id, max_repeat, n_shingles,
-           ROUND(CAST(max_repeat AS DOUBLE) / n_shingles, 4) AS repeat_ratio
+           max_repeat * 1000000 // n_shingles AS repeat_ratio_ppm
     FROM per_doc
-    ORDER BY repeat_ratio DESC, doc_id
+    ORDER BY repeat_ratio_ppm DESC, doc_id
     LIMIT 100
     """,
 )
@@ -183,11 +183,9 @@ def intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "max_repeat",
             "n_shingles",
-            F.round(
-                F.col("max_repeat").cast("double") / F.col("n_shingles"), 4
-            ).alias("repeat_ratio"),
+            F.expr("max_repeat * 1000000 DIV n_shingles").alias("repeat_ratio_ppm"),
         )
-        .orderBy(F.desc("repeat_ratio"), "doc_id")
+        .orderBy(F.desc("repeat_ratio_ppm"), "doc_id")
         .limit(100)
     )
 
@@ -351,7 +349,7 @@ _PACK_LEN = 4096
                               - n_tok AS DOUBLE) / {_PACK_LEN}) AS BIGINT) AS bin
       FROM toks)
     SELECT lang, bin, COUNT(*) AS n_docs, SUM(n_tok) AS bin_tokens,
-           ROUND(CAST(SUM(n_tok) AS DOUBLE) / {_PACK_LEN}, 4) AS fill_ratio
+           SUM(n_tok) * 1000000 // {_PACK_LEN} AS fill_ratio_ppm
     FROM packed
     GROUP BY lang, bin
     ORDER BY lang, bin
@@ -387,9 +385,7 @@ def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         packed.groupBy("lang", "bin")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("bin_tokens"))
-        .withColumn(
-            "fill_ratio", F.round(F.col("bin_tokens").cast("double") / _PACK_LEN, 4)
-        )
+        .withColumn("fill_ratio_ppm", F.expr(f"bin_tokens * 1000000 DIV {_PACK_LEN}"))
         .orderBy("lang", "bin")
     )
 
@@ -415,7 +411,7 @@ _VOCAB_SIZE = 500
     SELECT source,
            COUNT(*) AS n_tokens,
            SUM(oov) AS n_oov,
-           ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 4) AS oov_share
+           SUM(oov) * 1000000 // COUNT(*) AS oov_share_ppm
     FROM flagged
     GROUP BY source
     ORDER BY source
@@ -449,9 +445,6 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
         )
-        .withColumn(
-            "oov_share",
-            F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 4),
-        )
+        .withColumn("oov_share_ppm", F.expr("n_oov * 1000000 DIV n_tokens"))
         .orderBy("source")
     )

@@ -1229,8 +1229,8 @@ def incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs,
            SUM(CASE WHEN m.n_copies > 1 AND f.doc_id <> m.survivor
                     THEN 1 ELSE 0 END) AS n_redundant,
-           ROUND(SUM(CASE WHEN m.n_copies > 1 AND f.doc_id <> m.survivor
-                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS dup_rate
+           SUM(CASE WHEN m.n_copies > 1 AND f.doc_id <> m.survivor
+               THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS dup_rate_ppm
     FROM fp f JOIN fam m ON f.fp = m.fp
     GROUP BY f.source
     ORDER BY f.source
@@ -1261,7 +1261,7 @@ def source_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(redundant).alias("n_redundant"),
-            F.round(F.sum(redundant) * 1.0 / F.count(F.lit(1)), 4).alias("dup_rate"),
         )
+        .withColumn("dup_rate_ppm", F.expr("n_redundant * 1000000 DIV n_docs"))
         .orderBy("source")
     )

@@ -57,8 +57,8 @@ def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents)
     SELECT lang,
            SUM(n_tokens) AS total_tokens,
-           ROUND(AVG(n_tokens), 4) AS avg_tokens,
-           ROUND(SUM(n_nonspace) * 1.0 / SUM(n_tokens), 4) AS avg_token_len
+           SUM(n_tokens) * 1000000 // COUNT(*) AS avg_tokens_ppm,
+           SUM(n_nonspace) * 1000000 // SUM(n_tokens) AS avg_token_len_ppm
     FROM tok
     GROUP BY lang
     ORDER BY lang
@@ -76,8 +76,13 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-            F.round(F.sum("n_nonspace") / F.sum("n_tokens"), 4).alias("avg_token_len"),
+            # Scaled-integer averages (ppm = value × 1e6, truncated): exact
+            # integer arithmetic on both engine and oracle sides, so the
+            # differential hash is bit-stable — float averages are not.
+            F.expr("sum(n_tokens) * 1000000 DIV count(1)").alias("avg_tokens_ppm"),
+            F.expr("sum(n_nonspace) * 1000000 DIV sum(n_tokens)").alias(
+                "avg_token_len_ppm"
+            ),
         )
         .orderBy("lang")
     )
@@ -562,8 +567,8 @@ def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents GROUP BY lang)
     SELECT d.lang,
            COUNT(*) AS n_kept,
-           ROUND(MIN(d.n_chars), 4) AS min_chars_kept,
-           ROUND(AVG(d.n_chars), 4) AS avg_chars_kept
+           MIN(d.n_chars) AS min_chars_kept,
+           SUM(d.n_chars) * 1000000 // COUNT(*) AS avg_chars_kept_ppm
     FROM documents d JOIN cut c ON d.lang = c.lang
     WHERE d.n_chars >= c.p25
     GROUP BY d.lang
@@ -586,8 +591,8 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
-            F.round(F.min("n_chars"), 4).alias("min_chars_kept"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars_kept"),
+            F.min("n_chars").alias("min_chars_kept"),
+            F.expr("sum(n_chars) * 1000000 DIV count(1)").alias("avg_chars_kept_ppm"),
         )
         .orderBy("lang")
     )
@@ -799,8 +804,8 @@ _PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
            COUNT(*) AS n_docs,
            SUM(n_pieces) AS total_pieces,
            SUM(est_tokens) AS total_est_tokens,
-           ROUND(SUM(est_tokens) * 100.0 / SUM(n_chars), 4)
-             AS est_tokens_per_100_chars
+           SUM(est_tokens) * 100000000 // SUM(n_chars)
+             AS est_tokens_per_100_chars_ppm
     FROM est
     GROUP BY source
     ORDER BY source
@@ -835,9 +840,9 @@ def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_pieces").alias("total_pieces"),
             F.sum("est_tokens").alias("total_est_tokens"),
-            F.round(
-                F.sum("est_tokens") * 100.0 / F.sum("n_chars"), 4
-            ).alias("est_tokens_per_100_chars"),
+            F.expr("sum(est_tokens) * 100000000 DIV sum(n_chars)").alias(
+                "est_tokens_per_100_chars_ppm"
+            ),
         )
         .orderBy("source")
     )

@@ -20,7 +20,7 @@ def test_sequence_packing_covers_all_docs_and_bounds_fill(spark, sf_dir):
         assert 0 < r.bin_tokens
         # exclusive running sum: a bin overflows by at most one doc's tokens
         assert r.bin_tokens <= 2 * _PACK_LEN
-        assert abs(r.fill_ratio - round(r.bin_tokens / _PACK_LEN, 4)) < 1e-9
+        assert r.fill_ratio_ppm == r.bin_tokens * 1000000 // _PACK_LEN
     # bins are contiguous from 0 within each lang
     by_lang = {}
     for r in rows:
@@ -45,7 +45,7 @@ def test_oov_share_bounds_and_token_conservation(spark, sf_dir):
     assert sum(r.n_tokens for r in rows) == total
     for r in rows:
         assert 0 <= r.n_oov <= r.n_tokens
-        assert 0.0 <= r.oov_share <= 1.0
+        assert 0 <= r.oov_share_ppm <= 1_000_000
 
 
 def test_hygiene_queries_share_one_token_index(spark, sf_dir):
