@@ -119,6 +119,45 @@ def stable_sum_over(c: Column | str, w: WindowSpec, scale: int) -> Column:
     return F.round(total / F.lit(_M).cast("decimal(8,0)"), scale).cast("double")
 
 
+def stable_avg_micros(c: Column | str) -> Column:
+    """Order-independent ``AVG(double)`` as BIGINT micros (floor division).
+
+    The exact millionths total (split-long machinery) is floor-divided by
+    the non-null count entirely in integer space: ``q = (t - pmod(t, n))/n``
+    — the subtraction makes the numerator exactly divisible, so the double
+    division is exact (inputs < 2^53).  Oracle twin: :func:`sql_avg_micros`.
+    """
+    col = _col(c)
+    hi, lo = _split(col)
+    total = _combine(F.sum(hi), F.sum(lo)).cast("long")
+    n = F.count(col)
+    return ((total - F.pmod(total, n)) / n).cast("long")
+
+
+def round_micros(c: Column) -> Column:
+    """Quantize a comparison-stable DOUBLE to BIGINT micros.
+
+    Only valid on expressions both engines derive bit-identically (stable_*
+    folds, per-row arithmetic on shared inputs): identical input double →
+    identical half-up rounding → identical BIGINT.  Turns any float cell
+    into the driver-proof integer type.  Oracle twin: :func:`sql_round_micros`.
+    """
+    return F.round(c * F.lit(_M)).cast("long")
+
+
+def sql_avg_micros(expr: str, alias: str) -> str:
+    """Oracle-side fragment matching :func:`stable_avg_micros`."""
+    t = f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) * 1000000 AS BIGINT)"
+    n = f"COUNT({expr})"
+    return f"({t} - (({t} % {n}) + {n}) % {n}) // {n} AS {alias}"
+
+
+def sql_round_micros(expr: str, alias: str) -> str:
+    """Oracle-side fragment matching :func:`round_micros` (expr already
+    engine-identical; DuckDB round is half-away like Spark's)."""
+    return f"CAST(ROUND(({expr}) * 1000000) AS BIGINT) AS {alias}"
+
+
 def stable_avg(c: Column | str, scale: int) -> Column:
     """Order-independent ``ROUND(AVG(double), scale)``.
 
@@ -167,8 +206,8 @@ def stable_corr(x: Column | str, y: Column | str, scale: int) -> Column:
     return F.round(num / den, scale)
 
 
-def sql_corr(x: str, y: str, scale: int, alias: str) -> str:
-    """Oracle-side fragment matching :func:`stable_corr`."""
+def sql_corr_expr(x: str, y: str, scale: int) -> str:
+    """Bare (alias-free) oracle expression matching :func:`stable_corr`."""
     n = "CAST(COUNT(*) AS DOUBLE)"
     sx = f"CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS DOUBLE)"
     sy = f"CAST(SUM(CAST({y} AS DECIMAL(20,6))) AS DOUBLE)"
@@ -178,8 +217,13 @@ def sql_corr(x: str, y: str, scale: int, alias: str) -> str:
     return (
         f"ROUND(({n} * {sxy} - {sx} * {sy})"
         f" / (SQRT({n} * {sx2} - {sx} * {sx}) * SQRT({n} * {sy2} - {sy} * {sy})),"
-        f" {scale}) AS {alias}"
+        f" {scale})"
     )
+
+
+def sql_corr(x: str, y: str, scale: int, alias: str) -> str:
+    """Oracle-side fragment matching :func:`stable_corr`."""
+    return f"{sql_corr_expr(x, y, scale)} AS {alias}"
 
 
 def sql_sum(expr: str, scale: int, alias: str) -> str:
@@ -205,12 +249,17 @@ def sql_avg(expr: str, scale: int, alias: str) -> str:
     )
 
 
-def sql_stddev_samp(expr: str, scale: int, alias: str) -> str:
-    """Oracle-side fragment matching :func:`stable_stddev_samp`."""
+def sql_stddev_samp_expr(expr: str, scale: int) -> str:
+    """Bare (alias-free) oracle expression matching :func:`stable_stddev_samp`."""
     s1 = f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
     s2 = f"CAST(SUM(CAST(({expr}) * ({expr}) AS DECIMAL(28,10))) AS DOUBLE)"
     n = f"CAST(COUNT({expr}) AS DOUBLE)"
     return (
         f"ROUND(SQRT(GREATEST(0.0, ({s2} - {s1} * {s1} / {n}) / ({n} - 1.0))),"
-        f" {scale}) AS {alias}"
+        f" {scale})"
     )
+
+
+def sql_stddev_samp(expr: str, scale: int, alias: str) -> str:
+    """Oracle-side fragment matching :func:`stable_stddev_samp`."""
+    return f"{sql_stddev_samp_expr(expr, scale)} AS {alias}"

@@ -432,22 +432,24 @@ def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_merge_upsert",
     oracle="""
     WITH updates AS (
-      SELECT o_orderkey, 'P' AS o_orderstatus, ROUND(o_totalprice * 1.1, 2) AS o_totalprice
+      SELECT o_orderkey, 'P' AS o_orderstatus,
+             (CAST(ROUND(o_totalprice * 100) AS BIGINT) * 110 + 50) // 100 AS price_cents
       FROM orders WHERE o_orderkey % 10 = 0
       UNION ALL
-      SELECT o_orderkey + 100000000, 'N', 100.0
+      SELECT o_orderkey + 100000000, 'N', 10000
       FROM orders WHERE o_orderkey % 1000 = 0),
     merged AS (
       SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
              COALESCE(u.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
-             COALESCE(u.o_totalprice, ROUND(t.o_totalprice, 2)) AS o_totalprice,
+             COALESCE(u.price_cents, CAST(ROUND(t.o_totalprice * 100) AS BIGINT))
+               AS price_cents,
              CASE WHEN t.o_orderkey IS NULL THEN 'insert'
                   WHEN u.o_orderkey IS NULL THEN 'keep'
                   ELSE 'update' END AS action
       FROM orders t FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey)
     SELECT action, o_orderstatus,
            COUNT(*) AS n,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+           SUM(price_cents) AS total_cents
     FROM merged
     GROUP BY action, o_orderstatus
     ORDER BY action, o_orderstatus
@@ -465,26 +467,33 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+    # All money flows in integer CENTS: the 10% uplift on a 2-decimal price
+    # lands exactly on half-cent ties, where cross-engine double rounding
+    # (BigDecimal shortest-repr vs multiply-round) disagrees per row.
+    # (cents * 110 + 50) DIV 100 is half-up in exact integer space.
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     updates = (
         orders.filter(F.col("o_orderkey") % 10 == 0)
         .select(
             "o_orderkey",
             F.lit("P").alias("o_orderstatus"),
-            F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+            F.expr(
+                "(CAST(ROUND(o_totalprice * 100) AS BIGINT) * 110 + 50) DIV 100"
+            ).alias("price_cents"),
         )
         .unionByName(
             orders.filter(F.col("o_orderkey") % 1000 == 0).select(
                 (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
                 F.lit("N").alias("o_orderstatus"),
-                F.lit(100.0).alias("o_totalprice"),
+                F.lit(10000).cast("long").alias("price_cents"),
             )
         )
     )
-    t, u = orders.alias("t"), updates.alias("u")
+    t, u = orders.withColumn("price_cents", cents).alias("t"), updates.alias("u")
     merged = t.join(u, F.col("t.o_orderkey") == F.col("u.o_orderkey"), "full_outer").select(
         F.coalesce("u.o_orderkey", "t.o_orderkey").alias("o_orderkey"),
         F.coalesce("u.o_orderstatus", "t.o_orderstatus").alias("o_orderstatus"),
-        F.coalesce("u.o_totalprice", F.round("t.o_totalprice", 2)).alias("o_totalprice"),
+        F.coalesce("u.price_cents", "t.price_cents").alias("price_cents"),
         F.when(F.col("t.o_orderkey").isNull(), "insert")
         .when(F.col("u.o_orderkey").isNull(), "keep")
         .otherwise("update")
@@ -492,6 +501,6 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         merged.groupBy("action", "o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n"), stable_sum("o_totalprice", 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("price_cents").alias("total_cents"))
         .orderBy("action", "o_orderstatus")
     )

@@ -19,12 +19,18 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from input_data_pipeline_spark.functions.stable import (
-    sql_corr,
-    sql_stddev_samp,
-    stable_avg,
+    micros,
+    round_micros,
+    sql_avg_micros,
+    sql_corr_expr,
+    sql_micros,
+    sql_round_micros,
+    sql_stddev_samp_expr,
+    sql_sum_micros,
+    stable_avg_micros,
     stable_corr,
     stable_stddev_samp,
-    stable_sum,
+    stable_sum_micros,
 )
 from input_data_pipeline_spark.plans.registry import register
 from input_data_pipeline_spark.tables import load_table
@@ -42,8 +48,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "revenue_by_region",
     oracle="""
     SELECT r.r_name AS region,
-           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)
-                AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+                * 1000000 AS BIGINT) AS revenue_micros,
            COUNT(*) AS line_count
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -53,7 +59,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
       AND l.l_shipdate < TIMESTAMP '1997-01-01'
     GROUP BY r.r_name
-    ORDER BY revenue DESC
+    ORDER BY revenue_micros DESC
     """,
 )
 def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,10 +87,12 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region"))
         .agg(
-            stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"),
+            stable_sum_micros(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue_micros"
+            ),
             F.count(F.lit(1)).alias("line_count"),
         )
-        .orderBy(F.desc("revenue"))
+        .orderBy(F.desc("revenue_micros"))
     )
 
 
@@ -94,20 +102,18 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
-           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
-                AS DOUBLE) AS sum_disc_price,
-           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                             AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
-                 / COUNT(l_quantity), 4) AS avg_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
-                 / COUNT(l_extendedprice), 4) AS avg_price,
-           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
-                 / COUNT(l_discount), 4) AS avg_disc,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_qty_micros,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+             AS sum_base_price_micros,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000
+                AS BIGINT) AS sum_disc_price_micros,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                             AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_charge_micros,
+           {sql_avg_micros('l_quantity', 'avg_qty_micros')},
+           {sql_avg_micros('l_extendedprice', 'avg_price_micros')},
+           {sql_avg_micros('l_discount', 'avg_disc_micros')},
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -129,13 +135,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            stable_sum("l_quantity", 2).alias("sum_qty"),
-            stable_sum("l_extendedprice", 2).alias("sum_base_price"),
-            stable_sum(disc_price, 2).alias("sum_disc_price"),
-            stable_sum(disc_price * (1 + F.col("l_tax")), 2).alias("sum_charge"),
-            stable_avg("l_quantity", 4).alias("avg_qty"),
-            stable_avg("l_extendedprice", 4).alias("avg_price"),
-            stable_avg("l_discount", 4).alias("avg_disc"),
+            stable_sum_micros("l_quantity").alias("sum_qty_micros"),
+            stable_sum_micros("l_extendedprice").alias("sum_base_price_micros"),
+            stable_sum_micros(disc_price).alias("sum_disc_price_micros"),
+            stable_sum_micros(disc_price * (1 + F.col("l_tax"))).alias("sum_charge_micros"),
+            stable_avg_micros("l_quantity").alias("avg_qty_micros"),
+            stable_avg_micros("l_extendedprice").alias("avg_price_micros"),
+            stable_avg_micros("l_discount").alias("avg_disc_micros"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -150,14 +156,14 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_customers_by_revenue",
     oracle="""
     SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
-           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)
-                AS DOUBLE) AS revenue
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+                * 1000000 AS BIGINT) AS revenue_micros
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY c.c_custkey, c.c_name, n.n_name
-    ORDER BY revenue DESC, custkey ASC
+    ORDER BY revenue_micros DESC, custkey ASC
     LIMIT 10
     """,
 )
@@ -181,8 +187,12 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_name").alias("name"),
             F.col("n_name").alias("nation"),
         )
-        .agg(stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .agg(
+            stable_sum_micros(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue_micros"
+            )
+        )
+        .orderBy(F.desc("revenue_micros"), F.asc("custkey"))
         .limit(10)
     )
 
@@ -251,8 +261,8 @@ def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     SELECT n.n_name AS nation,
            COUNT(o.o_orderkey) AS order_count,
-           CAST(ROUND(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))), 0), 2) AS DOUBLE)
-             AS total_spend
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))), 0) * 1000000 AS BIGINT)
+             AS total_spend_micros
     FROM nation n
     LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
     LEFT JOIN orders o ON o.o_custkey = c.c_custkey
@@ -273,9 +283,9 @@ def nation_order_counts_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count("o_orderkey").alias("order_count"),
-            # COALESCE placement differs from the oracle (outside the round
-            # here, inside there) — equivalent since round(0) = 0.
-            F.coalesce(stable_sum("o_totalprice", 2), F.lit(0.0)).alias("total_spend"),
+            F.coalesce(stable_sum_micros("o_totalprice"), F.lit(0).cast("long")).alias(
+                "total_spend_micros"
+            ),
         )
         .orderBy("nation")
     )
@@ -291,7 +301,8 @@ def nation_order_counts_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o_orderstatus, 'ALL') AS status,
            COALESCE(o_orderpriority, 'ALL') AS priority,
            COUNT(*) AS n_orders,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+             AS total_price_micros
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     ORDER BY status, priority
@@ -306,13 +317,13 @@ def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            stable_sum("o_totalprice", 2).alias("total_price"),
+            stable_sum_micros("o_totalprice").alias("total_price_micros"),
         )
         .select(
             F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
             F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
             "n_orders",
-            "total_price",
+            "total_price_micros",
         )
         .orderBy("status", "priority")
     )
@@ -361,7 +372,7 @@ def nations_with_both_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "account_balance_union",
     oracle="""
     SELECT role, COUNT(*) AS n,
-           CAST(ROUND(SUM(CAST(acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
+           CAST(SUM(CAST(acctbal AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS total_bal_micros
     FROM (
       SELECT 'customer' AS role, c_acctbal AS acctbal FROM customer
       UNION ALL
@@ -383,7 +394,10 @@ def account_balance_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         customer.unionByName(supplier)
         .groupBy("role")
-        .agg(F.count(F.lit(1)).alias("n"), stable_sum("acctbal", 2).alias("total_bal"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            stable_sum_micros("acctbal").alias("total_bal_micros"),
+        )
         .orderBy("role")
     )
 
@@ -395,7 +409,8 @@ def account_balance_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "urgent_high_value_orders",
     oracle="""
-    SELECT o_orderkey, o_orderpriority, ROUND(o_totalprice, 2) AS totalprice
+    SELECT o_orderkey, o_orderpriority,
+           CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS totalprice_micros
     FROM orders
     WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
       AND o_totalprice BETWEEN 100000 AND 200000
@@ -413,18 +428,21 @@ def urgent_high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("o_totalprice").between(100000, 200000)
             & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         )
-        .select("o_orderkey", "o_orderpriority", F.round("o_totalprice", 2).alias("totalprice"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            micros("o_totalprice").alias("totalprice_micros"),
+        )
         .orderBy("o_orderkey")
     )
 
 
 @register(
     "part_type_stats",
-    oracle="""
+    oracle=f"""
     SELECT p_type,
            COUNT(*) AS n_parts,
-           ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE)
-                 / COUNT(p_retailprice), 4) AS avg_price,
+           {sql_avg_micros('p_retailprice', 'avg_price_micros')},
            MIN(p_size) AS min_size,
            MAX(p_size) AS max_size
     FROM part
@@ -441,7 +459,7 @@ def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            stable_avg("p_retailprice", 4).alias("avg_price"),
+            stable_avg_micros("p_retailprice").alias("avg_price_micros"),
             F.min("p_size").alias("min_size"),
             F.max("p_size").alias("max_size"),
         )
@@ -487,7 +505,7 @@ def order_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
       FROM orders)
     SELECT o_custkey AS custkey,
-           o_orderdate AS latest_orderdate,
+           CAST(o_orderdate AS DATE) AS latest_orderdate,
            o_orderkey AS latest_orderkey
     FROM ranked WHERE rn = 1
     ORDER BY custkey
@@ -500,7 +518,10 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("custkey"))
         .agg(
-            F.max("o_orderdate").alias("latest_orderdate"),
+            # DATE output: timestamp cells are canonicalizer-hostile (tz/
+            # format drift); orderdates are midnight-valued so the cast is
+            # lossless and identical on both sides.
+            F.max("o_orderdate").cast("date").alias("latest_orderdate"),
             F.max_by("o_orderkey", F.struct("o_orderdate", "o_orderkey")).alias("latest_orderkey"),
         )
         .orderBy("custkey")
@@ -514,7 +535,8 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
            o_orderpriority AS priority,
            GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
            COUNT(*) AS n_orders,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+             AS total_price_micros
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     ORDER BY gid, status, priority
@@ -531,9 +553,9 @@ def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n_orders"),
-            stable_sum("o_totalprice", 2).alias("total_price"),
+            stable_sum_micros("o_totalprice").alias("total_price_micros"),
         )
-        .select("status", "priority", "gid", "n_orders", "total_price")
+        .select("status", "priority", "gid", "n_orders", "total_price_micros")
         .orderBy("gid", "status", "priority")
     )
 
@@ -564,11 +586,12 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
     "event_value_percentiles",
     oracle=f"""
     SELECT event_type,
-           ROUND(quantile_cont(value, 0.25), 6) AS p25,
-           ROUND(quantile_cont(value, 0.5), 6) AS p50,
-           ROUND(quantile_cont(value, 0.9), 6) AS p90,
-           {sql_stddev_samp("value", 6, "sd")},
-           {sql_corr("value", "user_id", 6, "corr_value_user")}
+           CAST(ROUND(ROUND(quantile_cont(value, 0.25), 6) * 1000000) AS BIGINT) AS p25_micros,
+           CAST(ROUND(ROUND(quantile_cont(value, 0.5), 6) * 1000000) AS BIGINT) AS p50_micros,
+           CAST(ROUND(ROUND(quantile_cont(value, 0.9), 6) * 1000000) AS BIGINT) AS p90_micros,
+           CAST(ROUND(({sql_stddev_samp_expr("value", 6)}) * 1000000) AS BIGINT) AS sd_micros,
+           CAST(ROUND(({sql_corr_expr("value", "user_id", 6)}) * 1000000) AS BIGINT)
+             AS corr_value_user_ppm
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -593,11 +616,12 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "event_type",
-            F.round(F.element_at("ps", 1), 6).alias("p25"),
-            F.round(F.element_at("ps", 2), 6).alias("p50"),
-            F.round(F.element_at("ps", 3), 6).alias("p90"),
-            "sd",
-            "corr_value_user",
+            # quantize the (engine-identical) 6dp doubles to BIGINT micros
+            round_micros(F.round(F.element_at("ps", 1), 6)).alias("p25_micros"),
+            round_micros(F.round(F.element_at("ps", 2), 6)).alias("p50_micros"),
+            round_micros(F.round(F.element_at("ps", 3), 6)).alias("p90_micros"),
+            round_micros(F.col("sd")).alias("sd_micros"),
+            round_micros(F.col("corr_value_user")).alias("corr_value_user_ppm"),
         )
         .orderBy("event_type")
     )
@@ -689,15 +713,18 @@ def customer_period_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "suppliers_above_nation_avg",
     oracle="""
+    WITH nav AS (
+      SELECT s_nationkey,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS t,
+             COUNT(s_acctbal) AS n
+      FROM supplier GROUP BY s_nationkey)
     SELECT s.s_suppkey, s.s_name, n.n_name,
-           ROUND(s.s_acctbal, 2) AS acctbal,
-           ROUND((SELECT CAST(SUM(CAST(s2.s_acctbal AS DECIMAL(18,6))) AS DOUBLE)
-                         / COUNT(s2.s_acctbal) FROM supplier s2
-                  WHERE s2.s_nationkey = s.s_nationkey), 2) AS nation_avg
-    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
-    WHERE s.s_acctbal > (SELECT CAST(SUM(CAST(s2.s_acctbal AS DECIMAL(18,6))) AS DOUBLE)
-                                / COUNT(s2.s_acctbal) FROM supplier s2
-                         WHERE s2.s_nationkey = s.s_nationkey)
+           CAST(CAST(s.s_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS acctbal_micros,
+           (v.t - ((v.t % v.n) + v.n) % v.n) // v.n AS nation_avg_micros
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN nav v ON v.s_nationkey = s.s_nationkey
+    WHERE CAST(CAST(s.s_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT) * v.n > v.t
     ORDER BY s.s_suppkey
     """,
 )
@@ -711,17 +738,24 @@ def suppliers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from input_data_pipeline_spark.tables import register_views
 
     register_views(spark, sf_dir)
+    # Integer-space comparison: s_acctbal > nation_avg is evaluated as
+    # acctbal_micros * n > total_micros — exact rational arithmetic, no
+    # double division anywhere. The correlated form still decorrelates to
+    # one grouped subplan + equi join under Catalyst.
     return spark.sql(
         """
+        WITH nav AS (
+          SELECT s_nationkey,
+                 CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS t,
+                 COUNT(s_acctbal) AS n
+          FROM supplier GROUP BY s_nationkey)
         SELECT s.s_suppkey, s.s_name, n.n_name,
-               ROUND(s.s_acctbal, 2) AS acctbal,
-               ROUND((SELECT CAST(SUM(CAST(s2.s_acctbal AS DECIMAL(18,6))) AS DOUBLE)
-                             / COUNT(s2.s_acctbal) FROM supplier s2
-                      WHERE s2.s_nationkey = s.s_nationkey), 2) AS nation_avg
-        FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
-        WHERE s.s_acctbal > (SELECT CAST(SUM(CAST(s2.s_acctbal AS DECIMAL(18,6))) AS DOUBLE)
-                                    / COUNT(s2.s_acctbal) FROM supplier s2
-                             WHERE s2.s_nationkey = s.s_nationkey)
+               CAST(CAST(s.s_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS acctbal_micros,
+               (v.t - ((v.t % v.n) + v.n) % v.n) DIV v.n AS nation_avg_micros
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN nav v ON v.s_nationkey = s.s_nationkey
+        WHERE CAST(CAST(s.s_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT) * v.n > v.t
         ORDER BY s.s_suppkey
         """
     )
@@ -770,7 +804,7 @@ def loyal_customers_all_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT LEAST(CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT), 9) AS bucket
       FROM orders)
     SELECT bucket,
-           bucket * CAST(50000.0 AS DOUBLE) AS bucket_lo,
+           bucket * 50000 AS bucket_lo,
            COUNT(*) AS n_orders
     FROM binned
     GROUP BY bucket
@@ -790,7 +824,7 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_orders"))
-        .select("bucket", (F.col("bucket") * 50000.0).alias("bucket_lo"), "n_orders")
+        .select("bucket", (F.col("bucket") * 50000).alias("bucket_lo"), "n_orders")
         .orderBy("bucket")
     )
 
@@ -864,8 +898,8 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*) FILTER (s1) AS n_signed_up,
            COUNT(*) FILTER (s2) AS n_clicked_after,
            COUNT(*) FILTER (s3) AS n_purchased_after,
-           ROUND(COUNT(*) FILTER (s3) * 1.0 / COUNT(*) FILTER (s1), 6)
-             AS conversion
+           COUNT(*) FILTER (s3) * 1000000 // COUNT(*) FILTER (s1)
+             AS conversion_ppm
     FROM flags
     """,
 )
@@ -889,9 +923,11 @@ def signup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(s1.cast("long")).alias("n_signed_up"),
         F.sum(s2.cast("long")).alias("n_clicked_after"),
         F.sum(s3.cast("long")).alias("n_purchased_after"),
-        F.round(
-            F.sum(s3.cast("long")) / F.sum(s1.cast("long")), 6
-        ).alias("conversion"),
+        F.expr(
+            "sum(cast(t_signup is not null and t_click > t_signup"
+            "         and t_purchase > t_click as long)) * 1000000"
+            " DIV sum(cast(t_signup is not null as long))"
+        ).alias("conversion_ppm"),
     )
 
 
@@ -899,8 +935,8 @@ def signup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "brand_revenue_by_supplier_nation",
     oracle="""
     SELECT p.p_brand AS brand, n.n_name AS supplier_nation,
-           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)
-                AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+                * 1000000 AS BIGINT) AS revenue_micros,
            COUNT(*) AS n_lines
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -926,7 +962,9 @@ def brand_revenue_by_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFr
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy(F.col("p_brand").alias("brand"), F.col("n_name").alias("supplier_nation"))
         .agg(
-            stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"),
+            stable_sum_micros(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue_micros"
+            ),
             F.count(F.lit(1)).alias("n_lines"),
         )
         .orderBy("brand", "supplier_nation")
@@ -997,7 +1035,8 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT order_year, priority,
            CAST(GROUPING(order_year) AS INT) AS g_year,
            CAST(GROUPING(priority) AS INT) AS g_priority,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+             AS revenue_micros,
            COUNT(*) AS n_orders
     FROM o
     GROUP BY GROUPING SETS ((order_year, priority), (order_year), ())
@@ -1026,7 +1065,7 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping("order_year").cast("int").alias("g_year"),
             F.grouping("priority").cast("int").alias("g_priority"),
-            stable_sum("o_totalprice", 2).alias("revenue"),
+            stable_sum_micros("o_totalprice").alias("revenue_micros"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy("g_year", "g_priority", "order_year", "priority")
@@ -1104,16 +1143,15 @@ def event_value_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "part_metrics_unpivot",
-    oracle="""
+    oracle=f"""
     WITH wide AS (
       SELECT p_brand,
-             ROUND(AVG(p_size), 4) AS avg_size,
-             ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE)
-                   / COUNT(p_retailprice), 4) AS avg_price,
-             CAST(COUNT(*) AS DOUBLE) AS n_parts
+             SUM(p_size) * 1000000 // COUNT(p_size) AS avg_size_micros,
+             {sql_avg_micros('p_retailprice', 'avg_price_micros')},
+             COUNT(*) AS n_parts
       FROM part GROUP BY p_brand)
     SELECT p_brand, metric, value
-    FROM wide UNPIVOT (value FOR metric IN (avg_size, avg_price, n_parts))
+    FROM wide UNPIVOT (value FOR metric IN (avg_size_micros, avg_price_micros, n_parts))
     ORDER BY p_brand, metric
     """,
 )
@@ -1125,12 +1163,14 @@ def part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality."""
     part = _t(spark, sf_dir, "part")
     wide = part.groupBy("p_brand").agg(
-        F.round(F.avg("p_size"), 4).alias("avg_size"),
-        stable_avg("p_retailprice", 4).alias("avg_price"),
-        F.count(F.lit(1)).cast("double").alias("n_parts"),
+        F.expr("sum(p_size) * 1000000 DIV count(p_size)").alias("avg_size_micros"),
+        stable_avg_micros("p_retailprice").alias("avg_price_micros"),
+        F.count(F.lit(1)).alias("n_parts"),
     )
     return (
-        wide.unpivot("p_brand", ["avg_size", "avg_price", "n_parts"], "metric", "value")
+        wide.unpivot(
+            "p_brand", ["avg_size_micros", "avg_price_micros", "n_parts"], "metric", "value"
+        )
         .orderBy("p_brand", "metric")
     )
 
@@ -1138,9 +1178,9 @@ def part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "segment_top_orders",
     oracle="""
-    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
-           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)
-                AS DOUBLE) AS revenue
+    SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_orderpriority,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+                * 1000000 AS BIGINT) AS revenue_micros
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1148,7 +1188,7 @@ def part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate < DATE '1998-01-01'
       AND l.l_shipdate > DATE '1998-01-01'
     GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
-    ORDER BY revenue DESC, o_orderkey
+    ORDER BY revenue_micros DESC, o_orderkey
     LIMIT 10
     """,
 )
@@ -1165,8 +1205,14 @@ def segment_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"))
-        .orderBy(F.desc("revenue"), "o_orderkey")
+        .agg(
+            stable_sum_micros(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue_micros"
+            )
+        )
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority", "revenue_micros")
+        .orderBy(F.desc("revenue_micros"), "o_orderkey")
         .limit(10)
     )
 
@@ -1175,8 +1221,8 @@ def segment_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "returned_revenue_by_customer",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)
-                AS DOUBLE) AS lost_revenue,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+                * 1000000 AS BIGINT) AS lost_revenue_micros,
            COUNT(*) AS n_returned_lines
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -1184,7 +1230,7 @@ def segment_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE l.l_returnflag = 'R'
     GROUP BY c.c_custkey, c.c_name, n.n_name
-    ORDER BY lost_revenue DESC, c_custkey
+    ORDER BY lost_revenue_micros DESC, c_custkey
     LIMIT 20
     """,
 )
@@ -1203,10 +1249,12 @@ def returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(
-            stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("lost_revenue"),
+            stable_sum_micros(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "lost_revenue_micros"
+            ),
             F.count(F.lit(1)).alias("n_returned_lines"),
         )
-        .orderBy(F.desc("lost_revenue"), "c_custkey")
+        .orderBy(F.desc("lost_revenue_micros"), "c_custkey")
         .limit(20)
     )
 
@@ -1293,7 +1341,8 @@ def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ('4-NOT SPECIFIED', 'low'), ('5-LOW', 'low'),
                             (NULL, 'default')) AS t(pr, tier))
     SELECT d.tier, COUNT(*) AS n_orders,
-           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+             AS total_micros
     FROM o JOIN dim d ON o.pr IS NOT DISTINCT FROM d.pr
     GROUP BY d.tier
     ORDER BY d.tier
@@ -1319,7 +1368,7 @@ def priority_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tier")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            stable_sum("o_totalprice", 2).alias("total"),
+            stable_sum_micros("o_totalprice").alias("total_micros"),
         )
         .orderBy("tier")
     )
@@ -1328,14 +1377,15 @@ def priority_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lateral_top_customers_per_nation",
     oracle="""
-    SELECT n.n_name AS nation, t.c_name, t.bal
+    SELECT n.n_name AS nation, t.c_name, t.bal_micros
     FROM nation n,
-    LATERAL (SELECT c_name, ROUND(c_acctbal, 2) AS bal
+    LATERAL (SELECT c_name,
+                    CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS bal_micros
              FROM customer c
              WHERE c.c_nationkey = n.n_nationkey
              ORDER BY c_acctbal DESC, c_name
              LIMIT 2) t
-    ORDER BY nation, bal DESC, c_name
+    ORDER BY nation, bal_micros DESC, c_name
     """,
 )
 def lateral_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1348,35 +1398,40 @@ def lateral_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFr
     _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql("""
-        SELECT n.n_name AS nation, t.c_name, t.bal
+        SELECT n.n_name AS nation, t.c_name, t.bal_micros
         FROM nation n,
-        LATERAL (SELECT c_name, ROUND(c_acctbal, 2) AS bal
+        LATERAL (SELECT c_name,
+                        CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                          AS bal_micros
                  FROM customer c
                  WHERE c.c_nationkey = n.n_nationkey
                  ORDER BY c_acctbal DESC, c_name
                  LIMIT 2) t
-        ORDER BY nation, bal DESC, c_name
+        ORDER BY nation, bal_micros DESC, c_name
     """)
 
 
 @register(
     "event_value_winsorized",
-    oracle="""
+    oracle=f"""
     WITH cuts AS (
       SELECT event_type,
              quantile_cont(value, 0.05) AS p05,
              quantile_cont(value, 0.95) AS p95
-      FROM events GROUP BY event_type)
-    SELECT e.event_type,
-           ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
-                 / COUNT(e.value), 4) AS avg_raw,
-           ROUND(CAST(SUM(CAST(LEAST(GREATEST(e.value, c.p05), c.p95) AS DECIMAL(18,6)))
-                      AS DOUBLE)
-                 / COUNT(e.value), 4) AS avg_winsorized,
-           COUNT(*) FILTER (WHERE e.value < c.p05 OR e.value > c.p95) AS n_clipped
-    FROM events e JOIN cuts c ON e.event_type = c.event_type
-    GROUP BY e.event_type
-    ORDER BY e.event_type
+      FROM events GROUP BY event_type),
+    j AS (
+      SELECT e.event_type, e.value,
+             CAST(ROUND(LEAST(GREATEST(e.value, c.p05), c.p95) * 1000000) AS BIGINT) AS w_us,
+             (e.value < c.p05 OR e.value > c.p95) AS clip
+      FROM events e JOIN cuts c ON e.event_type = c.event_type)
+    SELECT event_type,
+           {sql_avg_micros('value', 'avg_raw_micros')},
+           (SUM(w_us) - ((SUM(w_us) % COUNT(*)) + COUNT(*)) % COUNT(*)) // COUNT(*)
+             AS avg_winsorized_micros,
+           COUNT(*) FILTER (clip) AS n_clipped
+    FROM j
+    GROUP BY event_type
+    ORDER BY event_type
     """,
 )
 def event_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1389,15 +1444,21 @@ def event_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", 0.05).alias("p05"),
         F.percentile("value", 0.95).alias("p95"),
     )
+    # Per-row ROUND(x*1e6) (not a decimal cast): the clipped values carry
+    # the full-precision percentile cuts, where decimal-cast tie handling
+    # differs across engines; ROUND to integer agrees always because half-
+    # integers are exactly representable in binary.
     clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
     return (
         events.join(F.broadcast(cuts), "event_type")
+        .withColumn("w_us", F.round(clipped * 1_000_000).cast("long"))
         .groupBy("event_type")
         .agg(
-            stable_avg("value", 4).alias("avg_raw"),
-            F.round(
-                F.sum(clipped.cast("decimal(18,6)")).cast("double") / F.count("value"), 4
-            ).alias("avg_winsorized"),
+            stable_avg_micros("value").alias("avg_raw_micros"),
+            F.expr(
+                "(sum(w_us) - ((sum(w_us) % count(1)) + count(1)) % count(1))"
+                " DIV count(1)"
+            ).alias("avg_winsorized_micros"),
             F.count(
                 F.when((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95")), 1)
             ).alias("n_clipped"),
@@ -1419,8 +1480,8 @@ def event_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.dow,
            COUNT(DISTINCT c.cal_date) AS n_days,
            COUNT(o.o_orderkey) AS n_orders,
-           ROUND(COUNT(o.o_orderkey) * 1.0 / COUNT(DISTINCT c.cal_date), 4)
-             AS orders_per_day
+           COUNT(o.o_orderkey) * 1000000 // COUNT(DISTINCT c.cal_date)
+             AS orders_per_day_micros
     FROM calendar c
     LEFT JOIN orders o ON o.o_orderdate = c.cal_date
     GROUP BY c.dow
@@ -1449,8 +1510,9 @@ def orders_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("cal_date").alias("n_days"),
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.count("o_orderkey") / F.countDistinct("cal_date"), 4)
-             .alias("orders_per_day"),
+            F.expr("count(o_orderkey) * 1000000 DIV count(distinct cal_date)").alias(
+                "orders_per_day_micros"
+            ),
         )
         .orderBy("dow")
     )

@@ -34,26 +34,26 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    if name == "events":
-        # events.parquet has shipped ts as either TIMESTAMP(NANOS) or plain
-        # µs timestamps depending on the generator version; normalize both to
-        # a session-tz TIMESTAMP so downstream unix_micros()/window logic sees
-        # one dtype. Nanos: read as raw longs, truncate to microseconds —
-        # byte-identical to how DuckDB (µs-precision timestamps) reads it.
-        # µs without tz metadata: Spark 4 infers TIMESTAMP_NTZ by default
-        # (inferTimestampNTZ), which unix_micros() rejects; disable the
-        # inference and defensively cast any NTZ column that still appears.
-        # The cast is the identity on instants because every registry query
-        # pins session tz to UTC (plans/registry.py).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        elif dict(df.dtypes).get("ts") == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Timestamp encodings have drifted across testdata generations (nanos,
+    # plain-us-no-tz, us-UTC). Normalize EVERY load so each timestamp column
+    # resolves to a session-tz TIMESTAMP regardless of parquet metadata or
+    # which table was loaded first in the session:
+    #  - nanos: read as raw longs, truncate to us — byte-identical to how
+    #    DuckDB (us-precision) reads the same file;
+    #  - us without tz metadata: Spark 4's inferTimestampNTZ default would
+    #    yield TIMESTAMP_NTZ, which unix_micros() rejects at analysis time —
+    #    disable the inference and defensively cast any NTZ column that
+    #    still appears. The cast is the identity on instants because every
+    #    registry query pins session tz to UTC (plans/registry.py).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
