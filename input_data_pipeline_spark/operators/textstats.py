@@ -11,6 +11,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from input_data_pipeline_spark.functions import text as T
+from input_data_pipeline_spark.functions.stable import round_micros
 from input_data_pipeline_spark.plans.registry import register
 from input_data_pipeline_spark.tables import load_table
 
@@ -24,8 +25,8 @@ from input_data_pipeline_spark.functions.text import (
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           ROUND(AVG(n_chars), 4) AS avg_chars,
-           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS share
+           SUM(n_chars) * 1000000 // COUNT(*) AS avg_chars_ppm,
+           COUNT(*) * 1000000 // SUM(COUNT(*)) OVER () AS share_ppm
     FROM documents
     GROUP BY lang
     ORDER BY lang
@@ -38,12 +39,12 @@ def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     agg = docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.expr("sum(n_chars) * 1000000 DIV count(1)").alias("avg_chars_ppm"),
     )
     return (
-        agg.withColumn(
-            "share", F.round(F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy()), 6)
-        )
+        agg.withColumn("_tot", F.sum("n_docs").over(Window.partitionBy()))
+        .withColumn("share_ppm", F.expr("n_docs * 1000000 DIV _tot"))
+        .drop("_tot")
         .orderBy("lang")
     )
 
@@ -126,11 +127,12 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                  t -> lower(t) IN ('the','a','and','of','to','is','in'))) AS n_stop
       FROM documents)
     SELECT doc_id, lang, n_tokens,
-           ROUND(CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0 END, 6) AS stop_ratio,
-           ROUND(LEAST(n_tokens / 200.0, 1.0) * 0.7 +
+           CASE WHEN n_tokens > 0 THEN n_stop * 1000000 // n_tokens ELSE 0 END
+             AS stop_ratio_ppm,
+           CAST(ROUND((LEAST(n_tokens / 200.0, 1.0) * 0.7 +
                  CASE WHEN n_tokens > 0
-                       AND n_nonspace * 1.0 / n_tokens BETWEEN 2 AND 12
-                      THEN 1.0 ELSE 0.5 END * 0.3, 6) AS quality
+                       AND n_nonspace >= 2 * n_tokens AND n_nonspace <= 12 * n_tokens
+                      THEN 1.0 ELSE 0.5 END * 0.3) * 1000000) AS BIGINT) AS quality_ppm
     FROM tok
     ORDER BY doc_id
     """,
@@ -161,28 +163,25 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.regexp_replace("text", r"\s+", "")).alias("n_nonspace"),
     )
     j = base.join(stops, "doc_id", "left").na.fill({"n_stop": 0})
-    avg_tok_len = F.when(
-        F.col("n_tokens") > 0, F.col("n_nonspace") / F.col("n_tokens")
-    ).otherwise(F.lit(0.0))
-    quality = F.round(
+    # avg-token-length band check in exact integer space (n_tokens > 0 from
+    # the outer CASE): 2 <= n_nonspace/n_tokens <= 12.
+    band_ok = (F.col("n_nonspace") >= 2 * F.col("n_tokens")) & (
+        F.col("n_nonspace") <= 12 * F.col("n_tokens")
+    )
+    quality = round_micros(
         F.least(F.col("n_tokens") / F.lit(200.0), F.lit(1.0)) * 0.7
-        + F.when((avg_tok_len >= 2) & (avg_tok_len <= 12), F.lit(1.0))
-        .otherwise(F.lit(0.5))
-        * 0.3,
-        6,
+        + F.when((F.col("n_tokens") > 0) & band_ok, F.lit(1.0)).otherwise(F.lit(0.5))
+        * 0.3
     )
     return (
         j.select(
             "doc_id",
             "lang",
             "n_tokens",
-            F.round(
-                F.when(
-                    F.col("n_tokens") > 0, F.col("n_stop") / F.col("n_tokens")
-                ).otherwise(F.lit(0.0)),
-                6,
-            ).alias("stop_ratio"),
-            quality.alias("quality"),
+            F.when(
+                F.col("n_tokens") > 0, F.expr("n_stop * 1000000 DIV n_tokens")
+            ).otherwise(F.lit(0).cast("long")).alias("stop_ratio_ppm"),
+            quality.alias("quality_ppm"),
         )
         .orderBy("doc_id")
     )
@@ -359,13 +358,14 @@ def normalized_text_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.token,
-             ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+             CAST(ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df) * 1000000) AS BIGINT)
+               AS tfidf_ppm
       FROM tf JOIN df USING (token) CROSS JOIN n),
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                                   ORDER BY tfidf DESC, token) AS rank
+                                   ORDER BY tfidf_ppm DESC, token) AS rank
       FROM scored)
-    SELECT doc_id, token, rank, tfidf
+    SELECT doc_id, token, rank, tfidf_ppm
     FROM ranked WHERE rank <= 3
     ORDER BY doc_id, rank
     """,
@@ -389,15 +389,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = tf.join(F.broadcast(df_tbl), "token").select(
         "doc_id",
         "token",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
-            "tfidf"
+        round_micros(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias(
+            "tfidf_ppm"
         ),
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_ppm"), F.asc("token"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
-        .select("doc_id", "token", "rank", "tfidf")
+        .select("doc_id", "token", "rank", "tfidf_ppm")
         .orderBy("doc_id", "rank")
     )
 
@@ -524,7 +524,8 @@ STRATUM_RATES = {"en": 25, "zh": 100, "es": 100, "de": 100, "fr": 100}
     SELECT lang,
            COUNT(*) AS n_total,
            COUNT(*) FILTER (WHERE bucket < rate) AS n_sampled,
-           ROUND(AVG(n_chars) FILTER (WHERE bucket < rate), 4) AS avg_chars_sampled
+           SUM(n_chars) FILTER (WHERE bucket < rate) * 1000000
+             // COUNT(*) FILTER (WHERE bucket < rate) AS avg_chars_sampled_ppm
     FROM tagged
     GROUP BY lang
     ORDER BY lang
@@ -552,8 +553,10 @@ def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_total"),
             F.count(F.when(F.col("keep"), 1)).alias("n_sampled"),
-            F.round(F.avg(F.when(F.col("keep"), F.col("n_chars"))), 4)
-             .alias("avg_chars_sampled"),
+            F.expr(
+                "sum(case when keep then n_chars end) * 1000000"
+                " DIV count(case when keep then 1 end)"
+            ).alias("avg_chars_sampled_ppm"),
         )
         .orderBy("lang")
     )
@@ -609,8 +612,8 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.lang,
            COUNT(*) AS n_docs,
            COUNT(*) FILTER (WHERE abs(d.n_chars - m.med) > 3 * v.mad) AS n_outliers,
-           ROUND(ANY_VALUE(m.med), 4) AS med,
-           ROUND(ANY_VALUE(v.mad), 4) AS mad
+           CAST(ROUND(ANY_VALUE(m.med) * 1000000) AS BIGINT) AS med_micros,
+           CAST(ROUND(ANY_VALUE(v.mad) * 1000000) AS BIGINT) AS mad_micros
     FROM documents d
     JOIN med m ON d.lang = m.lang
     JOIN dev v ON d.lang = v.lang
@@ -641,8 +644,8 @@ def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(
                 F.when(F.abs(F.col("n_chars") - F.col("med")) > 3 * F.col("mad"), 1)
             ).alias("n_outliers"),
-            F.round(F.any_value("med"), 4).alias("med"),
-            F.round(F.any_value("mad"), 4).alias("mad"),
+            round_micros(F.any_value("med")).alias("med_micros"),
+            round_micros(F.any_value("mad")).alias("mad_micros"),
         )
         .orderBy("lang")
     )
@@ -659,7 +662,8 @@ def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            COUNT(*) AS n_total,
            COUNT(*) FILTER (WHERE rn <= 50) AS n_kept,
-           ROUND(AVG(n_chars) FILTER (WHERE rn <= 50), 4) AS avg_chars_kept
+           SUM(n_chars) FILTER (WHERE rn <= 50) * 1000000
+             // COUNT(*) FILTER (WHERE rn <= 50) AS avg_chars_kept_ppm
     FROM ranked
     GROUP BY source
     ORDER BY source
@@ -686,8 +690,10 @@ def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_total"),
             F.count(F.when(F.col("rn") <= 50, 1)).alias("n_kept"),
-            F.round(F.avg(F.when(F.col("rn") <= 50, F.col("n_chars"))), 4)
-             .alias("avg_chars_kept"),
+            F.expr(
+                "sum(case when rn <= 50 then n_chars end) * 1000000"
+                " DIV count(case when rn <= 50 then 1 end)"
+            ).alias("avg_chars_kept_ppm"),
         )
         .orderBy("source")
     )
@@ -858,16 +864,16 @@ def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     scored AS (
       SELECT doc_id, lang, n_tokens,
-             ROUND(LEAST(n_tokens / 200.0, 1.0) * 0.7 +
+             CAST(ROUND((LEAST(n_tokens / 200.0, 1.0) * 0.7 +
                    CASE WHEN n_tokens > 0
-                         AND n_nonspace * 1.0 / n_tokens BETWEEN 2 AND 12
-                        THEN 1.0 ELSE 0.5 END * 0.3, 6) AS quality
+                         AND n_nonspace >= 2 * n_tokens AND n_nonspace <= 12 * n_tokens
+                        THEN 1.0 ELSE 0.5 END * 0.3) * 1000000) AS BIGINT) AS quality_ppm
       FROM tok)
-    SELECT LEAST(CAST(FLOOR(quality * 10) AS BIGINT), 9) AS decile,
+    SELECT LEAST(quality_ppm // 100000, 9) AS decile,
            COUNT(*) AS n_docs,
-           ROUND(SUM(n_tokens) * 1.0 / COUNT(*), 4) AS avg_tokens,
-           ROUND(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0
-                 / COUNT(*), 4) AS en_share
+           SUM(n_tokens) * 1000000 // COUNT(*) AS avg_tokens_ppm,
+           SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000
+             // COUNT(*) AS en_share_ppm
     FROM scored
     GROUP BY 1
     ORDER BY decile
@@ -885,18 +891,18 @@ def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     reported ratios divide exact integers.
     """
     scored = doc_quality(spark, sf_dir)
-    decile = F.least(F.floor(F.col("quality") * 10), F.lit(9)).alias("decile")
+    decile = F.least(F.expr("quality_ppm DIV 100000"), F.lit(9).cast("long")).alias(
+        "decile"
+    )
     return (
         scored.select(decile, "lang", "n_tokens")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.sum("n_tokens") * 1.0 / F.count(F.lit(1)), 4).alias("avg_tokens"),
-            F.round(
-                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)) * 1.0
-                / F.count(F.lit(1)),
-                4,
-            ).alias("en_share"),
+            F.expr("sum(n_tokens) * 1000000 DIV count(1)").alias("avg_tokens_ppm"),
+            F.expr(
+                "sum(case when lang = 'en' then 1 else 0 end) * 1000000 DIV count(1)"
+            ).alias("en_share_ppm"),
         )
         .orderBy("decile")
     )

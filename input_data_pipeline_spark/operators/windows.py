@@ -13,12 +13,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from input_data_pipeline_spark.functions.stable import (
     micros,
+    round_micros,
     sql_micros,
     sql_sum_micros,
-    stable_sum,
     stable_sum_micros,
     stable_sum_micros_over,
-    stable_sum_over,
 )
 from input_data_pipeline_spark.plans.registry import register
 from input_data_pipeline_spark.tables import load_table
@@ -158,7 +157,7 @@ def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order_rank_in_priority",
     oracle="""
     SELECT o_orderkey, o_orderpriority AS priority,
-           ROUND(o_totalprice, 2) AS totalprice,
+           CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS totalprice_micros,
            RANK() OVER w AS price_rank,
            DENSE_RANK() OVER w AS price_dense_rank,
            NTILE(4) OVER w AS price_quartile
@@ -176,7 +175,7 @@ def order_rank_in_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             F.col("o_orderpriority").alias("priority"),
-            F.round("o_totalprice", 2).alias("totalprice"),
+            micros("o_totalprice").alias("totalprice_micros"),
             F.rank().over(w).alias("price_rank"),
             F.dense_rank().over(w).alias("price_dense_rank"),
             F.ntile(4).over(w).alias("price_quartile"),
@@ -260,13 +259,13 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "event_type_hourly",
     oracle="""
-    SELECT DATE_TRUNC('hour', ts) AS hour,
+    SELECT epoch_us(DATE_TRUNC('hour', ts)) AS hour_us,
            event_type,
            COUNT(*) AS n,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS total_value_micros
     FROM events
     GROUP BY 1, 2
-    ORDER BY hour, event_type
+    ORDER BY hour_us, event_type
     """,
 )
 def event_type_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,9 +274,12 @@ def event_type_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
         events
-        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), stable_sum("value", 4).alias("total_value"))
-        .orderBy("hour", "event_type")
+        .groupBy(F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            stable_sum_micros("value").alias("total_value_micros"),
+        )
+        .orderBy("hour_us", "event_type")
     )
 
 
@@ -286,7 +288,8 @@ def event_type_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 1000000
+             // COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k_micros,
            MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
            MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
     FROM events
@@ -304,10 +307,13 @@ def event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg(k), 4).alias("avg_k"),
+            (F.sum(k.cast("long")) * 1_000_000).cast("long").alias("_sk"),
+            F.count(k).alias("_nk"),
             F.min(k).alias("min_k"),
             F.max(k).alias("max_k"),
         )
+        .withColumn("avg_k_micros", F.expr("_sk DIV _nk"))
+        .select("event_type", "n", "avg_k_micros", "min_k", "max_k")
         .orderBy("event_type")
     )
 
@@ -432,14 +438,15 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS window_start
       FROM events e,
            LATERAL (SELECT unnest([0, 1]) AS off) k)
-    SELECT window_start,
-           window_start + INTERVAL '4 hours' AS window_end,
+    SELECT epoch_us(window_start) AS window_start_us,
+           epoch_us(window_start + INTERVAL '4 hours') AS window_end_us,
            event_type,
            COUNT(*) AS n,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+           CAST(ROUND(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) * 1000000) AS BIGINT)
+             AS total_value_micros
     FROM slid
     GROUP BY window_start, event_type
-    ORDER BY window_start, event_type
+    ORDER BY window_start_us, event_type
     """,
 )
 def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -455,8 +462,18 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from input_data_pipeline_spark.streaming.pipelines import windowed_counts
 
     events = load_table(spark, sf_dir, "events")
-    return windowed_counts(events, size="4 hours", slide="2 hours").orderBy(
-        "window_start", "event_type"
+    # Oracle-facing projection in integer cells (epoch-micros bounds,
+    # micros value); the streaming op keeps its timestamp/double schema.
+    return (
+        windowed_counts(events, size="4 hours", slide="2 hours")
+        .select(
+            F.unix_micros("window_start").alias("window_start_us"),
+            F.unix_micros("window_end").alias("window_end_us"),
+            "event_type",
+            "n",
+            round_micros(F.col("total_value")).alias("total_value_micros"),
+        )
+        .orderBy("window_start_us", "event_type")
     )
 
 
@@ -469,8 +486,8 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ORDER BY ts, event_id) AS next_type
       FROM events)
     SELECT event_type, next_type, COUNT(*) AS n,
-           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY event_type), 6)
-             AS p_next
+           COUNT(*) * 1000000 // SUM(COUNT(*)) OVER (PARTITION BY event_type)
+             AS p_next_ppm
     FROM ordered
     WHERE next_type IS NOT NULL
     GROUP BY event_type, next_type
@@ -496,9 +513,9 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     norm = Window.partitionBy("event_type")
     return (
-        pairs.withColumn(
-            "p_next", F.round(F.col("n") / F.sum("n").over(norm), 6)
-        )
+        pairs.withColumn("_tot", F.sum("n").over(norm))
+        .withColumn("p_next_ppm", F.expr("n * 1000000 DIV _tot"))
+        .drop("_tot")
         .orderBy("event_type", "next_type")
     )
 
@@ -553,15 +570,16 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH spend AS (
       SELECT o_custkey,
-             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS spend
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+               AS spend_micros
       FROM orders GROUP BY o_custkey)
-    SELECT o_custkey, spend,
+    SELECT o_custkey, spend_micros,
            CAST(NTILE(4) OVER w AS INT) AS quartile,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-           ROUND(CUME_DIST() OVER w, 6) AS cume
+           CAST(ROUND(PERCENT_RANK() OVER w * 1000000) AS BIGINT) AS pct_rank_ppm,
+           CAST(ROUND(CUME_DIST() OVER w * 1000000) AS BIGINT) AS cume_ppm
     FROM spend
-    WINDOW w AS (ORDER BY spend, o_custkey)
-    ORDER BY spend, o_custkey
+    WINDOW w AS (ORDER BY spend_micros, o_custkey)
+    ORDER BY spend_micros, o_custkey
     """,
 )
 def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -577,16 +595,16 @@ def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
-        stable_sum("o_totalprice", 2).alias("spend")
+        stable_sum_micros("o_totalprice").alias("spend_micros")
     )
-    w = Window.orderBy("spend", "o_custkey")
+    w = Window.orderBy("spend_micros", "o_custkey")
     return spend.select(
         "o_custkey",
-        "spend",
+        "spend_micros",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-    ).orderBy("spend", "o_custkey")
+        round_micros(F.percent_rank().over(w)).alias("pct_rank_ppm"),
+        round_micros(F.cume_dist().over(w)).alias("cume_ppm"),
+    ).orderBy("spend_micros", "o_custkey")
 
 
 @register(
@@ -608,10 +626,10 @@ def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.event_type,
            epoch_us(CAST(d.hour AS TIMESTAMP)) AS hour_us,
            COALESCE(h.n, 0) AS n_events,
-           ROUND(last_value(h.avg_v IGNORE NULLS)
+           CAST(ROUND(last_value(h.avg_v IGNORE NULLS)
                  OVER (PARTITION BY d.event_type ORDER BY d.hour
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
-             AS ffill_avg_value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000) AS BIGINT)
+             AS ffill_avg_micros
     FROM dense d
     LEFT JOIN hourly h ON d.event_type = h.event_type AND d.hour = h.hour
     ORDER BY d.event_type, hour_us
@@ -655,7 +673,9 @@ def event_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.unix_micros("hour").alias("hour_us"),
             F.coalesce("n", F.lit(0)).alias("n_events"),
-            F.round(F.last("avg_v", ignorenulls=True).over(w), 4).alias("ffill_avg_value"),
+            round_micros(F.last("avg_v", ignorenulls=True).over(w)).alias(
+                "ffill_avg_micros"
+            ),
         )
         .orderBy("event_type", "hour_us")
     )

@@ -78,7 +78,7 @@ def test_quality_calibration_deciles_partition_corpus(spark, sf_dir):
     assert sum(r.n_docs for r in rows) == load_table(spark, sf_dir, "documents").count()
     for r in rows:
         assert 0 <= r.decile <= 9
-        assert 0.0 <= r.en_share <= 1.0
+        assert 0 <= r.en_share_ppm <= 1_000_000
 
 
 def test_incremental_dedup_verdicts_are_consistent(spark, sf_dir):
