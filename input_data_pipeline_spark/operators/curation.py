@@ -198,8 +198,8 @@ _CHUNK_TOKENS = 16
     SELECT source,
            COUNT(*) AS n_chunks,
            SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_redundant,
-           ROUND(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
-             AS dup_rate
+           SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+             AS dup_rate_ppm
     FROM ranked
     GROUP BY source
     ORDER BY source
@@ -248,8 +248,8 @@ def chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_redundant"),
         )
         .withColumn(
-            "dup_rate",
-            F.round(F.col("n_redundant").cast("double") / F.col("n_chunks"), 4),
+            "dup_rate_ppm",
+            F.expr("n_redundant * 1000000 DIV n_chunks"),
         )
         .orderBy("source")
     )
@@ -330,7 +330,7 @@ _MIX_BUDGET = 1_000_000_000  # tokens per epoch to allocate across languages
       FROM toks),
     tot AS (SELECT SUM(weight) AS total_w FROM w)
     SELECT lang, n_tokens, weight,
-           ROUND(weight * 1.0 / total_w, 6) AS sample_prob,
+           weight * 1000000 // total_w AS sample_prob_ppm,
            CAST(FLOOR(weight * {_MIX_BUDGET}.0 / total_w) AS BIGINT)
              AS epoch_tokens
     FROM w, tot
@@ -362,7 +362,7 @@ def mixture_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_tokens",
             "weight",
-            F.round(F.col("weight") / F.col("total_w"), 6).alias("sample_prob"),
+            F.expr("weight * 1000000 DIV total_w").alias("sample_prob_ppm"),
             F.floor(F.col("weight") * F.lit(float(_MIX_BUDGET)) / F.col("total_w"))
             .cast("long")
             .alias("epoch_tokens"),
@@ -391,7 +391,7 @@ _SELECT_BUDGET = 100_000  # tokens per language
     SELECT lang,
            COUNT(*) AS n_selected,
            SUM(n_tok) AS selected_tokens,
-           ROUND(SUM(n_tok) * 1.0 / {_SELECT_BUDGET}, 4) AS budget_fill
+           SUM(n_tok) * 1000000 // {_SELECT_BUDGET} AS budget_fill_ppm
     FROM ranked
     WHERE prior_tokens < {_SELECT_BUDGET}
     GROUP BY lang
@@ -430,8 +430,8 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("selected_tokens"),
         )
         .withColumn(
-            "budget_fill",
-            F.round(F.col("selected_tokens") / F.lit(float(_SELECT_BUDGET)), 4),
+            "budget_fill_ppm",
+            F.expr(f"selected_tokens * 1000000 DIV {_SELECT_BUDGET}"),
         )
         .orderBy("lang")
     )
@@ -449,7 +449,8 @@ _LSH_CLAIM = 0.8  # MinHash estimate threshold for claiming "near-dup"
     oracle=f"""
     WITH est_all AS ({_REGISTRY["dedup_minhash_lsh"].oracle}),
     tru AS ({_REGISTRY["ngram_jaccard_pairs"].oracle}),
-    est AS (SELECT doc_a, doc_b FROM est_all WHERE est_jaccard >= {_LSH_CLAIM}),
+    est AS (SELECT doc_a, doc_b FROM est_all
+            WHERE est_jaccard_ppm >= {int(_LSH_CLAIM * 1_000_000)}),
     u AS (
       SELECT COALESCE(e.doc_a, t.doc_a) AS doc_a,
              COALESCE(e.doc_b, t.doc_b) AS doc_b,
@@ -460,12 +461,12 @@ _LSH_CLAIM = 0.8  # MinHash estimate threshold for claiming "near-dup"
     SELECT SUM(CASE WHEN claimed AND actual THEN 1 ELSE 0 END) AS tp,
            SUM(CASE WHEN claimed AND NOT actual THEN 1 ELSE 0 END) AS fp,
            SUM(CASE WHEN actual AND NOT claimed THEN 1 ELSE 0 END) AS fn,
-           ROUND(SUM(CASE WHEN claimed AND actual THEN 1 ELSE 0 END) * 1.0
-                 / NULLIF(SUM(CASE WHEN claimed THEN 1 ELSE 0 END), 0), 4)
-             AS precision,
-           ROUND(SUM(CASE WHEN claimed AND actual THEN 1 ELSE 0 END) * 1.0
-                 / NULLIF(SUM(CASE WHEN actual THEN 1 ELSE 0 END), 0), 4)
-             AS recall
+           SUM(CASE WHEN claimed AND actual THEN 1 ELSE 0 END) * 1000000
+             // NULLIF(SUM(CASE WHEN claimed THEN 1 ELSE 0 END), 0)
+             AS precision_ppm,
+           SUM(CASE WHEN claimed AND actual THEN 1 ELSE 0 END) * 1000000
+             // NULLIF(SUM(CASE WHEN actual THEN 1 ELSE 0 END), 0)
+             AS recall_ppm
     FROM u
     """,
 )
@@ -483,7 +484,7 @@ def minhash_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     est = (
         _dedup.dedup_minhash_lsh(spark, sf_dir)
-        .filter(F.col("est_jaccard") >= _LSH_CLAIM)
+        .filter(F.col("est_jaccard_ppm") >= int(_LSH_CLAIM * 1_000_000))
         .select("doc_a", "doc_b", F.lit(True).alias("claimed"))
     )
     tru = _dedup.ngram_jaccard_pairs(spark, sf_dir).select(
@@ -499,8 +500,10 @@ def minhash_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         tp.alias("tp"),
         fp.alias("fp"),
         fn.alias("fn"),
-        F.round(tp / F.when(n_claimed > 0, n_claimed), 4).alias("precision"),
-        F.round(tp / F.when(n_actual > 0, n_actual), 4).alias("recall"),
+        F.floor(tp * 1_000_000 / F.when(n_claimed > 0, n_claimed)).alias(
+            "precision_ppm"
+        ),
+        F.floor(tp * 1_000_000 / F.when(n_actual > 0, n_actual)).alias("recall_ppm"),
     )
 
 
@@ -519,10 +522,11 @@ _SEM_COS = 0.45  # same threshold as embedding_near_pairs — shared plan
     prs AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM v a JOIN v b ON a.vec_id < b.vec_id
-      WHERE ROUND(
+      WHERE CAST(ROUND(
         list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
         / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
-           * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 4) >= {_SEM_COS}),
+           * sqrt(list_sum(list_transform(b.e, x -> x * x)))) * 1000000) AS BIGINT)
+        >= {int(_SEM_COS * 1_000_000)}),
     edges AS (
       SELECT vec_a AS src, vec_b AS dst FROM prs
       UNION SELECT vec_b, vec_a FROM prs),

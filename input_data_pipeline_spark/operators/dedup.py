@@ -237,14 +237,14 @@ def _docs_with_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN bands b ON a.band_key = b.band_key AND a.b = b.b AND a.doc_id < b.doc_id),
     est AS (
       SELECT c.doc_a, c.doc_b,
-             ROUND(len(list_filter(range({N_MINHASH}), i -> sa.sig[i + 1] = sb.sig[i + 1]))
-                   / {N_MINHASH}.0, 4) AS est_jaccard
+             len(list_filter(range({N_MINHASH}), i -> sa.sig[i + 1] = sb.sig[i + 1]))
+                   * 1000000 // {N_MINHASH} AS est_jaccard_ppm
       FROM cand c
       JOIN sig sa ON sa.doc_id = c.doc_a
       JOIN sig sb ON sb.doc_id = c.doc_b)
-    SELECT doc_a, doc_b, est_jaccard
+    SELECT doc_a, doc_b, est_jaccard_ppm
     FROM est
-    WHERE est_jaccard >= 0.5
+    WHERE est_jaccard_ppm >= 500000
     ORDER BY doc_a, doc_b
     """,
 )
@@ -311,9 +311,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(matches / F.lit(float(N_MINHASH)), 4).alias("est_jaccard"),
+            (matches * F.lit(1_000_000) / F.lit(N_MINHASH))
+            .cast("long")
+            .alias("est_jaccard_ppm"),
         )
-        .filter(F.col("est_jaccard") >= 0.5)
+        .filter(F.col("est_jaccard_ppm") >= 500_000)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -326,12 +328,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (
       SELECT doc_id, {_DUCK_SHINGLES2} AS shs FROM tok)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(len(list_intersect(a.shs, b.shs)) * 1.0
-                 / len(list_distinct(a.shs || b.shs)), 4) AS jaccard
+           len(list_intersect(a.shs, b.shs)) * 1000000
+             // len(list_distinct(a.shs || b.shs)) AS jaccard_ppm
     FROM sh a
     JOIN sh b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.shs, b.shs)) * 1.0
-          / len(list_distinct(a.shs || b.shs)) >= 0.8
+    WHERE len(list_intersect(a.shs, b.shs)) * 5
+          >= len(list_distinct(a.shs || b.shs)) * 4
     ORDER BY doc_a, doc_b
     """,
 )
@@ -487,12 +489,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
         inter = F.size(F.array_intersect("shs_a", "shs_b"))
         union = F.size("shs_a") + F.size("shs_b") - inter
-    jac = inter / union
+    # Threshold and ratio in exact integer space: 5*inter >= 4*union and
+    # ppm = inter * 1e6 DIV union, mirroring the oracle verbatim.
     return (
         cand.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
-        .filter(jac >= 0.8)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(inter * 5 >= union * 4)
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("long") * 1_000_000 / union).cast("long").alias("jaccard_ppm"),
+        )
         .orderBy("doc_a", "doc_b")
     )
 
@@ -636,9 +643,10 @@ EMB_PAIR_BLOCKS = 8  # B: corpus splits; memory per task ~ 2/B of the corpus
                / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
                   * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos
       FROM v a JOIN v b ON a.vec_id < b.vec_id)
-    SELECT vec_a, vec_b, label_a, label_b, ROUND(cos, 4) AS cosine
+    SELECT vec_a, vec_b, label_a, label_b,
+           CAST(ROUND(cos * 1000000) AS BIGINT) AS cosine_ppm
     FROM pairs
-    WHERE ROUND(cos, 4) >= 0.45
+    WHERE CAST(ROUND(cos * 1000000) AS BIGINT) >= 450000
     ORDER BY vec_a, vec_b
     """,
 )
@@ -682,7 +690,7 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = a_side.unionByName(b_side)
 
     out_schema = (
-        "vec_a bigint, vec_b bigint, label_a int, label_b int, cosine double"
+        "vec_a bigint, vec_b bigint, label_a int, label_b int, cosine_ppm bigint"
     )
 
     def score_pair(key, pdf):
@@ -694,7 +702,7 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {c: pd.Series(dtype=t) for c, t in (
                     ("vec_a", "int64"), ("vec_b", "int64"),
                     ("label_a", "int32"), ("label_b", "int32"),
-                    ("cosine", "float64"),
+                    ("cosine_ppm", "int64"),
                 )}
             )
         ids_l = left["vec_id"].to_numpy()
@@ -708,8 +716,11 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             mr = np.array(right["e"].tolist(), dtype=np.float64)
             mr /= np.linalg.norm(mr, axis=1, keepdims=True)
-        sims = np.round(ml @ mr.T, 4)
-        ii, jj = np.nonzero(sims >= 0.45)
+        # Half-up ppm quantization (floor(x*1e6+0.5)) — matches DuckDB's
+        # ROUND (half away from zero) on the positive above-threshold range,
+        # unlike np.round's banker's rounding.
+        sims = np.floor(ml @ mr.T * 1_000_000 + 0.5)
+        ii, jj = np.nonzero(sims >= 450_000)
         if ba == bb:  # upper triangle only (self-pairs excluded)
             keep = ids_l[ii] < ids_r[jj]
         else:  # cross-block: every (l, r) pair occurs once; drop nothing
@@ -728,7 +739,7 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_b": idb2,
                 "label_a": la2,
                 "label_b": lb2,
-                "cosine": sims[ii, jj],
+                "cosine_ppm": sims[ii, jj].astype(np.int64),
             }
         )
 
@@ -1064,22 +1075,22 @@ _INCR_NEW_MOD = 7  # doc_id % 10 == 7 plays the incoming batch (~10% of docs)
     csh AS (SELECT doc_id, {{sh2}} AS shs FROM ctok),
     near AS (
       SELECT a.doc_id, b.doc_id AS match_doc,
-             ROUND(len(list_intersect(a.shs, b.shs)) * 1.0
-                   / len(list_distinct(a.shs || b.shs)), 4) AS j
+             len(list_intersect(a.shs, b.shs)) * 1000000
+               // len(list_distinct(a.shs || b.shs)) AS j_ppm
       FROM nsh a JOIN csh b
-        ON len(list_intersect(a.shs, b.shs)) * 1.0
-           / len(list_distinct(a.shs || b.shs)) >= 0.8),
+        ON len(list_intersect(a.shs, b.shs)) * 5
+           >= len(list_distinct(a.shs || b.shs)) * 4),
     best AS (
-      SELECT doc_id, match_doc, j,
+      SELECT doc_id, match_doc, j_ppm,
              ROW_NUMBER() OVER (PARTITION BY doc_id
-                                ORDER BY j DESC, match_doc) AS rn
+                                ORDER BY j_ppm DESC, match_doc) AS rn
       FROM near)
     SELECT n.doc_id AS new_doc,
            CASE WHEN e.match_doc IS NOT NULL THEN 'exact_dup'
                 WHEN b.match_doc IS NOT NULL THEN 'near_dup'
                 ELSE 'unique' END AS verdict,
            COALESCE(e.match_doc, b.match_doc) AS match_doc,
-           CASE WHEN e.match_doc IS NULL THEN b.j END AS jaccard
+           CASE WHEN e.match_doc IS NULL THEN b.j_ppm END AS jaccard_ppm
     FROM newb n
     LEFT JOIN exact e ON e.doc_id = n.doc_id
     LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_id = n.doc_id
@@ -1181,8 +1192,7 @@ def incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = shs.select(F.col("doc_id").alias("corp_doc"), F.col("shs").alias("shs_b"))
     inter = F.size(F.array_intersect("shs_a", "shs_b"))
     union = F.size("shs_a") + F.size("shs_b") - inter
-    jac = inter / union
-    w_best = Window.partitionBy("new_doc").orderBy(F.desc("j"), "corp_doc")
+    w_best = Window.partitionBy("new_doc").orderBy(F.desc("j_ppm"), "corp_doc")
     # No explicit broadcast on the shingle-array sides: sb spans the ~90%
     # corpus, and forcing it to broadcast would ship the whole corpus index
     # to every executor — the exact failure the incremental design avoids.
@@ -1192,11 +1202,15 @@ def incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = (
         cand.join(sa, "new_doc")
         .join(sb, "corp_doc")
-        .filter(jac >= 0.8)
-        .select("new_doc", "corp_doc", F.round(jac, 4).alias("j"))
+        .filter(inter * 5 >= union * 4)
+        .select(
+            "new_doc",
+            "corp_doc",
+            (inter.cast("long") * 1_000_000 / union).cast("long").alias("j_ppm"),
+        )
         .withColumn("rn", F.row_number().over(w_best))
         .filter(F.col("rn") == 1)
-        .select("new_doc", F.col("corp_doc").alias("near_match"), "j")
+        .select("new_doc", F.col("corp_doc").alias("near_match"), "j_ppm")
     )
 
     return (
@@ -1210,7 +1224,7 @@ def incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("unique"))
             .alias("verdict"),
             F.coalesce("exact_match", "near_match").alias("match_doc"),
-            F.when(F.col("exact_match").isNull(), F.col("j")).alias("jaccard"),
+            F.when(F.col("exact_match").isNull(), F.col("j_ppm")).alias("jaccard_ppm"),
         )
         .orderBy("new_doc")
     )

@@ -24,12 +24,7 @@ import hashlib
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
-from input_data_pipeline_spark.functions.stable import (
-    sql_avg,
-    sql_stddev_samp,
-    stable_avg,
-    stable_stddev_samp,
-)
+from input_data_pipeline_spark.functions.stable import round_micros
 from input_data_pipeline_spark.plans.registry import register
 from input_data_pipeline_spark.tables import load_table
 
@@ -113,13 +108,13 @@ WITH v AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
 scored AS (
   SELECT qa.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
-         ROUND({_DUCK_COS}, 4) AS cosine
+         CAST(ROUND(({_DUCK_COS}) * 1000000) AS BIGINT) AS cosine_ppm
   FROM v qa JOIN v c ON qa.vec_id < {N_QUERIES} AND c.vec_id <> qa.vec_id),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY cosine DESC, neighbor_id) AS rank
+                               ORDER BY cosine_ppm DESC, neighbor_id) AS rank
   FROM scored)
-SELECT query_id, neighbor_id, neighbor_label, cosine, rank
+SELECT query_id, neighbor_id, neighbor_label, cosine_ppm, rank
 FROM ranked WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
 """
@@ -144,14 +139,14 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("neighbor_label"),
         F.col("e").alias("ce"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_ppm"), F.asc("neighbor_id"))
     return (
         F.broadcast(q)
         .join(c, F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine(F.col("qe"), F.col("ce")), 4))
+        .withColumn("cosine_ppm", round_micros(cosine(F.col("qe"), F.col("ce"))))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rank")
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine_ppm", "rank")
         .orderBy("query_id", "rank")
     )
 
@@ -176,7 +171,7 @@ def knn_bruteforce_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     bq_ids = spark.sparkContext.broadcast(q_ids)
     bq_mat = spark.sparkContext.broadcast(q_mat)
 
-    out_schema = "query_id bigint, neighbor_id bigint, neighbor_label int, cosine double"
+    out_schema = "query_id bigint, neighbor_id bigint, neighbor_label int, cosine_ppm bigint"
 
     def score_partition(batches):
         ids_b, labels_b, mats = [], [], []
@@ -205,12 +200,12 @@ def knn_bruteforce_np(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "query_id": qid,
                     "neighbor_id": ids[top],
                     "neighbor_label": labels[top],
-                    "cosine": np.round(row[top], 4),
+                    "cosine_ppm": np.floor(row[top] * 1_000_000 + 0.5).astype(np.int64),
                 }
             )
 
     partial = emb.mapInPandas(score_partition, schema=out_schema)
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_ppm"), F.asc("neighbor_id"))
     return (
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
@@ -277,15 +272,16 @@ cand AS (
    AND qa.vec_id < {N_QUERIES} AND c.vec_id <> qa.vec_id),
 scored AS (
   SELECT query_id, neighbor_id, neighbor_label,
-         ROUND(list_sum(list_transform(range(1, {DIM} + 1), i -> qe[i] * ce[i]))
+         CAST(ROUND((list_sum(list_transform(range(1, {DIM} + 1), i -> qe[i] * ce[i]))
                / (sqrt(list_sum(list_transform(qe, x -> x * x)))
-                  * sqrt(list_sum(list_transform(ce, x -> x * x)))), 4) AS cosine
+                  * sqrt(list_sum(list_transform(ce, x -> x * x))))) * 1000000)
+              AS BIGINT) AS cosine_ppm
   FROM cand),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY cosine DESC, neighbor_id) AS rank
+                               ORDER BY cosine_ppm DESC, neighbor_id) AS rank
   FROM scored)
-SELECT query_id, neighbor_id, neighbor_label, cosine, rank
+SELECT query_id, neighbor_id, neighbor_label, cosine_ppm, rank
 FROM ranked WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
 """
@@ -324,12 +320,12 @@ def knn_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_ppm"), F.asc("neighbor_id"))
     return (
-        cand.withColumn("cosine", F.round(cosine(F.col("qe"), F.col("ce")), 4))
+        cand.withColumn("cosine_ppm", round_micros(cosine(F.col("qe"), F.col("ce"))))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rank")
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine_ppm", "rank")
         .orderBy("query_id", "rank")
     )
 
@@ -469,13 +465,13 @@ _DUCK_IVF_COS = (
       WHERE rn <= {N_PROBE}),
     scored AS (
       SELECT p.query_id, a.vec_id AS neighbor_id, a.label AS neighbor_label,
-             ROUND({_DUCK_IVF_COS}, 4) AS cosine
+             CAST(ROUND(({_DUCK_IVF_COS}) * 1000000) AS BIGINT) AS cosine_ppm
       FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id),
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, neighbor_id) AS rank
+                                   ORDER BY cosine_ppm DESC, neighbor_id) AS rank
       FROM scored)
-    SELECT query_id, neighbor_id, neighbor_label, cosine, rank
+    SELECT query_id, neighbor_id, neighbor_label, cosine_ppm, rank
     FROM ranked WHERE rank <= {TOP_K}
     ORDER BY query_id, rank
     """,
@@ -566,7 +562,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode("probe_cells").alias("cell"),
         )
     )
-    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine_ppm"), F.asc("neighbor_id"))
     return (
         F.broadcast(probes)
         .join(assign, "cell")
@@ -575,7 +571,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.col("label").alias("neighbor_label"),
-            F.round(cosine(F.col("qe"), F.col("e")), 4).alias("cosine"),
+            round_micros(cosine(F.col("qe"), F.col("e"))).alias("cosine_ppm"),
         )
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= TOP_K)
@@ -590,13 +586,13 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     scored AS (
       SELECT qa.vec_id AS query_doc, c.vec_id AS match_doc,
-             ROUND({_DUCK_COS}, 4) AS cosine
+             CAST(ROUND(({_DUCK_COS}) * 1000000) AS BIGINT) AS cosine_ppm
       FROM v qa JOIN v c ON qa.vec_id < 3 AND c.vec_id <> qa.vec_id),
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_doc
-                                   ORDER BY cosine DESC, match_doc) AS rank
+                                   ORDER BY cosine_ppm DESC, match_doc) AS rank
       FROM scored)
-    SELECT r.query_doc, r.match_doc, r.rank, r.cosine,
+    SELECT r.query_doc, r.match_doc, r.rank, r.cosine_ppm,
            d.lang AS match_lang,
            CASE WHEN length(d.text) > 60 THEN substr(d.text, 1, 60) || '...'
                 ELSE d.text END AS match_preview
@@ -621,14 +617,14 @@ def semantic_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_doc"), F.col("e").alias("qe")
     )
     c = emb.select(F.col("vec_id").alias("match_doc"), F.col("e").alias("ce"))
-    w = Window.partitionBy("query_doc").orderBy(F.desc("cosine"), F.asc("match_doc"))
+    w = Window.partitionBy("query_doc").orderBy(F.desc("cosine_ppm"), F.asc("match_doc"))
     hits = (
         F.broadcast(q)
         .join(c, F.col("match_doc") != F.col("query_doc"))
-        .withColumn("cosine", F.round(cosine(F.col("qe"), F.col("ce")), 4))
+        .withColumn("cosine_ppm", round_micros(cosine(F.col("qe"), F.col("ce"))))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
-        .select("query_doc", "match_doc", "rank", "cosine")
+        .select("query_doc", "match_doc", "rank", "cosine_ppm")
     )
     preview = F.when(
         F.length("text") > 60, F.concat(F.substring("text", 1, 60), F.lit("..."))
@@ -637,7 +633,7 @@ def semantic_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(hits)
         .join(docs, hits["match_doc"] == docs["doc_id"])
         .select(
-            "query_doc", "match_doc", "rank", "cosine",
+            "query_doc", "match_doc", "rank", "cosine_ppm",
             F.col("lang").alias("match_lang"),
             preview.alias("match_preview"),
         )
@@ -650,16 +646,21 @@ def semantic_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH norms AS (
       SELECT label,
-             sqrt(CAST(list_sum(list_transform(embedding,
+             CAST(ROUND(sqrt(CAST(list_sum(list_transform(embedding,
                   x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-                            AS DECIMAL(28,14)))) AS DOUBLE)) AS l2
+                            AS DECIMAL(28,14)))) AS DOUBLE)) * 1000000) AS BIGINT) AS l2_us
       FROM embeddings)
     SELECT label,
            COUNT(*) AS n_vectors,
-           {sql_avg("l2", 4, "avg_norm")},
-           {sql_stddev_samp("l2", 4, "sd_norm")},
-           ROUND(MIN(l2), 4) AS min_norm,
-           ROUND(MAX(l2), 4) AS max_norm
+           (SUM(l2_us) - ((SUM(l2_us) % COUNT(*)) + COUNT(*)) % COUNT(*)) // COUNT(*)
+             AS avg_norm_micros,
+           CAST(ROUND(SQRT(GREATEST(0.0,
+                (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(l2_us * l2_us) AS DOUBLE)
+                 - CAST(SUM(l2_us) AS DOUBLE) * CAST(SUM(l2_us) AS DOUBLE))
+                / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0)))))
+             AS BIGINT) AS sd_norm_micros,
+           MIN(l2_us) AS min_norm_micros,
+           MAX(l2_us) AS max_norm_micros
     FROM norms
     GROUP BY label
     ORDER BY label
@@ -679,27 +680,32 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", (F.col("x").cast("double") * F.col("x").cast("double")).alias("x2")
     )
     norms = sq.groupBy("vec_id", "label").agg(
-        # exact decimal sum of squares → identical l2 doubles in both engines
-        F.sqrt(F.sum(F.col("x2").cast("decimal(28,14)")).cast("double")).alias("l2")
+        # exact decimal sum of squares → identical l2 doubles in both
+        # engines, then per-row half-up micros quantization (ROUND(x*1e6) —
+        # safe on arbitrary doubles, unlike a DECIMAL(18,6) cast whose tie
+        # handling differs cross-engine). All downstream stats are integer
+        # arithmetic plus one identical IEEE fold for the stddev.
+        round_micros(
+            F.sqrt(F.sum(F.col("x2").cast("decimal(28,14)")).cast("double"))
+        ).alias("l2_us")
+    )
+    n = F.count(F.lit(1))
+    s1 = F.sum("l2_us")
+    s2 = F.sum(F.col("l2_us") * F.col("l2_us"))
+    nd = n.cast("double")
+    var = F.greatest(
+        F.lit(0.0),
+        (nd * s2.cast("double") - s1.cast("double") * s1.cast("double"))
+        / (nd * (nd - F.lit(1.0))),
     )
     return (
         norms.groupBy("label")
         .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            # NOT stable_avg: l2 is a sqrt (arbitrary-precision double), so
-            # the split-long millionths quantization could in principle
-            # round differently from the oracle's DECIMAL(18,6) cast on a
-            # half-boundary product. The literal decimal form matches the
-            # oracle bit-for-bit; per-label groups are small, so the
-            # decimal aggregation cost is irrelevant here.
-            F.round(
-                F.sum(F.col("l2").cast("decimal(18,6)")).cast("double")
-                / F.count("l2"),
-                4,
-            ).alias("avg_norm"),
-            stable_stddev_samp("l2", 4).alias("sd_norm"),
-            F.round(F.min("l2"), 4).alias("min_norm"),
-            F.round(F.max("l2"), 4).alias("max_norm"),
+            n.alias("n_vectors"),
+            ((s1 - F.pmod(s1, n)) / n).cast("long").alias("avg_norm_micros"),
+            F.round(F.sqrt(var)).cast("long").alias("sd_norm_micros"),
+            F.min("l2_us").alias("min_norm_micros"),
+            F.max("l2_us").alias("max_norm_micros"),
         )
         .orderBy("label")
     )
@@ -760,15 +766,17 @@ def _duck_pq_codebook() -> str:
              list_aggregate(list_transform(dists,
                ds -> CAST(list_position(ds, list_min(ds)) - 1 AS VARCHAR)),
                'string_agg', '-') AS code
-      FROM per_vec)
+      FROM per_vec),
+    quant AS (
+      SELECT label, code, CAST(ROUND(mse * 1000000) AS BIGINT) AS mse_us FROM coded)
     SELECT label,
            COUNT(*) AS n_vectors,
            COUNT(DISTINCT code) AS n_distinct_codes,
-           ROUND(CAST(SUM(CAST(mse AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*), 6)
-             AS avg_mse,
-           ROUND(MIN(mse), 6) AS min_mse,
-           ROUND(MAX(mse), 6) AS max_mse
-    FROM coded
+           (SUM(mse_us) - ((SUM(mse_us) % COUNT(*)) + COUNT(*)) % COUNT(*)) // COUNT(*)
+             AS avg_mse_micros,
+           MIN(mse_us) AS min_mse_micros,
+           MAX(mse_us) AS max_mse_micros
+    FROM quant
     GROUP BY label
     ORDER BY label
     """,
@@ -814,24 +822,24 @@ def pq_reconstruction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "label": pdf["label"],
-                    "mse": mse,
+                    # half-up micros quantization, matching the oracle's
+                    # ROUND(mse * 1e6) on the identical per-row double
+                    "mse_us": np.floor(mse * 1_000_000 + 0.5).astype(np.int64),
                     "code": ["-".join(str(c) for c in row) for row in codes],
                 }
             )
 
-    coded = emb.mapInPandas(assign, "label int, mse double, code string")
+    coded = emb.mapInPandas(assign, "label int, mse_us bigint, code string")
+    n = F.count(F.lit(1))
+    s1 = F.sum("mse_us")
     return (
         coded.groupBy("label")
         .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
+            n.alias("n_vectors"),
             F.count_distinct("code").alias("n_distinct_codes"),
-            F.round(
-                F.sum(F.col("mse").cast("decimal(28,14)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("avg_mse"),
-            F.round(F.min("mse"), 6).alias("min_mse"),
-            F.round(F.max("mse"), 6).alias("max_mse"),
+            ((s1 - F.pmod(s1, n)) / n).cast("long").alias("avg_mse_micros"),
+            F.min("mse_us").alias("min_mse_micros"),
+            F.max("mse_us").alias("max_mse_micros"),
         )
         .orderBy("label")
     )

@@ -89,14 +89,14 @@ def test_incremental_dedup_verdicts_are_consistent(spark, sf_dir):
     for r in rows:
         assert r.new_doc % 10 == 7
         if r.verdict == "unique":
-            assert r.match_doc is None and r.jaccard is None
+            assert r.match_doc is None and r.jaccard_ppm is None
         elif r.verdict == "exact_dup":
             assert r.match_doc is not None and r.match_doc % 10 != 7
-            assert r.jaccard is None
+            assert r.jaccard_ppm is None
         else:
             assert r.verdict == "near_dup"
             assert r.match_doc is not None and r.match_doc % 10 != 7
-            assert r.jaccard >= 0.8
+            assert r.jaccard_ppm >= 800_000
 
 
 def test_lang_rebalance_rates_hit_target(spark, sf_dir):

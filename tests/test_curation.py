@@ -38,8 +38,8 @@ def test_chunk_dedup_rate_bounds(spark, sf_dir):
     assert rows, "no sources?"
     for r in rows:
         assert 0 <= r.n_redundant < r.n_chunks
-        assert 0.0 <= r.dup_rate < 1.0
-        assert abs(r.dup_rate - round(r.n_redundant / r.n_chunks, 4)) < 1e-9
+        assert 0 <= r.dup_rate_ppm < 1_000_000
+        assert r.dup_rate_ppm == r.n_redundant * 1_000_000 // r.n_chunks
 
 
 def test_dup_cluster_histogram_conserves_docs(spark, sf_dir):
