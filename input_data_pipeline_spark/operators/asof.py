@@ -25,6 +25,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from input_data_pipeline_spark.functions.stable import micros
 from input_data_pipeline_spark.plans.registry import register
 from input_data_pipeline_spark.tables import load_table
 
@@ -104,7 +105,9 @@ def asof_join(
     SELECT event_id, user_id,
            probe_date - DATE '1970-01-01' AS probe_day,
            asof_o_orderdate - DATE '1970-01-01' AS asof_o_orderday,
-           asof_o_orderkey, asof_o_totalprice
+           asof_o_orderkey,
+           CAST(CAST(asof_o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+             AS asof_o_totalprice_micros
     FROM cand
     WHERE rn = 1
     ORDER BY event_id
@@ -150,5 +153,5 @@ def asof_order_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff("probe_date", epoch).alias("probe_day"),
         F.datediff(F.col("asof_o_date"), epoch).alias("asof_o_orderday"),
         "asof_o_orderkey",
-        "asof_o_totalprice",
+        micros("asof_o_totalprice").alias("asof_o_totalprice_micros"),
     ).orderBy("event_id")

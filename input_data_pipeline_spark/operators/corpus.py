@@ -202,9 +202,9 @@ def intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     df AS (SELECT sh, COUNT(*) AS doc_freq FROM sh GROUP BY sh),
     total AS (SELECT COUNT(*) AS n_docs FROM documents)
     SELECT sh, doc_freq,
-           ROUND(CAST(doc_freq AS DOUBLE) / n_docs, 4) AS df_ratio
+           doc_freq * 1000000 // n_docs AS df_ratio_ppm
     FROM df, total
-    WHERE doc_freq >= 0.05 * n_docs
+    WHERE doc_freq * 20 >= n_docs
     ORDER BY doc_freq DESC, sh
     """,
 )
@@ -227,13 +227,11 @@ def corpus_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         df.crossJoin(F.broadcast(total))
-        .filter(F.col("doc_freq") >= 0.05 * F.col("n_docs"))
+        .filter(F.col("doc_freq") * 20 >= F.col("n_docs"))
         .select(
             "sh",
             "doc_freq",
-            F.round(F.col("doc_freq").cast("double") / F.col("n_docs"), 4).alias(
-                "df_ratio"
-            ),
+            F.expr("doc_freq * 1000000 DIV n_docs").alias("df_ratio_ppm"),
         )
         .orderBy(F.desc("doc_freq"), "sh")
     )

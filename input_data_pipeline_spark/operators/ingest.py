@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from input_data_pipeline_spark.functions.stable import stable_sum
+from input_data_pipeline_spark.functions.stable import round_micros
 from input_data_pipeline_spark.plans.registry import register
 from input_data_pipeline_spark.tables import load_table
 
@@ -181,8 +181,9 @@ def union_source_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id, source_type,
            string_agg(text, chr(10) ORDER BY seg_idx) AS text,
            COUNT(*) AS n_segments,
-           MIN(start) AS first_start,
-           ROUND(MAX(start + duration) - MIN(start), 6) AS span_sec
+           CAST(ROUND(MIN(start) * 1000000) AS BIGINT) AS first_start_micros,
+           CAST(ROUND((MAX(start + duration) - MIN(start)) * 1000000) AS BIGINT)
+             AS span_sec_micros
     FROM segs
     GROUP BY id, source_type
     ORDER BY id
@@ -221,10 +222,10 @@ def segments_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source_type",
         "text",
         F.size("segments").cast("long").alias("n_segments"),
-        F.element_at("segments", 1)["start"].alias("first_start"),
-        F.round(
-            last["start"] + last["duration"] - F.element_at("segments", 1)["start"], 6
-        ).alias("span_sec"),
+        round_micros(F.element_at("segments", 1)["start"]).alias("first_start_micros"),
+        round_micros(
+            last["start"] + last["duration"] - F.element_at("segments", 1)["start"]
+        ).alias("span_sec_micros"),
     ).orderBy("id")
 
 

@@ -73,7 +73,7 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
            source,
            octet_length(encode(text)) AS n_bytes,
            substr(sha256(text), 1, 16) AS fingerprint,
-           octet_length(encode(text)) / 32000.0 AS est_duration_sec
+           octet_length(encode(text)) * 1000000 // 32000 AS est_duration_micros
     FROM documents
     ORDER BY doc_id
     """,
@@ -97,12 +97,12 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["fingerprint"] = pdf["payload"].map(
                 lambda b: hashlib.sha256(bytes(b)).hexdigest()[:16]
             )
-            out["est_duration_sec"] = out["n_bytes"] / _BYTES_PER_SEC
+            out["est_duration_micros"] = out["n_bytes"] * 1_000_000 // _BYTES_PER_SEC
             yield out
 
     schema = (
         "doc_id long, source string, n_bytes long, "
-        "fingerprint string, est_duration_sec double"
+        "fingerprint string, est_duration_micros long"
     )
     return payloads.mapInPandas(extract, schema).orderBy("doc_id")
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
-from input_data_pipeline_spark.functions.stable import stable_sum
+from input_data_pipeline_spark.functions.stable import stable_sum_micros
 from input_data_pipeline_spark.plans.registry import register
 from input_data_pipeline_spark.tables import load_table
 
@@ -50,7 +50,8 @@ def salted_join(
     oracle="""
     SELECT c.c_mktsegment AS segment,
            COUNT(*) AS n_events,
-           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+             AS total_value_micros
     FROM events e
     JOIN customer c ON c.c_custkey = e.user_id
     GROUP BY c.c_mktsegment
@@ -78,7 +79,7 @@ def skew_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            stable_sum("value", 4).alias("total_value"),
+            stable_sum_micros("value").alias("total_value_micros"),
         )
         .orderBy("segment")
     )

@@ -71,14 +71,23 @@ def _load_all() -> None:
 
 # Externally-visible enumeration order. External snapshots of the registry
 # truncate to a prefix, so the queries that most need fresh differential
-# evidence must enumerate first: the LLM-pipeline core (text analysis,
-# dedup, similarity, multimodal, corpus hygiene) has never appeared in a
-# driver snapshot (rounds 1-2 covered only the first 50 registered names —
-# all relational/window queries, which now carry two rounds of green
-# history and move to the back), plus the re-engineered sessionization.
-# Names not listed keep registration order after the listed ones.
+# evidence must enumerate first. Round-5 rotation: the eight round-3
+# curation queries (pii scaffold … SemDeDup) had never appeared in any
+# driver snapshot and move into the window, evicting eight queries that
+# now hold two consecutive green driver rounds (r3+r4: the multimodal
+# pair and six of the green dedup set). Names not listed keep
+# registration order after the listed ones.
 _PRIORITY: list[str] = [
     "user_sessions",
+    # --- round-3 curation, never driver-checked before round 5 ---
+    "pii_redaction_scaffold",
+    "url_domain_stats",
+    "chunk_dedup_rate",
+    "dup_cluster_size_histogram",
+    "mixture_sampling_plan",
+    "token_budget_selection",
+    "minhash_lsh_quality",
+    "semdedup_embedding_clusters",
     # --- text analysis / corpus curation (textstats.py) ---
     "lang_distribution",
     "doc_token_stats",
@@ -99,16 +108,10 @@ _PRIORITY: list[str] = [
     "bpe_token_estimate",
     "quality_calibration",
     # --- deduplication (dedup.py) ---
-    "dedup_exact",
-    "dedup_bow_clusters",
     "dedup_minhash_lsh",
     "ngram_jaccard_pairs",
-    "dedup_simhash",
-    "simhash_near_pairs",
     "embedding_near_pairs",
-    "winnowing_fingerprints",
     "dedup_minhash_ml",
-    "dedup_cluster_assignment",
     "incremental_batch_dedup",
     "source_dup_rates",
     # --- similarity search (similarity.py) ---
@@ -120,9 +123,6 @@ _PRIORITY: list[str] = [
     "semantic_doc_search",
     "embedding_norm_stats",
     "pq_reconstruction_stats",
-    # --- multimodal (multimodal.py) ---
-    "multimodal_binary_meta",
-    "frame_sample",
     # --- corpus hygiene (corpus.py) ---
     "intradoc_repetition",
     "corpus_boilerplate_shingles",

@@ -63,17 +63,18 @@ def test_mixture_plan_probabilities_partition_budget(spark, sf_dir):
 
     rows = mixture_sampling_plan(spark, sf_dir).collect()
     assert len(rows) >= 2
-    assert abs(sum(r.sample_prob for r in rows) - 1.0) < 1e-4
+    # truncated ppm shares: sum within len(rows) ppm below exactly 1
+    assert 1_000_000 - len(rows) <= sum(r.sample_prob_ppm for r in rows) <= 1_000_000
     assert sum(r.epoch_tokens for r in rows) <= _MIX_BUDGET  # floors round down
     assert sum(r.epoch_tokens for r in rows) > 0.999 * _MIX_BUDGET
     # alpha=0.5 smoothing: probabilities are LESS spread than raw shares
     tot = sum(r.n_tokens for r in rows)
     for r in rows:
-        raw = r.n_tokens / tot
-        if raw > 1 / len(rows):
-            assert r.sample_prob <= raw + 1e-6  # big langs down-weighted
+        raw_ppm = r.n_tokens * 1_000_000 / tot
+        if raw_ppm > 1_000_000 / len(rows):
+            assert r.sample_prob_ppm <= raw_ppm + 1  # big langs down-weighted
         else:
-            assert r.sample_prob >= raw - 1e-6  # small langs up-weighted
+            assert r.sample_prob_ppm >= raw_ppm - 1  # small langs up-weighted
 
 
 def test_token_budget_selection_is_greedy_prefix(spark, sf_dir):
@@ -148,6 +149,6 @@ def test_minhash_lsh_quality_bounds(spark, sf_dir):
     r = minhash_lsh_quality(spark, sf_dir).collect()[0]
     assert r.tp >= 0 and r.fp >= 0 and r.fn >= 0
     if r.tp + r.fp:
-        assert abs(r.precision - round(r.tp / (r.tp + r.fp), 4)) < 1e-9
+        assert r.precision_ppm == r.tp * 1_000_000 // (r.tp + r.fp)
     if r.tp + r.fn:
-        assert abs(r.recall - round(r.tp / (r.tp + r.fn), 4)) < 1e-9
+        assert r.recall_ppm == r.tp * 1_000_000 // (r.tp + r.fn)

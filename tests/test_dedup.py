@@ -100,9 +100,11 @@ def test_embedding_near_pairs_blocked_equals_bruteforce(spark, sf_dir):
     )
     brute = (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.round(cosine(F.col("ea"), F.col("eb")), 4))
-        .filter(F.col("cosine") >= 0.45)
-        .select("vec_a", "vec_b", "label_a", "label_b", "cosine")
+        .withColumn(
+            "cosine_ppm", F.round(cosine(F.col("ea"), F.col("eb")) * 1_000_000).cast("long")
+        )
+        .filter(F.col("cosine_ppm") >= 450_000)
+        .select("vec_a", "vec_b", "label_a", "label_b", "cosine_ppm")
     )
     expected = sorted(tuple(r) for r in brute.collect())
     got = sorted(tuple(r) for r in embedding_near_pairs(spark, sf_dir).collect())

@@ -20,7 +20,7 @@ def test_entry_returns_rows(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
-    assert df.columns == ["region", "revenue", "line_count"]
+    assert df.columns == ["region", "revenue_micros", "line_count"]
 
 
 def test_each_query_runs_sf0001(spark, sf_dir):

@@ -223,6 +223,64 @@ def test_stable_sum_partition_invariant_at_round_boundary(spark):
     assert Decimal(got[1].m) == exact * 1_000_000
 
 
+def test_oracle_checked_schemas_are_integer_string_date_only(spark):
+    """Round-4 lesson: the driver's comparator diverged on every
+    ROUND(double, 4) ratio/average cell while agreeing on every integer and
+    string cell (DuckDB parallel float aggregation is order-dependent, and
+    per-cell double rounding semantics differ across engines at ties).
+    Oracle-compared queries must therefore emit ONLY integer / string /
+    boolean / date cells — scaled-integer micros/ppm instead of doubles,
+    epoch-micros or DATE instead of timestamps. Rows-only queries (no
+    oracle) may keep native float/timestamp schemas for their sinks."""
+    from pyspark.sql.types import (
+        DoubleType,
+        FloatType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    from input_data_pipeline_spark.plans.registry import _load_all, _ordered
+
+    _load_all()
+    offenders = []
+    for name, spec in _ordered().items():
+        if spec.oracle is None:
+            continue
+        for f in spec.fn(spark, SF_DIR).schema.fields:
+            if isinstance(
+                f.dataType, (DoubleType, FloatType, TimestampType, TimestampNTZType)
+            ):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, (
+        "oracle-checked queries with float/timestamp result cells:\n"
+        + "\n".join(offenders)
+    )
+
+
+def test_timestamp_columns_resolve_to_session_tz(spark):
+    """Dtype-drift canary (the class of environment change that silently
+    killed round 4): every table loaded through load_table must resolve
+    timestamp-like columns to plain session-tz TIMESTAMP — never
+    TIMESTAMP_NTZ (which unix_micros() rejects at analysis time) and never
+    a raw bigint leaking from the nanos fallback — whatever encoding the
+    parquet generator shipped (nanos-bigint, us-NTZ, us-UTC)."""
+    from input_data_pipeline_spark.tables import TABLE_NAMES, load_table
+
+    expected_ts = {
+        "events": ["ts"],
+        "orders": ["o_orderdate"],
+        "lineitem": ["l_shipdate"],
+    }
+    for table in TABLE_NAMES:
+        dtypes = dict(load_table(spark, SF_DIR, table).dtypes)
+        for col, dtype in dtypes.items():
+            assert dtype != "timestamp_ntz", f"{table}.{col} resolved to NTZ"
+        for col in expected_ts.get(table, []):
+            assert dtypes.get(col) == "timestamp", (
+                f"{table}.{col}: expected timestamp, got {dtypes.get(col)}"
+            )
+
+
 def test_all_result_schemas_are_scalar_only(spark):
     """The round driver's canonicalizer hashes cell values and crashes on
     list/map/struct cells (r1: event_value_approx_percentiles). Every

@@ -44,11 +44,12 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     from input_data_pipeline_spark.operators.similarity import knn_bruteforce, knn_ivf
 
     truth = {
-        (r.query_id, r.neighbor_id): r.cosine
+        (r.query_id, r.neighbor_id): r.cosine_ppm
         for r in knn_bruteforce(spark, sf_dir).collect()
     }
     approx = {
-        (r.query_id, r.neighbor_id): r.cosine for r in knn_ivf(spark, sf_dir).collect()
+        (r.query_id, r.neighbor_id): r.cosine_ppm
+        for r in knn_ivf(spark, sf_dir).collect()
     }
     hits = set(truth) & set(approx)
     assert len(hits) / len(truth) >= 0.2, f"IVF recall {len(hits)}/{len(truth)}"
