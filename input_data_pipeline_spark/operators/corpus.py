@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from input_data_pipeline_spark.functions import text as T
 from input_data_pipeline_spark.plans.registry import register
-from input_data_pipeline_spark.tables import load_table
+from input_data_pipeline_spark.tables import fan_out, load_table
 
 from input_data_pipeline_spark.functions.text import (
     DUCK_TOKENS as _DUCK_TOKENS,
@@ -65,13 +65,17 @@ def corpus_token_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _TOKEN_INDEX_CACHE.get(key)
     if df is None:
-        docs = load_table(spark, sf_dir, "documents")
-        # Deliberately NOT pre-repartitioned by doc_id: shuffling the full
-        # token rows before persist costs more than the per-consumer window
-        # exchanges it would save (measured 7.6 s vs 3.9 s for the
-        # contamination pass at sf0.1); the production analogue is a
-        # doc_id-bucketed parquet index, where the bucketing cost is paid
-        # once per snapshot, not per session.
+        # fan_out BEFORE tokenizing: the test-scale corpus arrives as one
+        # parquet split, which would run the tokenize+posexplode serially on
+        # one core (measured: index build 4.9 s → 1.4 s at sf0.1). At scale
+        # the scan already has >= cores splits and this is a no-op.
+        # Deliberately NOT pre-repartitioned by doc_id beyond that: shuffling
+        # the full token rows before persist costs more than the
+        # per-consumer window exchanges it would save (measured 7.6 s vs
+        # 3.9 s for the contamination pass at sf0.1); the production
+        # analogue is a doc_id-bucketed parquet index, where the bucketing
+        # cost is paid once per snapshot, not per session.
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
         df = docs.select(
             "doc_id", "source", F.posexplode(T.tokens("text")).alias("pos", "tok")
         ).persist(StorageLevel.MEMORY_AND_DISK)
