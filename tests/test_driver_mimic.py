@@ -1,0 +1,57 @@
+"""Driver-mimic: queries must be correct under a HOSTILE session.
+
+The round driver hands us an arbitrarily-configured SparkSession — in
+particular its time zone is not ours to control. The registry wrapper pins
+UTC per query call (plans/registry.py); this test drives timestamp-bearing
+queries with the session forced to a non-UTC zone and diffs full result
+sets against their DuckDB oracles, which read the same parquet naively.
+A regression in the TZ pin (or a query that bypasses the wrapper) shifts
+every epoch-micros cell by the zone offset and fails loudly here.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+# Timestamp-heavy queries spanning the event-window, session, calendar and
+# date-output families.
+QUERIES = [
+    "user_sessions",
+    "session_window_native",
+    "event_type_hourly",
+    "latest_order_per_customer",
+    "orders_by_weekday",
+    "asof_order_context",
+]
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_matches_oracle_under_non_utc_session(spark, sf_dir, name):
+    from input_data_pipeline_spark.plans.registry import get
+
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        spec = get(name)
+        sdf = spec.fn(spark, sf_dir)
+        scols = sorted(sdf.columns)
+        order = [sdf.columns.index(c) for c in scols]
+        srows = sorted(tuple(str(r[i]) for i in order) for r in sdf.collect())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    res = con.execute(spec.oracle)
+    ocols = sorted(d[0] for d in res.description)
+    oorder = [[d[0] for d in res.description].index(c) for c in ocols]
+    orows = sorted(tuple(str(r[i]) for i in oorder) for r in res.fetchall())
+
+    assert scols == ocols
+    assert srows == orows
