@@ -1279,3 +1279,137 @@ def source_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dup_rate_ppm", F.expr("n_redundant * 1000000 DIV n_docs"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter dedup pre-screen (the 100 TB membership-test path)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096  # bits — sized so the test corpus shows real false positives
+_BLOOM_K = 4     # hash functions
+_BLOOM_WORD = 32  # bits per bitmap word (masks stay positive in BIGINT)
+
+
+@register(
+    "bloom_dedup_precheck",
+    oracle=f"""
+    WITH newb AS (SELECT doc_id FROM documents WHERE doc_id % 10 = {_INCR_NEW_MOD}),
+    nfp AS (
+      SELECT doc_id,
+             sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents WHERE doc_id % 10 = {_INCR_NEW_MOD}),
+    cfp AS (
+      SELECT DISTINCT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents WHERE doc_id % 10 <> {_INCR_NEW_MOD}),
+    cpos AS (
+      SELECT CAST(('0x' || substr(md5(fp || ':' || s.i), 1, 8)) AS BIGINT)
+               % {_BLOOM_M} AS pos
+      FROM cfp, (SELECT unnest(range({_BLOOM_K})) AS i) s),
+    bloom AS (
+      SELECT pos // {_BLOOM_WORD} AS word,
+             bit_or(1::BIGINT << CAST(pos % {_BLOOM_WORD} AS INT)) AS bits
+      FROM cpos GROUP BY 1),
+    npos AS (
+      SELECT n.doc_id, n.fp,
+             CAST(('0x' || substr(md5(n.fp || ':' || s.i), 1, 8)) AS BIGINT)
+               % {_BLOOM_M} AS pos
+      FROM nfp n, (SELECT unnest(range({_BLOOM_K})) AS i) s),
+    probe AS (
+      SELECT p.doc_id, p.fp,
+             MIN(CASE WHEN (COALESCE(b.bits, 0) >> CAST(p.pos % {_BLOOM_WORD} AS INT))
+                           & 1 = 1
+                      THEN 1 ELSE 0 END) AS all_set
+      FROM npos p LEFT JOIN bloom b ON b.word = p.pos // {_BLOOM_WORD}
+      GROUP BY p.doc_id, p.fp)
+    SELECT pr.doc_id AS new_doc,
+           pr.all_set = 1 AS bloom_hit,
+           EXISTS (SELECT 1 FROM cfp c WHERE c.fp = pr.fp) AS true_dup
+    FROM probe pr
+    ORDER BY new_doc
+    """,
+)
+def bloom_dedup_precheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-screen for incremental exact dedup: a fixed-size
+    bitmap over the corpus's normalized fingerprints answers "definitely
+    new" for most of an incoming batch WITHOUT joining against the corpus.
+
+    This is the 100 TB membership-test path: the full fingerprint set is
+    corpus-sized (unjoinable without a corpus-wide shuffle per batch), but
+    the Bloom bitmap is fixed at m bits regardless of corpus size — built
+    with one map-side-combinable ``bit_or`` aggregate over (fingerprint ×
+    k) bit positions, then **broadcast** to probe the batch. Only
+    bloom-hit docs (true dups + the bounded false-positive tail) ever
+    reach the exact verification join. PySpark exposes no
+    ``df.stat.bloomFilter``, and a JVM sketch would not be
+    oracle-checkable anyway — the md5-derived positions used here make
+    the whole filter a deterministic relational expression both engines
+    compute bit-identically.
+
+    Guarantee (tests/test_dedup.py): no false negatives — every true dup
+    is a bloom hit; the false-positive rate is bounded by the classic
+    (1-e^(-kn/m))^k with m={_BLOOM_M}, k={_BLOOM_K} (m sized down for the
+    test corpus so the FP path is actually exercised; production sizes m
+    to the corpus cardinality at ~10 bits/key for <1% FP).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == _INCR_NEW_MOD
+    nfp = docs.filter(is_new).select(
+        F.col("doc_id").alias("new_doc"), T.fingerprint("text").alias("fp")
+    )
+    cfp = docs.filter(~is_new).select(T.fingerprint("text").alias("fp")).distinct()
+
+    def positions(fp_col: Column) -> Column:
+        return F.array(
+            *[
+                F.conv(
+                    F.substring(F.md5(F.concat(fp_col, F.lit(f":{i}"))), 1, 8), 16, 10
+                ).cast("long")
+                % _BLOOM_M
+                for i in range(_BLOOM_K)
+            ]
+        )
+
+    bloom = (
+        cfp.select(F.explode(positions(F.col("fp"))).alias("pos"))
+        .groupBy(F.expr(f"pos DIV {_BLOOM_WORD}").alias("word"))
+        .agg(
+            F.bit_or(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD} AS INT))")
+            ).alias("bits")
+        )
+    )
+    probe = (
+        nfp.select("new_doc", "fp", F.explode(positions(F.col("fp"))).alias("pos"))
+        .join(
+            F.broadcast(bloom),
+            F.expr(f"pos DIV {_BLOOM_WORD}") == F.col("word"),
+            "left",
+        )
+        .groupBy("new_doc", "fp")
+        .agg(
+            (
+                F.min(
+                    F.expr(
+                        f"CASE WHEN shiftright(COALESCE(bits, CAST(0 AS BIGINT)),"
+                        f" CAST(pos % {_BLOOM_WORD} AS INT)) & 1 = 1"
+                        f" THEN 1 ELSE 0 END"
+                    )
+                )
+                == 1
+            ).alias("bloom_hit"),
+        )
+    )
+    # Exact verification ships ONLY the bloom-hit slice to the corpus join;
+    # a left-semi marks the genuine dups.
+    hits = probe.filter(F.col("bloom_hit")).join(cfp, "fp", "left_semi").select(
+        "new_doc", F.lit(True).alias("true_dup")
+    )
+    return (
+        probe.join(hits, "new_doc", "left")
+        .select(
+            "new_doc",
+            "bloom_hit",
+            F.coalesce("true_dup", F.lit(False)).alias("true_dup"),
+        )
+        .orderBy("new_doc")
+    )

@@ -217,3 +217,41 @@ def test_shingle_oracle_parity_on_degenerate_docs(spark, tmp_path):
         assert any(0 in r[:2] and 1 in r[:2] for r in got), (
             f"{name}: empty-doc pair missing"
         )
+
+
+def test_bloom_precheck_no_false_negatives_and_bounded_fp(spark, sf_dir):
+    """Bloom guarantee: every true dup is a bloom hit (no false negatives
+    — the property that makes the pre-screen safe to prune with), and the
+    false-positive rate among genuinely-new docs stays under a loose bound
+    of the theoretical (1-e^(-kn/m))^k for the test corpus sizes."""
+    import math
+
+    from input_data_pipeline_spark.operators.dedup import (
+        _BLOOM_K,
+        _BLOOM_M,
+        _INCR_NEW_MOD,
+        bloom_dedup_precheck,
+    )
+    from input_data_pipeline_spark.functions import text as T
+    from input_data_pipeline_spark.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    rows = bloom_dedup_precheck(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.true_dup:
+            assert r.bloom_hit, f"false negative for doc {r.new_doc}"
+
+    fresh = [r for r in rows if not r.true_dup]
+    fp = sum(1 for r in fresh if r.bloom_hit)
+    n_corpus_fps = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 != _INCR_NEW_MOD)
+        .select(T.fingerprint("text"))
+        .distinct()
+        .count()
+    )
+    p_theory = (1 - math.exp(-_BLOOM_K * n_corpus_fps / _BLOOM_M)) ** _BLOOM_K
+    # 5x slack + additive floor: tiny samples are noisy
+    assert fp <= max(5, 5 * p_theory * len(fresh)), (fp, p_theory, len(fresh))
