@@ -906,3 +906,112 @@ def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (deterministic, oracle-exact)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4    # hash rows
+_CMS_W = 512  # counters per row — sized so test-scale collisions are visible
+
+
+@register(
+    "countmin_token_freq",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_DUCK_TOKENS}) AS token FROM documents),
+    counts AS (
+      SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    cells AS (
+      SELECT s.d,
+             CAST(('0x' || substr(md5(c.token || ':' || s.d), 1, 8)) AS BIGINT)
+               % {_CMS_W} AS pos,
+             SUM(c.n) AS counter
+      FROM counts c, (SELECT unnest(range({_CMS_D})) AS d) s
+      GROUP BY 1, 2),
+    top20 AS (
+      SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 20),
+    probe AS (
+      SELECT t.token, t.n, s.d,
+             CAST(('0x' || substr(md5(t.token || ':' || s.d), 1, 8)) AS BIGINT)
+               % {_CMS_W} AS pos
+      FROM top20 t, (SELECT unnest(range({_CMS_D})) AS d) s)
+    SELECT p.token, ANY_VALUE(p.n) AS exact_n,
+           MIN(c.counter) AS cms_est,
+           MIN(c.counter) - ANY_VALUE(p.n) AS overestimate
+    FROM probe p JOIN cells c ON c.d = p.d AND c.pos = p.pos
+    GROUP BY p.token
+    ORDER BY exact_n DESC, token
+    """,
+)
+def countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over corpus token frequencies, probed at the exact
+    top-20 — the fixed-memory heavy-hitter estimator for streams and
+    100 TB corpora where an exact token groupBy is affordable once but not
+    per-window.
+
+    Unlike `frequent_tokens_sketch` (spark's KPS freqItems — rows-only,
+    implementation-specific), this sketch is built from md5-derived
+    counter positions, so both engines compute the identical {_CMS_D}×
+    {_CMS_W} counter table and the oracle checks the ESTIMATES bit-exactly
+    — including the overestimation the width-{_CMS_W} table produces on
+    this corpus (CMS never underestimates; tests/test_sampling_rollups.py
+    pins that one-sided-error guarantee and the eN/w bound).
+
+    Scale shape: the counter table is built from the (already map-side-
+    combined) token-frequency table with one more combinable SUM — D×W
+    integers regardless of corpus size — and the probe side joins it
+    broadcast. Nothing vocabulary-sized ever reaches the driver.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def cms_pos(token_col, d: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(token_col, F.lit(f":{d}"))), 1, 8), 16, 10
+            ).cast("long")
+            % _CMS_W
+        )
+
+    rows = counts.select(
+        "token",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), cms_pos(F.col("token"), d).alias("pos"))
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("cell"),
+    ).select("token", "n", "cell.d", "cell.pos")
+    cells = rows.groupBy("d", "pos").agg(F.sum("n").alias("counter"))
+    top20 = counts.orderBy(F.desc("n"), "token").limit(20)
+    probe = top20.select(
+        "token",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), cms_pos(F.col("token"), d).alias("pos"))
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("cell"),
+    ).select("token", "n", "cell.d", "cell.pos")
+    return (
+        probe.join(F.broadcast(cells), ["d", "pos"])
+        .groupBy("token")
+        .agg(
+            F.any_value("n").alias("exact_n"),
+            F.min("counter").alias("cms_est"),
+            (F.min("counter") - F.any_value("n")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_n"), "token")
+    )

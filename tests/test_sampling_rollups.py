@@ -184,3 +184,31 @@ def test_frequent_tokens_sketch_no_false_negatives(spark, sf_dir):
     }
     # KPS guarantee: no false negatives above the support threshold.
     assert exact <= got, exact - got
+
+
+def test_countmin_never_underestimates_and_bounds_error(spark, sf_dir):
+    """CMS one-sided error: est >= exact always; overestimate bounded by
+    the classic e*N/w (loose 3x slack for the small test widths)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from input_data_pipeline_spark.functions import text as T
+    from input_data_pipeline_spark.operators.textstats import (
+        _CMS_W,
+        countmin_token_freq,
+    )
+    from input_data_pipeline_spark.tables import load_table
+
+    rows = countmin_token_freq(spark, sf_dir).collect()
+    assert len(rows) == 20
+    total = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.sum(T.token_count("text")).alias("n"))
+        .collect()[0]["n"]
+    )
+    bound = 3 * math.e * total / _CMS_W
+    for r in rows:
+        assert r.cms_est >= r.exact_n, r
+        assert r.overestimate == r.cms_est - r.exact_n
+        assert r.overestimate <= bound, (r, bound)
