@@ -1015,3 +1015,140 @@ def countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_n"), "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (deterministic registers, oracle-exact)
+# ---------------------------------------------------------------------------
+
+_HLL_B = 6                 # 2^6 = 64 buckets
+_HLL_M = 1 << _HLL_B
+_HLL_HASH_BITS = 48        # md5-derived hash width (keeps BIGINT positive)
+_HLL_REST_BITS = _HLL_HASH_BITS - _HLL_B  # 42 value bits per bucket
+_HLL_ALPHA = 0.709         # standard alpha for m=64
+
+
+@register(
+    "hll_distinct_tokens",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT source, unnest({_DUCK_TOKENS}) AS token FROM documents),
+    hashed AS (
+      SELECT source, token,
+             CAST(('0x' || substr(md5(token), 1, {_HLL_HASH_BITS // 4})) AS BIGINT) AS h
+      FROM tok),
+    regs AS (
+      SELECT source,
+             h // {1 << _HLL_REST_BITS} AS bucket,
+             MAX(CASE WHEN h % {1 << _HLL_REST_BITS} = 0 THEN {_HLL_REST_BITS + 1}
+                      ELSE {_HLL_REST_BITS} - length(bin(h % {1 << _HLL_REST_BITS})) + 1
+                 END) AS rho
+      FROM hashed GROUP BY 1, 2),
+    folded AS (
+      SELECT source,
+             COUNT(*) AS n_buckets_used,
+             SUM(CAST({1 << _HLL_REST_BITS} AS BIGINT) >> CAST(rho AS INT)) AS s_int
+      FROM regs GROUP BY source),
+    exact AS (
+      SELECT source, COUNT(DISTINCT token) AS exact_distinct FROM tok GROUP BY source),
+    est AS (
+      SELECT f.source, f.n_buckets_used, e.exact_distinct,
+             CASE
+               WHEN {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} * {1 << _HLL_REST_BITS}
+                    / (f.s_int + ({_HLL_M} - f.n_buckets_used)
+                       * CAST({1 << _HLL_REST_BITS} AS BIGINT)) <= 2.5 * {_HLL_M}
+                AND f.n_buckets_used < {_HLL_M}
+               THEN {_HLL_M}.0 * ln({_HLL_M}.0 / ({_HLL_M} - f.n_buckets_used))
+               ELSE {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} * {1 << _HLL_REST_BITS}
+                    / (f.s_int + ({_HLL_M} - f.n_buckets_used)
+                       * CAST({1 << _HLL_REST_BITS} AS BIGINT))
+             END AS raw
+      FROM folded f JOIN exact e USING (source))
+    SELECT source, n_buckets_used, exact_distinct,
+           CAST(ROUND(raw) AS BIGINT) AS hll_est,
+           CAST(ROUND(abs(raw - exact_distinct) * 1000000 / exact_distinct) AS BIGINT)
+             AS rel_err_ppm
+    FROM est
+    ORDER BY source
+    """,
+)
+def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimate per source, built relationally —
+    the mergeable fixed-memory cardinality sketch behind
+    ``approx_count_distinct``, here with md5-derived {_HLL_HASH_BITS}-bit
+    hashes so both engines compute the IDENTICAL {_HLL_M} registers and the
+    oracle checks the estimate bit-exactly (unlike the HLL++ built-in,
+    whose sketch layout is implementation-specific → rows-only).
+
+    Numerics: rho comes from ``bin()`` string length (exact integer bit
+    length — no float log2 at bucket boundaries); the harmonic sum folds
+    as SUM of integer powers of two (each 2^({_HLL_REST_BITS}-rho), total
+    < 2^50, exact in BIGINT and order-independent); only the final
+    alpha*m^2/S division and the small-range linear-counting correction
+    touch doubles — one identical IEEE op on identical integers. Register
+    build is a map-side-combinable MAX; the fold is {_HLL_M} rows per
+    source. A ±~13% (1.04/sqrt(64)) accuracy test lives in
+    tests/test_sampling_rollups.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("source", F.explode(T.tokens("text")).alias("token")).distinct()
+    )
+    rest_mod = 1 << _HLL_REST_BITS
+    hashed = tok.select(
+        "source",
+        "token",
+        F.conv(F.substring(F.md5("token"), 1, _HLL_HASH_BITS // 4), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    regs = (
+        hashed.groupBy(
+            "source", F.expr(f"h DIV {rest_mod}").alias("bucket")
+        )
+        .agg(
+            F.max(
+                F.expr(
+                    f"CASE WHEN h % {rest_mod} = 0 THEN {_HLL_REST_BITS + 1}"
+                    f" ELSE {_HLL_REST_BITS} - length(bin(h % {rest_mod})) + 1 END"
+                )
+            ).alias("rho")
+        )
+    )
+    folded = regs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        F.sum(
+            F.expr(f"shiftright(CAST({rest_mod} AS BIGINT), CAST(rho AS INT))")
+        ).alias("s_int"),
+    )
+    exact = tok.groupBy("source").agg(
+        F.countDistinct("token").alias("exact_distinct")
+    )
+    denom = F.col("s_int") + (
+        (F.lit(_HLL_M) - F.col("n_buckets_used")) * F.lit(rest_mod).cast("long")
+    )
+    raw_hll = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * rest_mod) / denom
+    linear = F.lit(float(_HLL_M)) * F.log(
+        F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("n_buckets_used"))
+    )
+    raw = F.when(
+        (raw_hll <= 2.5 * _HLL_M) & (F.col("n_buckets_used") < _HLL_M), linear
+    ).otherwise(raw_hll)
+    return (
+        folded.join(exact, "source")
+        .withColumn("raw", raw)
+        .select(
+            "source",
+            "n_buckets_used",
+            "exact_distinct",
+            F.round(F.col("raw")).cast("long").alias("hll_est"),
+            F.round(
+                F.abs(F.col("raw") - F.col("exact_distinct"))
+                * 1_000_000
+                / F.col("exact_distinct")
+            )
+            .cast("long")
+            .alias("rel_err_ppm"),
+        )
+        .orderBy("source")
+    )

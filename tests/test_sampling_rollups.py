@@ -212,3 +212,19 @@ def test_countmin_never_underestimates_and_bounds_error(spark, sf_dir):
         assert r.cms_est >= r.exact_n, r
         assert r.overestimate == r.cms_est - r.exact_n
         assert r.overestimate <= bound, (r, bound)
+
+
+def test_hll_estimate_within_expected_error(spark, sf_dir):
+    """HLL standard error is 1.04/sqrt(m) ≈ 13% at m=64; allow 3 sigma.
+    Registers must cover at most m buckets and estimates must be positive."""
+    from input_data_pipeline_spark.operators.textstats import (
+        _HLL_M,
+        hll_distinct_tokens,
+    )
+
+    rows = hll_distinct_tokens(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_buckets_used <= _HLL_M
+        assert r.hll_est > 0
+        assert r.rel_err_ppm <= 3 * 1.04 / (_HLL_M**0.5) * 1_000_000, r
