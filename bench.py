@@ -55,6 +55,11 @@ HEADLINE = [
     # corpus.corpus_token_index)
     "corpus_boilerplate_shingles",
     "oov_rate_by_source",
+    # deterministic sketches (added round 5; additive on the r5 floor —
+    # their r5 numbers become the floor for r6)
+    "bloom_dedup_precheck",
+    "countmin_token_freq",
+    "hll_distinct_tokens",
 ]
 
 

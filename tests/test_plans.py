@@ -167,3 +167,15 @@ def test_curation_ops_scale_plans(spark, sf_dir):
 
     plan = _executed_plan(url_domain_stats(spark, sf_dir))
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_sketch_ops_broadcast_their_sketch_tables(spark, sf_dir):
+    """The round-5 sketch operators' scale contract: the fixed-size sketch
+    (Bloom bitmap words, CMS counter cells) joins the probe side via
+    BroadcastHashJoin — never a shuffle keyed on the corpus-sized side."""
+    from input_data_pipeline_spark.operators.dedup import bloom_dedup_precheck
+    from input_data_pipeline_spark.operators.textstats import countmin_token_freq
+
+    for fn in (bloom_dedup_precheck, countmin_token_freq):
+        plan = _executed_plan(fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, f"{fn.__name__}: sketch join not broadcast"
