@@ -7,6 +7,14 @@ order-insensitive canonical value hash — the same contract the round driver
 applies. Queries without an oracle get a rows-only check.
 
 Usage: python check_oracle.py [--sf-dir DIR] [--only name1,name2] [-v]
+                              [--driver-canon]
+
+``--driver-canon`` fetches the DuckDB side via ``.df()`` (pandas/Arrow)
+instead of ``fetchall()``. A pandas fetch materializes HUGEINT (int128 —
+what DuckDB silently widens SUM(BIGINT) to) as float64, so an uncast
+integer oracle cell becomes ``123.0`` while Spark says ``123`` — exactly
+the round driver's comparator behavior, and exactly the round-5 regression
+the plain fetchall() path cannot see. Run both modes before shipping.
 """
 
 from __future__ import annotations
@@ -46,6 +54,33 @@ def canon(v) -> str:
     return str(v)
 
 
+def _pd_cell(v):
+    """Normalize one pandas-fetched cell to the Python type the canon sees.
+
+    Keeps the property under test: a HUGEINT column arrives as float64 and
+    STAYS float (so uncast oracles go red, like under the driver), while
+    artifacts of the pandas container that the driver also normalizes are
+    undone — numpy scalar wrappers (numpy-2 repr is 'np.float64(3.0)'),
+    NaT/NaN for SQL NULL, and midnight Timestamps for DATE cells.
+    """
+    if v is None:
+        return None
+    try:
+        import pandas as pd
+
+        if v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
+            return None
+        if isinstance(v, pd.Timestamp):
+            if v.tzinfo is None and v.time() == dt.time.min:
+                return v.date()
+            return v.to_pydatetime()
+    except (TypeError, ValueError):
+        pass
+    if hasattr(v, "item"):
+        return v.item()
+    return v
+
+
 def table_digest(cols: list[str], rows: list[tuple]) -> str:
     """Order-insensitive hash: columns sorted by name, rows sorted."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -62,6 +97,11 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
     ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument(
+        "--driver-canon",
+        action="store_true",
+        help="fetch oracle rows via pandas (HUGEINT->float64, like the driver)",
+    )
     args = ap.parse_args()
 
     _load_all()
@@ -91,9 +131,35 @@ def main() -> int:
             n_pass += 1
             continue
         try:
+            if args.driver_canon:
+                decl = [str(t) for t in con.sql(spec.oracle).types]
             res = con.execute(spec.oracle)
             ocols = [d[0] for d in res.description]
-            orows = [tuple(r) for r in res.fetchall()]
+            if args.driver_canon:
+                pdf = res.df()
+                # A plain pandas fetch floats ANY nullable int column, but
+                # the driver's r1-r5 history shows NULL-bearing BIGINT cells
+                # comparing as ints (asof_order_context, incremental_batch_
+                # dedup were hash-green WITH nulls). Restore declared-integer
+                # columns to ints; leave everything else (incl. HUGEINT →
+                # float64, the poison this mode exists to surface) as pandas
+                # materialized it.
+                int_decl = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT"}
+                restore = {
+                    i
+                    for i, (t, c) in enumerate(zip(decl, pdf.columns))
+                    if t in int_decl and str(pdf[c].dtype) == "float64"
+                }
+                orows = [
+                    tuple(
+                        (None if (v is None or (isinstance(v, float) and math.isnan(v)))
+                         else int(v)) if i in restore else _pd_cell(v)
+                        for i, v in enumerate(row)
+                    )
+                    for row in pdf.itertuples(index=False, name=None)
+                ]
+            else:
+                orows = [tuple(r) for r in res.fetchall()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1

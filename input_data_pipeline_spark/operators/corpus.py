@@ -142,8 +142,8 @@ def rep_stats(text: str | None) -> tuple[int, int] | None:
     per_doc AS (
       SELECT doc_id, MAX(c) AS max_repeat, SUM(c) AS n_shingles
       FROM per_sh GROUP BY doc_id)
-    SELECT doc_id, max_repeat, n_shingles,
-           max_repeat * 1000000 // n_shingles AS repeat_ratio_ppm
+    SELECT doc_id, max_repeat, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(max_repeat * 1000000 // n_shingles AS BIGINT) AS repeat_ratio_ppm
     FROM per_doc
     ORDER BY repeat_ratio_ppm DESC, doc_id
     LIMIT 100
@@ -350,8 +350,8 @@ _PACK_LEN = 4096
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                               - n_tok AS DOUBLE) / {_PACK_LEN}) AS BIGINT) AS bin
       FROM toks)
-    SELECT lang, bin, COUNT(*) AS n_docs, SUM(n_tok) AS bin_tokens,
-           SUM(n_tok) * 1000000 // {_PACK_LEN} AS fill_ratio_ppm
+    SELECT lang, bin, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+           CAST(SUM(n_tok) * 1000000 // {_PACK_LEN} AS BIGINT) AS fill_ratio_ppm
     FROM packed
     GROUP BY lang, bin
     ORDER BY lang, bin
@@ -412,8 +412,8 @@ _VOCAB_SIZE = 500
       FROM tok t LEFT JOIN vocab v ON t.token = v.token)
     SELECT source,
            COUNT(*) AS n_tokens,
-           SUM(oov) AS n_oov,
-           SUM(oov) * 1000000 // COUNT(*) AS oov_share_ppm
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST(SUM(oov) * 1000000 // COUNT(*) AS BIGINT) AS oov_share_ppm
     FROM flagged
     GROUP BY source
     ORDER BY source

@@ -197,9 +197,9 @@ _CHUNK_TOKENS = 16
       FROM chunks)
     SELECT source,
            COUNT(*) AS n_chunks,
-           SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_redundant,
-           SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
-             AS dup_rate_ppm
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_redundant,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+             AS BIGINT) AS dup_rate_ppm
     FROM ranked
     GROUP BY source
     ORDER BY source
@@ -272,7 +272,7 @@ def chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fam AS (SELECT fp, COUNT(*) AS cluster_size FROM fp GROUP BY fp)
     SELECT cluster_size,
            COUNT(*) AS n_clusters,
-           SUM(cluster_size) AS n_docs
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs
     FROM fam
     GROUP BY cluster_size
     ORDER BY cluster_size
@@ -329,8 +329,8 @@ _MIX_BUDGET = 1_000_000_000  # tokens per epoch to allocate across languages
              CAST(FLOOR(SQRT(n_tokens)) AS BIGINT) AS weight
       FROM toks),
     tot AS (SELECT SUM(weight) AS total_w FROM w)
-    SELECT lang, n_tokens, weight,
-           weight * 1000000 // total_w AS sample_prob_ppm,
+    SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens, weight,
+           CAST(weight * 1000000 // total_w AS BIGINT) AS sample_prob_ppm,
            CAST(FLOOR(weight * {_MIX_BUDGET}.0 / total_w) AS BIGINT)
              AS epoch_tokens
     FROM w, tot
@@ -390,8 +390,8 @@ _SELECT_BUDGET = 100_000  # tokens per language
       FROM toks)
     SELECT lang,
            COUNT(*) AS n_selected,
-           SUM(n_tok) AS selected_tokens,
-           SUM(n_tok) * 1000000 // {_SELECT_BUDGET} AS budget_fill_ppm
+           CAST(SUM(n_tok) AS BIGINT) AS selected_tokens,
+           CAST(SUM(n_tok) * 1000000 // {_SELECT_BUDGET} AS BIGINT) AS budget_fill_ppm
     FROM ranked
     WHERE prior_tokens < {_SELECT_BUDGET}
     GROUP BY lang
@@ -458,15 +458,15 @@ _LSH_CLAIM = 0.8  # MinHash estimate threshold for claiming "near-dup"
              (t.doc_a IS NOT NULL) AS actual
       FROM est e
       FULL OUTER JOIN tru t ON e.doc_a = t.doc_a AND e.doc_b = t.doc_b)
-    SELECT SUM(CASE WHEN claimed AND actual THEN 1 ELSE 0 END) AS tp,
-           SUM(CASE WHEN claimed AND NOT actual THEN 1 ELSE 0 END) AS fp,
-           SUM(CASE WHEN actual AND NOT claimed THEN 1 ELSE 0 END) AS fn,
-           SUM(CASE WHEN claimed AND actual THEN 1 ELSE 0 END) * 1000000
+    SELECT CAST(SUM(CASE WHEN claimed AND actual THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN claimed AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN actual AND NOT claimed THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN claimed AND actual THEN 1 ELSE 0 END) * 1000000
              // NULLIF(SUM(CASE WHEN claimed THEN 1 ELSE 0 END), 0)
-             AS precision_ppm,
-           SUM(CASE WHEN claimed AND actual THEN 1 ELSE 0 END) * 1000000
+             AS BIGINT) AS precision_ppm,
+           CAST(SUM(CASE WHEN claimed AND actual THEN 1 ELSE 0 END) * 1000000
              // NULLIF(SUM(CASE WHEN actual THEN 1 ELSE 0 END), 0)
-             AS recall_ppm
+             AS BIGINT) AS recall_ppm
     FROM u
     """,
 )

@@ -44,6 +44,20 @@ N_BANDS = 4
 ROWS_PER_BAND = N_MINHASH // N_BANDS
 
 
+def _ppm_div(num: Column, den: Column) -> Column:
+    """``num * 1e6 DIV den`` in exact integer arithmetic (nonneg inputs).
+
+    The oracles state ppm ratios with integer ``//``; going through a double
+    division and truncating (the old form) is exact only while 1/den far
+    exceeds double ulp at 1e6 scale. Long modulo keeps every intermediate in
+    int64; the one double division at the end is of an exact multiple, and
+    the quotient is <= 1e6, so the result is bit-exact end-to-end.
+    """
+    scaled = num.cast("long") * F.lit(1_000_000)
+    d = den.cast("long")
+    return ((scaled - scaled % d) / d).cast("long")
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -311,9 +325,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            (matches * F.lit(1_000_000) / F.lit(N_MINHASH))
-            .cast("long")
-            .alias("est_jaccard_ppm"),
+            _ppm_div(matches, F.lit(N_MINHASH)).alias("est_jaccard_ppm"),
         )
         .filter(F.col("est_jaccard_ppm") >= 500_000)
         .orderBy("doc_a", "doc_b")
@@ -498,7 +510,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            (inter.cast("long") * 1_000_000 / union).cast("long").alias("jaccard_ppm"),
+            _ppm_div(inter, union).alias("jaccard_ppm"),
         )
         .orderBy("doc_a", "doc_b")
     )
@@ -1206,7 +1218,7 @@ def incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "new_doc",
             "corp_doc",
-            (inter.cast("long") * 1_000_000 / union).cast("long").alias("j_ppm"),
+            _ppm_div(inter, union).alias("j_ppm"),
         )
         .withColumn("rn", F.row_number().over(w_best))
         .filter(F.col("rn") == 1)
@@ -1241,10 +1253,10 @@ def incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT fp, COUNT(*) AS n_copies, MIN(doc_id) AS survivor FROM fp GROUP BY fp)
     SELECT f.source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN m.n_copies > 1 AND f.doc_id <> m.survivor
-                    THEN 1 ELSE 0 END) AS n_redundant,
-           SUM(CASE WHEN m.n_copies > 1 AND f.doc_id <> m.survivor
-               THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS dup_rate_ppm
+           CAST(SUM(CASE WHEN m.n_copies > 1 AND f.doc_id <> m.survivor
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_redundant,
+           CAST(SUM(CASE WHEN m.n_copies > 1 AND f.doc_id <> m.survivor
+               THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS dup_rate_ppm
     FROM fp f JOIN fam m ON f.fp = m.fp
     GROUP BY f.source
     ORDER BY f.source

@@ -450,7 +450,7 @@ def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders t FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey)
     SELECT action, o_orderstatus,
            COUNT(*) AS n,
-           SUM(price_cents) AS total_cents
+           CAST(SUM(price_cents) AS BIGINT) AS total_cents
     FROM merged
     GROUP BY action, o_orderstatus
     ORDER BY action, o_orderstatus

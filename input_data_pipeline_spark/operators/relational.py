@@ -1146,7 +1146,7 @@ def event_value_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
     oracle=f"""
     WITH wide AS (
       SELECT p_brand,
-             SUM(p_size) * 1000000 // COUNT(p_size) AS avg_size_micros,
+             CAST(SUM(p_size) * 1000000 // COUNT(p_size) AS BIGINT) AS avg_size_micros,
              {sql_avg_micros('p_retailprice', 'avg_price_micros')},
              COUNT(*) AS n_parts
       FROM part GROUP BY p_brand)
@@ -1426,8 +1426,8 @@ def lateral_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFr
       FROM events e JOIN cuts c ON e.event_type = c.event_type)
     SELECT event_type,
            {sql_avg_micros('value', 'avg_raw_micros')},
-           (SUM(w_us) - ((SUM(w_us) % COUNT(*)) + COUNT(*)) % COUNT(*)) // COUNT(*)
-             AS avg_winsorized_micros,
+           CAST((SUM(w_us) - ((SUM(w_us) % COUNT(*)) + COUNT(*)) % COUNT(*)) // COUNT(*)
+             AS BIGINT) AS avg_winsorized_micros,
            COUNT(*) FILTER (clip) AS n_clipped
     FROM j
     GROUP BY event_type

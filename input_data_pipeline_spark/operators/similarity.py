@@ -200,7 +200,15 @@ def knn_bruteforce_np(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "query_id": qid,
                     "neighbor_id": ids[top],
                     "neighbor_label": labels[top],
-                    "cosine_ppm": np.floor(row[top] * 1_000_000 + 0.5).astype(np.int64),
+                    # Sign-aware half-up (half AWAY FROM ZERO) ppm quantization,
+                    # matching DuckDB ROUND: plain floor(x+0.5) rounds negative
+                    # halves toward +inf, and this top-K list has no >=0 filter,
+                    # so a negative exact-half cosine would differ by 1.
+                    "cosine_ppm": np.where(
+                        row[top] >= 0,
+                        np.floor(row[top] * 1_000_000 + 0.5),
+                        -np.floor(-row[top] * 1_000_000 + 0.5),
+                    ).astype(np.int64),
                 }
             )
 
@@ -652,8 +660,8 @@ def semantic_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings)
     SELECT label,
            COUNT(*) AS n_vectors,
-           (SUM(l2_us) - ((SUM(l2_us) % COUNT(*)) + COUNT(*)) % COUNT(*)) // COUNT(*)
-             AS avg_norm_micros,
+           CAST((SUM(l2_us) - ((SUM(l2_us) % COUNT(*)) + COUNT(*)) % COUNT(*)) // COUNT(*)
+             AS BIGINT) AS avg_norm_micros,
            CAST(ROUND(SQRT(GREATEST(0.0,
                 (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(l2_us * l2_us) AS DOUBLE)
                  - CAST(SUM(l2_us) AS DOUBLE) * CAST(SUM(l2_us) AS DOUBLE))
@@ -772,8 +780,8 @@ def _duck_pq_codebook() -> str:
     SELECT label,
            COUNT(*) AS n_vectors,
            COUNT(DISTINCT code) AS n_distinct_codes,
-           (SUM(mse_us) - ((SUM(mse_us) % COUNT(*)) + COUNT(*)) % COUNT(*)) // COUNT(*)
-             AS avg_mse_micros,
+           CAST((SUM(mse_us) - ((SUM(mse_us) % COUNT(*)) + COUNT(*)) % COUNT(*)) // COUNT(*)
+             AS BIGINT) AS avg_mse_micros,
            MIN(mse_us) AS min_mse_micros,
            MAX(mse_us) AS max_mse_micros
     FROM quant

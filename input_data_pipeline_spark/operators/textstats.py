@@ -25,8 +25,8 @@ from input_data_pipeline_spark.functions.text import (
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) * 1000000 // COUNT(*) AS avg_chars_ppm,
-           COUNT(*) * 1000000 // SUM(COUNT(*)) OVER () AS share_ppm
+           CAST(SUM(n_chars) * 1000000 // COUNT(*) AS BIGINT) AS avg_chars_ppm,
+           CAST(COUNT(*) * 1000000 // SUM(COUNT(*)) OVER () AS BIGINT) AS share_ppm
     FROM documents
     GROUP BY lang
     ORDER BY lang
@@ -57,9 +57,9 @@ def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
              length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace
       FROM documents)
     SELECT lang,
-           SUM(n_tokens) AS total_tokens,
-           SUM(n_tokens) * 1000000 // COUNT(*) AS avg_tokens_ppm,
-           SUM(n_nonspace) * 1000000 // SUM(n_tokens) AS avg_token_len_ppm
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tokens) * 1000000 // COUNT(*) AS BIGINT) AS avg_tokens_ppm,
+           CAST(SUM(n_nonspace) * 1000000 // SUM(n_tokens) AS BIGINT) AS avg_token_len_ppm
     FROM tok
     GROUP BY lang
     ORDER BY lang
@@ -524,8 +524,8 @@ STRATUM_RATES = {"en": 25, "zh": 100, "es": 100, "de": 100, "fr": 100}
     SELECT lang,
            COUNT(*) AS n_total,
            COUNT(*) FILTER (WHERE bucket < rate) AS n_sampled,
-           SUM(n_chars) FILTER (WHERE bucket < rate) * 1000000
-             // COUNT(*) FILTER (WHERE bucket < rate) AS avg_chars_sampled_ppm
+           CAST(SUM(n_chars) FILTER (WHERE bucket < rate) * 1000000
+             // COUNT(*) FILTER (WHERE bucket < rate) AS BIGINT) AS avg_chars_sampled_ppm
     FROM tagged
     GROUP BY lang
     ORDER BY lang
@@ -571,7 +571,7 @@ def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.lang,
            COUNT(*) AS n_kept,
            MIN(d.n_chars) AS min_chars_kept,
-           SUM(d.n_chars) * 1000000 // COUNT(*) AS avg_chars_kept_ppm
+           CAST(SUM(d.n_chars) * 1000000 // COUNT(*) AS BIGINT) AS avg_chars_kept_ppm
     FROM documents d JOIN cut c ON d.lang = c.lang
     WHERE d.n_chars >= c.p25
     GROUP BY d.lang
@@ -662,8 +662,8 @@ def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            COUNT(*) AS n_total,
            COUNT(*) FILTER (WHERE rn <= 50) AS n_kept,
-           SUM(n_chars) FILTER (WHERE rn <= 50) * 1000000
-             // COUNT(*) FILTER (WHERE rn <= 50) AS avg_chars_kept_ppm
+           CAST(SUM(n_chars) FILTER (WHERE rn <= 50) * 1000000
+             // COUNT(*) FILTER (WHERE rn <= 50) AS BIGINT) AS avg_chars_kept_ppm
     FROM ranked
     GROUP BY source
     ORDER BY source
@@ -808,9 +808,9 @@ _PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
       FROM pretok)
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(n_pieces) AS total_pieces,
-           SUM(est_tokens) AS total_est_tokens,
-           SUM(est_tokens) * 100000000 // SUM(n_chars)
+           CAST(SUM(n_pieces) AS BIGINT) AS total_pieces,
+           CAST(SUM(est_tokens) AS BIGINT) AS total_est_tokens,
+           CAST(SUM(est_tokens) * 100000000 // SUM(n_chars) AS BIGINT)
              AS est_tokens_per_100_chars_ppm
     FROM est
     GROUP BY source
@@ -871,9 +871,9 @@ def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok)
     SELECT LEAST(quality_ppm // 100000, 9) AS decile,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) * 1000000 // COUNT(*) AS avg_tokens_ppm,
-           SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000
-             // COUNT(*) AS en_share_ppm
+           CAST(SUM(n_tokens) * 1000000 // COUNT(*) AS BIGINT) AS avg_tokens_ppm,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000
+             // COUNT(*) AS BIGINT) AS en_share_ppm
     FROM scored
     GROUP BY 1
     ORDER BY decile
@@ -916,6 +916,43 @@ _CMS_D = 4    # hash rows
 _CMS_W = 512  # counters per row — sized so test-scale collisions are visible
 
 
+def cms_pos(token_col, d: int):
+    """Deterministic counter position of ``token`` in CMS hash row ``d``.
+
+    md5-derived so DuckDB computes the identical position (the oracle's
+    exactness hinges on it); shared by the batch ``countmin_token_freq``
+    operator and the streaming ``stream_countmin_update`` pipeline so both
+    faces maintain the SAME D×W counter table.
+    """
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(token_col, F.lit(f":{d}"))), 1, 8), 16, 10
+        ).cast("long")
+        % _CMS_W
+    )
+
+
+def cms_cells(counts: DataFrame) -> DataFrame:
+    """(d, pos, counter) CMS cell table from a (token, n) frequency table.
+
+    Map-side-combinable SUM into a fixed D×W grid — the output is ≤
+    {_CMS_D}×{_CMS_W} rows regardless of vocabulary size, hence always
+    broadcastable to the probe side.
+    """
+    rows = counts.select(
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), cms_pos(F.col("token"), d).alias("pos"))
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("cell"),
+    ).select("n", "cell.d", "cell.pos")
+    return rows.groupBy("d", "pos").agg(F.sum("n").alias("counter"))
+
+
 @register(
     "countmin_token_freq",
     oracle=f"""
@@ -938,8 +975,8 @@ _CMS_W = 512  # counters per row — sized so test-scale collisions are visible
                % {_CMS_W} AS pos
       FROM top20 t, (SELECT unnest(range({_CMS_D})) AS d) s)
     SELECT p.token, ANY_VALUE(p.n) AS exact_n,
-           MIN(c.counter) AS cms_est,
-           MIN(c.counter) - ANY_VALUE(p.n) AS overestimate
+           CAST(MIN(c.counter) AS BIGINT) AS cms_est,
+           CAST(MIN(c.counter) - ANY_VALUE(p.n) AS BIGINT) AS overestimate
     FROM probe p JOIN cells c ON c.d = p.d AND c.pos = p.pos
     GROUP BY p.token
     ORDER BY exact_n DESC, token
@@ -970,28 +1007,7 @@ def countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-
-    def cms_pos(token_col, d: int):
-        return (
-            F.conv(
-                F.substring(F.md5(F.concat(token_col, F.lit(f":{d}"))), 1, 8), 16, 10
-            ).cast("long")
-            % _CMS_W
-        )
-
-    rows = counts.select(
-        "token",
-        "n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(d).alias("d"), cms_pos(F.col("token"), d).alias("pos"))
-                    for d in range(_CMS_D)
-                ]
-            )
-        ).alias("cell"),
-    ).select("token", "n", "cell.d", "cell.pos")
-    cells = rows.groupBy("d", "pos").agg(F.sum("n").alias("counter"))
+    cells = cms_cells(counts)
     top20 = counts.orderBy(F.desc("n"), "token").limit(20)
     probe = top20.select(
         "token",

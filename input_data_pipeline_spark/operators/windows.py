@@ -202,8 +202,8 @@ _GAP_US = SESSION_GAP_MINUTES * 60 * 1_000_000
       FROM ev),
     sessions AS (
       SELECT user_id, ts_us, value,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM flagged)
     SELECT user_id, session_id,
            MIN(ts_us) AS session_start_us,
@@ -288,8 +288,8 @@ def event_type_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 1000000
-             // COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k_micros,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 1000000
+             // COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS avg_k_micros,
            MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
            MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
     FROM events
@@ -486,8 +486,8 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ORDER BY ts, event_id) AS next_type
       FROM events)
     SELECT event_type, next_type, COUNT(*) AS n,
-           COUNT(*) * 1000000 // SUM(COUNT(*)) OVER (PARTITION BY event_type)
-             AS p_next_ppm
+           CAST(COUNT(*) * 1000000 // SUM(COUNT(*)) OVER (PARTITION BY event_type)
+             AS BIGINT) AS p_next_ppm
     FROM ordered
     WHERE next_type IS NOT NULL
     GROUP BY event_type, next_type

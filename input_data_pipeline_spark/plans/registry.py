@@ -8,7 +8,12 @@ hash with columns sorted by name. Hence the two hard rules for authors:
 
 1. alias every computed column identically in the DataFrame code and the SQL;
 2. make float outputs comparison-stable (round aggregates; avoid
-   non-deterministic functions — derive ids from content hashes, not uuid).
+   non-deterministic functions — derive ids from content hashes, not uuid);
+3. keep oracle RESULT types in {BIGINT, INTEGER, VARCHAR, BOOLEAN, DATE} —
+   DuckDB widens SUM(BIGINT) and integer ``//`` to HUGEINT, which a pandas
+   fetch (the driver's) turns into float64, hash-failing correct integer
+   cells. Wrap such output cells in ``CAST(... AS BIGINT)``; enforced by
+   tests/test_registry_contract.py::test_oracle_result_types_are_bigint_only.
 """
 
 from __future__ import annotations
@@ -71,69 +76,73 @@ def _load_all() -> None:
 
 # Externally-visible enumeration order. External snapshots of the registry
 # truncate to a prefix, so the queries that most need fresh differential
-# evidence must enumerate first. Round-5 rotation: the eight round-3
-# curation queries (pii scaffold … SemDeDup) had never appeared in any
-# driver snapshot and move into the window, evicting eight queries that
-# now hold two consecutive green driver rounds (r3+r4: the multimodal
-# pair and six of the green dedup set). Names not listed keep
-# registration order after the listed ones.
+# evidence must enumerate first. Round-6 rotation: (a) the 19 queries that
+# went hash-red in r5 on the HUGEINT oracle-type bug stay in the window so
+# the CAST sweep's fix is driver-proven; (b) both rows-only queries
+# (frequent_tokens_sketch, dedup_minhash_ml) leave the window — they
+# burned driver slots as `err: no_oracle` while their oracle-exact
+# counterparts (countmin_token_freq, hll_distinct_tokens,
+# dedup_minhash_lsh) carry the same coverage; (c) all 15 never-driver-
+# checked queries rotate in, evicting 13 queries holding two consecutive
+# green rounds (r4+r5). Names not listed keep registration order after
+# the listed ones.
 _PRIORITY: list[str] = [
+    # --- r5 hash-red set: fixed by the BIGINT oracle-cast sweep; must
+    # --- re-appear so CORRECTNESS_r06 records the flip ---
     "user_sessions",
-    # --- round-3 curation, never driver-checked before round 5 ---
-    "pii_redaction_scaffold",
-    "url_domain_stats",
     "chunk_dedup_rate",
     "dup_cluster_size_histogram",
     "mixture_sampling_plan",
     "token_budget_selection",
     "minhash_lsh_quality",
-    "semdedup_embedding_clusters",
-    # --- text analysis / corpus curation (textstats.py) ---
     "lang_distribution",
     "doc_token_stats",
-    "top_tokens",
-    "doc_quality",
-    "doc_previews",
-    "language_confusion",
-    "youtube_id_extraction",
-    "normalized_text_hash",
-    "tfidf_top_terms",
-    "charngram_language_id",
     "stratified_doc_sample",
     "quality_percentile_filter",
-    "doc_length_outliers",
     "source_quota_cap",
-    "frequent_tokens_sketch",
-    "lang_rebalance_plan",
     "bpe_token_estimate",
     "quality_calibration",
-    # --- deduplication (dedup.py) ---
+    "source_dup_rates",
+    "embedding_norm_stats",
+    "pq_reconstruction_stats",
+    "intradoc_repetition",
+    "sequence_packing_plan",
+    "oov_rate_by_source",
+    # --- one green round so far (first checked in r5) ---
+    "pii_redaction_scaffold",
+    "url_domain_stats",
+    "semdedup_embedding_clusters",
+    # --- never driver-checked until now ---
+    "countmin_token_freq",
+    "hll_distinct_tokens",
+    "bloom_dedup_precheck",
+    "orders_merge_upsert",
+    "event_hourly_gapfill",
+    "user_trailing_window",
+    "user_value_intervals",
+    "user_rolling_distinct_types",
+    "incremental_new_docs",
+    "collect_status_tally",
+    "union_source_batches",
+    "eta_formatting",
+    "path_ops",
+    "meta_map_ops",
+    "dataset_split_assignment",
+    # --- LLM-core anchors (stay in every window) ---
     "dedup_minhash_lsh",
     "ngram_jaccard_pairs",
     "embedding_near_pairs",
-    "dedup_minhash_ml",
-    "incremental_batch_dedup",
-    "source_dup_rates",
-    # --- similarity search (similarity.py) ---
-    "knn_bruteforce",
-    "knn_bruteforce_np",
-    "knn_hyperplane_lsh",
-    "label_centroid_assignment",
     "knn_ivf",
-    "semantic_doc_search",
-    "embedding_norm_stats",
-    "pq_reconstruction_stats",
-    # --- corpus hygiene (corpus.py) ---
-    "intradoc_repetition",
-    "corpus_boilerplate_shingles",
     "contamination_overlap",
-    "sequence_packing_plan",
-    "oov_rate_by_source",
-    # --- ingest / custom joins ---
-    "toxic_label_scaffold",
-    "segments_flatten",
+    "doc_quality",
+    # --- double-green diversity keepers ---
+    "incremental_batch_dedup",
+    "knn_bruteforce",
     "asof_order_context",
     "skew_salted_user_join",
+    "toxic_label_scaffold",
+    "segments_flatten",
+    "corpus_boilerplate_shingles",
 ]
 
 

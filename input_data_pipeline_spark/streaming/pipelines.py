@@ -298,3 +298,62 @@ def stream_corpus_hygiene(
             "stop_ratio", "repeat_ratio",
         )
     )
+
+
+def stream_countmin_update(docs: DataFrame, state_dir: str, checkpoint_dir: str):
+    """Streaming face of the count-min sketch (the per-window frequency
+    tracking the batch ``countmin_token_freq`` operator is built for):
+    each micro-batch folds its token counts into (d, pos) cell increments
+    through the SAME md5 position hashing (``operators/textstats.cms_cells``
+    — stream/batch parity by construction) and appends them, stamped with
+    the batch id, to a parquet increment ledger.
+
+    Exactly-once without a transactional table format: foreachBatch is
+    at-least-once, so a replayed batch id is detected against the ledger
+    and skipped — the same discipline as ``write_idempotent_merge``, but
+    keyed by batch id because increments (unlike upserts) must fold in
+    exactly once. Merge-on-read via ``countmin_totals``: the ledger grows
+    by ≤ D×W rows per batch regardless of batch size, the read-side SUM is
+    over a few thousand integers, and compaction is a trivial rewrite of
+    the summed table — no per-batch read-modify-write of hot state.
+    """
+    from input_data_pipeline_spark.functions import text as T
+    from input_data_pipeline_spark.operators.textstats import cms_cells
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            replayed = (
+                spark.read.parquet(state_dir)
+                .filter(F.col("batch_id") == batch_id)
+                .limit(1)
+                .count()
+            )
+            if replayed:
+                return
+        except Exception:  # first batch: ledger doesn't exist yet
+            pass
+        counts = (
+            batch_df.select(F.explode(T.tokens("text")).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        cells = cms_cells(counts).withColumn("batch_id", F.lit(batch_id))
+        cells.write.mode("append").parquet(state_dir)
+
+    return (
+        docs.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
+def countmin_totals(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merged (d, pos, counter) CMS table from the streaming increment
+    ledger. Identical to the batch ``cms_cells`` output over the union of
+    all streamed documents — pinned by tests/test_streaming.py."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("d", "pos")
+        .agg(F.sum("counter").alias("counter"))
+    )

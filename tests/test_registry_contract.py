@@ -257,6 +257,39 @@ def test_oracle_checked_schemas_are_integer_string_date_only(spark):
     )
 
 
+def test_oracle_result_types_are_bigint_only():
+    """Round-5 lesson (the DuckDB-side twin of the Spark-side schema test
+    above): DuckDB widens SUM(BIGINT) and integer ``//`` chains to HUGEINT
+    (int128). A fetchall() hands those back as exact Python ints — invisible
+    locally — but a pandas/Arrow fetch (what the round driver does)
+    materializes HUGEINT as float64, so a correct integer cell compares as
+    '123.0' vs '123' and hash-fails. 19 in-window queries went red in r5
+    from exactly this. Every oracle's RESULT types must therefore stay in
+    the int64-or-narrower/string/bool/date set; fix sites by wrapping the
+    output cell in CAST(... AS BIGINT)."""
+    from input_data_pipeline_spark.plans.registry import _load_all, _ordered
+
+    _load_all()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    allowed = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "VARCHAR", "BOOLEAN", "DATE"}
+    offenders = []
+    for name, spec in _ordered().items():
+        if spec.oracle is None:
+            continue
+        rel = con.sql(spec.oracle)  # binds + resolves types, does not execute
+        for col, typ in zip(rel.columns, rel.types):
+            if str(typ) not in allowed:
+                offenders.append(f"{name}.{col}: {typ}")
+    assert not offenders, (
+        "oracle result columns outside the driver-safe type set "
+        "(HUGEINT → float64 under a pandas fetch):\n" + "\n".join(offenders)
+    )
+
+
 def test_timestamp_columns_resolve_to_session_tz(spark):
     """Dtype-drift canary (the class of environment change that silently
     killed round 4): every table loaded through load_table must resolve

@@ -554,3 +554,71 @@ def test_stream_hygiene_repetition_gate_parity_with_batch(spark, tmp_path):
 
     assert got == expect
     assert set(got) == {11, 13}
+
+
+def test_stream_countmin_update_parity_and_replay(spark, sf_dir, tmp_path):
+    """The foreachBatch CMS ledger folded over a 2-micro-batch stream must
+    equal the batch cms_cells table over the same documents bit-exactly
+    (same md5 position hashing → same D×W counters), and re-running over
+    the same source with a reused ledger (fresh checkpoint → the files
+    replay under an already-recorded batch id) must not double-count."""
+    import pyspark.sql.functions as F
+
+    from input_data_pipeline_spark.functions import text as T
+    from input_data_pipeline_spark.operators.textstats import cms_cells
+    from input_data_pipeline_spark.streaming.pipelines import (
+        countmin_totals,
+        stream_countmin_update,
+        stream_docs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = [
+        {"doc_id": r.doc_id, "ts": "2024-01-01T00:00:00", "text": r.text,
+         "lang": r.lang, "source": r.source}
+        for r in docs.collect()
+    ]
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    state = str(tmp_path / "cms_state")
+    ckpt = str(tmp_path / "cms_ckpt")
+
+    def start(checkpoint: str):
+        return (
+            stream_countmin_update(
+                stream_docs(spark, str(src)), state, checkpoint
+            ).queryName(_unique("cms")).start()
+        )
+
+    _write_events(src, "a.jsonl", rows[: len(rows) // 2])
+    q = start(ckpt)
+    try:
+        q.processAllAvailable()
+        _write_events(src, "b.jsonl", rows[len(rows) // 2 :])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    want = sorted(
+        tuple(r)
+        for r in cms_cells(
+            docs.select(F.explode(T.tokens("text")).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+        ).collect()
+    )
+    got = sorted(tuple(r) for r in countmin_totals(spark, state).collect())
+    assert got == want
+    # ledger is batch-grained: 2 micro-batches recorded
+    n_batches = spark.read.parquet(state).select("batch_id").distinct().count()
+    assert n_batches == 2
+
+    # Replay: fresh checkpoint re-reads every file as batch 0, which the
+    # ledger already holds — the update must skip, totals unchanged.
+    q2 = start(str(tmp_path / "cms_ckpt2"))
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    again = sorted(tuple(r) for r in countmin_totals(spark, state).collect())
+    assert again == got
