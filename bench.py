@@ -60,6 +60,8 @@ HEADLINE = [
     "bloom_dedup_precheck",
     "countmin_token_freq",
     "hll_distinct_tokens",
+    # round 6: HLL register-merge (additive on the r5 floor)
+    "hll_union_sources",
 ]
 
 

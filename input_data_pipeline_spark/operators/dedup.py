@@ -1302,6 +1302,37 @@ _BLOOM_K = 4     # hash functions
 _BLOOM_WORD = 32  # bits per bitmap word (masks stay positive in BIGINT)
 
 
+def bloom_positions(fp_col: Column) -> Column:
+    """The {_BLOOM_K} md5-derived bit positions of a fingerprint — shared by
+    the batch ``bloom_dedup_precheck`` operator and the streaming
+    ``stream_bloom_update`` pipeline so both faces maintain the SAME bitmap
+    (and DuckDB computes identical positions for the oracle)."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(fp_col, F.lit(f":{i}"))), 1, 8), 16, 10
+            ).cast("long")
+            % _BLOOM_M
+            for i in range(_BLOOM_K)
+        ]
+    )
+
+
+def bloom_bitmap(fps: DataFrame) -> DataFrame:
+    """(word, bits) Bloom bitmap from a one-column ``fp`` DataFrame: one
+    map-side-combinable ``bit_or`` into a fixed ≤{_BLOOM_M // _BLOOM_WORD}-row
+    table — always broadcastable, size-independent of the corpus."""
+    return (
+        fps.select(F.explode(bloom_positions(F.col("fp"))).alias("pos"))
+        .groupBy(F.expr(f"pos DIV {_BLOOM_WORD}").alias("word"))
+        .agg(
+            F.bit_or(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD} AS INT))")
+            ).alias("bits")
+        )
+    )
+
+
 @register(
     "bloom_dedup_precheck",
     oracle=f"""
@@ -1369,29 +1400,9 @@ def bloom_dedup_precheck(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("new_doc"), T.fingerprint("text").alias("fp")
     )
     cfp = docs.filter(~is_new).select(T.fingerprint("text").alias("fp")).distinct()
-
-    def positions(fp_col: Column) -> Column:
-        return F.array(
-            *[
-                F.conv(
-                    F.substring(F.md5(F.concat(fp_col, F.lit(f":{i}"))), 1, 8), 16, 10
-                ).cast("long")
-                % _BLOOM_M
-                for i in range(_BLOOM_K)
-            ]
-        )
-
-    bloom = (
-        cfp.select(F.explode(positions(F.col("fp"))).alias("pos"))
-        .groupBy(F.expr(f"pos DIV {_BLOOM_WORD}").alias("word"))
-        .agg(
-            F.bit_or(
-                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD} AS INT))")
-            ).alias("bits")
-        )
-    )
+    bloom = bloom_bitmap(cfp)
     probe = (
-        nfp.select("new_doc", "fp", F.explode(positions(F.col("fp"))).alias("pos"))
+        nfp.select("new_doc", "fp", F.explode(bloom_positions(F.col("fp"))).alias("pos"))
         .join(
             F.broadcast(bloom),
             F.expr(f"pos DIV {_BLOOM_WORD}") == F.col("word"),

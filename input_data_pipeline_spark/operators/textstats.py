@@ -8,7 +8,7 @@ low-cardinality aggregate behind it.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 from input_data_pipeline_spark.functions import text as T
 from input_data_pipeline_spark.functions.stable import round_micros
@@ -1042,6 +1042,60 @@ _HLL_M = 1 << _HLL_B
 _HLL_HASH_BITS = 48        # md5-derived hash width (keeps BIGINT positive)
 _HLL_REST_BITS = _HLL_HASH_BITS - _HLL_B  # 42 value bits per bucket
 _HLL_ALPHA = 0.709         # standard alpha for m=64
+_HLL_REST_MOD = 1 << _HLL_REST_BITS
+
+
+def _hll_hashed(tok: DataFrame, *keys: str) -> DataFrame:
+    """(keys..., h): md5-derived {_HLL_HASH_BITS}-bit token hash."""
+    return tok.select(
+        *keys,
+        F.conv(F.substring(F.md5("token"), 1, _HLL_HASH_BITS // 4), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+
+
+def _hll_registers(hashed: DataFrame, *keys: str) -> DataFrame:
+    """(keys..., bucket, rho): max leading-zero rank per bucket — the HLL
+    register table. MAX is associative/commutative, so registers built per
+    key MERGE into coarser-grained registers by another bucket-wise MAX
+    without touching the underlying data (see ``hll_union_sources``)."""
+    return hashed.groupBy(
+        *keys, F.expr(f"h DIV {_HLL_REST_MOD}").alias("bucket")
+    ).agg(
+        F.max(
+            F.expr(
+                f"CASE WHEN h % {_HLL_REST_MOD} = 0 THEN {_HLL_REST_BITS + 1}"
+                f" ELSE {_HLL_REST_BITS} - length(bin(h % {_HLL_REST_MOD})) + 1 END"
+            )
+        ).alias("rho")
+    )
+
+
+def _hll_fold(regs: DataFrame, *keys: str) -> DataFrame:
+    """(keys..., n_buckets_used, s_int): exact dyadic harmonic fold."""
+    gb = regs.groupBy(*keys) if keys else regs.groupBy()
+    return gb.agg(
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        F.sum(
+            F.expr(f"shiftright(CAST({_HLL_REST_MOD} AS BIGINT), CAST(rho AS INT))")
+        ).alias("s_int"),
+    )
+
+
+def _hll_raw_estimate() -> Column:
+    """Raw HLL estimate from (n_buckets_used, s_int), with the standard
+    small-range linear-counting correction."""
+    denom = F.col("s_int") + (
+        (F.lit(_HLL_M) - F.col("n_buckets_used")) * F.lit(_HLL_REST_MOD).cast("long")
+    )
+    raw_hll = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * _HLL_REST_MOD) / denom
+    linear = F.lit(float(_HLL_M)) * F.log(
+        F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("n_buckets_used"))
+    )
+    return F.when(
+        (raw_hll <= 2.5 * _HLL_M) & (F.col("n_buckets_used") < _HLL_M), linear
+    ).otherwise(raw_hll)
 
 
 @register(
@@ -1110,49 +1164,14 @@ def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (
         docs.select("source", F.explode(T.tokens("text")).alias("token")).distinct()
     )
-    rest_mod = 1 << _HLL_REST_BITS
-    hashed = tok.select(
-        "source",
-        "token",
-        F.conv(F.substring(F.md5("token"), 1, _HLL_HASH_BITS // 4), 16, 10)
-        .cast("long")
-        .alias("h"),
-    )
-    regs = (
-        hashed.groupBy(
-            "source", F.expr(f"h DIV {rest_mod}").alias("bucket")
-        )
-        .agg(
-            F.max(
-                F.expr(
-                    f"CASE WHEN h % {rest_mod} = 0 THEN {_HLL_REST_BITS + 1}"
-                    f" ELSE {_HLL_REST_BITS} - length(bin(h % {rest_mod})) + 1 END"
-                )
-            ).alias("rho")
-        )
-    )
-    folded = regs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_buckets_used"),
-        F.sum(
-            F.expr(f"shiftright(CAST({rest_mod} AS BIGINT), CAST(rho AS INT))")
-        ).alias("s_int"),
-    )
+    regs = _hll_registers(_hll_hashed(tok, "source", "token"), "source")
+    folded = _hll_fold(regs, "source")
     exact = tok.groupBy("source").agg(
         F.countDistinct("token").alias("exact_distinct")
     )
-    denom = F.col("s_int") + (
-        (F.lit(_HLL_M) - F.col("n_buckets_used")) * F.lit(rest_mod).cast("long")
-    )
-    raw_hll = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * rest_mod) / denom
-    linear = F.lit(float(_HLL_M)) * F.log(
-        F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("n_buckets_used"))
-    )
-    raw = F.when(
-        (raw_hll <= 2.5 * _HLL_M) & (F.col("n_buckets_used") < _HLL_M), linear
-    ).otherwise(raw_hll)
     return (
         folded.join(exact, "source")
-        .withColumn("raw", raw)
+        .withColumn("raw", _hll_raw_estimate())
         .select(
             "source",
             "n_buckets_used",
@@ -1167,4 +1186,132 @@ def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rel_err_ppm"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "hll_union_sources",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT source, unnest({_DUCK_TOKENS}) AS token FROM documents),
+    hashed AS (
+      SELECT source, token,
+             CAST(('0x' || substr(md5(token), 1, {_HLL_HASH_BITS // 4})) AS BIGINT) AS h
+      FROM tok),
+    per_src AS (
+      SELECT source,
+             h // {_HLL_REST_MOD} AS bucket,
+             MAX(CASE WHEN h % {_HLL_REST_MOD} = 0 THEN {_HLL_REST_BITS + 1}
+                      ELSE {_HLL_REST_BITS} - length(bin(h % {_HLL_REST_MOD})) + 1
+                 END) AS rho
+      FROM hashed GROUP BY 1, 2),
+    merged AS (SELECT bucket, MAX(rho) AS rho FROM per_src GROUP BY bucket),
+    direct AS (
+      SELECT h // {_HLL_REST_MOD} AS bucket,
+             MAX(CASE WHEN h % {_HLL_REST_MOD} = 0 THEN {_HLL_REST_BITS + 1}
+                      ELSE {_HLL_REST_BITS} - length(bin(h % {_HLL_REST_MOD})) + 1
+                 END) AS rho
+      FROM hashed GROUP BY 1),
+    fold_m AS (
+      SELECT COUNT(*) AS nb_m,
+             SUM(CAST({_HLL_REST_MOD} AS BIGINT) >> CAST(rho AS INT)) AS s_m
+      FROM merged),
+    fold_d AS (
+      SELECT COUNT(*) AS nb_d,
+             SUM(CAST({_HLL_REST_MOD} AS BIGINT) >> CAST(rho AS INT)) AS s_d
+      FROM direct),
+    meta AS (
+      SELECT COUNT(DISTINCT source) AS n_sources,
+             COUNT(DISTINCT token) AS exact_distinct
+      FROM tok),
+    est AS (
+      SELECT m.n_sources, fm.nb_m AS n_buckets_used, m.exact_distinct,
+             CASE
+               WHEN {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} * {_HLL_REST_MOD}
+                    / (fm.s_m + ({_HLL_M} - fm.nb_m)
+                       * CAST({_HLL_REST_MOD} AS BIGINT)) <= 2.5 * {_HLL_M}
+                AND fm.nb_m < {_HLL_M}
+               THEN {_HLL_M}.0 * ln({_HLL_M}.0 / ({_HLL_M} - fm.nb_m))
+               ELSE {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} * {_HLL_REST_MOD}
+                    / (fm.s_m + ({_HLL_M} - fm.nb_m)
+                       * CAST({_HLL_REST_MOD} AS BIGINT))
+             END AS raw_m,
+             CASE
+               WHEN {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} * {_HLL_REST_MOD}
+                    / (fd.s_d + ({_HLL_M} - fd.nb_d)
+                       * CAST({_HLL_REST_MOD} AS BIGINT)) <= 2.5 * {_HLL_M}
+                AND fd.nb_d < {_HLL_M}
+               THEN {_HLL_M}.0 * ln({_HLL_M}.0 / ({_HLL_M} - fd.nb_d))
+               ELSE {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} * {_HLL_REST_MOD}
+                    / (fd.s_d + ({_HLL_M} - fd.nb_d)
+                       * CAST({_HLL_REST_MOD} AS BIGINT))
+             END AS raw_d
+      FROM fold_m fm, fold_d fd, meta m)
+    SELECT n_sources, n_buckets_used, exact_distinct,
+           CAST(ROUND(raw_m) AS BIGINT) AS hll_est_merged,
+           CAST(ROUND(raw_d) AS BIGINT) AS hll_est_direct,
+           CAST(ROUND(raw_m) AS BIGINT) = CAST(ROUND(raw_d) AS BIGINT)
+             AS merged_equals_direct,
+           CAST(ROUND(abs(raw_m - exact_distinct) * 1000000 / exact_distinct)
+                AS BIGINT) AS rel_err_ppm
+    FROM est
+    """,
+)
+def hll_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register MERGE across sources — the property that makes the
+    sketch the 100 TB distinct-count primitive: per-source register tables
+    ({_HLL_M} rows each, built independently, e.g. one per ingest shard or
+    per day) union into the GLOBAL estimate with a bucket-wise MAX over
+    |sources|×{_HLL_M} integers, never rescanning or reshuffling the
+    token data. The query computes the estimate both ways — merged from
+    the per-source registers and directly from the global token stream —
+    and shows them identical (``merged_equals_direct``; MAX is associative
+    and duplicate-insensitive), alongside the exact distinct count and the
+    realized relative error.
+
+    Scale shape: both register builds are map-side-combinable MAX
+    aggregates; every post-register stage operates on ≤ |sources|×{_HLL_M}
+    rows. In production only the per-source registers would be stored
+    (tiny, mergeable state — the same pattern ``approx_count_distinct``
+    uses internally); the merge is how per-partition sketches compose
+    into corpus-wide cardinality without a global shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("source", F.explode(T.tokens("text")).alias("token")).distinct()
+    )
+    hashed = _hll_hashed(tok, "source", "token")
+    per_src = _hll_registers(hashed, "source")
+    merged = per_src.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    direct = _hll_registers(hashed)
+    fold_m = _hll_fold(merged)
+    fold_d = _hll_fold(direct)
+    est_m = fold_m.select(
+        "n_buckets_used", _hll_raw_estimate().alias("raw_m")
+    )
+    est_d = fold_d.select(_hll_raw_estimate().alias("raw_d"))
+    meta = tok.agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("token").alias("exact_distinct"),
+    )
+    return (
+        est_m.crossJoin(F.broadcast(est_d))
+        .crossJoin(F.broadcast(meta))
+        .select(
+            "n_sources",
+            "n_buckets_used",
+            "exact_distinct",
+            F.round("raw_m").cast("long").alias("hll_est_merged"),
+            F.round("raw_d").cast("long").alias("hll_est_direct"),
+            (
+                F.round("raw_m").cast("long") == F.round("raw_d").cast("long")
+            ).alias("merged_equals_direct"),
+            F.round(
+                F.abs(F.col("raw_m") - F.col("exact_distinct"))
+                * 1_000_000
+                / F.col("exact_distinct")
+            )
+            .cast("long")
+            .alias("rel_err_ppm"),
+        )
     )

@@ -115,6 +115,7 @@ _PRIORITY: list[str] = [
     # --- never driver-checked until now ---
     "countmin_token_freq",
     "hll_distinct_tokens",
+    "hll_union_sources",
     "bloom_dedup_precheck",
     "orders_merge_upsert",
     "event_hourly_gapfill",
@@ -142,7 +143,6 @@ _PRIORITY: list[str] = [
     "skew_salted_user_join",
     "toxic_label_scaffold",
     "segments_flatten",
-    "corpus_boilerplate_shingles",
 ]
 
 

@@ -357,3 +357,54 @@ def countmin_totals(spark: SparkSession, state_dir: str) -> DataFrame:
         .groupBy("d", "pos")
         .agg(F.sum("counter").alias("counter"))
     )
+
+
+def stream_bloom_update(docs: DataFrame, state_dir: str, checkpoint_dir: str):
+    """Streaming face of the Bloom dedup pre-screen: each micro-batch folds
+    its documents' normalized fingerprints into per-batch bitmap words via
+    the SAME md5 position hashing as the batch ``bloom_dedup_precheck``
+    (``operators/dedup.bloom_bitmap``) and appends them, stamped with the
+    batch id, to a parquet ledger. Unlike the CMS (additive counters),
+    Bloom words merge by OR — idempotent, so a replayed batch can't corrupt
+    the filter — but the batch-id skip is kept anyway to bound ledger
+    growth under retries. Merge-on-read via ``bloom_totals``; the merged
+    bitmap is what the NEXT ingest batch probes to skip the corpus join
+    for definitely-new docs — the always-on membership front door at
+    100 TB, ≤ m/32 rows of state regardless of corpus size.
+    """
+    from input_data_pipeline_spark.functions import text as T
+    from input_data_pipeline_spark.operators.dedup import bloom_bitmap
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            replayed = (
+                spark.read.parquet(state_dir)
+                .filter(F.col("batch_id") == batch_id)
+                .limit(1)
+                .count()
+            )
+            if replayed:
+                return
+        except Exception:  # first batch: ledger doesn't exist yet
+            pass
+        fps = batch_df.select(T.fingerprint("text").alias("fp")).distinct()
+        words = bloom_bitmap(fps).withColumn("batch_id", F.lit(batch_id))
+        words.write.mode("append").parquet(state_dir)
+
+    return (
+        docs.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
+def bloom_totals(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merged (word, bits) Bloom bitmap from the streaming ledger (bit_or
+    merge-on-read). Identical to the batch ``bloom_bitmap`` over the union
+    of all streamed fingerprints — pinned by tests/test_streaming.py."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )

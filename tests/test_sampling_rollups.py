@@ -228,3 +228,18 @@ def test_hll_estimate_within_expected_error(spark, sf_dir):
         assert 0 < r.n_buckets_used <= _HLL_M
         assert r.hll_est > 0
         assert r.rel_err_ppm <= 3 * 1.04 / (_HLL_M**0.5) * 1_000_000, r
+
+
+def test_hll_union_sources_merge_identity(spark, sf_dir):
+    """Mergeability is the property that makes HLL the distributed
+    distinct-count primitive: registers built per source and merged by
+    bucket-wise MAX must yield the IDENTICAL estimate to registers built
+    over the global stream, and the estimate must stay within the m=64
+    error envelope of the exact count (3 sigma ~ 39%)."""
+    from input_data_pipeline_spark.operators.textstats import hll_union_sources
+
+    row = hll_union_sources(spark, sf_dir).collect()[0]
+    assert row.merged_equals_direct is True
+    assert row.hll_est_merged == row.hll_est_direct
+    assert row.n_sources >= 2  # merge actually exercised across sources
+    assert row.rel_err_ppm <= 390_000

@@ -622,3 +622,52 @@ def test_stream_countmin_update_parity_and_replay(spark, sf_dir, tmp_path):
         q2.stop()
     again = sorted(tuple(r) for r in countmin_totals(spark, state).collect())
     assert again == got
+
+
+def test_stream_bloom_update_parity(spark, sf_dir, tmp_path):
+    """The foreachBatch Bloom ledger OR-merged over a 2-micro-batch stream
+    must equal the batch bloom_bitmap over the same documents' fingerprints
+    bit-exactly — same md5 positions, and bit_or is associative/idempotent
+    so the per-batch split can't change the merged bitmap."""
+    import pyspark.sql.functions as F
+
+    from input_data_pipeline_spark.functions import text as T
+    from input_data_pipeline_spark.operators.dedup import bloom_bitmap
+    from input_data_pipeline_spark.streaming.pipelines import (
+        bloom_totals,
+        stream_bloom_update,
+        stream_docs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = [
+        {"doc_id": r.doc_id, "ts": "2024-01-01T00:00:00", "text": r.text,
+         "lang": r.lang, "source": r.source}
+        for r in docs.collect()
+    ]
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    state = str(tmp_path / "bloom_state")
+
+    q = (
+        stream_bloom_update(
+            stream_docs(spark, str(src)), state, str(tmp_path / "bloom_ckpt")
+        ).queryName(_unique("bloom")).start()
+    )
+    _write_events(src, "a.jsonl", rows[: len(rows) // 2])
+    try:
+        q.processAllAvailable()
+        _write_events(src, "b.jsonl", rows[len(rows) // 2 :])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    want = sorted(
+        tuple(r)
+        for r in bloom_bitmap(
+            docs.select(T.fingerprint("text").alias("fp")).distinct()
+        ).collect()
+    )
+    got = sorted(tuple(r) for r in bloom_totals(spark, state).collect())
+    assert got == want
+    assert spark.read.parquet(state).select("batch_id").distinct().count() == 2
