@@ -1315,3 +1315,106 @@ def hll_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rel_err_ppm"),
         )
     )
+
+
+_PPS_N = 20  # target sample size per language
+
+
+@register(
+    "weighted_doc_sample_pps",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, GREATEST(n_chars, 1) AS wt,
+             md5('pps:' || doc_id) AS k
+      FROM documents),
+    tot AS (
+      SELECT lang, CAST(SUM(wt) AS BIGINT) AS total_w FROM w GROUP BY lang),
+    cum AS (
+      SELECT doc_id, lang, wt,
+             CAST(SUM(wt) OVER (PARTITION BY lang ORDER BY k, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+      FROM w),
+    par AS (
+      SELECT c.lang, c.doc_id, c.wt, c.c, t.total_w // {_PPS_N} AS step
+      FROM cum c JOIN tot t USING (lang)),
+    sel AS (
+      SELECT lang, wt,
+             ((c - step // 2 + step - 1) // step)
+               - ((c - wt - step // 2 + step - 1) // step) AS hits
+      FROM par)
+    SELECT lang,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           CAST(SUM(CASE WHEN hits > 0 THEN wt ELSE 0 END) AS BIGINT) AS w_selected,
+           CAST(SUM(CASE WHEN hits > 0 THEN wt ELSE 0 END) * 1000000
+                // SUM(wt) AS BIGINT) AS w_share_selected_ppm
+    FROM sel
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def weighted_doc_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted (probability-proportional-to-size) sampling:
+    systematic PPS over integer cumulative weights — the curation
+    primitive for "sample ~{_PPS_N} docs per language, long docs
+    proportionally more likely" without any RNG.
+
+    Docs are laid on a per-language line in a content-keyed pseudorandom
+    order (md5 of doc_id), each occupying a segment of length = its
+    weight; a comb of {_PPS_N} equally-spaced points (step = total_w DIV
+    {_PPS_N}, offset step/2) picks the docs whose segment contains a
+    point. Classic systematic PPS properties hold exactly: inclusion
+    probability ∝ weight, any doc with weight >= step is selected with
+    certainty (pinned in tests), and the whole decision is pure integer
+    arithmetic — point-count-below(x) = (x - r + step - 1) DIV step —
+    so both engines select the identical sample (no float inverse-CDF,
+    no RNG state). Reruns and incremental recomputation reproduce the
+    same sample for the same corpus snapshot.
+
+    Scale shape: one window shuffle partitioned by lang for the running
+    sum (the same shape as ``token_budget_selection``; at production
+    scale sub-partition by (lang, shard) and offset each shard by the
+    broadcast per-shard totals — two passes, no global sort), a
+    broadcast of the |langs|-row totals, then a map-side-combinable
+    rollup. The per-doc verdict never leaves the executor.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        "lang",
+        F.greatest(F.col("n_chars"), F.lit(1)).alias("wt"),
+        F.md5(F.concat(F.lit("pps:"), F.col("doc_id"))).alias("k"),
+    )
+    win = (
+        Window.partitionBy("lang")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = w.withColumn("c", F.sum("wt").over(win).cast("long"))
+    tot = w.groupBy("lang").agg(F.sum("wt").cast("long").alias("total_w"))
+    par = cum.join(F.broadcast(tot), "lang").withColumn(
+        "step", F.expr(f"total_w DIV {_PPS_N}")
+    )
+    sel = par.withColumn(
+        "hits",
+        F.expr(
+            "(c - step DIV 2 + step - 1) DIV step"
+            " - (c - wt - step DIV 2 + step - 1) DIV step"
+        ),
+    )
+    return (
+        sel.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("hits") > 0, 1).otherwise(0)).alias("n_selected"),
+            F.sum(F.when(F.col("hits") > 0, F.col("wt")).otherwise(0)).alias(
+                "w_selected"
+            ),
+            F.expr(
+                "sum(case when hits > 0 then wt else 0 end) * 1000000 DIV sum(wt)"
+            ).alias("w_share_selected_ppm"),
+        )
+        .orderBy("lang")
+    )

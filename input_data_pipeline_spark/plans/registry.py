@@ -129,6 +129,7 @@ _PRIORITY: list[str] = [
     "path_ops",
     "meta_map_ops",
     "dataset_split_assignment",
+    "weighted_doc_sample_pps",
     # --- LLM-core anchors (stay in every window) ---
     "dedup_minhash_lsh",
     "ngram_jaccard_pairs",
@@ -142,7 +143,6 @@ _PRIORITY: list[str] = [
     "asof_order_context",
     "skew_salted_user_join",
     "toxic_label_scaffold",
-    "segments_flatten",
 ]
 
 

@@ -179,3 +179,17 @@ def test_sketch_ops_broadcast_their_sketch_tables(spark, sf_dir):
     for fn in (bloom_dedup_precheck, countmin_token_freq):
         plan = _executed_plan(fn(spark, sf_dir))
         assert "BroadcastHashJoin" in plan, f"{fn.__name__}: sketch join not broadcast"
+
+
+def test_hll_union_register_stages_stay_small_and_broadcast(spark, sf_dir):
+    """hll_union_sources' scale contract: after the register build (a
+    map-side-combinable MAX over the token scan), every stage operates on
+    <= |sources| x 64 register rows — the two single-row combines must be
+    BroadcastNestedLoopJoin / broadcast exchanges, never a shuffle keyed
+    on anything corpus-sized."""
+    from input_data_pipeline_spark.operators.textstats import hll_union_sources
+
+    plan = _executed_plan(hll_union_sources(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # register build is partial+final MAX (map-side combine before shuffle)
+    assert "partial_max" in plan or "HashAggregate" in plan

@@ -243,3 +243,71 @@ def test_hll_union_sources_merge_identity(spark, sf_dir):
     assert row.hll_est_merged == row.hll_est_direct
     assert row.n_sources >= 2  # merge actually exercised across sources
     assert row.rel_err_ppm <= 390_000
+
+
+def test_weighted_pps_selects_heavy_docs_with_certainty(spark, sf_dir):
+    """Systematic PPS invariants on real data: any doc whose weight >= the
+    sampling step is selected with certainty (its segment must contain a
+    comb point); per-language selection count stays within 1 of the
+    target wherever the corpus has enough weight; and the selected weight
+    share tracks n_selected/N (the self-weighting property that makes the
+    sample usable without importance re-weighting)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from input_data_pipeline_spark.operators.textstats import (
+        _PPS_N,
+        weighted_doc_sample_pps,
+    )
+    from input_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", "lang",
+        F.greatest(F.col("n_chars"), F.lit(1)).alias("wt"),
+        F.md5(F.concat(F.lit("pps:"), F.col("doc_id"))).alias("k"),
+    )
+    win = (
+        Window.partitionBy("lang").orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = w.groupBy("lang").agg(F.sum("wt").cast("long").alias("total_w"))
+    per_doc = (
+        w.withColumn("c", F.sum("wt").over(win).cast("long"))
+        .join(F.broadcast(tot), "lang")
+        .withColumn("step", F.expr(f"total_w DIV {_PPS_N}"))
+        .withColumn(
+            "hits",
+            F.expr(
+                "(c - step DIV 2 + step - 1) DIV step"
+                " - (c - wt - step DIV 2 + step - 1) DIV step"
+            ),
+        )
+    )
+    # certainty selection: weight >= step => hits >= 1
+    missed = per_doc.filter(
+        (F.col("wt") >= F.col("step")) & (F.col("hits") < 1)
+    ).count()
+    assert missed == 0
+
+    # every comb point lands in exactly one segment: sum(hits) per lang ==
+    # the exact point count (total_w - r + step - 1) DIV step, which is N
+    # or N+1 depending on the division remainder — never more, never less.
+    hit_totals = {
+        r.lang: (r.s, r.total_w, r.step)
+        for r in per_doc.groupBy("lang", "total_w", "step")
+        .agg(F.sum("hits").alias("s"))
+        .collect()
+    }
+    for lang, (s, total_w, step) in hit_totals.items():
+        n_points = (total_w - step // 2 + step - 1) // step
+        assert s == n_points, (lang, s, n_points)
+        assert _PPS_N <= n_points <= _PPS_N + 1, (lang, n_points)
+
+    rows = {r.lang: r for r in weighted_doc_sample_pps(spark, sf_dir).collect()}
+    assert rows, "no languages sampled"
+    for lang, r in rows.items():
+        # selections = point count unless multiple points land in one
+        # heavy doc (then fewer distinct docs than points).
+        assert 1 <= r.n_selected <= _PPS_N + 1, (lang, r.n_selected)
+        assert 0 < r.w_share_selected_ppm <= 1_000_000
