@@ -1418,3 +1418,123 @@ def weighted_doc_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "countmin_merge_sources",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_DUCK_TOKENS}) AS token FROM documents),
+    counts AS (
+      SELECT source, token, COUNT(*) AS n FROM tok GROUP BY source, token),
+    per_src AS (
+      SELECT c.source, s.d,
+             CAST(('0x' || substr(md5(c.token || ':' || s.d), 1, 8)) AS BIGINT)
+               % {_CMS_W} AS pos,
+             SUM(c.n) AS counter
+      FROM counts c, (SELECT unnest(range({_CMS_D})) AS d) s
+      GROUP BY 1, 2, 3),
+    merged AS (
+      SELECT d, pos, CAST(SUM(counter) AS BIGINT) AS counter
+      FROM per_src GROUP BY d, pos),
+    gcounts AS (
+      SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    direct AS (
+      SELECT s.d,
+             CAST(('0x' || substr(md5(g.token || ':' || s.d), 1, 8)) AS BIGINT)
+               % {_CMS_W} AS pos,
+             CAST(SUM(g.n) AS BIGINT) AS counter
+      FROM gcounts g, (SELECT unnest(range({_CMS_D})) AS d) s
+      GROUP BY 1, 2),
+    diff AS (
+      SELECT COUNT(*) AS n_cells_merged,
+             SUM(CASE WHEN dr.counter IS NULL OR dr.counter <> m.counter
+                      THEN 1 ELSE 0 END) AS n_mismatched
+      FROM merged m LEFT JOIN direct dr ON dr.d = m.d AND dr.pos = m.pos),
+    mass AS (
+      SELECT CAST(SUM(counter) AS BIGINT) AS merged_mass FROM merged
+      WHERE d = 0),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tok)
+    SELECT di.n_cells_merged,
+           CAST(di.n_mismatched AS BIGINT) AS n_mismatched,
+           di.n_mismatched = 0 AS merged_equals_direct,
+           ma.merged_mass,
+           t.n_tokens,
+           ma.merged_mass = t.n_tokens AS mass_conserved
+    FROM diff di, mass ma, total t
+    """,
+)
+def countmin_merge_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch MERGE across sources — the additive twin of
+    ``hll_union_sources``: CMS counters are linear, so per-source
+    {_CMS_D}×{_CMS_W} cell tables (built independently, e.g. one per
+    ingest shard or per stream window — see ``stream_countmin_update``)
+    SUM cell-wise into exactly the global sketch, never rescanning the
+    tokens. The query builds both (merged-from-per-source and direct
+    global), proves them cell-identical, and checks mass conservation
+    (each hash row's counters sum to the total token count — the CMS
+    row-stochastic invariant).
+
+    Scale shape: per-source cells are one map-side-combinable SUM over
+    the per-source token-frequency table; every post-cell stage touches
+    ≤ |sources|×{_CMS_D}×{_CMS_W} integer rows. In production only the
+    per-shard cell tables are stored; this merge is how per-window
+    sketches roll up to corpus totals with a fixed-size shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(T.tokens("text")).alias("token"))
+    counts = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+    per_src = (
+        counts.select(
+            "source",
+            "n",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"), cms_pos(F.col("token"), d).alias("pos")
+                        )
+                        for d in range(_CMS_D)
+                    ]
+                )
+            ).alias("cell"),
+        )
+        .select("source", "n", "cell.d", "cell.pos")
+        .groupBy("source", "d", "pos")
+        .agg(F.sum("n").alias("counter"))
+    )
+    merged = per_src.groupBy("d", "pos").agg(F.sum("counter").alias("counter"))
+    direct = cms_cells(
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = merged.alias("m")
+    dr = direct.alias("dr")
+    diff = (
+        m.join(dr, (F.col("m.d") == F.col("dr.d")) & (F.col("m.pos") == F.col("dr.pos")), "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells_merged"),
+            F.sum(
+                F.when(
+                    F.col("dr.counter").isNull()
+                    | (F.col("dr.counter") != F.col("m.counter")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_mismatched"),
+        )
+    )
+    mass = merged.filter(F.col("d") == 0).agg(
+        F.sum("counter").alias("merged_mass")
+    )
+    total = tok.agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        diff.crossJoin(F.broadcast(mass))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "n_cells_merged",
+            "n_mismatched",
+            (F.col("n_mismatched") == 0).alias("merged_equals_direct"),
+            "merged_mass",
+            "n_tokens",
+            (F.col("merged_mass") == F.col("n_tokens")).alias("mass_conserved"),
+        )
+    )

@@ -114,6 +114,7 @@ _PRIORITY: list[str] = [
     "semdedup_embedding_clusters",
     # --- never driver-checked until now ---
     "countmin_token_freq",
+    "countmin_merge_sources",
     "hll_distinct_tokens",
     "hll_union_sources",
     "bloom_dedup_precheck",
@@ -142,7 +143,6 @@ _PRIORITY: list[str] = [
     "knn_bruteforce",
     "asof_order_context",
     "skew_salted_user_join",
-    "toxic_label_scaffold",
 ]
 
 

@@ -311,3 +311,16 @@ def test_weighted_pps_selects_heavy_docs_with_certainty(spark, sf_dir):
         # heavy doc (then fewer distinct docs than points).
         assert 1 <= r.n_selected <= _PPS_N + 1, (lang, r.n_selected)
         assert 0 < r.w_share_selected_ppm <= 1_000_000
+
+
+def test_countmin_merge_identity_and_mass_conservation(spark, sf_dir):
+    """CMS linearity: per-source cell tables summed cell-wise must equal
+    the global sketch exactly, and each hash row's counters must sum to
+    the total token count (row-stochastic mass conservation)."""
+    from input_data_pipeline_spark.operators.textstats import countmin_merge_sources
+
+    row = countmin_merge_sources(spark, sf_dir).collect()[0]
+    assert row.merged_equals_direct is True
+    assert row.n_mismatched == 0
+    assert row.mass_conserved is True
+    assert row.merged_mass == row.n_tokens
