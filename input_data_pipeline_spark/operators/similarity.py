@@ -851,3 +851,210 @@ def pq_reconstruction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means embedding clustering (Lloyd's algorithm, fixed iterations)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ASSIGN_PASSES = 2  # init -> assign -> update -> assign -> report
+
+
+def _sql_floor_div(s: str, n: str) -> str:
+    """Exact integer FLOOR division for a possibly-negative numerator.
+
+    DuckDB ``//`` truncates toward zero (verified: -7 // 2 = -3), same as
+    Spark ``DIV`` — so plain ``//`` is NOT floor for negative sums. Adding
+    the positive remainder first makes the numerator exactly divisible, at
+    which point truncation and floor agree in every engine (and in Python's
+    ``//``, which the driver-side centroid update uses)."""
+    return f"((({s}) - ((({s}) % ({n})) + ({n})) % ({n})) // ({n}))"
+
+
+_DUCK_KMEANS_ORACLE = f"""
+WITH qv AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+             x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS cid,
+         q AS c
+  FROM qv
+  QUALIFY cid <= {KMEANS_K}
+),
+d1 AS (
+  SELECT vec_id, label, q, cid,
+         (SELECT SUM((u.qc - u.cc) * (u.qc - u.cc))
+          FROM (SELECT UNNEST(qv.q) AS qc, UNNEST(c0.c) AS cc) u) AS d2
+  FROM qv CROSS JOIN c0
+),
+a1 AS (
+  SELECT vec_id, label, q, cid, d2
+  FROM d1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+),
+s1 AS (
+  SELECT cid, COUNT(*) AS n, pos, SUM(qc) AS s
+  FROM (SELECT cid, UNNEST(q) AS qc, generate_subscripts(q, 1) AS pos FROM a1)
+  GROUP BY cid, pos
+),
+c1 AS (
+  SELECT cid, list(CAST({_sql_floor_div('s', 'n')} AS BIGINT) ORDER BY pos) AS c
+  FROM s1 GROUP BY cid
+),
+d2_ AS (
+  SELECT qv.vec_id, qv.label, c1.cid,
+         (SELECT SUM((u.qc - u.cc) * (u.qc - u.cc))
+          FROM (SELECT UNNEST(qv.q) AS qc, UNNEST(c1.c) AS cc) u) AS d2
+  FROM qv CROSS JOIN c1
+),
+a2 AS (
+  SELECT vec_id, label, cid, d2
+  FROM d2_
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+),
+lab AS (
+  SELECT cid, label AS top_label, n_lab AS top_label_n
+  FROM (SELECT cid, label, COUNT(*) AS n_lab FROM a2 GROUP BY cid, label)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY cid ORDER BY n_lab DESC, label) = 1
+)
+SELECT a2.cid AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(a2.d2) AS BIGINT) AS inertia,
+       CAST(MIN(lab.top_label) AS BIGINT) AS top_label,
+       CAST(MIN(lab.top_label_n) AS BIGINT) AS top_label_n
+FROM a2 JOIN lab USING (cid)
+GROUP BY a2.cid
+ORDER BY a2.cid
+"""
+
+
+def _kmeans_qvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with each component quantized to integer micros.
+
+    ``ROUND(x * 1e6)`` on the float32-widened double is engine-identical
+    (same widening, same IEEE multiply, half-away rounding both sides), so
+    every downstream distance/centroid computation is exact BIGINT
+    arithmetic — order-independent, hence comparable across engines.
+    Bounds: |component| < 1 → |q| < 1e6, squared diff < 4e12, 64-dim
+    distance < 2.6e14, all comfortably inside long range."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * F.lit(1_000_000)).cast("long"),
+        ).alias("q"),
+    )
+
+
+def _kmeans_assign(qv: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
+    """Map-only nearest-centroid assignment against literal centroids.
+
+    The centroid set is a K×(dim+1) literal embedded in the plan — the
+    Spark-MLlib topology (centroids broadcast to every task, no shuffle for
+    the assignment pass). Distances and the argmin run in a single
+    ``transform``/``aggregate`` expression; ``array_min`` over
+    (d2, cid) structs breaks ties toward the smallest cid, mirroring the
+    oracle's ``ORDER BY d2, cid``."""
+    clit = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("long").alias("cid"),
+                F.array(*[F.lit(int(v)).cast("long") for v in vec]).alias("c"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    scored = F.transform(
+        clit,
+        lambda s: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("q"), s["c"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            s["cid"].alias("cid"),
+        ),
+    )
+    best = F.array_min(scored)
+    return qv.withColumn("d2", best["d2"]).withColumn("cid", best["cid"])
+
+
+@register("kmeans_embedding_clusters", oracle=_DUCK_KMEANS_ORACLE)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means over the embedding corpus (K=8, two
+    assignment passes), reported as per-cluster size / inertia / dominant
+    label — the clustering pass behind curation-by-cluster (SemDeDup-style
+    pruning, diversity sampling, IVF coarse-quantizer training).
+
+    Everything is exact integer arithmetic on micros-quantized vectors, so
+    the fixed-point result is bit-identical across engines — no RNG, no
+    float accumulation: seeds are the K smallest (md5(vec_id), vec_id)
+    vectors (TakeOrderedAndProject — distributed top-k, not a global
+    sort), centroid means are exact floor divisions, distances are long
+    sums.
+
+    Scale shape (the 100 TB design): each Lloyd iteration is one map-only
+    scan (centroids as plan literals — the K×dim driver state is what
+    Spark MLlib's KMeans broadcasts every iteration) plus one K-group
+    aggregate with map-side combine; nothing driver-side ever exceeds
+    K×(dim+1) longs. Empty clusters drop out of the next round's literal
+    set (documented fixed policy, matched by the oracle). A production run
+    would persist the quantized vectors between passes; at test scale the
+    two parquet re-reads are cheaper than the cache."""
+    qv = _kmeans_qvec(spark, sf_dir)
+
+    seeds = (
+        qv.select(F.md5(F.col("vec_id").cast("string")).alias("h"), "vec_id", "q")
+        .orderBy("h", "vec_id")
+        .limit(KMEANS_K)
+        .collect()
+    )
+    c0 = [(i + 1, list(r["q"])) for i, r in enumerate(seeds)]
+
+    a1 = _kmeans_assign(qv, c0)
+    sums = a1.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(DIM)],
+    ).collect()
+    # Python // is floor division — exactly the oracle's floor-div fragment.
+    c1 = [
+        (r["cid"], [r[f"s{i}"] // r["n"] for i in range(DIM)])
+        for r in sorted(sums, key=lambda r: r["cid"])
+    ]
+
+    a2 = _kmeans_assign(qv, c1)
+    stats = a2.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.sum("d2").alias("inertia")
+    )
+    from pyspark.sql import Window
+
+    lab_rank = Window.partitionBy("cid").orderBy(F.desc("n_lab"), "label")
+    lab = (
+        a2.groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).alias("n_lab"))
+        .withColumn("_rn", F.row_number().over(lab_rank))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cid",
+            F.col("label").cast("long").alias("top_label"),
+            F.col("n_lab").alias("top_label_n"),
+        )
+    )
+    return (
+        stats.join(lab, "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_vecs",
+            "inertia",
+            "top_label",
+            "top_label_n",
+        )
+        .orderBy("cluster_id")
+    )

@@ -55,3 +55,56 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert len(hits) / len(truth) >= 0.2, f"IVF recall {len(hits)}/{len(truth)}"
     for k in hits:
         assert truth[k] == approx[k]  # exact re-rank: identical rounded scores
+
+
+def test_kmeans_clusters_partition_corpus(spark, sf_dir):
+    """Every vector lands in exactly one cluster; inertia improves (or is
+    flat) when the assignment pass re-runs against the updated centroids —
+    Lloyd's monotonicity, which integer floor-rounded centroids preserve up
+    to the quantization slack (checked with a 1% tolerance)."""
+    from input_data_pipeline_spark.operators.similarity import (
+        KMEANS_K,
+        _kmeans_assign,
+        _kmeans_qvec,
+        kmeans_embedding_clusters,
+    )
+    from input_data_pipeline_spark.tables import load_table
+
+    out = kmeans_embedding_clusters(spark, sf_dir).collect()
+    n_total = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vecs for r in out) == n_total
+    assert 1 <= len(out) <= KMEANS_K
+    assert all(1 <= r.cluster_id <= KMEANS_K for r in out)
+    assert all(r.top_label_n <= r.n_vecs for r in out)
+
+    # monotonicity: inertia after the update pass <= inertia at init + slack
+    import pyspark.sql.functions as F
+
+    qv = _kmeans_qvec(spark, sf_dir)
+    seeds = (
+        qv.select(F.md5(F.col("vec_id").cast("string")).alias("h"), "vec_id", "q")
+        .orderBy("h", "vec_id")
+        .limit(KMEANS_K)
+        .collect()
+    )
+    c0 = [(i + 1, list(r["q"])) for i, r in enumerate(seeds)]
+    inertia0 = _kmeans_assign(qv, c0).agg(F.sum("d2")).collect()[0][0]
+    inertia1 = sum(r.inertia for r in out)
+    assert inertia1 <= inertia0 * 1.01
+
+
+def test_kmeans_deterministic_across_shuffle_partitions(spark, sf_dir):
+    """The result must not depend on partitioning/parallelism — integer
+    arithmetic end-to-end means any plan shape gives the same clusters."""
+    from input_data_pipeline_spark.operators.similarity import (
+        kmeans_embedding_clusters,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        a = sorted(tuple(r) for r in kmeans_embedding_clusters(spark, sf_dir).collect())
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = sorted(tuple(r) for r in kmeans_embedding_clusters(spark, sf_dir).collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert a == b
