@@ -1538,3 +1538,88 @@ def countmin_merge_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("merged_mass") == F.col("n_tokens")).alias("mass_conserved"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model scoring (perplexity-proxy quality filter)
+# ---------------------------------------------------------------------------
+
+_BG_SEP = "\t"  # tokens are whitespace-split, so no token can contain a tab
+
+
+@register(
+    "bigram_lm_doc_scores",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_DUCK_TOKENS} AS t
+      FROM documents),
+    bi AS (
+      SELECT doc_id, lang,
+             UNNEST(list_transform(range(1, len(t)),
+                                   i -> t[i] || chr(9) || t[i + 1])) AS bg
+      FROM toks WHERE len(t) >= 2),
+    cnt2 AS (SELECT bg, COUNT(*) AS c2 FROM bi GROUP BY bg),
+    cnt1 AS (SELECT split_part(bg, chr(9), 1) AS w1, COUNT(*) AS c1
+             FROM bi GROUP BY 1),
+    p AS (
+      SELECT bg, CAST(c2 * 1000000 // c1 AS BIGINT) AS p_ppm
+      FROM cnt2 JOIN cnt1 ON split_part(cnt2.bg, chr(9), 1) = cnt1.w1),
+    d AS (SELECT doc_id, lang, bg, COUNT(*) AS cnt FROM bi GROUP BY 1, 2, 3)
+    SELECT d.doc_id, d.lang,
+           CAST(SUM(d.cnt) AS BIGINT) AS n_bigrams,
+           CAST(SUM(d.cnt * p.p_ppm) // SUM(d.cnt) AS BIGINT) AS lm_score_ppm
+    FROM d JOIN p USING (bg)
+    GROUP BY d.doc_id, d.lang
+    ORDER BY d.doc_id
+    """,
+)
+def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM score per document — the perplexity-proxy
+    quality filter (docs whose word transitions are unusual under the
+    corpus' own bigram statistics score low; boilerplate and fluent text
+    score high). The score is the per-occurrence mean of the conditional
+    probability p(w2|w1) = c(w1,w2)/c(w1·) in exact ppm integer arithmetic,
+    so both engines agree bit-for-bit — the standard log-prob formulation
+    would sum order-dependent doubles.
+
+    Scale shape: one tokenize+explode scan produces bigram occurrences;
+    both count tables are map-side-combinable aggregates; the probability
+    table joins c2→c1 at |vocab|/|bigram-vocab| cardinality (tiny next to
+    the occurrence table); per-doc occurrences are pre-shrunk to per-doc
+    DISTINCT bigrams with counts before the probability lookup join, so
+    the wire carries |doc×distinct-bigram| rows, not |tokens|. Hot bigrams
+    make hot lookup partitions only — AQE skew-join splits them; no
+    Python UDF anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = T.tokens("text")
+    n = F.size(t)
+    # zip t[0..n-2] with t[1..n-1]: map-only bigram instances, no window
+    bi = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(_BG_SEP), b),
+            )
+        ).alias("bg"),
+    )
+    cnt2 = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    cnt1 = bi.groupBy(
+        F.substring_index("bg", _BG_SEP, 1).alias("w1")
+    ).agg(F.count(F.lit(1)).alias("c1"))
+    p = (
+        cnt2.join(cnt1, F.substring_index(cnt2["bg"], _BG_SEP, 1) == cnt1["w1"])
+        .select("bg", F.expr("c2 * 1000000 DIV c1").alias("p_ppm"))
+    )
+    d = bi.groupBy("doc_id", "lang", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        d.join(p, "bg")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.expr("sum(cnt * p_ppm) DIV sum(cnt)").alias("lm_score_ppm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -61,3 +61,24 @@ def test_word_shingles(spark):
 def test_stopword_ratio_bounds(spark):
     assert _one(spark, T.stopword_ratio(F.lit("the cat"), "en")) == 0.5
     assert _one(spark, T.stopword_ratio(F.lit(""), "en")) == 0.0
+
+
+def test_bigram_lm_scores_tiny_corpus(spark, tmp_path):
+    """Hand-computed bigram LM on a 4-doc corpus with empty/single-token
+    edge docs (which must drop out — they have no bigram to score)."""
+    from input_data_pipeline_spark.operators.textstats import bigram_lm_doc_scores
+
+    rows = [
+        (0, "a b a b", "en", "s", 7),
+        (1, "a", "en", "s", 1),
+        (2, "", "en", "s", 0),
+        (3, "b c", "en", "s", 3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = sorted(tuple(r) for r in bigram_lm_doc_scores(spark, str(tmp_path)).collect())
+    # instances: ab, ba, ab, bc -> c2: ab=2 ba=1 bc=1; c1: a=2 b=2
+    # p_ppm: ab=1000000, ba=500000, bc=500000
+    # doc0: (2*1000000 + 1*500000) // 3 = 833333 ; doc3: 500000
+    assert got == [(0, "en", 3, 833333), (3, "en", 1, 500000)]
