@@ -450,3 +450,76 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("oov_share_ppm", F.expr("n_oov * 1000000 DIV n_tokens"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication coverage (sliding k-gram, per document)
+# ---------------------------------------------------------------------------
+
+_ESC_K = 8  # shingle width in tokens
+
+
+@register(
+    "exact_substring_coverage",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, source, {_DUCK_TOKENS} AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             UNNEST(list_transform(range(1, len(t) - {_ESC_K} + 2),
+                    i -> md5(array_to_string(
+                             list_slice(t, i, i + {_ESC_K} - 1), ' ')))) AS sh
+      FROM toks WHERE len(t) >= {_ESC_K}),
+    d AS (SELECT doc_id, source, sh, COUNT(*) AS cnt FROM sh GROUP BY 1, 2, 3),
+    df AS (SELECT sh, COUNT(*) AS n_docs FROM d GROUP BY sh)
+    SELECT d.doc_id, d.source,
+           CAST(SUM(d.cnt) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df.n_docs >= 2 THEN d.cnt ELSE 0 END) * 1000000
+                // SUM(d.cnt) AS BIGINT) AS dup_coverage_ppm
+    FROM d JOIN df USING (sh)
+    GROUP BY d.doc_id, d.source
+    ORDER BY d.doc_id
+    """,
+)
+def exact_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact-substring duplication coverage: the share (ppm)
+    of a doc's sliding {k}-token shingle positions whose shingle text also
+    occurs in at least one OTHER document — the coverage metric behind
+    exact-substring train-set dedup (remove or trim spans memorized
+    verbatim across documents). Complements ``chunk_dedup_rate`` (fixed
+    non-overlapping chunks, per-source rate) with the sliding-window
+    per-doc view a removal decision actually needs.
+
+    Scale shape: shingle assembly is map-only (slice/array_join over the
+    token array — no window, no token index needed); every shingle ships
+    as its 128-bit md5, keeping the exchange narrow and skew bounded by
+    true text duplication; the per-doc distinct pass
+    (groupBy doc_id, sh) is map-side combinable and shrinks the instance
+    table before the document-frequency join; dup verdicts join at
+    |distinct shingle| cardinality. All counts/ratios are exact integer
+    arithmetic.""".format(k=_ESC_K)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    t = T.tokens("text")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(t) - _ESC_K + 1),
+        lambda i: F.md5(F.array_join(F.slice(t, i, _ESC_K), " ")),
+    )
+    inst = (
+        docs.where(F.size(t) >= _ESC_K)
+        .select("doc_id", "source", F.explode(shingles).alias("sh"))
+    )
+    d = inst.groupBy("doc_id", "source", "sh").agg(F.count(F.lit(1)).alias("cnt"))
+    dfreq = d.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        d.join(dfreq, "sh")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("cnt").alias("n_shingles"),
+            F.expr(
+                "sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) * 1000000"
+                " DIV sum(cnt)"
+            ).alias("dup_coverage_ppm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -109,3 +109,29 @@ def test_lang_rebalance_rates_hit_target(spark, sf_dir):
         # allow ~4 sigma plus slack for tiny strata)
         expected = r.n_docs * r.rate_bp / 10000
         assert abs(r.n_kept - expected) <= 4 * expected**0.5 + 5, r
+
+
+def test_exact_substring_coverage_planted(spark, tmp_path):
+    """Two docs sharing one 8-token span: exactly that shingle position is
+    covered in each (1 of 3 -> 333333 ppm); a unique doc scores 0; a doc
+    shorter than the shingle width drops out."""
+    from input_data_pipeline_spark.operators.corpus import exact_substring_coverage
+
+    shared = "t1 t2 t3 t4 t5 t6 t7 t8"
+    rows = [
+        (0, shared + " t9 t10", "a", "en", 1),
+        (1, shared + " x y", "b", "en", 1),
+        (2, "u1 u2 u3 u4 u5 u6 u7 u8 u9", "c", "en", 1),
+        (3, "s1 s2 s3 s4 s5", "d", "en", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = sorted(tuple(r) for r in exact_substring_coverage(spark, str(tmp_path)).collect())
+    assert got == [
+        (0, "a", 3, 333333),
+        (1, "b", 3, 333333),
+        (2, "c", 2, 0),
+    ]
