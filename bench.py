@@ -62,6 +62,11 @@ HEADLINE = [
     "hll_distinct_tokens",
     # round 6: HLL register-merge (additive on the r5 floor)
     "hll_union_sources",
+    # round 6 LLM-curation additions (additive): iterative clustering,
+    # bigram-LM quality scoring, sliding-shingle exact-substring coverage
+    "kmeans_embedding_clusters",
+    "bigram_lm_doc_scores",
+    "exact_substring_coverage",
 ]
 
 

@@ -1436,3 +1436,95 @@ def bloom_dedup_precheck(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("new_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-survivor selection (the dedup emit list)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_keep_selection",
+    oracle=f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents),
+    sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES2} AS shs FROM tok),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a
+      JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shs, b.shs)) * 1.0
+            / len(list_distinct(a.shs || b.shs)) >= 0.8),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    labeled AS (
+      SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src),
+    everydoc AS (
+      SELECT d.doc_id, d.n_chars,
+             COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN labeled l USING (doc_id)),
+    ranked AS (
+      SELECT doc_id, cluster_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+             FIRST_VALUE(doc_id) OVER (
+               PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS kept_doc
+      FROM everydoc)
+    SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+           (rn = 1) AS keep, kept_doc
+    FROM ranked
+    ORDER BY doc_id
+    """,
+)
+def dedup_keep_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's actual OUTPUT: for every document, its near-dup
+    cluster, the cluster's canonical survivor, and a keep/drop verdict —
+    the longest doc wins (ties to the smallest doc_id), the curation
+    heuristic that preserves the most content per duplicate family.
+    Completes the chain ``ngram_jaccard_pairs`` (edges) →
+    ``dedup_cluster_assignment`` (components) → the emit list a training
+    run consumes; singleton docs are their own cluster and always kept.
+
+    Scale shape: same PPJoin-filtered pair graph + large-star/small-star
+    components as the upstream queries; the survivor choice adds one
+    window keyed by cluster_id — bounded by the largest duplicate family,
+    which near-dup graphs keep small (the oracle's transitive-closure CTE
+    is the test-scale statement of the same fixpoint)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels = connected_components(edges)
+    everydoc = (
+        docs.join(labels, docs["doc_id"] == labels["id"], "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    wo = w.orderBy(F.desc("n_chars"), "doc_id")
+    wfull = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        everydoc.withColumn("rn", F.row_number().over(wo))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("kept_doc", F.first("doc_id").over(wfull))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("rn") == 1).alias("keep"),
+            "kept_doc",
+        )
+        .orderBy("doc_id")
+    )

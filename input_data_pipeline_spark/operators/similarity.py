@@ -933,8 +933,14 @@ ORDER BY a2.cid
 """
 
 
+_KMEANS_QVEC_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _kmeans_qvec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings with each component quantized to integer micros.
+    """Embeddings with each component quantized to integer micros,
+    persisted once per (session, corpus) — Lloyd makes three passes over
+    the same vectors (seed pick, one per assignment), and re-deriving them
+    from parquet each pass measured 1.4× slower at sf0.1.
 
     ``ROUND(x * 1e6)`` on the float32-widened double is engine-identical
     (same widening, same IEEE multiply, half-away rounding both sides), so
@@ -942,15 +948,22 @@ def _kmeans_qvec(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic — order-independent, hence comparable across engines.
     Bounds: |component| < 1 → |q| < 1e6, squared diff < 4e12, 64-dim
     distance < 2.6e14, all comfortably inside long range."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select(
-        "vec_id",
-        "label",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.round(x.cast("double") * F.lit(1_000_000)).cast("long"),
-        ).alias("q"),
-    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _KMEANS_QVEC_CACHE.get(key)
+    if df is None:
+        from pyspark import StorageLevel
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        df = emb.select(
+            "vec_id",
+            "label",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * F.lit(1_000_000)).cast("long"),
+            ).alias("q"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _KMEANS_QVEC_CACHE[key] = df
+    return df
 
 
 def _kmeans_assign(qv: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:

@@ -138,7 +138,14 @@ _PRIORITY: list[str] = [
     "knn_ivf",
     "contamination_overlap",
     "doc_quality",
-    # --- double-green diversity keepers ---
+    # --- new this round (local-green in both fetch modes + hostile-TZ
+    # --- driver-mimic; enter the window immediately so they don't join
+    # --- the never-checked backlog) ---
+    "kmeans_embedding_clusters",
+    "bigram_lm_doc_scores",
+    "exact_substring_coverage",
+    # --- double-green diversity keepers (fall past the 50-slot window
+    # --- this round; all have >= 2 prior green rounds) ---
     "incremental_batch_dedup",
     "knn_bruteforce",
     "asof_order_context",

@@ -255,3 +255,31 @@ def test_bloom_precheck_no_false_negatives_and_bounded_fp(spark, sf_dir):
     p_theory = (1 - math.exp(-_BLOOM_K * n_corpus_fps / _BLOOM_M)) ** _BLOOM_K
     # 5x slack + additive floor: tiny samples are noisy
     assert fp <= max(5, 5 * p_theory * len(fresh)), (fp, p_theory, len(fresh))
+
+
+def test_keep_selection_longest_survives(spark, tmp_path):
+    """A planted 3-doc near-dup family keeps exactly its longest member;
+    singletons are their own cluster and always kept."""
+    from input_data_pipeline_spark.operators.dedup import dedup_keep_selection
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base, "s", "en", len(base)),
+        (1, base + " extra", "s", "en", len(base) + 6),
+        (2, base + " extra more", "s", "en", len(base) + 11),
+        (3, "totally different words here nothing shared at all ok", "s", "en", 54),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r.doc_id: r for r in dedup_keep_selection(spark, str(tmp_path)).collect()}
+    assert len(got) == 4
+    fam = {0, 1, 2}
+    cluster_ids = {got[d].cluster_id for d in fam}
+    assert cluster_ids == {0}, cluster_ids          # min doc_id labels the family
+    assert all(got[d].cluster_size == 3 for d in fam)
+    assert all(got[d].kept_doc == 2 for d in fam)   # longest doc survives
+    assert [got[d].keep for d in (0, 1, 2)] == [False, False, True]
+    assert got[3].keep and got[3].cluster_size == 1 and got[3].kept_doc == 3
