@@ -573,3 +573,178 @@ def semdedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_survivor", F.col("vec_id") == F.col("cluster_id"))
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation funnel (per-stage attrition accounting)
+# ---------------------------------------------------------------------------
+
+_FUN_MIN_TOKENS = 20
+_FUN_MIN_QUALITY_PPM = 400_000
+_FUN_MAX_COV_PPM = 500_000
+_FUN_SH_K = 8
+_FUN_TOK = r"list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"
+
+
+@register(
+    "curation_funnel",
+    oracle=rf"""
+    WITH q AS (
+      SELECT doc_id, text,
+             len({_FUN_TOK}) AS n_tokens,
+             CAST(ROUND((LEAST(len({_FUN_TOK}) / 200.0, 1.0) * 0.7 +
+                   CASE WHEN len({_FUN_TOK}) > 0
+                         AND length(regexp_replace(text, '\s+', '', 'g'))
+                             >= 2 * len({_FUN_TOK})
+                         AND length(regexp_replace(text, '\s+', '', 'g'))
+                             <= 12 * len({_FUN_TOK})
+                        THEN 1.0 ELSE 0.5 END * 0.3) * 1000000) AS BIGINT)
+               AS quality_ppm
+      FROM documents),
+    s1 AS (SELECT * FROM q WHERE n_tokens >= {_FUN_MIN_TOKENS}),
+    s2 AS (SELECT * FROM s1 WHERE quality_ppm >= {_FUN_MIN_QUALITY_PPM}),
+    s3 AS (
+      SELECT * FROM s2
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        ORDER BY doc_id) = 1),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(t) - {_FUN_SH_K} + 2),
+                    i -> md5(array_to_string(
+                             list_slice(t, i, i + {_FUN_SH_K} - 1), ' ')))) AS sh
+      FROM (SELECT doc_id, {_FUN_TOK} AS t FROM s3)
+      WHERE len(t) >= {_FUN_SH_K}),
+    d AS (SELECT doc_id, sh, COUNT(*) AS cnt FROM sh GROUP BY 1, 2),
+    dfq AS (SELECT sh, COUNT(*) AS n_docs FROM d GROUP BY sh),
+    cov AS (
+      SELECT d.doc_id,
+             SUM(CASE WHEN dfq.n_docs >= 2 THEN d.cnt ELSE 0 END) * 1000000
+               // SUM(d.cnt) AS cov_ppm
+      FROM d JOIN dfq USING (sh) GROUP BY d.doc_id),
+    s4 AS (
+      SELECT s3.doc_id FROM s3 LEFT JOIN cov USING (doc_id)
+      WHERE COALESCE(cov.cov_ppm, 0) < {_FUN_MAX_COV_PPM}),
+    counts AS (
+      SELECT 0 AS stage, 'ingest' AS stage_name,
+             (SELECT COUNT(*) FROM documents) AS n
+      UNION ALL SELECT 1, 'min_length', (SELECT COUNT(*) FROM s1)
+      UNION ALL SELECT 2, 'quality', (SELECT COUNT(*) FROM s2)
+      UNION ALL SELECT 3, 'exact_dedup', (SELECT COUNT(*) FROM s3)
+      UNION ALL SELECT 4, 'substring_dedup', (SELECT COUNT(*) FROM s4))
+    SELECT CAST(stage AS BIGINT) AS stage, stage_name,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(COALESCE(LAG(n) OVER (ORDER BY stage) - n, 0) AS BIGINT)
+             AS n_dropped,
+           CAST(n * 1000000 // FIRST_VALUE(n) OVER (ORDER BY stage) AS BIGINT)
+             AS retention_ppm
+    FROM counts
+    ORDER BY stage
+    """,
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as one accounted funnel: ingest →
+    min-length → quality-score → exact-dedup (first normalized-hash holder
+    wins) → exact-substring near-dup (coverage ppm over the surviving
+    subset) — with per-stage survivor counts, drops, and retention vs
+    ingest. This is the dashboard row set a data-pipeline owner actually
+    watches; each stage reuses the exact semantics of its standalone
+    query (doc_quality's score, incremental dedup's normalized sha256
+    fingerprint, exact_substring_coverage's sliding shingles).
+
+    Scale shape: ONE corpus scan computes per-doc flags for stages 1-2
+    (pure expressions); stage 3 adds one window keyed by content hash
+    (ranking puts stage-2 survivors first, so no second scan); stage 4's
+    coverage runs only over stage-3 survivors (the shrunken set), reusing
+    the md5-shingle exchange shape. The stage accounting itself is a
+    single conditional aggregate over the flag frame — 5 output rows, no
+    per-stage rescans."""
+    from input_data_pipeline_spark.functions import text as T
+    from input_data_pipeline_spark.functions.stable import round_micros
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = T.tokens("text")
+    n_tokens = F.size(t)
+    nonspace = F.length(F.regexp_replace("text", r"\s+", ""))
+    band_ok = (nonspace >= 2 * n_tokens) & (nonspace <= 12 * n_tokens)
+    quality = round_micros(
+        F.least(n_tokens / F.lit(200.0), F.lit(1.0)) * 0.7
+        + F.when((n_tokens > 0) & band_ok, F.lit(1.0)).otherwise(F.lit(0.5)) * 0.3
+    )
+    fp = F.sha2(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 256)
+    base = docs.select(
+        "doc_id",
+        "text",
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality_ppm"),
+        fp.alias("fp"),
+    ).withColumn("f1", F.col("n_tokens") >= _FUN_MIN_TOKENS)
+    base = base.withColumn(
+        "f2", F.col("f1") & (F.col("quality_ppm") >= _FUN_MIN_QUALITY_PPM)
+    )
+    # Rank stage-2 survivors first within each fingerprint so f3 needs no
+    # separate pass over the filtered subset.
+    w = Window.partitionBy("fp").orderBy(
+        F.when(F.col("f2"), F.lit(0)).otherwise(F.lit(1)), "doc_id"
+    )
+    flags = base.withColumn(
+        "f3", F.col("f2") & (F.row_number().over(w) == 1)
+    )
+
+    surv = flags.filter("f3").select("doc_id", "text")
+    t2 = T.tokens("text")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(t2) - _FUN_SH_K + 1),
+        lambda i: F.md5(F.array_join(F.slice(t2, i, _FUN_SH_K), " ")),
+    )
+    inst = surv.where(F.size(t2) >= _FUN_SH_K).select(
+        "doc_id", F.explode(shingles).alias("sh")
+    )
+    d = inst.groupBy("doc_id", "sh").agg(F.count(F.lit(1)).alias("cnt"))
+    dfq = d.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
+    cov = (
+        d.join(dfq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) * 1000000"
+                " DIV sum(cnt)"
+            ).alias("cov_ppm")
+        )
+    )
+    full = flags.join(cov, "doc_id", "left").withColumn(
+        "f4",
+        F.col("f3") & (F.coalesce(F.col("cov_ppm"), F.lit(0)) < _FUN_MAX_COV_PPM),
+    )
+
+    one = full.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("f1").cast("long")).alias("n1"),
+        F.sum(F.col("f2").cast("long")).alias("n2"),
+        F.sum(F.col("f3").cast("long")).alias("n3"),
+        F.sum(F.col("f4").cast("long")).alias("n4"),
+    )
+    stacked = one.select(
+        F.expr(
+            "stack(5,"
+            " 0L, 'ingest', n0,"
+            " 1L, 'min_length', n1,"
+            " 2L, 'quality', n2,"
+            " 3L, 'exact_dedup', n3,"
+            " 4L, 'substring_dedup', n4) AS (stage, stage_name, n_docs)"
+        )
+    )
+    wS = Window.orderBy("stage")
+    w0 = wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        stacked.withColumn(
+            "n_dropped",
+            F.coalesce(F.lag("n_docs").over(wS) - F.col("n_docs"), F.lit(0)).cast(
+                "long"
+            ),
+        )
+        .withColumn("_n0", F.first("n_docs").over(w0))
+        .withColumn("retention_ppm", F.expr("n_docs * 1000000 DIV _n0"))
+        .drop("_n0")
+        .orderBy("stage")
+    )

@@ -152,3 +152,18 @@ def test_minhash_lsh_quality_bounds(spark, sf_dir):
         assert r.precision_ppm == r.tp * 1_000_000 // (r.tp + r.fp)
     if r.tp + r.fn:
         assert r.recall_ppm == r.tp * 1_000_000 // (r.tp + r.fn)
+
+
+def test_curation_funnel_monotone_and_consistent(spark, sf_dir):
+    """Funnel counts are monotone non-increasing, drops reconcile, and
+    retention is relative to ingest."""
+    from input_data_pipeline_spark.operators.curation import curation_funnel
+
+    rows = sorted((r.stage, r) for r in curation_funnel(spark, sf_dir).collect())
+    assert [s for s, _ in rows] == [0, 1, 2, 3, 4]
+    ns = [r.n_docs for _, r in rows]
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
+    for i, (_, r) in enumerate(rows):
+        if i:
+            assert r.n_dropped == ns[i - 1] - ns[i]
+        assert r.retention_ppm == r.n_docs * 1_000_000 // ns[0]
