@@ -872,8 +872,10 @@ def _sql_floor_div(s: str, n: str) -> str:
     return f"((({s}) - ((({s}) % ({n})) + ({n})) % ({n})) // ({n}))"
 
 
-_DUCK_KMEANS_ORACLE = f"""
-WITH qv AS (
+# Training CTE chain (seeds -> one Lloyd update -> centroids c1), shared
+# by the clustering report and the IVF-probe oracle below.
+_DUCK_KMEANS_TRAIN_CTES = f"""
+qv AS (
   SELECT vec_id, label,
          list_transform(embedding,
              x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
@@ -905,7 +907,10 @@ s1 AS (
 c1 AS (
   SELECT cid, list(CAST({_sql_floor_div('s', 'n')} AS BIGINT) ORDER BY pos) AS c
   FROM s1 GROUP BY cid
-),
+)"""
+
+_DUCK_KMEANS_ORACLE = f"""
+WITH {_DUCK_KMEANS_TRAIN_CTES},
 d2_ AS (
   SELECT qv.vec_id, qv.label, c1.cid,
          (SELECT SUM((u.qc - u.cc) * (u.qc - u.cc))
@@ -999,6 +1004,32 @@ def _kmeans_assign(qv: DataFrame, centroids: list[tuple[int, list[int]]]) -> Dat
     return qv.withColumn("d2", best["d2"]).withColumn("cid", best["cid"])
 
 
+def _kmeans_train(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[int]]]:
+    """One Lloyd update from the deterministic md5 seeds: the trained
+    coarse quantizer C1 shared by ``kmeans_embedding_clusters`` (which
+    reports its fixed point) and ``knn_ivf_kmeans`` (which probes it).
+    Driver state is K×(dim+1) longs; Python ``//`` is floor division,
+    matching the oracle's floor-div fragment exactly."""
+    qv = _kmeans_qvec(spark, sf_dir)
+    seeds = (
+        qv.select(F.md5(F.col("vec_id").cast("string")).alias("h"), "vec_id", "q")
+        .orderBy("h", "vec_id")
+        .limit(KMEANS_K)
+        .collect()
+    )
+    c0 = [(i + 1, list(r["q"])) for i, r in enumerate(seeds)]
+
+    a1 = _kmeans_assign(qv, c0)
+    sums = a1.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(DIM)],
+    ).collect()
+    return [
+        (r["cid"], [r[f"s{i}"] // r["n"] for i in range(DIM)])
+        for r in sorted(sums, key=lambda r: r["cid"])
+    ]
+
+
 @register("kmeans_embedding_clusters", oracle=_DUCK_KMEANS_ORACLE)
 def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd k-means over the embedding corpus (K=8, two
@@ -1022,26 +1053,7 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     would persist the quantized vectors between passes; at test scale the
     two parquet re-reads are cheaper than the cache."""
     qv = _kmeans_qvec(spark, sf_dir)
-
-    seeds = (
-        qv.select(F.md5(F.col("vec_id").cast("string")).alias("h"), "vec_id", "q")
-        .orderBy("h", "vec_id")
-        .limit(KMEANS_K)
-        .collect()
-    )
-    c0 = [(i + 1, list(r["q"])) for i, r in enumerate(seeds)]
-
-    a1 = _kmeans_assign(qv, c0)
-    sums = a1.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(DIM)],
-    ).collect()
-    # Python // is floor division — exactly the oracle's floor-div fragment.
-    c1 = [
-        (r["cid"], [r[f"s{i}"] // r["n"] for i in range(DIM)])
-        for r in sorted(sums, key=lambda r: r["cid"])
-    ]
-
+    c1 = _kmeans_train(spark, sf_dir)
     a2 = _kmeans_assign(qv, c1)
     stats = a2.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_vecs"), F.sum("d2").alias("inertia")
@@ -1070,4 +1082,128 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_label_n",
         )
         .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN over the TRAINED (k-means) coarse quantizer
+# ---------------------------------------------------------------------------
+
+_DUCK_KM_D2 = (
+    "(SELECT SUM((u.qc - u.cc) * (u.qc - u.cc))"
+    " FROM (SELECT UNNEST(qv.q) AS qc, UNNEST(c1.c) AS cc) u)"
+)
+
+_DUCK_IVF_KM_COS = (
+    "list_sum(list_transform(range(1, {d} + 1), i -> qe.e[i] * ne.e[i]))"
+    " / (sqrt(list_sum(list_transform(qe.e, x -> x * x)))"
+    " * sqrt(list_sum(list_transform(ne.e, x -> x * x))))"
+).format(d=DIM)
+
+
+@register(
+    "knn_ivf_kmeans",
+    oracle=f"""
+    WITH {_DUCK_KMEANS_TRAIN_CTES},
+    v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    av AS (
+      SELECT vec_id, label, cid FROM (
+        SELECT qv.vec_id, qv.label, c1.cid,
+               ROW_NUMBER() OVER (PARTITION BY qv.vec_id
+                                  ORDER BY {_DUCK_KM_D2}, c1.cid) AS rn
+        FROM qv CROSS JOIN c1)
+      WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT qv.vec_id, c1.cid,
+               ROW_NUMBER() OVER (PARTITION BY qv.vec_id
+                                  ORDER BY {_DUCK_KM_D2}, c1.cid) AS rn
+        FROM qv CROSS JOIN c1 WHERE qv.vec_id < {N_QUERIES})
+      WHERE rn <= {N_PROBE}),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, a.label AS neighbor_label,
+             CAST(ROUND(({_DUCK_IVF_KM_COS}) * 1000000) AS BIGINT) AS cosine_ppm
+      FROM probes p
+      JOIN av a ON a.cid = p.cid AND a.vec_id <> p.query_id
+      JOIN v qe ON qe.vec_id = p.query_id
+      JOIN v ne ON ne.vec_id = a.vec_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_ppm DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, neighbor_label, cosine_ppm, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN whose coarse quantizer is TRAINED on the corpus — the
+    ``_kmeans_train`` centroids (one Lloyd update from md5 seeds) replace
+    ``knn_ivf``'s fixed md5-seeded cells, completing the train→probe path
+    that query's docstring defers to. Assignment and probe selection run
+    in exact integer L2 on micros-quantized vectors (bit-stable across
+    engines); the candidate re-rank is the family's double cosine fold.
+
+    Scale shape: assignment is the same map-only literal-centroid pass as
+    the clustering query; the probe set is {np} cells per query, so the
+    re-rank scores ~{np}/{k} of the corpus; the probe→candidate join
+    broadcasts the (query × probe-cell) side. Production IVF persists the
+    assignment as a cid-bucketed table, making the probe join
+    shuffle-free — same plumbing."""
+    from pyspark.sql import Window
+
+    c1 = _kmeans_train(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    base = emb.withColumn(
+        "q",
+        F.transform(F.col("e"), lambda x: F.round(x * F.lit(1_000_000)).cast("long")),
+    )
+    assigned = _kmeans_assign(base, c1).select("vec_id", "label", "e", "cid")
+
+    clit = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("long").alias("cid"),
+                F.array(*[F.lit(int(v)).cast("long") for v in vec]).alias("c"),
+            )
+            for cid, vec in c1
+        ]
+    )
+    scored_cells = F.transform(
+        clit,
+        lambda s: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("q"), s["c"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            s["cid"].alias("cid"),
+        ),
+    )
+    probes = (
+        base.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.explode(F.slice(F.array_sort(scored_cells), 1, N_PROBE)).alias("pc"),
+        )
+        .select("query_id", "qe", F.col("pc")["cid"].alias("cid"))
+    )
+
+    cand = F.broadcast(probes).join(
+        assigned,
+        (probes["cid"] == assigned["cid"]) & (assigned["vec_id"] != probes["query_id"]),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        round_micros(cosine(F.col("qe"), F.col("e"))).alias("cosine_ppm"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_ppm"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
     )

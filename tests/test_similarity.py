@@ -108,3 +108,25 @@ def test_kmeans_deterministic_across_shuffle_partitions(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     assert a == b
+
+
+def test_ivf_kmeans_recall_vs_bruteforce(spark, sf_dir):
+    """IVF over the TRAINED quantizer with 2/8 probes: same loose-but-
+    positive recall bound as the fixed-centroid tier, exact scores on
+    hits (both paths emit the identical cosine fold)."""
+    from input_data_pipeline_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivf_kmeans,
+    )
+
+    truth = {
+        (r.query_id, r.neighbor_id): r.cosine_ppm
+        for r in knn_bruteforce(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id): r.cosine_ppm
+        for r in knn_ivf_kmeans(spark, sf_dir).collect()
+    }
+    hits = set(truth) & set(approx)
+    assert len(hits) / len(truth) >= 0.2, f"recall {len(hits)}/{len(truth)}"
+    assert all(truth[h] == approx[h] for h in hits)
