@@ -193,3 +193,43 @@ def test_hll_union_register_stages_stay_small_and_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     # register build is partial+final MAX (map-side combine before shuffle)
     assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_round6_llm_ops_scale_plans(spark, sf_dir):
+    """Round-6 operators' physical-plan invariants:
+
+    - k-means assignment passes are map-only over the persisted quantized
+      vectors (no join/exchange on the corpus side of an assignment);
+    - the trained-IVF probe join broadcasts the (query × probe-cell) side
+      and nothing cartesian-products;
+    - bigram-LM scoring never broadcasts the big occurrence side and its
+      count aggregates partial-combine map-side;
+    - exact-substring coverage aggregates partial-combine (the per-doc
+      distinct pass must shrink the wire before the frequency join).
+    """
+    from input_data_pipeline_spark.operators.corpus import exact_substring_coverage
+    from input_data_pipeline_spark.operators.similarity import (
+        _kmeans_assign,
+        _kmeans_qvec,
+        _kmeans_train,
+        knn_ivf_kmeans,
+    )
+    from input_data_pipeline_spark.operators.textstats import bigram_lm_doc_scores
+
+    c1 = _kmeans_train(spark, sf_dir)
+    assign_plan = _executed_plan(_kmeans_assign(_kmeans_qvec(spark, sf_dir), c1))
+    assert "Join" not in assign_plan and "Exchange" not in assign_plan, (
+        "k-means assignment must be map-only against literal centroids"
+    )
+
+    ivf_plan = _executed_plan(knn_ivf_kmeans(spark, sf_dir))
+    assert "BroadcastHashJoin" in ivf_plan
+    assert "CartesianProduct" not in ivf_plan
+
+    bg_plan = _executed_plan(bigram_lm_doc_scores(spark, sf_dir))
+    assert "CartesianProduct" not in bg_plan
+    assert "partial_" in bg_plan
+
+    esc_plan = _executed_plan(exact_substring_coverage(spark, sf_dir))
+    assert "partial_" in esc_plan
+    assert "CartesianProduct" not in esc_plan
