@@ -505,3 +505,101 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("price_cents").alias("total_cents"))
         .orderBy("action", "o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Generic table profiler (per-column data-quality audit)
+# ---------------------------------------------------------------------------
+
+# (column, kind) drives both the Spark aggregate and the generated oracle;
+# rendering per kind keeps min/max cells engine-identical: integers and
+# strings render natively, doubles as exact micros, timestamps as epoch-us.
+_PROFILE_COLS: list[tuple[str, str]] = [
+    ("o_custkey", "bigint"),
+    ("o_orderdate", "ts"),
+    ("o_orderkey", "bigint"),
+    ("o_orderpriority", "str"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "double"),
+]
+
+
+def _profile_oracle() -> str:
+    cells, rows = [], []
+    for i, (col, kind) in enumerate(_PROFILE_COLS):
+        if kind == "bigint":
+            mn, mx = f"CAST(MIN({col}) AS VARCHAR)", f"CAST(MAX({col}) AS VARCHAR)"
+        elif kind == "str":
+            mn, mx = f"MIN({col})", f"MAX({col})"
+        elif kind == "double":
+            mn = f"CAST(CAST(CAST(MIN({col}) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS VARCHAR)"
+            mx = f"CAST(CAST(CAST(MAX({col}) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS VARCHAR)"
+        else:  # ts
+            mn = f"CAST(epoch_us(MIN({col})) AS VARCHAR)"
+            mx = f"CAST(epoch_us(MAX({col})) AS VARCHAR)"
+        cells.append(
+            f"COUNT(*) - COUNT({col}) AS nn{i}, COUNT(DISTINCT {col}) AS nd{i},"
+            f" {mn} AS mn{i}, {mx} AS mx{i}"
+        )
+        rows.append(
+            f"SELECT '{col}' AS column_name, CAST(n_rows AS BIGINT) AS n_rows,"
+            f" CAST(nn{i} AS BIGINT) AS n_nulls, CAST(nd{i} AS BIGINT) AS n_distinct,"
+            f" mn{i} AS min_repr, mx{i} AS max_repr FROM a"
+        )
+    return (
+        "WITH a AS (SELECT COUNT(*) AS n_rows, "
+        + ", ".join(cells)
+        + " FROM orders)\n"
+        + "\nUNION ALL ".join(rows)
+        + "\nORDER BY column_name"
+    )
+
+
+@register("table_profile", oracle=_profile_oracle())
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of a table (here ``orders``): row count, null
+    count, exact distinct count, and engine-stable min/max renderings —
+    the data-quality audit run before a table joins the pipeline. Doubles
+    render as exact micros and timestamps as epoch-us so the cells are
+    canonicalization-proof; exact COUNT(DISTINCT) is deliberate (the
+    approximate cousin exists as ``approx_distinct_users``) — Spark plans
+    the multi-distinct aggregate with one Expand pass, still a single
+    scan with map-side partials, which is the standard profile cost.
+
+    Scale note: the stack() unpivot runs on ONE aggregated row; nothing
+    per-row crosses the wire except the expanded distinct keys."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i, (col, kind) in enumerate(_PROFILE_COLS):
+        c = F.col(col)
+        if kind == "bigint":
+            mn, mx = F.min(c).cast("string"), F.max(c).cast("string")
+        elif kind == "str":
+            mn, mx = F.min(c), F.max(c)
+        elif kind == "double":
+            mn = F.floor(F.min(c) * 1_000_000 + F.lit(0.5)).cast("long").cast("string")
+            mx = F.floor(F.max(c) * 1_000_000 + F.lit(0.5)).cast("long").cast("string")
+        else:  # ts
+            mn = F.unix_micros(F.min(c)).cast("string")
+            mx = F.unix_micros(F.max(c)).cast("string")
+        aggs += [
+            F.sum(c.isNull().cast("long")).alias(f"nn{i}"),
+            F.count_distinct(c).alias(f"nd{i}"),
+            mn.alias(f"mn{i}"),
+            mx.alias(f"mx{i}"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', nn{i}, nd{i}, mn{i}, mx{i}" for i, (col, _) in enumerate(_PROFILE_COLS)
+    )
+    return (
+        one.select(
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {stack_args})"
+                " AS (column_name, n_nulls, n_distinct, min_repr, max_repr)"
+            ),
+            "n_rows",
+        )
+        .select("column_name", "n_rows", "n_nulls", "n_distinct", "min_repr", "max_repr")
+        .orderBy("column_name")
+    )
