@@ -1207,3 +1207,68 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced diversity sampling
+# ---------------------------------------------------------------------------
+
+_DIV_PER_CLUSTER = 10
+
+
+@register(
+    "cluster_diversity_sample",
+    oracle=f"""
+    WITH {_DUCK_KMEANS_TRAIN_CTES},
+    av AS (
+      SELECT vec_id, label, cid FROM (
+        SELECT qv.vec_id, qv.label, c1.cid,
+               ROW_NUMBER() OVER (PARTITION BY qv.vec_id
+                                  ORDER BY {_DUCK_KM_D2}, c1.cid) AS rn
+        FROM qv CROSS JOIN c1)
+      WHERE rn = 1),
+    ranked AS (
+      SELECT vec_id, label, cid,
+             ROW_NUMBER() OVER (PARTITION BY cid
+                                ORDER BY md5('div:' || CAST(vec_id AS VARCHAR)),
+                                         vec_id) AS pick,
+             COUNT(*) OVER (PARTITION BY cid) AS n_members
+      FROM av)
+    SELECT vec_id, CAST(label AS BIGINT) AS label, cid,
+           CAST(pick AS BIGINT) AS pick, CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE pick <= {_DIV_PER_CLUSTER}
+    ORDER BY cid, pick
+    """,
+)
+def cluster_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling: assign every vector to its
+    trained k-means cell, then take a fixed per-cluster quota in
+    deterministic md5 order — the semantic-coverage selection pass
+    (equal representation from every region of embedding space, instead
+    of frequency-weighted sampling that over-picks dense modes).
+
+    Scale shape: the same map-only literal-centroid assignment as the
+    clustering/IVF queries; the quota pick is one window keyed by cid
+    (K partitions); md5-order sampling is the repo's standard RNG-free
+    determinism device, so the picked set is stable across engines,
+    partitionings, and reruns."""
+    from pyspark.sql import Window
+
+    c1 = _kmeans_train(spark, sf_dir)
+    qv = _kmeans_qvec(spark, sf_dir)
+    av = _kmeans_assign(qv, c1).select("vec_id", "label", "cid")
+    w = Window.partitionBy("cid")
+    wo = w.orderBy(F.md5(F.concat(F.lit("div:"), F.col("vec_id").cast("string"))), "vec_id")
+    return (
+        av.withColumn("pick", F.row_number().over(wo))
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+        .filter(F.col("pick") <= _DIV_PER_CLUSTER)
+        .select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            "cid",
+            F.col("pick").cast("long").alias("pick"),
+            "n_members",
+        )
+        .orderBy("cid", "pick")
+    )

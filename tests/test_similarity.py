@@ -130,3 +130,24 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark, sf_dir):
     hits = set(truth) & set(approx)
     assert len(hits) / len(truth) >= 0.2, f"recall {len(hits)}/{len(truth)}"
     assert all(truth[h] == approx[h] for h in hits)
+
+
+def test_cluster_diversity_sample_quota_and_coverage(spark, sf_dir):
+    """Per-cluster quota respected, picks are 1..min(quota, members), and
+    every non-empty cluster is represented."""
+    from input_data_pipeline_spark.operators.similarity import (
+        _DIV_PER_CLUSTER,
+        cluster_diversity_sample,
+        kmeans_embedding_clusters,
+    )
+
+    picks = cluster_diversity_sample(spark, sf_dir).collect()
+    by_cid: dict[int, list] = {}
+    for r in picks:
+        by_cid.setdefault(r.cid, []).append(r)
+    clusters = {r.cluster_id: r.n_vecs for r in kmeans_embedding_clusters(spark, sf_dir).collect()}
+    assert set(by_cid) == set(clusters)
+    for cid, rows in by_cid.items():
+        assert len(rows) == min(_DIV_PER_CLUSTER, clusters[cid])
+        assert sorted(r.pick for r in rows) == list(range(1, len(rows) + 1))
+        assert all(r.n_members == clusters[cid] for r in rows)
