@@ -816,3 +816,68 @@ def user_rolling_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts_us", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts (daily acquisition cohorts × activity offset)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    coh AS (SELECT user_id, MIN(d) AS cohort_day FROM act GROUP BY user_id),
+    sized AS (
+      SELECT cohort_day, COUNT(*) AS cohort_size FROM coh GROUP BY cohort_day),
+    joined AS (
+      SELECT c.cohort_day,
+             CAST(date_diff('day', c.cohort_day, a.d) AS BIGINT) AS day_offset,
+             COUNT(*) AS n_active
+      FROM act a JOIN coh c USING (user_id)
+      GROUP BY 1, 2)
+    SELECT j.cohort_day, j.day_offset,
+           CAST(j.n_active AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(j.n_active * 1000000 // s.cohort_size AS BIGINT) AS retention_ppm
+    FROM joined j JOIN sized s USING (cohort_day)
+    ORDER BY j.cohort_day, j.day_offset
+    """,
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily acquisition-cohort retention matrix: users are cohorted by
+    their first active day; each (cohort, day-offset) cell reports how
+    many of that cohort were active offset days later, as exact ppm of
+    the cohort size. COUNT(*) suffices for the active tally because the
+    activity set is pre-deduplicated to (user, day) and a user maps to
+    exactly one offset per day within its cohort.
+
+    Scale shape: the (user, day) distinct and the per-user min are
+    map-side-combinable aggregates; the activity×cohort join keys on
+    user_id (both sides already reduced); the final matrix is tiny and
+    its cohort-size join broadcasts. Dates derive from the UTC-pinned
+    session, matching the oracle's naive-timestamp cast."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    coh = act.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    sized = coh.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_size"))
+    joined = (
+        act.join(coh, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("d", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        joined.join(F.broadcast(sized), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            "cohort_size",
+            F.expr("n_active * 1000000 DIV cohort_size").alias("retention_ppm"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )

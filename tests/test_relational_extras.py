@@ -142,3 +142,17 @@ def test_salted_join_spreads_hot_key(spark):
         .count()
     )
     assert buckets == 8
+
+
+def test_retention_cohorts_day_zero_is_full(spark, sf_dir):
+    """Every cohort is 100% retained at offset 0, offsets are non-negative,
+    and no cell exceeds its cohort size."""
+    from input_data_pipeline_spark.operators.windows import user_retention_cohorts
+
+    rows = user_retention_cohorts(spark, sf_dir).collect()
+    assert rows
+    zero = {r.cohort_day: r for r in rows if r.day_offset == 0}
+    assert set(zero) == {r.cohort_day for r in rows}
+    assert all(r.retention_ppm == 1_000_000 and r.n_active == r.cohort_size
+               for r in zero.values())
+    assert all(r.day_offset >= 0 and r.n_active <= r.cohort_size for r in rows)
