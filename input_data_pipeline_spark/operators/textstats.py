@@ -1623,3 +1623,73 @@ def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Encoding / normalization audit (mojibake & control-char screening)
+# ---------------------------------------------------------------------------
+
+# Regex fragments restricted to the syntax Java regex and RE2 share:
+# hex classes and \x{...} code points (no \p{...} names, whose vocabularies
+# differ between the engines).
+_CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+_NON_ASCII_RE = r"[^\x00-\x7F]"
+_CJK_RE = r"[\x{4E00}-\x{9FFF}]"
+
+
+@register(
+    "text_encoding_audit",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN regexp_matches(text, '{_CTRL_RE}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_with_ctrl,
+           CAST(SUM(CASE WHEN contains(text, chr(65533))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_with_replchar,
+           CAST(SUM(CASE WHEN regexp_matches(text, '{_CJK_RE}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_with_cjk,
+           CAST(SUM(length(text)
+                    - length(regexp_replace(text, '{_NON_ASCII_RE}', '', 'g')))
+                * 1000000
+                // GREATEST(SUM(length(text)), 1) AS BIGINT) AS non_ascii_ppm
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source encoding hygiene: docs containing raw control characters
+    (broken extraction), U+FFFD replacement characters (mojibake from a
+    wrong-charset decode), CJK code points (script mix-ins), plus the
+    corpus-level non-ASCII character share in ppm — the screen run before
+    text normalization decides what to strip or re-decode.
+
+    Regexes stay inside the Java-regex ∩ RE2 common subset (hex classes,
+    \\x{{...}} code points — no \\p{{...}} names, whose vocabularies
+    differ), the same portability rule as the PII scaffold. Everything is
+    one codegen'd scan with a per-source map-side-combinable aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    flags = docs.select(
+        "source",
+        F.col("text").rlike(_CTRL_RE).cast("long").alias("has_ctrl"),
+        (F.instr("text", "�") > 0).cast("long").alias("has_repl"),
+        F.col("text").rlike(_CJK_RE).cast("long").alias("has_cjk"),
+        F.length("text").alias("n_chars_total"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", _NON_ASCII_RE, ""))
+        ).alias("n_non_ascii"),
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("has_ctrl").alias("n_with_ctrl"),
+            F.sum("has_repl").alias("n_with_replchar"),
+            F.sum("has_cjk").alias("n_with_cjk"),
+            F.expr(
+                "sum(n_non_ascii) * 1000000 DIV greatest(sum(n_chars_total), 1)"
+            ).alias("non_ascii_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -82,3 +82,30 @@ def test_bigram_lm_scores_tiny_corpus(spark, tmp_path):
     # p_ppm: ab=1000000, ba=500000, bc=500000
     # doc0: (2*1000000 + 1*500000) // 3 = 833333 ; doc3: 500000
     assert got == [(0, "en", 3, 833333), (3, "en", 1, 500000)]
+
+
+def test_encoding_audit_flags_planted_hygiene_issues(spark, tmp_path):
+    """Planted control char, U+FFFD mojibake, CJK text, and a clean doc:
+    the audit must count each exactly once and get the non-ASCII ppm
+    right (CJK chars are 1 char each in both engines' length())."""
+    from input_data_pipeline_spark.operators.textstats import text_encoding_audit
+
+    rows = [
+        (0, "clean ascii text", "a", "en", 16),
+        (1, "broken\x07bell", "a", "en", 12),
+        (2, "moji�bake", "b", "en", 9),
+        (3, "中文 text", "b", "zh", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r.source: r for r in text_encoding_audit(spark, str(tmp_path)).collect()}
+    a, b = got["a"], got["b"]
+    assert (a.n_docs, a.n_with_ctrl, a.n_with_replchar, a.n_with_cjk) == (2, 1, 0, 0)
+    assert a.non_ascii_ppm == 0
+    assert (b.n_docs, b.n_with_ctrl, b.n_with_replchar, b.n_with_cjk) == (2, 0, 1, 1)
+    # source b: texts "moji?bake" (9 chars, 1 non-ascii) + "中文 text" (7 chars,
+    # 2 non-ascii) -> 3/16 of the chars
+    assert b.non_ascii_ppm == 3 * 1_000_000 // 16
