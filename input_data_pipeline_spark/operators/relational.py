@@ -1516,3 +1516,95 @@ def orders_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: six-table regional supplier revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "regional_supplier_revenue",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+             AS revenue_micros,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue_micros DESC, n.n_name
+    """,
+)
+def regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the deepest star join in the suite: local supplier
+    revenue per nation within one region and order year, where "local"
+    means the customer and the supplier share a nation
+    (c_nationkey = s_nationkey — the theta half of the join that makes Q5
+    the classic join-order benchmark).
+
+    Scale plan: region→nation prune first (broadcast both, cutting
+    supplier and customer to one region's nations before any fact
+    shuffles); the orderdate filter pushes to the orders scan; the two
+    fact joins (orders⋈lineitem on orderkey, then suppkey) shuffle only
+    pre-filtered rows; supplier/customer/nation/region all broadcast.
+    Exact split-long revenue sum (stable_sum_micros)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    local_nations = F.broadcast(
+        nation.join(
+            F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+        ).select("n_nationkey", "n_name")
+    )
+    supp_r = F.broadcast(
+        supp.join(local_nations, supp["s_nationkey"] == local_nations["n_nationkey"])
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust_r = F.broadcast(
+        cust.join(
+            local_nations.select(F.col("n_nationkey").alias("cn_key")),
+            cust["c_nationkey"] == F.col("cn_key"),
+        ).select("c_custkey", "c_nationkey")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust_r, orders["o_custkey"] == cust_r["c_custkey"])
+        .join(
+            supp_r,
+            (li["l_suppkey"] == supp_r["s_suppkey"])
+            & (cust_r["c_nationkey"] == supp_r["s_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(
+            stable_sum_micros(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue_micros"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.desc("revenue_micros"), "n_name")
+    )

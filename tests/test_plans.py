@@ -233,3 +233,18 @@ def test_round6_llm_ops_scale_plans(spark, sf_dir):
     esc_plan = _executed_plan(exact_substring_coverage(spark, sf_dir))
     assert "partial_" in esc_plan
     assert "CartesianProduct" not in esc_plan
+
+
+def test_q5_shape_broadcasts_all_dimensions(spark, sf_dir):
+    """The six-table Q5 shape must broadcast every dimension side (no
+    sort-merge fallback), keep the orderdate filter pushed into the
+    orders scan, and never cartesian-product."""
+    from input_data_pipeline_spark.operators.relational import (
+        regional_supplier_revenue,
+    )
+
+    plan = _executed_plan(regional_supplier_revenue(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate", plan)
