@@ -144,6 +144,7 @@ _PRIORITY: list[str] = [
     "kmeans_embedding_clusters",
     "bigram_lm_doc_scores",
     "exact_substring_coverage",
+    "curation_funnel",
     # --- double-green diversity keepers (fall past the 50-slot window
     # --- this round; all have >= 2 prior green rounds) ---
     "incremental_batch_dedup",
