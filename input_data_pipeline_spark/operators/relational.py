@@ -1608,3 +1608,88 @@ def regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue_micros"), "n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: two-nation shipping volume by year
+# ---------------------------------------------------------------------------
+
+_Q7_NATION_A = "NATION_1"
+_Q7_NATION_B = "NATION_2"
+
+
+@register(
+    "nation_pair_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(volume AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+             AS revenue_micros,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = '{_Q7_NATION_A}' AND n2.n_name = '{_Q7_NATION_B}')
+          OR (n1.n_name = '{_Q7_NATION_B}' AND n2.n_name = '{_Q7_NATION_A}'))
+        AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01')
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between an ordered pair of nations
+    per ship year — the join topology where BOTH fact-side dimensions
+    carry a selective filter and the pair predicate is a disjunction
+    across the two join branches.
+
+    Scale plan: nation prunes to the two names first; supplier and
+    customer reduce against it via broadcast BEFORE touching facts, so
+    the pair predicate's disjunction never sees unfiltered fact rows;
+    lineitem's shipdate range pushes to the scan; the only fact shuffle
+    is lineitem⋈orders on orderkey (both reduced sides broadcast into
+    it). Exact split-long revenue sum."""
+    pair = [_Q7_NATION_A, _Q7_NATION_B]
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
+    supp2 = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust2 = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    a, b = pair
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(supp2, li["l_suppkey"] == supp2["s_suppkey"])
+        .join(cust2, orders["o_custkey"] == cust2["c_custkey"])
+        .filter(
+            ((F.col("supp_nation") == a) & (F.col("cust_nation") == b))
+            | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            stable_sum_micros(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue_micros"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
