@@ -250,3 +250,32 @@ def test_observe_ingest_quality_counters(spark):
     assert got["n_null_text"] == 1
     assert got["n_null_segments"] == 2
     assert got["n_source_types"] == 3
+
+
+def test_referential_integrity_audit_detects_planted_orphans(spark, tmp_path):
+    """A lineitem pointing at a missing order and an order pointing at a
+    missing customer must be counted as orphans; intact edges stay true."""
+    from input_data_pipeline_spark.operators.ingest import referential_integrity_audit
+
+    def w(name, schema, rows):
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            str(tmp_path / f"{name}.parquet")
+        )
+
+    w("orders", "o_orderkey long, o_custkey long", [(1, 10), (2, 99)])  # 99 orphan
+    w("lineitem", "l_orderkey long, l_suppkey long, l_partkey long",
+      [(1, 100, 1000), (7, 100, 1000)])  # order 7 missing
+    w("customer", "c_custkey long, c_nationkey long", [(10, 0)])
+    w("supplier", "s_suppkey long, s_nationkey long", [(100, 0)])
+    w("part", "p_partkey long", [(1000,)])
+    w("nation", "n_nationkey long, n_regionkey long", [(0, 0)])
+    w("region", "r_regionkey long", [(0,)])
+
+    got = {r.fk: r for r in referential_integrity_audit(spark, str(tmp_path)).collect()}
+    assert got["lineitem.l_orderkey -> orders"].n_orphans == 1
+    assert not got["lineitem.l_orderkey -> orders"].intact
+    assert got["orders.o_custkey -> customer"].n_orphans == 1
+    assert got["lineitem.l_suppkey -> supplier"].intact
+    assert got["lineitem.l_partkey -> part"].intact
+    assert got["customer.c_nationkey -> nation"].intact
+    assert got["nation.n_regionkey -> region"].intact
