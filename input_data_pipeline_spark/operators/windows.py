@@ -881,3 +881,74 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "day_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Active-user rollups (DAU / trailing WAU / trailing MAU + stickiness)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "active_user_rollup",
+    oracle="""
+    WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    days AS (SELECT DISTINCT d FROM act),
+    wau AS (
+      SELECT g.d, COUNT(DISTINCT a.user_id) AS wau
+      FROM days g JOIN act a ON a.d BETWEEN g.d - 6 AND g.d GROUP BY g.d),
+    mau AS (
+      SELECT g.d, COUNT(DISTINCT a.user_id) AS mau
+      FROM days g JOIN act a ON a.d BETWEEN g.d - 29 AND g.d GROUP BY g.d),
+    dau AS (SELECT d, COUNT(*) AS dau FROM act GROUP BY d)
+    SELECT dau.d, CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+           CAST(mau.mau AS BIGINT) AS mau,
+           CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS stickiness_dw_ppm
+    FROM dau JOIN wau USING (d) JOIN mau USING (d)
+    ORDER BY dau.d
+    """,
+)
+def active_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement rollup: per observed day, the exact distinct active
+    users that day (DAU), over the trailing 7 days (WAU), the trailing
+    30 days (MAU), and DAU/WAU stickiness in ppm.
+
+    Scale shape: distinct-over-sliding-window can't map-side combine, so
+    the engine uses the bounded FAN-OUT form instead of a nested-loop
+    range join — each (user, day) activity row explodes to the <=7 (or
+    <=30) trailing-window days it contributes to, then one count-distinct
+    aggregate keyed by day; the observed-day grid is broadcast for the
+    semi-join restriction. Fan-out is bounded by the window length, never
+    by data skew. (The sketch-path alternative for petabyte corpora —
+    per-day HLL registers merged bucket-wise over the trailing window —
+    is `hll_union_sources`' register algebra applied temporally.)"""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    days = act.select("d").distinct()
+
+    def trailing(n_days: int, name: str) -> DataFrame:
+        fan = act.select(
+            "user_id",
+            F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), n_days - 1))).alias(
+                "g"
+            ),
+        )
+        return (
+            fan.join(F.broadcast(days), fan["g"] == days["d"], "left_semi")
+            .groupBy("g")
+            .agg(F.count_distinct("user_id").alias(name))
+            .withColumnRenamed("g", "d")
+        )
+
+    dau = act.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(trailing(7, "wau"), "d")
+        .join(trailing(30, "mau"), "d")
+        .select(
+            "d",
+            "dau",
+            "wau",
+            "mau",
+            F.expr("dau * 1000000 DIV wau").alias("stickiness_dw_ppm"),
+        )
+        .orderBy("d")
+    )

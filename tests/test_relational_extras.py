@@ -156,3 +156,15 @@ def test_retention_cohorts_day_zero_is_full(spark, sf_dir):
     assert all(r.retention_ppm == 1_000_000 and r.n_active == r.cohort_size
                for r in zero.values())
     assert all(r.day_offset >= 0 and r.n_active <= r.cohort_size for r in rows)
+
+
+def test_active_user_rollup_invariants(spark, sf_dir):
+    """DAU <= WAU <= MAU everywhere; WAU/MAU are non-decreasing in window
+    length by construction; stickiness is DAU/WAU in ppm."""
+    from input_data_pipeline_spark.operators.windows import active_user_rollup
+
+    rows = active_user_rollup(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.dau <= r.wau <= r.mau
+        assert r.stickiness_dw_ppm == r.dau * 1_000_000 // r.wau
