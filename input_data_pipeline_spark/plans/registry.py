@@ -152,6 +152,13 @@ _PRIORITY: list[str] = [
     "asof_order_context",
     "skew_salted_user_join",
 ]
+# Round-7 rotation backlog: the other round-6 operators are local-green in
+# both fetch modes + hostile-TZ driver-mimic but have never been in a
+# driver window — rotate them in next round: dedup_keep_selection,
+# knn_ivf_kmeans, cluster_diversity_sample, table_profile,
+# user_retention_cohorts, active_user_rollup, text_encoding_audit,
+# regional_supplier_revenue, nation_pair_volume,
+# referential_integrity_audit.
 
 
 def _ordered() -> dict[str, QuerySpec]:
