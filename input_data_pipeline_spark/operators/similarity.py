@@ -1272,3 +1272,113 @@ def cluster_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid", "pick")
     )
+
+
+# ---------------------------------------------------------------------------
+# Top principal direction via power iteration (integer-exact)
+# ---------------------------------------------------------------------------
+
+_PI_RESCALE_DOT = 1_000_000       # per-row projection trunc-div
+_PI_RESCALE_S = 10_000_000_000    # matvec output trunc-div
+
+_DUCK_POWER_ITER_CTE = """
+d{n} AS (
+  SELECT vec_id, q,
+         (SELECT SUM(u.qc * u.vc)
+          FROM (SELECT UNNEST(qv.q) qc, UNNEST(v{m}.v) vc) u) // 1000000 AS d
+  FROM qv, v{m}),
+s{n} AS (
+  SELECT pos, SUM(qc * d) AS s
+  FROM (SELECT d, UNNEST(q) AS qc, generate_subscripts(q, 1) AS pos FROM d{n})
+  GROUP BY pos),
+r{n} AS (SELECT pos, s // 10000000000 AS sr FROM s{n}),
+n{n} AS (SELECT CAST(FLOOR(SQRT(CAST(SUM(sr * sr) AS DOUBLE))) AS BIGINT) AS nrm
+         FROM r{n}),
+v{n} AS (SELECT list(sr * 1000000 // nrm ORDER BY pos) AS v FROM r{n}, n{n})
+"""
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncation-toward-zero integer division — the semantics BOTH
+    DuckDB ``//`` and Spark ``DIV`` use (verified: -7 // 2 = -3), unlike
+    Python's flooring ``//``."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+@register(
+    "embedding_principal_component",
+    oracle=f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      FROM embeddings),
+    v0 AS (SELECT list_transform(range(1, {DIM} + 1),
+                                 i -> CAST(1000000 AS BIGINT)) AS v),
+    {_DUCK_POWER_ITER_CTE.format(n=1, m=0)},
+    {_DUCK_POWER_ITER_CTE.format(n=2, m=1)}
+    SELECT CAST(pos AS BIGINT) AS pos, CAST(comp AS BIGINT) AS v_micros
+    FROM (SELECT UNNEST(v) AS comp, generate_subscripts(v, 1) AS pos FROM v2)
+    ORDER BY pos
+    """,
+)
+def embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding corpus by two
+    rounds of power iteration — the PCA/whitening precursor, and the
+    repo's third iterative-algorithm pattern after connected components
+    and Lloyd k-means. Each round is one map-only projection pass
+    (current vector as a plan literal) plus one {d}-cell aggregate; the
+    driver holds only the dim-length vector between rounds.
+
+    Exactness: all arithmetic is integer on micros-quantized components
+    with fixed truncating rescales (`DIV` and DuckDB ``//`` both
+    truncate toward zero); the per-round normalization is
+    floor(IEEE sqrt) of a sum that stays under 2^53, which both engines
+    (and the driver-side Python mirror) compute identically. Round 1
+    normalizes driver-side; round 2 runs fully in-plan with the scalar
+    norm broadcast, so the returned frame is a live Spark computation."""
+    import math
+
+    qv = _kmeans_qvec(spark, sf_dir).select("vec_id", "q")
+
+    def project(v: list[int]):
+        vlit = F.array(*[F.lit(int(x)).cast("long") for x in v])
+        dot = F.aggregate(
+            F.zip_with(F.col("q"), vlit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return qv.withColumn("dot", dot).withColumn(
+            "d", F.expr(f"dot DIV {_PI_RESCALE_DOT}")
+        )
+
+    # round 1: matvec collected, normalized driver-side (dim-length state)
+    v0 = [1_000_000] * DIM
+    s1 = (
+        project(v0)
+        .agg(*[F.sum(F.col("q")[i] * F.col("d")).alias(f"s{i}") for i in range(DIM)])
+        .collect()[0]
+    )
+    sr1 = [_tdiv(s1[f"s{i}"], _PI_RESCALE_S) for i in range(DIM)]
+    nrm1 = math.floor(math.sqrt(float(sum(x * x for x in sr1))))
+    v1 = [_tdiv(x * 1_000_000, nrm1) for x in sr1]
+
+    # round 2: fully in-plan (posexplode matvec, broadcast scalar norm)
+    s2 = (
+        project(v1)
+        .select("d", F.posexplode("q").alias("pos0", "qc"))
+        .groupBy((F.col("pos0") + 1).alias("pos"))
+        .agg(F.sum(F.col("qc") * F.col("d")).alias("s"))
+        .withColumn("sr", F.expr(f"s DIV {_PI_RESCALE_S}"))
+    )
+    nrm = s2.agg(
+        F.floor(F.sqrt(F.sum(F.col("sr") * F.col("sr")).cast("double")))
+        .cast("long")
+        .alias("nrm")
+    )
+    return (
+        s2.crossJoin(F.broadcast(nrm))
+        .select("pos", F.expr("sr * 1000000 DIV nrm").alias("v_micros"))
+        .orderBy("pos")
+    )

@@ -151,3 +151,30 @@ def test_cluster_diversity_sample_quota_and_coverage(spark, sf_dir):
         assert len(rows) == min(_DIV_PER_CLUSTER, clusters[cid])
         assert sorted(r.pick for r in rows) == list(range(1, len(rows) + 1))
         assert all(r.n_members == clusters[cid] for r in rows)
+
+
+def test_principal_component_is_unit_and_dominant(spark, sf_dir):
+    """The power-iteration output is ~unit norm (micros scale, truncation
+    slack) and captures more variance than any single axis direction —
+    i.e. the Rayleigh quotient of v beats the best coordinate axis."""
+    from input_data_pipeline_spark.operators.similarity import (
+        embedding_principal_component,
+    )
+    from input_data_pipeline_spark.tables import load_table
+
+    v = [r.v_micros for r in embedding_principal_component(spark, sf_dir).collect()]
+    assert len(v) == 64
+    norm = sum(x * x for x in v) ** 0.5
+    assert 0.98e6 <= norm <= 1.02e6
+
+    rows = load_table(spark, sf_dir, "embeddings").select("embedding").collect()
+    E = [list(r.embedding) for r in rows]
+    vu = [x / norm for x in v]
+
+    def rayleigh(direction):
+        return sum(sum(e[i] * direction[i] for i in range(64)) ** 2 for e in E)
+
+    best_axis = max(
+        rayleigh([1.0 if i == j else 0.0 for i in range(64)]) for j in range(64)
+    )
+    assert rayleigh(vu) > best_axis
