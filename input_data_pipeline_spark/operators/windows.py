@@ -952,3 +952,129 @@ def active_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling distinct users via temporal HLL register merges
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hll_rolling_active_users",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS token, CAST(ts AS DATE) AS d
+      FROM events),
+    days AS (SELECT DISTINCT d FROM act),
+    hashed AS (
+      SELECT d, token,
+             CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT) AS h
+      FROM act),
+    regs AS (
+      SELECT d, h // 4398046511104 AS bucket,
+             MAX(CASE WHEN h % 4398046511104 = 0 THEN 43
+                      ELSE 42 - length(bin(h % 4398046511104)) + 1 END) AS rho
+      FROM hashed GROUP BY 1, 2),
+    merged AS (
+      SELECT g.d, r.bucket, MAX(r.rho) AS rho
+      FROM days g JOIN regs r ON r.d BETWEEN g.d - 6 AND g.d
+      GROUP BY 1, 2),
+    folded AS (
+      SELECT d, COUNT(*) AS n_buckets_used,
+             SUM(CAST(4398046511104 AS BIGINT) >> CAST(rho AS INT)) AS s_int
+      FROM merged GROUP BY d),
+    exact AS (
+      SELECT g.d, COUNT(DISTINCT a.token) AS exact_wau
+      FROM days g JOIN act a ON a.d BETWEEN g.d - 6 AND g.d
+      GROUP BY g.d),
+    est AS (
+      SELECT f.d, f.n_buckets_used, e.exact_wau,
+             CASE
+               WHEN 0.709 * 64 * 64 * 4398046511104
+                    / (f.s_int + (64 - f.n_buckets_used)
+                       * CAST(4398046511104 AS BIGINT)) <= 2.5 * 64
+                AND f.n_buckets_used < 64
+               THEN 64.0 * ln(64.0 / (64 - f.n_buckets_used))
+               ELSE 0.709 * 64 * 64 * 4398046511104
+                    / (f.s_int + (64 - f.n_buckets_used)
+                       * CAST(4398046511104 AS BIGINT))
+             END AS raw
+      FROM folded f JOIN exact e USING (d))
+    SELECT d, CAST(n_buckets_used AS BIGINT) AS n_buckets_used,
+           CAST(exact_wau AS BIGINT) AS exact_wau,
+           CAST(ROUND(raw) AS BIGINT) AS hll_wau_est,
+           CAST(ROUND(abs(raw - exact_wau) * 1000000 / exact_wau) AS BIGINT)
+             AS rel_err_ppm
+    FROM est
+    ORDER BY d
+    """,
+)
+def hll_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day, estimated by MERGING per-day
+    HyperLogLog registers bucket-wise — the register algebra of
+    ``hll_union_sources`` applied TEMPORALLY, and the petabyte-scale path
+    that ``active_user_rollup``'s exact fan-out documents: per-day
+    registers are 64 rows each, so the rolling merge fans out a
+    days×64-row table (constant per day) instead of the raw activity set.
+    The exact trailing distinct runs alongside for the oracle-checked
+    relative-error column.
+
+    Mechanics are shared verbatim with the token sketches
+    (``textstats._hll_*``): md5-derived 48-bit hashes, bin()-length rho,
+    exact dyadic harmonic fold, linear-counting correction — both engines
+    compute identical registers, so even the merged estimates compare
+    bit-exactly."""
+    from input_data_pipeline_spark.operators.textstats import (
+        _hll_fold,
+        _hll_hashed,
+        _hll_raw_estimate,
+        _hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        F.col("user_id").cast("string").alias("token"),
+        F.col("ts").cast("date").alias("d"),
+    ).distinct()
+    days = act.select("d").distinct()
+
+    regs = _hll_registers(_hll_hashed(act, "d", "token"), "d")
+    fan = regs.select(
+        "bucket",
+        "rho",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("g"),
+    )
+    merged = (
+        fan.join(F.broadcast(days), fan["g"] == days["d"], "left_semi")
+        .groupBy(F.col("g").alias("d"), "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    folded = _hll_fold(merged, "d")
+
+    exact = (
+        act.select(
+            "token",
+            F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("g"),
+        )
+        .join(F.broadcast(days), F.col("g") == days["d"], "left_semi")
+        .groupBy(F.col("g").alias("d"))
+        .agg(F.count_distinct("token").alias("exact_wau"))
+    )
+    return (
+        folded.join(exact, "d")
+        .withColumn("raw", _hll_raw_estimate())
+        .select(
+            "d",
+            "n_buckets_used",
+            "exact_wau",
+            F.round(F.col("raw")).cast("long").alias("hll_wau_est"),
+            F.round(
+                F.abs(F.col("raw") - F.col("exact_wau"))
+                * F.lit(1_000_000)
+                / F.col("exact_wau")
+            )
+            .cast("long")
+            .alias("rel_err_ppm"),
+        )
+        .orderBy("d")
+    )

@@ -158,7 +158,7 @@ _PRIORITY: list[str] = [
 # knn_ivf_kmeans, cluster_diversity_sample, table_profile,
 # user_retention_cohorts, active_user_rollup, text_encoding_audit,
 # regional_supplier_revenue, nation_pair_volume,
-# referential_integrity_audit.
+# referential_integrity_audit, embedding_principal_component.
 
 
 def _ordered() -> dict[str, QuerySpec]:

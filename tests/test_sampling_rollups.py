@@ -324,3 +324,50 @@ def test_countmin_merge_identity_and_mass_conservation(spark, sf_dir):
     assert row.n_mismatched == 0
     assert row.mass_conserved is True
     assert row.merged_mass == row.n_tokens
+
+
+def test_temporal_hll_merge_equals_direct_window_sketch(spark, sf_dir):
+    """Mergeability, temporally: for each day, the trailing-7-day register
+    set merged bucket-wise from per-day sketches must equal the sketch
+    built directly over the window's raw activity — so the rolling
+    estimate is identical to a from-scratch window sketch."""
+    import pyspark.sql.functions as F
+
+    from input_data_pipeline_spark.operators.textstats import (
+        _hll_hashed,
+        _hll_registers,
+    )
+    from input_data_pipeline_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        F.col("user_id").cast("string").alias("token"),
+        F.col("ts").cast("date").alias("d"),
+    ).distinct()
+    days = act.select("d").distinct()
+
+    regs = _hll_registers(_hll_hashed(act, "d", "token"), "d")
+    fan = regs.select(
+        "bucket", "rho",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("g"),
+    )
+    merged = (
+        fan.join(F.broadcast(days), fan["g"] == days["d"], "left_semi")
+        .groupBy(F.col("g").alias("d"), "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+    direct_act = (
+        act.select(
+            "token",
+            F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("g"),
+        )
+        .join(F.broadcast(days), F.col("g") == days["d"], "left_semi")
+        .select(F.col("g").alias("d"), "token")
+        .distinct()
+    )
+    direct = _hll_registers(_hll_hashed(direct_act, "d", "token"), "d")
+
+    a = sorted(tuple(r) for r in merged.collect())
+    b = sorted(tuple(r) for r in direct.collect())
+    assert a == b
