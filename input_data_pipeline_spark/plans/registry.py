@@ -158,7 +158,8 @@ _PRIORITY: list[str] = [
 # knn_ivf_kmeans, cluster_diversity_sample, table_profile,
 # user_retention_cohorts, active_user_rollup, text_encoding_audit,
 # regional_supplier_revenue, nation_pair_volume,
-# referential_integrity_audit, embedding_principal_component.
+# referential_integrity_audit, embedding_principal_component,
+# hll_rolling_active_users.
 
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -248,3 +248,30 @@ def test_q5_shape_broadcasts_all_dimensions(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate", plan)
+
+
+def test_round6_rollup_and_audit_plans(spark, sf_dir):
+    """The engagement rollups and audits keep their scale shapes: bounded
+    fan-out forms never cartesian-product, aggregates partial-combine,
+    and the FK audit's fact sides scan only their key columns."""
+    from input_data_pipeline_spark.operators.ingest import (
+        referential_integrity_audit,
+    )
+    from input_data_pipeline_spark.operators.windows import (
+        active_user_rollup,
+        hll_rolling_active_users,
+        user_retention_cohorts,
+    )
+
+    for fn in (active_user_rollup, hll_rolling_active_users, user_retention_cohorts):
+        plan = _executed_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "partial_" in plan, fn.__name__
+
+    fk_plan = _executed_plan(referential_integrity_audit(spark, sf_dir))
+    assert "CartesianProduct" not in fk_plan
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)>", fk_plan)
+    assert m and all(
+        c.split(":")[0] in {"l_orderkey", "l_suppkey", "l_partkey"}
+        for c in m.group(1).split(",")
+    ), "lineitem scans in the FK audit must read key columns only"
