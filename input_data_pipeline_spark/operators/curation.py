@@ -586,6 +586,34 @@ _FUN_SH_K = 8
 _FUN_TOK = r"list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"
 
 
+def funnel_stage_flags(docs: DataFrame) -> DataFrame:
+    """Stage 1-2 gate expressions + normalized content fingerprint, shared
+    VERBATIM by the batch ``curation_funnel`` and the streaming
+    ``stream_curation_gate`` (streaming/pipelines.py) — stream/batch
+    parity by construction. Adds ``n_tokens, quality_ppm, fp, f1, f2``
+    to whatever columns ``docs`` carries."""
+    from input_data_pipeline_spark.functions import text as T
+    from input_data_pipeline_spark.functions.stable import round_micros
+
+    t = T.tokens("text")
+    n_tokens = F.size(t)
+    nonspace = F.length(F.regexp_replace("text", r"\s+", ""))
+    band_ok = (nonspace >= 2 * n_tokens) & (nonspace <= 12 * n_tokens)
+    quality = round_micros(
+        F.least(n_tokens / F.lit(200.0), F.lit(1.0)) * 0.7
+        + F.when((n_tokens > 0) & band_ok, F.lit(1.0)).otherwise(F.lit(0.5)) * 0.3
+    )
+    return (
+        docs.withColumn("n_tokens", n_tokens)
+        .withColumn("quality_ppm", quality)
+        .withColumn("fp", T.fingerprint("text"))
+        .withColumn("f1", F.col("n_tokens") >= _FUN_MIN_TOKENS)
+        .withColumn(
+            "f2", F.col("f1") & (F.col("quality_ppm") >= _FUN_MIN_QUALITY_PPM)
+        )
+    )
+
+
 @register(
     "curation_funnel",
     oracle=rf"""
@@ -660,28 +688,9 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     single conditional aggregate over the flag frame — 5 output rows, no
     per-stage rescans."""
     from input_data_pipeline_spark.functions import text as T
-    from input_data_pipeline_spark.functions.stable import round_micros
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    t = T.tokens("text")
-    n_tokens = F.size(t)
-    nonspace = F.length(F.regexp_replace("text", r"\s+", ""))
-    band_ok = (nonspace >= 2 * n_tokens) & (nonspace <= 12 * n_tokens)
-    quality = round_micros(
-        F.least(n_tokens / F.lit(200.0), F.lit(1.0)) * 0.7
-        + F.when((n_tokens > 0) & band_ok, F.lit(1.0)).otherwise(F.lit(0.5)) * 0.3
-    )
-    fp = F.sha2(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 256)
-    base = docs.select(
-        "doc_id",
-        "text",
-        n_tokens.alias("n_tokens"),
-        quality.alias("quality_ppm"),
-        fp.alias("fp"),
-    ).withColumn("f1", F.col("n_tokens") >= _FUN_MIN_TOKENS)
-    base = base.withColumn(
-        "f2", F.col("f1") & (F.col("quality_ppm") >= _FUN_MIN_QUALITY_PPM)
-    )
+    base = funnel_stage_flags(docs)
     # Rank stage-2 survivors first within each fingerprint so f3 needs no
     # separate pass over the filtered subset.
     w = Window.partitionBy("fp").orderBy(

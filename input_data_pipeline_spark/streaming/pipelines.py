@@ -408,3 +408,79 @@ def bloom_totals(spark: SparkSession, state_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.bit_or("bits").alias("bits"))
     )
+
+
+def stream_curation_gate(
+    docs: DataFrame, accepted_dir: str, ledger_dir: str, checkpoint_dir: str
+):
+    """Ingest-time curation gate: every micro-batch passes through the
+    BATCH funnel's stage 1-2 semantics (shared expression helper
+    ``operators/curation.funnel_stage_flags`` — min-length + quality
+    score, identical constants) and stage-3 exact dedup against a
+    cross-batch fingerprint LEDGER (parquet, batch-id stamped): within a
+    batch the smallest doc_id per fingerprint wins; across batches the
+    ledger anti-join drops anything any earlier batch accepted. Accepted
+    rows append to ``accepted_dir``; their fingerprints append to the
+    ledger.
+
+    Replay safety: a batch whose id is already in the ledger is skipped
+    whole; if a crash lands between the accepted write and the ledger
+    write, the replayed batch may re-append accepted rows — which is why
+    ``accepted_docs`` deduplicates by doc_id on read (min batch_id wins),
+    the same merge-on-read discipline as the sketch ledgers. State per
+    batch is one fingerprint row per accepted doc — the ledger grows with
+    the ACCEPTED corpus, not the raw stream."""
+    from pyspark.sql import Window
+
+    from input_data_pipeline_spark.operators.curation import funnel_stage_flags
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            replayed = (
+                spark.read.parquet(ledger_dir)
+                .filter(F.col("batch_id") == batch_id)
+                .limit(1)
+                .count()
+            )
+            if replayed:
+                return
+        except Exception:  # first batch: ledger doesn't exist yet
+            pass
+        flags = funnel_stage_flags(batch_df).filter("f2")
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        firsts = (
+            flags.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            seen = spark.read.parquet(ledger_dir).select("fp").distinct()
+            fresh = firsts.join(seen, "fp", "left_anti")
+        except Exception:
+            fresh = firsts
+        accepted = fresh.select(
+            "doc_id", "ts", "text", "lang", "source", "fp"
+        ).withColumn("batch_id", F.lit(batch_id))
+        accepted.write.mode("append").parquet(accepted_dir)
+        accepted.select("fp", "batch_id").write.mode("append").parquet(ledger_dir)
+
+    return (
+        docs.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
+def accepted_docs(spark: SparkSession, accepted_dir: str) -> DataFrame:
+    """Merge-on-read view of the gated corpus: duplicate doc_ids from a
+    crash-replay race collapse to their first acceptance (min batch_id)."""
+    from pyspark.sql import Window
+
+    df = spark.read.parquet(accepted_dir)
+    w = Window.partitionBy("doc_id").orderBy("batch_id")
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

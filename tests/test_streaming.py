@@ -671,3 +671,65 @@ def test_stream_bloom_update_parity(spark, sf_dir, tmp_path):
     got = sorted(tuple(r) for r in bloom_totals(spark, state).collect())
     assert got == want
     assert spark.read.parquet(state).select("batch_id").distinct().count() == 2
+
+
+def test_stream_curation_gate_parity_and_replay(spark, sf_dir, tmp_path):
+    """The streamed gate over two micro-batches must accept exactly the
+    batch funnel's stage-3 survivor fingerprint set: per accepted fp one
+    doc, every accepted doc passes the quality gates, and the accepted
+    fp set equals the stage-2-survivor distinct fp set. Restarting the
+    stream over the same source must add nothing (ledger replay skip)."""
+    import pyspark.sql.functions as F
+
+    from input_data_pipeline_spark.operators.curation import funnel_stage_flags
+    from input_data_pipeline_spark.streaming.pipelines import (
+        accepted_docs,
+        stream_curation_gate,
+        stream_docs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = [
+        {"doc_id": r.doc_id, "ts": "2024-01-01T00:00:00", "text": r.text,
+         "lang": r.lang, "source": r.source}
+        for r in docs.collect()
+    ]
+    src = tmp_path / "gate_in"
+    src.mkdir()
+    acc = str(tmp_path / "gate_accepted")
+    led = str(tmp_path / "gate_ledger")
+
+    def start():
+        return (
+            stream_curation_gate(
+                stream_docs(spark, str(src)), acc, led, str(tmp_path / "gate_ckpt")
+            ).queryName(_unique("gate")).start()
+        )
+
+    q = start()
+    _write_events(src, "a.jsonl", rows[: len(rows) // 2])
+    try:
+        q.processAllAvailable()
+        _write_events(src, "b.jsonl", rows[len(rows) // 2 :])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = accepted_docs(spark, acc)
+    got_rows = got.collect()
+    expect = funnel_stage_flags(docs).filter("f2")
+    want_fps = {r.fp for r in expect.select("fp").distinct().collect()}
+
+    assert {r.fp for r in got_rows} == want_fps
+    assert len(got_rows) == len(want_fps)          # one survivor per fp
+    ok_ids = {r.doc_id for r in expect.collect()}
+    assert all(r.doc_id in ok_ids for r in got_rows)
+
+    # replay: a fresh stream over the same source must change nothing
+    n_before = got.count()
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert accepted_docs(spark, acc).count() == n_before
