@@ -1078,3 +1078,133 @@ def hll_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch (fixed-bin, mergeable, integer-exact)
+# ---------------------------------------------------------------------------
+
+_HQ_BINS = 1024
+_HQ_QS = [500_000, 950_000, 990_000]  # q in ppm
+
+
+@register(
+    "histogram_quantile_sketch",
+    oracle=f"""
+    WITH vm AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+      FROM events),
+    stats AS (
+      SELECT event_type, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n
+      FROM vm GROUP BY event_type),
+    binned AS (
+      SELECT vm.event_type,
+             (vm.v - s.lo) // (((s.hi - s.lo) // {_HQ_BINS}) + 1) AS bin,
+             COUNT(*) AS cnt
+      FROM vm JOIN stats s USING (event_type)
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS c
+      FROM binned),
+    qs AS (SELECT UNNEST([{", ".join(str(q) for q in _HQ_QS)}]) AS q_ppm),
+    targets AS (
+      SELECT s.event_type, q.q_ppm, s.lo, s.hi, s.n,
+             (s.n * q.q_ppm + 999999) // 1000000 AS tgt
+      FROM stats s CROSS JOIN qs q),
+    est AS (
+      SELECT t.event_type, t.q_ppm,
+             CAST(MIN(t.lo + c.bin * (((t.hi - t.lo) // {_HQ_BINS}) + 1))
+                  AS BIGINT) AS est_micros
+      FROM targets t JOIN cum c ON c.event_type = t.event_type AND c.c >= t.tgt
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn
+      FROM vm),
+    exact AS (
+      SELECT t.event_type, t.q_ppm, CAST(MIN(r.v) AS BIGINT) AS exact_micros
+      FROM targets t JOIN ranked r ON r.event_type = t.event_type
+                                  AND r.rn = t.tgt
+      GROUP BY 1, 2)
+    SELECT e.event_type, CAST(e.q_ppm AS BIGINT) AS q_ppm,
+           x.exact_micros, e.est_micros,
+           CAST(abs(e.est_micros - x.exact_micros) AS BIGINT) AS abs_err_micros
+    FROM est e JOIN exact x USING (event_type, q_ppm)
+    ORDER BY e.event_type, e.q_ppm
+    """,
+)
+def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's fourth deterministic sketch (after Bloom / CMS / HLL):
+    fixed-{nb}-bin histogram quantiles per event type — p50/p95/p99
+    estimated from linear bin counts, reported against the exact
+    rank-statistic with the absolute error. Like the other sketches the
+    state is fixed-size ({nb} counters per group) and MERGEABLE (bin
+    counts sum across shards/windows), which is what replaces a full
+    sort-based percentile at 100 TB; the estimate's error is bounded by
+    one bin width by construction.
+
+    All arithmetic is integer: values quantize to exact micros, bin
+    width is integer division (nonnegative offsets, so DuckDB ``//`` and
+    Spark ``DIV`` agree), quantile targets are ceil(q·n) in pure integer
+    form, and the exact counterpart is the ROW_NUMBER rank statistic —
+    no percentile_approx, no float interpolation."""
+    from input_data_pipeline_spark.functions.stable import micros
+
+    ev = load_table(spark, sf_dir, "events")
+    vm = ev.select("event_type", micros("value").alias("v"))
+    stats = vm.groupBy("event_type").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count(F.lit(1)).alias("n")
+    )
+    width = f"(((hi - lo) DIV {_HQ_BINS}) + 1)"
+    binned = (
+        vm.join(F.broadcast(stats), "event_type")
+        .select("event_type", F.expr(f"(v - lo) DIV {width}").alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = Window.partitionBy("event_type").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = binned.withColumn("c", F.sum("cnt").over(wcum))
+
+    qs = spark.createDataFrame([(q,) for q in _HQ_QS], "q_ppm long")
+    targets = stats.crossJoin(F.broadcast(qs)).select(
+        "event_type",
+        "q_ppm",
+        "lo",
+        "hi",
+        F.expr("(n * q_ppm + 999999) DIV 1000000").alias("tgt"),
+    )
+    est = (
+        F.broadcast(targets)
+        .join(cum, ["event_type"])
+        .filter(F.col("c") >= F.col("tgt"))
+        .groupBy("event_type", "q_ppm")
+        .agg(F.min(F.expr(f"lo + bin * {width}")).alias("est_micros"))
+    )
+    wrank = Window.partitionBy("event_type").orderBy("v")
+    ranked = vm.withColumn("rn", F.row_number().over(wrank))
+    exact = (
+        F.broadcast(targets)
+        .join(
+            ranked,
+            (targets["event_type"] == ranked["event_type"])
+            & (ranked["rn"] == targets["tgt"]),
+        )
+        .groupBy(targets["event_type"], "q_ppm")
+        .agg(F.min("v").alias("exact_micros"))
+    )
+    return (
+        est.join(exact, ["event_type", "q_ppm"])
+        .select(
+            "event_type",
+            "q_ppm",
+            "exact_micros",
+            "est_micros",
+            F.abs(F.col("est_micros") - F.col("exact_micros")).alias("abs_err_micros"),
+        )
+        .orderBy("event_type", "q_ppm")
+    )

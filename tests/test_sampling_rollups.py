@@ -371,3 +371,31 @@ def test_temporal_hll_merge_equals_direct_window_sketch(spark, sf_dir):
     a = sorted(tuple(r) for r in merged.collect())
     b = sorted(tuple(r) for r in direct.collect())
     assert a == b
+
+
+def test_histogram_quantile_error_bounded_by_bin_width(spark, sf_dir):
+    """The bin-lower-bound estimate can undershoot the exact rank statistic
+    by at most one bin width and never overshoot."""
+    import pyspark.sql.functions as F
+
+    from input_data_pipeline_spark.functions.stable import micros
+    from input_data_pipeline_spark.operators.windows import (
+        _HQ_BINS,
+        histogram_quantile_sketch,
+    )
+    from input_data_pipeline_spark.tables import load_table
+
+    widths = {
+        r.event_type: (r.hi - r.lo) // _HQ_BINS + 1
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_type", micros("value").alias("v"))
+        .groupBy("event_type")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    }
+    rows = histogram_quantile_sketch(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        diff = r.exact_micros - r.est_micros
+        assert 0 <= diff < widths[r.event_type], (r, widths[r.event_type])
+        assert r.abs_err_micros == diff
