@@ -147,3 +147,27 @@ def test_rep_stats_matches_naive_reference(toks, sep):
     assert got == (max(grams.values()), len(toks) - 2)
     # invariant: 1 <= max_repeat <= n_shingles
     assert 1 <= got[0] <= got[1]
+
+
+@given(
+    a=st.integers(min_value=-(10**17), max_value=10**17),
+    b=st.integers(min_value=-(10**9), max_value=10**9).filter(lambda x: x != 0),
+)
+@settings(max_examples=60, deadline=None)
+def test_integer_division_semantics_match_duckdb(a, b):
+    """The cross-engine arithmetic contract under every round-6 operator:
+    DuckDB ``//`` truncates toward zero (== Spark ``DIV`` == our _tdiv
+    mirror), and the positive-remainder floor-div fragment equals
+    Python's flooring ``//`` for any sign combination."""
+    import duckdb
+
+    from input_data_pipeline_spark.operators.similarity import (
+        _sql_floor_div,
+        _tdiv,
+    )
+
+    got_trunc, got_floor = duckdb.sql(
+        f"SELECT {a} // {b}, {_sql_floor_div(str(a), str(b))}"
+    ).fetchone()
+    assert got_trunc == _tdiv(a, b)
+    assert got_floor == a // b
