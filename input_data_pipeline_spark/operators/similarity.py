@@ -1382,3 +1382,115 @@ def embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("pos", F.expr("sr * 1000000 DIV nrm").alias("v_micros"))
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster labeling: characteristic terms per trained k-means cell
+# ---------------------------------------------------------------------------
+
+_CLT_MIN_COUNT = 3
+_CLT_TOP = 5
+
+_DUCK_CLT_TOKENS = (
+    r"list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"
+)
+
+
+@register(
+    "cluster_top_terms",
+    oracle=f"""
+    WITH {_DUCK_KMEANS_TRAIN_CTES},
+    av AS (
+      SELECT vec_id, cid FROM (
+        SELECT qv.vec_id, c1.cid,
+               ROW_NUMBER() OVER (PARTITION BY qv.vec_id
+                                  ORDER BY {_DUCK_KM_D2}, c1.cid) AS rn
+        FROM qv CROSS JOIN c1)
+      WHERE rn = 1),
+    tok AS (
+      SELECT doc_id, UNNEST({_DUCK_CLT_TOKENS}) AS token FROM documents),
+    joined AS (
+      SELECT av.cid, t.token FROM tok t JOIN av ON av.vec_id = t.doc_id),
+    cc AS (SELECT cid, token, COUNT(*) AS cnt FROM joined GROUP BY 1, 2),
+    ct AS (SELECT cid, SUM(cnt) AS total_c FROM cc GROUP BY cid),
+    corp AS (SELECT token, COUNT(*) AS cnt_g FROM joined GROUP BY token),
+    tot AS (SELECT COUNT(*) AS total_g FROM joined),
+    lift AS (
+      SELECT cc.cid, cc.token, cc.cnt,
+             CAST(cc.cnt * tot.total_g * 1000000
+                  // (ct.total_c * corp.cnt_g) AS BIGINT) AS lift_ppm
+      FROM cc JOIN ct USING (cid) JOIN corp USING (token) CROSS JOIN tot
+      WHERE cc.cnt >= {_CLT_MIN_COUNT}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cid
+                                   ORDER BY lift_ppm DESC, cnt DESC, token) AS rank
+      FROM lift)
+    SELECT cid, token, CAST(cnt AS BIGINT) AS n_in_cluster, lift_ppm,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_CLT_TOP}
+    ORDER BY cid, rank
+    """,
+)
+def cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labeling: the {top} most CHARACTERISTIC tokens per trained
+    k-means cell, ranked by integer-exact lift (in-cluster token share vs
+    corpus share, as ppm) with a min-support floor — how a curation run
+    names its semantic clusters ("what is cluster 3 about?") before
+    deciding mixture weights or pruning. Cross-modal composition:
+    embeddings pick the cells (vec_id keys doc_id, the
+    ``semantic_doc_search`` convention), documents supply the terms.
+
+    Scale shape: assignment is the map-only literal-centroid pass; the
+    token join keys on doc_id (optimizer-broadcast at test scale, a
+    plain keyed shuffle at corpus scale); counts are map-side combinable; lift joins at |cluster×token| /
+    |vocab| cardinality with the two scalar totals broadcast. The lift
+    product (cnt · total_g · 1e6) stays in long range through corpus
+    sizes of ~3e9 tokens; beyond that, reassociate the DIV before the
+    1e6 scale-up."""
+    from pyspark.sql import Window
+
+    from input_data_pipeline_spark.functions import text as T
+    from input_data_pipeline_spark.tables import load_table as _lt
+
+    c1 = _kmeans_train(spark, sf_dir)
+    av = _kmeans_assign(_kmeans_qvec(spark, sf_dir), c1).select("vec_id", "cid")
+
+    docs = _lt(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    # No broadcast hint on av: it is per-VECTOR (corpus-sized at scale);
+    # the optimizer broadcasts it at test scale on its own, and at 100 TB
+    # this correctly becomes a doc_id-keyed shuffle join.
+    joined = tok.join(av, tok["doc_id"] == av["vec_id"]).select("cid", "token")
+    cc = joined.groupBy("cid", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    ct = cc.groupBy("cid").agg(F.sum("cnt").alias("total_c"))
+    corp = joined.groupBy("token").agg(F.count(F.lit(1)).alias("cnt_g"))
+    tot = joined.agg(F.count(F.lit(1)).alias("total_g"))
+    lift = (
+        cc.filter(F.col("cnt") >= _CLT_MIN_COUNT)
+        .join(F.broadcast(ct), "cid")
+        .join(corp, "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cid",
+            "token",
+            "cnt",
+            F.expr("cnt * total_g * 1000000 DIV (total_c * cnt_g)").alias(
+                "lift_ppm"
+            ),
+        )
+    )
+    w = Window.partitionBy("cid").orderBy(
+        F.desc("lift_ppm"), F.desc("cnt"), "token"
+    )
+    return (
+        lift.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _CLT_TOP)
+        .select(
+            "cid",
+            "token",
+            F.col("cnt").alias("n_in_cluster"),
+            "lift_ppm",
+            "rank",
+        )
+        .orderBy("cid", "rank")
+    )
