@@ -1088,6 +1088,22 @@ _HQ_BINS = 1024
 _HQ_QS = [500_000, 950_000, 990_000]  # q in ppm
 
 
+def hq_bin_counts(vm: DataFrame, bounds: DataFrame) -> DataFrame:
+    """(event_type, bin, cnt) over fixed per-type [lo, hi] bounds — the
+    histogram sketch's state-building kernel, shared by the batch
+    ``histogram_quantile_sketch`` (which derives bounds from the data)
+    and the streaming ledger in ``streaming/pipelines.py`` (which takes
+    bounds from a prior profile). Bin counts are pure sums, so per-shard
+    or per-batch tables merge by addition."""
+    width = f"(((hi - lo) DIV {_HQ_BINS}) + 1)"
+    return (
+        vm.join(F.broadcast(bounds.select("event_type", "lo", "hi")), "event_type")
+        .select("event_type", F.expr(f"(v - lo) DIV {width}").alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 @register(
     "histogram_quantile_sketch",
     oracle=f"""
@@ -1159,12 +1175,7 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("lo"), F.max("v").alias("hi"), F.count(F.lit(1)).alias("n")
     )
     width = f"(((hi - lo) DIV {_HQ_BINS}) + 1)"
-    binned = (
-        vm.join(F.broadcast(stats), "event_type")
-        .select("event_type", F.expr(f"(v - lo) DIV {width}").alias("bin"))
-        .groupBy("event_type", "bin")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    binned = hq_bin_counts(vm, stats)
     wcum = Window.partitionBy("event_type").orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -484,3 +484,57 @@ def accepted_docs(spark: SparkSession, accepted_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def stream_histogram_update(
+    events: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    bounds: list[tuple[str, int, int]],
+):
+    """Streaming face of the histogram quantile sketch: each micro-batch
+    bins its event values over FIXED per-type [lo, hi] micros bounds
+    (from a prior profile run — the production pattern, since a stream
+    can't know its global min/max) through the SAME kernel as the batch
+    sketch (``operators/windows.hq_bin_counts``) and appends the batch's
+    bin counts, batch-id stamped, to a parquet ledger. Bin counts merge
+    by ADDITION (like the CMS cells), so ``histogram_totals`` is the
+    merged sketch; the batch-id skip keeps a crash-replayed batch from
+    double-counting. State per type is <= {nbins} counters per batch."""
+    from input_data_pipeline_spark.functions.stable import micros
+    from input_data_pipeline_spark.operators.windows import hq_bin_counts
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            replayed = (
+                spark.read.parquet(state_dir)
+                .filter(F.col("batch_id") == batch_id)
+                .limit(1)
+                .count()
+            )
+            if replayed:
+                return
+        except Exception:  # first batch: ledger doesn't exist yet
+            pass
+        bdf = spark.createDataFrame(bounds, "event_type string, lo long, hi long")
+        vm = batch_df.select("event_type", micros("value").alias("v"))
+        cells = hq_bin_counts(vm, bdf).withColumn("batch_id", F.lit(batch_id))
+        cells.write.mode("append").parquet(state_dir)
+
+    return (
+        events.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
+def histogram_totals(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merged (event_type, bin, cnt) histogram from the streaming ledger
+    (sum merge-on-read) — identical to the batch ``hq_bin_counts`` over
+    the union of all streamed events at the same bounds."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("event_type", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -733,3 +733,64 @@ def test_stream_curation_gate_parity_and_replay(spark, sf_dir, tmp_path):
     finally:
         q2.stop()
     assert accepted_docs(spark, acc).count() == n_before
+
+
+def test_stream_histogram_update_parity_and_replay(spark, sf_dir, tmp_path):
+    """Sum-merged streaming histogram cells over a 2-micro-batch event
+    stream must equal the batch hq_bin_counts over the same events at the
+    same fixed bounds (bin counts are additive); a restarted stream over
+    the same source adds nothing."""
+    import pyspark.sql.functions as F
+
+    from input_data_pipeline_spark.functions.stable import micros
+    from input_data_pipeline_spark.operators.windows import hq_bin_counts
+    from input_data_pipeline_spark.streaming.pipelines import (
+        histogram_totals,
+        stream_events,
+        stream_histogram_update,
+    )
+    from input_data_pipeline_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    vm = ev.select("event_type", micros("value").alias("v"))
+    bounds_df = vm.groupBy("event_type").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    bounds = [(r.event_type, r.lo, r.hi) for r in bounds_df.collect()]
+
+    rows = [
+        {"event_id": r.event_id, "ts": str(r.ts), "user_id": r.user_id,
+         "event_type": r.event_type, "value": r.value, "props": r.props}
+        for r in ev.collect()
+    ]
+    src = tmp_path / "hist_in"
+    src.mkdir()
+    state = str(tmp_path / "hist_state")
+
+    def start():
+        return (
+            stream_histogram_update(
+                stream_events(spark, str(src)), state,
+                str(tmp_path / "hist_ckpt"), bounds,
+            ).queryName(_unique("hist")).start()
+        )
+
+    q = start()
+    _write_events(src, "a.jsonl", rows[: len(rows) // 2])
+    try:
+        q.processAllAvailable()
+        _write_events(src, "b.jsonl", rows[len(rows) // 2 :])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(tuple(r) for r in histogram_totals(spark, state).collect())
+    want = sorted(tuple(r) for r in hq_bin_counts(vm, bounds_df).collect())
+    assert got == want
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert sorted(tuple(r) for r in histogram_totals(spark, state).collect()) == want
