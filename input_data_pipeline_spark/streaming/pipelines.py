@@ -538,3 +538,59 @@ def histogram_totals(spark: SparkSession, state_dir: str) -> DataFrame:
         .groupBy("event_type", "bin")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def stream_hll_update(docs: DataFrame, state_dir: str, checkpoint_dir: str):
+    """Streaming face of the HyperLogLog distinct-token sketch: each
+    micro-batch builds per-source (bucket, rho) registers through the
+    SAME md5/bin()-rho machinery as the batch ``hll_distinct_tokens``
+    (``operators/textstats._hll_registers``) and appends them, batch-id
+    stamped, to a parquet ledger. Registers merge by bucket-wise MAX —
+    idempotent (a replayed batch can't corrupt the sketch), but the
+    batch-id skip is kept to bound ledger growth, mirroring the Bloom
+    ledger. With this, all four sketch families (Bloom, CMS, HLL,
+    histogram) have streaming faces whose merge-on-read state equals the
+    batch sketch bit-for-bit."""
+    from input_data_pipeline_spark.functions import text as T
+    from input_data_pipeline_spark.operators.textstats import (
+        _hll_hashed,
+        _hll_registers,
+    )
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            replayed = (
+                spark.read.parquet(state_dir)
+                .filter(F.col("batch_id") == batch_id)
+                .limit(1)
+                .count()
+            )
+            if replayed:
+                return
+        except Exception:  # first batch: ledger doesn't exist yet
+            pass
+        tok = batch_df.select(
+            "source", F.explode(T.tokens("text")).alias("token")
+        ).distinct()
+        regs = _hll_registers(_hll_hashed(tok, "source", "token"), "source")
+        regs.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            state_dir
+        )
+
+    return (
+        docs.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
+def hll_totals(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merged (source, bucket, rho) registers from the streaming ledger
+    (bucket-wise MAX merge-on-read) — identical to the batch registers
+    over the union of all streamed documents' tokens."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )

@@ -794,3 +794,61 @@ def test_stream_histogram_update_parity_and_replay(spark, sf_dir, tmp_path):
     finally:
         q2.stop()
     assert sorted(tuple(r) for r in histogram_totals(spark, state).collect()) == want
+
+
+def test_stream_hll_update_parity_and_replay(spark, sf_dir, tmp_path):
+    """MAX-merged streaming HLL registers over a 2-micro-batch doc stream
+    must equal the batch registers over the same documents (register
+    merge is associative/idempotent, so the batch split can't matter);
+    a restarted stream over the same source changes nothing."""
+    from input_data_pipeline_spark.operators.textstats import (
+        _hll_hashed,
+        _hll_registers,
+    )
+    from input_data_pipeline_spark.streaming.pipelines import (
+        hll_totals,
+        stream_docs,
+        stream_hll_update,
+    )
+    import pyspark.sql.functions as F
+    from input_data_pipeline_spark.functions import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = [
+        {"doc_id": r.doc_id, "ts": "2024-01-01T00:00:00", "text": r.text,
+         "lang": r.lang, "source": r.source}
+        for r in docs.collect()
+    ]
+    src = tmp_path / "hll_in"
+    src.mkdir()
+    state = str(tmp_path / "hll_state")
+
+    def start():
+        return (
+            stream_hll_update(
+                stream_docs(spark, str(src)), state, str(tmp_path / "hll_ckpt")
+            ).queryName(_unique("hll")).start()
+        )
+
+    q = start()
+    _write_events(src, "a.jsonl", rows[: len(rows) // 2])
+    try:
+        q.processAllAvailable()
+        _write_events(src, "b.jsonl", rows[len(rows) // 2 :])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    tok = docs.select("source", F.explode(T.tokens("text")).alias("token")).distinct()
+    want = sorted(
+        tuple(r) for r in _hll_registers(_hll_hashed(tok, "source", "token"), "source").collect()
+    )
+    got = sorted(tuple(r) for r in hll_totals(spark, state).collect())
+    assert got == want
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert sorted(tuple(r) for r in hll_totals(spark, state).collect()) == want
