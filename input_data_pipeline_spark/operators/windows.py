@@ -1219,3 +1219,84 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "q_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily volume anomaly detection (fully-integer z-score test)
+# ---------------------------------------------------------------------------
+
+_ANOM_K = 3  # flag days beyond K sample standard deviations
+
+
+@register(
+    "event_daily_anomalies",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, COUNT(*) AS nd,
+             SUM(n_events) AS s1, SUM(n_events * n_events) AS s2
+      FROM daily GROUP BY event_type)
+    SELECT d.event_type, d.d, CAST(d.n_events AS BIGINT) AS n_events,
+           CAST((s.nd * d.n_events - s.s1) * (s.nd * d.n_events - s.s1)
+                * (s.nd - 1) AS BIGINT) AS dev_sq_scaled,
+           CAST({_ANOM_K * _ANOM_K} * s.nd * (s.nd * s.s2 - s.s1 * s.s1)
+             AS BIGINT) AS threshold_scaled,
+           (s.nd >= 2 AND
+            (s.nd * d.n_events - s.s1) * (s.nd * d.n_events - s.s1)
+            * (s.nd - 1)
+            >= {_ANOM_K * _ANOM_K} * s.nd * (s.nd * s.s2 - s.s1 * s.s1))
+             AS is_anomaly
+    FROM daily d JOIN stats s USING (event_type)
+    ORDER BY d.event_type, d.d
+    """,
+)
+def event_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-volume monitoring: flag days whose event count deviates
+    from the type's mean by ≥ {k} SAMPLE standard deviations — the daily
+    health check a production feed runs to catch silent drops and
+    duplicate floods. The z-test is evaluated WITHOUT EVER LEAVING
+    INTEGER ARITHMETIC: z² ≥ k² is cross-multiplied into
+    (n·cnt − Σcnt)²·(n−1) ≥ k²·n·(n·Σcnt² − (Σcnt)²), so there is no
+    float mean, no float variance, no rounding — bit-identical across
+    engines by construction.
+
+    Both sides of the comparison are emitted so the margin is auditable.
+    Bounds: daily counts to ~5e4 over a year of days keep every term
+    under 2^63; for feeds beyond ~1e6 events/day pre-scale the counts
+    (cnt DIV 1000) — the test is scale-invariant. The daily rollup is
+    map-side combinable; the per-type stats frame is tiny and
+    broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    k2 = _ANOM_K * _ANOM_K
+    dev = F.col("nd") * F.col("n_events") - F.col("s1")
+    dev_sq = (dev * dev * (F.col("nd") - 1)).alias("dev_sq_scaled")
+    thr = (
+        F.lit(k2) * F.col("nd") * (F.col("nd") * F.col("s2") - F.col("s1") * F.col("s1"))
+    ).alias("threshold_scaled")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "d",
+            "n_events",
+            dev_sq,
+            thr,
+            (
+                (F.col("nd") >= 2)
+                & (dev * dev * (F.col("nd") - 1)
+                   >= F.lit(k2) * F.col("nd")
+                   * (F.col("nd") * F.col("s2") - F.col("s1") * F.col("s1")))
+            ).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "d")
+    )

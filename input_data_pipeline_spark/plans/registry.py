@@ -159,7 +159,8 @@ _PRIORITY: list[str] = [
 # user_retention_cohorts, active_user_rollup, text_encoding_audit,
 # regional_supplier_revenue, nation_pair_volume,
 # referential_integrity_audit, embedding_principal_component,
-# hll_rolling_active_users, histogram_quantile_sketch, cluster_top_terms.
+# hll_rolling_active_users, histogram_quantile_sketch, cluster_top_terms,
+# event_daily_anomalies.
 
 
 def _ordered() -> dict[str, QuerySpec]:

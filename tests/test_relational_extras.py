@@ -168,3 +168,36 @@ def test_active_user_rollup_invariants(spark, sf_dir):
     for r in rows:
         assert r.dau <= r.wau <= r.mau
         assert r.stickiness_dw_ppm == r.dau * 1_000_000 // r.wau
+
+
+def test_event_daily_anomalies_flags_planted_spike(spark, tmp_path):
+    """Ten ~100-event days plus one 2000-event spike: exactly the spike
+    day flags; the integer cross-multiplied z-test matches a float
+    recomputation of the same rule."""
+    import datetime as dt
+    import statistics
+
+    from input_data_pipeline_spark.operators.windows import event_daily_anomalies
+
+    rows = []
+    eid = 0
+    counts = []
+    for day in range(1, 12):
+        n = 2000 if day == 11 else 100 + day  # slight variation, one spike
+        counts.append(n)
+        for _ in range(n):
+            rows.append((eid, dt.datetime(2024, 3, day, 12, 0, 0), 1, "click", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {r.d.day: r for r in event_daily_anomalies(spark, str(tmp_path)).collect()}
+    assert len(got) == 11
+    flagged = {day for day, r in got.items() if r.is_anomaly}
+    mu = statistics.mean(counts)
+    sd = statistics.stdev(counts)
+    expect = {day for day, n in zip(range(1, 12), counts) if abs(n - mu) >= 3 * sd}
+    assert flagged == expect == {11}
+    for r in got.values():
+        assert r.is_anomaly == (r.dev_sq_scaled >= r.threshold_scaled)
