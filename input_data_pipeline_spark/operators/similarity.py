@@ -1004,12 +1004,22 @@ def _kmeans_assign(qv: DataFrame, centroids: list[tuple[int, list[int]]]) -> Dat
     return qv.withColumn("d2", best["d2"]).withColumn("cid", best["cid"])
 
 
+_KMEANS_TRAIN_CACHE: dict[tuple[str, str], list[tuple[int, list[int]]]] = {}
+
+
 def _kmeans_train(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[int]]]:
     """One Lloyd update from the deterministic md5 seeds: the trained
     coarse quantizer C1 shared by ``kmeans_embedding_clusters`` (which
-    reports its fixed point) and ``knn_ivf_kmeans`` (which probes it).
+    reports its fixed point), ``knn_ivf_kmeans``,
+    ``cluster_diversity_sample`` and ``cluster_top_terms``. Cached per
+    (session, corpus) — the result is a pure function of the data, and
+    four queries would otherwise re-run the identical two training jobs.
     Driver state is K×(dim+1) longs; Python ``//`` is floor division,
     matching the oracle's floor-div fragment exactly."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _KMEANS_TRAIN_CACHE.get(key)
+    if cached is not None:
+        return cached
     qv = _kmeans_qvec(spark, sf_dir)
     seeds = (
         qv.select(F.md5(F.col("vec_id").cast("string")).alias("h"), "vec_id", "q")
@@ -1024,10 +1034,12 @@ def _kmeans_train(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[int]
         F.count(F.lit(1)).alias("n"),
         *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(DIM)],
     ).collect()
-    return [
+    c1 = [
         (r["cid"], [r[f"s{i}"] // r["n"] for i in range(DIM)])
         for r in sorted(sums, key=lambda r: r["cid"])
     ]
+    _KMEANS_TRAIN_CACHE[key] = c1
+    return c1
 
 
 @register("kmeans_embedding_clusters", oracle=_DUCK_KMEANS_ORACLE)
