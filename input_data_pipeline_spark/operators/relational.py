@@ -560,20 +560,41 @@ def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_users")  # no oracle: HLL estimates are impl-specific
+@register(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_3rsd
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) per event_type next to the exact
-    count (SURVEY A7). No DuckDB oracle — HLL estimates differ across
-    implementations by design; tests/test_relational_extras.py bounds the
-    relative error (<5%) against the exact count instead. At 100 TB the
-    approx variant is the one you can afford: fixed-size sketch per group,
-    mergeable map-side, no distinct-expand shuffle."""
+    """approx_count_distinct (HyperLogLog++) per event_type, verdict-checked
+    against the exact count in-query (SURVEY A7). The HLL estimate itself is
+    implementation-specific, so the oracle-checkable contract is the error
+    BOUND, not the estimate: ``within_3rsd`` asserts |est - exact| <= 6% of
+    exact (3x the requested rsd=0.02) — deterministic because Spark's HLL++
+    is hash-based, not randomized. The DuckDB oracle recomputes the exact
+    side and expects TRUE, so an HLL regression past 3 sigma goes hash-red
+    in the driver. tests/test_relational_extras.py additionally bounds the
+    raw estimate at <5% error. At 100 TB the approx variant is the one you
+    can afford: fixed-size sketch per group, mergeable map-side, no
+    distinct-expand shuffle."""
     events = _t(spark, sf_dir, "events")
     return (
         events.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_est"),
             F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_est") - F.col("exact_users")) * F.lit(1000000)
+                <= F.col("exact_users") * F.lit(60000)
+            ).alias("within_3rsd"),
         )
         .orderBy("event_type")
     )
@@ -1110,32 +1131,65 @@ def customer_order_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ia.unionByName(ea).orderBy("op", "o_custkey")
 
 
-@register("event_value_approx_percentiles")  # no oracle: sketch estimates are impl-specific
+@register(
+    "event_value_approx_percentiles",
+    oracle="""
+    SELECT event_type,
+           CAST(ROUND(ROUND(quantile_cont(value, 0.5), 6) * 1000000) AS BIGINT)
+             AS exact_p50_micros,
+           CAST(ROUND(ROUND(quantile_cont(value, 0.9), 6) * 1000000) AS BIGINT)
+             AS exact_p90_micros,
+           CAST(ROUND(ROUND(quantile_cont(value, 0.99), 6) * 1000000) AS BIGINT)
+             AS exact_p99_micros,
+           TRUE AS p50_in_band, TRUE AS p90_in_band, TRUE AS p99_in_band
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def event_value_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (KLL/Greenwald-Khanna-style sketch) per event type —
+    """approx_percentile (Greenwald-Khanna-style sketch) per event type —
     the percentile you can afford at 100 TB: fixed-size mergeable sketch,
-    map-side partials, no full sort. Rows-only in the driver (estimates are
-    implementation-specific by design); tests/test_sampling_rollups.py
-    bounds the error against the exact percentile instead.
+    map-side partials, no full sort. The sketch estimate itself is
+    implementation-specific, so the driver-checkable contract is the rank
+    error BOUND: with accuracy=10000 the guaranteed rank error is 1e-4,
+    and each ``pXX_in_band`` asserts the approx value lies within the exact
+    [p-0.005, p+0.005] percentile band — 50x the guarantee, deterministic
+    (GK sketches are data-dependent, not randomized). The oracle recomputes
+    the exact percentiles (quantile_cont == Spark `percentile`, proven by
+    `event_value_percentiles`) and expects TRUE bands, so a sketch
+    regression goes hash-red in the driver. tests/test_sampling_rollups.py
+    additionally bounds the raw estimates.
 
-    Output is scalar columns (not arrays): the driver's order-insensitive
-    canonicalizer hashes cell values and list-typed cells are unhashable —
-    its round-1 snapshot crashed on the array form of this query.
+    Output is scalar BIGINT/BOOLEAN columns (not arrays): the driver's
+    canonicalizer cannot hash list-typed cells (its round-1 snapshot
+    crashed on the array form of this query), and floats are not
+    hash-stable across engines.
     """
     events = _t(spark, sf_dir, "events")
     pcts = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000)
-    exact = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    # exact percentiles at the targets AND the +/-0.005 band edges, one buffer
+    exact = F.expr(
+        "percentile(value, array("
+        "0.495D, 0.5D, 0.505D, 0.895D, 0.9D, 0.905D, 0.985D, 0.99D, 0.995D))"
+    )
+
+    def band(i: int) -> F.Column:
+        # approx value for target i within [exact(p-0.005), exact(p+0.005)]
+        lo = F.element_at("_e", 3 * i + 1)
+        hi = F.element_at("_e", 3 * i + 3)
+        a = F.element_at("_a", i + 1)
+        return (a >= lo) & (a <= hi)
+
     return (
         events.groupBy("event_type")
         .agg(pcts.alias("_a"), exact.alias("_e"))
         .select(
             "event_type",
-            F.element_at("_a", 1).alias("approx_p50"),
-            F.element_at("_a", 2).alias("approx_p90"),
-            F.element_at("_a", 3).alias("approx_p99"),
-            F.round(F.element_at("_e", 1), 6).alias("exact_p50"),
-            F.round(F.element_at("_e", 2), 6).alias("exact_p90"),
-            F.round(F.element_at("_e", 3), 6).alias("exact_p99"),
+            round_micros(F.round(F.element_at("_e", 2), 6)).alias("exact_p50_micros"),
+            round_micros(F.round(F.element_at("_e", 5), 6)).alias("exact_p90_micros"),
+            round_micros(F.round(F.element_at("_e", 8), 6)).alias("exact_p99_micros"),
+            band(0).alias("p50_in_band"),
+            band(1).alias("p90_in_band"),
+            band(2).alias("p99_in_band"),
         )
         .orderBy("event_type")
     )

@@ -699,27 +699,54 @@ def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("frequent_tokens_sketch")  # no oracle: sketch contents are impl-specific
+@register(
+    "frequent_tokens_sketch",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_DUCK_TOKENS}) AS token FROM documents),
+    counts AS (
+      SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    total AS (SELECT COUNT(*) AS t FROM tok)
+    SELECT token, CAST(n AS BIGINT) AS exact_n, TRUE AS in_sketch
+    FROM counts, total
+    WHERE n * 50 > t
+    ORDER BY exact_n DESC, token
+    """,
+)
 def frequent_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via the Karp-Papadimitriou-Shenker sketch
     (``DataFrame.stat.freqItems``): single pass, fixed memory ~1/support
     counters per partition, mergeable — the 100 TB answer to "which tokens
-    dominate the corpus" without a full token groupBy. Guarantee: every
-    token with frequency >= support is present (false positives possible,
-    no false negatives) — bounded by tests/test_sampling_rollups.py against
-    exact counts. Output is one (rank, token) row per hit, sorted for
-    run-to-run stability — scalar columns only, because the round driver's
-    canonicalizer cannot hash list-typed cells (the r1 lesson from
+    dominate the corpus" without a full token groupBy.
+
+    The sketch's false-positive set is implementation-specific, but its
+    GUARANTEE is not: every token with frequency strictly above the 0.02
+    support MUST be in the sketch (no false negatives). That guarantee is
+    the driver-checkable contract: the output is the EXACT heavy-hitter
+    table (token, exact_n) with an ``in_sketch`` membership verdict, which
+    the KPS guarantee makes deterministically TRUE — the DuckDB oracle
+    recomputes the exact side and expects TRUE, so a sketch regression
+    (lost hitter) goes hash-red in the driver. False positives never
+    appear in the output because only exact heavy hitters are probed.
+    tests/test_sampling_rollups.py keeps the raw no-false-negative check.
+    Scalar columns only, because the round driver's canonicalizer cannot
+    hash list-typed cells (the r1 lesson from
     ``event_value_approx_percentiles``)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(T.tokens("text")).alias("tok"))
-    freq = toks.stat.freqItems(["tok"], support=0.02)
+    freq = toks.stat.freqItems(["tok"], support=0.02)  # 1 row: array of hits
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    total = toks.agg(F.count(F.lit(1)).alias("t"))
     return (
-        freq.select(
-            F.posexplode(F.sort_array(F.col("tok_freqItems"))).alias("rank", "token")
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("exact_n") * 50 > F.col("t"))
+        .crossJoin(F.broadcast(freq))
+        .select(
+            F.col("tok").alias("token"),
+            "exact_n",
+            F.array_contains("tok_freqItems", F.col("tok")).alias("in_sketch"),
         )
-        .select((F.col("rank") + 1).alias("rank"), "token")
-        .orderBy("rank")
+        .orderBy(F.desc("exact_n"), "token")
     )
 
 

@@ -75,62 +75,44 @@ def _load_all() -> None:
 
 
 # Externally-visible enumeration order. External snapshots of the registry
-# truncate to a prefix, so the queries that most need fresh differential
-# evidence must enumerate first. Round-6 rotation: (a) the 19 queries that
-# went hash-red in r5 on the HUGEINT oracle-type bug stay in the window so
-# the CAST sweep's fix is driver-proven; (b) both rows-only queries
-# (frequent_tokens_sketch, dedup_minhash_ml) leave the window — they
-# burned driver slots as `err: no_oracle` while their oracle-exact
-# counterparts (countmin_token_freq, hll_distinct_tokens,
-# dedup_minhash_lsh) carry the same coverage; (c) all 15 never-driver-
-# checked queries rotate in, evicting 13 queries holding two consecutive
-# green rounds (r4+r5). Names not listed keep registration order after
-# the listed ones.
+# truncate to a prefix (50 slots), so the queries that most need fresh
+# differential evidence must enumerate first. Round-7 rotation — the
+# evidence-completion round: (a) all 15 never-driver-checked round-6
+# additions enter at the head, emptying the never-checked backlog — after
+# this window every oracle-backed registry query has driver-proven
+# evidence; (b) the 4 formerly rows-only sketch/ml queries re-enter with
+# their NEW verdict-cell oracles (exact side + error-bound BOOLEAN), so
+# their first oracle-checked rows land this round; (c) the LLM-core
+# anchors stay; (d) the remaining slots go to one-green-round queries
+# earning their second green — 10 one-green utility queries
+# (eta_formatting, path_ops, meta_map_ops, collect_status_tally,
+# union_source_batches, orders_merge_upsert, event_hourly_gapfill,
+# dataset_split_assignment, minhash_lsh_quality, chunk_dedup_rate) defer
+# to r8; everything evicted holds >= 2 green rounds. Names not listed
+# keep registration order after the listed ones.
 _PRIORITY: list[str] = [
-    # --- r5 hash-red set: fixed by the BIGINT oracle-cast sweep; must
-    # --- re-appear so CORRECTNESS_r06 records the flip ---
-    "user_sessions",
-    "chunk_dedup_rate",
-    "dup_cluster_size_histogram",
-    "mixture_sampling_plan",
-    "token_budget_selection",
-    "minhash_lsh_quality",
-    "lang_distribution",
-    "doc_token_stats",
-    "stratified_doc_sample",
-    "quality_percentile_filter",
-    "source_quota_cap",
-    "bpe_token_estimate",
-    "quality_calibration",
-    "source_dup_rates",
-    "embedding_norm_stats",
-    "pq_reconstruction_stats",
-    "intradoc_repetition",
-    "sequence_packing_plan",
-    "oov_rate_by_source",
-    # --- one green round so far (first checked in r5) ---
-    "pii_redaction_scaffold",
-    "url_domain_stats",
-    "semdedup_embedding_clusters",
-    # --- never driver-checked until now ---
-    "countmin_token_freq",
-    "countmin_merge_sources",
-    "hll_distinct_tokens",
-    "hll_union_sources",
-    "bloom_dedup_precheck",
-    "orders_merge_upsert",
-    "event_hourly_gapfill",
-    "user_trailing_window",
-    "user_value_intervals",
-    "user_rolling_distinct_types",
-    "incremental_new_docs",
-    "collect_status_tally",
-    "union_source_batches",
-    "eta_formatting",
-    "path_ops",
-    "meta_map_ops",
-    "dataset_split_assignment",
-    "weighted_doc_sample_pps",
+    # --- never driver-checked (round-6 additions): highest leverage ---
+    "dedup_keep_selection",
+    "knn_ivf_kmeans",
+    "cluster_diversity_sample",
+    "table_profile",
+    "user_retention_cohorts",
+    "active_user_rollup",
+    "text_encoding_audit",
+    "regional_supplier_revenue",
+    "nation_pair_volume",
+    "referential_integrity_audit",
+    "embedding_principal_component",
+    "hll_rolling_active_users",
+    "histogram_quantile_sketch",
+    "cluster_top_terms",
+    "event_daily_anomalies",
+    # --- newly oracle-ized this round (were rows-only through r6; now
+    # --- emit exact cells + error-bound verdict BOOLEANs) ---
+    "approx_distinct_users",
+    "event_value_approx_percentiles",
+    "frequent_tokens_sketch",
+    "dedup_minhash_ml",
     # --- LLM-core anchors (stay in every window) ---
     "dedup_minhash_lsh",
     "ngram_jaccard_pairs",
@@ -138,29 +120,38 @@ _PRIORITY: list[str] = [
     "knn_ivf",
     "contamination_overlap",
     "doc_quality",
-    # --- new this round (local-green in both fetch modes + hostile-TZ
-    # --- driver-mimic; enter the window immediately so they don't join
-    # --- the never-checked backlog) ---
-    "kmeans_embedding_clusters",
+    # --- one green round (r6): earn the second green ---
+    "user_sessions",
+    "user_trailing_window",
+    "user_value_intervals",
+    "user_rolling_distinct_types",
+    "doc_token_stats",
+    "quality_percentile_filter",
+    "bpe_token_estimate",
+    "countmin_token_freq",
+    "countmin_merge_sources",
+    "hll_distinct_tokens",
+    "hll_union_sources",
+    "weighted_doc_sample_pps",
     "bigram_lm_doc_scores",
+    "source_dup_rates",
+    "bloom_dedup_precheck",
+    "kmeans_embedding_clusters",
+    "incremental_new_docs",
+    "intradoc_repetition",
+    "sequence_packing_plan",
+    "oov_rate_by_source",
     "exact_substring_coverage",
+    "dup_cluster_size_histogram",
+    "mixture_sampling_plan",
+    "token_budget_selection",
     "curation_funnel",
-    # --- double-green diversity keepers (fall past the 50-slot window
-    # --- this round; all have >= 2 prior green rounds) ---
-    "incremental_batch_dedup",
-    "knn_bruteforce",
-    "asof_order_context",
-    "skew_salted_user_join",
 ]
-# Round-7 rotation backlog: the other round-6 operators are local-green in
-# both fetch modes + hostile-TZ driver-mimic but have never been in a
-# driver window — rotate them in next round: dedup_keep_selection,
-# knn_ivf_kmeans, cluster_diversity_sample, table_profile,
-# user_retention_cohorts, active_user_rollup, text_encoding_audit,
-# regional_supplier_revenue, nation_pair_volume,
-# referential_integrity_audit, embedding_principal_component,
-# hll_rolling_active_users, histogram_quantile_sketch, cluster_top_terms,
-# event_daily_anomalies.
+# Round-8 rotation backlog (one green round each, driver-green in r6,
+# deferred from the r7 window): eta_formatting, path_ops, meta_map_ops,
+# collect_status_tally, union_source_batches, orders_merge_upsert,
+# event_hourly_gapfill, dataset_split_assignment, minhash_lsh_quality,
+# chunk_dedup_rate.
 
 
 def _ordered() -> dict[str, QuerySpec]:
