@@ -8,12 +8,17 @@ media is an opaque ``binary`` column with typed metadata, and every
 decode / feature-extract / frame-sample step is an Arrow-batched
 ``mapInPandas`` stage.
 
-The actual codec calls are STUBBED here (no media libraries in this
-container — see ``decode_media_stub``); what is real and tested is the
-Spark-side plumbing: binary column handling, UDF signatures, output
-schemas, one-to-many frame expansion, and per-executor batch shapes.
-The fake decoder is deterministic (hash/length math over the payload
-bytes) so every query still hash-matches a DuckDB oracle.
+WAV decode is REAL: ``decode_media`` parses PCM WAV through stdlib
+``wave`` — the exact API the reference feeds Vosk from
+(``inputs/system_audio_collector.py:31,39-41``) — and
+``chunk_wav_frames`` reproduces its ``readframes(4000)`` loop as a
+map-only mapInPandas stage over real bytes. Only image/video decode
+remains a documented ``NotImplementedError`` seam (those codecs aren't
+in this container). The deterministic RMS-energy segmenter
+(``transcribe_wav_energy``) stands in for the ASR engine behind the
+same per-executor-singleton pattern a real Vosk model would use, so the
+full S5/U2 path — binaryFile → header parse → frame-chunk → stateful
+inference — runs end-to-end on real audio bytes in tests.
 
 Scale notes: mapInPandas stages here are map-only — no shuffle; Arrow
 batch size (``spark.sql.execution.arrow.maxRecordsPerBatch``) bounds
@@ -45,18 +50,40 @@ _FRAME_CHARS = 64  # fake frame size (chars) for frame-sampling plumbing
 _FRAME_STRIDE = 2  # keep every 2nd frame
 
 
-def decode_media_stub(payload: bytes, modality: str) -> object:
-    """Placeholder for the real codec call (ffmpeg/PIL/torchaudio).
+def decode_media(payload: bytes, modality: str = "audio") -> dict:
+    """Decode an opaque media payload to typed fields.
 
-    Deliberately NotImplemented: this container has no media libraries.
-    On a real cluster this body becomes the external-engine call and MUST
-    be invoked through a per-executor singleton (one codec/model instance
-    per worker process), never per row — reference pattern U2.
+    REAL for PCM WAV audio: stdlib ``wave`` over an in-memory buffer — the
+    same parser the reference opens its capture files with
+    (``inputs/system_audio_collector.py:31``: ``wave.open(wav_path)``).
+    Returns header fields plus the raw PCM frame bytes. Image/video stay a
+    documented seam: those codecs (PIL/ffmpeg) aren't in this container,
+    and on a real cluster the call MUST go through a per-executor
+    singleton (one codec/model instance per worker process), never per
+    row — reference pattern U2.
     """
-    raise NotImplementedError(
-        f"real {modality} decode requires external media libraries; "
-        "wire ffmpeg/PIL here on a real cluster (SURVEY §2.10 U1/U2)"
-    )
+    if modality != "audio":
+        raise NotImplementedError(
+            f"real {modality} decode requires external media libraries; "
+            "wire ffmpeg/PIL here on a real cluster (SURVEY §2.10 U1/U2)"
+        )
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        return {
+            "n_channels": wf.getnchannels(),
+            "sample_width": wf.getsampwidth(),
+            "frame_rate": wf.getframerate(),
+            "n_frames": wf.getnframes(),
+            "pcm": wf.readframes(wf.getnframes()),
+        }
+
+
+def decode_media_stub(payload: bytes, modality: str) -> object:
+    """Back-compat alias for the pre-WAV-decode seam: delegates to
+    :func:`decode_media` (real for audio, NotImplementedError otherwise)."""
+    return decode_media(payload, modality)
 
 
 def attach_binary_payload(docs: DataFrame) -> DataFrame:
@@ -200,4 +227,95 @@ def chunk_binary_payloads(docs_with_payload: DataFrame) -> DataFrame:
     return docs_with_payload.mapInPandas(
         slice_batches,
         "doc_id long, chunk_idx int, byte_start long, byte_len long, chunk binary",
+    )
+
+
+WAV_CHUNK_FRAMES = 4000  # the reference's readframes(4000) recognizer feed
+
+
+def chunk_wav_frames(wavs: DataFrame, chunk_frames: int = WAV_CHUNK_FRAMES) -> DataFrame:
+    """Frame-accurate chunking of real WAV payloads: ``(doc_id, payload)``
+    → ``(doc_id, chunk_idx, frame_start, n_frames, frame_rate, pcm)``.
+
+    This is the distributed form of the reference's recognizer loop
+    (``inputs/system_audio_collector.py:39-41``): open with stdlib
+    ``wave``, then ``readframes(4000)`` until empty — except the header
+    parse happens once per payload inside an Arrow batch and each chunk
+    becomes a row. Chunk boundaries land on FRAME boundaries
+    (``n_channels * sample_width`` bytes), not byte offsets, so stereo or
+    24-bit audio chunks stay decodable. Map-only: chunk rows inherit the
+    input partitioning and a downstream per-chunk inference UDF runs with
+    no shuffle; Arrow batch size bounds executor memory per batch.
+    """
+    import pandas as pd
+
+    def slice_frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "chunk_idx": [], "frame_start": [],
+                "n_frames": [], "frame_rate": [], "pcm": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = decode_media(bytes(payload), "audio")
+                frame_bytes = meta["n_channels"] * meta["sample_width"]
+                pcm = meta["pcm"]
+                idx = 0
+                for start in range(0, max(meta["n_frames"], 1), chunk_frames):
+                    piece = pcm[start * frame_bytes : (start + chunk_frames) * frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(idx)
+                    out["frame_start"].append(start)
+                    out["n_frames"].append(len(piece) // frame_bytes if frame_bytes else 0)
+                    out["frame_rate"].append(meta["frame_rate"])
+                    out["pcm"].append(piece)
+                    idx += 1
+            yield pd.DataFrame(out)
+
+    return wavs.mapInPandas(
+        slice_frames,
+        "doc_id long, chunk_idx int, frame_start long, n_frames long, "
+        "frame_rate int, pcm binary",
+    )
+
+
+def transcribe_wav_energy(chunks: DataFrame, threshold: int = 500) -> DataFrame:
+    """Deterministic stand-in for the per-chunk ASR call: integer RMS
+    energy over s16le PCM, thresholded to a speech/silence verdict —
+    ``(doc_id, chunk_idx, rms, is_speech)``.
+
+    Exercises the exact execution shape of the reference's Vosk loop
+    (``rec.AcceptWaveform(data)`` per 4000-frame chunk, U2): a "model"
+    constructed ONCE per Python worker (per-executor singleton — the real
+    Vosk ``Model(model_path)`` load is the expensive step this pattern
+    exists for), then vectorized numpy inference per Arrow batch. RMS is
+    integer ``isqrt(sum(x²)//n)`` so results are bit-stable across hosts.
+    """
+    import pandas as pd
+
+    def infer(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+
+        import numpy as np
+
+        global _ENERGY_MODEL  # per-python-worker singleton (U2)
+        try:
+            _ENERGY_MODEL
+        except NameError:
+            _ENERGY_MODEL = {"loads": 1}  # the "expensive model load"
+        for pdf in batches:
+            rms = []
+            for pcm in pdf["pcm"]:
+                x = np.frombuffer(bytes(pcm), dtype="<i2").astype(np.int64)
+                rms.append(math.isqrt(int((x * x).sum()) // len(x)) if len(x) else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "chunk_idx": pdf["chunk_idx"],
+                    "rms": rms,
+                    "is_speech": [r >= threshold for r in rms],
+                }
+            )
+
+    return chunks.mapInPandas(
+        infer, "doc_id long, chunk_idx int, rms long, is_speech boolean"
     )

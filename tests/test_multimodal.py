@@ -11,10 +11,31 @@ import pytest
 
 from input_data_pipeline_spark.operators.multimodal import (
     attach_binary_payload,
+    decode_media,
     decode_media_stub,
     frame_sample,
     multimodal_binary_meta,
 )
+
+
+def make_wav(path, blocks, frame_rate=16000, amplitude=8000):
+    """Write a 16 kHz mono s16le WAV (the reference's ASR input format):
+    ``blocks`` is a list of ("tone"|"silence", n_frames) segments; tone is
+    a square wave at +/-amplitude so RMS == amplitude exactly."""
+    import struct
+    import wave
+
+    frames = bytearray()
+    for kind, n in blocks:
+        for i in range(n):
+            v = (amplitude if i % 2 == 0 else -amplitude) if kind == "tone" else 0
+            frames += struct.pack("<h", v)
+    with wave.open(str(path), "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(frame_rate)
+        wf.writeframes(bytes(frames))
+    return bytes(frames)
 
 
 def test_binaryfile_source_reads_wav_blobs(spark, tmp_path):
@@ -51,9 +72,64 @@ def test_newest_file_max_by_mtime(spark, tmp_path):
     assert newest[0].path.endswith("new.wav")
 
 
-def test_decode_stub_is_explicitly_unimplemented():
-    with pytest.raises(NotImplementedError, match="media libraries"):
-        decode_media_stub(b"RIFF....WAVE", "audio")
+def test_decode_nonaudio_is_explicitly_unimplemented():
+    """Only image/video remain a seam; WAV audio decode is real now."""
+    for modality in ("image", "video"):
+        with pytest.raises(NotImplementedError, match="media libraries"):
+            decode_media_stub(b"\x89PNG", modality)
+
+
+def test_decode_media_parses_real_wav(tmp_path):
+    """S5/U2: stdlib-wave decode of a real PCM WAV payload — header fields
+    and raw frames exactly as wave.open + readframes would return them."""
+    pcm = make_wav(tmp_path / "a.wav", [("tone", 1000), ("silence", 500)])
+    meta = decode_media((tmp_path / "a.wav").read_bytes(), "audio")
+    assert meta["n_channels"] == 1
+    assert meta["sample_width"] == 2
+    assert meta["frame_rate"] == 16000
+    assert meta["n_frames"] == 1500
+    assert meta["pcm"] == pcm
+
+
+def test_wav_chunked_decode_and_energy_segmenter_end_to_end(spark, tmp_path):
+    """The full reference ASR loop shape on real bytes: binaryFile source →
+    wave header parse → readframes(4000)-style frame chunks → per-executor
+    singleton inference (RMS energy) → speech/silence segments."""
+    from input_data_pipeline_spark.operators.multimodal import (
+        WAV_CHUNK_FRAMES,
+        chunk_wav_frames,
+        transcribe_wav_energy,
+    )
+
+    # 3 chunks of tone, 2 of silence, then a short tail of tone: 9500 frames
+    blocks = [
+        ("tone", 3 * WAV_CHUNK_FRAMES),
+        ("silence", 2 * WAV_CHUNK_FRAMES),
+        ("tone", 1500),
+    ]
+    pcm = make_wav(tmp_path / "rec.wav", blocks)
+    wavs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(str(tmp_path))
+        .select(F.lit(7).cast("long").alias("doc_id"), F.col("content").alias("payload"))
+    )
+    chunks = chunk_wav_frames(wavs)
+    rows = sorted(chunks.collect(), key=lambda r: r.chunk_idx)
+    assert [r.chunk_idx for r in rows] == list(range(6))
+    assert [r.n_frames for r in rows] == [WAV_CHUNK_FRAMES] * 5 + [1500]
+    assert all(r.frame_start == i * WAV_CHUNK_FRAMES for i, r in enumerate(rows))
+    assert all(r.frame_rate == 16000 for r in rows)
+    # frame-accurate roundtrip: concatenated chunk PCM == original frames
+    assert b"".join(bytes(r.pcm) for r in rows) == pcm
+    # chunking + inference are map-only — no shuffle anywhere in the plan
+    verdicts = transcribe_wav_energy(chunks)
+    plan = verdicts._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = {r.chunk_idx: r for r in verdicts.collect()}
+    # square wave at +/-8000 → RMS exactly 8000; silence → 0
+    assert [got[i].rms for i in range(6)] == [8000, 8000, 8000, 0, 0, 8000]
+    assert [got[i].is_speech for i in range(6)] == [True, True, True, False, False, True]
 
 
 def test_binary_meta_matches_local_hash(spark, sf_dir):
