@@ -2,10 +2,24 @@
 """Headline benchmark: runs the engine's flagship queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line:
-  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+   "sf": ..., "runs_per_query": 3, "queries_all_runs": {...},
+   "yardstick": {...}}
 
-Each query is timed end-to-end (plan + execute + collect). A warmup run of
-the flagship query amortizes JVM/codegen startup out of the numbers.
+Noise self-defense (round-6 lesson: a uniformly ~1.4x slower host cost a
+day of attribution work):
+- each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
+  the per-query MIN — min-of-N is the standard noise-robust statistic
+  for wall-clock microbenchmarks (the minimum is the run least disturbed
+  by interference);
+- a `yardstick` block measures THIS host at bench time (single-core md5
+  hash rate, numpy f64 matmul GFLOP/s, plus /proc loadavg and steal
+  ticks), so a cross-round drift in query times can be attributed to the
+  machine directly from the JSON, without archaeology;
+- `queries_all_runs` keeps every sample so inter-run variance is visible.
+
+A warmup run of the flagship query amortizes JVM/codegen startup out of
+the numbers.
 """
 
 from __future__ import annotations
@@ -70,20 +84,79 @@ HEADLINE = [
 ]
 
 
+def _proc_stat() -> dict:
+    """loadavg + cumulative steal ticks from /proc (Linux; zeros elsewhere)."""
+    out = {"loadavg_1m": 0.0, "steal_ticks": 0}
+    try:
+        with open("/proc/loadavg") as f:
+            out["loadavg_1m"] = float(f.read().split()[0])
+        with open("/proc/stat") as f:
+            cpu = f.readline().split()  # cpu user nice sys idle iowait irq sirq steal
+            if len(cpu) > 8:
+                out["steal_ticks"] = int(cpu[8])
+    except OSError:
+        pass
+    return out
+
+
+def yardstick() -> dict:
+    """Fixed-work host-speed probes: comparable across rounds, ~1 s total."""
+    import hashlib
+
+    stat0 = _proc_stat()
+    # single-core hash rate: 200k md5 digests of a 64-byte block
+    blk = b"x" * 64
+    t0 = time.perf_counter()
+    for _ in range(200_000):
+        hashlib.md5(blk).digest()
+    md5_k_per_s = round(200.0 / (time.perf_counter() - t0), 1)
+
+    gflops = None
+    try:
+        import numpy as np
+
+        a = np.random.default_rng(0).random((1024, 1024))
+        a @ a  # warm the BLAS path
+        t0 = time.perf_counter()
+        for _ in range(5):
+            a @ a
+        gflops = round(5 * 2 * 1024**3 / (time.perf_counter() - t0) / 1e9, 1)
+    except ImportError:
+        pass
+
+    return {
+        "md5_1core_k_per_s": md5_k_per_s,
+        "matmul_f64_gflops": gflops,
+        "loadavg_1m_at_start": stat0["loadavg_1m"],
+        "steal_ticks_at_start": stat0["steal_ticks"],
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     _load_all()
     names = [n for n in HEADLINE if n in _REGISTRY]
+    ystick = yardstick()
     spark = get_spark("bench")
 
     # Warmup: JVM + codegen + parquet footer caches.
     _REGISTRY[names[0]].fn(spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        _REGISTRY[name].fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # Run the full set n_runs times round-robin (not per-query back-to-back:
+    # a transient host stall then hits ONE sweep, not all samples of one
+    # query), keep every sample, report the per-query min.
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(n_runs):
+        for name in names:
+            t0 = time.perf_counter()
+            _REGISTRY[name].fn(spark, sf_dir).collect()
+            samples[name].append(round(time.perf_counter() - t0, 3))
+
+    timings = {n: min(ts) for n, ts in samples.items()}
+    stat1 = _proc_stat()
+    ystick["loadavg_1m_at_end"] = stat1["loadavg_1m"]
+    ystick["steal_ticks_delta"] = stat1["steal_ticks"] - ystick.pop("steal_ticks_at_start")
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -92,6 +165,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs_per_query": n_runs,
+        "queries_all_runs": samples,
+        "yardstick": ystick,
     }
     print(json.dumps(out))
     spark.stop()
