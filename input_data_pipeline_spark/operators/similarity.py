@@ -938,7 +938,29 @@ ORDER BY a2.cid
 """
 
 
+# Per-(applicationId, corpus-dir) caches for the quantized-vector frame and
+# the trained centroids. ASSUMPTION (documented contract): a corpus path is
+# immutable within one Spark application — re-writing the parquet under the
+# same path in the same session would serve stale centroids. Regenerating
+# data mid-session requires ``reset_kmeans_caches(spark)`` (or a new path).
+# Bounded: at most _KMEANS_CACHE_MAX corpora stay persisted; older entries
+# are unpersisted and evicted FIFO so a long-lived session touching many
+# corpus dirs cannot accumulate executor storage.
+_KMEANS_CACHE_MAX = 4
 _KMEANS_QVEC_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def reset_kmeans_caches(spark: SparkSession | None = None) -> None:
+    """Unpersist and drop all cached quantized-vector frames and trained
+    centroids (for the whole process, or only ``spark``'s application if
+    given). Call after regenerating a corpus under an already-used path."""
+    app = spark.sparkContext.applicationId if spark is not None else None
+    for key in list(_KMEANS_QVEC_CACHE):
+        if app is None or key[0] == app:
+            _KMEANS_QVEC_CACHE.pop(key).unpersist()
+    for key in list(_KMEANS_TRAIN_CACHE):
+        if app is None or key[0] == app:
+            del _KMEANS_TRAIN_CACHE[key]
 
 
 def _kmeans_qvec(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -967,16 +989,49 @@ def _kmeans_qvec(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda x: F.round(x.cast("double") * F.lit(1_000_000)).cast("long"),
             ).alias("q"),
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        while len(_KMEANS_QVEC_CACHE) >= _KMEANS_CACHE_MAX:
+            old = next(iter(_KMEANS_QVEC_CACHE))
+            _KMEANS_QVEC_CACHE.pop(old).unpersist()
+            _KMEANS_TRAIN_CACHE.pop(old, None)
         _KMEANS_QVEC_CACHE[key] = df
     return df
 
 
-def _kmeans_assign(qv: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
-    """Map-only nearest-centroid assignment against literal centroids.
+# Above this K*dim, nearest-centroid assignment switches from plan-literal
+# centroids to a broadcast numpy kernel: the literal expression's compile
+# time scales with the literal count (fine at 8x64, plan-bloat at
+# quantizer scale K>=256), while the numpy path's plan is fixed-size.
+_KMEANS_LITERAL_MAX = 4096
 
-    The centroid set is a K×(dim+1) literal embedded in the plan — the
-    Spark-MLlib topology (centroids broadcast to every task, no shuffle for
-    the assignment pass). Distances and the argmin run in a single
+
+def _kmeans_assign(qv: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
+    """Map-only nearest-centroid assignment; adds ``d2`` and ``cid``.
+
+    Two physical strategies behind one semantic (exact integer distances,
+    ties to the smallest cid), picked by K*dim:
+
+    - small codebooks → :func:`_kmeans_assign_literal`: centroids embedded
+      as plan literals, distances/argmin in whole-stage-codegen'd
+      ``transform``/``aggregate``/``array_min`` expressions;
+    - large codebooks (K*dim > {max}) → :func:`_kmeans_assign_np`:
+      centroids in a Spark broadcast variable, blocked int64 matmul in an
+      Arrow-batched pandas UDF — the plan stays fixed-size no matter how
+      big the quantizer gets.
+
+    Both are shuffle-free map stages (the Spark-MLlib topology: centroids
+    to every task, no exchange for the assignment pass).
+    """
+    dim = len(centroids[0][1]) if centroids else 0
+    if len(centroids) * dim > _KMEANS_LITERAL_MAX:
+        return _kmeans_assign_np(qv, centroids)
+    return _kmeans_assign_literal(qv, centroids)
+
+
+def _kmeans_assign_literal(
+    qv: DataFrame, centroids: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """Literal-centroid assignment: the K×(dim+1) codebook is embedded in
+    the plan. Distances and the argmin run in a single
     ``transform``/``aggregate`` expression; ``array_min`` over
     (d2, cid) structs breaks ties toward the smallest cid, mirroring the
     oracle's ``ORDER BY d2, cid``."""
@@ -1002,6 +1057,56 @@ def _kmeans_assign(qv: DataFrame, centroids: list[tuple[int, list[int]]]) -> Dat
     )
     best = F.array_min(scored)
     return qv.withColumn("d2", best["d2"]).withColumn("cid", best["cid"])
+
+
+def _kmeans_assign_np(qv: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
+    """Broadcast-ndarray assignment for quantizer-scale codebooks.
+
+    The codebook ships once per executor as a Spark broadcast variable
+    (K=1024 x dim=64 int64 is 512 KB — nothing next to a task closure per
+    stage), and each Arrow batch scores against it with one blocked int64
+    matmul via ``d2 = |q|^2 + |c|^2 - 2 q.c`` — algebraically identical to
+    the literal path's per-component sum, and exact: |component| < 1e6 and
+    dim <= 64 keep every intermediate under 2^53 << int64 range. numpy
+    integer matmul is exact (no float accumulation). ``argmin`` takes the
+    FIRST minimum and the codebook is sorted by cid, reproducing the
+    literal path's smallest-cid tie-break bit-for-bit. Map-only: a pandas
+    UDF column expression, so the stage shape (no Exchange) is identical
+    to the literal path and the surrounding plan is untouched."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cs = sorted(centroids)  # by cid: argmin-first-occurrence == smallest cid
+    cid_arr = np.array([c for c, _ in cs], dtype=np.int64)
+    cmat = np.array([v for _, v in cs], dtype=np.int64)
+    bc = qv.sparkSession.sparkContext.broadcast(
+        (cid_arr, cmat, (cmat * cmat).sum(axis=1))
+    )
+
+    def _nearest(q):
+        cids, cm, c2 = bc.value
+        if len(q) == 0:
+            return pd.DataFrame({"d2": [], "cid": []})
+        qm = np.array(q.tolist(), dtype=np.int64)
+        d2 = (qm * qm).sum(axis=1, keepdims=True) + c2[None, :] - 2 * (qm @ cm.T)
+        best = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {"d2": d2[np.arange(len(best)), best], "cid": cids[best]}
+        )
+
+    # explicit functionType: the struct-returning scalar form — Series in,
+    # DataFrame(d2, cid) out per Arrow batch
+    from pyspark.sql.functions import PandasUDFType
+
+    nearest = pandas_udf(_nearest, "d2 long, cid long", PandasUDFType.SCALAR)
+
+    return (
+        qv.withColumn("_best", nearest("q"))
+        .withColumn("d2", F.col("_best.d2"))
+        .withColumn("cid", F.col("_best.cid"))
+        .drop("_best")
+    )
 
 
 _KMEANS_TRAIN_CACHE: dict[tuple[str, str], list[tuple[int, list[int]]]] = {}
@@ -1374,6 +1479,14 @@ def embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     sr1 = [_tdiv(s1[f"s{i}"], _PI_RESCALE_S) for i in range(DIM)]
     nrm1 = math.floor(math.sqrt(float(sum(x * x for x in sr1))))
+    if nrm1 == 0:
+        # degenerate corpus: the rescaled matvec truncated to the zero
+        # vector (e.g. all-zero embeddings). Fail loudly rather than
+        # ZeroDivisionError here / silent nulls in the in-plan round.
+        raise ValueError(
+            "power iteration degenerated to the zero vector; the embedding "
+            "corpus has no principal direction at micros precision"
+        )
     v1 = [_tdiv(x * 1_000_000, nrm1) for x in sr1]
 
     # round 2: fully in-plan (posexplode matvec, broadcast scalar norm)
@@ -1385,9 +1498,14 @@ def embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("sr", F.expr(f"s DIV {_PI_RESCALE_S}"))
     )
     nrm = s2.agg(
-        F.floor(F.sqrt(F.sum(F.col("sr") * F.col("sr")).cast("double")))
-        .cast("long")
-        .alias("nrm")
+        # greatest(.,1): div-by-zero guard for the (already-raised-above in
+        # practice) degenerate case; identity whenever the corpus is real
+        F.greatest(
+            F.floor(F.sqrt(F.sum(F.col("sr") * F.col("sr")).cast("double"))).cast(
+                "long"
+            ),
+            F.lit(1).cast("long"),
+        ).alias("nrm")
     )
     return (
         s2.crossJoin(F.broadcast(nrm))

@@ -1094,11 +1094,22 @@ def hq_bin_counts(vm: DataFrame, bounds: DataFrame) -> DataFrame:
     ``histogram_quantile_sketch`` (which derives bounds from the data)
     and the streaming ledger in ``streaming/pipelines.py`` (which takes
     bounds from a prior profile). Bin counts are pure sums, so per-shard
-    or per-batch tables merge by addition."""
+    or per-batch tables merge by addition.
+
+    Values are clamped to [lo, hi] before binning: with data-derived
+    bounds (the batch query) the clamp is an identity, but with external
+    bounds (the streaming path) values that drift outside the profiled
+    range would otherwise land in negative or >= {_HQ_BINS} bins — with
+    truncating DIV even folding (lo-width, lo) into bin 0 — silently
+    distorting merged quantile estimates. Clamped, they saturate into the
+    first/last bin, the standard fixed-bound histogram behavior."""
     width = f"(((hi - lo) DIV {_HQ_BINS}) + 1)"
     return (
         vm.join(F.broadcast(bounds.select("event_type", "lo", "hi")), "event_type")
-        .select("event_type", F.expr(f"(v - lo) DIV {width}").alias("bin"))
+        .select(
+            "event_type",
+            F.expr(f"(LEAST(GREATEST(v, lo), hi) - lo) DIV {width}").alias("bin"),
+        )
         .groupBy("event_type", "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -32,6 +32,7 @@ double-bucket DuckDB SQL) live in ``operators/windows.py`` —
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
@@ -154,7 +155,8 @@ def write_idempotent_merge(
         fresh = batch_df.dropDuplicates([key])
         try:
             existing = spark.read.parquet(target_dir).select(key)
-        except Exception:  # first batch: target doesn't exist yet
+        except AnalysisException:  # first batch: target doesn't exist yet;
+            # real IO errors propagate and fail the batch
             existing = None
         if existing is not None:
             fresh = fresh.join(F.broadcast(existing), key, "left_anti")
@@ -331,7 +333,8 @@ def stream_countmin_update(docs: DataFrame, state_dir: str, checkpoint_dir: str)
             )
             if replayed:
                 return
-        except Exception:  # first batch: ledger doesn't exist yet
+        except AnalysisException:  # first batch only; IO errors must
+            # fail the batch, not silently skip replay protection
             pass
         counts = (
             batch_df.select(F.explode(T.tokens("text")).alias("token"))
@@ -386,7 +389,8 @@ def stream_bloom_update(docs: DataFrame, state_dir: str, checkpoint_dir: str):
             )
             if replayed:
                 return
-        except Exception:  # first batch: ledger doesn't exist yet
+        except AnalysisException:  # first batch only; IO errors must
+            # fail the batch, not silently skip replay protection
             pass
         fps = batch_df.select(T.fingerprint("text").alias("fp")).distinct()
         words = bloom_bitmap(fps).withColumn("batch_id", F.lit(batch_id))
@@ -435,6 +439,14 @@ def stream_curation_gate(
     from input_data_pipeline_spark.operators.curation import funnel_stage_flags
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
+        # Only the expected missing-ledger (first batch) case is swallowed,
+        # and only as AnalysisException: a transient IO failure on either
+        # ledger read must FAIL the batch (foreachBatch retries it), not
+        # silently disable replay-skip or cross-batch dedup — a swallowed
+        # `seen` read would permanently accept duplicate-content docs,
+        # since accepted_docs dedups by doc_id, not fp.
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         try:
             replayed = (
@@ -445,7 +457,7 @@ def stream_curation_gate(
             )
             if replayed:
                 return
-        except Exception:  # first batch: ledger doesn't exist yet
+        except AnalysisException:  # first batch: ledger doesn't exist yet
             pass
         flags = funnel_stage_flags(batch_df).filter("f2")
         w = Window.partitionBy("fp").orderBy("doc_id")
@@ -457,7 +469,7 @@ def stream_curation_gate(
         try:
             seen = spark.read.parquet(ledger_dir).select("fp").distinct()
             fresh = firsts.join(seen, "fp", "left_anti")
-        except Exception:
+        except AnalysisException:  # first batch only; IO errors propagate
             fresh = firsts
         accepted = fresh.select(
             "doc_id", "ts", "text", "lang", "source", "fp"
@@ -515,7 +527,8 @@ def stream_histogram_update(
             )
             if replayed:
                 return
-        except Exception:  # first batch: ledger doesn't exist yet
+        except AnalysisException:  # first batch only; IO errors must
+            # fail the batch, not silently skip replay protection
             pass
         bdf = spark.createDataFrame(bounds, "event_type string, lo long, hi long")
         vm = batch_df.select("event_type", micros("value").alias("v"))
@@ -568,7 +581,8 @@ def stream_hll_update(docs: DataFrame, state_dir: str, checkpoint_dir: str):
             )
             if replayed:
                 return
-        except Exception:  # first batch: ledger doesn't exist yet
+        except AnalysisException:  # first batch only; IO errors must
+            # fail the batch, not silently skip replay protection
             pass
         tok = batch_df.select(
             "source", F.explode(T.tokens("text")).alias("token")

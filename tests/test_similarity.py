@@ -178,3 +178,50 @@ def test_principal_component_is_unit_and_dominant(spark, sf_dir):
         rayleigh([1.0 if i == j else 0.0 for i in range(64)]) for j in range(64)
     )
     assert rayleigh(vu) > best_axis
+
+
+def test_large_k_assignment_uses_broadcast_numpy_path(spark, sf_dir):
+    """A quantizer-scale codebook (K=256, K*dim=16384 > the literal-path
+    cap) must (a) dispatch to the broadcast-ndarray kernel, (b) keep the
+    map-only no-Exchange stage shape, (c) agree bit-for-bit with the
+    literal path, and (d) complete a Lloyd-style assign+update within
+    sane wall-time."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from input_data_pipeline_spark.operators.similarity import (
+        _KMEANS_LITERAL_MAX,
+        _kmeans_assign,
+        _kmeans_assign_literal,
+        _kmeans_assign_np,
+        _kmeans_qvec,
+    )
+
+    qv = _kmeans_qvec(spark, sf_dir)
+    seeds = qv.orderBy("vec_id").limit(256).collect()
+    cbig = [(i + 1, list(r["q"])) for i, r in enumerate(seeds)]
+    assert len(cbig) * len(cbig[0][1]) > _KMEANS_LITERAL_MAX
+
+    t0 = time.time()
+    assigned = _kmeans_assign(qv, cbig)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    # (a) broadcast-numpy kernel chosen: pandas UDF eval node in the plan
+    assert "ArrowEvalPython" in plan
+    # (b) assignment itself is shuffle-free (map-only over the cached scan)
+    assert "Exchange" not in plan
+    rows = assigned.collect()
+    assert len(rows) == 500 and all(r.cid is not None for r in rows)
+    # (d) one full K=256 Lloyd update (K-group agg) in sane wall-time
+    upd = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert sum(r.n for r in upd) == 500
+    assert time.time() - t0 < 60
+
+    # (c) bit-identical to the literal path — same K=256 codebook. Every
+    # seed vector must self-assign at distance 0 (sanity on exactness).
+    lit = {r.vec_id: (r.d2, r.cid) for r in _kmeans_assign_literal(qv, cbig).collect()}
+    npy = {r.vec_id: (r.d2, r.cid) for r in _kmeans_assign_np(qv, cbig).collect()}
+    assert lit == npy
+    seed_ids = {r["vec_id"]: i + 1 for i, r in enumerate(seeds)}
+    for vid, cid in seed_ids.items():
+        assert npy[vid] == (0, cid)
