@@ -135,3 +135,68 @@ def test_exact_substring_coverage_planted(spark, tmp_path):
         (1, "b", 3, 333333),
         (2, "c", 2, 0),
     ]
+
+
+def test_planted_skew_hot_shingle_stays_bounded(spark, tmp_path):
+    """Degenerate-corpus skew evidence (the 100 TB worry made concrete):
+    one 8-token sentence planted in 50% of 200 docs. The shuffles keyed by
+    shingle must stay bounded anyway:
+
+    - contamination: the df-cap drops the hot shingles BEFORE the pair
+      self-join, so the max per-key multiplicity entering the join is
+      <= _CONTAM_DF_CAP (not 100), capping per-key fan-out at cap^2 — and
+      the planted boilerplate yields zero contamination pairs;
+    - exact-substring coverage: the per-doc distinct pass keeps the hot
+      key at ONE row per containing doc, the df agg partial-combines
+      map-side, and the d⋈df join emits exactly |d| rows (no fan-out) —
+      verified by cardinality and by the expected coverage ppm.
+    """
+    import pyspark.sql.functions as F
+
+    from input_data_pipeline_spark.operators.corpus import (
+        _CONTAM_DF_CAP,
+        _kgrams_from_index,
+        contamination_overlap,
+        corpus_token_index,
+        exact_substring_coverage,
+    )
+
+    hot = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = []
+    for i in range(200):
+        filler = " ".join(f"u{i}w{j}" for j in range(10))
+        text = (hot + " " + filler) if i < 100 else filler
+        rows.append((i, text, "s", "en", len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf_dir = str(tmp_path)
+
+    # --- contamination: hot 5-grams have df=100 >> cap, and are dropped ---
+    sh = _kgrams_from_index(corpus_token_index(spark, sf_dir), 5).distinct()
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    assert dfreq.agg(F.max("df")).first()[0] >= 100  # the skew IS planted
+    shr = sh.join(
+        dfreq.filter(F.col("df") <= _CONTAM_DF_CAP).select("sh"), "sh"
+    )
+    max_key = shr.groupBy("sh").agg(F.count(F.lit(1)).alias("n")).agg(F.max("n")).first()[0]
+    assert max_key <= _CONTAM_DF_CAP  # join-side multiplicity capped
+    # boilerplate is not leakage signal: no contamination pairs survive
+    assert contamination_overlap(spark, sf_dir).count() == 0
+
+    # --- exact-substring coverage: hot key collapses to 1 row/doc ---
+    out = {r.doc_id: r for r in exact_substring_coverage(spark, sf_dir).collect()}
+    assert len(out) == 200
+    # hot docs: 18 tokens -> 11 shingle positions, exactly 1 (the pure-hot
+    # window) duplicated across docs -> 90909 ppm; cold docs: 10 tokens ->
+    # 3 positions, all unique -> 0 ppm
+    for i in range(200):
+        r = out[i]
+        if i < 100:
+            assert (r.n_shingles, r.dup_coverage_ppm) == (11, 90909), r
+        else:
+            assert (r.n_shingles, r.dup_coverage_ppm) == (3, 0), r
+    # plan evidence: the df agg partial-combines map-side (two-phase agg)
+    plan = exact_substring_coverage(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_" in plan
