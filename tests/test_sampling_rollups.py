@@ -417,3 +417,57 @@ def test_histogram_quantile_error_bounded_by_bin_width(spark, sf_dir):
         diff = r.exact_micros - r.est_micros
         assert 0 <= diff < widths[r.event_type], (r, widths[r.event_type])
         assert r.abs_err_micros == diff
+
+
+def test_hq_bin_counts_clamps_out_of_range_values(spark):
+    """With EXTERNAL bounds (the streaming path), values outside the
+    profiled [lo, hi] must saturate into the first/last bin — not land in
+    negative or >= nbins bins (truncating DIV would even fold
+    (lo-width, lo) into bin 0, silently distorting merged quantiles)."""
+    from input_data_pipeline_spark.operators.windows import _HQ_BINS, hq_bin_counts
+
+    bounds = spark.createDataFrame(
+        [("a", 0, 1_023_999)], "event_type string, lo long, hi long"
+    )  # width = 1000 exactly
+    vm = spark.createDataFrame(
+        [
+            ("a", -5_000_000),  # far below lo  -> bin 0
+            ("a", -1),          # just below lo -> bin 0 (the DIV-fold case)
+            ("a", 0),           # lo            -> bin 0
+            ("a", 500),         # in-range      -> bin 0
+            ("a", 1_023_999),   # hi            -> last bin
+            ("a", 9_999_999),   # above hi      -> last bin
+        ],
+        "event_type string, v long",
+    )
+    got = {r.bin: r.cnt for r in hq_bin_counts(vm, bounds).collect()}
+    assert got == {0: 4, _HQ_BINS - 1: 2}
+    assert all(0 <= b < _HQ_BINS for b in got)
+
+
+def test_kmeans_cache_eviction_unpersists(spark, tmp_path):
+    """The per-corpus quantized-vector cache is bounded: exceeding
+    _KMEANS_CACHE_MAX evicts FIFO and unpersists, and reset_kmeans_caches
+    clears everything for the application."""
+    import shutil
+
+    from input_data_pipeline_spark.operators import similarity as S
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    dirs = []
+    for i in range(S._KMEANS_CACHE_MAX + 1):
+        d = tmp_path / f"c{i}"
+        d.mkdir()
+        shutil.copy(src, str(d / "embeddings.parquet"))
+        dirs.append(str(d))
+
+    S.reset_kmeans_caches(spark)
+    frames = [S._kmeans_qvec(spark, d) for d in dirs]
+    assert len(S._KMEANS_QVEC_CACHE) <= S._KMEANS_CACHE_MAX
+    # the first corpus was evicted AND unpersisted
+    assert frames[0].storageLevel.useMemory is False
+    # the most recent is still cached + persisted
+    assert frames[-1].storageLevel.useMemory is True
+    S.reset_kmeans_caches(spark)
+    assert not any(k[0] == spark.sparkContext.applicationId for k in S._KMEANS_QVEC_CACHE)
+    assert frames[-1].storageLevel.useMemory is False
