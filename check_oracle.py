@@ -102,6 +102,14 @@ def main() -> int:
         action="store_true",
         help="fetch oracle rows via pandas (HUGEINT->float64, like the driver)",
     )
+    ap.add_argument(
+        "--json",
+        default=None,
+        metavar="PATH",
+        help="also write a machine-readable per-query summary (the committed "
+        "ORACLE_LOCAL_rN.json artifact: cumulative local evidence alongside "
+        "the driver's 50-slot CORRECTNESS_rN window)",
+    )
     args = ap.parse_args()
 
     _load_all()
@@ -115,6 +123,7 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
 
     n_pass = n_fail = 0
+    report: dict[str, dict] = {}
     for name in names:
         spec = _REGISTRY[name]
         t0 = time.time()
@@ -124,10 +133,12 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
+            report[name] = {"status": "fail", "err": f"spark: {e}"[:200]}
             n_fail += 1
             continue
         if spec.oracle is None:
             print(f"ok?  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            report[name] = {"status": "rows_only", "rows": len(srows)}
             n_pass += 1
             continue
         try:
@@ -162,6 +173,7 @@ def main() -> int:
                 orows = [tuple(r) for r in res.fetchall()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
+            report[name] = {"status": "fail", "err": f"duckdb: {e}"[:200]}
             n_fail += 1
             continue
 
@@ -185,12 +197,31 @@ def main() -> int:
                             break
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
+            report[name] = {"status": "fail", "err": "; ".join(problems)[:200]}
             n_fail += 1
         else:
             print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            report[name] = {
+                "status": "pass",
+                "rows": len(srows),
+                "secs": round(time.time() - t0, 1),
+            }
             n_pass += 1
 
     print(f"\n{n_pass} passed, {n_fail} failed")
+    if args.json:
+        import json
+
+        payload = {
+            "sf_dir": args.sf_dir,
+            "mode": "driver_canon" if args.driver_canon else "fetchall",
+            "n_pass": n_pass,
+            "n_fail": n_fail,
+            "queries": report,
+        }
+        with open(args.json, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"wrote {args.json}")
     spark.stop()
     return 1 if n_fail else 0
 
