@@ -31,8 +31,10 @@ def test_enumeration_is_fast_and_consistent():
     assert len(queries) >= 100
     # every oracle key must be a registered query
     assert set(oracles) <= set(queries)
-    # non-SQL-expressible queries (rows-only) should stay a small minority
-    assert len(oracles) >= len(queries) - 6
+    # since r7 EVERY query is oracle-backed (engine-specific sketch
+    # estimators emit exact cells + error-bound verdict BOOLEANs instead
+    # of going rows-only) — a new rows-only query is a contract regression
+    assert set(oracles) == set(queries)
 
 
 def test_priority_window_is_valid_and_covers_the_llm_core():
