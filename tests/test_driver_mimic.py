@@ -19,7 +19,8 @@ TABLES = (
 ).split()
 
 # Timestamp-heavy queries spanning the event-window, session, calendar and
-# date-output families.
+# date-output families, plus the r6/r7 retention/rollup/anomaly additions
+# (the round-7 driver-window head).
 QUERIES = [
     "user_sessions",
     "session_window_native",
@@ -27,6 +28,14 @@ QUERIES = [
     "latest_order_per_customer",
     "orders_by_weekday",
     "asof_order_context",
+    "user_retention_cohorts",
+    "active_user_rollup",
+    "hll_rolling_active_users",
+    "event_daily_anomalies",
+    "user_trailing_window",
+    "user_value_intervals",
+    "user_rolling_distinct_types",
+    "event_hourly_gapfill",
 ]
 
 
