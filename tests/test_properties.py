@@ -171,3 +171,98 @@ def test_integer_division_semantics_match_duckdb(a, b):
     ).fetchone()
     assert got_trunc == _tdiv(a, b)
     assert got_floor == a // b
+
+
+# -- connected components vs a driver-side union-find reference --------------
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n=st.integers(min_value=2, max_value=30),
+    edges=st.lists(
+        st.tuples(st.integers(0, 29), st.integers(0, 29)), min_size=1, max_size=60
+    ),
+)
+def test_connected_components_matches_union_find(spark, n, edges):
+    """Large-star/small-star CC must agree with a plain union-find on ANY
+    random graph (self-loops and duplicate/reversed edges included), with
+    labels being the component minimum."""
+    from input_data_pipeline_spark.operators.dedup import connected_components
+
+    edges = [(f"v{a % n}", f"v{b % n}") for a, b in edges]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {v: find(v) for v in parent}
+    # canonicalize: label = min member of each component
+    comp = {}
+    for v, r in want.items():
+        comp.setdefault(find(r), []).append(v)
+    want = {v: min(ms) for r, ms in comp.items() for v in ms}
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["label"] for r in connected_components(df).collect()}
+    # CC emits every vertex that appears in a NON-self-loop edge; pure
+    # self-loop vertices are singletons either way
+    want = {v: l for v, l in want.items() if v in got}
+    assert got == want
+
+
+# -- PPJoin-filtered exact similarity join vs the naive all-pairs form -------
+
+@settings(max_examples=6, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_ngram_jaccard_matches_naive_reference(spark, tmp_path_factory, seed):
+    """The prefix-filtered PPJoin plan must return EXACTLY the naive
+    all-pairs >=0.8-Jaccard set on randomized corpora with planted
+    near-duplicate families."""
+    import itertools
+    import random
+
+    from input_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(12):
+        docs.append((i, " ".join(rng.choices(vocab, k=rng.randint(4, 12)))))
+    # plant two near-dup families: copy + tiny tail edit
+    docs.append((100, docs[0][1] + " extra"))
+    docs.append((101, docs[1][1]))
+
+    d = tmp_path_factory.mktemp("njp")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard_ppm
+        for r in ngram_jaccard_pairs(spark, str(d)).collect()
+    }
+
+    def shingles(t):
+        toks = t.split()
+        if len(toks) < 2:
+            return set(toks or [""])
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(sorted(docs), 2):
+        sa, sb = shingles(ta), shingles(tb)
+        inter, un = len(sa & sb), len(sa | sb)
+        if inter * 5 >= un * 4:
+            want[(ia, ib)] = inter * 1_000_000 // un
+    assert got == want
