@@ -471,3 +471,31 @@ def test_kmeans_cache_eviction_unpersists(spark, tmp_path):
     S.reset_kmeans_caches(spark)
     assert not any(k[0] == spark.sparkContext.applicationId for k in S._KMEANS_QVEC_CACHE)
     assert frames[-1].storageLevel.useMemory is False
+
+
+def test_freqitems_no_false_negatives_under_any_partitioning(spark, sf_dir):
+    """The in_sketch verdict in frequent_tokens_sketch relies on the KPS
+    no-false-negative guarantee surviving Spark's per-partition summary
+    merge. The driver's session partitions inputs differently than ours —
+    sweep partition counts and assert no exact heavy hitter ever drops
+    out of the sketch."""
+    import pyspark.sql.functions as F
+
+    from input_data_pipeline_spark.functions import text as T
+    from input_data_pipeline_spark.tables import load_table
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(T.tokens("text")).alias("tok"))
+    )
+    total = toks.count()
+    exact = {
+        r["tok"]
+        for r in toks.groupBy("tok").count().filter(F.col("count") * 50 > total).collect()
+    }
+    assert exact
+    for nparts in (1, 7, 64):
+        hits = set(
+            toks.repartition(nparts).stat.freqItems(["tok"], support=0.02).collect()[0][0]
+        )
+        assert exact <= hits, (nparts, exact - hits)
