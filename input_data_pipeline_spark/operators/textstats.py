@@ -1720,3 +1720,189 @@ def text_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search (integer-exact scoring; round-7 addition)
+# ---------------------------------------------------------------------------
+
+# Fixed benchmark query, shared verbatim with the oracle (the
+# semantic_doc_search convention for parameterless driver queries).
+BM25_QUERY = ("spark", "vector", "stream")
+_BM25_TOPK = 10
+_DUCK_BM25_Q = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+
+@register(
+    "bm25_doc_search",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    corp AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT SUM(dl) FROM dl) AS sum_dl),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok
+      WHERE token IN ({_DUCK_BM25_Q}) GROUP BY doc_id, token),
+    dfq AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok
+      WHERE token IN ({_DUCK_BM25_Q}) GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               CAST(ROUND(ln((2 * c.n_docs + 2) * 1.0 / (2 * dfq.df + 1))
+                          * 1000000) AS BIGINT)
+               * ((11000000 * tf.tf * 1000000)
+                  // (5000000 * tf.tf
+                      + 6 * (250000 + 750000 * dl.dl * c.n_docs // c.sum_dl)))
+               // 1000000
+             ) AS score_ppm
+      FROM tf
+      JOIN dfq USING (token)
+      JOIN dl USING (doc_id)
+      CROSS JOIN corp c
+      GROUP BY tf.doc_id)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id) AS BIGINT)
+             AS rank,
+           doc_id,
+           CAST(score_ppm AS BIGINT) AS score_ppm
+    FROM scored
+    ORDER BY score_ppm DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+)
+def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked keyword search (Lucene idf form, k1=1.2, b=0.75) for a
+    fixed benchmark query — the lexical-retrieval face next to
+    ``semantic_doc_search`` (embedding ANN) and ``tfidf_top_terms``
+    (per-doc keywords): the operator a training-data pipeline uses to
+    pull topical subsets out of a corpus.
+
+    Exactness: everything after the idf log is INTEGER arithmetic made
+    exact by rationalizing the BM25 constants — k1 = 6/5 and b = 3/4 fold
+    into
+    ``ratio_ppm = 11e6·tf·1e6 DIV (5e6·tf + 6·norm_ppm)`` with
+    ``norm_ppm = 250000 + 750000·dl·N DIV Σdl``, so both engines floor
+    the same integers. The idf ``ln((2N+2)/(2df+1))`` (the Lucene
+    smoothed form, always positive — plain BM25 idf goes NEGATIVE on this
+    corpus's dense vocabulary where df > N/2) follows the proven
+    ``tfidf_top_terms`` pattern: identical integer inputs → identical
+    IEEE ln → identical micros rounding.
+
+    Scale shape: the tf table only materializes rows for QUERY terms
+    (filter before the groupBy — the scan's pushed predicate), df for the
+    |query| terms broadcasts, doc lengths come from the one dl aggregate,
+    and the corpus stats cross-join is the usual broadcast 1-row
+    aggregate; final top-k is TakeOrderedAndProject. Nothing global
+    exceeds |query| + 1 rows beyond the per-doc tables.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corp = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        F.broadcast(dl.agg(F.sum("dl").alias("sum_dl")))
+    )
+    qtok = tok.filter(F.col("token").isin(*BM25_QUERY))
+    tf = qtok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = qtok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corp))
+        .withColumn(
+            "idf_ppm",
+            round_micros(
+                F.log((2 * F.col("n_docs") + 2) * F.lit(1.0) / (2 * F.col("df") + 1))
+            ),
+        )
+        .withColumn(
+            "norm_ppm",
+            F.expr("250000 + 750000 * dl * n_docs DIV sum_dl"),
+        )
+        .withColumn(
+            "ratio_ppm",
+            F.expr(
+                "(11000000 * tf * 1000000)"
+                " DIV (5000000 * tf + 6 * norm_ppm)"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("idf_ppm * ratio_ppm DIV 1000000")).alias("score_ppm"))
+    )
+    w = Window.orderBy(F.desc("score_ppm"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select("rank", "doc_id", "score_ppm")
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking (round-7 addition)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@register(
+    "doc_chunk_windows",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    w AS (
+      SELECT doc_id,
+             UNNEST(range(1, len(t) + 1, {CHUNK_STRIDE})) AS start,
+             t
+      FROM tok WHERE len(t) > 0)
+    SELECT doc_id,
+           CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(t, start, start + {CHUNK_TOKENS} - 1)) AS BIGINT)
+             AS n_tokens,
+           substr(md5(array_to_string(
+               list_slice(t, start, start + {CHUNK_TOKENS} - 1), ' ')), 1, 16)
+             AS chunk_sig
+    FROM w
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking with overlap — the chunker that feeds
+    pretraining sequence assembly and RAG indexing: every document splits
+    into {w}-token windows every {s} tokens ({o}-token overlap so no
+    boundary context is lost), each chunk fingerprinted for downstream
+    chunk-level dedup (``chunk_dedup_rate`` consumes exactly this shape).
+
+    Complements ``sequence_packing_plan`` (which packs whole docs into
+    fixed budgets): chunking SPLITS long docs, packing COMBINES short
+    ones; real pipelines run both. Zero-token docs produce no chunks.
+
+    Scale shape: pure per-row codegen — ``sequence`` over chunk starts,
+    ``transform``+``slice``+``array_join``+``md5``, one explode; no
+    shuffle at all until the output sort, and in production none (chunks
+    inherit the doc partitioning and write straight out).
+    """.format(w=CHUNK_TOKENS, s=CHUNK_STRIDE, o=CHUNK_TOKENS - CHUNK_STRIDE)
+    docs = load_table(spark, sf_dir, "documents")
+    t = T.tokens("text")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(t), F.lit(CHUNK_STRIDE)),
+        lambda start: F.struct(
+            ((start - 1) / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+            F.slice(t, start, CHUNK_TOKENS).alias("w"),
+        ),
+    )
+    return (
+        docs.where(F.size(t) > 0)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.size("c.w").cast("long").alias("n_tokens"),
+            F.substring(F.md5(F.array_join("c.w", " ")), 1, 16).alias("chunk_sig"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

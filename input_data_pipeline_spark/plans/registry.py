@@ -147,11 +147,13 @@ _PRIORITY: list[str] = [
     "token_budget_selection",
     "curation_funnel",
 ]
-# Round-8 rotation backlog (one green round each, driver-green in r6,
-# deferred from the r7 window): eta_formatting, path_ops, meta_map_ops,
-# collect_status_tally, union_source_batches, orders_merge_upsert,
-# event_hourly_gapfill, dataset_split_assignment, minhash_lsh_quality,
-# chunk_dedup_rate.
+# Round-8 rotation backlog: (a) one green round each, driver-green in
+# r6, deferred from the r7 window: eta_formatting, path_ops,
+# meta_map_ops, collect_status_tally, union_source_batches,
+# orders_merge_upsert, event_hourly_gapfill, dataset_split_assignment,
+# minhash_lsh_quality, chunk_dedup_rate; (b) new in r7, local-green in
+# both fetch modes + hostile-TZ driver-mimic, never driver-checked:
+# bm25_doc_search, doc_chunk_windows.
 
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -200,3 +200,65 @@ def test_planted_skew_hot_shingle_stays_bounded(spark, tmp_path):
     # plan evidence: the df agg partial-combines map-side (two-phase agg)
     plan = exact_substring_coverage(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "partial_" in plan
+
+
+def test_bm25_ranks_planted_relevant_docs_first(spark, tmp_path):
+    """BM25 semantics on a planted corpus: a doc dense in query terms
+    outranks a long doc with one hit; docs without query terms are absent;
+    ranks are dense from 1."""
+    from input_data_pipeline_spark.operators.textstats import bm25_doc_search
+
+    filler = " ".join(f"f{i}" for i in range(40))
+    rows = [
+        (0, "spark vector stream spark vector spark", "s", "en", 1),  # dense hits
+        (1, "spark " + filler, "s", "en", 1),                         # 1 hit, long
+        (2, "spark spark " + " ".join(f"g{i}" for i in range(6)), "s", "en", 1),
+        (3, filler, "s", "en", 1),                                    # no hits
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = bm25_doc_search(spark, str(tmp_path)).collect()
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    assert [r.doc_id for r in out][0] == 0          # densest doc wins
+    assert 3 not in {r.doc_id for r in out}         # no-hit doc absent
+    assert all(r.score_ppm > 0 for r in out)
+    by_id = {r.doc_id: r.score_ppm for r in out}
+    assert by_id[2] > by_id[1]  # two short-doc hits beat one long-doc hit
+
+
+def test_doc_chunk_windows_cover_with_overlap(spark, tmp_path):
+    """Chunker invariants on a planted 70-token doc (window 32, stride 24):
+    starts at 0/24/48, full windows then the tail, consecutive chunks
+    overlap by exactly 8 tokens, and every token is covered."""
+    import hashlib
+
+    from input_data_pipeline_spark.operators.textstats import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        doc_chunk_windows,
+    )
+
+    toks = [f"t{i}" for i in range(70)]
+    rows = [
+        (0, " ".join(toks), "s", "en", 1),
+        (1, "", "s", "en", 1),        # zero tokens -> no chunks
+        (2, "only three words", "s", "en", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = doc_chunk_windows(spark, str(tmp_path)).collect()
+    d0 = sorted((r for r in out if r.doc_id == 0), key=lambda r: r.chunk_idx)
+    assert [r.chunk_idx for r in d0] == [0, 1, 2]
+    assert [r.n_tokens for r in d0] == [32, 32, 70 - 2 * CHUNK_STRIDE]
+    for i, r in enumerate(d0):
+        want = toks[i * CHUNK_STRIDE : i * CHUNK_STRIDE + CHUNK_TOKENS]
+        assert r.chunk_sig == hashlib.md5(" ".join(want).encode()).hexdigest()[:16]
+    # coverage: starts every stride => overlap = window - stride = 8 tokens
+    assert CHUNK_TOKENS - CHUNK_STRIDE == 8
+    assert 1 not in {r.doc_id for r in out}
+    d2 = [r for r in out if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].n_tokens == 3
