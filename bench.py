@@ -81,6 +81,9 @@ HEADLINE = [
     "kmeans_embedding_clusters",
     "bigram_lm_doc_scores",
     "exact_substring_coverage",
+    # round 7 additions (additive): lexical retrieval + doc chunking
+    "bm25_doc_search",
+    "doc_chunk_windows",
 ]
 
 
