@@ -1906,3 +1906,154 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, appendix A1.1; round-7 addition)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_DUCK_GOPHER_STOPS = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             {_DUCK_TOKENS} AS ts,
+             regexp_split_to_array(text, '\n') AS lines,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS n_chars,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) // 3 AS n_ellip
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(ts) AS n_words,
+             n_chars, n_hash, n_ellip,
+             len(list_filter(ts, t -> regexp_matches(t, '[A-Za-z]')))
+               AS n_alpha_words,
+             len(list_intersect(list_distinct(list_transform(ts, t -> lower(t))),
+                                [{_DUCK_GOPHER_STOPS}])) AS n_stop_kinds,
+             len(lines) AS n_lines,
+             len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%'))
+               AS n_bullet_lines,
+             len(list_filter(lines, l -> l LIKE '%...')) AS n_ellip_lines
+      FROM base)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(CASE WHEN n_words > 0 THEN n_chars * 1000000 // n_words
+                     ELSE 0 END AS BIGINT) AS mean_word_len_ppm,
+           CAST(CASE WHEN n_words > 0
+                     THEN (n_hash + n_ellip) * 1000000 // n_words
+                     ELSE 0 END AS BIGINT) AS symbol_word_ppm,
+           CAST(CASE WHEN n_words > 0 THEN n_alpha_words * 1000000 // n_words
+                     ELSE 0 END AS BIGINT) AS alpha_word_ppm,
+           CAST(n_stop_kinds AS BIGINT) AS n_stop_kinds,
+           (n_words BETWEEN 50 AND 100000) AS wc_ok,
+           (n_words > 0 AND n_chars * 1000000 // n_words BETWEEN 3000000
+              AND 10000000) AS mwl_ok,
+           (n_words > 0 AND (n_hash + n_ellip) * 1000000 // n_words < 100000)
+             AS sym_ok,
+           (n_words > 0 AND n_alpha_words * 1000000 // n_words >= 800000)
+             AS alpha_ok,
+           (n_stop_kinds >= 2) AS stop_ok,
+           (n_bullet_lines * 10 < n_lines * 9) AS bullet_ok,
+           (n_ellip_lines * 10 < n_lines * 3) AS ellipsis_ok,
+           ((n_words BETWEEN 50 AND 100000)
+            AND n_words > 0
+            AND n_chars * 1000000 // n_words BETWEEN 3000000 AND 10000000
+            AND (n_hash + n_ellip) * 1000000 // n_words < 100000
+            AND n_alpha_words * 1000000 // n_words >= 800000
+            AND n_stop_kinds >= 2
+            AND n_bullet_lines * 10 < n_lines * 9
+            AND n_ellip_lines * 10 < n_lines * 3) AS gopher_pass
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule-based quality filter (Rae et al. 2021, appendix
+    A1.1) as per-document verdict cells — the published heuristic bundle
+    most pretraining curation stacks start from, complementing the
+    score-based ``doc_quality`` and ``bigram_lm_doc_scores``:
+
+    - word count in [50, 100000];
+    - mean word length in [3, 10] characters;
+    - symbol-to-word ratio (# and ...) below 0.1;
+    - >= 80% of words contain an alphabetic character;
+    - at least 2 distinct members of the 8-word stop set present;
+    - < 90% of lines bullet-started, < 30% ellipsis-ended.
+
+    All metrics are integer ppm arithmetic (DIV/``//`` floor identically)
+    so the DuckDB oracle reproduces every cell bit-for-bit; the rule
+    thresholds compare those integers, making each flag and the combined
+    ``gopher_pass`` driver-hash-checkable. Scale shape: one map-only
+    projection pass — no joins, no aggregates, no shuffle before the
+    output sort (dropped in production writes).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ts = T.tokens("text")
+    lines = F.split("text", "\n")
+    n_words = F.size(ts)
+    n_chars = F.length(F.regexp_replace("text", r"\s+", ""))
+    n_hash = F.length("text") - F.length(F.expr("replace(text, '#', '')"))
+    n_ellip = (
+        F.length("text") - F.length(F.expr("replace(text, '...', '')"))
+    ) / F.lit(3)
+    base = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_chars.cast("long").alias("n_chars"),
+        (n_hash + n_ellip.cast("long")).cast("long").alias("n_sym"),
+        F.size(F.filter(ts, lambda t: t.rlike("[A-Za-z]")))
+        .cast("long")
+        .alias("n_alpha_words"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.transform(ts, F.lower)),
+                F.array(*[F.lit(w) for w in GOPHER_STOPS]),
+            )
+        )
+        .cast("long")
+        .alias("n_stop_kinds"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(
+            F.filter(lines, lambda l: l.startswith("-") | l.startswith("*"))
+        )
+        .cast("long")
+        .alias("n_bullet_lines"),
+        F.size(F.filter(lines, lambda l: l.endswith("...")))
+        .cast("long")
+        .alias("n_ellip_lines"),
+    )
+    mwl = F.expr("CASE WHEN n_words > 0 THEN n_chars * 1000000 DIV n_words ELSE 0 END")
+    sym = F.expr("CASE WHEN n_words > 0 THEN n_sym * 1000000 DIV n_words ELSE 0 END")
+    alpha = F.expr(
+        "CASE WHEN n_words > 0 THEN n_alpha_words * 1000000 DIV n_words ELSE 0 END"
+    )
+    flags = base.select(
+        "doc_id",
+        "n_words",
+        mwl.alias("mean_word_len_ppm"),
+        sym.alias("symbol_word_ppm"),
+        alpha.alias("alpha_word_ppm"),
+        "n_stop_kinds",
+        F.col("n_words").between(50, 100000).alias("wc_ok"),
+        ((F.col("n_words") > 0) & mwl.between(3000000, 10000000)).alias("mwl_ok"),
+        ((F.col("n_words") > 0) & (sym < 100000)).alias("sym_ok"),
+        ((F.col("n_words") > 0) & (alpha >= 800000)).alias("alpha_ok"),
+        (F.col("n_stop_kinds") >= 2).alias("stop_ok"),
+        (F.col("n_bullet_lines") * 10 < F.col("n_lines") * 9).alias("bullet_ok"),
+        (F.col("n_ellip_lines") * 10 < F.col("n_lines") * 3).alias("ellipsis_ok"),
+    )
+    return flags.withColumn(
+        "gopher_pass",
+        F.col("wc_ok")
+        & F.col("mwl_ok")
+        & F.col("sym_ok")
+        & F.col("alpha_ok")
+        & F.col("stop_ok")
+        & F.col("bullet_ok")
+        & F.col("ellipsis_ok"),
+    ).orderBy("doc_id")

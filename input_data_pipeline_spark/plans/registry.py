@@ -153,7 +153,7 @@ _PRIORITY: list[str] = [
 # orders_merge_upsert, event_hourly_gapfill, dataset_split_assignment,
 # minhash_lsh_quality, chunk_dedup_rate; (b) new in r7, local-green in
 # both fetch modes + hostile-TZ driver-mimic, never driver-checked:
-# bm25_doc_search, doc_chunk_windows.
+# bm25_doc_search, doc_chunk_windows, gopher_quality_flags.
 
 
 def _ordered() -> dict[str, QuerySpec]:

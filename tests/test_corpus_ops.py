@@ -262,3 +262,32 @@ def test_doc_chunk_windows_cover_with_overlap(spark, tmp_path):
     assert 1 not in {r.doc_id for r in out}
     d2 = [r for r in out if r.doc_id == 2]
     assert len(d2) == 1 and d2[0].n_tokens == 3
+
+
+def test_gopher_rules_on_planted_docs(spark, tmp_path):
+    """Each Gopher rule trips on a doc engineered to violate exactly it."""
+    from input_data_pipeline_spark.operators.textstats import gopher_quality_flags
+
+    good = "the data and model have to be of use with care " * 6  # 66 words
+    rows = [
+        (0, good.strip(), "s", "en", 1),                             # passes all
+        (1, "the of and that", "s", "en", 1),                        # too few words
+        (2, " ".join(["a"] * 60) + " the of", "s", "en", 1),         # mean len < 3
+        (3, good.strip() + " " + " ".join(["#"] * 10), "s", "en", 1),# symbol ratio
+        (4, " ".join(["123"] * 60) + " the of", "s", "en", 1),       # non-alpha words
+        (5, " ".join(["alpha"] * 60), "s", "en", 1),                 # no stop words
+        (6, "\n".join(["- " + good.strip()] * 10), "s", "en", 1),    # all bullets
+        (7, "\n".join([good.strip() + " w..."] * 10), "s", "en", 1), # all ellipses
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r.doc_id: r for r in gopher_quality_flags(spark, str(tmp_path)).collect()}
+    assert out[0].gopher_pass
+    for i, flag in [
+        (1, "wc_ok"), (2, "mwl_ok"), (3, "sym_ok"), (4, "alpha_ok"),
+        (5, "stop_ok"), (6, "bullet_ok"), (7, "ellipsis_ok"),
+    ]:
+        assert not out[i][flag], (i, flag, out[i])
+        assert not out[i].gopher_pass
