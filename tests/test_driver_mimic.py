@@ -64,3 +64,37 @@ def test_query_matches_oracle_under_non_utc_session(spark, sf_dir, name):
 
     assert scols == ocols
     assert srows == orows
+
+
+ANSI_QUERIES = [
+    # arithmetic-heavy shapes: integer DIV ratios, sums, percent cells
+    "doc_quality",
+    "gopher_quality_flags",
+    "bm25_doc_search",
+    "doc_chunk_windows",
+    "pricing_summary",
+    "approx_distinct_users",
+]
+
+
+@pytest.mark.parametrize("name", ANSI_QUERIES)
+def test_query_is_ansi_mode_invariant(spark, sf_dir, name):
+    """The driver's session chooses ANSI mode, not us: query results must
+    be identical under spark.sql.ansi.enabled true AND false — i.e. no
+    query silently leans on non-ANSI null-on-error arithmetic, and none
+    raises under strict mode."""
+    from input_data_pipeline_spark.plans.registry import get
+
+    spec = get(name)
+    prior = spark.conf.get("spark.sql.ansi.enabled")
+    results = {}
+    try:
+        for mode in ("true", "false"):
+            spark.conf.set("spark.sql.ansi.enabled", mode)
+            results[mode] = sorted(
+                tuple(r) for r in spec.fn(spark, sf_dir).collect()
+            )
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prior)
+    assert results["true"] == results["false"]
+    assert results["true"]

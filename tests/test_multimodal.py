@@ -210,3 +210,37 @@ def test_chunk_binary_payloads_roundtrip(spark, sf_dir):
     # no shuffle: chunking is map-only over the scan
     plan = chunks._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_wav_chunking_respects_stereo_frame_boundaries(spark, tmp_path):
+    """The chunker's frame-boundary claim under 2-channel audio: byte
+    slices land on n_channels*sampwidth boundaries so every chunk remains
+    decodable, and interleaved L/R samples survive the roundtrip."""
+    import struct
+    import wave
+
+    from input_data_pipeline_spark.operators.multimodal import chunk_wav_frames
+
+    n_frames = 9000  # 2 full 4000-frame chunks + 1000 tail
+    frames = bytearray()
+    for i in range(n_frames):
+        frames += struct.pack("<hh", i % 30000, -(i % 30000))  # L, R
+    with wave.open(str(tmp_path / "st.wav"), "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(bytes(frames))
+
+    wavs = (
+        spark.read.format("binaryFile").load(str(tmp_path))
+        .select(F.lit(1).cast("long").alias("doc_id"), F.col("content").alias("payload"))
+    )
+    rows = sorted(chunk_wav_frames(wavs).collect(), key=lambda r: r.chunk_idx)
+    assert [r.n_frames for r in rows] == [4000, 4000, 1000]
+    # every chunk's byte length is a multiple of the 4-byte stereo frame
+    assert all(len(r.pcm) % 4 == 0 for r in rows)
+    assert b"".join(bytes(r.pcm) for r in rows) == bytes(frames)
+    # L/R stay interleaved within a mid chunk
+    mid = bytes(rows[1].pcm)
+    left, right = struct.unpack("<hh", mid[:4])
+    assert (left, right) == (4000 % 30000, -(4000 % 30000))
