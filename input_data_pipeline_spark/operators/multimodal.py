@@ -235,7 +235,9 @@ WAV_CHUNK_FRAMES = 4000  # the reference's readframes(4000) recognizer feed
 
 def chunk_wav_frames(wavs: DataFrame, chunk_frames: int = WAV_CHUNK_FRAMES) -> DataFrame:
     """Frame-accurate chunking of real WAV payloads: ``(doc_id, payload)``
-    → ``(doc_id, chunk_idx, frame_start, n_frames, frame_rate, pcm)``.
+    → ``(doc_id, chunk_idx, frame_start, n_frames, frame_rate,
+    sample_width, n_channels, pcm)`` — the format fields ride along so a
+    downstream kernel can validate what it is about to parse.
 
     This is the distributed form of the reference's recognizer loop
     (``inputs/system_audio_collector.py:39-41``): open with stdlib
@@ -252,8 +254,8 @@ def chunk_wav_frames(wavs: DataFrame, chunk_frames: int = WAV_CHUNK_FRAMES) -> D
     def slice_frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             out = {
-                "doc_id": [], "chunk_idx": [], "frame_start": [],
-                "n_frames": [], "frame_rate": [], "pcm": [],
+                "doc_id": [], "chunk_idx": [], "frame_start": [], "n_frames": [],
+                "frame_rate": [], "sample_width": [], "n_channels": [], "pcm": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 meta = decode_media(bytes(payload), "audio")
@@ -267,6 +269,8 @@ def chunk_wav_frames(wavs: DataFrame, chunk_frames: int = WAV_CHUNK_FRAMES) -> D
                     out["frame_start"].append(start)
                     out["n_frames"].append(len(piece) // frame_bytes if frame_bytes else 0)
                     out["frame_rate"].append(meta["frame_rate"])
+                    out["sample_width"].append(meta["sample_width"])
+                    out["n_channels"].append(meta["n_channels"])
                     out["pcm"].append(piece)
                     idx += 1
             yield pd.DataFrame(out)
@@ -274,7 +278,7 @@ def chunk_wav_frames(wavs: DataFrame, chunk_frames: int = WAV_CHUNK_FRAMES) -> D
     return wavs.mapInPandas(
         slice_frames,
         "doc_id long, chunk_idx int, frame_start long, n_frames long, "
-        "frame_rate int, pcm binary",
+        "frame_rate int, sample_width int, n_channels int, pcm binary",
     )
 
 
@@ -289,6 +293,12 @@ def transcribe_wav_energy(chunks: DataFrame, threshold: int = 500) -> DataFrame:
     Vosk ``Model(model_path)`` load is the expensive step this pattern
     exists for), then vectorized numpy inference per Arrow batch. RMS is
     integer ``isqrt(sum(x²)//n)`` so results are bit-stable across hosts.
+
+    The kernel parses s16le only, and VALIDATES that against the chunk's
+    carried ``sample_width`` — a 24-bit stream silently misparsed as int16
+    would emit garbage verdicts, so anything but 2-byte samples raises
+    loudly (resample to s16le first, the reference's own ffmpeg contract).
+    Stereo is accepted: interleaved channels fold into one combined RMS.
     """
     import pandas as pd
 
@@ -303,6 +313,12 @@ def transcribe_wav_energy(chunks: DataFrame, threshold: int = 500) -> DataFrame:
         except NameError:
             _ENERGY_MODEL = {"loads": 1}  # the "expensive model load"
         for pdf in batches:
+            bad = set(pdf["sample_width"]) - {2}
+            if bad:
+                raise ValueError(
+                    f"transcribe_wav_energy expects s16le PCM (sample_width=2); "
+                    f"got sample_width={sorted(bad)} — resample first"
+                )
             rms = []
             for pcm in pdf["pcm"]:
                 x = np.frombuffer(bytes(pcm), dtype="<i2").astype(np.int64)

@@ -565,7 +565,7 @@ def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-           TRUE AS within_3rsd
+           TRUE AS within_5rsd
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -573,13 +573,16 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per event_type, verdict-checked
     against the exact count in-query (SURVEY A7). The HLL estimate itself is
     implementation-specific, so the oracle-checkable contract is the error
-    BOUND, not the estimate: ``within_3rsd`` asserts |est - exact| <= 6% of
-    exact (3x the requested rsd=0.02) — deterministic because Spark's HLL++
-    is hash-based, not randomized. The DuckDB oracle recomputes the exact
-    side and expects TRUE, so an HLL regression past 3 sigma goes hash-red
-    in the driver. tests/test_relational_extras.py additionally bounds the
-    raw estimate at <5% error. At 100 TB the approx variant is the one you
-    can afford: fixed-size sketch per group, mergeable map-side, no
+    BOUND, not the estimate: ``within_5rsd`` asserts |est - exact| <= 10% of
+    exact (5x the requested rsd=0.02) — deterministic because Spark's HLL++
+    is hash-based, not randomized, and deliberately LOOSE: HLL has no hard
+    3-sigma guarantee (~0.3% of groups land beyond 3x rsd on arbitrary
+    data), so the verdict is sized to stay TRUE for any healthy estimator
+    on any corpus while still going hash-red in the driver on a real
+    regression (wrong column, broken merge: errors are then ~100%, not
+    10%). tests/test_relational_extras.py bounds the raw estimate tighter
+    (<5% on the committed corpus). At 100 TB the approx variant is the one
+    you can afford: fixed-size sketch per group, mergeable map-side, no
     distinct-expand shuffle."""
     events = _t(spark, sf_dir, "events")
     return (
@@ -593,8 +596,8 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_users",
             (
                 F.abs(F.col("_est") - F.col("exact_users")) * F.lit(1000000)
-                <= F.col("exact_users") * F.lit(60000)
-            ).alias("within_3rsd"),
+                <= F.col("exact_users") * F.lit(100000)
+            ).alias("within_5rsd"),
         )
         .orderBy("event_type")
     )
@@ -1152,12 +1155,16 @@ def event_value_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
     implementation-specific, so the driver-checkable contract is the rank
     error BOUND: with accuracy=10000 the guaranteed rank error is 1e-4,
     and each ``pXX_in_band`` asserts the approx value lies within the exact
-    [p-0.005, p+0.005] percentile band — 50x the guarantee, deterministic
-    (GK sketches are data-dependent, not randomized). The oracle recomputes
+    [p-0.02, p+0.02] percentile band — 200x the guarantee, deterministic
+    (GK sketches are data-dependent, not randomized). The band is
+    deliberately wide so groups as small as ~50 rows (where a narrow band
+    spans less than one rank and even a perfect sketch could miss it) stay
+    TRUE on any corpus, while a real sketch regression (wrong column,
+    broken merge) still goes hash-red in the driver. The oracle recomputes
     the exact percentiles (quantile_cont == Spark `percentile`, proven by
-    `event_value_percentiles`) and expects TRUE bands, so a sketch
-    regression goes hash-red in the driver. tests/test_sampling_rollups.py
-    additionally bounds the raw estimates.
+    `event_value_percentiles`) and expects TRUE bands.
+    tests/test_sampling_rollups.py bounds the raw estimates at the true
+    1e-4 rank guarantee on the committed corpus.
 
     Output is scalar BIGINT/BOOLEAN columns (not arrays): the driver's
     canonicalizer cannot hash list-typed cells (its round-1 snapshot
@@ -1166,14 +1173,15 @@ def event_value_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
     """
     events = _t(spark, sf_dir, "events")
     pcts = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000)
-    # exact percentiles at the targets AND the +/-0.005 band edges, one buffer
+    # exact percentiles at the targets AND the +/-0.02 band edges (p99's
+    # upper edge clamps to 1.0), one buffer
     exact = F.expr(
         "percentile(value, array("
-        "0.495D, 0.5D, 0.505D, 0.895D, 0.9D, 0.905D, 0.985D, 0.99D, 0.995D))"
+        "0.48D, 0.5D, 0.52D, 0.88D, 0.9D, 0.92D, 0.97D, 0.99D, 1.0D))"
     )
 
     def band(i: int) -> F.Column:
-        # approx value for target i within [exact(p-0.005), exact(p+0.005)]
+        # approx value for target i within [exact(p-0.02), exact(p+0.02)]
         lo = F.element_at("_e", 3 * i + 1)
         hi = F.element_at("_e", 3 * i + 3)
         a = F.element_at("_a", i + 1)

@@ -736,7 +736,9 @@ def frequent_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(F.explode(T.tokens("text")).alias("tok"))
     freq = toks.stat.freqItems(["tok"], support=0.02)  # 1 row: array of hits
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
-    total = toks.agg(F.count(F.lit(1)).alias("t"))
+    # total token count derives from the (vocabulary-sized) counts table —
+    # summing it avoids a third full corpus scan + tokenize pass
+    total = counts.agg(F.sum("exact_n").alias("t"))
     return (
         counts.crossJoin(F.broadcast(total))
         .filter(F.col("exact_n") * 50 > F.col("t"))
@@ -1015,7 +1017,8 @@ def countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB corpora where an exact token groupBy is affordable once but not
     per-window.
 
-    Unlike `frequent_tokens_sketch` (spark's KPS freqItems — rows-only,
+    Unlike `frequent_tokens_sketch` (spark's KPS freqItems — probed via
+    its no-false-negative membership verdict,
     implementation-specific), this sketch is built from md5-derived
     counter positions, so both engines compute the identical {_CMS_D}×
     {_CMS_W} counter table and the oracle checks the ESTIMATES bit-exactly

@@ -214,10 +214,18 @@ def test_connected_components_matches_union_find(spark, n, edges):
 
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r["id"]: r["label"] for r in connected_components(df).collect()}
-    # CC emits every vertex that appears in a NON-self-loop edge; pure
-    # self-loop vertices are singletons either way
-    want = {v: l for v, l in want.items() if v in got}
-    assert got == want
+    # CC must emit EVERY vertex that appears in a non-self-loop edge; pure
+    # self-loop vertices may additionally appear, but only as self-labeled
+    # singletons. Assert coverage itself (a dropped-vertex regression must
+    # fail here), then exact label agreement on the covered set.
+    expected_vertices = {v for a, b in edges if a != b for v in (a, b)}
+    selfloop_only = {a for a, b in edges if a == b} - expected_vertices
+    assert expected_vertices <= set(got) <= expected_vertices | selfloop_only
+    for v in set(got) - expected_vertices:
+        assert got[v] == v
+    assert {v: got[v] for v in expected_vertices} == {
+        v: l for v, l in want.items() if v in expected_vertices
+    }
 
 
 # -- PPJoin-filtered exact similarity join vs the naive all-pairs form -------
