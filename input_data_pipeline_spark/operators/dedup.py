@@ -910,7 +910,11 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     future corpus (where one unlucky pair is a large recall fraction)
     cannot flip the verdict, while a real LSH regression (recall ~0) still
     goes hash-red in the driver — the oracle recomputes n_true_pairs and
-    expects TRUE. tests/test_dedup.py keeps the raw candidate-set recall
+    expects TRUE. The TIGHT committed-corpus bound lives in
+    tests/test_dedup.py::test_ml_minhash_recall_vs_exact, which recomputes
+    the raw candidate-set recall from the same seeded pipeline and
+    requires >= 90% — catching regressions the loose production verdict
+    tolerates. tests/test_dedup.py keeps the raw candidate-set recall
     check. The distance threshold is 0.25 (not 0.2) so truth pairs sitting
     exactly at Jaccard 0.8 can't be dropped by the exact-distance filter
     before the recall count.

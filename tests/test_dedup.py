@@ -32,18 +32,46 @@ def test_simhash_close_on_near_duplicates(spark, sf_dir):
 
 def test_ml_minhash_recall_vs_exact(spark, sf_dir):
     """spark.ml MinHashLSH candidates must recover most of the exact
-    Jaccard>=0.8 ground-truth pairs; the query itself now carries the
-    recall verdict against the exact ground truth."""
+    Jaccard>=0.8 ground-truth pairs. The query's oracle verdict is the
+    deliberately-loose corpus-independent >=70% bound; THIS test keeps the
+    tight committed-corpus bound (raw recall >= 90%, recomputed from the
+    same seeded ml pipeline) so a candidate-generation regression that the
+    production verdict tolerates still fails CI."""
+    import pyspark.sql.functions as F
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
     from input_data_pipeline_spark.operators.dedup import (
+        _shingles2,
         dedup_minhash_ml,
         ngram_jaccard_pairs,
     )
+    from input_data_pipeline_spark.tables import load_table
 
     truth = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(spark, sf_dir).collect()}
     assert truth, "ground truth empty — fixture changed?"
     [row] = dedup_minhash_ml(spark, sf_dir).collect()
     assert row.n_true_pairs == len(truth)
     assert row.recall_ge_70pct, f"ml LSH recall < 0.7 over {row.n_true_pairs} pairs"
+
+    # tight bound: raw candidate-set recall on the committed fixture
+    sh = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", _shingles2("text").alias("shs"))
+        .filter(F.size("shs") > 0)
+    )
+    feats = HashingTF(inputCol="shs", outputCol="features", numFeatures=1 << 18).transform(sh)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=3, seed=42
+    ).fit(feats)
+    cand = {
+        (r.a, r.b)
+        for r in model.approxSimilarityJoin(feats, feats, 0.25, distCol="d")
+        .select(F.col("datasetA.doc_id").alias("a"), F.col("datasetB.doc_id").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .collect()
+    }
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.9, f"raw ml LSH recall {recall:.2f} over {len(truth)} pairs"
 
 
 def test_connected_components_transitive_chain(spark):
