@@ -148,13 +148,24 @@ def main() -> None:
 
     # Run the full set n_runs times round-robin (not per-query back-to-back:
     # a transient host stall then hits ONE sweep, not all samples of one
-    # query), keep every sample, report the per-query min.
+    # query), keep every sample, report the per-query min. A wall-clock
+    # budget guards against an unknown caller timeout: if a completed sweep
+    # leaves less time than that sweep took, stop — min over the completed
+    # sweeps still holds (>= 1 sweep always runs).
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "480"))
+    bench_t0 = time.perf_counter()
     samples: dict[str, list[float]] = {n: [] for n in names}
+    sweeps_done = 0
     for _ in range(n_runs):
+        sweep_t0 = time.perf_counter()
         for name in names:
             t0 = time.perf_counter()
             _REGISTRY[name].fn(spark, sf_dir).collect()
             samples[name].append(round(time.perf_counter() - t0, 3))
+        sweeps_done += 1
+        elapsed = time.perf_counter() - bench_t0
+        if elapsed + (time.perf_counter() - sweep_t0) > budget_s:
+            break
 
     timings = {n: min(ts) for n, ts in samples.items()}
     stat1 = _proc_stat()
@@ -168,7 +179,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "runs_per_query": n_runs,
+        "runs_per_query": sweeps_done,
         "queries_all_runs": samples,
         "yardstick": ystick,
     }
