@@ -1,10 +1,15 @@
 #!/usr/bin/env python
 """Headline benchmark: runs the engine's flagship queries at
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and prints ONE JSON line:
-  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
-   "sf": ..., "runs_per_query": 3, "queries_all_runs": {...},
-   "yardstick": {...}}
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (round-8 fix — the driver tail-captures only ~2 KB of
+stdout, and round 7's all-in-one line overflowed that, leaving
+BENCH_r07.json unparseable):
+- the LAST stdout line is a COMPACT JSON summary (<2 KB):
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {per-query
+   min}, "sf": ..., "runs_per_query": N}
+- the FULL record (every sample per query + the host yardstick) is written
+  to BENCH_FULL_local.json at the repo root, committed per round.
 
 Noise self-defense (round-6 lesson: a uniformly ~1.4x slower host cost a
 day of attribution work):
@@ -173,17 +178,24 @@ def main() -> None:
     ystick["steal_ticks_delta"] = stat1["steal_ticks"] - ystick.pop("steal_ticks_at_start")
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
+    compact = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": sweeps_done,
-        "queries_all_runs": samples,
-        "yardstick": ystick,
     }
-    print(json.dumps(out))
+    full = dict(compact, queries_all_runs=samples, yardstick=ystick)
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_local.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: the compact stdout line still lands
+    # Compact summary LAST so a tail-capture always gets a complete JSON line.
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -76,84 +76,77 @@ def _load_all() -> None:
 
 # Externally-visible enumeration order. External snapshots of the registry
 # truncate to a prefix (50 slots), so the queries that most need fresh
-# differential evidence must enumerate first. Round-7 rotation — the
-# evidence-completion round: (a) all 15 never-driver-checked round-6
-# additions enter at the head, emptying the never-checked backlog — after
-# this window every oracle-backed registry query has driver-proven
-# evidence; (b) the 4 formerly rows-only sketch/ml queries re-enter with
-# their NEW verdict-cell oracles (exact side + error-bound BOOLEAN), so
-# their first oracle-checked rows land this round; (c) the LLM-core
-# anchors stay; (d) the remaining slots go to one-green-round queries
-# earning their second green — 10 one-green utility queries
-# (eta_formatting, path_ops, meta_map_ops, collect_status_tally,
-# union_source_batches, orders_merge_upsert, event_hourly_gapfill,
-# dataset_split_assignment, minhash_lsh_quality, chunk_dedup_rate) defer
-# to r8; everything evicted holds >= 2 green rounds. Names not listed
+# differential evidence must enumerate first. Round-8 rotation — the
+# final evidence-closure round: (a) the 13-query backlog enters at the
+# head: the 3 round-7 additions never driver-checked (bm25_doc_search,
+# doc_chunk_windows, gopher_quality_flags) plus the 10 one-green utility
+# queries deferred from the r7 window; after this window the
+# never-checked set is empty and every registry query has driver-proven
+# evidence; (b) the LLM-core anchors stay; (c) the remaining one-green
+# queries (19, all green in r7) earn their second green; (d) the last 12
+# slots go to the stalest two-green queries (last green r2) earning a
+# third. Everything evicted holds >= 2 green rounds. Names not listed
 # keep registration order after the listed ones.
 _PRIORITY: list[str] = [
-    # --- never driver-checked (round-6 additions): highest leverage ---
-    "dedup_keep_selection",
-    "knn_ivf_kmeans",
-    "cluster_diversity_sample",
-    "table_profile",
-    "user_retention_cohorts",
-    "active_user_rollup",
-    "text_encoding_audit",
-    "regional_supplier_revenue",
-    "nation_pair_volume",
-    "referential_integrity_audit",
-    "embedding_principal_component",
-    "hll_rolling_active_users",
-    "histogram_quantile_sketch",
-    "cluster_top_terms",
-    "event_daily_anomalies",
-    # --- newly oracle-ized this round (were rows-only through r6; now
-    # --- emit exact cells + error-bound verdict BOOLEANs) ---
-    "approx_distinct_users",
-    "event_value_approx_percentiles",
-    "frequent_tokens_sketch",
-    "dedup_minhash_ml",
-    # --- LLM-core anchors (stay in every window) ---
+    # --- (a) never driver-checked (round-7 additions) ---
+    "bm25_doc_search",
+    "doc_chunk_windows",
+    "gopher_quality_flags",
+    # --- (a) one-green utility backlog deferred from the r7 window ---
+    "eta_formatting",
+    "path_ops",
+    "meta_map_ops",
+    "collect_status_tally",
+    "union_source_batches",
+    "orders_merge_upsert",
+    "event_hourly_gapfill",
+    "dataset_split_assignment",
+    "minhash_lsh_quality",
+    "chunk_dedup_rate",
+    # --- (b) LLM-core anchors (stay in every window) ---
     "dedup_minhash_lsh",
     "ngram_jaccard_pairs",
     "embedding_near_pairs",
     "knn_ivf",
     "contamination_overlap",
     "doc_quality",
-    # --- one green round (r6): earn the second green ---
-    "user_sessions",
-    "user_trailing_window",
-    "user_value_intervals",
-    "user_rolling_distinct_types",
-    "doc_token_stats",
-    "quality_percentile_filter",
-    "bpe_token_estimate",
-    "countmin_token_freq",
-    "countmin_merge_sources",
-    "hll_distinct_tokens",
-    "hll_union_sources",
-    "weighted_doc_sample_pps",
-    "bigram_lm_doc_scores",
-    "source_dup_rates",
-    "bloom_dedup_precheck",
-    "kmeans_embedding_clusters",
-    "incremental_new_docs",
-    "intradoc_repetition",
-    "sequence_packing_plan",
-    "oov_rate_by_source",
-    "exact_substring_coverage",
-    "dup_cluster_size_histogram",
-    "mixture_sampling_plan",
-    "token_budget_selection",
-    "curation_funnel",
+    # --- (c) one green round (r7): earn the second green ---
+    "approx_distinct_users",
+    "event_value_approx_percentiles",
+    "regional_supplier_revenue",
+    "nation_pair_volume",
+    "user_retention_cohorts",
+    "active_user_rollup",
+    "hll_rolling_active_users",
+    "histogram_quantile_sketch",
+    "event_daily_anomalies",
+    "frequent_tokens_sketch",
+    "text_encoding_audit",
+    "dedup_minhash_ml",
+    "dedup_keep_selection",
+    "knn_ivf_kmeans",
+    "cluster_diversity_sample",
+    "embedding_principal_component",
+    "cluster_top_terms",
+    "table_profile",
+    "referential_integrity_audit",
+    # --- (d) stalest two-green queries (last green r2): earn a third ---
+    "account_balance_union",
+    "brand_revenue_by_supplier_nation",
+    "clicks_before_purchase",
+    "customer_order_setops_all",
+    "customer_period_setops",
+    "customer_value_quartiles",
+    "customers_with_open_orders",
+    "customers_without_urgent_orders",
+    "distinct_flag_status",
+    "event_props_extract",
+    "event_transitions",
+    "event_type_hourly",
 ]
-# Round-8 rotation backlog: (a) one green round each, driver-green in
-# r6, deferred from the r7 window: eta_formatting, path_ops,
-# meta_map_ops, collect_status_tally, union_source_batches,
-# orders_merge_upsert, event_hourly_gapfill, dataset_split_assignment,
-# minhash_lsh_quality, chunk_dedup_rate; (b) new in r7, local-green in
-# both fetch modes + hostile-TZ driver-mimic, never driver-checked:
-# bm25_doc_search, doc_chunk_windows, gopher_quality_flags.
+# Round-8 state: with this window green, all 147 registry queries hold
+# driver-proven evidence (never-checked set empty; minimum green count 2
+# for every query that has appeared in a window).
 
 
 def _ordered() -> dict[str, QuerySpec]:
