@@ -1,0 +1,106 @@
+"""Execution-metrics capture: per-query shuffle/input bytes from Spark's
+AppStatusStore.
+
+Why this exists: the 100 TB design claim for the LLM-core anchor queries is
+"no super-linear exchange" — banded LSH self-joins, df-capped contamination
+joins, and broadcast probe sides must keep shuffle volume O(data), never
+O(data^2). The planted-skew tests bound the worst KEY; this module measures
+the actual end-to-end EXCHANGE at two scale factors so the growth exponent
+itself is evidence (see measure_scale_growth.py and
+tests/test_scale_growth.py).
+
+Implementation: Spark exposes per-stage ``shuffleWriteBytes`` /
+``inputBytes`` through the same AppStatusStore that backs the UI/REST API,
+which exists even with ``spark.ui.enabled=false``. We snapshot the set of
+stage ids before a query, run it, and sum metrics over the NEW stages —
+attributing exactly the work this query scheduled (a reused exchange or a
+cached index built by an earlier query is attributed to the query that
+first ran it; keep run order fixed when comparing scale factors).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _stage_list(spark: SparkSession):
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    gw = sc._gateway
+    empty = gw.jvm.java.util.ArrayList()
+    quantiles = gw.new_array(gw.jvm.double, 0)
+    # stageList(statuses, details, withSummaries, unsortedQuantiles, taskStatus)
+    return store.stageList(empty, False, False, quantiles, empty)
+
+
+def _stage_ids(spark: SparkSession) -> set[int]:
+    stages = _stage_list(spark)
+    return {stages.apply(i).stageId() for i in range(stages.size())}
+
+
+def run_with_metrics(
+    spark: SparkSession, fn: Callable[[SparkSession, str], DataFrame], sf_dir: str
+) -> dict:
+    """Run ``fn(spark, sf_dir).collect()`` and return its exchange metrics:
+    ``{rows, shuffle_write_bytes, shuffle_read_bytes, input_bytes,
+    n_stages}`` summed over the stages the query scheduled."""
+    before = _stage_ids(spark)
+    rows = len(fn(spark, sf_dir).collect())
+    out = {
+        "rows": rows,
+        "shuffle_write_bytes": 0,
+        "shuffle_read_bytes": 0,
+        "input_bytes": 0,
+        "n_stages": 0,
+    }
+    stages = _stage_list(spark)
+    for i in range(stages.size()):
+        s = stages.apply(i)
+        if s.stageId() in before:
+            continue
+        out["n_stages"] += 1
+        out["shuffle_write_bytes"] += s.shuffleWriteBytes()
+        out["shuffle_read_bytes"] += s.shuffleReadBytes()
+        out["input_bytes"] += s.inputBytes()
+    return out
+
+
+# The 6 LLM-core anchor queries (every driver window keeps them) — the set
+# whose exchange growth the scale artifact tracks.
+ANCHORS = [
+    "dedup_minhash_lsh",
+    "ngram_jaccard_pairs",
+    "embedding_near_pairs",
+    "knn_ivf",
+    "contamination_overlap",
+    "doc_quality",
+]
+
+
+def measure_anchors(spark: SparkSession, sf_dir: str) -> dict[str, dict]:
+    """Fixed-order anchor sweep at one scale factor."""
+    from input_data_pipeline_spark.plans.registry import _load_all, _REGISTRY
+
+    _load_all()
+    return {name: run_with_metrics(spark, _REGISTRY[name].fn, sf_dir) for name in ANCHORS}
+
+
+def growth_report(small: dict[str, dict], large: dict[str, dict]) -> dict[str, dict]:
+    """Per-anchor growth ratios large/small, with a 64 KiB floor on the
+    small side so a map-only query's near-zero shuffle can't produce a
+    spurious huge ratio out of fixed per-partition overhead."""
+    floor = 64 * 1024
+    out = {}
+    for name in small:
+        s, l = small[name], large[name]
+        out[name] = {
+            "small": s,
+            "large": l,
+            "shuffle_growth": round(
+                l["shuffle_write_bytes"] / max(s["shuffle_write_bytes"], floor), 2
+            ),
+            "input_growth": round(l["input_bytes"] / max(s["input_bytes"], floor), 2),
+        }
+    return out
