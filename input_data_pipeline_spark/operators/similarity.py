@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
@@ -1073,8 +1075,6 @@ def _kmeans_assign_np(qv: DataFrame, centroids: list[tuple[int, list[int]]]) -> 
     literal path's smallest-cid tie-break bit-for-bit. Map-only: a pandas
     UDF column expression, so the stage shape (no Exchange) is identical
     to the literal path and the surrounding plan is untouched."""
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     cs = sorted(centroids)  # by cid: argmin-first-occurrence == smallest cid
@@ -1084,7 +1084,7 @@ def _kmeans_assign_np(qv: DataFrame, centroids: list[tuple[int, list[int]]]) -> 
         (cid_arr, cmat, (cmat * cmat).sum(axis=1))
     )
 
-    def _nearest(q):
+    def _nearest(q: pd.Series) -> pd.DataFrame:
         cids, cm, c2 = bc.value
         if len(q) == 0:
             return pd.DataFrame({"d2": [], "cid": []})
@@ -1095,11 +1095,10 @@ def _kmeans_assign_np(qv: DataFrame, centroids: list[tuple[int, list[int]]]) -> 
             {"d2": d2[np.arange(len(best)), best], "cid": cids[best]}
         )
 
-    # explicit functionType: the struct-returning scalar form — Series in,
-    # DataFrame(d2, cid) out per Arrow batch
-    from pyspark.sql.functions import PandasUDFType
-
-    nearest = pandas_udf(_nearest, "d2 long, cid long", PandasUDFType.SCALAR)
+    # type-hinted struct-returning scalar form (Series in, DataFrame(d2,
+    # cid) out per Arrow batch) — the PandasUDFType.SCALAR spelling is
+    # deprecated and warns on every large-K assignment
+    nearest = pandas_udf(_nearest, "d2 long, cid long")
 
     return (
         qv.withColumn("_best", nearest("q"))
