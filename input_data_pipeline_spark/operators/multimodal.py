@@ -12,9 +12,11 @@ WAV decode is REAL: ``decode_media`` parses PCM WAV through stdlib
 ``wave`` — the exact API the reference feeds Vosk from
 (``inputs/system_audio_collector.py:31,39-41``) — and
 ``chunk_wav_frames`` reproduces its ``readframes(4000)`` loop as a
-map-only mapInPandas stage over real bytes. Only image/video decode
-remains a documented ``NotImplementedError`` seam (those codecs aren't
-in this container). The deterministic RMS-energy segmenter
+map-only mapInPandas stage over real bytes. BMP image decode is REAL
+too (round 8): stdlib ``struct`` over BITMAPINFOHEADER feeding
+``extract_image_features``. Only compressed-image (PNG/JPEG) and video
+decode remain a documented ``NotImplementedError`` seam (those codecs
+aren't in this container). The deterministic RMS-energy segmenter
 (``transcribe_wav_energy``) stands in for the ASR engine behind the
 same per-executor-singleton pattern a real Vosk model would use, so the
 full S5/U2 path — binaryFile → header parse → frame-chunk → stateful
@@ -50,18 +52,75 @@ _FRAME_CHARS = 64  # fake frame size (chars) for frame-sampling plumbing
 _FRAME_STRIDE = 2  # keep every 2nd frame
 
 
+def _decode_bmp(payload: bytes) -> dict:
+    """Parse an uncompressed BI_RGB BMP (24/32-bit) with stdlib ``struct``.
+
+    The image analogue of the WAV path: header fields decoded for real,
+    pixel rows de-padded (BMP pads each row to 4 bytes) and normalized to
+    top-down row-major order (positive height means bottom-up on disk;
+    negative means already top-down). Returns ``width, height, bit_count,
+    n_pixels, pixels`` where ``pixels`` is the raw BGR(A) byte plane —
+    exactly what a downstream resize/feature kernel consumes.
+    """
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (dib_size,) = struct.unpack_from("<I", payload, 14)
+    if dib_size < 40:
+        raise ValueError(f"unsupported DIB header size {dib_size} (need BITMAPINFOHEADER+)")
+    width, height_raw = struct.unpack_from("<ii", payload, 18)
+    bit_count, compression = struct.unpack_from("<H", payload, 28)[0], struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression} (need BI_RGB)")
+    if bit_count not in (24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bit_count} (need 24/32)")
+    if width <= 0 or height_raw == 0:
+        raise ValueError(f"degenerate BMP dimensions {width}x{height_raw}")
+    top_down = height_raw < 0
+    height = abs(height_raw)
+    bytes_pp = bit_count // 8
+    stride = (width * bytes_pp + 3) // 4 * 4
+    if data_off + stride * height > len(payload):
+        raise ValueError("truncated BMP: pixel array extends past payload")
+    rows = []
+    for r in range(height):
+        src = r if top_down else height - 1 - r
+        start = data_off + src * stride
+        rows.append(payload[start : start + width * bytes_pp])
+    return {
+        "width": width,
+        "height": height,
+        "bit_count": bit_count,
+        "n_pixels": width * height,
+        "pixels": b"".join(rows),
+    }
+
+
 def decode_media(payload: bytes, modality: str = "audio") -> dict:
     """Decode an opaque media payload to typed fields.
 
     REAL for PCM WAV audio: stdlib ``wave`` over an in-memory buffer — the
     same parser the reference opens its capture files with
     (``inputs/system_audio_collector.py:31``: ``wave.open(wav_path)``).
-    Returns header fields plus the raw PCM frame bytes. Image/video stay a
-    documented seam: those codecs (PIL/ffmpeg) aren't in this container,
-    and on a real cluster the call MUST go through a per-executor
-    singleton (one codec/model instance per worker process), never per
-    row — reference pattern U2.
+    Returns header fields plus the raw PCM frame bytes.
+
+    REAL for BMP images (round 8): stdlib ``struct`` over the
+    BITMAPINFOHEADER layout — de-padded, orientation-normalized pixel
+    plane plus typed dimensions (see :func:`_decode_bmp`). Compressed
+    image formats (PNG/JPEG) and video stay the documented seam: those
+    codecs aren't in this container, and on a real cluster the call MUST
+    go through a per-executor singleton (one codec/model instance per
+    worker process), never per row — reference pattern U2.
     """
+    if modality == "image":
+        if payload[:2] == b"BM":
+            return _decode_bmp(payload)
+        raise NotImplementedError(
+            "real decode of non-BMP image formats requires external media "
+            "libraries; wire PIL here on a real cluster (SURVEY §2.10 U1/U2)"
+        )
     if modality != "audio":
         raise NotImplementedError(
             f"real {modality} decode requires external media libraries; "
@@ -82,7 +141,8 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
 
 def decode_media_stub(payload: bytes, modality: str) -> object:
     """Back-compat alias for the pre-WAV-decode seam: delegates to
-    :func:`decode_media` (real for audio, NotImplementedError otherwise)."""
+    :func:`decode_media` (real for WAV audio and BMP images,
+    NotImplementedError otherwise)."""
     return decode_media(payload, modality)
 
 
@@ -279,6 +339,59 @@ def chunk_wav_frames(wavs: DataFrame, chunk_frames: int = WAV_CHUNK_FRAMES) -> D
         slice_frames,
         "doc_id long, chunk_idx int, frame_start long, n_frames long, "
         "frame_rate int, sample_width int, n_channels int, pcm binary",
+    )
+
+
+def extract_image_features(images: DataFrame) -> DataFrame:
+    """Feature extraction over real image payloads: ``(doc_id, payload)`` →
+    ``(doc_id, width, height, bit_count, n_pixels, mean_b, mean_g, mean_r,
+    pixel_sha)`` via the same Arrow-batched mapInPandas shape as the WAV
+    kernels (U1's image half).
+
+    The decode is :func:`_decode_bmp` — REAL stdlib parsing, so this runs
+    end-to-end on actual bytes in tests: header fields come from the
+    BITMAPINFOHEADER, per-channel means are exact integer floor-division
+    over the de-padded BGR(A) plane, and ``pixel_sha`` fingerprints the
+    orientation-normalized pixels (a bottom-up and a top-down encoding of
+    the same image hash identically). Map-only, no shuffle; Arrow batch
+    size bounds executor memory per batch, which is what keeps the plan
+    safe when payloads are megabyte photos instead of kilobyte fixtures.
+    """
+    import pandas as pd
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [], "bit_count": [],
+                "n_pixels": [], "mean_b": [], "mean_g": [], "mean_r": [],
+                "pixel_sha": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = decode_media(bytes(payload), "image")
+                px, bpp = meta["pixels"], meta["bit_count"] // 8
+                n = meta["n_pixels"]
+                sums = [0, 0, 0]
+                for i in range(0, len(px), bpp):
+                    sums[0] += px[i]
+                    sums[1] += px[i + 1]
+                    sums[2] += px[i + 2]
+                out["doc_id"].append(doc_id)
+                out["width"].append(meta["width"])
+                out["height"].append(meta["height"])
+                out["bit_count"].append(meta["bit_count"])
+                out["n_pixels"].append(n)
+                out["mean_b"].append(sums[0] // n)
+                out["mean_g"].append(sums[1] // n)
+                out["mean_r"].append(sums[2] // n)
+                out["pixel_sha"].append(hashlib.sha256(px).hexdigest()[:16])
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(
+        extract,
+        "doc_id long, width int, height int, bit_count int, n_pixels long, "
+        "mean_b int, mean_g int, mean_r int, pixel_sha string",
     )
 
 

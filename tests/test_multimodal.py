@@ -244,3 +244,90 @@ def test_wav_chunking_respects_stereo_frame_boundaries(spark, tmp_path):
     mid = bytes(rows[1].pcm)
     left, right = struct.unpack("<hh", mid[:4])
     assert (left, right) == (4000 % 30000, -(4000 % 30000))
+
+
+def make_bmp(width, height, pixel_rows, bit_count=24, top_down=False):
+    """Encode a BI_RGB BMP with stdlib struct: ``pixel_rows`` is a
+    top-down list of rows, each a list of (b, g, r[, a]) tuples. Rows are
+    padded to 4 bytes; bottom-up files (the BMP default) store rows
+    reversed with a positive height."""
+    import struct
+
+    bpp = bit_count // 8
+    stride = (width * bpp + 3) // 4 * 4
+    rows = pixel_rows if top_down else list(reversed(pixel_rows))
+    body = b"".join(
+        b"".join(bytes(px) for px in row).ljust(stride, b"\x00") for row in rows
+    )
+    data_off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, (height if not top_down else -height), 1, bit_count,
+        0, len(body), 2835, 2835, 0, 0,
+    )
+    return header + dib + body
+
+
+BMP_ROWS_3x2 = [  # top-down: row 0 is B,G,R primaries; row 1 grays
+    [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+    [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+]
+
+
+def test_decode_media_parses_real_bmp():
+    """U1 image half: struct-decode of a real 24-bit BMP — dimensions from
+    the DIB header, rows de-padded (3px*3B=9B rows, 12B stride) and
+    returned top-down regardless of on-disk orientation."""
+    payload = make_bmp(3, 2, BMP_ROWS_3x2)
+    meta = decode_media(payload, "image")
+    assert (meta["width"], meta["height"], meta["bit_count"]) == (3, 2, 24)
+    assert meta["n_pixels"] == 6
+    expect = b"".join(bytes(px) for row in BMP_ROWS_3x2 for px in row)
+    assert meta["pixels"] == expect
+
+
+def test_decode_bmp_orientation_normalized():
+    """A bottom-up and a top-down encoding of the SAME image decode to
+    identical pixel planes (the normalization a downstream feature kernel
+    relies on)."""
+    up = decode_media(make_bmp(3, 2, BMP_ROWS_3x2, top_down=False), "image")
+    down = decode_media(make_bmp(3, 2, BMP_ROWS_3x2, top_down=True), "image")
+    assert up["pixels"] == down["pixels"]
+
+
+def test_decode_bmp_rejects_malformed():
+    payload = make_bmp(3, 2, BMP_ROWS_3x2)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_media(payload[:-8], "image")
+    with pytest.raises(NotImplementedError, match="non-BMP"):
+        decode_media(b"\x89PNG....", "image")
+
+
+def test_extract_image_features_end_to_end(spark):
+    """binary payload column -> mapInPandas decode -> typed features, on
+    real BMP bytes: 24-bit with row padding, 32-bit BGRA, and a bottom-up
+    duplicate that must fingerprint identically to its top-down twin."""
+    from input_data_pipeline_spark.operators.multimodal import extract_image_features
+
+    solid = [[(100, 150, 200)] * 2] * 2  # 2x2 solid: means are exact
+    rows = [
+        (1, make_bmp(3, 2, BMP_ROWS_3x2)),
+        (2, make_bmp(2, 2, solid)),
+        (3, make_bmp(2, 2, [[px + (255,) for px in r] for r in solid], bit_count=32)),
+        (4, make_bmp(3, 2, BMP_ROWS_3x2, top_down=True)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in extract_image_features(df).collect()}
+
+    assert (got[1].width, got[1].height, got[1].n_pixels) == (3, 2, 6)
+    # doc 2: solid color -> channel means are the color itself
+    assert (got[2].mean_b, got[2].mean_g, got[2].mean_r) == (100, 150, 200)
+    # doc 3: same color at 32-bit -> same means, same dims, different depth
+    assert (got[3].mean_b, got[3].mean_g, got[3].mean_r) == (100, 150, 200)
+    assert got[3].bit_count == 32
+    # doc 4: bottom-up twin of doc 1 -> identical normalized fingerprint
+    assert got[4].pixel_sha == got[1].pixel_sha
+    # and the fingerprint is the sha of the de-padded top-down plane
+    expect = b"".join(bytes(px) for row in BMP_ROWS_3x2 for px in row)
+    assert got[1].pixel_sha == hashlib.sha256(expect).hexdigest()[:16]
