@@ -757,3 +757,238 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_n0")
         .orderBy("stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023; round-8 addition)
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET_SRC = "src0"  # the corpus slice playing the "target domain"
+_DSIR_BUCKETS = 256
+_DSIR_TOP_K = 50
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(unnest({_FUN_TOK})), 1, 8)) AS BIGINT)
+               % {_DSIR_BUCKETS} AS b
+      FROM documents),
+    tgt AS (
+      SELECT b, COUNT(*) AS n_t FROM tok
+      WHERE source = '{_DSIR_TARGET_SRC}' GROUP BY b),
+    pool AS (
+      SELECT b, COUNT(*) AS n_p FROM tok
+      WHERE source <> '{_DSIR_TARGET_SRC}' GROUP BY b),
+    tot AS (
+      SELECT (SELECT SUM(n_t) FROM tgt) AS tot_t,
+             (SELECT SUM(n_p) FROM pool) AS tot_p),
+    ppm AS (
+      SELECT COALESCE(tgt.b, pool.b) AS b,
+             COALESCE(n_t, 0) * 1000000 // tot_t AS p_t_ppm,
+             COALESCE(n_p, 0) * 1000000 // tot_p AS p_p_ppm
+      FROM tgt FULL JOIN pool USING (b), tot),
+    per_doc AS (
+      SELECT doc_id, source, b, COUNT(*) AS n
+      FROM tok GROUP BY 1, 2, 3),
+    weighted AS (
+      SELECT d.doc_id, d.source,
+             SUM(d.n) AS n_tokens,
+             SUM(d.n * (p.p_t_ppm - p.p_p_ppm)) // SUM(d.n) AS w
+      FROM per_doc d JOIN ppm p USING (b)
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT doc_id, source, n_tokens, w,
+             ROW_NUMBER() OVER (ORDER BY w DESC, doc_id) AS rnk
+      FROM weighted)
+    SELECT doc_id, source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(w AS BIGINT) AS dsir_weight_ppm,
+           (rnk <= {_DSIR_TOP_K}) AS selected
+    FROM ranked
+    ORDER BY doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al. 2023): score every document
+    by how much its hashed-unigram distribution looks like a target
+    domain (here the ``{_DSIR_TARGET_SRC}`` slice) versus the raw pool,
+    then select the top-k. DSIR proper sums log-likelihood ratios of
+    hashed n-gram probabilities; this variant linearizes the ratio to an
+    exact integer per-token ppm advantage — sum(n_b * (p_target_ppm(b) -
+    p_pool_ppm(b))) / n_tokens — keeping every cell bit-reproducible in
+    both engines (the log form would sum order-dependent doubles). Same
+    selection ORDER as DSIR for docs near either end of the ranking,
+    which is where selection happens.
+
+    Scale shape: one tokenize+explode scan; the two distribution tables
+    are map-side-combinable counts over a FIXED {_DSIR_BUCKETS}-bucket
+    space (hashing is the whole point of DSIR — the feature table never
+    grows with the vocabulary), so they broadcast to the per-doc join.
+    The global top-k rank here is a window for oracle exactness; at
+    100 TB you'd take the k-th weight via approx-quantile and broadcast
+    the threshold — the cells are the contract, the ranking strategy is
+    the swap point.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from input_data_pipeline_spark.functions import text as T
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+        % _DSIR_BUCKETS
+    )
+    tok = docs.select(
+        "doc_id", "source", F.explode(T.tokens("text")).alias("token")
+    ).select("doc_id", "source", bucket.alias("b"))
+
+    is_tgt = F.col("source") == _DSIR_TARGET_SRC
+    tgt = tok.where(is_tgt).groupBy("b").agg(F.count(F.lit(1)).alias("n_t"))
+    pool = tok.where(~is_tgt).groupBy("b").agg(F.count(F.lit(1)).alias("n_p"))
+    tot = tgt.crossJoin(pool.select(F.sum("n_p").alias("tot_p"))).agg(
+        F.sum("n_t").alias("tot_t"), F.first("tot_p").alias("tot_p")
+    )
+    ppm = (
+        tgt.join(pool, "b", "full")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.expr("coalesce(n_t, 0) * 1000000 DIV tot_t").alias("p_t_ppm"),
+            F.expr("coalesce(n_p, 0) * 1000000 DIV tot_p").alias("p_p_ppm"),
+        )
+    )
+    per_doc = tok.groupBy("doc_id", "source", "b").agg(F.count(F.lit(1)).alias("n"))
+    weighted = (
+        per_doc.join(F.broadcast(ppm), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.expr("sum(n * (p_t_ppm - p_p_ppm)) DIV sum(n)").alias("w"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rnk = F.row_number().over(Window.orderBy(F.desc("w"), "doc_id"))
+    return (
+        weighted.withColumn("rnk", rnk)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.col("w").alias("dsir_weight_ppm"),
+            (F.col("rnk") <= _DSIR_TOP_K).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-URL dedup (round-8 addition)
+# ---------------------------------------------------------------------------
+
+# Messy variants: case, fragments, tracking params, default ports, trailing
+# slashes — each group collapses to one canonical URL.
+_CANON_FIXTURE = [
+    ("r1", "https://Example.com/Article?utm_source=feed&id=7"),
+    ("r2", "https://example.com/Article?id=7#section-2"),
+    ("r3", "https://example.com:443/Article?id=7"),
+    ("r4", "http://News.example.com:80/today/"),
+    ("r5", "http://news.example.com/today/?utm_campaign=x&gclid=abc"),
+    ("r6", "http://news.example.com/today/#top"),
+    ("r7", "https://other.org/page?fbclid=123"),
+    ("r8", "https://other.org/page"),
+    ("r9", "https://unique.net/solo?a=1&utm_medium=mail&b=2"),
+]
+
+_CANON_VALUES = ",\n      ".join(
+    "('{}', '{}')".format(rid, u.replace("'", "''")) for rid, u in _CANON_FIXTURE
+)
+
+# Canonicalization pipeline, stated once as (java_pattern, duck_pattern,
+# java_repl, duck_repl) steps applied IN ORDER on both engines. RE2 (DuckDB)
+# has no lookarounds, so every step is plain groups + backrefs ($1 in Java,
+# \1 in RE2 replacement syntax).
+_CANON_STEPS = [
+    # 1. drop the fragment
+    (r"#.*", "", ""),
+    # 2. strip tracking params (value up to the next separator)
+    (r"(utm_[a-z]+|gclid|fbclid)=[^&#]*", "", ""),
+    # 3. tidy separators the strip left behind: '?&'->'?', '&&'->'&',
+    #    then a trailing '?' or '&'
+    (r"\?&", "?", "?"),  # literal, via regex escape
+    (r"&&+", "&", "&"),
+    (r"[?&]+$", "", ""),
+    # 4. default ports
+    (r"^(http://[^/:?#]+):80([/?]|$)", "$1$2", r"\1\2"),
+    (r"^(https://[^/:?#]+):443([/?]|$)", "$1$2", r"\1\2"),
+    # 5. trailing slash on a path (but never the bare host)
+    (r"^([^?#]*[^/?#])/(\?|$)", "$1$2", r"\1\2"),
+]
+
+
+def _canon_duck_expr() -> str:
+    """DuckDB expression mirroring :func:`_canon_spark` step for step."""
+    expr = (
+        "lower(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+')) || "
+        "substr(url, length(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+')) + 1)"
+    )
+    for pat, _, duck_repl in _CANON_STEPS:
+        # SQL single-quoted strings pass backslashes through verbatim
+        # (no doubling), so RE2 sees the pattern/backrefs exactly
+        pat_sql = pat.replace("'", "''")
+        repl_sql = duck_repl.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{repl_sql}', 'g')"
+    return expr
+
+
+@register(
+    "url_canonical_dedup",
+    oracle=f"""
+    WITH recs(rec_id, url) AS (VALUES
+      {_CANON_VALUES}),
+    canon AS (
+      SELECT rec_id, {_canon_duck_expr()} AS canonical_url
+      FROM recs)
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           MIN(rec_id) AS keep_rec
+    FROM canon
+    GROUP BY canonical_url
+    ORDER BY canonical_url
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup — the web-crawl front door of corpus curation
+    (the same page arrives as dozens of URL spellings; CommonCrawl-based
+    pipelines dedup on a canonicalized URL before any content dedup).
+    Canonicalization: lowercase scheme+host, drop fragments, strip
+    utm_*/gclid/fbclid tracking params (tidying the separators left
+    behind), drop default ports (:80/:443), and drop a trailing path
+    slash. Variants group by canonical form; the survivor is the first
+    rec_id — all JVM-side regexp (RE2-safe patterns so DuckDB replays
+    them exactly; Java ``$1`` vs RE2 ``\\1`` replacement syntax is the
+    only per-engine difference).
+
+    Scale shape: canonicalization is a map-only projection; the group-by
+    shuffles one row per URL with map-side combine. At crawl scale the
+    canonical key is also the natural partition key for incremental
+    ingest (new batch anti-joins the manifest on it, J1 shape).
+    """
+    recs = spark.createDataFrame(_CANON_FIXTURE, ["rec_id", "url"])
+    prefix = F.regexp_extract("url", r"^[a-zA-Z]+://[^/?#]+", 0)
+    u = F.concat(
+        F.lower(prefix),
+        F.substring(F.col("url"), F.length(prefix) + F.lit(1), F.lit(1 << 20)),
+    )
+    for pat, java_repl, _ in _CANON_STEPS:
+        u = F.regexp_replace(u, pat, java_repl)
+    return (
+        recs.select("rec_id", u.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("rec_id").alias("keep_rec"),
+        )
+        .orderBy("canonical_url")
+    )

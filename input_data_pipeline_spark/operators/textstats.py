@@ -2060,3 +2060,172 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("bullet_ok")
         & F.col("ellipsis_ok"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning heuristics (Raffel et al. 2020, §2.2; round-8 addition)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c4_quality_flags",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             regexp_split_to_array(text, chr(10)) AS lines,
+             len(regexp_extract_all(text, '[.!?]')) AS n_sentences,
+             contains(lower(text), 'lorem ipsum') AS has_lorem,
+             contains(text, '{') AS has_brace
+      FROM documents),
+    m AS (
+      SELECT doc_id, n_sentences, has_lorem, has_brace,
+             len(lines) AS n_lines,
+             len(list_filter(lines, l ->
+                 regexp_matches(l, '[.!?"]$')
+                 AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+                                     t -> t <> '')) >= 5
+                 AND NOT contains(lower(l), 'javascript'))) AS n_retained_lines
+      FROM base)
+    SELECT doc_id,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_retained_lines AS BIGINT) AS n_retained_lines,
+           CAST(n_retained_lines * 1000000 // n_lines AS BIGINT)
+             AS retained_line_ppm,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           (n_sentences >= 3) AS sent_ok,
+           NOT has_lorem AS lorem_ok,
+           NOT has_brace AS brace_ok,
+           (n_retained_lines >= 1) AS lines_ok,
+           (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+            AND n_retained_lines >= 1) AS c4_pass
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020, §2.2) as
+    per-document verdict cells — the other canonical rule bundle next to
+    ``gopher_quality_flags``. C4 operates line-wise then page-wise; both
+    levels appear here as driver-hash-checkable cells:
+
+    - a line is RETAINED iff it ends in terminal punctuation (``.!?"``),
+      has >= 5 words, and does not mention "javascript" (the dirty-HTML
+      heuristic);
+    - page verdicts: >= 3 sentences, no "lorem ipsum", no curly brace
+      (template/code leakage), and >= 1 retained line.
+
+    ``retained_line_ppm`` is integer ppm (``DIV`` / ``//`` floor both
+    sides) so every cell is bit-exact vs the oracle. Scale shape: one
+    map-only projection — no joins, no shuffle before the output sort
+    (dropped in production writes); the line filter is a JVM-side
+    higher-order function over the split array, never a Python UDF.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lines = F.split("text", "\n")
+    retained = F.filter(
+        lines,
+        lambda l: l.rlike('[.!?"]$')
+        & (F.size(F.filter(F.split(l, r"\s+"), lambda t: t != "")) >= 5)
+        & ~F.lower(l).contains("javascript"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(retained).cast("long").alias("n_retained_lines"),
+        F.size(F.regexp_extract_all("text", F.lit("[.!?]"), F.lit(0)))
+        .cast("long")
+        .alias("n_sentences"),
+        F.lower(F.col("text")).contains("lorem ipsum").alias("has_lorem"),
+        F.col("text").contains("{").alias("has_brace"),
+    )
+    ppm = F.expr("n_retained_lines * 1000000 DIV n_lines")
+    return base.select(
+        "doc_id",
+        "n_lines",
+        "n_retained_lines",
+        ppm.alias("retained_line_ppm"),
+        "n_sentences",
+        (F.col("n_sentences") >= 3).alias("sent_ok"),
+        (~F.col("has_lorem")).alias("lorem_ok"),
+        (~F.col("has_brace")).alias("brace_ok"),
+        (F.col("n_retained_lines") >= 1).alias("lines_ok"),
+        (
+            (F.col("n_sentences") >= 3)
+            & ~F.col("has_lorem")
+            & ~F.col("has_brace")
+            & (F.col("n_retained_lines") >= 1)
+        ).alias("c4_pass"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets (Wenzek et al. 2020; round-8 addition)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_DUCK_TOKENS} AS t
+      FROM documents),
+    bi AS (
+      SELECT doc_id, lang,
+             UNNEST(list_transform(range(1, len(t)),
+                                   i -> t[i] || chr(9) || t[i + 1])) AS bg
+      FROM toks WHERE len(t) >= 2),
+    cnt2 AS (SELECT bg, COUNT(*) AS c2 FROM bi GROUP BY bg),
+    cnt1 AS (SELECT split_part(bg, chr(9), 1) AS w1, COUNT(*) AS c1
+             FROM bi GROUP BY 1),
+    p AS (
+      SELECT bg, CAST(c2 * 1000000 // c1 AS BIGINT) AS p_ppm
+      FROM cnt2 JOIN cnt1 ON split_part(cnt2.bg, chr(9), 1) = cnt1.w1),
+    d AS (SELECT doc_id, lang, bg, COUNT(*) AS cnt FROM bi GROUP BY 1, 2, 3),
+    scored AS (
+      SELECT d.doc_id, d.lang,
+             CAST(SUM(d.cnt * p.p_ppm) // SUM(d.cnt) AS BIGINT) AS lm_score_ppm
+      FROM d JOIN p USING (bg)
+      GROUP BY d.doc_id, d.lang)
+    SELECT doc_id, lang, lm_score_ppm,
+           CASE ntile(3) OVER (PARTITION BY lang
+                               ORDER BY lm_score_ppm DESC, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020, §3.3): per
+    language, rank every document by LM quality and cut the ranking into
+    equal thirds — "head" (most fluent, usually kept), "middle", "tail"
+    (usually dropped or down-sampled). CCNet ranks by KenLM perplexity
+    ascending; here the quality signal is the corpus-trained integer
+    bigram score of ``bigram_lm_doc_scores`` (higher = more fluent), so
+    head = highest score. Ties break by doc_id for a total order both
+    engines replay exactly.
+
+    Scale shape: the scoring reuses the bigram-LM plan (map-side
+    combinable counts, broadcast-sized probability table); the tercile
+    assignment here is an exact per-language NTILE — one sort per
+    language partition, matching the oracle bit-for-bit. At 100 TB you
+    would swap the NTILE for two approx-percentile cutoffs per language
+    (one small aggregate) and assign buckets map-side; the cells are the
+    contract, the ranking strategy is the swap point.
+    """
+    from pyspark.sql import Window
+
+    scores = bigram_lm_doc_scores(spark, sf_dir).select(
+        "doc_id", "lang", "lm_score_ppm"
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("lm_score_ppm"), "doc_id")
+    tercile = F.ntile(3).over(w)
+    return scores.select(
+        "doc_id",
+        "lang",
+        "lm_score_ppm",
+        F.when(tercile == 1, "head")
+        .when(tercile == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    ).orderBy("doc_id")

@@ -83,11 +83,17 @@ def _load_all() -> None:
 # queries deferred from the r7 window; after this window the
 # never-checked set is empty and every registry query has driver-proven
 # evidence; (b) the LLM-core anchors stay; (c) the remaining one-green
-# queries (19, all green in r7) earn their second green; (d) the last 12
-# slots go to the stalest two-green queries (last green r2) earning a
-# third. Everything evicted holds >= 2 green rounds. Names not listed
-# keep registration order after the listed ones.
+# queries (19, all green in r7) earn their second green; (d) the 4 new
+# round-8 operators (c4/ccnet/dsir/url-canonical) enter at the head;
+# (e) the last 8 slots go to the stalest two-green queries (last green
+# r2) earning a third. Everything evicted holds >= 2 green rounds.
+# Names not listed keep registration order after the listed ones.
 _PRIORITY: list[str] = [
+    # --- (a) never driver-checked (round-8 additions) ---
+    "c4_quality_flags",
+    "ccnet_perplexity_buckets",
+    "dsir_importance_weights",
+    "url_canonical_dedup",
     # --- (a) never driver-checked (round-7 additions) ---
     "bm25_doc_search",
     "doc_chunk_windows",
@@ -139,10 +145,6 @@ _PRIORITY: list[str] = [
     "customer_value_quartiles",
     "customers_with_open_orders",
     "customers_without_urgent_orders",
-    "distinct_flag_status",
-    "event_props_extract",
-    "event_transitions",
-    "event_type_hourly",
 ]
 # Round-8 state: with this window green, all 147 registry queries hold
 # driver-proven evidence (never-checked set empty; minimum green count 2

@@ -291,3 +291,101 @@ def test_gopher_rules_on_planted_docs(spark, tmp_path):
     ]:
         assert not out[i][flag], (i, flag, out[i])
         assert not out[i].gopher_pass
+
+
+def test_c4_rules_on_planted_docs(spark, tmp_path):
+    """Each C4 rule trips on a doc engineered to violate exactly it."""
+    from input_data_pipeline_spark.operators.textstats import c4_quality_flags
+
+    good_line = "this sentence has plenty of words and ends properly."
+    good = "\n".join([good_line] * 3)  # 3 sentences, 3 retained lines
+    rows = [
+        (0, good, "s", "en", 1),                                      # passes all
+        (1, good_line + " one? two.", "s", "en", 1),                  # ok too (3 sents)
+        (2, "only one sentence here with enough words.", "s", "en", 1),  # < 3 sentences
+        (3, good + "\nLorem Ipsum dolor sit.", "s", "en", 1),         # lorem ipsum
+        (4, good + "\nif (x) { return; }", "s", "en", 1),             # curly brace
+        (5, "short line.\nno punct here at all\nends mid", "s", "en", 1),  # no retained
+        (6, good + "\nenable javascript to view this page now.", "s", "en", 1),  # js line
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r.doc_id: r for r in c4_quality_flags(spark, str(tmp_path)).collect()}
+    assert out[0].c4_pass and out[0].retained_line_ppm == 1_000_000
+    assert out[1].c4_pass
+    assert not out[2].sent_ok and not out[2].c4_pass
+    assert not out[3].lorem_ok and not out[3].c4_pass
+    assert not out[4].brace_ok and not out[4].c4_pass
+    assert not out[5].lines_ok and not out[5].c4_pass
+    # doc 6 still passes page-level gates but the js line is NOT retained
+    assert out[6].n_retained_lines == 3 and out[6].n_lines == 4
+    assert out[6].retained_line_ppm == 750_000
+
+
+def test_ccnet_buckets_are_equal_thirds_per_lang(spark, sf_dir):
+    """CCNet semantics: per language the head/middle/tail buckets differ
+    by at most one doc, and every head score >= every tail score."""
+    from input_data_pipeline_spark.operators.textstats import (
+        ccnet_perplexity_buckets,
+    )
+
+    rows = ccnet_perplexity_buckets(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert by_lang
+    for lang, docs in by_lang.items():
+        sizes = {b: sum(1 for d in docs if d.bucket == b) for b in ("head", "middle", "tail")}
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        head_min = min(d.lm_score_ppm for d in docs if d.bucket == "head")
+        tail_max = max(d.lm_score_ppm for d in docs if d.bucket == "tail")
+        assert head_min >= tail_max, (lang, head_min, tail_max)
+
+
+def test_dsir_weights_favor_target_like_docs(spark, tmp_path):
+    """Docs made of target-domain vocabulary must outweigh docs made of
+    pool-only vocabulary, and the top-k flag must follow the weights."""
+    from input_data_pipeline_spark.operators.curation import (
+        _DSIR_TARGET_SRC,
+        dsir_importance_weights,
+    )
+
+    tgt_text = "protein genome enzyme receptor sequence " * 8
+    pool_text = "football striker referee penalty goal " * 8
+    rows = (
+        [(i, tgt_text.strip(), "en", _DSIR_TARGET_SRC, 1) for i in range(5)]
+        + [(10 + i, tgt_text.strip(), "en", "poolA", 1) for i in range(3)]  # target-like
+        + [(20 + i, pool_text.strip(), "en", "poolB", 1) for i in range(10)]
+    )
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r.doc_id: r for r in dsir_importance_weights(spark, str(tmp_path)).collect()}
+    target_like = [out[10 + i].dsir_weight_ppm for i in range(3)]
+    pool_only = [out[20 + i].dsir_weight_ppm for i in range(10)]
+    assert min(target_like) > max(pool_only)
+    # k=50 > corpus size here, so everything is selected; the ordering
+    # contract is the weights themselves (asserted above)
+    assert all(r.selected for r in out.values())
+
+
+def test_url_canonicalization_collapses_variants(spark):
+    """Every spelling group in the fixture lands on one canonical URL with
+    the expected survivor."""
+    from input_data_pipeline_spark.operators.curation import url_canonical_dedup
+
+    out = {r.canonical_url: r for r in url_canonical_dedup(spark, "").collect()}
+    assert set(out) == {
+        "https://example.com/Article?id=7",
+        "http://news.example.com/today",
+        "https://other.org/page",
+        "https://unique.net/solo?a=1&b=2",
+    }
+    assert out["https://example.com/Article?id=7"].n_variants == 3
+    assert out["https://example.com/Article?id=7"].keep_rec == "r1"
+    assert out["http://news.example.com/today"].n_variants == 3
+    assert out["https://other.org/page"].n_variants == 2
+    assert out["https://unique.net/solo?a=1&b=2"].keep_rec == "r9"

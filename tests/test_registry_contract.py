@@ -56,8 +56,9 @@ def test_priority_window_is_valid_and_covers_the_llm_core():
     assert not missing, f"priority names not registered: {missing}"
     first50 = list(all_queries())[:50]
     assert first50 == _PRIORITY[:50]
+    # the 6 LLM-core anchors stay in EVERY window (round-workflow rule);
+    # everything else rotates on green counts
     for must in (
-        "user_sessions",
         "dedup_minhash_lsh",
         "ngram_jaccard_pairs",
         "embedding_near_pairs",
