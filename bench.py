@@ -89,6 +89,9 @@ HEADLINE = [
     # round 7 additions (additive): lexical retrieval + doc chunking
     "bm25_doc_search",
     "doc_chunk_windows",
+    # round 8 additions (additive): C4 rule bundle + DSIR selection
+    "c4_quality_flags",
+    "dsir_importance_weights",
 ]
 
 

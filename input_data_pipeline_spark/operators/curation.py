@@ -843,20 +843,19 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.explode(T.tokens("text")).alias("token")
     ).select("doc_id", "source", bucket.alias("b"))
 
+    # both distributions in ONE conditional aggregation pass — a full-outer
+    # join of two per-source count tables would sort-merge (full outer
+    # cannot broadcast); this is a single map-side-combinable groupBy
     is_tgt = F.col("source") == _DSIR_TARGET_SRC
-    tgt = tok.where(is_tgt).groupBy("b").agg(F.count(F.lit(1)).alias("n_t"))
-    pool = tok.where(~is_tgt).groupBy("b").agg(F.count(F.lit(1)).alias("n_p"))
-    tot = tgt.crossJoin(pool.select(F.sum("n_p").alias("tot_p"))).agg(
-        F.sum("n_t").alias("tot_t"), F.first("tot_p").alias("tot_p")
+    dist = tok.groupBy("b").agg(
+        F.sum(F.when(is_tgt, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(is_tgt, 0).otherwise(1)).alias("n_p"),
     )
-    ppm = (
-        tgt.join(pool, "b", "full")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "b",
-            F.expr("coalesce(n_t, 0) * 1000000 DIV tot_t").alias("p_t_ppm"),
-            F.expr("coalesce(n_p, 0) * 1000000 DIV tot_p").alias("p_p_ppm"),
-        )
+    tot = dist.agg(F.sum("n_t").alias("tot_t"), F.sum("n_p").alias("tot_p"))
+    ppm = dist.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.expr("n_t * 1000000 DIV tot_t").alias("p_t_ppm"),
+        F.expr("n_p * 1000000 DIV tot_p").alias("p_p_ppm"),
     )
     per_doc = tok.groupBy("doc_id", "source", "b").agg(F.count(F.lit(1)).alias("n"))
     weighted = (

@@ -275,3 +275,43 @@ def test_round6_rollup_and_audit_plans(spark, sf_dir):
         c.split(":")[0] in {"l_orderkey", "l_suppkey", "l_partkey"}
         for c in m.group(1).split(",")
     ), "lineitem scans in the FK audit must read key columns only"
+
+
+def test_round8_curation_ops_scale_plans(spark, sf_dir):
+    """Round-8 operators' physical-plan invariants:
+
+    - c4_quality_flags is a single map-only projection: zero joins and no
+      exchange besides the final output sort;
+    - dsir_importance_weights broadcasts its fixed-size bucket tables (the
+      per-doc join must be BroadcastHashJoin, never sort-merge on the
+      corpus side) and partial-combines its counts;
+    - url_canonical_dedup partial-combines the per-canonical-URL count;
+    - ccnet_perplexity_buckets reuses the bigram-LM shape: no cartesian
+      product, partial aggregation present.
+    """
+    from input_data_pipeline_spark.operators.curation import (
+        dsir_importance_weights,
+        url_canonical_dedup,
+    )
+    from input_data_pipeline_spark.operators.textstats import (
+        c4_quality_flags,
+        ccnet_perplexity_buckets,
+    )
+
+    c4_plan = _executed_plan(c4_quality_flags(spark, sf_dir))
+    assert "Join" not in c4_plan
+    # one rangepartitioning exchange for the output sort is the only allowed one
+    assert len(re.findall(r"Exchange (?!rangepartitioning)", c4_plan)) == 0
+
+    dsir_plan = _executed_plan(dsir_importance_weights(spark, sf_dir))
+    assert "BroadcastHashJoin" in dsir_plan
+    assert "SortMergeJoin" not in dsir_plan
+    assert "partial_" in dsir_plan
+    assert "CartesianProduct" not in dsir_plan  # scalar totals go via broadcast
+
+    url_plan = _executed_plan(url_canonical_dedup(spark, sf_dir))
+    assert "partial_" in url_plan and "Join" not in url_plan
+
+    cc_plan = _executed_plan(ccnet_perplexity_buckets(spark, sf_dir))
+    assert "CartesianProduct" not in cc_plan
+    assert "partial_" in cc_plan
