@@ -395,6 +395,53 @@ def extract_image_features(images: DataFrame) -> DataFrame:
     )
 
 
+def resize_image_nearest(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize over real image payloads: ``(doc_id,
+    payload)`` → ``(doc_id, width, height, out_w, out_h, bit_count,
+    pixels)`` with ``pixels`` the resized top-down BGR(A) plane — the
+    resize step of the decode / feature-extract / resize / frame-sample
+    quartet, on actual bytes end-to-end (BMP via :func:`_decode_bmp`).
+
+    Sampling uses the standard floor mapping ``src = (dst * in) // out``
+    (exact integer arithmetic, so any engine replays it bit-for-bit), and
+    the gather is one vectorized numpy fancy-index per image — no
+    per-pixel Python. Map-only mapInPandas: rows inherit the input
+    partitioning, Arrow batch size bounds executor memory, and a
+    downstream embedding/feature kernel chains with no shuffle.
+    """
+    import pandas as pd
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "out_w": [], "out_h": [], "bit_count": [], "pixels": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = decode_media(bytes(payload), "image")
+                w, h, bpp = meta["width"], meta["height"], meta["bit_count"] // 8
+                plane = np.frombuffer(meta["pixels"], dtype=np.uint8).reshape(h, w, bpp)
+                ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                resized = plane[ys][:, xs]
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["bit_count"].append(meta["bit_count"])
+                out["pixels"].append(resized.tobytes())
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(
+        resize,
+        "doc_id long, width int, height int, out_w int, out_h int, "
+        "bit_count int, pixels binary",
+    )
+
+
 def transcribe_wav_energy(chunks: DataFrame, threshold: int = 500) -> DataFrame:
     """Deterministic stand-in for the per-chunk ASR call: integer RMS
     energy over s16le PCM, thresholded to a speech/silence verdict —

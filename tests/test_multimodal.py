@@ -331,3 +331,40 @@ def test_extract_image_features_end_to_end(spark):
     # and the fingerprint is the sha of the de-padded top-down plane
     expect = b"".join(bytes(px) for row in BMP_ROWS_3x2 for px in row)
     assert got[1].pixel_sha == hashlib.sha256(expect).hexdigest()[:16]
+
+
+def test_resize_image_nearest_end_to_end(spark):
+    """Real-bytes resize: 4x4 checkerboard -> 2x2 picks the floor-mapped
+    source pixels ((dst*in)//out), upscale 2x2 -> 4x4 replicates each
+    pixel into a 2x2 block, and identity resize is byte-exact."""
+    from input_data_pipeline_spark.operators.multimodal import resize_image_nearest
+
+    B, W = (255, 0, 0), (255, 255, 255)
+    checker = [
+        [B, B, W, W],
+        [B, B, W, W],
+        [W, W, B, B],
+        [W, W, B, B],
+    ]
+    solid2 = [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]]
+    df = spark.createDataFrame(
+        [(1, make_bmp(4, 4, checker)), (2, make_bmp(2, 2, solid2))],
+        "doc_id long, payload binary",
+    )
+
+    down = {r.doc_id: r for r in resize_image_nearest(df, 2, 2).collect()}
+    # floor mapping: dst (0,1) -> src (0,2): corners of the checkerboard
+    assert down[1].pixels == bytes(B + W + W + B)
+    assert (down[1].width, down[1].height, down[1].out_w, down[1].out_h) == (4, 4, 2, 2)
+    # identity resize of the 2x2 is byte-exact
+    assert down[2].pixels == bytes(
+        solid2[0][0] + solid2[0][1] + solid2[1][0] + solid2[1][1]
+    )
+
+    up = {r.doc_id: r for r in resize_image_nearest(df, 4, 4).collect()}
+    # upscale 2x2 -> 4x4: each source pixel becomes a 2x2 block
+    want = []
+    for r in (0, 0, 1, 1):
+        for c in (0, 0, 1, 1):
+            want.extend(solid2[r][c])
+    assert up[2].pixels == bytes(want)
