@@ -913,10 +913,13 @@ _CANON_STEPS = [
     (r"#.*", "", ""),
     # 2. strip tracking params (value up to the next separator)
     (r"(utm_[a-z]+|gclid|fbclid)=[^&#]*", "", ""),
-    # 3. tidy separators the strip left behind: '?&'->'?', '&&'->'&',
+    # 3. tidy separators the strip left behind: first collapse '&&'->'&'
+    #    (two adjacent stripped params leave '?&&x', which must become
+    #    '?&x' BEFORE the '?&'->'?' fix or the result isn't idempotent —
+    #    caught by the hypothesis idempotence property), then '?&'->'?',
     #    then a trailing '?' or '&'
-    (r"\?&", "?", "?"),  # literal, via regex escape
     (r"&&+", "&", "&"),
+    (r"\?&", "?", "?"),  # literal, via regex escape
     (r"[?&]+$", "", ""),
     # 4. default ports
     (r"^(http://[^/:?#]+):80([/?]|$)", "$1$2", r"\1\2"),

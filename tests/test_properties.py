@@ -274,3 +274,155 @@ def test_ngram_jaccard_matches_naive_reference(spark, tmp_path_factory, seed):
         if inter * 5 >= un * 4:
             want[(ia, ib)] = inter * 1_000_000 // un
     assert got == want
+
+
+# -- round-8 additions: BMP codec, URL canonicalization, C4 retention ---------
+
+
+@given(
+    w=st.integers(min_value=1, max_value=8),
+    h=st.integers(min_value=1, max_value=8),
+    bpp=st.sampled_from([3, 4]),
+    top_down=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=200, deadline=None)
+def test_bmp_encode_decode_roundtrip(w, h, bpp, top_down, seed):
+    """decode(encode(img)) recovers the exact top-down pixel plane for any
+    size/depth/orientation (encode pads rows to 4 bytes; decode de-pads)."""
+    import random
+
+    from input_data_pipeline_spark.operators.multimodal import decode_media
+    from tests.test_multimodal import make_bmp
+
+    rng = random.Random(seed)
+    rows = [[tuple(rng.randrange(256) for _ in range(bpp)) for _ in range(w)]
+            for _ in range(h)]
+    payload = make_bmp(w, h, rows, bit_count=8 * bpp, top_down=top_down)
+    meta = decode_media(payload, "image")
+    assert (meta["width"], meta["height"], meta["bit_count"]) == (w, h, 8 * bpp)
+    assert meta["pixels"] == b"".join(bytes(px) for row in rows for px in row)
+
+
+def _canon_py(u: str) -> str:
+    """Python replay of the shared canonicalization pipeline (the same
+    _CANON_STEPS the Spark and DuckDB sides apply)."""
+    import re
+
+    from input_data_pipeline_spark.operators.curation import _CANON_STEPS
+
+    m = re.match(r"^[a-zA-Z]+://[^/?#]+", u)
+    u = (m.group(0).lower() + u[m.end():]) if m else u
+    for pat, java_repl, _ in _CANON_STEPS:
+        u = re.sub(pat, java_repl.replace("$1", "\\1").replace("$2", "\\2"), u)
+    return u
+
+
+_url_st = st.builds(
+    lambda scheme, host, port, path, params, frag: (
+        scheme + "://" + host + port + path
+        + ("?" + "&".join(params) if params else "")
+        + frag
+    ),
+    scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+    host=st.sampled_from(["Example.com", "example.com", "a.B.org", "x.net"]),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.sampled_from(["", "/", "/P/q", "/P/q/", "/idx.html"]),
+    params=st.lists(
+        st.sampled_from(
+            ["id=7", "a=1", "utm_source=x", "utm_campaign=", "gclid=g1", "fbclid=f"]
+        ),
+        max_size=4,
+    ),
+    frag=st.sampled_from(["", "#top", "#a/b?c=1"]),
+)
+
+
+@given(u=_url_st)
+@settings(max_examples=300, deadline=None)
+def test_url_canonicalization_is_idempotent_and_clean(u):
+    """canon(canon(u)) == canon(u), and no canonical form keeps a fragment,
+    a tracking param, a default port, or a dangling '?'/'&'."""
+    c = _canon_py(u)
+    assert _canon_py(c) == c, (u, c)
+    assert "#" not in c
+    assert "utm_" not in c and "gclid" not in c and "fbclid" not in c
+    # default ports are stripped only for THEIR scheme (http://host:443
+    # is a non-default port and rightly survives)
+    import re as _re
+
+    assert not _re.search(r"^http://[^/:?#]+:80([/?]|$)", c)
+    assert not _re.search(r"^https://[^/:?#]+:443([/?]|$)", c)
+    assert not c.endswith("?") and not c.endswith("&") and "?&" not in c
+
+
+def test_url_canonicalization_spark_matches_python_reference(spark):
+    """The Spark regexp pipeline and the Python replay agree on a seeded
+    batch covering the generator's whole surface (one job, not per-example)."""
+    import pyspark.sql.functions as F
+
+    from input_data_pipeline_spark.operators.curation import _CANON_STEPS
+
+    cases = [
+        f"{s}://{h}{p}{path}{q}{frag}"
+        for s in ("http", "HTTPS")
+        for h in ("Example.com", "a.B.org")
+        for p in ("", ":80", ":443", ":8080")
+        for path in ("", "/", "/P/q/")
+        for q in ("", "?id=7", "?utm_source=x&id=7", "?id=7&gclid=g&b=2")
+        for frag in ("", "#sec")
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(cases)], ["i", "url"])
+    prefix = F.regexp_extract("url", r"^[a-zA-Z]+://[^/?#]+", 0)
+    u = F.concat(
+        F.lower(prefix),
+        F.substring(F.col("url"), F.length(prefix) + F.lit(1), F.lit(1 << 20)),
+    )
+    for pat, java_repl, _ in _CANON_STEPS:
+        u = F.regexp_replace(u, pat, java_repl)
+    got = {r.i: r.c for r in df.select("i", u.alias("c")).collect()}
+    for i, case in enumerate(cases):
+        assert got[i] == _canon_py(case), (case, got[i], _canon_py(case))
+
+
+def test_c4_line_retention_matches_python_reference(spark, tmp_path):
+    """Spark's higher-order-function line filter agrees with a direct
+    Python statement of the C4 rule on a seeded adversarial batch."""
+    import re
+
+    from input_data_pipeline_spark.operators.textstats import c4_quality_flags
+
+    def retained_py(line: str) -> bool:
+        words = [t for t in re.split(r"\s+", line) if t]
+        return (
+            bool(re.search(r'[.!?"]$', line))
+            and len(words) >= 5
+            and "javascript" not in line.lower()
+        )
+
+    lines_pool = [
+        "one two three four five.",
+        "one two three four five",     # no terminal punct
+        "too few words.",              # < 5 words
+        'quoted line with five words"',
+        "enable JavaScript to continue now.",
+        "  spaced   words   a   b   c  ?",
+        "",                            # empty line
+        "ends with bang now ok !",     # space before punct still counts ($ anchor)
+    ]
+    import itertools
+
+    docs = [
+        (i, "\n".join(combo), "s", "en", 1)
+        for i, combo in enumerate(itertools.permutations(lines_pool, 3))
+        if i < 60
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, lang string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r.doc_id: r for r in c4_quality_flags(spark, str(tmp_path)).collect()}
+    for doc_id, text, *_ in docs:
+        want = sum(1 for l in text.split("\n") if retained_py(l))
+        assert out[doc_id].n_retained_lines == want, (doc_id, text)
+        assert out[doc_id].n_lines == 3
