@@ -12,11 +12,13 @@ WAV decode is REAL: ``decode_media`` parses PCM WAV through stdlib
 ``wave`` — the exact API the reference feeds Vosk from
 (``inputs/system_audio_collector.py:31,39-41``) — and
 ``chunk_wav_frames`` reproduces its ``readframes(4000)`` loop as a
-map-only mapInPandas stage over real bytes. BMP image decode is REAL
-too (round 8): stdlib ``struct`` over BITMAPINFOHEADER feeding
-``extract_image_features``. Only compressed-image (PNG/JPEG) and video
-decode remain a documented ``NotImplementedError`` seam (those codecs
-aren't in this container). The deterministic RMS-energy segmenter
+map-only mapInPandas stage over real bytes. BMP image decode and
+uncompressed-AVI video decode are REAL too (round 8): stdlib ``struct``
+over BITMAPINFOHEADER / a RIFF chunk walk, feeding
+``extract_image_features``, ``resize_image_nearest`` and
+``sample_video_frames``. Only compressed codecs (PNG/JPEG, '..dc' AVI
+streams, MP4) remain a documented ``NotImplementedError`` seam (those
+codecs aren't in this container). The deterministic RMS-energy segmenter
 (``transcribe_wav_energy``) stands in for the ASR engine behind the
 same per-executor-singleton pattern a real Vosk model would use, so the
 full S5/U2 path — binaryFile → header parse → frame-chunk → stateful
@@ -98,6 +100,73 @@ def _decode_bmp(payload: bytes) -> dict:
     }
 
 
+def _decode_avi(payload: bytes) -> dict:
+    """Parse an uncompressed-DIB AVI container with stdlib ``struct``.
+
+    The video analogue of the WAV/BMP paths: a RIFF chunk walk finds the
+    ``avih`` main header (dimensions, frame count, frame interval) and
+    collects the ``..db`` (uncompressed DIB) frame chunks from the
+    ``movi`` list. Returns ``width, height, n_frames,
+    usec_per_frame, frames`` with ``frames`` the list of raw bottom-up
+    DIB pixel buffers exactly as stored (frame pixel layout follows the
+    BMP convention; :func:`sample_video_frames` normalizes). Compressed
+    codecs (``..dc`` chunks) are rejected loudly — those need real
+    codecs, the documented external seam.
+    """
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload (missing RIFF/'AVI ' magic)")
+
+    avih = None
+    bit_count = None
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal avih, bit_count
+        pos = start
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body0, body1 = pos + 8, pos + 8 + size
+            if body1 > end:
+                raise ValueError("truncated AVI: chunk extends past its parent")
+            if cid == b"LIST":
+                walk(body0 + 4, body1)  # skip the 4-byte list type, recurse
+            elif cid == b"avih":
+                avih = struct.unpack_from("<10I", payload, body0)
+            elif cid == b"strf" and bit_count is None:
+                # video stream format = BITMAPINFOHEADER; biBitCount at +14
+                bit_count = struct.unpack_from("<H", payload, body0 + 14)[0]
+            elif cid[2:4] == b"db":  # uncompressed DIB frame ('00db', '01db', …)
+                frames.append(payload[body0:body1])
+            elif cid[2:4] == b"dc":
+                raise ValueError(
+                    "compressed AVI frame ('..dc') — needs an external codec "
+                    "(SURVEY §2.10 U1/U2 seam); only uncompressed DIB is real here"
+                )
+            pos = body1 + (size & 1)  # RIFF pads chunks to even offsets
+
+    walk(12, len(payload))
+    if avih is None:
+        raise ValueError("no 'avih' main header found")
+    usec_per_frame, _, _, _, total_frames, _, _, _, width, height = avih
+    if width <= 0 or height <= 0:
+        raise ValueError(f"degenerate AVI dimensions {width}x{height}")
+    if total_frames != len(frames):
+        raise ValueError(
+            f"frame count mismatch: avih says {total_frames}, movi has {len(frames)}"
+        )
+    return {
+        "width": width,
+        "height": height,
+        "bit_count": bit_count if bit_count is not None else 24,
+        "n_frames": len(frames),
+        "usec_per_frame": usec_per_frame,
+        "frames": frames,
+    }
+
+
 def decode_media(payload: bytes, modality: str = "audio") -> dict:
     """Decode an opaque media payload to typed fields.
 
@@ -120,6 +189,13 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
         raise NotImplementedError(
             "real decode of non-BMP image formats requires external media "
             "libraries; wire PIL here on a real cluster (SURVEY §2.10 U1/U2)"
+        )
+    if modality == "video":
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            return _decode_avi(payload)
+        raise NotImplementedError(
+            "real decode of non-AVI video requires external media "
+            "libraries; wire ffmpeg here on a real cluster (SURVEY §2.10 U1/U2)"
         )
     if modality != "audio":
         raise NotImplementedError(
@@ -392,6 +468,60 @@ def extract_image_features(images: DataFrame) -> DataFrame:
         extract,
         "doc_id long, width int, height int, bit_count int, n_pixels long, "
         "mean_b int, mean_g int, mean_r int, pixel_sha string",
+    )
+
+
+def sample_video_frames(videos: DataFrame, stride: int = 2) -> DataFrame:
+    """REAL frame sampling over video payloads: ``(doc_id, payload)`` →
+    one row per kept frame ``(doc_id, frame_idx, t_micros, width, height,
+    n_frames, frame_sha)`` — the video member of the decode /
+    feature-extract / resize / frame-sample quartet, running on actual
+    container bytes (uncompressed AVI via :func:`_decode_avi`).
+
+    Every ``stride``-th frame is kept; ``t_micros`` comes from the
+    container's own frame interval, and ``frame_sha`` fingerprints the
+    orientation-normalized de-padded pixel plane (frames are stored as
+    bottom-up DIBs, same convention as BMP), so two encodings of the same
+    frames fingerprint identically. Map-only mapInPandas, one-to-many —
+    exactly the batch shape real video sampling produces; Arrow batch
+    size bounds executor memory per batch.
+    """
+    import pandas as pd
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "frame_idx": [], "t_micros": [],
+                "width": [], "height": [], "n_frames": [], "frame_sha": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = decode_media(bytes(payload), "video")
+                w, h = meta["width"], meta["height"]
+                bpp = meta["bit_count"] // 8
+                dib_stride = (w * bpp + 3) // 4 * 4
+                for idx in range(0, meta["n_frames"], stride):
+                    dib = meta["frames"][idx]
+                    rows = [
+                        dib[r * dib_stride : r * dib_stride + w * bpp]
+                        for r in range(h - 1, -1, -1)  # bottom-up -> top-down
+                    ]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["t_micros"].append(idx * meta["usec_per_frame"])
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_frames"].append(meta["n_frames"])
+                    out["frame_sha"].append(
+                        hashlib.sha256(b"".join(rows)).hexdigest()[:16]
+                    )
+            yield pd.DataFrame(out)
+
+    return videos.mapInPandas(
+        sample,
+        "doc_id long, frame_idx int, t_micros long, width int, height int, "
+        "n_frames int, frame_sha string",
     )
 
 
