@@ -74,6 +74,12 @@ ANSI_QUERIES = [
     "doc_chunk_windows",
     "pricing_summary",
     "approx_distinct_users",
+    # round-8 window head: ppm rule cells, tercile window, hashed-bucket
+    # DIV ratios, regex pipeline
+    "c4_quality_flags",
+    "ccnet_perplexity_buckets",
+    "dsir_importance_weights",
+    "url_canonical_dedup",
 ]
 
 
