@@ -68,7 +68,9 @@ def run_with_metrics(
 
 
 # The 6 LLM-core anchor queries (every driver window keeps them) — the set
-# whose exchange growth the scale artifact tracks.
+# whose exchange growth the scale artifact tracks — plus the round-8
+# curation additions (C4 / CCNet / DSIR / URL-canonical), which make the
+# same no-super-linear-exchange claim and so carry the same evidence.
 ANCHORS = [
     "dedup_minhash_lsh",
     "ngram_jaccard_pairs",
@@ -76,6 +78,10 @@ ANCHORS = [
     "knn_ivf",
     "contamination_overlap",
     "doc_quality",
+    "c4_quality_flags",
+    "ccnet_perplexity_buckets",
+    "dsir_importance_weights",
+    "url_canonical_dedup",
 ]
 
 
