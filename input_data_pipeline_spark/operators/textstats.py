@@ -1919,6 +1919,76 @@ GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 _DUCK_GOPHER_STOPS = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
 
 
+def with_gopher_flags(df: DataFrame) -> DataFrame:
+    """Append the Gopher rule cells (metrics + per-rule verdicts +
+    ``gopher_pass``) to any DataFrame with a ``text`` column — THE shared
+    column definitions of the batch ``gopher_quality_flags`` operator and
+    the streaming quality gate (``streaming/pipelines.py::
+    stream_quality_gate``): both faces evaluate these exact expressions,
+    so a batch backfill and the live stream can never disagree on a
+    verdict. Map-only (JVM higher-order functions over the token/line
+    arrays; no aggregate, no shuffle), hence directly usable on an
+    unbounded stream."""
+    ts = T.tokens("text")
+    lines = F.split("text", "\n")
+    n_hash = F.length("text") - F.length(F.expr("replace(text, '#', '')"))
+    n_ellip = (
+        F.length("text") - F.length(F.expr("replace(text, '...', '')"))
+    ) / F.lit(3)
+    base = df.withColumns(
+        {
+            "n_words": F.size(ts).cast("long"),
+            "_n_chars": F.length(F.regexp_replace("text", r"\s+", "")).cast("long"),
+            "_n_sym": (n_hash + n_ellip.cast("long")).cast("long"),
+            "_n_alpha_words": F.size(F.filter(ts, lambda t: t.rlike("[A-Za-z]"))).cast(
+                "long"
+            ),
+            "n_stop_kinds": F.size(
+                F.array_intersect(
+                    F.array_distinct(F.transform(ts, F.lower)),
+                    F.array(*[F.lit(w) for w in GOPHER_STOPS]),
+                )
+            ).cast("long"),
+            "_n_lines": F.size(lines).cast("long"),
+            "_n_bullet_lines": F.size(
+                F.filter(lines, lambda l: l.startswith("-") | l.startswith("*"))
+            ).cast("long"),
+            "_n_ellip_lines": F.size(F.filter(lines, lambda l: l.endswith("..."))).cast(
+                "long"
+            ),
+        }
+    )
+    mwl = F.expr("CASE WHEN n_words > 0 THEN _n_chars * 1000000 DIV n_words ELSE 0 END")
+    sym = F.expr("CASE WHEN n_words > 0 THEN _n_sym * 1000000 DIV n_words ELSE 0 END")
+    alpha = F.expr(
+        "CASE WHEN n_words > 0 THEN _n_alpha_words * 1000000 DIV n_words ELSE 0 END"
+    )
+    flagged = base.withColumns(
+        {
+            "mean_word_len_ppm": mwl,
+            "symbol_word_ppm": sym,
+            "alpha_word_ppm": alpha,
+            "wc_ok": F.col("n_words").between(50, 100000),
+            "mwl_ok": (F.col("n_words") > 0) & mwl.between(3000000, 10000000),
+            "sym_ok": (F.col("n_words") > 0) & (sym < 100000),
+            "alpha_ok": (F.col("n_words") > 0) & (alpha >= 800000),
+            "stop_ok": F.col("n_stop_kinds") >= 2,
+            "bullet_ok": F.col("_n_bullet_lines") * 10 < F.col("_n_lines") * 9,
+            "ellipsis_ok": F.col("_n_ellip_lines") * 10 < F.col("_n_lines") * 3,
+        }
+    )
+    return flagged.withColumn(
+        "gopher_pass",
+        F.col("wc_ok")
+        & F.col("mwl_ok")
+        & F.col("sym_ok")
+        & F.col("alpha_ok")
+        & F.col("stop_ok")
+        & F.col("bullet_ok")
+        & F.col("ellipsis_ok"),
+    ).drop("_n_chars", "_n_sym", "_n_alpha_words", "_n_lines", "_n_bullet_lines", "_n_ellip_lines")
+
+
 @register(
     "gopher_quality_flags",
     oracle=f"""
@@ -1993,78 +2063,77 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds compare those integers, making each flag and the combined
     ``gopher_pass`` driver-hash-checkable. Scale shape: one map-only
     projection pass — no joins, no aggregates, no shuffle before the
-    output sort (dropped in production writes).
+    output sort (dropped in production writes). The cell definitions live
+    in :func:`with_gopher_flags`, shared verbatim with the streaming
+    quality gate.
     """
     docs = load_table(spark, sf_dir, "documents")
-    ts = T.tokens("text")
-    lines = F.split("text", "\n")
-    n_words = F.size(ts)
-    n_chars = F.length(F.regexp_replace("text", r"\s+", ""))
-    n_hash = F.length("text") - F.length(F.expr("replace(text, '#', '')"))
-    n_ellip = (
-        F.length("text") - F.length(F.expr("replace(text, '...', '')"))
-    ) / F.lit(3)
-    base = docs.select(
-        "doc_id",
-        n_words.cast("long").alias("n_words"),
-        n_chars.cast("long").alias("n_chars"),
-        (n_hash + n_ellip.cast("long")).cast("long").alias("n_sym"),
-        F.size(F.filter(ts, lambda t: t.rlike("[A-Za-z]")))
-        .cast("long")
-        .alias("n_alpha_words"),
-        F.size(
-            F.array_intersect(
-                F.array_distinct(F.transform(ts, F.lower)),
-                F.array(*[F.lit(w) for w in GOPHER_STOPS]),
-            )
+    return (
+        with_gopher_flags(docs.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            "n_words",
+            "mean_word_len_ppm",
+            "symbol_word_ppm",
+            "alpha_word_ppm",
+            "n_stop_kinds",
+            "wc_ok",
+            "mwl_ok",
+            "sym_ok",
+            "alpha_ok",
+            "stop_ok",
+            "bullet_ok",
+            "ellipsis_ok",
+            "gopher_pass",
         )
-        .cast("long")
-        .alias("n_stop_kinds"),
-        F.size(lines).cast("long").alias("n_lines"),
-        F.size(
-            F.filter(lines, lambda l: l.startswith("-") | l.startswith("*"))
-        )
-        .cast("long")
-        .alias("n_bullet_lines"),
-        F.size(F.filter(lines, lambda l: l.endswith("...")))
-        .cast("long")
-        .alias("n_ellip_lines"),
+        .orderBy("doc_id")
     )
-    mwl = F.expr("CASE WHEN n_words > 0 THEN n_chars * 1000000 DIV n_words ELSE 0 END")
-    sym = F.expr("CASE WHEN n_words > 0 THEN n_sym * 1000000 DIV n_words ELSE 0 END")
-    alpha = F.expr(
-        "CASE WHEN n_words > 0 THEN n_alpha_words * 1000000 DIV n_words ELSE 0 END"
-    )
-    flags = base.select(
-        "doc_id",
-        "n_words",
-        mwl.alias("mean_word_len_ppm"),
-        sym.alias("symbol_word_ppm"),
-        alpha.alias("alpha_word_ppm"),
-        "n_stop_kinds",
-        F.col("n_words").between(50, 100000).alias("wc_ok"),
-        ((F.col("n_words") > 0) & mwl.between(3000000, 10000000)).alias("mwl_ok"),
-        ((F.col("n_words") > 0) & (sym < 100000)).alias("sym_ok"),
-        ((F.col("n_words") > 0) & (alpha >= 800000)).alias("alpha_ok"),
-        (F.col("n_stop_kinds") >= 2).alias("stop_ok"),
-        (F.col("n_bullet_lines") * 10 < F.col("n_lines") * 9).alias("bullet_ok"),
-        (F.col("n_ellip_lines") * 10 < F.col("n_lines") * 3).alias("ellipsis_ok"),
-    )
-    return flags.withColumn(
-        "gopher_pass",
-        F.col("wc_ok")
-        & F.col("mwl_ok")
-        & F.col("sym_ok")
-        & F.col("alpha_ok")
-        & F.col("stop_ok")
-        & F.col("bullet_ok")
-        & F.col("ellipsis_ok"),
-    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
 # C4 cleaning heuristics (Raffel et al. 2020, §2.2; round-8 addition)
 # ---------------------------------------------------------------------------
+
+
+def with_c4_flags(df: DataFrame) -> DataFrame:
+    """Append the C4 rule cells (line/page metrics + per-rule verdicts +
+    ``c4_pass``) to any DataFrame with a ``text`` column — THE shared
+    column definitions of the batch ``c4_quality_flags`` operator and the
+    streaming quality gate (``streaming/pipelines.py::
+    stream_quality_gate``). Map-only: the line filter is a JVM
+    higher-order function over the split array, so the same expressions
+    run unmodified on an unbounded stream."""
+    lines = F.split("text", "\n")
+    retained = F.filter(
+        lines,
+        lambda l: l.rlike('[.!?"]$')
+        & (F.size(F.filter(F.split(l, r"\s+"), lambda t: t != "")) >= 5)
+        & ~F.lower(l).contains("javascript"),
+    )
+    base = df.withColumns(
+        {
+            "n_lines": F.size(lines).cast("long"),
+            "n_retained_lines": F.size(retained).cast("long"),
+            "n_sentences": F.size(
+                F.regexp_extract_all("text", F.lit("[.!?]"), F.lit(0))
+            ).cast("long"),
+            "_has_lorem": F.lower(F.col("text")).contains("lorem ipsum"),
+            "_has_brace": F.col("text").contains("{"),
+        }
+    )
+    return base.withColumns(
+        {
+            "retained_line_ppm": F.expr("n_retained_lines * 1000000 DIV n_lines"),
+            "sent_ok": F.col("n_sentences") >= 3,
+            "lorem_ok": ~F.col("_has_lorem"),
+            "brace_ok": ~F.col("_has_brace"),
+            "lines_ok": F.col("n_retained_lines") >= 1,
+            "c4_pass": (F.col("n_sentences") >= 3)
+            & ~F.col("_has_lorem")
+            & ~F.col("_has_brace")
+            & (F.col("n_retained_lines") >= 1),
+        }
+    ).drop("_has_lorem", "_has_brace")
 
 
 @register(
@@ -2118,44 +2187,27 @@ def c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides) so every cell is bit-exact vs the oracle. Scale shape: one
     map-only projection — no joins, no shuffle before the output sort
     (dropped in production writes); the line filter is a JVM-side
-    higher-order function over the split array, never a Python UDF.
+    higher-order function over the split array, never a Python UDF. The
+    cell definitions live in :func:`with_c4_flags`, shared verbatim with
+    the streaming quality gate.
     """
     docs = load_table(spark, sf_dir, "documents")
-    lines = F.split("text", "\n")
-    retained = F.filter(
-        lines,
-        lambda l: l.rlike('[.!?"]$')
-        & (F.size(F.filter(F.split(l, r"\s+"), lambda t: t != "")) >= 5)
-        & ~F.lower(l).contains("javascript"),
+    return (
+        with_c4_flags(docs.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_retained_lines",
+            "retained_line_ppm",
+            "n_sentences",
+            "sent_ok",
+            "lorem_ok",
+            "brace_ok",
+            "lines_ok",
+            "c4_pass",
+        )
+        .orderBy("doc_id")
     )
-    base = docs.select(
-        "doc_id",
-        F.size(lines).cast("long").alias("n_lines"),
-        F.size(retained).cast("long").alias("n_retained_lines"),
-        F.size(F.regexp_extract_all("text", F.lit("[.!?]"), F.lit(0)))
-        .cast("long")
-        .alias("n_sentences"),
-        F.lower(F.col("text")).contains("lorem ipsum").alias("has_lorem"),
-        F.col("text").contains("{").alias("has_brace"),
-    )
-    ppm = F.expr("n_retained_lines * 1000000 DIV n_lines")
-    return base.select(
-        "doc_id",
-        "n_lines",
-        "n_retained_lines",
-        ppm.alias("retained_line_ppm"),
-        "n_sentences",
-        (F.col("n_sentences") >= 3).alias("sent_ok"),
-        (~F.col("has_lorem")).alias("lorem_ok"),
-        (~F.col("has_brace")).alias("brace_ok"),
-        (F.col("n_retained_lines") >= 1).alias("lines_ok"),
-        (
-            (F.col("n_sentences") >= 3)
-            & ~F.col("has_lorem")
-            & ~F.col("has_brace")
-            & (F.col("n_retained_lines") >= 1)
-        ).alias("c4_pass"),
-    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -302,6 +302,56 @@ def stream_corpus_hygiene(
     )
 
 
+def stream_quality_gate(
+    docs: DataFrame,
+    rules: tuple[str, ...] = ("c4", "gopher"),
+    keep_rejects: bool = False,
+) -> DataFrame:
+    """Streaming face of the published rule-based quality filters: apply
+    the C4 (Raffel et al. 2020, §2.2) and/or Gopher (Rae et al. 2021,
+    A1.1) rule bundles to an unbounded document stream and drop pages
+    failing any selected bundle.
+
+    Batch/stream parity by construction: the cells come from THE SAME
+    column transformers the batch operators evaluate
+    (``operators/textstats.py::with_c4_flags`` / ``with_gopher_flags``),
+    so an ingest-time gate and a batch backfill can never disagree on a
+    verdict — the same unification contract as ``stream_corpus_hygiene``
+    and ``rep_stats``. Every expression is a map-only JVM projection (no
+    aggregate, no state, no watermark needed), so the gate composes
+    before the stateful dedup of ``stream_corpus_hygiene`` and adds no
+    shuffle at any scale.
+
+    With ``keep_rejects=True`` the gate only TAGS (all metric + verdict
+    columns appended, nothing filtered) — the Dolma-style
+    tag-then-mix pattern, letting a downstream mixer weigh rules
+    differently per corpus without re-running the taggers.
+    """
+    from input_data_pipeline_spark.operators.textstats import (
+        with_c4_flags,
+        with_gopher_flags,
+    )
+
+    known = {"c4", "gopher"}
+    bad = set(rules) - known
+    if bad:
+        raise ValueError(f"unknown rule bundle(s) {sorted(bad)}; known: {sorted(known)}")
+    out = docs
+    conds = []
+    if "c4" in rules:
+        out = with_c4_flags(out)
+        conds.append(F.col("c4_pass"))
+    if "gopher" in rules:
+        out = with_gopher_flags(out)
+        conds.append(F.col("gopher_pass"))
+    if keep_rejects or not conds:
+        return out
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    return out.filter(cond)
+
+
 def stream_countmin_update(docs: DataFrame, state_dir: str, checkpoint_dir: str):
     """Streaming face of the count-min sketch (the per-window frequency
     tracking the batch ``countmin_token_freq`` operator is built for):

@@ -852,3 +852,124 @@ def test_stream_hll_update_parity_and_replay(spark, sf_dir, tmp_path):
     finally:
         q2.stop()
     assert sorted(tuple(r) for r in hll_totals(spark, state).collect()) == want
+
+
+# ---------------------------------------------------------------------------
+# Streaming quality gate (C4 + Gopher rule bundles)
+# ---------------------------------------------------------------------------
+
+_LINE = "the quick brown fox jumps over that lazy dog with delight and vigour."
+
+
+def _quality_docs():
+    """Fixture hitting each rule bundle independently: `good` passes both,
+    `lorem` fails only C4 (lorem-ipsum page rule), `bullets` fails only
+    Gopher (>= 90% bullet-started lines), `short` fails both."""
+    good = "\n".join([_LINE] * 4)                        # 52 words, 4 sentences
+    return [
+        {"doc_id": 1, "ts": "2024-01-01T00:00:00", "text": good,
+         "lang": "en", "source": "s0"},
+        {"doc_id": 2, "ts": "2024-01-01T00:00:10",
+         "text": good + "\nmore lorem ipsum filler text padding here today.",
+         "lang": "en", "source": "s0"},
+        {"doc_id": 3, "ts": "2024-01-01T00:00:20",
+         "text": "\n".join(["- " + _LINE] * 4), "lang": "en", "source": "s1"},
+        {"doc_id": 4, "ts": "2024-01-01T00:00:30", "text": "tiny doc.",
+         "lang": "en", "source": "s1"},
+    ]
+
+
+def test_stream_quality_gate_parity_with_batch(spark, tmp_path):
+    """The streaming C4+Gopher gate must make EXACTLY the decisions the
+    batch transformers make on the same rows — parity is by construction
+    (shared column expressions), this pins it against drift."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from input_data_pipeline_spark.operators.textstats import (
+        with_c4_flags,
+        with_gopher_flags,
+    )
+    from input_data_pipeline_spark.streaming.pipelines import (
+        DOC_SCHEMA,
+        run_to_memory,
+        stream_docs,
+        stream_quality_gate,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows = _quality_docs()
+    (src / "b0.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\n", encoding="utf-8"
+    )
+
+    name = _unique("qgate")
+    q = run_to_memory(stream_quality_gate(stream_docs(spark, str(src))), name)
+    try:
+        q.processAllAvailable()
+        streamed = {r.doc_id: r for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+
+    # gate decisions: only the clean doc survives both bundles
+    assert set(streamed) == {1}
+
+    # full-cell parity against the batch transformers on the same file
+    batch = (
+        with_gopher_flags(
+            with_c4_flags(spark.read.schema(DOC_SCHEMA).json(str(src)))
+        )
+        .filter(F.col("c4_pass") & F.col("gopher_pass"))
+        .collect()
+    )
+    assert len(batch) == len(streamed)
+    for b in batch:
+        s = streamed[b.doc_id]
+        assert s.asDict() == b.asDict()  # every metric + verdict cell identical
+
+
+def test_stream_quality_gate_rule_selection_and_tagging(spark, tmp_path):
+    """Single-bundle selection drops only that bundle's failures;
+    keep_rejects=True tags every row without filtering."""
+    import json
+
+    from input_data_pipeline_spark.streaming.pipelines import (
+        run_to_memory,
+        stream_docs,
+        stream_quality_gate,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in _quality_docs()) + "\n", encoding="utf-8"
+    )
+    docs = stream_docs(spark, str(src))
+
+    c4_name = _unique("qgate_c4")
+    q = run_to_memory(stream_quality_gate(docs, rules=("c4",)), c4_name)
+    try:
+        q.processAllAvailable()
+        # bullets doc fails Gopher only -> survives a C4-only gate
+        assert {r.doc_id for r in spark.table(c4_name).collect()} == {1, 3}
+    finally:
+        q.stop()
+
+    tag_name = _unique("qgate_tag")
+    q = run_to_memory(stream_quality_gate(docs, keep_rejects=True), tag_name)
+    try:
+        q.processAllAvailable()
+        tagged = {r.doc_id: r for r in spark.table(tag_name).collect()}
+    finally:
+        q.stop()
+    assert set(tagged) == {1, 2, 3, 4}  # nothing filtered
+    assert tagged[2].c4_pass is False and tagged[2].gopher_pass is True
+    assert tagged[3].c4_pass is True and tagged[3].gopher_pass is False
+    assert tagged[4].c4_pass is False and tagged[4].gopher_pass is False
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown rule bundle"):
+        stream_quality_gate(docs, rules=("c4", "nope"))
