@@ -39,6 +39,35 @@ _DUCK_SHINGLES2 = (
     "i -> ts[i] || ' ' || ts[i + 1])) END"
 )
 
+# Exact >= 0.8-Jaccard pair set, stated SPARSELY for the DuckDB oracles:
+# explode the (already-distinct) shingle lists and equi-join on the shingle,
+# counting co-occurrences per pair. Result-identical to the naive
+# `sh a JOIN sh b ON a.doc_id < b.doc_id` + list_intersect form — a pair
+# with zero shared shingles can never pass `c*5 >= u*4` (u >= 1 always,
+# _DUCK_SHINGLES2 lists are non-empty), and |A u B| = |A| + |B| - |A n B|
+# on distinct lists — but where the naive form probes n^2/2 pairs on ONE
+# thread (a 5000-row table is a single DuckDB row group), this form is a
+# parallel hash join + aggregate over the exploded rows: measured 14 s vs
+# 914 s at sf0.1. Every consumer of the truth set shares this macro
+# (ngram_jaccard_pairs, dedup_minhash_ml, and minhash_lsh_quality via CTE
+# composition), so the full-registry oracle sweep loses its dominant cost.
+_DUCK_J08_CTES = """
+    j08_tok AS (SELECT doc_id, {tokens} AS ts FROM documents),
+    j08_sh AS (SELECT doc_id, {shingles} AS shs FROM j08_tok),
+    j08_x AS (SELECT doc_id, unnest(shs) AS s FROM j08_sh),
+    j08_n AS (SELECT doc_id, len(shs) AS n FROM j08_sh),
+    j08_co AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+      FROM j08_x x JOIN j08_x y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2),
+    j08 AS (
+      SELECT doc_a, doc_b, c, na.n + nb.n - c AS u
+      FROM j08_co
+      JOIN j08_n na ON doc_a = na.doc_id
+      JOIN j08_n nb ON doc_b = nb.doc_id
+      WHERE c * 5 >= (na.n + nb.n - c) * 4)
+"""
+
 N_MINHASH = 12
 N_BANDS = 4
 ROWS_PER_BAND = N_MINHASH // N_BANDS
@@ -335,17 +364,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""
-    WITH tok AS (
-      SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents),
-    sh AS (
-      SELECT doc_id, {_DUCK_SHINGLES2} AS shs FROM tok)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           len(list_intersect(a.shs, b.shs)) * 1000000
-             // len(list_distinct(a.shs || b.shs)) AS jaccard_ppm
-    FROM sh a
-    JOIN sh b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.shs, b.shs)) * 5
-          >= len(list_distinct(a.shs || b.shs)) * 4
+    WITH {_DUCK_J08_CTES.format(tokens=_DUCK_TOKENS, shingles=_DUCK_SHINGLES2)}
+    SELECT doc_a, doc_b, c * 1000000 // u AS jaccard_ppm
+    FROM j08
     ORDER BY doc_a, doc_b
     """,
 )
@@ -876,17 +897,9 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_ml",
     oracle=f"""
-    WITH tok AS (
-      SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents),
-    sh AS (
-      SELECT doc_id, {_DUCK_SHINGLES2} AS shs FROM tok),
-    true_pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.shs, b.shs)) * 5
-            >= len(list_distinct(a.shs || b.shs)) * 4)
+    WITH {_DUCK_J08_CTES.format(tokens=_DUCK_TOKENS, shingles=_DUCK_SHINGLES2)}
     SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, TRUE AS recall_ge_70pct
-    FROM true_pairs
+    FROM j08
     """,
 )
 def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
