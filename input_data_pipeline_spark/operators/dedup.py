@@ -1139,13 +1139,24 @@ _INCR_NEW_MOD = 7  # doc_id % 10 == 7 plays the incoming batch (~10% of docs)
     ctok AS (SELECT doc_id, {{tokens}} AS ts FROM corp),
     nsh AS (SELECT doc_id, {{sh2}} AS shs FROM ntok),
     csh AS (SELECT doc_id, {{sh2}} AS shs FROM ctok),
+    -- sparse batch x corpus similarity (same argument as _DUCK_J08_CTES:
+    -- zero-overlap pairs can never pass c*5 >= u*4, so the shingle
+    -- equi-join loses nothing and parallelizes where the naive
+    -- list_intersect theta-join probes 2.25M pairs on one thread)
+    nx AS (SELECT doc_id, unnest(shs) AS s FROM nsh),
+    cx AS (SELECT doc_id, unnest(shs) AS s FROM csh),
+    nn AS (SELECT doc_id, len(shs) AS n FROM nsh),
+    cn AS (SELECT doc_id, len(shs) AS n FROM csh),
+    co AS (
+      SELECT a.doc_id, b.doc_id AS match_doc, COUNT(*) AS c
+      FROM nx a JOIN cx b ON a.s = b.s GROUP BY 1, 2),
     near AS (
-      SELECT a.doc_id, b.doc_id AS match_doc,
-             len(list_intersect(a.shs, b.shs)) * 1000000
-               // len(list_distinct(a.shs || b.shs)) AS j_ppm
-      FROM nsh a JOIN csh b
-        ON len(list_intersect(a.shs, b.shs)) * 5
-           >= len(list_distinct(a.shs || b.shs)) * 4),
+      SELECT co.doc_id, co.match_doc,
+             c * 1000000 // (nn.n + cn.n - c) AS j_ppm
+      FROM co
+      JOIN nn ON co.doc_id = nn.doc_id
+      JOIN cn ON co.match_doc = cn.doc_id
+      WHERE c * 5 >= (nn.n + cn.n - c) * 4),
     best AS (
       SELECT doc_id, match_doc, j_ppm,
              ROW_NUMBER() OVER (PARTITION BY doc_id
