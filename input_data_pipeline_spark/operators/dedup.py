@@ -48,9 +48,17 @@ _DUCK_SHINGLES2 = (
 # on distinct lists — but where the naive form probes n^2/2 pairs on ONE
 # thread (a 5000-row table is a single DuckDB row group), this form is a
 # parallel hash join + aggregate over the exploded rows: measured 14 s vs
-# 914 s at sf0.1. Every consumer of the truth set shares this macro
-# (ngram_jaccard_pairs, dedup_minhash_ml, and minhash_lsh_quality via CTE
-# composition), so the full-registry oracle sweep loses its dominant cost.
+# 914 s at sf0.1. Consumers of the PAIR-LIST oracle output share this
+# macro (ngram_jaccard_pairs, dedup_minhash_ml, and minhash_lsh_quality
+# via CTE composition), so the full-registry oracle sweep loses its
+# dominant cost. Two other statements of the same truth set deliberately
+# remain separate: the recursive-CTE connected-components oracles
+# (dedup_cluster_assignment, dedup_keep_selection) keep the naive pair
+# join inside their default SQL — their cost is the recursion itself, and
+# the sweep replaces them wholesale via --cc-linear — and check_oracle's
+# _JACCARD_EDGES_SQL is the checker's own independent inverted-index
+# restatement (kept separate on purpose: the linear-CC check should not
+# share SQL with the oracles it cross-checks).
 _DUCK_J08_CTES = """
     j08_tok AS (SELECT doc_id, {tokens} AS ts FROM documents),
     j08_sh AS (SELECT doc_id, {shingles} AS shs FROM j08_tok),
@@ -373,9 +381,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT 2-gram Jaccard >= 0.8 pairs — the ground-truth near-dup set the
     LSH variant approximates (its pytest recall test compares the two). The
-    oracle states it as the naive all-pairs form; this plan computes the
-    identical result with prefix filtering (PPJoin-style), the exact
-    similarity join that survives scale:
+    oracle states it as a sparse shingle-explode equi-join (_DUCK_J08_CTES;
+    result-identical to the naive all-pairs form it replaced — zero-overlap
+    pairs can never reach 0.8, and |A u B| = |A|+|B|-|A n B| on distinct
+    lists — but parallelizable in DuckDB). The oracle still shares NO
+    filtering machinery with this plan, which computes the identical result
+    with prefix filtering (PPJoin-style), the exact similarity join that
+    survives scale:
 
     1. Global rarest-first shingle order (by document frequency): a pair
        with J >= t must share at least one of each side's first

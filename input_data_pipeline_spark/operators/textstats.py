@@ -2121,19 +2121,24 @@ def with_c4_flags(df: DataFrame) -> DataFrame:
             "_has_brace": F.col("text").contains("{"),
         }
     )
-    return base.withColumns(
-        {
-            "retained_line_ppm": F.expr("n_retained_lines * 1000000 DIV n_lines"),
-            "sent_ok": F.col("n_sentences") >= 3,
-            "lorem_ok": ~F.col("_has_lorem"),
-            "brace_ok": ~F.col("_has_brace"),
-            "lines_ok": F.col("n_retained_lines") >= 1,
-            "c4_pass": (F.col("n_sentences") >= 3)
-            & ~F.col("_has_lorem")
-            & ~F.col("_has_brace")
-            & (F.col("n_retained_lines") >= 1),
-        }
-    ).drop("_has_lorem", "_has_brace")
+    return (
+        base.withColumns(
+            {
+                "retained_line_ppm": F.expr("n_retained_lines * 1000000 DIV n_lines"),
+                "sent_ok": F.col("n_sentences") >= 3,
+                "lorem_ok": ~F.col("_has_lorem"),
+                "brace_ok": ~F.col("_has_brace"),
+                "lines_ok": F.col("n_retained_lines") >= 1,
+            }
+        )
+        # pass = AND of the per-rule flags (same derivation as gopher_pass)
+        # so a future threshold edit cannot diverge from the combined verdict
+        .withColumn(
+            "c4_pass",
+            F.col("sent_ok") & F.col("lorem_ok") & F.col("brace_ok") & F.col("lines_ok"),
+        )
+        .drop("_has_lorem", "_has_brace")
+    )
 
 
 @register(

@@ -336,6 +336,11 @@ def stream_quality_gate(
     bad = set(rules) - known
     if bad:
         raise ValueError(f"unknown rule bundle(s) {sorted(bad)}; known: {sorted(known)}")
+    if not rules:
+        # an empty config must not silently disable the gate — a caller
+        # whose rule list filtered down to nothing gets a loud error, not
+        # an unfiltered, untagged pass-through
+        raise ValueError(f"rules must name at least one bundle of {sorted(known)}")
     out = docs
     conds = []
     if "c4" in rules:

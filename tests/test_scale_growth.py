@@ -1,4 +1,6 @@
-"""Shuffle-bytes scale-growth bound for the 6 LLM-core anchor queries.
+"""Shuffle-bytes scale-growth bound for the anchor queries (the 6
+LLM-core anchors plus the round-8 curation operators — whatever
+plans.metrics.ANCHORS lists, 10 as of r8).
 
 Complements the planted-skew tests (which bound the worst shuffle KEY):
 this measures the actual end-to-end exchange at two scale factors and

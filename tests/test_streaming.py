@@ -973,3 +973,6 @@ def test_stream_quality_gate_rule_selection_and_tagging(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unknown rule bundle"):
         stream_quality_gate(docs, rules=("c4", "nope"))
+    # an empty rule list must fail loudly, never pass everything through
+    with _pytest.raises(ValueError, match="at least one bundle"):
+        stream_quality_gate(docs, rules=())
