@@ -827,11 +827,49 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     are map-side-combinable counts over a FIXED {_DSIR_BUCKETS}-bucket
     space (hashing is the whole point of DSIR — the feature table never
     grows with the vocabulary), so they broadcast to the per-doc join.
-    The global top-k rank here is a window for oracle exactness; at
-    100 TB you'd take the k-th weight via approx-quantile and broadcast
-    the threshold — the cells are the contract, the ranking strategy is
-    the swap point.
+    The top-k SELECTION never sorts the corpus: the k-th (w, doc_id)
+    boundary pair comes from ``orderBy(desc).limit(k)`` (a
+    TakeOrderedAndProject — bounded per-partition heaps) followed by a
+    second 1-row TakeOrdered over those k rows, and ``selected`` is a
+    broadcast comparison against that boundary — bit-identical to the
+    old global ``row_number`` rank (the (w DESC, doc_id ASC) order is
+    total because doc_id is unique) with no partition-less WindowExec
+    anywhere (plan-guarded in tests/test_plans.py). The per-doc table
+    feeds both the boundary probe and the output, so it materializes
+    once (localCheckpoint — in production, the persisted weights table).
     """
+    weighted = _dsir_weighted(spark, sf_dir).localCheckpoint(eager=False)
+
+    # Boundary = the k-th pair under (w DESC, doc_id ASC): the last of the
+    # top-k, i.e. the FIRST of those k rows under the reversed order.
+    boundary = (
+        weighted.select("w", "doc_id")
+        .orderBy(F.desc("w"), "doc_id")
+        .limit(_DSIR_TOP_K)
+        .orderBy("w", F.desc("doc_id"))
+        .limit(1)
+        .select(F.col("w").alias("bw"), F.col("doc_id").alias("bdoc"))
+    )
+    selected = (F.col("w") > F.col("bw")) | (
+        (F.col("w") == F.col("bw")) & (F.col("doc_id") <= F.col("bdoc"))
+    )
+    return (
+        weighted.crossJoin(F.broadcast(boundary))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.col("w").alias("dsir_weight_ppm"),
+            selected.alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dsir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc DSIR weight table (pre-selection) — split out so the
+    physical-plan guards can assert its broadcast/partial-agg shape (the
+    localCheckpoint in the caller truncates the visible executed plan)."""
     docs = load_table(spark, sf_dir, "documents")
     from input_data_pipeline_spark.functions import text as T
 
@@ -858,27 +896,13 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_p * 1000000 DIV tot_p").alias("p_p_ppm"),
     )
     per_doc = tok.groupBy("doc_id", "source", "b").agg(F.count(F.lit(1)).alias("n"))
-    weighted = (
+    return (
         per_doc.join(F.broadcast(ppm), "b")
         .groupBy("doc_id", "source")
         .agg(
             F.sum("n").alias("n_tokens"),
             F.expr("sum(n * (p_t_ppm - p_p_ppm)) DIV sum(n)").alias("w"),
         )
-    )
-    from pyspark.sql import Window
-
-    rnk = F.row_number().over(Window.orderBy(F.desc("w"), "doc_id"))
-    return (
-        weighted.withColumn("rnk", rnk)
-        .select(
-            "doc_id",
-            "source",
-            "n_tokens",
-            F.col("w").alias("dsir_weight_ppm"),
-            (F.col("rnk") <= _DSIR_TOP_K).alias("selected"),
-        )
-        .orderBy("doc_id")
     )
 
 

@@ -1797,11 +1797,16 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (filter before the groupBy — the scan's pushed predicate), df for the
     |query| terms broadcasts, doc lengths come from the one dl aggregate,
     and the corpus stats cross-join is the usual broadcast 1-row
-    aggregate; final top-k is TakeOrderedAndProject. Nothing global
-    exceeds |query| + 1 rows beyond the per-doc tables.
+    aggregate; final top-k is TakeOrderedAndProject (bounded
+    per-partition heaps). The rank column is then derived WITHOUT a
+    window: a global window (``row_number().over(orderBy(...))``) would
+    single-partition-sort every scored doc — at web scale a large
+    fraction of the corpus for common query terms. Instead the ≤k
+    surviving rows collect into one sorted array (a two-level
+    ObjectHashAggregate whose final input is bounded by k, not by the
+    corpus) and ``posexplode`` yields the rank. Plan-guarded: no
+    WindowExec anywhere (tests/test_plans.py).
     """
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
@@ -1835,11 +1840,25 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(F.expr("idf_ppm * ratio_ppm DIV 1000000")).alias("score_ppm"))
     )
-    w = Window.orderBy(F.desc("score_ppm"), "doc_id")
+    topk = scored.orderBy(F.desc("score_ppm"), "doc_id").limit(_BM25_TOPK)
+    # Rank over the ≤k survivors: one sorted array, position = rank - 1.
+    # struct(-score, doc_id) ascending ≡ (score DESC, doc_id ASC).
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _BM25_TOPK)
-        .select("rank", "doc_id", "score_ppm")
+        topk.agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("score_ppm")).alias("neg"), F.col("doc_id")
+                    )
+                )
+            ).alias("a")
+        )
+        .select(F.posexplode("a").alias("pos", "s"))
+        .select(
+            (F.col("pos") + 1).cast("long").alias("rank"),
+            F.col("s.doc_id").alias("doc_id"),
+            (-F.col("s.neg")).alias("score_ppm"),
+        )
         .orderBy("rank")
     )
 
@@ -2263,26 +2282,62 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines replay exactly.
 
     Scale shape: the scoring reuses the bigram-LM plan (map-side
-    combinable counts, broadcast-sized probability table); the tercile
-    assignment here is an exact per-language NTILE — one sort per
-    language partition, matching the oracle bit-for-bit. At 100 TB you
-    would swap the NTILE for two approx-percentile cutoffs per language
-    (one small aggregate) and assign buckets map-side; the cells are the
-    contract, the ranking strategy is the swap point.
+    combinable counts, broadcast-sized probability table). The tercile
+    assignment is exact NTILE(3) semantics WITHOUT a per-language sort
+    of the corpus (at 100 TB the head language IS most of the corpus, so
+    ``Window.partitionBy(lang)`` at document grain is a full sort on a
+    skewed key). Decomposition: each doc's per-language rank =
+    (#docs in the language with a strictly higher score) + (position by
+    doc_id within its own equal-score run). The first term comes from a
+    cumulative sum over the (lang, score) HISTOGRAM — a window
+    partitioned by lang but over distinct-score rows, bounded by the ppm
+    score domain, not the corpus. The second is a row_number partitioned
+    by the composite (lang, lm_score_ppm) — skew is bounded by the
+    largest equal-score run, not the largest language. Tercile cuts per
+    NTILE semantics (first n%3 buckets take the extra row) broadcast as
+    a |langs|-row table. Bit-identical to the oracle's NTILE; the
+    doc-grain table never sorts on a lang-only key (plan-guarded).
     """
     from pyspark.sql import Window
 
-    scores = bigram_lm_doc_scores(spark, sf_dir).select(
-        "doc_id", "lang", "lm_score_ppm"
+    # Three consumers (doc rows, histogram, per-lang counts) — materialize
+    # the per-doc score table once (in production: the persisted scores).
+    scores = (
+        bigram_lm_doc_scores(spark, sf_dir)
+        .select("doc_id", "lang", "lm_score_ppm")
+        .localCheckpoint(eager=False)
     )
-    w = Window.partitionBy("lang").orderBy(F.desc("lm_score_ppm"), "doc_id")
-    tercile = F.ntile(3).over(w)
-    return scores.select(
-        "doc_id",
-        "lang",
-        "lm_score_ppm",
-        F.when(tercile == 1, "head")
-        .when(tercile == 2, "middle")
-        .otherwise("tail")
-        .alias("bucket"),
-    ).orderBy("doc_id")
+    hist = scores.groupBy("lang", "lm_score_ppm").agg(
+        F.count(F.lit(1)).alias("run")
+    )
+    wl = Window.partitionBy("lang").orderBy(F.desc("lm_score_ppm"))
+    hist = hist.withColumn(
+        "cum_before", F.sum("run").over(wl) - F.col("run")
+    ).select("lang", "lm_score_ppm", "cum_before")
+    cuts = (
+        scores.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "lang",
+            F.expr("n DIV 3 + CAST(n % 3 >= 1 AS BIGINT)").alias("cut1"),
+            F.expr("2 * (n DIV 3) + CAST(n % 3 >= 1 AS BIGINT)"
+                   " + CAST(n % 3 >= 2 AS BIGINT)").alias("cut2"),
+        )
+    )
+    wr = Window.partitionBy("lang", "lm_score_ppm").orderBy("doc_id")
+    rank = F.col("cum_before") + F.row_number().over(wr)
+    return (
+        scores.join(hist, ["lang", "lm_score_ppm"])
+        .join(F.broadcast(cuts), "lang")
+        .withColumn("rank", rank)
+        .select(
+            "doc_id",
+            "lang",
+            "lm_score_ppm",
+            F.when(F.col("rank") <= F.col("cut1"), "head")
+            .when(F.col("rank") <= F.col("cut2"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )

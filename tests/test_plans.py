@@ -284,13 +284,15 @@ def test_round8_curation_ops_scale_plans(spark, sf_dir):
       exchange besides the final output sort;
     - dsir_importance_weights broadcasts its fixed-size bucket tables (the
       per-doc join must be BroadcastHashJoin, never sort-merge on the
-      corpus side) and partial-combines its counts;
+      corpus side) and partial-combines its counts — asserted on the
+      pre-checkpoint weighted table, since the caller's localCheckpoint
+      truncates the visible executed plan;
     - url_canonical_dedup partial-combines the per-canonical-URL count;
     - ccnet_perplexity_buckets reuses the bigram-LM shape: no cartesian
       product, partial aggregation present.
     """
     from input_data_pipeline_spark.operators.curation import (
-        dsir_importance_weights,
+        _dsir_weighted,
         url_canonical_dedup,
     )
     from input_data_pipeline_spark.operators.textstats import (
@@ -303,7 +305,7 @@ def test_round8_curation_ops_scale_plans(spark, sf_dir):
     # one rangepartitioning exchange for the output sort is the only allowed one
     assert len(re.findall(r"Exchange (?!rangepartitioning)", c4_plan)) == 0
 
-    dsir_plan = _executed_plan(dsir_importance_weights(spark, sf_dir))
+    dsir_plan = _executed_plan(_dsir_weighted(spark, sf_dir))
     assert "BroadcastHashJoin" in dsir_plan
     assert "SortMergeJoin" not in dsir_plan
     assert "partial_" in dsir_plan
@@ -315,3 +317,60 @@ def test_round8_curation_ops_scale_plans(spark, sf_dir):
     cc_plan = _executed_plan(ccnet_perplexity_buckets(spark, sf_dir))
     assert "CartesianProduct" not in cc_plan
     assert "partial_" in cc_plan
+
+
+def test_round9_selection_ops_have_no_global_windows(spark, sf_dir):
+    """Round-9 plan-quality contract (r8 verdict items 1-3): the ranking /
+    selection operators must never move the corpus into one task. A
+    partition-less window (``WindowExec: No Partition Defined``) or a
+    lang-only window at document grain is invisible at sf0.01 but a
+    single-task sort of the corpus (or its head language) at 100 TB.
+
+    - bm25_doc_search: top-k is TakeOrderedAndProject (bounded
+      per-partition heaps); rank derives from a sorted-array posexplode
+      over the <=k survivors — no WindowExec anywhere in the plan;
+    - dsir_importance_weights: ``selected`` is a broadcast comparison
+      against a TakeOrdered k-th boundary pair — no WindowExec anywhere;
+    - ccnet_perplexity_buckets: no NTILE; the doc-grain row_number
+      partitions by the composite (lang, lm_score_ppm) key (skew bounded
+      by the largest equal-score run, not the largest language), and any
+      lang-only-partitioned window is the cumulative sum over the
+      (lang, score) HISTOGRAM — bounded by the score domain.
+    """
+    from input_data_pipeline_spark.operators.curation import (
+        dsir_importance_weights,
+    )
+    from input_data_pipeline_spark.operators.textstats import (
+        bm25_doc_search,
+        ccnet_perplexity_buckets,
+    )
+
+    bm_plan = _executed_plan(bm25_doc_search(spark, sf_dir))
+    assert "Window" not in bm_plan
+    assert "TakeOrderedAndProject" in bm_plan
+    assert "SortMergeJoin" not in bm_plan
+
+    dsir_plan = _executed_plan(dsir_importance_weights(spark, sf_dir))
+    assert "Window" not in dsir_plan
+    assert "TakeOrderedAndProject" in dsir_plan
+    assert "SortMergeJoin" not in dsir_plan
+
+    cc_plan = _executed_plan(ccnet_perplexity_buckets(spark, sf_dir))
+    assert "ntile" not in cc_plan
+    # the doc-grain rank partitions by BOTH lang and score (the order
+    # clause doc_id ASC follows two partition columns in the spec)
+    assert re.search(
+        r"row_number\(\) windowspecdefinition\("
+        r"lang#\d+, lm_score_ppm#\d+L?, doc_id#\d+L? ASC",
+        cc_plan,
+    )
+    # any lang-only-partitioned window (spec: lang, <order> DESC) must be
+    # the histogram cumulative sum, never a doc-grain rank
+    lang_only = [
+        line
+        for line in cc_plan.splitlines()
+        if re.search(r"windowspecdefinition\(lang#\d+, lm_score_ppm#\d+L? DESC", line)
+    ]
+    assert lang_only, "histogram cumulative-sum window missing"
+    for line in lang_only:
+        assert "sum(run" in line, f"doc-grain lang-only window: {line.strip()}"
