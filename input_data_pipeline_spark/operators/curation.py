@@ -907,11 +907,14 @@ def _dsir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Canonical-URL dedup (round-8 addition)
+# Canonical-URL dedup (round-8 addition; data-driven since round 9)
 # ---------------------------------------------------------------------------
 
 # Messy variants: case, fragments, tracking params, default ports, trailing
-# slashes — each group collapses to one canonical URL.
+# slashes — each group collapses to one canonical URL. Since round 9 the
+# registry query derives its URLs from the sf-scaled documents table (see
+# url_canonical_dedup); this fixture remains the hand-auditable pytest case
+# (tests/test_corpus_ops.py) pinning every spelling class.
 _CANON_FIXTURE = [
     ("r1", "https://Example.com/Article?utm_source=feed&id=7"),
     ("r2", "https://example.com/Article?id=7#section-2"),
@@ -935,8 +938,12 @@ _CANON_VALUES = ",\n      ".join(
 _CANON_STEPS = [
     # 1. drop the fragment
     (r"#.*", "", ""),
-    # 2. strip tracking params (value up to the next separator)
-    (r"(utm_[a-z]+|gclid|fbclid)=[^&#]*", "", ""),
+    # 2. strip tracking params (value up to the next separator), anchored
+    #    to a '?'/'&' param boundary so a DIFFERENT param that merely ends
+    #    in a tracking name (e.g. 'xutm_source=1') or a value containing
+    #    'gclid=' is never clipped — the separator is kept ($1/\1) and the
+    #    tidy steps below collapse it
+    (r"([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*", "$1", r"\1"),
     # 3. tidy separators the strip left behind: first collapse '&&'->'&'
     #    (two adjacent stripped params leave '?&&x', which must become
     #    '?&x' BEFORE the '?&'->'?' fix or the result isn't idempotent —
@@ -968,40 +975,14 @@ def _canon_duck_expr() -> str:
     return expr
 
 
-@register(
-    "url_canonical_dedup",
-    oracle=f"""
-    WITH recs(rec_id, url) AS (VALUES
-      {_CANON_VALUES}),
-    canon AS (
-      SELECT rec_id, {_canon_duck_expr()} AS canonical_url
-      FROM recs)
-    SELECT canonical_url,
-           CAST(COUNT(*) AS BIGINT) AS n_variants,
-           MIN(rec_id) AS keep_rec
-    FROM canon
-    GROUP BY canonical_url
-    ORDER BY canonical_url
-    """,
-)
-def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical-URL dedup — the web-crawl front door of corpus curation
-    (the same page arrives as dozens of URL spellings; CommonCrawl-based
-    pipelines dedup on a canonicalized URL before any content dedup).
-    Canonicalization: lowercase scheme+host, drop fragments, strip
-    utm_*/gclid/fbclid tracking params (tidying the separators left
-    behind), drop default ports (:80/:443), and drop a trailing path
-    slash. Variants group by canonical form; the survivor is the first
-    rec_id — all JVM-side regexp (RE2-safe patterns so DuckDB replays
-    them exactly; Java ``$1`` vs RE2 ``\\1`` replacement syntax is the
-    only per-engine difference).
-
-    Scale shape: canonicalization is a map-only projection; the group-by
-    shuffles one row per URL with map-side combine. At crawl scale the
-    canonical key is also the natural partition key for incremental
-    ingest (new batch anti-joins the manifest on it, J1 shape).
-    """
-    recs = spark.createDataFrame(_CANON_FIXTURE, ["rec_id", "url"])
+def canonical_url_groups(recs: DataFrame) -> DataFrame:
+    """Group a ``(rec_id, url)`` table by canonical URL: lowercase
+    scheme+host, drop fragments, strip utm_*/gclid/fbclid tracking params
+    (tidying the separators left behind), drop default ports (:80/:443),
+    and drop a trailing path slash — all JVM-side regexp over the shared
+    ``_CANON_STEPS`` (RE2-safe patterns so DuckDB replays them exactly;
+    Java ``$1`` vs RE2 ``\\1`` replacement syntax is the only per-engine
+    difference). Survivor per group = MIN(rec_id)."""
     prefix = F.regexp_extract("url", r"^[a-zA-Z]+://[^/?#]+", 0)
     u = F.concat(
         F.lower(prefix),
@@ -1018,3 +999,72 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_url")
     )
+
+
+# Deterministic messy-URL derivation over the documents table: every three
+# consecutive doc_ids spell the SAME page three different ways (clean;
+# upper-case host + default port + utm param + fragment; trailing slash +
+# fbclid). Stated once as SQL fragments valid in BOTH engines (DIV is
+# DuckDB '//'; string concat via CONCAT+CAST), so the Spark side F.expr()s
+# the same text the oracle embeds.
+_URL_PAGE = "(doc_id DIV 3)"
+_URL_SCHEME = f"CASE WHEN {_URL_PAGE} % 2 = 0 THEN 'https' ELSE 'http' END"
+_URL_HOST = f"CONCAT('src', CAST({_URL_PAGE} % 20 AS STRING), '.example.com')"
+_URL_EXPR = f"""CONCAT(
+      {_URL_SCHEME}, '://',
+      CASE WHEN doc_id % 3 = 1 THEN UPPER({_URL_HOST}) ELSE {_URL_HOST} END,
+      CASE WHEN doc_id % 3 = 1
+           THEN (CASE WHEN {_URL_PAGE} % 2 = 0 THEN ':443' ELSE ':80' END)
+           ELSE '' END,
+      '/doc/', CAST({_URL_PAGE} AS STRING),
+      CASE doc_id % 3
+           WHEN 0 THEN CONCAT('?id=', CAST({_URL_PAGE} AS STRING))
+           WHEN 1 THEN CONCAT('?utm_source=feed&id=',
+                              CAST({_URL_PAGE} AS STRING), '#sec')
+           ELSE CONCAT('/?id=', CAST({_URL_PAGE} AS STRING),
+                       '&fbclid=', CAST(doc_id AS STRING))
+      END)"""
+
+
+@register(
+    "url_canonical_dedup",
+    oracle=f"""
+    WITH recs AS (
+      SELECT doc_id AS rec_id,
+             {_URL_EXPR.replace("DIV", "//")} AS url
+      FROM documents),
+    canon AS (
+      SELECT rec_id, {_canon_duck_expr()} AS canonical_url
+      FROM recs)
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           MIN(rec_id) AS keep_rec
+    FROM canon
+    GROUP BY canonical_url
+    ORDER BY canonical_url
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup — the web-crawl front door of corpus curation
+    (the same page arrives as dozens of URL spellings; CommonCrawl-based
+    pipelines dedup on a canonicalized URL before any content dedup).
+    The URL column derives deterministically from the sf-scaled documents
+    table (``_URL_EXPR``: each page spelled clean / upper-case host +
+    default port + utm param + fragment / trailing slash + fbclid by
+    three consecutive doc_ids), so the operator scans parquet at every
+    scale and its scale-growth anchor measures real data growth; the
+    hand-auditable 9-row ``_CANON_FIXTURE`` stays as the pytest case for
+    every spelling class. Canonicalization + grouping in
+    :func:`canonical_url_groups`.
+
+    Scale shape: URL derivation and canonicalization are one map-only
+    projection over the scan; the group-by shuffles one row per URL with
+    map-side combine. At crawl scale the canonical key is also the
+    natural partition key for incremental ingest (new batch anti-joins
+    the manifest on it, J1 shape).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    recs = docs.select(
+        F.col("doc_id").alias("rec_id"), F.expr(_URL_EXPR).alias("url")
+    )
+    return canonical_url_groups(recs)

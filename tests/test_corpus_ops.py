@@ -374,10 +374,15 @@ def test_dsir_weights_favor_target_like_docs(spark, tmp_path):
 
 def test_url_canonicalization_collapses_variants(spark):
     """Every spelling group in the fixture lands on one canonical URL with
-    the expected survivor."""
-    from input_data_pipeline_spark.operators.curation import url_canonical_dedup
+    the expected survivor. (The registry query is data-driven since r9;
+    the hand-written fixture keeps pinning each spelling class here.)"""
+    from input_data_pipeline_spark.operators.curation import (
+        _CANON_FIXTURE,
+        canonical_url_groups,
+    )
 
-    out = {r.canonical_url: r for r in url_canonical_dedup(spark, "").collect()}
+    recs = spark.createDataFrame(_CANON_FIXTURE, ["rec_id", "url"])
+    out = {r.canonical_url: r for r in canonical_url_groups(recs).collect()}
     assert set(out) == {
         "https://example.com/Article?id=7",
         "http://news.example.com/today",
