@@ -16,9 +16,11 @@ map-only mapInPandas stage over real bytes. BMP image decode and
 uncompressed-AVI video decode are REAL too (round 8): stdlib ``struct``
 over BITMAPINFOHEADER / a RIFF chunk walk, feeding
 ``extract_image_features``, ``resize_image_nearest`` and
-``sample_video_frames``. Only compressed codecs (PNG/JPEG, '..dc' AVI
-streams, MP4) remain a documented ``NotImplementedError`` seam (those
-codecs aren't in this container). The deterministic RMS-energy segmenter
+``sample_video_frames``; 8-bit truecolor PNG decode is REAL since
+round 9 (chunk walk + stdlib ``zlib`` inflate + scanline unfilter).
+Only genuinely external codecs (JPEG, '..dc' AVI streams, MP4) remain
+a documented ``NotImplementedError`` seam (they aren't in this
+container). The deterministic RMS-energy segmenter
 (``transcribe_wav_energy``) stands in for the ASR engine behind the
 same per-executor-singleton pattern a real Vosk model would use, so the
 full S5/U2 path — binaryFile → header parse → frame-chunk → stateful
@@ -100,6 +102,117 @@ def _decode_bmp(payload: bytes) -> dict:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Parse an 8-bit truecolor PNG (RGB/RGBA, non-interlaced) with stdlib
+    ``struct`` + ``zlib`` — PNG's pixel stream is plain DEFLATE, so no
+    external codec is needed: a chunk walk collects IHDR/IDAT, one
+    ``zlib.decompress`` inflates the scanlines, and the five standard
+    per-scanline filters (none/sub/up/average/paeth, RFC 2083 §6) are
+    inverted row by row. Returns the same contract as :func:`_decode_bmp`
+    (``width, height, bit_count, n_pixels, pixels``) with ``pixels``
+    normalized to the BGR(A) top-down plane the downstream
+    feature/resize kernels consume, so a PNG and a BMP of the same image
+    fingerprint identically.
+
+    The unfilter loop is per-byte Python — inherent to the format (sub/
+    average/paeth depend on the just-decoded left neighbor). Fine for the
+    test fixtures; megapixel production decode goes through the
+    per-executor singleton codec seam like every heavy decoder (U2).
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (missing signature)")
+    width = height = depth = ctype = interlace = None
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctyp = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctyp == b"IHDR":
+            if length != 13:
+                raise ValueError(f"bad IHDR length {length}")
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if comp != 0 or filt != 0:
+                raise ValueError("unsupported PNG compression/filter method")
+        elif ctyp == b"IDAT":
+            idat += body
+        elif ctyp == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if width is None:
+        raise ValueError("no IHDR chunk found")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"degenerate PNG dimensions {width}x{height}")
+    ch = {2: 3, 6: 4}.get(ctype)
+    if ch is None or depth != 8:
+        raise ValueError(
+            f"unsupported PNG format (color_type={ctype}, depth={depth}; "
+            "need 8-bit truecolor RGB/RGBA — palette/gray need no new "
+            "codec, just more branches)"
+        )
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG unsupported")
+    raw = zlib.decompress(bytes(idat))
+    rowlen = width * ch
+    if len(raw) != (rowlen + 1) * height:
+        raise ValueError("PNG pixel data size mismatch after inflate")
+
+    prev = bytearray(rowlen)
+    rows = []
+    for r in range(height):
+        base = r * (rowlen + 1)
+        f = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + rowlen])
+        if f == 0:
+            pass
+        elif f == 1:  # sub
+            for i in range(ch, rowlen):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif f == 2:  # up
+            for i in range(rowlen):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # average
+            for i in range(rowlen):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # paeth
+            for i in range(rowlen):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        prev = line
+        rows.append(bytes(line))
+
+    import numpy as np
+
+    # RGB(A) → BGR(A): downstream kernels index channels BMP-style
+    plane = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(-1, ch).copy()
+    plane[:, [0, 2]] = plane[:, [2, 0]]
+    return {
+        "width": width,
+        "height": height,
+        "bit_count": 8 * ch,
+        "n_pixels": width * height,
+        "pixels": plane.tobytes(),
+    }
+
+
 def _decode_avi(payload: bytes) -> dict:
     """Parse an uncompressed-DIB AVI container with stdlib ``struct``.
 
@@ -121,9 +234,10 @@ def _decode_avi(payload: bytes) -> dict:
     avih = None
     bit_count = None
     frames: list[bytes] = []
+    stream_type = None  # fccType of the most recent 'strh' in this strl list
 
     def walk(start: int, end: int) -> None:
-        nonlocal avih, bit_count
+        nonlocal avih, bit_count, stream_type
         pos = start
         while pos + 8 <= end:
             cid = payload[pos : pos + 4]
@@ -134,9 +248,19 @@ def _decode_avi(payload: bytes) -> dict:
             if cid == b"LIST":
                 walk(body0 + 4, body1)  # skip the 4-byte list type, recurse
             elif cid == b"avih":
+                if size < 40:
+                    raise ValueError(f"'avih' chunk too small ({size} bytes)")
                 avih = struct.unpack_from("<10I", payload, body0)
-            elif cid == b"strf" and bit_count is None:
-                # video stream format = BITMAPINFOHEADER; biBitCount at +14
+            elif cid == b"strh":
+                # remember which stream the following strf describes
+                stream_type = payload[body0 : body0 + 4]
+            elif cid == b"strf" and stream_type == b"vids" and bit_count is None:
+                # VIDEO stream format = BITMAPINFOHEADER; biBitCount at +14.
+                # An audio stream's strf is a WAVEFORMATEX whose bytes at +14
+                # are NOT a bit count — gating on the preceding strh fccType
+                # keeps audio-first AVIs from yielding a garbage DIB stride.
+                if size < 16:
+                    raise ValueError(f"video 'strf' chunk too small ({size} bytes)")
                 bit_count = struct.unpack_from("<H", payload, body0 + 14)[0]
             elif cid[2:4] == b"db":  # uncompressed DIB frame ('00db', '01db', …)
                 frames.append(payload[body0:body1])
@@ -177,18 +301,25 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
 
     REAL for BMP images (round 8): stdlib ``struct`` over the
     BITMAPINFOHEADER layout — de-padded, orientation-normalized pixel
-    plane plus typed dimensions (see :func:`_decode_bmp`). Compressed
-    image formats (PNG/JPEG) and video stay the documented seam: those
-    codecs aren't in this container, and on a real cluster the call MUST
-    go through a per-executor singleton (one codec/model instance per
-    worker process), never per row — reference pattern U2.
+    plane plus typed dimensions (see :func:`_decode_bmp`).
+
+    REAL for 8-bit truecolor PNG (round 9): chunk walk + stdlib ``zlib``
+    inflate + scanline unfilter (see :func:`_decode_png`), normalized to
+    the same BGR(A) plane as BMP. Only genuinely external codecs (JPEG,
+    compressed AVI, MP4) stay the documented seam: those aren't in this
+    container, and on a real cluster the call MUST go through a
+    per-executor singleton (one codec/model instance per worker
+    process), never per row — reference pattern U2.
     """
     if modality == "image":
         if payload[:2] == b"BM":
             return _decode_bmp(payload)
+        if payload[:8] == _PNG_SIG:
+            return _decode_png(payload)
         raise NotImplementedError(
-            "real decode of non-BMP image formats requires external media "
-            "libraries; wire PIL here on a real cluster (SURVEY §2.10 U1/U2)"
+            "real decode of non-BMP/PNG image formats (JPEG, ...) requires "
+            "external media libraries; wire PIL here on a real cluster "
+            "(SURVEY §2.10 U1/U2)"
         )
     if modality == "video":
         if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
@@ -438,6 +569,8 @@ def extract_image_features(images: DataFrame) -> DataFrame:
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import hashlib
 
+        import numpy as np
+
         for pdf in batches:
             out = {
                 "doc_id": [], "width": [], "height": [], "bit_count": [],
@@ -448,11 +581,14 @@ def extract_image_features(images: DataFrame) -> DataFrame:
                 meta = decode_media(bytes(payload), "image")
                 px, bpp = meta["pixels"], meta["bit_count"] // 8
                 n = meta["n_pixels"]
-                sums = [0, 0, 0]
-                for i in range(0, len(px), bpp):
-                    sums[0] += px[i]
-                    sums[1] += px[i + 1]
-                    sums[2] += px[i + 2]
+                # vectorized channel sums (one numpy reduction per image,
+                # as resize_image_nearest gathers) — a per-byte Python loop
+                # is O(pixels) interpreted work on megabyte photos
+                sums = (
+                    np.frombuffer(px, dtype=np.uint8)
+                    .reshape(-1, bpp)[:, :3]
+                    .sum(axis=0, dtype=np.int64)
+                )
                 out["doc_id"].append(doc_id)
                 out["width"].append(meta["width"])
                 out["height"].append(meta["height"])

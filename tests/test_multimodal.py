@@ -333,6 +333,120 @@ def test_extract_image_features_end_to_end(spark):
     assert got[1].pixel_sha == hashlib.sha256(expect).hexdigest()[:16]
 
 
+def make_png(width, height, pixel_rows, alpha=False, filters=None):
+    """Encode an 8-bit truecolor PNG with stdlib struct+zlib:
+    ``pixel_rows`` is a top-down list of rows of (r, g, b[, a]) tuples
+    (PNG channel order). ``filters`` picks the per-scanline filter type
+    (0-4, RFC 2083 §6), applied FORWARD here so the decoder's inverse of
+    every filter is exercised."""
+    import struct
+    import zlib
+
+    ch = 4 if alpha else 3
+    rowlen = width * ch
+
+    def chunk(ctyp, body):
+        c = ctyp + body
+        return struct.pack(">I", len(body)) + c + struct.pack(">I", zlib.crc32(c))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6 if alpha else 2, 0, 0, 0)
+    filters = filters if filters is not None else [0] * height
+    raw = bytearray()
+    prev = bytes(rowlen)
+    for rowpx, f in zip(pixel_rows, filters):
+        line = b"".join(bytes(px) for px in rowpx)
+        enc = bytearray(rowlen)
+        for i in range(rowlen):
+            a = line[i - ch] if i >= ch else 0
+            b, c = prev[i], (prev[i - ch] if i >= ch else 0)
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:  # paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[i] = (line[i] - pred) & 0xFF
+        raw += bytes([f]) + bytes(enc)
+        prev = line
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+# PNG stores RGB; the decoder normalizes to the BMP kernels' BGR order
+PNG_ROWS_RGB = [[(r * 40 + c * 10 + k, r * 7 + k, 255 - r * 30 - c * 5 + k)
+                 for c, k in ((0, 0), (1, 1), (2, 2))]
+                for r in range(5)]
+
+
+def test_decode_media_parses_real_png_all_filters():
+    """Round-9 PNG decode: chunk walk + zlib inflate + unfilter, one row
+    per filter type (none/sub/up/average/paeth), output normalized to the
+    same BGR top-down plane as BMP."""
+    payload = make_png(3, 5, PNG_ROWS_RGB, filters=[0, 1, 2, 3, 4])
+    meta = decode_media(payload, "image")
+    assert (meta["width"], meta["height"], meta["bit_count"]) == (3, 5, 24)
+    assert meta["n_pixels"] == 15
+    expect = b"".join(
+        bytes((px[2], px[1], px[0])) for row in PNG_ROWS_RGB for px in row
+    )
+    assert meta["pixels"] == expect
+
+
+def test_decode_png_rgba_and_rejects():
+    rgba = [[(1, 2, 3, 4), (5, 6, 7, 8)], [(9, 10, 11, 12), (13, 14, 15, 16)]]
+    meta = decode_media(make_png(2, 2, rgba, alpha=True, filters=[4, 4]), "image")
+    assert meta["bit_count"] == 32
+    assert meta["pixels"] == b"".join(
+        bytes((px[2], px[1], px[0], px[3])) for row in rgba for px in row
+    )
+    ok = make_png(2, 2, [[(0, 0, 0)] * 2] * 2)
+    import struct as _s
+
+    with pytest.raises(ValueError, match="interlace"):
+        # flip the IHDR interlace byte (offset: 8 sig + 8 hdr + 12 = last IHDR byte)
+        i = 8 + 8 + 12
+        decode_media(ok[:i] + b"\x01" + ok[i + 1 :], "image")
+    with pytest.raises(ValueError, match="size mismatch"):
+        # claim one more row than the IDAT stream carries
+        i = 8 + 8 + 4
+        decode_media(ok[:i] + _s.pack(">I", 3) + ok[i + 4 :], "image")
+    with pytest.raises(NotImplementedError, match="non-BMP/PNG"):
+        decode_media(b"\xff\xd8\xff\xe0jpeg....", "image")
+
+
+def test_png_and_bmp_of_same_image_fingerprint_identically(spark):
+    """The cross-format contract: a PNG and a BMP encoding of the SAME
+    pixels produce byte-identical planes, so extract_image_features gives
+    them one pixel_sha — format-independent image dedup."""
+    from input_data_pipeline_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    bgr_rows = [[(px[2], px[1], px[0]) for px in row] for row in PNG_ROWS_RGB]
+    df = spark.createDataFrame(
+        [
+            (1, make_png(3, 5, PNG_ROWS_RGB, filters=[1, 2, 3, 4, 0])),
+            (2, make_bmp(3, 5, bgr_rows)),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in extract_image_features(df).collect()}
+    assert got[1].pixel_sha == got[2].pixel_sha
+    assert (got[1].mean_b, got[1].mean_g, got[1].mean_r) == (
+        got[2].mean_b, got[2].mean_g, got[2].mean_r,
+    )
+
+
 def test_resize_image_nearest_end_to_end(spark):
     """Real-bytes resize: 4x4 checkerboard -> 2x2 picks the floor-mapped
     source pixels ((dst*in)//out), upscale 2x2 -> 4x4 replicates each
@@ -370,11 +484,15 @@ def test_resize_image_nearest_end_to_end(spark):
     assert up[2].pixels == bytes(want)
 
 
-def make_avi(width, height, frame_pixel_rows, usec_per_frame=40000, bit_count=24):
+def make_avi(width, height, frame_pixel_rows, usec_per_frame=40000, bit_count=24,
+             audio_first=False):
     """Encode an uncompressed-DIB AVI with stdlib struct: each frame is a
     top-down list of (b, g, r) pixel rows; storage is bottom-up DIB with
     4-byte row padding (the BMP convention), '00db' chunks inside a
-    'movi' list, plus 'avih'/'strf' headers."""
+    'movi' list, plus 'avih' and per-stream 'strh'/'strf' headers.
+    ``audio_first=True`` prepends an audio strl (strh 'auds' + a
+    WAVEFORMATEX strf) BEFORE the video stream — the layout that used to
+    make the decoder read a garbage bit count from the first strf."""
     import struct
 
     bpp = bit_count // 8
@@ -396,11 +514,23 @@ def make_avi(width, height, frame_pixel_rows, usec_per_frame=40000, bit_count=24
         "<10I4x4x4x4x",
         usec_per_frame, 0, 0, 0, len(frame_pixel_rows), 0, 1, 0, width, height,
     )
-    strf = struct.pack(
+    strh_vids = (b"vids" + b"DIB ").ljust(56, b"\x00")
+    strf_vids = struct.pack(
         "<IiiHHIIiiII", 40, width, height, 1, bit_count, 0, stride * height,
         0, 0, 0, 0,
     )
-    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strf", strf)))
+    streams = lst(b"strl", chunk(b"strh", strh_vids) + chunk(b"strf", strf_vids))
+    if audio_first:
+        strh_auds = (b"auds").ljust(56, b"\x00")
+        # WAVEFORMATEX: wFormatTag=1 (PCM), 1 channel, 16000 Hz, 16-bit —
+        # bytes at +14 (wBitsPerSample=16... actually cbSize region) are
+        # NOT a DIB bit count, which is the point of the regression
+        strf_auds = struct.pack("<HHIIHHH", 1, 1, 16000, 32000, 2, 16, 0)
+        streams = (
+            lst(b"strl", chunk(b"strh", strh_auds) + chunk(b"strf", strf_auds))
+            + streams
+        )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + streams)
     movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frame_pixel_rows))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
@@ -420,6 +550,17 @@ def test_decode_media_parses_real_avi():
     # frames are raw bottom-up DIBs with 12-byte (padded) rows
     assert len(meta["frames"][0]) == 12 * 2
     assert meta["frames"][1][:3] == bytes((0, 255, 0))
+
+
+def test_decode_avi_reads_bit_count_from_video_stream_only():
+    """An AVI whose FIRST stream is audio (WAVEFORMATEX strf) must still
+    report the VIDEO stream's biBitCount — the decoder gates strf parsing
+    on the preceding strh fccType instead of taking the first strf."""
+    f0 = [[(1, 2, 3, 255)] * 2] * 2  # BGRA, 4 bytes/px at bit_count=32
+    payload = make_avi(2, 2, [f0], bit_count=32, audio_first=True)
+    meta = decode_media(payload, "video")
+    assert meta["bit_count"] == 32
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (2, 2, 1)
 
 
 def test_decode_avi_rejects_compressed_and_malformed():

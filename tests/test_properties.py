@@ -304,6 +304,35 @@ def test_bmp_encode_decode_roundtrip(w, h, bpp, top_down, seed):
     assert meta["pixels"] == b"".join(bytes(px) for row in rows for px in row)
 
 
+@given(
+    w=st.integers(min_value=1, max_value=8),
+    h=st.integers(min_value=1, max_value=8),
+    alpha=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=200, deadline=None)
+def test_png_encode_decode_roundtrip(w, h, alpha, seed):
+    """decode(encode(img)) recovers the exact BGR(A) plane for any size /
+    alpha / per-row filter mix — every scanline filter inverse (none, sub,
+    up, average, paeth) is exercised against random pixels."""
+    import random
+
+    from input_data_pipeline_spark.operators.multimodal import decode_media
+    from tests.test_multimodal import make_png
+
+    rng = random.Random(seed)
+    ch = 4 if alpha else 3
+    rows = [[tuple(rng.randrange(256) for _ in range(ch)) for _ in range(w)]
+            for _ in range(h)]
+    filters = [rng.randrange(5) for _ in range(h)]
+    payload = make_png(w, h, rows, alpha=alpha, filters=filters)
+    meta = decode_media(payload, "image")
+    assert (meta["width"], meta["height"], meta["bit_count"]) == (w, h, 8 * ch)
+    assert meta["pixels"] == b"".join(
+        bytes((px[2], px[1], px[0]) + px[3:]) for row in rows for px in row
+    )
+
+
 def _canon_py(u: str) -> str:
     """Python replay of the shared canonicalization pipeline (the same
     _CANON_STEPS the Spark and DuckDB sides apply)."""
