@@ -93,6 +93,27 @@ def measure_anchors(spark: SparkSession, sf_dir: str) -> dict[str, dict]:
     return {name: run_with_metrics(spark, _REGISTRY[name].fn, sf_dir) for name in ANCHORS}
 
 
+def fit_exponent(points: list[dict]) -> float:
+    """Least-squares slope of log(shuffle_write_bytes) vs log(input_bytes)
+    over >=2 scale points — the measured growth exponent (1.0 = linear,
+    2.0 = the all-pairs failure mode). A single 10x ratio bounded at 15x
+    can hide a quadratic term; two steps (three points) cannot: a shape
+    that is c*n + d*n^2 bends the log-log line upward and the fitted
+    slope exceeds the linear bound. Both axes floor at 64 KiB so a
+    map-only query's near-zero shuffle yields slope ~0, not noise."""
+    import math
+
+    floor = 64 * 1024
+    xs = [math.log(max(p["input_bytes"], floor)) for p in points]
+    ys = [math.log(max(p["shuffle_write_bytes"], floor)) for p in points]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    sxx = sum((x - mx) ** 2 for x in xs)
+    if sxx == 0:
+        return 0.0
+    return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sxx
+
+
 def growth_report(small: dict[str, dict], large: dict[str, dict]) -> dict[str, dict]:
     """Per-anchor growth ratios large/small, with a 64 KiB floor on the
     small side so a map-only query's near-zero shuffle can't produce a
