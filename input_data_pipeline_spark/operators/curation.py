@@ -866,21 +866,28 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dsir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The per-doc DSIR weight table (pre-selection) — split out so the
-    physical-plan guards can assert its broadcast/partial-agg shape (the
-    localCheckpoint in the caller truncates the visible executed plan)."""
+def dsir_bucket(token_col):
+    """The DSIR hashed-unigram bucket for a token column — stated once so
+    the batch operator and the streaming tagger hash identically."""
+    return (
+        F.conv(F.substring(F.md5(token_col), 1, 8), 16, 10).cast("long")
+        % _DSIR_BUCKETS
+    )
+
+
+def _dsir_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, b): one row per token occurrence, bucketed."""
     docs = load_table(spark, sf_dir, "documents")
     from input_data_pipeline_spark.functions import text as T
 
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
-        % _DSIR_BUCKETS
-    )
-    tok = docs.select(
+    return docs.select(
         "doc_id", "source", F.explode(T.tokens("text")).alias("token")
-    ).select("doc_id", "source", bucket.alias("b"))
+    ).select("doc_id", "source", dsir_bucket(F.col("token")).alias("b"))
 
+
+def _dsir_ppm(tok: DataFrame) -> DataFrame:
+    """The fixed-size (<= _DSIR_BUCKETS rows) target/pool distribution
+    table in ppm — the 'trained model' half of DSIR."""
     # both distributions in ONE conditional aggregation pass — a full-outer
     # join of two per-source count tables would sort-merge (full outer
     # cannot broadcast); this is a single map-side-combinable groupBy
@@ -890,11 +897,19 @@ def _dsir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_tgt, 0).otherwise(1)).alias("n_p"),
     )
     tot = dist.agg(F.sum("n_t").alias("tot_t"), F.sum("n_p").alias("tot_p"))
-    ppm = dist.crossJoin(F.broadcast(tot)).select(
+    return dist.crossJoin(F.broadcast(tot)).select(
         "b",
         F.expr("n_t * 1000000 DIV tot_t").alias("p_t_ppm"),
         F.expr("n_p * 1000000 DIV tot_p").alias("p_p_ppm"),
     )
+
+
+def _dsir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc DSIR weight table (pre-selection) — split out so the
+    physical-plan guards can assert its broadcast/partial-agg shape (the
+    localCheckpoint in the caller truncates the visible executed plan)."""
+    tok = _dsir_tok(spark, sf_dir)
+    ppm = _dsir_ppm(tok)
     per_doc = tok.groupBy("doc_id", "source", "b").agg(F.count(F.lit(1)).alias("n"))
     return (
         per_doc.join(F.broadcast(ppm), "b")
@@ -904,6 +919,41 @@ def _dsir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(n * (p_t_ppm - p_p_ppm)) DIV sum(n)").alias("w"),
         )
     )
+
+
+def dsir_stream_thresholds(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict[int, int], tuple[int, int]]:
+    """Batch-trains / stream-applies (the production curation pattern): a
+    nightly batch job trains the DSIR distribution table and selection
+    boundary on the corpus; an ingest stream tags arriving docs against
+    them map-side (``streaming.pipelines.stream_selection_tags``).
+
+    Returns ``({bucket: adv_ppm}, (boundary_w, boundary_doc_id))`` where
+    ``adv_ppm = p_target_ppm - p_pool_ppm`` per hashed bucket (at most
+    ``_DSIR_BUCKETS`` = 256 entries — FIXED size, the point of DSIR's
+    hashing: the published model never grows with the vocabulary) and
+    the boundary is the k-th (w, doc_id) pair of
+    :func:`dsir_importance_weights` — a doc tags ``selected`` iff it
+    ranks at-or-before the boundary. Driver state is <= 257 rows, the
+    same bounded-collect budget as the iterative-ML operators.
+    """
+    tok = _dsir_tok(spark, sf_dir)
+    adv = {
+        r["b"]: r["p_t_ppm"] - r["p_p_ppm"] for r in _dsir_ppm(tok).collect()
+    }
+    boundary = (
+        _dsir_weighted(spark, sf_dir)
+        .select("w", "doc_id")
+        .orderBy(F.desc("w"), "doc_id")
+        .limit(_DSIR_TOP_K)
+        .orderBy("w", F.desc("doc_id"))
+        .limit(1)
+        .collect()
+    )
+    if not boundary:
+        raise ValueError(f"no documents under {sf_dir} — cannot train DSIR")
+    return adv, (boundary[0]["w"], boundary[0]["doc_id"])
 
 
 # ---------------------------------------------------------------------------

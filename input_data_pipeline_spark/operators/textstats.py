@@ -1620,38 +1620,50 @@ def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the wire carries |doc×distinct-bigram| rows, not |tokens|. Hot bigrams
     make hot lookup partitions only — AQE skew-join splits them; no
     Python UDF anywhere."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = T.tokens("text")
-    n = F.size(t)
-    # zip t[0..n-2] with t[1..n-1]: map-only bigram instances, no window
-    bi = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.zip_with(
-                F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
-                F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
-                lambda a, b: F.concat(a, F.lit(_BG_SEP), b),
-            )
-        ).alias("bg"),
-    )
-    cnt2 = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
-    cnt1 = bi.groupBy(
-        F.substring_index("bg", _BG_SEP, 1).alias("w1")
-    ).agg(F.count(F.lit(1)).alias("c1"))
-    p = (
-        cnt2.join(cnt1, F.substring_index(cnt2["bg"], _BG_SEP, 1) == cnt1["w1"])
-        .select("bg", F.expr("c2 * 1000000 DIV c1").alias("p_ppm"))
-    )
+    bi = _bigram_instances(load_table(spark, sf_dir, "documents"))
     d = bi.groupBy("doc_id", "lang", "bg").agg(F.count(F.lit(1)).alias("cnt"))
     return (
-        d.join(p, "bg")
+        d.join(_bigram_p(bi), "bg")
         .groupBy("doc_id", "lang")
         .agg(
             F.sum("cnt").alias("n_bigrams"),
             F.expr("sum(cnt * p_ppm) DIV sum(cnt)").alias("lm_score_ppm"),
         )
         .orderBy("doc_id")
+    )
+
+
+def bigram_array(text_col):
+    """Tab-joined bigram array for a text column — zip t[0..n-2] with
+    t[1..n-1]: map-only, no window. Stated once so the batch LM scorer
+    and the streaming tagger (``stream_selection_tags``) segment
+    identically."""
+    t = T.tokens(text_col)
+    n = F.size(t)
+    return F.zip_with(
+        F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(_BG_SEP), b),
+    )
+
+
+def _bigram_instances(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, bg): one row per bigram occurrence."""
+    return docs.select(
+        "doc_id", "lang", F.explode(bigram_array("text")).alias("bg")
+    )
+
+
+def _bigram_p(bi: DataFrame) -> DataFrame:
+    """The trained conditional-probability table (bg, p_ppm) — the
+    'model' half of the bigram LM: p(w2|w1) = c(w1,w2)/c(w1·) in ppm."""
+    cnt2 = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    cnt1 = bi.groupBy(
+        F.substring_index("bg", _BG_SEP, 1).alias("w1")
+    ).agg(F.count(F.lit(1)).alias("c1"))
+    return (
+        cnt2.join(cnt1, F.substring_index(cnt2["bg"], _BG_SEP, 1) == cnt1["w1"])
+        .select("bg", F.expr("c2 * 1000000 DIV c1").alias("p_ppm"))
     )
 
 
@@ -2298,6 +2310,26 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     a |langs|-row table. Bit-identical to the oracle's NTILE; the
     doc-grain table never sorts on a lang-only key (plan-guarded).
     """
+    return (
+        _ccnet_ranked(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            "lm_score_ppm",
+            F.when(F.col("rank") <= F.col("cut1"), "head")
+            .when(F.col("rank") <= F.col("cut2"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _ccnet_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc exact per-language rank plus the NTILE(3) cut ranks —
+    the decomposition :func:`ccnet_perplexity_buckets` documents (histogram
+    cumulative offsets + composite-key row_number), shared with the
+    threshold trainer :func:`ccnet_stream_thresholds`."""
     from pyspark.sql import Window
 
     # Three consumers (doc rows, histogram, per-lang counts) — materialize
@@ -2330,14 +2362,40 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         scores.join(hist, ["lang", "lm_score_ppm"])
         .join(F.broadcast(cuts), "lang")
         .withColumn("rank", rank)
-        .select(
-            "doc_id",
-            "lang",
-            "lm_score_ppm",
-            F.when(F.col("rank") <= F.col("cut1"), "head")
-            .when(F.col("rank") <= F.col("cut2"), "middle")
-            .otherwise("tail")
-            .alias("bucket"),
-        )
-        .orderBy("doc_id")
     )
+
+
+def ccnet_stream_thresholds(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict[str, int], dict[str, tuple[tuple[int, int], tuple[int, int]]]]:
+    """Batch-trains / stream-applies for the CCNet split: a batch job
+    trains the bigram LM and the per-language tercile boundaries on the
+    corpus; an ingest stream tags arriving docs against them map-side
+    (``streaming.pipelines.stream_selection_tags``).
+
+    Returns ``(p_ppm, cuts)``: ``p_ppm`` maps tab-joined bigram →
+    conditional probability in ppm (the trained LM — here collected to a
+    dict the tagger broadcasts; a production KenLM model ships to
+    executors behind the same per-executor-singleton seam as the heavy
+    media codecs), and ``cuts[lang] = ((s1, d1), (s2, d2))`` — the
+    (lm_score_ppm, doc_id) pairs AT the head/middle cut ranks, so a doc
+    is 'head' iff (score, doc_id) orders at-or-before (s1, d1) under
+    (score DESC, doc_id ASC), 'middle' iff at-or-before (s2, d2) —
+    bit-identical buckets to :func:`ccnet_perplexity_buckets` for any
+    doc the batch ranking saw.
+    """
+    bi = _bigram_instances(load_table(spark, sf_dir, "documents"))
+    p_ppm = {r["bg"]: r["p_ppm"] for r in _bigram_p(bi).collect()}
+    ranked = _ccnet_ranked(spark, sf_dir)
+    rows = ranked.filter(
+        (F.col("rank") == F.col("cut1")) | (F.col("rank") == F.col("cut2"))
+    ).collect()
+    cuts: dict[str, list] = {}
+    for r in rows:
+        pair = (r["lm_score_ppm"], r["doc_id"])
+        entry = cuts.setdefault(r["lang"], [None, None])
+        if r["rank"] == r["cut1"]:
+            entry[0] = pair
+        if r["rank"] == r["cut2"]:  # cut1 == cut2 when n < 3: same pair
+            entry[1] = pair
+    return p_ppm, {k: (v[0], v[1]) for k, v in cuts.items()}

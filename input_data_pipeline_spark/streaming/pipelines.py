@@ -32,6 +32,7 @@ double-bucket DuckDB SQL) live in ``operators/windows.py`` —
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve via globals
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
@@ -355,6 +356,129 @@ def stream_quality_gate(
     for c in conds[1:]:
         cond = cond & c
     return out.filter(cond)
+
+
+def stream_selection_tags(
+    docs: DataFrame,
+    dsir: tuple[dict[int, int], tuple[int, int]] | None = None,
+    ccnet: tuple[dict[str, int], dict[str, tuple]] | None = None,
+) -> DataFrame:
+    """Streaming face of the round-8 SELECTION operators — the
+    batch-trains / stream-applies pattern every production curation
+    pipeline uses: a batch job publishes model tables + thresholds
+    (``operators.curation.dsir_stream_thresholds`` /
+    ``operators.textstats.ccnet_stream_thresholds``), and the ingest
+    stream tags each arriving doc against them with NO aggregation, NO
+    state and NO shuffle — map-only columns that compose before the
+    stateful dedup of ``stream_corpus_hygiene``, Dolma tag-then-mix
+    style (nothing is filtered; a downstream mixer weighs the tags).
+
+    - ``dsir=(adv_ppm, (bw, bdoc))`` appends ``dsir_weight_ppm`` +
+      ``dsir_selected``: per-token hashed-bucket lookup in the FIXED
+      <=256-entry advantage map (a JVM map literal — fixed size is the
+      point of DSIR's hashing) summed per doc in exact integer ppm,
+      then a broadcast comparison against the k-th (w, doc_id) boundary
+      — the same decision rule as the batch operator's top-k selection.
+      Tokens whose bucket the training corpus never saw are skipped,
+      matching the batch inner join against the distribution table.
+    - ``ccnet=(p_ppm, cuts)`` appends ``lm_score_ppm`` +
+      ``ccnet_bucket``: the bigram segmentation is the SAME JVM
+      expression as the batch scorer (``textstats.bigram_array``); the
+      probability lookup is an Arrow-batched pandas UDF over the
+      broadcast LM dict (the per-executor-singleton seam a production
+      KenLM model ships through), and the head/middle/tail verdict is a
+      map-side comparison of (score, doc_id) against the per-language
+      cut pairs. Docs with no trained bigram (under 2 tokens, or fully
+      out-of-vocabulary) tag null — exactly the docs the batch ranking
+      never saw.
+
+    Batch/stream parity for both tags is pinned by
+    ``tests/test_streaming.py::test_stream_selection_tags_match_batch``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from input_data_pipeline_spark.functions import text as T
+    from input_data_pipeline_spark.operators.curation import dsir_bucket
+    from input_data_pipeline_spark.operators.textstats import bigram_array
+
+    out = docs
+    if dsir is not None:
+        adv, (bw, bdoc) = dsir
+        adv_map = F.create_map(
+            *[
+                c
+                for b in sorted(adv)
+                for c in (F.lit(b).cast("long"), F.lit(adv[b]).cast("long"))
+            ]
+        )
+        advs = F.filter(
+            F.transform(
+                T.tokens("text"), lambda tk: F.element_at(adv_map, dsir_bucket(tk))
+            ),
+            lambda x: x.isNotNull(),
+        )
+        out = (
+            out.withColumn("_advs", advs)
+            .withColumn(
+                "_asum",
+                F.aggregate(
+                    F.col("_advs"), F.lit(0).cast("long"), lambda acc, x: acc + x
+                ),
+            )
+            .withColumn(
+                "dsir_weight_ppm",
+                F.when(F.size("_advs") > 0, F.expr("_asum DIV size(_advs)")),
+            )
+            .withColumn(
+                "dsir_selected",
+                (F.col("dsir_weight_ppm") > bw)
+                | (
+                    (F.col("dsir_weight_ppm") == bw)
+                    & (F.col("doc_id") <= F.lit(bdoc))
+                ),
+            )
+            .drop("_advs", "_asum")
+        )
+    if ccnet is not None:
+        p_ppm, cuts = ccnet
+
+        @pandas_udf("long")
+        def _lm_score(bgs: pd.Series) -> pd.Series:
+            vals = []
+            for arr in bgs:
+                known = (
+                    [p_ppm[bg] for bg in arr if bg in p_ppm]
+                    if arr is not None
+                    else []
+                )
+                vals.append(sum(known) // len(known) if known else None)
+            return pd.Series(vals, dtype="Int64")
+
+        def cut_map(idx: int, field: int, cast: str):
+            return F.create_map(
+                *[
+                    c
+                    for lang in sorted(cuts)
+                    for c in (F.lit(lang), F.lit(cuts[lang][idx][field]).cast(cast))
+                ]
+            )
+
+        s1 = F.element_at(cut_map(0, 0, "long"), F.col("lang"))
+        d1 = F.element_at(cut_map(0, 1, "long"), F.col("lang"))
+        s2 = F.element_at(cut_map(1, 0, "long"), F.col("lang"))
+        d2 = F.element_at(cut_map(1, 1, "long"), F.col("lang"))
+        score = F.col("lm_score_ppm")
+        before1 = (score > s1) | ((score == s1) & (F.col("doc_id") <= d1))
+        before2 = (score > s2) | ((score == s2) & (F.col("doc_id") <= d2))
+        out = out.withColumn("lm_score_ppm", _lm_score(bigram_array("text")))
+        out = out.withColumn(
+            "ccnet_bucket",
+            F.when(score.isNull() | s1.isNull(), F.lit(None).cast("string"))
+            .when(before1, "head")
+            .when(before2, "middle")
+            .otherwise("tail"),
+        )
+    return out
 
 
 def stream_countmin_update(docs: DataFrame, state_dir: str, checkpoint_dir: str):

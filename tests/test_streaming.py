@@ -976,3 +976,62 @@ def test_stream_quality_gate_rule_selection_and_tagging(spark, tmp_path):
     # an empty rule list must fail loudly, never pass everything through
     with _pytest.raises(ValueError, match="at least one bundle"):
         stream_quality_gate(docs, rules=())
+
+def test_stream_selection_tags_match_batch(spark, tmp_path):
+    """Round-9 batch-trains/stream-applies parity: DSIR weights/selection
+    and CCNet scores/buckets tagged on a document STREAM (map-only, no
+    state) must equal the batch operators' cells on the same docs. Docs
+    the batch ranking never scored (no trained bigram) tag null."""
+    import shutil
+
+    from input_data_pipeline_spark.operators.curation import (
+        dsir_importance_weights,
+        dsir_stream_thresholds,
+    )
+    from input_data_pipeline_spark.operators.textstats import (
+        ccnet_perplexity_buckets,
+        ccnet_stream_thresholds,
+    )
+    from input_data_pipeline_spark.streaming.pipelines import (
+        run_to_memory,
+        stream_selection_tags,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    dsir = dsir_stream_thresholds(spark, sf)
+    ccnet = ccnet_stream_thresholds(spark, sf)
+    assert 0 < len(dsir[0]) <= 256  # fixed-size published model
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    shutil.copy(f"{sf}/documents.parquet", src / "part-0.parquet")
+    sdf = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(str(src))
+
+    name = _unique("seltags")
+    q = run_to_memory(stream_selection_tags(sdf, dsir=dsir, ccnet=ccnet), name)
+    try:
+        q.processAllAvailable()
+        got = {r.doc_id: r for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+
+    batch_dsir = {r.doc_id: r for r in dsir_importance_weights(spark, sf).collect()}
+    batch_cc = {r.doc_id: r for r in ccnet_perplexity_buckets(spark, sf).collect()}
+    assert set(batch_dsir) <= set(got)
+    assert any(r.selected for r in batch_dsir.values())
+    assert {r.bucket for r in batch_cc.values()} == {"head", "middle", "tail"}
+    for did, s in got.items():
+        b = batch_dsir.get(did)
+        if b is not None:
+            assert s.dsir_weight_ppm == b.dsir_weight_ppm, did
+            assert s.dsir_selected == b.selected, did
+        else:  # zero-token doc: batch never weighted it
+            assert s.dsir_weight_ppm is None and s.dsir_selected is None
+        c = batch_cc.get(did)
+        if c is not None:
+            assert s.lm_score_ppm == c.lm_score_ppm, did
+            assert s.ccnet_bucket == c.bucket, did
+        else:
+            assert s.lm_score_ppm is None and s.ccnet_bucket is None, did
