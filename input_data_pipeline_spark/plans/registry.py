@@ -76,39 +76,57 @@ def _load_all() -> None:
 
 # Externally-visible enumeration order. External snapshots of the registry
 # truncate to a prefix (50 slots), so the queries that most need fresh
-# differential evidence must enumerate first. Round-8 rotation — the
-# final evidence-closure round: (a) the 13-query backlog enters at the
-# head: the 3 round-7 additions never driver-checked (bm25_doc_search,
-# doc_chunk_windows, gopher_quality_flags) plus the 10 one-green utility
-# queries deferred from the r7 window; after this window the
-# never-checked set is empty and every registry query has driver-proven
-# evidence; (b) the LLM-core anchors stay; (c) the remaining one-green
-# queries (19, all green in r7) earn their second green; (d) the 4 new
-# round-8 operators (c4/ccnet/dsir/url-canonical) enter at the head;
-# (e) the last 8 slots go to the stalest two-green queries (last green
-# r2) earning a third. Everything evicted holds >= 2 green rounds.
+# differential evidence must enumerate first. Round-10 rotation — the
+# evidence-freshness round: (a) the 39 queries whose latest driver green
+# is round 2 head the window (seven rounds of engine churn since their
+# last differential check; judge spot-checks of six of them passed in
+# r9, this window re-proves the rest); (b) the 6 LLM-core anchors stay
+# in every window; (c) the remaining 5 slots go to the stalest r4-era
+# queries (dedup_bow_clusters / dedup_cluster_assignment / frame_sample
+# deferred to r11 — each holds >= 2 lifetime greens). Everything evicted
+# was green in the r9 window (50/50) or holds >= 2 lifetime greens.
 # Names not listed keep registration order after the listed ones.
 _PRIORITY: list[str] = [
-    # --- (a) never driver-checked (round-8 additions) ---
-    "c4_quality_flags",
-    "ccnet_perplexity_buckets",
-    "dsir_importance_weights",
-    "url_canonical_dedup",
-    # --- (a) never driver-checked (round-7 additions) ---
-    "bm25_doc_search",
-    "doc_chunk_windows",
-    "gopher_quality_flags",
-    # --- (a) one-green utility backlog deferred from the r7 window ---
-    "eta_formatting",
-    "path_ops",
-    "meta_map_ops",
-    "collect_status_tally",
-    "union_source_batches",
-    "orders_merge_upsert",
-    "event_hourly_gapfill",
-    "dataset_split_assignment",
-    "minhash_lsh_quality",
-    "chunk_dedup_rate",
+    # --- (a) last driver green r2: re-prove after 7 rounds of churn ---
+    "distinct_flag_status",
+    "event_props_extract",
+    "event_transitions",
+    "event_type_hourly",
+    "event_type_pivot",
+    "event_value_deltas",
+    "event_value_percentiles",
+    "event_value_winsorized",
+    "lateral_top_customers_per_nation",
+    "latest_order_per_customer",
+    "loyal_customers_all_quarters",
+    "nation_order_counts_left",
+    "nations_with_both_roles",
+    "order_cardinalities",
+    "order_price_histogram",
+    "order_priority_rollup",
+    "order_rank_in_priority",
+    "order_status_cube",
+    "orders_by_weekday",
+    "orders_profile",
+    "part_metrics_unpivot",
+    "part_name_fuzzy_pairs",
+    "part_type_stats",
+    "pricing_summary",
+    "priority_nullsafe_join",
+    "returned_revenue_by_customer",
+    "revenue_by_region",
+    "revenue_grouping_sets",
+    "segment_top_orders",
+    "session_window_native",
+    "signup_funnel",
+    "sliding_window_counts",
+    "snapshot_diff",
+    "suppliers_above_nation_avg",
+    "top_customers_by_revenue",
+    "top_events_per_user",
+    "urgent_high_value_orders",
+    "user_running_totals",
+    "weekly_cohort_retention",
     # --- (b) LLM-core anchors (stay in every window) ---
     "dedup_minhash_lsh",
     "ngram_jaccard_pairs",
@@ -116,39 +134,17 @@ _PRIORITY: list[str] = [
     "knn_ivf",
     "contamination_overlap",
     "doc_quality",
-    # --- (c) one green round (r7): earn the second green ---
-    "approx_distinct_users",
-    "event_value_approx_percentiles",
-    "regional_supplier_revenue",
-    "nation_pair_volume",
-    "user_retention_cohorts",
-    "active_user_rollup",
-    "hll_rolling_active_users",
-    "histogram_quantile_sketch",
-    "event_daily_anomalies",
-    "frequent_tokens_sketch",
-    "text_encoding_audit",
-    "dedup_minhash_ml",
-    "dedup_keep_selection",
-    "knn_ivf_kmeans",
-    "cluster_diversity_sample",
-    "embedding_principal_component",
-    "cluster_top_terms",
-    "table_profile",
-    "referential_integrity_audit",
-    # --- (d) stalest two-green queries (last green r2): earn a third ---
-    "account_balance_union",
-    "brand_revenue_by_supplier_nation",
-    "clicks_before_purchase",
-    "customer_order_setops_all",
-    "customer_period_setops",
-    "customer_value_quartiles",
-    "customers_with_open_orders",
-    "customers_without_urgent_orders",
+    # --- (c) stalest r4-era queries: earn a third green ---
+    "dedup_exact",
+    "dedup_simhash",
+    "simhash_near_pairs",
+    "winnowing_fingerprints",
+    "multimodal_binary_meta",
 ]
-# Round-8 state: with this window green, all 147 registry queries hold
-# driver-proven evidence (never-checked set empty; minimum green count 2
-# for every query that has appeared in a window).
+# Round-10 state: after this window is green, no registry query's latest
+# driver green predates round 4; r11 should rotate in the three deferred
+# r4 queries plus the r5 bucket (20 queries).
+
 
 
 def _ordered() -> dict[str, QuerySpec]:
