@@ -1025,23 +1025,32 @@ def _canon_duck_expr() -> str:
     return expr
 
 
-def canonical_url_groups(recs: DataFrame) -> DataFrame:
-    """Group a ``(rec_id, url)`` table by canonical URL: lowercase
-    scheme+host, drop fragments, strip utm_*/gclid/fbclid tracking params
-    (tidying the separators left behind), drop default ports (:80/:443),
-    and drop a trailing path slash — all JVM-side regexp over the shared
-    ``_CANON_STEPS`` (RE2-safe patterns so DuckDB replays them exactly;
-    Java ``$1`` vs RE2 ``\\1`` replacement syntax is the only per-engine
-    difference). Survivor per group = MIN(rec_id)."""
-    prefix = F.regexp_extract("url", r"^[a-zA-Z]+://[^/?#]+", 0)
+def canonical_url_col(url_col: str = "url"):
+    """The canonicalized-URL column: lowercase scheme+host, then the
+    shared ``_CANON_STEPS`` regexp pipeline (fragment drop, tracking-param
+    strip + separator tidy, default-port drop, trailing-slash drop) —
+    one map-only JVM expression, stated once so the batch dedup
+    (:func:`canonical_url_groups`), the DuckDB oracle
+    (:func:`_canon_duck_expr`), and the streaming dedup key
+    (``streaming.pipelines.stream_url_dedup``) canonicalize identically."""
+    prefix = F.regexp_extract(url_col, r"^[a-zA-Z]+://[^/?#]+", 0)
     u = F.concat(
         F.lower(prefix),
-        F.substring(F.col("url"), F.length(prefix) + F.lit(1), F.lit(1 << 20)),
+        F.substring(F.col(url_col), F.length(prefix) + F.lit(1), F.lit(1 << 20)),
     )
     for pat, java_repl, _ in _CANON_STEPS:
         u = F.regexp_replace(u, pat, java_repl)
+    return u
+
+
+def canonical_url_groups(recs: DataFrame) -> DataFrame:
+    """Group a ``(rec_id, url)`` table by canonical URL (the shared
+    :func:`canonical_url_col` expression; RE2-safe patterns so DuckDB
+    replays them exactly — Java ``$1`` vs RE2 ``\\1`` replacement syntax
+    is the only per-engine difference). Survivor per group =
+    MIN(rec_id)."""
     return (
-        recs.select("rec_id", u.alias("canonical_url"))
+        recs.select("rec_id", canonical_url_col("url").alias("canonical_url"))
         .groupBy("canonical_url")
         .agg(
             F.count(F.lit(1)).alias("n_variants"),

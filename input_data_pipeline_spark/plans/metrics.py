@@ -99,13 +99,22 @@ def fit_exponent(points: list[dict]) -> float:
     2.0 = the all-pairs failure mode). A single 10x ratio bounded at 15x
     can hide a quadratic term; two steps (three points) cannot: a shape
     that is c*n + d*n^2 bends the log-log line upward and the fitted
-    slope exceeds the linear bound. Both axes floor at 64 KiB so a
-    map-only query's near-zero shuffle yields slope ~0, not noise."""
+    slope exceeds the linear bound.
+
+    Points whose shuffle is below a 64 KiB noise floor are DROPPED from
+    the fit rather than clamped: clamping would lift the small-scale
+    point and understate the slope — the exact curvature the three-point
+    sweep exists to catch. If fewer than 2 real-shuffle points remain
+    (map-only query), the exponent is 0.0 by definition. The per-step
+    ratio bound still covers the dropped steps."""
     import math
 
     floor = 64 * 1024
-    xs = [math.log(max(p["input_bytes"], floor)) for p in points]
-    ys = [math.log(max(p["shuffle_write_bytes"], floor)) for p in points]
+    real = [p for p in points if p["shuffle_write_bytes"] >= floor]
+    if len(real) < 2:
+        return 0.0
+    xs = [math.log(max(p["input_bytes"], floor)) for p in real]
+    ys = [math.log(p["shuffle_write_bytes"]) for p in real]
     n = len(xs)
     mx, my = sum(xs) / n, sum(ys) / n
     sxx = sum((x - mx) ** 2 for x in xs)

@@ -303,6 +303,39 @@ def stream_corpus_hygiene(
     )
 
 
+def stream_url_dedup(
+    recs: DataFrame,
+    watermark: str = "1 hour",
+    url_col: str = "url",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming face of canonical-URL dedup — the web-crawl front door
+    (``operators.curation.url_canonical_dedup``) applied at ingest time:
+    canonicalize every arriving URL map-side with THE SAME
+    ``canonical_url_col`` expression the batch operator and its DuckDB
+    oracle share (``_CANON_STEPS``), then keep only the FIRST arrival per
+    canonical URL via ``dropDuplicatesWithinWatermark`` — re-crawled
+    spellings of a page already ingested inside the watermark horizon
+    drop statefully, exactly as re-crawls dedup against the manifest in
+    batch (J1 shape).
+
+    Scale shape: canonicalization is a map-only JVM regexp projection
+    (no UDF); the only state is the dedup key set, bounded by the
+    watermark horizon and keyed by the canonical URL string — the same
+    bounded-state contract as ``stream_corpus_hygiene``'s fingerprint
+    dedup. Batch/stream parity (one survivor per canonical group, and
+    the survivor is a member of the group) is pinned by
+    ``tests/test_streaming.py::test_stream_url_dedup_matches_batch_groups``.
+    """
+    from input_data_pipeline_spark.operators.curation import canonical_url_col
+
+    return (
+        recs.withColumn("canonical_url", canonical_url_col(url_col))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["canonical_url"])
+    )
+
+
 def stream_quality_gate(
     docs: DataFrame,
     rules: tuple[str, ...] = ("c4", "gopher"),

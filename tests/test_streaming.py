@@ -1035,3 +1035,67 @@ def test_stream_selection_tags_match_batch(spark, tmp_path):
             assert s.ccnet_bucket == c.bucket, did
         else:
             assert s.lm_score_ppm is None and s.ccnet_bucket is None, did
+
+
+def test_stream_url_dedup_matches_batch_groups(spark, tmp_path):
+    """Round-10 streaming face of canonical-URL dedup: every spelling
+    class in the hand-auditable batch fixture must collapse to the SAME
+    canonical key on the stream (shared canonical_url_col expression),
+    re-crawled spellings arriving in a LATER micro-batch must drop
+    statefully, and the surviving set must be exactly one member per
+    batch canonical group."""
+    import json
+
+    from input_data_pipeline_spark.operators.curation import (
+        _CANON_FIXTURE,
+        canonical_url_groups,
+    )
+    from input_data_pipeline_spark.streaming.pipelines import (
+        run_to_memory,
+        stream_url_dedup,
+    )
+
+    fixture = dict(_CANON_FIXTURE)
+    batch = {
+        r.canonical_url: r
+        for r in canonical_url_groups(
+            spark.createDataFrame(_CANON_FIXTURE, "rec_id string, url string")
+        ).collect()
+    }
+    assert len(batch) == 4  # the fixture's four spelling groups
+
+    src = tmp_path / "urls"
+    src.mkdir()
+
+    def emit(name, rec_ids, t0):
+        rows = [
+            {"rec_id": rid, "ts": f"2024-01-01T00:0{t0 + i}:00", "url": fixture[rid]}
+            for i, rid in enumerate(rec_ids)
+        ]
+        (src / name).write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n", encoding="utf-8"
+        )
+
+    sdf = spark.readStream.schema("rec_id string, ts timestamp, url string").json(
+        str(src)
+    )
+    name = _unique("urldedup")
+    # one spelling per group first; every other spelling re-arrives later
+    emit("b0.jsonl", ["r1", "r4", "r7", "r9"], 0)
+    q = run_to_memory(stream_url_dedup(sdf, watermark="1 hour"), name)
+    try:
+        q.processAllAvailable()
+        emit("b1.jsonl", ["r2", "r3", "r5", "r6", "r8"], 4)
+        q.processAllAvailable()
+        got = spark.table(name).collect()
+    finally:
+        q.stop()
+
+    assert len(got) == 4  # one survivor per canonical group, dups dropped
+    assert {r.rec_id for r in got} == {"r1", "r4", "r7", "r9"}
+    # stream canonical keys == batch group keys, bit for bit
+    assert {r.canonical_url for r in got} == set(batch)
+    # and each survivor really is a member of its batch group
+    for r in got:
+        g = batch[r.canonical_url]
+        assert g.n_variants >= 1 and r.url == fixture[r.rec_id]
