@@ -1603,7 +1603,9 @@ _BG_SEP = "\t"  # tokens are whitespace-split, so no token can contain a tab
     ORDER BY d.doc_id
     """,
 )
-def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bigram_lm_doc_scores(
+    spark: SparkSession, sf_dir: str, top_n: int | None = None
+) -> DataFrame:
     """Corpus-trained bigram LM score per document — the perplexity-proxy
     quality filter (docs whose word transitions are unusual under the
     corpus' own bigram statistics score low; boilerplate and fluent text
@@ -1619,11 +1621,17 @@ def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT bigrams with counts before the probability lookup join, so
     the wire carries |doc×distinct-bigram| rows, not |tokens|. Hot bigrams
     make hot lookup partitions only — AQE skew-join splits them; no
-    Python UDF anywhere."""
+    Python UDF anywhere.
+
+    ``top_n`` scores against the pruned model of :func:`_bigram_p`
+    (out-of-vocabulary bigrams skipped by the inner join; docs with no
+    in-vocabulary bigram drop out, exactly like sub-2-token docs). The
+    registry query scores against the full table (top_n=None) so the
+    DuckDB oracle stays the exact corpus LM."""
     bi = _bigram_instances(load_table(spark, sf_dir, "documents"))
     d = bi.groupBy("doc_id", "lang", "bg").agg(F.count(F.lit(1)).alias("cnt"))
     return (
-        d.join(_bigram_p(bi), "bg")
+        d.join(_bigram_p(bi, top_n=top_n), "bg")
         .groupBy("doc_id", "lang")
         .agg(
             F.sum("cnt").alias("n_bigrams"),
@@ -1654,10 +1662,22 @@ def _bigram_instances(docs: DataFrame) -> DataFrame:
     )
 
 
-def _bigram_p(bi: DataFrame) -> DataFrame:
+def _bigram_p(bi: DataFrame, top_n: int | None = None) -> DataFrame:
     """The trained conditional-probability table (bg, p_ppm) — the
-    'model' half of the bigram LM: p(w2|w1) = c(w1,w2)/c(w1·) in ppm."""
+    'model' half of the bigram LM: p(w2|w1) = c(w1,w2)/c(w1·) in ppm.
+
+    ``top_n`` prunes the model to the N most frequent bigrams (ties break
+    on the bigram string for a deterministic model) — how CCNet ships a
+    FINITE KenLM rather than the corpus's full Heaps-law bigram
+    vocabulary. Denominators stay the full corpus counts, so a surviving
+    bigram's probability is unchanged by pruning; dropped bigrams are
+    out-of-vocabulary everywhere downstream (the scorer's inner join and
+    the streaming tagger's dict miss skip them identically). The prune is
+    a TakeOrderedAndProject (bounded per-partition heaps), never a global
+    sort."""
     cnt2 = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    if top_n is not None:
+        cnt2 = cnt2.orderBy(F.desc("c2"), "bg").limit(top_n)
     cnt1 = bi.groupBy(
         F.substring_index("bg", _BG_SEP, 1).alias("w1")
     ).agg(F.count(F.lit(1)).alias("c1"))
@@ -2283,7 +2303,9 @@ def c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
 )
-def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ccnet_perplexity_buckets(
+    spark: SparkSession, sf_dir: str, top_n: int | None = None
+) -> DataFrame:
     """CCNet's head/middle/tail split (Wenzek et al. 2020, §3.3): per
     language, rank every document by LM quality and cut the ranking into
     equal thirds — "head" (most fluent, usually kept), "middle", "tail"
@@ -2304,14 +2326,22 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative sum over the (lang, score) HISTOGRAM — a window
     partitioned by lang but over distinct-score rows, bounded by the ppm
     score domain, not the corpus. The second is a row_number partitioned
-    by the composite (lang, lm_score_ppm) — skew is bounded by the
-    largest equal-score run, not the largest language. Tercile cuts per
-    NTILE semantics (first n%3 buckets take the extra row) broadcast as
-    a |langs|-row table. Bit-identical to the oracle's NTILE; the
-    doc-grain table never sorts on a lang-only key (plan-guarded).
+    by the composite (lang, lm_score_ppm, doc_id DIV W) — since round 10
+    equal-score runs sub-split on a doc_id range bucket with exact
+    per-bucket rank offsets, so NO window partition exceeds W rows even
+    when the corpus piles onto one degenerate score (see
+    :func:`_ccnet_ranked`). Tercile cuts per NTILE semantics (first n%3
+    buckets take the extra row) broadcast as a |langs|-row table.
+    Bit-identical to the oracle's NTILE; the doc-grain table never sorts
+    on a lang-only key (plan-guarded).
+
+    ``top_n`` ranks against the pruned ``top_n``-bigram LM (the capped
+    model the streaming trainer publishes — parity face for
+    :func:`ccnet_stream_thresholds`); the registry query uses the full
+    LM so the oracle stays exact NTILE over the exact scores.
     """
     return (
-        _ccnet_ranked(spark, sf_dir)
+        _ccnet_ranked(spark, sf_dir, top_n=top_n)
         .select(
             "doc_id",
             "lang",
@@ -2325,18 +2355,39 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ccnet_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Width of the doc_id range each equal-score run is sub-split into for the
+# doc-grain row_number: the window partition holds at most this many rows
+# no matter how many documents share one (lang, score) — see _ccnet_ranked.
+_CCNET_RUN_BUCKET = 1 << 20
+
+
+def _ccnet_ranked(
+    spark: SparkSession, sf_dir: str, top_n: int | None = None
+) -> DataFrame:
     """Per-doc exact per-language rank plus the NTILE(3) cut ranks —
     the decomposition :func:`ccnet_perplexity_buckets` documents (histogram
     cumulative offsets + composite-key row_number), shared with the
-    threshold trainer :func:`ccnet_stream_thresholds`."""
+    threshold trainer :func:`ccnet_stream_thresholds`.
+
+    The doc-grain row_number's partition key is (lang, lm_score_ppm, rbk)
+    where ``rbk = doc_id DIV _CCNET_RUN_BUCKET``: a corpus where mass
+    piles on one degenerate score (empty/boilerplate docs all scoring the
+    same ppm) would otherwise make the equal-score RUN itself the hot
+    key. ``doc_id DIV W`` is monotone in doc_id, so ordering by doc_id
+    within a bucket plus the per-bucket cumulative offset (``bucket_
+    before``, a window over the run's <= run/W bucket-grain rows)
+    reconstructs the exact within-run position — no window partition
+    anywhere in the plan exceeds W rows, whatever the score
+    distribution."""
     from pyspark.sql import Window
 
-    # Three consumers (doc rows, histogram, per-lang counts) — materialize
-    # the per-doc score table once (in production: the persisted scores).
+    # Four consumers (doc rows, histogram, bucket offsets, per-lang
+    # counts) — materialize the per-doc score table once (in production:
+    # the persisted scores).
     scores = (
-        bigram_lm_doc_scores(spark, sf_dir)
+        bigram_lm_doc_scores(spark, sf_dir, top_n=top_n)
         .select("doc_id", "lang", "lm_score_ppm")
+        .withColumn("rbk", F.expr(f"doc_id DIV {_CCNET_RUN_BUCKET}"))
         .localCheckpoint(eager=False)
     )
     hist = scores.groupBy("lang", "lm_score_ppm").agg(
@@ -2356,37 +2407,60 @@ def _ccnet_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
                    " + CAST(n % 3 >= 2 AS BIGINT)").alias("cut2"),
         )
     )
-    wr = Window.partitionBy("lang", "lm_score_ppm").orderBy("doc_id")
-    rank = F.col("cum_before") + F.row_number().over(wr)
+    # per-run bucket offsets: window over bucket-grain rows (<= run/W per
+    # (lang, score)), never doc-grain
+    wb = Window.partitionBy("lang", "lm_score_ppm").orderBy("rbk")
+    sub = (
+        scores.groupBy("lang", "lm_score_ppm", "rbk")
+        .agg(F.count(F.lit(1)).alias("brun"))
+        .withColumn("bucket_before", F.sum("brun").over(wb) - F.col("brun"))
+        .select("lang", "lm_score_ppm", "rbk", "bucket_before")
+    )
+    wr = Window.partitionBy("lang", "lm_score_ppm", "rbk").orderBy("doc_id")
+    rank = (
+        F.col("cum_before") + F.col("bucket_before") + F.row_number().over(wr)
+    )
     return (
         scores.join(hist, ["lang", "lm_score_ppm"])
+        .join(sub, ["lang", "lm_score_ppm", "rbk"])
         .join(F.broadcast(cuts), "lang")
         .withColumn("rank", rank)
     )
 
 
 def ccnet_stream_thresholds(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, top_n: int = 65536
 ) -> tuple[dict[str, int], dict[str, tuple[tuple[int, int], tuple[int, int]]]]:
     """Batch-trains / stream-applies for the CCNet split: a batch job
     trains the bigram LM and the per-language tercile boundaries on the
     corpus; an ingest stream tags arriving docs against them map-side
     (``streaming.pipelines.stream_selection_tags``).
 
+    The published LM is CAPPED at the ``top_n`` most frequent bigrams
+    (:func:`_bigram_p`): the corpus bigram vocabulary grows without bound
+    (Heaps' law), so collecting the FULL table would give the trainer
+    unbounded driver state and the tagger an unbounded closure — the
+    exact failure DSIR's fixed 256 buckets avoid by construction. CCNet
+    itself ships a finite pruned KenLM; the cap is that pruning. Missing
+    bigrams are out-of-vocabulary on BOTH faces (the stream tagger's dict
+    miss and the batch scorer's inner join against the same pruned
+    table), so batch/stream parity holds by construction at any cap —
+    pinned by the parity test training with a deliberately BITING cap.
+
     Returns ``(p_ppm, cuts)``: ``p_ppm`` maps tab-joined bigram →
-    conditional probability in ppm (the trained LM — here collected to a
-    dict the tagger broadcasts; a production KenLM model ships to
-    executors behind the same per-executor-singleton seam as the heavy
-    media codecs), and ``cuts[lang] = ((s1, d1), (s2, d2))`` — the
+    conditional probability in ppm (<= top_n entries — the trained LM
+    the tagger broadcasts; a production KenLM model ships to executors
+    behind the same per-executor-singleton seam as the heavy media
+    codecs), and ``cuts[lang] = ((s1, d1), (s2, d2))`` — the
     (lm_score_ppm, doc_id) pairs AT the head/middle cut ranks, so a doc
     is 'head' iff (score, doc_id) orders at-or-before (s1, d1) under
     (score DESC, doc_id ASC), 'middle' iff at-or-before (s2, d2) —
-    bit-identical buckets to :func:`ccnet_perplexity_buckets` for any
-    doc the batch ranking saw.
+    bit-identical buckets to ``ccnet_perplexity_buckets(top_n=top_n)``
+    for any doc the batch ranking saw.
     """
     bi = _bigram_instances(load_table(spark, sf_dir, "documents"))
-    p_ppm = {r["bg"]: r["p_ppm"] for r in _bigram_p(bi).collect()}
-    ranked = _ccnet_ranked(spark, sf_dir)
+    p_ppm = {r["bg"]: r["p_ppm"] for r in _bigram_p(bi, top_n=top_n).collect()}
+    ranked = _ccnet_ranked(spark, sf_dir, top_n=top_n)
     rows = ranked.filter(
         (F.col("rank") == F.col("cut1")) | (F.col("rank") == F.col("cut2"))
     ).collect()

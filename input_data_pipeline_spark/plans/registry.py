@@ -44,12 +44,15 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
 
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        def wrapped(spark: SparkSession, sf_dir: str, **kwargs) -> DataFrame:
             # The caller may hand us an arbitrarily-configured session (the
             # round driver does). Timestamp semantics must not depend on it:
             # parquet instants + our literal date bounds are defined in UTC.
+            # Extra keyword-only knobs (e.g. ccnet's top_n LM cap) pass
+            # through for direct callers; the registry always calls with
+            # the two positional args, so every oracle sees the defaults.
             spark.conf.set("spark.sql.session.timeZone", "UTC")
-            return fn(spark, sf_dir)
+            return fn(spark, sf_dir, **kwargs)
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__

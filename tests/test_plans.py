@@ -357,11 +357,14 @@ def test_round9_selection_ops_have_no_global_windows(spark, sf_dir):
 
     cc_plan = _executed_plan(ccnet_perplexity_buckets(spark, sf_dir))
     assert "ntile" not in cc_plan
-    # the doc-grain rank partitions by BOTH lang and score (the order
-    # clause doc_id ASC follows two partition columns in the spec)
+    # the doc-grain rank partitions by lang, score AND the doc_id range
+    # bucket (round 10: equal-score runs sub-split, so no window
+    # partition exceeds _CCNET_RUN_BUCKET rows even on a degenerate
+    # score distribution); the order clause doc_id ASC follows THREE
+    # partition columns in the spec
     assert re.search(
         r"row_number\(\) windowspecdefinition\("
-        r"lang#\d+, lm_score_ppm#\d+L?, doc_id#\d+L? ASC",
+        r"lang#\d+, lm_score_ppm#\d+L?, rbk#\d+L?, doc_id#\d+L? ASC",
         cc_plan,
     )
     # any lang-only-partitioned window (spec: lang, <order> DESC) must be

@@ -95,6 +95,21 @@ def test_fit_exponent_flags_quadratic_and_passes_linear():
     assert fit_exponent([
         {"input_bytes": n, "shuffle_write_bytes": 0} for n in (1, 10, 100)
     ]) == 0.0
+    # a below-floor small point is DROPPED, not clamped: clamping would
+    # lift it to the floor and understate the slope of the real points —
+    # the exact curvature the three-point sweep exists to catch
+    ramp = fit_exponent([
+        {"input_bytes": 1 * mb, "shuffle_write_bytes": 0},
+        {"input_bytes": 10 * mb, "shuffle_write_bytes": 10 * mb},
+        {"input_bytes": 100 * mb, "shuffle_write_bytes": 1000 * mb},
+    ])
+    assert abs(ramp - 2.0) < 1e-9
+    # with fewer than two real-shuffle points there is nothing to fit
+    assert fit_exponent([
+        {"input_bytes": 1 * mb, "shuffle_write_bytes": 0},
+        {"input_bytes": 10 * mb, "shuffle_write_bytes": 0},
+        {"input_bytes": 100 * mb, "shuffle_write_bytes": 1000 * mb},
+    ]) == 0.0
 
 
 def test_committed_scale_growth_artifact_has_three_points_and_linear_exponents():

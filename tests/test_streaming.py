@@ -981,7 +981,14 @@ def test_stream_selection_tags_match_batch(spark, tmp_path):
     """Round-9 batch-trains/stream-applies parity: DSIR weights/selection
     and CCNet scores/buckets tagged on a document STREAM (map-only, no
     state) must equal the batch operators' cells on the same docs. Docs
-    the batch ranking never scored (no trained bigram) tag null."""
+    the batch ranking never scored (no trained bigram) tag null.
+
+    Round-10 hardening: the CCNet trainer publishes a CAPPED top-N
+    bigram LM (bounded driver state / tagger closure — how CCNet ships a
+    finite pruned KenLM). The cap here (512) deliberately BITES at this
+    scale (full sf0.001 vocab is ~916 bigrams), so parity against the
+    same-capped batch face proves the out-of-vocabulary semantics match
+    on both faces rather than passing because the cap was a no-op."""
     import shutil
 
     from input_data_pipeline_spark.operators.curation import (
@@ -989,6 +996,8 @@ def test_stream_selection_tags_match_batch(spark, tmp_path):
         dsir_stream_thresholds,
     )
     from input_data_pipeline_spark.operators.textstats import (
+        _bigram_instances,
+        _bigram_p,
         ccnet_perplexity_buckets,
         ccnet_stream_thresholds,
     )
@@ -996,11 +1005,18 @@ def test_stream_selection_tags_match_batch(spark, tmp_path):
         run_to_memory,
         stream_selection_tags,
     )
+    from input_data_pipeline_spark.tables import load_table
 
     sf = "/root/testdata/sf0.001"
+    cap = 512
     dsir = dsir_stream_thresholds(spark, sf)
-    ccnet = ccnet_stream_thresholds(spark, sf)
+    ccnet = ccnet_stream_thresholds(spark, sf, top_n=cap)
     assert 0 < len(dsir[0]) <= 256  # fixed-size published model
+    assert len(ccnet[0]) == cap  # trainer driver state bounded by the cap
+    full_vocab = _bigram_p(
+        _bigram_instances(load_table(spark, sf, "documents"))
+    ).count()
+    assert full_vocab > cap  # the cap actually bites at this scale
 
     src = tmp_path / "docs"
     src.mkdir()
@@ -1018,7 +1034,12 @@ def test_stream_selection_tags_match_batch(spark, tmp_path):
         q.stop()
 
     batch_dsir = {r.doc_id: r for r in dsir_importance_weights(spark, sf).collect()}
-    batch_cc = {r.doc_id: r for r in ccnet_perplexity_buckets(spark, sf).collect()}
+    # the batch face the stream must match is the SAME capped LM the
+    # trainer published — parity by construction, not by cap-sized luck
+    batch_cc = {
+        r.doc_id: r
+        for r in ccnet_perplexity_buckets(spark, sf, top_n=cap).collect()
+    }
     assert set(batch_dsir) <= set(got)
     assert any(r.selected for r in batch_dsir.values())
     assert {r.bucket for r in batch_cc.values()} == {"head", "middle", "tail"}
