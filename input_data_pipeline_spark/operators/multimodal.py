@@ -117,10 +117,15 @@ def _decode_png(payload: bytes) -> dict:
     feature/resize kernels consume, so a PNG and a BMP of the same image
     fingerprint identically.
 
-    The unfilter loop is per-byte Python — inherent to the format (sub/
-    average/paeth depend on the just-decoded left neighbor). Fine for the
-    test fixtures; megapixel production decode goes through the
-    per-executor singleton codec seam like every heavy decoder (U2).
+    Unfiltering: none is a copy, up is one wrapping numpy add against the
+    prior row, and sub is a per-channel-lane prefix sum (uint8 cumsum
+    wraps mod 256 — exactly the filter's arithmetic), so the three
+    filters real encoders emit most are vectorized whole-row. Average and
+    paeth stay per-byte Python — each output byte depends NONLINEARLY
+    (shift / 3-way min) on the just-decoded left neighbor, so there is no
+    closed-form scan; fine for the test fixtures, and megapixel
+    production decode goes through the per-executor singleton codec seam
+    like every heavy decoder (U2).
     """
     import struct
     import zlib
@@ -162,47 +167,57 @@ def _decode_png(payload: bytes) -> dict:
         )
     if interlace != 0:
         raise ValueError("Adam7-interlaced PNG unsupported")
-    raw = zlib.decompress(bytes(idat))
+    if not idat:
+        raise ValueError("no IDAT chunk found")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # malformed-payload contract: every bad-bytes path raises
+        # ValueError, so callers filtering decode failures catch this too
+        raise ValueError(f"corrupt PNG DEFLATE stream: {e}") from e
     rowlen = width * ch
     if len(raw) != (rowlen + 1) * height:
         raise ValueError("PNG pixel data size mismatch after inflate")
 
-    prev = bytearray(rowlen)
+    import numpy as np
+
+    prev = np.zeros(rowlen, dtype=np.uint8)
     rows = []
     for r in range(height):
         base = r * (rowlen + 1)
         f = raw[base]
-        line = bytearray(raw[base + 1 : base + 1 + rowlen])
+        cur = np.frombuffer(raw, dtype=np.uint8, count=rowlen, offset=base + 1)
         if f == 0:
-            pass
-        elif f == 1:  # sub
-            for i in range(ch, rowlen):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
-        elif f == 2:  # up
-            for i in range(rowlen):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif f == 3:  # average
-            for i in range(rowlen):
-                a = line[i - ch] if i >= ch else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif f == 4:  # paeth
-            for i in range(rowlen):
-                a = line[i - ch] if i >= ch else 0
-                b = prev[i]
-                c = prev[i - ch] if i >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
+            line = cur.copy()
+        elif f == 1:  # sub: per-channel-lane prefix sum; uint8 wraps mod 256
+            line = np.cumsum(
+                cur.reshape(-1, ch), axis=0, dtype=np.uint8
+            ).reshape(-1)
+        elif f == 2:  # up: one wrapping add against the prior row
+            line = cur + prev
+        elif f in (3, 4):  # average / paeth: inherently sequential
+            lb = bytearray(cur.tobytes())
+            if f == 3:
+                for i in range(rowlen):
+                    a = lb[i - ch] if i >= ch else 0
+                    lb[i] = (lb[i] + ((a + int(prev[i])) >> 1)) & 0xFF
+            else:
+                for i in range(rowlen):
+                    a = lb[i - ch] if i >= ch else 0
+                    b = int(prev[i])
+                    c = int(prev[i - ch]) if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    lb[i] = (lb[i] + pred) & 0xFF
+            line = np.frombuffer(bytes(lb), dtype=np.uint8)
         else:
             raise ValueError(f"unknown PNG filter type {f}")
         prev = line
-        rows.append(bytes(line))
-
-    import numpy as np
+        rows.append(line)
 
     # RGB(A) → BGR(A): downstream kernels index channels BMP-style
-    plane = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(-1, ch).copy()
+    plane = np.concatenate(rows).reshape(-1, ch).copy()
     plane[:, [0, 2]] = plane[:, [2, 0]]
     return {
         "width": width,
@@ -234,10 +249,15 @@ def _decode_avi(payload: bytes) -> dict:
     avih = None
     bit_count = None
     frames: list[bytes] = []
-    stream_type = None  # fccType of the most recent 'strh' in this strl list
 
     def walk(start: int, end: int) -> None:
-        nonlocal avih, bit_count, stream_type
+        nonlocal avih, bit_count
+        # fccType of the most recent 'strh' in THIS list only: each LIST
+        # level gets its own, so a child strl can never leak its stream
+        # type to a later sibling (a stray 'strf' after an audio strl
+        # would otherwise be read against the stale type), and a strl
+        # whose strf has no preceding strh matches nothing
+        stream_type = None
         pos = start
         while pos + 8 <= end:
             cid = payload[pos : pos + 4]

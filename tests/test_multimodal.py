@@ -424,6 +424,42 @@ def test_decode_png_rgba_and_rejects():
         decode_media(b"\xff\xd8\xff\xe0jpeg....", "image")
 
 
+def test_decode_png_missing_idat_and_corrupt_deflate_raise_value_error():
+    """Malformed-payload contract: a PNG with IHDR but no IDAT, or with
+    undecodable DEFLATE bytes in its IDAT, must raise the ValueError every
+    other bad-bytes path raises — never a bare zlib.error callers
+    filtering on ValueError/NotImplementedError would miss."""
+    import struct
+    import zlib
+
+    def chunk(cid, body):
+        return struct.pack(">I", len(body)) + cid + body + b"\x00\x00\x00\x00"
+
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+    no_idat = b"\x89PNG\r\n\x1a\n" + ihdr + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="no IDAT"):
+        decode_media(no_idat, "image")
+    bad_deflate = (
+        b"\x89PNG\r\n\x1a\n"
+        + ihdr
+        + chunk(b"IDAT", b"\xff\xff not deflate \x00\x01")
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="corrupt PNG DEFLATE"):
+        decode_media(bad_deflate, "image")
+    # sanity: genuinely compressed but TRUNCATED deflate also maps to
+    # ValueError (zlib raises on flush)
+    good = zlib.compress(bytes(15))
+    trunc = (
+        b"\x89PNG\r\n\x1a\n"
+        + ihdr
+        + chunk(b"IDAT", good[: len(good) // 2])
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="corrupt PNG DEFLATE"):
+        decode_media(trunc, "image")
+
+
 def test_png_and_bmp_of_same_image_fingerprint_identically(spark):
     """The cross-format contract: a PNG and a BMP encoding of the SAME
     pixels produce byte-identical planes, so extract_image_features gives
@@ -575,6 +611,43 @@ def test_decode_avi_rejects_compressed_and_malformed():
         one = make_avi(2, 2, [[[(9, 9, 9)] * 2] * 2])
         i = one.index(b"avih") + 8 + 16  # dwTotalFrames offset in avih body
         decode_media(one[:i] + struct.pack("<I", 2) + one[i + 4:], "video")
+
+
+def test_decode_avi_stream_type_is_scoped_to_its_strl_list():
+    """A strl containing ONLY a strf (no strh) must not inherit the
+    PREVIOUS strl's stream type: the decoder scopes the strh fccType to
+    its own LIST, so the orphan strf (here vids-shaped, claiming 16 bpp)
+    matches nothing and bit_count falls back to the 24-bit default."""
+    import struct
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    def lst(ltype, body):
+        return b"LIST" + struct.pack("<I", 4 + len(body)) + ltype + body
+
+    w, h = 2, 2
+    stride = (w * 3 + 3) // 4 * 4
+    avih = struct.pack("<10I4x4x4x4x", 40000, 0, 0, 0, 1, 0, 1, 0, w, h)
+    # stream list 1: a video strh with NO strf
+    s1 = lst(b"strl", chunk(b"strh", (b"vids" + b"DIB ").ljust(56, b"\x00")))
+    # stream list 2: an ORPHAN strf (no strh) claiming 16 bpp
+    orphan_strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 16, 0, stride * h, 0, 0, 0, 0
+    )
+    s2 = lst(b"strl", chunk(b"strf", orphan_strf))
+    frame = b"".join(
+        b"".join(bytes(px) for px in row).ljust(stride, b"\x00")
+        for row in [[(9, 9, 9)] * w] * h
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + s1 + s2)
+    movi = lst(b"movi", chunk(b"00db", frame))
+    body = b"AVI " + hdrl + movi
+    meta = decode_media(b"RIFF" + struct.pack("<I", len(body)) + body, "video")
+    assert meta["bit_count"] == 24  # orphan 16-bpp strf correctly ignored
+    assert meta["n_frames"] == 1
 
 
 def test_sample_video_frames_end_to_end(spark):
