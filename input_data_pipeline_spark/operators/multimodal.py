@@ -228,6 +228,303 @@ def _decode_png(payload: bytes) -> dict:
     }
 
 
+# JPEG zig-zag scan order (ITU-T T.81 Figure 5): index i of the entropy
+# stream maps to _JPEG_ZIGZAG[i] in row-major 8x8 block order.
+_JPEG_ZIGZAG = [
+    0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_huff_table(bits: list[int], vals: bytes) -> dict:
+    """Canonical huffman table from a DHT segment's BITS/HUFFVAL arrays
+    (T.81 Annex C): {(code_length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over a JPEG entropy-coded segment: 0xFF00
+    byte-stuffing removed on the fly, RSTn markers surfaced to the caller
+    via :meth:`restart`, any other marker mid-scan is an error."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.cur = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed 0xFF data byte
+                else:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} inside entropy data"
+                    )
+            self.cur = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self, idx: int) -> None:
+        """Byte-align and consume the expected RSTn marker (T.81 §E.2.4)."""
+        self.nbits = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + (idx % 8)
+        ):
+            raise ValueError(f"missing RST{idx % 8} restart marker")
+        self.pos += 2
+
+
+def _jpeg_decode_sym(r: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """Sign-extend a t-bit JPEG magnitude value (T.81 F.2.2.1 EXTEND)."""
+    return v - ((1 << t) - 1) if t > 0 and v < (1 << (t - 1)) else v
+
+
+def _idct_matrix():
+    """Orthonormal 8-point DCT-II basis M (rows = frequencies): spatial =
+    M.T @ coef @ M inverts the 2-D DCT — two 8x8 matmuls per block, all
+    numpy."""
+    import numpy as np
+
+    n = np.arange(8)
+    m = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    m[0] *= np.sqrt(1 / 8)
+    m[1:] *= np.sqrt(2 / 8)
+    return m
+
+
+def _decode_jpeg(payload: bytes) -> dict:
+    """Decode a baseline JFIF JPEG (SOF0, 8-bit, huffman, 1-component
+    grayscale or 3-component YCbCr without chroma subsampling, optional
+    DRI/RSTn restart intervals) with stdlib ``struct`` + numpy — no
+    external codec: a marker walk collects DQT/DHT/SOF0/SOS, a canonical
+    huffman decoder reads the interleaved MCU scan (T.81 Annex F), and
+    dequantization + the separable orthonormal IDCT + the BT.601
+    YCbCr→RGB transform are three vectorized numpy steps over the
+    stacked block tensor. Returns the :func:`_decode_bmp` contract with
+    ``pixels`` a 24-bit BGR top-down plane (grayscale replicates Y into
+    all three channels), so a JPEG fingerprints and feature-extracts
+    through the same downstream kernels as BMP/PNG/AVI.
+
+    Out of scope, rejected loudly: progressive (SOF2) and the rare
+    arithmetic/hierarchical/12-bit modes, and chroma-subsampled scans
+    (4:2:0 MCU assembly) — at that point a real libjpeg belongs behind
+    the per-executor singleton codec seam (U2). Only the per-symbol
+    huffman loop is per-bit Python; everything after the coefficient
+    tensor is numpy.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI marker)")
+    qtabs: dict[int, "np.ndarray"] = {}
+    htabs: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
+    sof = None
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at offset {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before any scan
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body0, body1 = pos + 4, pos + 2 + seglen
+        if body1 > len(payload):
+            raise ValueError("truncated JPEG segment")
+        body = payload[body0:body1]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                q = np.zeros(64, dtype=np.int32)
+                q[_JPEG_ZIGZAG] = np.frombuffer(body[i + 1 : i + 65], np.uint8)
+                qtabs[tq] = q.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                htabs[(tc, th)] = _jpeg_huff_table(bits, body[i + 17 : i + 17 + nv])
+                i += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG sample precision {prec}")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {nc}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                if hv != 0x11:
+                    raise ValueError(
+                        "chroma-subsampled JPEG unsupported (need 4:4:4 / "
+                        "grayscale; wire libjpeg via the singleton codec "
+                        "seam for 4:2:0)"
+                    )
+                comps.append({"id": cid, "tq": tq})
+            sof = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: progressive/"
+                "arithmetic/hierarchical) unsupported — baseline SOF0 only"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows the segment
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF0 header")
+            ns = body[0]
+            width, height, comps = sof
+            if ns != len(comps):
+                raise ValueError("JPEG scan must cover all frame components")
+            scan = {}
+            for s in range(ns):
+                cs, tables = body[1 + 2 * s], body[2 + 2 * s]
+                scan[cs] = (tables >> 4, tables & 0xF)
+            for c in comps:
+                if c["id"] not in scan:
+                    raise ValueError(f"component {c['id']} missing from scan")
+                c["td"], c["ta"] = scan[c["id"]]
+                if (0, c["td"]) not in htabs or (1, c["ta"]) not in htabs:
+                    raise ValueError("JPEG scan references undefined huffman table")
+                if c["tq"] not in qtabs:
+                    raise ValueError("JPEG component references undefined DQT table")
+            return _jpeg_scan(
+                payload, body1, width, height, comps, qtabs, htabs,
+                restart_interval,
+            )
+        # APPn / COM / unknown: skip
+        pos = body1
+    raise ValueError("no JPEG scan (SOS) found")
+
+
+def _jpeg_scan(
+    payload: bytes,
+    pos: int,
+    width: int,
+    height: int,
+    comps: list[dict],
+    qtabs: dict,
+    htabs: dict,
+    restart_interval: int,
+) -> dict:
+    """Entropy-decode the interleaved baseline scan and finish with
+    vectorized numpy: coefficient tensor → dequant → IDCT → plane
+    assembly → (for color) BT.601 conversion → BGR bytes."""
+    import numpy as np
+
+    if width <= 0 or height <= 0:
+        raise ValueError(f"degenerate JPEG dimensions {width}x{height}")
+    bx, by = (width + 7) // 8, (height + 7) // 8
+    n_mcu = bx * by
+    r = _JpegBitReader(payload, pos)
+    # one (n_mcu, 64) int32 coefficient matrix per component
+    coefs = [np.zeros((n_mcu, 64), dtype=np.int32) for _ in comps]
+    pred = [0] * len(comps)
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            r.restart(m // restart_interval - 1)
+            pred = [0] * len(comps)
+        for ci, c in enumerate(comps):
+            dc_tab, ac_tab = htabs[(0, c["td"])], htabs[(1, c["ta"])]
+            t = _jpeg_decode_sym(r, dc_tab)
+            pred[ci] += _jpeg_extend(r.receive(t), t)
+            block = coefs[ci][m]
+            block[0] = pred[ci]
+            k = 1
+            while k < 64:
+                rs = _jpeg_decode_sym(r, ac_tab)
+                run, size = rs >> 4, rs & 0xF
+                if size == 0:
+                    if run == 15:  # ZRL: sixteen zeros
+                        k += 16
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG AC run past end of block")
+                block[_JPEG_ZIGZAG[k]] = _jpeg_extend(r.receive(size), size)
+                k += 1
+    # dequant + IDCT, whole tensor at once: (n_mcu, 8, 8) per component
+    m8 = _idct_matrix()
+    planes = []
+    for ci, c in enumerate(comps):
+        deq = (coefs[ci].reshape(-1, 8, 8) * qtabs[c["tq"]]).astype(np.float64)
+        spatial = np.einsum("ki,nkl,lj->nij", m8, deq, m8) + 128.0
+        # blocks → full plane (crop the partial right/bottom blocks)
+        plane = (
+            spatial.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)[:height, :width]
+        )
+        planes.append(plane)
+    if len(planes) == 1:
+        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        bgr = np.repeat(y[:, :, None], 3, axis=2)
+    else:
+        y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+        bgr = np.stack(
+            [
+                y + 1.772 * cb,                      # B
+                y - 0.344136 * cb - 0.714136 * cr,   # G
+                y + 1.402 * cr,                      # R
+            ],
+            axis=2,
+        )
+        bgr = np.clip(np.round(bgr), 0, 255).astype(np.uint8)
+    return {
+        "width": width,
+        "height": height,
+        "bit_count": 24,
+        "n_pixels": width * height,
+        "pixels": bgr.tobytes(),
+    }
+
+
 def _decode_avi(payload: bytes) -> dict:
     """Parse an uncompressed-DIB AVI container with stdlib ``struct``.
 
@@ -325,19 +622,26 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
 
     REAL for 8-bit truecolor PNG (round 9): chunk walk + stdlib ``zlib``
     inflate + scanline unfilter (see :func:`_decode_png`), normalized to
-    the same BGR(A) plane as BMP. Only genuinely external codecs (JPEG,
-    compressed AVI, MP4) stay the documented seam: those aren't in this
-    container, and on a real cluster the call MUST go through a
-    per-executor singleton (one codec/model instance per worker
-    process), never per row — reference pattern U2.
+    the same BGR(A) plane as BMP.
+
+    REAL for baseline JFIF JPEG (round 10): huffman entropy decode +
+    dequant + numpy IDCT + BT.601 color conversion (see
+    :func:`_decode_jpeg`) — grayscale and unsubsampled YCbCr, restart
+    markers included. Only genuinely external codecs (progressive /
+    chroma-subsampled JPEG, compressed AVI, MP4) stay the documented
+    seam: those aren't in this container, and on a real cluster the call
+    MUST go through a per-executor singleton (one codec/model instance
+    per worker process), never per row — reference pattern U2.
     """
     if modality == "image":
         if payload[:2] == b"BM":
             return _decode_bmp(payload)
         if payload[:8] == _PNG_SIG:
             return _decode_png(payload)
+        if payload[:2] == b"\xff\xd8":
+            return _decode_jpeg(payload)
         raise NotImplementedError(
-            "real decode of non-BMP/PNG image formats (JPEG, ...) requires "
+            "real decode of non-BMP/PNG/JPEG image formats requires "
             "external media libraries; wire PIL here on a real cluster "
             "(SURVEY §2.10 U1/U2)"
         )

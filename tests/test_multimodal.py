@@ -420,8 +420,8 @@ def test_decode_png_rgba_and_rejects():
         # claim one more row than the IDAT stream carries
         i = 8 + 8 + 4
         decode_media(ok[:i] + _s.pack(">I", 3) + ok[i + 4 :], "image")
-    with pytest.raises(NotImplementedError, match="non-BMP/PNG"):
-        decode_media(b"\xff\xd8\xff\xe0jpeg....", "image")
+    with pytest.raises(NotImplementedError, match="non-BMP/PNG/JPEG"):
+        decode_media(b"GIF89a....", "image")
 
 
 def test_decode_png_missing_idat_and_corrupt_deflate_raise_value_error():
@@ -671,3 +671,241 @@ def test_sample_video_frames_end_to_end(spark):
     assert all((r.width, r.height, r.n_frames) == (3, 2, 4) for r in got)
     want0 = b"".join(bytes(px) for row in frames[0] for px in row)
     assert got[0].frame_sha == hashlib.sha256(want0).hexdigest()[:16]
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (round 10): stdlib+numpy encoder fixture + decode tests
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_fixture_tables(symbols):
+    """Canonical huffman table over the symbol set actually emitted: all
+    codes one length L with n < 2^L (so the all-ones code stays unused,
+    per T.81 C.2). Returns (bits, huffval, {sym: (L, code)})."""
+    syms = sorted(set(symbols))
+    L = max(1, len(syms).bit_length())
+    bits = [0] * 16
+    bits[L - 1] = len(syms)
+    return bits, bytes(syms), {s: (L, i) for i, s in enumerate(syms)}
+
+
+def make_jpeg(rows_rgb=None, gray_rows=None, quant=1, restart_interval=0):
+    """Encode a baseline JFIF JPEG with stdlib struct + numpy: forward
+    DCT via the same orthonormal basis the decoder inverts, flat ``quant``
+    tables, per-file canonical huffman tables covering exactly the
+    emitted symbols, optional DRI/RSTn restart intervals. Color input is
+    top-down (r, g, b) pixel rows encoded 4:4:4; ``gray_rows`` encodes a
+    single-component scan."""
+    import struct
+
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _idct_matrix,
+    )
+
+    if gray_rows is not None:
+        planes = [np.asarray(gray_rows, dtype=np.float64)]
+    else:
+        rgb = np.asarray(rows_rgb, dtype=np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        planes = [
+            np.round(0.299 * r + 0.587 * g + 0.114 * b),
+            np.round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b),
+            np.round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b),
+        ]
+    height, width = planes[0].shape
+    bx, by = (width + 7) // 8, (height + 7) // 8
+    m8 = _idct_matrix()
+    qtab = np.full((8, 8), quant, dtype=np.int32)
+
+    # per-plane quantized coefficient blocks in MCU raster order
+    all_blocks = []
+    for p in planes:
+        padded = np.pad(p, ((0, by * 8 - height), (0, bx * 8 - width)), mode="edge")
+        blocks = (
+            padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        coefs = np.einsum("ik,nkl,jl->nij", m8, blocks - 128.0, m8)
+        all_blocks.append(np.round(coefs / qtab).astype(np.int64))
+
+    def mag(v):
+        t = int(abs(v)).bit_length()
+        return t, (v if v >= 0 else v + (1 << t) - 1)
+
+    # pass 1: serialize each block to (dc_sym, dc_bits) + [(ac_sym, bits)]
+    ncomp = len(planes)
+    per_block = [[] for _ in range(ncomp)]
+    dc_syms, ac_syms = [set() for _ in range(ncomp)], [set() for _ in range(ncomp)]
+    pred = [0] * ncomp
+    for m in range(bx * by):
+        if restart_interval and m and m % restart_interval == 0:
+            pred = [0] * ncomp
+        for ci in range(ncomp):
+            blk = all_blocks[ci][m]
+            zz = [int(blk.reshape(-1)[z]) for z in _JPEG_ZIGZAG]
+            t, bitsv = mag(zz[0] - pred[ci])
+            pred[ci] = zz[0]
+            toks = [("dc", t, bitsv, t)]
+            dc_syms[ci].add(t)
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    toks.append(("ac", 0xF0, 0, 0))
+                    ac_syms[ci].add(0xF0)
+                    run -= 16
+                s, bv = mag(zz[k])
+                sym = (run << 4) | s
+                toks.append(("ac", sym, bv, s))
+                ac_syms[ci].add(sym)
+                run = 0
+            if last_nz < 63:
+                toks.append(("ac", 0x00, 0, 0))
+                ac_syms[ci].add(0x00)
+            per_block[ci].append(toks)
+
+    dc_tabs = [_jpeg_fixture_tables(s) for s in dc_syms]
+    ac_tabs = [_jpeg_fixture_tables(s) for s in ac_syms]
+
+    # pass 2: emit the entropy stream with byte stuffing + restarts
+    out = bytearray()
+    acc, nacc = 0, 0
+
+    def put(val, nb):
+        nonlocal acc, nacc
+        for i in range(nb - 1, -1, -1):
+            acc = (acc << 1) | ((val >> i) & 1)
+            nacc += 1
+            if nacc == 8:
+                out.append(acc)
+                if acc == 0xFF:
+                    out.append(0x00)
+                acc, nacc = 0, 0
+
+    def flush():
+        nonlocal acc, nacc
+        if nacc:
+            put((1 << (8 - nacc)) - 1, 8 - nacc)  # pad with 1s
+
+    for m in range(bx * by):
+        if restart_interval and m and m % restart_interval == 0:
+            flush()
+            out += bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
+        for ci in range(ncomp):
+            for kind, sym, bv, nb in per_block[ci][m]:
+                enc = (dc_tabs if kind == "dc" else ac_tabs)[ci][2]
+                L, code = enc[sym]
+                put(code, L)
+                if nb:
+                    put(bv, nb)
+    flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    zz_q = bytes(int(qtab.reshape(-1)[z]) for z in _JPEG_ZIGZAG)
+    hdr = b"\xff\xd8"
+    hdr += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    hdr += seg(0xDB, bytes([0x00]) + zz_q)
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    hdr += seg(0xC0, sof)
+    for ci in range(ncomp):
+        for tc, (bits, vals, _) in ((0, dc_tabs[ci]), (1, ac_tabs[ci])):
+            hdr += seg(0xC4, bytes([(tc << 4) | ci]) + bytes(bits) + vals)
+    if restart_interval:
+        hdr += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, (ci << 4) | ci])
+    sos += b"\x00\x3f\x00"
+    hdr += seg(0xDA, sos)
+    return hdr + bytes(out) + b"\xff\xd9"
+
+
+def test_decode_jpeg_grayscale_roundtrip():
+    """Baseline grayscale JPEG: encode a 12x10 gradient with flat quant=1
+    tables, decode, and the plane must match the source within the tiny
+    DCT-rounding budget — real huffman + IDCT, no codec library."""
+    import numpy as np
+
+    gray = [[(3 * r + 5 * c) % 240 for c in range(12)] for r in range(10)]
+    meta = decode_media(make_jpeg(gray_rows=gray), "image")
+    assert (meta["width"], meta["height"], meta["bit_count"]) == (12, 10, 24)
+    assert meta["n_pixels"] == 120
+    plane = np.frombuffer(meta["pixels"], np.uint8).reshape(10, 12, 3)
+    # grayscale replicates Y into all three BGR channels
+    assert (plane[:, :, 0] == plane[:, :, 1]).all()
+    assert (plane[:, :, 1] == plane[:, :, 2]).all()
+    err = np.abs(plane[:, :, 0].astype(int) - np.asarray(gray))
+    assert err.max() <= 2, err.max()
+
+
+def test_decode_jpeg_color_and_restart_markers():
+    """4:4:4 color JPEG with DRI/RST restart intervals: BT.601 both ways
+    plus DCT rounding stays within a few code values per channel, and the
+    restart path (predictor reset + byte-aligned RSTn) decodes exactly."""
+    import numpy as np
+
+    rows = [
+        [((13 * r + 7 * c) % 256, (211 - 5 * r + 3 * c) % 256, (89 + 11 * c) % 256)
+         for c in range(17)]
+        for r in range(9)
+    ]
+    for ri in (0, 2):  # without and with restart intervals
+        meta = decode_media(make_jpeg(rows_rgb=rows, restart_interval=ri), "image")
+        assert (meta["width"], meta["height"], meta["bit_count"]) == (17, 9, 24)
+        plane = np.frombuffer(meta["pixels"], np.uint8).reshape(9, 17, 3)
+        src = np.asarray(rows)[:, :, ::-1]  # expected BGR
+        err = np.abs(plane.astype(int) - src).max()
+        assert err <= 4, (ri, err)
+
+
+def test_decode_jpeg_rejects_non_baseline():
+    import struct
+
+    gray = [[10 * r for _ in range(8)] for r in range(8)]
+    ok = make_jpeg(gray_rows=gray)
+    # flip SOF0 -> SOF2 (progressive)
+    i = ok.index(b"\xff\xc0")
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_media(ok[:i] + b"\xff\xc2" + ok[i + 2 :], "image")
+    # claim 2x2 chroma subsampling on component 0
+    j = i + 2 + 2 + 6  # marker + len + prec/h/w/nc -> first component id
+    with pytest.raises(ValueError, match="subsampled"):
+        decode_media(ok[: j + 1] + b"\x22" + ok[j + 2 :], "image")
+    # truncate mid-scan: whichever layer hits the cliff first (segment
+    # walk, entropy reader, or a half-swallowed marker) must ValueError
+    with pytest.raises(ValueError, match="truncated JPEG|unexpected marker"):
+        decode_media(ok[: len(ok) - (len(ok) - ok.index(b"\xff\xda")) // 2], "image")
+    with pytest.raises(ValueError, match="no JPEG scan"):
+        decode_media(b"\xff\xd8" + struct.pack(">BBH", 0xFF, 0xFE, 4) + b"zz" + b"\xff\xd9", "image")
+
+
+def test_jpeg_feature_extraction_end_to_end(spark):
+    """binaryFile-shaped JPEG payloads through extract_image_features:
+    the same downstream kernel that serves BMP/PNG reads the decoded BGR
+    plane — channel means within the lossy budget of the source image."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    rows = [[(200, 30, 90)] * 16 for _ in range(8)]  # constant RGB image
+    payload = make_jpeg(rows_rgb=rows)
+    df = spark.createDataFrame(
+        [(1, payload)], "doc_id long, payload binary"
+    )
+    feats = extract_image_features(df).collect()
+    assert len(feats) == 1
+    f = feats[0]
+    assert (f.width, f.height, f.bit_count, f.n_pixels) == (16, 8, 24, 128)
+    # constant image: means equal the (slightly lossy) decoded constants
+    assert abs(f.mean_r - 200) <= 4 and abs(f.mean_g - 30) <= 4 and abs(f.mean_b - 90) <= 4

@@ -333,6 +333,42 @@ def test_png_encode_decode_roundtrip(w, h, alpha, seed):
     )
 
 
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    color=st.booleans(),
+    ri=st.integers(min_value=0, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_encode_decode_roundtrip_within_dct_budget(w, h, color, ri, seed):
+    """decode(encode(img)) at flat quant=1 recovers every pixel within the
+    DCT/color-rounding budget (random noise is the adversarial content for
+    block transforms) for any size, grayscale or 4:4:4 color, with and
+    without restart intervals — huffman, scan assembly, partial-edge
+    blocks and RST handling all exercised."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import decode_media
+    from tests.test_multimodal import make_jpeg
+
+    rng = np.random.default_rng(seed)
+    if color:
+        rows = rng.integers(0, 256, (h, w, 3)).tolist()
+        payload = make_jpeg(rows_rgb=rows, restart_interval=ri)
+        expect = np.asarray(rows)[:, :, ::-1]  # BGR
+        budget = 5
+    else:
+        rows = rng.integers(0, 256, (h, w)).tolist()
+        payload = make_jpeg(gray_rows=rows, restart_interval=ri)
+        expect = np.repeat(np.asarray(rows)[:, :, None], 3, axis=2)
+        budget = 2
+    meta = decode_media(payload, "image")
+    assert (meta["width"], meta["height"], meta["bit_count"]) == (w, h, 24)
+    plane = np.frombuffer(meta["pixels"], np.uint8).reshape(h, w, 3)
+    assert np.abs(plane.astype(int) - expect).max() <= budget
+
+
 def _canon_py(u: str) -> str:
     """Python replay of the shared canonicalization pipeline (the same
     _CANON_STEPS the Spark and DuckDB sides apply)."""
