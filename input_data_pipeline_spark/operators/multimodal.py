@@ -271,7 +271,11 @@ class _JpegBitReader:
             b = self.data[self.pos]
             self.pos += 1
             if b == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if self.pos >= len(self.data):
+                    raise ValueError(
+                        "truncated JPEG entropy stream (dangling 0xFF)"
+                    )
+                nxt = self.data[self.pos]
                 if nxt == 0x00:
                     self.pos += 1  # stuffed 0xFF data byte
                 else:
@@ -299,6 +303,18 @@ class _JpegBitReader:
         ):
             raise ValueError(f"missing RST{idx % 8} restart marker")
         self.pos += 2
+
+
+def _jpeg_unpack(fmt: str, body: bytes, off: int, seg: str):
+    """struct.unpack_from with the malformed-payload ValueError contract:
+    a header segment too short for its declared layout must surface like
+    every other bad-bytes path, never as a bare struct.error."""
+    import struct
+
+    try:
+        return struct.unpack_from(fmt, body, off)
+    except struct.error as e:
+        raise ValueError(f"truncated JPEG {seg} segment: {e}") from e
 
 
 def _jpeg_decode_sym(r: _JpegBitReader, table: dict) -> int:
@@ -374,6 +390,8 @@ def _decode_jpeg(payload: bytes) -> dict:
         if marker == 0xDB:  # DQT
             i = 0
             while i < len(body):
+                if i + 65 > len(body):
+                    raise ValueError("truncated JPEG DQT segment")
                 pq, tq = body[i] >> 4, body[i] & 0xF
                 if pq != 0:
                     raise ValueError("16-bit quantization tables unsupported")
@@ -384,20 +402,24 @@ def _decode_jpeg(payload: bytes) -> dict:
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
+                if i + 17 > len(body):
+                    raise ValueError("truncated JPEG DHT segment")
                 tc, th = body[i] >> 4, body[i] & 0xF
                 bits = list(body[i + 1 : i + 17])
                 nv = sum(bits)
+                if i + 17 + nv > len(body):
+                    raise ValueError("truncated JPEG DHT segment")
                 htabs[(tc, th)] = _jpeg_huff_table(bits, body[i + 17 : i + 17 + nv])
                 i += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline
-            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            prec, h, w, nc = _jpeg_unpack(">BHHB", body, 0, "SOF0")
             if prec != 8:
                 raise ValueError(f"unsupported JPEG sample precision {prec}")
             if nc not in (1, 3):
                 raise ValueError(f"unsupported JPEG component count {nc}")
             comps = []
             for c in range(nc):
-                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                cid, hv, tq = _jpeg_unpack(">BBB", body, 6 + 3 * c, "SOF0")
                 if hv != 0x11:
                     raise ValueError(
                         "chroma-subsampled JPEG unsupported (need 4:4:4 / "
@@ -413,14 +435,18 @@ def _decode_jpeg(payload: bytes) -> dict:
                 "arithmetic/hierarchical) unsupported — baseline SOF0 only"
             )
         elif marker == 0xDD:  # DRI
-            (restart_interval,) = struct.unpack_from(">H", body, 0)
+            (restart_interval,) = _jpeg_unpack(">H", body, 0, "DRI")
         elif marker == 0xDA:  # SOS — entropy data follows the segment
             if sof is None:
                 raise ValueError("JPEG SOS before SOF0 header")
+            if not body:
+                raise ValueError("truncated JPEG SOS segment")
             ns = body[0]
             width, height, comps = sof
             if ns != len(comps):
                 raise ValueError("JPEG scan must cover all frame components")
+            if len(body) < 1 + 2 * ns:
+                raise ValueError("truncated JPEG SOS segment")
             scan = {}
             for s in range(ns):
                 cs, tables = body[1 + 2 * s], body[2 + 2 * s]
@@ -461,6 +487,21 @@ def _jpeg_scan(
         raise ValueError(f"degenerate JPEG dimensions {width}x{height}")
     bx, by = (width + 7) // 8, (height + 7) // 8
     n_mcu = bx * by
+    # Allocation guards BEFORE touching the coefficient tensor: a crafted
+    # few-hundred-byte file declaring 65500x65500 would otherwise force a
+    # ~51 GB np.zeros from bytes that carry no pixel data. Every block
+    # costs at least 2 huffman symbols (DC category + EOB) = 2 bits, so
+    # the entropy data must hold >= n_mcu*ncomp/4 bytes; and dimensions
+    # are capped outright (fixture-scope decoder — megapixel production
+    # decode goes through the singleton codec seam).
+    if width * height > (1 << 26):
+        raise ValueError(
+            f"JPEG dimensions {width}x{height} exceed the 64M-pixel decode cap"
+        )
+    if len(payload) - pos < (n_mcu * len(comps)) // 4:
+        raise ValueError(
+            "JPEG entropy data shorter than the declared dimensions require"
+        )
     r = _JpegBitReader(payload, pos)
     # one (n_mcu, 64) int32 coefficient matrix per component
     coefs = [np.zeros((n_mcu, 64), dtype=np.int32) for _ in comps]

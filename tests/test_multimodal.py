@@ -888,6 +888,62 @@ def test_decode_jpeg_rejects_non_baseline():
         decode_media(b"\xff\xd8" + struct.pack(">BBH", 0xFF, 0xFE, 4) + b"zz" + b"\xff\xd9", "image")
 
 
+def test_decode_jpeg_malformed_segments_raise_value_error():
+    """Every bad-bytes path in the JPEG header/entropy layers must raise
+    ValueError (the shared malformed-payload contract) — never a bare
+    struct.error, IndexError, or TypeError a decode-failure filter would
+    miss."""
+    import struct
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    gray = [[7 * r + c for c in range(8)] for r in range(8)]
+    ok = make_jpeg(gray_rows=gray)
+
+    # entropy stream ending ON an 0xFF byte (dangling, no stuffed/marker
+    # byte after it): must be 'truncated', not a TypeError from the
+    # error-message formatter
+    scan_at = ok.index(b"\xff\xda")
+    (sos_len,) = struct.unpack_from(">H", ok, scan_at + 2)
+    cut = scan_at + 2 + sos_len + 1  # keep 1 entropy byte, then dangle
+    with pytest.raises(ValueError, match="truncated JPEG entropy"):
+        decode_media(ok[:cut] + b"\xff", "image")
+
+    # short SOF0 body (2 bytes): ValueError, not struct.error
+    with pytest.raises(ValueError, match="truncated JPEG SOF0"):
+        decode_media(b"\xff\xd8" + seg(0xC0, b"\x08\x00") + b"\xff\xd9", "image")
+    # DHT whose BITS array is cut short: ValueError, not IndexError
+    with pytest.raises(ValueError, match="truncated JPEG DHT"):
+        decode_media(b"\xff\xd8" + seg(0xC4, b"\x00" + b"\x01" * 8) + b"\xff\xd9", "image")
+    # DHT whose HUFFVAL list is cut short
+    with pytest.raises(ValueError, match="truncated JPEG DHT"):
+        decode_media(
+            b"\xff\xd8" + seg(0xC4, b"\x00" + bytes([4] + [0] * 15) + b"\x01")
+            + b"\xff\xd9",
+            "image",
+        )
+    # DQT shorter than one 65-byte table
+    with pytest.raises(ValueError, match="truncated JPEG DQT"):
+        decode_media(b"\xff\xd8" + seg(0xDB, b"\x00" + b"\x01" * 10) + b"\xff\xd9", "image")
+    # empty SOS body: ValueError, not IndexError
+    sof = seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    with pytest.raises(ValueError, match="truncated JPEG SOS"):
+        decode_media(b"\xff\xd8" + sof + seg(0xDA, b"") + b"\xff\xd9", "image")
+
+    # a tiny crafted file declaring huge dimensions must be rejected
+    # BEFORE any coefficient tensor is allocated
+    hdr = bytearray(ok)
+    i = ok.index(b"\xff\xc0") + 5  # height field inside SOF0
+    struct.pack_into(">HH", hdr, i, 65500, 65500)
+    with pytest.raises(ValueError, match="64M-pixel decode cap"):
+        decode_media(bytes(hdr), "image")
+    # and plausible-but-still-too-big dims hit the entropy-length bound
+    struct.pack_into(">HH", hdr, i, 4096, 4096)
+    with pytest.raises(ValueError, match="entropy data shorter"):
+        decode_media(bytes(hdr), "image")
+
+
 def test_jpeg_feature_extraction_end_to_end(spark):
     """binaryFile-shaped JPEG payloads through extract_image_features:
     the same downstream kernel that serves BMP/PNG reads the decoded BGR
