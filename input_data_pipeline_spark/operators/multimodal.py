@@ -347,23 +347,24 @@ def _idct_matrix():
 
 def _decode_jpeg(payload: bytes) -> dict:
     """Decode a baseline JFIF JPEG (SOF0, 8-bit, huffman, 1-component
-    grayscale or 3-component YCbCr without chroma subsampling, optional
-    DRI/RSTn restart intervals) with stdlib ``struct`` + numpy — no
-    external codec: a marker walk collects DQT/DHT/SOF0/SOS, a canonical
-    huffman decoder reads the interleaved MCU scan (T.81 Annex F), and
-    dequantization + the separable orthonormal IDCT + the BT.601
-    YCbCr→RGB transform are three vectorized numpy steps over the
-    stacked block tensor. Returns the :func:`_decode_bmp` contract with
-    ``pixels`` a 24-bit BGR top-down plane (grayscale replicates Y into
-    all three channels), so a JPEG fingerprints and feature-extracts
-    through the same downstream kernels as BMP/PNG/AVI.
+    grayscale or 3-component YCbCr at 4:4:4, 4:2:2 or 4:2:0 chroma
+    subsampling, optional DRI/RSTn restart intervals) with stdlib
+    ``struct`` + numpy — no external codec: a marker walk collects
+    DQT/DHT/SOF0/SOS, a canonical huffman decoder reads the interleaved
+    MCU scan (T.81 Annex F, sampling-factor MCU geometry per A.2.3), and
+    dequantization + the separable orthonormal IDCT + chroma sample
+    replication + the BT.601 YCbCr→RGB transform are vectorized numpy
+    steps over the stacked block tensor. Returns the :func:`_decode_bmp`
+    contract with ``pixels`` a 24-bit BGR top-down plane (grayscale
+    replicates Y into all three channels), so a JPEG fingerprints and
+    feature-extracts through the same downstream kernels as BMP/PNG/AVI.
 
     Out of scope, rejected loudly: progressive (SOF2) and the rare
-    arithmetic/hierarchical/12-bit modes, and chroma-subsampled scans
-    (4:2:0 MCU assembly) — at that point a real libjpeg belongs behind
-    the per-executor singleton codec seam (U2). Only the per-symbol
-    huffman loop is per-bit Python; everything after the coefficient
-    tensor is numpy.
+    arithmetic/hierarchical/12-bit modes, and sampling factors beyond 2
+    per axis — at that point a real libjpeg belongs behind the
+    per-executor singleton codec seam (U2). Only the per-symbol huffman
+    loop is per-bit Python; everything after the coefficient tensor is
+    numpy.
     """
     import struct
 
@@ -420,13 +421,24 @@ def _decode_jpeg(payload: bytes) -> dict:
             comps = []
             for c in range(nc):
                 cid, hv, tq = _jpeg_unpack(">BBB", body, 6 + 3 * c, "SOF0")
-                if hv != 0x11:
+                hc, vc = hv >> 4, hv & 0xF
+                if hc not in (1, 2) or vc not in (1, 2):
                     raise ValueError(
-                        "chroma-subsampled JPEG unsupported (need 4:4:4 / "
-                        "grayscale; wire libjpeg via the singleton codec "
-                        "seam for 4:2:0)"
+                        f"unsupported JPEG sampling factor {hc}x{vc} (1 or "
+                        "2 per axis: grayscale / 4:4:4 / 4:2:2 / 4:2:0)"
                     )
-                comps.append({"id": cid, "tq": tq})
+                comps.append({"id": cid, "tq": tq, "hc": hc, "vc": vc})
+            if nc == 3 and (comps[1]["hc"], comps[1]["vc"], comps[2]["hc"],
+                            comps[2]["vc"]) != (1, 1, 1, 1):
+                raise ValueError(
+                    "unsupported JPEG chroma layout (Cb/Cr must be 1x1; Y "
+                    "1x1/2x1/2x2 gives 4:4:4 / 4:2:2 / 4:2:0)"
+                )
+            if nc == 1:
+                # single-component scans are non-interleaved: the data is
+                # the component's own block raster, whatever factor the
+                # header advertises (T.81 A.2.2)
+                comps[0]["hc"] = comps[0]["vc"] = 1
             sof = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -479,68 +491,90 @@ def _jpeg_scan(
     restart_interval: int,
 ) -> dict:
     """Entropy-decode the interleaved baseline scan and finish with
-    vectorized numpy: coefficient tensor → dequant → IDCT → plane
-    assembly → (for color) BT.601 conversion → BGR bytes."""
+    vectorized numpy: coefficient tensor → dequant → IDCT → per-component
+    plane assembly → chroma upsample (sample replication, spec-legal) →
+    (for color) BT.601 conversion → BGR bytes. MCU geometry follows the
+    components' sampling factors (T.81 A.2.3): an MCU spans
+    8*hmax x 8*vmax pixels and carries hc*vc blocks per component in
+    left-to-right, top-to-bottom order — 4:2:0's 2x2 Y + 1 Cb + 1 Cr is
+    just the (2,2)/(1,1)/(1,1) instance of that."""
     import numpy as np
 
     if width <= 0 or height <= 0:
         raise ValueError(f"degenerate JPEG dimensions {width}x{height}")
-    bx, by = (width + 7) // 8, (height + 7) // 8
-    n_mcu = bx * by
+    hmax = max(c["hc"] for c in comps)
+    vmax = max(c["vc"] for c in comps)
+    mcu_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcu_y = (height + 8 * vmax - 1) // (8 * vmax)
+    n_mcu = mcu_x * mcu_y
+    blocks_per_mcu = sum(c["hc"] * c["vc"] for c in comps)
     # Allocation guards BEFORE touching the coefficient tensor: a crafted
     # few-hundred-byte file declaring 65500x65500 would otherwise force a
     # ~51 GB np.zeros from bytes that carry no pixel data. Every block
     # costs at least 2 huffman symbols (DC category + EOB) = 2 bits, so
-    # the entropy data must hold >= n_mcu*ncomp/4 bytes; and dimensions
+    # the entropy data must hold >= total_blocks/4 bytes; and dimensions
     # are capped outright (fixture-scope decoder — megapixel production
     # decode goes through the singleton codec seam).
     if width * height > (1 << 26):
         raise ValueError(
             f"JPEG dimensions {width}x{height} exceed the 64M-pixel decode cap"
         )
-    if len(payload) - pos < (n_mcu * len(comps)) // 4:
+    if len(payload) - pos < (n_mcu * blocks_per_mcu) // 4:
         raise ValueError(
             "JPEG entropy data shorter than the declared dimensions require"
         )
     r = _JpegBitReader(payload, pos)
-    # one (n_mcu, 64) int32 coefficient matrix per component
-    coefs = [np.zeros((n_mcu, 64), dtype=np.int32) for _ in comps]
+    # per component: a (block_rows*block_cols, 64) int32 coefficient grid
+    grids = [(mcu_x * c["hc"], mcu_y * c["vc"]) for c in comps]
+    coefs = [np.zeros((gx * gy, 64), dtype=np.int32) for gx, gy in grids]
     pred = [0] * len(comps)
-    for m in range(n_mcu):
-        if restart_interval and m and m % restart_interval == 0:
-            r.restart(m // restart_interval - 1)
-            pred = [0] * len(comps)
-        for ci, c in enumerate(comps):
-            dc_tab, ac_tab = htabs[(0, c["td"])], htabs[(1, c["ta"])]
-            t = _jpeg_decode_sym(r, dc_tab)
-            pred[ci] += _jpeg_extend(r.receive(t), t)
-            block = coefs[ci][m]
-            block[0] = pred[ci]
-            k = 1
-            while k < 64:
-                rs = _jpeg_decode_sym(r, ac_tab)
-                run, size = rs >> 4, rs & 0xF
-                if size == 0:
-                    if run == 15:  # ZRL: sixteen zeros
-                        k += 16
-                        continue
-                    break  # EOB
-                k += run
-                if k > 63:
-                    raise ValueError("JPEG AC run past end of block")
-                block[_JPEG_ZIGZAG[k]] = _jpeg_extend(r.receive(size), size)
-                k += 1
-    # dequant + IDCT, whole tensor at once: (n_mcu, 8, 8) per component
+    for my in range(mcu_y):
+        for mx in range(mcu_x):
+            m = my * mcu_x + mx
+            if restart_interval and m and m % restart_interval == 0:
+                r.restart(m // restart_interval - 1)
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_tab, ac_tab = htabs[(0, c["td"])], htabs[(1, c["ta"])]
+                gx = grids[ci][0]
+                for v in range(c["vc"]):
+                    for hh in range(c["hc"]):
+                        t = _jpeg_decode_sym(r, dc_tab)
+                        pred[ci] += _jpeg_extend(r.receive(t), t)
+                        block = coefs[ci][
+                            (my * c["vc"] + v) * gx + mx * c["hc"] + hh
+                        ]
+                        block[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_decode_sym(r, ac_tab)
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run == 15:  # ZRL: sixteen zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC run past end of block")
+                            block[_JPEG_ZIGZAG[k]] = _jpeg_extend(
+                                r.receive(size), size
+                            )
+                            k += 1
+    # dequant + IDCT, whole tensor at once; assemble each component's own
+    # block grid, replicate up to full resolution, crop the MCU padding
     m8 = _idct_matrix()
     planes = []
     for ci, c in enumerate(comps):
+        gx, gy = grids[ci]
         deq = (coefs[ci].reshape(-1, 8, 8) * qtabs[c["tq"]]).astype(np.float64)
         spatial = np.einsum("ki,nkl,lj->nij", m8, deq, m8) + 128.0
-        # blocks → full plane (crop the partial right/bottom blocks)
         plane = (
-            spatial.reshape(by, bx, 8, 8)
+            spatial.reshape(gy, gx, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(by * 8, bx * 8)[:height, :width]
+            .reshape(gy * 8, gx * 8)
+            .repeat(vmax // c["vc"], axis=0)
+            .repeat(hmax // c["hc"], axis=1)[:height, :width]
         )
         planes.append(plane)
     if len(planes) == 1:
@@ -667,12 +701,13 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
 
     REAL for baseline JFIF JPEG (round 10): huffman entropy decode +
     dequant + numpy IDCT + BT.601 color conversion (see
-    :func:`_decode_jpeg`) — grayscale and unsubsampled YCbCr, restart
-    markers included. Only genuinely external codecs (progressive /
-    chroma-subsampled JPEG, compressed AVI, MP4) stay the documented
-    seam: those aren't in this container, and on a real cluster the call
-    MUST go through a per-executor singleton (one codec/model instance
-    per worker process), never per row — reference pattern U2.
+    :func:`_decode_jpeg`) — grayscale and 4:4:4 / 4:2:2 / 4:2:0 YCbCr
+    (sampling-factor MCU geometry + chroma sample replication), restart
+    markers included. Only genuinely external codecs (progressive JPEG,
+    compressed AVI, MP4) stay the documented seam: those aren't in this
+    container, and on a real cluster the call MUST go through a
+    per-executor singleton (one codec/model instance per worker
+    process), never per row — reference pattern U2.
     """
     if modality == "image":
         if payload[:2] == b"BM":

@@ -689,13 +689,16 @@ def _jpeg_fixture_tables(symbols):
     return bits, bytes(syms), {s: (L, i) for i, s in enumerate(syms)}
 
 
-def make_jpeg(rows_rgb=None, gray_rows=None, quant=1, restart_interval=0):
+def make_jpeg(rows_rgb=None, gray_rows=None, quant=1, restart_interval=0,
+              subsampling="444"):
     """Encode a baseline JFIF JPEG with stdlib struct + numpy: forward
     DCT via the same orthonormal basis the decoder inverts, flat ``quant``
     tables, per-file canonical huffman tables covering exactly the
     emitted symbols, optional DRI/RSTn restart intervals. Color input is
-    top-down (r, g, b) pixel rows encoded 4:4:4; ``gray_rows`` encodes a
-    single-component scan."""
+    top-down (r, g, b) pixel rows; ``subsampling`` picks the Y sampling
+    factor ("444" = 1x1, "422" = 2x1, "420" = 2x2 with box-averaged
+    chroma) with MCU-interleaved block emission per T.81 A.2.3.
+    ``gray_rows`` encodes a single-component scan."""
     import struct
 
     import numpy as np
@@ -707,6 +710,7 @@ def make_jpeg(rows_rgb=None, gray_rows=None, quant=1, restart_interval=0):
 
     if gray_rows is not None:
         planes = [np.asarray(gray_rows, dtype=np.float64)]
+        facs = [(1, 1)]
     else:
         rgb = np.asarray(rows_rgb, dtype=np.float64)
         r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
@@ -715,59 +719,81 @@ def make_jpeg(rows_rgb=None, gray_rows=None, quant=1, restart_interval=0):
             np.round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b),
             np.round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b),
         ]
+        yfac = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
+        facs = [yfac, (1, 1), (1, 1)]
     height, width = planes[0].shape
-    bx, by = (width + 7) // 8, (height + 7) // 8
+    ncomp = len(planes)
+    hmax = max(f[0] for f in facs)
+    vmax = max(f[1] for f in facs)
+    mcu_x = -(-width // (8 * hmax))
+    mcu_y = -(-height // (8 * vmax))
     m8 = _idct_matrix()
     qtab = np.full((8, 8), quant, dtype=np.int32)
 
-    # per-plane quantized coefficient blocks in MCU raster order
-    all_blocks = []
-    for p in planes:
-        padded = np.pad(p, ((0, by * 8 - height), (0, bx * 8 - width)), mode="edge")
-        blocks = (
-            padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    # per-component quantized coefficient block grids (gy x gx blocks)
+    comp_blocks = []
+    for p, (hc, vc) in zip(planes, facs):
+        th, tw = mcu_y * 8 * vc, mcu_x * 8 * hc
+        fp = np.pad(
+            p,
+            ((0, mcu_y * 8 * vmax - height), (0, mcu_x * 8 * hmax - width)),
+            mode="edge",
         )
+        if (hc, vc) != (hmax, vmax):  # box-average down to this component
+            fy, fx = vmax // vc, hmax // hc
+            fp = np.round(fp.reshape(th, fy, tw, fx).mean(axis=(1, 3)))
+        blocks = fp.reshape(mcu_y * vc, 8, mcu_x * hc, 8).transpose(
+            0, 2, 1, 3
+        ).reshape(-1, 8, 8)
         coefs = np.einsum("ik,nkl,jl->nij", m8, blocks - 128.0, m8)
-        all_blocks.append(np.round(coefs / qtab).astype(np.int64))
+        comp_blocks.append(np.round(coefs / qtab).astype(np.int64))
 
     def mag(v):
         t = int(abs(v)).bit_length()
         return t, (v if v >= 0 else v + (1 << t) - 1)
 
-    # pass 1: serialize each block to (dc_sym, dc_bits) + [(ac_sym, bits)]
-    ncomp = len(planes)
-    per_block = [[] for _ in range(ncomp)]
-    dc_syms, ac_syms = [set() for _ in range(ncomp)], [set() for _ in range(ncomp)]
+    # pass 1: serialize blocks in MCU-interleaved order to symbol tokens
+    stream = []  # ("rst", n) | ("blk", ci, [( "dc"/"ac", sym, bits, nbits)])
+    dc_syms = [set() for _ in range(ncomp)]
+    ac_syms = [set() for _ in range(ncomp)]
     pred = [0] * ncomp
-    for m in range(bx * by):
-        if restart_interval and m and m % restart_interval == 0:
-            pred = [0] * ncomp
-        for ci in range(ncomp):
-            blk = all_blocks[ci][m]
-            zz = [int(blk.reshape(-1)[z]) for z in _JPEG_ZIGZAG]
-            t, bitsv = mag(zz[0] - pred[ci])
-            pred[ci] = zz[0]
-            toks = [("dc", t, bitsv, t)]
-            dc_syms[ci].add(t)
-            run = 0
-            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
-            for k in range(1, last_nz + 1):
-                if zz[k] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    toks.append(("ac", 0xF0, 0, 0))
-                    ac_syms[ci].add(0xF0)
-                    run -= 16
-                s, bv = mag(zz[k])
-                sym = (run << 4) | s
-                toks.append(("ac", sym, bv, s))
-                ac_syms[ci].add(sym)
-                run = 0
-            if last_nz < 63:
-                toks.append(("ac", 0x00, 0, 0))
-                ac_syms[ci].add(0x00)
-            per_block[ci].append(toks)
+    for my in range(mcu_y):
+        for mx in range(mcu_x):
+            m = my * mcu_x + mx
+            if restart_interval and m and m % restart_interval == 0:
+                stream.append(("rst", (m // restart_interval - 1) % 8))
+                pred = [0] * ncomp
+            for ci, (hc, vc) in enumerate(facs):
+                gx = mcu_x * hc
+                for v in range(vc):
+                    for hh in range(hc):
+                        blk = comp_blocks[ci][(my * vc + v) * gx + mx * hc + hh]
+                        zz = [int(blk.reshape(-1)[z]) for z in _JPEG_ZIGZAG]
+                        t, bitsv = mag(zz[0] - pred[ci])
+                        pred[ci] = zz[0]
+                        toks = [("dc", t, bitsv, t)]
+                        dc_syms[ci].add(t)
+                        run = 0
+                        last_nz = max(
+                            (k for k in range(1, 64) if zz[k]), default=0
+                        )
+                        for k in range(1, last_nz + 1):
+                            if zz[k] == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                toks.append(("ac", 0xF0, 0, 0))
+                                ac_syms[ci].add(0xF0)
+                                run -= 16
+                            s, bv = mag(zz[k])
+                            sym = (run << 4) | s
+                            toks.append(("ac", sym, bv, s))
+                            ac_syms[ci].add(sym)
+                            run = 0
+                        if last_nz < 63:
+                            toks.append(("ac", 0x00, 0, 0))
+                            ac_syms[ci].add(0x00)
+                        stream.append(("blk", ci, toks))
 
     dc_tabs = [_jpeg_fixture_tables(s) for s in dc_syms]
     ac_tabs = [_jpeg_fixture_tables(s) for s in ac_syms]
@@ -792,17 +818,18 @@ def make_jpeg(rows_rgb=None, gray_rows=None, quant=1, restart_interval=0):
         if nacc:
             put((1 << (8 - nacc)) - 1, 8 - nacc)  # pad with 1s
 
-    for m in range(bx * by):
-        if restart_interval and m and m % restart_interval == 0:
+    for item in stream:
+        if item[0] == "rst":
             flush()
-            out += bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
-        for ci in range(ncomp):
-            for kind, sym, bv, nb in per_block[ci][m]:
-                enc = (dc_tabs if kind == "dc" else ac_tabs)[ci][2]
-                L, code = enc[sym]
-                put(code, L)
-                if nb:
-                    put(bv, nb)
+            out += bytes([0xFF, 0xD0 + item[1]])
+            continue
+        _, ci, toks = item
+        for kind, sym, bv, nb in toks:
+            enc = (dc_tabs if kind == "dc" else ac_tabs)[ci][2]
+            L, code = enc[sym]
+            put(code, L)
+            if nb:
+                put(bv, nb)
     flush()
 
     def seg(marker, body):
@@ -813,8 +840,8 @@ def make_jpeg(rows_rgb=None, gray_rows=None, quant=1, restart_interval=0):
     hdr += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     hdr += seg(0xDB, bytes([0x00]) + zz_q)
     sof = struct.pack(">BHHB", 8, height, width, ncomp)
-    for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0])
+    for ci, (hc, vc) in enumerate(facs):
+        sof += bytes([ci + 1, (hc << 4) | vc, 0])
     hdr += seg(0xC0, sof)
     for ci in range(ncomp):
         for tc, (bits, vals, _) in ((0, dc_tabs[ci]), (1, ac_tabs[ci])):
@@ -876,10 +903,19 @@ def test_decode_jpeg_rejects_non_baseline():
     i = ok.index(b"\xff\xc0")
     with pytest.raises(ValueError, match="non-baseline"):
         decode_media(ok[:i] + b"\xff\xc2" + ok[i + 2 :], "image")
-    # claim 2x2 chroma subsampling on component 0
+    # sampling factor beyond 2 per axis (3x1) is out of scope
     j = i + 2 + 2 + 6  # marker + len + prec/h/w/nc -> first component id
-    with pytest.raises(ValueError, match="subsampled"):
-        decode_media(ok[: j + 1] + b"\x22" + ok[j + 2 :], "image")
+    with pytest.raises(ValueError, match="sampling factor"):
+        decode_media(ok[: j + 1] + b"\x31" + ok[j + 2 :], "image")
+    # a 2x2 factor on a SINGLE-component scan is legal (non-interleaved
+    # per T.81 A.2.2 — the factor is normalized away, decode succeeds)
+    meta = decode_media(ok[: j + 1] + b"\x22" + ok[j + 2 :], "image")
+    assert (meta["width"], meta["height"]) == (8, 8)
+    # color with a subsampled CHROMA component (Cb 2x1) is out of scope
+    color = make_jpeg(rows_rgb=[[(1, 2, 3)] * 8] * 8)
+    ic = color.index(b"\xff\xc0") + 2 + 2 + 6 + 3  # second component id
+    with pytest.raises(ValueError, match="chroma layout"):
+        decode_media(color[: ic + 1] + b"\x21" + color[ic + 2 :], "image")
     # truncate mid-scan: whichever layer hits the cliff first (segment
     # walk, entropy reader, or a half-swallowed marker) must ValueError
     with pytest.raises(ValueError, match="truncated JPEG|unexpected marker"):
@@ -965,3 +1001,35 @@ def test_jpeg_feature_extraction_end_to_end(spark):
     assert (f.width, f.height, f.bit_count, f.n_pixels) == (16, 8, 24, 128)
     # constant image: means equal the (slightly lossy) decoded constants
     assert abs(f.mean_r - 200) <= 4 and abs(f.mean_g - 30) <= 4 and abs(f.mean_b - 90) <= 4
+
+
+def test_decode_jpeg_420_and_422_subsampled():
+    """Chroma-subsampled baseline JPEG (the layout most real-world JPEGs
+    use): MCU-interleaved 2x2-Y/1-Cb/1-Cr (4:2:0) and 2x1 (4:2:2) scans
+    decode through the generalized MCU geometry; on chroma-smooth content
+    (constant color) box-averaged encode + replicated-upsample decode
+    stays within the flat-quant budget. Partial edge MCUs (17x9 is not a
+    16-multiple) and restart intervals are exercised too."""
+    import numpy as np
+
+    h, w = 9, 17
+    rows = [[(200, 30, 90)] * w for _ in range(h)]  # constant RGB
+    for sub in ("420", "422"):
+        for ri in (0, 1):
+            payload = make_jpeg(rows_rgb=rows, subsampling=sub,
+                                restart_interval=ri)
+            meta = decode_media(payload, "image")
+            assert (meta["width"], meta["height"]) == (w, h), (sub, ri)
+            plane = np.frombuffer(meta["pixels"], np.uint8).reshape(h, w, 3)
+            err = np.abs(plane.astype(int) - np.asarray([[(90, 30, 200)]]))
+            assert err.max() <= 5, (sub, ri, err.max())
+
+    # luma detail survives subsampling: random Y, constant chroma
+    rng = np.random.default_rng(11)
+    gray_vals = rng.integers(0, 256, (h, w))
+    rows = [[(int(v), int(v), int(v)) for v in r] for r in gray_vals]
+    payload = make_jpeg(rows_rgb=rows, subsampling="420")
+    meta = decode_media(payload, "image")
+    plane = np.frombuffer(meta["pixels"], np.uint8).reshape(h, w, 3)
+    err = np.abs(plane.astype(int) - np.asarray(rows)[:, :, ::-1])
+    assert err.max() <= 6, err.max()  # Y at full res + neutral-chroma wobble
