@@ -1839,40 +1839,11 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus) and ``posexplode`` yields the rank. Plan-guarded: no
     WindowExec anywhere (tests/test_plans.py).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    corp = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-        F.broadcast(dl.agg(F.sum("dl").alias("sum_dl")))
+    topk = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score_ppm"), "doc_id")
+        .limit(_BM25_TOPK)
     )
-    qtok = tok.filter(F.col("token").isin(*BM25_QUERY))
-    tf = qtok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfq = qtok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    scored = (
-        tf.join(F.broadcast(dfq), "token")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(corp))
-        .withColumn(
-            "idf_ppm",
-            round_micros(
-                F.log((2 * F.col("n_docs") + 2) * F.lit(1.0) / (2 * F.col("df") + 1))
-            ),
-        )
-        .withColumn(
-            "norm_ppm",
-            F.expr("250000 + 750000 * dl * n_docs DIV sum_dl"),
-        )
-        .withColumn(
-            "ratio_ppm",
-            F.expr(
-                "(11000000 * tf * 1000000)"
-                " DIV (5000000 * tf + 6 * norm_ppm)"
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum(F.expr("idf_ppm * ratio_ppm DIV 1000000")).alias("score_ppm"))
-    )
-    topk = scored.orderBy(F.desc("score_ppm"), "doc_id").limit(_BM25_TOPK)
     # Rank over the ≤k survivors: one sorted array, position = rank - 1.
     # struct(-score, doc_id) ascending ≡ (score DESC, doc_id ASC).
     return (
@@ -1892,6 +1863,81 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("s.neg")).alias("score_ppm"),
         )
         .orderBy("rank")
+    )
+
+
+def _bm25_idf_corp(spark: SparkSession, sf_dir: str):
+    """The corpus half of BM25: per-query-term smoothed idf (micros) and
+    the (n_docs, sum_dl) length-normalization stats — the model a batch
+    job publishes for the streaming tagger. idf is computed by THE SAME
+    Spark expression the batch scorer evaluates (identical integer inputs
+    → identical IEEE ln → identical micros rounding), so batch and stream
+    scores agree bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corp = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        F.broadcast(dl.agg(F.sum("dl").alias("sum_dl")))
+    )
+    qtok = tok.filter(F.col("token").isin(*BM25_QUERY))
+    dfq = qtok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    idf = dfq.crossJoin(F.broadcast(corp)).withColumn(
+        "idf_ppm",
+        round_micros(
+            F.log((2 * F.col("n_docs") + 2) * F.lit(1.0) / (2 * F.col("df") + 1))
+        ),
+    )
+    return tok, dl, corp, qtok, idf
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BM25 score table (doc_id, score_ppm) for the fixed
+    benchmark query — the pre-top-k half of :func:`bm25_doc_search`,
+    shared with the batch/stream parity test of ``stream_bm25_tags``."""
+    _, dl, _, qtok, idf = _bm25_idf_corp(spark, sf_dir)
+    tf = qtok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .withColumn(
+            "norm_ppm",
+            F.expr("250000 + 750000 * dl * n_docs DIV sum_dl"),
+        )
+        .withColumn(
+            "ratio_ppm",
+            F.expr(
+                "(11000000 * tf * 1000000)"
+                " DIV (5000000 * tf + 6 * norm_ppm)"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("idf_ppm * ratio_ppm DIV 1000000")).alias("score_ppm"))
+    )
+
+
+def bm25_stream_model(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict[str, int], int, int]:
+    """Batch-trains / stream-applies for BM25 lexical retrieval: a batch
+    job publishes the query terms' smoothed idf table plus the corpus
+    length stats; an ingest stream scores every arriving doc against the
+    standing query map-side (``streaming.pipelines.stream_bm25_tags``) —
+    the alerting/routing face of :func:`bm25_doc_search` (tag matching
+    docs as they arrive; a mixer or alert sink consumes the tags).
+
+    Returns ``(idf_ppm, n_docs, sum_dl)``; the model is bounded by the
+    query vocabulary (|query| entries — the same fixed-size published-
+    model contract as DSIR's 256 buckets and CCNet's capped bigram LM).
+    """
+    *_, idf = _bm25_idf_corp(spark, sf_dir)
+    rows = idf.select("token", "idf_ppm", "n_docs", "sum_dl").collect()
+    if not rows:
+        docs = load_table(spark, sf_dir, "documents")
+        return {}, docs.count(), 0
+    return (
+        {r["token"]: r["idf_ppm"] for r in rows},
+        rows[0]["n_docs"],
+        rows[0]["sum_dl"],
     )
 
 

@@ -336,6 +336,62 @@ def stream_url_dedup(
     )
 
 
+def stream_bm25_tags(
+    docs: DataFrame,
+    model: tuple[dict[str, int], int, int],
+    query: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Streaming face of BM25 lexical retrieval — the alerting/routing
+    pattern: a batch job publishes the standing query's idf table plus
+    corpus length stats (``operators.textstats.bm25_stream_model``), and
+    the ingest stream appends ``bm25_score_ppm`` to every arriving doc
+    map-side — NO aggregation, NO state, NO shuffle. Docs containing no
+    query term tag null (exactly the docs the batch scorer never
+    materializes); a downstream sink alerts on or routes the matches.
+
+    Exactness: the tagger evaluates THE SAME rationalized integer
+    arithmetic as the batch scorer (k1=6/5 and b=3/4 folded into ppm
+    ``DIV`` chains; the published idf micros come from the identical
+    Spark expression), so for any doc the batch corpus contained the
+    stream tag equals the batch ``score_ppm`` bit-for-bit — pinned by
+    ``tests/test_streaming.py::test_stream_bm25_tags_match_batch``.
+    """
+    from input_data_pipeline_spark.functions import text as T
+    from input_data_pipeline_spark.operators.textstats import BM25_QUERY
+
+    idf_ppm, n_docs, sum_dl = model
+    terms = list(query if query is not None else BM25_QUERY)
+    out = docs.withColumn("_toks", T.tokens("text")).withColumn(
+        "_norm_ppm",
+        # L-suffixed literals force 64-bit arithmetic: size() is int32 and
+        # the batch scorer's tf/dl come from count() longs
+        F.expr(f"250000L + 750000L * size(_toks) * {n_docs}L DIV {sum_dl}L")
+        if sum_dl
+        else F.lit(None).cast("long"),
+    )
+    contribs = []
+    matched = F.lit(False)
+    for i, term in enumerate(terms):
+        if term not in idf_ppm:
+            continue  # term absent from the corpus: contributes nothing
+        tf = f"_tf_{i}"
+        out = out.withColumn(
+            tf, F.size(F.filter("_toks", lambda x: x == F.lit(term)))
+        )
+        matched = matched | (F.col(tf) > 0)
+        contribs.append(
+            f"CASE WHEN {tf} > 0 THEN {idf_ppm[term]}L"
+            f" * ((11000000L * {tf} * 1000000L)"
+            f" DIV (5000000L * {tf} + 6L * _norm_ppm))"
+            f" DIV 1000000L ELSE 0L END"
+        )
+    score = (
+        F.expr(" + ".join(contribs)) if contribs else F.lit(None).cast("long")
+    )
+    out = out.withColumn("bm25_score_ppm", F.when(matched, score))
+    return out.drop("_toks", "_norm_ppm", *[c for c in out.columns if c.startswith("_tf_")])
+
+
 def stream_quality_gate(
     docs: DataFrame,
     rules: tuple[str, ...] = ("c4", "gopher"),

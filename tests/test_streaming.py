@@ -1120,3 +1120,54 @@ def test_stream_url_dedup_matches_batch_groups(spark, tmp_path):
     for r in got:
         g = batch[r.canonical_url]
         assert g.n_variants >= 1 and r.url == fixture[r.rec_id]
+
+
+def test_stream_bm25_tags_match_batch(spark, tmp_path):
+    """Round-10 batch-trains/stream-applies for BM25: the idf/length
+    model published by the batch trainer, applied map-side to a document
+    STREAM, must reproduce the batch per-doc score_ppm bit-for-bit for
+    every doc the corpus contained; docs with no query term tag null."""
+    import shutil
+
+    from input_data_pipeline_spark.operators.textstats import (
+        _bm25_scored,
+        bm25_doc_search,
+        bm25_stream_model,
+    )
+    from input_data_pipeline_spark.streaming.pipelines import (
+        run_to_memory,
+        stream_bm25_tags,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    model = bm25_stream_model(spark, sf)
+    idf, n_docs, sum_dl = model
+    assert 0 < len(idf) <= 3 and n_docs > 0 and sum_dl > 0  # bounded model
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    shutil.copy(f"{sf}/documents.parquet", src / "part-0.parquet")
+    sdf = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(str(src))
+
+    name = _unique("bm25tags")
+    q = run_to_memory(stream_bm25_tags(sdf, model), name)
+    try:
+        q.processAllAvailable()
+        got = {r.doc_id: r.bm25_score_ppm for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+
+    batch = {r.doc_id: r.score_ppm for r in _bm25_scored(spark, sf).collect()}
+    assert batch, "fixture corpus must contain query-term docs"
+    assert set(batch) <= set(got)
+    for did, s in got.items():
+        assert s == batch.get(did), (did, s, batch.get(did))
+    # and the batch top-k ranking is reproducible from the stream tags
+    topk = [(r.doc_id, r.score_ppm) for r in bm25_doc_search(spark, sf).collect()]
+    rebuilt = sorted(
+        ((d, s) for d, s in got.items() if s is not None),
+        key=lambda p: (-p[1], p[0]),
+    )[: len(topk)]
+    assert rebuilt == topk
