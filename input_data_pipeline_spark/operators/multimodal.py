@@ -683,6 +683,157 @@ def _decode_avi(payload: bytes) -> dict:
     }
 
 
+def _probe_mp4(payload: bytes) -> dict:
+    """ISO BMFF (MP4/MOV) container METADATA probe with stdlib ``struct``
+    — no codec needed for metadata: a box walk (ISO/IEC 14496-12 §4.2,
+    64-bit largesize and size-0 run-to-end boxes included) reads
+    ``moov/mvhd`` (timescale + duration) and each ``trak``'s ``tkhd``
+    (16.16 fixed-point display dims) + ``mdia/hdlr`` (handler fourcc:
+    vide/soun/...). Returns ``{container, duration_ms, timescale,
+    n_tracks, tracks: [{handler, width, height}]}``. Sample DECODE
+    (H.264/AAC payloads) stays the external-codec seam — this is the
+    ffprobe-shaped half a pipeline needs for routing, budgeting and
+    stats before any decode."""
+    import struct
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload (missing ftyp box)")
+
+    def boxes(start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack_from(">I", payload, pos)
+            typ = payload[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    raise ValueError("truncated MP4 box (largesize header)")
+                (size,) = struct.unpack_from(">Q", payload, pos + 8)
+                hdr = 16
+            elif size == 0:  # box runs to the end of its container
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError(f"truncated MP4 box '{typ.decode(errors='replace')}'")
+            yield typ, pos + hdr, pos + size
+            pos += size
+
+    duration_ms = timescale = None
+    tracks: list[dict] = []
+    for typ, b0, b1 in boxes(0, len(payload)):
+        if typ != b"moov":
+            continue
+        for t2, c0, c1 in boxes(b0, b1):
+            if t2 == b"mvhd":
+                ver = payload[c0]
+                if ver == 1:
+                    ts, = struct.unpack_from(">I", payload, c0 + 20)
+                    dur, = struct.unpack_from(">Q", payload, c0 + 24)
+                else:
+                    ts, = struct.unpack_from(">I", payload, c0 + 12)
+                    dur, = struct.unpack_from(">I", payload, c0 + 16)
+                if ts == 0:
+                    raise ValueError("mvhd timescale is zero")
+                timescale, duration_ms = ts, dur * 1000 // ts
+            elif t2 == b"trak":
+                trk = {"handler": None, "width": None, "height": None}
+                for t3, d0, d1 in boxes(c0, c1):
+                    if t3 == b"tkhd":
+                        off = 88 if payload[d0] == 1 else 76
+                        w_fx, h_fx = struct.unpack_from(">II", payload, d0 + off)
+                        trk["width"], trk["height"] = w_fx >> 16, h_fx >> 16
+                    elif t3 == b"mdia":
+                        for t4, e0, e1 in boxes(d0, d1):
+                            if t4 == b"hdlr":
+                                trk["handler"] = payload[e0 + 8 : e0 + 12].decode(
+                                    "ascii", errors="replace"
+                                )
+                tracks.append(trk)
+    if duration_ms is None:
+        raise ValueError("no moov/mvhd box found (streaming-fragment MP4?)")
+    return {
+        "container": "mp4",
+        "duration_ms": duration_ms,
+        "timescale": timescale,
+        "n_tracks": len(tracks),
+        "tracks": tracks,
+    }
+
+
+def probe_video(payload: bytes) -> dict:
+    """Container-level video metadata without decoding samples — the
+    ffprobe-shaped probe a pipeline runs on every blob before deciding
+    what to decode: AVI via the full RIFF walk (:func:`_decode_avi`),
+    MP4/MOV via the metadata-only box walk (:func:`_probe_mp4`).
+    Uniform keys: container, width, height, n_frames (None when the
+    container doesn't declare it), duration_ms, n_tracks."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        m = _decode_avi(payload)
+        return {
+            "container": "avi",
+            "width": m["width"],
+            "height": m["height"],
+            "n_frames": m["n_frames"],
+            "duration_ms": m["n_frames"] * m["usec_per_frame"] // 1000,
+            "n_tracks": 1,
+        }
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        m = _probe_mp4(payload)
+        vid = next(
+            (t for t in m["tracks"] if t["handler"] == "vide"), {}
+        )
+        return {
+            "container": "mp4",
+            "width": vid.get("width"),
+            "height": vid.get("height"),
+            "n_frames": None,  # sample counts live in stbl; decode is the seam
+            "duration_ms": m["duration_ms"],
+            "n_tracks": m["n_tracks"],
+        }
+    raise NotImplementedError(
+        "probe of non-AVI/MP4 video containers requires external media "
+        "libraries (SURVEY §2.10 U1/U2)"
+    )
+
+
+def extract_video_metadata(videos: DataFrame) -> DataFrame:
+    """Map-only mapInPandas kernel over ``(doc_id, payload)`` video blobs:
+    one metadata row per blob via :func:`probe_video` — container, display
+    dims, declared frame count (AVI), duration, track count. The routing/
+    budgeting pass a 100 TB multimodal pipeline runs BEFORE spending any
+    decode: no shuffle, Arrow-batched, and unprobeable payloads surface as
+    ``container='error'`` rows instead of killing the task (tag-then-mix,
+    same convention as the ingest error routing P6)."""
+    import pandas as pd
+
+    def probe(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "container": [], "width": [], "height": [],
+                "n_frames": [], "duration_ms": [], "n_tracks": [], "err": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    m = probe_video(bytes(payload))
+                    err = None
+                except (ValueError, NotImplementedError) as e:
+                    m, err = {}, str(e)
+                out["doc_id"].append(doc_id)
+                out["container"].append(m.get("container", "error"))
+                out["width"].append(m.get("width"))
+                out["height"].append(m.get("height"))
+                out["n_frames"].append(m.get("n_frames"))
+                out["duration_ms"].append(m.get("duration_ms"))
+                out["n_tracks"].append(m.get("n_tracks"))
+                out["err"].append(err)
+            yield pd.DataFrame(out)
+
+    return videos.mapInPandas(
+        probe,
+        "doc_id long, container string, width int, height int, "
+        "n_frames int, duration_ms long, n_tracks int, err string",
+    )
+
+
 def decode_media(payload: bytes, modality: str = "audio") -> dict:
     """Decode an opaque media payload to typed fields.
 

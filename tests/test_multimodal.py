@@ -1033,3 +1033,98 @@ def test_decode_jpeg_420_and_422_subsampled():
     plane = np.frombuffer(meta["pixels"], np.uint8).reshape(h, w, 3)
     err = np.abs(plane.astype(int) - np.asarray(rows)[:, :, ::-1])
     assert err.max() <= 6, err.max()  # Y at full res + neutral-chroma wobble
+
+
+# ---------------------------------------------------------------------------
+# MP4 container probe (round 10): box-walk metadata without any codec
+# ---------------------------------------------------------------------------
+
+
+def make_mp4(duration_ms=5000, timescale=1000, width=640, height=360,
+             with_audio=True, mvhd_version=0, largesize_moov=False):
+    """Build a minimal ISO BMFF file with stdlib struct: ftyp + moov
+    (mvhd v0/v1, a video trak with tkhd 16.16 dims + mdia/hdlr 'vide',
+    optionally an audio trak). ``largesize_moov`` writes moov with the
+    64-bit size-1 header to exercise that branch."""
+    import struct
+
+    def box(typ, body, largesize=False):
+        if largesize:
+            return struct.pack(">I", 1) + typ + struct.pack(">Q", 16 + len(body)) + body
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    dur = duration_ms * timescale // 1000
+    if mvhd_version == 1:
+        mvhd = box(b"mvhd", bytes([1, 0, 0, 0]) + b"\x00" * 16
+                   + struct.pack(">IQ", timescale, dur) + b"\x00" * 80)
+    else:
+        mvhd = box(b"mvhd", bytes(4) + b"\x00" * 8
+                   + struct.pack(">II", timescale, dur) + b"\x00" * 80)
+
+    def trak(handler, w=0, h=0):
+        tkhd = box(b"tkhd", bytes(4) + b"\x00" * 72
+                   + struct.pack(">II", w << 16, h << 16))
+        hdlr = box(b"hdlr", bytes(4) + bytes(4) + handler + b"\x00" * 13)
+        return box(b"trak", tkhd + box(b"mdia", hdlr))
+
+    traks = trak(b"vide", width, height)
+    if with_audio:
+        traks += trak(b"soun")
+    moov = box(b"moov", mvhd + traks, largesize=largesize_moov)
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def test_probe_mp4_metadata():
+    """Box-walk metadata probe: duration from mvhd (v0 and v1), display
+    dims from the video trak's tkhd, handlers from mdia/hdlr — including
+    the 64-bit largesize header branch."""
+    from input_data_pipeline_spark.operators.multimodal import probe_video
+
+    for ver, large in ((0, False), (1, False), (0, True)):
+        m = probe_video(make_mp4(duration_ms=7250, mvhd_version=ver,
+                                 largesize_moov=large))
+        assert m["container"] == "mp4", (ver, large)
+        assert m["duration_ms"] == 7250
+        assert (m["width"], m["height"]) == (640, 360)
+        assert m["n_tracks"] == 2 and m["n_frames"] is None
+
+    # malformed: truncated box and zero timescale must ValueError
+    ok = make_mp4()
+    with pytest.raises(ValueError, match="truncated MP4 box"):
+        probe_video(ok[: len(ok) - 30])
+    import struct as _s
+
+    bad = bytearray(make_mp4(timescale=1000))
+    i = bad.index(b"mvhd") + 4 + 12
+    _s.pack_into(">I", bad, i, 0)
+    with pytest.raises(ValueError, match="timescale is zero"):
+        probe_video(bytes(bad))
+
+
+def test_extract_video_metadata_end_to_end(spark):
+    """The routing/budgeting probe kernel over a mixed blob column: AVI
+    rows carry declared frame counts, MP4 rows carry duration/track
+    metadata with no decode, and junk payloads surface as error rows
+    instead of killing the task."""
+    from input_data_pipeline_spark.operators.multimodal import (
+        extract_video_metadata,
+    )
+
+    avi = make_avi(3, 2, [[[(9, 9, 9)] * 3] * 2, [[(1, 1, 1)] * 3] * 2])
+    mp4 = make_mp4(duration_ms=12000, width=1280, height=720)
+    df = spark.createDataFrame(
+        [(1, avi), (2, mp4), (3, b"\x00\x01junk")],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in extract_video_metadata(df).collect()}
+    assert rows[1].container == "avi"
+    assert (rows[1].width, rows[1].height, rows[1].n_frames) == (3, 2, 2)
+    assert rows[1].duration_ms == 2 * 40000 // 1000
+    assert rows[2].container == "mp4"
+    assert (rows[2].width, rows[2].height) == (1280, 720)
+    assert rows[2].duration_ms == 12000 and rows[2].n_tracks == 2
+    assert rows[2].n_frames is None
+    assert rows[3].container == "error" and "non-AVI/MP4" in rows[3].err
+    # the probe is map-only: no shuffle anywhere in the plan
+    plan = extract_video_metadata(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
