@@ -359,12 +359,21 @@ def _decode_jpeg(payload: bytes) -> dict:
     replicates Y into all three channels), so a JPEG fingerprints and
     feature-extracts through the same downstream kernels as BMP/PNG/AVI.
 
-    Out of scope, rejected loudly: progressive (SOF2) and the rare
-    arithmetic/hierarchical/12-bit modes, and sampling factors beyond 2
-    per axis — at that point a real libjpeg belongs behind the
-    per-executor singleton codec seam (U2). Only the per-symbol huffman
-    loop is per-bit Python; everything after the coefficient tensor is
-    numpy.
+    Progressive (SOF2) decode is real too: the multi-scan walk feeds
+    :func:`_jpeg_progressive_scan` (spectral selection AND successive
+    approximation, T.81 Annex G — DC/AC first + refinement scans with
+    EOBRUN and the G.1.2.3 correction algorithm), accumulating into
+    cross-scan coefficient grids finished by the same
+    :func:`_jpeg_finish` back half as baseline — so a progressive and a
+    baseline encoding of the same quantized coefficients decode to
+    byte-identical planes (pinned by test).
+
+    Out of scope, rejected loudly: the rare arithmetic/hierarchical/
+    12-bit modes, sampling factors beyond 2 per axis, and DRI restarts
+    inside progressive scans — at that point a real libjpeg belongs
+    behind the per-executor singleton codec seam (U2). Only the
+    per-symbol huffman loop is per-bit Python; everything after the
+    coefficient tensor is numpy.
     """
     import struct
 
@@ -375,14 +384,21 @@ def _decode_jpeg(payload: bytes) -> dict:
     qtabs: dict[int, "np.ndarray"] = {}
     htabs: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
     sof = None
+    progressive = False
+    prog_state = None
     restart_interval = 0
     pos = 2
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at offset {pos}")
         marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI before any scan
+        if marker == 0xD9:  # EOI: finish progressive decode, else no scan
+            if prog_state is not None:
+                return _jpeg_finish(prog_state)
             break
+        if 0xD0 <= marker <= 0xD7:  # stray RSTn between scans: skip
+            pos += 2
+            continue
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         body0, body1 = pos + 4, pos + 2 + seglen
         if body1 > len(payload):
@@ -412,7 +428,8 @@ def _decode_jpeg(payload: bytes) -> dict:
                     raise ValueError("truncated JPEG DHT segment")
                 htabs[(tc, th)] = _jpeg_huff_table(bits, body[i + 17 : i + 17 + nv])
                 i += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = _jpeg_unpack(">BHHB", body, 0, "SOF0")
             if prec != 8:
                 raise ValueError(f"unsupported JPEG sample precision {prec}")
@@ -440,11 +457,11 @@ def _decode_jpeg(payload: bytes) -> dict:
                 # header advertises (T.81 A.2.2)
                 comps[0]["hc"] = comps[0]["vc"] = 1
             sof = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: progressive/"
-                "arithmetic/hierarchical) unsupported — baseline SOF0 only"
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: arithmetic/"
+                "hierarchical/lossless) unsupported — SOF0/SOF2 only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = _jpeg_unpack(">H", body, 0, "DRI")
@@ -455,28 +472,53 @@ def _decode_jpeg(payload: bytes) -> dict:
                 raise ValueError("truncated JPEG SOS segment")
             ns = body[0]
             width, height, comps = sof
-            if ns != len(comps):
-                raise ValueError("JPEG scan must cover all frame components")
-            if len(body) < 1 + 2 * ns:
+            if len(body) < 4 + 2 * ns:
                 raise ValueError("truncated JPEG SOS segment")
             scan = {}
+            scan_ids = []
             for s in range(ns):
                 cs, tables = body[1 + 2 * s], body[2 + 2 * s]
                 scan[cs] = (tables >> 4, tables & 0xF)
-            for c in comps:
-                if c["id"] not in scan:
-                    raise ValueError(f"component {c['id']} missing from scan")
-                c["td"], c["ta"] = scan[c["id"]]
-                if (0, c["td"]) not in htabs or (1, c["ta"]) not in htabs:
-                    raise ValueError("JPEG scan references undefined huffman table")
+                scan_ids.append(cs)
+            scan_comps = []
+            for cid in scan_ids:
+                c = next((c for c in comps if c["id"] == cid), None)
+                if c is None:
+                    raise ValueError(f"scan names unknown component {cid}")
+                c["td"], c["ta"] = scan[cid]
                 if c["tq"] not in qtabs:
                     raise ValueError("JPEG component references undefined DQT table")
-            return _jpeg_scan(
-                payload, body1, width, height, comps, qtabs, htabs,
-                restart_interval,
+                scan_comps.append(c)
+            if not progressive:
+                if ns != len(comps):
+                    raise ValueError("JPEG scan must cover all frame components")
+                for c in comps:
+                    if (0, c["td"]) not in htabs or (1, c["ta"]) not in htabs:
+                        raise ValueError(
+                            "JPEG scan references undefined huffman table"
+                        )
+                return _jpeg_scan(
+                    payload, body1, width, height, comps, qtabs, htabs,
+                    restart_interval,
+                )
+            if restart_interval:
+                raise ValueError(
+                    "DRI restart intervals unsupported in progressive scans"
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+            if prog_state is None:
+                prog_state = _jpeg_progressive_init(
+                    payload, body1, width, height, comps, qtabs
+                )
+            pos = _jpeg_progressive_scan(
+                prog_state, body1, scan_comps, ss, se, ah, al, htabs
             )
+            continue
         # APPn / COM / unknown: skip
         pos = body1
+    if prog_state is not None:  # tolerate a missing EOI after the last scan
+        return _jpeg_finish(prog_state)
     raise ValueError("no JPEG scan (SOS) found")
 
 
@@ -561,13 +603,34 @@ def _jpeg_scan(
                                 r.receive(size), size
                             )
                             k += 1
-    # dequant + IDCT, whole tensor at once; assemble each component's own
-    # block grid, replicate up to full resolution, crop the MCU padding
+    return _jpeg_finish({
+        "width": width,
+        "height": height,
+        "comps": comps,
+        "qtabs": qtabs,
+        "hmax": hmax,
+        "vmax": vmax,
+        "grids": grids,
+        "coefs": coefs,
+    })
+
+
+def _jpeg_finish(state: dict) -> dict:
+    """Shared back half of baseline and progressive decode: dequant +
+    IDCT over the accumulated coefficient grids, per-component plane
+    assembly, chroma sample replication, BT.601, BGR bytes."""
+    import numpy as np
+
+    width, height = state["width"], state["height"]
+    comps, qtabs = state["comps"], state["qtabs"]
+    hmax, vmax = state["hmax"], state["vmax"]
     m8 = _idct_matrix()
     planes = []
     for ci, c in enumerate(comps):
-        gx, gy = grids[ci]
-        deq = (coefs[ci].reshape(-1, 8, 8) * qtabs[c["tq"]]).astype(np.float64)
+        gx, gy = state["grids"][ci]
+        deq = (
+            state["coefs"][ci].reshape(-1, 8, 8) * qtabs[c["tq"]]
+        ).astype(np.float64)
         spatial = np.einsum("ki,nkl,lj->nij", m8, deq, m8) + 128.0
         plane = (
             spatial.reshape(gy, gx, 8, 8)
@@ -598,6 +661,232 @@ def _jpeg_scan(
         "n_pixels": width * height,
         "pixels": bgr.tobytes(),
     }
+
+
+def _jpeg_progressive_init(
+    payload: bytes, pos: int, width: int, height: int,
+    comps: list[dict], qtabs: dict,
+) -> dict:
+    """Allocate the cross-scan decode state for a progressive (SOF2)
+    JPEG: per-component coefficient grids the successive scans fill in,
+    plus the geometry both scan kinds index. Same allocation guards as
+    the baseline path (dimension cap + declared-size-vs-payload bound —
+    a progressive scan spends >= 1 bit per block)."""
+    import numpy as np
+
+    if width <= 0 or height <= 0:
+        raise ValueError(f"degenerate JPEG dimensions {width}x{height}")
+    if width * height > (1 << 26):
+        raise ValueError(
+            f"JPEG dimensions {width}x{height} exceed the 64M-pixel decode cap"
+        )
+    hmax = max(c["hc"] for c in comps)
+    vmax = max(c["vc"] for c in comps)
+    mcu_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcu_y = (height + 8 * vmax - 1) // (8 * vmax)
+    grids = [(mcu_x * c["hc"], mcu_y * c["vc"]) for c in comps]
+    n_blocks = sum(gx * gy for gx, gy in grids)
+    if len(payload) - pos < n_blocks // 8:
+        raise ValueError(
+            "JPEG entropy data shorter than the declared dimensions require"
+        )
+    return {
+        "payload": payload,
+        "width": width,
+        "height": height,
+        "comps": comps,
+        "qtabs": qtabs,
+        "hmax": hmax,
+        "vmax": vmax,
+        "mcu_x": mcu_x,
+        "mcu_y": mcu_y,
+        "grids": grids,
+        "coefs": [np.zeros((gx * gy, 64), dtype=np.int32) for gx, gy in grids],
+    }
+
+
+def _jpeg_next_marker(payload: bytes, pos: int) -> int:
+    """Position of the next real marker at/after ``pos``: skips entropy
+    pad bits, stuffed 0xFF00 bytes and RSTn markers."""
+    while pos + 1 < len(payload):
+        if payload[pos] == 0xFF and payload[pos + 1] != 0x00 and not (
+            0xD0 <= payload[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    raise ValueError("truncated JPEG: no marker after scan data")
+
+
+def _jpeg_progressive_scan(
+    state: dict,
+    pos: int,
+    scan_comps: list[dict],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    htabs: dict,
+) -> int:
+    """Entropy-decode ONE progressive scan (T.81 Annex G) into the
+    cross-scan coefficient grids and return the offset of the marker
+    that follows its entropy data.
+
+    Four scan kinds, selected by (Ss, Ah):
+
+    - DC first (Ss=0, Ah=0): baseline-style predicted DC differences in
+      the shifted domain, stored ``<< Al``; interleaved MCU order when
+      the scan carries several components, component block raster
+      otherwise.
+    - DC refinement (Ss=0, Ah>0): one raw bit per block, OR-ed into bit
+      position Al of the two's-complement coefficient (G.1.2.1 codes DC
+      successive approximation as an arithmetic shift).
+    - AC first (Ss>0, Ah=0, single component per T.81): run/size coding
+      over the Ss..Se band with EOBRUN (EOBn) block-run codes; values
+      stored ``<< Al``.
+    - AC refinement (Ss>0, Ah>0): the G.1.2.3 correction algorithm —
+      newly-significant coefficients appear as ±2^Al while every
+      already-nonzero coefficient in the traversed band consumes one
+      correction bit (including inside EOB runs).
+    """
+    payload = state["payload"]
+    comps_all = state["comps"]
+    r = _JpegBitReader(payload, pos)
+    zz = _JPEG_ZIGZAG
+    p1, m1 = 1 << al, -(1 << al)
+
+    if ss == 0:  # ---- DC scan (Se must be 0 per spec)
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        for c in scan_comps:
+            if ah == 0 and (0, c["td"]) not in htabs:
+                raise ValueError("JPEG scan references undefined huffman table")
+        pred = {c["id"]: 0 for c in scan_comps}
+        if len(scan_comps) > 1:  # interleaved MCU order over the frame
+            mcu_x, mcu_y = state["mcu_x"], state["mcu_y"]
+            for my in range(mcu_y):
+                for mx in range(mcu_x):
+                    for c in scan_comps:
+                        ci = comps_all.index(c)
+                        gx = state["grids"][ci][0]
+                        for v in range(c["vc"]):
+                            for hh in range(c["hc"]):
+                                blk = state["coefs"][ci][
+                                    (my * c["vc"] + v) * gx + mx * c["hc"] + hh
+                                ]
+                                if ah == 0:
+                                    t = _jpeg_decode_sym(r, htabs[(0, c["td"])])
+                                    pred[c["id"]] += _jpeg_extend(
+                                        r.receive(t), t
+                                    )
+                                    blk[0] = pred[c["id"]] << al
+                                elif r.bit():
+                                    blk[0] |= p1
+        else:  # single component: its own block raster (no MCU padding)
+            c = scan_comps[0]
+            ci = comps_all.index(c)
+            gx = state["grids"][ci][0]
+            cbx, cby = _jpeg_comp_blocks(state, ci)
+            for row in range(cby):
+                for col in range(cbx):
+                    blk = state["coefs"][ci][row * gx + col]
+                    if ah == 0:
+                        t = _jpeg_decode_sym(r, htabs[(0, c["td"])])
+                        pred[c["id"]] += _jpeg_extend(r.receive(t), t)
+                        blk[0] = pred[c["id"]] << al
+                    elif r.bit():
+                        blk[0] |= p1
+        return _jpeg_next_marker(payload, r.pos)
+
+    # ---- AC scan: exactly one component (T.81 B.2.3)
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if not (1 <= ss <= se <= 63):
+        raise ValueError(f"bad progressive spectral band {ss}..{se}")
+    c = scan_comps[0]
+    if (1, c["ta"]) not in htabs:
+        raise ValueError("JPEG scan references undefined huffman table")
+    ac_tab = htabs[(1, c["ta"])]
+    ci = comps_all.index(c)
+    gx = state["grids"][ci][0]
+    cbx, cby = _jpeg_comp_blocks(state, ci)
+    eobrun = 0
+    for row in range(cby):
+        for col in range(cbx):
+            blk = state["coefs"][ci][row * gx + col]
+            if ah == 0:  # ---- AC first scan
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _jpeg_decode_sym(r, ac_tab)
+                    run, size = rs >> 4, rs & 0xF
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << run) - 1
+                        if run:
+                            eobrun += r.receive(run)
+                        break
+                    k += run
+                    if k > se:
+                        raise ValueError("JPEG AC run past spectral band")
+                    blk[zz[k]] = _jpeg_extend(r.receive(size), size) << al
+                    k += 1
+            else:  # ---- AC refinement scan (G.1.2.3)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _jpeg_decode_sym(r, ac_tab)
+                        run, size = rs >> 4, rs & 0xF
+                        if size == 0:
+                            if run != 15:
+                                # EOB run INCLUDING this block: its
+                                # remaining band still consumes
+                                # correction bits below, then eobrun--
+                                eobrun = 1 << run
+                                if run:
+                                    eobrun += r.receive(run)
+                                break
+                            newval = 0  # ZRL: skip 16 zero-history slots
+                        elif size == 1:
+                            newval = p1 if r.bit() else m1
+                        else:
+                            raise ValueError(
+                                "AC refinement symbol with size > 1"
+                            )
+                        while k <= se:
+                            z = zz[k]
+                            if blk[z] != 0:
+                                if r.bit() and (blk[z] & p1) == 0:
+                                    blk[z] += p1 if blk[z] >= 0 else m1
+                            else:
+                                if run == 0:
+                                    break
+                                run -= 1
+                            k += 1
+                        if size == 1 and k <= se:
+                            blk[zz[k]] = newval
+                        k += 1
+                if eobrun > 0:
+                    # EOB-covered remainder: correction bits only
+                    while k <= se:
+                        z = zz[k]
+                        if blk[z] != 0 and r.bit() and (blk[z] & p1) == 0:
+                            blk[z] += p1 if blk[z] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+    return _jpeg_next_marker(payload, r.pos)
+
+
+def _jpeg_comp_blocks(state: dict, ci: int) -> tuple[int, int]:
+    """Block count of component ci's OWN sample grid (non-interleaved
+    scans cover exactly these, without the MCU-padding blocks)."""
+    c = state["comps"][ci]
+    wc = -(-state["width"] * c["hc"] // state["hmax"])
+    hc = -(-state["height"] * c["vc"] // state["vmax"])
+    return -(-wc // 8), -(-hc // 8)
 
 
 def _decode_avi(payload: bytes) -> dict:

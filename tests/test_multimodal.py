@@ -899,9 +899,13 @@ def test_decode_jpeg_rejects_non_baseline():
 
     gray = [[10 * r for _ in range(8)] for r in range(8)]
     ok = make_jpeg(gray_rows=gray)
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF9 (arithmetic coding: genuinely out of scope)
     i = ok.index(b"\xff\xc0")
     with pytest.raises(ValueError, match="non-baseline"):
+        decode_media(ok[:i] + b"\xff\xc9" + ok[i + 2 :], "image")
+    # flip SOF0 -> SOF2: the baseline scan header (Ss=0, Se=63) is not a
+    # legal PROGRESSIVE scan — rejected, not misparsed
+    with pytest.raises(ValueError, match="DC scan must have Se=0"):
         decode_media(ok[:i] + b"\xff\xc2" + ok[i + 2 :], "image")
     # sampling factor beyond 2 per axis (3x1) is out of scope
     j = i + 2 + 2 + 6  # marker + len + prec/h/w/nc -> first component id
@@ -1128,3 +1132,334 @@ def test_extract_video_metadata_end_to_end(spark):
     # the probe is map-only: no shuffle anywhere in the plan
     plan = extract_video_metadata(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def make_progressive_jpeg(rows_rgb=None, gray_rows=None, quant=1):
+    """Encode a progressive (SOF2) JFIF JPEG exercising all four scan
+    kinds of T.81 Annex G: DC first (Al=1, interleaved) + DC refinement,
+    then per component AC first scans over two spectral bands (Al=1,
+    with EOBRUN coding) + AC refinement scans (the G.1.2.3 correction
+    algorithm with buffered correction bits, ZRL folding and EOB-run
+    corrections). 4:4:4 / grayscale, flat quant tables — encodes the
+    SAME quantized coefficients as the baseline encoder, so baseline and
+    progressive decodes of one image must be byte-identical."""
+    import struct
+
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _idct_matrix,
+    )
+
+    if gray_rows is not None:
+        planes = [np.asarray(gray_rows, dtype=np.float64)]
+    else:
+        rgb = np.asarray(rows_rgb, dtype=np.float64)
+        r_, g_, b_ = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        planes = [
+            np.round(0.299 * r_ + 0.587 * g_ + 0.114 * b_),
+            np.round(128 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_),
+            np.round(128 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_),
+        ]
+    height, width = planes[0].shape
+    ncomp = len(planes)
+    bx, by = -(-width // 8), -(-height // 8)
+    m8 = _idct_matrix()
+    qtab = np.full((8, 8), quant, dtype=np.int32)
+    coefs = []
+    for p in planes:
+        fp = np.pad(p, ((0, by * 8 - height), (0, bx * 8 - width)), mode="edge")
+        blocks = fp.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        c = np.einsum("ik,nkl,jl->nij", m8, blocks - 128.0, m8)
+        coefs.append(np.round(c / qtab).astype(np.int64))
+    n_blocks = bx * by
+    zz = _JPEG_ZIGZAG
+
+    def mag(v):
+        t = int(abs(v)).bit_length()
+        return t, (v if v >= 0 else v + (1 << t) - 1)
+
+    def dc_first_tokens(scan_cis, al):
+        toks, pred = [], {ci: 0 for ci in scan_cis}
+        for m in range(n_blocks):
+            for ci in scan_cis:
+                d = int(coefs[ci][m][0, 0]) >> al
+                t, bv = mag(d - pred[ci])
+                pred[ci] = d
+                toks.append(("sym", (0, ci), t))
+                if t:
+                    toks.append(("raw", bv, t))
+        return toks
+
+    def dc_refine_tokens(scan_cis, al):
+        return [
+            ("raw", (int(coefs[ci][m][0, 0]) >> al) & 1, 1)
+            for m in range(n_blocks)
+            for ci in scan_cis
+        ]
+
+    def ac_first_tokens(ci, ss, se, al):
+        toks, eobrun = [], 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                rr = eobrun.bit_length() - 1
+                toks.append(("sym", (1, ci), rr << 4))
+                if rr:
+                    toks.append(("raw", eobrun - (1 << rr), rr))
+                eobrun = 0
+
+        for m in range(n_blocks):
+            flat = coefs[ci][m].reshape(-1)
+            v = {
+                k: (1 if flat[zz[k]] >= 0 else -1) * (abs(int(flat[zz[k]])) >> al)
+                for k in range(ss, se + 1)
+            }
+            last = max((k for k in v if v[k]), default=None)
+            if last is None:
+                eobrun += 1
+                continue
+            flush_eob()
+            r = 0
+            for k in range(ss, last + 1):
+                if v[k] == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    toks.append(("sym", (1, ci), 0xF0))
+                    r -= 16
+                t, bv = mag(v[k])
+                toks.append(("sym", (1, ci), (r << 4) | t))
+                toks.append(("raw", bv, t))
+                r = 0
+            if last < se:
+                eobrun += 1
+        flush_eob()
+        return toks
+
+    def ac_refine_tokens(ci, ss, se, al):
+        toks, eobrun, be = [], 0, []
+
+        def flush_eob():
+            nonlocal eobrun, be
+            if eobrun:
+                rr = eobrun.bit_length() - 1
+                toks.append(("sym", (1, ci), rr << 4))
+                if rr:
+                    toks.append(("raw", eobrun - (1 << rr), rr))
+                toks.extend(("raw", b, 1) for b in be)
+                eobrun, be = 0, []
+
+        for m in range(n_blocks):
+            flat = coefs[ci][m].reshape(-1)
+            absv = {k: abs(int(flat[zz[k]])) >> al for k in range(ss, se + 1)}
+            eob = max((k for k in absv if absv[k] == 1), default=None)
+            r, br = 0, []
+            for k in range(ss, se + 1):
+                t = absv[k]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and eob is not None and k <= eob:
+                    flush_eob()
+                    toks.append(("sym", (1, ci), 0xF0))
+                    r -= 16
+                    toks.extend(("raw", b, 1) for b in br)
+                    br = []
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                flush_eob()
+                toks.append(("sym", (1, ci), (r << 4) | 1))
+                toks.append(("raw", 1 if flat[zz[k]] >= 0 else 0, 1))
+                toks.extend(("raw", b, 1) for b in br)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                be.extend(br)
+        flush_eob()
+        return toks
+
+    # scan script: DC first/refine over all comps, then per-comp AC
+    # first + refine over two spectral bands
+    scans = [(list(range(ncomp)), 0, 0, 0, 1, dc_first_tokens(list(range(ncomp)), 1)),
+             (list(range(ncomp)), 0, 0, 1, 0, dc_refine_tokens(list(range(ncomp)), 0))]
+    for ci in range(ncomp):
+        scans.append(([ci], 1, 5, 0, 1, ac_first_tokens(ci, 1, 5, 1)))
+        scans.append(([ci], 6, 63, 0, 1, ac_first_tokens(ci, 6, 63, 1)))
+    for ci in range(ncomp):
+        scans.append(([ci], 1, 5, 1, 0, ac_refine_tokens(ci, 1, 5, 0)))
+        scans.append(([ci], 6, 63, 1, 0, ac_refine_tokens(ci, 6, 63, 0)))
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz_q = bytes(int(qtab.reshape(-1)[z]) for z in zz)
+    out += seg(0xDB, bytes([0x00]) + zz_q)
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += seg(0xC2, sof)  # SOF2: progressive
+
+    for scan_cis, ss, se, ah, al, toks in scans:
+        # per-scan canonical tables over the symbols actually emitted
+        syms = {}
+        for tok in toks:
+            if tok[0] == "sym":
+                syms.setdefault(tok[1], set()).add(tok[2])
+        encs = {}
+        for (tc, ci), ss_set in syms.items():
+            bits, vals, enc = _jpeg_fixture_tables(ss_set)
+            out += seg(0xC4, bytes([(tc << 4) | ci]) + bytes(bits) + vals)
+            encs[(tc, ci)] = enc
+        sos = bytes([len(scan_cis)])
+        for ci in scan_cis:
+            sos += bytes([ci + 1, (ci << 4) | ci])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        # bitstream
+        acc, nacc = 0, 0
+        ent = bytearray()
+        for tok in toks:
+            if tok[0] == "sym":
+                L, code = encs[tok[1]][tok[2]]
+                val, nb = code, L
+            else:
+                _, val, nb = tok
+            for i in range(nb - 1, -1, -1):
+                acc = (acc << 1) | ((val >> i) & 1)
+                nacc += 1
+                if nacc == 8:
+                    ent.append(acc)
+                    if acc == 0xFF:
+                        ent.append(0x00)
+                    acc, nacc = 0, 0
+        if nacc:
+            acc = (acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)
+            ent.append(acc)
+            if acc == 0xFF:
+                ent.append(0x00)
+        out += ent
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_progressive_jpeg_matches_baseline_exactly():
+    """Progressive decode is coefficient-exact: a progressive (SOF2)
+    encoding and a baseline (SOF0) encoding of the SAME image carry the
+    same quantized coefficients, so their decodes must be byte-identical
+    — every scan kind (DC first/refine, AC first with EOBRUN, AC refine
+    with correction bits) participates via the fixture's scan script."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    # quant=1 on noise → dense coefficients (every AC symbol path);
+    # quant=8 → a mix of newly-significant (|c|=1) and corrected (|c|>1)
+    # refinement cases; quant=40 on smooth images → sparse coefficients,
+    # long multi-block EOB runs (EOBn extra bits) and ZRL folding; 64x56
+    # color at quant=40 spans 56 blocks/component so EOB runs exceed 15
+    cases = [
+        (8, 8, False, 1), (9, 17, False, 1), (16, 16, True, 1),
+        (11, 23, True, 8), (1, 1, True, 1), (40, 40, False, 40),
+        (64, 56, True, 40),
+    ]
+    for trial, (h, w, color, quant) in enumerate(cases):
+        if color:
+            rows = (
+                rng.integers(0, 256, (h, w, 3))
+                if quant == 1
+                else np.clip(
+                    128
+                    + 60 * np.sin(np.arange(h))[:, None, None]
+                    + rng.integers(-9, 10, (h, w, 3)),
+                    0, 255,
+                )
+            ).tolist()
+            prog = make_progressive_jpeg(rows_rgb=rows, quant=quant)
+            base = make_jpeg(rows_rgb=rows, quant=quant)
+        else:
+            rows = (
+                rng.integers(0, 256, (h, w))
+                if quant == 1
+                else np.clip(
+                    128 + 50 * np.cos(np.arange(w))[None, :]
+                    + rng.integers(-9, 10, (h, w)),
+                    0, 255,
+                )
+            ).tolist()
+            prog = make_progressive_jpeg(gray_rows=rows, quant=quant)
+            base = make_jpeg(gray_rows=rows, quant=quant)
+        assert b"\xff\xc2" in prog  # really SOF2
+        mp = decode_media(prog, "image")
+        mb = decode_media(base, "image")
+        assert (mp["width"], mp["height"]) == (w, h), (trial,)
+        assert mp["pixels"] == mb["pixels"], (trial, h, w, color, quant)
+
+
+def test_progressive_jpeg_zrl_paths():
+    """Force the ZRL (16-zero-run) code in BOTH progressive AC scan
+    kinds: blocks whose only AC energy sits at a high zigzag index leave
+    >16 zero(-history) positions before it. Block A's coefficient is
+    large (ZRL in the first scan); block B's quantizes to ±1, invisible
+    at Al=1 and newly significant in the refinement scan — the G.1.2.3
+    path that advances over zero-history runs with ZRL."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _idct_matrix,
+    )
+
+    m8 = _idct_matrix()
+    quant = 8
+
+    def block_from_coef(k_zz, value):
+        c = np.zeros(64)
+        c[_JPEG_ZIGZAG[k_zz]] = value
+        spatial = m8.T @ c.reshape(8, 8) @ m8 + 128.0
+        return np.clip(np.round(spatial), 0, 255)
+
+    blk_a = block_from_coef(60, 100.0)  # quantizes to ~12: first-scan ZRL
+    blk_b = block_from_coef(58, 9.0)    # quantizes to 1: refine-scan ZRL
+    gray = np.concatenate([blk_a, blk_b], axis=1).tolist()  # 8x16
+
+    prog = make_progressive_jpeg(gray_rows=gray, quant=quant)
+    base = make_jpeg(gray_rows=gray, quant=quant)
+    mp = decode_media(prog, "image")
+    assert mp["pixels"] == decode_media(base, "image")["pixels"]
+
+    # prove the ZRL symbol really appears in the progressive stream: the
+    # fixture's per-scan DHTs list every emitted symbol, and 0xF0 can
+    # only be listed if some scan coded a 16-zero run
+    import struct
+
+    dht_symbols = set()
+    pos = 2
+    while pos + 4 <= len(prog):
+        if prog[pos] != 0xFF:
+            break
+        marker = prog[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", prog, pos + 2)
+        if marker == 0xC4:
+            body = prog[pos + 4 : pos + 2 + seglen]
+            nv = sum(body[1:17])
+            dht_symbols.update(body[17 : 17 + nv])
+        if marker == 0xDA:
+            # skip entropy to the next marker
+            p = pos + 2 + seglen
+            while p + 1 < len(prog) and not (
+                prog[p] == 0xFF and prog[p + 1] != 0x00
+                and not (0xD0 <= prog[p + 1] <= 0xD7)
+            ):
+                p += 1
+            pos = p
+            continue
+        pos += 2 + seglen
+    assert 0xF0 in dht_symbols  # a ZRL was coded somewhere

@@ -369,6 +369,37 @@ def test_jpeg_encode_decode_roundtrip_within_dct_budget(w, h, color, ri, seed):
     assert np.abs(plane.astype(int) - expect).max() <= budget
 
 
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    color=st.booleans(),
+    quant=st.sampled_from([1, 4, 16, 48]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_progressive_jpeg_equals_baseline(w, h, color, quant, seed):
+    """A progressive (SOF2) and a baseline (SOF0) encoding of the same
+    image carry identical quantized coefficients, so the decoder must
+    produce byte-identical planes — across sizes, quant levels (dense
+    through sparse/EOB-run-heavy spectra) and random content, every
+    progressive scan kind agrees with the sequential path exactly."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import decode_media
+    from tests.test_multimodal import make_jpeg, make_progressive_jpeg
+
+    rng = np.random.default_rng(seed)
+    if color:
+        rows = rng.integers(0, 256, (h, w, 3)).tolist()
+        prog = make_progressive_jpeg(rows_rgb=rows, quant=quant)
+        base = make_jpeg(rows_rgb=rows, quant=quant)
+    else:
+        rows = rng.integers(0, 256, (h, w)).tolist()
+        prog = make_progressive_jpeg(gray_rows=rows, quant=quant)
+        base = make_jpeg(gray_rows=rows, quant=quant)
+    assert decode_media(prog, "image")["pixels"] == decode_media(base, "image")["pixels"]
+
+
 def _canon_py(u: str) -> str:
     """Python replay of the shared canonicalization pipeline (the same
     _CANON_STEPS the Spark and DuckDB sides apply)."""
