@@ -480,6 +480,8 @@ def _decode_jpeg(payload: bytes) -> dict:
                 cs, tables = body[1 + 2 * s], body[2 + 2 * s]
                 scan[cs] = (tables >> 4, tables & 0xF)
                 scan_ids.append(cs)
+            if not scan_ids or len(set(scan_ids)) != len(scan_ids):
+                raise ValueError("JPEG scan component list empty or duplicated")
             scan_comps = []
             for cid in scan_ids:
                 c = next((c for c in comps if c["id"] == cid), None)
@@ -492,6 +494,8 @@ def _decode_jpeg(payload: bytes) -> dict:
             if not progressive:
                 if ns != len(comps):
                     raise ValueError("JPEG scan must cover all frame components")
+                # ns == len(comps) + distinct known ids => every component
+                # was assigned its scan tables above
                 for c in comps:
                     if (0, c["td"]) not in htabs or (1, c["ta"]) not in htabs:
                         raise ValueError(
@@ -542,32 +546,11 @@ def _jpeg_scan(
     just the (2,2)/(1,1)/(1,1) instance of that."""
     import numpy as np
 
-    if width <= 0 or height <= 0:
-        raise ValueError(f"degenerate JPEG dimensions {width}x{height}")
-    hmax = max(c["hc"] for c in comps)
-    vmax = max(c["vc"] for c in comps)
-    mcu_x = (width + 8 * hmax - 1) // (8 * hmax)
-    mcu_y = (height + 8 * vmax - 1) // (8 * vmax)
-    n_mcu = mcu_x * mcu_y
-    blocks_per_mcu = sum(c["hc"] * c["vc"] for c in comps)
-    # Allocation guards BEFORE touching the coefficient tensor: a crafted
-    # few-hundred-byte file declaring 65500x65500 would otherwise force a
-    # ~51 GB np.zeros from bytes that carry no pixel data. Every block
-    # costs at least 2 huffman symbols (DC category + EOB) = 2 bits, so
-    # the entropy data must hold >= total_blocks/4 bytes; and dimensions
-    # are capped outright (fixture-scope decoder — megapixel production
-    # decode goes through the singleton codec seam).
-    if width * height > (1 << 26):
-        raise ValueError(
-            f"JPEG dimensions {width}x{height} exceed the 64M-pixel decode cap"
-        )
-    if len(payload) - pos < (n_mcu * blocks_per_mcu) // 4:
-        raise ValueError(
-            "JPEG entropy data shorter than the declared dimensions require"
-        )
+    hmax, vmax, mcu_x, mcu_y, grids = _jpeg_geometry(
+        width, height, comps, len(payload) - pos, min_bits_per_block=2
+    )
     r = _JpegBitReader(payload, pos)
     # per component: a (block_rows*block_cols, 64) int32 coefficient grid
-    grids = [(mcu_x * c["hc"], mcu_y * c["vc"]) for c in comps]
     coefs = [np.zeros((gx * gy, 64), dtype=np.int32) for gx, gy in grids]
     pred = [0] * len(comps)
     for my in range(mcu_y):
@@ -663,17 +646,26 @@ def _jpeg_finish(state: dict) -> dict:
     }
 
 
-def _jpeg_progressive_init(
-    payload: bytes, pos: int, width: int, height: int,
-    comps: list[dict], qtabs: dict,
-) -> dict:
-    """Allocate the cross-scan decode state for a progressive (SOF2)
-    JPEG: per-component coefficient grids the successive scans fill in,
-    plus the geometry both scan kinds index. Same allocation guards as
-    the baseline path (dimension cap + declared-size-vs-payload bound —
-    a progressive scan spends >= 1 bit per block)."""
-    import numpy as np
+def _jpeg_geometry(
+    width: int,
+    height: int,
+    comps: list[dict],
+    entropy_bytes: int,
+    min_bits_per_block: int,
+) -> tuple[int, int, int, int, list[tuple[int, int]]]:
+    """Shared MCU geometry + allocation guards for baseline and
+    progressive decode: returns (hmax, vmax, mcu_x, mcu_y, grids) where
+    ``grids[ci] = (block_cols, block_rows)`` of component ci's
+    MCU-padded coefficient grid.
 
+    Guards run BEFORE any coefficient tensor is touched: a crafted
+    few-hundred-byte file declaring 65500x65500 would otherwise force a
+    ~51 GB np.zeros from bytes that carry no pixel data. A baseline
+    block costs at least 2 huffman symbols (DC category + EOB) = 2 bits;
+    a progressive scan spends at least 1 bit per block — the caller
+    passes the applicable ``min_bits_per_block``. Dimensions are also
+    capped outright (fixture-scope decoder — megapixel production decode
+    goes through the singleton codec seam)."""
     if width <= 0 or height <= 0:
         raise ValueError(f"degenerate JPEG dimensions {width}x{height}")
     if width * height > (1 << 26):
@@ -686,10 +678,26 @@ def _jpeg_progressive_init(
     mcu_y = (height + 8 * vmax - 1) // (8 * vmax)
     grids = [(mcu_x * c["hc"], mcu_y * c["vc"]) for c in comps]
     n_blocks = sum(gx * gy for gx, gy in grids)
-    if len(payload) - pos < n_blocks // 8:
+    if entropy_bytes < n_blocks * min_bits_per_block // 8:
         raise ValueError(
             "JPEG entropy data shorter than the declared dimensions require"
         )
+    return hmax, vmax, mcu_x, mcu_y, grids
+
+
+def _jpeg_progressive_init(
+    payload: bytes, pos: int, width: int, height: int,
+    comps: list[dict], qtabs: dict,
+) -> dict:
+    """Allocate the cross-scan decode state for a progressive (SOF2)
+    JPEG: per-component coefficient grids the successive scans fill in,
+    plus the geometry both scan kinds index (guards in
+    :func:`_jpeg_geometry`)."""
+    import numpy as np
+
+    hmax, vmax, mcu_x, mcu_y, grids = _jpeg_geometry(
+        width, height, comps, len(payload) - pos, min_bits_per_block=1
+    )
     return {
         "payload": payload,
         "width": width,
@@ -707,12 +715,18 @@ def _jpeg_progressive_init(
 
 def _jpeg_next_marker(payload: bytes, pos: int) -> int:
     """Position of the next real marker at/after ``pos``: skips entropy
-    pad bits, stuffed 0xFF00 bytes and RSTn markers."""
+    pad bits, stuffed 0xFF00 bytes, RSTn markers and 0xFF fill bytes
+    (T.81 B.1.1.2 allows any number of 0xFF fills before a marker — the
+    returned position points at the LAST 0xFF of a fill run so the
+    caller reads the actual marker code)."""
     while pos + 1 < len(payload):
-        if payload[pos] == 0xFF and payload[pos + 1] != 0x00 and not (
-            0xD0 <= payload[pos + 1] <= 0xD7
-        ):
-            return pos
+        if payload[pos] == 0xFF:
+            nxt = payload[pos + 1]
+            if nxt == 0xFF:  # fill byte: the marker starts later
+                pos += 1
+                continue
+            if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+                return pos
         pos += 1
     raise ValueError("truncated JPEG: no marker after scan data")
 
@@ -889,7 +903,7 @@ def _jpeg_comp_blocks(state: dict, ci: int) -> tuple[int, int]:
     return -(-wc // 8), -(-hc // 8)
 
 
-def _decode_avi(payload: bytes) -> dict:
+def _decode_avi(payload: bytes, probe: bool = False) -> dict:
     """Parse an uncompressed-DIB AVI container with stdlib ``struct``.
 
     The video analogue of the WAV/BMP paths: a RIFF chunk walk finds the
@@ -901,6 +915,13 @@ def _decode_avi(payload: bytes) -> dict:
     BMP convention; :func:`sample_video_frames` normalizes). Compressed
     codecs (``..dc`` chunks) are rejected loudly — those need real
     codecs, the documented external seam.
+
+    ``probe=True`` is the metadata-only mode :func:`probe_video` uses
+    for routing/budgeting: frame chunks are COUNTED, never copied (a
+    multi-GB blob probes without materializing its pixels), compressed
+    ``..dc`` frames count instead of raising (probing exists precisely
+    to route those files to the codec seam), and the result carries
+    ``compressed``/``n_frames`` instead of ``frames``.
     """
     import struct
 
@@ -910,9 +931,11 @@ def _decode_avi(payload: bytes) -> dict:
     avih = None
     bit_count = None
     frames: list[bytes] = []
+    n_seen = 0
+    compressed = False
 
     def walk(start: int, end: int) -> None:
-        nonlocal avih, bit_count
+        nonlocal avih, bit_count, n_seen, compressed
         # fccType of the most recent 'strh' in THIS list only: each LIST
         # level gets its own, so a child strl can never leak its stream
         # type to a later sibling (a stray 'strf' after an audio strl
@@ -944,12 +967,19 @@ def _decode_avi(payload: bytes) -> dict:
                     raise ValueError(f"video 'strf' chunk too small ({size} bytes)")
                 bit_count = struct.unpack_from("<H", payload, body0 + 14)[0]
             elif cid[2:4] == b"db":  # uncompressed DIB frame ('00db', '01db', …)
-                frames.append(payload[body0:body1])
+                n_seen += 1
+                if not probe:
+                    frames.append(payload[body0:body1])
             elif cid[2:4] == b"dc":
-                raise ValueError(
-                    "compressed AVI frame ('..dc') — needs an external codec "
-                    "(SURVEY §2.10 U1/U2 seam); only uncompressed DIB is real here"
-                )
+                if probe:  # metadata mode: count it, routing handles codecs
+                    n_seen += 1
+                    compressed = True
+                else:
+                    raise ValueError(
+                        "compressed AVI frame ('..dc') — needs an external "
+                        "codec (SURVEY §2.10 U1/U2 seam); only uncompressed "
+                        "DIB is real here"
+                    )
             pos = body1 + (size & 1)  # RIFF pads chunks to even offsets
 
     walk(12, len(payload))
@@ -958,18 +988,22 @@ def _decode_avi(payload: bytes) -> dict:
     usec_per_frame, _, _, _, total_frames, _, _, _, width, height = avih
     if width <= 0 or height <= 0:
         raise ValueError(f"degenerate AVI dimensions {width}x{height}")
-    if total_frames != len(frames):
+    if total_frames != n_seen:
         raise ValueError(
-            f"frame count mismatch: avih says {total_frames}, movi has {len(frames)}"
+            f"frame count mismatch: avih says {total_frames}, movi has {n_seen}"
         )
-    return {
+    out = {
         "width": width,
         "height": height,
         "bit_count": bit_count if bit_count is not None else 24,
-        "n_frames": len(frames),
+        "n_frames": n_seen,
         "usec_per_frame": usec_per_frame,
-        "frames": frames,
     }
+    if probe:
+        out["compressed"] = compressed
+    else:
+        out["frames"] = frames
+    return out
 
 
 def _probe_mp4(payload: bytes) -> dict:
@@ -1006,38 +1040,58 @@ def _probe_mp4(payload: bytes) -> dict:
             yield typ, pos + hdr, pos + size
             pos += size
 
+    def field(fmt, b0, b1, off, box_name):
+        # bounds-checked read INSIDE the box: a truncated/lying box must
+        # surface as the ValueError every malformed-payload path raises,
+        # never a bare struct.error/IndexError (which would escape
+        # extract_video_metadata's error-row routing), and never silently
+        # read bytes of a sibling box
+        end = off + struct.calcsize(fmt)
+        if b0 + end > b1:
+            raise ValueError(f"truncated MP4 '{box_name}' box")
+        return struct.unpack_from(fmt, payload, b0 + off)
+
     duration_ms = timescale = None
+    found_mvhd = False
     tracks: list[dict] = []
     for typ, b0, b1 in boxes(0, len(payload)):
         if typ != b"moov":
             continue
         for t2, c0, c1 in boxes(b0, b1):
             if t2 == b"mvhd":
-                ver = payload[c0]
+                (ver,) = field(">B", c0, c1, 0, "mvhd")
                 if ver == 1:
-                    ts, = struct.unpack_from(">I", payload, c0 + 20)
-                    dur, = struct.unpack_from(">Q", payload, c0 + 24)
+                    (ts,) = field(">I", c0, c1, 20, "mvhd")
+                    (dur,) = field(">Q", c0, c1, 24, "mvhd")
+                    unknown = dur == 0xFFFFFFFFFFFFFFFF
                 else:
-                    ts, = struct.unpack_from(">I", payload, c0 + 12)
-                    dur, = struct.unpack_from(">I", payload, c0 + 16)
+                    (ts,) = field(">I", c0, c1, 12, "mvhd")
+                    (dur,) = field(">I", c0, c1, 16, "mvhd")
+                    unknown = dur == 0xFFFFFFFF
                 if ts == 0:
                     raise ValueError("mvhd timescale is zero")
-                timescale, duration_ms = ts, dur * 1000 // ts
+                timescale = ts
+                found_mvhd = True
+                # all-ones duration is the 14496-12 'unknown' sentinel
+                # (live/fragmented recordings) — report None, not ~49 days
+                duration_ms = None if unknown else dur * 1000 // ts
             elif t2 == b"trak":
                 trk = {"handler": None, "width": None, "height": None}
                 for t3, d0, d1 in boxes(c0, c1):
                     if t3 == b"tkhd":
-                        off = 88 if payload[d0] == 1 else 76
-                        w_fx, h_fx = struct.unpack_from(">II", payload, d0 + off)
+                        (tver,) = field(">B", d0, d1, 0, "tkhd")
+                        off = 88 if tver == 1 else 76
+                        w_fx, h_fx = field(">II", d0, d1, off, "tkhd")
                         trk["width"], trk["height"] = w_fx >> 16, h_fx >> 16
                     elif t3 == b"mdia":
                         for t4, e0, e1 in boxes(d0, d1):
                             if t4 == b"hdlr":
-                                trk["handler"] = payload[e0 + 8 : e0 + 12].decode(
+                                (hdl,) = field(">4s", e0, e1, 8, "hdlr")
+                                trk["handler"] = hdl.decode(
                                     "ascii", errors="replace"
                                 )
                 tracks.append(trk)
-    if duration_ms is None:
+    if not found_mvhd:
         raise ValueError("no moov/mvhd box found (streaming-fragment MP4?)")
     return {
         "container": "mp4",
@@ -1054,9 +1108,12 @@ def probe_video(payload: bytes) -> dict:
     what to decode: AVI via the full RIFF walk (:func:`_decode_avi`),
     MP4/MOV via the metadata-only box walk (:func:`_probe_mp4`).
     Uniform keys: container, width, height, n_frames (None when the
-    container doesn't declare it), duration_ms, n_tracks."""
+    container doesn't declare it), duration_ms, n_tracks. The AVI walk
+    runs in probe mode — frame chunks counted, never copied, and
+    compressed ('..dc') files probe fine: routing them to the codec
+    seam is exactly what the probe is FOR."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-        m = _decode_avi(payload)
+        m = _decode_avi(payload, probe=True)
         return {
             "container": "avi",
             "width": m["width"],
@@ -1139,13 +1196,15 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
     inflate + scanline unfilter (see :func:`_decode_png`), normalized to
     the same BGR(A) plane as BMP.
 
-    REAL for baseline JFIF JPEG (round 10): huffman entropy decode +
-    dequant + numpy IDCT + BT.601 color conversion (see
-    :func:`_decode_jpeg`) — grayscale and 4:4:4 / 4:2:2 / 4:2:0 YCbCr
+    REAL for JFIF JPEG (round 10): huffman entropy decode + dequant +
+    numpy IDCT + BT.601 color conversion (see :func:`_decode_jpeg`) —
+    baseline SOF0 AND progressive SOF2 (spectral selection + successive
+    approximation), grayscale and 4:4:4 / 4:2:2 / 4:2:0 YCbCr
     (sampling-factor MCU geometry + chroma sample replication), restart
-    markers included. Only genuinely external codecs (progressive JPEG,
-    compressed AVI, MP4) stay the documented seam: those aren't in this
-    container, and on a real cluster the call MUST go through a
+    markers in baseline. Only genuinely external codecs (compressed
+    video/audio SAMPLE decode: H.264/AAC in MP4, compressed AVI,
+    arithmetic/12-bit JPEG) stay the documented seam: those aren't in
+    this container, and on a real cluster the call MUST go through a
     per-executor singleton (one codec/model instance per worker
     process), never per row — reference pattern U2.
     """

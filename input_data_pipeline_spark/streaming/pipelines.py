@@ -360,7 +360,9 @@ def stream_bm25_tags(
     from input_data_pipeline_spark.operators.textstats import BM25_QUERY
 
     idf_ppm, n_docs, sum_dl = model
-    terms = list(query if query is not None else BM25_QUERY)
+    # dedup the standing query: the batch scorer's tf is a groupBy on
+    # token, so a repeated query term must not double its contribution
+    terms = list(dict.fromkeys(query if query is not None else BM25_QUERY))
     out = docs.withColumn("_toks", T.tokens("text")).withColumn(
         "_norm_ppm",
         # L-suffixed literals force 64-bit arithmetic: size() is int32 and

@@ -1120,10 +1120,17 @@ def test_extract_video_metadata_end_to_end(spark):
         [(1, avi), (2, mp4), (3, b"\x00\x01junk")],
         "doc_id long, payload binary",
     )
+    # a COMPRESSED avi ('..dc' frames) must probe fine — routing it to
+    # the codec seam is what the probe exists for (decode still rejects)
+    cavi = avi.replace(b"00db", b"00dc")
+    df = df.union(spark.createDataFrame([(4, cavi)], "doc_id long, payload binary"))
     rows = {r.doc_id: r for r in extract_video_metadata(df).collect()}
     assert rows[1].container == "avi"
     assert (rows[1].width, rows[1].height, rows[1].n_frames) == (3, 2, 2)
     assert rows[1].duration_ms == 2 * 40000 // 1000
+    assert rows[4].container == "avi" and rows[4].n_frames == 2
+    with pytest.raises(ValueError, match="external codec"):
+        decode_media(cavi, "video")
     assert rows[2].container == "mp4"
     assert (rows[2].width, rows[2].height) == (1280, 720)
     assert rows[2].duration_ms == 12000 and rows[2].n_tracks == 2
@@ -1134,14 +1141,18 @@ def test_extract_video_metadata_end_to_end(spark):
     assert "Exchange" not in plan
 
 
-def make_progressive_jpeg(rows_rgb=None, gray_rows=None, quant=1):
+def make_progressive_jpeg(rows_rgb=None, gray_rows=None, quant=1,
+                          subsampling="444"):
     """Encode a progressive (SOF2) JFIF JPEG exercising all four scan
-    kinds of T.81 Annex G: DC first (Al=1, interleaved) + DC refinement,
-    then per component AC first scans over two spectral bands (Al=1,
-    with EOBRUN coding) + AC refinement scans (the G.1.2.3 correction
-    algorithm with buffered correction bits, ZRL folding and EOB-run
-    corrections). 4:4:4 / grayscale, flat quant tables — encodes the
-    SAME quantized coefficients as the baseline encoder, so baseline and
+    kinds of T.81 Annex G: DC first (Al=1, interleaved per the frame's
+    MCU geometry) + DC refinement, then per component AC first scans
+    over two spectral bands (Al=1, with EOBRUN coding) + AC refinement
+    scans (the G.1.2.3 correction algorithm with buffered correction
+    bits, ZRL folding and EOB-run corrections). ``subsampling`` picks
+    the Y factor exactly like :func:`make_jpeg` ("444"/"422"/"420" —
+    AC scans then cover each component's OWN block raster, excluding the
+    MCU-padding blocks, per A.2.2). Flat quant tables — encodes the SAME
+    quantized coefficients as the baseline encoder, so baseline and
     progressive decodes of one image must be byte-identical."""
     import struct
 
@@ -1154,6 +1165,7 @@ def make_progressive_jpeg(rows_rgb=None, gray_rows=None, quant=1):
 
     if gray_rows is not None:
         planes = [np.asarray(gray_rows, dtype=np.float64)]
+        facs = [(1, 1)]
     else:
         rgb = np.asarray(rows_rgb, dtype=np.float64)
         r_, g_, b_ = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
@@ -1162,42 +1174,88 @@ def make_progressive_jpeg(rows_rgb=None, gray_rows=None, quant=1):
             np.round(128 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_),
             np.round(128 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_),
         ]
+        yfac = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
+        facs = [yfac, (1, 1), (1, 1)]
     height, width = planes[0].shape
     ncomp = len(planes)
-    bx, by = -(-width // 8), -(-height // 8)
+    hmax = max(f[0] for f in facs)
+    vmax = max(f[1] for f in facs)
+    mcu_x = -(-width // (8 * hmax))
+    mcu_y = -(-height // (8 * vmax))
     m8 = _idct_matrix()
     qtab = np.full((8, 8), quant, dtype=np.int32)
-    coefs = []
-    for p in planes:
-        fp = np.pad(p, ((0, by * 8 - height), (0, bx * 8 - width)), mode="edge")
-        blocks = fp.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    coefs = []   # per comp: (gy*gx, 8, 8) int blocks, grid raster order
+    grids = []   # per comp: (gx, gy) of the MCU-padded grid
+    cdims = []   # per comp: (cbx, cby) of the component's OWN raster
+    for p, (hc, vc) in zip(planes, facs):
+        th, tw = mcu_y * 8 * vc, mcu_x * 8 * hc
+        fp = np.pad(
+            p,
+            ((0, mcu_y * 8 * vmax - height), (0, mcu_x * 8 * hmax - width)),
+            mode="edge",
+        )
+        if (hc, vc) != (hmax, vmax):
+            fy, fx = vmax // vc, hmax // hc
+            fp = np.round(fp.reshape(th, fy, tw, fx).mean(axis=(1, 3)))
+        blocks = fp.reshape(mcu_y * vc, 8, mcu_x * hc, 8).transpose(
+            0, 2, 1, 3
+        ).reshape(-1, 8, 8)
         c = np.einsum("ik,nkl,jl->nij", m8, blocks - 128.0, m8)
         coefs.append(np.round(c / qtab).astype(np.int64))
-    n_blocks = bx * by
+        grids.append((mcu_x * hc, mcu_y * vc))
+        wc = -(-width * hc // hmax)
+        hcpx = -(-height * vc // vmax)
+        cdims.append((-(-wc // 8), -(-hcpx // 8)))
     zz = _JPEG_ZIGZAG
 
     def mag(v):
         t = int(abs(v)).bit_length()
         return t, (v if v >= 0 else v + (1 << t) - 1)
 
+    def dc_block_order(scan_cis):
+        """(ci, grid_index) emission order: interleaved MCU order when
+        the scan has several components, the component's own raster
+        otherwise — mirroring the decoder exactly."""
+        if len(scan_cis) > 1:
+            for my in range(mcu_y):
+                for mx in range(mcu_x):
+                    for ci in scan_cis:
+                        hc, vc = facs[ci]
+                        gx = grids[ci][0]
+                        for v in range(vc):
+                            for hh in range(hc):
+                                yield ci, (my * vc + v) * gx + mx * hc + hh
+        else:
+            ci = scan_cis[0]
+            gx = grids[ci][0]
+            cbx, cby = cdims[ci]
+            for row in range(cby):
+                for col in range(cbx):
+                    yield ci, row * gx + col
+
     def dc_first_tokens(scan_cis, al):
         toks, pred = [], {ci: 0 for ci in scan_cis}
-        for m in range(n_blocks):
-            for ci in scan_cis:
-                d = int(coefs[ci][m][0, 0]) >> al
-                t, bv = mag(d - pred[ci])
-                pred[ci] = d
-                toks.append(("sym", (0, ci), t))
-                if t:
-                    toks.append(("raw", bv, t))
+        for ci, m in dc_block_order(scan_cis):
+            d = int(coefs[ci][m][0, 0]) >> al
+            t, bv = mag(d - pred[ci])
+            pred[ci] = d
+            toks.append(("sym", (0, ci), t))
+            if t:
+                toks.append(("raw", bv, t))
         return toks
 
     def dc_refine_tokens(scan_cis, al):
         return [
             ("raw", (int(coefs[ci][m][0, 0]) >> al) & 1, 1)
-            for m in range(n_blocks)
-            for ci in scan_cis
+            for ci, m in dc_block_order(scan_cis)
         ]
+
+    def ac_blocks(ci):
+        gx = grids[ci][0]
+        cbx, cby = cdims[ci]
+        for row in range(cby):
+            for col in range(cbx):
+                yield coefs[ci][row * gx + col]
 
     def ac_first_tokens(ci, ss, se, al):
         toks, eobrun = [], 0
@@ -1211,8 +1269,8 @@ def make_progressive_jpeg(rows_rgb=None, gray_rows=None, quant=1):
                     toks.append(("raw", eobrun - (1 << rr), rr))
                 eobrun = 0
 
-        for m in range(n_blocks):
-            flat = coefs[ci][m].reshape(-1)
+        for blk in ac_blocks(ci):
+            flat = blk.reshape(-1)
             v = {
                 k: (1 if flat[zz[k]] >= 0 else -1) * (abs(int(flat[zz[k]])) >> al)
                 for k in range(ss, se + 1)
@@ -1252,8 +1310,8 @@ def make_progressive_jpeg(rows_rgb=None, gray_rows=None, quant=1):
                 toks.extend(("raw", b, 1) for b in be)
                 eobrun, be = 0, []
 
-        for m in range(n_blocks):
-            flat = coefs[ci][m].reshape(-1)
+        for blk in ac_blocks(ci):
+            flat = blk.reshape(-1)
             absv = {k: abs(int(flat[zz[k]])) >> al for k in range(ss, se + 1)}
             eob = max((k for k in absv if absv[k] == 1), default=None)
             r, br = 0, []
@@ -1302,8 +1360,8 @@ def make_progressive_jpeg(rows_rgb=None, gray_rows=None, quant=1):
     zz_q = bytes(int(qtab.reshape(-1)[z]) for z in zz)
     out += seg(0xDB, bytes([0x00]) + zz_q)
     sof = struct.pack(">BHHB", 8, height, width, ncomp)
-    for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0])
+    for ci, (hc, vc) in enumerate(facs):
+        sof += bytes([ci + 1, (hc << 4) | vc, 0])
     out += seg(0xC2, sof)  # SOF2: progressive
 
     for scan_cis, ss, se, ah, al, toks in scans:
@@ -1399,6 +1457,21 @@ def test_decode_progressive_jpeg_matches_baseline_exactly():
         mb = decode_media(base, "image")
         assert (mp["width"], mp["height"]) == (w, h), (trial,)
         assert mp["pixels"] == mb["pixels"], (trial, h, w, color, quant)
+
+    # progressive + chroma subsampling: interleaved-DC MCU geometry with
+    # hc/vc sub-blocks AND per-component AC rasters that EXCLUDE the
+    # MCU-padding blocks (17x9 makes Y's padded grid wider than its own
+    # raster) must still match the equivalent baseline decode exactly
+    for sub in ("420", "422"):
+        for h, w, quant in ((9, 17, 1), (24, 24, 8)):
+            rows = rng.integers(0, 256, (h, w, 3)).tolist()
+            prog = make_progressive_jpeg(rows_rgb=rows, quant=quant,
+                                         subsampling=sub)
+            base = make_jpeg(rows_rgb=rows, quant=quant, subsampling=sub)
+            mp = decode_media(prog, "image")
+            assert mp["pixels"] == decode_media(base, "image")["pixels"], (
+                sub, h, w, quant,
+            )
 
 
 def test_progressive_jpeg_zrl_paths():
