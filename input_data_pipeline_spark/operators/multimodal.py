@@ -908,20 +908,31 @@ def _decode_avi(payload: bytes, probe: bool = False) -> dict:
 
     The video analogue of the WAV/BMP paths: a RIFF chunk walk finds the
     ``avih`` main header (dimensions, frame count, frame interval) and
-    collects the ``..db`` (uncompressed DIB) frame chunks from the
-    ``movi`` list. Returns ``width, height, n_frames,
-    usec_per_frame, frames`` with ``frames`` the list of raw bottom-up
-    DIB pixel buffers exactly as stored (frame pixel layout follows the
-    BMP convention; :func:`sample_video_frames` normalizes). Compressed
-    codecs (``..dc`` chunks) are rejected loudly — those need real
-    codecs, the documented external seam.
+    collects the frame chunks from the ``movi`` list. Returns ``width,
+    height, n_frames, usec_per_frame, frames`` with ``frames`` the list
+    of raw bottom-up DIB pixel buffers (frame pixel layout follows the
+    BMP convention; :func:`sample_video_frames` normalizes).
+
+    Two frame encodings are REAL here: ``..db`` chunks (uncompressed
+    DIB, passed through exactly as stored) and — when the video strf's
+    ``biCompression`` fourcc is ``MJPG`` — ``..dc`` chunks, each of
+    which is a self-contained JFIF JPEG decoded through
+    :func:`_decode_jpeg` and re-laid-out as a bottom-up padded 24-bit
+    DIB, so every downstream kernel (frame sampling, fingerprints,
+    resize) consumes MJPEG and raw AVIs identically. Per the MJPG
+    convention each frame must carry its own quant/huffman tables (the
+    table-less ``AVI1``/OpenDML variant with implied tables is out of
+    scope and surfaces as the decoder's missing-table ValueError). Any
+    OTHER compressed fourcc (``cvid``, ``h264``, …) is rejected loudly
+    — interframe codecs need real external decoders, the documented
+    seam — as is a file mixing ``..db`` and ``..dc`` frames.
 
     ``probe=True`` is the metadata-only mode :func:`probe_video` uses
-    for routing/budgeting: frame chunks are COUNTED, never copied (a
-    multi-GB blob probes without materializing its pixels), compressed
-    ``..dc`` frames count instead of raising (probing exists precisely
-    to route those files to the codec seam), and the result carries
-    ``compressed``/``n_frames`` instead of ``frames``.
+    for routing/budgeting: frame chunks are COUNTED, never copied or
+    decoded (a multi-GB blob probes without materializing its pixels),
+    compressed ``..dc`` frames count instead of raising (probing exists
+    precisely to route those files), and the result carries
+    ``compressed``/``n_frames``/``codec`` instead of ``frames``.
     """
     import struct
 
@@ -930,12 +941,13 @@ def _decode_avi(payload: bytes, probe: bool = False) -> dict:
 
     avih = None
     bit_count = None
-    frames: list[bytes] = []
+    compression = None  # video strf biCompression fourcc (b"\0\0\0\0" = BI_RGB)
+    raw_frames: list[tuple[str, bytes]] = []  # ("db"|"dc", chunk body)
     n_seen = 0
     compressed = False
 
     def walk(start: int, end: int) -> None:
-        nonlocal avih, bit_count, n_seen, compressed
+        nonlocal avih, bit_count, compression, n_seen, compressed
         # fccType of the most recent 'strh' in THIS list only: each LIST
         # level gets its own, so a child strl can never leak its stream
         # type to a later sibling (a stray 'strf' after an audio strl
@@ -966,20 +978,17 @@ def _decode_avi(payload: bytes, probe: bool = False) -> dict:
                 if size < 16:
                     raise ValueError(f"video 'strf' chunk too small ({size} bytes)")
                 bit_count = struct.unpack_from("<H", payload, body0 + 14)[0]
+                if size >= 20:  # biCompression fourcc at BITMAPINFOHEADER +16
+                    compression = payload[body0 + 16 : body0 + 20]
             elif cid[2:4] == b"db":  # uncompressed DIB frame ('00db', '01db', …)
                 n_seen += 1
                 if not probe:
-                    frames.append(payload[body0:body1])
-            elif cid[2:4] == b"dc":
-                if probe:  # metadata mode: count it, routing handles codecs
-                    n_seen += 1
-                    compressed = True
-                else:
-                    raise ValueError(
-                        "compressed AVI frame ('..dc') — needs an external "
-                        "codec (SURVEY §2.10 U1/U2 seam); only uncompressed "
-                        "DIB is real here"
-                    )
+                    raw_frames.append(("db", payload[body0:body1]))
+            elif cid[2:4] == b"dc":  # compressed frame: real iff MJPG
+                n_seen += 1
+                compressed = True
+                if not probe:
+                    raw_frames.append(("dc", payload[body0:body1]))
             pos = body1 + (size & 1)  # RIFF pads chunks to even offsets
 
     walk(12, len(payload))
@@ -1001,8 +1010,45 @@ def _decode_avi(payload: bytes, probe: bool = False) -> dict:
     }
     if probe:
         out["compressed"] = compressed
-    else:
-        out["frames"] = frames
+        out["codec"] = (
+            compression.decode("ascii", errors="replace")
+            if compression not in (None, b"\x00\x00\x00\x00")
+            else "DIB"
+        )
+        return out
+    kinds = {k for k, _ in raw_frames}
+    if kinds == {"db"} or not raw_frames:
+        out["frames"] = [buf for _, buf in raw_frames]
+        return out
+    if "db" in kinds:  # dc too — one stream, one encoding
+        raise ValueError("AVI mixes '..db' and '..dc' frames in one stream")
+    if compression not in (b"MJPG", b"mjpg"):
+        raise ValueError(
+            "compressed AVI frame ('..dc') — needs an external "
+            "codec (SURVEY §2.10 U1/U2 seam); only uncompressed "
+            "DIB and MJPG are real here"
+        )
+    import numpy as np
+
+    # Motion-JPEG: every '..dc' chunk is a standalone JFIF JPEG. Decode
+    # through the same kernel as still images, then re-lay-out the
+    # top-down packed BGR plane as the bottom-up padded DIB every
+    # downstream frame consumer already expects.
+    stride = (width * 3 + 3) // 4 * 4
+    frames = []
+    for _, buf in raw_frames:
+        m = _decode_jpeg(buf)
+        if (m["width"], m["height"]) != (width, height):
+            raise ValueError(
+                f"MJPG frame is {m['width']}x{m['height']} but the "
+                f"container declares {width}x{height}"
+            )
+        plane = np.frombuffer(m["pixels"], np.uint8).reshape(height, width * 3)
+        dib = np.zeros((height, stride), np.uint8)
+        dib[:, : width * 3] = plane[::-1]
+        frames.append(dib.tobytes())
+    out["bit_count"] = 24  # decoded MJPG frames are always 24-bit BGR
+    out["frames"] = frames
     return out
 
 
@@ -1201,8 +1247,13 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
     baseline SOF0 AND progressive SOF2 (spectral selection + successive
     approximation), grayscale and 4:4:4 / 4:2:2 / 4:2:0 YCbCr
     (sampling-factor MCU geometry + chroma sample replication), restart
-    markers in baseline. Only genuinely external codecs (compressed
-    video/audio SAMPLE decode: H.264/AAC in MP4, compressed AVI,
+    markers in baseline.
+
+    REAL for Motion-JPEG AVI (round 10): ``..dc`` frames under a
+    ``MJPG`` fourcc route per-frame through :func:`_decode_jpeg` and
+    come back as the same bottom-up DIB plane as raw AVI (see
+    :func:`_decode_avi`). Only genuinely external codecs (compressed
+    video/audio SAMPLE decode: H.264/AAC in MP4, interframe AVI codecs,
     arithmetic/12-bit JPEG) stay the documented seam: those aren't in
     this container, and on a real cluster the call MUST go through a
     per-executor singleton (one codec/model instance per worker
@@ -1511,7 +1562,8 @@ def sample_video_frames(videos: DataFrame, stride: int = 2) -> DataFrame:
     one row per kept frame ``(doc_id, frame_idx, t_micros, width, height,
     n_frames, frame_sha)`` — the video member of the decode /
     feature-extract / resize / frame-sample quartet, running on actual
-    container bytes (uncompressed AVI via :func:`_decode_avi`).
+    container bytes (uncompressed and Motion-JPEG AVI via
+    :func:`_decode_avi`).
 
     Every ``stride``-th frame is kept; ``t_micros`` comes from the
     container's own frame interval, and ``frame_sha`` fingerprints the

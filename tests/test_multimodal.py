@@ -520,12 +520,15 @@ def test_resize_image_nearest_end_to_end(spark):
     assert up[2].pixels == bytes(want)
 
 
-def make_avi(width, height, frame_pixel_rows, usec_per_frame=40000, bit_count=24,
-             audio_first=False):
-    """Encode an uncompressed-DIB AVI with stdlib struct: each frame is a
-    top-down list of (b, g, r) pixel rows; storage is bottom-up DIB with
-    4-byte row padding (the BMP convention), '00db' chunks inside a
-    'movi' list, plus 'avih' and per-stream 'strh'/'strf' headers.
+def make_avi(width, height, frame_pixel_rows=None, usec_per_frame=40000,
+             bit_count=24, audio_first=False, jpeg_frames=None):
+    """Encode an AVI with stdlib struct. Uncompressed mode (default):
+    each frame is a top-down list of (b, g, r) pixel rows; storage is
+    bottom-up DIB with 4-byte row padding (the BMP convention), '00db'
+    chunks inside a 'movi' list, plus 'avih' and per-stream
+    'strh'/'strf' headers. ``jpeg_frames`` switches to Motion-JPEG: a
+    list of raw JFIF payloads (e.g. from :func:`make_jpeg`) written
+    verbatim as '00dc' chunks with ``biCompression='MJPG'``.
     ``audio_first=True`` prepends an audio strl (strh 'auds' + a
     WAVEFORMATEX strf) BEFORE the video stream — the layout that used to
     make the decoder read a garbage bit count from the first strf."""
@@ -546,14 +549,16 @@ def make_avi(width, height, frame_pixel_rows, usec_per_frame=40000, bit_count=24
     def lst(ltype, body):
         return b"LIST" + struct.pack("<I", 4 + len(body)) + ltype + body
 
+    n_frames = len(jpeg_frames if jpeg_frames is not None else frame_pixel_rows)
+    compression = int.from_bytes(b"MJPG", "little") if jpeg_frames is not None else 0
     avih = struct.pack(
         "<10I4x4x4x4x",
-        usec_per_frame, 0, 0, 0, len(frame_pixel_rows), 0, 1, 0, width, height,
+        usec_per_frame, 0, 0, 0, n_frames, 0, 1, 0, width, height,
     )
-    strh_vids = (b"vids" + b"DIB ").ljust(56, b"\x00")
+    strh_vids = (b"vids" + (b"MJPG" if jpeg_frames is not None else b"DIB ")).ljust(56, b"\x00")
     strf_vids = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, bit_count, 0, stride * height,
-        0, 0, 0, 0,
+        "<IiiHHIIiiII", 40, width, height, 1, bit_count, compression,
+        stride * height, 0, 0, 0, 0,
     )
     streams = lst(b"strl", chunk(b"strh", strh_vids) + chunk(b"strf", strf_vids))
     if audio_first:
@@ -567,7 +572,10 @@ def make_avi(width, height, frame_pixel_rows, usec_per_frame=40000, bit_count=24
             + streams
         )
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + streams)
-    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frame_pixel_rows))
+    if jpeg_frames is not None:
+        movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    else:
+        movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frame_pixel_rows))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -671,6 +679,95 @@ def test_sample_video_frames_end_to_end(spark):
     assert all((r.width, r.height, r.n_frames) == (3, 2, 4) for r in got)
     want0 = b"".join(bytes(px) for row in frames[0] for px in row)
     assert got[0].frame_sha == hashlib.sha256(want0).hexdigest()[:16]
+
+
+def _mjpeg_fixture(width=9, height=8, n=3):
+    """(avi_payload, jpeg_payloads, src_rgb_frames): per-frame gradient
+    patterns encoded as standalone JFIF JPEGs inside an MJPG AVI."""
+    srcs = [
+        [[((13 * r + 7 * c + 31 * k) % 256,
+           (211 - 5 * r + 3 * c + 17 * k) % 256,
+           (89 + 11 * c + 23 * k) % 256) for c in range(width)]
+         for r in range(height)]
+        for k in range(n)
+    ]
+    jpegs = [make_jpeg(rows_rgb=rows) for rows in srcs]
+    return make_avi(width, height, jpeg_frames=jpegs), jpegs, srcs
+
+
+def test_decode_avi_mjpeg_real_frame_decode():
+    """Motion-JPEG AVI: '..dc' frames under biCompression='MJPG' decode
+    through the real JPEG kernel and come back as bottom-up padded DIBs
+    — bit-identical to decoding each embedded JPEG as a still image, and
+    within the still decoder's DCT-rounding budget of the source."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import _decode_jpeg
+
+    w, h = 9, 8
+    payload, jpegs, srcs = _mjpeg_fixture(w, h)
+    meta = decode_media(payload, "video")
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (w, h, 3)
+    assert meta["bit_count"] == 24 and len(meta["frames"]) == 3
+    stride = (w * 3 + 3) // 4 * 4  # 27 -> 28: exercises row padding
+    for k in range(3):
+        dib = meta["frames"][k]
+        assert len(dib) == stride * h
+        rows = np.frombuffer(dib, np.uint8).reshape(h, stride)[:, : w * 3]
+        top_down = rows[::-1].tobytes()
+        # container plumbing is exact vs the still-image decode path
+        assert top_down == _decode_jpeg(jpegs[k])["pixels"]
+        # and the decode itself is real: close to the source pixels
+        plane = np.frombuffer(top_down, np.uint8).reshape(h, w, 3).astype(int)
+        src_bgr = np.asarray(srcs[k])[:, :, ::-1]
+        assert np.abs(plane - src_bgr).max() <= 4
+
+
+def test_decode_avi_mjpeg_rejections_and_probe():
+    """Non-MJPG '..dc' stays the loud external-codec seam; mixed
+    db/dc streams and lying frame dimensions raise; probe mode reports
+    the codec fourcc without decoding any frame."""
+    import struct
+
+    from input_data_pipeline_spark.operators.multimodal import _decode_avi
+
+    payload, jpegs, _ = _mjpeg_fixture(9, 8)
+    # probe: counted + routed, never decoded
+    m = _decode_avi(payload, probe=True)
+    assert (m["n_frames"], m["compressed"], m["codec"]) == (3, True, "MJPG")
+    plain = make_avi(2, 2, [[[(9, 9, 9)] * 2] * 2])
+    assert _decode_avi(plain, probe=True)["codec"] == "DIB"
+    # a cinepak fourcc with dc frames: still the documented seam
+    bad = payload.replace(b"MJPG", b"cvid")
+    with pytest.raises(ValueError, match="external codec"):
+        decode_media(bad, "video")
+    # MJPG frame whose embedded JPEG dims contradict the container
+    lying = make_avi(16, 16, jpeg_frames=jpegs[:1])
+    with pytest.raises(ValueError, match="container declares"):
+        decode_media(lying, "video")
+    # mixed '..db' and '..dc' in one stream
+    mixed = _mjpeg_fixture(9, 8, n=2)[0].replace(b"00dc", b"00db", 1)
+    with pytest.raises(ValueError, match="mixes"):
+        decode_media(mixed, "video")
+
+
+def test_sample_video_frames_on_mjpeg_avi(spark):
+    """The frame-sampling kernel consumes MJPEG and raw AVIs through one
+    code path: fingerprints equal the sha of the top-down de-padded
+    plane the still JPEG decoder produces for each kept frame."""
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_jpeg,
+        sample_video_frames,
+    )
+
+    payload, jpegs, _ = _mjpeg_fixture(9, 8, n=4)
+    df = spark.createDataFrame([(3, payload)], "doc_id long, payload binary")
+    got = sorted(sample_video_frames(df, stride=2).collect(), key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in got] == [0, 2]
+    assert all((r.width, r.height, r.n_frames) == (9, 8, 4) for r in got)
+    for row, k in zip(got, (0, 2)):
+        want = hashlib.sha256(_decode_jpeg(jpegs[k])["pixels"]).hexdigest()[:16]
+        assert row.frame_sha == want
 
 
 # ---------------------------------------------------------------------------
