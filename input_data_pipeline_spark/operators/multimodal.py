@@ -228,6 +228,208 @@ def _decode_png(payload: bytes) -> dict:
     }
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytes:
+    """GIF-variant LZW decode (GIF89a spec Appendix F): variable-width
+    codes LSB-first, CLEAR = 1<<min resets the table, END = CLEAR+1
+    stops, the code width grows when the table reaches 1<<width (cap 12
+    bits / 4096 entries — past that the encoder must emit CLEAR).
+    Returns exactly ``n_expected`` palette indices; short or overlong
+    streams raise ValueError. Per-code Python, same budget stance as the
+    JPEG huffman loop: fixture-scope real decode, megapixel production
+    goes through the singleton codec seam (U2)."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"bad GIF LZW minimum code size {min_code_size}")
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream (no END code)")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if not table:
+                raise ValueError("GIF LZW stream starts without a CLEAR code")
+            if code >= clear:
+                raise ValueError(f"first GIF LZW code {code} is not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]  # the KwKwK case
+            table.append(entry)
+        else:
+            raise ValueError(f"GIF LZW code {code} beyond table size {len(table)}")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        if len(out) > n_expected:
+            raise ValueError(
+                f"GIF LZW stream yields {len(out)}+ indices for "
+                f"{n_expected} pixels"
+            )
+    if len(out) != n_expected:
+        raise ValueError(
+            f"GIF LZW stream ended at {len(out)} of {n_expected} pixels"
+        )
+    return bytes(out)
+
+
+# row order of the four GIF interlace passes: (first row, step)
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif(payload: bytes) -> dict:
+    """Parse a GIF87a/GIF89a with stdlib ``struct`` + a pure-Python LZW
+    decoder (:func:`_gif_lzw_decode`) — GIF's only compression is LZW,
+    fully specified in the public GIF89a spec, so no external codec is
+    needed. The logical-screen descriptor gives dimensions and the
+    global color table; the FIRST image descriptor is decoded for real
+    (local color table, interlacing, and a GCE transparency index all
+    honored) and composited onto a background-color canvas when it
+    covers only part of the screen. Returns the :func:`_decode_bmp`
+    contract with ``pixels`` a top-down BGR plane (BGRA when the first
+    frame declares a transparent index — transparent pixels get alpha 0,
+    matching the PNG path's 32-bit face), plus ``n_frames`` so callers
+    can route animations; later frames' delta semantics (disposal,
+    per-frame GCEs) belong to a real renderer behind the codec seam."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (missing GIF87a/GIF89a magic)")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF logical screen descriptor")
+    width, height = struct.unpack_from("<HH", payload, 6)
+    if width <= 0 or height <= 0:
+        raise ValueError(f"degenerate GIF dimensions {width}x{height}")
+    packed, bg_index = payload[10], payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("truncated GIF global color table")
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+
+    def sub_blocks(p: int) -> tuple[bytes, int]:
+        chunks = []
+        while True:
+            if p >= len(payload):
+                raise ValueError("truncated GIF data sub-blocks")
+            ln = payload[p]
+            p += 1
+            if ln == 0:
+                return b"".join(chunks), p
+            if p + ln > len(payload):
+                raise ValueError("truncated GIF data sub-block")
+            chunks.append(payload[p : p + ln])
+            p += ln
+
+    transparent = None  # index from the GCE that precedes the first image
+    first = None  # (left, top, w, h, interlaced, palette, indices)
+    n_frames = 0
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            if pos + 2 > len(payload):
+                raise ValueError("truncated GIF extension")
+            label = payload[pos + 1]
+            body, pos = sub_blocks(pos + 2)
+            if label == 0xF9 and first is None and len(body) >= 4:
+                # graphic control: packed bit0 = transparency flag
+                if body[0] & 0x01:
+                    transparent = body[3]
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unknown GIF block introducer 0x{b:02x}")
+        if pos + 10 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
+        left, top, iw, ih = struct.unpack_from("<4H", payload, pos + 1)
+        ipacked = payload[pos + 9]
+        pos += 10
+        palette = gct
+        if ipacked & 0x80:  # local color table
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(payload):
+                raise ValueError("truncated GIF local color table")
+            palette = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if pos >= len(payload):
+            raise ValueError("truncated GIF image data")
+        min_code = payload[pos]
+        data, pos = sub_blocks(pos + 1)
+        n_frames += 1
+        if first is not None:
+            continue  # count remaining frames without decoding them
+        if palette is None:
+            raise ValueError("GIF image has no color table (global or local)")
+        if iw <= 0 or ih <= 0 or left + iw > width or top + ih > height:
+            raise ValueError(
+                f"GIF frame {iw}x{ih}@{left},{top} exceeds the "
+                f"{width}x{height} logical screen"
+            )
+        indices = np.frombuffer(
+            _gif_lzw_decode(data, min_code, iw * ih), np.uint8
+        ).reshape(ih, iw)
+        if ipacked & 0x40:  # interlaced: 4-pass row order
+            deinter = np.empty_like(indices)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                n_rows = len(range(start, ih, step))
+                deinter[start::step] = indices[src : src + n_rows]
+                src += n_rows
+            indices = deinter
+        if int(indices.max(initial=0)) >= len(palette):
+            raise ValueError("GIF pixel index beyond its color table")
+        first = (left, top, iw, ih, palette, indices)
+
+    if first is None:
+        raise ValueError("GIF contains no image descriptor")
+    left, top, iw, ih, palette, indices = first
+    ch = 3 if transparent is None else 4
+    canvas = np.zeros((height, width, ch), np.uint8)
+    if gct is not None and bg_index < len(gct):
+        canvas[:, :, :3] = gct[bg_index][::-1]  # background, RGB→BGR
+    frame = palette[indices][:, :, ::-1]  # palette lookup, RGB→BGR
+    if ch == 4:
+        alpha = np.where(indices == transparent, 0, 255).astype(np.uint8)
+        frame = np.dstack([frame, alpha])
+        canvas[:, :, 3] = 255  # screen outside the frame is opaque bg
+    canvas[top : top + ih, left : left + iw] = frame
+    return {
+        "width": width,
+        "height": height,
+        "bit_count": 8 * ch,
+        "n_pixels": width * height,
+        "n_frames": n_frames,
+        "pixels": canvas.tobytes(),
+    }
+
+
 # JPEG zig-zag scan order (ITU-T T.81 Figure 5): index i of the entropy
 # stream maps to _JPEG_ZIGZAG[i] in row-major 8x8 block order.
 _JPEG_ZIGZAG = [
@@ -1249,6 +1451,12 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
     (sampling-factor MCU geometry + chroma sample replication), restart
     markers in baseline.
 
+    REAL for GIF87a/GIF89a (round 10): pure-Python GIF-variant LZW +
+    palette lookup (see :func:`_decode_gif`) — interlacing, local color
+    tables, transparency (→ the 32-bit BGRA face) and partial-screen
+    first frames composited on the background color; animation frames
+    beyond the first are counted, not rendered.
+
     REAL for Motion-JPEG AVI (round 10): ``..dc`` frames under a
     ``MJPG`` fourcc route per-frame through :func:`_decode_jpeg` and
     come back as the same bottom-up DIB plane as raw AVI (see
@@ -1266,8 +1474,10 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
             return _decode_png(payload)
         if payload[:2] == b"\xff\xd8":
             return _decode_jpeg(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return _decode_gif(payload)
         raise NotImplementedError(
-            "real decode of non-BMP/PNG/JPEG image formats requires "
+            "real decode of non-BMP/PNG/JPEG/GIF image formats requires "
             "external media libraries; wire PIL here on a real cluster "
             "(SURVEY §2.10 U1/U2)"
         )

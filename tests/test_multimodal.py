@@ -420,8 +420,12 @@ def test_decode_png_rgba_and_rejects():
         # claim one more row than the IDAT stream carries
         i = 8 + 8 + 4
         decode_media(ok[:i] + _s.pack(">I", 3) + ok[i + 4 :], "image")
-    with pytest.raises(NotImplementedError, match="non-BMP/PNG/JPEG"):
+    # GIF is REAL since round 10 — a bare signature is a TRUNCATED GIF
+    # (ValueError contract), and only unknown magics hit the codec seam
+    with pytest.raises(ValueError, match="truncated GIF"):
         decode_media(b"GIF89a....", "image")
+    with pytest.raises(NotImplementedError, match="non-BMP/PNG/JPEG/GIF"):
+        decode_media(b"WEBPxxxx....", "image")
 
 
 def test_decode_png_missing_idat_and_corrupt_deflate_raise_value_error():
@@ -578,6 +582,243 @@ def make_avi(width, height, frame_pixel_rows=None, usec_per_frame=40000,
         movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frame_pixel_rows))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# GIF (round 10): stdlib LZW encoder fixture + decode tests
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW encoder (GIF89a spec Appendix F): LSB-first
+    variable-width codes, leading CLEAR, code width grows in sync with
+    the decoder's table, CLEAR re-emitted when the table fills."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    buf = bytearray()
+    acc = nbits = 0
+    width = min_code_size + 1
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def reset():
+        nonlocal width
+        width = min_code_size + 1
+        return {bytes([i]): i for i in range(clear)}, end + 1
+
+    emit(clear)
+    table, next_code = reset()
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            table, next_code = reset()
+        w = bytes([k])
+    if w:
+        emit(table[w])
+        # the decoder appends an entry for this final code too and grows
+        # its width when that append fills 1<<width — END must be written
+        # in the grown width to stay in sync
+        if next_code == (1 << width) and width < 12:
+            width += 1
+    emit(end)
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def make_gif(palette, index_rows, interlace=False, transparent=None,
+             screen=None, offset=(0, 0), local_palette=None,
+             version=b"GIF89a", bg_index=0, n_extra_frames=0):
+    """Encode a GIF with stdlib struct + the real LZW compressor above:
+    ``palette`` is the global color table ((r, g, b) tuples, padded to a
+    power-of-two size), ``index_rows`` the top-down palette-index rows of
+    the first frame, placed at ``offset`` on a ``screen`` (defaults to
+    the frame size). ``interlace`` writes rows in the 4-pass order,
+    ``transparent`` emits a GCE with that transparency index,
+    ``local_palette`` attaches a per-frame color table that overrides the
+    global one, and ``n_extra_frames`` appends byte-identical extra
+    image descriptors (animation counting)."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(index_rows, dtype=np.uint8)
+    ih, iw = idx.shape
+    sw, sh = screen if screen is not None else (iw, ih)
+    left, top = offset
+
+    def color_table(colors):
+        n = max(2, 1 << (len(colors) - 1).bit_length())
+        body = b"".join(bytes(c) for c in colors) + b"\x00\x00\x00" * (n - len(colors))
+        return body, (n.bit_length() - 2)  # size field: n == 2 << field
+
+    gct_body, gct_field = color_table(palette)
+    out = bytearray()
+    out += version
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | gct_field, bg_index, 0)
+    out += gct_body
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    rows = idx
+    if interlace:
+        rows = np.concatenate([idx[start::step] for start, step in
+                               ((0, 8), (4, 8), (2, 4), (1, 2))])
+    frame_palette_n = len(local_palette) if local_palette else len(palette)
+    min_code = max(2, (frame_palette_n - 1).bit_length())
+    data = _gif_lzw_encode(rows.tobytes(), min_code)
+    desc = bytearray()
+    ipacked = (0x40 if interlace else 0)
+    if local_palette is not None:
+        lct_body, lct_field = color_table(local_palette)
+        ipacked |= 0x80 | lct_field
+    desc += struct.pack("<B4HB", 0x2C, left, top, iw, ih, ipacked)
+    if local_palette is not None:
+        desc += lct_body
+    desc.append(min_code)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        desc.append(len(chunk))
+        desc += chunk
+    desc.append(0)
+    out += desc * (1 + n_extra_frames)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def test_decode_gif_roundtrip_plain_and_interlaced():
+    """Real LZW decode: a 4-color 9x7 pattern roundtrips exactly, and the
+    interlaced encoding of the same frame decodes to the identical
+    plane (4-pass row reordering inverted)."""
+    import numpy as np
+
+    palette = [(250, 10, 20), (30, 240, 50), (60, 70, 230), (8, 8, 8)]
+    idx = [[(3 * r + c) % 4 for c in range(9)] for r in range(7)]
+    want = np.asarray(palette, np.uint8)[np.asarray(idx)][:, :, ::-1]
+    for inter in (False, True):
+        meta = decode_media(make_gif(palette, idx, interlace=inter), "image")
+        assert (meta["width"], meta["height"]) == (9, 7)
+        assert (meta["bit_count"], meta["n_pixels"], meta["n_frames"]) == (24, 63, 1)
+        got = np.frombuffer(meta["pixels"], np.uint8).reshape(7, 9, 3)
+        assert (got == want).all(), inter
+
+
+def test_decode_gif_transparency_partial_frame_and_lct():
+    """GIF89a features decoded for real: a GCE transparency index yields
+    the 32-bit BGRA face; a partial-screen frame composites onto the
+    background color; a local color table overrides the global one."""
+    import numpy as np
+
+    palette = [(200, 0, 0), (0, 200, 0), (0, 0, 200), (9, 9, 9)]
+    idx = [[0, 1], [2, 1]]
+    # transparency: index 1 -> alpha 0, others 255
+    meta = decode_media(make_gif(palette, idx, transparent=1), "image")
+    assert meta["bit_count"] == 32
+    plane = np.frombuffer(meta["pixels"], np.uint8).reshape(2, 2, 4)
+    assert (plane[:, :, 3] == [[255, 0], [255, 0]]).all()
+    assert tuple(plane[1, 0, :3]) == (200, 0, 0)  # BGR of (0,0,200)
+    # partial frame at (2,1) on a 6x4 screen over background color 3
+    meta = decode_media(
+        make_gif(palette, idx, screen=(6, 4), offset=(2, 1), bg_index=3), "image"
+    )
+    assert (meta["width"], meta["height"], meta["bit_count"]) == (6, 4, 24)
+    plane = np.frombuffer(meta["pixels"], np.uint8).reshape(4, 6, 3)
+    assert tuple(plane[0, 0]) == (9, 9, 9)  # untouched screen = bg color
+    assert tuple(plane[1, 2]) == (0, 0, 200)  # frame (0,0): palette 0, BGR
+    assert tuple(plane[2, 3]) == (0, 200, 0)  # frame (1,1): palette 1
+    # local color table wins over the global one
+    lct = [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)]
+    meta = decode_media(make_gif(palette, idx, local_palette=lct), "image")
+    plane = np.frombuffer(meta["pixels"], np.uint8).reshape(2, 2, 3)
+    assert tuple(plane[0, 0]) == (3, 2, 1)
+    assert tuple(plane[1, 1]) == (6, 5, 4)
+
+
+def test_decode_gif_animation_counting_and_malformed():
+    """Frames beyond the first are counted without decoding; malformed
+    payloads raise the ValueError contract, never a raw struct/index
+    error."""
+    palette = [(10, 20, 30), (40, 50, 60)]
+    idx = [[0, 1, 0], [1, 0, 1]]
+    ok = make_gif(palette, idx, n_extra_frames=2)
+    meta = decode_media(ok, "image")
+    assert meta["n_frames"] == 3
+    assert meta["n_pixels"] == 6 and meta["bit_count"] == 24
+    from input_data_pipeline_spark.operators.multimodal import _decode_gif
+
+    with pytest.raises(ValueError, match="magic"):
+        _decode_gif(b"GIF90a" + ok[6:])  # unknown version
+    with pytest.raises(NotImplementedError, match="non-BMP"):
+        decode_media(b"GIF90a" + ok[6:], "image")  # routed to the seam
+    with pytest.raises(ValueError, match="truncated"):
+        decode_media(ok[:-8], "image")
+    with pytest.raises(ValueError, match="no image descriptor"):
+        decode_media(ok[:13] + ok[13 : 13 + 6] + b"\x3b", "image")
+    with pytest.raises(ValueError, match="block introducer"):
+        decode_media(ok[:13 + 6] + b"\x99" + ok[14 + 6 :], "image")
+    # LZW stream cut mid-frame: fewer indices than pixels
+    from input_data_pipeline_spark.operators.multimodal import _gif_lzw_decode
+
+    data = _gif_lzw_encode(bytes([0, 1] * 200), 2)
+    assert _gif_lzw_decode(data, 2, 400) == bytes([0, 1] * 200)
+    with pytest.raises(ValueError, match="LZW"):
+        _gif_lzw_decode(data[:-2], 2, 400)
+    with pytest.raises(ValueError, match="LZW"):
+        _gif_lzw_decode(data, 2, 300)  # overlong for the claimed size
+
+
+def test_decode_gif_full_table_reset_roundtrip():
+    """A 90x80 random-index frame pushes the LZW table past 4096 entries,
+    forcing the encoder's mid-stream CLEAR — the decoder's table reset
+    and width resync recover every pixel exactly."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(7)
+    palette = [tuple(rng.randrange(256) for _ in range(3)) for _ in range(256)]
+    idx = [[rng.randrange(256) for _ in range(90)] for _ in range(80)]
+    meta = decode_media(make_gif(palette, idx), "image")
+    assert (meta["width"], meta["height"], meta["n_pixels"]) == (90, 80, 7200)
+    want = np.asarray(palette, np.uint8)[np.asarray(idx)][:, :, ::-1]
+    assert meta["pixels"] == want.tobytes()
+
+
+def test_extract_image_features_mixed_formats_one_kernel(spark):
+    """BMP, PNG, JPEG and GIF payloads flow through the SAME mapInPandas
+    feature kernel: a GIF and a BMP of identical pixels produce identical
+    means and the same orientation-normalized fingerprint."""
+    from input_data_pipeline_spark.operators.multimodal import extract_image_features
+
+    palette = [(250, 10, 20), (30, 240, 50), (60, 70, 230), (8, 8, 8)]
+    idx = [[(r + c) % 4 for c in range(8)] for r in range(6)]
+    # same image as BMP: top-down (b, g, r) pixel rows
+    bgr_rows = [[tuple(palette[i][::-1]) for i in row] for row in idx]
+    df = spark.createDataFrame(
+        [(1, make_gif(palette, idx)), (2, make_bmp(8, 6, bgr_rows))],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in extract_image_features(df).collect()}
+    assert got[1].pixel_sha == got[2].pixel_sha
+    assert (got[1].mean_b, got[1].mean_g, got[1].mean_r) == (
+        got[2].mean_b, got[2].mean_g, got[2].mean_r)
+    assert (got[1].width, got[1].height, got[1].bit_count) == (8, 6, 24)
 
 
 def test_decode_media_parses_real_avi():

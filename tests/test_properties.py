@@ -334,6 +334,41 @@ def test_png_encode_decode_roundtrip(w, h, alpha, seed):
 
 
 @given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    n_colors=st.integers(min_value=2, max_value=256),
+    interlace=st.booleans(),
+    transparent=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=150, deadline=None)
+def test_gif_encode_decode_roundtrip(w, h, n_colors, interlace, transparent, seed):
+    """decode(encode(img)) recovers the exact palette-mapped plane for
+    any size / palette size / interlacing / transparency — LZW is
+    lossless, so the roundtrip is bit-exact (including the 4-pass
+    interlace inversion and the BGRA alpha face)."""
+    import random
+
+    from input_data_pipeline_spark.operators.multimodal import decode_media
+    from tests.test_multimodal import make_gif
+
+    rng = random.Random(seed)
+    palette = [tuple(rng.randrange(256) for _ in range(3)) for _ in range(n_colors)]
+    idx = [[rng.randrange(n_colors) for _ in range(w)] for _ in range(h)]
+    t = rng.randrange(n_colors) if transparent else None
+    payload = make_gif(palette, idx, interlace=interlace, transparent=t)
+    meta = decode_media(payload, "image")
+    ch = 4 if transparent else 3
+    assert (meta["width"], meta["height"], meta["bit_count"]) == (w, h, 8 * ch)
+    want = b"".join(
+        bytes(palette[i][::-1]) + (b"" if t is None else
+                                   (b"\x00" if i == t else b"\xff"))
+        for row in idx for i in row
+    )
+    assert meta["pixels"] == want
+
+
+@given(
     w=st.integers(min_value=1, max_value=20),
     h=st.integers(min_value=1, max_value=20),
     color=st.booleans(),
