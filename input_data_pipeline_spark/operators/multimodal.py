@@ -430,6 +430,150 @@ def _decode_gif(payload: bytes) -> dict:
     }
 
 
+def encode_bmp(plane) -> bytes:
+    """Encode a top-down (h, w, 3) BGR uint8 array as a 24-bit BI_RGB BMP
+    — the sink half of the image codec surface (per-row file emission
+    K4: thumbnails, resized previews), and the exact inverse of
+    :func:`_decode_bmp`, roundtrip-pinned by test. Rows are written
+    bottom-up with 4-byte padding per the BMP convention."""
+    import struct
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(plane, dtype=np.uint8)
+    h, w, ch = arr.shape
+    if ch != 3:
+        raise ValueError(f"encode_bmp wants (h, w, 3) BGR, got {ch} channels")
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = arr.reshape(h, w * 3)[::-1]
+    body = rows.tobytes()
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+        + body
+    )
+
+
+def encode_png(plane) -> bytes:
+    """Encode a top-down (h, w, 3) BGR uint8 array as an 8-bit truecolor
+    PNG (filter 0 scanlines + one zlib deflate stream) — lossless, the
+    inverse of :func:`_decode_png`, roundtrip-pinned by test."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(plane, dtype=np.uint8)
+    h, w, ch = arr.shape
+    if ch != 3:
+        raise ValueError(f"encode_png wants (h, w, 3) BGR, got {ch} channels")
+    rgb = arr[:, :, ::-1]
+    raw = b"".join(b"\x00" + rgb[r].tobytes() for r in range(h))
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_gif(plane) -> bytes:
+    """Encode a top-down (h, w, 3) BGR uint8 array as a single-frame
+    GIF89a: the palette is the image's unique colors (≤256 — raise
+    otherwise; quantization is a modeling choice that belongs upstream),
+    written RGB in the global color table, indices LZW-compressed with
+    the same width-growth discipline :func:`_gif_lzw_decode` expects.
+    Lossless for palette-sized images and the inverse of
+    :func:`_decode_gif`, roundtrip-pinned by test."""
+    import struct
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(plane, dtype=np.uint8)
+    h, w, ch = arr.shape
+    if ch != 3:
+        raise ValueError(f"encode_gif wants (h, w, 3) BGR, got {ch} channels")
+    flat = arr.reshape(-1, 3)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(
+            f"encode_gif: {len(palette)} distinct colors exceed the "
+            "256-entry GIF palette; quantize upstream"
+        )
+    n = max(2, 1 << max(0, (len(palette) - 1).bit_length()))
+    min_code = max(2, (n - 1).bit_length())
+
+    # --- GIF-variant LZW compress (inverse of _gif_lzw_decode) ---
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    buf = bytearray()
+    acc = nbits = 0
+    width = min_code + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    prev = b""
+    for k in indices.astype(np.uint8).tobytes():
+        pk = prev + bytes([k])
+        if pk in table:
+            prev = pk
+            continue
+        emit(table[prev])
+        if next_code < 4096:
+            table[pk] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code + 1
+        prev = bytes([k])
+    if prev:
+        emit(table[prev])
+        # the decoder appends an entry for this final code too; END must
+        # be written in the width that append may have grown to
+        if next_code == (1 << width) and width < 12:
+            width += 1
+    emit(end)
+    if nbits:
+        buf.append(acc & 0xFF)
+
+    gct = palette[:, ::-1].tobytes() + b"\x00" * (3 * (n - len(palette)))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (n.bit_length() - 2), 0, 0)
+    out += gct
+    out += struct.pack("<B4HB", 0x2C, 0, 0, w, h, 0)
+    out.append(min_code)
+    data = bytes(buf)
+    for i in range(0, len(data), 255):
+        piece = data[i : i + 255]
+        out.append(len(piece))
+        out += piece
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 # JPEG zig-zag scan order (ITU-T T.81 Figure 5): index i of the entropy
 # stream maps to _JPEG_ZIGZAG[i] in row-major 8x8 block order.
 _JPEG_ZIGZAG = [
@@ -1559,6 +1703,97 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fingerprint string, est_duration_micros long"
     )
     return payloads.mapInPandas(extract, schema).orderBy("doc_id")
+
+
+@register(
+    "image_decode_features",
+    oracle="""
+    SELECT d.doc_id,
+           CASE CAST(d.doc_id % 3 AS INTEGER)
+                WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'gif' END AS fmt,
+           CAST(5 + d.doc_id % 4 AS BIGINT) AS width,
+           CAST(4 + d.doc_id % 3 AS BIGINT) AS height,
+           CAST((5 + d.doc_id % 4) * (4 + d.doc_id % 3) AS BIGINT) AS n_pixels,
+           CAST(CAST(SUM((7 * d.doc_id + 11 * p.r + 13 * p.c) % 256) AS BIGINT)
+                // ((5 + d.doc_id % 4) * (4 + d.doc_id % 3)) AS BIGINT) AS mean_b,
+           CAST(CAST(SUM((5 * d.doc_id + 3 * p.r + 17 * p.c) % 256) AS BIGINT)
+                // ((5 + d.doc_id % 4) * (4 + d.doc_id % 3)) AS BIGINT) AS mean_g,
+           CAST(CAST(SUM((d.doc_id + 23 * p.r + 29 * p.c) % 256) AS BIGINT)
+                // ((5 + d.doc_id % 4) * (4 + d.doc_id % 3)) AS BIGINT) AS mean_r
+    FROM documents d,
+         LATERAL (SELECT unnest(generate_series(
+             0, CAST(3 + d.doc_id % 3 AS BIGINT))) AS r) pr,
+         LATERAL (SELECT unnest(generate_series(
+             0, CAST(4 + d.doc_id % 4 AS BIGINT))) AS c) pc,
+         LATERAL (SELECT pr.r AS r, pc.c AS c) p
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL image codec surface under the differential oracle gate:
+    per document, a deterministic test-card image (pixel (r, c) channel
+    values are closed-form mod-256 arithmetic on (doc_id, r, c)) is
+    ENCODED to a real container — BMP, PNG or GIF by doc_id — then
+    DECODED back through :func:`decode_media`'s stdlib decoders, and the
+    decoded plane's exact per-channel integer means are emitted. The
+    DuckDB oracle never sees a byte of any container: it recomputes the
+    means from the closed form, so a pixel mislaid anywhere in either
+    half of the codec (row order, BGR/RGB swap, padding, LZW, zlib,
+    palette) breaks the hash. All three formats are lossless, which is
+    what makes the equality exact (JPEG's DCT budget keeps it under the
+    pytest roundtrip gate instead, tests/test_properties.py).
+
+    Scale shape: map-only mapInPandas over Arrow batches — encode and
+    decode are per-row CPU with zero shuffle, the same plan as every
+    other media kernel (U1); at 100 TB the payloads would arrive from a
+    binaryFile scan instead of being synthesized, with the identical
+    downstream plan."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        encoders = (encode_bmp, encode_png, encode_gif)
+        names = ("bmp", "png", "gif")
+        for pdf in batches:
+            out = {
+                "doc_id": [], "fmt": [], "width": [], "height": [],
+                "n_pixels": [], "mean_b": [], "mean_g": [], "mean_r": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 5 + d % 4, 4 + d % 3
+                r_idx = np.arange(h, dtype=np.int64).reshape(-1, 1)
+                c_idx = np.arange(w, dtype=np.int64)
+                plane = np.dstack([
+                    (7 * d + 11 * r_idx + 13 * c_idx) % 256,
+                    (5 * d + 3 * r_idx + 17 * c_idx) % 256,
+                    (d + 23 * r_idx + 29 * c_idx) % 256,
+                ]).astype(np.uint8)
+                payload = encoders[d % 3](plane)
+                meta = decode_media(payload, "image")  # the REAL decode
+                px = np.frombuffer(meta["pixels"], np.uint8).reshape(
+                    meta["height"], meta["width"], 3
+                )
+                n = meta["n_pixels"]
+                sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                out["doc_id"].append(d)
+                out["fmt"].append(names[d % 3])
+                out["width"].append(meta["width"])
+                out["height"].append(meta["height"])
+                out["n_pixels"].append(n)
+                out["mean_b"].append(int(sums[0]) // n)
+                out["mean_g"].append(int(sums[1]) // n)
+                out["mean_r"].append(int(sums[2]) // n)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, fmt string, width long, height long, n_pixels long, "
+        "mean_b long, mean_g long, mean_r long"
+    )
+    return docs.mapInPandas(run, schema).orderBy("doc_id")
 
 
 @register(

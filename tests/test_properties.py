@@ -369,6 +369,36 @@ def test_gif_encode_decode_roundtrip(w, h, n_colors, interlace, transparent, see
 
 
 @given(
+    w=st.integers(min_value=1, max_value=14),
+    h=st.integers(min_value=1, max_value=14),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=100, deadline=None)
+def test_engine_encoders_roundtrip_through_engine_decoders(w, h, seed):
+    """The ENGINE-side encoders (the sink half image_decode_features
+    leans on) are exact inverses of the engine decoders for every format
+    and size: encode_bmp/encode_png/encode_gif → decode_media recovers
+    the identical BGR plane. The GIF pair is doubly pinned — the test
+    suite's independent LZW compressor checks the engine decoder, and
+    this property checks the engine compressor against it."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        decode_media,
+        encode_bmp,
+        encode_gif,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(seed % 2**32)
+    plane = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    for enc in (encode_bmp, encode_png, encode_gif):
+        meta = decode_media(enc(plane), "image")
+        assert (meta["width"], meta["height"], meta["bit_count"]) == (w, h, 24)
+        assert meta["pixels"] == plane.tobytes(), enc.__name__
+
+
+@given(
     w=st.integers(min_value=1, max_value=20),
     h=st.integers(min_value=1, max_value=20),
     color=st.booleans(),
