@@ -574,6 +574,70 @@ def encode_gif(plane) -> bytes:
     return bytes(out)
 
 
+def encode_avi(frames, usec_per_frame: int = 40000) -> bytes:
+    """Encode a list of top-down (h, w, 3) BGR uint8 arrays as an
+    uncompressed-DIB AVI ('00db' frames, bottom-up 4-byte-padded rows) —
+    the sink half of the video surface and the exact inverse of
+    :func:`_decode_avi`'s uncompressed path, roundtrip-pinned by test."""
+    import struct
+
+    import numpy as np
+
+    if not frames:
+        raise ValueError("encode_avi needs at least one frame")
+    planes = [np.ascontiguousarray(f, dtype=np.uint8) for f in frames]
+    h, w, ch = planes[0].shape
+    if ch != 3 or any(p.shape != (h, w, 3) for p in planes):
+        raise ValueError("encode_avi wants uniform (h, w, 3) BGR frames")
+    stride = (w * 3 + 3) // 4 * 4
+
+    def dib(p) -> bytes:
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * 3] = p.reshape(h, w * 3)[::-1]
+        return rows.tobytes()
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", 4 + len(body)) + ltype + body
+
+    avih = struct.pack(
+        "<10I4x4x4x4x", usec_per_frame, 0, 0, 0, len(planes), 0, 1, 0, w, h
+    )
+    strh = (b"vids" + b"DIB ").ljust(56, b"\x00")
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(p)) for p in planes))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav(samples, frame_rate: int = 16000) -> bytes:
+    """Encode a 1-D int16 sample array as a mono PCM WAV via stdlib
+    ``wave`` — the sink half of the audio surface (the reference writes
+    its capture files exactly this way) and the inverse of
+    :func:`decode_media`'s audio path, roundtrip-pinned by test."""
+    import io
+    import wave
+
+    import numpy as np
+
+    pcm = np.ascontiguousarray(samples, dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(frame_rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 # JPEG zig-zag scan order (ITU-T T.81 Figure 5): index i of the entropy
 # stream maps to _JPEG_ZIGZAG[i] in row-major 8x8 block order.
 _JPEG_ZIGZAG = [
@@ -1792,6 +1856,165 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = (
         "doc_id long, fmt string, width long, height long, n_pixels long, "
         "mean_b long, mean_g long, mean_r long"
+    )
+    return docs.mapInPandas(run, schema).orderBy("doc_id")
+
+
+@register(
+    "video_decode_features",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(pf.f AS INTEGER) AS frame_idx,
+           CAST(4 + d.doc_id % 3 AS BIGINT) AS width,
+           CAST(3 + d.doc_id % 2 AS BIGINT) AS height,
+           CAST(2 + d.doc_id % 3 AS BIGINT) AS n_frames,
+           CAST(pf.f * 40000 AS BIGINT) AS t_micros,
+           CAST(CAST(SUM((3 * d.doc_id + 7 * pf.f + 11 * pr.r + 13 * pc.c) % 256)
+                AS BIGINT)
+                // ((4 + d.doc_id % 3) * (3 + d.doc_id % 2)) AS BIGINT) AS mean_b,
+           CAST(CAST(SUM((5 * d.doc_id + 9 * pf.f + 3 * pr.r + 17 * pc.c) % 256)
+                AS BIGINT)
+                // ((4 + d.doc_id % 3) * (3 + d.doc_id % 2)) AS BIGINT) AS mean_g,
+           CAST(CAST(SUM((d.doc_id + 2 * pf.f + 23 * pr.r + 29 * pc.c) % 256)
+                AS BIGINT)
+                // ((4 + d.doc_id % 3) * (3 + d.doc_id % 2)) AS BIGINT) AS mean_r
+    FROM documents d,
+         LATERAL (SELECT unnest(generate_series(
+             0, CAST(1 + d.doc_id % 3 AS BIGINT), 2)) AS f) pf,
+         LATERAL (SELECT unnest(generate_series(
+             0, CAST(2 + d.doc_id % 2 AS BIGINT))) AS r) pr,
+         LATERAL (SELECT unnest(generate_series(
+             0, CAST(3 + d.doc_id % 3 AS BIGINT))) AS c) pc
+    GROUP BY d.doc_id, pf.f
+    ORDER BY d.doc_id, pf.f
+    """,
+)
+def video_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL video container surface under the differential oracle
+    gate (companion to ``image_decode_features``): per document, a short
+    deterministic test-card clip (closed-form pixels over (doc_id,
+    frame, row, col)) is encoded as an uncompressed-DIB AVI
+    (:func:`encode_avi`), decoded back through the RIFF walk, and every
+    stride-2 sampled frame is reduced to exact per-channel means over
+    the DE-PADDED bottom-up plane. The oracle recomputes means from the
+    closed form, so a mislaid byte anywhere in the container round trip
+    — header fields, frame order, bottom-up row flip, 4-byte DIB row
+    padding (width 5 ⇒ 15-byte rows padded to 16: padding bytes counted
+    would break the hash) — fails the comparison. Map-only mapInPandas,
+    same scale shape as every media kernel."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "frame_idx": [], "width": [], "height": [],
+                "n_frames": [], "t_micros": [], "mean_b": [], "mean_g": [],
+                "mean_r": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, nf = 4 + d % 3, 3 + d % 2, 2 + d % 3
+                r_idx = np.arange(h, dtype=np.int64).reshape(-1, 1)
+                c_idx = np.arange(w, dtype=np.int64)
+                clip = [
+                    np.dstack([
+                        (3 * d + 7 * f + 11 * r_idx + 13 * c_idx) % 256,
+                        (5 * d + 9 * f + 3 * r_idx + 17 * c_idx) % 256,
+                        (d + 2 * f + 23 * r_idx + 29 * c_idx) % 256,
+                    ]).astype(np.uint8)
+                    for f in range(nf)
+                ]
+                meta = decode_media(encode_avi(clip), "video")  # REAL decode
+                stride = (meta["width"] * 3 + 3) // 4 * 4
+                for f in range(0, meta["n_frames"], 2):
+                    dib = np.frombuffer(meta["frames"][f], np.uint8)
+                    plane = dib.reshape(meta["height"], stride)[:, : w * 3]
+                    sums = plane.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                    out["doc_id"].append(d)
+                    out["frame_idx"].append(f)
+                    out["width"].append(meta["width"])
+                    out["height"].append(meta["height"])
+                    out["n_frames"].append(meta["n_frames"])
+                    out["t_micros"].append(f * meta["usec_per_frame"])
+                    out["mean_b"].append(int(sums[0]) // (w * h))
+                    out["mean_g"].append(int(sums[1]) // (w * h))
+                    out["mean_r"].append(int(sums[2]) // (w * h))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, frame_idx int, width long, height long, n_frames long, "
+        "t_micros long, mean_b long, mean_g long, mean_r long"
+    )
+    return docs.mapInPandas(run, schema).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "audio_decode_features",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(160 + (d.doc_id % 7) * 16 AS BIGINT) AS n_frames,
+           CAST(16000 AS BIGINT) AS frame_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(2 AS BIGINT) AS sample_width,
+           CAST(CAST(SUM(ABS((11 * d.doc_id + 7 * s.i) % 2001 - 1000)) AS BIGINT)
+                // (160 + (d.doc_id % 7) * 16) AS BIGINT) AS mean_abs,
+           CAST(MAX(ABS((11 * d.doc_id + 7 * s.i) % 2001 - 1000)) AS BIGINT) AS peak,
+           CAST(CAST(SUM(((11 * d.doc_id + 7 * s.i) % 2001 - 1000)
+                         * ((11 * d.doc_id + 7 * s.i) % 2001 - 1000)) AS BIGINT)
+                // (160 + (d.doc_id % 7) * 16) AS BIGINT) AS energy_mean
+    FROM documents d,
+         LATERAL (SELECT unnest(generate_series(
+             0, CAST(159 + (d.doc_id % 7) * 16 AS BIGINT))) AS i) s
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL audio surface under the differential oracle gate: per
+    document a deterministic int16 sawtooth-like signal (closed form
+    over (doc_id, sample index), range ±1000) is written as a mono PCM
+    WAV through stdlib ``wave`` (:func:`encode_wav` — exactly how the
+    reference writes its capture files) and read back through
+    :func:`decode_media`'s audio path; header fields plus exact integer
+    signal statistics (mean |s|, peak, mean s²) come from the decoded
+    PCM bytes only. The oracle recomputes them from the closed form, so
+    an endianness slip, header misread, or off-by-one in the frame count
+    breaks the hash. Map-only mapInPandas."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_frames": [], "frame_rate": [],
+                "n_channels": [], "sample_width": [], "mean_abs": [],
+                "peak": [], "energy_mean": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 160 + (d % 7) * 16
+                i = np.arange(n, dtype=np.int64)
+                samples = ((11 * d + 7 * i) % 2001 - 1000).astype(np.int16)
+                meta = decode_media(encode_wav(samples), "audio")  # REAL decode
+                pcm = np.frombuffer(meta["pcm"], np.dtype("<i2")).astype(np.int64)
+                out["doc_id"].append(d)
+                out["n_frames"].append(meta["n_frames"])
+                out["frame_rate"].append(meta["frame_rate"])
+                out["n_channels"].append(meta["n_channels"])
+                out["sample_width"].append(meta["sample_width"])
+                out["mean_abs"].append(int(np.abs(pcm).sum()) // n)
+                out["peak"].append(int(np.abs(pcm).max()))
+                out["energy_mean"].append(int((pcm * pcm).sum()) // n)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, n_frames long, frame_rate long, n_channels long, "
+        "sample_width long, mean_abs long, peak long, energy_mean long"
     )
     return docs.mapInPandas(run, schema).orderBy("doc_id")
 

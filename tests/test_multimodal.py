@@ -992,6 +992,32 @@ def test_decode_avi_mjpeg_rejections_and_probe():
         decode_media(mixed, "video")
 
 
+def test_engine_avi_and_wav_encoders_roundtrip():
+    """The engine-side sink halves video/audio_decode_features lean on:
+    encode_avi → decode recovers every frame bit-exactly (bottom-up flip
+    and row padding inverted), encode_wav → decode recovers the exact
+    int16 PCM and header fields."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import encode_avi, encode_wav
+
+    rng = np.random.RandomState(11)
+    frames = [rng.randint(0, 256, (4, 5, 3)).astype(np.uint8) for _ in range(3)]
+    meta = decode_media(encode_avi(frames, usec_per_frame=25000), "video")
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (5, 4, 3)
+    assert meta["usec_per_frame"] == 25000 and meta["bit_count"] == 24
+    stride = (5 * 3 + 3) // 4 * 4  # 15 -> 16: padding exercised
+    for k, src in enumerate(frames):
+        rows = np.frombuffer(meta["frames"][k], np.uint8).reshape(4, stride)
+        assert (rows[:, :15][::-1] == src.reshape(4, 15)).all(), k
+
+    samples = (rng.randint(0, 2001, 300) - 1000).astype(np.int16)
+    m = decode_media(encode_wav(samples, frame_rate=8000), "audio")
+    assert (m["n_channels"], m["sample_width"], m["frame_rate"]) == (1, 2, 8000)
+    assert m["n_frames"] == 300
+    assert np.array_equal(np.frombuffer(m["pcm"], np.dtype("<i2")), samples)
+
+
 def test_sample_video_frames_on_mjpeg_avi(spark):
     """The frame-sampling kernel consumes MJPEG and raw AVIs through one
     code path: fingerprints equal the sha of the top-down de-padded
