@@ -449,6 +449,29 @@ def stream_quality_gate(
     return out.filter(cond)
 
 
+def stream_media_probe(blobs: DataFrame) -> DataFrame:
+    """Streaming face of the media routing pass: probe every arriving
+    binary blob for container metadata (AVI RIFF walk / MP4 box walk —
+    dims, frame counts, duration, tracks) and surface unprobeable
+    payloads as ``container='error'`` rows, never a dead task.
+
+    Batch/stream parity by construction: this applies THE SAME
+    Arrow-batched ``mapInPandas`` kernel as the batch pass
+    (``operators/multimodal.py::extract_video_metadata``), so ingest-time
+    routing and a batch backfill can never disagree on where a blob goes
+    — the unification contract every curation face here follows. The
+    kernel is stateless and map-only (no aggregate, no watermark, no
+    shuffle), so it composes in front of the stateful stages at any
+    scale: a 100 TB/day blob firehose probes at scan parallelism, and
+    only the routed survivors ever reach a (costly) decode stage behind
+    the per-executor singleton codec seam (U2)."""
+    from input_data_pipeline_spark.operators.multimodal import (
+        extract_video_metadata,
+    )
+
+    return extract_video_metadata(blobs)
+
+
 def stream_selection_tags(
     docs: DataFrame,
     dsir: tuple[dict[int, int], tuple[int, int]] | None = None,

@@ -1171,3 +1171,58 @@ def test_stream_bm25_tags_match_batch(spark, tmp_path):
         key=lambda p: (-p[1], p[0]),
     )[: len(topk)]
     assert rebuilt == topk
+
+
+def test_stream_media_probe_matches_batch(spark, tmp_path):
+    """Streaming face of the media routing pass: probing a blob STREAM
+    (stateless mapInPandas, no watermark) yields row-identical results
+    to the batch kernel on the same payloads — real AVI and MP4
+    containers route with their metadata, an MJPEG AVI reports its
+    frame count without any decode, and junk surfaces as an
+    container='error' row instead of killing the micro-batch."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        encode_avi,
+        extract_video_metadata,
+    )
+    from input_data_pipeline_spark.streaming.pipelines import (
+        run_to_memory,
+        stream_media_probe,
+    )
+    from tests.test_multimodal import make_avi, make_jpeg, make_mp4
+
+    rng = np.random.RandomState(5)
+    avi = encode_avi(
+        [rng.randint(0, 256, (3, 4, 3)).astype(np.uint8) for _ in range(2)]
+    )
+    mjpeg = make_avi(
+        9, 8, jpeg_frames=[make_jpeg(rows_rgb=[[(10, 20, 30)] * 9] * 8)]
+    )
+    mp4 = make_mp4(duration_ms=7250)
+    rows = [(1, avi), (2, mjpeg), (3, mp4), (4, b"not a container")]
+    src = tmp_path / "blobs"
+    spark.createDataFrame(rows, "doc_id long, payload binary").coalesce(
+        1
+    ).write.parquet(str(src))
+
+    batch = {
+        r.doc_id: r
+        for r in extract_video_metadata(spark.read.parquet(str(src))).collect()
+    }
+    sdf = spark.readStream.schema("doc_id long, payload binary").parquet(str(src))
+    name = _unique("mediaprobe")
+    q = run_to_memory(stream_media_probe(sdf), name)
+    try:
+        q.processAllAvailable()
+        got = {r.doc_id: r for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+
+    assert set(got) == {1, 2, 3, 4}
+    for k in got:
+        assert got[k] == batch[k], k
+    assert got[1].container == "avi" and got[1].n_frames == 2
+    assert got[2].container == "avi" and got[2].n_frames == 1
+    assert got[3].container == "mp4" and got[3].duration_ms == 7250
+    assert got[4].container == "error" and "non-AVI/MP4" in got[4].err
