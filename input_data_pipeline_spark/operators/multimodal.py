@@ -241,7 +241,9 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytes:
         raise ValueError(f"bad GIF LZW minimum code size {min_code_size}")
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
     out = bytearray()
-    table: list[bytes] = []
+    # Initialize the code table up front: the spec only RECOMMENDS a
+    # leading CLEAR, and real encoders exist that open with a literal.
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
     width = min_code_size + 1
     prev: bytes | None = None
     acc = nbits = 0
@@ -264,8 +266,6 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytes:
         if code == end:
             break
         if prev is None:
-            if not table:
-                raise ValueError("GIF LZW stream starts without a CLEAR code")
             if code >= clear:
                 raise ValueError(f"first GIF LZW code {code} is not a literal")
             entry = table[code]
@@ -360,9 +360,11 @@ def _decode_gif(payload: bytes) -> dict:
             label = payload[pos + 1]
             body, pos = sub_blocks(pos + 2)
             if label == 0xF9 and first is None and len(body) >= 4:
-                # graphic control: packed bit0 = transparency flag
-                if body[0] & 0x01:
-                    transparent = body[3]
+                # graphic control: packed bit0 = transparency flag. Per
+                # GIF89a only the GCE immediately preceding the image
+                # applies, so a later opaque GCE must CLEAR an earlier
+                # transparent one, not leave it sticky.
+                transparent = body[3] if body[0] & 0x01 else None
             continue
         if b != 0x2C:
             raise ValueError(f"unknown GIF block introducer 0x{b:02x}")
@@ -1629,10 +1631,13 @@ def extract_video_metadata(videos: DataFrame) -> DataFrame:
                 out["err"].append(err)
             yield pd.DataFrame(out)
 
+    # width/height/n_frames/n_tracks are unsigned 32-bit on disk (AVI avih
+    # '<10I'); declare them long so a header value above 2^31 reaches the
+    # row instead of dying in the Arrow int32 cast and killing the batch.
     return videos.mapInPandas(
         probe,
-        "doc_id long, container string, width int, height int, "
-        "n_frames int, duration_ms long, n_tracks int, err string",
+        "doc_id long, container string, width long, height long, "
+        "n_frames long, duration_ms long, n_tracks long, err string",
     )
 
 

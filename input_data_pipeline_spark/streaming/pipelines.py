@@ -363,11 +363,20 @@ def stream_bm25_tags(
     # dedup the standing query: the batch scorer's tf is a groupBy on
     # token, so a repeated query term must not double its contribution
     terms = list(dict.fromkeys(query if query is not None else BM25_QUERY))
-    out = docs.withColumn("_toks", T.tokens("text")).withColumn(
-        "_norm_ppm",
+    # Collision-safe temp names: lengthen the prefix until it collides
+    # with nothing the caller's frame carries, and drop EXACTLY the names
+    # created here — an input column that happens to be called `_toks`
+    # or `_tf_0` must survive untouched.
+    prefix = "_bm25"
+    while any(c.startswith(prefix) for c in docs.columns):
+        prefix += "_x"
+    toks, norm = f"{prefix}_toks", f"{prefix}_norm_ppm"
+    tmp = [toks, norm]
+    out = docs.withColumn(toks, T.tokens("text")).withColumn(
+        norm,
         # L-suffixed literals force 64-bit arithmetic: size() is int32 and
         # the batch scorer's tf/dl come from count() longs
-        F.expr(f"250000L + 750000L * size(_toks) * {n_docs}L DIV {sum_dl}L")
+        F.expr(f"250000L + 750000L * size({toks}) * {n_docs}L DIV {sum_dl}L")
         if sum_dl
         else F.lit(None).cast("long"),
     )
@@ -376,22 +385,23 @@ def stream_bm25_tags(
     for i, term in enumerate(terms):
         if term not in idf_ppm:
             continue  # term absent from the corpus: contributes nothing
-        tf = f"_tf_{i}"
+        tf = f"{prefix}_tf_{i}"
+        tmp.append(tf)
         out = out.withColumn(
-            tf, F.size(F.filter("_toks", lambda x: x == F.lit(term)))
+            tf, F.size(F.filter(toks, lambda x: x == F.lit(term)))
         )
         matched = matched | (F.col(tf) > 0)
         contribs.append(
             f"CASE WHEN {tf} > 0 THEN {idf_ppm[term]}L"
             f" * ((11000000L * {tf} * 1000000L)"
-            f" DIV (5000000L * {tf} + 6L * _norm_ppm))"
+            f" DIV (5000000L * {tf} + 6L * {norm}))"
             f" DIV 1000000L ELSE 0L END"
         )
     score = (
         F.expr(" + ".join(contribs)) if contribs else F.lit(None).cast("long")
     )
     out = out.withColumn("bm25_score_ppm", F.when(matched, score))
-    return out.drop("_toks", "_norm_ppm", *[c for c in out.columns if c.startswith("_tf_")])
+    return out.drop(*tmp)
 
 
 def stream_quality_gate(

@@ -589,10 +589,13 @@ def make_avi(width, height, frame_pixel_rows=None, usec_per_frame=40000,
 # ---------------------------------------------------------------------------
 
 
-def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+def _gif_lzw_encode(indices: bytes, min_code_size: int,
+                    leading_clear: bool = True) -> bytes:
     """GIF-variant LZW encoder (GIF89a spec Appendix F): LSB-first
     variable-width codes, leading CLEAR, code width grows in sync with
-    the decoder's table, CLEAR re-emitted when the table fills."""
+    the decoder's table, CLEAR re-emitted when the table fills.
+    ``leading_clear=False`` opens with a literal instead — the spec only
+    RECOMMENDS the leading CLEAR and some real encoders omit it."""
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
     buf = bytearray()
     acc = nbits = 0
@@ -612,7 +615,8 @@ def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
         width = min_code_size + 1
         return {bytes([i]): i for i in range(clear)}, end + 1
 
-    emit(clear)
+    if leading_clear:
+        emit(clear)
     table, next_code = reset()
     w = b""
     for k in indices:
@@ -645,7 +649,8 @@ def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
 
 def make_gif(palette, index_rows, interlace=False, transparent=None,
              screen=None, offset=(0, 0), local_palette=None,
-             version=b"GIF89a", bg_index=0, n_extra_frames=0):
+             version=b"GIF89a", bg_index=0, n_extra_frames=0,
+             leading_clear=True):
     """Encode a GIF with stdlib struct + the real LZW compressor above:
     ``palette`` is the global color table ((r, g, b) tuples, padded to a
     power-of-two size), ``index_rows`` the top-down palette-index rows of
@@ -682,7 +687,7 @@ def make_gif(palette, index_rows, interlace=False, transparent=None,
                                ((0, 8), (4, 8), (2, 4), (1, 2))])
     frame_palette_n = len(local_palette) if local_palette else len(palette)
     min_code = max(2, (frame_palette_n - 1).bit_length())
-    data = _gif_lzw_encode(rows.tobytes(), min_code)
+    data = _gif_lzw_encode(rows.tobytes(), min_code, leading_clear=leading_clear)
     desc = bytearray()
     ipacked = (0x40 if interlace else 0)
     if local_palette is not None:
@@ -798,6 +803,44 @@ def test_decode_gif_full_table_reset_roundtrip():
     assert (meta["width"], meta["height"], meta["n_pixels"]) == (90, 80, 7200)
     want = np.asarray(palette, np.uint8)[np.asarray(idx)][:, :, ::-1]
     assert meta["pixels"] == want.tobytes()
+
+
+def test_decode_gif_lzw_without_leading_clear():
+    """The spec only RECOMMENDS a leading CLEAR; a stream opening with a
+    literal code must decode identically (round-11 ADVICE fix: the table
+    is initialized before the loop, not only on CLEAR)."""
+    import numpy as np
+
+    palette = [(250, 10, 20), (30, 240, 50), (60, 70, 230), (8, 8, 8)]
+    idx = [[(2 * r + c) % 4 for c in range(8)] for r in range(6)]
+    want = np.asarray(palette, np.uint8)[np.asarray(idx)][:, :, ::-1]
+    with_clear = make_gif(palette, idx)
+    without = make_gif(palette, idx, leading_clear=False)
+    assert with_clear != without  # the fixture really omits the CLEAR
+    meta = decode_media(without, "image")
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (8, 6, 1)
+    assert meta["pixels"] == want.tobytes()
+
+
+def test_decode_gif_opaque_gce_overrides_earlier_transparent_gce():
+    """Per GIF89a only the GCE immediately preceding the image applies:
+    GCE(transparent) -> GCE(opaque) -> image must decode OPAQUE (24-bit),
+    not with the stale transparency index (round-11 ADVICE fix)."""
+    import numpy as np
+
+    palette = [(200, 0, 0), (0, 200, 0), (0, 0, 200), (9, 9, 9)]
+    idx = [[0, 1], [2, 1]]
+    blob = make_gif(palette, idx, transparent=1)
+    trans_gce = bytes([0x21, 0xF9, 4, 0x01, 0, 0, 1, 0])
+    opaque_gce = bytes([0x21, 0xF9, 4, 0x00, 0, 0, 0, 0])
+    at = blob.index(trans_gce)
+    patched = blob[: at + len(trans_gce)] + opaque_gce + blob[at + len(trans_gce):]
+    meta = decode_media(patched, "image")
+    assert meta["bit_count"] == 24  # opaque: the LATEST GCE governs
+    want = np.asarray(palette, np.uint8)[np.asarray(idx)][:, :, ::-1]
+    assert meta["pixels"] == want.tobytes()
+    # and the unpatched transparent fixture still yields the BGRA face
+    assert decode_media(blob, "image")["bit_count"] == 32
 
 
 def test_extract_image_features_mixed_formats_one_kernel(spark):
@@ -1503,6 +1546,30 @@ def test_extract_video_metadata_end_to_end(spark):
     # the probe is map-only: no shuffle anywhere in the plan
     plan = extract_video_metadata(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_extract_video_metadata_avih_fields_above_int31(spark):
+    """The avih fields are unsigned 32-bit on disk; a width above 2^31
+    must reach the metadata row as a long instead of dying in an Arrow
+    int32 cast and killing the whole batch (round-11 ADVICE fix)."""
+    import struct
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        extract_video_metadata,
+        probe_video,
+    )
+
+    avi = bytearray(make_avi(3, 2, [[[(9, 9, 9)] * 3] * 2]))
+    at = avi.index(b"avih") + 8  # avih body: dwWidth at +32
+    big = 0x80000005
+    struct.pack_into("<I", avi, at + 32, big)
+    blob = bytes(avi)
+    assert probe_video(blob)["width"] == big  # the probe itself is unsigned
+    df = spark.createDataFrame([(1, blob)], "doc_id long, payload binary")
+    rows = extract_video_metadata(df).collect()
+    assert len(rows) == 1 and rows[0].err is None
+    assert rows[0].container == "avi" and rows[0].width == big
+    assert rows[0].height == 2 and rows[0].n_frames == 1
 
 
 def make_progressive_jpeg(rows_rgb=None, gray_rows=None, quant=1,

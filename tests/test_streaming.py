@@ -1173,6 +1173,30 @@ def test_stream_bm25_tags_match_batch(spark, tmp_path):
     assert rebuilt == topk
 
 
+def test_stream_bm25_tags_preserve_caller_underscore_columns(spark):
+    """Round-11 ADVICE fix: the tagger's temp columns are collision-safe
+    — an input frame already carrying ``_toks`` / ``_norm_ppm`` /
+    ``_tf_0``-style names (or even the tagger's own ``_bm25_*`` names)
+    must come through untouched, with only ``bm25_score_ppm`` added."""
+    from input_data_pipeline_spark.streaming.pipelines import stream_bm25_tags
+
+    model = ({"alpha": 1_000_000}, 10, 100)
+    df = spark.createDataFrame(
+        [(1, "alpha beta", "keep-toks", 7, 11, "keep-bm25")],
+        "doc_id long, text string, _toks string, _tf_0 long, "
+        "_norm_ppm long, _bm25_toks string",
+    )
+    out = stream_bm25_tags(df, model, query=("alpha",))
+    assert set(out.columns) == {
+        "doc_id", "text", "_toks", "_tf_0", "_norm_ppm", "_bm25_toks",
+        "bm25_score_ppm",
+    }
+    row = out.collect()[0].asDict()
+    assert (row["_toks"], row["_tf_0"], row["_norm_ppm"]) == ("keep-toks", 7, 11)
+    assert row["_bm25_toks"] == "keep-bm25"
+    assert row["bm25_score_ppm"] is not None and row["bm25_score_ppm"] > 0
+
+
 def test_stream_media_probe_matches_batch(spark, tmp_path):
     """Streaming face of the media routing pass: probing a blob STREAM
     (stateless mapInPandas, no watermark) yields row-identical results
