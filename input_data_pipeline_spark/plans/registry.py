@@ -79,74 +79,78 @@ def _load_all() -> None:
 
 # Externally-visible enumeration order. External snapshots of the registry
 # truncate to a prefix (50 slots), so the queries that most need fresh
-# differential evidence must enumerate first. Round-10 rotation — the
-# evidence-freshness round: (a) the 39 queries whose latest driver green
-# is round 2 head the window (seven rounds of engine churn since their
-# last differential check; judge spot-checks of six of them passed in
-# r9, this window re-proves the rest); (b) the 6 LLM-core anchors stay
-# in every window; (c) the remaining 5 slots go to the stalest r4-era
-# queries (dedup_bow_clusters / dedup_cluster_assignment / frame_sample
-# deferred to r11 — each holds >= 2 lifetime greens). Everything evicted
-# was green in the r9 window (50/50) or holds >= 2 lifetime greens.
-# Names not listed keep registration order after the listed ones.
+# differential evidence must enumerate first. Round-11 rotation:
+# (a) the three r10-added codec-surface queries have never been in a
+# driver window — they lead; (b) the three r4-era queries deferred in
+# r10; (c) the full r5 bucket (20 queries, stalest remaining driver
+# green); (d) the r6 bucket (9); (e) the 6 LLM-core anchors stay in
+# every window; (f) the remaining 9 slots start the r7 bucket
+# (alphabetical; the other 16 r7-era queries rotate in next round).
+# Everything evicted was green in the r10 window (50/50) or holds
+# >= 2 lifetime greens. Names not listed keep registration order after
+# the listed ones.
 _PRIORITY: list[str] = [
-    # --- (a) last driver green r2: re-prove after 7 rounds of churn ---
-    "distinct_flag_status",
-    "event_props_extract",
-    "event_transitions",
-    "event_type_hourly",
-    "event_type_pivot",
-    "event_value_deltas",
-    "event_value_percentiles",
-    "event_value_winsorized",
-    "lateral_top_customers_per_nation",
-    "latest_order_per_customer",
-    "loyal_customers_all_quarters",
-    "nation_order_counts_left",
-    "nations_with_both_roles",
-    "order_cardinalities",
-    "order_price_histogram",
-    "order_priority_rollup",
-    "order_rank_in_priority",
-    "order_status_cube",
-    "orders_by_weekday",
-    "orders_profile",
-    "part_metrics_unpivot",
-    "part_name_fuzzy_pairs",
-    "part_type_stats",
-    "pricing_summary",
-    "priority_nullsafe_join",
-    "returned_revenue_by_customer",
-    "revenue_by_region",
-    "revenue_grouping_sets",
-    "segment_top_orders",
-    "session_window_native",
-    "signup_funnel",
-    "sliding_window_counts",
-    "snapshot_diff",
-    "suppliers_above_nation_avg",
-    "top_customers_by_revenue",
-    "top_events_per_user",
-    "urgent_high_value_orders",
-    "user_running_totals",
-    "weekly_cohort_retention",
-    # --- (b) LLM-core anchors (stay in every window) ---
+    # --- (a) never driver-checked (added in r10) ---
+    "audio_decode_features",
+    "image_decode_features",
+    "video_decode_features",
+    # --- (b) last driver green r4 (deferred from the r10 window) ---
+    "dedup_bow_clusters",
+    "dedup_cluster_assignment",
+    "frame_sample",
+    # --- (c) last driver green r5 ---
+    "asof_order_context",
+    "charngram_language_id",
+    "corpus_boilerplate_shingles",
+    "doc_length_outliers",
+    "doc_previews",
+    "incremental_batch_dedup",
+    "knn_bruteforce",
+    "knn_bruteforce_np",
+    "knn_hyperplane_lsh",
+    "label_centroid_assignment",
+    "lang_rebalance_plan",
+    "language_confusion",
+    "normalized_text_hash",
+    "segments_flatten",
+    "semantic_doc_search",
+    "skew_salted_user_join",
+    "tfidf_top_terms",
+    "top_tokens",
+    "toxic_label_scaffold",
+    "youtube_id_extraction",
+    # --- (d) last driver green r6 ---
+    "embedding_norm_stats",
+    "lang_distribution",
+    "pii_redaction_scaffold",
+    "pq_reconstruction_stats",
+    "quality_calibration",
+    "semdedup_embedding_clusters",
+    "source_quota_cap",
+    "stratified_doc_sample",
+    "url_domain_stats",
+    # --- (e) LLM-core anchors (stay in every window) ---
     "dedup_minhash_lsh",
     "ngram_jaccard_pairs",
     "embedding_near_pairs",
     "knn_ivf",
     "contamination_overlap",
     "doc_quality",
-    # --- (c) stalest r4-era queries: earn a third green ---
-    "dedup_exact",
-    "dedup_simhash",
-    "simhash_near_pairs",
-    "winnowing_fingerprints",
-    "multimodal_binary_meta",
+    # --- (f) r7 bucket, first 9 of 25 (alphabetical) ---
+    "bigram_lm_doc_scores",
+    "bloom_dedup_precheck",
+    "bpe_token_estimate",
+    "countmin_merge_sources",
+    "countmin_token_freq",
+    "curation_funnel",
+    "doc_token_stats",
+    "dup_cluster_size_histogram",
+    "exact_substring_coverage",
 ]
-# Round-10 state: after this window is green, no registry query's latest
-# driver green predates round 4; r11 should rotate in the three deferred
-# r4 queries plus the r5 bucket (20 queries).
+# Round-11 state: after this window is green, no registry query's latest
+# driver green predates round 7; r12 should rotate in the remaining 16
+# r7-era queries (hll_distinct_tokens ... weighted_doc_sample_pps) plus
+# any queries added in r11.
 
 
 
