@@ -640,6 +640,174 @@ def encode_wav(samples, frame_rate: int = 16000) -> bytes:
     return buf.getvalue()
 
 
+# --- companded / ADPCM WAV (round 11): the speech-corpus formats -----------
+#
+# Telephony and speech corpora ship WAV containers whose sample bytes are
+# G.711 companded (format tag 7 = mu-law, 6 = A-law; ITU-T G.711 1988) or
+# IMA/DVI ADPCM nibbles (tag 0x11; IMA "Recommended Practices for
+# Enhancing Digital Audio Compatibility", 1992). Both are exact integer
+# transforms — no external codec needed — so the decode seam for WAV
+# narrows to genuinely external formats (MP3/AAC-in-WAV).
+
+_WAVE_FORMAT_PCM = 0x0001
+_WAVE_FORMAT_ALAW = 0x0006
+_WAVE_FORMAT_MULAW = 0x0007
+_WAVE_FORMAT_IMA_ADPCM = 0x0011
+
+
+def encode_wav_codes(codes: bytes, fmt_tag: int, frame_rate: int = 8000) -> bytes:
+    """Wrap raw 8-bit companded sample codes (one byte per frame, mono) in
+    a WAV container with the given format tag (6 = A-law, 7 = mu-law).
+    Container writer ONLY — the codes are stored verbatim; expansion to
+    linear PCM is :func:`decode_media`'s job. Includes the ``fact`` chunk
+    non-PCM WAV requires (RIFF/WAVE spec: dwSampleLength)."""
+    import struct
+
+    if fmt_tag not in (_WAVE_FORMAT_ALAW, _WAVE_FORMAT_MULAW):
+        raise ValueError(f"encode_wav_codes writes G.711 tags 6/7, got {fmt_tag}")
+    fmt = struct.pack("<HHIIHHH", fmt_tag, 1, frame_rate, frame_rate, 1, 8, 0)
+    fact = struct.pack("<I", len(codes))
+    body = b"WAVE"
+    for cid, chunk in ((b"fmt ", fmt), (b"fact", fact), (b"data", codes)):
+        body += cid + struct.pack("<I", len(chunk)) + chunk
+        if len(chunk) % 2:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _g711_expand(codes, law: str):
+    """Vectorized G.711 expansion of companded code bytes to linear int16
+    (ITU-T G.711 Tables 1/2, the classic segment+mantissa arithmetic).
+    Bit-exact against the reference expansion for all 256 codes — pinned
+    by test against an independent implementation."""
+    import numpy as np
+
+    codes = np.asarray(codes, dtype=np.uint8)
+    if law == "ulaw":
+        u = (~codes) & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84).astype(np.int32) << ((u >> 4) & 0x07)
+        return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+    if law == "alaw":
+        a = codes ^ 0x55
+        t = ((a & 0x0F) << 4).astype(np.int32)
+        seg = (a >> 4) & 0x07
+        t = np.where(
+            seg == 0,
+            t + 8,
+            np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0)),
+        )
+        return np.where(a & 0x80, t, -t).astype(np.int16)
+    raise ValueError(f"unknown G.711 law {law!r}")
+
+
+# IMA ADPCM step-size and index-adjust tables (IMA 1992 recommended
+# practice §6; the same tables every DVI/IMA implementation ships).
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_adpcm_decode_block(data: bytes, pred: int, index: int) -> list[int]:
+    """Decode one mono IMA ADPCM nibble stream (low nibble first, WAV
+    block convention) from an explicit (predictor, step index) state.
+    Per-nibble Python with the standard bit-test difference expansion —
+    fixture-scope budget, same stance as the JPEG huffman loop; megabyte
+    production audio goes through the singleton codec seam (U2)."""
+    out = []
+    for byte in data:
+        for n in (byte & 0x0F, byte >> 4):
+            step = _IMA_STEPS[index]
+            diff = step >> 3
+            if n & 1:
+                diff += step >> 2
+            if n & 2:
+                diff += step >> 1
+            if n & 4:
+                diff += step
+            pred = pred - diff if n & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            index = max(0, min(88, index + _IMA_INDEX_ADJ[n & 0x07]))
+            out.append(pred)
+    return out
+
+
+def _decode_ima_adpcm(data: bytes, block_align: int, n_frames: int | None) -> bytes:
+    """Mono IMA ADPCM 'data' chunk → int16 LE PCM bytes. Each block is a
+    4-byte header (int16 predictor — also the block's FIRST output
+    sample — uint8 step index, reserved) followed by low-nibble-first
+    sample nibbles. ``n_frames`` (the 'fact' chunk count) truncates the
+    final block's tail padding when present."""
+    import struct
+
+    if block_align < 5:
+        raise ValueError(f"IMA ADPCM block align {block_align} too small")
+    samples: list[int] = []
+    for at in range(0, len(data) - len(data) % block_align, block_align):
+        pred, index, _rsvd = struct.unpack_from("<hBB", data, at)
+        if index > 88:
+            raise ValueError(f"IMA ADPCM step index {index} out of range")
+        samples.append(pred)
+        samples.extend(
+            _ima_adpcm_decode_block(data[at + 4 : at + block_align], pred, index)
+        )
+    if n_frames is not None:
+        if n_frames > len(samples):
+            raise ValueError(
+                f"IMA ADPCM fact count {n_frames} exceeds decoded {len(samples)}"
+            )
+        samples = samples[:n_frames]
+    import numpy as np
+
+    return np.asarray(samples, dtype=np.int16).tobytes()
+
+
+def _parse_wav_chunks(payload: bytes) -> dict:
+    """RIFF/WAVE chunk walk for the non-PCM formats stdlib ``wave``
+    rejects: returns fmt fields + the raw data chunk + the 'fact' frame
+    count (required by the spec for compressed formats)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
+    fmt = None
+    data = None
+    fact_frames = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body0, body1 = pos + 8, pos + 8 + size
+        if body1 > len(payload):
+            raise ValueError("truncated WAV: chunk extends past the payload")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"'fmt ' chunk too small ({size} bytes)")
+            tag, ch, rate, _br, align, bits = struct.unpack_from(
+                "<HHIIHH", payload, body0
+            )
+            fmt = {
+                "tag": tag, "n_channels": ch, "frame_rate": rate,
+                "block_align": align, "bits": bits,
+            }
+        elif cid == b"fact" and size >= 4:
+            (fact_frames,) = struct.unpack_from("<I", payload, body0)
+        elif cid == b"data":
+            data = payload[body0:body1]
+        pos = body1 + (size & 1)  # RIFF pads chunks to even offsets
+    if fmt is None or data is None:
+        raise ValueError("WAV payload missing 'fmt ' or 'data' chunk")
+    fmt["fact_frames"] = fact_frames
+    fmt["data"] = data
+    return fmt
+
+
 # JPEG zig-zag scan order (ITU-T T.81 Figure 5): index i of the entropy
 # stream maps to _JPEG_ZIGZAG[i] in row-major 8x8 block order.
 _JPEG_ZIGZAG = [
@@ -1706,6 +1874,66 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
             f"real {modality} decode requires external media libraries; "
             "wire ffmpeg/PIL here on a real cluster (SURVEY §2.10 U1/U2)"
         )
+    if (
+        len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    ):
+        import struct
+
+        # peek the format tag: stdlib wave only reads PCM, and the
+        # companded/ADPCM speech formats are exact integer transforms we
+        # decode for real (round 11)
+        at = payload.find(b"fmt ")
+        tag = (
+            struct.unpack_from("<H", payload, at + 8)[0]
+            if 0 <= at <= len(payload) - 10
+            else _WAVE_FORMAT_PCM
+        )
+        if tag in (_WAVE_FORMAT_ALAW, _WAVE_FORMAT_MULAW):
+            w = _parse_wav_chunks(payload)
+            if w["n_channels"] != 1 or w["bits"] != 8:
+                raise ValueError(
+                    f"G.711 WAV must be mono 8-bit, got "
+                    f"{w['n_channels']}ch/{w['bits']}-bit"
+                )
+            law = "alaw" if tag == _WAVE_FORMAT_ALAW else "ulaw"
+            codes = w["data"]
+            if w["fact_frames"] is not None:
+                codes = codes[: w["fact_frames"]]
+            import numpy as np
+
+            pcm = _g711_expand(np.frombuffer(codes, np.uint8), law)
+            return {
+                "n_channels": 1,
+                "sample_width": 2,  # EXPANDED width; source codes are 8-bit
+                "frame_rate": w["frame_rate"],
+                "n_frames": len(codes),
+                "pcm": pcm.tobytes(),
+                "codec": law,
+            }
+        if tag == _WAVE_FORMAT_IMA_ADPCM:
+            w = _parse_wav_chunks(payload)
+            if w["n_channels"] != 1:
+                raise ValueError(
+                    f"IMA ADPCM decode supports mono, got {w['n_channels']}ch"
+                )
+            pcm = _decode_ima_adpcm(
+                w["data"], w["block_align"], w["fact_frames"]
+            )
+            return {
+                "n_channels": 1,
+                "sample_width": 2,
+                "frame_rate": w["frame_rate"],
+                "n_frames": len(pcm) // 2,
+                "pcm": pcm,
+                "codec": "ima_adpcm",
+            }
+        if tag != _WAVE_FORMAT_PCM:
+            raise NotImplementedError(
+                f"WAV format tag 0x{tag:04x} (e.g. MP3/AAC-in-WAV) requires "
+                "external media libraries (SURVEY §2.10 U1/U2)"
+            )
     import io
     import wave
 
@@ -2019,6 +2247,95 @@ def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = (
         "doc_id long, n_frames long, frame_rate long, n_channels long, "
+        "sample_width long, mean_abs long, peak long, energy_mean long"
+    )
+    return docs.mapInPandas(run, schema).orderBy("doc_id")
+
+
+@register(
+    "g711_decode_features",
+    oracle="""
+    WITH pcm AS (
+        SELECT d.doc_id AS doc_id,
+               CASE WHEN d.doc_id % 2 = 0 THEN
+                   CASE WHEN (255 - c.c) >= 128
+                        THEN 132 - (((255 - c.c) % 16) * 8 + 132)
+                                 * (1 << (((255 - c.c) // 16) % 8))
+                        ELSE (((255 - c.c) % 16) * 8 + 132)
+                                 * (1 << (((255 - c.c) // 16) % 8)) - 132
+                   END
+               ELSE
+                   CASE WHEN xor(c.c, 85) >= 128 THEN 1 ELSE -1 END *
+                   CASE WHEN (xor(c.c, 85) // 16) % 8 = 0
+                            THEN (xor(c.c, 85) % 16) * 16 + 8
+                        WHEN (xor(c.c, 85) // 16) % 8 = 1
+                            THEN (xor(c.c, 85) % 16) * 16 + 264
+                        ELSE ((xor(c.c, 85) % 16) * 16 + 264)
+                             * (1 << ((xor(c.c, 85) // 16) % 8 - 1))
+                   END
+               END AS s
+        FROM documents d,
+             LATERAL (SELECT (17 * d.doc_id + 31 * unnest(generate_series(
+                 0, CAST(127 + (d.doc_id % 5) * 32 AS BIGINT)))) % 256 AS c) c
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS codec,
+           CAST(128 + (doc_id % 5) * 32 AS BIGINT) AS n_frames,
+           CAST(8000 AS BIGINT) AS frame_rate,
+           CAST(2 AS BIGINT) AS sample_width,
+           CAST(SUM(ABS(s)) // (128 + (doc_id % 5) * 32) AS BIGINT) AS mean_abs,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+           CAST(SUM(s * s) // (128 + (doc_id % 5) * 32) AS BIGINT) AS energy_mean
+    FROM pcm GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def g711_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The companded-telephony audio surface under the differential oracle
+    gate: per document a deterministic stream of G.711 code BYTES (closed
+    form over (doc_id, i), sweeping all 256 codes) is wrapped in a non-PCM
+    WAV container (:func:`encode_wav_codes`, format tag 7 mu-law for even
+    doc_ids / 6 A-law for odd) and expanded to linear int16 PCM by
+    :func:`decode_media`'s REAL G.711 decoder (:func:`_g711_expand`,
+    bit-exact vs an independent implementation for all 256 codes — pinned
+    in tests). The oracle re-derives the ITU-T G.711 segment+mantissa
+    expansion in pure SQL, so a wrong table, sign slip, or container
+    misread breaks the hash. Map-only mapInPandas — the decode runs beside
+    the scan with no shuffle; at 100 TB each task decodes only its own
+    Arrow batch."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "codec": [], "n_frames": [], "frame_rate": [],
+                "sample_width": [], "mean_abs": [], "peak": [],
+                "energy_mean": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 128 + (d % 5) * 32
+                i = np.arange(n, dtype=np.int64)
+                codes = ((17 * d + 31 * i) % 256).astype(np.uint8)
+                tag = _WAVE_FORMAT_MULAW if d % 2 == 0 else _WAVE_FORMAT_ALAW
+                meta = decode_media(
+                    encode_wav_codes(codes.tobytes(), tag), "audio"
+                )  # REAL G.711 expansion
+                pcm = np.frombuffer(meta["pcm"], np.dtype("<i2")).astype(np.int64)
+                out["doc_id"].append(d)
+                out["codec"].append(meta["codec"])
+                out["n_frames"].append(meta["n_frames"])
+                out["frame_rate"].append(meta["frame_rate"])
+                out["sample_width"].append(meta["sample_width"])
+                out["mean_abs"].append(int(np.abs(pcm).sum()) // n)
+                out["peak"].append(int(np.abs(pcm).max()))
+                out["energy_mean"].append(int((pcm * pcm).sum()) // n)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, codec string, n_frames long, frame_rate long, "
         "sample_width long, mean_abs long, peak long, energy_mean long"
     )
     return docs.mapInPandas(run, schema).orderBy("doc_id")

@@ -1967,3 +1967,227 @@ def test_progressive_jpeg_zrl_paths():
             continue
         pos += 2 + seglen
     assert 0xF0 in dht_symbols  # a ZRL was coded somewhere
+
+
+# --- G.711 / IMA ADPCM WAV decode (round 11) --------------------------------
+#
+# The cross-check oracle is stdlib `audioop` (present on this 3.11
+# container; removed in 3.13, so it lives in TESTS ONLY — the engine's
+# decoders are self-contained). audioop's G.711 tables are the ITU-T
+# reference expansion, and its ADPCM loop is the same IMA-1992 algorithm
+# with high-nibble-first packing (WAV is low-nibble-first), so a nibble
+# swap makes the comparison exact.
+
+audioop = pytest.importorskip("audioop")
+
+
+def _ima_wav(blocks, frame_rate=8000, block_align=None, fact=None):
+    """Hand-build a mono IMA ADPCM WAV: blocks = [(pred, index, nibble_bytes)]."""
+    import struct
+
+    block_align = block_align or (4 + len(blocks[0][2]))
+    data = b"".join(
+        struct.pack("<hBB", pred, index, 0) + nib for pred, index, nib in blocks
+    )
+    n_samples = fact
+    if n_samples is None:
+        n_samples = sum(1 + 2 * len(nib) for _, _, nib in blocks)
+    fmt = struct.pack(
+        "<HHIIHHH", 0x11, 1, frame_rate, frame_rate // 2, block_align, 4, 2
+    )
+    body = b"WAVE"
+    for cid, chunk in (
+        (b"fmt ", fmt),
+        (b"fact", struct.pack("<I", n_samples)),
+        (b"data", data),
+    ):
+        body += cid + struct.pack("<I", len(chunk)) + chunk
+        if len(chunk) % 2:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_g711_expand_bit_exact_vs_audioop_all_codes():
+    """Every one of the 256 mu-law and A-law codes expands to exactly the
+    int16 sample audioop's ITU-T reference tables produce."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import _g711_expand
+
+    codes = np.arange(256, dtype=np.uint8)
+    for law, fn in (("ulaw", audioop.ulaw2lin), ("alaw", audioop.alaw2lin)):
+        ref = np.frombuffer(fn(codes.tobytes(), 2), np.dtype("<i2"))
+        assert np.array_equal(_g711_expand(codes, law), ref), law
+
+
+@pytest.mark.parametrize("tag,law,fn", [
+    (7, "ulaw", "ulaw2lin"),
+    (6, "alaw", "alaw2lin"),
+])
+def test_g711_wav_end_to_end(tag, law, fn):
+    """encode_wav_codes → decode_media round-trip: header fields, codec
+    label, and PCM bytes identical to audioop expansion of the codes.
+    Odd-length code streams exercise the RIFF even-padding rule AND the
+    'fact' truncation (the pad byte must NOT decode as a sample)."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        decode_media,
+        encode_wav_codes,
+    )
+
+    codes = bytes((7 * i + 3) % 256 for i in range(257))  # odd length
+    meta = decode_media(encode_wav_codes(codes, tag, frame_rate=8000), "audio")
+    assert meta["codec"] == law
+    assert meta["n_channels"] == 1
+    assert meta["sample_width"] == 2  # EXPANDED width
+    assert meta["frame_rate"] == 8000
+    assert meta["n_frames"] == 257
+    assert meta["pcm"] == getattr(audioop, fn)(codes, 2)
+    assert len(meta["pcm"]) == 2 * 257
+
+
+def test_ima_adpcm_block_decode_bit_exact_vs_audioop():
+    """A WAV IMA block decodes to its header predictor followed by exactly
+    the samples audioop's IMA loop yields from the same (pred, index)
+    state — after swapping audioop's high-first nibble packing to WAV's
+    low-first order."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _ima_adpcm_decode_block,
+    )
+
+    rng = np.random.RandomState(11)
+    pcm = rng.randint(-30000, 30000, 512).astype("<i2")
+    packed, _state = audioop.lin2adpcm(pcm.tobytes(), 2, (int(pcm[0]), 17))
+    ref = np.frombuffer(
+        audioop.adpcm2lin(packed, 2, (int(pcm[0]), 17))[0], np.dtype("<i2")
+    )
+    b = np.frombuffer(packed, np.uint8)
+    swapped = (((b & 0x0F) << 4) | (b >> 4)).astype(np.uint8).tobytes()
+    mine = _ima_adpcm_decode_block(swapped, int(pcm[0]), 17)
+    assert np.array_equal(np.asarray(mine, dtype="<i2"), ref)
+
+
+def test_ima_adpcm_wav_multiblock_end_to_end():
+    """Multi-block IMA WAV through decode_media: each block restarts from
+    its own header state (the format's seekability contract), and the
+    'fact' frame count truncates the final block's pad tail."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import decode_media
+
+    rng = np.random.RandomState(23)
+    pcm = rng.randint(-20000, 20000, 1 + 16 + 1 + 16).astype("<i2")
+    blocks = []
+    expect = []
+    state = (int(pcm[0]), 0)
+    at = 0
+    for _ in range(2):
+        pred, index = state
+        chunk = pcm[at + 1 : at + 17]
+        packed, state = audioop.lin2adpcm(chunk.tobytes(), 2, (pred, index))
+        b = np.frombuffer(packed, np.uint8)
+        swapped = (((b & 0x0F) << 4) | (b >> 4)).astype(np.uint8).tobytes()
+        blocks.append((pred, index, swapped))
+        expect.append(pred)
+        expect.extend(
+            np.frombuffer(
+                audioop.adpcm2lin(packed, 2, (pred, index))[0], np.dtype("<i2")
+            ).tolist()
+        )
+        at += 17
+        state = (state[0], state[1])
+
+    meta = decode_media(_ima_wav(blocks), "audio")
+    assert meta["codec"] == "ima_adpcm"
+    assert meta["sample_width"] == 2
+    assert meta["n_frames"] == 34
+    assert np.frombuffer(meta["pcm"], np.dtype("<i2")).tolist() == expect
+
+    # fact truncation: claim only 30 of the 34 decoded samples are real
+    meta = decode_media(_ima_wav(blocks, fact=30), "audio")
+    assert meta["n_frames"] == 30
+    assert np.frombuffer(meta["pcm"], np.dtype("<i2")).tolist() == expect[:30]
+
+
+def test_companded_wav_error_paths():
+    """Malformed compressed WAVs raise (error-row contract), and genuinely
+    external in-WAV codecs (MP3 tag 0x55) route to the documented seam."""
+    import struct
+
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        decode_media,
+        encode_wav_codes,
+    )
+
+    with pytest.raises(ValueError, match="G.711 tags"):
+        encode_wav_codes(b"\x00", 1)
+
+    ok = encode_wav_codes(bytes(range(64)), 7)
+    # stereo G.711 is out of scope -> ValueError, not a wrong decode
+    stereo = ok.replace(
+        struct.pack("<HHI", 7, 1, 8000), struct.pack("<HHI", 7, 2, 8000), 1
+    )
+    with pytest.raises(ValueError, match="mono"):
+        decode_media(stereo, "audio")
+
+    # MP3-in-WAV (tag 0x55) is the documented external seam
+    mp3 = ok.replace(
+        struct.pack("<HHI", 7, 1, 8000), struct.pack("<HHI", 0x55, 1, 8000), 1
+    )
+    with pytest.raises(NotImplementedError, match="0x0055"):
+        decode_media(mp3, "audio")
+
+    # IMA: step index out of range and runt block_align must raise
+    with pytest.raises(ValueError, match="step index"):
+        decode_media(_ima_wav([(0, 89, bytes(8))]), "audio")
+    from input_data_pipeline_spark.operators.multimodal import _decode_ima_adpcm
+
+    with pytest.raises(ValueError, match="block align"):
+        _decode_ima_adpcm(bytes(8), 4, None)
+    with pytest.raises(ValueError, match="fact count"):
+        decode_media(_ima_wav([(0, 0, bytes(8))], fact=99), "audio")
+
+    # truncated chunk: data chunk length larger than the payload
+    trunc = ok[:-10]
+    with pytest.raises(ValueError, match="truncated|past the payload"):
+        from input_data_pipeline_spark.operators.multimodal import (
+            _parse_wav_chunks,
+        )
+
+        _parse_wav_chunks(trunc)
+
+
+def test_g711_decode_features_values(spark):
+    """Registry query spot-check: the per-doc stats equal an independent
+    audioop expansion of the same closed-form code stream."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        g711_decode_features,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in g711_decode_features(spark, "/root/testdata/sf0.001")
+        .limit(400)
+        .collect()
+    }
+    assert rows, "documents table produced no rows"
+    for d in list(rows)[:6]:
+        n = 128 + (d % 5) * 32
+        i = np.arange(n, dtype=np.int64)
+        codes = ((17 * d + 31 * i) % 256).astype(np.uint8).tobytes()
+        fn = audioop.ulaw2lin if d % 2 == 0 else audioop.alaw2lin
+        pcm = np.frombuffer(fn(codes, 2), np.dtype("<i2")).astype(np.int64)
+        r = rows[d]
+        assert r["codec"] == ("ulaw" if d % 2 == 0 else "alaw")
+        assert r["n_frames"] == n
+        assert r["frame_rate"] == 8000
+        assert r["mean_abs"] == int(np.abs(pcm).sum()) // n
+        assert r["peak"] == int(np.abs(pcm).max())
+        assert r["energy_mean"] == int((pcm * pcm).sum()) // n
