@@ -957,6 +957,183 @@ def dsir_stream_thresholds(
 
 
 # ---------------------------------------------------------------------------
+# fastText-style hashed n-gram language filter (round-11 addition)
+# ---------------------------------------------------------------------------
+
+_FT_BUCKETS = 4096  # hashing-trick feature space — FIXED, never grows
+_FT_TARGET_LANG = "en"
+_FT_SEP = "\t"  # same bigram separator contract as the bigram LM
+
+
+def ft_bucket(feat_col):
+    """The hashed-feature bucket for an n-gram string — md5-prefix integer
+    mod a fixed table size (the fastText hashing trick), stated once so
+    the batch classifier and the streaming tagger hash identically, and
+    cross-engine deterministic (DuckDB: ``('0x'||substr(md5(f),1,8))::BIGINT``)."""
+    return (
+        F.conv(F.substring(F.md5(feat_col), 1, 8), 16, 10).cast("long")
+        % _FT_BUCKETS
+    )
+
+
+def _ft_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, b): DISTINCT hashed uni+bigram presence per doc —
+    the Bernoulli feature rows both training and scoring consume."""
+    from input_data_pipeline_spark.functions import text as T
+    from input_data_pipeline_spark.operators.textstats import bigram_array
+
+    t = T.tokens("text")
+    feats = F.concat(t, bigram_array("text"))
+    return (
+        docs.select("doc_id", "lang", F.explode(feats).alias("f"))
+        .select("doc_id", "lang", ft_bucket(F.col("f")).alias("b"))
+        .distinct()
+    )
+
+
+def _ft_model(feats: DataFrame) -> DataFrame:
+    """The trained weight table (b, w_ppm) — at most ``_FT_BUCKETS`` rows:
+    w_ppm = smoothed P(target-lang | feature b) in ppm, add-one over the
+    per-class document frequencies."""
+    is_t = F.col("lang") == _FT_TARGET_LANG
+    dfb = feats.groupBy("b").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("df_pos"),
+        F.sum(F.when(is_t, 0).otherwise(1)).alias("df_neg"),
+    )
+    return dfb.select(
+        "b",
+        F.expr("(1000000 * (df_pos + 1)) DIV (df_pos + df_neg + 2)").alias(
+            "w_ppm"
+        ),
+    )
+
+
+_FT_NGRAMS_SQL = (
+    f"list_concat(t, list_transform(range(1, len(t)), "
+    f"i -> t[i] || chr(9) || t[i + 1]))"
+)
+
+
+@register(
+    "fasttext_lang_filter",
+    oracle=f"""
+    WITH feats AS (
+      SELECT DISTINCT doc_id, lang,
+             CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT)
+               % {_FT_BUCKETS} AS b
+      FROM (
+        SELECT doc_id, lang, UNNEST({_FT_NGRAMS_SQL}) AS f
+        FROM (SELECT doc_id, lang, {_FUN_TOK} AS t FROM documents))),
+    w AS (
+      SELECT b, (1000000 * (SUM(CASE WHEN lang = '{_FT_TARGET_LANG}'
+                                     THEN 1 ELSE 0 END) + 1))
+                // (COUNT(*) + 2) AS w_ppm
+      FROM feats GROUP BY b),
+    tot AS (
+      SELECT (1000000 * (SUM(CASE WHEN lang = '{_FT_TARGET_LANG}'
+                                  THEN 1 ELSE 0 END) + 1))
+             // (COUNT(*) + 2) AS prior_ppm
+      FROM documents),
+    scored AS (
+      SELECT f.doc_id, f.lang, COUNT(*) AS n_feats,
+             SUM(w.w_ppm) // COUNT(*) AS score_ppm
+      FROM feats f JOIN w USING (b) GROUP BY 1, 2)
+    SELECT doc_id, lang,
+           CAST(n_feats AS BIGINT) AS n_feats,
+           CAST(score_ppm AS BIGINT) AS score_ppm,
+           score_ppm >= prior_ppm AS pred_target,
+           (score_ppm >= prior_ppm) = (lang = '{_FT_TARGET_LANG}') AS correct
+    FROM scored, tot
+    ORDER BY doc_id
+    """,
+)
+def fasttext_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped target-language filter (Joulin et al. 2016, "Bag of
+    Tricks for Efficient Text Classification" — the classifier CCNet and
+    the LLaMA data pipeline run over every CommonCrawl document): hashed
+    bag-of-n-grams features (distinct uni+bigrams → a FIXED
+    {_FT_BUCKETS}-bucket table, the hashing trick), a linear per-feature
+    weight table trained from the corpus' own lang labels, and a map-side
+    scoring pass. fastText proper averages learned embeddings and takes a
+    softmax; this variant linearizes to exact integer arithmetic — w_ppm =
+    smoothed P(target|b) over per-class document frequencies, doc score =
+    mean w_ppm of its features, predict target iff score >= the class
+    prior — keeping every cell bit-reproducible in both engines (the
+    same integer-linearization stance as ``dsir_importance_weights``).
+
+    Scale shape: ONE tokenize+explode scan feeds training and scoring
+    (the feature rows are reused, Catalyst dedups the subtree); the
+    model is <= {_FT_BUCKETS} rows REGARDLESS of corpus size — that is
+    the hashing trick's point — so scoring is a broadcast-hash join
+    against the presence rows with partial aggregation; the class prior
+    is a broadcast 1-row aggregate. No window functions, no driver-side
+    vocabulary: at 100 TB the only shuffles are the distinct on
+    (doc, bucket) presence rows and the {_FT_BUCKETS}-key training
+    groupBy, both linear in the token stream.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    feats = _ft_features(docs)
+    model = _ft_model(feats)
+    prior = docs.agg(
+        F.expr(
+            f"(1000000 * (SUM(CASE WHEN lang = '{_FT_TARGET_LANG}' THEN 1 "
+            "ELSE 0 END) + 1)) DIV (COUNT(*) + 2)"
+        ).alias("prior_ppm")
+    )
+    scored = (
+        feats.join(F.broadcast(model), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.expr("SUM(w_ppm) DIV COUNT(*)").alias("score_ppm"),
+        )
+    )
+    pred = F.col("score_ppm") >= F.col("prior_ppm")
+    return (
+        scored.crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id",
+            "lang",
+            "n_feats",
+            "score_ppm",
+            pred.alias("pred_target"),
+            (pred == (F.col("lang") == _FT_TARGET_LANG)).alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def fasttext_stream_model(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict[int, int], int]:
+    """Batch-trains / stream-applies for the fastText-style filter: a
+    batch job publishes the hashed-feature weight table plus the class
+    prior; the ingest stream tags arriving docs against them map-side
+    (``streaming.pipelines.stream_fasttext_tags``).
+
+    Returns ``({bucket: w_ppm}, prior_ppm)``. The weight table is at most
+    ``_FT_BUCKETS`` = 4096 entries — FIXED size regardless of corpus
+    (the hashing trick caps the model exactly like shipping a fastText
+    ``.bin`` with a fixed bucket count), so the driver collect is
+    bounded, the same budget stance as ``dsir_stream_thresholds``."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = {
+        r["b"]: r["w_ppm"] for r in _ft_model(_ft_features(docs)).collect()
+    }
+    if not w:
+        raise ValueError(
+            f"no documents under {sf_dir} — cannot train the lang filter"
+        )
+    prior = docs.agg(
+        F.expr(
+            f"(1000000 * (SUM(CASE WHEN lang = '{_FT_TARGET_LANG}' THEN 1 "
+            "ELSE 0 END) + 1)) DIV (COUNT(*) + 2)"
+        ).alias("p")
+    ).collect()[0]["p"]
+    return w, prior
+
+
+# ---------------------------------------------------------------------------
 # Canonical-URL dedup (round-8 addition; data-driven since round 9)
 # ---------------------------------------------------------------------------
 

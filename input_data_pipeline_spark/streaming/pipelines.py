@@ -404,6 +404,71 @@ def stream_bm25_tags(
     return out.drop(*tmp)
 
 
+def stream_fasttext_tags(
+    docs: DataFrame,
+    model: tuple[dict[int, int], int],
+) -> DataFrame:
+    """Streaming face of the fastText-style language filter — the CCNet
+    ingest shape: a batch job publishes the hashed-feature weight table
+    and class prior (``operators.curation.fasttext_stream_model``), and
+    the ingest stream appends ``ft_score_ppm`` + ``ft_pred_target`` to
+    every arriving doc with NO aggregation, NO state, NO shuffle.
+
+    The n-gram assembly (uni+bigrams) is THE SAME JVM expression as the
+    batch classifier (``functions.text.tokens`` + ``textstats.
+    bigram_array``); the bucket lookup runs in an Arrow-batched pandas
+    UDF over the broadcast weight dict (the per-executor-singleton seam
+    a production fastText ``.bin`` ships through), hashing with the
+    byte-identical md5-prefix arithmetic as the JVM ``ft_bucket``.
+    Features whose bucket the training corpus never populated are
+    skipped — matching the batch scorer's inner join against the weight
+    table — and a doc with NO trained feature tags null (a doc the batch
+    ranking never saw). Parity with the batch classifier is bit-exact
+    for every doc the training corpus contained, pinned by
+    ``tests/test_streaming.py::test_stream_fasttext_tags_match_batch``.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from input_data_pipeline_spark.functions import text as T
+    from input_data_pipeline_spark.operators.curation import _FT_BUCKETS
+    from input_data_pipeline_spark.operators.textstats import bigram_array
+
+    w_ppm, prior_ppm = model
+    sc = docs.sparkSession.sparkContext
+    bc = sc.broadcast(w_ppm)
+
+    @pandas_udf("long")
+    def score(feats: pd.Series) -> pd.Series:
+        import hashlib
+
+        w = bc.value
+        out = []
+        for fs in feats:
+            buckets = {
+                int.from_bytes(
+                    hashlib.md5(f.encode("utf-8")).digest()[:4], "big"
+                )
+                % _FT_BUCKETS
+                for f in fs
+            }
+            ws = [w[b] for b in buckets if b in w]
+            out.append(sum(ws) // len(ws) if ws else None)
+        return pd.Series(out, dtype="object").astype("Int64")
+
+    prefix = "_ft"
+    while any(c.startswith(prefix) for c in docs.columns):
+        prefix += "_x"
+    feats_col = f"{prefix}_feats"
+    out = docs.withColumn(
+        feats_col, F.concat(T.tokens("text"), bigram_array("text"))
+    )
+    out = out.withColumn("ft_score_ppm", score(F.col(feats_col)))
+    return out.withColumn(
+        "ft_pred_target", F.col("ft_score_ppm") >= F.lit(prior_ppm)
+    ).drop(feats_col)
+
+
 def stream_quality_gate(
     docs: DataFrame,
     rules: tuple[str, ...] = ("c4", "gopher"),

@@ -167,3 +167,42 @@ def test_curation_funnel_monotone_and_consistent(spark, sf_dir):
         if i:
             assert r.n_dropped == ns[i - 1] - ns[i]
         assert r.retention_ppm == r.n_docs * 1_000_000 // ns[0]
+
+
+def test_fasttext_lang_filter_learns_planted_signal(spark, tmp_path):
+    """On a corpus where the target language has a distinctive vocabulary
+    (the real fastText-langid regime), every document classifies
+    correctly and the score cells sit inside their ppm domain."""
+    import pandas as pd
+
+    from input_data_pipeline_spark.operators.curation import (
+        fasttext_lang_filter,
+    )
+
+    vocab_en = ["stream", "window", "batch", "shuffle", "plan"]
+    vocab_de = ["strom", "fenster", "stapel", "mischen", "plan"]
+    rows = []
+    for d in range(24):
+        en = d % 2 == 0
+        words = [(vocab_en if en else vocab_de)[(d + k) % 5] for k in range(8)]
+        rows.append(
+            {
+                "doc_id": d,
+                "text": " ".join(words),
+                "lang": "en" if en else "de",
+                "source": f"src{d % 3}",
+                "n_chars": 8,
+            }
+        )
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet", index=False)
+
+    out = fasttext_lang_filter(spark, str(tmp_path)).collect()
+    assert len(out) == 24
+    for r in out:
+        assert 0 <= r.score_ppm <= 1_000_000
+        assert r.pred_target == (r.lang == "en")
+        assert r.correct is True
+    # the planted signal separates hard: en scores all above de scores
+    assert min(r.score_ppm for r in out if r.lang == "en") > max(
+        r.score_ppm for r in out if r.lang == "de"
+    )

@@ -377,3 +377,21 @@ def test_round9_selection_ops_have_no_global_windows(spark, sf_dir):
     assert lang_only, "histogram cumulative-sum window missing"
     for line in lang_only:
         assert "sum(run" in line, f"doc-grain lang-only window: {line.strip()}"
+
+
+def test_fasttext_model_join_is_broadcast(spark, sf_dir):
+    """fasttext_lang_filter's physical plan: the fixed-size weight table
+    reaches the corpus-sized presence rows via BroadcastHashJoin (never a
+    sort-merge keyed on the corpus side), the class prior goes via a
+    broadcast 1-row aggregate (no CartesianProduct), counts
+    partial-combine, and no window function appears anywhere."""
+    from input_data_pipeline_spark.operators.curation import (
+        fasttext_lang_filter,
+    )
+
+    plan = _executed_plan(fasttext_lang_filter(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
+    assert "Window" not in plan

@@ -1250,3 +1250,97 @@ def test_stream_media_probe_matches_batch(spark, tmp_path):
     assert got[2].container == "avi" and got[2].n_frames == 1
     assert got[3].container == "mp4" and got[3].duration_ms == 7250
     assert got[4].container == "error" and "non-AVI/MP4" in got[4].err
+
+
+def test_stream_fasttext_tags_match_batch(spark, tmp_path):
+    """Round-11 batch-trains/stream-applies for the fastText-style lang
+    filter: the weight table + prior published by the batch trainer,
+    applied map-side to a document STREAM, must reproduce the batch
+    per-doc score_ppm and prediction bit-for-bit for every doc the
+    training corpus contained."""
+    import shutil
+
+    from input_data_pipeline_spark.operators.curation import (
+        _FT_BUCKETS,
+        fasttext_lang_filter,
+        fasttext_stream_model,
+    )
+    from input_data_pipeline_spark.streaming.pipelines import (
+        run_to_memory,
+        stream_fasttext_tags,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    model = fasttext_stream_model(spark, sf)
+    w, prior = model
+    assert 0 < len(w) <= _FT_BUCKETS and 0 <= prior <= 1_000_000
+    assert all(0 <= v <= 1_000_000 for v in w.values())
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    shutil.copy(f"{sf}/documents.parquet", src / "part-0.parquet")
+    sdf = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(str(src))
+
+    name = _unique("fttags")
+    q = run_to_memory(stream_fasttext_tags(sdf, model), name)
+    try:
+        q.processAllAvailable()
+        got = {
+            r.doc_id: (r.ft_score_ppm, r.ft_pred_target)
+            for r in spark.table(name).collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        r.doc_id: (r.score_ppm, r.pred_target)
+        for r in fasttext_lang_filter(spark, sf).collect()
+    }
+    assert batch and set(batch) <= set(got)
+    for did, cells in batch.items():
+        assert got[did] == cells, (did, got[did], cells)
+
+    # an out-of-vocabulary doc tags null, not 0 — "OOV" means the
+    # feature's BUCKET is untrained (hashing-trick collisions with a
+    # trained bucket legitimately score), so construct a single-token
+    # doc whose bucket provably misses the weight table
+    import hashlib
+
+    tok = next(
+        t
+        for t in (f"zz{i}" for i in range(100_000))
+        if int.from_bytes(hashlib.md5(t.encode()).digest()[:4], "big")
+        % _FT_BUCKETS
+        not in w
+    )
+    oov = spark.createDataFrame(
+        [(999_999, tok, "en", "sX", len(tok))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    row = stream_fasttext_tags(oov, model).collect()[0]
+    assert row.ft_score_ppm is None and row.ft_pred_target is None
+
+
+def test_stream_fasttext_tags_preserve_caller_underscore_columns(spark):
+    """The tagger's temp feature column is collision-safe: an input frame
+    already carrying ``_ft_feats`` survives untouched."""
+    from input_data_pipeline_spark.operators.curation import (
+        fasttext_stream_model,
+    )
+    from input_data_pipeline_spark.streaming.pipelines import (
+        stream_fasttext_tags,
+    )
+
+    model = fasttext_stream_model(spark, "/root/testdata/sf0.001")
+    df = spark.createDataFrame(
+        [(1, "stream window batch", "en", "s0", 19, "keepme")],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, _ft_feats string",
+    )
+    out = stream_fasttext_tags(df, model)
+    assert "_ft_feats" in out.columns
+    row = out.collect()[0]
+    assert row["_ft_feats"] == "keepme"
+    assert "ft_score_ppm" in out.columns and "ft_pred_target" in out.columns
