@@ -2252,6 +2252,214 @@ def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, schema).orderBy("doc_id")
 
 
+# --- perceptual-hash image near-dup dedup (round 11) ------------------------
+
+_DH_BANDS = 4
+_DH_BAND_BITS = 14  # 8 rows x 7 comparisons = 56 bits = 4 bands x 14
+_DH_MAX_HAM = 3  # <= _DH_BANDS - 1, so the banded join is EXACT (pigeonhole)
+
+
+def _dh_pixels(d: int):
+    """The deterministic 8x8 grayscale test card for doc ``d`` — closed
+    form shared bit-for-bit with the DuckDB oracle. Docs with the same
+    ``d % 32`` group and variant ``(d // 32) % 4`` are identical images;
+    variants 1/2 perturb one/two pixels of variant 0 (near-dups);
+    variant 3 is per-doc noise (singletons)."""
+    import numpy as np
+
+    g, v = d % 32, (d // 32) % 4
+    r = np.arange(8, dtype=np.int64).reshape(-1, 1)
+    c = np.arange(8, dtype=np.int64)
+    if v == 3:
+        return (13 * r + 29 * c + 7 + 89 * (d % 997)) % 251
+    p = (97 * g + 31 * r + 17 * c) % 251
+    if v >= 1:
+        p[g % 8, (g * 3) % 8] = (p[g % 8, (g * 3) % 8] + 128) % 251
+    if v == 2:
+        rr, cc = (g * 5 + 1) % 8, (g * 7 + 2) % 8
+        p[rr, cc] = (p[rr, cc] + 128) % 251
+    return p
+
+
+def _dh_px_sql(r: str, c: str) -> str:
+    """SQL text computing ``_dh_pixels(d)[r][c]`` for expressions r/c."""
+    g = "(d.doc_id % 32)"
+    v = "((d.doc_id // 32) % 4)"
+    base = f"((97 * {g} + 31 * {r} + 17 * {c}) % 251)"
+    bump = (
+        f"(CASE WHEN ({v} >= 1 AND {v} <= 2 AND {r} = {g} % 8"
+        f" AND {c} = ({g} * 3) % 8)"
+        f" OR ({v} = 2 AND {r} = ({g} * 5 + 1) % 8"
+        f" AND {c} = ({g} * 7 + 2) % 8)"
+        f" THEN 128 ELSE 0 END)"
+    )
+    alt = f"((13 * {r} + 29 * {c} + 7 + 89 * (d.doc_id % 997)) % 251)"
+    return f"(CASE WHEN {v} = 3 THEN {alt} ELSE ({base} + {bump}) % 251 END)"
+
+
+@register(
+    "image_dhash_near_dups",
+    oracle=f"""
+    WITH hashes AS (
+      SELECT d.doc_id,
+             CAST(SUM(CASE WHEN {_dh_px_sql("b.r", "b.c")}
+                              > {_dh_px_sql("b.r", "(b.c + 1)")}
+                      THEN 1::BIGINT << (b.r * 7 + b.c) ELSE 0 END)
+                  AS BIGINT) AS dhash
+      FROM documents d,
+           LATERAL (SELECT unnest(generate_series(0, 55)) AS i) s,
+           LATERAL (SELECT s.i // 7 AS r, s.i % 7 AS c) b
+      GROUP BY d.doc_id),
+    bands AS (
+      SELECT doc_id, dhash, t.i AS band,
+             (dhash >> ({_DH_BAND_BITS} * t.i)) & {(1 << _DH_BAND_BITS) - 1}
+               AS bv
+      FROM hashes,
+           LATERAL (SELECT unnest(generate_series(0, {_DH_BANDS - 1})) AS i) t),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+                      a.dhash AS ha, b.dhash AS hb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT da, db, bit_count(xor(ha, hb)) AS ham
+      FROM cand WHERE bit_count(xor(ha, hb)) <= {_DH_MAX_HAM}),
+    sides AS (
+      SELECT da AS doc_id, db AS partner, ham FROM pairs
+      UNION ALL
+      SELECT db AS doc_id, da AS partner, ham FROM pairs),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_near,
+             SUM(CASE WHEN ham = 0 THEN 1 ELSE 0 END) AS n_exact,
+             MIN(partner) AS nearest
+      FROM sides GROUP BY doc_id)
+    SELECT h.doc_id,
+           CAST(h.dhash AS BIGINT) AS dhash,
+           CAST(COALESCE(a.n_near, 0) AS BIGINT) AS n_near,
+           CAST(COALESCE(a.n_exact, 0) AS BIGINT) AS n_exact,
+           CAST(COALESCE(a.nearest, -1) AS BIGINT) AS nearest_partner
+    FROM hashes h LEFT JOIN agg a USING (doc_id)
+    ORDER BY h.doc_id
+    """,
+)
+def image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup dedup — the image-corpus analogue of
+    MinHash LSH (how LAION/DataComp-style multimodal pipelines dedup
+    billions of images): a 64-bit-family difference hash (dHash: each bit
+    is a brightness comparison of horizontally adjacent downsampled
+    pixels — gradient structure, robust to re-encoding) computed from
+    REALLY decoded pixels, then a banded self-join finds pairs within
+    hamming {_DH_MAX_HAM} and per-doc dup stats come from one aggregation.
+
+    The decode is real end-to-end: each doc's closed-form 8x8 grayscale
+    test card is encoded to a real BMP/PNG/GIF container (by doc_id % 3)
+    and decoded back through :func:`decode_media`'s stdlib decoders
+    before hashing — the oracle recomputes the 56-bit hash from the
+    closed form and never sees a container byte, so a pixel mislaid in
+    any codec breaks every downstream pair.
+
+    Scale shape: the hash stage is map-only mapInPandas (one Arrow batch
+    per task, no shuffle) and is localCheckpointed so the expensive
+    decode runs ONCE, not once per plan subtree. Candidate generation is
+    {_DH_BANDS} bands x {_DH_BAND_BITS} bits exploded per doc and
+    equi-self-joined on (band, value) — by pigeonhole any pair within
+    hamming {_DH_MAX_HAM} < {_DH_BANDS} shares at least one exact band,
+    so the LSH is EXACT for this threshold (no recall loss), and there
+    is never an all-pairs comparison: work is bounded by band-bucket
+    sizes exactly like the MinHash banded join (``dedup.py``). The
+    verify step is one integer ``bit_count(xor)`` per candidate,
+    JVM-side. Per-doc stats partial-combine."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        encoders = (encode_bmp, encode_png, encode_gif)
+        for pdf in batches:
+            ids, hs = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                p = _dh_pixels(d)
+                plane = np.dstack([p, p, p]).astype(np.uint8)
+                meta = decode_media(encoders[d % 3](plane), "image")  # REAL
+                px = (
+                    np.frombuffer(meta["pixels"], np.uint8)
+                    .reshape(8, 8, 3)[:, :, 0]
+                    .astype(np.int64)
+                )
+                bits = px[:, :7] > px[:, 1:]
+                h = 0
+                for r in range(8):
+                    for c in range(7):
+                        if bits[r, c]:
+                            h |= 1 << (r * 7 + c)
+                ids.append(d)
+                hs.append(h)
+            yield pd.DataFrame({"doc_id": ids, "dhash": hs})
+
+    hashes = docs.mapInPandas(run, "doc_id long, dhash long").localCheckpoint(
+        eager=False
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.expr(
+                    f"shiftright(dhash, {_DH_BAND_BITS * i})"
+                    f" & {(1 << _DH_BAND_BITS) - 1}"
+                ).alias("bv"),
+            )
+            for i in range(_DH_BANDS)
+        ]
+    )
+    bands = hashes.select(
+        "doc_id", "dhash", F.explode(band_arr).alias("x")
+    ).select("doc_id", "dhash", "x.band", "x.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    pairs = cand.withColumn("ham", F.expr("bit_count(ha ^ hb)")).filter(
+        F.col("ham") <= _DH_MAX_HAM
+    )
+    sides = pairs.select(
+        F.col("da").alias("doc_id"), F.col("db").alias("partner"), "ham"
+    ).unionAll(
+        pairs.select(F.col("db").alias("doc_id"), F.col("da").alias("partner"), "ham")
+    )
+    agg = sides.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_near"),
+        F.sum(F.when(F.col("ham") == 0, 1).otherwise(0)).alias("n_exact"),
+        F.min("partner").alias("nearest"),
+    )
+    return (
+        hashes.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dhash",
+            F.coalesce(F.col("n_near"), F.lit(0).cast("long")).alias("n_near"),
+            F.coalesce(F.col("n_exact"), F.lit(0).cast("long")).alias("n_exact"),
+            F.coalesce(F.col("nearest"), F.lit(-1).cast("long")).alias(
+                "nearest_partner"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "g711_decode_features",
     oracle="""

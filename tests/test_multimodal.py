@@ -2191,3 +2191,36 @@ def test_g711_decode_features_values(spark):
         assert r["mean_abs"] == int(np.abs(pcm).sum()) // n
         assert r["peak"] == int(np.abs(pcm).max())
         assert r["energy_mean"] == int((pcm * pcm).sum()) // n
+
+
+def test_image_dhash_near_dups_cluster_structure(spark):
+    """The planted corpus structure must come out of the REAL
+    decode+hash+banded-join path: same-(group,variant) docs are exact
+    dups of each other, variant-0 vs variant-1 of a group are near-dups
+    (one perturbed pixel flips at most 2 comparison bits), and the
+    per-doc stats are symmetric and self-consistent."""
+    from input_data_pipeline_spark.operators.multimodal import (
+        _DH_MAX_HAM,
+        image_dhash_near_dups,
+    )
+
+    rows = {
+        r.doc_id: r
+        for r in image_dhash_near_dups(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert len(rows) == 500
+    # d=0 and d=128: group 0, both variant 0 -> identical image, ham 0
+    assert rows[0].dhash == rows[128].dhash
+    assert rows[0].n_exact >= 1 and rows[128].n_exact >= 1
+    # d=0 (v0) vs d=32 (v1 of same group): near-dup within threshold
+    ham = bin(rows[0].dhash ^ rows[32].dhash).count("1")
+    assert 0 < ham <= _DH_MAX_HAM
+    assert rows[0].n_near > rows[0].n_exact  # has non-exact near partners
+    # stats are internally consistent for every doc
+    for r in rows.values():
+        assert 0 <= r.n_exact <= r.n_near
+        assert (r.nearest_partner == -1) == (r.n_near == 0)
+        if r.n_near:
+            assert 0 <= r.nearest_partner < 500
+    # symmetry: d0's nearest partner also counts d0-compatible partners
+    assert rows[rows[0].nearest_partner].n_near > 0

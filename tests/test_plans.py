@@ -395,3 +395,18 @@ def test_fasttext_model_join_is_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "partial_" in plan
     assert "Window" not in plan
+
+
+def test_image_dhash_plan_is_banded_no_cartesian(spark, sf_dir):
+    """image_dhash_near_dups: candidate generation must be the banded
+    equi-self-join (never a cartesian/broadcast-nested-loop all-pairs),
+    per-doc stats must partial-combine, and no window appears."""
+    from input_data_pipeline_spark.operators.multimodal import (
+        image_dhash_near_dups,
+    )
+
+    plan = _executed_plan(image_dhash_near_dups(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_" in plan
+    assert "Window" not in plan
