@@ -80,20 +80,25 @@ def _load_all() -> None:
 # Externally-visible enumeration order. External snapshots of the registry
 # truncate to a prefix (50 slots), so the queries that most need fresh
 # differential evidence must enumerate first. Round-11 rotation:
-# (a) the three r10-added codec-surface queries have never been in a
-# driver window — they lead; (b) the three r4-era queries deferred in
-# r10; (c) the full r5 bucket (20 queries, stalest remaining driver
-# green); (d) the r6 bucket (9); (e) the 6 LLM-core anchors stay in
-# every window; (f) the remaining 9 slots start the r7 bucket
-# (alphabetical; the other 16 r7-era queries rotate in next round).
-# Everything evicted was green in the r10 window (50/50) or holds
-# >= 2 lifetime greens. Names not listed keep registration order after
-# the listed ones.
+# (a) never-driver-checked queries lead — the three r10-added
+# codec-surface queries plus the three added THIS round
+# (g711_decode_features / fasttext_lang_filter / image_dhash_near_dups,
+# each pre-verified driver-canon at sf0.01 AND sf0.1 before entering);
+# (b) the three r4-era queries deferred in r10; (c) the full r5 bucket
+# (20 queries, stalest remaining driver green); (d) the r6 bucket (9);
+# (e) the 6 LLM-core anchors stay in every window; (f) the remaining 6
+# slots start the r7 bucket (alphabetical; the other 19 r7-era queries
+# rotate in next round). Everything evicted was green in the r10 window
+# (50/50) or holds >= 2 lifetime greens. Names not listed keep
+# registration order after the listed ones.
 _PRIORITY: list[str] = [
-    # --- (a) never driver-checked (added in r10) ---
+    # --- (a) never driver-checked (added in r10 + r11) ---
     "audio_decode_features",
     "image_decode_features",
     "video_decode_features",
+    "g711_decode_features",
+    "fasttext_lang_filter",
+    "image_dhash_near_dups",
     # --- (b) last driver green r4 (deferred from the r10 window) ---
     "dedup_bow_clusters",
     "dedup_cluster_assignment",
@@ -136,21 +141,19 @@ _PRIORITY: list[str] = [
     "knn_ivf",
     "contamination_overlap",
     "doc_quality",
-    # --- (f) r7 bucket, first 9 of 25 (alphabetical) ---
+    # --- (f) r7 bucket, first 6 of 25 (alphabetical) ---
     "bigram_lm_doc_scores",
     "bloom_dedup_precheck",
     "bpe_token_estimate",
     "countmin_merge_sources",
     "countmin_token_freq",
     "curation_funnel",
-    "doc_token_stats",
-    "dup_cluster_size_histogram",
-    "exact_substring_coverage",
 ]
 # Round-11 state: after this window is green, no registry query's latest
-# driver green predates round 7; r12 should rotate in the remaining 16
-# r7-era queries (hll_distinct_tokens ... weighted_doc_sample_pps) plus
-# any queries added in r11.
+# driver green predates round 7; r12 should rotate in the remaining 19
+# r7-era queries (doc_token_stats, dup_cluster_size_histogram,
+# exact_substring_coverage, hll_distinct_tokens ...
+# weighted_doc_sample_pps) plus any queries added in r12.
 
 
 
