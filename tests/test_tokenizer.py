@@ -1,0 +1,175 @@
+"""Distributed BPE training vs an independent reference implementation.
+
+The trainer has no SQL oracle (argmax-then-rewrite iteration is not
+SQL-expressible), so the differential gate is a pure-Python transcription
+of the PUBLISHED algorithm (Sennrich et al. 2016, Figure 2) — written
+dict-at-a-time with none of the engine's machinery, so a Spark-side slip
+(pair weighting, tie-break, overlap handling, lineage bug across
+checkpoints) cannot be mirrored here.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+
+def _ref_bpe(word_freq: dict[str, int], n_merges: int, min_freq: int = 2):
+    """Reference BPE: greedy most-frequent adjacent pair, ties broken on
+    the (left, right) pair ascending; leftmost-first non-overlapping
+    application; stop under min_freq."""
+    vocab: dict[tuple, int] = {}
+    for w, f in word_freq.items():
+        key = tuple(list(w) + ["</w>"])
+        vocab[key] = vocab.get(key, 0) + f
+    merges = []
+    for _ in range(n_merges):
+        pairs: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + f
+        if not pairs:
+            break
+        (a, b), pf = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if pf < min_freq:
+            break
+        merges.append((a, b, pf))
+        new: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            res, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            key = tuple(res)
+            new[key] = new.get(key, 0) + f
+        vocab = new
+    return merges
+
+
+def _corpus_word_freq(spark, sf_dir):
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+    )
+    wf: dict[str, int] = {}
+    for r in rows:
+        for w in re.split(r"\s+", r.text):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    return wf
+
+
+def test_train_bpe_merges_match_reference(spark):
+    """Every learned merge (pair AND frequency AND order) equals the
+    reference algorithm's on the real sf0.001 corpus."""
+    from input_data_pipeline_spark.operators.tokenizer import (
+        train_bpe_merges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = train_bpe_merges(docs, n_merges=16)
+    want = _ref_bpe(_corpus_word_freq(spark, sf), n_merges=16)
+    assert got == want
+    assert len(got) == 16  # the corpus supports at least 16 merges
+    # frequencies are non-increasing only within equal segmentations is
+    # NOT guaranteed by BPE; but every accepted merge met the floor
+    assert all(pf >= 2 for _, _, pf in got)
+
+
+def test_train_bpe_overlap_and_tiebreak_semantics(spark):
+    """Planted corpus pinning the two subtle rules: 'aaa' under merge
+    (a,a) yields ('aa','a') — leftmost-first, non-overlapping — and
+    frequency ties break on the pair string ascending."""
+    from input_data_pipeline_spark.operators.tokenizer import (
+        train_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [("aaa aaa", ), ("bc bc", )],
+        "text string",
+    )
+    # pair counts round 1: (a,a) appears 2x per 'aaa' (overlapping counted
+    # per adjacency) * 2 docs? -> zip counts adjacencies: 'aaa</w>' has
+    # (a,a),(a,a),(a,</w>): (a,a)=4 total; (b,c)=2, (c,</w>)=2, (a,</w>)=2
+    got = train_bpe_merges(docs, n_merges=2)
+    want = _ref_bpe({"aaa": 2, "bc": 2}, n_merges=2)
+    assert got == want
+    assert got[0][:2] == ("a", "a") and got[0][2] == 4
+    # after merging: 'aa','a','</w>' -> next best is a tie between
+    # ('a','</w>')=2, ('aa','a')=2, ('b','c')=2, ('c','</w>')=2 ->
+    # lexicographic pair order picks ('a','</w>')
+    assert got[1][:2] == ("a", "</w>")
+
+
+def test_encode_with_merges_roundtrip_and_reference(spark):
+    """The serving encoder: concatenating a doc's bpe_tokens (markers
+    stripped) reproduces its whitespace-joined tokens exactly, and each
+    word's segmentation equals an independent greedy rank-order encode."""
+    from input_data_pipeline_spark.operators.tokenizer import (
+        encode_with_merges,
+        train_bpe_merges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    merges = train_bpe_merges(docs, n_merges=12)
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+
+    def ref_seg(word):
+        syms = list(word) + ["</w>"]
+        while len(syms) > 1:
+            cand = [
+                (ranks[p], i)
+                for i, p in enumerate(zip(syms, syms[1:]))
+                if p in ranks
+            ]
+            if not cand:
+                break
+            _, i = min(cand)
+            a, b = syms[i], syms[i + 1]
+            res, j, n = [], 0, len(syms)
+            while j < n:
+                if j + 1 < n and syms[j] == a and syms[j + 1] == b:
+                    res.append(a + b)
+                    j += 2
+                else:
+                    res.append(syms[j])
+                    j += 1
+            syms = res
+        return syms
+
+    out = encode_with_merges(docs.limit(8), merges).collect()
+    assert out
+    for r in out:
+        toks = [w for w in re.split(r"\s+", r.text) if w]
+        assert r.n_bpe_tokens == len(r.bpe_tokens)
+        # lossless: strip markers, concatenation reproduces the text's tokens
+        assert "".join(r.bpe_tokens).replace("</w>", "") == "".join(toks)
+        # word-by-word equality with the reference greedy encoder
+        want = [s for w in toks for s in ref_seg(w)]
+        assert r.bpe_tokens == want
+
+
+def test_encode_with_merges_is_collision_safe_and_validates(spark):
+    from input_data_pipeline_spark.operators.tokenizer import (
+        encode_with_merges,
+        train_bpe_merges,
+    )
+
+    with pytest.raises(ValueError, match="n_merges"):
+        train_bpe_merges(spark.createDataFrame([("x",)], "text string"), 0)
+
+    df = spark.createDataFrame(
+        [("aa ab", "keep")], "text string, _bpe_toks string"
+    )
+    out = encode_with_merges(df, [("a", "a", 2)])
+    row = out.collect()[0]
+    assert row["_bpe_toks"] == "keep"
+    assert row.bpe_tokens == ["aa", "</w>", "a", "b", "</w>"]
