@@ -2261,21 +2261,28 @@ _DH_MAX_HAM = 3  # <= _DH_BANDS - 1, so the banded join is EXACT (pigeonhole)
 
 def _dh_pixels(d: int):
     """The deterministic 8x8 grayscale test card for doc ``d`` — closed
-    form shared bit-for-bit with the DuckDB oracle. Docs with the same
-    ``d % 32`` group and variant ``(d // 32) % 4`` are identical images;
-    variants 1/2 perturb one/two pixels of variant 0 (near-dups);
-    variant 3 is per-doc noise (singletons)."""
+    form shared bit-for-bit with the DuckDB oracle. Cluster ``d // 6``
+    picks the base image and variant ``d % 6`` the relation to it:
+    0/1 = identical copies (exact dups), 2 = one perturbed pixel,
+    3 = two perturbed pixels (near-dups), 4/5 = per-doc noise
+    (singletons). Cluster size is CONSTANT (6 docs) regardless of corpus
+    size — matching real corpora's bounded dup clusters, so the pair
+    join's output grows linearly with the corpus (anchored in the
+    scale-growth sweep), never quadratically."""
     import numpy as np
 
-    g, v = d % 32, (d // 32) % 4
+    g, v = d // 6, d % 6
     r = np.arange(8, dtype=np.int64).reshape(-1, 1)
     c = np.arange(8, dtype=np.int64)
-    if v == 3:
-        return (13 * r + 29 * c + 7 + 89 * (d % 997)) % 251
-    p = (97 * g + 31 * r + 17 * c) % 251
-    if v >= 1:
+    if v >= 4:
+        return ((89 * (d % 9973) + 13) * (5 * r + 3 * c + 11) + 29 * r * c) % 251
+    # the quadratic cross-terms decorrelate adjacent-pixel comparisons
+    # across clusters — a pure linear gradient would give every cluster
+    # a near-identical dHash and fake a giant near-dup component
+    p = ((97 * g + 13) * (31 * r + 17 * c + 7) + 53 * r * c) % 251
+    if v >= 2:
         p[g % 8, (g * 3) % 8] = (p[g % 8, (g * 3) % 8] + 128) % 251
-    if v == 2:
+    if v == 3:
         rr, cc = (g * 5 + 1) % 8, (g * 7 + 2) % 8
         p[rr, cc] = (p[rr, cc] + 128) % 251
     return p
@@ -2283,18 +2290,24 @@ def _dh_pixels(d: int):
 
 def _dh_px_sql(r: str, c: str) -> str:
     """SQL text computing ``_dh_pixels(d)[r][c]`` for expressions r/c."""
-    g = "(d.doc_id % 32)"
-    v = "((d.doc_id // 32) % 4)"
-    base = f"((97 * {g} + 31 * {r} + 17 * {c}) % 251)"
+    g = "(d.doc_id // 6)"
+    v = "(d.doc_id % 6)"
+    base = (
+        f"(((97 * {g} + 13) * (31 * {r} + 17 * {c} + 7)"
+        f" + 53 * {r} * {c}) % 251)"
+    )
     bump = (
-        f"(CASE WHEN ({v} >= 1 AND {v} <= 2 AND {r} = {g} % 8"
+        f"(CASE WHEN ({v} >= 2 AND {v} <= 3 AND {r} = {g} % 8"
         f" AND {c} = ({g} * 3) % 8)"
-        f" OR ({v} = 2 AND {r} = ({g} * 5 + 1) % 8"
+        f" OR ({v} = 3 AND {r} = ({g} * 5 + 1) % 8"
         f" AND {c} = ({g} * 7 + 2) % 8)"
         f" THEN 128 ELSE 0 END)"
     )
-    alt = f"((13 * {r} + 29 * {c} + 7 + 89 * (d.doc_id % 997)) % 251)"
-    return f"(CASE WHEN {v} = 3 THEN {alt} ELSE ({base} + {bump}) % 251 END)"
+    alt = (
+        f"(((89 * (d.doc_id % 9973) + 13) * (5 * {r} + 3 * {c} + 11)"
+        f" + 29 * {r} * {c}) % 251)"
+    )
+    return f"(CASE WHEN {v} >= 4 THEN {alt} ELSE ({base} + {bump}) % 251 END)"
 
 
 @register(

@@ -82,6 +82,11 @@ ANCHORS = [
     "ccnet_perplexity_buckets",
     "dsir_importance_weights",
     "url_canonical_dedup",
+    # round-11 additions: the trained-filter groupBy/broadcast shape and
+    # the image banded-LSH join (linear ONLY because dup-cluster size is
+    # bounded — exactly the property this sweep guards)
+    "fasttext_lang_filter",
+    "image_dhash_near_dups",
 ]
 
 

@@ -2209,13 +2209,21 @@ def test_image_dhash_near_dups_cluster_structure(spark):
         for r in image_dhash_near_dups(spark, "/root/testdata/sf0.01").collect()
     }
     assert len(rows) == 500
-    # d=0 and d=128: group 0, both variant 0 -> identical image, ham 0
-    assert rows[0].dhash == rows[128].dhash
-    assert rows[0].n_exact >= 1 and rows[128].n_exact >= 1
-    # d=0 (v0) vs d=32 (v1 of same group): near-dup within threshold
-    ham = bin(rows[0].dhash ^ rows[32].dhash).count("1")
-    assert 0 < ham <= _DH_MAX_HAM
-    assert rows[0].n_near > rows[0].n_exact  # has non-exact near partners
+    # d=0 and d=1: cluster 0, variants 0/1 -> identical image, ham 0
+    assert rows[0].dhash == rows[1].dhash
+    assert rows[0].n_exact >= 1 and rows[1].n_exact >= 1
+    assert rows[0].nearest_partner == 1 and rows[1].nearest_partner == 0
+    # one perturbed pixel flips at most 2 comparison bits: every cluster's
+    # v0-v2 pair is within threshold, and some cluster's perturbation
+    # really does flip bits (near-but-not-exact)
+    hams = [
+        bin(rows[6 * g].dhash ^ rows[6 * g + 2].dhash).count("1")
+        for g in range(500 // 6)
+    ]
+    assert all(h <= _DH_MAX_HAM for h in hams)
+    assert any(0 < h for h in hams)
+    flip = next(g for g, h in enumerate(hams) if h > 0)
+    assert rows[6 * flip].n_near > rows[6 * flip].n_exact
     # stats are internally consistent for every doc
     for r in rows.values():
         assert 0 <= r.n_exact <= r.n_near
@@ -2224,3 +2232,7 @@ def test_image_dhash_near_dups_cluster_structure(spark):
             assert 0 <= r.nearest_partner < 500
     # symmetry: d0's nearest partner also counts d0-compatible partners
     assert rows[rows[0].nearest_partner].n_near > 0
+    # cluster sizes are bounded by construction: no doc can have more
+    # near partners than its 6-doc cluster (minus itself) plus rare
+    # cross-cluster band coincidences — the linear-scale guarantee
+    assert max(r.n_near for r in rows.values()) <= 8
