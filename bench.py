@@ -92,6 +92,10 @@ HEADLINE = [
     # round 8 additions (additive): C4 rule bundle + DSIR selection
     "c4_quality_flags",
     "dsir_importance_weights",
+    # round 11 additions (additive): trained hashed-ngram lang filter +
+    # perceptual-hash image near-dup dedup
+    "fasttext_lang_filter",
+    "image_dhash_near_dups",
 ]
 
 

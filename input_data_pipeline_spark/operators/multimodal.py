@@ -2310,6 +2310,38 @@ def _dh_px_sql(r: str, c: str) -> str:
     return f"(CASE WHEN {v} >= 4 THEN {alt} ELSE ({base} + {bump}) % 251 END)"
 
 
+def dhash56(payload: bytes) -> int:
+    """The 56-bit difference hash of a REAL image payload of any
+    supported format/size: decode (:func:`decode_media`), grayscale
+    ``(b+g+r)//3``, nearest-neighbor floor-map downsample to 8x8 (the
+    same ``src = (dst*in)//out`` arithmetic as
+    :func:`resize_image_nearest`), then one brightness comparison per
+    horizontally adjacent pixel pair (8 rows x 7 comparisons). All
+    integer, so any engine replays it bit-for-bit. For an 8x8 input the
+    downsample is the identity — which is what lets the differential
+    oracle recompute the hash from the closed-form test cards."""
+    import numpy as np
+
+    meta = decode_media(payload, "image")
+    w, h, bpp = meta["width"], meta["height"], meta["bit_count"] // 8
+    plane = (
+        np.frombuffer(meta["pixels"], np.uint8)
+        .reshape(h, w, bpp)[:, :, :3]
+        .astype(np.int64)
+    )
+    gray = plane.sum(axis=2) // 3
+    ys = (np.arange(8, dtype=np.int64) * h) // 8
+    xs = (np.arange(8, dtype=np.int64) * w) // 8
+    g8 = gray[ys][:, xs]
+    bits = g8[:, :7] > g8[:, 1:]
+    hash56 = 0
+    for r in range(8):
+        for c in range(7):
+            if bits[r, c]:
+                hash56 |= 1 << (r * 7 + c)
+    return hash56
+
+
 @register(
     "image_dhash_near_dups",
     oracle=f"""
@@ -2395,20 +2427,9 @@ def image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(doc_id)
                 p = _dh_pixels(d)
                 plane = np.dstack([p, p, p]).astype(np.uint8)
-                meta = decode_media(encoders[d % 3](plane), "image")  # REAL
-                px = (
-                    np.frombuffer(meta["pixels"], np.uint8)
-                    .reshape(8, 8, 3)[:, :, 0]
-                    .astype(np.int64)
-                )
-                bits = px[:, :7] > px[:, 1:]
-                h = 0
-                for r in range(8):
-                    for c in range(7):
-                        if bits[r, c]:
-                            h |= 1 << (r * 7 + c)
+                # REAL encode + decode through the shared serving kernel
                 ids.append(d)
-                hs.append(h)
+                hs.append(dhash56(encoders[d % 3](plane)))
             yield pd.DataFrame({"doc_id": ids, "dhash": hs})
 
     hashes = docs.mapInPandas(run, "doc_id long, dhash long").localCheckpoint(

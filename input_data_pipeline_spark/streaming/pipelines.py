@@ -404,6 +404,63 @@ def stream_bm25_tags(
     return out.drop(*tmp)
 
 
+def stream_image_dedup(
+    recs: DataFrame,
+    payload_col: str = "payload",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming ingest-time image dedup — the multimodal face of
+    ``stream_url_dedup``: each arriving image blob is perceptually hashed
+    map-side (``multimodal.dhash56``: REAL decode → grayscale → 8x8
+    floor-map downsample → 56-bit difference hash, the SAME kernel the
+    batch ``image_dhash_near_dups`` clusters on), and re-uploads of the
+    same or re-encoded-but-pixel-identical image are dropped by
+    watermark-bounded stateful dedup on the hash (RocksDB-backed
+    ``dropDuplicatesWithinWatermark``; the watermark caps state exactly
+    as in ``stream_corpus_hygiene``).
+
+    Error-row contract: an undecodable payload gets ``dhash`` null plus
+    the error message in ``decode_err`` and PASSES THROUGH unconditionally
+    (a junk blob must neither kill the task nor collapse into other junk
+    rows via a shared null key) — the stream splits into valid/error
+    branches and unions back, both map-only. Near-dup (hamming > 0)
+    clustering stays a batch job: banded candidate state is not
+    watermark-boundable, the same batch/stream split as MinHash."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from input_data_pipeline_spark.operators.multimodal import dhash56
+
+    @pandas_udf("struct<dhash: long, decode_err: string>")
+    def hash_or_err(payloads: pd.Series) -> pd.DataFrame:
+        hs, errs = [], []
+        for p in payloads:
+            try:
+                hs.append(dhash56(bytes(p)))
+                errs.append(None)
+            except Exception as e:  # error row, never a dead task
+                hs.append(None)
+                errs.append(f"{type(e).__name__}: {e}")
+        return pd.DataFrame({"dhash": pd.array(hs, dtype="Int64"), "decode_err": errs})
+
+    prefix = "_dh"
+    while any(c.startswith(prefix) for c in recs.columns):
+        prefix += "_x"
+    hx = f"{prefix}_hx"
+    tagged = (
+        recs.withColumn(hx, hash_or_err(F.col(payload_col)))
+        .withColumn("dhash", F.col(f"{hx}.dhash"))
+        .withColumn("decode_err", F.col(f"{hx}.decode_err"))
+        .drop(hx)
+        .withWatermark(ts_col, watermark)
+    )
+    valid = tagged.filter(F.col("dhash").isNotNull()).dropDuplicatesWithinWatermark(
+        ["dhash"]
+    )
+    return valid.unionByName(tagged.filter(F.col("dhash").isNull()))
+
+
 def stream_fasttext_tags(
     docs: DataFrame,
     model: tuple[dict[int, int], int],

@@ -1344,3 +1344,87 @@ def test_stream_fasttext_tags_preserve_caller_underscore_columns(spark):
     row = out.collect()[0]
     assert row["_ft_feats"] == "keepme"
     assert "ft_score_ppm" in out.columns and "ft_pred_target" in out.columns
+
+
+def test_stream_image_dedup_drops_reencodes_and_routes_errors(spark, tmp_path):
+    """Round-11 streaming face of perceptual image dedup: pixel-identical
+    images — even re-encoded in a DIFFERENT container format — collapse
+    to one surviving row via the shared dhash56 kernel; a later-arriving
+    re-upload drops statefully; distinct images survive; an undecodable
+    blob passes through as an error row with dhash null."""
+    import numpy as np
+    import pandas as pd
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _dh_pixels,
+        dhash56,
+        encode_bmp,
+        encode_gif,
+        encode_png,
+    )
+    from input_data_pipeline_spark.streaming.pipelines import (
+        run_to_memory,
+        stream_image_dedup,
+    )
+
+    def card(d, enc):
+        p = _dh_pixels(d)
+        return enc(np.dstack([p, p, p]).astype(np.uint8))
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+
+    def emit(name, rows, t0):
+        pd.DataFrame(
+            {
+                "rec_id": [r[0] for r in rows],
+                "ts": [
+                    pd.Timestamp(f"2024-01-01T00:0{t0 + i}:00")
+                    for i in range(len(rows))
+                ],
+                "payload": [r[1] for r in rows],
+            }
+        ).to_parquet(
+            src / name,
+            index=False,
+            coerce_timestamps="us",  # Spark reads us-precision timestamps
+            allow_truncated_timestamps=True,
+        )
+
+    # batch 0: cluster-0 card as BMP, the SAME pixels as PNG (re-encode),
+    # a different image (cluster 1), and junk bytes
+    emit(
+        "b0.parquet",
+        [
+            ("bmp0", card(0, encode_bmp)),
+            ("png0", card(0, encode_png)),
+            ("other", card(6, encode_bmp)),
+            ("junk", b"\x00\x01notanimage"),
+        ],
+        0,
+    )
+
+    sdf = spark.readStream.schema(
+        "rec_id string, ts timestamp, payload binary"
+    ).parquet(str(src))
+    name = _unique("imgdedup")
+    q = run_to_memory(stream_image_dedup(sdf, watermark="1 hour"), name)
+    try:
+        q.processAllAvailable()
+        # batch 1: a GIF re-encode of cluster 0 arrives later — must drop
+        emit("b1.parquet", [("gif0", card(0, encode_gif))], 5)
+        q.processAllAvailable()
+        rows = {r.rec_id: r for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+
+    # exactly one survivor for cluster 0, across formats and batches
+    c0 = [r for r in rows.values() if r.dhash == dhash56(card(0, encode_bmp))]
+    assert len(c0) == 1 and c0[0].rec_id == "bmp0"
+    assert "gif0" not in rows and "png0" not in rows
+    # the distinct image survives with its own hash
+    assert rows["other"].dhash == dhash56(card(6, encode_bmp))
+    # the junk blob is an error ROW, not a dead task and not deduped away
+    junk = rows["junk"]
+    assert junk.dhash is None and junk.decode_err
+    assert rows["bmp0"].decode_err is None
