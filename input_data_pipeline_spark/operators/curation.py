@@ -1103,6 +1103,102 @@ def fasttext_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) eval contamination (round-11 addition)
+# ---------------------------------------------------------------------------
+
+_SCON_EVAL = 64  # the fixed-size benchmark suite: vec_id < 64
+_SCON_COS = 450_000  # ppm cosine threshold (shared with embedding_near_pairs)
+
+
+@register(
+    "semantic_contamination",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    ev AS (SELECT vec_id, e FROM v WHERE vec_id < {_SCON_EVAL}),
+    tr AS (SELECT vec_id, e FROM v WHERE vec_id >= {_SCON_EVAL}),
+    cos AS (
+      SELECT tr.vec_id,
+             CAST(FLOOR(
+               list_sum(list_transform(range(1, len(tr.e) + 1),
+                                       i -> tr.e[i] * ev.e[i]))
+               / (sqrt(list_sum(list_transform(tr.e, x -> x * x)))
+                  * sqrt(list_sum(list_transform(ev.e, x -> x * x))))
+               * 1000000 + 0.5) AS BIGINT) AS c
+      FROM tr, ev)
+    SELECT vec_id,
+           CAST(MAX(c) AS BIGINT) AS max_eval_cos_ppm,
+           CAST(SUM(CASE WHEN c >= {_SCON_COS} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_eval_hits,
+           MAX(c) >= {_SCON_COS} AS contaminated
+    FROM cos GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic eval-set decontamination — the embedding-space complement
+    of ``contamination_overlap``'s n-gram check (the GPT-3/Brown et al.
+    appendix-C decontamination shape, upgraded the way modern pipelines
+    run it: paraphrased or reformatted eval leakage that shares no 13-gram
+    still sits next to the eval point in embedding space). Every training
+    vector is scored against the FIXED benchmark suite (here the
+    ``vec_id < {_SCON_EVAL}`` slice playing the role of a held-out eval
+    set); a doc whose max cosine reaches {_SCON_COS} ppm is flagged for
+    removal, and the hit count sizes the leak.
+
+    Scale shape: the eval suite is benchmark-sized — INDEPENDENT of corpus
+    size — so it broadcasts as one numpy matrix and the whole check is a
+    map-only ``mapInPandas`` matmul over the training scan: zero shuffle,
+    zero driver state beyond the suite, linear in the corpus forever.
+    That is the decisive difference from the near-pairs self-join: there
+    both sides grow, here one side is pinned. The oracle states the naive
+    cross join; the quantization (floor(x*1e6+0.5)) matches DuckDB ROUND
+    half-away-from-zero on the positive range, same as
+    ``embedding_near_pairs``."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    ev = emb.filter(F.col("vec_id") < _SCON_EVAL).collect()
+    if not ev:
+        raise ValueError(f"no eval vectors (vec_id < {_SCON_EVAL}) under {sf_dir}")
+    ev_mat = np.array([r["e"] for r in ev], dtype=np.float64)
+    ev_mat /= np.linalg.norm(ev_mat, axis=1, keepdims=True)
+    b_ev = spark.sparkContext.broadcast(ev_mat)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.array(pdf["e"].tolist(), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = np.floor(mat @ b_ev.value.T * 1_000_000 + 0.5).astype(
+                np.int64
+            )  # (batch, n_eval) ppm
+            mx = sims.max(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "max_eval_cos_ppm": mx,
+                    "n_eval_hits": (sims >= _SCON_COS).sum(axis=1),
+                    "contaminated": mx >= _SCON_COS,
+                }
+            )
+
+    schema = (
+        "vec_id bigint, max_eval_cos_ppm bigint, n_eval_hits bigint, "
+        "contaminated boolean"
+    )
+    return (
+        emb.filter(F.col("vec_id") >= _SCON_EVAL)
+        .mapInPandas(score, schema)
+        .orderBy("vec_id")
+    )
+
+
 def fasttext_stream_model(
     spark: SparkSession, sf_dir: str
 ) -> tuple[dict[int, int], int]:

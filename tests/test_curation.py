@@ -206,3 +206,24 @@ def test_fasttext_lang_filter_learns_planted_signal(spark, tmp_path):
     assert min(r.score_ppm for r in out if r.lang == "en") > max(
         r.score_ppm for r in out if r.lang == "de"
     )
+
+
+def test_semantic_contamination_is_consistent_and_sparse(spark, sf_dir):
+    """Cells are internally consistent (contaminated <=> max over
+    threshold; hits imply contamination) and the synthetic corpus plants
+    a sparse, non-empty leak."""
+    from input_data_pipeline_spark.operators.curation import (
+        _SCON_COS,
+        _SCON_EVAL,
+        semantic_contamination,
+    )
+
+    rows = semantic_contamination(spark, sf_dir).collect()
+    assert rows and all(r.vec_id >= _SCON_EVAL for r in rows)
+    for r in rows:
+        assert -1_000_000 <= r.max_eval_cos_ppm <= 1_000_000
+        assert r.contaminated == (r.max_eval_cos_ppm >= _SCON_COS)
+        assert (r.n_eval_hits > 0) == r.contaminated
+        assert r.n_eval_hits <= _SCON_EVAL
+    flagged = [r for r in rows if r.contaminated]
+    assert flagged and len(flagged) < len(rows) // 10

@@ -410,3 +410,19 @@ def test_image_dhash_plan_is_banded_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_" in plan
     assert "Window" not in plan
+
+
+def test_semantic_contamination_plan_is_map_only(spark, sf_dir):
+    """semantic_contamination broadcasts the benchmark suite OUTSIDE the
+    plan (numpy broadcast variable), so the executed plan must be a
+    joinless map-only scan + mapInPandas with no exchange besides the
+    output sort — the shape that stays linear when the corpus side is
+    100 TB."""
+    from input_data_pipeline_spark.operators.curation import (
+        semantic_contamination,
+    )
+
+    plan = _executed_plan(semantic_contamination(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert len(re.findall(r"Exchange (?!rangepartitioning)", plan)) == 0
