@@ -1061,8 +1061,9 @@ def fasttext_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior — keeping every cell bit-reproducible in both engines (the
     same integer-linearization stance as ``dsir_importance_weights``).
 
-    Scale shape: ONE tokenize+explode scan feeds training and scoring
-    (the feature rows are reused, Catalyst dedups the subtree); the
+    Scale shape: ONE tokenize+explode scan feeds training and scoring —
+    the presence rows are localCheckpointed (in production, a persisted
+    feature table) so the corpus is never tokenized twice; the
     model is <= {_FT_BUCKETS} rows REGARDLESS of corpus size — that is
     the hashing trick's point — so scoring is a broadcast-hash join
     against the presence rows with partial aggregation; the class prior
@@ -1072,7 +1073,10 @@ def fasttext_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy, both linear in the token stream.
     """
     docs = load_table(spark, sf_dir, "documents")
-    feats = _ft_features(docs)
+    # the presence rows feed BOTH training and scoring: materialize them
+    # once (localCheckpoint — in production, the persisted feature table)
+    # instead of tokenizing the corpus twice
+    feats = _ft_features(docs).localCheckpoint(eager=False)
     model = _ft_model(feats)
     prior = docs.agg(
         F.expr(

@@ -396,6 +396,22 @@ def test_fasttext_model_join_is_broadcast(spark, sf_dir):
     assert "partial_" in plan
     assert "Window" not in plan
 
+    # the training subtree hides behind the presence-row localCheckpoint
+    # in the full query — guard its shape on the pre-checkpoint tables
+    # (the DSIR-guard pattern): the model groupBy partial-combines over
+    # the fixed bucket space with no join and no window
+    from input_data_pipeline_spark.operators.curation import (
+        _ft_features,
+        _ft_model,
+    )
+    from input_data_pipeline_spark.tables import load_table
+
+    train_plan = _executed_plan(
+        _ft_model(_ft_features(load_table(spark, sf_dir, "documents")))
+    )
+    assert "partial_" in train_plan
+    assert "Join" not in train_plan and "Window" not in train_plan
+
 
 def test_image_dhash_plan_is_banded_no_cartesian(spark, sf_dir):
     """image_dhash_near_dups: candidate generation must be the banded
