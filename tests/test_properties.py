@@ -3,6 +3,7 @@ always found; utterance segmentation invariants hold for arbitrary buffers."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from input_data_pipeline_spark.streaming.stateful import _segments_from
@@ -587,3 +588,36 @@ def test_c4_line_retention_matches_python_reference(spark, tmp_path):
         want = sum(1 for l in text.split("\n") if retained_py(l))
         assert out[doc_id].n_retained_lines == want, (doc_id, text)
         assert out[doc_id].n_lines == 3
+
+
+@given(
+    pcm=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=2, max_size=200
+    ),
+    pred0=st.integers(min_value=-32768, max_value=32767),
+    index0=st.integers(min_value=0, max_value=88),
+)
+@settings(max_examples=150, deadline=None)
+def test_ima_adpcm_decode_matches_audioop_for_any_signal(pcm, pred0, index0):
+    """PROPERTY (no Spark): for ANY int16 signal, any initial predictor and
+    any step index, decoding a WAV IMA block built from audioop's encoder
+    (nibble-swapped to WAV order) yields the header predictor followed by
+    exactly audioop's own decode — the engine's IMA loop is the published
+    algorithm at every reachable state, not just the seeded test vector."""
+    import numpy as np
+
+    audioop = pytest.importorskip("audioop")
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _ima_adpcm_decode_block,
+    )
+
+    sig = np.asarray(pcm[: len(pcm) - len(pcm) % 2], dtype="<i2")
+    packed, _ = audioop.lin2adpcm(sig.tobytes(), 2, (pred0, index0))
+    ref = np.frombuffer(
+        audioop.adpcm2lin(packed, 2, (pred0, index0))[0], np.dtype("<i2")
+    )
+    b = np.frombuffer(packed, np.uint8)
+    swapped = (((b & 0x0F) << 4) | (b >> 4)).astype(np.uint8).tobytes()
+    got = np.asarray(_ima_adpcm_decode_block(swapped, pred0, index0), dtype="<i2")
+    assert np.array_equal(got, ref)
