@@ -1165,12 +1165,7 @@ def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    ev = emb.filter(F.col("vec_id") < _SCON_EVAL).collect()
-    if not ev:
-        raise ValueError(f"no eval vectors (vec_id < {_SCON_EVAL}) under {sf_dir}")
-    ev_mat = np.array([r["e"] for r in ev], dtype=np.float64)
-    ev_mat /= np.linalg.norm(ev_mat, axis=1, keepdims=True)
-    b_ev = spark.sparkContext.broadcast(ev_mat)
+    b_ev = spark.sparkContext.broadcast(contamination_suite(spark, sf_dir))
 
     def score(batches):
         for pdf in batches:
@@ -1201,6 +1196,26 @@ def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(score, schema)
         .orderBy("vec_id")
     )
+
+
+def contamination_suite(spark: SparkSession, sf_dir: str):
+    """Batch-publishes the decontamination model: the row-normalized eval
+    embedding matrix (numpy float64, ``_SCON_EVAL`` x dim — benchmark-
+    sized, corpus-independent). The ingest stream tags arriving vectors
+    against it map-side (``streaming.pipelines.stream_contamination_tags``)
+    with the SAME normalize/matmul/quantize arithmetic as the batch
+    operator, so the tags are bit-identical."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    ev = emb.filter(F.col("vec_id") < _SCON_EVAL).collect()
+    if not ev:
+        raise ValueError(f"no eval vectors (vec_id < {_SCON_EVAL}) under {sf_dir}")
+    ev_mat = np.array([r["e"] for r in ev], dtype=np.float64)
+    ev_mat /= np.linalg.norm(ev_mat, axis=1, keepdims=True)
+    return ev_mat
 
 
 def fasttext_stream_model(

@@ -404,6 +404,83 @@ def stream_bm25_tags(
     return out.drop(*tmp)
 
 
+def stream_contamination_tags(
+    recs: DataFrame,
+    suite,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Streaming face of semantic eval decontamination — the third
+    batch-trains/stream-applies tagger: a batch job publishes the
+    row-normalized eval-suite matrix
+    (``operators.curation.contamination_suite``; benchmark-sized,
+    corpus-independent), and the ingest stream appends
+    ``max_eval_cos_ppm`` / ``n_eval_hits`` / ``contaminated`` to every
+    arriving embedding with NO aggregation, NO state, NO shuffle — one
+    Arrow-batched matmul against the broadcast suite, the identical
+    normalize/floor(x*1e6+0.5) arithmetic as the batch operator, so for
+    any vector the corpus contained the tags are bit-equal
+    (``tests/test_streaming.py::test_stream_contamination_tags_match_batch``).
+    Zero-norm embeddings tag null (undefined cosine), the error-row
+    stance."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from input_data_pipeline_spark.operators.curation import _SCON_COS
+
+    sc = recs.sparkSession.sparkContext
+    b_ev = sc.broadcast(np.asarray(suite, dtype=np.float64))
+
+    @pandas_udf(
+        "struct<max_eval_cos_ppm: long, n_eval_hits: long, contaminated: boolean>"
+    )
+    def tag(col: pd.Series) -> pd.DataFrame:
+        ev = b_ev.value
+        if not len(col):
+            return pd.DataFrame(
+                {
+                    "max_eval_cos_ppm": pd.array([], dtype="Int64"),
+                    "n_eval_hits": pd.array([], dtype="Int64"),
+                    "contaminated": pd.array([], dtype="boolean"),
+                }
+            )
+        mat = np.array(col.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        ok = norms[:, 0] > 0
+        mat = np.divide(mat, norms, out=np.zeros_like(mat), where=norms > 0)
+        sims = np.floor(mat @ ev.T * 1_000_000 + 0.5).astype(np.int64)
+        mx = sims.max(axis=1)
+        hits = (sims >= _SCON_COS).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "max_eval_cos_ppm": pd.array(
+                    [int(m) if k else None for m, k in zip(mx, ok)],
+                    dtype="Int64",
+                ),
+                "n_eval_hits": pd.array(
+                    [int(h) if k else None for h, k in zip(hits, ok)],
+                    dtype="Int64",
+                ),
+                "contaminated": pd.array(
+                    [bool(m >= _SCON_COS) if k else None for m, k in zip(mx, ok)],
+                    dtype="boolean",
+                ),
+            }
+        )
+
+    prefix = "_scon"
+    while any(c.startswith(prefix) for c in recs.columns):
+        prefix += "_x"
+    tx = f"{prefix}_tx"
+    return (
+        recs.withColumn(tx, tag(F.col(emb_col).cast("array<double>")))
+        .withColumn("max_eval_cos_ppm", F.col(f"{tx}.max_eval_cos_ppm"))
+        .withColumn("n_eval_hits", F.col(f"{tx}.n_eval_hits"))
+        .withColumn("contaminated", F.col(f"{tx}.contaminated"))
+        .drop(tx)
+    )
+
+
 def stream_image_dedup(
     recs: DataFrame,
     payload_col: str = "payload",

@@ -1428,3 +1428,58 @@ def test_stream_image_dedup_drops_reencodes_and_routes_errors(spark, tmp_path):
     junk = rows["junk"]
     assert junk.dhash is None and junk.decode_err
     assert rows["bmp0"].decode_err is None
+
+
+def test_stream_contamination_tags_match_batch(spark, tmp_path):
+    """Round-11 batch-trains/stream-applies for semantic decontamination:
+    the published eval-suite matrix, applied map-side to an embedding
+    STREAM, reproduces the batch per-vector cells bit-for-bit; a
+    zero-norm embedding tags null (undefined cosine), not a crash."""
+    import shutil
+
+    from input_data_pipeline_spark.operators.curation import (
+        _SCON_EVAL,
+        contamination_suite,
+        semantic_contamination,
+    )
+    from input_data_pipeline_spark.streaming.pipelines import (
+        run_to_memory,
+        stream_contamination_tags,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    suite = contamination_suite(spark, sf)
+    assert suite.shape[0] == _SCON_EVAL
+
+    src = tmp_path / "embs"
+    src.mkdir()
+    shutil.copy(f"{sf}/embeddings.parquet", src / "part-0.parquet")
+    sdf = spark.readStream.schema(
+        spark.read.parquet(f"{sf}/embeddings.parquet").schema
+    ).parquet(str(src))
+
+    name = _unique("scontags")
+    q = run_to_memory(stream_contamination_tags(sdf, suite), name)
+    try:
+        q.processAllAvailable()
+        got = {
+            r.vec_id: (r.max_eval_cos_ppm, r.n_eval_hits, r.contaminated)
+            for r in spark.table(name).collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        r.vec_id: (r.max_eval_cos_ppm, r.n_eval_hits, r.contaminated)
+        for r in semantic_contamination(spark, sf).collect()
+    }
+    assert batch and set(batch) <= set(got)
+    for vid, cells in batch.items():
+        assert got[vid] == cells, (vid, got[vid], cells)
+
+    zero = spark.createDataFrame(
+        [(999_999, [0.0] * suite.shape[1], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    row = stream_contamination_tags(zero, suite).collect()[0]
+    assert row.max_eval_cos_ppm is None and row.contaminated is None
