@@ -207,3 +207,84 @@ def encode_with_merges(
         .withColumn("n_bpe_tokens", F.size("bpe_tokens"))
         .drop(toks_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-model BPE encoding under the differential oracle gate
+# ---------------------------------------------------------------------------
+
+# A PUBLISHED merge table (the serving regime: the tokenizer model is a
+# shipped artifact, not re-trained per query). The four merges are chosen
+# letter-disjoint and non-chaining — no merged token can participate in a
+# later pair, and no two pairs share a character — which makes the greedy
+# encoder's subword count CLOSED-FORM: each pair contributes exactly its
+# left-to-right non-overlapping occurrence count, expressible in SQL as
+# (len(w) - len(replace(w, pair, ''))) / 2. Any encoder defect (rank
+# order, overlap scan, end-marker handling) breaks the equality.
+BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ("t", "h"),
+    ("e", _END),
+    ("a", "n"),
+    ("o", "r"),
+]
+
+_BPE_CNT_SQL = " + ".join(
+    f"(length(w) - length(replace(w, '{a}{b}', ''))) // 2"
+    for a, b in BPE_FIXED_MERGES
+    if b != _END
+)
+_BPE_END_SQL = " + ".join(
+    f"CASE WHEN w LIKE '%{a}' THEN 1 ELSE 0 END"
+    for a, b in BPE_FIXED_MERGES
+    if b == _END
+)
+
+
+def _register_bpe_query() -> None:
+    from input_data_pipeline_spark.functions.text import DUCK_TOKENS
+    from input_data_pipeline_spark.plans.registry import register
+    from input_data_pipeline_spark.tables import load_table
+
+    @register(
+        "bpe_encode_fixed",
+        oracle=f"""
+        WITH words AS (
+          SELECT doc_id, UNNEST({DUCK_TOKENS}) AS w FROM documents)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(length(w) + 1
+                        - ({_BPE_CNT_SQL})
+                        - ({_BPE_END_SQL})) AS BIGINT) AS n_bpe_tokens
+        FROM words GROUP BY doc_id ORDER BY doc_id
+        """,
+    )
+    def bpe_encode_fixed(spark, sf_dir):
+        """The REAL BPE greedy encoder under the differential oracle gate:
+        every document is segmented with the published
+        ``BPE_FIXED_MERGES`` table through :func:`encode_with_merges`
+        (broadcast ranks, Arrow-batched rank-order merging — the exact
+        serving path a shipped tokenizer runs at 100 TB), and per-doc
+        token/subword counts are emitted. Because the fixed merges are
+        letter-disjoint and non-chaining, the oracle recomputes the
+        subword count from pure string arithmetic — per word,
+        ``len + 1 - sum(non-overlapping pair occurrences) - (1 if the
+        end-of-word merge fires)`` — so a defect anywhere in the greedy
+        loop (rank order, leftmost-first scan, ``</w>`` handling) breaks
+        the hash. Map-only: tokenize + encode + per-doc count, no
+        shuffle before the output sort. The TRAINED path
+        (:func:`train_bpe_merges`) stays test-gated against the
+        independent reference implementation — argmax iteration is not
+        SQL-expressible."""
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        enc = encode_with_merges(docs, BPE_FIXED_MERGES)
+        return (
+            enc.select(
+                "doc_id",
+                F.size(T.tokens("text")).cast("long").alias("n_tokens"),
+                F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            )
+            .orderBy("doc_id")
+        )
+
+
+_register_bpe_query()

@@ -75,20 +75,21 @@ def _load_all() -> None:
     import input_data_pipeline_spark.operators.skew  # noqa: F401
     import input_data_pipeline_spark.operators.corpus  # noqa: F401
     import input_data_pipeline_spark.operators.curation  # noqa: F401
+    import input_data_pipeline_spark.operators.tokenizer  # noqa: F401
 
 
 # Externally-visible enumeration order. External snapshots of the registry
 # truncate to a prefix (50 slots), so the queries that most need fresh
 # differential evidence must enumerate first. Round-11 rotation:
 # (a) never-driver-checked queries lead — the three r10-added
-# codec-surface queries plus the four added THIS round
+# codec-surface queries plus the five added THIS round
 # (g711_decode_features / fasttext_lang_filter / image_dhash_near_dups /
-# semantic_contamination, each pre-verified driver-canon at sf0.01 AND
-# sf0.1 before entering);
+# semantic_contamination / bpe_encode_fixed, each pre-verified
+# driver-canon at sf0.01 AND sf0.1 before entering);
 # (b) the three r4-era queries deferred in r10; (c) the full r5 bucket
 # (20 queries, stalest remaining driver green); (d) the r6 bucket (9);
-# (e) the 6 LLM-core anchors stay in every window; (f) the remaining 5
-# slots start the r7 bucket (alphabetical; the other 20 r7-era queries
+# (e) the 6 LLM-core anchors stay in every window; (f) the remaining 4
+# slots start the r7 bucket (alphabetical; the other 21 r7-era queries
 # rotate in next round). Everything evicted was green in the r10 window
 # (50/50) or holds >= 2 lifetime greens. Names not listed keep
 # registration order after the listed ones.
@@ -101,6 +102,7 @@ _PRIORITY: list[str] = [
     "fasttext_lang_filter",
     "image_dhash_near_dups",
     "semantic_contamination",
+    "bpe_encode_fixed",
     # --- (b) last driver green r4 (deferred from the r10 window) ---
     "dedup_bow_clusters",
     "dedup_cluster_assignment",
@@ -143,16 +145,15 @@ _PRIORITY: list[str] = [
     "knn_ivf",
     "contamination_overlap",
     "doc_quality",
-    # --- (f) r7 bucket, first 5 of 25 (alphabetical) ---
+    # --- (f) r7 bucket, first 4 of 25 (alphabetical) ---
     "bigram_lm_doc_scores",
     "bloom_dedup_precheck",
     "bpe_token_estimate",
     "countmin_merge_sources",
-    "countmin_token_freq",
 ]
 # Round-11 state: after this window is green, no registry query's latest
-# driver green predates round 7; r12 should rotate in the remaining 20
-# r7-era queries (curation_funnel, doc_token_stats, dup_cluster_size_histogram,
+# driver green predates round 7; r12 should rotate in the remaining 21
+# r7-era queries (countmin_token_freq, curation_funnel, doc_token_stats, dup_cluster_size_histogram,
 # exact_substring_coverage, hll_distinct_tokens ...
 # weighted_doc_sample_pps) plus any queries added in r12.
 

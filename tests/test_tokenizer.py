@@ -173,3 +173,38 @@ def test_encode_with_merges_is_collision_safe_and_validates(spark):
     row = out.collect()[0]
     assert row["_bpe_toks"] == "keep"
     assert row.bpe_tokens == ["aa", "</w>", "a", "b", "</w>"]
+
+
+def test_bpe_encode_fixed_closed_form_on_planted_words(spark, tmp_path):
+    """The fixed-merge subword count equals the closed form on words
+    chosen to stress each rule: chained letters ('tthh' merges ONCE),
+    repeated non-overlapping pairs ('ththt' merges twice... per the
+    leftmost scan), the end-of-word merge, and merge-free words."""
+    import pandas as pd
+
+    from input_data_pipeline_spark.plans.registry import get
+
+    words = {
+        # word: expected subword count for merges th, e</w>, an, or
+        "tthh": 4 + 1 - 1,      # t th h </w>
+        "ththt": 5 + 1 - 2,     # th th t </w>
+        "the": 3 + 1 - 1 - 1,   # th e</w>
+        "order": 5 + 1 - 1 - 0, # or d e r </w> ('e' not terminal)
+        "anor": 4 + 1 - 2,      # an or </w>
+        "xyz": 3 + 1,           # no merges
+        "e": 1 + 1 - 1,         # e</w>
+    }
+    pd.DataFrame(
+        {
+            "doc_id": range(len(words)),
+            "text": list(words),
+            "lang": "en",
+            "source": "s",
+            "n_chars": [len(w) for w in words],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+    rows = {r.doc_id: r for r in get("bpe_encode_fixed").fn(spark, str(tmp_path)).collect()}
+    for i, (w, want) in enumerate(words.items()):
+        assert rows[i].n_tokens == 1
+        assert rows[i].n_bpe_tokens == want, (w, rows[i].n_bpe_tokens, want)
