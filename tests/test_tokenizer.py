@@ -208,3 +208,45 @@ def test_bpe_encode_fixed_closed_form_on_planted_words(spark, tmp_path):
     for i, (w, want) in enumerate(words.items()):
         assert rows[i].n_tokens == 1
         assert rows[i].n_bpe_tokens == want, (w, rows[i].n_bpe_tokens, want)
+
+
+def test_encode_with_merges_works_on_a_stream(spark, tmp_path):
+    """The greedy encoder is stateless map-only, so the SAME call works
+    unchanged on an unbounded stream (the ingest-time tokenize-count
+    pattern) and its tags match the batch encode bit-for-bit."""
+    import shutil
+
+    from input_data_pipeline_spark.operators.tokenizer import (
+        BPE_FIXED_MERGES,
+        encode_with_merges,
+    )
+    from input_data_pipeline_spark.streaming.pipelines import run_to_memory
+
+    sf = "/root/testdata/sf0.001"
+    src = tmp_path / "docs"
+    src.mkdir()
+    shutil.copy(f"{sf}/documents.parquet", src / "part-0.parquet")
+    sdf = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(str(src))
+
+    name = "bpestream_tags"
+    q = run_to_memory(
+        encode_with_merges(sdf, BPE_FIXED_MERGES).select(
+            "doc_id", "n_bpe_tokens"
+        ),
+        name,
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.doc_id: r.n_bpe_tokens for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+
+    batch = {
+        r.doc_id: r.n_bpe_tokens
+        for r in encode_with_merges(
+            spark.read.parquet(f"{sf}/documents.parquet"), BPE_FIXED_MERGES
+        ).collect()
+    }
+    assert batch and got == batch
