@@ -80,6 +80,14 @@ ANSI_QUERIES = [
     "ccnet_perplexity_buckets",
     "dsir_importance_weights",
     "url_canonical_dedup",
+    # round-11 additions: companded-audio integer expansion, hashed-ngram
+    # ppm weights, bit-shift banding, float->ppm quantization, string
+    # length arithmetic
+    "g711_decode_features",
+    "fasttext_lang_filter",
+    "image_dhash_near_dups",
+    "semantic_contamination",
+    "bpe_encode_fixed",
 ]
 
 
