@@ -36,6 +36,11 @@ QUERIES = [
     "user_value_intervals",
     "user_rolling_distinct_types",
     "event_hourly_gapfill",
+    # round-11 additions (timestamp-free, but the full oracle equality
+    # must hold under a hostile session TZ like every other query)
+    "g711_decode_features",
+    "image_dhash_near_dups",
+    "bpe_encode_fixed",
 ]
 
 
