@@ -621,3 +621,43 @@ def test_ima_adpcm_decode_matches_audioop_for_any_signal(pcm, pred0, index0):
     swapped = (((b & 0x0F) << 4) | (b >> 4)).astype(np.uint8).tobytes()
     got = np.asarray(_ima_adpcm_decode_block(swapped, pred0, index0), dtype="<i2")
     assert np.array_equal(got, ref)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=40, deadline=None)
+def test_dhash56_is_codec_invariant_and_matches_reference(w, h, seed):
+    """PROPERTY (no Spark): for ANY grayscale image of ANY size, the
+    perceptual hash is identical whichever lossless container carried it
+    (BMP, PNG, GIF) — a decoder disagreement anywhere surfaces as a hash
+    split — and equals an independent pure-loop dHash transcription
+    (floor-map 8x8 downsample, row-major adjacent comparisons)."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        dhash56,
+        encode_bmp,
+        encode_gif,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(seed)
+    gray = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    plane = np.dstack([gray, gray, gray])
+
+    hashes = {dhash56(enc(plane)) for enc in (encode_bmp, encode_png, encode_gif)}
+    assert len(hashes) == 1  # codec-invariant
+
+    # independent reference: plain Python loops, no numpy vectorization
+    ref = 0
+    for r in range(8):
+        for c in range(7):
+            y = (r * h) // 8
+            x1 = (c * w) // 8
+            x2 = ((c + 1) * w) // 8
+            if int(gray[y][x1]) > int(gray[y][x2]):
+                ref |= 1 << (r * 7 + c)
+    assert hashes.pop() == ref
