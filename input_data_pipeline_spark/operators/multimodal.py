@@ -2405,15 +2405,20 @@ def image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the hash stage is map-only mapInPandas (one Arrow batch
     per task, no shuffle) and is localCheckpointed so the expensive
-    decode runs ONCE, not once per plan subtree. Candidate generation is
-    {_DH_BANDS} bands x {_DH_BAND_BITS} bits exploded per doc and
+    decode runs ONCE, not once per plan subtree. Exact duplicates
+    collapse FIRST — one linear groupBy yields (hash, count, two
+    smallest doc ids), so a 10k-copy re-upload cluster (the dominant dup
+    mode in web image corpora) costs one row, never |cluster|^2 pairs.
+    Candidate generation then runs over DISTINCT hashes only:
+    {_DH_BANDS} bands x {_DH_BAND_BITS} bits exploded per hash,
     equi-self-joined on (band, value) — by pigeonhole any pair within
     hamming {_DH_MAX_HAM} < {_DH_BANDS} shares at least one exact band,
     so the LSH is EXACT for this threshold (no recall loss), and there
-    is never an all-pairs comparison: work is bounded by band-bucket
-    sizes exactly like the MinHash banded join (``dedup.py``). The
-    verify step is one integer ``bit_count(xor)`` per candidate,
-    JVM-side. Per-doc stats partial-combine."""
+    is never an all-pairs comparison. The verify step is one integer
+    ``bit_count(xor)`` per candidate, JVM-side; per-doc stats come from
+    group-count arithmetic plus one per-hash neighborhood rollup, all
+    partial-combining. The oracle states the naive doc-grain semantics
+    and is byte-identical to this group-grain plan."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -2435,6 +2440,24 @@ def image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = docs.mapInPandas(run, "doc_id long, dhash long").localCheckpoint(
         eager=False
     )
+
+    # Collapse exact duplicates BEFORE any pairwise work: real image
+    # corpora carry giant identical-image clusters (re-uploads), and a
+    # doc-grain banded join would emit |cluster|^2 pairs for each. The
+    # group table (one row per DISTINCT hash, with count + two smallest
+    # doc ids) is linear to build and makes every same-hash statistic an
+    # O(1) lookup; the banded join then runs over distinct hashes only.
+    g1 = hashes.groupBy("dhash").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("m1")
+    )
+    m2 = (
+        hashes.join(g1.select("dhash", "m1"), "dhash")
+        .filter(F.col("doc_id") > F.col("m1"))
+        .groupBy("dhash")
+        .agg(F.min("doc_id").alias("m2"))
+    )
+    groups = g1.join(m2, "dhash", "left").localCheckpoint(eager=False)
+
     band_arr = F.array(
         *[
             F.struct(
@@ -2447,48 +2470,70 @@ def image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_DH_BANDS)
         ]
     )
-    bands = hashes.select(
-        "doc_id", "dhash", F.explode(band_arr).alias("x")
-    ).select("doc_id", "dhash", "x.band", "x.bv")
+    bands = groups.select(
+        "dhash", "n_docs", "m1", F.explode(band_arr).alias("x")
+    ).select("dhash", "n_docs", "m1", "x.band", "x.bv")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.dhash") < F.col("b.dhash")),
         )
         .select(
-            F.col("a.doc_id").alias("da"),
-            F.col("b.doc_id").alias("db"),
             F.col("a.dhash").alias("ha"),
             F.col("b.dhash").alias("hb"),
+            F.col("a.n_docs").alias("na"),
+            F.col("b.n_docs").alias("nb"),
+            F.col("a.m1").alias("m1a"),
+            F.col("b.m1").alias("m1b"),
         )
         .distinct()
+        .filter(F.expr(f"bit_count(ha ^ hb) <= {_DH_MAX_HAM}"))
     )
-    pairs = cand.withColumn("ham", F.expr("bit_count(ha ^ hb)")).filter(
-        F.col("ham") <= _DH_MAX_HAM
+    # per-hash neighborhood rollup: how many docs sit in OTHER hash groups
+    # within the hamming ball, and the smallest doc id among them
+    nbr = (
+        pairs.select(
+            F.col("ha").alias("dhash"),
+            F.col("nb").alias("n_other"),
+            F.col("m1b").alias("min_other"),
+        )
+        .unionAll(
+            pairs.select(
+                F.col("hb").alias("dhash"),
+                F.col("na").alias("n_other"),
+                F.col("m1a").alias("min_other"),
+            )
+        )
+        .groupBy("dhash")
+        .agg(
+            F.sum("n_other").alias("n_near_ext"),
+            F.min("min_other").alias("ext_min"),
+        )
     )
-    sides = pairs.select(
-        F.col("da").alias("doc_id"), F.col("db").alias("partner"), "ham"
-    ).unionAll(
-        pairs.select(F.col("db").alias("doc_id"), F.col("da").alias("partner"), "ham")
-    )
-    agg = sides.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_near"),
-        F.sum(F.when(F.col("ham") == 0, 1).otherwise(0)).alias("n_exact"),
-        F.min("partner").alias("nearest"),
+    per_hash = groups.join(nbr, "dhash", "left")
+    own_partner = F.when(
+        F.col("n_docs") > 1,
+        F.when(F.col("doc_id") == F.col("m1"), F.col("m2")).otherwise(
+            F.col("m1")
+        ),
     )
     return (
-        hashes.join(agg, "doc_id", "left")
+        hashes.join(per_hash, "dhash")
         .select(
             "doc_id",
             "dhash",
-            F.coalesce(F.col("n_near"), F.lit(0).cast("long")).alias("n_near"),
-            F.coalesce(F.col("n_exact"), F.lit(0).cast("long")).alias("n_exact"),
-            F.coalesce(F.col("nearest"), F.lit(-1).cast("long")).alias(
-                "nearest_partner"
-            ),
+            (
+                F.col("n_docs")
+                - 1
+                + F.coalesce(F.col("n_near_ext"), F.lit(0).cast("long"))
+            ).alias("n_near"),
+            (F.col("n_docs") - 1).alias("n_exact"),
+            F.coalesce(
+                F.least(own_partner, F.col("ext_min")), F.lit(-1).cast("long")
+            ).alias("nearest_partner"),
         )
         .orderBy("doc_id")
     )
