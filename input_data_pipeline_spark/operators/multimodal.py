@@ -2310,6 +2310,30 @@ def _dh_px_sql(r: str, c: str) -> str:
     return f"(CASE WHEN {v} >= 4 THEN {alt} ELSE ({base} + {bump}) % 251 END)"
 
 
+def audio_content_key(payload: bytes) -> str:
+    """Content identity of an audio payload AFTER real decode: the sha256
+    of the linear PCM bytes plus the playback parameters (rate, channels,
+    sample width). Two files with byte-different containers — reordered
+    or extra RIFF chunks (LIST/INFO metadata), padding differences, a
+    'fact' chunk present or not — but identical decoded audio hash equal;
+    any audible difference (or a different companding law over the same
+    code bytes) hashes apart. The audio analogue of :func:`dhash56`'s
+    role for images, consumed by the ingest-time stream dedup
+    (``streaming.pipelines.stream_audio_dedup``)."""
+    import hashlib
+    import struct
+
+    meta = decode_media(payload, "audio")
+    h = hashlib.sha256()
+    h.update(
+        struct.pack(
+            "<III", meta["frame_rate"], meta["n_channels"], meta["sample_width"]
+        )
+    )
+    h.update(meta["pcm"])
+    return h.hexdigest()
+
+
 def dhash56(payload: bytes) -> int:
     """The 56-bit difference hash of a REAL image payload of any
     supported format/size: decode (:func:`decode_media`), grayscale

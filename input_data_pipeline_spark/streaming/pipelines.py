@@ -538,6 +538,59 @@ def stream_image_dedup(
     return valid.unionByName(tagged.filter(F.col("dhash").isNull()))
 
 
+def stream_audio_dedup(
+    recs: DataFrame,
+    payload_col: str = "payload",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming ingest-time audio dedup — completes the multimodal dedup
+    matrix next to ``stream_url_dedup`` (text/URL) and
+    ``stream_image_dedup`` (images): each arriving audio blob is decoded
+    for real and keyed by its CONTENT
+    (``multimodal.audio_content_key``: sha256 over linear PCM + playback
+    params), so re-uploads whose containers differ only in chunk layout,
+    padding, or embedded metadata drop via watermark-bounded stateful
+    dedup, while any audible difference — including the same G.711 code
+    bytes under the other companding law — survives. Same error-row
+    contract as the image face: an undecodable payload gets ``audio_key``
+    null + ``decode_err`` and bypasses the dedup key space entirely."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        audio_content_key,
+    )
+
+    @pandas_udf("struct<audio_key: string, decode_err: string>")
+    def key_or_err(payloads: pd.Series) -> pd.DataFrame:
+        ks, errs = [], []
+        for p in payloads:
+            try:
+                ks.append(audio_content_key(bytes(p)))
+                errs.append(None)
+            except Exception as e:  # error row, never a dead task
+                ks.append(None)
+                errs.append(f"{type(e).__name__}: {e}")
+        return pd.DataFrame({"audio_key": ks, "decode_err": errs})
+
+    prefix = "_au"
+    while any(c.startswith(prefix) for c in recs.columns):
+        prefix += "_x"
+    kx = f"{prefix}_kx"
+    tagged = (
+        recs.withColumn(kx, key_or_err(F.col(payload_col)))
+        .withColumn("audio_key", F.col(f"{kx}.audio_key"))
+        .withColumn("decode_err", F.col(f"{kx}.decode_err"))
+        .drop(kx)
+        .withWatermark(ts_col, watermark)
+    )
+    valid = tagged.filter(
+        F.col("audio_key").isNotNull()
+    ).dropDuplicatesWithinWatermark(["audio_key"])
+    return valid.unionByName(tagged.filter(F.col("audio_key").isNull()))
+
+
 def stream_fasttext_tags(
     docs: DataFrame,
     model: tuple[dict[int, int], int],

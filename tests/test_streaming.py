@@ -1483,3 +1483,85 @@ def test_stream_contamination_tags_match_batch(spark, tmp_path):
     )
     row = stream_contamination_tags(zero, suite).collect()[0]
     assert row.max_eval_cos_ppm is None and row.contaminated is None
+
+
+def test_stream_audio_dedup_keys_on_decoded_content(spark, tmp_path):
+    """Round-11 streaming audio dedup: containers that differ only in
+    chunk layout/metadata but decode to the same PCM collapse to one
+    survivor across micro-batches; the same G.711 code bytes under the
+    OTHER companding law survive (different audio); junk routes as an
+    error row."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        audio_content_key,
+        encode_wav,
+        encode_wav_codes,
+    )
+    from input_data_pipeline_spark.streaming.pipelines import (
+        run_to_memory,
+        stream_audio_dedup,
+    )
+
+    pcm = ((np.arange(200) * 37) % 2001 - 1000).astype("<i2")
+    wav = encode_wav(pcm)
+    # same audio, different container bytes: a LIST metadata chunk
+    # spliced in before 'data' (stdlib wave skips unknown chunks)
+    at = wav.find(b"data")
+    meta_chunk = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    wav_meta = wav[:at] + meta_chunk + wav[at:]
+    wav_meta = wav_meta[:4] + struct.pack("<I", len(wav_meta) - 8) + wav_meta[8:]
+    assert wav_meta != wav
+    assert audio_content_key(wav_meta) == audio_content_key(wav)
+
+    codes = bytes((5 * i + 1) % 256 for i in range(120))
+    ulaw, alaw = encode_wav_codes(codes, 7), encode_wav_codes(codes, 6)
+
+    src = tmp_path / "audio"
+    src.mkdir()
+
+    def emit(name, rows, t0):
+        pd.DataFrame(
+            {
+                "rec_id": [r[0] for r in rows],
+                "ts": [
+                    pd.Timestamp(f"2024-01-01T00:0{t0 + i}:00")
+                    for i in range(len(rows))
+                ],
+                "payload": [r[1] for r in rows],
+            }
+        ).to_parquet(
+            src / name,
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+
+    emit(
+        "b0.parquet",
+        [("orig", wav), ("ulaw", ulaw), ("alaw", alaw), ("junk", b"RIFFxxxx")],
+        0,
+    )
+    sdf = spark.readStream.schema(
+        "rec_id string, ts timestamp, payload binary"
+    ).parquet(str(src))
+    name = _unique("audiodedup")
+    q = run_to_memory(stream_audio_dedup(sdf, watermark="1 hour"), name)
+    try:
+        q.processAllAvailable()
+        # a re-containered copy arrives later: must drop statefully
+        emit("b1.parquet", [("meta_copy", wav_meta)], 5)
+        q.processAllAvailable()
+        rows = {r.rec_id: r for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+
+    assert "orig" in rows and "meta_copy" not in rows
+    # same code bytes, different law -> different audio -> both survive
+    assert "ulaw" in rows and "alaw" in rows
+    assert rows["ulaw"].audio_key != rows["alaw"].audio_key
+    junk = rows["junk"]
+    assert junk.audio_key is None and junk.decode_err
