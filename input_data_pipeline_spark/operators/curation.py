@@ -1419,3 +1419,105 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("rec_id"), F.expr(_URL_EXPR).alias("url")
     )
     return canonical_url_groups(recs)
+
+
+# ---------------------------------------------------------------------------
+# Data-constrained epoch allocation (repetition plan)
+# ---------------------------------------------------------------------------
+
+_EPOCH_BUDGET_X = 2  # total training budget = 2x the corpus token count
+_EPOCH_CAP = 4  # beyond ~4 epochs repeated data stops paying (Muennighoff)
+
+
+@register(
+    "epoch_repetition_plan",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      t -> t <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             COUNT(*) AS n_sources
+      FROM per_src)
+    SELECT p.source, p.n_docs, p.n_tokens,
+           CAST({_EPOCH_BUDGET_X} * t.total_tokens // t.n_sources AS BIGINT)
+             AS target_tokens,
+           CAST(LEAST({_EPOCH_BUDGET_X} * t.total_tokens // t.n_sources,
+                      {_EPOCH_CAP} * p.n_tokens) AS BIGINT) AS allocated_tokens,
+           CAST(LEAST({_EPOCH_BUDGET_X} * t.total_tokens // t.n_sources,
+                      {_EPOCH_CAP} * p.n_tokens) * 1000000 // p.n_tokens
+                AS BIGINT) AS epochs_ppm,
+           ({_EPOCH_CAP} * p.n_tokens
+              < {_EPOCH_BUDGET_X} * t.total_tokens // t.n_sources) AS capped,
+           CAST({_EPOCH_BUDGET_X} * t.total_tokens // t.n_sources
+                - LEAST({_EPOCH_BUDGET_X} * t.total_tokens // t.n_sources,
+                        {_EPOCH_CAP} * p.n_tokens) AS BIGINT) AS shortfall_tokens
+    FROM per_src p CROSS JOIN tot t
+    ORDER BY p.source
+    """,
+)
+def epoch_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch allocation: how many times to repeat each
+    source under a fixed training-token budget — the planning operator for
+    the regime where the model wants more tokens than the corpus has
+    (Muennighoff et al. 2023, "Scaling Data-Constrained Language Models",
+    arXiv:2305.16264: repeating data is nearly as good as fresh data up to
+    ~4 epochs, then returns decay rapidly — hence the hard 4-epoch cap).
+
+    The plan targets a uniform per-source token share of a budget equal to
+    ``_EPOCH_BUDGET_X`` × the corpus, caps every source at
+    ``_EPOCH_CAP`` epochs of itself, and reports the unmet shortfall the
+    mix designer must cover elsewhere (cf. ``mixture_sampling_plan``'s
+    temperature weighting and ``token_budget_selection``'s subset pick).
+    All integer arithmetic (epochs as ppm; floor division shared with the
+    oracle) so both engines agree bit-for-bit.
+
+    Scale shape: one tokenize scan with a map-side-combinable per-source
+    aggregate (a handful of rows), then a broadcast 1-row corpus total
+    cross-join — the same two-level reduce every profile query here uses.
+    Nothing is corpus-sized after the first aggregate."""
+    from input_data_pipeline_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count("text")).cast("long").alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    target = F.expr(
+        f"{_EPOCH_BUDGET_X} * total_tokens DIV n_sources"
+    ).alias("target_tokens")
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            target,
+            F.least(
+                F.expr(f"{_EPOCH_BUDGET_X} * total_tokens DIV n_sources"),
+                F.expr(f"{_EPOCH_CAP} * n_tokens"),
+            ).alias("allocated_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "target_tokens",
+            "allocated_tokens",
+            F.expr("allocated_tokens * 1000000 DIV n_tokens").alias("epochs_ppm"),
+            (F.lit(_EPOCH_CAP) * F.col("n_tokens") < F.col("target_tokens")).alias(
+                "capped"
+            ),
+            (F.col("target_tokens") - F.col("allocated_tokens")).alias(
+                "shortfall_tokens"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -1755,3 +1755,67 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: agg-derived threshold join (small-quantity order revenue)
+# ---------------------------------------------------------------------------
+
+@register(
+    "small_qty_order_revenue",
+    oracle="""
+    WITH thr AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             COUNT(*) AS cnt_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT p.p_brand,
+           COUNT(*) AS n_small_lines,
+           CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) * 1000000
+                AS BIGINT) AS revenue_micros
+    FROM lineitem l
+    JOIN thr ON l.l_partkey = thr.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE 5 * CAST(l.l_quantity AS BIGINT) * thr.cnt_qty < thr.sum_qty
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+)
+def small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked up in small-quantity lines — per
+    brand, the lineitems whose quantity is below 20% of their part's own
+    average order quantity (the 'stranded inventory' diagnostic). The
+    classic pattern is an aggregate-derived threshold joined back to the
+    fact that produced it.
+
+    Exactness: the float predicate ``l_quantity < 0.2 * AVG(l_quantity)``
+    is cross-multiplied into pure integers — ``5·qty·cnt < Σqty`` (the
+    data contract pins quantities integral, asserted by the registry
+    invariants test) — so neither engine evaluates a float average.
+
+    Scale shape: the per-part threshold table is a map-side-combinable
+    aggregate of the SAME fact, so the threshold⋈fact join is
+    co-partitioned by construction — Catalyst reuses the l_partkey hash
+    exchange on both sides rather than re-shuffling (one Exchange feeds
+    both the aggregate and the probe). ``part`` is a dimension: broadcast
+    hint. No window, no cartesian; the final per-brand rollup is tiny."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_quantity").cast("long").alias("qty"), "l_extendedprice"
+    )
+    thr = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("cnt_qty")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(thr, "l_partkey")
+        .filter(5 * F.col("qty") * F.col("cnt_qty") < F.col("sum_qty"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            stable_sum_micros("l_extendedprice").alias("revenue_micros"),
+        )
+        .orderBy("p_brand")
+    )
