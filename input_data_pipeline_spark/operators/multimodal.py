@@ -3013,3 +3013,333 @@ def transcribe_wav_energy(chunks: DataFrame, threshold: int = 500) -> DataFrame:
     return chunks.mapInPandas(
         infer, "doc_id long, chunk_idx int, rms long, is_speech boolean"
     )
+
+
+# ---------------------------------------------------------------------------
+# MPEG audio (MP3) frame-header probe — round 12
+# ---------------------------------------------------------------------------
+
+# MPEG-1 / MPEG-2 / MPEG-2.5 Layer III tables (ISO/IEC 11172-3 §2.4.2.3,
+# ISO/IEC 13818-3): bitrate index 1..14 in kbps, sample-rate index 0..2
+# keyed by the header's 2-bit version field (0=MPEG-2.5, 2=MPEG-2, 3=MPEG-1).
+_MP3_KBPS = {
+    3: (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    2: (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    0: (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+_MP3_SAMPLES_PER_FRAME = {3: 1152, 2: 576, 0: 576}
+
+
+def _mp3_frame_len(ver_bits: int, kbps: int, sr: int, padding: int) -> int:
+    """Layer III frame length in bytes (slot = 1 byte): 144·bitrate/rate
+    for MPEG-1, 72·bitrate/rate for MPEG-2/2.5, plus the padding slot."""
+    factor = 144000 if ver_bits == 3 else 72000
+    return factor * kbps // sr + padding
+
+
+def encode_mp3(
+    frames: list[tuple[int, int]],
+    sr_index: int = 0,
+    ver_bits: int = 3,
+    id3_payload: int = 0,
+) -> bytes:
+    """Assemble a syntactically-valid MPEG Layer III stream for the probe
+    gate: an optional ID3v2 tag (10-byte header + ``id3_payload`` bytes,
+    synchsafe size) followed by one frame per ``(bitrate_index, padding)``
+    pair — each a real 4-byte header (sync/version/layer/bitrate/rate/
+    padding/mono) over a zeroed audio payload of exactly the
+    header-implied frame length. The entropy-coded granule DECODE stays
+    the external-codec seam; the container framing is what the probe
+    walks, and that is real."""
+    import struct
+
+    out = bytearray()
+    if id3_payload:
+        sz = id3_payload
+        out += b"ID3" + bytes([3, 0, 0]) + bytes(
+            [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+        )
+        out += bytes(id3_payload)
+    sr = _MP3_RATES[ver_bits][sr_index]
+    for bitrate_index, padding in frames:
+        kbps = _MP3_KBPS[ver_bits][bitrate_index - 1]
+        b1 = 0xE0 | (ver_bits << 3) | (0b01 << 1) | 1  # Layer III, no CRC
+        b2 = (bitrate_index << 4) | (sr_index << 2) | (padding << 1)
+        b3 = 0b11 << 6  # single channel
+        hdr = struct.pack(">BBBB", 0xFF, b1, b2, b3)
+        out += hdr + bytes(_mp3_frame_len(ver_bits, kbps, sr, padding) - 4)
+    return bytes(out)
+
+
+def probe_mpeg_audio(payload: bytes) -> dict:
+    """MPEG audio (MP3) METADATA probe with stdlib byte arithmetic — the
+    frame-header walk every audio pipeline runs before budgeting a
+    decode: skip a leading ID3v2 tag (synchsafe size), then parse each
+    4-byte frame header (11-bit sync, version, layer, bitrate index,
+    sample-rate index, padding slot, channel mode) and hop exactly the
+    header-implied frame length, accumulating the sample count (1152 per
+    MPEG-1 frame, 576 for MPEG-2/2.5). Walking EVERY frame makes the
+    duration and mean bitrate exact for VBR streams — where the
+    single-header estimate a naive probe takes is simply wrong. A
+    trailing 128-byte ID3v1 'TAG' block is accepted; anything else
+    off-grid raises ValueError (the error-row contract). Granule DECODE
+    (huffman + IMDCT) stays the external-codec seam (SURVEY §2.10
+    U1/U2); Layer I/II probing is out of scope — only Layer III headers
+    are accepted."""
+    pos = 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("truncated ID3v2 header")
+        sz = (
+            ((payload[6] & 0x7F) << 21)
+            | ((payload[7] & 0x7F) << 14)
+            | ((payload[8] & 0x7F) << 7)
+            | (payload[9] & 0x7F)
+        )
+        pos = 10 + sz
+        if pos > len(payload):
+            raise ValueError("ID3v2 tag extends past the payload")
+    n_frames = 0
+    n_samples = 0
+    kbps_seen: list[int] = []
+    sample_rate = None
+    ver_bits_seen = None
+    channels = None
+    while pos < len(payload):
+        if payload[pos : pos + 3] == b"TAG" and len(payload) - pos == 128:
+            pos = len(payload)  # trailing ID3v1 tag
+            break
+        if pos + 4 > len(payload):
+            raise ValueError("trailing bytes are not an MPEG frame header")
+        b0, b1, b2, b3 = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost MPEG frame sync at byte {pos}")
+        ver_bits = (b1 >> 3) & 0b11
+        layer_bits = (b1 >> 1) & 0b11
+        if ver_bits == 1:
+            raise ValueError("reserved MPEG version id")
+        if layer_bits != 0b01:
+            raise ValueError("only Layer III probing is supported")
+        bitrate_index = (b2 >> 4) & 0xF
+        sr_index = (b2 >> 2) & 0b11
+        padding = (b2 >> 1) & 1
+        if bitrate_index == 0:
+            raise ValueError("free-format bitrate is not probeable")
+        if bitrate_index == 15 or sr_index == 3:
+            raise ValueError("reserved bitrate/sample-rate index")
+        sr = _MP3_RATES[ver_bits][sr_index]
+        if sample_rate is not None and (sr != sample_rate or ver_bits != ver_bits_seen):
+            raise ValueError("sample rate changed mid-stream")
+        sample_rate, ver_bits_seen = sr, ver_bits
+        channels = 1 if ((b3 >> 6) & 0b11) == 0b11 else 2
+        kbps = _MP3_KBPS[ver_bits][bitrate_index - 1]
+        flen = _mp3_frame_len(ver_bits, kbps, sr, padding)
+        if pos + flen > len(payload):
+            raise ValueError("truncated MPEG frame")
+        kbps_seen.append(kbps)
+        n_samples += _MP3_SAMPLES_PER_FRAME[ver_bits]
+        n_frames += 1
+        pos += flen
+    if n_frames == 0:
+        raise ValueError("no MPEG audio frames found")
+    return {
+        "container": "mp3",
+        "mpeg_version": {3: "1", 2: "2", 0: "2.5"}[ver_bits_seen],
+        "sample_rate": sample_rate,
+        "n_channels": channels,
+        "n_frames": n_frames,
+        "n_samples": n_samples,
+        "duration_ms": n_samples * 1000 // sample_rate,
+        "mean_bitrate_kbps": sum(kbps_seen) // n_frames,
+        "vbr": len(set(kbps_seen)) > 1,
+        "n_bytes": pos,
+    }
+
+
+def probe_audio(payload: bytes) -> dict:
+    """Container-level audio metadata without decoding samples — the
+    audio face of :func:`probe_video`: WAV via the RIFF chunk walk
+    (PCM, G.711 and ADPCM formats all probe from 'fmt '/'fact'/'data'
+    alone), MP3 via the frame-header walk. Uniform keys: container,
+    sample_rate, n_channels, n_frames, duration_ms, mean_bitrate_kbps,
+    vbr."""
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        w = _parse_wav_chunks(payload)
+        if w["block_align"]:
+            if w["fact_frames"] is not None:
+                frames = w["fact_frames"]
+            elif w["tag"] == _WAVE_FORMAT_PCM:
+                frames = len(w["data"]) // w["block_align"]
+            else:
+                frames = None  # compressed without the spec-required 'fact'
+        else:
+            frames = None
+        dur = (
+            frames * 1000 // w["frame_rate"]
+            if frames is not None and w["frame_rate"]
+            else None
+        )
+        return {
+            "container": "wav",
+            "sample_rate": w["frame_rate"],
+            "n_channels": w["n_channels"],
+            "n_frames": frames,
+            "duration_ms": dur,
+            "mean_bitrate_kbps": (
+                w["frame_rate"] * w["block_align"] * 8 // 1000
+                if w["frame_rate"] and w["block_align"]
+                else None
+            ),
+            "vbr": False,
+        }
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        m = probe_mpeg_audio(payload)
+        return {
+            "container": "mp3",
+            "sample_rate": m["sample_rate"],
+            "n_channels": m["n_channels"],
+            "n_frames": m["n_frames"],
+            "duration_ms": m["duration_ms"],
+            "mean_bitrate_kbps": m["mean_bitrate_kbps"],
+            "vbr": m["vbr"],
+        }
+    raise NotImplementedError(
+        "probe of non-WAV/MP3 audio containers requires external media "
+        "libraries (SURVEY §2.10 U1/U2)"
+    )
+
+
+def extract_audio_metadata(audios: DataFrame) -> DataFrame:
+    """Map-only mapInPandas kernel over ``(doc_id, payload)`` audio blobs:
+    one metadata row per blob via :func:`probe_audio` — the audio twin of
+    :func:`extract_video_metadata`, with the same error-row routing
+    (``container='error'``, never a dead task)."""
+    import pandas as pd
+
+    def probe(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "container": [], "sample_rate": [],
+                "n_channels": [], "n_frames": [], "duration_ms": [],
+                "mean_bitrate_kbps": [], "vbr": [], "err": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    m = probe_audio(bytes(payload))
+                    err = None
+                except (ValueError, NotImplementedError) as e:
+                    m, err = {}, str(e)
+                out["doc_id"].append(doc_id)
+                out["container"].append(m.get("container", "error"))
+                out["sample_rate"].append(m.get("sample_rate"))
+                out["n_channels"].append(m.get("n_channels"))
+                out["n_frames"].append(m.get("n_frames"))
+                out["duration_ms"].append(m.get("duration_ms"))
+                out["mean_bitrate_kbps"].append(m.get("mean_bitrate_kbps"))
+                out["vbr"].append(m.get("vbr"))
+                out["err"].append(err)
+            yield pd.DataFrame(out)
+
+    return audios.mapInPandas(
+        probe,
+        "doc_id long, container string, sample_rate long, n_channels long, "
+        "n_frames long, duration_ms long, mean_bitrate_kbps long, "
+        "vbr boolean, err string",
+    )
+
+
+# The differential-gate query: synthesized VBR/CBR Layer III streams per
+# document, probed by the REAL frame walk; the oracle recomputes every
+# field from the same closed form (including the frame-length arithmetic
+# 144000·kbps//sr + padding summed into the byte count).
+_MP3Q_KBPS_SQL = "list_value(32,40,48,56,64,80,96,112,128,160,192,224,256,320)"
+
+
+@register(
+    "mp3_probe_features",
+    oracle=f"""
+    WITH per_frame AS (
+      SELECT d.doc_id,
+             pf.f,
+             {_MP3Q_KBPS_SQL}[
+               ((d.doc_id + CASE WHEN d.doc_id % 3 = 0 THEN 0 ELSE pf.f END)
+                % 14) + 1] AS kbps,
+             (d.doc_id + pf.f) % 2 AS pad,
+             list_value(44100, 48000, 32000)[(d.doc_id % 3) + 1] AS sr
+      FROM documents d,
+           LATERAL (SELECT unnest(generate_series(
+               0, CAST(3 + d.doc_id % 5 AS BIGINT))) AS f) pf)
+    SELECT doc_id,
+           CAST(4 + doc_id % 5 AS BIGINT) AS n_frames,
+           CAST(MIN(sr) AS BIGINT) AS sample_rate,
+           CAST((4 + doc_id % 5) * 1152 * 1000 // MIN(sr) AS BIGINT)
+             AS duration_ms,
+           CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+                     ELSE 10 + doc_id % 17 END
+                + SUM(144000 * kbps // sr + pad) AS BIGINT) AS n_bytes,
+           CAST(SUM(kbps) // (4 + doc_id % 5) AS BIGINT) AS mean_bitrate_kbps,
+           (COUNT(DISTINCT kbps) > 1) AS vbr
+    FROM per_frame
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def mp3_probe_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MPEG-audio probe surface under the differential oracle gate
+    (companion to ``audio_decode_features`` / ``video_decode_features``):
+    per document, a deterministic Layer III stream — 4-8 frames whose
+    bitrate indices cycle a closed form (every third document CBR, the
+    rest VBR), alternating padding slots, an ID3v2 tag of varying size —
+    is assembled by :func:`encode_mp3` and walked back by the REAL
+    :func:`probe_mpeg_audio`. Every output cell (frame count, sample
+    rate, exact VBR duration, total byte length, mean bitrate, VBR
+    verdict) comes from the probe; the oracle recomputes them from the
+    closed form, so an off-by-one in the frame-length arithmetic, a
+    mis-skipped ID3 tag, or a wrong bitrate-table row breaks the hash.
+    Map-only mapInPandas, same scale shape as every media kernel."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_frames": [], "sample_rate": [],
+                "duration_ms": [], "n_bytes": [], "mean_bitrate_kbps": [],
+                "vbr": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nf = 4 + d % 5
+                frames = [
+                    (
+                        ((d + (0 if d % 3 == 0 else f)) % 14) + 1,
+                        (d + f) % 2,
+                    )
+                    for f in range(nf)
+                ]
+                blob = encode_mp3(
+                    frames, sr_index=d % 3, ver_bits=3, id3_payload=d % 17
+                )
+                m = probe_mpeg_audio(blob)  # REAL frame-header walk
+                out["doc_id"].append(d)
+                out["n_frames"].append(m["n_frames"])
+                out["sample_rate"].append(m["sample_rate"])
+                out["duration_ms"].append(m["duration_ms"])
+                out["n_bytes"].append(m["n_bytes"])
+                out["mean_bitrate_kbps"].append(m["mean_bitrate_kbps"])
+                out["vbr"].append(m["vbr"])
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, n_frames long, sample_rate long, duration_ms long, "
+        "n_bytes long, mean_bitrate_kbps long, vbr boolean"
+    )
+    return docs.mapInPandas(run, schema).orderBy("doc_id")

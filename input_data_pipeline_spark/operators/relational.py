@@ -1795,11 +1795,11 @@ def small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariants test) — so neither engine evaluates a float average.
 
     Scale shape: the per-part threshold table is a map-side-combinable
-    aggregate of the SAME fact, so the threshold⋈fact join is
-    co-partitioned by construction — Catalyst reuses the l_partkey hash
-    exchange on both sides rather than re-shuffling (one Exchange feeds
-    both the aggregate and the probe). ``part`` is a dimension: broadcast
-    hint. No window, no cartesian; the final per-brand rollup is tiny."""
+    aggregate of the fact, one row per part — dimension-sized, so AQE
+    broadcasts it back onto the fact when it fits (the observed plan
+    here) and otherwise the join shuffles on ``l_partkey``, the key the
+    aggregate already hashed. ``part`` is a dimension: broadcast hint.
+    No window, no cartesian; the final per-brand rollup is tiny."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", F.col("l_quantity").cast("long").alias("qty"), "l_extendedprice"
     )

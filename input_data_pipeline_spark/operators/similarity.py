@@ -1623,3 +1623,201 @@ def cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and embedding ANN
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+_RRF_POOL = 20  # per-system candidate pool fused
+_RRF_TOPK = 10
+_RRF_QUERY_VEC = 0  # semantic query = embedding of vec_id 0 (doc_id space)
+
+
+def _rank_sorted_topk(df: DataFrame, payload: list[str]) -> DataFrame:
+    """Rank the ≤pool rows of ``df`` by (``neg`` ASC, ``doc_id`` ASC)
+    WITHOUT a window: collect into one sorted array (ObjectHashAggregate
+    whose final input is bounded by the pool size, never the corpus) and
+    ``posexplode`` the position — the same de-windowed top-k ranking
+    shape as ``bm25_doc_search``. ``df`` must carry ``neg`` (the
+    descending sort key, negated) and ``doc_id``; ``payload`` columns
+    ride along inside the struct."""
+    cols = [F.col("neg"), F.col("doc_id")] + [F.col(c) for c in payload]
+    out = [
+        (F.col("pos") + 1).cast("long").alias("rank"),
+        F.col("s.doc_id").alias("doc_id"),
+    ] + [F.col(f"s.{c}").alias(c) for c in payload]
+    return (
+        df.agg(F.sort_array(F.collect_list(F.struct(*cols))).alias("a"))
+        .select(F.posexplode("a").alias("pos", "s"))
+        .select(*out)
+    )
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=None,  # assembled below (needs the BM25 CTE stack from textstats)
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher 2009): the lexical ranking (``bm25_doc_search``'s scorer,
+    fixed benchmark query) and the semantic ranking (cosine of the
+    ``_RRF_QUERY_VEC`` embedding against the corpus, the
+    ``semantic_doc_search`` shape) each contribute ``1/(60 + rank)`` and
+    the fused list is re-ranked on the sum — the standard way production
+    retrieval stacks combine keyword and embedding search without score
+    calibration, and the mining pattern a training-data pipeline uses to
+    pull topical subsets when neither signal alone is trustworthy.
+
+    Exactness: the fusion score is ``1000000 DIV (60 + rank)`` per
+    contributing system — pure integer arithmetic on ranks, so the fused
+    ordering is bit-identical cross-engine (RRF only consumes RANKS, which
+    is exactly why it needs no score normalization).
+
+    Scale shape: each system's pool is a TakeOrderedAndProject top-20
+    (bounded per-partition heaps over the corpus-sized score tables); the
+    cosine side pre-filters the 1-row query vector and broadcasts it, so
+    scoring is map-only. Everything after the two top-k's touches ≤20
+    rows per side: ranks come from the de-windowed sorted-array
+    posexplode (no WindowExec anywhere — plan-guarded), and the
+    full-outer fusion join runs on two fixed-size lists. Nothing
+    downstream of the heaps grows with the corpus."""
+    from input_data_pipeline_spark.operators.textstats import _bm25_scored
+
+    lex = _rank_sorted_topk(
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score_ppm"), "doc_id")
+        .limit(_RRF_POOL)
+        .select((-F.col("score_ppm")).alias("neg"), "doc_id"),
+        payload=[],
+    ).withColumnRenamed("rank", "lex_rank")
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
+        F.col("e").alias("qe")
+    )
+    sem = _rank_sorted_topk(
+        emb.filter(F.col("vec_id") != _RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            round_micros(cosine(F.col("e"), F.col("qe"))).alias("cosine_ppm"),
+        )
+        .orderBy(F.desc("cosine_ppm"), "doc_id")
+        .limit(_RRF_POOL)
+        .select((-F.col("cosine_ppm")).alias("neg"), "doc_id"),
+        payload=[],
+    ).withColumnRenamed("rank", "sem_rank")
+
+    contrib = "CASE WHEN {r} > 0 THEN 1000000 DIV ({k} + {r}) ELSE 0 END"
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+            F.coalesce("sem_rank", F.lit(0)).alias("sem_rank"),
+        )
+        .withColumn(
+            "rrf_ppm",
+            F.expr(
+                contrib.format(r="lex_rank", k=_RRF_K)
+                + " + "
+                + contrib.format(r="sem_rank", k=_RRF_K)
+            ).cast("long"),
+        )
+    )
+    return _rank_sorted_topk(
+        fused.orderBy(F.desc("rrf_ppm"), "doc_id")
+        .limit(_RRF_TOPK)
+        .select(
+            (-F.col("rrf_ppm")).alias("neg"),
+            "doc_id",
+            "rrf_ppm",
+            "lex_rank",
+            "sem_rank",
+        ),
+        payload=["rrf_ppm", "lex_rank", "sem_rank"],
+    ).orderBy("rank")
+
+
+def _install_rrf_oracle() -> None:
+    """Assemble the hybrid oracle from the two verified stacks (the
+    ``minhash_lsh_quality`` composition pattern): the BM25 CTE chain from
+    ``bm25_doc_search``'s oracle and the cosine ranking from
+    ``semantic_doc_search``'s, fused with the same integer RRF."""
+    import dataclasses
+
+    from input_data_pipeline_spark.functions.text import DUCK_TOKENS
+    from input_data_pipeline_spark.operators.textstats import _DUCK_BM25_Q
+    from input_data_pipeline_spark.plans.registry import _REGISTRY
+
+    sql = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({DUCK_TOKENS}) AS token FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    corp AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT SUM(dl) FROM dl) AS sum_dl),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok
+      WHERE token IN ({_DUCK_BM25_Q}) GROUP BY doc_id, token),
+    dfq AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok
+      WHERE token IN ({_DUCK_BM25_Q}) GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               CAST(ROUND(ln((2 * c.n_docs + 2) * 1.0 / (2 * dfq.df + 1))
+                          * 1000000) AS BIGINT)
+               * ((11000000 * tf.tf * 1000000)
+                  // (5000000 * tf.tf
+                      + 6 * (250000 + 750000 * dl.dl * c.n_docs // c.sum_dl)))
+               // 1000000
+             ) AS score_ppm
+      FROM tf
+      JOIN dfq USING (token)
+      JOIN dl USING (doc_id)
+      CROSS JOIN corp c
+      GROUP BY tf.doc_id),
+    lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id) AS lex_rank
+      FROM scored ORDER BY score_ppm DESC, doc_id LIMIT {_RRF_POOL}),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sem_scored AS (
+      SELECT c.vec_id AS doc_id,
+             CAST(ROUND(({_DUCK_COS}) * 1000000) AS BIGINT) AS cosine_ppm
+      FROM v qa JOIN v c
+        ON qa.vec_id = {_RRF_QUERY_VEC} AND c.vec_id <> {_RRF_QUERY_VEC}),
+    sem AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY cosine_ppm DESC, doc_id) AS sem_rank
+      FROM sem_scored ORDER BY cosine_ppm DESC, doc_id LIMIT {_RRF_POOL}),
+    fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             COALESCE(l.lex_rank, 0) AS lex_rank,
+             COALESCE(s.sem_rank, 0) AS sem_rank
+      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id),
+    rrf AS (
+      SELECT doc_id, lex_rank, sem_rank,
+             CAST((CASE WHEN lex_rank > 0
+                        THEN 1000000 // ({_RRF_K} + lex_rank) ELSE 0 END)
+                + (CASE WHEN sem_rank > 0
+                        THEN 1000000 // ({_RRF_K} + sem_rank) ELSE 0 END)
+               AS BIGINT) AS rrf_ppm
+      FROM fused)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_ppm DESC, doc_id) AS BIGINT)
+             AS rank,
+           doc_id, rrf_ppm,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(sem_rank AS BIGINT) AS sem_rank
+    FROM rrf
+    ORDER BY rrf_ppm DESC, doc_id
+    LIMIT {_RRF_TOPK}
+    """
+    spec = _REGISTRY["hybrid_search_rrf"]
+    _REGISTRY["hybrid_search_rrf"] = dataclasses.replace(spec, oracle=sql)
+
+
+_install_rrf_oracle()

@@ -80,21 +80,26 @@ def _load_all() -> None:
 
 # Externally-visible enumeration order. External snapshots of the registry
 # truncate to a prefix (50 slots), so the queries that most need fresh
-# differential evidence must enumerate first. Round-11 rotation:
-# (a) never-driver-checked queries lead — the three r10-added
-# codec-surface queries plus the five added THIS round
-# (g711_decode_features / fasttext_lang_filter / image_dhash_near_dups /
-# semantic_contamination / bpe_encode_fixed, each pre-verified
-# driver-canon at sf0.01 AND sf0.1 before entering);
-# (b) the three r4-era queries deferred in r10; (c) the full r5 bucket
-# (20 queries, stalest remaining driver green); (d) the r6 bucket (9);
-# (e) the 6 LLM-core anchors stay in every window; (f) the remaining 4
-# slots start the r7 bucket (alphabetical; the other 21 r7-era queries
-# rotate in next round). Everything evicted was green in the r10 window
-# (50/50) or holds >= 2 lifetime greens. Names not listed keep
-# registration order after the listed ones.
+# differential evidence must enumerate first. Round-12 rotation — NOTE:
+# the round-11 window never produced a driver artifact (no
+# CORRECTNESS_r11.json), so its never-checked head and the r4/r5/r6
+# buckets it carried are still the stalest evidence and stay in:
+# (a) never-driver-checked queries lead — the r10/r11 codec-and-selection
+# eight plus the four added THIS round (small_qty_order_revenue /
+# epoch_repetition_plan / hybrid_search_rrf / mp3_probe_features, each
+# pre-verified driver-canon at sf0.01 and in a hostile-TZ fresh-process
+# driver mimic before entering);
+# (b) the three r4-era queries; (c) the full r5 bucket (20);
+# (d) the r6 bucket (9); (e) the 6 LLM-core anchors (all driver-green
+# r10) fill the window to exactly 50. The 25 r7-era queries rotate in
+# next round. Names not listed keep registration order after the listed
+# ones.
 _PRIORITY: list[str] = [
-    # --- (a) never driver-checked (added in r10 + r11) ---
+    # --- (a) never driver-checked (r10 + r11 + this round's four) ---
+    "small_qty_order_revenue",
+    "epoch_repetition_plan",
+    "hybrid_search_rrf",
+    "mp3_probe_features",
     "audio_decode_features",
     "image_decode_features",
     "video_decode_features",
@@ -103,7 +108,7 @@ _PRIORITY: list[str] = [
     "image_dhash_near_dups",
     "semantic_contamination",
     "bpe_encode_fixed",
-    # --- (b) last driver green r4 (deferred from the r10 window) ---
+    # --- (b) last driver green r4 ---
     "dedup_bow_clusters",
     "dedup_cluster_assignment",
     "frame_sample",
@@ -145,18 +150,11 @@ _PRIORITY: list[str] = [
     "knn_ivf",
     "contamination_overlap",
     "doc_quality",
-    # --- (f) r7 bucket, first 4 of 25 (alphabetical) ---
-    "bigram_lm_doc_scores",
-    "bloom_dedup_precheck",
-    "bpe_token_estimate",
-    "countmin_merge_sources",
 ]
-# Round-11 state: after this window is green, no registry query's latest
-# driver green predates round 7; r12 should rotate in the remaining 21
-# r7-era queries (countmin_token_freq, curation_funnel, doc_token_stats, dup_cluster_size_histogram,
-# exact_substring_coverage, hll_distinct_tokens ...
-# weighted_doc_sample_pps) plus any queries added in r12.
-
+# Round-12 state: if this window goes driver-green, the stalest remaining
+# evidence is the 25-query r7 bucket (bigram_lm_doc_scores ...
+# weighted_doc_sample_pps) — head the r13 window with it plus any r13
+# additions; the r9 bucket (44 queries) follows.
 
 
 def _ordered() -> dict[str, QuerySpec]:

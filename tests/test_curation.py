@@ -227,3 +227,27 @@ def test_semantic_contamination_is_consistent_and_sparse(spark, sf_dir):
         assert r.n_eval_hits <= _SCON_EVAL
     flagged = [r for r in rows if r.contaminated]
     assert flagged and len(flagged) < len(rows) // 10
+
+
+def test_epoch_repetition_plan_invariants(spark, sf_dir):
+    """Allocation = min(uniform target, 4 epochs of self); epochs cap at
+    4e6 ppm; capped ⟺ positive shortfall; target is the same for every
+    source (uniform mix of a 2x-corpus budget)."""
+    from input_data_pipeline_spark.operators.curation import (
+        _EPOCH_BUDGET_X,
+        _EPOCH_CAP,
+        epoch_repetition_plan,
+    )
+
+    rows = epoch_repetition_plan(spark, sf_dir).collect()
+    assert rows, "no sources?"
+    total = sum(r.n_tokens for r in rows)
+    target = _EPOCH_BUDGET_X * total // len(rows)
+    for r in rows:
+        assert r.target_tokens == target
+        assert r.allocated_tokens == min(target, _EPOCH_CAP * r.n_tokens)
+        assert r.epochs_ppm == r.allocated_tokens * 1_000_000 // r.n_tokens
+        assert r.epochs_ppm <= _EPOCH_CAP * 1_000_000
+        assert r.capped == (_EPOCH_CAP * r.n_tokens < target)
+        assert r.shortfall_tokens == target - r.allocated_tokens
+        assert r.capped == (r.shortfall_tokens > 0)

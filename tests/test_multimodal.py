@@ -2291,3 +2291,109 @@ def test_image_dhash_giant_cluster_is_group_grain(spark, tmp_path):
     for r in rows.values():
         assert r.n_exact == sizes[r.dhash] - 1
         assert r.n_near >= r.n_exact
+
+
+# ---------------------------------------------------------------------------
+# MPEG audio (MP3) frame-header probe — round 12
+# ---------------------------------------------------------------------------
+
+
+def test_mp3_probe_walks_vbr_frames_exactly():
+    from input_data_pipeline_spark.operators.multimodal import (
+        _MP3_KBPS,
+        _mp3_frame_len,
+        encode_mp3,
+        probe_mpeg_audio,
+    )
+
+    frames = [(1, 0), (5, 1), (14, 0), (5, 1)]
+    blob = encode_mp3(frames, sr_index=2, id3_payload=33)
+    m = probe_mpeg_audio(blob)
+    assert m["n_frames"] == 4
+    assert m["sample_rate"] == 32000
+    assert m["n_samples"] == 4 * 1152
+    assert m["duration_ms"] == 4 * 1152 * 1000 // 32000
+    kbps = [_MP3_KBPS[3][i - 1] for i, _ in frames]
+    assert m["mean_bitrate_kbps"] == sum(kbps) // 4
+    assert m["vbr"] is True
+    assert m["n_bytes"] == len(blob) == 10 + 33 + sum(
+        _mp3_frame_len(3, k, 32000, p) for k, (_, p) in zip(kbps, frames)
+    )
+
+
+def test_mp3_probe_mpeg2_and_trailing_id3v1():
+    from input_data_pipeline_spark.operators.multimodal import (
+        encode_mp3,
+        probe_mpeg_audio,
+    )
+
+    blob = encode_mp3([(3, 0)] * 5, sr_index=0, ver_bits=2)
+    m = probe_mpeg_audio(blob + b"TAG" + bytes(125))
+    assert m["mpeg_version"] == "2"
+    assert m["n_samples"] == 5 * 576
+    assert m["sample_rate"] == 22050
+    assert m["vbr"] is False
+
+
+def test_mp3_probe_error_paths():
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        encode_mp3,
+        probe_mpeg_audio,
+    )
+
+    good = encode_mp3([(4, 0)], sr_index=0)
+    with pytest.raises(ValueError, match="truncated MPEG frame"):
+        probe_mpeg_audio(good[:-10])
+    with pytest.raises(ValueError, match="lost MPEG frame sync"):
+        probe_mpeg_audio(good + b"\x00garbage")
+    with pytest.raises(ValueError, match="free-format"):
+        probe_mpeg_audio(bytes([0xFF, 0xFB, 0x02, 0xC0]) + bytes(100))
+    with pytest.raises(ValueError, match="reserved MPEG version"):
+        probe_mpeg_audio(bytes([0xFF, 0xEB, 0x42, 0xC0]) + bytes(100))
+    with pytest.raises(ValueError, match="Layer III"):
+        # layer bits 0b10 = Layer II
+        probe_mpeg_audio(bytes([0xFF, 0xFD, 0x42, 0xC0]) + bytes(100))
+    with pytest.raises(ValueError, match="no MPEG audio frames"):
+        probe_mpeg_audio(b"ID3" + bytes([3, 0, 0, 0, 0, 0, 0]))
+
+
+def test_probe_audio_wav_face_and_bitrate():
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        encode_wav,
+        probe_audio,
+    )
+
+    samples = np.arange(800, dtype=np.int16)
+    m = probe_audio(encode_wav(samples, frame_rate=16000))
+    assert m["container"] == "wav"
+    assert m["n_frames"] == 800
+    assert m["duration_ms"] == 50
+    assert m["mean_bitrate_kbps"] == 16000 * 2 * 8 // 1000
+    assert m["vbr"] is False
+
+
+def test_extract_audio_metadata_routes_errors(spark):
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        encode_mp3,
+        encode_wav,
+        extract_audio_metadata,
+    )
+
+    rows = [
+        (1, encode_wav(np.zeros(160, dtype=np.int16))),
+        (2, encode_mp3([(2, 0), (9, 1)], sr_index=1, id3_payload=5)),
+        (3, b"\x00\x01not audio at all"),
+        (4, encode_mp3([(2, 0)])[:-20]),  # truncated frame
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in extract_audio_metadata(df).collect()}
+    assert got[1].container == "wav" and got[1].err is None
+    assert got[2].container == "mp3" and got[2].vbr and got[2].n_frames == 2
+    assert got[3].container == "error" and "external media" in got[3].err
+    assert got[4].container == "error" and "truncated" in got[4].err

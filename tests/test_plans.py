@@ -442,3 +442,31 @@ def test_semantic_contamination_plan_is_map_only(spark, sf_dir):
     assert "Join" not in plan
     assert "Window" not in plan
     assert len(re.findall(r"Exchange (?!rangepartitioning)", plan)) == 0
+
+
+def test_round12_retrieval_and_threshold_join_plans(spark, sf_dir):
+    """Round-12 plan-quality contract:
+
+    - hybrid_search_rrf: both per-system pools are TakeOrderedAndProject
+      top-k; ranks come from sorted-array posexplode — no WindowExec, no
+      cartesian. (The lex⋈sem fusion join runs on two pool-bounded lists,
+      so its physical strategy is immaterial at scale.)
+    - small_qty_order_revenue: no window, no cartesian; the part
+      dimension broadcasts, and the agg-derived threshold join keys on
+      l_partkey (AQE broadcasts the part-sized threshold table when it
+      fits; at larger scales it shuffles on the key the aggregate
+      already hashed)."""
+    from input_data_pipeline_spark.operators.relational import (
+        small_qty_order_revenue,
+    )
+    from input_data_pipeline_spark.operators.similarity import hybrid_search_rrf
+
+    rrf_plan = _executed_plan(hybrid_search_rrf(spark, sf_dir))
+    assert "Window" not in rrf_plan
+    assert "TakeOrderedAndProject" in rrf_plan
+    assert "Cartesian" not in rrf_plan
+
+    q17_plan = _executed_plan(small_qty_order_revenue(spark, sf_dir))
+    assert "Window" not in q17_plan
+    assert "Cartesian" not in q17_plan
+    assert "BroadcastHashJoin" in q17_plan

@@ -213,3 +213,39 @@ def test_event_daily_anomalies_flags_planted_spike(spark, tmp_path):
     assert flagged == expect == {11}
     for r in got.values():
         assert r.is_anomaly == (r.dev_sq_scaled >= r.threshold_scaled)
+
+
+def test_small_qty_threshold_matches_independent_recompute(spark, sf_dir):
+    """Q17 shape vs a driver-side pandas recompute at sf0.001: the same
+    brands, line counts, and exact micros revenue."""
+    import pandas as pd
+
+    from input_data_pipeline_spark.operators.relational import (
+        small_qty_order_revenue,
+    )
+    from input_data_pipeline_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    ).toPandas()
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    ).toPandas()
+    g = li.groupby("l_partkey")["l_quantity"].agg(["sum", "count"])
+    m = li.merge(g, left_on="l_partkey", right_index=True).merge(
+        part, left_on="l_partkey", right_on="p_partkey"
+    )
+    small = m[5 * m["l_quantity"].astype(int) * m["count"] < m["sum"].astype(int)]
+    expect = {
+        brand: (
+            len(sub),
+            sub["l_partkey"].nunique(),
+            int(sum(round(v * 1_000_000) for v in sub["l_extendedprice"])),
+        )
+        for brand, sub in small.groupby("p_brand")
+    }
+    got = {
+        r.p_brand: (r.n_small_lines, r.n_parts, r.revenue_micros)
+        for r in small_qty_order_revenue(spark, sf_dir).collect()
+    }
+    assert got == expect

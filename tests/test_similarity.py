@@ -225,3 +225,28 @@ def test_large_k_assignment_uses_broadcast_numpy_path(spark, sf_dir):
     seed_ids = {r["vec_id"]: i + 1 for i, r in enumerate(seeds)}
     for vid, cid in seed_ids.items():
         assert npy[vid] == (0, cid)
+
+
+def test_hybrid_search_rrf_fuses_both_systems(spark, sf_dir):
+    """RRF output invariants: dense ranks 1..k; every fused doc carries at
+    least one system rank; the fused score is exactly the integer RRF of
+    the recorded ranks; ordering follows (rrf_ppm DESC, doc_id)."""
+    from input_data_pipeline_spark.operators.similarity import (
+        _RRF_K,
+        _RRF_POOL,
+        hybrid_search_rrf,
+    )
+
+    rows = hybrid_search_rrf(spark, sf_dir).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert rows, "empty fusion"
+    for r in rows:
+        assert 0 <= r.lex_rank <= _RRF_POOL
+        assert 0 <= r.sem_rank <= _RRF_POOL
+        assert r.lex_rank > 0 or r.sem_rank > 0
+        expect = (1_000_000 // (_RRF_K + r.lex_rank) if r.lex_rank else 0) + (
+            1_000_000 // (_RRF_K + r.sem_rank) if r.sem_rank else 0
+        )
+        assert r.rrf_ppm == expect
+    keys = [(-r.rrf_ppm, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
