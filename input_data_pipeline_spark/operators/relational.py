@@ -1819,3 +1819,166 @@ def small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted PageRank over the supplier→customer nation trade graph
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 4
+_PR_DAMP_PM = 850  # d = 0.85 in per-mille
+
+
+def _pr_oracle() -> str:
+    """Unrolled-CTE oracle for :func:`trade_pagerank`: the same edge
+    derivation, then ``_PR_ITERS`` explicit iterations of the identical
+    integer update — per-edge floor division inside the sum, so the fold
+    is order-independent and bit-exact cross-engine."""
+    base = [
+        """
+    edges AS (
+      SELECT sn.n_name AS src, cn.n_name AS dst, COUNT(*) AS w
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      GROUP BY sn.n_name, cn.n_name),
+    nodes AS (
+      SELECT src AS nation FROM edges
+      UNION SELECT dst FROM edges),
+    ncnt AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+    ow AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+    e AS (SELECT edges.src, edges.dst, edges.w, ow.ow
+          FROM edges JOIN ow ON edges.src = ow.src),
+    r0 AS (
+      SELECT nd.nation, 1000000 // nc.n_nodes AS pr_ppm
+      FROM nodes nd CROSS JOIN ncnt nc)"""
+    ]
+    for k in range(1, _PR_ITERS + 1):
+        base.append(f"""
+    c{k} AS (
+      SELECT e.dst,
+             SUM(({_PR_DAMP_PM} * r.pr_ppm * e.w) // (1000 * e.ow)) AS inc
+      FROM e JOIN r{k - 1} r ON e.src = r.nation
+      GROUP BY e.dst),
+    r{k} AS (
+      SELECT nd.nation,
+             (1000 - {_PR_DAMP_PM}) * 1000 // nc.n_nodes
+               + COALESCE(c.inc, 0) AS pr_ppm
+      FROM nodes nd CROSS JOIN ncnt nc
+      LEFT JOIN c{k} c ON c.dst = nd.nation)""")
+    return (
+        "    WITH "
+        + ",".join(base)
+        + f"""
+    SELECT r.nation,
+           CAST(r.pr_ppm AS BIGINT) AS pr_ppm,
+           CAST(COALESCE((SELECT SUM(w) FROM edges WHERE src = r.nation), 0)
+                AS BIGINT) AS out_weight,
+           CAST(COALESCE((SELECT SUM(w) FROM edges WHERE dst = r.nation), 0)
+                AS BIGINT) AS in_weight
+    FROM r{_PR_ITERS} r
+    ORDER BY pr_ppm DESC, nation
+    """
+    )
+
+
+@register("trade_pagerank", oracle=_pr_oracle())
+def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (Page et al. 1999) over the supplier-nation →
+    customer-nation trade graph: edge weight = lineitem count shipped
+    from a supplier in ``src`` to a customer in ``dst``; damping 0.85,
+    ``_PR_ITERS`` synchronous iterations — the fourth iterative-algorithm
+    pattern in the engine (after connected components, Lloyd k-means and
+    power iteration), in the shape GraphX/Pregel executes it.
+
+    Exactness: ranks live in integer ppm; each iteration adds the
+    teleport term ``150000 DIV n`` and per-edge contributions
+    ``(850·pr·w) DIV (1000·out_w)`` — the floor division happens PER
+    EDGE, inside the sum, so the fold is order-independent and both
+    engines agree bit-for-bit (the float formulation would be
+    order-dependent across shuffle partitionings).
+
+    Scale shape: the edge table comes from ONE corpus-sized join+reduce
+    (the ``nation_pair_volume`` shape: dimensions broadcast onto the
+    fact, map-side-combinable count). Every iteration after that touches
+    only the node-sized rank table (broadcast onto the edges) and the
+    edge table — a groupBy(dst) shuffle of |E| rows, never the facts.
+    That is exactly distributed PageRank's cost model: iterations are
+    O(|E|), independent of corpus size once edges are built. Dangling
+    nodes (no out-edges) keep receiving the teleport term and simply
+    contribute nothing, deterministically."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("src"))
+    )
+    cust = F.broadcast(
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("dst"))
+    )
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    # edges are node²-bounded: cut the corpus-sized lineage here so the
+    # 4 iteration plans reuse the reduced table, not the fact joins
+    edges = edges.localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("nation"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    ncnt = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ow = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    e = edges.join(ow, "src")
+    r = nodes.crossJoin(F.broadcast(ncnt)).select(
+        "nation", F.expr("1000000 DIV n_nodes").alias("pr_ppm")
+    )
+    teleport = F.expr(f"(1000 - {_PR_DAMP_PM}) * 1000 DIV n_nodes")
+    for _ in range(_PR_ITERS):
+        contrib = (
+            e.join(
+                F.broadcast(r.withColumnRenamed("nation", "src")), "src"
+            )
+            .groupBy("dst")
+            .agg(
+                F.sum(
+                    F.expr(f"({_PR_DAMP_PM} * pr_ppm * w) DIV (1000 * ow)")
+                ).alias("inc")
+            )
+        )
+        r = (
+            nodes.crossJoin(F.broadcast(ncnt))
+            .join(contrib, F.col("nation") == F.col("dst"), "left")
+            .select(
+                "nation",
+                (teleport + F.coalesce("inc", F.lit(0))).alias("pr_ppm"),
+            )
+        )
+    in_w = edges.groupBy(F.col("dst").alias("nation")).agg(
+        F.sum("w").alias("in_weight")
+    )
+    out_w = edges.groupBy(F.col("src").alias("nation")).agg(
+        F.sum("w").alias("out_weight")
+    )
+    return (
+        r.join(out_w, "nation", "left")
+        .join(in_w, "nation", "left")
+        .select(
+            "nation",
+            "pr_ppm",
+            F.coalesce("out_weight", F.lit(0)).cast("long").alias("out_weight"),
+            F.coalesce("in_weight", F.lit(0)).cast("long").alias("in_weight"),
+        )
+        .orderBy(F.desc("pr_ppm"), "nation")
+    )

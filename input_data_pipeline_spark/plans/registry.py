@@ -90,7 +90,8 @@ def _load_all() -> None:
 # pre-verified driver-canon at sf0.01 and in a hostile-TZ fresh-process
 # driver mimic before entering);
 # (b) the three r4-era queries; (c) the full r5 bucket (20);
-# (d) the r6 bucket (9); (e) the 6 LLM-core anchors (all driver-green
+# (d) the r6 bucket (8; url_domain_stats defers to r13 to keep the
+# window at 50 after trade_pagerank joined the head); (e) the 6 LLM-core anchors (all driver-green
 # r10) fill the window to exactly 50. The 25 r7-era queries rotate in
 # next round. Names not listed keep registration order after the listed
 # ones.
@@ -100,6 +101,7 @@ _PRIORITY: list[str] = [
     "epoch_repetition_plan",
     "hybrid_search_rrf",
     "mp3_probe_features",
+    "trade_pagerank",
     "audio_decode_features",
     "image_decode_features",
     "video_decode_features",
@@ -142,7 +144,6 @@ _PRIORITY: list[str] = [
     "semdedup_embedding_clusters",
     "source_quota_cap",
     "stratified_doc_sample",
-    "url_domain_stats",
     # --- (e) LLM-core anchors (stay in every window) ---
     "dedup_minhash_lsh",
     "ngram_jaccard_pairs",

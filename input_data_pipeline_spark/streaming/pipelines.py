@@ -734,6 +734,24 @@ def stream_media_probe(blobs: DataFrame) -> DataFrame:
     return extract_video_metadata(blobs)
 
 
+def stream_audio_probe(blobs: DataFrame) -> DataFrame:
+    """Streaming face of the AUDIO routing pass (round 12) — the audio
+    twin of :func:`stream_media_probe`: probe every arriving audio blob
+    for container metadata (WAV RIFF chunk walk; MP3 Layer III
+    frame-header walk with exact VBR duration/mean bitrate) and surface
+    unprobeable payloads as ``container='error'`` rows, never a dead
+    task. Same unification contract: THE SAME Arrow-batched kernel as
+    the batch pass (``operators/multimodal.py::extract_audio_metadata``)
+    — stateless, map-only, composes in front of the stateful stages
+    (``stream_audio_dedup``'s content-key decode only runs on blobs the
+    probe routed to a decodable format)."""
+    from input_data_pipeline_spark.operators.multimodal import (
+        extract_audio_metadata,
+    )
+
+    return extract_audio_metadata(blobs)
+
+
 def stream_selection_tags(
     docs: DataFrame,
     dsir: tuple[dict[int, int], tuple[int, int]] | None = None,

@@ -249,3 +249,26 @@ def test_small_qty_threshold_matches_independent_recompute(spark, sf_dir):
         for r in small_qty_order_revenue(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_trade_pagerank_invariants(spark, sf_dir):
+    """PageRank invariants: every nation node appears once; rank is at
+    least the teleport floor; total mass never exceeds 1e6 (per-edge
+    floor divisions only lose mass); rank correlates with receiving
+    edges (the max-in-weight node outranks the min-in-weight node); and
+    the computation is deterministic across runs."""
+    from input_data_pipeline_spark.operators.relational import trade_pagerank
+
+    rows = trade_pagerank(spark, sf_dir).collect()
+    n = len(rows)
+    assert n == len({r.nation for r in rows})
+    teleport = 150_000 * 1000 // (1000 * n)  # (1000-850)*1000 DIV n
+    for r in rows:
+        assert r.pr_ppm >= teleport
+        assert r.out_weight >= 0 and r.in_weight >= 0
+    assert sum(r.pr_ppm for r in rows) <= 1_000_000
+    hi = max(rows, key=lambda r: r.in_weight)
+    lo = min(rows, key=lambda r: r.in_weight)
+    assert hi.pr_ppm >= lo.pr_ppm
+    again = trade_pagerank(spark, sf_dir).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]

@@ -1565,3 +1565,54 @@ def test_stream_audio_dedup_keys_on_decoded_content(spark, tmp_path):
     assert rows["ulaw"].audio_key != rows["alaw"].audio_key
     junk = rows["junk"]
     assert junk.audio_key is None and junk.decode_err
+
+
+def test_stream_audio_probe_matches_batch(spark, tmp_path):
+    """Round-12 streaming face of the audio routing pass: probing an
+    audio-blob STREAM yields row-identical results to the batch kernel —
+    a PCM WAV and a VBR MP3 route with exact metadata, junk and a
+    truncated MP3 frame surface as error rows instead of killing the
+    micro-batch."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        encode_mp3,
+        encode_wav,
+        extract_audio_metadata,
+    )
+    from input_data_pipeline_spark.streaming.pipelines import (
+        run_to_memory,
+        stream_audio_probe,
+    )
+
+    rows = [
+        (1, encode_wav(np.zeros(320, dtype=np.int16))),
+        (2, encode_mp3([(2, 0), (9, 1), (9, 0)], sr_index=2, id3_payload=6)),
+        (3, b"\x01\x02 junk"),
+        (4, encode_mp3([(4, 0)])[:-8]),
+    ]
+    src = tmp_path / "audio_blobs"
+    spark.createDataFrame(rows, "doc_id long, payload binary").coalesce(
+        1
+    ).write.parquet(str(src))
+
+    batch = {
+        r.doc_id: r
+        for r in extract_audio_metadata(spark.read.parquet(str(src))).collect()
+    }
+    sdf = spark.readStream.schema("doc_id long, payload binary").parquet(str(src))
+    name = _unique("audioprobe")
+    q = run_to_memory(stream_audio_probe(sdf), name)
+    try:
+        q.processAllAvailable()
+        got = {r.doc_id: r for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+
+    assert set(got) == {1, 2, 3, 4}
+    for k in got:
+        assert got[k] == batch[k], k
+    assert got[1].container == "wav" and got[1].duration_ms == 20
+    assert got[2].container == "mp3" and got[2].vbr and got[2].n_frames == 3
+    assert got[3].container == "error" and "non-WAV/MP3" in got[3].err
+    assert got[4].container == "error" and "truncated" in got[4].err
