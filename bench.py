@@ -96,6 +96,11 @@ HEADLINE = [
     # perceptual-hash image near-dup dedup
     "fasttext_lang_filter",
     "image_dhash_near_dups",
+    # round 12 additions (additive): agg-derived-threshold join, hybrid
+    # RRF retrieval, iterative weighted PageRank
+    "small_qty_order_revenue",
+    "hybrid_search_rrf",
+    "trade_pagerank",
 ]
 
 

@@ -1841,7 +1841,14 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
     REAL for Motion-JPEG AVI (round 10): ``..dc`` frames under a
     ``MJPG`` fourcc route per-frame through :func:`_decode_jpeg` and
     come back as the same bottom-up DIB plane as raw AVI (see
-    :func:`_decode_avi`). Only genuinely external codecs (compressed
+    :func:`_decode_avi`).
+
+    REAL for FLAC (round 12, RFC 9639): metadata block walk, frame
+    header parse with CRC-8, CONSTANT/VERBATIM/FIXED subframes with
+    rice- or escape-coded residual partitions, frame CRC-16 and the
+    STREAMINFO MD5 check (see :func:`_decode_flac`) — compressed
+    lossless audio is no longer a seam; only LPC subframes route to the
+    external-codec seam. Only genuinely external codecs (compressed
     video/audio SAMPLE decode: H.264/AAC in MP4, interframe AVI codecs,
     arithmetic/12-bit JPEG) stay the documented seam: those aren't in
     this container, and on a real cluster the call MUST go through a
@@ -1874,6 +1881,8 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
             f"real {modality} decode requires external media libraries; "
             "wire ffmpeg/PIL here on a real cluster (SURVEY §2.10 U1/U2)"
         )
+    if payload[:4] == b"fLaC":
+        return _decode_flac(payload)
     if (
         len(payload) >= 12
         and payload[:4] == b"RIFF"
@@ -3197,6 +3206,30 @@ def probe_audio(payload: bytes) -> dict:
             ),
             "vbr": False,
         }
+    if payload[:4] == b"fLaC":
+        # STREAMINFO-only probe: no frame decode needed for metadata
+        import struct as _struct
+
+        if len(payload) < 4 + 4 + 34:
+            raise ValueError("truncated FLAC STREAMINFO")
+        body = payload[8:42]
+        sr = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
+        ch = ((body[12] >> 1) & 0x07) + 1
+        total = ((body[13] & 0x0F) << 32) | int.from_bytes(body[14:18], "big")
+        if sr == 0:
+            raise ValueError("STREAMINFO sample rate is zero")
+        dur = total * 1000 // sr if total else None
+        return {
+            "container": "flac",
+            "sample_rate": sr,
+            "n_channels": ch,
+            "n_frames": total or None,
+            "duration_ms": dur,
+            "mean_bitrate_kbps": (
+                len(payload) * 8 * sr // (total * 1000) if total else None
+            ),
+            "vbr": True,  # FLAC frames are inherently variable-size
+        }
     if payload[:3] == b"ID3" or (
         len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
     ):
@@ -3341,5 +3374,516 @@ def mp3_probe_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = (
         "doc_id long, n_frames long, sample_rate long, duration_ms long, "
         "n_bytes long, mean_bitrate_kbps long, vbr boolean"
+    )
+    return docs.mapInPandas(run, schema).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# FLAC (RFC 9639) — real lossless-compressed audio decode, round 12
+# ---------------------------------------------------------------------------
+
+# CRC-8 poly 0x07 and CRC-16 poly 0x8005 (both init 0), per RFC 9639 §9.1.
+_FLAC_CRC8 = []
+for _b in range(256):
+    _c = _b
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x07) & 0xFF if _c & 0x80 else (_c << 1) & 0xFF
+    _FLAC_CRC8.append(_c)
+_FLAC_CRC16 = []
+for _b in range(256):
+    _c = _b << 8
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x8005) & 0xFFFF if _c & 0x8000 else (_c << 1) & 0xFFFF
+    _FLAC_CRC16.append(_c)
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = _FLAC_CRC8[c ^ b]
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = _FLAC_CRC16[((c >> 8) ^ b) & 0xFF] ^ ((c << 8) & 0xFFFF)
+    return c
+
+
+class _BitWriter:
+    """MSB-first bit accumulator (the FLAC bitstream order)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zeros then a 1
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """MSB-first bit reader with hard end-of-payload errors."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, nbits: int) -> int:
+        out = 0
+        for _ in range(nbits):
+            if self.byte >= len(self.data):
+                raise ValueError("truncated FLAC bitstream")
+            out = (out << 1) | ((self.data[self.byte] >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return out
+
+    def read_signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        return v - (1 << nbits) if v & (1 << (nbits - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 24:
+                raise ValueError("runaway unary code in FLAC bitstream")
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+def _flac_fixed_residual(samples, order: int):
+    """Residual of the FIXED predictor of the given order (RFC 9639
+    §10.2.2: successive differencing)."""
+    out = [int(s) for s in samples]
+    for _ in range(order):
+        out = [out[i] - out[i - 1] for i in range(1, len(out))]
+    return out
+
+
+def _rice_cost(res: list[int], r: int) -> int:
+    return sum(((e << 1) ^ (e >> 63) if e >= 0 else (-e << 1) - 1) >> r for e in res) + len(res) * (r + 1)
+
+
+def encode_flac(
+    samples,
+    sample_rate: int = 16000,
+    block_size: int = 256,
+    partition_order: int = 0,
+    force_escape: bool = False,
+    force_verbatim: bool = False,
+) -> bytes:
+    """Assemble a real mono 16-bit FLAC stream (RFC 9639): fLaC magic,
+    STREAMINFO (with the true MD5 of the unencoded PCM), then one frame
+    per block — frame headers with CRC-8, per-block subframe choice
+    (CONSTANT for flat blocks, else the best FIXED predictor order 0-2
+    by exact rice cost, VERBATIM on demand), rice-coded residuals with
+    the requested partition order, frame CRC-16. Every bit of this is
+    the published format; a decoder slip anywhere (predictor algebra,
+    zigzag, unary, CRC, MD5) corrupts real checksums."""
+    import hashlib
+
+    import numpy as np
+
+    samples = np.asarray(samples, dtype=np.int16)
+    n_total = len(samples)
+    md5 = hashlib.md5(samples.astype("<i2").tobytes()).digest()
+    out = bytearray(b"fLaC")
+    si = _BitWriter()
+    si.write(block_size, 16)
+    si.write(block_size, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(sample_rate, 20)
+    si.write(0, 3)  # channels - 1
+    si.write(15, 5)  # bps - 1
+    si.write(n_total, 36)
+    body = si.bytes() + md5
+    out += bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+    frame_no = 0
+    pos = 0
+    while pos < n_total or (n_total == 0 and frame_no == 0):
+        block = [int(s) for s in samples[pos : pos + block_size]]
+        pos += len(block)
+        bw = _BitWriter()
+        bw.write(0b11111111111110, 14)
+        bw.write(0, 1)
+        bw.write(0, 1)  # fixed-blocksize stream
+        bw.write(0b0111, 4)  # blocksize: 16-bit field at header end
+        bw.write(0b0000, 4)  # sample rate: from STREAMINFO
+        bw.write(0, 4)  # mono
+        bw.write(0b100, 3)  # 16-bit samples
+        bw.write(0, 1)
+        # coded number (UTF-8 style); frame counters here stay < 2^7
+        if frame_no < 0x80:
+            bw.write(frame_no, 8)
+        else:
+            bw.write(0b110, 3)
+            bw.write(frame_no >> 6, 5)
+            bw.write(0b10, 2)
+            bw.write(frame_no & 0x3F, 6)
+        bw.write(len(block) - 1, 16)
+        bw.align()
+        hdr = bw.bytes()
+        bw = _BitWriter()
+        n = len(block)
+        if force_verbatim:
+            bw.write(0, 1)
+            bw.write(0b000001, 6)
+            bw.write(0, 1)
+            for s in block:
+                bw.write(s & 0xFFFF, 16)
+        elif n and all(s == block[0] for s in block):
+            bw.write(0, 1)
+            bw.write(0b000000, 6)
+            bw.write(0, 1)
+            bw.write(block[0] & 0xFFFF, 16)
+        else:
+            orders = [o for o in (0, 1, 2) if o < n]
+            best = min(
+                orders,
+                key=lambda o: _rice_cost(_flac_fixed_residual(block, o), 8),
+            )
+            res = _flac_fixed_residual(block, best)
+            bw.write(0, 1)
+            bw.write(0b001000 | best, 6)
+            bw.write(0, 1)
+            for s in block[:best]:
+                bw.write(s & 0xFFFF, 16)
+            po = partition_order
+            while (n >> po) << po != n or (n >> po) <= best:
+                po -= 1  # partition order must divide n and cover warmup
+            bw.write(0b00, 2)  # 4-bit rice parameters
+            bw.write(po, 4)
+            idx = 0
+            for p in range(1 << po):
+                cnt = (n >> po) - (best if p == 0 else 0)
+                part = res[idx : idx + cnt]
+                idx += cnt
+                if force_escape:
+                    raw_bits = max(
+                        (e if e >= 0 else ~e).bit_length() + 1 for e in part
+                    ) if part else 1
+                    bw.write(0b1111, 4)
+                    bw.write(raw_bits, 5)
+                    for e in part:
+                        bw.write(e & ((1 << raw_bits) - 1), raw_bits)
+                else:
+                    r = min(range(15), key=lambda rr: _rice_cost(part, rr))
+                    bw.write(r, 4)
+                    for e in part:
+                        m = (e << 1) if e >= 0 else ((-e << 1) - 1)
+                        bw.write_unary(m >> r)
+                        bw.write(m & ((1 << r) - 1), r)
+        bw.align()
+        frame = hdr + bytes([_crc8(hdr)]) + bw.bytes()
+        out += frame + _crc16(frame).to_bytes(2, "big")
+        frame_no += 1
+        if n_total == 0:
+            break
+    return bytes(out)
+
+
+_FLAC_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _decode_flac(payload: bytes) -> dict:
+    """REAL FLAC decode (RFC 9639, the FIXED-predictor profile): metadata
+    block walk → STREAMINFO, then per frame: header parse + CRC-8 check,
+    subframe decode (CONSTANT / VERBATIM / FIXED order 0-4 with rice or
+    escape-coded residual partitions, wasted-bits rescale), predictor
+    reconstruction, CRC-16 check, and a final MD5 comparison against the
+    STREAMINFO signature of the unencoded PCM. LPC subframes are the
+    documented seam (our encoder never emits them; external corpora
+    would route through the singleton codec seam, U2). Mono 16-bit
+    profile — matching every other audio path here."""
+    import hashlib
+
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload (missing fLaC magic)")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated FLAC metadata block header")
+        hdr = payload[pos]
+        last, btype = hdr >> 7, hdr & 0x7F
+        size = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + size]
+        if len(body) < size:
+            raise ValueError("truncated FLAC metadata block")
+        if btype == 0:
+            if size != 34:
+                raise ValueError("malformed STREAMINFO block")
+            br = _BitReader(body)
+            streaminfo = {
+                "min_block": br.read(16),
+                "max_block": br.read(16),
+                "min_frame": br.read(24),
+                "max_frame": br.read(24),
+                "sample_rate": br.read(20),
+                "n_channels": br.read(3) + 1,
+                "bps": br.read(5) + 1,
+                "total_samples": br.read(36),
+                "md5": body[18:34],
+            }
+        pos += 4 + size
+        if last:
+            break
+    if streaminfo is None:
+        raise ValueError("FLAC stream has no STREAMINFO block")
+    if streaminfo["n_channels"] != 1 or streaminfo["bps"] != 16:
+        raise ValueError(
+            "FLAC decode supports the mono 16-bit profile, got "
+            f"{streaminfo['n_channels']}ch/{streaminfo['bps']}-bit"
+        )
+    if streaminfo["sample_rate"] == 0:
+        raise ValueError("STREAMINFO sample rate is zero")
+
+    decoded: list[int] = []
+    total = streaminfo["total_samples"]
+    while len(decoded) < total:
+        frame_start = pos
+        br = _BitReader(payload, pos)
+        if br.read(14) != 0b11111111111110:
+            raise ValueError(f"lost FLAC frame sync at byte {pos}")
+        br.read(1)
+        br.read(1)
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        chan = br.read(4)
+        bps_code = br.read(3)
+        br.read(1)
+        if chan != 0:
+            raise ValueError("FLAC decode supports the mono profile only")
+        # coded number (UTF-8 style, 1-7 bytes)
+        first = br.read(8)
+        if first < 0x80:
+            pass
+        else:
+            extra = 0
+            probe = first
+            while probe & 0x40:
+                extra += 1
+                probe <<= 1
+            for _ in range(extra):
+                if br.read(2) != 0b10:
+                    raise ValueError("malformed FLAC coded frame number")
+                br.read(6)
+        if bs_code == 0b0110:
+            block_size = br.read(8) + 1
+        elif bs_code == 0b0111:
+            block_size = br.read(16) + 1
+        elif 0b0010 <= bs_code <= 0b0101:
+            block_size = 576 << (bs_code - 2)
+        elif bs_code >= 0b1000:
+            block_size = 256 << (bs_code - 8)
+        else:
+            raise ValueError("reserved FLAC block-size code")
+        if sr_code == 0b1100:
+            br.read(8)
+        elif sr_code in (0b1101, 0b1110):
+            br.read(16)
+        elif sr_code == 0b1111:
+            raise ValueError("invalid FLAC sample-rate code")
+        br.align()
+        hdr_len = br.byte - frame_start
+        if _crc8(payload[frame_start : frame_start + hdr_len]) != payload[
+            frame_start + hdr_len
+        ]:
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+        br = _BitReader(payload, frame_start + hdr_len + 1)
+        bps = 16 if bps_code == 0b100 else None
+        if bps is None:
+            raise ValueError("FLAC decode supports 16-bit samples only")
+        # subframe header
+        if br.read(1) != 0:
+            raise ValueError("FLAC subframe padding bit set")
+        stype = br.read(6)
+        wasted = 0
+        if br.read(1):
+            wasted = br.read_unary() + 1
+        eff = bps - wasted
+        if stype == 0b000000:
+            val = br.read_signed(eff)
+            block = [val] * block_size
+        elif stype == 0b000001:
+            block = [br.read_signed(eff) for _ in range(block_size)]
+        elif 0b001000 <= stype <= 0b001100:
+            order = stype & 0x07
+            if order > 4:
+                raise ValueError("reserved FLAC FIXED order")
+            block = [br.read_signed(eff) for _ in range(order)]
+            method = br.read(2)
+            if method > 1:
+                raise ValueError("reserved FLAC residual coding method")
+            pbits = 4 if method == 0 else 5
+            po = br.read(4)
+            if (block_size >> po) << po != block_size:
+                raise ValueError("FLAC partition order does not divide block")
+            res: list[int] = []
+            for p in range(1 << po):
+                cnt = (block_size >> po) - (order if p == 0 else 0)
+                if cnt < 0:
+                    raise ValueError("FLAC partition smaller than warmup")
+                r = br.read(pbits)
+                if r == (1 << pbits) - 1:
+                    raw = br.read(5)
+                    res.extend(
+                        br.read_signed(raw) if raw else 0 for _ in range(cnt)
+                    )
+                else:
+                    for _ in range(cnt):
+                        q = br.read_unary()
+                        m = (q << r) | br.read(r)
+                        res.append((m >> 1) ^ -(m & 1))
+            coefs = _FLAC_FIXED_COEFS[order]
+            for e in res:
+                pred = sum(
+                    c * block[-i - 1] for i, c in enumerate(coefs)
+                )
+                block.append(e + pred)
+        elif stype >= 0b100000:
+            raise ValueError(
+                "FLAC LPC subframes require the external codec seam "
+                "(SURVEY §2.10 U1/U2) — this profile decodes FIXED only"
+            )
+        else:
+            raise ValueError("reserved FLAC subframe type")
+        if wasted:
+            block = [s << wasted for s in block]
+        br.align()
+        crc_end = br.byte
+        if crc_end + 2 > len(payload):
+            raise ValueError("truncated FLAC frame footer")
+        if _crc16(payload[frame_start:crc_end]) != int.from_bytes(
+            payload[crc_end : crc_end + 2], "big"
+        ):
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        decoded.extend(block)
+        pos = crc_end + 2
+
+    import numpy as np
+
+    if len(decoded) > total:
+        decoded = decoded[:total]
+    pcm = np.asarray(decoded, dtype=np.int16).astype("<i2").tobytes()
+    if streaminfo["md5"] != b"\x00" * 16:
+        if hashlib.md5(pcm).digest() != streaminfo["md5"]:
+            raise ValueError("FLAC decoded-PCM MD5 mismatch")
+    return {
+        "n_channels": 1,
+        "sample_width": 2,
+        "frame_rate": streaminfo["sample_rate"],
+        "n_frames": total,
+        "pcm": pcm,
+        "codec": "flac",
+    }
+
+
+@register(
+    "flac_decode_features",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(192 + (d.doc_id % 5) * 64 AS BIGINT) AS n_samples,
+           CAST(8000 + (d.doc_id % 2) * 8000 AS BIGINT) AS sample_rate,
+           CAST(CAST(SUM(ABS((7 * d.doc_id + 11 * s.i) % 2001 - 1000)) AS BIGINT)
+                // (192 + (d.doc_id % 5) * 64) AS BIGINT) AS mean_abs,
+           CAST(MAX(ABS((7 * d.doc_id + 11 * s.i) % 2001 - 1000)) AS BIGINT) AS peak,
+           CAST(CAST(SUM(((7 * d.doc_id + 11 * s.i) % 2001 - 1000)
+                         * ((7 * d.doc_id + 11 * s.i) % 2001 - 1000)) AS BIGINT)
+                // (192 + (d.doc_id % 5) * 64) AS BIGINT) AS energy_mean
+    FROM documents d,
+         LATERAL (SELECT unnest(generate_series(
+             0, CAST(191 + (d.doc_id % 5) * 64 AS BIGINT))) AS i) s
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def flac_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL compressed-lossless audio surface under the differential
+    oracle gate (round 12; companion to ``audio_decode_features`` /
+    ``g711_decode_features``): per document a deterministic int16 signal
+    (closed form over (doc_id, sample index), range ±1000) is encoded to
+    a genuine FLAC stream by :func:`encode_flac` — FIXED predictors,
+    rice-coded residual partitions (partition order varies by doc), frame
+    CRC-8/CRC-16, STREAMINFO MD5 — and decoded back through
+    :func:`_decode_flac`, whose internal CRC and MD5 checks already
+    reject any bitstream slip. Exact integer signal statistics come from
+    the decoded PCM only; the oracle recomputes them from the closed
+    form, so predictor algebra, zigzag/unary coding, partition geometry
+    (block size varies by doc; the last block is short) and checksum
+    handling are all under the hash. Map-only mapInPandas."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_samples": [], "sample_rate": [],
+                "mean_abs": [], "peak": [], "energy_mean": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 192 + (d % 5) * 64
+                sr = 8000 + (d % 2) * 8000
+                i = np.arange(n, dtype=np.int64)
+                samples = ((7 * d + 11 * i) % 2001 - 1000).astype(np.int16)
+                blob = encode_flac(
+                    samples,
+                    sample_rate=sr,
+                    block_size=64 << (d % 2),
+                    partition_order=d % 3,
+                )
+                meta = decode_media(blob, "audio")  # REAL FLAC decode
+                pcm = np.frombuffer(meta["pcm"], np.dtype("<i2")).astype(np.int64)
+                out["doc_id"].append(d)
+                out["n_samples"].append(meta["n_frames"])
+                out["sample_rate"].append(meta["frame_rate"])
+                out["mean_abs"].append(int(np.abs(pcm).sum()) // n)
+                out["peak"].append(int(np.abs(pcm).max()))
+                out["energy_mean"].append(int((pcm * pcm).sum()) // n)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, n_samples long, sample_rate long, mean_abs long, "
+        "peak long, energy_mean long"
     )
     return docs.mapInPandas(run, schema).orderBy("doc_id")

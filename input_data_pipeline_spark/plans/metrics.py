@@ -87,6 +87,12 @@ ANCHORS = [
     # bounded — exactly the property this sweep guards)
     "fasttext_lang_filter",
     "image_dhash_near_dups",
+    # round-12 additions: the agg-derived-threshold self-join (two
+    # corpus-sized passes over lineitem keyed on l_partkey) and the
+    # PageRank edge build (corpus-sized join+reduce; iterations are
+    # node-sized and contribute O(1) shuffle regardless of corpus)
+    "small_qty_order_revenue",
+    "trade_pagerank",
 ]
 
 

@@ -41,6 +41,14 @@ QUERIES = [
     "g711_decode_features",
     "image_dhash_near_dups",
     "bpe_encode_fixed",
+    # round-12 additions (also timestamp-free; full oracle equality under
+    # the hostile session)
+    "small_qty_order_revenue",
+    "hybrid_search_rrf",
+    "trade_pagerank",
+    "mp3_probe_features",
+    "epoch_repetition_plan",
+    "flac_decode_features",
 ]
 
 
@@ -93,6 +101,15 @@ ANSI_QUERIES = [
     "image_dhash_near_dups",
     "semantic_contamination",
     "bpe_encode_fixed",
+    # round-12 additions: cross-multiplied threshold predicate, integer
+    # RRF, per-edge floor-div PageRank update, frame-length arithmetic,
+    # budget DIV allocation
+    "small_qty_order_revenue",
+    "hybrid_search_rrf",
+    "trade_pagerank",
+    "mp3_probe_features",
+    "epoch_repetition_plan",
+    "flac_decode_features",
 ]
 
 

@@ -2397,3 +2397,74 @@ def test_extract_audio_metadata_routes_errors(spark):
     assert got[2].container == "mp3" and got[2].vbr and got[2].n_frames == 2
     assert got[3].container == "error" and "external media" in got[3].err
     assert got[4].container == "error" and "truncated" in got[4].err
+
+
+# ---------------------------------------------------------------------------
+# FLAC (RFC 9639) — round 12
+# ---------------------------------------------------------------------------
+
+
+def test_flac_rejects_corruption():
+    import numpy as np
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_flac,
+        encode_flac,
+    )
+
+    sig = (np.arange(200) * 37 % 1999 - 999).astype(np.int16)
+    blob = bytearray(encode_flac(sig, block_size=128))
+    frame_start = 42  # fLaC(4) + block header(4) + STREAMINFO(34)
+
+    bad = blob.copy()
+    bad[-4] ^= 0x10  # flip a residual bit in the last frame body
+    with pytest.raises(ValueError, match="CRC-16|MD5|truncated|unary"):
+        _decode_flac(bytes(bad))
+
+    bad = blob.copy()
+    bad[frame_start + 4] ^= 0x01  # frame number byte → header CRC-8 breaks
+    with pytest.raises(ValueError, match="CRC-8"):
+        _decode_flac(bytes(bad))
+
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_flac(bytes(blob[:-3]))
+
+    with pytest.raises(ValueError, match="not a FLAC"):
+        _decode_flac(b"junk")
+
+    # LPC subframe type (order-1 LPC = 0b100000) is the documented seam;
+    # byte frame_start+8 is the subframe header of our fixed-layout frame
+    bad = blob.copy()
+    bad[frame_start + 8] = 0b01000000
+    with pytest.raises(ValueError, match="LPC"):
+        _decode_flac(bytes(bad))
+
+
+def test_flac_probe_and_cross_codec_content_key():
+    """probe_audio reads STREAMINFO without any frame decode, and the
+    ingest-dedup content key collapses a FLAC re-encode onto the PCM WAV
+    of the same audio (lossless ⇒ same decoded identity) while a
+    different signal stays distinct."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        audio_content_key,
+        encode_flac,
+        encode_wav,
+        probe_audio,
+    )
+
+    sig = ((np.arange(640) * 13) % 2001 - 1000).astype(np.int16)
+    blob = encode_flac(sig, sample_rate=16000, block_size=256)
+    m = probe_audio(blob)
+    assert m["container"] == "flac"
+    assert m["sample_rate"] == 16000
+    assert m["n_frames"] == 640
+    assert m["duration_ms"] == 40
+    assert audio_content_key(blob) == audio_content_key(
+        encode_wav(sig, frame_rate=16000)
+    )
+    assert audio_content_key(blob) != audio_content_key(
+        encode_wav((sig + 1).astype(np.int16), frame_rate=16000)
+    )

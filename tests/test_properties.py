@@ -661,3 +661,44 @@ def test_dhash56_is_codec_invariant_and_matches_reference(w, h, seed):
             if int(gray[y][x1]) > int(gray[y][x2]):
                 ref |= 1 << (r * 7 + c)
     assert hashes.pop() == ref
+
+
+# ---------------------------------------------------------------------------
+# FLAC roundtrip (round 12)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    data=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=500
+    ),
+    block_size=st.sampled_from([32, 64, 128, 256]),
+    po=st.integers(min_value=0, max_value=3),
+    escape=st.booleans(),
+    verbatim=st.booleans(),
+)
+@settings(max_examples=120, deadline=None)
+def test_flac_encode_decode_roundtrip(data, block_size, po, escape, verbatim):
+    """Any int16 signal survives the FLAC round trip bit-exactly under
+    every encoder configuration — subframe types (constant / fixed 0-2 /
+    verbatim), rice vs escape partitions, every partition order, short
+    last blocks. The decoder's own CRC-8/CRC-16/MD5 checks run on every
+    example, so this also fuzzes the checksum plumbing."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_flac,
+        encode_flac,
+    )
+
+    sig = np.array(data, dtype=np.int16)
+    blob = encode_flac(
+        sig,
+        block_size=block_size,
+        partition_order=po,
+        force_escape=escape,
+        force_verbatim=verbatim,
+    )
+    m = _decode_flac(blob)
+    assert m["n_frames"] == len(sig)
+    assert np.array_equal(np.frombuffer(m["pcm"], np.dtype("<i2")), sig)
