@@ -1982,3 +1982,139 @@ def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("pr_ppm"), "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: sole-late-supplier attribution (EXISTS/NOT-EXISTS folded
+# into one aggregate pass)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sole_late_supplier_orders",
+    oracle="""
+    WITH per_order AS (
+      SELECT l.l_orderkey,
+             COUNT(DISTINCT l.l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN l.l_shipdate
+                                      > o.o_orderdate + INTERVAL 60 DAY
+                                 THEN l.l_suppkey END) AS n_late,
+             MIN(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                      THEN l.l_suppkey END) AS late_supp
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY l.l_orderkey)
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_orders,
+           CAST(COUNT(DISTINCT p.late_supp) AS BIGINT) AS n_suppliers
+    FROM per_order p
+    JOIN supplier s ON p.late_supp = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.n_supp >= 2 AND p.n_late = 1
+    GROUP BY n.n_name
+    ORDER BY n_orders DESC, nation
+    """,
+)
+def sole_late_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: multi-supplier orders held up by exactly ONE
+    late supplier (shipped >60 days after the order date), attributed to
+    that supplier's nation. The textbook formulation is an EXISTS plus a
+    NOT-EXISTS correlated self-join on the fact; at scale both fold into
+    ONE aggregate pass over lineitem⋈orders — per order, the distinct
+    supplier count, the distinct LATE supplier count, and (when exactly
+    one) that supplier's id via ``min(when(late, suppkey))``. One
+    shuffle on the order key replaces two correlated fact self-joins;
+    supplier/nation are broadcast dimensions. All-integer/date cells."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    per_order = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            F.min(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    supp = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    return (
+        per_order.join(supp, F.col("late_supp") == F.col("s_suppkey"))
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("late_supp").alias("n_suppliers"),
+        )
+        .orderBy(F.desc("n_orders"), "nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: idle high-balance customers (broadcast scalar threshold
+# + anti join)
+# ---------------------------------------------------------------------------
+
+@register(
+    "idle_high_balance_customers",
+    oracle="""
+    WITH bal AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS bal_us
+      FROM customer),
+    thr AS (
+      SELECT CAST(SUM(bal_us) AS BIGINT) AS sum_us, COUNT(*) AS cnt
+      FROM bal WHERE bal_us > 0)
+    SELECT b.c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(b.bal_us) AS BIGINT) AS total_balance_micros
+    FROM bal b CROSS JOIN thr t
+    WHERE b.bal_us * t.cnt > t.sum_us
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = b.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-08-01')
+    GROUP BY b.c_mktsegment
+    ORDER BY b.c_mktsegment
+    """,
+)
+def idle_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers whose account balance beats the
+    average positive balance but placed no order in the dataset's final
+    year (dormant since 2000-08-01) — the 'sales opportunity' report,
+    per market segment. Composite of the two
+    classic decorrelations: the scalar subquery becomes a broadcast
+    1-row (Σ, n) aggregate with the comparison cross-multiplied into
+    exact integers (``bal·n > Σ`` — no float average), and the NOT
+    EXISTS becomes a left-anti join against the recent-order custkeys.
+    The anti-join probe side is pre-projected to its key with the date
+    filter pushed to the scan; the per-segment rollup is tiny."""
+    bal = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", micros("c_acctbal").alias("bal_us")
+    )
+    thr = bal.filter(F.col("bal_us") > 0).agg(
+        F.sum("bal_us").alias("sum_us"), F.count(F.lit(1)).alias("cnt")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-08-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        bal.crossJoin(F.broadcast(thr))
+        .filter(F.col("bal_us") * F.col("cnt") > F.col("sum_us"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("bal_us").alias("total_balance_micros"),
+        )
+        .orderBy("c_mktsegment")
+    )

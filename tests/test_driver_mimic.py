@@ -49,6 +49,10 @@ QUERIES = [
     "mp3_probe_features",
     "epoch_repetition_plan",
     "flac_decode_features",
+    # round-12 date-arithmetic shapes (o_orderdate + 60 days; the
+    # 2000-08-01 dormancy cutoff) — TZ-sensitive by construction
+    "sole_late_supplier_orders",
+    "idle_high_balance_customers",
 ]
 
 
@@ -110,6 +114,8 @@ ANSI_QUERIES = [
     "mp3_probe_features",
     "epoch_repetition_plan",
     "flac_decode_features",
+    "sole_late_supplier_orders",
+    "idle_high_balance_customers",
 ]
 
 
