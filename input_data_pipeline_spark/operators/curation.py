@@ -1521,3 +1521,116 @@ def epoch_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level dedup REWRITE (the removal face of the substring-dedup audit)
+# ---------------------------------------------------------------------------
+
+@register(
+    "chunk_dedup_rewrite",
+    oracle=f"""
+    WITH tok AS (
+      SELECT d.doc_id, d.source,
+             string_split(regexp_replace(trim(lower(d.text)), '\\s+', ' ', 'g'), ' ')
+               AS ts
+      FROM documents d
+      WHERE trim(d.text) <> ''),
+    starts AS (
+      SELECT doc_id, source, ts,
+             unnest(range(1, len(ts) + 1, {_CHUNK_TOKENS})) AS s
+      FROM tok),
+    chunks AS (
+      SELECT doc_id, source, s,
+             array_to_string(ts[s:s + {_CHUNK_TOKENS} - 1], ' ') AS chunk
+      FROM starts),
+    first AS (
+      SELECT chunk, MIN(doc_id * 1000000 + (s - 1) // {_CHUNK_TOKENS}) AS fkey
+      FROM chunks GROUP BY chunk),
+    kept AS (
+      SELECT c.doc_id, c.s, c.chunk
+      FROM chunks c JOIN first f
+        ON c.chunk = f.chunk
+       AND c.doc_id * 1000000 + (c.s - 1) // {_CHUNK_TOKENS} = f.fkey),
+    totals AS (
+      SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id),
+    keeps AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             md5(string_agg(chunk, ' ' ORDER BY s)) AS rewrite_fp,
+             CAST(length(string_agg(chunk, ' ' ORDER BY s)) AS BIGINT)
+               AS n_chars_new
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(t.n_chunks AS BIGINT) AS n_chunks,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(k.rewrite_fp, md5('')) AS rewrite_fp,
+           CAST(COALESCE(k.n_chars_new, 0) AS BIGINT) AS n_chars_new
+    FROM totals t LEFT JOIN keeps k ON t.doc_id = k.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL face of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": repeated
+    spans are CUT, not whole documents dropped): every non-overlapping
+    {_CHUNK_TOKENS}-token chunk keeps only its first (doc_id, offset)
+    occurrence corpus-wide; each document is reassembled from its
+    surviving chunks in order. Emits per doc the chunk counts and the
+    md5 + length of the rewritten text (the fingerprint both engines can
+    agree on without shipping the text itself).
+
+    Scale shape: no window anywhere — the canonical-occurrence choice is
+    a map-side-combinable ``MIN(composite key)`` per chunk (hot chunks
+    cost a skewed-aggregate cell, not a partition sort; cf.
+    ``chunk_dedup_rate``'s rank formulation, which this operator
+    deliberately avoids at rewrite grain), then one join back on the
+    chunk key. Reassembly is a bounded per-doc sorted-array concat (docs
+    have ≤ len/{_CHUNK_TOKENS} chunks). Chunks derive from the shared
+    persisted token index — one tokenization per session."""
+    idx = corpus_token_index(spark, sf_dir)
+    chunks = (
+        idx.groupBy(
+            "doc_id",
+            (F.floor(F.col("pos") / _CHUNK_TOKENS)).alias("ck"),
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("chunk")
+        )
+    )
+    first = chunks.groupBy("chunk").agg(
+        F.min(F.col("doc_id") * 1_000_000 + F.col("ck")).alias("fkey")
+    )
+    kept = chunks.join(first, "chunk").filter(
+        F.col("doc_id") * 1_000_000 + F.col("ck") == F.col("fkey")
+    )
+    totals = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    rewritten = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ck", "chunk"))),
+            lambda x: x["chunk"],
+        ),
+        " ",
+    )
+    keeps = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(rewritten).alias("rewrite_fp"),
+        F.length(rewritten).cast("long").alias("n_chars_new"),
+    )
+    empty_fp = F.md5(F.lit(""))
+    return (
+        totals.join(keeps, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("rewrite_fp", empty_fp).alias("rewrite_fp"),
+            F.coalesce("n_chars_new", F.lit(0)).alias("n_chars_new"),
+        )
+        .orderBy("doc_id")
+    )

@@ -251,3 +251,50 @@ def test_epoch_repetition_plan_invariants(spark, sf_dir):
         assert r.capped == (_EPOCH_CAP * r.n_tokens < target)
         assert r.shortfall_tokens == target - r.allocated_tokens
         assert r.capped == (r.shortfall_tokens > 0)
+
+
+def test_chunk_dedup_rewrite_reassembles_survivors(spark, sf_dir):
+    """Rewrite invariants at sf0.001: kept ≤ total per doc; corpus-wide
+    the kept count equals the number of DISTINCT chunks (each chunk has
+    exactly one canonical occurrence); a doc that owns every first
+    occurrence reassembles to exactly its normalized text (md5 parity);
+    and the canonical occurrence is the lexicographic (doc_id, offset)
+    minimum."""
+    import hashlib
+    import re
+
+    from input_data_pipeline_spark.operators.curation import (
+        _CHUNK_TOKENS,
+        chunk_dedup_rewrite,
+    )
+    from input_data_pipeline_spark.tables import load_table
+
+    rows = {r.doc_id: r for r in chunk_dedup_rewrite(spark, sf_dir).collect()}
+    docs = {
+        r.doc_id: re.sub(r"\s+", " ", r.text.strip().lower())
+        for r in load_table(spark, sf_dir, "documents").collect()
+        if r.text.strip()
+    }
+    chunks = {}
+    per_doc = {}
+    for did in sorted(docs):
+        ts = docs[did].split(" ")
+        cs = [
+            " ".join(ts[i : i + _CHUNK_TOKENS])
+            for i in range(0, len(ts), _CHUNK_TOKENS)
+        ]
+        per_doc[did] = cs
+        for ck, c in enumerate(cs):
+            chunks.setdefault(c, (did, ck))
+    assert set(rows) == set(per_doc)
+    assert sum(r.n_kept for r in rows.values()) == len(chunks)
+    for did, r in rows.items():
+        assert r.n_chunks == len(per_doc[did])
+        assert 0 <= r.n_kept <= r.n_chunks
+        kept = [
+            c for ck, c in enumerate(per_doc[did]) if chunks[c] == (did, ck)
+        ]
+        new_text = " ".join(kept)
+        assert r.n_kept == len(kept)
+        assert r.rewrite_fp == hashlib.md5(new_text.encode()).hexdigest()
+        assert r.n_chars_new == len(new_text)

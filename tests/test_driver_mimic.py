@@ -116,6 +116,7 @@ ANSI_QUERIES = [
     "flac_decode_features",
     "sole_late_supplier_orders",
     "idle_high_balance_customers",
+    "chunk_dedup_rewrite",
 ]
 
 
