@@ -470,3 +470,16 @@ def test_round12_retrieval_and_threshold_join_plans(spark, sf_dir):
     assert "Window" not in q17_plan
     assert "Cartesian" not in q17_plan
     assert "BroadcastHashJoin" in q17_plan
+
+
+def test_chunk_dedup_rewrite_is_window_free(spark, sf_dir):
+    """The rewrite operator's canonical-occurrence choice must stay a
+    map-side-combinable MIN aggregate + join-back — never a per-chunk
+    row_number window (a hot chunk would single-task-sort its whole
+    duplicate family at scale)."""
+    from input_data_pipeline_spark.operators.curation import chunk_dedup_rewrite
+
+    plan = _executed_plan(chunk_dedup_rewrite(spark, sf_dir))
+    assert "Window" not in plan
+    assert "Cartesian" not in plan
+    assert "partial_" in plan
