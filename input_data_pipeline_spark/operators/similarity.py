@@ -1821,3 +1821,167 @@ def _install_rrf_oracle() -> None:
 
 
 _install_rrf_oracle()
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization + recall audit (the ANN memory-reduction story)
+# ---------------------------------------------------------------------------
+
+_SQ_QUERIES = 3  # vec_id < 3 audit queries (semantic_doc_search convention)
+_SQ_TOPK = 10
+
+
+def _sq_oracle() -> str:
+    """Oracle for :func:`sq8_recall_audit`: per-dim min/max, the same
+    uint8 quantize/dequantize arithmetic, exact and quantized top-k per
+    query, overlap + recall + the stable-micros reconstruction error."""
+    from input_data_pipeline_spark.functions.stable import sql_avg_micros
+
+    dq_i = (
+        "CASE WHEN s.mxs[i] = s.mns[i] THEN s.mns[i] "
+        "ELSE s.mns[i] + ROUND((v.e[i] - s.mns[i]) * 255 / (s.mxs[i] - s.mns[i]))"
+        " * (s.mxs[i] - s.mns[i]) / 255 END"
+    )
+    cos = (
+        "list_sum(list_transform(range(1, {d} + 1), i -> qa.{c}[i] * ca.{c}[i]))"
+        " / (sqrt(list_sum(list_transform(qa.{c}, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(ca.{c}, x -> x * x))))"
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    dimstats AS (
+      SELECT p.i AS pos, MIN(v.e[p.i]) AS mn, MAX(v.e[p.i]) AS mx
+      FROM v, LATERAL (SELECT unnest(range(1, {DIM} + 1)) AS i) p
+      GROUP BY p.i),
+    s AS (
+      SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+      FROM dimstats),
+    dq AS (
+      SELECT v.vec_id,
+             list_transform(range(1, {DIM} + 1), i -> {dq_i}) AS q
+      FROM v CROSS JOIN s),
+    err AS (
+      SELECT {sql_avg_micros(
+          "ABS(v.e[p.i] - dq.q[p.i])", "corpus_mae_micros")}
+      FROM v JOIN dq USING (vec_id),
+           LATERAL (SELECT unnest(range(1, {DIM} + 1)) AS i) p),
+    exact_ranked AS (
+      SELECT qa.vec_id AS query_doc, ca.vec_id AS n_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY qa.vec_id
+               ORDER BY {cos.format(d=DIM, c="e")} DESC, ca.vec_id) AS rnk
+      FROM v qa JOIN v ca
+        ON qa.vec_id < {_SQ_QUERIES} AND ca.vec_id <> qa.vec_id),
+    quant_ranked AS (
+      SELECT qa.vec_id AS query_doc, ca.vec_id AS n_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY qa.vec_id
+               ORDER BY {cos.format(d=DIM, c="q")} DESC, ca.vec_id) AS rnk
+      FROM dq qa JOIN dq ca
+        ON qa.vec_id < {_SQ_QUERIES} AND ca.vec_id <> qa.vec_id)
+    SELECT e.query_doc,
+           CAST(COUNT(q.n_id) AS BIGINT) AS n_overlap,
+           CAST(COUNT(q.n_id) * 1000000 // {_SQ_TOPK} AS BIGINT) AS recall_ppm,
+           (SELECT corpus_mae_micros FROM err) AS corpus_mae_micros
+    FROM exact_ranked e
+    LEFT JOIN quant_ranked q
+      ON q.query_doc = e.query_doc AND q.n_id = e.n_id
+         AND q.rnk <= {_SQ_TOPK}
+    WHERE e.rnk <= {_SQ_TOPK}
+    GROUP BY e.query_doc
+    ORDER BY e.query_doc
+    """
+
+
+@register("sq8_recall_audit", oracle=_sq_oracle())
+def sq8_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization audit — the memory-reduction path every
+    100 TB vector store takes (4× smaller than float32, 8× smaller than
+    float64) priced in retrieval quality: embeddings are quantized to
+    uint8 codes against per-dimension corpus min/max, and for each audit
+    query the top-{_SQ_TOPK} cosine neighbors under QUANTIZED vectors are
+    compared to the exact top-{_SQ_TOPK} — recall@k per query, plus the
+    corpus-wide mean absolute reconstruction error (stable micros).
+
+    Exactness: quantize/dequantize is the identical IEEE sequence in both
+    engines (min/max of the same floats, one ROUND half-away, one
+    multiply-divide), cosines fold in index order on both sides (the
+    proven ``semantic_doc_search`` contract), and the error mean uses the
+    split-long stable machinery — every output cell integer.
+
+    Scale shape: per-dim stats are one posexplode + 64-group aggregate
+    (map-combinable); quantization is a broadcast join of those 64 rows
+    back onto the dims; ranking mirrors ``semantic_doc_search`` (the
+    audit queries broadcast against the corpus — at production scale the
+    quantized side would route through the IVF path instead; this
+    operator AUDITS the quantizer, so the exact scan is the point)."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    dims = emb.select("vec_id", F.posexplode("e").alias("pos", "x"))
+    stats = dims.groupBy("pos").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    dq_cell = F.when(F.col("mx") == F.col("mn"), F.col("mn")).otherwise(
+        F.col("mn")
+        + F.round((F.col("x") - F.col("mn")) * 255 / (F.col("mx") - F.col("mn")))
+        * (F.col("mx") - F.col("mn"))
+        / 255
+    )
+    dq_rows = dims.join(F.broadcast(stats), "pos").select(
+        "vec_id", "pos", "x", dq_cell.alias("dq")
+    )
+    from input_data_pipeline_spark.functions.stable import stable_avg_micros
+
+    err = dq_rows.agg(
+        stable_avg_micros(F.abs(F.col("x") - F.col("dq"))).alias(
+            "corpus_mae_micros"
+        )
+    )
+    dq_vec = dq_rows.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "dq"))),
+            lambda s: s["dq"],
+        ).alias("q")
+    )
+
+    def ranked(vecs: DataFrame, col: str) -> DataFrame:
+        q = vecs.filter(F.col("vec_id") < _SQ_QUERIES).select(
+            F.col("vec_id").alias("query_doc"), F.col(col).alias("qv")
+        )
+        c = vecs.select(F.col("vec_id").alias("n_id"), F.col(col).alias("cv"))
+        w = Window.partitionBy("query_doc").orderBy(
+            F.desc("cosv"), F.asc("n_id")
+        )
+        return (
+            F.broadcast(q)
+            .join(c, F.col("n_id") != F.col("query_doc"))
+            .withColumn("cosv", cosine(F.col("qv"), F.col("cv")))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _SQ_TOPK)
+            .select("query_doc", "n_id")
+        )
+
+    exact = ranked(emb, "e")
+    quant = ranked(dq_vec, "q")
+    hits = exact.join(quant, ["query_doc", "n_id"], "left_semi")
+    return (
+        exact.groupBy("query_doc")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .join(
+            hits.groupBy("query_doc").agg(F.count(F.lit(1)).alias("n_overlap")),
+            "query_doc",
+            "left",
+        )
+        .crossJoin(F.broadcast(err))
+        .select(
+            "query_doc",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.expr(f"coalesce(n_overlap, 0) * 1000000 DIV {_SQ_TOPK}").alias(
+                "recall_ppm"
+            ),
+            "corpus_mae_micros",
+        )
+        .orderBy("query_doc")
+    )

@@ -117,6 +117,7 @@ ANSI_QUERIES = [
     "sole_late_supplier_orders",
     "idle_high_balance_customers",
     "chunk_dedup_rewrite",
+    "sq8_recall_audit",
 ]
 
 

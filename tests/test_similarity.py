@@ -250,3 +250,24 @@ def test_hybrid_search_rrf_fuses_both_systems(spark, sf_dir):
         assert r.rrf_ppm == expect
     keys = [(-r.rrf_ppm, r.doc_id) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_sq8_recall_audit_bounds(spark, sf_dir):
+    """Quantization audit invariants: recall in [0, 1e6] with overlap ≤ k
+    and the exact ppm relation; 8-bit codes over these embeddings keep
+    recall ≥ 80%; the reconstruction error is positive but far below the
+    typical coordinate magnitude (quantization step ≪ range)."""
+    from input_data_pipeline_spark.operators.similarity import (
+        _SQ_TOPK,
+        sq8_recall_audit,
+    )
+
+    rows = sq8_recall_audit(spark, sf_dir).collect()
+    assert len(rows) == 3
+    mae = rows[0].corpus_mae_micros
+    for r in rows:
+        assert 0 <= r.n_overlap <= _SQ_TOPK
+        assert r.recall_ppm == r.n_overlap * 1_000_000 // _SQ_TOPK
+        assert r.recall_ppm >= 800_000
+        assert r.corpus_mae_micros == mae  # one corpus-wide error figure
+    assert 0 < mae < 100_000  # step/2 ≈ range/510 ⇒ well under 0.1
