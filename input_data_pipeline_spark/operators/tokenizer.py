@@ -288,3 +288,316 @@ def _register_bpe_query() -> None:
 
 
 _register_bpe_query()
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer training (SentencePiece-style; round-12 addition)
+# ---------------------------------------------------------------------------
+#
+# The OTHER production tokenizer family (Kudo 2018, "Subword Regularization:
+# Improving Neural Network Translation Models with Multiple Subword
+# Candidates", ACL — the model behind SentencePiece's default): instead of
+# growing a vocabulary by merges, START from a large seed of candidate
+# substrings and iteratively (a) re-estimate piece frequencies by
+# maximum-likelihood segmentation of the weighted word table (hard/Viterbi
+# EM — the well-documented simplification of the forward-backward E-step),
+# (b) prune the weakest pieces, until the target vocabulary size remains.
+# Single characters are never pruned (SentencePiece's character-coverage
+# guarantee), and any character absent from the vocabulary still segments
+# as itself (the UNK-char fallback), so encoding is total and lossless.
+#
+# Scale design mirrors BPE's: one corpus-sized scan builds the weighted
+# word table; the seed-substring fan-out, every Viterbi-count E-step and
+# every prune touch only VOCABULARY-sized tables; the piece table itself
+# (<= seed_size entries, a few thousand) is the bounded driver/broadcast
+# state — the same ship-the-model seam as the capped CCNet bigram LM.
+#
+# No DuckDB oracle for TRAINING (iterative argmax, like BPE); pinned by
+# differential tests against an independent pure-Python transcription of
+# the algorithm. The SERVING path gets its own oracle gate
+# (``unigram_encode_fixed``) via a published letter-disjoint vocabulary
+# whose optimal segmentation cost is closed-form.
+
+_UNIGRAM_MAX_PIECE = 4
+
+
+def _viterbi_segment(
+    word: str, logp: dict[str, float], unk_logp: float, max_len: int
+) -> list[str]:
+    """Maximum-likelihood segmentation of ``word`` under piece log-probs:
+    classic O(n·max_len) DP. Unknown single characters segment as
+    themselves at ``unk_logp``. Deterministic tie-break on equal scores:
+    fewer pieces, then the lexicographically smaller piece sequence —
+    partition-count and dict-order independent by construction."""
+    n = len(word)
+    # best[i] = (score, n_pieces, pieces) for word[:i]
+    best: list[tuple[float, int, list[str]] | None] = [None] * (n + 1)
+    best[0] = (0.0, 0, [])
+    for i in range(1, n + 1):
+        cand: tuple[float, int, list[str]] | None = None
+        for l in range(1, min(max_len, i) + 1):
+            prev = best[i - l]
+            if prev is None:
+                continue
+            piece = word[i - l : i]
+            lp = logp.get(piece)
+            if lp is None:
+                if l != 1:
+                    continue
+                lp = unk_logp
+            sc = prev[0] + lp
+            c = (sc, prev[1] + 1, prev[2] + [piece])
+            if (
+                cand is None
+                or c[0] > cand[0]
+                or (c[0] == cand[0] and c[1] < cand[1])
+                or (c[0] == cand[0] and c[1] == cand[1] and c[2] < cand[2])
+            ):
+                cand = c
+        best[i] = cand
+    assert best[n] is not None  # single-char fallback makes DP total
+    return best[n][2]
+
+
+def _piece_logps(pieces: dict[str, int]) -> tuple[dict[str, float], float]:
+    """(log p table, UNK log-prob) from integer piece counts: p = c/total;
+    unknown chars score below every real piece (total+1 denominator)."""
+    import math
+
+    total = sum(pieces.values())
+    logs = {p: math.log(c) - math.log(total) for p, c in pieces.items() if c > 0}
+    return logs, -math.log(total) - math.log(total)
+
+
+def seed_piece_counts(
+    words: DataFrame, seed_size: int, max_len: int = _UNIGRAM_MAX_PIECE
+) -> DataFrame:
+    """Candidate seed vocabulary: every substring of length 1..max_len of
+    every word, weighted by word frequency per occurrence, reduced to the
+    top ``seed_size`` multi-char pieces by (count DESC, piece ASC) via
+    TakeOrderedAndProject — PLUS every single character (never pruned).
+    All vocabulary-sized: the fan-out multiplies the WORD table (Heaps-law
+    sublinear in the corpus), not the corpus."""
+    subs = words.select(
+        "freq",
+        F.explode(
+            F.flatten(
+                F.expr(
+                    f"transform(sequence(1, {max_len}), l -> "
+                    "transform(sequence(1, greatest(length(word) - l + 1, 0)),"
+                    " i -> substring(word, i, l)))"
+                )
+            )
+        ).alias("piece"),
+    )
+    counts = subs.groupBy("piece").agg(F.sum("freq").alias("cnt"))
+    chars = counts.filter(F.length("piece") == 1)
+    multi = (
+        counts.filter(F.length("piece") > 1)
+        .orderBy(F.desc("cnt"), "piece")
+        .limit(seed_size)
+    )
+    return chars.unionByName(multi)
+
+
+def _viterbi_count_step(
+    words: DataFrame, pieces: dict[str, int], max_len: int
+) -> dict[str, int]:
+    """One hard-EM E-step: segment every (word, freq) row under the
+    current model (broadcast, map-only Arrow batches), count piece uses
+    weighted by word frequency (map-side-combinable groupBy), and return
+    the vocabulary-sized count table to the driver (bounded by the seed
+    size — the documented bounded-model state)."""
+    logp, unk = _piece_logps(pieces)
+    sc = words.sparkSession.sparkContext
+    bc = sc.broadcast((logp, unk))
+
+    def run(batches):
+        for pdf in batches:
+            lp, u = bc.value
+            out: dict[str, int] = {}
+            for word, freq in zip(pdf["word"], pdf["freq"]):
+                for piece in _viterbi_segment(word, lp, u, max_len):
+                    out[piece] = out.get(piece, 0) + int(freq)
+            yield pd.DataFrame(
+                {"piece": list(out), "cnt": list(out.values())}
+            )
+
+    counts = (
+        words.mapInPandas(run, "piece string, cnt long")
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    return {r["piece"]: r["cnt"] for r in counts}
+
+
+def train_unigram(
+    docs: DataFrame,
+    vocab_size: int,
+    seed_size: int = 2000,
+    max_len: int = _UNIGRAM_MAX_PIECE,
+    shrink: float = 0.25,
+    em_iters: int = 2,
+    max_rounds: int = 20,
+) -> list[tuple[str, int]]:
+    """Learn a unigram-LM tokenizer vocabulary of ``vocab_size`` pieces.
+
+    Returns ``[(piece, count), ...]`` sorted (count DESC, piece ASC) —
+    single characters always included; counts are the final Viterbi-EM
+    expected counts (integers: exact, order-independent sums). Each round
+    runs ``em_iters`` hard-EM steps then prunes the weakest ``shrink``
+    fraction of multi-char pieces (never below the target), stopping at
+    ``vocab_size``. Deterministic: every argsort ties on the piece
+    string."""
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    words = word_freqs(docs).localCheckpoint()
+    seed = seed_piece_counts(words, seed_size, max_len).collect()
+    pieces = {r["piece"]: r["cnt"] for r in seed}
+    chars = {p for p in pieces if len(p) == 1}
+    for _ in range(max_rounds):
+        for _ in range(em_iters):
+            counts = _viterbi_count_step(words, pieces, max_len)
+            # chars persist at floor count 1 even when unused (coverage);
+            # multi pieces the model stopped using drop out immediately
+            pieces = {
+                p: c for p, c in counts.items() if len(p) > 1 and c > 0
+            }
+            for ch in chars:
+                pieces[ch] = max(counts.get(ch, 0), 1)
+        n_multi = sum(1 for p in pieces if len(p) > 1)
+        target_multi = max(vocab_size - len(chars), 0)
+        if len(pieces) <= vocab_size or n_multi <= target_multi:
+            break
+        keep = max(int(n_multi * (1.0 - shrink)), target_multi)
+        ranked = sorted(
+            ((p, c) for p, c in pieces.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )
+        pieces = {p: c for p, c in ranked[:keep]}
+        for ch in chars:
+            pieces[ch] = max(pieces.get(ch, 0), 1)
+    ranked = sorted(
+        ((p, c) for p, c in pieces.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[: max(vocab_size - len(chars), 0)]
+    final = dict(ranked)
+    for ch in chars:
+        final[ch] = pieces.get(ch, 1)
+    return sorted(final.items(), key=lambda pc: (-pc[1], pc[0]))
+
+
+def encode_with_unigram(
+    docs: DataFrame,
+    vocab: list[tuple[str, int]] | dict[str, int],
+    text_col: str = "text",
+    max_len: int = _UNIGRAM_MAX_PIECE,
+) -> DataFrame:
+    """Serving path: Viterbi-segment every word of ``text_col`` under the
+    published vocabulary (broadcast fixed-size model, Arrow-batched,
+    map-only — no shuffle at any corpus size; unknown characters fall
+    back to themselves, so encoding is total and lossless). Appends
+    ``unigram_tokens array<string>`` and ``n_unigram_tokens``."""
+    pieces = dict(vocab)
+    logp, unk = _piece_logps(pieces)
+    sc = docs.sparkSession.sparkContext
+    bc = sc.broadcast((logp, unk))
+
+    @pandas_udf("array<string>")
+    def encode(col: pd.Series) -> pd.Series:
+        lp, u = bc.value
+        out = []
+        for toks in col:
+            enc: list[str] = []
+            for w in toks:
+                enc.extend(_viterbi_segment(w, lp, u, max_len))
+            out.append(enc)
+        return pd.Series(out)
+
+    prefix = "_ug"
+    while any(c.startswith(prefix) for c in docs.columns):
+        prefix += "_x"
+    toks_col = f"{prefix}_toks"
+    return (
+        docs.withColumn(toks_col, T.tokens(text_col))
+        .withColumn("unigram_tokens", encode(F.col(toks_col)))
+        .withColumn("n_unigram_tokens", F.size("unigram_tokens"))
+        .drop(toks_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-model unigram encoding under the differential oracle gate
+# ---------------------------------------------------------------------------
+
+# A PUBLISHED vocabulary in the serving regime: the same letter-disjoint
+# pieces as the BPE gate (no two pieces share a character, none chains),
+# each with a count that makes any use strictly optimal (p_piece = C/T
+# beats the two-character alternative 1/T² for any C >= 1), plus the
+# implicit single-character fallback. Optimality then has a CLOSED FORM:
+# the Viterbi token count per word is exactly
+# len(w) - Σ (non-overlapping occurrences of each piece), the same string
+# arithmetic the BPE gate proved SQL-expressible — but here it pins the
+# DP itself: a defect in the Viterbi recursion, the tie-break, or the
+# UNK fallback breaks the equality.
+UNIGRAM_FIXED_VOCAB: list[tuple[str, int]] = [
+    ("th", 1000),
+    ("an", 1000),
+    ("or", 1000),
+]
+
+_UG_CNT_SQL = " + ".join(
+    f"(length(w) - length(replace(w, '{p}', ''))) // 2"
+    for p, _ in UNIGRAM_FIXED_VOCAB
+)
+
+
+def _register_unigram_query() -> None:
+    from input_data_pipeline_spark.functions.text import DUCK_TOKENS
+    from input_data_pipeline_spark.plans.registry import register
+    from input_data_pipeline_spark.tables import load_table
+
+    @register(
+        "unigram_encode_fixed",
+        oracle=f"""
+        WITH words AS (
+          SELECT doc_id, UNNEST({DUCK_TOKENS}) AS w FROM documents)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+               CAST(SUM(length(w) - ({_UG_CNT_SQL})) AS BIGINT)
+                 AS n_unigram_tokens
+        FROM words GROUP BY doc_id ORDER BY doc_id
+        """,
+    )
+    def unigram_encode_fixed(spark, sf_dir):
+        """The REAL unigram-LM Viterbi encoder under the differential
+        oracle gate: every document segments under the published
+        ``UNIGRAM_FIXED_VOCAB`` through :func:`encode_with_unigram` (the
+        broadcast-model serving path), and per-doc word/char/subword
+        counts are emitted. The letter-disjoint vocabulary makes the
+        optimal segmentation cost closed-form (see module comment), so
+        the oracle recomputes ``len − Σ non-overlapping piece
+        occurrences`` per word in pure string arithmetic — any defect in
+        the DP recursion, the piece/UNK scoring, or the tie-break breaks
+        the hash. Map-only: tokenize + encode + per-doc count."""
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        enc = encode_with_unigram(docs, UNIGRAM_FIXED_VOCAB)
+        n_chars = F.aggregate(
+            F.transform(T.tokens("text"), lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        )
+        return (
+            enc.select(
+                "doc_id",
+                F.size(T.tokens("text")).cast("long").alias("n_words"),
+                n_chars.alias("n_chars"),
+                F.col("n_unigram_tokens").cast("long").alias("n_unigram_tokens"),
+            )
+            .orderBy("doc_id")
+        )
+
+
+_register_unigram_query()

@@ -118,6 +118,7 @@ ANSI_QUERIES = [
     "idle_high_balance_customers",
     "chunk_dedup_rewrite",
     "sq8_recall_audit",
+    "unigram_encode_fixed",
 ]
 
 

@@ -702,3 +702,49 @@ def test_flac_encode_decode_roundtrip(data, block_size, po, escape, verbatim):
     m = _decode_flac(blob)
     assert m["n_frames"] == len(sig)
     assert np.array_equal(np.frombuffer(m["pcm"], np.dtype("<i2")), sig)
+
+
+@given(
+    spec=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=14),  # bitrate index
+            st.integers(min_value=0, max_value=1),  # padding
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    sr_index=st.integers(min_value=0, max_value=2),
+    ver_bits=st.sampled_from([3, 2, 0]),
+    id3=st.integers(min_value=0, max_value=40),
+    id3v1=st.booleans(),
+)
+@settings(max_examples=150, deadline=None)
+def test_mp3_probe_matches_spec_for_any_frame_sequence(
+    spec, sr_index, ver_bits, id3, id3v1
+):
+    """For ANY Layer III frame sequence (all MPEG versions, all valid
+    bitrate indices, padding patterns, optional ID3v2 head and ID3v1
+    tail) the probe recovers the exact frame count, sample count,
+    per-frame-sum duration, mean bitrate, and VBR verdict from the
+    closed-form spec."""
+    from input_data_pipeline_spark.operators.multimodal import (
+        _MP3_KBPS,
+        _MP3_RATES,
+        _MP3_SAMPLES_PER_FRAME,
+        encode_mp3,
+        probe_mpeg_audio,
+    )
+
+    blob = encode_mp3(spec, sr_index=sr_index, ver_bits=ver_bits, id3_payload=id3)
+    if id3v1:
+        blob += b"TAG" + bytes(125)
+    m = probe_mpeg_audio(blob)
+    kbps = [_MP3_KBPS[ver_bits][i - 1] for i, _ in spec]
+    sr = _MP3_RATES[ver_bits][sr_index]
+    spf = _MP3_SAMPLES_PER_FRAME[ver_bits]
+    assert m["n_frames"] == len(spec)
+    assert m["n_samples"] == spf * len(spec)
+    assert m["sample_rate"] == sr
+    assert m["duration_ms"] == spf * len(spec) * 1000 // sr
+    assert m["mean_bitrate_kbps"] == sum(kbps) // len(spec)
+    assert m["vbr"] == (len(set(kbps)) > 1)

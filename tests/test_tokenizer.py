@@ -250,3 +250,168 @@ def test_encode_with_merges_works_on_a_stream(spark, tmp_path):
         ).collect()
     }
     assert batch and got == batch
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM trainer vs an independent reference implementation (round 12)
+# ---------------------------------------------------------------------------
+
+
+def _ref_viterbi(word, logp, unk, max_len):
+    """Reference DP, written backwards (suffix-first) so a shared
+    off-by-one with the engine's prefix-first DP cannot cancel out."""
+    n = len(word)
+    best = {n: (0.0, 0, [])}
+
+    def at(i):
+        if i in best:
+            return best[i]
+        cand = None
+        for l in range(1, min(max_len, n - i) + 1):
+            piece = word[i : i + l]
+            lp = logp.get(piece)
+            if lp is None:
+                if l != 1:
+                    continue
+                lp = unk
+            tail = at(i + l)
+            c = (lp + tail[0], 1 + tail[1], [piece] + tail[2])
+            if (
+                cand is None
+                or c[0] > cand[0]
+                or (c[0] == cand[0] and c[1] < cand[1])
+                or (c[0] == cand[0] and c[1] == cand[1] and c[2] < cand[2])
+            ):
+                cand = c
+        best[i] = cand
+        return cand
+
+    return at(0)[2]
+
+
+def _ref_unigram(
+    word_freq: dict[str, int],
+    vocab_size: int,
+    seed_size: int,
+    max_len: int = 4,
+    shrink: float = 0.25,
+    em_iters: int = 2,
+    max_rounds: int = 20,
+):
+    """Reference unigram-LM trainer: seed substring counts, hard-EM
+    Viterbi counting, shrink-fraction pruning with (count DESC, piece
+    ASC) ranks, single characters never pruned."""
+    import math
+
+    subs: dict[str, int] = {}
+    for w, f in word_freq.items():
+        for l in range(1, max_len + 1):
+            for i in range(len(w) - l + 1):
+                p = w[i : i + l]
+                subs[p] = subs.get(p, 0) + f
+    chars = {p for p in subs if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in subs.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:seed_size]
+    pieces = dict(multi)
+    for ch in chars:
+        pieces[ch] = subs[ch]
+
+    def logps(tbl):
+        total = sum(tbl.values())
+        return (
+            {p: math.log(c) - math.log(total) for p, c in tbl.items() if c > 0},
+            -math.log(total) - math.log(total),
+        )
+
+    for _ in range(max_rounds):
+        for _ in range(em_iters):
+            lp, unk = logps(pieces)
+            counts: dict[str, int] = {}
+            for w, f in word_freq.items():
+                for piece in _ref_viterbi(w, lp, unk, max_len):
+                    counts[piece] = counts.get(piece, 0) + f
+            pieces = {p: c for p, c in counts.items() if len(p) > 1 and c > 0}
+            for ch in chars:
+                pieces[ch] = max(counts.get(ch, 0), 1)
+        n_multi = sum(1 for p in pieces if len(p) > 1)
+        target_multi = max(vocab_size - len(chars), 0)
+        if len(pieces) <= vocab_size or n_multi <= target_multi:
+            break
+        keep = max(int(n_multi * (1.0 - shrink)), target_multi)
+        ranked = sorted(
+            ((p, c) for p, c in pieces.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )
+        pieces = {p: c for p, c in ranked[:keep]}
+        for ch in chars:
+            pieces[ch] = max(pieces.get(ch, 0), 1)
+    ranked = sorted(
+        ((p, c) for p, c in pieces.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[: max(vocab_size - len(chars), 0)]
+    final = dict(ranked)
+    for ch in chars:
+        final[ch] = pieces.get(ch, 1)
+    return sorted(final.items(), key=lambda pc: (-pc[1], pc[0]))
+
+
+def test_unigram_trainer_matches_reference_on_real_corpus(spark, sf_dir):
+    """Piece-for-piece, count-for-count equality between the distributed
+    trainer and the independent reference on the sf0.001 corpus."""
+    from input_data_pipeline_spark.operators.tokenizer import train_unigram
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wf = _corpus_word_freq(spark, sf_dir)
+    got = train_unigram(docs, vocab_size=120, seed_size=300)
+    want = _ref_unigram(wf, vocab_size=120, seed_size=300)
+    assert got == want
+
+
+def test_unigram_encode_is_lossless_and_planted_piece_wins(spark):
+    """A planted high-frequency string becomes a vocabulary piece; every
+    encoded word reassembles to its source text."""
+    from input_data_pipeline_spark.operators.tokenizer import (
+        encode_with_unigram,
+        train_unigram,
+    )
+
+    rows = [(i, ("wxyz qq " * 5) + f"tail{i % 3}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = train_unigram(docs, vocab_size=30, seed_size=80)
+    pieces = dict(vocab)
+    assert "wxyz" in pieces  # the planted 4-char string survives pruning
+    enc = encode_with_unigram(docs, vocab).collect()
+    for r in enc:
+        words = r.text.split()
+        rebuilt, cur = [], ""
+        it = iter(r.unigram_tokens)
+        for w in words:
+            cur = ""
+            while cur != w:
+                cur += next(it)
+            rebuilt.append(cur)
+        assert rebuilt == words
+        assert next(it, None) is None
+
+
+def test_unigram_viterbi_unk_and_tiebreak():
+    """Unknown characters segment as themselves at the UNK score; equal
+    scores prefer fewer pieces, then the lexicographically smaller
+    sequence."""
+    import math
+
+    from input_data_pipeline_spark.operators.tokenizer import (
+        _viterbi_segment,
+    )
+
+    lp = {"ab": math.log(0.25), "a": math.log(0.25), "b": math.log(0.25)}
+    # score("ab") = log .25 beats score(a)+score(b) = 2 log .25
+    assert _viterbi_segment("ab", lp, -50.0, 4) == ["ab"]
+    # unknown char ⇒ UNK fallback keeps the DP total
+    assert _viterbi_segment("a§b", lp, -50.0, 4) == ["a", "§", "b"]
+    # tie: {"aa": p} vs {"a": p}: "aaa" → ("aa","a") and ("a","aa") tie on
+    # score and length; lexicographic prefers ("a","aa")
+    lp2 = {"aa": math.log(0.5), "a": math.log(0.5)}
+    assert _viterbi_segment("aaa", lp2, -50.0, 4) == ["a", "aa"]
