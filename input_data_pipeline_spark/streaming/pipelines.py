@@ -752,6 +752,23 @@ def stream_audio_probe(blobs: DataFrame) -> DataFrame:
     return extract_audio_metadata(blobs)
 
 
+def stream_unigram_tags(docs: DataFrame, vocab) -> DataFrame:
+    """Streaming face of the unigram-LM tokenizer serving path (round
+    12) — batch-trains/stream-applies, like ``stream_bm25_tags`` and
+    ``stream_fasttext_tags``: a batch job publishes the trained
+    vocabulary (``operators.tokenizer.train_unigram`` — a bounded
+    piece table), and the ingest stream Viterbi-segments every arriving
+    document against the broadcast model with NO aggregation, NO state
+    and NO shuffle. Parity by construction: THE SAME
+    ``encode_with_unigram`` kernel as batch, so ingest-time token
+    accounting and a batch backfill can never disagree."""
+    from input_data_pipeline_spark.operators.tokenizer import (
+        encode_with_unigram,
+    )
+
+    return encode_with_unigram(docs, vocab)
+
+
 def stream_selection_tags(
     docs: DataFrame,
     dsir: tuple[dict[int, int], tuple[int, int]] | None = None,

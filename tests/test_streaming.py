@@ -1616,3 +1616,55 @@ def test_stream_audio_probe_matches_batch(spark, tmp_path):
     assert got[2].container == "mp3" and got[2].vbr and got[2].n_frames == 3
     assert got[3].container == "error" and "non-WAV/MP3" in got[3].err
     assert got[4].container == "error" and "truncated" in got[4].err
+
+
+def test_stream_unigram_tags_match_batch(spark, tmp_path):
+    """Round-12 batch-trains/stream-applies for the unigram tokenizer:
+    the vocabulary published by the batch trainer, applied to a document
+    STREAM, reproduces the batch segmentation bit-for-bit — including
+    UNK-character fallbacks for text the training corpus never saw."""
+    from input_data_pipeline_spark.operators.tokenizer import (
+        encode_with_unigram,
+        train_unigram,
+    )
+    from input_data_pipeline_spark.streaming.pipelines import (
+        run_to_memory,
+        stream_unigram_tags,
+    )
+
+    train = spark.createDataFrame(
+        [(i, "the theory thorn " * 3) for i in range(20)],
+        "doc_id long, text string",
+    )
+    vocab = train_unigram(train, vocab_size=20, seed_size=60)
+
+    rows = [
+        (1, "the theory"),
+        (2, "thorny § unseen"),
+        (3, ""),
+    ]
+    src = tmp_path / "ug_docs"
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(src))
+
+    batch = {
+        r.doc_id: r
+        for r in encode_with_unigram(
+            spark.read.parquet(str(src)), vocab
+        ).collect()
+    }
+    sdf = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    name = _unique("ugtags")
+    q = run_to_memory(stream_unigram_tags(sdf, vocab), name)
+    try:
+        q.processAllAvailable()
+        got = {r.doc_id: r for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+
+    assert set(got) == {1, 2, 3}
+    for k in got:
+        assert got[k] == batch[k], k
+    assert "§" in got[2].unigram_tokens  # UNK fallback flows through
+    assert got[3].n_unigram_tokens == 0
