@@ -3493,6 +3493,72 @@ def _rice_cost(res: list[int], r: int) -> int:
     return sum(((e << 1) ^ (e >> 63) if e >= 0 else (-e << 1) - 1) >> r for e in res) + len(res) * (r + 1)
 
 
+def _flac_write_residual(
+    bw: "_BitWriter",
+    res: list[int],
+    n: int,
+    order: int,
+    partition_order: int,
+    force_escape: bool,
+) -> None:
+    """Rice/escape residual partition writer shared by the FIXED and LPC
+    subframe encoders (RFC 9639 §10.2.4)."""
+    po = partition_order
+    while (n >> po) << po != n or (n >> po) <= order:
+        po -= 1  # partition order must divide n and cover warmup
+    bw.write(0b00, 2)  # 4-bit rice parameters
+    bw.write(po, 4)
+    idx = 0
+    for p in range(1 << po):
+        cnt = (n >> po) - (order if p == 0 else 0)
+        part = res[idx : idx + cnt]
+        idx += cnt
+        if force_escape:
+            raw_bits = max(
+                (e if e >= 0 else ~e).bit_length() + 1 for e in part
+            ) if part else 1
+            bw.write(0b1111, 4)
+            bw.write(raw_bits, 5)
+            for e in part:
+                bw.write(e & ((1 << raw_bits) - 1), raw_bits)
+        else:
+            r = min(range(15), key=lambda rr: _rice_cost(part, rr))
+            bw.write(r, 4)
+            for e in part:
+                m = (e << 1) if e >= 0 else ((-e << 1) - 1)
+                bw.write_unary(m >> r)
+                bw.write(m & ((1 << r) - 1), r)
+
+
+def _flac_read_residual(
+    br: "_BitReader", block_size: int, order: int
+) -> list[int]:
+    """Rice/escape residual partition reader shared by the FIXED and LPC
+    subframe decoders."""
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("reserved FLAC residual coding method")
+    pbits = 4 if method == 0 else 5
+    po = br.read(4)
+    if (block_size >> po) << po != block_size:
+        raise ValueError("FLAC partition order does not divide block")
+    res: list[int] = []
+    for p in range(1 << po):
+        cnt = (block_size >> po) - (order if p == 0 else 0)
+        if cnt < 0:
+            raise ValueError("FLAC partition smaller than warmup")
+        r = br.read(pbits)
+        if r == (1 << pbits) - 1:
+            raw = br.read(5)
+            res.extend(br.read_signed(raw) if raw else 0 for _ in range(cnt))
+        else:
+            for _ in range(cnt):
+                q = br.read_unary()
+                m = (q << r) | br.read(r)
+                res.append((m >> 1) ^ -(m & 1))
+    return res
+
+
 def encode_flac(
     samples,
     sample_rate: int = 16000,
@@ -3500,6 +3566,7 @@ def encode_flac(
     partition_order: int = 0,
     force_escape: bool = False,
     force_verbatim: bool = False,
+    force_lpc: tuple[list[int], int, int] | None = None,
 ) -> bytes:
     """Assemble a real mono 16-bit FLAC stream (RFC 9639): fLaC magic,
     STREAMINFO (with the true MD5 of the unencoded PCM), then one frame
@@ -3567,6 +3634,29 @@ def encode_flac(
             bw.write(0b000000, 6)
             bw.write(0, 1)
             bw.write(block[0] & 0xFFFF, 16)
+        elif force_lpc is not None and n > len(force_lpc[0]):
+            coefs, shift, precision = force_lpc
+            order = len(coefs)
+            res = [
+                int(block[i])
+                - (
+                    sum(c * block[i - 1 - j] for j, c in enumerate(coefs))
+                    >> shift
+                )
+                for i in range(order, n)
+            ]
+            bw.write(0, 1)
+            bw.write(0b100000 | (order - 1), 6)
+            bw.write(0, 1)
+            for s in block[:order]:
+                bw.write(s & 0xFFFF, 16)
+            bw.write(precision - 1, 4)
+            bw.write(shift, 5)
+            for c in coefs:
+                bw.write(c & ((1 << precision) - 1), precision)
+            _flac_write_residual(
+                bw, res, n, order, partition_order, force_escape
+            )
         else:
             orders = [o for o in (0, 1, 2) if o < n]
             best = min(
@@ -3579,31 +3669,9 @@ def encode_flac(
             bw.write(0, 1)
             for s in block[:best]:
                 bw.write(s & 0xFFFF, 16)
-            po = partition_order
-            while (n >> po) << po != n or (n >> po) <= best:
-                po -= 1  # partition order must divide n and cover warmup
-            bw.write(0b00, 2)  # 4-bit rice parameters
-            bw.write(po, 4)
-            idx = 0
-            for p in range(1 << po):
-                cnt = (n >> po) - (best if p == 0 else 0)
-                part = res[idx : idx + cnt]
-                idx += cnt
-                if force_escape:
-                    raw_bits = max(
-                        (e if e >= 0 else ~e).bit_length() + 1 for e in part
-                    ) if part else 1
-                    bw.write(0b1111, 4)
-                    bw.write(raw_bits, 5)
-                    for e in part:
-                        bw.write(e & ((1 << raw_bits) - 1), raw_bits)
-                else:
-                    r = min(range(15), key=lambda rr: _rice_cost(part, rr))
-                    bw.write(r, 4)
-                    for e in part:
-                        m = (e << 1) if e >= 0 else ((-e << 1) - 1)
-                        bw.write_unary(m >> r)
-                        bw.write(m & ((1 << r) - 1), r)
+            _flac_write_residual(
+                bw, res, n, best, partition_order, force_escape
+            )
         bw.align()
         frame = hdr + bytes([_crc8(hdr)]) + bw.bytes()
         out += frame + _crc16(frame).to_bytes(2, "big")
@@ -3625,13 +3693,13 @@ _FLAC_FIXED_COEFS = {
 def _decode_flac(payload: bytes) -> dict:
     """REAL FLAC decode (RFC 9639, the FIXED-predictor profile): metadata
     block walk → STREAMINFO, then per frame: header parse + CRC-8 check,
-    subframe decode (CONSTANT / VERBATIM / FIXED order 0-4 with rice or
-    escape-coded residual partitions, wasted-bits rescale), predictor
-    reconstruction, CRC-16 check, and a final MD5 comparison against the
-    STREAMINFO signature of the unencoded PCM. LPC subframes are the
-    documented seam (our encoder never emits them; external corpora
-    would route through the singleton codec seam, U2). Mono 16-bit
-    profile — matching every other audio path here."""
+    subframe decode (CONSTANT / VERBATIM / FIXED order 0-4 AND LPC with
+    quantized coefficients + arithmetic shift, rice or escape-coded
+    residual partitions, wasted-bits rescale), predictor reconstruction,
+    CRC-16 check, and a final MD5 comparison against the STREAMINFO
+    signature of the unencoded PCM. Every subframe type of the spec
+    decodes — FLAC is seamless since round 12. Mono 16-bit profile —
+    matching every other audio path here."""
     import hashlib
 
     if payload[:4] != b"fLaC":
@@ -3749,29 +3817,7 @@ def _decode_flac(payload: bytes) -> dict:
             if order > 4:
                 raise ValueError("reserved FLAC FIXED order")
             block = [br.read_signed(eff) for _ in range(order)]
-            method = br.read(2)
-            if method > 1:
-                raise ValueError("reserved FLAC residual coding method")
-            pbits = 4 if method == 0 else 5
-            po = br.read(4)
-            if (block_size >> po) << po != block_size:
-                raise ValueError("FLAC partition order does not divide block")
-            res: list[int] = []
-            for p in range(1 << po):
-                cnt = (block_size >> po) - (order if p == 0 else 0)
-                if cnt < 0:
-                    raise ValueError("FLAC partition smaller than warmup")
-                r = br.read(pbits)
-                if r == (1 << pbits) - 1:
-                    raw = br.read(5)
-                    res.extend(
-                        br.read_signed(raw) if raw else 0 for _ in range(cnt)
-                    )
-                else:
-                    for _ in range(cnt):
-                        q = br.read_unary()
-                        m = (q << r) | br.read(r)
-                        res.append((m >> 1) ^ -(m & 1))
+            res = _flac_read_residual(br, block_size, order)
             coefs = _FLAC_FIXED_COEFS[order]
             for e in res:
                 pred = sum(
@@ -3779,10 +3825,28 @@ def _decode_flac(payload: bytes) -> dict:
                 )
                 block.append(e + pred)
         elif stype >= 0b100000:
-            raise ValueError(
-                "FLAC LPC subframes require the external codec seam "
-                "(SURVEY §2.10 U1/U2) — this profile decodes FIXED only"
-            )
+            # LPC subframe (RFC 9639 §10.2.3): quantized predictor
+            # coefficients + arithmetic right shift — pure integer
+            # arithmetic, decoded for real since round 12
+            order = (stype & 0x1F) + 1
+            if order > block_size:
+                raise ValueError("FLAC LPC order exceeds block size")
+            block = [br.read_signed(eff) for _ in range(order)]
+            prec = br.read(4)
+            if prec == 0b1111:
+                raise ValueError("invalid FLAC LPC coefficient precision")
+            prec += 1
+            shift = br.read(5)
+            if shift & 0x10:
+                raise ValueError("negative FLAC LPC shift is forbidden")
+            coefs = [br.read_signed(prec) for _ in range(order)]
+            res = _flac_read_residual(br, block_size, order)
+            for e in res:
+                pred = (
+                    sum(c * block[-1 - j] for j, c in enumerate(coefs))
+                    >> shift
+                )
+                block.append(e + pred)
         else:
             raise ValueError("reserved FLAC subframe type")
         if wasted:
@@ -3840,7 +3904,8 @@ def flac_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle gate (round 12; companion to ``audio_decode_features`` /
     ``g711_decode_features``): per document a deterministic int16 signal
     (closed form over (doc_id, sample index), range ±1000) is encoded to
-    a genuine FLAC stream by :func:`encode_flac` — FIXED predictors,
+    a genuine FLAC stream by :func:`encode_flac` — FIXED predictors
+    (two thirds of docs) or quantized-coefficient LPC (every third doc),
     rice-coded residual partitions (partition order varies by doc), frame
     CRC-8/CRC-16, STREAMINFO MD5 — and decoded back through
     :func:`_decode_flac`, whose internal CRC and MD5 checks already
@@ -3871,6 +3936,10 @@ def flac_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     sample_rate=sr,
                     block_size=64 << (d % 2),
                     partition_order=d % 3,
+                    # every third doc routes through the LPC subframe
+                    # path (quantized coefs + arithmetic shift), the
+                    # rest through the FIXED predictors — both real
+                    force_lpc=([3, -1], 1, 4) if d % 3 == 0 else None,
                 )
                 meta = decode_media(blob, "audio")  # REAL FLAC decode
                 pcm = np.frombuffer(meta["pcm"], np.dtype("<i2")).astype(np.int64)

@@ -2433,11 +2433,12 @@ def test_flac_rejects_corruption():
     with pytest.raises(ValueError, match="not a FLAC"):
         _decode_flac(b"junk")
 
-    # LPC subframe type (order-1 LPC = 0b100000) is the documented seam;
-    # byte frame_start+8 is the subframe header of our fixed-layout frame
+    # flipping the subframe type to LPC (0b100000, order 1) makes the
+    # decoder parse garbage coefficients — the frame CRC-16 (or an
+    # in-stream structural check) must reject it, never return wrong PCM
     bad = blob.copy()
     bad[frame_start + 8] = 0b01000000
-    with pytest.raises(ValueError, match="LPC"):
+    with pytest.raises(ValueError):
         _decode_flac(bytes(bad))
 
 

@@ -702,6 +702,16 @@ def test_flac_encode_decode_roundtrip(data, block_size, po, escape, verbatim):
     m = _decode_flac(blob)
     assert m["n_frames"] == len(sig)
     assert np.array_equal(np.frombuffer(m["pcm"], np.dtype("<i2")), sig)
+    # the LPC path must round-trip the same signal bit-exactly too
+    blob2 = encode_flac(
+        sig,
+        block_size=block_size,
+        partition_order=po,
+        force_escape=escape,
+        force_lpc=([3, -1], 1, 4),
+    )
+    m2 = _decode_flac(blob2)
+    assert np.array_equal(np.frombuffer(m2["pcm"], np.dtype("<i2")), sig)
 
 
 @given(
