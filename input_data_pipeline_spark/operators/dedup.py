@@ -1605,3 +1605,69 @@ def dedup_keep_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup: downweight duplicates instead of dropping them (round 12)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_soft_weights",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+      FROM documents),
+    gs AS (SELECT f, COUNT(*) AS group_size FROM fp GROUP BY f),
+    w AS (
+      SELECT fp.doc_id, fp.source, gs.group_size,
+             CAST(1000000 // gs.group_size AS BIGINT) AS weight_ppm
+      FROM fp JOIN gs USING (f))
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_in_dup_groups,
+           CAST(SUM(weight_ppm) AS BIGINT) AS effective_docs_ppm,
+           CAST(SUM(weight_ppm) // COUNT(*) AS BIGINT) AS mean_weight_ppm,
+           CAST(MIN(weight_ppm) AS BIGINT) AS min_weight_ppm
+    FROM w
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup — the downweight-instead-of-drop policy (cf. SoftDedup,
+    He et al. 2024: keep every copy but scale its training weight by
+    1/group-size, so duplicated content contributes one document's worth
+    of gradient in aggregate while unique phrasing in near-identical
+    pages is not destroyed). Weights derive from the exact normalized
+    fingerprint groups of ``dedup_exact``; the report is the per-source
+    reweighting dashboard: effective document mass (Σ 1/size, in ppm of
+    a document), duplicate-group membership, and the harshest downweight.
+
+    Scale shape: one fingerprint groupBy (map-side combinable: only
+    (fp, count) crosses the wire) joined back onto the fingerprint rows —
+    AQE broadcasts the group-size side when it fits, else the join keys
+    on the fingerprint both sides already hashed; the per-source rollup
+    is tiny. Integer ppm throughout."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", "source", T.fingerprint("text").alias("f"))
+    gs = fp.groupBy("f").agg(F.count(F.lit(1)).alias("group_size"))
+    w = fp.join(gs, "f").select(
+        "source",
+        "group_size",
+        F.expr("1000000 DIV group_size").alias("weight_ppm"),
+    )
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("group_size") > 1, 1).otherwise(0)
+            ).alias("n_in_dup_groups"),
+            F.sum("weight_ppm").alias("effective_docs_ppm"),
+            F.expr("sum(weight_ppm) DIV count(1)").alias("mean_weight_ppm"),
+            F.min("weight_ppm").alias("min_weight_ppm"),
+        )
+        .orderBy("source")
+    )

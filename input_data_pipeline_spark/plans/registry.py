@@ -90,10 +90,9 @@ def _load_all() -> None:
 # pre-verified driver-canon at sf0.01 and in a hostile-TZ fresh-process
 # driver mimic before entering);
 # (b) the three r4-era queries; (c) the full r5 bucket (20);
-# (d) the r6 bucket (2; url_domain_stats, stratified_doc_sample,
-# semdedup_embedding_clusters, source_quota_cap, quality_calibration,
-# pq_reconstruction_stats and pii_redaction_scaffold defer to r13 to
-# keep the window at 50 as the r12 additions joined the head); (e) the 6 LLM-core anchors (all driver-green
+# (d) the r6 bucket (1: embedding_norm_stats; the other eight r6-era
+# queries defer to r13 to keep the window at 50 as the r12 additions
+# joined the head — they rotate in with the r7 bucket); (e) the 6 LLM-core anchors (all driver-green
 # r10) fill the window to exactly 50. The 25 r7-era queries rotate in
 # next round. Names not listed keep registration order after the listed
 # ones.
@@ -110,6 +109,7 @@ _PRIORITY: list[str] = [
     "chunk_dedup_rewrite",
     "sq8_recall_audit",
     "unigram_encode_fixed",
+    "dedup_soft_weights",
     "audio_decode_features",
     "image_decode_features",
     "video_decode_features",
@@ -145,7 +145,6 @@ _PRIORITY: list[str] = [
     "youtube_id_extraction",
     # --- (d) last driver green r6 ---
     "embedding_norm_stats",
-    "lang_distribution",
     # --- (e) LLM-core anchors (stay in every window) ---
     "dedup_minhash_lsh",
     "ngram_jaccard_pairs",

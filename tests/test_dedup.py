@@ -310,3 +310,33 @@ def test_keep_selection_longest_survives(spark, tmp_path):
     assert all(got[d].kept_doc == 2 for d in fam)   # longest doc survives
     assert [got[d].keep for d in (0, 1, 2)] == [False, False, True]
     assert got[3].keep and got[3].cluster_size == 1 and got[3].kept_doc == 3
+
+
+def test_dedup_soft_weights_mass_conservation(spark, sf_dir):
+    """Soft-dedup invariants: every doc keeps a positive weight; the
+    corpus-wide effective mass equals the number of DISTINCT fingerprints
+    in ppm (each group contributes ~1e6 up to integer floor loss); docs
+    outside dup groups carry full weight."""
+    from input_data_pipeline_spark.operators.dedup import dedup_soft_weights
+    from input_data_pipeline_spark.functions import text as T
+    from input_data_pipeline_spark.tables import load_table
+    import pyspark.sql.functions as F
+
+    rows = dedup_soft_weights(spark, sf_dir).collect()
+    assert rows
+    fp = (
+        load_table(spark, sf_dir, "documents")
+        .select(T.fingerprint("text").alias("f"))
+        .groupBy("f")
+        .count()
+        .collect()
+    )
+    n_groups = len(fp)
+    eff = sum(r.effective_docs_ppm for r in rows)
+    # each size-k group sums to k*(1e6 DIV k) ∈ (1e6 - k, 1e6]
+    assert eff <= n_groups * 1_000_000
+    assert eff > n_groups * 1_000_000 - sum(c for _, c in fp)
+    for r in rows:
+        assert r.min_weight_ppm >= 1
+        assert r.mean_weight_ppm <= 1_000_000
+        assert r.n_in_dup_groups <= r.n_docs

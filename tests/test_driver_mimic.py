@@ -119,6 +119,7 @@ ANSI_QUERIES = [
     "chunk_dedup_rewrite",
     "sq8_recall_audit",
     "unigram_encode_fixed",
+    "dedup_soft_weights",
 ]
 
 
