@@ -1702,7 +1702,10 @@ def _probe_mp4(payload: bytes) -> dict:
                 # (live/fragmented recordings) — report None, not ~49 days
                 duration_ms = None if unknown else dur * 1000 // ts
             elif t2 == b"trak":
-                trk = {"handler": None, "width": None, "height": None}
+                trk = {
+                    "handler": None, "width": None, "height": None,
+                    "n_samples": None,
+                }
                 for t3, d0, d1 in boxes(c0, c1):
                     if t3 == b"tkhd":
                         (tver,) = field(">B", d0, d1, 0, "tkhd")
@@ -1716,6 +1719,34 @@ def _probe_mp4(payload: bytes) -> dict:
                                 trk["handler"] = hdl.decode(
                                     "ascii", errors="replace"
                                 )
+                            elif t4 == b"minf":
+                                # sample tables (ISO 14496-12 §8.6.1/§8.7.3):
+                                # stts sums to the exact sample count;
+                                # stsz's count field is the fallback
+                                for t5, f0, f1 in boxes(e0, e1):
+                                    if t5 != b"stbl":
+                                        continue
+                                    for t6, g0, g1 in boxes(f0, f1):
+                                        if t6 == b"stts":
+                                            (ne,) = field(
+                                                ">I", g0, g1, 4, "stts"
+                                            )
+                                            tot = 0
+                                            for k in range(ne):
+                                                cnt, _delta = field(
+                                                    ">II", g0, g1,
+                                                    8 + 8 * k, "stts",
+                                                )
+                                                tot += cnt
+                                            trk["n_samples"] = tot
+                                        elif (
+                                            t6 == b"stsz"
+                                            and trk["n_samples"] is None
+                                        ):
+                                            (_sz, cnt) = field(
+                                                ">II", g0, g1, 4, "stsz"
+                                            )
+                                            trk["n_samples"] = cnt
                 tracks.append(trk)
     if not found_mvhd:
         raise ValueError("no moov/mvhd box found (streaming-fragment MP4?)")
@@ -1757,7 +1788,9 @@ def probe_video(payload: bytes) -> dict:
             "container": "mp4",
             "width": vid.get("width"),
             "height": vid.get("height"),
-            "n_frames": None,  # sample counts live in stbl; decode is the seam
+            # exact frame count from the stbl sample tables when present
+            # (stts sum, stsz fallback); None for metadata-only streams
+            "n_frames": vid.get("n_samples"),
             "duration_ms": m["duration_ms"],
             "n_tracks": m["n_tracks"],
         }

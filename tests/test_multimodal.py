@@ -1452,7 +1452,8 @@ def test_decode_jpeg_420_and_422_subsampled():
 
 
 def make_mp4(duration_ms=5000, timescale=1000, width=640, height=360,
-             with_audio=True, mvhd_version=0, largesize_moov=False):
+             with_audio=True, mvhd_version=0, largesize_moov=False,
+             n_samples=None):
     """Build a minimal ISO BMFF file with stdlib struct: ftyp + moov
     (mvhd v0/v1, a video trak with tkhd 16.16 dims + mdia/hdlr 'vide',
     optionally an audio trak). ``largesize_moov`` writes moov with the
@@ -1472,13 +1473,21 @@ def make_mp4(duration_ms=5000, timescale=1000, width=640, height=360,
         mvhd = box(b"mvhd", bytes(4) + b"\x00" * 8
                    + struct.pack(">II", timescale, dur) + b"\x00" * 80)
 
-    def trak(handler, w=0, h=0):
+    def trak(handler, w=0, h=0, samples=None):
         tkhd = box(b"tkhd", bytes(4) + b"\x00" * 72
                    + struct.pack(">II", w << 16, h << 16))
         hdlr = box(b"hdlr", bytes(4) + bytes(4) + handler + b"\x00" * 13)
-        return box(b"trak", tkhd + box(b"mdia", hdlr))
+        mdia = hdlr
+        if samples is not None:
+            # stts with two runs summing to the sample count
+            a = samples // 2
+            stts = box(b"stts", bytes(4) + struct.pack(">I", 2)
+                       + struct.pack(">II", a, 40)
+                       + struct.pack(">II", samples - a, 41))
+            mdia += box(b"minf", box(b"stbl", stts))
+        return box(b"trak", tkhd + box(b"mdia", mdia))
 
-    traks = trak(b"vide", width, height)
+    traks = trak(b"vide", width, height, samples=n_samples)
     if with_audio:
         traks += trak(b"soun")
     moov = box(b"moov", mvhd + traks, largesize=largesize_moov)
@@ -2469,3 +2478,17 @@ def test_flac_probe_and_cross_codec_content_key():
     assert audio_content_key(blob) != audio_content_key(
         encode_wav((sig + 1).astype(np.int16), frame_rate=16000)
     )
+
+
+def test_probe_mp4_sample_tables_give_exact_frame_count():
+    """Round 12: the stbl walk sums stts runs to the exact video sample
+    count; streams without sample tables still probe with n_frames=None
+    (the pre-r12 behavior, pinned above)."""
+    from input_data_pipeline_spark.operators.multimodal import probe_video
+
+    m = probe_video(make_mp4(duration_ms=2000, n_samples=50))
+    assert m["container"] == "mp4"
+    assert m["n_frames"] == 50
+    assert m["duration_ms"] == 2000
+    m2 = probe_video(make_mp4(duration_ms=2000))
+    assert m2["n_frames"] is None
