@@ -1985,3 +1985,50 @@ def sq8_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_doc")
     )
+
+
+def sq8_quantizer_model(spark: SparkSession, sf_dir: str) -> list[tuple[float, float]]:
+    """The publishable quantizer: per-dimension (min, max) bounds from the
+    corpus — a fixed DIM-entry table (the bounded ship-the-model state,
+    like the BM25 idf table or the capped CCNet LM), consumed by
+    ``streaming.pipelines.stream_sq8_codes`` and by any batch re-encode."""
+    emb = _emb(spark, sf_dir)
+    rows = (
+        emb.select(F.posexplode("e").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+    return [(r["mn"], r["mx"]) for r in rows]
+
+
+def sq8_encode(vecs: DataFrame, bounds: list[tuple[float, float]], vec_col: str = "e") -> DataFrame:
+    """Map-only uint8 encoding of a vector column against published
+    per-dim bounds: the identical quantize arithmetic as
+    ``sq8_recall_audit`` (one ROUND half-away per cell; degenerate dims
+    pin to code 0; out-of-range values clamp — stream data may exceed the
+    training corpus' bounds). Appends ``sq8_codes array<int>``. Works on
+    batch and streaming DataFrames alike (no state, no shuffle)."""
+    from pyspark.sql.functions import pandas_udf
+
+    sc = vecs.sparkSession.sparkContext
+    bc = sc.broadcast(bounds)
+
+    @pandas_udf("array<int>")
+    def encode(col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        b = np.asarray(bc.value, dtype=np.float64)
+        mn, mx = b[:, 0], b[:, 1]
+        span = mx - mn
+        safe = np.where(span == 0, 1.0, span)
+        out = []
+        for v in col:
+            x = np.asarray(v, dtype=np.float64)
+            q = np.round((x - mn) * 255 / safe)
+            q = np.where(span == 0, 0, np.clip(q, 0, 255))
+            out.append(q.astype(np.int32))
+        return pd.Series(out)
+
+    return vecs.withColumn("sq8_codes", encode(F.col(vec_col)))

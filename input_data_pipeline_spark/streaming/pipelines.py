@@ -769,6 +769,19 @@ def stream_unigram_tags(docs: DataFrame, vocab) -> DataFrame:
     return encode_with_unigram(docs, vocab)
 
 
+def stream_sq8_codes(vecs: DataFrame, bounds) -> DataFrame:
+    """Streaming face of the int8 quantizer (round 12) — the vector-store
+    ingest path: a batch job publishes the per-dimension bounds
+    (``operators.similarity.sq8_quantizer_model``, a DIM-entry table) and
+    every arriving embedding encodes to uint8 codes map-side via THE SAME
+    ``sq8_encode`` kernel as batch; out-of-range stream values clamp
+    instead of erroring (live data drifts past the training corpus'
+    bounds). Stateless, no shuffle; composes before the ANN index write."""
+    from input_data_pipeline_spark.operators.similarity import sq8_encode
+
+    return sq8_encode(vecs, bounds)
+
+
 def stream_selection_tags(
     docs: DataFrame,
     dsir: tuple[dict[int, int], tuple[int, int]] | None = None,

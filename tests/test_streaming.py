@@ -1668,3 +1668,51 @@ def test_stream_unigram_tags_match_batch(spark, tmp_path):
         assert got[k] == batch[k], k
     assert "§" in got[2].unigram_tokens  # UNK fallback flows through
     assert got[3].n_unigram_tokens == 0
+
+
+def test_stream_sq8_codes_match_batch_and_clamp(spark, tmp_path):
+    """Round-12 batch-trains/stream-applies for the int8 quantizer: codes
+    on a stream equal the batch encode bit-for-bit, and values beyond the
+    published bounds clamp to 0/255 rather than erroring."""
+    import pyspark.sql.functions as F
+
+    from input_data_pipeline_spark.operators.similarity import (
+        sq8_encode,
+        sq8_quantizer_model,
+    )
+    from input_data_pipeline_spark.streaming.pipelines import (
+        run_to_memory,
+        stream_sq8_codes,
+    )
+
+    bounds = sq8_quantizer_model(spark, "/root/testdata/sf0.001")
+    dim = len(bounds)
+    rows = [
+        (1, [bounds[i][0] for i in range(dim)]),  # exact minima → code 0
+        (2, [bounds[i][1] + 10.0 for i in range(dim)]),  # overflow → 255
+        (3, [(bounds[i][0] + bounds[i][1]) / 2 for i in range(dim)]),
+    ]
+    src = tmp_path / "vec_stream"
+    spark.createDataFrame(rows, "vec_id long, e array<double>").coalesce(
+        1
+    ).write.parquet(str(src))
+
+    batch = {
+        r.vec_id: list(r.sq8_codes)
+        for r in sq8_encode(spark.read.parquet(str(src)), bounds).collect()
+    }
+    sdf = spark.readStream.schema("vec_id long, e array<double>").parquet(
+        str(src)
+    )
+    name = _unique("sq8codes")
+    q = run_to_memory(stream_sq8_codes(sdf, bounds), name)
+    try:
+        q.processAllAvailable()
+        got = {r.vec_id: list(r.sq8_codes) for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+
+    assert got == batch
+    assert all(c == 0 for c in got[1])
+    assert all(c == 255 for c in got[2])
+    assert all(0 <= c <= 255 for c in got[3])
