@@ -601,3 +601,79 @@ def _register_unigram_query() -> None:
 
 
 _register_unigram_query()
+
+
+def _register_fertility_query() -> None:
+    from input_data_pipeline_spark.functions.text import DUCK_TOKENS
+    from input_data_pipeline_spark.plans.registry import register
+    from input_data_pipeline_spark.tables import load_table
+
+    @register(
+        "tokenizer_fertility_audit",
+        oracle=f"""
+        WITH words AS (
+          SELECT lang, source, UNNEST({DUCK_TOKENS}) AS w FROM documents)
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(length(w) - ({_UG_CNT_SQL})) AS BIGINT) AS n_subwords,
+               CAST(SUM(length(w) - ({_UG_CNT_SQL})) * 1000000 // COUNT(*)
+                    AS BIGINT) AS fertility_ppm,
+               CAST(SUM(CASE WHEN length(w) - ({_UG_CNT_SQL}) = 1
+                             THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                    AS BIGINT) AS single_token_words_ppm
+        FROM words
+        GROUP BY lang, source
+        ORDER BY lang, source
+        """,
+    )
+    def tokenizer_fertility_audit(spark, sf_dir):
+        """Tokenizer fertility audit — subwords per word, by language and
+        source, under the published ``UNIGRAM_FIXED_VOCAB`` (the serving
+        regime): THE multilingual-tokenizer health metric (a language
+        whose fertility is 2× another's pays 2× the sequence length for
+        the same content — the standard argument for vocabulary
+        rebalancing, cf. the XLM-R/BLOOM tokenizer analyses). Emits
+        exact integer ppm fertility plus the share of words that stay a
+        single token. Per-word subword counts run through the REAL
+        Viterbi encoder; the oracle recomputes them closed-form from the
+        letter-disjoint vocabulary, so this doubles as a second
+        differential pin on the DP. Map-only tokenize + encode; one
+        small (lang, source) rollup."""
+        docs = load_table(spark, sf_dir, "documents").select(
+            "lang", "source", "text"
+        )
+        per_word = docs.select(
+            "lang",
+            "source",
+            F.explode(T.tokens("text")).alias("w"),
+        )
+        logp, unk = _piece_logps(dict(UNIGRAM_FIXED_VOCAB))
+        sc = docs.sparkSession.sparkContext
+        bc = sc.broadcast((logp, unk))
+
+        @pandas_udf("long")
+        def n_pieces(col: pd.Series) -> pd.Series:
+            lp, u = bc.value
+            return col.map(
+                lambda w: len(_viterbi_segment(w, lp, u, _UNIGRAM_MAX_PIECE))
+            )
+
+        return (
+            per_word.withColumn("np", n_pieces(F.col("w")))
+            .groupBy("lang", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum("np").alias("n_subwords"),
+                F.expr("sum(np) * 1000000 DIV count(1)").alias(
+                    "fertility_ppm"
+                ),
+                F.expr(
+                    "sum(case when np = 1 then 1 else 0 end) * 1000000"
+                    " DIV count(1)"
+                ).alias("single_token_words_ppm"),
+            )
+            .orderBy("lang", "source")
+        )
+
+
+_register_fertility_query()

@@ -90,9 +90,8 @@ def _load_all() -> None:
 # pre-verified driver-canon at sf0.01 and in a hostile-TZ fresh-process
 # driver mimic before entering);
 # (b) the three r4-era queries; (c) the full r5 bucket (20);
-# (d) the r6 bucket (1: embedding_norm_stats; the other eight r6-era
-# queries defer to r13 to keep the window at 50 as the r12 additions
-# joined the head — they rotate in with the r7 bucket); (e) the 6 LLM-core anchors (all driver-green
+# (d) the whole r6 bucket (9 queries) defers to r13 — it rotates in
+# with the r7 bucket as the r12 additions filled the head; (e) the 6 LLM-core anchors (all driver-green
 # r10) fill the window to exactly 50. The 25 r7-era queries rotate in
 # next round. Names not listed keep registration order after the listed
 # ones.
@@ -110,6 +109,7 @@ _PRIORITY: list[str] = [
     "sq8_recall_audit",
     "unigram_encode_fixed",
     "dedup_soft_weights",
+    "tokenizer_fertility_audit",
     "audio_decode_features",
     "image_decode_features",
     "video_decode_features",
@@ -143,8 +143,6 @@ _PRIORITY: list[str] = [
     "top_tokens",
     "toxic_label_scaffold",
     "youtube_id_extraction",
-    # --- (d) last driver green r6 ---
-    "embedding_norm_stats",
     # --- (e) LLM-core anchors (stay in every window) ---
     "dedup_minhash_lsh",
     "ngram_jaccard_pairs",

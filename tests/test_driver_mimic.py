@@ -120,6 +120,7 @@ ANSI_QUERIES = [
     "sq8_recall_audit",
     "unigram_encode_fixed",
     "dedup_soft_weights",
+    "tokenizer_fertility_audit",
 ]
 
 
