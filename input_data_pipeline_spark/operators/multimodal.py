@@ -3592,6 +3592,72 @@ def _flac_read_residual(
     return res
 
 
+def _flac_encode_subframe(
+    bw: "_BitWriter",
+    block: list[int],
+    bits: int,
+    partition_order: int,
+    force_escape: bool,
+    force_verbatim: bool,
+    force_lpc,
+) -> None:
+    """One subframe (RFC 9639 §10.2) at an arbitrary sample width —
+    ``bits`` is 16 for plain channels and 17 for the side channel of a
+    decorrelated stereo pair."""
+    n = len(block)
+    mask = (1 << bits) - 1
+    if force_verbatim:
+        bw.write(0, 1)
+        bw.write(0b000001, 6)
+        bw.write(0, 1)
+        for s in block:
+            bw.write(s & mask, bits)
+    elif n and all(s == block[0] for s in block):
+        bw.write(0, 1)
+        bw.write(0b000000, 6)
+        bw.write(0, 1)
+        bw.write(block[0] & mask, bits)
+    elif force_lpc is not None and n > len(force_lpc[0]):
+        coefs, shift, precision = force_lpc
+        order = len(coefs)
+        res = [
+            int(block[i])
+            - (sum(c * block[i - 1 - j] for j, c in enumerate(coefs)) >> shift)
+            for i in range(order, n)
+        ]
+        bw.write(0, 1)
+        bw.write(0b100000 | (order - 1), 6)
+        bw.write(0, 1)
+        for s in block[:order]:
+            bw.write(s & mask, bits)
+        bw.write(precision - 1, 4)
+        bw.write(shift, 5)
+        for c in coefs:
+            bw.write(c & ((1 << precision) - 1), precision)
+        _flac_write_residual(bw, res, n, order, partition_order, force_escape)
+    else:
+        orders = [o for o in (0, 1, 2) if o < n]
+        best = min(
+            orders,
+            key=lambda o: _rice_cost(_flac_fixed_residual(block, o), 8),
+        )
+        res = _flac_fixed_residual(block, best)
+        bw.write(0, 1)
+        bw.write(0b001000 | best, 6)
+        bw.write(0, 1)
+        for s in block[:best]:
+            bw.write(s & mask, bits)
+        _flac_write_residual(bw, res, n, best, partition_order, force_escape)
+
+
+_FLAC_STEREO_ASSIGN = {
+    "independent": 0b0001,
+    "left_side": 0b1000,
+    "right_side": 0b1001,
+    "mid_side": 0b1010,
+}
+
+
 def encode_flac(
     samples,
     sample_rate: int = 16000,
@@ -3600,20 +3666,31 @@ def encode_flac(
     force_escape: bool = False,
     force_verbatim: bool = False,
     force_lpc: tuple[list[int], int, int] | None = None,
+    stereo_mode: str = "independent",
 ) -> bytes:
-    """Assemble a real mono 16-bit FLAC stream (RFC 9639): fLaC magic,
-    STREAMINFO (with the true MD5 of the unencoded PCM), then one frame
-    per block — frame headers with CRC-8, per-block subframe choice
-    (CONSTANT for flat blocks, else the best FIXED predictor order 0-2
-    by exact rice cost, VERBATIM on demand), rice-coded residuals with
-    the requested partition order, frame CRC-16. Every bit of this is
-    the published format; a decoder slip anywhere (predictor algebra,
-    zigzag, unary, CRC, MD5) corrupts real checksums."""
+    """Assemble a real 16-bit FLAC stream (RFC 9639): fLaC magic,
+    STREAMINFO (with the true MD5 of the unencoded interleaved PCM),
+    then one frame per block — frame headers with CRC-8, per-channel
+    subframe choice (CONSTANT for flat blocks, else the best FIXED
+    predictor order 0-2 by exact rice cost; VERBATIM or quantized-LPC on
+    demand), rice-coded residuals with the requested partition order,
+    frame CRC-16. Mono input is a 1-D int16 array; STEREO input is an
+    (n, 2) array encoded under ``stereo_mode`` — independent channels or
+    any of the spec's decorrelated pairs (left/side, right/side,
+    mid/side; the side channel carries 17-bit samples, per §9.1.4).
+    Every bit of this is the published format; a decoder slip anywhere
+    (predictor algebra, channel reconstruction, zigzag, unary, CRC, MD5)
+    corrupts real checksums."""
     import hashlib
 
     import numpy as np
 
     samples = np.asarray(samples, dtype=np.int16)
+    stereo = samples.ndim == 2
+    if stereo and samples.shape[1] != 2:
+        raise ValueError("stereo input must be shaped (n, 2)")
+    if stereo and stereo_mode not in _FLAC_STEREO_ASSIGN:
+        raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
     n_total = len(samples)
     md5 = hashlib.md5(samples.astype("<i2").tobytes()).digest()
     out = bytearray(b"fLaC")
@@ -3623,7 +3700,7 @@ def encode_flac(
     si.write(0, 24)
     si.write(0, 24)
     si.write(sample_rate, 20)
-    si.write(0, 3)  # channels - 1
+    si.write(1 if stereo else 0, 3)  # channels - 1
     si.write(15, 5)  # bps - 1
     si.write(n_total, 36)
     body = si.bytes() + md5
@@ -3632,15 +3709,15 @@ def encode_flac(
     frame_no = 0
     pos = 0
     while pos < n_total or (n_total == 0 and frame_no == 0):
-        block = [int(s) for s in samples[pos : pos + block_size]]
-        pos += len(block)
+        blk = samples[pos : pos + block_size]
+        pos += len(blk)
         bw = _BitWriter()
         bw.write(0b11111111111110, 14)
         bw.write(0, 1)
         bw.write(0, 1)  # fixed-blocksize stream
         bw.write(0b0111, 4)  # blocksize: 16-bit field at header end
         bw.write(0b0000, 4)  # sample rate: from STREAMINFO
-        bw.write(0, 4)  # mono
+        bw.write(_FLAC_STEREO_ASSIGN[stereo_mode] if stereo else 0, 4)
         bw.write(0b100, 3)  # 16-bit samples
         bw.write(0, 1)
         # coded number (UTF-8 style); frame counters here stay < 2^7
@@ -3651,59 +3728,29 @@ def encode_flac(
             bw.write(frame_no >> 6, 5)
             bw.write(0b10, 2)
             bw.write(frame_no & 0x3F, 6)
-        bw.write(len(block) - 1, 16)
+        bw.write(len(blk) - 1, 16)
         bw.align()
         hdr = bw.bytes()
         bw = _BitWriter()
-        n = len(block)
-        if force_verbatim:
-            bw.write(0, 1)
-            bw.write(0b000001, 6)
-            bw.write(0, 1)
-            for s in block:
-                bw.write(s & 0xFFFF, 16)
-        elif n and all(s == block[0] for s in block):
-            bw.write(0, 1)
-            bw.write(0b000000, 6)
-            bw.write(0, 1)
-            bw.write(block[0] & 0xFFFF, 16)
-        elif force_lpc is not None and n > len(force_lpc[0]):
-            coefs, shift, precision = force_lpc
-            order = len(coefs)
-            res = [
-                int(block[i])
-                - (
-                    sum(c * block[i - 1 - j] for j, c in enumerate(coefs))
-                    >> shift
-                )
-                for i in range(order, n)
-            ]
-            bw.write(0, 1)
-            bw.write(0b100000 | (order - 1), 6)
-            bw.write(0, 1)
-            for s in block[:order]:
-                bw.write(s & 0xFFFF, 16)
-            bw.write(precision - 1, 4)
-            bw.write(shift, 5)
-            for c in coefs:
-                bw.write(c & ((1 << precision) - 1), precision)
-            _flac_write_residual(
-                bw, res, n, order, partition_order, force_escape
-            )
+        if not stereo:
+            channels = [([int(s) for s in blk], 16)]
         else:
-            orders = [o for o in (0, 1, 2) if o < n]
-            best = min(
-                orders,
-                key=lambda o: _rice_cost(_flac_fixed_residual(block, o), 8),
-            )
-            res = _flac_fixed_residual(block, best)
-            bw.write(0, 1)
-            bw.write(0b001000 | best, 6)
-            bw.write(0, 1)
-            for s in block[:best]:
-                bw.write(s & 0xFFFF, 16)
-            _flac_write_residual(
-                bw, res, n, best, partition_order, force_escape
+            left = [int(x) for x in blk[:, 0]]
+            right = [int(x) for x in blk[:, 1]]
+            side = [l - r for l, r in zip(left, right)]
+            if stereo_mode == "independent":
+                channels = [(left, 16), (right, 16)]
+            elif stereo_mode == "left_side":
+                channels = [(left, 16), (side, 17)]
+            elif stereo_mode == "right_side":
+                channels = [(side, 17), (right, 16)]
+            else:  # mid_side
+                mid = [(l + r) >> 1 for l, r in zip(left, right)]
+                channels = [(mid, 16), (side, 17)]
+        for ch_block, bits in channels:
+            _flac_encode_subframe(
+                bw, ch_block, bits, partition_order,
+                force_escape, force_verbatim, force_lpc,
             )
         bw.align()
         frame = hdr + bytes([_crc8(hdr)]) + bw.bytes()
@@ -3723,6 +3770,62 @@ _FLAC_FIXED_COEFS = {
 }
 
 
+def _flac_read_subframe(
+    br: "_BitReader", block_size: int, bits: int
+) -> list[int]:
+    """One subframe (any type: CONSTANT/VERBATIM/FIXED/LPC) at the given
+    sample width — 16 for plain channels, 17 for the side channel of a
+    decorrelated stereo pair (RFC 9639 §9.1.4)."""
+    if br.read(1) != 0:
+        raise ValueError("FLAC subframe padding bit set")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = br.read_unary() + 1
+    eff = bits - wasted
+    if stype == 0b000000:
+        block = [br.read_signed(eff)] * block_size
+    elif stype == 0b000001:
+        block = [br.read_signed(eff) for _ in range(block_size)]
+    elif 0b001000 <= stype <= 0b001100:
+        order = stype & 0x07
+        if order > 4:
+            raise ValueError("reserved FLAC FIXED order")
+        block = [br.read_signed(eff) for _ in range(order)]
+        res = _flac_read_residual(br, block_size, order)
+        coefs = _FLAC_FIXED_COEFS[order]
+        for e in res:
+            pred = sum(c * block[-i - 1] for i, c in enumerate(coefs))
+            block.append(e + pred)
+    elif stype >= 0b100000:
+        # LPC subframe (RFC 9639 §10.2.3): quantized predictor
+        # coefficients + arithmetic right shift — pure integer
+        # arithmetic, decoded for real since round 12
+        order = (stype & 0x1F) + 1
+        if order > block_size:
+            raise ValueError("FLAC LPC order exceeds block size")
+        block = [br.read_signed(eff) for _ in range(order)]
+        prec = br.read(4)
+        if prec == 0b1111:
+            raise ValueError("invalid FLAC LPC coefficient precision")
+        prec += 1
+        shift = br.read(5)
+        if shift & 0x10:
+            raise ValueError("negative FLAC LPC shift is forbidden")
+        coefs = [br.read_signed(prec) for _ in range(order)]
+        res = _flac_read_residual(br, block_size, order)
+        for e in res:
+            pred = (
+                sum(c * block[-1 - j] for j, c in enumerate(coefs)) >> shift
+            )
+            block.append(e + pred)
+    else:
+        raise ValueError("reserved FLAC subframe type")
+    if wasted:
+        block = [v << wasted for v in block]
+    return block
+
+
 def _decode_flac(payload: bytes) -> dict:
     """REAL FLAC decode (RFC 9639, the FIXED-predictor profile): metadata
     block walk → STREAMINFO, then per frame: header parse + CRC-8 check,
@@ -3731,8 +3834,10 @@ def _decode_flac(payload: bytes) -> dict:
     residual partitions, wasted-bits rescale), predictor reconstruction,
     CRC-16 check, and a final MD5 comparison against the STREAMINFO
     signature of the unencoded PCM. Every subframe type of the spec
-    decodes — FLAC is seamless since round 12. Mono 16-bit profile —
-    matching every other audio path here."""
+    decodes, and both channel layouts do too: mono, independent stereo,
+    and all three decorrelated stereo assignments (left/side,
+    right/side, mid/side — the side channel reads at 17 bits per
+    §9.1.4). 16-bit profile."""
     import hashlib
 
     if payload[:4] != b"fLaC":
@@ -3768,17 +3873,18 @@ def _decode_flac(payload: bytes) -> dict:
             break
     if streaminfo is None:
         raise ValueError("FLAC stream has no STREAMINFO block")
-    if streaminfo["n_channels"] != 1 or streaminfo["bps"] != 16:
+    if streaminfo["n_channels"] not in (1, 2) or streaminfo["bps"] != 16:
         raise ValueError(
-            "FLAC decode supports the mono 16-bit profile, got "
+            "FLAC decode supports the mono/stereo 16-bit profile, got "
             f"{streaminfo['n_channels']}ch/{streaminfo['bps']}-bit"
         )
     if streaminfo["sample_rate"] == 0:
         raise ValueError("STREAMINFO sample rate is zero")
 
     decoded: list[int] = []
+    n_ch = streaminfo["n_channels"]
     total = streaminfo["total_samples"]
-    while len(decoded) < total:
+    while len(decoded) < total * n_ch:
         frame_start = pos
         br = _BitReader(payload, pos)
         if br.read(14) != 0b11111111111110:
@@ -3790,8 +3896,6 @@ def _decode_flac(payload: bytes) -> dict:
         chan = br.read(4)
         bps_code = br.read(3)
         br.read(1)
-        if chan != 0:
-            raise ValueError("FLAC decode supports the mono profile only")
         # coded number (UTF-8 style, 1-7 bytes)
         first = br.read(8)
         if first < 0x80:
@@ -3832,58 +3936,39 @@ def _decode_flac(payload: bytes) -> dict:
         bps = 16 if bps_code == 0b100 else None
         if bps is None:
             raise ValueError("FLAC decode supports 16-bit samples only")
-        # subframe header
-        if br.read(1) != 0:
-            raise ValueError("FLAC subframe padding bit set")
-        stype = br.read(6)
-        wasted = 0
-        if br.read(1):
-            wasted = br.read_unary() + 1
-        eff = bps - wasted
-        if stype == 0b000000:
-            val = br.read_signed(eff)
-            block = [val] * block_size
-        elif stype == 0b000001:
-            block = [br.read_signed(eff) for _ in range(block_size)]
-        elif 0b001000 <= stype <= 0b001100:
-            order = stype & 0x07
-            if order > 4:
-                raise ValueError("reserved FLAC FIXED order")
-            block = [br.read_signed(eff) for _ in range(order)]
-            res = _flac_read_residual(br, block_size, order)
-            coefs = _FLAC_FIXED_COEFS[order]
-            for e in res:
-                pred = sum(
-                    c * block[-i - 1] for i, c in enumerate(coefs)
-                )
-                block.append(e + pred)
-        elif stype >= 0b100000:
-            # LPC subframe (RFC 9639 §10.2.3): quantized predictor
-            # coefficients + arithmetic right shift — pure integer
-            # arithmetic, decoded for real since round 12
-            order = (stype & 0x1F) + 1
-            if order > block_size:
-                raise ValueError("FLAC LPC order exceeds block size")
-            block = [br.read_signed(eff) for _ in range(order)]
-            prec = br.read(4)
-            if prec == 0b1111:
-                raise ValueError("invalid FLAC LPC coefficient precision")
-            prec += 1
-            shift = br.read(5)
-            if shift & 0x10:
-                raise ValueError("negative FLAC LPC shift is forbidden")
-            coefs = [br.read_signed(prec) for _ in range(order)]
-            res = _flac_read_residual(br, block_size, order)
-            for e in res:
-                pred = (
-                    sum(c * block[-1 - j] for j, c in enumerate(coefs))
-                    >> shift
-                )
-                block.append(e + pred)
+        if (n_ch == 1) != (chan == 0b0000):
+            raise ValueError("frame channel assignment contradicts STREAMINFO")
+        bits0 = bps
+        if chan == 0b0000:
+            block = _flac_read_subframe(br, block_size, bits0)
+        elif chan == 0b0001:
+            left = _flac_read_subframe(br, block_size, bits0)
+            right = _flac_read_subframe(br, block_size, bits0)
+            block = [v for pair in zip(left, right) for v in pair]
+        elif chan == 0b1000:  # left/side
+            left = _flac_read_subframe(br, block_size, bits0)
+            side = _flac_read_subframe(br, block_size, bits0 + 1)
+            block = [
+                v for l, sd in zip(left, side) for v in (l, l - sd)
+            ]
+        elif chan == 0b1001:  # right/side
+            side = _flac_read_subframe(br, block_size, bits0 + 1)
+            right = _flac_read_subframe(br, block_size, bits0)
+            block = [
+                v for sd, r in zip(side, right) for v in (sd + r, r)
+            ]
+        elif chan == 0b1010:  # mid/side
+            mid = _flac_read_subframe(br, block_size, bits0)
+            side = _flac_read_subframe(br, block_size, bits0 + 1)
+            block = []
+            for m, sd in zip(mid, side):
+                m2 = (m << 1) | (sd & 1)
+                block.extend(((m2 + sd) >> 1, (m2 - sd) >> 1))
         else:
-            raise ValueError("reserved FLAC subframe type")
-        if wasted:
-            block = [s << wasted for s in block]
+            raise ValueError(
+                "FLAC channel assignments beyond mono/stereo are out of "
+                "this profile"
+            )
         br.align()
         crc_end = br.byte
         if crc_end + 2 > len(payload):
@@ -3897,14 +3982,14 @@ def _decode_flac(payload: bytes) -> dict:
 
     import numpy as np
 
-    if len(decoded) > total:
-        decoded = decoded[:total]
+    if len(decoded) > total * n_ch:
+        decoded = decoded[: total * n_ch]
     pcm = np.asarray(decoded, dtype=np.int16).astype("<i2").tobytes()
     if streaminfo["md5"] != b"\x00" * 16:
         if hashlib.md5(pcm).digest() != streaminfo["md5"]:
             raise ValueError("FLAC decoded-PCM MD5 mismatch")
     return {
-        "n_channels": 1,
+        "n_channels": n_ch,
         "sample_width": 2,
         "frame_rate": streaminfo["sample_rate"],
         "n_frames": total,

@@ -758,3 +758,45 @@ def test_mp3_probe_matches_spec_for_any_frame_sequence(
     assert m["duration_ms"] == spf * len(spec) * 1000 // sr
     assert m["mean_bitrate_kbps"] == sum(kbps) // len(spec)
     assert m["vbr"] == (len(set(kbps)) > 1)
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=-32768, max_value=32767),
+            st.integers(min_value=-32768, max_value=32767),
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    mode=st.sampled_from(
+        ["independent", "left_side", "right_side", "mid_side"]
+    ),
+    block_size=st.sampled_from([32, 64, 128]),
+    lpc=st.booleans(),
+)
+@settings(max_examples=100, deadline=None)
+def test_flac_stereo_roundtrip_all_assignments(data, mode, block_size, lpc):
+    """Any stereo int16 signal survives the FLAC round trip bit-exactly
+    under every channel assignment — including the decorrelated pairs
+    whose side channel carries 17-bit samples (extreme L/R differences
+    exercise the widened width), with FIXED and LPC predictors."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_flac,
+        encode_flac,
+    )
+
+    sig = np.array(data, dtype=np.int16)
+    blob = encode_flac(
+        sig,
+        block_size=block_size,
+        stereo_mode=mode,
+        force_lpc=([3, -1], 1, 4) if lpc else None,
+    )
+    m = _decode_flac(blob)
+    assert m["n_channels"] == 2
+    assert m["n_frames"] == len(sig)
+    got = np.frombuffer(m["pcm"], np.dtype("<i2")).reshape(-1, 2)
+    assert np.array_equal(got, sig)
