@@ -621,10 +621,12 @@ def encode_avi(frames, usec_per_frame: int = 40000) -> bytes:
 
 
 def encode_wav(samples, frame_rate: int = 16000) -> bytes:
-    """Encode a 1-D int16 sample array as a mono PCM WAV via stdlib
-    ``wave`` — the sink half of the audio surface (the reference writes
-    its capture files exactly this way) and the inverse of
-    :func:`decode_media`'s audio path, roundtrip-pinned by test."""
+    """Encode an int16 sample array as a PCM WAV via stdlib ``wave`` —
+    the sink half of the audio surface (the reference writes its capture
+    files exactly this way) and the inverse of :func:`decode_media`'s
+    audio path, roundtrip-pinned by test. A 1-D array writes mono; an
+    (n, 2) array writes interleaved stereo (row-major bytes ARE the WAV
+    frame interleave)."""
     import io
     import wave
 
@@ -633,7 +635,7 @@ def encode_wav(samples, frame_rate: int = 16000) -> bytes:
     pcm = np.ascontiguousarray(samples, dtype=np.int16)
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wf:
-        wf.setnchannels(1)
+        wf.setnchannels(2 if pcm.ndim == 2 else 1)
         wf.setsampwidth(2)
         wf.setframerate(frame_rate)
         wf.writeframes(pcm.tobytes())

@@ -2492,3 +2492,27 @@ def test_probe_mp4_sample_tables_give_exact_frame_count():
     assert m["duration_ms"] == 2000
     m2 = probe_video(make_mp4(duration_ms=2000))
     assert m2["n_frames"] is None
+
+
+def test_stereo_content_key_parity_flac_vs_wav():
+    """Cross-codec dedup identity extends to STEREO: a decorrelated
+    (mid/side) FLAC and the interleaved PCM WAV of the same 2-channel
+    audio hash to the same content key; swapping the channels does not."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        audio_content_key,
+        encode_flac,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(11)
+    sig = rng.randint(-32768, 32768, (400, 2)).astype(np.int16)
+    k_flac = audio_content_key(
+        encode_flac(sig, sample_rate=16000, stereo_mode="mid_side")
+    )
+    k_wav = audio_content_key(encode_wav(sig, frame_rate=16000))
+    assert k_flac == k_wav
+    assert k_flac != audio_content_key(
+        encode_wav(sig[:, ::-1].copy(), frame_rate=16000)
+    )
