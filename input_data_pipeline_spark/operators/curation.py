@@ -1447,9 +1447,10 @@ _EPOCH_CAP = 4  # beyond ~4 epochs repeated data stops paying (Muennighoff)
              AS target_tokens,
            CAST(LEAST({_EPOCH_BUDGET_X} * t.total_tokens // t.n_sources,
                       {_EPOCH_CAP} * p.n_tokens) AS BIGINT) AS allocated_tokens,
-           CAST(LEAST({_EPOCH_BUDGET_X} * t.total_tokens // t.n_sources,
-                      {_EPOCH_CAP} * p.n_tokens) * 1000000 // p.n_tokens
-                AS BIGINT) AS epochs_ppm,
+           CAST(CASE WHEN p.n_tokens = 0 THEN 0
+                     ELSE LEAST({_EPOCH_BUDGET_X} * t.total_tokens // t.n_sources,
+                                {_EPOCH_CAP} * p.n_tokens) * 1000000 // p.n_tokens
+                END AS BIGINT) AS epochs_ppm,
            ({_EPOCH_CAP} * p.n_tokens
               < {_EPOCH_BUDGET_X} * t.total_tokens // t.n_sources) AS capped,
            CAST({_EPOCH_BUDGET_X} * t.total_tokens // t.n_sources
@@ -1511,7 +1512,13 @@ def epoch_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             "target_tokens",
             "allocated_tokens",
-            F.expr("allocated_tokens * 1000000 DIV n_tokens").alias("epochs_ppm"),
+            # Zero-token sources (all-whitespace docs) must yield 0, not
+            # NULL: Spark DIV returns NULL on /0 where DuckDB // raises —
+            # the CASE makes both engines agree instead of diverging.
+            F.expr(
+                "CASE WHEN n_tokens = 0 THEN 0"
+                " ELSE allocated_tokens * 1000000 DIV n_tokens END"
+            ).alias("epochs_ppm"),
             (F.lit(_EPOCH_CAP) * F.col("n_tokens") < F.col("target_tokens")).alias(
                 "capped"
             ),

@@ -3247,6 +3247,13 @@ def probe_audio(payload: bytes) -> dict:
 
         if len(payload) < 4 + 4 + 34:
             raise ValueError("truncated FLAC STREAMINFO")
+        # The spec mandates STREAMINFO (type 0, 34 bytes) as the first
+        # metadata block; validate rather than slicing blind so a
+        # spec-violating stream raises instead of yielding garbage rates.
+        if payload[4] & 0x7F != 0:
+            raise ValueError("first FLAC metadata block is not STREAMINFO")
+        if int.from_bytes(payload[5:8], "big") != 34:
+            raise ValueError("FLAC STREAMINFO block length is not 34")
         body = payload[8:42]
         sr = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
         ch = ((body[12] >> 1) & 0x07) + 1
@@ -3717,7 +3724,11 @@ def encode_flac(
         bw.write(0b11111111111110, 14)
         bw.write(0, 1)
         bw.write(0, 1)  # fixed-blocksize stream
-        bw.write(0b0111, 4)  # blocksize: 16-bit field at header end
+        # Full (non-final) blocks of exactly 192 samples may use the
+        # compact RFC 9639 §9.1.1 code 0b0001 instead of the 16-bit
+        # field; everything else uses the explicit 16-bit form.
+        compact192 = len(blk) == 192
+        bw.write(0b0001 if compact192 else 0b0111, 4)
         bw.write(0b0000, 4)  # sample rate: from STREAMINFO
         bw.write(_FLAC_STEREO_ASSIGN[stereo_mode] if stereo else 0, 4)
         bw.write(0b100, 3)  # 16-bit samples
@@ -3730,7 +3741,8 @@ def encode_flac(
             bw.write(frame_no >> 6, 5)
             bw.write(0b10, 2)
             bw.write(frame_no & 0x3F, 6)
-        bw.write(len(blk) - 1, 16)
+        if not compact192:
+            bw.write(len(blk) - 1, 16)
         bw.align()
         hdr = bw.bytes()
         bw = _BitWriter()
@@ -3920,6 +3932,10 @@ def _decode_flac(payload: bytes) -> dict:
             block_size = 576 << (bs_code - 2)
         elif bs_code >= 0b1000:
             block_size = 256 << (bs_code - 8)
+        elif bs_code == 0b0001:
+            # RFC 9639 §9.1.1: 0b0001 is a VALID code meaning 192
+            # samples; only 0b0000 is reserved.
+            block_size = 192
         else:
             raise ValueError("reserved FLAC block-size code")
         if sr_code == 0b1100:

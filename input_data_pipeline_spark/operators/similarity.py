@@ -2026,7 +2026,12 @@ def sq8_encode(vecs: DataFrame, bounds: list[tuple[float, float]], vec_col: str 
         out = []
         for v in col:
             x = np.asarray(v, dtype=np.float64)
-            q = np.round((x - mn) * 255 / safe)
+            # Half-AWAY-FROM-ZERO, matching the audit's F.round/ROUND —
+            # np.round is banker's (half-to-even) and would emit a code 1
+            # lower on exact .5 grid points. Negative q (out-of-range
+            # stream values below mn) clamps to 0 below, so floor(q+0.5)
+            # is exact on the whole reachable domain.
+            q = np.floor((x - mn) * 255 / safe + 0.5)
             q = np.where(span == 0, 0, np.clip(q, 0, 255))
             out.append(q.astype(np.int32))
         return pd.Series(out)

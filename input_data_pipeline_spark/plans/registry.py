@@ -80,70 +80,70 @@ def _load_all() -> None:
 
 # Externally-visible enumeration order. External snapshots of the registry
 # truncate to a prefix (50 slots), so the queries that most need fresh
-# differential evidence must enumerate first. Round-12 rotation — NOTE:
-# the round-11 window never produced a driver artifact (no
-# CORRECTNESS_r11.json), so its never-checked head and the r4/r5/r6
-# buckets it carried are still the stalest evidence and stay in:
-# (a) never-driver-checked queries lead — the r10/r11 codec-and-selection
-# eight plus the four added THIS round (small_qty_order_revenue /
-# epoch_repetition_plan / hybrid_search_rrf / mp3_probe_features, each
-# pre-verified driver-canon at sf0.01 and in a hostile-TZ fresh-process
-# driver mimic before entering);
-# (b) the three r4-era queries; (c) the full r5 bucket (20);
-# (d) the whole r6 bucket (9 queries) defers to r13 — it rotates in
-# with the r7 bucket as the r12 additions filled the head; (e) the 6 LLM-core anchors (all driver-green
-# r10) fill the window to exactly 50. The 25 r7-era queries rotate in
-# next round. Names not listed keep registration order after the listed
-# ones.
+# differential evidence must enumerate first. Round-13 rotation: the r12
+# window went 50/50 driver-green, so the stalest evidence is now the r6
+# bucket (9 queries, last checked CORRECTNESS_r06) and the r7 bucket (25,
+# last checked r07). The window is:
+# (a) queries added THIS round (never driver-checked; each pre-verified
+#     driver-canon at sf0.01 + hostile-TZ fresh-process mimic before
+#     entering);
+# (b) the full r6 bucket (9); (c) the full r7 bucket (25);
+# (d) the head of the r9 bucket (44 total; the rest rotate in r14) fills
+#     the window, and (e) the 6 LLM-core anchors (driver-green r12) close
+#     it at exactly 50. Names not listed keep registration order after
+# the listed ones.
 _PRIORITY: list[str] = [
-    # --- (a) never driver-checked (r10 + r11 + this round's four) ---
-    "small_qty_order_revenue",
-    "epoch_repetition_plan",
-    "hybrid_search_rrf",
-    "mp3_probe_features",
-    "trade_pagerank",
-    "flac_decode_features",
-    "sole_late_supplier_orders",
-    "idle_high_balance_customers",
-    "chunk_dedup_rewrite",
-    "sq8_recall_audit",
-    "unigram_encode_fixed",
-    "dedup_soft_weights",
-    "tokenizer_fertility_audit",
-    "audio_decode_features",
-    "image_decode_features",
-    "video_decode_features",
-    "g711_decode_features",
-    "fasttext_lang_filter",
-    "image_dhash_near_dups",
-    "semantic_contamination",
-    "bpe_encode_fixed",
-    # --- (b) last driver green r4 ---
-    "dedup_bow_clusters",
-    "dedup_cluster_assignment",
-    "frame_sample",
-    # --- (c) last driver green r5 ---
-    "asof_order_context",
-    "charngram_language_id",
-    "corpus_boilerplate_shingles",
-    "doc_length_outliers",
-    "doc_previews",
-    "incremental_batch_dedup",
-    "knn_bruteforce",
-    "knn_bruteforce_np",
-    "knn_hyperplane_lsh",
-    "label_centroid_assignment",
-    "lang_rebalance_plan",
-    "language_confusion",
-    "normalized_text_hash",
-    "segments_flatten",
-    "semantic_doc_search",
-    "skew_salted_user_join",
-    "tfidf_top_terms",
-    "top_tokens",
-    "toxic_label_scaffold",
-    "youtube_id_extraction",
-    # --- (e) LLM-core anchors (stay in every window) ---
+    # --- (a) added in round 13, never driver-checked ---
+    # (inserted as implemented this round)
+    # --- (b) last driver green r6 ---
+    "embedding_norm_stats",
+    "lang_distribution",
+    "pii_redaction_scaffold",
+    "pq_reconstruction_stats",
+    "quality_calibration",
+    "semdedup_embedding_clusters",
+    "source_quota_cap",
+    "stratified_doc_sample",
+    "url_domain_stats",
+    # --- (c) last driver green r7 ---
+    "bigram_lm_doc_scores",
+    "bloom_dedup_precheck",
+    "bpe_token_estimate",
+    "countmin_merge_sources",
+    "countmin_token_freq",
+    "curation_funnel",
+    "doc_token_stats",
+    "dup_cluster_size_histogram",
+    "exact_substring_coverage",
+    "hll_distinct_tokens",
+    "hll_union_sources",
+    "incremental_new_docs",
+    "intradoc_repetition",
+    "kmeans_embedding_clusters",
+    "mixture_sampling_plan",
+    "oov_rate_by_source",
+    "quality_percentile_filter",
+    "sequence_packing_plan",
+    "source_dup_rates",
+    "token_budget_selection",
+    "user_rolling_distinct_types",
+    "user_sessions",
+    "user_trailing_window",
+    "user_value_intervals",
+    "weighted_doc_sample_pps",
+    # --- (d) r9 bucket head (alphabetical; remainder rotates in r14) ---
+    "account_balance_union",
+    "active_user_rollup",
+    "approx_distinct_users",
+    "bm25_doc_search",
+    "brand_revenue_by_supplier_nation",
+    "c4_quality_flags",
+    "ccnet_perplexity_buckets",
+    "chunk_dedup_rate",
+    "clicks_before_purchase",
+    "cluster_diversity_sample",
+    # --- (e) LLM-core anchors (stay in every window; workflow rule
+    #     pinned by tests/test_registry_contract.py) ---
     "dedup_minhash_lsh",
     "ngram_jaccard_pairs",
     "embedding_near_pairs",
@@ -151,10 +151,10 @@ _PRIORITY: list[str] = [
     "contamination_overlap",
     "doc_quality",
 ]
-# Round-12 state: if this window goes driver-green, the stalest remaining
-# evidence is the 25-query r7 bucket (bigram_lm_doc_scores ...
-# weighted_doc_sample_pps) — head the r13 window with it plus any r13
-# additions; the r9 bucket (44 queries) follows.
+# Round-13 state: if this window goes driver-green, no query's evidence is
+# older than r9, and the stalest remaining is the r9-bucket tail
+# (cluster_top_terms ... user_retention_cohorts, 34 queries) — head the
+# r14 window with it plus any r14 additions; the r10 bucket (44) follows.
 
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -2516,3 +2516,61 @@ def test_stereo_content_key_parity_flac_vs_wav():
     assert k_flac != audio_content_key(
         encode_wav(sig[:, ::-1].copy(), frame_rate=16000)
     )
+
+
+def test_flac_block_size_code_192_roundtrip():
+    """RFC 9639 §9.1.1 code 0b0001 (192 samples) is valid, not reserved:
+    full 192-sample blocks encode with the compact code (no 16-bit
+    trailer — check the header byte) and decode bit-exactly; only
+    0b0000 is rejected."""
+    import numpy as np
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_flac,
+        encode_flac,
+    )
+
+    sig = (np.arange(384) * 91 % 4093 - 2046).astype(np.int16)
+    blob = encode_flac(sig, block_size=192)
+    # byte 44 is the frame-start (42) + 2 sync bytes; its high nibble is
+    # the block-size code
+    assert blob[44] >> 4 == 0b0001
+    m = _decode_flac(blob)
+    assert m["n_frames"] == 384
+    assert np.array_equal(np.frombuffer(m["pcm"], np.dtype("<i2")), sig)
+
+    # 0b0000 stays reserved
+    bad = bytearray(blob)
+    bad[44] &= 0x0F
+    with pytest.raises(ValueError, match="reserved FLAC block-size|CRC-8"):
+        _decode_flac(bytes(bad))
+
+
+def test_probe_audio_rejects_nonstreaminfo_first_block():
+    """probe_audio must validate that the first metadata block is a
+    34-byte STREAMINFO (type 0) before slicing field bytes — a
+    spec-violating stream whose first block is PADDING must raise, not
+    yield garbage rates."""
+    import numpy as np
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        encode_flac,
+        probe_audio,
+    )
+
+    sig = (np.arange(64) * 17 % 997 - 498).astype(np.int16)
+    blob = bytearray(encode_flac(sig))
+    ok = probe_audio(bytes(blob))
+    assert ok["container"] == "flac" and ok["sample_rate"] == 16000
+
+    bad = blob.copy()
+    bad[4] = (bad[4] & 0x80) | 0x01  # first block type -> PADDING
+    with pytest.raises(ValueError, match="not STREAMINFO"):
+        probe_audio(bytes(bad))
+
+    bad = blob.copy()
+    bad[7] = 33  # block length != 34
+    with pytest.raises(ValueError, match="length is not 34"):
+        probe_audio(bytes(bad))

@@ -672,7 +672,7 @@ def test_dhash56_is_codec_invariant_and_matches_reference(w, h, seed):
     data=st.lists(
         st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=500
     ),
-    block_size=st.sampled_from([32, 64, 128, 256]),
+    block_size=st.sampled_from([32, 64, 128, 192, 256]),
     po=st.integers(min_value=0, max_value=3),
     escape=st.booleans(),
     verbatim=st.booleans(),
@@ -772,7 +772,7 @@ def test_mp3_probe_matches_spec_for_any_frame_sequence(
     mode=st.sampled_from(
         ["independent", "left_side", "right_side", "mid_side"]
     ),
-    block_size=st.sampled_from([32, 64, 128]),
+    block_size=st.sampled_from([32, 64, 128, 192]),
     lpc=st.booleans(),
 )
 @settings(max_examples=100, deadline=None)

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from input_data_pipeline_spark.operators.similarity import (
     TOP_K,
     knn_bruteforce,
@@ -271,3 +273,34 @@ def test_sq8_recall_audit_bounds(spark, sf_dir):
         assert r.recall_ppm >= 800_000
         assert r.corpus_mae_micros == mae  # one corpus-wide error figure
     assert 0 < mae < 100_000  # step/2 ≈ range/510 ⇒ well under 0.1
+
+
+def test_sq8_encode_half_away_parity_with_audit_round(spark):
+    """sq8_encode must quantize half-AWAY-from-zero (matching the audit's
+    F.round/ROUND), not numpy banker's rounding: with bounds (0, 510) the
+    grid step is 2, so every odd integer x sits exactly on a k+0.5 tie.
+    np.round would send x=1 -> code 0 (half-to-even); the published
+    contract (and the DuckDB oracle) says code 1. Check every tie in the
+    range against Spark's own F.round of the same expression."""
+    from input_data_pipeline_spark.operators.similarity import sq8_encode
+
+    bounds = [(0.0, 510.0)]
+    ties = [float(x) for x in range(1, 510, 2)]  # all exact .5 grid points
+    df = spark.createDataFrame(
+        [(i, [v]) for i, v in enumerate(ties)], "vec_id int, e array<double>"
+    )
+    got = {
+        r.vec_id: r.sq8_codes[0] for r in sq8_encode(df, bounds).collect()
+    }
+    audit = {
+        r.vec_id: r.code
+        for r in df.select(
+            "vec_id",
+            F.round(
+                (F.col("e")[0] - F.lit(0.0)) * F.lit(255.0) / F.lit(510.0)
+            ).cast("int").alias("code"),
+        ).collect()
+    }
+    assert got == audit
+    # spot-check the concrete ADVICE case: x=1 -> (1*255/510)=0.5 -> 1
+    assert got[0] == 1
