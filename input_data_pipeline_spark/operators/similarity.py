@@ -2037,3 +2037,331 @@ def sq8_encode(vecs: DataFrame, bounds: list[tuple[float, float]], vec_col: str 
         return pd.Series(out)
 
     return vecs.withColumn("sq8_codes", encode(F.col(vec_col)))
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ with asymmetric distance (ADC) — round 13
+# ---------------------------------------------------------------------------
+#
+# The production 100-TB vector-store query shape (Jegou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search"): corpus vectors live
+# as PQ CODES (8 bytes here, vs 512 bytes of float64) bucketed into IVF
+# cells; a query probes its nearest cells, builds one small
+# query-vs-codeword lookup table (M x K distances), and scores every
+# candidate by M table fetches — no float vector is touched during the
+# scan. This variant quantizes RAW vectors (the no-residual flavor; the
+# residual flavor subtracts the cell centroid before encoding, which buys
+# accuracy at the cost of per-cell codebooks — same plumbing).
+#
+# The codebook is TRAINED BY SAMPLING: codeword k of every subspace comes
+# from corpus vector vec_id = _IVFPQ_OFF + _IVFPQ_STEP*k (the standard
+# k-means init, stopped at init so the oracle can reproduce it from the
+# embeddings table alone).
+
+_IVFPQ_OFF = 3
+_IVFPQ_STEP = 17
+_IVFPQ_RERANK = 50  # ADC shortlist size re-ranked through float vectors
+
+
+def _pq_sub_dists(E, vs):
+    """(n, PQ_M, PQ_K) squared L2 between each row's subvectors and every
+    sampled codeword, folded dimension-sequentially (vectorized across
+    rows and codewords) — the exact IEEE sequence of the oracle's
+    ``list_sum`` over d."""
+    import numpy as np
+
+    n = len(E)
+    dists = np.zeros((n, PQ_M, PQ_K))
+    for m in range(PQ_M):
+        for d in range(PQ_SUB):
+            col = E[:, m * PQ_SUB + d]
+            diff = col[:, None] - vs[:, m * PQ_SUB + d][None, :]
+            dists[:, m, :] = dists[:, m, :] + diff * diff
+    return dists
+
+
+def _centroid_cos_order(E):
+    """Per-row IVF cell preference order (cosine to the md5 centroids,
+    ties to the lower cell), dimension-sequential like ``knn_ivf``."""
+    import math
+
+    import numpy as np
+
+    cent = np.array(CENTROIDS, dtype=np.float64)
+    cnorm = np.empty(N_CELLS)
+    for c in range(N_CELLS):
+        acc = 0.0
+        for v in CENTROIDS[c]:
+            acc += v * v
+        cnorm[c] = math.sqrt(acc)
+    n = len(E)
+    nsq = np.zeros(n)
+    dots = np.zeros((n, N_CELLS))
+    for d in range(DIM):
+        col = E[:, d]
+        nsq = nsq + col * col
+        dots = dots + col[:, None] * cent[:, d][None, :]
+    neg_cos = -(dots / (np.sqrt(nsq)[:, None] * cnorm[None, :]))
+    return np.argsort(neg_cos, axis=1, kind="stable")
+
+
+_DUCK_IVFPQ_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+samp AS (
+  SELECT list(e ORDER BY vec_id) AS vs FROM v
+  WHERE vec_id % {_IVFPQ_STEP} = {_IVFPQ_OFF}
+    AND vec_id <= {_IVFPQ_OFF} + {_IVFPQ_STEP} * ({PQ_K} - 1)),
+assign AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT x.vec_id, x.e, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                              ORDER BY {_DUCK_CELL_COS} DESC, c.cell) AS rn
+    FROM v x, {{cent}})
+  WHERE rn = 1),
+pdist AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(range(0, {PQ_M}), m ->
+           list_transform(range(0, {PQ_K}), k ->
+             list_sum(list_transform(range(1, {PQ_SUB} + 1), d ->
+               pow(a.e[m * {PQ_SUB} + d] - s.vs[k + 1][m * {PQ_SUB} + d],
+                   2))))) AS dists
+  FROM assign a CROSS JOIN samp s),
+codes AS (
+  SELECT vec_id, cell,
+         list_transform(dists, ds -> list_position(ds, list_min(ds)) - 1)
+           AS codes
+  FROM pdist),
+probes AS (
+  SELECT vec_id AS query_id, e AS qe, cell FROM (
+    SELECT x.vec_id, x.e, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                              ORDER BY {_DUCK_CELL_COS} DESC, c.cell) AS rn
+    FROM v x, {{cent}}
+    WHERE x.vec_id < {N_QUERIES})
+  WHERE rn <= {N_PROBE}),
+lut AS (
+  SELECT p.query_id, p.cell,
+         list_transform(range(0, {PQ_M} * {PQ_K}), j ->
+           list_sum(list_transform(range(1, {PQ_SUB} + 1), d ->
+             pow(p.qe[(j // {PQ_K}) * {PQ_SUB} + d]
+                 - s.vs[(j % {PQ_K}) + 1][(j // {PQ_K}) * {PQ_SUB} + d],
+                 2)))) AS lut
+  FROM probes p CROSS JOIN samp s),
+cand AS (
+  SELECT l.query_id, c.vec_id AS n_id,
+         list_sum(list_transform(range(0, {PQ_M}), m ->
+           l.lut[m * {PQ_K} + c.codes[m + 1] + 1])) AS adc
+  FROM lut l JOIN codes c ON c.cell = l.cell AND c.vec_id <> l.query_id),
+adc_ranked AS (
+  SELECT query_id, n_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, n_id) AS rnk
+  FROM cand),
+rerank AS (
+  SELECT a.query_id, a.n_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.query_id
+           ORDER BY list_sum(list_transform(range(1, {DIM} + 1), i ->
+                      pow(q.e[i] - c.e[i], 2))) ASC,
+                    a.n_id) AS rr
+  FROM adc_ranked a
+  JOIN v q ON q.vec_id = a.query_id
+  JOIN v c ON c.vec_id = a.n_id
+  WHERE a.rnk <= {_IVFPQ_RERANK}),
+exact_ranked AS (
+  SELECT qa.vec_id AS query_id, ca.vec_id AS n_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY qa.vec_id
+           ORDER BY list_sum(list_transform(range(1, {DIM} + 1), i ->
+                      pow(qa.e[i] - ca.e[i], 2))) ASC,
+                    ca.vec_id) AS rnk
+  FROM v qa JOIN v ca ON qa.vec_id < {N_QUERIES} AND ca.vec_id <> qa.vec_id),
+ncand AS (
+  SELECT query_id, COUNT(*) AS n_candidates FROM cand GROUP BY query_id)
+SELECT e.query_id,
+       CAST(n.n_candidates AS BIGINT) AS n_candidates,
+       CAST(COUNT(a.n_id) AS BIGINT) AS n_overlap,
+       CAST(COUNT(a.n_id) * 1000000 // {TOP_K} AS BIGINT) AS recall_ppm
+FROM exact_ranked e
+JOIN ncand n ON n.query_id = e.query_id
+LEFT JOIN rerank a
+  ON a.query_id = e.query_id AND a.n_id = e.n_id AND a.rr <= {TOP_K}
+WHERE e.rnk <= {TOP_K}
+GROUP BY e.query_id, n.n_candidates
+ORDER BY e.query_id
+"""
+
+
+@register(
+    "knn_ivf_pq",
+    oracle=_DUCK_IVFPQ_ORACLE.format(cent=_duck_centroid_literal()),
+)
+def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ADC search audit: asymmetric-distance scan over PQ codes in
+    the {N_PROBE} probed IVF cells, ADC top-{_IVFPQ_RERANK} shortlist
+    re-ranked exactly through the float vectors of just those ids, final
+    top-{TOP_K} scored against the exact L2 top-{TOP_K} over the full
+    corpus — per query the ADC candidate count (the scan-bound the index
+    buys), the overlap, and recall in ppm.
+    Composes the existing pieces: md5 IVF centroids (``knn_ivf``), the
+    PQ subspace layout (``pq_reconstruction_stats``), a corpus-sampled
+    codebook both engines derive from the embeddings table.
+
+    Scale shape: the corpus crosses the wire as (cell, 8 int codes) —
+    never floats; the per-query state is one broadcast {PQ_M}x{PQ_K}
+    lookup table; ADC scoring is a JVM-side ``aggregate`` of {PQ_M}
+    array fetches per candidate (whole-stage codegen, no Python in the
+    scan); candidates are bounded by the probed cells, not the corpus.
+    At production scale the codes table is bucketed by cell so the probe
+    join is shuffle-free, and the ADC top-k re-ranks through the float
+    vectors of only the surviving {TOP_K} ids.
+
+    Oracle bit-parity: codebook = 16 sampled corpus vectors (k-means
+    init, stopped at init, so SQL rebuilds it); every distance folds
+    dimension-sequentially (the proven ``knn_ivf``/``pq_*`` contract);
+    argmin ties take the first codeword; ADC sums fold subspace-
+    sequentially; ranking emits no floats, only overlap counts."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    srows = (
+        emb.filter(
+            (F.col("vec_id") % _IVFPQ_STEP == _IVFPQ_OFF)
+            & (F.col("vec_id") <= _IVFPQ_OFF + _IVFPQ_STEP * (PQ_K - 1))
+        )
+        .orderBy("vec_id")
+        .select("e")
+        .collect()
+    )
+    vs = np.array([r["e"] for r in srows], dtype=np.float64)  # (PQ_K, DIM)
+    assert vs.shape == (PQ_K, DIM), "corpus too small for the sampled codebook"
+    bvs = spark.sparkContext.broadcast(vs)
+
+    def encode_corpus(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(pdf["e"].tolist(), dtype=np.float64)
+            cells = _centroid_cos_order(E)[:, 0]
+            codes = np.argmin(_pq_sub_dists(E, bvs.value), axis=2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": cells.astype("int32"),
+                    "codes": list(codes.astype("int32")),
+                }
+            )
+
+    def probe_queries(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(pdf["e"].tolist(), dtype=np.float64)
+            order = _centroid_cos_order(E)
+            lut = _pq_sub_dists(E, bvs.value).reshape(len(E), PQ_M * PQ_K)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["vec_id"],
+                    "probe_cells": list(order[:, :N_PROBE].astype("int32")),
+                    "lut": list(lut),
+                }
+            )
+
+    codes = emb.mapInPandas(
+        encode_corpus, "vec_id bigint, cell int, codes array<int>"
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .mapInPandas(
+            probe_queries,
+            "query_id bigint, probe_cells array<int>, lut array<double>",
+        )
+        .select("query_id", F.explode("probe_cells").alias("cell"), "lut")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(codes, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("n_id"),
+            F.expr(
+                f"aggregate(sequence(0, {PQ_M} - 1), cast(0 as double),"
+                f" (acc, m) -> acc + lut[m * {PQ_K} + codes[m]])"
+            ).alias("adc"),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("n_id"))
+    shortlist = (
+        cand.withColumn("rnk", F.row_number().over(w_adc))
+        .filter(F.col("rnk") <= _IVFPQ_RERANK)
+        .select("query_id", "n_id")
+    )
+    ncand = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    l2sq = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # Float vectors are touched ONLY here: the ADC shortlist (5 queries x
+    # {_IVFPQ_RERANK} ids) joins back to the corpus for exact re-rank —
+    # the id-list join is the production "fetch floats for survivors"
+    # step, never a corpus scan.
+    w_rr = Window.partitionBy("query_id").orderBy(F.asc("l2"), F.asc("n_id"))
+    adc_top = (
+        F.broadcast(shortlist)
+        .join(
+            emb.select(F.col("vec_id").alias("n_id"), F.col("e").alias("ce")),
+            "n_id",
+        )
+        .join(F.broadcast(q), "query_id")
+        .withColumn("l2", l2sq)
+        .withColumn("rr", F.row_number().over(w_rr))
+        .filter(F.col("rr") <= TOP_K)
+        .select("query_id", "n_id")
+    )
+    w_ex = Window.partitionBy("query_id").orderBy(F.asc("l2"), F.asc("n_id"))
+    exact_top = (
+        F.broadcast(q)
+        .join(
+            emb.select(F.col("vec_id").alias("n_id"), F.col("e").alias("ce")),
+            F.col("n_id") != F.col("query_id"),
+        )
+        .withColumn("l2", l2sq)
+        .withColumn("rnk", F.row_number().over(w_ex))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "n_id")
+    )
+    hits = exact_top.join(adc_top, ["query_id", "n_id"], "left_semi")
+    return (
+        exact_top.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .join(F.broadcast(ncand), "query_id")
+        .join(
+            F.broadcast(
+                hits.groupBy("query_id").agg(
+                    F.count(F.lit(1)).alias("n_overlap")
+                )
+            ),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.expr(f"coalesce(n_overlap, 0) * 1000000 DIV {TOP_K}").alias(
+                "recall_ppm"
+            ),
+        )
+        .orderBy("query_id")
+    )

@@ -94,7 +94,7 @@ def _load_all() -> None:
 # the listed ones.
 _PRIORITY: list[str] = [
     # --- (a) added in round 13, never driver-checked ---
-    # (inserted as implemented this round)
+    "knn_ivf_pq",
     # --- (b) last driver green r6 ---
     "embedding_norm_stats",
     "lang_distribution",
@@ -141,7 +141,6 @@ _PRIORITY: list[str] = [
     "ccnet_perplexity_buckets",
     "chunk_dedup_rate",
     "clicks_before_purchase",
-    "cluster_diversity_sample",
     # --- (e) LLM-core anchors (stay in every window; workflow rule
     #     pinned by tests/test_registry_contract.py) ---
     "dedup_minhash_lsh",

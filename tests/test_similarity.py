@@ -304,3 +304,24 @@ def test_sq8_encode_half_away_parity_with_audit_round(spark):
     assert got == audit
     # spot-check the concrete ADVICE case: x=1 -> (1*255/510)=0.5 -> 1
     assert got[0] == 1
+
+
+def test_knn_ivf_pq_audit_invariants(spark, sf_dir):
+    """IVF-PQ ADC audit invariants: the ADC scan is bounded by the probed
+    cells (candidates well under the corpus), overlap <= k with the exact
+    ppm relation, and the float-re-ranked shortlist recovers at least one
+    true neighbor per query on this corpus."""
+    from input_data_pipeline_spark.operators.similarity import (
+        TOP_K,
+        knn_ivf_pq,
+    )
+    from input_data_pipeline_spark.tables import load_table
+
+    n_corpus = load_table(spark, sf_dir, "embeddings").count()
+    rows = knn_ivf_pq(spark, sf_dir).collect()
+    assert [r.query_id for r in rows] == list(range(5))
+    for r in rows:
+        assert 0 < r.n_candidates < n_corpus  # probed cells, not a scan
+        assert 0 <= r.n_overlap <= TOP_K
+        assert r.recall_ppm == r.n_overlap * 1_000_000 // TOP_K
+    assert sum(r.n_overlap for r in rows) >= len(rows)  # audit is not vacuous
