@@ -206,6 +206,46 @@ def join_clicks_to_purchases(
     )
 
 
+def join_clicks_to_purchases_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join (the §2.9 shape the inner
+    variant doesn't cover): every purchase emits — matched rows as they
+    join, and a purchase with NO qualifying click emits once with NULL
+    click columns when the watermark passes its state-retention bound
+    (state-timeout semantics: Spark holds the unmatched left row exactly
+    until no future click could still satisfy the time bound, then
+    null-emits and drops the state).
+
+    Same scale contract as the inner join: the event-time bound sizes the
+    state store; the outer side adds no unbounded state, only the delayed
+    null emission. Matches the batch left join over the same condition
+    once both watermarks pass the data (parity pinned by
+    ``tests/test_streaming.py``)."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {within}"))
+    )
+    return p.join(c, cond, "leftOuter").select(
+        "purchase_id", "click_id", F.col("p_user").alias("user_id"),
+        "purchase_ts", "click_ts",
+    )
+
+
 DOC_SCHEMA = "doc_id long, ts timestamp, text string, lang string, source string"
 
 

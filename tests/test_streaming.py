@@ -291,6 +291,90 @@ def test_stream_stream_interval_join(spark, src):
         q.stop()
 
 
+def test_stream_stream_left_outer_join_null_emit_and_batch_parity(spark, src):
+    """LEFT OUTER stream-stream interval join: matched purchases emit like
+    the inner join; an unmatched purchase emits EXACTLY ONCE with NULL
+    click columns after the watermark passes its retention bound (state-
+    timeout semantics); and the flushed streaming result equals the batch
+    left join over the same rows and condition."""
+    from pyspark.sql import functions as F
+
+    from input_data_pipeline_spark.streaming.pipelines import (
+        EVENT_SCHEMA,
+        join_clicks_to_purchases_outer,
+    )
+
+    events = stream_events(spark, str(src))
+    clicks = events.filter(events.event_type == "click")
+    purchases = events.filter(events.event_type == "purchase")
+    name = _unique("ssloj")
+    q = run_to_memory(
+        join_clicks_to_purchases_outer(clicks, purchases),
+        name,
+        output_mode="append",
+    )
+    try:
+        _write_events(src, "b1.jsonl", [
+            _ev(1, "2024-01-01 10:00:00", user=1, etype="click"),
+            _ev(3, "2024-01-01 10:05:00", user=2, etype="click"),
+        ])
+        q.processAllAvailable()
+        _write_events(src, "b2.jsonl", [
+            _ev(10, "2024-01-01 10:08:00", user=1, etype="purchase"),  # joins 1
+            _ev(11, "2024-01-01 11:00:00", user=1, etype="purchase"),  # no click in window
+            _ev(12, "2024-01-01 10:07:00", user=3, etype="purchase"),  # no u3 click
+        ])
+        q.processAllAvailable()
+        # watermark still behind: the unmatched purchases must NOT have
+        # null-emitted yet (they could still match a late click)
+        early = {r.purchase_id for r in spark.table(name).collect()
+                 if r.click_id is None}
+        assert early == set()
+        _write_events(src, "b3.jsonl", [  # sentinel pair advances both sides
+            _ev(20, "2024-01-01 12:00:00", user=9, etype="click"),
+            _ev(21, "2024-01-01 12:00:00", user=9, etype="purchase"),
+        ])
+        q.processAllAvailable()
+        _write_events(src, "b4.jsonl", [  # one more batch flushes expiries
+            _ev(22, "2024-01-01 12:30:00", user=8, etype="click"),
+        ])
+        q.processAllAvailable()
+        got = [(r.purchase_id, r.click_id) for r in spark.table(name).collect()]
+        assert sorted(got) == sorted(set(got)), f"duplicate emissions: {got}"
+        gotset = set(got)
+        assert (10, 1) in gotset                       # matched, inner-style
+        assert (11, None) in gotset                    # expired -> null emit
+        assert (12, None) in gotset
+        assert (21, 20) in gotset
+        assert not any(c == 3 for _, c in gotset)      # cross-user never joins
+
+        # batch parity: same rows, same condition, plain left join
+        batch = spark.read.schema(EVENT_SCHEMA).json(str(src))
+        bc = batch.filter(batch.event_type == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        bp = batch.filter(batch.event_type == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        cond = (
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts")
+               >= F.col("purchase_ts") - F.expr("INTERVAL 10 minutes"))
+        )
+        want = {
+            (r.purchase_id, r.click_id)
+            for r in bp.join(bc, cond, "left").collect()
+        }
+        assert gotset == want
+    finally:
+        q.stop()
+
+
 def test_stream_batch_unification_same_definition(spark, sf_dir, tmp_path):
     """One transformation, two execution modes: `windowed_counts` applied to
     the batch events table and to a file-stream of the exact same rows must
