@@ -166,3 +166,137 @@ def ingest_with_fallback(
     if out_dir is not None:
         append_jsonl(out, out_dir)
     return out
+
+
+# ---------------------------------------------------------------------------
+# REAL external-engine adapters (round 13)
+#
+# The factories below build BatchFns around the actual network libraries,
+# through the SAME injection seam the fakes use — so production swaps
+# `fetch=real_transcript_fetch()` into :func:`collect_batch` /
+# :func:`ingest_with_fallback` with no other change. CI has no network and
+# no youtube-transcript-api/yt-dlp wheels, so:
+# - the pure response->row mapping (`transcript_raw_to_row`) is tested
+#   against recorded fixtures of the libraries' documented payload shapes;
+# - the adapters' call signatures are tested against an in-process stand-in
+#   module serving those fixtures (tests/test_collectors_integration.py);
+# - the true end-to-end network run is a @pytest.mark.integration test that
+#   importorskips the real libraries.
+# ---------------------------------------------------------------------------
+
+_REAL_ENGINES: dict = {}  # per-python-worker singletons (SURVEY U2)
+
+
+def transcript_raw_to_row(url: str, vid: str, raw: list[dict]) -> tuple:
+    """Map youtube-transcript-api's public ``to_raw_data()`` payload (a list
+    of ``{"text", "start", "duration"}`` dicts — the shape the reference
+    consumes at ``inputs/transcript_collector.py:27-34``) to a
+    FETCH_RESULT_SCHEMA row: newline-joined stripped text, content-derived
+    record id (SURVEY F7 — not uuid)."""
+    text = "\n".join(x["text"] for x in raw).strip()
+    rec_id = "yt_" + hashlib.sha256(vid.encode()).hexdigest()[:12]
+    return (url, vid, rec_id, "youtube_transcript", text, "OK")
+
+
+def real_transcript_fetch(
+    languages: tuple[str, ...] = ("vi", "en"), max_attempts: int = 2
+) -> BatchFn:
+    """BatchFn wrapping the REAL youtube-transcript-api (reference
+    ``inputs/transcript_collector.py:14-43``): per-worker API singleton,
+    ``fetch(video_id, languages=[...])``, the reference's status taxonomy
+    (TranscriptsDisabled/NoTranscriptFound -> SKIP_NO_TRANSCRIPT so the
+    fallback branch retries them; anything else -> ERR_FETCH after a
+    bounded retry). Import happens inside the returned function — on the
+    executor, only when the adapter is actually invoked."""
+    langs = [str(x).strip() for x in languages if str(x).strip()] or ["vi", "en"]
+
+    def fetch(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+        from youtube_transcript_api import (
+            NoTranscriptFound,
+            TranscriptsDisabled,
+            YouTubeTranscriptApi,
+        )
+
+        api = _REAL_ENGINES.setdefault("yta", YouTubeTranscriptApi())
+        out = []
+        for url, vid in zip(pdf["url"], pdf["video_id"]):
+            if vid is None:
+                out.append((url, vid, None, None, None, "ERR_NO_ID"))
+                continue
+            for _ in range(max_attempts):
+                try:
+                    raw = api.fetch(vid, languages=langs).to_raw_data()
+                    out.append(transcript_raw_to_row(url, vid, raw))
+                    break
+                except (TranscriptsDisabled, NoTranscriptFound):
+                    out.append(
+                        (url, vid, None, None, None, "SKIP_NO_TRANSCRIPT")
+                    )
+                    break
+                except Exception:  # transient network: bounded retry (U3)
+                    continue
+            else:
+                out.append((url, vid, None, None, None, "ERR_FETCH"))
+        return pd.DataFrame(
+            out,
+            columns=["url", "video_id", "id", "source_type", "text", "status"],
+        )
+
+    return fetch
+
+
+def real_download_and_stt(
+    out_dir: str,
+    stt: Callable[[str], str],
+    codec: str = "m4a",
+    max_attempts: int = 2,
+) -> BatchFn:
+    """BatchFn wrapping the REAL yt-dlp download (reference
+    ``inputs/youtube_audio_extractor.py:17-57``: bestaudio-m4a-first
+    format, id-templated outtmpl, ffmpeg audio extraction) followed by an
+    injected ``stt(path) -> text`` callable (the STT engine stays
+    injectable — Vosk/cloud STT in production, a local decoder in tests).
+    One YoutubeDL singleton per worker; rows route to OK_STT /
+    ERR_DOWNLOAD / ERR_STT."""
+    import os
+
+    def fetch(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+        import yt_dlp
+
+        os.makedirs(out_dir, exist_ok=True)
+        key = ("ydl", out_dir, codec)
+        if key not in _REAL_ENGINES:
+            _REAL_ENGINES[key] = yt_dlp.YoutubeDL(
+                {
+                    "format": f"bestaudio[ext={codec}]/bestaudio/best",
+                    "outtmpl": os.path.join(out_dir, "%(id)s.%(ext)s"),
+                    "noplaylist": True,
+                    "quiet": True,
+                    "no_warnings": True,
+                    "retries": max_attempts,
+                }
+            )
+        ydl = _REAL_ENGINES[key]
+        out = []
+        for url, vid in zip(pdf["url"], pdf["video_id"]):
+            try:
+                info = ydl.extract_info(url, download=True)
+                path = ydl.prepare_filename(info)
+            except Exception:
+                out.append((url, vid, None, None, None, "ERR_DOWNLOAD"))
+                continue
+            try:
+                text = stt(path)
+            except Exception:
+                out.append((url, vid, None, None, None, "ERR_STT"))
+                continue
+            rec_id = "yta_" + hashlib.sha256(vid.encode()).hexdigest()[:12]
+            out.append((url, vid, rec_id, "youtube", text, "OK_STT"))
+        return pd.DataFrame(
+            out,
+            columns=["url", "video_id", "id", "source_type", "text", "status"],
+        )
+
+    return fetch
