@@ -95,6 +95,7 @@ def _load_all() -> None:
 _PRIORITY: list[str] = [
     # --- (a) added in round 13, never driver-checked ---
     "knn_ivf_pq",
+    "mp3_decode_features",
     # --- (b) last driver green r6 ---
     "embedding_norm_stats",
     "lang_distribution",
@@ -140,7 +141,6 @@ _PRIORITY: list[str] = [
     "c4_quality_flags",
     "ccnet_perplexity_buckets",
     "chunk_dedup_rate",
-    "clicks_before_purchase",
     # --- (e) LLM-core anchors (stay in every window; workflow rule
     #     pinned by tests/test_registry_contract.py) ---
     "dedup_minhash_lsh",

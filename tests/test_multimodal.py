@@ -2574,3 +2574,223 @@ def test_probe_audio_rejects_nonstreaminfo_first_block():
     bad[7] = 33  # block length != 34
     with pytest.raises(ValueError, match="length is not 34"):
         probe_audio(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# MP3 Layer III sample-layer decode — round 13
+# ---------------------------------------------------------------------------
+
+
+def _mk_granule(seed):
+    import random
+
+    rnd = random.Random(seed)
+    is_vals = [0] * 576
+    for i in range(rnd.randrange(20, 140)):
+        if rnd.random() < 0.35:
+            is_vals[i] = rnd.choice([-1, 1])
+    return {
+        "is": is_vals,
+        "global_gain": rnd.randrange(256),
+        "scalefac": [rnd.randrange(4) for _ in range(21)],
+        "big_values": rnd.choice([0, 18, 36, 72]),
+        "scalefac_scale": rnd.randrange(2),
+        "preflag": rnd.randrange(2),
+    }
+
+
+def test_mp3_l3_roundtrip_plain_crc_and_reservoir():
+    """The entropy layer is lossless: every decoded granule's is/scalefac/
+    global_gain/side-info fields equal the encoder inputs, under no-CRC,
+    CRC-16, and bit-reservoir packing — and the reservoir stream really
+    does use a nonzero main_data_begin."""
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_mp3_l3,
+        encode_mp3_l3,
+    )
+
+    specs = [_mk_granule(s) for s in range(6)]
+    for kwargs in ({}, {"use_crc": True}, {"use_reservoir": True},
+                   {"use_crc": True, "use_reservoir": True}):
+        blob = encode_mp3_l3(specs, **kwargs)
+        m = _decode_mp3_l3(blob)
+        assert m["sample_rate"] == 44100
+        assert m["n_frames"] == 3 and m["n_granules"] == 6
+        for g, spec in zip(m["granules"], specs):
+            assert g.is_vals == spec["is"]
+            assert g.scalefac == spec["scalefac"]
+            assert g.global_gain == spec["global_gain"]
+            assert g.big_values == spec["big_values"]
+            assert g.scalefac_scale == spec["scalefac_scale"]
+            assert g.preflag == spec["preflag"]
+        if kwargs.get("use_reservoir"):
+            # side info of frame 2+ starts right after the 4-byte header;
+            # main_data_begin is the first 9 bits
+            flen = len(blob) // 3
+            off = flen + 4 + (2 if kwargs.get("use_crc") else 0)
+            begin9 = (blob[off] << 1) | (blob[off + 1] >> 7)
+            assert begin9 > 0, "reservoir never engaged"
+
+
+def test_mp3_l3_crc_and_structure_rejection():
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_mp3_l3,
+        encode_mp3_l3,
+    )
+
+    specs = [_mk_granule(s) for s in (10, 11)]
+    blob = bytearray(encode_mp3_l3(specs, use_crc=True))
+    bad = blob.copy()
+    bad[8] ^= 0x04  # flip a side-info bit -> CRC-16 must catch it
+    with pytest.raises(ValueError, match="CRC-16"):
+        _decode_mp3_l3(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_mp3_l3(bytes(blob[:-5]))
+    with pytest.raises(ValueError, match="sync|header"):
+        _decode_mp3_l3(b"\x12\x34\x56\x78")
+    # a Huffman bitstream that no longer lands exactly on part2_3_length
+    # must be rejected, not silently misparsed (flip a main-data bit in
+    # the no-CRC stream: table-1 codes have different lengths)
+    plain = bytearray(encode_mp3_l3(specs))
+    for off in range(25, len(plain)):
+        cand = plain.copy()
+        cand[off] ^= 0x80
+        try:
+            m = _decode_mp3_l3(bytes(cand))
+        except (ValueError, NotImplementedError):
+            break  # structural check fired — good
+        else:
+            continue
+    else:
+        raise AssertionError("no main-data corruption was ever detected")
+
+
+def test_mp3_scfsi_shares_granule0_groups():
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_mp3_l3,
+        encode_mp3_l3,
+    )
+
+    s0, s1 = _mk_granule(20), _mk_granule(21)
+    s1["scalefac"] = s0["scalefac"][:16] + s1["scalefac"][16:]
+    blob = encode_mp3_l3([s0, s1], scfsi=[1, 1, 1, 0])
+    m = _decode_mp3_l3(blob)
+    assert m["granules"][1].scalefac == s1["scalefac"]
+    # the shared-group stream must be strictly smaller than the
+    # all-transmitted one (those slen bits were actually elided)
+    assert len(encode_mp3_l3([s0, s1], use_reservoir=True)) >= len(
+        encode_mp3_l3([s0, s1], scfsi=[1, 1, 1, 0], use_reservoir=True)
+    )
+
+
+def test_mp3_requantize_closed_form():
+    """xr follows §2.4.3.4.1 exactly: power-of-two scaling from
+    global_gain, scalefac_scale multiplier, preflag pretab."""
+    from input_data_pipeline_spark.operators.multimodal import (
+        _MP3_PRETAB,
+        _MP3_SFB_LONG_44100,
+        _decode_mp3_l3,
+        encode_mp3_l3,
+    )
+
+    is_vals = [0] * 576
+    nz = [0, 5, 30, 89]  # sfb 0, 1, 7, 12
+    for i in nz:
+        is_vals[i] = 1
+    sf = [3, 1, 0, 2] + [0] * 17
+    sf[7], sf[12] = 2, 1
+    spec = {
+        "is": is_vals, "global_gain": 218, "scalefac": sf,
+        "big_values": 20, "scalefac_scale": 0, "preflag": 1,
+    }
+    g = _decode_mp3_l3(encode_mp3_l3([spec, spec]))["granules"][0]
+    bounds = _MP3_SFB_LONG_44100
+    for i in nz:
+        sfb = max(b for b in range(22) if bounds[b] <= i)
+        expect = 2.0 ** (0.25 * (218 - 210) - 0.5 * (sf[sfb] + _MP3_PRETAB[sfb]))
+        assert g.xr[i] == expect, (i, sfb, g.xr[i], expect)
+    assert sum(1 for x in g.xr if x) == len(nz)
+
+
+def test_mp3_alias_butterflies_are_rotations():
+    """The §2.4.3.4.10.1 butterflies use cs=1/sqrt(1+c^2), ca=c*cs —
+    each pair is a rotation, so total spectral energy is preserved and
+    lines >8 away from any subband boundary are untouched."""
+    import math
+    import random
+
+    from input_data_pipeline_spark.operators.multimodal import mp3_alias_reduce
+
+    rnd = random.Random(7)
+    xr = [rnd.uniform(-2, 2) for _ in range(576)]
+    out = mp3_alias_reduce(xr)
+    assert math.isclose(
+        sum(v * v for v in out), sum(v * v for v in xr), rel_tol=1e-12
+    )
+    for i in (0, 5, 9, 300 % 18 + 18 * 9):
+        pass
+    # interior lines (distance > 8 from both 18k-1 and 18k) unchanged
+    untouched = [i for i in range(576)
+                 if all(abs(i - (18 * sb - 1)) > 8 and abs(i - 18 * sb) > 8
+                        for sb in range(1, 32))]
+    assert untouched  # sanity
+    for i in untouched:
+        assert out[i] == xr[i]
+
+
+def test_mp3_imdct_overlap_add_reconstructs():
+    """Princen-Bradley TDAC: windowed-MDCT analysis of a signal followed
+    by our synthesis (36-point IMDCT + sine window + overlap-add)
+    reconstructs the interior segment up to the known constant N/4 = 9."""
+    import math
+    import random
+
+    from input_data_pipeline_spark.operators.multimodal import mp3_imdct_granule
+
+    rnd = random.Random(3)
+    x = [rnd.uniform(-1, 1) for _ in range(54)]
+    w = [math.sin(math.pi / 36.0 * (n + 0.5)) for n in range(36)]
+
+    def mdct(block):
+        return [
+            sum(block[n] * w[n] * math.cos(math.pi / 72.0 * (2 * n + 1 + 18) * (2 * k + 1))
+                for n in range(36))
+            for k in range(18)
+        ]
+
+    X1 = mdct(x[0:36])
+    X2 = mdct(x[18:54])
+    # subband 0 carries our granule; other subbands zero
+    xr1 = X1 + [0.0] * (576 - 18)
+    xr2 = X2 + [0.0] * (576 - 18)
+    S1, ov = mp3_imdct_granule(xr1, [0.0] * 576)
+    S2, _ = mp3_imdct_granule(xr2, ov)
+    recon = [S2[n][0] for n in range(18)]  # overlap-added interior segment
+    for n in range(18):
+        assert math.isclose(recon[n], 9.0 * x[18 + n], rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_mp3_synthesis_window_is_a_named_seam():
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import mp3_synthesize_pcm
+
+    with pytest.raises(NotImplementedError, match="Table B.3"):
+        mp3_synthesize_pcm([[0.0] * 32] * 18)
+
+
+def test_mp3_l3_streams_walk_through_the_probe():
+    """encode_mp3_l3 output is header-compatible with the round-12 probe:
+    same frame walk, correct frame count and CBR bitrate."""
+    from input_data_pipeline_spark.operators.multimodal import (
+        encode_mp3_l3,
+        probe_mpeg_audio,
+    )
+
+    blob = encode_mp3_l3([_mk_granule(s) for s in range(4)])
+    meta = probe_mpeg_audio(blob)
+    assert meta["n_frames"] == 2
+    assert meta["sample_rate"] == 44100
+    assert meta["vbr"] is False

@@ -800,3 +800,60 @@ def test_flac_stereo_roundtrip_all_assignments(data, mode, block_size, lpc):
     assert m["n_frames"] == len(sig)
     got = np.frombuffer(m["pcm"], np.dtype("<i2")).reshape(-1, 2)
     assert np.array_equal(got, sig)
+
+
+@given(
+    seeds=st.lists(st.integers(min_value=0, max_value=10**6), min_size=2,
+                   max_size=6).filter(lambda l: len(l) % 2 == 0),
+    use_crc=st.booleans(),
+    use_reservoir=st.booleans(),
+    bitrate_index=st.sampled_from([9, 11, 14]),
+)
+@settings(max_examples=80, deadline=None)
+def test_mp3_l3_entropy_layer_roundtrip(seeds, use_crc, use_reservoir, bitrate_index):
+    """The MP3 Layer III entropy layer is lossless: any granule sequence
+    (random sparse ±1 spectra, gains, scalefactors, big_values splits,
+    preflag/scalefac_scale) survives encode->decode bit-exactly under
+    CRC-16 on/off, bit-reservoir packing on/off, and several CBR rates —
+    side info, scalefactors, spectra, and the requantization inputs all
+    recovered. Exercises part2_3_length exact-fill accounting, region
+    table-0 dispatch, count1-B quadruples, and main_data_begin stuffing
+    on every example."""
+    import random
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_mp3_l3,
+        encode_mp3_l3,
+    )
+
+    def mk(seed):
+        rnd = random.Random(seed)
+        is_vals = [0] * 576
+        hi = rnd.randrange(0, 160)
+        for i in range(hi):
+            if rnd.random() < 0.4:
+                is_vals[i] = rnd.choice([-1, 1])
+        return {
+            "is": is_vals,
+            "global_gain": rnd.randrange(256),
+            "scalefac": [rnd.randrange(4) for _ in range(21)],
+            "big_values": rnd.choice([0, 10, 36, 80]),
+            "scalefac_scale": rnd.randrange(2),
+            "preflag": rnd.randrange(2),
+            "region0_count": rnd.choice([3, 5]),
+            "region1_count": rnd.choice([3, 4]),
+        }
+
+    specs = [mk(s) for s in seeds]
+    blob = encode_mp3_l3(
+        specs, bitrate_index=bitrate_index, use_crc=use_crc,
+        use_reservoir=use_reservoir,
+    )
+    m = _decode_mp3_l3(blob)
+    assert m["n_granules"] == len(specs)
+    for g, spec in zip(m["granules"], specs):
+        assert g.is_vals == spec["is"]
+        assert g.scalefac == spec["scalefac"]
+        assert g.global_gain == spec["global_gain"]
+        assert g.scalefac_scale == spec["scalefac_scale"]
+        assert g.preflag == spec["preflag"]
