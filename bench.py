@@ -101,7 +101,24 @@ HEADLINE = [
     "small_qty_order_revenue",
     "hybrid_search_rrf",
     "trade_pagerank",
+    # round 13 additions (additive): IVF-PQ ADC vector search + MP3
+    # sample-layer decode gate
+    "knn_ivf_pq",
+    "mp3_decode_features",
 ]
+
+# Per-query floors for queries newer than the r1 floor table (driver-run
+# BENCH_r12.json @ sf0.1, local[32]). The driver's acceptance rule is
+# <= 2x the floor; the bench reports violations in `floor_violations`
+# (empty list = all within bound) so a regression on these five is
+# visible in the committed artifact, not just in archaeology.
+FLOORS = {
+    "small_qty_order_revenue": 1.043,
+    "hybrid_search_rrf": 1.517,
+    "trade_pagerank": 2.748,
+    "fasttext_lang_filter": 2.604,
+    "image_dhash_near_dups": 2.408,
+}
 
 
 def _proc_stat() -> dict:
@@ -190,6 +207,11 @@ def main() -> None:
     ystick["steal_ticks_delta"] = stat1["steal_ticks"] - ystick.pop("steal_ticks_at_start")
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    violations = [
+        {"query": n, "sec": timings[n], "floor": FLOORS[n]}
+        for n in timings
+        if n in FLOORS and timings[n] > 2.0 * FLOORS[n]
+    ]
     compact = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -197,6 +219,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": sweeps_done,
+        "floor_violations": violations,
     }
     full = dict(compact, queries_all_runs=samples, yardstick=ystick)
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_local.json")

@@ -93,6 +93,10 @@ ANCHORS = [
     # node-sized and contribute O(1) shuffle regardless of corpus)
     "small_qty_order_revenue",
     "trade_pagerank",
+    # round-13 addition: IVF-PQ ADC search — the corpus crosses the wire
+    # as 8-int code rows only; candidate count is bounded by the probed
+    # cells, so shuffle must stay linear in corpus size
+    "knn_ivf_pq",
 ]
 
 
