@@ -2365,3 +2365,58 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def ivfpq_codebook_model(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """The publishable IVF-PQ model state: the {PQ_K} sampled codebook
+    vectors (k-means init stopped at init — the same derivation
+    ``knn_ivf_pq`` and its oracle use), a fixed {PQ_K}x{DIM} table like
+    the sq8 bounds or the BM25 idf map. Consumed by
+    ``streaming.pipelines.stream_ivfpq_codes`` and any batch re-encode;
+    the IVF centroids are the md5 constants (``CENTROIDS``), already
+    shared by value."""
+    rows = (
+        _emb(spark, sf_dir)
+        .filter(
+            (F.col("vec_id") % _IVFPQ_STEP == _IVFPQ_OFF)
+            & (F.col("vec_id") <= _IVFPQ_OFF + _IVFPQ_STEP * (PQ_K - 1))
+        )
+        .orderBy("vec_id")
+        .select("e")
+        .collect()
+    )
+    vs = [list(r["e"]) for r in rows]
+    if len(vs) != PQ_K:
+        raise ValueError("corpus too small for the sampled codebook")
+    return vs
+
+
+def ivfpq_encode(vecs: DataFrame, codebook: list[list[float]], vec_col: str = "e") -> DataFrame:
+    """Map-only IVF-PQ encode against a published codebook: appends
+    ``ivf_cell int`` (cosine-nearest md5 centroid, ties low) and
+    ``pq_codes array<int>`` ({PQ_M} codewords). The identical
+    dimension-sequential kernel as ``knn_ivf_pq``'s corpus side, so batch
+    and streaming codes agree bit-for-bit. Stateless, no shuffle; works
+    on batch and streaming DataFrames alike."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    bvs = vecs.sparkSession.sparkContext.broadcast(
+        np.array(codebook, dtype=np.float64)
+    )
+
+    @pandas_udf("cell int, codes array<int>")
+    def enc(col: pd.Series) -> pd.DataFrame:
+        E = np.array(col.tolist(), dtype=np.float64)
+        if not len(E):
+            return pd.DataFrame({"cell": [], "codes": []})
+        cells = _centroid_cos_order(E)[:, 0].astype("int32")
+        codes = np.argmin(_pq_sub_dists(E, bvs.value), axis=2).astype("int32")
+        return pd.DataFrame({"cell": cells, "codes": list(codes)})
+
+    return (
+        vecs.withColumn("_ivfpq", enc(F.col(vec_col)))
+        .withColumn("ivf_cell", F.col("_ivfpq.cell"))
+        .withColumn("pq_codes", F.col("_ivfpq.codes"))
+        .drop("_ivfpq")
+    )

@@ -1251,3 +1251,17 @@ def hll_totals(spark: SparkSession, state_dir: str) -> DataFrame:
         .groupBy("source", "bucket")
         .agg(F.max("rho").alias("rho"))
     )
+
+
+def stream_ivfpq_codes(vecs: DataFrame, codebook: list[list[float]]) -> DataFrame:
+    """Streaming face of the IVF-PQ encoder (round 13) — the vector-store
+    ingest path one tier up from ``stream_sq8_codes``: a batch job
+    publishes the sampled codebook
+    (``operators.similarity.ivfpq_codebook_model``, a fixed K x DIM
+    table), and every arriving embedding encodes map-side to its IVF cell
+    + {M} PQ codes via THE SAME kernel as the batch index build — so the
+    streaming index shards land in the same cells with the same codes.
+    Stateless, no shuffle; composes before the bucketed index write."""
+    from input_data_pipeline_spark.operators.similarity import ivfpq_encode
+
+    return ivfpq_encode(vecs, codebook)

@@ -1800,3 +1800,55 @@ def test_stream_sq8_codes_match_batch_and_clamp(spark, tmp_path):
     assert all(c == 0 for c in got[1])
     assert all(c == 255 for c in got[2])
     assert all(0 <= c <= 255 for c in got[3])
+
+
+def test_stream_ivfpq_codes_match_batch(spark, tmp_path):
+    """Stream/batch parity for the IVF-PQ encoder: identical cells and
+    codes for the same vectors, and the batch query's corpus side agrees
+    with the published-model encode."""
+    import json as _json
+
+    from input_data_pipeline_spark.operators.similarity import (
+        ivfpq_codebook_model,
+        ivfpq_encode,
+    )
+    from input_data_pipeline_spark.streaming.pipelines import (
+        run_to_memory,
+        stream_ivfpq_codes,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cb = ivfpq_codebook_model(spark, sf)
+    emb = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .selectExpr("vec_id", "cast(embedding as array<double>) as e")
+        .limit(40)
+    )
+    batch = {
+        r.vec_id: (r.ivf_cell, list(r.pq_codes))
+        for r in ivfpq_encode(emb, cb).collect()
+    }
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    rows = emb.collect()
+    (src / "b1.jsonl").write_text(
+        "\n".join(
+            _json.dumps({"vec_id": r.vec_id, "e": list(r.e)}) for r in rows
+        )
+        + "\n"
+    )
+    sdf = spark.readStream.schema("vec_id long, e array<double>").json(str(src))
+    name = _unique("ivfpqcodes")
+    q = run_to_memory(stream_ivfpq_codes(sdf, cb), name)
+    try:
+        q.processAllAvailable()
+        got = {
+            r.vec_id: (r.ivf_cell, list(r.pq_codes))
+            for r in spark.table(name).collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch
+    assert all(0 <= c < 8 for c, _ in got.values())
+    assert all(len(cs) == 8 and all(0 <= v < 16 for v in cs) for _, cs in got.values())
