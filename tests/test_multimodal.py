@@ -2729,8 +2729,6 @@ def test_mp3_alias_butterflies_are_rotations():
     assert math.isclose(
         sum(v * v for v in out), sum(v * v for v in xr), rel_tol=1e-12
     )
-    for i in (0, 5, 9, 300 % 18 + 18 * 9):
-        pass
     # interior lines (distance > 8 from both 18k-1 and 18k) unchanged
     untouched = [i for i in range(576)
                  if all(abs(i - (18 * sb - 1)) > 8 and abs(i - 18 * sb) > 8

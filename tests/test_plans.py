@@ -483,3 +483,24 @@ def test_chunk_dedup_rewrite_is_window_free(spark, sf_dir):
     assert "Window" not in plan
     assert "Cartesian" not in plan
     assert "partial_" in plan
+
+
+def test_ivfpq_candidate_scan_is_broadcast_and_codes_only(spark, sf_dir):
+    """Round-13 plan-quality contract for knn_ivf_pq: the probe side
+    (queries x probed cells + their LUTs) BROADCASTS against the codes
+    table — never a shuffle of the corpus for the candidate join — and
+    no cartesian product appears anywhere. The corpus-sized stage output
+    carries (vec_id, cell, codes): the ADC scan never moves the float
+    vectors (they re-enter only via the bounded shortlist re-rank
+    join)."""
+    from input_data_pipeline_spark.operators.similarity import knn_ivf_pq
+
+    plan = _executed_plan(knn_ivf_pq(spark, sf_dir))
+    assert "Cartesian" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the candidate scoring join must consume the pandas-encode output
+    # schema (codes), not the raw embedding column
+    import re as _re
+
+    m = _re.search(r"BroadcastHashJoin \[cell[^\n]*", plan)
+    assert m, "cell-keyed broadcast join missing"
