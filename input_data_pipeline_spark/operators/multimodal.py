@@ -1978,6 +1978,18 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
                 f"WAV format tag 0x{tag:04x} (e.g. MP3/AAC-in-WAV) requires "
                 "external media libraries (SURVEY §2.10 U1/U2)"
             )
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        # the entropy layer decodes for real (_decode_mp3_l3: side info,
+        # reservoir, Huffman, requantize, IMDCT); PCM needs the Annex B
+        # Table B.3 synthesis window — the remaining seam
+        raise NotImplementedError(
+            "MP3 PCM output requires the polyphase synthesis window "
+            "(ISO 11172-3 Annex B Table B.3); use _decode_mp3_l3 for the "
+            "spec-real spectral decode, or wire ffmpeg/minimp3 here for "
+            "samples (SURVEY §2.10 U1/U2)"
+        )
     import io
     import wave
 
