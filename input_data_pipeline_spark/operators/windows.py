@@ -370,6 +370,67 @@ def clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "purchase_click_attribution",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events)
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks,
+           MIN(c.event_id) AS first_click_id,
+           COUNT(c.event_id) > 0 AS matched
+    FROM ev p
+    LEFT JOIN ev c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts_us >= p.ts_us - 600000000
+     AND c.ts_us < p.ts_us
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id
+    ORDER BY purchase_id
+    """,
+)
+def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER range join (round 13) — the batch differential face of
+    ``streaming.pipelines.join_clicks_to_purchases_outer``: EVERY purchase
+    emits, with the count of same-user clicks in the preceding 10 minutes
+    and the earliest such click id, NULL/0 when none (the rows the
+    streaming form null-emits on watermark expiry). Same scale contract
+    as ``clicks_before_purchase``: the equi key keeps it a hash join, the
+    range predicate filters post-probe, integer epoch-micros on both
+    engines."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts_us").alias("purchase_ts_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts_us").alias("click_ts_us"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts_us") >= F.col("purchase_ts_us") - 600_000_000)
+        & (F.col("click_ts_us") < F.col("purchase_ts_us"))
+    )
+    return (
+        purchases.join(clicks, cond, "left")
+        .groupBy("purchase_id", "user_id")
+        .agg(
+            F.count("click_id").alias("n_clicks"),
+            F.min("click_id").alias("first_click_id"),
+            (F.count("click_id") > 0).alias("matched"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+@register(
     "session_window_native",
     oracle=f"""
     WITH ev AS (

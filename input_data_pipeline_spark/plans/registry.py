@@ -96,6 +96,7 @@ _PRIORITY: list[str] = [
     # --- (a) added in round 13, never driver-checked ---
     "knn_ivf_pq",
     "mp3_decode_features",
+    "purchase_click_attribution",
     # --- (b) last driver green r6 ---
     "embedding_norm_stats",
     "lang_distribution",
@@ -140,7 +141,6 @@ _PRIORITY: list[str] = [
     "brand_revenue_by_supplier_nation",
     "c4_quality_flags",
     "ccnet_perplexity_buckets",
-    "chunk_dedup_rate",
     # --- (e) LLM-core anchors (stay in every window; workflow rule
     #     pinned by tests/test_registry_contract.py) ---
     "dedup_minhash_lsh",
@@ -152,7 +152,7 @@ _PRIORITY: list[str] = [
 ]
 # Round-13 state: if this window goes driver-green, no query's evidence is
 # older than r9, and the stalest remaining is the r9-bucket tail
-# (cluster_top_terms ... user_retention_cohorts, 34 queries) — head the
+# (chunk_dedup_rate ... user_retention_cohorts, 37 queries) — head the
 # r14 window with it plus any r14 additions; the r10 bucket (44) follows.
 
 
