@@ -238,3 +238,57 @@ def test_z_order_layout_prunes_both_dimensions(spark, tmp_path):
     # z-ordered: BOTH dimensions materially tighter than the full range
     assert avg(spans(z_out, "user_id")) < 0.5 * full_u
     assert avg(spans(z_out, "epoch")) < 0.5 * full_t
+
+
+def test_ivfpq_codes_bucketed_by_cell_halves_probe_shuffle(spark, sf_dir, tmp_path):
+    """Pins the knn_ivf_pq scale claim: a codes table bucketed by ivf_cell
+    joins the probe list without re-shuffling the corpus side — only the
+    (tiny) probe side exchanges. Unbucketed, BOTH sides exchange."""
+    from input_data_pipeline_spark.operators.similarity import (
+        ivfpq_codebook_model,
+        ivfpq_encode,
+    )
+
+    cb = ivfpq_codebook_model(spark, sf_dir)
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .selectExpr("vec_id", "cast(embedding as array<double>) as e")
+    )
+    codes = ivfpq_encode(emb, cb).select("vec_id", "ivf_cell", "pq_codes")
+    probes = spark.createDataFrame(
+        [(q, c) for q in range(5) for c in range(2)], "query_id int, ivf_cell int"
+    )
+    try:
+        (
+            codes.write.mode("overwrite")
+            .bucketBy(8, "ivf_cell")
+            .option("path", str(tmp_path / "codes_b"))
+            .saveAsTable("ivfpq_codes_bucketed")
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            bucketed = spark.table("ivfpq_codes_bucketed").join(probes, "ivf_cell")
+            bucketed.collect()
+            plan_b = bucketed._jdf.queryExecution().executedPlan().toString()
+            plain = codes.join(probes, "ivf_cell")
+            plain.collect()
+            plan_p = plain._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+        # AQE's toString echoes the Initial Plan after the Final Plan —
+        # count exchanges in the final section only
+        final_b = plan_b.split("== Initial Plan ==")[0]
+        final_p = plan_p.split("== Initial Plan ==")[0]
+        n_ex_bucketed = final_b.count("Exchange hashpartitioning(ivf_cell")
+        n_ex_plain = final_p.count("Exchange hashpartitioning(ivf_cell")
+        assert "Bucketed: true" in final_b
+        assert n_ex_bucketed == 1, plan_b  # probe side only
+        assert n_ex_plain == 2, plan_p     # both sides re-shuffle
+        # parity: same (query, vec) candidate pairs either way
+        a = {(r.query_id, r.vec_id) for r in bucketed.collect()}
+        b = {(r.query_id, r.vec_id) for r in plain.collect()}
+        assert a == b and a
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivfpq_codes_bucketed")
