@@ -53,6 +53,12 @@ QUERIES = [
     # 2000-08-01 dormancy cutoff) — TZ-sensitive by construction
     "sole_late_supplier_orders",
     "idle_high_balance_customers",
+    # round-13 additions: the attribution face is epoch-micros ranged
+    # (TZ-sensitive by construction); the other two are timestamp-free
+    # but hold the same full-oracle-equality bar
+    "purchase_click_attribution",
+    "knn_ivf_pq",
+    "mp3_decode_features",
 ]
 
 
@@ -121,6 +127,11 @@ ANSI_QUERIES = [
     "unigram_encode_fixed",
     "dedup_soft_weights",
     "tokenizer_fertility_audit",
+    # round-13 additions: ADC power-of-two float sums, MP3 bit arithmetic,
+    # left-outer count/min aggregation over a range predicate
+    "knn_ivf_pq",
+    "mp3_decode_features",
+    "purchase_click_attribution",
 ]
 
 
