@@ -4193,39 +4193,46 @@ class _MP3Granule:
         "part2_3_length", "big_values", "global_gain", "scalefac_compress",
         "table_select", "region0_count", "region1_count", "preflag",
         "scalefac_scale", "count1table_select", "scalefac", "is_vals", "xr",
-        "count1_quads",
+        "xr_coded", "count1_quads",
     )
 
 
-def _mp3_parse_side_info(data: bytes) -> "_MP3SideInfo":
-    """Mono MPEG-1 side info (17 bytes / 136 bits), §2.4.1.7."""
+def _mp3_parse_side_info(data: bytes, n_ch: int = 1) -> "_MP3SideInfo":
+    """MPEG-1 side info, §2.4.1.7: 17 bytes mono / 32 bytes stereo
+    (private_bits is 5 mono, 3 stereo; scfsi and the 59-bit granule
+    blocks repeat per channel). ``si.granules`` is granule-major,
+    channel-minor: [[gr0ch0, ...], [gr1ch0, ...]]."""
     br = _BitReader(data, 0)
     si = _MP3SideInfo()
     si.main_data_begin = br.read(9)
-    br.read(5)  # private_bits
-    si.scfsi = [br.read(1) for _ in range(4)]
+    br.read(5 if n_ch == 1 else 3)  # private_bits
+    si.scfsi = [[br.read(1) for _ in range(4)] for _ in range(n_ch)]
     si.granules = []
     for _ in range(2):
-        g = _MP3Granule()
-        g.part2_3_length = br.read(12)
-        g.big_values = br.read(9)
-        if g.big_values > 288:
-            raise ValueError("MP3 big_values > 288")
-        g.global_gain = br.read(8)
-        g.scalefac_compress = br.read(4)
-        wsf = br.read(1)
-        if wsf:
-            raise NotImplementedError(
-                "MP3 short/mixed blocks need the Table B.8 short-band data "
-                "(SURVEY §2.10 external-codec seam); long-block profile only"
-            )
-        g.table_select = [br.read(5) for _ in range(3)]
-        g.region0_count = br.read(4)
-        g.region1_count = br.read(3)
-        g.preflag = br.read(1)
-        g.scalefac_scale = br.read(1)
-        g.count1table_select = br.read(1)
-        si.granules.append(g)
+        chans = []
+        for _ in range(n_ch):
+            g = _MP3Granule()
+            g.part2_3_length = br.read(12)
+            g.big_values = br.read(9)
+            if g.big_values > 288:
+                raise ValueError("MP3 big_values > 288")
+            g.global_gain = br.read(8)
+            g.scalefac_compress = br.read(4)
+            wsf = br.read(1)
+            if wsf:
+                raise NotImplementedError(
+                    "MP3 short/mixed blocks need the Table B.8 short-band "
+                    "data (SURVEY §2.10 external-codec seam); long-block "
+                    "profile only"
+                )
+            g.table_select = [br.read(5) for _ in range(3)]
+            g.region0_count = br.read(4)
+            g.region1_count = br.read(3)
+            g.preflag = br.read(1)
+            g.scalefac_scale = br.read(1)
+            g.count1table_select = br.read(1)
+            chans.append(g)
+        si.granules.append(chans)
     return si
 
 
@@ -4397,12 +4404,18 @@ def mp3_synthesize_pcm(subband_samples) -> bytes:
 
 
 def _decode_mp3_l3(payload: bytes) -> dict:
-    """Full entropy-layer decode of a mono MPEG-1 Layer III 44.1 kHz
-    stream: frame walk, CRC-16 verification when the protection bit is
-    set, side info, bit-reservoir main_data resolution, scalefactors with
-    scfsi, Huffman spectra, requantized xr — plus per-granule alias
-    reduction + IMDCT subband samples via the helpers above. Raises on
-    any malformed structure; never guesses."""
+    """Full entropy-layer decode of an MPEG-1 Layer III 44.1 kHz stream —
+    mono (mode 0b11), independent/dual stereo (0b00/0b10), and MID/SIDE
+    joint stereo (0b01 with the MS mode_extension bit; §2.4.3.4.9.2
+    butterfly l=(m+s)/sqrt2, r=(m-s)/sqrt2 applied after requantization,
+    with the coded-domain spectrum kept in ``xr_coded``): frame walk,
+    CRC-16 verification when the protection bit is set, side info, bit-
+    reservoir main_data resolution, per-channel scalefactors with scfsi,
+    Huffman spectra, requantized xr — plus per-granule alias reduction +
+    IMDCT subband samples via the helpers above. Intensity stereo needs
+    the is_pos angle table and stays a named seam. Raises on any
+    malformed structure; never guesses. ``granules`` is flattened
+    granule-major, channel-minor."""
     pos = 0
     if payload[:3] == b"ID3":
         if len(payload) < 10:
@@ -4428,10 +4441,13 @@ def _decode_mp3_l3(payload: bytes) -> dict:
         sr_index = (h2 >> 2) & 0x3
         padding = (h2 >> 1) & 1
         mode = (h3 >> 6) & 0x3
-        if mode != 0b11:
+        mode_ext = (h3 >> 4) & 0x3
+        n_ch = 1 if mode == 0b11 else 2
+        ms_stereo = mode == 0b01 and bool(mode_ext & 0x2)
+        if mode == 0b01 and mode_ext & 0x1:
             raise NotImplementedError(
-                "stereo MP3 granule decode (joint-stereo tables) is a "
-                "documented seam; mono profile only"
+                "MP3 intensity stereo needs the is_pos angle table "
+                "(SURVEY §2.10 external-codec seam); MS stereo decodes"
             )
         if sr_index != 0:
             raise NotImplementedError(
@@ -4446,36 +4462,54 @@ def _decode_mp3_l3(payload: bytes) -> dict:
         if pos + flen > len(payload):
             raise ValueError("truncated MP3 frame")
         body = pos + 4
+        side_len = 17 if n_ch == 1 else 32
         if protection == 0:
             crc_stored = int.from_bytes(payload[body: body + 2], "big")
             body += 2
-            if _crc16_mpeg(payload[pos + 2: pos + 4] + payload[body: body + 17]) != crc_stored:
+            if _crc16_mpeg(
+                payload[pos + 2: pos + 4] + payload[body: body + side_len]
+            ) != crc_stored:
                 raise ValueError("MP3 CRC-16 mismatch")
-        si = _mp3_parse_side_info(payload[body: body + 17])
-        body += 17
-        frames.append((si, len(pool)))
+        si = _mp3_parse_side_info(payload[body: body + side_len], n_ch)
+        body += side_len
+        frames.append((si, len(pool), n_ch, ms_stereo))
         pool += payload[body: pos + flen]
         pos += flen
     if not frames:
         raise ValueError("no MP3 frames")
     granules = []
-    for si, area_off in frames:
+    n_channels = frames[0][2]
+    for si, area_off, n_ch, ms in frames:
         start = area_off - si.main_data_begin
         if start < 0:
             raise ValueError("MP3 main_data_begin reaches before the stream")
         br = _BitReader(bytes(pool), start)
-        prev = None
-        for gi, g in enumerate(si.granules):
-            part2 = _mp3_read_scalefactors(
-                br, g, si.granules[0] if gi == 1 else None, si.scfsi
-            )
-            _mp3_read_huffman(br, g, part2)
-            g.xr = _mp3_requantize(g)
-            granules.append(g)
-            prev = g
+        for gi, chans in enumerate(si.granules):
+            for ch, g in enumerate(chans):
+                part2 = _mp3_read_scalefactors(
+                    br, g, si.granules[0][ch] if gi == 1 else None,
+                    si.scfsi[ch],
+                )
+                _mp3_read_huffman(br, g, part2)
+                g.xr = _mp3_requantize(g)
+            if ms and n_ch == 2:
+                import math
+
+                m_g, s_g = chans
+                m_g.xr_coded = m_g.xr
+                s_g.xr_coded = s_g.xr
+                sq2 = math.sqrt(2.0)
+                left = [(m + s) / sq2 for m, s in zip(m_g.xr_coded, s_g.xr_coded)]
+                right = [(m - s) / sq2 for m, s in zip(m_g.xr_coded, s_g.xr_coded)]
+                m_g.xr, s_g.xr = left, right
+            else:
+                for g in chans:
+                    g.xr_coded = g.xr
+            granules.extend(chans)
     return {
         "sample_rate": sample_rate,
         "n_frames": len(frames),
+        "n_channels": n_channels,
         "n_granules": len(granules),
         "granules": granules,
     }
@@ -4570,41 +4604,55 @@ def encode_mp3_l3(
     use_crc: bool = False,
     use_reservoir: bool = False,
     scfsi: list[int] | None = None,
+    mode: str = "mono",
 ) -> bytes:
-    """Assemble a REAL decodable mono MPEG-1 Layer III 44.1 kHz stream
+    """Assemble a REAL decodable MPEG-1 Layer III 44.1 kHz stream
     (two granules per frame): true side info, bit-exact part2_3_length
     accounting, table-1/count1-B Huffman data, optional CRC-16, and
     optional bit-reservoir packing (main_data_begin pointing into prior
-    frames' areas). The entropy layer is fully spec-real; the encoder
-    restricts magnitudes to |is| <= 1 because only Huffman tables 0/1 are
-    carried (the Annex B data seam)."""
-    if len(granules) % 2:
-        raise ValueError("granules come in frame pairs")
+    frames' areas). ``mode``: "mono" (one spec per granule), "stereo"
+    (independent L/R — two specs per granule, granule-major channel-
+    minor) or "ms_stereo" (joint stereo with the MS mode_extension bit:
+    channel 0 is the MID spectrum, channel 1 the SIDE; the decoder
+    reconstructs L/R). The entropy layer is fully spec-real; the encoder
+    restricts magnitudes to |is| <= 1 because only Huffman tables 0/1
+    are carried (the Annex B data seam)."""
+    n_ch = 1 if mode == "mono" else 2
+    per_frame = 2 * n_ch
+    if len(granules) % per_frame:
+        raise ValueError(f"{mode} granule specs come {per_frame} per frame")
     scfsi = scfsi or [0, 0, 0, 0]
     sr = 44100
     kbps = _MP3_KBPS[3][bitrate_index - 1]
     flen = _mp3_frame_len(3, kbps, sr, 0)
-    cap = flen - 4 - (2 if use_crc else 0) - 17
-    n_frames = len(granules) // 2
+    side_len = 17 if n_ch == 1 else 32
+    cap = flen - 4 - (2 if use_crc else 0) - side_len
+    n_frames = len(granules) // per_frame
     mds: list[bytes] = []
-    sides: list[list[dict]] = []
+    sides: list[list[list[dict]]] = []  # [frame][granule][channel]
     for f in range(n_frames):
         bw = _BitWriter()
-        fields_pair = []
+        fields_frame = []
         for gi in range(2):
-            spec = granules[2 * f + gi]
-            skip = [bool(b) for b in scfsi] if gi == 1 else [False] * 4
-            if gi == 1:
-                for grp, (lo, hi) in enumerate([(0, 6), (6, 11), (11, 16), (16, 21)]):
-                    if skip[grp] and spec["scalefac"][lo:hi] != granules[2 * f]["scalefac"][lo:hi]:
-                        raise ValueError("scfsi set but scalefactors differ")
-            gbits, fields = _mp3_granule_bits(spec, skip)
-            for b in gbits.bit_list():
-                bw.write(b, 1)
-            fields_pair.append(fields)
+            fields_chans = []
+            for ch in range(n_ch):
+                spec = granules[per_frame * f + n_ch * gi + ch]
+                skip = [bool(b) for b in scfsi] if gi == 1 else [False] * 4
+                if gi == 1:
+                    gr0 = granules[per_frame * f + ch]
+                    for grp, (lo, hi) in enumerate(
+                        [(0, 6), (6, 11), (11, 16), (16, 21)]
+                    ):
+                        if skip[grp] and spec["scalefac"][lo:hi] != gr0["scalefac"][lo:hi]:
+                            raise ValueError("scfsi set but scalefactors differ")
+                gbits, fields = _mp3_granule_bits(spec, skip)
+                for b in gbits.bit_list():
+                    bw.write(b, 1)
+                fields_chans.append(fields)
+            fields_frame.append(fields_chans)
         bw.align()
         mds.append(bw.bytes())
-        sides.append(fields_pair)
+        sides.append(fields_frame)
     # reservoir packing: frame f's main data starts at S_f in the pooled
     # area stream; its area starts at A_f; main_data_begin = A_f - S_f
     area_offsets = [f * cap for f in range(n_frames)]
@@ -4631,32 +4679,36 @@ def encode_mp3_l3(
             raise ValueError("frame main data exceeds its area: raise the bitrate")
         pool[starts[f]: starts[f] + len(mds[f])] = mds[f]
     out = bytearray()
+    mode_bits = {"mono": 0b11, "stereo": 0b00, "ms_stereo": 0b01}[mode]
+    mode_ext = 0b10 if mode == "ms_stereo" else 0b00  # MS on, intensity off
     for f in range(n_frames):
         b1 = 0xE0 | (3 << 3) | (0b01 << 1) | (0 if use_crc else 1)
         b2 = (bitrate_index << 4) | (0 << 2) | (0 << 1)
-        b3 = 0b11 << 6
+        b3 = (mode_bits << 6) | (mode_ext << 4)
         out += bytes([0xFF, b1, b2, b3])
         sw = _BitWriter()
         sw.write(area_offsets[f] - starts[f], 9)
-        sw.write(0, 5)
-        for b in scfsi:
-            sw.write(b, 1)
-        for fields in sides[f]:
-            sw.write(fields["part2_3_length"], 12)
-            sw.write(fields["big_values"], 9)
-            sw.write(fields["global_gain"], 8)
-            sw.write(fields["scalefac_compress"], 4)
-            sw.write(0, 1)  # long blocks
-            for t in fields["table_select"]:
-                sw.write(t, 5)
-            sw.write(fields["region0_count"], 4)
-            sw.write(fields["region1_count"], 3)
-            sw.write(fields["preflag"], 1)
-            sw.write(fields["scalefac_scale"], 1)
-            sw.write(fields["count1table_select"], 1)
+        sw.write(0, 5 if n_ch == 1 else 3)
+        for _ in range(n_ch):
+            for b in scfsi:
+                sw.write(b, 1)
+        for fields_chans in sides[f]:
+            for fields in fields_chans:
+                sw.write(fields["part2_3_length"], 12)
+                sw.write(fields["big_values"], 9)
+                sw.write(fields["global_gain"], 8)
+                sw.write(fields["scalefac_compress"], 4)
+                sw.write(0, 1)  # long blocks
+                for t in fields["table_select"]:
+                    sw.write(t, 5)
+                sw.write(fields["region0_count"], 4)
+                sw.write(fields["region1_count"], 3)
+                sw.write(fields["preflag"], 1)
+                sw.write(fields["scalefac_scale"], 1)
+                sw.write(fields["count1table_select"], 1)
         sw.align()
         side = sw.bytes()
-        assert len(side) == 17
+        assert len(side) == side_len
         if use_crc:
             out += _crc16_mpeg(out[-2:] + side).to_bytes(2, "big")
         out += side
@@ -4765,5 +4817,118 @@ def mp3_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = (
         "doc_id long, n_granules long, nonzero_lines long, neg_lines long, "
         "gg_sum long, energy_micros long"
+    )
+    return docs.mapInPandas(run, schema).orderBy("doc_id")
+
+
+@register(
+    "mp3_stereo_decode_features",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST(4 AS BIGINT) AS n_granule_channels,
+           (d.doc_id % 2 = 1) AS ms_mode,
+           CAST(SUM(CASE WHEN (7 * s.i + d.doc_id + g.gi) % 13 = 0
+                         THEN 1 ELSE 0 END
+                  + CASE WHEN (5 * s.i + d.doc_id + g.gi) % 11 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS nonzero_lines,
+           CAST(ROUND(1000000 * SUM(
+             CASE WHEN (7 * s.i + d.doc_id + g.gi) % 13 = 0
+                  THEN POWER(4.0,
+                       (d.doc_id + g.gi) % 8
+                       - (d.doc_id + g.gi
+                          + len(list_filter({_MP3Q_BOUNDS_SQL},
+                                            b -> b <= s.i)) - 1) % 4)
+                  ELSE 0 END)) AS BIGINT) AS ch0_energy_micros,
+           CAST(ROUND(1000000 * SUM(
+             CASE WHEN (5 * s.i + d.doc_id + g.gi) % 11 = 0
+                  THEN POWER(4.0,
+                       (d.doc_id + 2 * g.gi + 1) % 8
+                       - (d.doc_id + g.gi
+                          + 2 * (len(list_filter({_MP3Q_BOUNDS_SQL},
+                                                 b -> b <= s.i)) - 1)) % 4)
+                  ELSE 0 END)) AS BIGINT) AS ch1_energy_micros
+    FROM documents d,
+         LATERAL (SELECT unnest(range(0, 2)) AS gi) g,
+         LATERAL (SELECT unnest(range(0, 96)) AS i) s
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def mp3_stereo_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEREO MP3 Layer III decode under the differential gate (round 13
+    second tranche; companion to the mono ``mp3_decode_features``): per
+    document one frame of TWO-CHANNEL granules — even docs as independent
+    L/R (mode 0b00), odd docs as MID/SIDE joint stereo (mode 0b01 with
+    the MS mode_extension bit, so the 32-byte stereo side info,
+    per-channel scfsi layout, channel-interleaved granule data, and the
+    MS butterfly all execute) — encoded by :func:`encode_mp3_l3` and
+    decoded back by :func:`_decode_mp3_l3`. Features come from the
+    decoder's COD-domain spectra (``xr_coded``: exact powers of two, so
+    the oracle recomputes them bit-exactly in closed form); the
+    irrational 1/sqrt(2) MS reconstruction itself is pinned by pytest
+    where float-exactness rules don't bind the hash. Map-only
+    mapInPandas."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def chan_spec(d: int, gi: int, ch: int) -> dict:
+            is_vals = [0] * 576
+            for i in range(96):
+                if ch == 0:
+                    if (7 * i + d + gi) % 13 == 0:
+                        is_vals[i] = -1 if (i + d) % 2 else 1
+                else:
+                    if (5 * i + d + gi) % 11 == 0:
+                        is_vals[i] = -1 if (i + gi) % 2 else 1
+            return {
+                "is": is_vals,
+                "global_gain": 210 + 4 * (
+                    (d + gi) % 8 if ch == 0 else (d + 2 * gi + 1) % 8
+                ),
+                "scalefac": [
+                    (d + s + gi) % 4 if ch == 0 else (d + 2 * s + gi) % 4
+                    for s in range(21)
+                ],
+                "big_values": 36,
+                "scalefac_scale": 1,
+            }
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_granule_channels": [], "ms_mode": [],
+                "nonzero_lines": [], "ch0_energy_micros": [],
+                "ch1_energy_micros": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                specs = [
+                    chan_spec(d, gi, ch) for gi in range(2) for ch in range(2)
+                ]
+                blob = encode_mp3_l3(
+                    specs,
+                    mode="ms_stereo" if d % 2 else "stereo",
+                    use_crc=(d % 3 == 0),
+                    use_reservoir=(d % 4 == 0),
+                )
+                m = _decode_mp3_l3(blob)  # REAL stereo decode
+                assert m["n_channels"] == 2
+                nz = 0
+                e = [0.0, 0.0]
+                for k, g in enumerate(m["granules"]):
+                    nz += sum(1 for v in g.is_vals if v)
+                    e[k % 2] += sum(x * x for x in g.xr_coded)
+                out["doc_id"].append(d)
+                out["n_granule_channels"].append(m["n_granules"])
+                out["ms_mode"].append(d % 2 == 1)
+                out["nonzero_lines"].append(nz)
+                out["ch0_energy_micros"].append(int(round(1_000_000 * e[0])))
+                out["ch1_energy_micros"].append(int(round(1_000_000 * e[1])))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, n_granule_channels long, ms_mode boolean, "
+        "nonzero_lines long, ch0_energy_micros long, ch1_energy_micros long"
     )
     return docs.mapInPandas(run, schema).orderBy("doc_id")

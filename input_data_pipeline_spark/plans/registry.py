@@ -97,6 +97,7 @@ _PRIORITY: list[str] = [
     "knn_ivf_pq",
     "mp3_decode_features",
     "purchase_click_attribution",
+    "mp3_stereo_decode_features",
     # --- (b) last driver green r6 ---
     "embedding_norm_stats",
     "lang_distribution",
@@ -140,7 +141,6 @@ _PRIORITY: list[str] = [
     "bm25_doc_search",
     "brand_revenue_by_supplier_nation",
     "c4_quality_flags",
-    "ccnet_perplexity_buckets",
     # --- (e) LLM-core anchors (stay in every window; workflow rule
     #     pinned by tests/test_registry_contract.py) ---
     "dedup_minhash_lsh",
@@ -152,7 +152,7 @@ _PRIORITY: list[str] = [
 ]
 # Round-13 state: if this window goes driver-green, no query's evidence is
 # older than r9, and the stalest remaining is the r9-bucket tail
-# (chunk_dedup_rate ... user_retention_cohorts, 37 queries) — head the
+# (ccnet_perplexity_buckets ... user_retention_cohorts, 38 queries) — head the
 # r14 window with it plus any r14 additions; the r10 bucket (44) follows.
 
 

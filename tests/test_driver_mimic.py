@@ -59,6 +59,7 @@ QUERIES = [
     "purchase_click_attribution",
     "knn_ivf_pq",
     "mp3_decode_features",
+    "mp3_stereo_decode_features",
 ]
 
 
@@ -132,6 +133,7 @@ ANSI_QUERIES = [
     "knn_ivf_pq",
     "mp3_decode_features",
     "purchase_click_attribution",
+    "mp3_stereo_decode_features",
 ]
 
 

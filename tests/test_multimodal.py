@@ -2792,3 +2792,75 @@ def test_mp3_l3_streams_walk_through_the_probe():
     assert meta["n_frames"] == 2
     assert meta["sample_rate"] == 44100
     assert meta["vbr"] is False
+
+
+def test_mp3_stereo_roundtrip_and_ms_butterfly():
+    """Stereo side info (32 bytes, 3 private bits, per-channel scfsi and
+    channel-interleaved granule data) round-trips in both stereo modes;
+    under MS the decoder applies the §2.4.3.4.9.2 butterfly exactly
+    (l=(m+s)/sqrt2, r=(m-s)/sqrt2) while keeping the coded-domain
+    spectra; independent mode leaves xr == xr_coded."""
+    import math
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_mp3_l3,
+        encode_mp3_l3,
+    )
+
+    specs = [_mk_granule(s) for s in range(40, 48)]  # 2 frames x 2gr x 2ch
+    for mode in ("stereo", "ms_stereo"):
+        blob = encode_mp3_l3(specs, mode=mode, use_crc=True)
+        m = _decode_mp3_l3(blob)
+        assert m["n_channels"] == 2 and m["n_granules"] == 8
+        for g, sp in zip(m["granules"], specs):
+            assert g.is_vals == sp["is"]
+            assert g.scalefac == sp["scalefac"]
+            assert g.global_gain == sp["global_gain"]
+        sq2 = math.sqrt(2.0)
+        for gi in range(4):
+            a, b = m["granules"][2 * gi], m["granules"][2 * gi + 1]
+            if mode == "stereo":
+                assert a.xr == a.xr_coded and b.xr == b.xr_coded
+            else:
+                for i in range(576):
+                    assert a.xr[i] == (a.xr_coded[i] + b.xr_coded[i]) / sq2
+                    assert b.xr[i] == (a.xr_coded[i] - b.xr_coded[i]) / sq2
+
+
+def test_mp3_stereo_scfsi_is_per_channel():
+    """scfsi groups are tracked PER CHANNEL in stereo: granule 1 of each
+    channel copies its own channel's granule-0 scalefactors."""
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_mp3_l3,
+        encode_mp3_l3,
+    )
+
+    g0c0, g0c1, g1c0, g1c1 = (_mk_granule(s) for s in range(50, 54))
+    g1c0["scalefac"] = g0c0["scalefac"][:11] + g1c0["scalefac"][11:]
+    g1c1["scalefac"] = g0c1["scalefac"][:11] + g1c1["scalefac"][11:]
+    blob = encode_mp3_l3([g0c0, g0c1, g1c0, g1c1], mode="stereo",
+                         scfsi=[1, 1, 0, 0])
+    m = _decode_mp3_l3(blob)
+    assert m["granules"][2].scalefac == g1c0["scalefac"]
+    assert m["granules"][3].scalefac == g1c1["scalefac"]
+    assert m["granules"][2].scalefac[:11] == g0c0["scalefac"][:11]
+    assert m["granules"][3].scalefac[:11] == g0c1["scalefac"][:11]
+
+
+def test_mp3_intensity_stereo_is_a_named_seam():
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_mp3_l3,
+        encode_mp3_l3,
+    )
+
+    blob = bytearray(encode_mp3_l3([_mk_granule(60), _mk_granule(61),
+                                    _mk_granule(62), _mk_granule(63)],
+                                   mode="ms_stereo"))
+    # set the intensity bit in mode_extension (header byte 3, bit 4)
+    for off in range(0, len(blob), 1):
+        if blob[off] == 0xFF and off + 3 < len(blob) and (blob[off+1] & 0xE0) == 0xE0:
+            blob[off + 3] |= 0x10
+    with pytest.raises(NotImplementedError, match="intensity"):
+        _decode_mp3_l3(bytes(blob))

@@ -803,18 +803,20 @@ def test_flac_stereo_roundtrip_all_assignments(data, mode, block_size, lpc):
 
 
 @given(
-    seeds=st.lists(st.integers(min_value=0, max_value=10**6), min_size=2,
-                   max_size=6).filter(lambda l: len(l) % 2 == 0),
+    seeds=st.lists(st.integers(min_value=0, max_value=10**6), min_size=4,
+                   max_size=8).filter(lambda l: len(l) % 4 == 0),
     use_crc=st.booleans(),
     use_reservoir=st.booleans(),
     bitrate_index=st.sampled_from([9, 11, 14]),
+    mode=st.sampled_from(["mono", "stereo", "ms_stereo"]),
 )
 @settings(max_examples=80, deadline=None)
-def test_mp3_l3_entropy_layer_roundtrip(seeds, use_crc, use_reservoir, bitrate_index):
+def test_mp3_l3_entropy_layer_roundtrip(seeds, use_crc, use_reservoir, bitrate_index, mode):
     """The MP3 Layer III entropy layer is lossless: any granule sequence
     (random sparse ±1 spectra, gains, scalefactors, big_values splits,
     preflag/scalefac_scale) survives encode->decode bit-exactly under
-    CRC-16 on/off, bit-reservoir packing on/off, and several CBR rates —
+    CRC-16 on/off, bit-reservoir packing on/off, several CBR rates, and
+    all three channel modes (mono / independent stereo / MS joint) —
     side info, scalefactors, spectra, and the requantization inputs all
     recovered. Exercises part2_3_length exact-fill accounting, region
     table-0 dispatch, count1-B quadruples, and main_data_begin stuffing
@@ -847,7 +849,7 @@ def test_mp3_l3_entropy_layer_roundtrip(seeds, use_crc, use_reservoir, bitrate_i
     specs = [mk(s) for s in seeds]
     blob = encode_mp3_l3(
         specs, bitrate_index=bitrate_index, use_crc=use_crc,
-        use_reservoir=use_reservoir,
+        use_reservoir=use_reservoir, mode=mode,
     )
     m = _decode_mp3_l3(blob)
     assert m["n_granules"] == len(specs)
