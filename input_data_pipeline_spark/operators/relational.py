@@ -2118,3 +2118,244 @@ def idle_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape (round 13): correlated-min supplier selection, adapted to
+# the driver's schema (no partsupp table: lineitem is the part↔supplier
+# fact and realized unit price stands in for ps_supplycost)
+# ---------------------------------------------------------------------------
+
+@register(
+    "cheapest_supplier_per_part",
+    oracle="""
+    WITH offer AS (
+      SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+             MIN(l.l_extendedprice / l.l_quantity) AS unit_price
+      FROM lineitem l
+      GROUP BY l.l_partkey, l.l_suppkey),
+    best AS (
+      SELECT partkey, MIN(unit_price) AS best_price
+      FROM offer GROUP BY partkey)
+    SELECT o.partkey AS p_partkey, p.p_brand, s.s_name, n.n_name AS nation,
+           CAST(ROUND(o.unit_price * 1000000) AS BIGINT) AS unit_price_micros
+    FROM offer o
+    JOIN best b ON b.partkey = o.partkey AND o.unit_price = b.best_price
+    JOIN part p ON p.p_partkey = o.partkey
+    JOIN supplier s ON s.s_suppkey = o.suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size >= 20
+    ORDER BY p_partkey, s_name
+    """,
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for every large part, the supplier(s) realizing the
+    lowest unit price — the correlated scalar-min subquery re-expressed as
+    aggregate + join-back (the decorrelation Catalyst would otherwise have
+    to find). Ties keep every achieving supplier, Q2-style.
+
+    Scale shape: one map-side-combinable (part, supp) aggregate over
+    lineitem, a part-keyed min (tiny), an equi join-back on the SAME key
+    the first aggregate already hashed (AQE broadcasts the min table when
+    it fits), then broadcast dimension hops. The float min/equality
+    compares identical IEEE divisions in both engines; rounding to micros
+    happens only at output."""
+    offer = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+    )
+    best = offer.groupBy("partkey").agg(F.min("unit_price").alias("best_price"))
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 20)
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        offer.join(
+            best,
+            (offer["partkey"] == best["partkey"])
+            & (F.col("unit_price") == F.col("best_price")),
+        )
+        .drop(best["partkey"])
+        .join(part, F.col("partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            round_micros(F.col("unit_price")).alias("unit_price_micros"),
+        )
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape (round 13): multi-dimension profit rollup by nation x year
+# ---------------------------------------------------------------------------
+
+@register(
+    "widget_revenue_by_nation_year",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+             AS revenue_micros,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+    ORDER BY nation, o_year
+    """,
+)
+def widget_revenue_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit by supplier-nation and order year, LIKE
+    filter on part name; revenue stands in for profit — the schema has no
+    supplycost). Five-way join where the part filter PRUNES the fact scan
+    early via the broadcast hash join, then a two-key rollup.
+
+    Scale shape: part/supplier/nation broadcast; lineitem⋈orders is the
+    only big shuffle, keyed on orderkey; the aggregate partial-combines
+    map-side. The year extraction runs on UTC timestamps in both
+    engines."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            stable_sum_micros(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue_micros"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("nation", "o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape (round 13): disjunctive multi-clause join predicate
+# ---------------------------------------------------------------------------
+
+@register(
+    "brand_size_qty_revenue",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+             AS revenue_micros
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 10 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 20 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def brand_size_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of three (brand, size-range, qty-range)
+    conjunctions across the join — the disjunctive-predicate stress case.
+    The join stays an EQUI hash join on partkey (the disjunction is a
+    post-join filter, never a nested-loop condition), and Catalyst pushes
+    the brand/size disjunction's common subexpressions to the part scan.
+    Single-row output: global count + exact revenue micros."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    clause = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20)
+    ) | (
+        (F.col("p_brand") == "Brand#19")
+        & F.col("p_size").between(10, 25)
+        & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(20, 35)
+        & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40)
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(clause)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            stable_sum_micros(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue_micros"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape (round 13): large-quantity orders via agg-filtered semi join
+# ---------------------------------------------------------------------------
+
+_Q18_QTY = 250
+
+
+@register(
+    "large_quantity_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+               AS total_qty_micros
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > {_Q18_QTY})
+    SELECT c.c_name, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+             AS totalprice_micros,
+           b.total_qty_micros
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_orderkey
+    """,
+)
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds
+    {_Q18_QTY}, with their customer — the IN-(grouped-HAVING-subquery)
+    pattern as aggregate + join (what the decorrelator produces). The
+    heavy aggregate runs FIRST and its survivors are few, so the
+    orders/customer joins probe with a filtered build side (AQE broadcasts
+    it). The quantity threshold compares exact micros integers in both
+    engines."""
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(stable_sum_micros(F.col("l_quantity")).alias("total_qty_micros"))
+        .filter(F.col("total_qty_micros") > _Q18_QTY * 1_000_000)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            micros(F.col("o_totalprice")).alias("totalprice_micros"),
+            "total_qty_micros",
+        )
+        .orderBy("o_orderkey")
+    )

@@ -98,6 +98,10 @@ _PRIORITY: list[str] = [
     "mp3_decode_features",
     "purchase_click_attribution",
     "mp3_stereo_decode_features",
+    "cheapest_supplier_per_part",
+    "widget_revenue_by_nation_year",
+    "brand_size_qty_revenue",
+    "large_quantity_orders",
     # --- (b) last driver green r6 ---
     "embedding_norm_stats",
     "lang_distribution",
@@ -137,10 +141,6 @@ _PRIORITY: list[str] = [
     # --- (d) r9 bucket head (alphabetical; remainder rotates in r14) ---
     "account_balance_union",
     "active_user_rollup",
-    "approx_distinct_users",
-    "bm25_doc_search",
-    "brand_revenue_by_supplier_nation",
-    "c4_quality_flags",
     # --- (e) LLM-core anchors (stay in every window; workflow rule
     #     pinned by tests/test_registry_contract.py) ---
     "dedup_minhash_lsh",
@@ -152,7 +152,7 @@ _PRIORITY: list[str] = [
 ]
 # Round-13 state: if this window goes driver-green, no query's evidence is
 # older than r9, and the stalest remaining is the r9-bucket tail
-# (ccnet_perplexity_buckets ... user_retention_cohorts, 38 queries) — head the
+# (approx_distinct_users ... user_retention_cohorts, 42 queries) — head the
 # r14 window with it plus any r14 additions; the r10 bucket (44) follows.
 
 

@@ -60,6 +60,12 @@ QUERIES = [
     "knn_ivf_pq",
     "mp3_decode_features",
     "mp3_stereo_decode_features",
+    # round-13 TPC-H shapes: Q18 emits DATE cells and Q9 extracts the
+    # order YEAR — TZ-sensitive by construction; Q2/Q19 hold the same bar
+    "large_quantity_orders",
+    "widget_revenue_by_nation_year",
+    "cheapest_supplier_per_part",
+    "brand_size_qty_revenue",
 ]
 
 
@@ -134,6 +140,12 @@ ANSI_QUERIES = [
     "mp3_decode_features",
     "purchase_click_attribution",
     "mp3_stereo_decode_features",
+    # round-13 TPC-H shapes: float min-equality join, LIKE-filtered
+    # five-way join, disjunctive predicates, micros-threshold HAVING
+    "cheapest_supplier_per_part",
+    "widget_revenue_by_nation_year",
+    "brand_size_qty_revenue",
+    "large_quantity_orders",
 ]
 
 

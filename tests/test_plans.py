@@ -504,3 +504,38 @@ def test_ivfpq_candidate_scan_is_broadcast_and_codes_only(spark, sf_dir):
 
     m = _re.search(r"BroadcastHashJoin \[cell[^\n]*", plan)
     assert m, "cell-keyed broadcast join missing"
+
+
+def test_round13_tpch_shapes_plan_quality(spark, sf_dir):
+    """Round-13 TPC-H shapes hold the relational plan contract:
+    - Q2 shape: decorrelated min + join-back, no Window, no Cartesian,
+      partial aggregates, broadcast dimension hops;
+    - Q9 shape: all three dimensions broadcast, the disjoint big join keyed
+      on orderkey, map-side partial agg;
+    - Q19 shape: stays an EQUI broadcast hash join on partkey (the
+      disjunction must never force a nested-loop join);
+    - Q18 shape: aggregate-first with partial combine, no Window."""
+    from input_data_pipeline_spark.operators.relational import (
+        brand_size_qty_revenue,
+        cheapest_supplier_per_part,
+        large_quantity_orders,
+        widget_revenue_by_nation_year,
+    )
+
+    q2 = _executed_plan(cheapest_supplier_per_part(spark, sf_dir))
+    assert "Window" not in q2 and "Cartesian" not in q2
+    assert "partial_min" in q2 or "partial" in q2
+    assert "BroadcastHashJoin" in q2
+
+    q9 = _executed_plan(widget_revenue_by_nation_year(spark, sf_dir))
+    assert "Cartesian" not in q9
+    assert q9.count("BroadcastHashJoin") >= 3
+    assert "partial_" in q9
+
+    q19 = _executed_plan(brand_size_qty_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in q19
+    assert "BroadcastNestedLoopJoin" not in q19 and "Cartesian" not in q19
+
+    q18 = _executed_plan(large_quantity_orders(spark, sf_dir))
+    assert "Window" not in q18 and "Cartesian" not in q18
+    assert "partial_" in q18
