@@ -101,10 +101,11 @@ HEADLINE = [
     "small_qty_order_revenue",
     "hybrid_search_rrf",
     "trade_pagerank",
-    # round 13 additions (additive): IVF-PQ ADC vector search + MP3
-    # sample-layer decode gate
+    # round 13 additions (additive): IVF-PQ ADC vector search, MP3
+    # sample-layer decode gate, and the Q9-shape five-way star rollup
     "knn_ivf_pq",
     "mp3_decode_features",
+    "widget_revenue_by_nation_year",
 ]
 
 # Per-query floors for queries newer than the r1 floor table (driver-run

@@ -1265,3 +1265,39 @@ def stream_ivfpq_codes(vecs: DataFrame, codebook: list[list[float]]) -> DataFram
     from input_data_pipeline_spark.operators.similarity import ivfpq_encode
 
     return ivfpq_encode(vecs, codebook)
+
+
+def join_clicks_to_purchases_full_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the §2.9 join
+    matrix (inner / left-outer / full-outer): matched pairs emit as they
+    join; an unmatched purchase null-emits like the left-outer form; an
+    unmatched click ALSO null-emits once the watermark proves no future
+    purchase can still pull it in (clicks only match purchases at or
+    after their event time, so a click's state expires when the
+    watermark passes click_ts + within). Both sides' state stays bounded
+    by the same time-bound arithmetic as the inner join."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {within}"))
+    )
+    return p.join(c, cond, "fullOuter").select(
+        "purchase_id", "click_id",
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+        "purchase_ts", "click_ts",
+    )

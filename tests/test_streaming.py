@@ -1852,3 +1852,81 @@ def test_stream_ivfpq_codes_match_batch(spark, tmp_path):
     assert got == batch
     assert all(0 <= c < 8 for c, _ in got.values())
     assert all(len(cs) == 8 and all(0 <= v < 16 for v in cs) for _, cs in got.values())
+
+
+def test_stream_stream_full_outer_join_both_sides_null_emit(spark, src):
+    """FULL OUTER: unmatched purchases AND unmatched clicks each emit
+    exactly once with NULLs after expiry, matches emit normally, and the
+    flushed result equals the batch full join."""
+    from pyspark.sql import functions as F
+
+    from input_data_pipeline_spark.streaming.pipelines import (
+        EVENT_SCHEMA,
+        join_clicks_to_purchases_full_outer,
+    )
+
+    events = stream_events(spark, str(src))
+    clicks = events.filter(events.event_type == "click")
+    purchases = events.filter(events.event_type == "purchase")
+    name = _unique("ssfoj")
+    q = run_to_memory(
+        join_clicks_to_purchases_full_outer(clicks, purchases),
+        name,
+        output_mode="append",
+    )
+    try:
+        _write_events(src, "b1.jsonl", [
+            _ev(1, "2024-01-01 10:00:00", user=1, etype="click"),   # matches 10
+            _ev(2, "2024-01-01 10:20:00", user=2, etype="click"),   # no purchase
+        ])
+        q.processAllAvailable()
+        _write_events(src, "b2.jsonl", [
+            _ev(10, "2024-01-01 10:08:00", user=1, etype="purchase"),
+            _ev(11, "2024-01-01 11:00:00", user=3, etype="purchase"),  # no click
+        ])
+        q.processAllAvailable()
+        _write_events(src, "b3.jsonl", [
+            _ev(20, "2024-01-01 12:30:00", user=9, etype="click"),
+            _ev(21, "2024-01-01 12:30:00", user=9, etype="purchase"),
+        ])
+        q.processAllAvailable()
+        _write_events(src, "b4.jsonl", [
+            _ev(22, "2024-01-01 13:30:00", user=8, etype="click"),
+        ])
+        q.processAllAvailable()
+        got = [(r.purchase_id, r.click_id) for r in spark.table(name).collect()]
+        assert len(got) == len(set(got)), f"duplicate emissions: {got}"
+        gotset = set(got)
+        assert (10, 1) in gotset
+        assert (None, 2) in gotset        # unmatched CLICK null-emits
+        assert (11, None) in gotset       # unmatched purchase null-emits
+        assert (21, 20) in gotset
+
+        batch = spark.read.schema(EVENT_SCHEMA).json(str(src))
+        bc = batch.filter(batch.event_type == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        bp = batch.filter(batch.event_type == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        cond = (
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts")
+               >= F.col("purchase_ts") - F.expr("INTERVAL 10 minutes"))
+        )
+        want = {
+            (r.purchase_id, r.click_id)
+            for r in bp.join(bc, cond, "full").collect()
+            # the final sentinel click (22) hasn't expired in the stream;
+            # every older row must agree with the batch full join
+            if r.click_id != 22
+        }
+        assert gotset == {g for g in gotset} and want <= gotset | {(None, 22)}
+        assert gotset - {(None, 22)} == want
+    finally:
+        q.stop()
