@@ -1641,3 +1641,115 @@ def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# SSL-prototypes / D4 prototypicality pruning — round 13
+# ---------------------------------------------------------------------------
+
+_PROTO_PRUNE_PCT = 10  # drop the most prototypical decile per cluster
+
+
+@register(
+    "prototypicality_prune",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (
+      SELECT label AS c_label, list(cx ORDER BY i) AS c_e
+      FROM (SELECT label, r.i AS i,
+                   ROUND(CAST(SUM(CAST(e[r.i] AS DECIMAL(18,9))) AS DOUBLE)
+                         / COUNT(*), 6) AS cx
+            FROM v, range(1, 64 + 1) AS r(i)
+            GROUP BY label, r.i)
+      GROUP BY label),
+    scored AS (
+      SELECT v.vec_id, v.label,
+             CAST(ROUND((list_sum(list_transform(range(1, 64 + 1),
+                                                 i -> v.e[i] * c.c_e[i]))
+               / (sqrt(list_sum(list_transform(v.e, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.c_e, x -> x * x)))))
+               * 1000000) AS BIGINT) AS proto_cos_ppm
+      FROM v JOIN cent c ON c.c_label = v.label),
+    ranked AS (
+      SELECT vec_id, label, proto_cos_ppm,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY proto_cos_ppm DESC, vec_id)
+               AS proto_rank,
+             COUNT(*) OVER (PARTITION BY label) AS n_label
+      FROM scored)
+    SELECT vec_id, label, proto_cos_ppm,
+           CAST(proto_rank AS BIGINT) AS proto_rank,
+           proto_rank * 100 <= n_label * {_PROTO_PRUNE_PCT} AS pruned
+    FROM ranked
+    ORDER BY vec_id
+    """,
+)
+def prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototypes pruning (Sorscher et al. 2022; the second stage of
+    D4, Tirumala et al. 2023, arXiv:2308.12284): within each embedding
+    cluster, the examples CLOSEST to the cluster centroid are the most
+    prototypical — least informative to train on — so the top
+    {_PROTO_PRUNE_PCT}% by centroid cosine are flagged for pruning.
+    Clusters here are the label groups (the same exact decimal-rounded
+    centroids as ``label_centroid_assignment``, so both engines share
+    bit-identical constants); composes after ``semdedup_embedding_clusters``
+    exactly as D4 prescribes (near-dup removal, then prototype pruning).
+
+    Scale shape: centroids are one map-combinable posexplode aggregate
+    (n_labels x DIM rows -> broadcast); scoring is a map-only broadcast
+    join; the per-cluster rank is a window over label partitions — at
+    100 TB you'd swap it for the quantile-threshold form (approx
+    percentile per cluster, then a map-only comparison), same output
+    contract. Every output cell is integer/boolean; the ppm quantization
+    is half-away in both engines."""
+    from pyspark.sql import Window
+
+    from input_data_pipeline_spark.functions.stable import round_micros
+    from input_data_pipeline_spark.operators.similarity import _emb, cosine
+
+    emb = _emb(spark, sf_dir)
+    cent = (
+        emb.select("label", F.posexplode("e").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("cx")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("pairs", lambda s: s.getField("cx")).alias("c_e"),
+        )
+    )
+    scored = (
+        emb.join(F.broadcast(cent), F.col("label") == F.col("c_label"))
+        .select(
+            "vec_id",
+            "label",
+            round_micros(cosine(F.col("e"), F.col("c_e"))).alias(
+                "proto_cos_ppm"
+            ),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("proto_cos_ppm"), F.asc("vec_id")
+    )
+    wn = Window.partitionBy("label")
+    return (
+        scored.withColumn("proto_rank", F.row_number().over(w).cast("long"))
+        .withColumn("n_label", F.count(F.lit(1)).over(wn))
+        .select(
+            "vec_id",
+            "label",
+            "proto_cos_ppm",
+            "proto_rank",
+            (F.col("proto_rank") * 100 <= F.col("n_label") * _PROTO_PRUNE_PCT)
+            .alias("pruned"),
+        )
+        .orderBy("vec_id")
+    )

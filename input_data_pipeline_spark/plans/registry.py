@@ -102,6 +102,7 @@ _PRIORITY: list[str] = [
     "widget_revenue_by_nation_year",
     "brand_size_qty_revenue",
     "large_quantity_orders",
+    "prototypicality_prune",
     # --- (b) last driver green r6 ---
     "embedding_norm_stats",
     "lang_distribution",
@@ -140,7 +141,6 @@ _PRIORITY: list[str] = [
     "weighted_doc_sample_pps",
     # --- (d) r9 bucket head (alphabetical; remainder rotates in r14) ---
     "account_balance_union",
-    "active_user_rollup",
     # --- (e) LLM-core anchors (stay in every window; workflow rule
     #     pinned by tests/test_registry_contract.py) ---
     "dedup_minhash_lsh",
@@ -152,7 +152,7 @@ _PRIORITY: list[str] = [
 ]
 # Round-13 state: if this window goes driver-green, no query's evidence is
 # older than r9, and the stalest remaining is the r9-bucket tail
-# (approx_distinct_users ... user_retention_cohorts, 42 queries) — head the
+# (active_user_rollup ... user_retention_cohorts, 43 queries) — head the
 # r14 window with it plus any r14 additions; the r10 bucket (44) follows.
 
 

@@ -298,3 +298,30 @@ def test_chunk_dedup_rewrite_reassembles_survivors(spark, sf_dir):
         assert r.n_kept == len(kept)
         assert r.rewrite_fp == hashlib.md5(new_text.encode()).hexdigest()
         assert r.n_chars_new == len(new_text)
+
+
+def test_prototypicality_prune_decile_and_ordering(spark, sf_dir):
+    """Per label: ranks are a 1..n permutation ordered by centroid cosine,
+    the pruned flag is exactly the top decile (ceil semantics via the
+    integer cross-multiplication), and the most prototypical example of
+    every label is always pruned."""
+    from input_data_pipeline_spark.operators.curation import (
+        _PROTO_PRUNE_PCT,
+        prototypicality_prune,
+    )
+
+    rows = prototypicality_prune(spark, sf_dir).collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+    assert by_label
+    for label, members in by_label.items():
+        n = len(members)
+        members.sort(key=lambda r: r.proto_rank)
+        assert [r.proto_rank for r in members] == list(range(1, n + 1))
+        cos = [r.proto_cos_ppm for r in members]
+        assert cos == sorted(cos, reverse=True)
+        for r in members:
+            assert r.pruned == (r.proto_rank * 100 <= n * _PROTO_PRUNE_PCT)
+        if n >= 100 // _PROTO_PRUNE_PCT:
+            assert members[0].pruned  # the archetype always goes
