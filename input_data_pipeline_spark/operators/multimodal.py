@@ -1899,10 +1899,12 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
             return _decode_jpeg(payload)
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             return _decode_gif(payload)
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            return _decode_tiff(payload)
         raise NotImplementedError(
-            "real decode of non-BMP/PNG/JPEG/GIF image formats requires "
-            "external media libraries; wire PIL here on a real cluster "
-            "(SURVEY §2.10 U1/U2)"
+            "real decode of non-BMP/PNG/JPEG/GIF/TIFF image formats "
+            "requires external media libraries; wire PIL here on a real "
+            "cluster (SURVEY §2.10 U1/U2)"
         )
     if modality == "video":
         if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
@@ -4930,5 +4932,309 @@ def mp3_stereo_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = (
         "doc_id long, n_granule_channels long, ms_mode boolean, "
         "nonzero_lines long, ch0_energy_micros long, ch1_energy_micros long"
+    )
+    return docs.mapInPandas(run, schema).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# TIFF baseline (TIFF 6.0): uncompressed + PackBits, II and MM byte orders
+# — round 13
+# ---------------------------------------------------------------------------
+
+def _packbits_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §9 PackBits: runs of >=2 identical bytes become
+    (257-n, byte); literals become (n-1, bytes). Row-independent (the
+    spec packs each row separately; callers pass one row at a time)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        lit = i
+        while (
+            i < n
+            and i - lit < 128
+            and not (i + 1 < n and data[i + 1] == data[i])
+        ):
+            i += 1
+        out.append(i - lit - 1)
+        out += data[lit:i]
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    """PackBits inverse with hard bounds: n in 0..127 copies n+1 literal
+    bytes, 129..255 repeats the next byte 257-n times, 128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expect:
+        n = data[i]
+        i += 1
+        if n < 128:
+            if i + n + 1 > len(data):
+                raise ValueError("truncated PackBits literal")
+            out += data[i: i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise ValueError("truncated PackBits run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    if len(out) != expect:
+        raise ValueError("PackBits output length mismatch")
+    return bytes(out)
+
+
+def encode_tiff(
+    plane,
+    big_endian: bool = False,
+    packbits: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Encode a top-down (h, w, 3) BGR uint8 array as a baseline TIFF 6.0
+    RGB file: 8-byte header (II little- or MM big-endian), one IFD with
+    the ten baseline tags, out-of-line BitsPerSample and strip tables,
+    pixel data in ``rows_per_strip``-row strips, optionally
+    PackBits-compressed per strip. Real structure end to end — a decoder
+    slip in endianness, tag typing, strip assembly, or RLE corrupts the
+    pixel plane."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(plane, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_tiff wants (h, w, 3) BGR")
+    h, w = arr.shape[:2]
+    rps = rows_per_strip or h
+    rgb = arr[:, :, ::-1]  # TIFF stores RGB samples
+    raw_rows = [rgb[r].tobytes() for r in range(h)]
+    strips = []
+    for s0 in range(0, h, rps):
+        block = b"".join(raw_rows[s0: s0 + rps])
+        strips.append(_packbits_encode(block) if packbits else block)
+    e = ">" if big_endian else "<"
+    n_strips = len(strips)
+    # layout: header(8) | IFD | bits_per_sample(6) | offsets(4n) | counts(4n) | strips
+    n_tags = 10
+    ifd_size = 2 + n_tags * 12 + 4
+    bps_off = 8 + ifd_size
+    soff_off = bps_off + 6
+    scnt_off = soff_off + 4 * n_strips
+    data_off = scnt_off + 4 * n_strips
+    strip_offsets = []
+    pos = data_off
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+
+    def tag(tid: int, ttype: int, count: int, value: int) -> bytes:
+        # SHORT values sit left-justified in the 4-byte value slot
+        if ttype == 3 and count == 1:
+            return struct.pack(e + "HHI", tid, ttype, count) + struct.pack(
+                e + "HH", value, 0
+            )
+        return struct.pack(e + "HHII", tid, ttype, count, value)
+
+    ifd = struct.pack(e + "H", n_tags)
+    ifd += tag(256, 4, 1, w)                     # ImageWidth LONG
+    ifd += tag(257, 4, 1, h)                     # ImageLength LONG
+    ifd += tag(258, 3, 3, bps_off)               # BitsPerSample 3xSHORT
+    ifd += tag(259, 3, 1, 32773 if packbits else 1)  # Compression
+    ifd += tag(262, 3, 1, 2)                     # Photometric: RGB
+    ifd += tag(273, 4, n_strips, strip_offsets[0] if n_strips == 1 else soff_off)
+    ifd += tag(277, 3, 1, 3)                     # SamplesPerPixel
+    ifd += tag(278, 4, 1, rps)                   # RowsPerStrip
+    ifd += tag(279, 4, n_strips, len(strips[0]) if n_strips == 1 else scnt_off)
+    ifd += tag(284, 3, 1, 1)                     # PlanarConfig: chunky
+    ifd += struct.pack(e + "I", 0)               # next IFD: none
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II") + struct.pack(e + "H", 42)
+    out += struct.pack(e + "I", 8)
+    out += ifd
+    out += struct.pack(e + "HHH", 8, 8, 8)
+    for o in strip_offsets:
+        out += struct.pack(e + "I", o)
+    for s in strips:
+        out += struct.pack(e + "I", len(s))
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def _decode_tiff(payload: bytes) -> dict:
+    """Parse a baseline TIFF 6.0 RGB image (both byte orders, chunky
+    planar, 8-bit samples, uncompressed or PackBits, any strip layout)
+    into the uniform top-down BGR contract. Unsupported baseline
+    variants raise by name; nothing is guessed."""
+    import struct
+
+    if payload[:4] == b"II*\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload (missing II*/MM* magic)")
+    (ifd_off,) = struct.unpack_from(e + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF: IFD offset past payload")
+    (n_tags,) = struct.unpack_from(e + "H", payload, ifd_off)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for t in range(n_tags):
+        off = ifd_off + 2 + 12 * t
+        tid, ttype, count = struct.unpack_from(e + "HHI", payload, off)
+        if ttype == 3 and count == 1:
+            (value,) = struct.unpack_from(e + "H", payload, off + 8)
+        else:
+            (value,) = struct.unpack_from(e + "I", payload, off + 8)
+        tags[tid] = (ttype, count, value)
+
+    def arr(tid: int) -> list[int]:
+        ttype, count, value = tags[tid]
+        if count == 1:
+            return [value]
+        fmt, size = (e + "H", 2) if ttype == 3 else (e + "I", 4)
+        return [
+            struct.unpack_from(fmt, payload, value + i * size)[0]
+            for i in range(count)
+        ]
+
+    for req in (256, 257, 273, 279):
+        if req not in tags:
+            raise ValueError(f"TIFF missing required tag {req}")
+    w = tags[256][2]
+    h = tags[257][2]
+    comp = tags.get(259, (3, 1, 1))[2]
+    photo = tags.get(262, (3, 1, 2))[2]
+    spp = tags.get(277, (3, 1, 3))[2]
+    planar = tags.get(284, (3, 1, 1))[2]
+    if photo != 2 or spp != 3:
+        raise ValueError("TIFF decode supports 3-sample RGB (photometric 2)")
+    if planar != 1:
+        raise ValueError("TIFF planar configuration 2 (planar) unsupported")
+    if 258 in tags and arr(258) != [8, 8, 8]:
+        raise ValueError("TIFF decode supports 8-bit samples only")
+    if comp not in (1, 32773):
+        raise ValueError(
+            f"TIFF compression {comp} (e.g. LZW/JPEG) requires external "
+            "media libraries (SURVEY §2.10 U1/U2)"
+        )
+    rps = tags.get(278, (4, 1, h))[2] or h
+    offsets, counts = arr(273), arr(279)
+    if len(offsets) != len(counts):
+        raise ValueError("TIFF strip offset/count tables disagree")
+    rows = bytearray()
+    row_bytes = w * 3
+    for si, (o, c) in enumerate(zip(offsets, counts)):
+        if o + c > len(payload):
+            raise ValueError("truncated TIFF strip")
+        n_rows = min(rps, h - si * rps)
+        raw = payload[o: o + c]
+        if comp == 32773:
+            raw = _packbits_decode(raw, n_rows * row_bytes)
+        if len(raw) != n_rows * row_bytes:
+            raise ValueError("TIFF strip length mismatch")
+        rows += raw
+    if len(rows) != h * row_bytes:
+        raise ValueError("TIFF pixel plane incomplete")
+    import numpy as np
+
+    rgb = np.frombuffer(bytes(rows), np.uint8).reshape(h, w, 3)
+    return {
+        "width": w,
+        "height": h,
+        "bit_count": 24,
+        "n_pixels": w * h,
+        "pixels": rgb[:, :, ::-1].tobytes(),  # RGB -> BGR contract
+    }
+
+
+@register(
+    "tiff_decode_features",
+    oracle="""
+    SELECT d.doc_id,
+           (d.doc_id % 2 = 1) AS big_endian,
+           (d.doc_id % 3 = 0) AS packbits,
+           CAST(6 + d.doc_id % 3 AS BIGINT) AS width,
+           CAST(5 + d.doc_id % 4 AS BIGINT) AS height,
+           CAST(CAST(SUM((19 * d.doc_id + 7 * p.r + 31 * p.c) % 256) AS BIGINT)
+                // ((6 + d.doc_id % 3) * (5 + d.doc_id % 4)) AS BIGINT) AS mean_b,
+           CAST(CAST(SUM((11 * d.doc_id + 5 * p.r + 23 * p.c) % 256) AS BIGINT)
+                // ((6 + d.doc_id % 3) * (5 + d.doc_id % 4)) AS BIGINT) AS mean_g,
+           CAST(CAST(SUM((3 * d.doc_id + 13 * p.r + 37 * p.c) % 256) AS BIGINT)
+                // ((6 + d.doc_id % 3) * (5 + d.doc_id % 4)) AS BIGINT) AS mean_r
+    FROM documents d,
+         LATERAL (SELECT unnest(generate_series(
+             0, CAST(4 + d.doc_id % 4 AS BIGINT))) AS r) pr,
+         LATERAL (SELECT unnest(generate_series(
+             0, CAST(5 + d.doc_id % 3 AS BIGINT))) AS c) pc,
+         LATERAL (SELECT pr.r AS r, pc.c AS c) p
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline TIFF under the differential oracle gate (round 13;
+    companion to ``image_decode_features``): per document a closed-form
+    test card is encoded to a REAL TIFF — odd docs big-endian (MM), every
+    third doc PackBits-compressed, strip height cycling 1..3 rows so
+    multi-strip assembly is always exercised — and decoded back through
+    :func:`decode_media`'s TIFF path (IFD walk, tag typing, out-of-line
+    arrays, strip reassembly, RLE). The oracle recomputes the per-channel
+    means from the closed form; a byte misread anywhere in either half
+    breaks the hash. Map-only mapInPandas."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "big_endian": [], "packbits": [], "width": [],
+                "height": [], "mean_b": [], "mean_g": [], "mean_r": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 6 + d % 3, 5 + d % 4
+                r_idx = np.arange(h, dtype=np.int64).reshape(-1, 1)
+                c_idx = np.arange(w, dtype=np.int64)
+                plane = np.dstack([
+                    (19 * d + 7 * r_idx + 31 * c_idx) % 256,
+                    (11 * d + 5 * r_idx + 23 * c_idx) % 256,
+                    (3 * d + 13 * r_idx + 37 * c_idx) % 256,
+                ]).astype(np.uint8)
+                blob = encode_tiff(
+                    plane,
+                    big_endian=(d % 2 == 1),
+                    packbits=(d % 3 == 0),
+                    rows_per_strip=1 + d % 3,
+                )
+                meta = decode_media(blob, "image")  # REAL TIFF decode
+                px = np.frombuffer(meta["pixels"], np.uint8).reshape(
+                    meta["height"], meta["width"], 3
+                )
+                n = meta["n_pixels"]
+                sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                out["doc_id"].append(d)
+                out["big_endian"].append(d % 2 == 1)
+                out["packbits"].append(d % 3 == 0)
+                out["width"].append(meta["width"])
+                out["height"].append(meta["height"])
+                out["mean_b"].append(int(sums[0]) // n)
+                out["mean_g"].append(int(sums[1]) // n)
+                out["mean_r"].append(int(sums[2]) // n)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, big_endian boolean, packbits boolean, width long, "
+        "height long, mean_b long, mean_g long, mean_r long"
     )
     return docs.mapInPandas(run, schema).orderBy("doc_id")

@@ -87,10 +87,10 @@ def _load_all() -> None:
 # (a) queries added THIS round (never driver-checked; each pre-verified
 #     driver-canon at sf0.01 + hostile-TZ fresh-process mimic before
 #     entering);
-# (b) the full r6 bucket (9); (c) the full r7 bucket (25);
-# (d) the head of the r9 bucket (44 total; the rest rotate in r14) fills
-#     the window, and (e) the 6 LLM-core anchors (driver-green r12) close
-#     it at exactly 50. Names not listed keep registration order after
+# (b) the full r6 bucket (9); (c) the full r7 bucket (25); (e) the 6
+#     LLM-core anchors (driver-green r12) close the window at exactly 50
+#     (the 10 round-13 additions displaced the r9-bucket head, which now
+#     rotates in r14). Names not listed keep registration order after
 # the listed ones.
 _PRIORITY: list[str] = [
     # --- (a) added in round 13, never driver-checked ---
@@ -103,6 +103,7 @@ _PRIORITY: list[str] = [
     "brand_size_qty_revenue",
     "large_quantity_orders",
     "prototypicality_prune",
+    "tiff_decode_features",
     # --- (b) last driver green r6 ---
     "embedding_norm_stats",
     "lang_distribution",
@@ -139,8 +140,6 @@ _PRIORITY: list[str] = [
     "user_trailing_window",
     "user_value_intervals",
     "weighted_doc_sample_pps",
-    # --- (d) r9 bucket head (alphabetical; remainder rotates in r14) ---
-    "account_balance_union",
     # --- (e) LLM-core anchors (stay in every window; workflow rule
     #     pinned by tests/test_registry_contract.py) ---
     "dedup_minhash_lsh",
@@ -152,7 +151,7 @@ _PRIORITY: list[str] = [
 ]
 # Round-13 state: if this window goes driver-green, no query's evidence is
 # older than r9, and the stalest remaining is the r9-bucket tail
-# (active_user_rollup ... user_retention_cohorts, 43 queries) — head the
+# (account_balance_union ... user_retention_cohorts, 44 queries) — head the
 # r14 window with it plus any r14 additions; the r10 bucket (44) follows.
 
 

@@ -66,6 +66,8 @@ QUERIES = [
     "widget_revenue_by_nation_year",
     "cheapest_supplier_per_part",
     "brand_size_qty_revenue",
+    "prototypicality_prune",
+    "tiff_decode_features",
 ]
 
 
@@ -146,6 +148,8 @@ ANSI_QUERIES = [
     "widget_revenue_by_nation_year",
     "brand_size_qty_revenue",
     "large_quantity_orders",
+    "prototypicality_prune",
+    "tiff_decode_features",
 ]
 
 

@@ -2864,3 +2864,32 @@ def test_mp3_intensity_stereo_is_a_named_seam():
             blob[off + 3] |= 0x10
     with pytest.raises(NotImplementedError, match="intensity"):
         _decode_mp3_l3(bytes(blob))
+
+
+def test_tiff_rejects_malformed_structures():
+    import numpy as np
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_tiff,
+        encode_tiff,
+    )
+
+    plane = (np.arange(60, dtype=np.uint8).reshape(4, 5, 3) * 3) % 256
+    blob = bytearray(encode_tiff(plane, packbits=True, rows_per_strip=2))
+    with pytest.raises(ValueError, match="magic"):
+        _decode_tiff(b"XX\x00\x00rest")
+    with pytest.raises(ValueError, match="truncated|mismatch|incomplete"):
+        _decode_tiff(bytes(blob[:-4]))
+    # unsupported compression must raise by name, not misparse
+    import struct
+
+    bad = bytearray(encode_tiff(plane))
+    ifd_off = struct.unpack_from("<I", bad, 4)[0]
+    n_tags = struct.unpack_from("<H", bad, ifd_off)[0]
+    for t in range(n_tags):
+        off = ifd_off + 2 + 12 * t
+        if struct.unpack_from("<H", bad, off)[0] == 259:
+            struct.pack_into("<H", bad, off + 8, 5)  # LZW
+    with pytest.raises(ValueError, match="compression 5"):
+        _decode_tiff(bytes(bad))

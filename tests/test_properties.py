@@ -859,3 +859,37 @@ def test_mp3_l3_entropy_layer_roundtrip(seeds, use_crc, use_reservoir, bitrate_i
         assert g.global_gain == spec["global_gain"]
         assert g.scalefac_scale == spec["scalefac_scale"]
         assert g.preflag == spec["preflag"]
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=10**6),
+    big_endian=st.booleans(),
+    packbits=st.booleans(),
+    rps=st.integers(min_value=1, max_value=13),
+)
+@settings(max_examples=120, deadline=None)
+def test_tiff_roundtrip_any_geometry(w, h, seed, big_endian, packbits, rps):
+    """Any pixel plane survives the TIFF round trip bit-exactly under both
+    byte orders, raw and PackBits strips, and any rows-per-strip split
+    (including a short last strip and rps > h)."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(seed)
+    # mix random noise with flat runs so PackBits exercises both op kinds
+    plane = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    if h * w >= 4:
+        plane[: h // 2, : w // 2] = 7
+    blob = encode_tiff(
+        plane, big_endian=big_endian, packbits=packbits, rows_per_strip=rps
+    )
+    m = _decode_tiff(blob)
+    assert (m["width"], m["height"]) == (w, h)
+    got = np.frombuffer(m["pixels"], np.uint8).reshape(h, w, 3)
+    assert np.array_equal(got, plane)
