@@ -1753,3 +1753,42 @@ def prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def prototypicality_model(spark: SparkSession, sf_dir: str) -> dict:
+    """The publishable prototypicality state (batch-trains /
+    stream-applies, like the DSIR/CCNet/sq8 models): per-cluster centroid
+    vectors (the exact decimal-rounded constants ``prototypicality_prune``
+    uses) plus each cluster's pruning cosine threshold — the ppm cosine of
+    the last pruned rank, so an arriving vector is tagged by ONE broadcast
+    comparison instead of a rank over history. Fixed size: n_clusters x
+    (DIM + 1)."""
+    pruned = prototypicality_prune(spark, sf_dir)
+    thr = (
+        pruned.filter(F.col("pruned"))
+        .groupBy("label")
+        .agg(F.min("proto_cos_ppm").alias("cut_ppm"))
+    )
+    from input_data_pipeline_spark.operators.similarity import _emb
+
+    emb = _emb(spark, sf_dir)
+    cent_rows = (
+        emb.select("label", F.posexplode("e").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("cx")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
+        .select("label", F.transform("pairs", lambda s: s["cx"]).alias("c_e"))
+        .collect()
+    )
+    cuts = {r["label"]: r["cut_ppm"] for r in thr.collect()}
+    return {
+        r["label"]: {"centroid": list(r["c_e"]), "cut_ppm": cuts.get(r["label"])}
+        for r in cent_rows
+    }

@@ -1301,3 +1301,61 @@ def join_clicks_to_purchases_full_outer(
         F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
         "purchase_ts", "click_ts",
     )
+
+
+def stream_prototypicality_tags(vecs: DataFrame, model: dict) -> DataFrame:
+    """Streaming face of the D4 prototype pruning (round 13): a batch job
+    publishes ``operators.curation.prototypicality_model`` (per-cluster
+    centroids + pruning cosine thresholds), and every arriving embedding
+    is tagged map-side — ``proto_cos_ppm`` against its cluster's centroid
+    (the identical half-away ppm quantization as batch) and
+    ``proto_pruned`` by one threshold comparison. No state, no shuffle,
+    Dolma tag-then-mix style: nothing is filtered here; a downstream
+    mixer weighs the tags."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    labels = sorted(model)
+    cmat = np.array([model[l]["centroid"] for l in labels], dtype=np.float64)
+    cuts = {
+        l: model[l]["cut_ppm"] for l in labels if model[l]["cut_ppm"] is not None
+    }
+    lab_index = {l: i for i, l in enumerate(labels)}
+    sc = vecs.sparkSession.sparkContext
+    b_cmat, b_idx, b_cuts = sc.broadcast(cmat), sc.broadcast(lab_index), sc.broadcast(cuts)
+
+    @pandas_udf("cos_ppm long, pruned boolean")
+    def tag(e: pd.Series, label: pd.Series) -> pd.DataFrame:
+        C = b_cmat.value
+        out_cos, out_pr = [], []
+        for v, l in zip(e, label):
+            idx = b_idx.value.get(l)
+            if idx is None:
+                out_cos.append(None)
+                out_pr.append(None)
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            c = C[idx]
+            # dimension-sequential fold, matching the batch operator
+            num = nx = nc = 0.0
+            for d in range(len(x)):
+                num += x[d] * c[d]
+                nx += x[d] * x[d]
+                nc += c[d] * c[d]
+            cos = num / (nx ** 0.5 * nc ** 0.5)
+            ppm = int(
+                np.floor(cos * 1_000_000 + 0.5)
+                if cos >= 0
+                else -np.floor(-cos * 1_000_000 + 0.5)
+            )
+            cut = b_cuts.value.get(l)
+            out_cos.append(ppm)
+            out_pr.append(cut is not None and ppm >= cut)
+        return pd.DataFrame({"cos_ppm": out_cos, "pruned": out_pr})
+
+    return (
+        vecs.withColumn("_proto", tag(F.col("e"), F.col("label")))
+        .withColumn("proto_cos_ppm", F.col("_proto.cos_ppm"))
+        .withColumn("proto_pruned", F.col("_proto.pruned"))
+        .drop("_proto")
+    )

@@ -1930,3 +1930,65 @@ def test_stream_stream_full_outer_join_both_sides_null_emit(spark, src):
         assert gotset - {(None, 22)} == want
     finally:
         q.stop()
+
+
+def test_stream_prototypicality_tags_match_batch(spark, tmp_path):
+    """Stream/batch parity for D4 prototype tagging: identical ppm cosines
+    for every vector, and the threshold tag equals the batch decile flag
+    except possibly AT the cut value (the batch rank tie-breaks by vec_id
+    inside equal cosines; the published threshold cannot)."""
+    import json as _json
+
+    from input_data_pipeline_spark.operators.curation import (
+        prototypicality_model,
+        prototypicality_prune,
+    )
+    from input_data_pipeline_spark.streaming.pipelines import (
+        run_to_memory,
+        stream_prototypicality_tags,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    model = prototypicality_model(spark, sf)
+    batch = {
+        r.vec_id: (r.proto_cos_ppm, r.pruned, r.label)
+        for r in prototypicality_prune(spark, sf).collect()
+    }
+
+    emb = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .selectExpr("vec_id", "label", "cast(embedding as array<double>) as e")
+        .limit(120)
+    )
+    src = tmp_path / "vecs"
+    src.mkdir()
+    rows = emb.collect()
+    (src / "b1.jsonl").write_text(
+        "\n".join(
+            _json.dumps({"vec_id": r.vec_id, "label": r.label, "e": list(r.e)})
+            for r in rows
+        )
+        + "\n"
+    )
+    sdf = spark.readStream.schema(
+        "vec_id long, label int, e array<double>"
+    ).json(str(src))
+    name = _unique("prototags")
+    q = run_to_memory(stream_prototypicality_tags(sdf, model), name)
+    try:
+        q.processAllAvailable()
+        got = {
+            r.vec_id: (r.proto_cos_ppm, r.proto_pruned)
+            for r in spark.table(name).collect()
+        }
+    finally:
+        q.stop()
+    assert got
+    for vid, (ppm, pruned) in got.items():
+        b_ppm, b_pruned, label = batch[vid]
+        assert ppm == b_ppm, (vid, ppm, b_ppm)
+        cut = model[label]["cut_ppm"]
+        if cut is None or ppm != cut:
+            assert pruned == b_pruned, (vid, ppm, cut)
+        else:
+            assert pruned  # at the cut the threshold form always tags
