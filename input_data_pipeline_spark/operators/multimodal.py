@@ -4997,14 +4997,17 @@ def encode_tiff(
     big_endian: bool = False,
     packbits: bool = False,
     rows_per_strip: int | None = None,
+    lzw: bool = False,
 ) -> bytes:
     """Encode a top-down (h, w, 3) BGR uint8 array as a baseline TIFF 6.0
     RGB file: 8-byte header (II little- or MM big-endian), one IFD with
     the ten baseline tags, out-of-line BitsPerSample and strip tables,
-    pixel data in ``rows_per_strip``-row strips, optionally
-    PackBits-compressed per strip. Real structure end to end — a decoder
-    slip in endianness, tag typing, strip assembly, or RLE corrupts the
-    pixel plane."""
+    pixel data in ``rows_per_strip``-row strips, optionally PackBits- or
+    LZW-compressed per strip (TIFF 6.0 §9 / §13). Real structure end to
+    end — a decoder slip in endianness, tag typing, strip assembly, RLE,
+    or LZW code widths corrupts the pixel plane."""
+    if packbits and lzw:
+        raise ValueError("pick one of packbits/lzw")
     import struct
 
     import numpy as np
@@ -5019,7 +5022,11 @@ def encode_tiff(
     strips = []
     for s0 in range(0, h, rps):
         block = b"".join(raw_rows[s0: s0 + rps])
-        strips.append(_packbits_encode(block) if packbits else block)
+        if packbits:
+            block = _packbits_encode(block)
+        elif lzw:
+            block = _tiff_lzw_encode(block)
+        strips.append(block)
     e = ">" if big_endian else "<"
     n_strips = len(strips)
     # layout: header(8) | IFD | bits_per_sample(6) | offsets(4n) | counts(4n) | strips
@@ -5047,7 +5054,8 @@ def encode_tiff(
     ifd += tag(256, 4, 1, w)                     # ImageWidth LONG
     ifd += tag(257, 4, 1, h)                     # ImageLength LONG
     ifd += tag(258, 3, 3, bps_off)               # BitsPerSample 3xSHORT
-    ifd += tag(259, 3, 1, 32773 if packbits else 1)  # Compression
+    comp_tag = 32773 if packbits else (5 if lzw else 1)
+    ifd += tag(259, 3, 1, comp_tag)              # Compression
     ifd += tag(262, 3, 1, 2)                     # Photometric: RGB
     ifd += tag(273, 4, n_strips, strip_offsets[0] if n_strips == 1 else soff_off)
     ifd += tag(277, 3, 1, 3)                     # SamplesPerPixel
@@ -5121,10 +5129,14 @@ def _decode_tiff(payload: bytes) -> dict:
         raise ValueError("TIFF planar configuration 2 (planar) unsupported")
     if 258 in tags and arr(258) != [8, 8, 8]:
         raise ValueError("TIFF decode supports 8-bit samples only")
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise ValueError(
-            f"TIFF compression {comp} (e.g. LZW/JPEG) requires external "
-            "media libraries (SURVEY §2.10 U1/U2)"
+            f"TIFF compression {comp} (e.g. JPEG/deflate) requires "
+            "external media libraries (SURVEY §2.10 U1/U2)"
+        )
+    if comp == 5 and tags.get(317, (3, 1, 1))[2] != 1:
+        raise ValueError(
+            "TIFF LZW predictor 2 (horizontal differencing) unsupported"
         )
     rps = tags.get(278, (4, 1, h))[2] or h
     offsets, counts = arr(273), arr(279)
@@ -5139,6 +5151,8 @@ def _decode_tiff(payload: bytes) -> dict:
         raw = payload[o: o + c]
         if comp == 32773:
             raw = _packbits_decode(raw, n_rows * row_bytes)
+        elif comp == 5:
+            raw = _tiff_lzw_decode(raw, n_rows * row_bytes)
         if len(raw) != n_rows * row_bytes:
             raise ValueError("TIFF strip length mismatch")
         rows += raw
@@ -5161,7 +5175,9 @@ def _decode_tiff(payload: bytes) -> dict:
     oracle="""
     SELECT d.doc_id,
            (d.doc_id % 2 = 1) AS big_endian,
-           (d.doc_id % 3 = 0) AS packbits,
+           CASE CAST(d.doc_id % 3 AS INTEGER)
+                WHEN 0 THEN 'packbits' WHEN 1 THEN 'lzw' ELSE 'none'
+           END AS compression,
            CAST(6 + d.doc_id % 3 AS BIGINT) AS width,
            CAST(5 + d.doc_id % 4 AS BIGINT) AS height,
            CAST(CAST(SUM((19 * d.doc_id + 7 * p.r + 31 * p.c) % 256) AS BIGINT)
@@ -5183,11 +5199,12 @@ def _decode_tiff(payload: bytes) -> dict:
 def tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Baseline TIFF under the differential oracle gate (round 13;
     companion to ``image_decode_features``): per document a closed-form
-    test card is encoded to a REAL TIFF — odd docs big-endian (MM), every
-    third doc PackBits-compressed, strip height cycling 1..3 rows so
-    multi-strip assembly is always exercised — and decoded back through
-    :func:`decode_media`'s TIFF path (IFD walk, tag typing, out-of-line
-    arrays, strip reassembly, RLE). The oracle recomputes the per-channel
+    test card is encoded to a REAL TIFF — odd docs big-endian (MM),
+    compression cycling none/PackBits/LZW by doc, strip height cycling
+    1..3 rows so multi-strip assembly is always exercised — and decoded
+    back through :func:`decode_media`'s TIFF path (IFD walk, tag typing,
+    out-of-line arrays, strip reassembly, RLE, LZW early-change code
+    widths). The oracle recomputes the per-channel
     means from the closed form; a byte misread anywhere in either half
     breaks the hash. Map-only mapInPandas."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -5198,8 +5215,9 @@ def tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             out = {
-                "doc_id": [], "big_endian": [], "packbits": [], "width": [],
-                "height": [], "mean_b": [], "mean_g": [], "mean_r": [],
+                "doc_id": [], "big_endian": [], "compression": [],
+                "width": [], "height": [], "mean_b": [], "mean_g": [],
+                "mean_r": [],
             }
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
@@ -5215,6 +5233,7 @@ def tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     plane,
                     big_endian=(d % 2 == 1),
                     packbits=(d % 3 == 0),
+                    lzw=(d % 3 == 1),
                     rows_per_strip=1 + d % 3,
                 )
                 meta = decode_media(blob, "image")  # REAL TIFF decode
@@ -5225,7 +5244,9 @@ def tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
                 out["doc_id"].append(d)
                 out["big_endian"].append(d % 2 == 1)
-                out["packbits"].append(d % 3 == 0)
+                out["compression"].append(
+                    ("packbits", "lzw", "none")[d % 3]
+                )
                 out["width"].append(meta["width"])
                 out["height"].append(meta["height"])
                 out["mean_b"].append(int(sums[0]) // n)
@@ -5234,7 +5255,89 @@ def tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     schema = (
-        "doc_id long, big_endian boolean, packbits boolean, width long, "
+        "doc_id long, big_endian boolean, compression string, width long, "
         "height long, mean_b long, mean_g long, mean_r long"
     )
     return docs.mapInPandas(run, schema).orderBy("doc_id")
+
+
+# TIFF 6.0 §13 LZW: MSB-first code packing, 9->12 bit widths with the
+# spec's EARLY CHANGE (width bumps one code before the table fills),
+# ClearCode 256 / EOI 257, table reset at 4094.
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    out = _BitWriter()
+    CLEAR, EOI = 256, 257
+
+    def reset():
+        return {bytes([b]): b for b in range(256)}, 258, 9
+
+    table, next_code, width = reset()
+    out.write(CLEAR, width)
+    w = b""
+    for ch in data:
+        k = w + bytes([ch])
+        if k in table:
+            w = k
+            continue
+        out.write(table[w], width)
+        table[k] = next_code
+        next_code += 1
+        # early change: the WIDTH of the next emitted code grows when
+        # next_code reaches 511/1023/2047 (one before the power of two)
+        if next_code in (511, 1023, 2047):
+            width += 1
+        elif next_code == 4094:
+            out.write(CLEAR, width)
+            table, next_code, width = reset()
+        w = bytes([ch])
+    if w:
+        out.write(table[w], width)
+        if next_code in (510, 1022, 2046):
+            width += 1
+    out.write(EOI, width)
+    out.align()
+    return out.bytes()
+
+
+def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
+    br = _BitReader(data, 0)
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+    while len(out) < expect:
+        code = br.read(width)
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([b]) for b in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if not table:
+            raise ValueError("TIFF LZW stream must begin with ClearCode")
+        if prev is None:
+            if code >= 256:
+                raise ValueError("TIFF LZW: first code after clear not a byte")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("TIFF LZW: code beyond table")
+        out += entry
+        prev = entry
+        # early change on the DECODER: it lags the encoder by one table
+        # entry (the encoder assigns while emitting; the decoder assigns
+        # one code later), so its width bumps at 510/1022/2046 where the
+        # encoder bumps at 511/1023/2047 — the libtiff asymmetry
+        if len(table) in (510, 1022, 2046):
+            width += 1
+    if len(out) != expect:
+        raise ValueError("TIFF LZW output length mismatch")
+    return bytes(out)

@@ -2890,6 +2890,52 @@ def test_tiff_rejects_malformed_structures():
     for t in range(n_tags):
         off = ifd_off + 2 + 12 * t
         if struct.unpack_from("<H", bad, off)[0] == 259:
-            struct.pack_into("<H", bad, off + 8, 5)  # LZW
-    with pytest.raises(ValueError, match="compression 5"):
+            struct.pack_into("<H", bad, off + 8, 7)  # JPEG-in-TIFF
+    with pytest.raises(ValueError, match="compression 7"):
+        _decode_tiff(bytes(bad))
+    # raw pixel data relabeled as LZW must be rejected (no ClearCode),
+    # never misparsed
+    bad2 = bytearray(encode_tiff(plane))
+    ifd_off = struct.unpack_from("<I", bad2, 4)[0]
+    n_tags = struct.unpack_from("<H", bad2, ifd_off)[0]
+    for t in range(n_tags):
+        off = ifd_off + 2 + 12 * t
+        if struct.unpack_from("<H", bad2, off)[0] == 259:
+            struct.pack_into("<H", bad2, off + 8, 5)
+    with pytest.raises(ValueError, match="LZW|length mismatch"):
+        _decode_tiff(bytes(bad2))
+
+
+def test_tiff_lzw_width_growth_and_predictor_seam():
+    """An LZW strip big enough to cross the 9->10-bit early-change
+    boundary round-trips (the libtiff encoder/decoder asymmetry), and the
+    unsupported horizontal-differencing predictor raises by name."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(11)
+    plane = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)  # ~2.8KB strip
+    blob = encode_tiff(plane, lzw=True)
+    m = _decode_tiff(blob)
+    assert np.array_equal(
+        np.frombuffer(m["pixels"], np.uint8).reshape(24, 40, 3), plane
+    )
+
+    bad = bytearray(blob)
+    ifd_off = struct.unpack_from("<I", bad, 4)[0]
+    n_tags = struct.unpack_from("<H", bad, ifd_off)[0]
+    # append is not possible in place; instead rewrite tag 284 -> 317=2
+    for t in range(n_tags):
+        off = ifd_off + 2 + 12 * t
+        if struct.unpack_from("<H", bad, off)[0] == 284:
+            struct.pack_into("<H", bad, off, 317)
+            struct.pack_into("<H", bad, off + 8, 2)
+    with pytest.raises(ValueError, match="predictor 2"):
         _decode_tiff(bytes(bad))

@@ -866,13 +866,13 @@ def test_mp3_l3_entropy_layer_roundtrip(seeds, use_crc, use_reservoir, bitrate_i
     h=st.integers(min_value=1, max_value=12),
     seed=st.integers(min_value=0, max_value=10**6),
     big_endian=st.booleans(),
-    packbits=st.booleans(),
+    compression=st.sampled_from(["none", "packbits", "lzw"]),
     rps=st.integers(min_value=1, max_value=13),
 )
 @settings(max_examples=120, deadline=None)
-def test_tiff_roundtrip_any_geometry(w, h, seed, big_endian, packbits, rps):
+def test_tiff_roundtrip_any_geometry(w, h, seed, big_endian, compression, rps):
     """Any pixel plane survives the TIFF round trip bit-exactly under both
-    byte orders, raw and PackBits strips, and any rows-per-strip split
+    byte orders, raw/PackBits/LZW strips, and any rows-per-strip split
     (including a short last strip and rps > h)."""
     import numpy as np
 
@@ -887,7 +887,8 @@ def test_tiff_roundtrip_any_geometry(w, h, seed, big_endian, packbits, rps):
     if h * w >= 4:
         plane[: h // 2, : w // 2] = 7
     blob = encode_tiff(
-        plane, big_endian=big_endian, packbits=packbits, rows_per_strip=rps
+        plane, big_endian=big_endian, packbits=compression == "packbits",
+        lzw=compression == "lzw", rows_per_strip=rps,
     )
     m = _decode_tiff(blob)
     assert (m["width"], m["height"]) == (w, h)
