@@ -4998,6 +4998,7 @@ def encode_tiff(
     packbits: bool = False,
     rows_per_strip: int | None = None,
     lzw: bool = False,
+    predictor2: bool = False,
 ) -> bytes:
     """Encode a top-down (h, w, 3) BGR uint8 array as a baseline TIFF 6.0
     RGB file: 8-byte header (II little- or MM big-endian), one IFD with
@@ -5008,6 +5009,8 @@ def encode_tiff(
     or LZW code widths corrupts the pixel plane."""
     if packbits and lzw:
         raise ValueError("pick one of packbits/lzw")
+    if predictor2 and not lzw:
+        raise ValueError("predictor 2 pairs with LZW (TIFF 6.0 section 14)")
     import struct
 
     import numpy as np
@@ -5018,6 +5021,13 @@ def encode_tiff(
     h, w = arr.shape[:2]
     rps = rows_per_strip or h
     rgb = arr[:, :, ::-1]  # TIFF stores RGB samples
+    if predictor2:
+        # horizontal differencing per row, per sample channel (mod 256)
+        import numpy as _np
+
+        diff = rgb.astype(_np.int16)
+        diff[:, 1:, :] = diff[:, 1:, :] - rgb[:, :-1, :].astype(_np.int16)
+        rgb = (diff % 256).astype(_np.uint8)
     raw_rows = [rgb[r].tobytes() for r in range(h)]
     strips = []
     for s0 in range(0, h, rps):
@@ -5030,7 +5040,7 @@ def encode_tiff(
     e = ">" if big_endian else "<"
     n_strips = len(strips)
     # layout: header(8) | IFD | bits_per_sample(6) | offsets(4n) | counts(4n) | strips
-    n_tags = 10
+    n_tags = 11 if predictor2 else 10
     ifd_size = 2 + n_tags * 12 + 4
     bps_off = 8 + ifd_size
     soff_off = bps_off + 6
@@ -5062,6 +5072,8 @@ def encode_tiff(
     ifd += tag(278, 4, 1, rps)                   # RowsPerStrip
     ifd += tag(279, 4, n_strips, len(strips[0]) if n_strips == 1 else scnt_off)
     ifd += tag(284, 3, 1, 1)                     # PlanarConfig: chunky
+    if predictor2:
+        ifd += tag(317, 3, 1, 2)                 # Predictor: horizontal
     ifd += struct.pack(e + "I", 0)               # next IFD: none
     out = bytearray()
     out += (b"MM" if big_endian else b"II") + struct.pack(e + "H", 42)
@@ -5134,10 +5146,9 @@ def _decode_tiff(payload: bytes) -> dict:
             f"TIFF compression {comp} (e.g. JPEG/deflate) requires "
             "external media libraries (SURVEY §2.10 U1/U2)"
         )
-    if comp == 5 and tags.get(317, (3, 1, 1))[2] != 1:
-        raise ValueError(
-            "TIFF LZW predictor 2 (horizontal differencing) unsupported"
-        )
+    predictor = tags.get(317, (3, 1, 1))[2]
+    if predictor not in (1, 2):
+        raise ValueError(f"TIFF predictor {predictor} unsupported")
     rps = tags.get(278, (4, 1, h))[2] or h
     offsets, counts = arr(273), arr(279)
     if len(offsets) != len(counts):
@@ -5161,6 +5172,10 @@ def _decode_tiff(payload: bytes) -> dict:
     import numpy as np
 
     rgb = np.frombuffer(bytes(rows), np.uint8).reshape(h, w, 3)
+    if predictor == 2:
+        # undo horizontal differencing: per-row cumulative sum mod 256
+        rgb = np.cumsum(rgb.astype(np.int64), axis=1) % 256
+        rgb = rgb.astype(np.uint8)
     return {
         "width": w,
         "height": h,
@@ -5234,6 +5249,9 @@ def tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     big_endian=(d % 2 == 1),
                     packbits=(d % 3 == 0),
                     lzw=(d % 3 == 1),
+                    # half the LZW docs difference horizontally first —
+                    # the decoder must undo it or the means break
+                    predictor2=(d % 6 == 1),
                     rows_per_strip=1 + d % 3,
                 )
                 meta = decode_media(blob, "image")  # REAL TIFF decode

@@ -2909,7 +2909,7 @@ def test_tiff_rejects_malformed_structures():
 def test_tiff_lzw_width_growth_and_predictor_seam():
     """An LZW strip big enough to cross the 9->10-bit early-change
     boundary round-trips (the libtiff encoder/decoder asymmetry), and the
-    unsupported horizontal-differencing predictor raises by name."""
+    floating-point predictor (3) raises by name."""
     import struct
 
     import numpy as np
@@ -2931,11 +2931,12 @@ def test_tiff_lzw_width_growth_and_predictor_seam():
     bad = bytearray(blob)
     ifd_off = struct.unpack_from("<I", bad, 4)[0]
     n_tags = struct.unpack_from("<H", bad, ifd_off)[0]
-    # append is not possible in place; instead rewrite tag 284 -> 317=2
+    # append is not possible in place; instead rewrite tag 284 -> 317=3
+    # (floating-point predictor: genuinely unsupported)
     for t in range(n_tags):
         off = ifd_off + 2 + 12 * t
         if struct.unpack_from("<H", bad, off)[0] == 284:
             struct.pack_into("<H", bad, off, 317)
-            struct.pack_into("<H", bad, off + 8, 2)
-    with pytest.raises(ValueError, match="predictor 2"):
+            struct.pack_into("<H", bad, off + 8, 3)
+    with pytest.raises(ValueError, match="predictor 3"):
         _decode_tiff(bytes(bad))

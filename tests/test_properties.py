@@ -866,7 +866,7 @@ def test_mp3_l3_entropy_layer_roundtrip(seeds, use_crc, use_reservoir, bitrate_i
     h=st.integers(min_value=1, max_value=12),
     seed=st.integers(min_value=0, max_value=10**6),
     big_endian=st.booleans(),
-    compression=st.sampled_from(["none", "packbits", "lzw"]),
+    compression=st.sampled_from(["none", "packbits", "lzw", "lzw_pred2"]),
     rps=st.integers(min_value=1, max_value=13),
 )
 @settings(max_examples=120, deadline=None)
@@ -888,7 +888,8 @@ def test_tiff_roundtrip_any_geometry(w, h, seed, big_endian, compression, rps):
         plane[: h // 2, : w // 2] = 7
     blob = encode_tiff(
         plane, big_endian=big_endian, packbits=compression == "packbits",
-        lzw=compression == "lzw", rows_per_strip=rps,
+        lzw=compression in ("lzw", "lzw_pred2"),
+        predictor2=compression == "lzw_pred2", rows_per_strip=rps,
     )
     m = _decode_tiff(blob)
     assert (m["width"], m["height"]) == (w, h)
