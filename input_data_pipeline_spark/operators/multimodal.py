@@ -1920,6 +1920,8 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
         )
     if payload[:4] == b"fLaC":
         return _decode_flac(payload)
+    if payload[:4] == b".snd":
+        return _decode_au(payload)
     if (
         len(payload) >= 12
         and payload[:4] == b"RIFF"
@@ -3299,8 +3301,27 @@ def probe_audio(payload: bytes) -> dict:
             "mean_bitrate_kbps": m["mean_bitrate_kbps"],
             "vbr": m["vbr"],
         }
+    if payload[:4] == b".snd":
+        import struct as _struct
+
+        if len(payload) < 24:
+            raise ValueError("truncated AU header")
+        off, size, enc, rate, n_ch = _struct.unpack_from(">IIIII", payload, 4)
+        n = (len(payload) - off) if size == 0xFFFFFFFF else size
+        frames = n if enc == 1 else (n // 2 if enc == 3 else None)
+        return {
+            "container": "au",
+            "sample_rate": rate,
+            "n_channels": n_ch,
+            "n_frames": frames,
+            "duration_ms": frames * 1000 // rate if frames and rate else None,
+            "mean_bitrate_kbps": (
+                rate * (8 if enc == 1 else 16) * n_ch // 1000 if rate else None
+            ),
+            "vbr": False,
+        }
     raise NotImplementedError(
-        "probe of non-WAV/MP3 audio containers requires external media "
+        "probe of non-WAV/MP3/AU audio containers requires external media "
         "libraries (SURVEY §2.10 U1/U2)"
     )
 
@@ -4999,6 +5020,7 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     lzw: bool = False,
     predictor2: bool = False,
+    deflate: bool = False,
 ) -> bytes:
     """Encode a top-down (h, w, 3) BGR uint8 array as a baseline TIFF 6.0
     RGB file: 8-byte header (II little- or MM big-endian), one IFD with
@@ -5007,10 +5029,10 @@ def encode_tiff(
     LZW-compressed per strip (TIFF 6.0 §9 / §13). Real structure end to
     end — a decoder slip in endianness, tag typing, strip assembly, RLE,
     or LZW code widths corrupts the pixel plane."""
-    if packbits and lzw:
-        raise ValueError("pick one of packbits/lzw")
-    if predictor2 and not lzw:
-        raise ValueError("predictor 2 pairs with LZW (TIFF 6.0 section 14)")
+    if sum((packbits, lzw, deflate)) > 1:
+        raise ValueError("pick one of packbits/lzw/deflate")
+    if predictor2 and not (lzw or deflate):
+        raise ValueError("predictor 2 pairs with LZW/deflate (TIFF 6.0 section 14)")
     import struct
 
     import numpy as np
@@ -5036,6 +5058,10 @@ def encode_tiff(
             block = _packbits_encode(block)
         elif lzw:
             block = _tiff_lzw_encode(block)
+        elif deflate:
+            import zlib
+
+            block = zlib.compress(block, 6)
         strips.append(block)
     e = ">" if big_endian else "<"
     n_strips = len(strips)
@@ -5064,7 +5090,7 @@ def encode_tiff(
     ifd += tag(256, 4, 1, w)                     # ImageWidth LONG
     ifd += tag(257, 4, 1, h)                     # ImageLength LONG
     ifd += tag(258, 3, 3, bps_off)               # BitsPerSample 3xSHORT
-    comp_tag = 32773 if packbits else (5 if lzw else 1)
+    comp_tag = 32773 if packbits else (5 if lzw else (8 if deflate else 1))
     ifd += tag(259, 3, 1, comp_tag)              # Compression
     ifd += tag(262, 3, 1, 2)                     # Photometric: RGB
     ifd += tag(273, 4, n_strips, strip_offsets[0] if n_strips == 1 else soff_off)
@@ -5141,9 +5167,9 @@ def _decode_tiff(payload: bytes) -> dict:
         raise ValueError("TIFF planar configuration 2 (planar) unsupported")
     if 258 in tags and arr(258) != [8, 8, 8]:
         raise ValueError("TIFF decode supports 8-bit samples only")
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773):
         raise ValueError(
-            f"TIFF compression {comp} (e.g. JPEG/deflate) requires "
+            f"TIFF compression {comp} (e.g. JPEG-in-TIFF/CCITT) requires "
             "external media libraries (SURVEY §2.10 U1/U2)"
         )
     predictor = tags.get(317, (3, 1, 1))[2]
@@ -5164,6 +5190,10 @@ def _decode_tiff(payload: bytes) -> dict:
             raw = _packbits_decode(raw, n_rows * row_bytes)
         elif comp == 5:
             raw = _tiff_lzw_decode(raw, n_rows * row_bytes)
+        elif comp == 8:
+            import zlib
+
+            raw = zlib.decompress(raw)
         if len(raw) != n_rows * row_bytes:
             raise ValueError("TIFF strip length mismatch")
         rows += raw
@@ -5359,3 +5389,108 @@ def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
     if len(out) != expect:
         raise ValueError("TIFF LZW output length mismatch")
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Sun AU (.snd) audio container — round 13
+# ---------------------------------------------------------------------------
+
+_AU_MAGIC = b".snd"
+_AU_ULAW = 1
+_AU_PCM16 = 3
+
+
+def _g711_compress(samples, law: str):
+    """Vectorized G.711 mu-law COMPRESSION of linear int16 to code bytes
+    (ITU-T G.711 1988) — the exact inverse of :func:`_g711_expand` on the
+    decoder's output lattice (compress(expand(c)) == c for all 256 codes,
+    pinned by test). Bias 0x84, 8 segments, complemented output."""
+    import numpy as np
+
+    if law != "ulaw":
+        raise ValueError("only mu-law compression is implemented")
+    x = np.asarray(samples, dtype=np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.abs(x)
+    mag = np.minimum(mag, 32635) + 0x84
+    # segment = highest set bit of mag in bits 7..14, as 0..7
+    seg = np.clip(np.floor(np.log2(mag)).astype(np.int64) - 7, 0, 7)
+    mantissa = (mag >> (seg + 3)) & 0x0F
+    code = ~(sign | (seg << 4) | mantissa) & 0xFF
+    return code.astype(np.uint8)
+
+
+def encode_au(
+    samples,
+    sample_rate: int = 8000,
+    ulaw: bool = False,
+    annotation: bytes = b"",
+) -> bytes:
+    """Encode mono int16 samples as a Sun AU file: big-endian 24-byte
+    header (magic, data offset, data size, encoding, rate, channels) plus
+    an optional annotation field, then either big-endian 16-bit PCM or
+    G.711 mu-law codes (the same companding transform the WAV path
+    carries)."""
+    import struct
+
+    import numpy as np
+
+    samples = np.asarray(samples, dtype=np.int16)
+    if samples.ndim != 1:
+        raise ValueError("encode_au wants mono int16")
+    if ulaw:
+        data = _g711_compress(samples, "ulaw").astype(np.uint8).tobytes()
+        enc = _AU_ULAW
+    else:
+        data = samples.astype(">i2").tobytes()
+        enc = _AU_PCM16
+    off = 24 + len(annotation)
+    hdr = struct.pack(
+        ">4sIIIII", _AU_MAGIC, off, len(data), enc, sample_rate, 1
+    )
+    return hdr + annotation + data
+
+
+def _decode_au(payload: bytes) -> dict:
+    """Parse a Sun AU file into the uniform audio-decode contract:
+    big-endian header walk, annotation skip, mu-law expansion through the
+    REAL G.711 transform or big-endian PCM16 byteswap. Unsupported
+    encodings (A-law-in-AU uses code 27; float formats 6/7) raise by
+    name."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != _AU_MAGIC:
+        raise ValueError("not an AU payload (missing .snd magic)")
+    if len(payload) < 24:
+        raise ValueError("truncated AU header")
+    off, size, enc, rate, n_ch = struct.unpack_from(">IIIII", payload, 4)
+    if off < 24:
+        raise ValueError("AU data offset inside the header")
+    if n_ch != 1:
+        raise ValueError(f"AU decode supports mono, got {n_ch}ch")
+    data = payload[off:]
+    if size != 0xFFFFFFFF:
+        if len(data) < size:
+            raise ValueError("truncated AU data")
+        data = data[:size]
+    if enc == _AU_ULAW:
+        codes = np.frombuffer(data, np.uint8)
+        pcm = _g711_expand(codes, "ulaw")
+        return {
+            "n_channels": 1, "sample_width": 2, "frame_rate": rate,
+            "n_frames": len(codes), "pcm": pcm.tobytes(), "codec": "ulaw",
+        }
+    if enc == _AU_PCM16:
+        if len(data) % 2:
+            raise ValueError("odd AU PCM16 byte count")
+        pcm = np.frombuffer(data, ">i2").astype("<i2")
+        return {
+            "n_channels": 1, "sample_width": 2, "frame_rate": rate,
+            "n_frames": len(pcm), "pcm": pcm.tobytes(), "codec": "pcm_s16be",
+        }
+    raise ValueError(
+        f"AU encoding {enc} (e.g. A-law/float) requires external media "
+        "libraries (SURVEY §2.10 U1/U2)"
+    )

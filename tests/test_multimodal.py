@@ -2940,3 +2940,72 @@ def test_tiff_lzw_width_growth_and_predictor_seam():
             struct.pack_into("<H", bad, off + 8, 3)
     with pytest.raises(ValueError, match="predictor 3"):
         _decode_tiff(bytes(bad))
+
+
+def test_g711_compress_is_inverse_on_decoder_lattice():
+    """compress(expand(c)) == c for every mu-law code except the
+    double-zero: 0x7F and 0xFF both decode to 0 and the canonical
+    compressor emits 0xFF for linear 0 (ITU-T G.711's two zeros)."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _g711_compress,
+        _g711_expand,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    back = _g711_compress(_g711_expand(codes, "ulaw"), "ulaw")
+    diff = {int(c): int(b) for c, b in zip(codes, back) if b != c}
+    assert diff == {0x7F: 0xFF}
+    # quantization error of expand∘compress bounded by the segment step
+    rng = np.random.default_rng(2)
+    x = rng.integers(-32000, 32000, 4096).astype(np.int16)
+    err = np.abs(
+        _g711_expand(_g711_compress(x, "ulaw"), "ulaw").astype(np.int64) - x
+    )
+    seg = np.clip(
+        np.floor(np.log2(np.abs(x.astype(np.int64)) + 0x84)).astype(np.int64) - 7,
+        0, 7,
+    )
+    assert np.all(err <= (1 << (seg + 3)))
+
+
+def test_au_container_roundtrip_and_cross_container_content_key():
+    """AU files decode through the uniform contract: PCM16 big-endian
+    byteswap and mu-law expansion, annotation skipped; an AU mu-law file
+    and a WAV mu-law file carrying the SAME code bytes share an
+    audio content key (same decoded identity), while PCM16-AU of a
+    different signal differs. Malformed structures raise."""
+    import numpy as np
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_au,
+        audio_content_key,
+        decode_media,
+        encode_au,
+        encode_wav_codes,
+        _g711_compress,
+    )
+
+    sig = (np.arange(300) * 57 % 3001 - 1500).astype(np.int16)
+    m = decode_media(encode_au(sig, sample_rate=8000, annotation=b"meta\x00\x00"), "audio")
+    assert m["codec"] == "pcm_s16be" and m["frame_rate"] == 8000
+    assert np.array_equal(np.frombuffer(m["pcm"], "<i2"), sig)
+
+    codes = _g711_compress(sig, "ulaw").tobytes()
+    au = encode_au(sig, sample_rate=8000, ulaw=True)
+    wav = encode_wav_codes(codes, 7, frame_rate=8000)  # tag 7 = mu-law WAV
+    assert audio_content_key(au) == audio_content_key(wav)
+    assert audio_content_key(au) != audio_content_key(
+        encode_au((sig // 2).astype(np.int16), ulaw=True)
+    )
+
+    with pytest.raises(ValueError, match="magic"):
+        _decode_au(b"FORM....")
+    with pytest.raises(ValueError, match="truncated AU data"):
+        _decode_au(encode_au(sig)[:-10])
+    blob = bytearray(encode_au(sig))
+    blob[15] = 27  # A-law-in-AU encoding id
+    with pytest.raises(ValueError, match="AU encoding 27"):
+        _decode_au(bytes(blob))
