@@ -2106,7 +2106,14 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     other media kernel (U1); at 100 TB the payloads would arrive from a
     binaryFile scan instead of being synthesized, with the identical
     downstream plan."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # CPU-dense per-row kernel over a tiny id list: fan the ids across
+    # every core explicitly — the one-file parquet scan otherwise yields
+    # a single partition and the whole decode runs on one thread
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -2195,7 +2202,14 @@ def video_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     padding (width 5 ⇒ 15-byte rows padded to 16: padding bytes counted
     would break the hash) — fails the comparison. Map-only mapInPandas,
     same scale shape as every media kernel."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # CPU-dense per-row kernel over a tiny id list: fan the ids across
+    # every core explicitly — the one-file parquet scan otherwise yields
+    # a single partition and the whole decode runs on one thread
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -2276,7 +2290,14 @@ def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     PCM bytes only. The oracle recomputes them from the closed form, so
     an endianness slip, header misread, or off-by-one in the frame count
     breaks the hash. Map-only mapInPandas."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # CPU-dense per-row kernel over a tiny id list: fan the ids across
+    # every core explicitly — the one-file parquet scan otherwise yields
+    # a single partition and the whole decode runs on one thread
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -2503,7 +2524,14 @@ def image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-count arithmetic plus one per-hash neighborhood rollup, all
     partial-combining. The oracle states the naive doc-grain semantics
     and is byte-identical to this group-grain plan."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # CPU-dense per-row kernel over a tiny id list: fan the ids across
+    # every core explicitly — the one-file parquet scan otherwise yields
+    # a single partition and the whole decode runs on one thread
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -2673,7 +2701,14 @@ def g711_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     misread breaks the hash. Map-only mapInPandas — the decode runs beside
     the scan with no shuffle; at 100 TB each task decodes only its own
     Arrow batch."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # CPU-dense per-row kernel over a tiny id list: fan the ids across
+    # every core explicitly — the one-file parquet scan otherwise yields
+    # a single partition and the whole decode runs on one thread
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -3414,7 +3449,14 @@ def mp3_probe_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed form, so an off-by-one in the frame-length arithmetic, a
     mis-skipped ID3 tag, or a wrong bitrate-table row breaks the hash.
     Map-only mapInPandas, same scale shape as every media kernel."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # CPU-dense per-row kernel over a tiny id list: fan the ids across
+    # every core explicitly — the one-file parquet scan otherwise yields
+    # a single partition and the whole decode runs on one thread
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -3542,28 +3584,46 @@ class _BitReader:
         self.bit = 0
 
     def read(self, nbits: int) -> int:
-        out = 0
-        for _ in range(nbits):
-            if self.byte >= len(self.data):
-                raise ValueError("truncated FLAC bitstream")
-            out = (out << 1) | ((self.data[self.byte] >> (7 - self.bit)) & 1)
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.byte += 1
-        return out
+        # one int.from_bytes over the covering span instead of a per-bit
+        # loop — the decode gates spend their time here
+        if nbits == 0:
+            return 0
+        end_bit = self.byte * 8 + self.bit + nbits
+        last = (end_bit + 7) >> 3
+        if last > len(self.data):
+            raise ValueError("truncated FLAC bitstream")
+        chunk = int.from_bytes(self.data[self.byte: last], "big")
+        shift = ((last - self.byte) << 3) - (self.bit + nbits)
+        self.byte = end_bit >> 3
+        self.bit = end_bit & 7
+        return (chunk >> shift) & ((1 << nbits) - 1)
 
     def read_signed(self, nbits: int) -> int:
         v = self.read(nbits)
         return v - (1 << nbits) if v & (1 << (nbits - 1)) else v
 
     def read_unary(self) -> int:
+        # scan whole zero bytes, then use bit_length on the first nonzero
+        # remainder — same values as the per-bit loop, hard-bounded
         q = 0
-        while self.read(1) == 0:
-            q += 1
-            if q > 1 << 24:
-                raise ValueError("runaway unary code in FLAC bitstream")
-        return q
+        while True:
+            if self.byte >= len(self.data):
+                raise ValueError("truncated FLAC bitstream")
+            cur = self.data[self.byte] & (0xFF >> self.bit)
+            if cur == 0:
+                q += 8 - self.bit
+                self.bit = 0
+                self.byte += 1
+                if q > 1 << 24:
+                    raise ValueError("runaway unary code in FLAC bitstream")
+                continue
+            zeros = (8 - self.bit) - cur.bit_length()
+            q += zeros
+            self.bit += zeros + 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+            return q
 
     def align(self) -> None:
         if self.bit:
@@ -4102,7 +4162,14 @@ def flac_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     form, so predictor algebra, zigzag/unary coding, partition geometry
     (block size varies by doc; the last block is short) and checksum
     handling are all under the hash. Map-only mapInPandas."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # CPU-dense per-row kernel over a tiny id list: fan the ids across
+    # every core explicitly — the one-file parquet scan otherwise yields
+    # a single partition and the whole decode runs on one thread
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -4788,7 +4855,14 @@ def mp3_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one pass over doc ids, no shuffle but the final sort;
     per-row cost is bounded by the fixed 576-line granule geometry."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # CPU-dense per-row kernel over a tiny id list: fan the ids across
+    # every core explicitly — the one-file parquet scan otherwise yields
+    # a single partition and the whole decode runs on one thread
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -4891,7 +4965,14 @@ def mp3_stereo_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     irrational 1/sqrt(2) MS reconstruction itself is pinned by pytest
     where float-exactness rules don't bind the hash. Map-only
     mapInPandas."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # CPU-dense per-row kernel over a tiny id list: fan the ids across
+    # every core explicitly — the one-file parquet scan otherwise yields
+    # a single partition and the whole decode runs on one thread
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -5252,7 +5333,14 @@ def tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     widths). The oracle recomputes the per-channel
     means from the closed form; a byte misread anywhere in either half
     breaks the hash. Map-only mapInPandas."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # CPU-dense per-row kernel over a tiny id list: fan the ids across
+    # every core explicitly — the one-file parquet scan otherwise yields
+    # a single partition and the whole decode runs on one thread
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
