@@ -5582,3 +5582,98 @@ def _decode_au(payload: bytes) -> dict:
         f"AU encoding {enc} (e.g. A-law/float) requires external media "
         "libraries (SURVEY §2.10 U1/U2)"
     )
+
+
+@register(
+    "au_decode_features",
+    oracle="""
+    WITH samp AS (
+        SELECT d.doc_id AS doc_id,
+               CASE WHEN d.doc_id % 2 = 0 THEN
+                   -- mu-law expansion of code byte c (u = 255 - c), the
+                   -- proven g711_decode_features closed form
+                   CASE WHEN (255 - ((13 * d.doc_id + 7 * s.i) % 256)) >= 128
+                        THEN 132 - (((255 - ((13 * d.doc_id + 7 * s.i) % 256)) % 16) * 8 + 132)
+                                 * (1 << (((255 - ((13 * d.doc_id + 7 * s.i) % 256)) // 16) % 8))
+                        ELSE (((255 - ((13 * d.doc_id + 7 * s.i) % 256)) % 16) * 8 + 132)
+                                 * (1 << (((255 - ((13 * d.doc_id + 7 * s.i) % 256)) // 16) % 8)) - 132
+                   END
+               ELSE (11 * d.doc_id + 5 * s.i) % 4001 - 2000
+               END AS v
+        FROM documents d,
+             LATERAL (SELECT unnest(generate_series(
+                 0, CAST(255 + (d.doc_id % 4) * 64 AS BIGINT))) AS i) s
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'pcm_s16be' END AS codec,
+           CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+           CAST(256 + (doc_id % 4) * 64 AS BIGINT) AS n_samples,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs
+    FROM samp
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def au_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sun AU container under the differential gate (round 13; registered
+    AFTER the 50-slot evidence window — it enters the driver rotation in
+    r14, and the local sweeps cover it now): even docs carry closed-form
+    mu-law CODE bytes (sweeping the code space) which the oracle expands
+    through the ITU G.711 closed form (sign, segment power, mantissa,
+    bias — the same arithmetic ``_g711_expand`` vectorizes); odd docs
+    carry big-endian PCM16 whose byteswap round-trips exactly. Decoded
+    peak and sum-of-abs hash against the closed forms. Map-only
+    mapInPandas with the same explicit core fan-out as the other decode
+    gates."""
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "codec": [], "sample_rate": [],
+                "n_samples": [], "peak": [], "sum_abs": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 256 + (d % 4) * 64
+                sr = 8000 + (d % 3) * 4000
+                i = np.arange(n, dtype=np.int64)
+                if d % 2 == 0:
+                    codes = ((13 * d + 7 * i) % 256).astype(np.uint8)
+                    pcm_src = _g711_expand(codes, "ulaw").astype(np.int16)
+                    blob = (
+                        b".snd"
+                        + (24).to_bytes(4, "big")
+                        + len(codes).to_bytes(4, "big")
+                        + (1).to_bytes(4, "big")
+                        + sr.to_bytes(4, "big")
+                        + (1).to_bytes(4, "big")
+                        + codes.tobytes()
+                    )
+                else:
+                    pcm_src = ((11 * d + 5 * i) % 4001 - 2000).astype(np.int16)
+                    blob = encode_au(pcm_src, sample_rate=sr)
+                meta = decode_media(blob, "audio")  # REAL AU decode
+                pcm = np.frombuffer(meta["pcm"], "<i2").astype(np.int64)
+                out["doc_id"].append(d)
+                out["codec"].append(meta["codec"])
+                out["sample_rate"].append(meta["frame_rate"])
+                out["n_samples"].append(meta["n_frames"])
+                out["peak"].append(int(np.abs(pcm).max()))
+                out["sum_abs"].append(int(np.abs(pcm).sum()))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, codec string, sample_rate long, n_samples long, "
+        "peak long, sum_abs long"
+    )
+    return docs.mapInPandas(run, schema).orderBy("doc_id")
