@@ -3343,7 +3343,7 @@ def probe_audio(payload: bytes) -> dict:
             raise ValueError("truncated AU header")
         off, size, enc, rate, n_ch = _struct.unpack_from(">IIIII", payload, 4)
         n = (len(payload) - off) if size == 0xFFFFFFFF else size
-        frames = n if enc == 1 else (n // 2 if enc == 3 else None)
+        frames = n if enc in (1, 27) else (n // 2 if enc == 3 else None)
         return {
             "container": "au",
             "sample_rate": rate,
@@ -3351,7 +3351,8 @@ def probe_audio(payload: bytes) -> dict:
             "n_frames": frames,
             "duration_ms": frames * 1000 // rate if frames and rate else None,
             "mean_bitrate_kbps": (
-                rate * (8 if enc == 1 else 16) * n_ch // 1000 if rate else None
+                rate * (8 if enc in (1, 27) else 16) * n_ch // 1000
+                if rate else None
             ),
             "vbr": False,
         }
@@ -5486,32 +5487,49 @@ def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
 _AU_MAGIC = b".snd"
 _AU_ULAW = 1
 _AU_PCM16 = 3
+_AU_ALAW = 27
 
 
 def _g711_compress(samples, law: str):
-    """Vectorized G.711 mu-law COMPRESSION of linear int16 to code bytes
+    """Vectorized G.711 COMPRESSION of linear int16 to code bytes
     (ITU-T G.711 1988) — the exact inverse of :func:`_g711_expand` on the
-    decoder's output lattice (compress(expand(c)) == c for all 256 codes,
-    pinned by test). Bias 0x84, 8 segments, complemented output."""
+    decoder's output lattice (compress(expand(c)) == c for all 256 codes
+    up to the laws' double-zero/sign-of-zero conventions, pinned by
+    test). mu-law: bias 0x84, 8 segments, complemented output. A-law:
+    segment search on the raw magnitude, mantissa at seg-dependent shift,
+    XOR 0x55, sign bit SET for non-negative."""
     import numpy as np
 
-    if law != "ulaw":
-        raise ValueError("only mu-law compression is implemented")
     x = np.asarray(samples, dtype=np.int64)
-    sign = np.where(x < 0, 0x80, 0)
-    mag = np.abs(x)
-    mag = np.minimum(mag, 32635) + 0x84
-    # segment = highest set bit of mag in bits 7..14, as 0..7
-    seg = np.clip(np.floor(np.log2(mag)).astype(np.int64) - 7, 0, 7)
-    mantissa = (mag >> (seg + 3)) & 0x0F
-    code = ~(sign | (seg << 4) | mantissa) & 0xFF
-    return code.astype(np.uint8)
+    if law == "ulaw":
+        sign = np.where(x < 0, 0x80, 0)
+        mag = np.abs(x)
+        mag = np.minimum(mag, 32635) + 0x84
+        # segment = highest set bit of mag in bits 7..14, as 0..7
+        seg = np.clip(np.floor(np.log2(mag)).astype(np.int64) - 7, 0, 7)
+        mantissa = (mag >> (seg + 3)) & 0x0F
+        code = ~(sign | (seg << 4) | mantissa) & 0xFF
+        return code.astype(np.uint8)
+    if law == "alaw":
+        sign = np.where(x >= 0, 0x80, 0)
+        mag = np.minimum(np.abs(x), 32767)
+        # segment 0: mag < 256 (linear); else highest bit position - 7
+        seg = np.clip(
+            np.floor(np.log2(np.maximum(mag, 1))).astype(np.int64) - 7, 0, 7
+        )
+        mantissa = np.where(
+            seg == 0, mag >> 4, (mag >> (seg + 3)) & 0x0F
+        )
+        code = (sign | (seg << 4) | mantissa) ^ 0x55
+        return code.astype(np.uint8)
+    raise ValueError(f"unknown G.711 law {law!r}")
 
 
 def encode_au(
     samples,
     sample_rate: int = 8000,
     ulaw: bool = False,
+    alaw: bool = False,
     annotation: bytes = b"",
 ) -> bytes:
     """Encode mono int16 samples as a Sun AU file: big-endian 24-byte
@@ -5526,9 +5544,14 @@ def encode_au(
     samples = np.asarray(samples, dtype=np.int16)
     if samples.ndim != 1:
         raise ValueError("encode_au wants mono int16")
+    if ulaw and alaw:
+        raise ValueError("pick one companding law")
     if ulaw:
         data = _g711_compress(samples, "ulaw").astype(np.uint8).tobytes()
         enc = _AU_ULAW
+    elif alaw:
+        data = _g711_compress(samples, "alaw").astype(np.uint8).tobytes()
+        enc = _AU_ALAW
     else:
         data = samples.astype(">i2").tobytes()
         enc = _AU_PCM16
@@ -5563,12 +5586,13 @@ def _decode_au(payload: bytes) -> dict:
         if len(data) < size:
             raise ValueError("truncated AU data")
         data = data[:size]
-    if enc == _AU_ULAW:
+    if enc in (_AU_ULAW, _AU_ALAW):
         codes = np.frombuffer(data, np.uint8)
-        pcm = _g711_expand(codes, "ulaw")
+        law = "ulaw" if enc == _AU_ULAW else "alaw"
+        pcm = _g711_expand(codes, law)
         return {
             "n_channels": 1, "sample_width": 2, "frame_rate": rate,
-            "n_frames": len(codes), "pcm": pcm.tobytes(), "codec": "ulaw",
+            "n_frames": len(codes), "pcm": pcm.tobytes(), "codec": law,
         }
     if enc == _AU_PCM16:
         if len(data) % 2:
@@ -5579,8 +5603,8 @@ def _decode_au(payload: bytes) -> dict:
             "n_frames": len(pcm), "pcm": pcm.tobytes(), "codec": "pcm_s16be",
         }
     raise ValueError(
-        f"AU encoding {enc} (e.g. A-law/float) requires external media "
-        "libraries (SURVEY §2.10 U1/U2)"
+        f"AU encoding {enc} (e.g. float/ADPCM-in-AU) requires external "
+        "media libraries (SURVEY §2.10 U1/U2)"
     )
 
 

@@ -3009,3 +3009,32 @@ def test_au_container_roundtrip_and_cross_container_content_key():
     blob[15] = 27  # A-law-in-AU encoding id
     with pytest.raises(ValueError, match="AU encoding 27"):
         _decode_au(bytes(blob))
+
+
+def test_g711_alaw_compress_exact_involution_and_au_alaw():
+    """A-law compression inverts the expander EXACTLY on all 256 codes
+    (A-law has no double-zero: +0 and -0 are distinct codes), and A-law
+    AU files decode through the same contract with cross-container
+    content-key parity against A-law WAV (format tag 6)."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _g711_compress,
+        _g711_expand,
+        audio_content_key,
+        decode_media,
+        encode_au,
+        encode_wav_codes,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    assert np.array_equal(
+        _g711_compress(_g711_expand(codes, "alaw"), "alaw"), codes
+    )
+    sig = (np.arange(400) * 37 % 2501 - 1250).astype(np.int16)
+    m = decode_media(encode_au(sig, alaw=True), "audio")
+    assert m["codec"] == "alaw" and m["n_frames"] == 400
+    wav = encode_wav_codes(
+        _g711_compress(sig, "alaw").tobytes(), 6, frame_rate=8000
+    )
+    assert audio_content_key(encode_au(sig, alaw=True)) == audio_content_key(wav)
