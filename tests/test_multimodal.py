@@ -3006,8 +3006,8 @@ def test_au_container_roundtrip_and_cross_container_content_key():
     with pytest.raises(ValueError, match="truncated AU data"):
         _decode_au(encode_au(sig)[:-10])
     blob = bytearray(encode_au(sig))
-    blob[15] = 27  # A-law-in-AU encoding id
-    with pytest.raises(ValueError, match="AU encoding 27"):
+    blob[15] = 6  # 32-bit float encoding id: genuinely unsupported
+    with pytest.raises(ValueError, match="AU encoding 6"):
         _decode_au(bytes(blob))
 
 
