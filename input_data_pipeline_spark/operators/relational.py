@@ -2359,3 +2359,61 @@ def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape (round 13, post-window): top supplier(s) via max-over-agg
+# ---------------------------------------------------------------------------
+
+@register(
+    "top_quarter_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+               AS total_revenue_micros
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey),
+    mx AS (SELECT MAX(total_revenue_micros) AS m FROM rev)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue_micros
+    FROM rev r JOIN mx ON r.total_revenue_micros = mx.m
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    ORDER BY s.s_suppkey
+    """,
+)
+def top_quarter_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with the maximum 1996-Q1 revenue
+    — the view-over-aggregate + scalar-max pattern, decorrelated to
+    aggregate -> broadcast 1-row max -> integer-equality filter (exact
+    micros, so the tie semantics are bit-identical in both engines; Q15
+    keeps ALL maximum achievers).
+
+    Scale shape: the quarter filter reaches the parquet scan; one
+    map-combinable supplier aggregate; the max is one broadcast row; the
+    supplier dimension broadcasts. No window, no second pass over
+    lineitem."""
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            stable_sum_micros(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("total_revenue_micros")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue_micros").alias("m"))
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue_micros") == F.col("m"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_micros")
+        .orderBy("s_suppkey")
+    )

@@ -150,9 +150,10 @@ _PRIORITY: list[str] = [
     "doc_quality",
 ]
 # Round-13 state: if this window goes driver-green, no query's evidence is
-# older than r9, and the stalest remaining is `au_decode_features` (added
-# late in r13, deliberately AFTER the window so it would not displace the
-# stale r6/r7 evidence; locally 183/183-sweep-green at both scales) plus
+# older than r9, and the stalest remaining is `au_decode_features` and
+# `top_quarter_supplier` (added late in r13, deliberately AFTER the window
+# so they would not displace the stale r6/r7 evidence; locally
+# sweep-green at both scales) plus
 # the r9-bucket tail (account_balance_union ... user_retention_cohorts,
 # 44 queries) — head the r14 window with them plus any r14 additions; the
 # r10 bucket (44) follows.
