@@ -2417,3 +2417,50 @@ def top_quarter_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue_micros")
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape (round 13, post-window): EXISTS semi join by priority
+# ---------------------------------------------------------------------------
+
+@register(
+    "late_shipment_orders_by_priority",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def late_shipment_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: 1995 orders with AT LEAST ONE line shipped 90+
+    days after the order date (the schema has no commit/receipt dates, so
+    ship-lag stands in for Q4's late-delivery predicate), counted by
+    priority. The EXISTS subquery is a LEFT SEMI join — one probe per
+    order no matter how many lines qualify — with the correlated date
+    arithmetic in the join condition.
+
+    Scale shape: the year filter reaches the orders scan; the semi join
+    shuffles on the same orderkey both tables are naturally keyed by
+    (bucketed in production: shuffle-free); the priority rollup is five
+    groups, map-combinable."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    lineitem = _t(spark, sf_dir, "lineitem")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    )
+    return (
+        orders.join(lineitem, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )

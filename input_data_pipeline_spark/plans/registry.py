@@ -151,7 +151,8 @@ _PRIORITY: list[str] = [
 ]
 # Round-13 state: if this window goes driver-green, no query's evidence is
 # older than r9, and the stalest remaining is `au_decode_features` and
-# `top_quarter_supplier` (added late in r13, deliberately AFTER the window
+# `top_quarter_supplier` / `late_shipment_orders_by_priority`
+# (added late in r13, deliberately AFTER the window
 # so they would not displace the stale r6/r7 evidence; locally
 # sweep-green at both scales) plus
 # the r9-bucket tail (account_balance_union ... user_retention_cohorts,
