@@ -68,6 +68,11 @@ QUERIES = [
     "brand_size_qty_revenue",
     "prototypicality_prune",
     "tiff_decode_features",
+    # post-window r13 additions: quarter bounds and correlated
+    # date+interval arithmetic — TZ-sensitive by construction
+    "top_quarter_supplier",
+    "late_shipment_orders_by_priority",
+    "au_decode_features",
 ]
 
 
@@ -150,6 +155,9 @@ ANSI_QUERIES = [
     "large_quantity_orders",
     "prototypicality_prune",
     "tiff_decode_features",
+    "top_quarter_supplier",
+    "late_shipment_orders_by_priority",
+    "au_decode_features",
 ]
 
 
