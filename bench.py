@@ -119,6 +119,10 @@ FLOORS = {
     "trade_pagerank": 2.748,
     "fasttext_lang_filter": 2.604,
     "image_dhash_near_dups": 2.408,
+    # round-13 headline additions (driver-run BENCH_r13.json @ sf0.1)
+    "knn_ivf_pq": 1.633,
+    "mp3_decode_features": 1.236,
+    "widget_revenue_by_nation_year": 0.883,
 }
 
 

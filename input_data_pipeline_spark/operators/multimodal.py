@@ -17,10 +17,13 @@ uncompressed-AVI video decode are REAL too (round 8): stdlib ``struct``
 over BITMAPINFOHEADER / a RIFF chunk walk, feeding
 ``extract_image_features``, ``resize_image_nearest`` and
 ``sample_video_frames``; 8-bit truecolor PNG decode is REAL since
-round 9 (chunk walk + stdlib ``zlib`` inflate + scanline unfilter).
-Only genuinely external codecs (JPEG, '..dc' AVI streams, MP4) remain
-a documented ``NotImplementedError`` seam (they aren't in this
-container). The deterministic RMS-energy segmenter
+round 9 (chunk walk + stdlib ``zlib`` inflate + scanline unfilter), and
+the later rounds added real JPEG (baseline + progressive), GIF, TIFF,
+FLAC, G.711/IMA-ADPCM, AU, and the MP3 Layer III entropy layer. The
+remaining external-codec seams are named raises, each listed at its
+decoder: compressed ('..dc') AVI streams, MP4 containers, and the
+narrower per-format gaps documented in the MP3/TIFF/AU sections. The
+deterministic RMS-energy segmenter
 (``transcribe_wav_energy``) stands in for the ASR engine behind the
 same per-executor-singleton pattern a real Vosk model would use, so the
 full S5/U2 path — binaryFile → header parse → frame-chunk → stateful
@@ -3343,7 +3346,10 @@ def probe_audio(payload: bytes) -> dict:
             raise ValueError("truncated AU header")
         off, size, enc, rate, n_ch = _struct.unpack_from(">IIIII", payload, 4)
         n = (len(payload) - off) if size == 0xFFFFFFFF else size
-        frames = n if enc in (1, 27) else (n // 2 if enc == 3 else None)
+        # bytes per SAMPLE by encoding: G.711 laws 1 byte, PCM16 2,
+        # float32/float64 4/8; a frame is one sample per channel
+        bps = {1: 1, 27: 1, 3: 2, 6: 4, 7: 8}.get(enc)
+        frames = n // (bps * n_ch) if bps and n_ch else None
         return {
             "container": "au",
             "sample_rate": rate,
@@ -3351,8 +3357,7 @@ def probe_audio(payload: bytes) -> dict:
             "n_frames": frames,
             "duration_ms": frames * 1000 // rate if frames and rate else None,
             "mean_bitrate_kbps": (
-                rate * (8 if enc in (1, 27) else 16) * n_ch // 1000
-                if rate else None
+                rate * 8 * bps * n_ch // 1000 if rate and bps else None
             ),
             "vbr": False,
         }
@@ -4499,14 +4504,16 @@ def _decode_mp3_l3(payload: bytes) -> dict:
     mono (mode 0b11), independent/dual stereo (0b00/0b10), and MID/SIDE
     joint stereo (0b01 with the MS mode_extension bit; §2.4.3.4.9.2
     butterfly l=(m+s)/sqrt2, r=(m-s)/sqrt2 applied after requantization,
-    with the coded-domain spectrum kept in ``xr_coded``): frame walk,
-    CRC-16 verification when the protection bit is set, side info, bit-
-    reservoir main_data resolution, per-channel scalefactors with scfsi,
-    Huffman spectra, requantized xr — plus per-granule alias reduction +
-    IMDCT subband samples via the helpers above. Intensity stereo needs
-    the is_pos angle table and stays a named seam. Raises on any
-    malformed structure; never guesses. ``granules`` is flattened
-    granule-major, channel-minor."""
+    with the coded-domain spectrum kept in ``xr_coded``), and — round
+    14 — pure intensity stereo (0b01 with the intensity mode_extension
+    bit; §2.4.3.4.9.3, closed-form tan(is_pos*pi/12) angles, see the
+    inline block): frame walk, CRC-16 verification when the protection
+    bit is set, side info, bit-reservoir main_data resolution,
+    per-channel scalefactors with scfsi, Huffman spectra, requantized
+    xr — plus per-granule alias reduction + IMDCT subband samples via
+    the helpers above. Combined MS+intensity (mode_ext 0b11) stays a
+    named seam. Raises on any malformed structure; never guesses.
+    ``granules`` is flattened granule-major, channel-minor."""
     pos = 0
     if payload[:3] == b"ID3":
         if len(payload) < 10:
@@ -4535,10 +4542,11 @@ def _decode_mp3_l3(payload: bytes) -> dict:
         mode_ext = (h3 >> 4) & 0x3
         n_ch = 1 if mode == 0b11 else 2
         ms_stereo = mode == 0b01 and bool(mode_ext & 0x2)
-        if mode == 0b01 and mode_ext & 0x1:
+        intensity = mode == 0b01 and bool(mode_ext & 0x1)
+        if ms_stereo and intensity:
             raise NotImplementedError(
-                "MP3 intensity stereo needs the is_pos angle table "
-                "(SURVEY §2.10 external-codec seam); MS stereo decodes"
+                "MP3 combined MS+intensity stereo (mode_ext 0b11) is not "
+                "implemented; pure MS and pure intensity both decode"
             )
         if sr_index != 0:
             raise NotImplementedError(
@@ -4563,14 +4571,14 @@ def _decode_mp3_l3(payload: bytes) -> dict:
                 raise ValueError("MP3 CRC-16 mismatch")
         si = _mp3_parse_side_info(payload[body: body + side_len], n_ch)
         body += side_len
-        frames.append((si, len(pool), n_ch, ms_stereo))
+        frames.append((si, len(pool), n_ch, ms_stereo, intensity))
         pool += payload[body: pos + flen]
         pos += flen
     if not frames:
         raise ValueError("no MP3 frames")
     granules = []
     n_channels = frames[0][2]
-    for si, area_off, n_ch, ms in frames:
+    for si, area_off, n_ch, ms, intensity in frames:
         start = area_off - si.main_data_begin
         if start < 0:
             raise ValueError("MP3 main_data_begin reaches before the stream")
@@ -4593,6 +4601,46 @@ def _decode_mp3_l3(payload: bytes) -> dict:
                 left = [(m + s) / sq2 for m, s in zip(m_g.xr_coded, s_g.xr_coded)]
                 right = [(m - s) / sq2 for m, s in zip(m_g.xr_coded, s_g.xr_coded)]
                 m_g.xr, s_g.xr = left, right
+            elif intensity and n_ch == 2:
+                import math
+
+                # §2.4.3.4.9.3: intensity stereo. The intensity region is
+                # the right channel's zero part — every scalefactor band
+                # whose LOWER bound lies at/after the end of the right
+                # channel's Huffman data (2*big_values + 4*count1 lines;
+                # the in-repo encoder always ends right-channel data on an
+                # sfb boundary, so partial-band rounding never arises).
+                # There the right channel's scalefactors are REUSED as
+                # is_pos angles: is_ratio = tan(is_pos * pi/12) — closed
+                # form, no table — l = xr_l * r/(1+r), r = xr_l * 1/(1+r);
+                # is_pos 6 is the fully-left pole (k_l, k_r = 1, 0) and
+                # the illegal is_pos 7 leaves the band as coded. Band 21
+                # has no scalefactor of its own and copies band 20's
+                # is_pos (the standard decoder convention).
+                l_g, r_g = chans
+                l_g.xr_coded = l_g.xr
+                r_g.xr_coded = r_g.xr
+                bound_line = 2 * r_g.big_values + 4 * r_g.count1_quads
+                bounds = _MP3_SFB_LONG_44100
+                left = list(l_g.xr)
+                right = list(r_g.xr)
+                for sfb in range(22):
+                    lo, hi = bounds[sfb], bounds[sfb + 1]
+                    if lo < bound_line:
+                        continue
+                    is_pos = r_g.scalefac[sfb] if sfb < 21 else r_g.scalefac[20]
+                    if is_pos == 7:
+                        continue
+                    if is_pos == 6:
+                        kl, kr = 1.0, 0.0
+                    else:
+                        ratio = math.tan(is_pos * math.pi / 12.0)
+                        kl, kr = ratio / (1.0 + ratio), 1.0 / (1.0 + ratio)
+                    for i in range(lo, hi):
+                        v = l_g.xr_coded[i]
+                        left[i] = v * kl
+                        right[i] = v * kr
+                l_g.xr, r_g.xr = left, right
             else:
                 for g in chans:
                     g.xr_coded = g.xr
@@ -4703,9 +4751,13 @@ def encode_mp3_l3(
     optional bit-reservoir packing (main_data_begin pointing into prior
     frames' areas). ``mode``: "mono" (one spec per granule), "stereo"
     (independent L/R — two specs per granule, granule-major channel-
-    minor) or "ms_stereo" (joint stereo with the MS mode_extension bit:
+    minor), "ms_stereo" (joint stereo with the MS mode_extension bit:
     channel 0 is the MID spectrum, channel 1 the SIDE; the decoder
-    reconstructs L/R). The entropy layer is fully spec-real; the encoder
+    reconstructs L/R) or "intensity_stereo" (joint stereo with the
+    intensity mode_extension bit: channel 1's data must end on a
+    scalefactor-band boundary, and its scalefactors at/after that
+    boundary are is_pos angles the decoder expands via tan(is_pos *
+    pi/12)). The entropy layer is fully spec-real; the encoder
     restricts magnitudes to |is| <= 1 because only Huffman tables 0/1
     are carried (the Annex B data seam)."""
     n_ch = 1 if mode == "mono" else 2
@@ -4770,8 +4822,13 @@ def encode_mp3_l3(
             raise ValueError("frame main data exceeds its area: raise the bitrate")
         pool[starts[f]: starts[f] + len(mds[f])] = mds[f]
     out = bytearray()
-    mode_bits = {"mono": 0b11, "stereo": 0b00, "ms_stereo": 0b01}[mode]
-    mode_ext = 0b10 if mode == "ms_stereo" else 0b00  # MS on, intensity off
+    mode_bits = {
+        "mono": 0b11, "stereo": 0b00,
+        "ms_stereo": 0b01, "intensity_stereo": 0b01,
+    }[mode]
+    # mode_extension: MS bit / intensity bit (never both — combined mode
+    # is the decoder's named seam)
+    mode_ext = {"ms_stereo": 0b10, "intensity_stereo": 0b01}.get(mode, 0b00)
     for f in range(n_frames):
         b1 = 0xE0 | (3 << 3) | (0b01 << 1) | (0 if use_crc else 1)
         b2 = (bitrate_index << 4) | (0 << 2) | (0 << 1)
@@ -5214,7 +5271,8 @@ def _decode_tiff(payload: bytes) -> dict:
     if ifd_off + 2 > len(payload):
         raise ValueError("truncated TIFF: IFD offset past payload")
     (n_tags,) = struct.unpack_from(e + "H", payload, ifd_off)
-    tags: dict[int, tuple[int, int, int]] = {}
+    # tag id -> (type, count, scalar value, offset of the 4-byte value slot)
+    tags: dict[int, tuple[int, int, int, int]] = {}
     for t in range(n_tags):
         off = ifd_off + 2 + 12 * t
         tid, ttype, count = struct.unpack_from(e + "HHI", payload, off)
@@ -5222,15 +5280,18 @@ def _decode_tiff(payload: bytes) -> dict:
             (value,) = struct.unpack_from(e + "H", payload, off + 8)
         else:
             (value,) = struct.unpack_from(e + "I", payload, off + 8)
-        tags[tid] = (ttype, count, value)
+        tags[tid] = (ttype, count, value, off + 8)
 
     def arr(tid: int) -> list[int]:
-        ttype, count, value = tags[tid]
+        ttype, count, value, slot = tags[tid]
         if count == 1:
             return [value]
         fmt, size = (e + "H", 2) if ttype == 3 else (e + "I", 4)
+        # TIFF 6.0 packs arrays INLINE in the 4-byte value slot when they
+        # fit (SHORT x2); only larger arrays live out-of-line at `value`
+        base = slot if count * size <= 4 else value
         return [
-            struct.unpack_from(fmt, payload, value + i * size)[0]
+            struct.unpack_from(fmt, payload, base + i * size)[0]
             for i in range(count)
         ]
 
@@ -5487,6 +5548,8 @@ def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
 _AU_MAGIC = b".snd"
 _AU_ULAW = 1
 _AU_PCM16 = 3
+_AU_FLOAT32 = 6
+_AU_FLOAT64 = 7
 _AU_ALAW = 27
 
 
@@ -5530,13 +5593,16 @@ def encode_au(
     sample_rate: int = 8000,
     ulaw: bool = False,
     alaw: bool = False,
+    float_width: int = 0,
     annotation: bytes = b"",
 ) -> bytes:
     """Encode mono int16 samples as a Sun AU file: big-endian 24-byte
     header (magic, data offset, data size, encoding, rate, channels) plus
-    an optional annotation field, then either big-endian 16-bit PCM or
-    G.711 mu-law codes (the same companding transform the WAV path
-    carries)."""
+    an optional annotation field, then big-endian 16-bit PCM, G.711
+    mu-law/A-law codes (the same companding transform the WAV path
+    carries), or — ``float_width`` 4/8 — IEEE big-endian float32/float64
+    samples scaled to [-1, 1) by 1/32768 (exact: every int16/2**15 is
+    representable in float32, so the round-trip is bit-true)."""
     import struct
 
     import numpy as np
@@ -5552,6 +5618,14 @@ def encode_au(
     elif alaw:
         data = _g711_compress(samples, "alaw").astype(np.uint8).tobytes()
         enc = _AU_ALAW
+    elif float_width == 4:
+        data = (samples.astype(np.float32) / np.float32(32768.0)).astype(">f4").tobytes()
+        enc = _AU_FLOAT32
+    elif float_width == 8:
+        data = (samples.astype(np.float64) / 32768.0).astype(">f8").tobytes()
+        enc = _AU_FLOAT64
+    elif float_width:
+        raise ValueError("float_width must be 4 or 8")
     else:
         data = samples.astype(">i2").tobytes()
         enc = _AU_PCM16
@@ -5564,10 +5638,12 @@ def encode_au(
 
 def _decode_au(payload: bytes) -> dict:
     """Parse a Sun AU file into the uniform audio-decode contract:
-    big-endian header walk, annotation skip, mu-law expansion through the
-    REAL G.711 transform or big-endian PCM16 byteswap. Unsupported
-    encodings (A-law-in-AU uses code 27; float formats 6/7) raise by
-    name."""
+    big-endian header walk, annotation skip, mu-law/A-law expansion
+    through the REAL G.711 transform, big-endian PCM16 byteswap, or IEEE
+    big-endian float32/float64 (encodings 6/7) scaled to int16 by
+    round-half-away(v * 32768) with clipping. The remaining unsupported
+    encodings (8-bit PCM 2, 24/32-bit PCM 4/5, G.721/G.723 ADPCM 23-26)
+    raise by name."""
     import struct
 
     import numpy as np
@@ -5602,9 +5678,27 @@ def _decode_au(payload: bytes) -> dict:
             "n_channels": 1, "sample_width": 2, "frame_rate": rate,
             "n_frames": len(pcm), "pcm": pcm.tobytes(), "codec": "pcm_s16be",
         }
+    if enc in (_AU_FLOAT32, _AU_FLOAT64):
+        width = 4 if enc == _AU_FLOAT32 else 8
+        if len(data) % width:
+            raise ValueError("AU float data not a whole number of samples")
+        f = np.frombuffer(data, ">f4" if width == 4 else ">f8").astype(np.float64)
+        if not np.isfinite(f).all():
+            raise ValueError("non-finite AU float sample")
+        # nominal [-1, 1) range -> int16: scale by 2**15, round half away
+        # from zero (the G.711 convention used throughout), clip to int16
+        scaled = f * 32768.0
+        pcm = np.clip(
+            np.sign(scaled) * np.floor(np.abs(scaled) + 0.5), -32768, 32767
+        ).astype(np.int16)
+        return {
+            "n_channels": 1, "sample_width": 2, "frame_rate": rate,
+            "n_frames": len(pcm), "pcm": pcm.tobytes(),
+            "codec": "pcm_f32be" if width == 4 else "pcm_f64be",
+        }
     raise ValueError(
-        f"AU encoding {enc} (e.g. float/ADPCM-in-AU) requires external "
-        "media libraries (SURVEY §2.10 U1/U2)"
+        f"AU encoding {enc} (8/24/32-bit PCM or G.72x ADPCM-in-AU) "
+        "requires external media libraries (SURVEY §2.10 U1/U2)"
     )
 
 
@@ -5613,7 +5707,7 @@ def _decode_au(payload: bytes) -> dict:
     oracle="""
     WITH samp AS (
         SELECT d.doc_id AS doc_id,
-               CASE WHEN d.doc_id % 2 = 0 THEN
+               CASE WHEN d.doc_id % 4 = 0 THEN
                    -- mu-law expansion of code byte c (u = 255 - c), the
                    -- proven g711_decode_features closed form
                    CASE WHEN (255 - ((13 * d.doc_id + 7 * s.i) % 256)) >= 128
@@ -5629,7 +5723,9 @@ def _decode_au(payload: bytes) -> dict:
                  0, CAST(255 + (d.doc_id % 4) * 64 AS BIGINT))) AS i) s
     )
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'pcm_s16be' END AS codec,
+           CASE CAST(doc_id % 4 AS INTEGER)
+                WHEN 0 THEN 'ulaw' WHEN 1 THEN 'pcm_s16be'
+                WHEN 2 THEN 'pcm_f32be' ELSE 'pcm_f64be' END AS codec,
            CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
            CAST(256 + (doc_id % 4) * 64 AS BIGINT) AS n_samples,
            CAST(MAX(ABS(v)) AS BIGINT) AS peak,
@@ -5640,16 +5736,18 @@ def _decode_au(payload: bytes) -> dict:
     """,
 )
 def au_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sun AU container under the differential gate (round 13; registered
-    AFTER the 50-slot evidence window — it enters the driver rotation in
-    r14, and the local sweeps cover it now): even docs carry closed-form
-    mu-law CODE bytes (sweeping the code space) which the oracle expands
-    through the ITU G.711 closed form (sign, segment power, mantissa,
-    bias — the same arithmetic ``_g711_expand`` vectorizes); odd docs
-    carry big-endian PCM16 whose byteswap round-trips exactly. Decoded
-    peak and sum-of-abs hash against the closed forms. Map-only
-    mapInPandas with the same explicit core fan-out as the other decode
-    gates."""
+    """Sun AU container under the differential gate (round 13; float
+    encodings round 14): docs cycle through the four decodable encodings
+    by doc_id % 4 — mu-law CODE bytes (sweeping the code space) which
+    the oracle expands through the ITU G.711 closed form (sign, segment
+    power, mantissa, bias — the same arithmetic ``_g711_expand``
+    vectorizes); big-endian PCM16 whose byteswap round-trips exactly;
+    and IEEE big-endian float32/float64 (AU encodings 6/7) carrying
+    k/32768 values that rescale to the source int16s bit-exactly (every
+    int16/2**15 is float32-representable, so the closed form needs no
+    float modelling). Decoded peak and sum-of-abs hash against the
+    closed forms. Map-only mapInPandas with the same explicit core
+    fan-out as the other decode gates."""
     import numpy as np
 
     docs = (
@@ -5671,7 +5769,7 @@ def au_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n = 256 + (d % 4) * 64
                 sr = 8000 + (d % 3) * 4000
                 i = np.arange(n, dtype=np.int64)
-                if d % 2 == 0:
+                if d % 4 == 0:
                     codes = ((13 * d + 7 * i) % 256).astype(np.uint8)
                     pcm_src = _g711_expand(codes, "ulaw").astype(np.int16)
                     blob = (
@@ -5685,7 +5783,11 @@ def au_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 else:
                     pcm_src = ((11 * d + 5 * i) % 4001 - 2000).astype(np.int16)
-                    blob = encode_au(pcm_src, sample_rate=sr)
+                    blob = encode_au(
+                        pcm_src,
+                        sample_rate=sr,
+                        float_width={1: 0, 2: 4, 3: 8}[d % 4],
+                    )
                 meta = decode_media(blob, "audio")  # REAL AU decode
                 pcm = np.frombuffer(meta["pcm"], "<i2").astype(np.int64)
                 out["doc_id"].append(d)

@@ -80,66 +80,72 @@ def _load_all() -> None:
 
 # Externally-visible enumeration order. External snapshots of the registry
 # truncate to a prefix (50 slots), so the queries that most need fresh
-# differential evidence must enumerate first. Round-13 rotation: the r12
-# window went 50/50 driver-green, so the stalest evidence is now the r6
-# bucket (9 queries, last checked CORRECTNESS_r06) and the r7 bucket (25,
-# last checked r07). The window is:
-# (a) queries added THIS round (never driver-checked; each pre-verified
-#     driver-canon at sf0.01 + hostile-TZ fresh-process mimic before
-#     entering);
-# (b) the full r6 bucket (9); (c) the full r7 bucket (25); (e) the 6
-#     LLM-core anchors (driver-green r12) close the window at exactly 50
-#     (the 10 round-13 additions displaced the r9-bucket head, which now
-#     rotates in r14). Names not listed keep registration order after
-# the listed ones.
+# differential evidence must enumerate first. Round-14 rotation: the r13
+# window went 50/50 driver-green, so the stalest evidence is the three
+# queries registered late in r13 AFTER that window (never driver-checked)
+# and the r9 bucket (44 queries, last checked CORRECTNESS_r09). The window
+# is:
+# (a) the 3 never-driver-checked late-r13 queries;
+# (b) 41 of the 44 r9-bucket queries — the 6 LLM-core anchors (e) are
+#     pinned in every window by tests/test_registry_contract.py, so 3 of
+#     the 44 must wait for r15; the 3 chosen leftovers each have an
+#     in-window same-family sibling exercising the same operator code
+#     (`account_balance_union` ~ `union_source_batches`,
+#     `customer_period_setops` ~ `customer_order_setops_all`,
+#     `approx_distinct_users` ~ `hll_distinct_tokens`/`hll_union_sources`);
+# (e) the 6 LLM-core anchors close the window at exactly 50.
+# Round-14 additions register AFTER the window (the late-r13 precedent:
+# pre-verified driver-canon at sf0.01 + sf0.1 and hostile-TZ fresh-process
+# mimic locally, entering the driver rotation in r15 so they do not
+# displace the stale r9 evidence). Names not listed keep registration
+# order after the listed ones.
 _PRIORITY: list[str] = [
-    # --- (a) added in round 13, never driver-checked ---
-    "knn_ivf_pq",
-    "mp3_decode_features",
-    "purchase_click_attribution",
-    "mp3_stereo_decode_features",
-    "cheapest_supplier_per_part",
-    "widget_revenue_by_nation_year",
-    "brand_size_qty_revenue",
-    "large_quantity_orders",
-    "prototypicality_prune",
-    "tiff_decode_features",
-    # --- (b) last driver green r6 ---
-    "embedding_norm_stats",
-    "lang_distribution",
-    "pii_redaction_scaffold",
-    "pq_reconstruction_stats",
-    "quality_calibration",
-    "semdedup_embedding_clusters",
-    "source_quota_cap",
-    "stratified_doc_sample",
-    "url_domain_stats",
-    # --- (c) last driver green r7 ---
-    "bigram_lm_doc_scores",
-    "bloom_dedup_precheck",
-    "bpe_token_estimate",
-    "countmin_merge_sources",
-    "countmin_token_freq",
-    "curation_funnel",
-    "doc_token_stats",
-    "dup_cluster_size_histogram",
-    "exact_substring_coverage",
-    "hll_distinct_tokens",
-    "hll_union_sources",
-    "incremental_new_docs",
-    "intradoc_repetition",
-    "kmeans_embedding_clusters",
-    "mixture_sampling_plan",
-    "oov_rate_by_source",
-    "quality_percentile_filter",
-    "sequence_packing_plan",
-    "source_dup_rates",
-    "token_budget_selection",
-    "user_rolling_distinct_types",
-    "user_sessions",
-    "user_trailing_window",
-    "user_value_intervals",
-    "weighted_doc_sample_pps",
+    # --- (a) registered late in round 13, never driver-checked ---
+    "au_decode_features",
+    "top_quarter_supplier",
+    "late_shipment_orders_by_priority",
+    # --- (b) last driver green r9 (41 of 44; leftovers noted above) ---
+    "active_user_rollup",
+    "bm25_doc_search",
+    "brand_revenue_by_supplier_nation",
+    "c4_quality_flags",
+    "ccnet_perplexity_buckets",
+    "chunk_dedup_rate",
+    "clicks_before_purchase",
+    "cluster_diversity_sample",
+    "cluster_top_terms",
+    "collect_status_tally",
+    "customer_order_setops_all",
+    "customer_value_quartiles",
+    "customers_with_open_orders",
+    "customers_without_urgent_orders",
+    "dataset_split_assignment",
+    "dedup_keep_selection",
+    "dedup_minhash_ml",
+    "doc_chunk_windows",
+    "dsir_importance_weights",
+    "embedding_principal_component",
+    "eta_formatting",
+    "event_daily_anomalies",
+    "event_hourly_gapfill",
+    "event_value_approx_percentiles",
+    "frequent_tokens_sketch",
+    "gopher_quality_flags",
+    "histogram_quantile_sketch",
+    "hll_rolling_active_users",
+    "knn_ivf_kmeans",
+    "meta_map_ops",
+    "minhash_lsh_quality",
+    "nation_pair_volume",
+    "orders_merge_upsert",
+    "path_ops",
+    "referential_integrity_audit",
+    "regional_supplier_revenue",
+    "table_profile",
+    "text_encoding_audit",
+    "union_source_batches",
+    "url_canonical_dedup",
+    "user_retention_cohorts",
     # --- (e) LLM-core anchors (stay in every window; workflow rule
     #     pinned by tests/test_registry_contract.py) ---
     "dedup_minhash_lsh",
@@ -149,15 +155,11 @@ _PRIORITY: list[str] = [
     "contamination_overlap",
     "doc_quality",
 ]
-# Round-13 state: if this window goes driver-green, no query's evidence is
-# older than r9, and the stalest remaining is `au_decode_features` and
-# `top_quarter_supplier` / `late_shipment_orders_by_priority`
-# (added late in r13, deliberately AFTER the window
-# so they would not displace the stale r6/r7 evidence; locally
-# sweep-green at both scales) plus
-# the r9-bucket tail (account_balance_union ... user_retention_cohorts,
-# 44 queries) — head the r14 window with them plus any r14 additions; the
-# r10 bucket (44) follows.
+# Round-14 state: if this window goes driver-green, the stalest remaining
+# evidence is the 3 r9 leftovers named above plus any round-14 additions
+# (registered after the window; locally sweep-green at both scales) — head
+# the r15 window with those, then the r10 bucket (44 queries,
+# `asof_order_context` ... `winnowing_fingerprints`) follows.
 
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -281,6 +281,13 @@ def real_download_and_stt(
         ydl = _REAL_ENGINES[key]
         out = []
         for url, vid in zip(pdf["url"], pdf["video_id"]):
+            # mirror real_transcript_fetch: a row whose URL yielded no
+            # video id routes to an error row up front — otherwise
+            # vid.encode() below would raise AFTER a successful
+            # download+STT and fail the whole Spark task
+            if vid is None or (isinstance(vid, float) and pd.isna(vid)):
+                out.append((url, vid, None, None, None, "ERR_NO_ID"))
+                continue
             try:
                 info = ydl.extract_info(url, download=True)
                 path = ydl.prepare_filename(info)

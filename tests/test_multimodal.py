@@ -3001,14 +3001,29 @@ def test_au_container_roundtrip_and_cross_container_content_key():
         encode_au((sig // 2).astype(np.int16), ulaw=True)
     )
 
+    # float32/float64 AU (encodings 6/7, round 14): k/32768 samples
+    # rescale to the source int16s bit-exactly, and the content key folds
+    # a float re-encode of the same audio into the PCM16 identity
+    for width in (4, 8):
+        mf = decode_media(encode_au(sig, sample_rate=8000, float_width=width), "audio")
+        assert mf["codec"] == ("pcm_f32be" if width == 4 else "pcm_f64be")
+        assert np.array_equal(np.frombuffer(mf["pcm"], "<i2"), sig)
+        assert audio_content_key(
+            encode_au(sig, sample_rate=8000, float_width=width)
+        ) == audio_content_key(encode_au(sig, sample_rate=8000))
+
     with pytest.raises(ValueError, match="magic"):
         _decode_au(b"FORM....")
     with pytest.raises(ValueError, match="truncated AU data"):
         _decode_au(encode_au(sig)[:-10])
     blob = bytearray(encode_au(sig))
-    blob[15] = 6  # 32-bit float encoding id: genuinely unsupported
-    with pytest.raises(ValueError, match="AU encoding 6"):
+    blob[15] = 4  # 24-bit PCM encoding id: genuinely unsupported
+    with pytest.raises(ValueError, match="AU encoding 4"):
         _decode_au(bytes(blob))
+    fblob = bytearray(encode_au(sig, float_width=4))
+    fblob[24:28] = b"\x7f\xc0\x00\x00"  # NaN sample
+    with pytest.raises(ValueError, match="non-finite"):
+        _decode_au(bytes(fblob))
 
 
 def test_g711_alaw_compress_exact_involution_and_au_alaw():
