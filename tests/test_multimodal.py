@@ -2770,13 +2770,135 @@ def test_mp3_imdct_overlap_add_reconstructs():
         assert math.isclose(recon[n], 9.0 * x[18 + n], rel_tol=1e-9, abs_tol=1e-9)
 
 
-def test_mp3_synthesis_window_is_a_named_seam():
-    import pytest
+def test_mp3_synthesis_prototype_invariants():
+    """The derived polyphase prototype (NOT the Table B.3 literal — see
+    the _MP3_SYNTH_PROTO stance comment) satisfies the three properties
+    the MPEG filterbank structure requires: linear-phase symmetry about
+    tap 256, power complementarity |H(w)|^2 + |H(pi/32-w)|^2 = 1 across
+    the channel band, and a deep stopband beyond 1.18*pi/32 (where
+    non-adjacent alias images land)."""
+    import numpy as np
 
-    from input_data_pipeline_spark.operators.multimodal import mp3_synthesize_pcm
+    from input_data_pipeline_spark.operators.multimodal import _MP3_SYNTH_PROTO
 
-    with pytest.raises(NotImplementedError, match="Table B.3"):
-        mp3_synthesize_pcm([[0.0] * 32] * 18)
+    h = np.asarray(_MP3_SYNTH_PROTO)
+    assert h.shape == (512,)
+    assert np.allclose(h[257:], h[255:0:-1], atol=1e-15)  # symmetric
+    n = np.arange(512.0)
+
+    def amp(ws):
+        return np.cos((n[None, :] - 256.0) * np.asarray(ws)[:, None]) @ h
+
+    w = np.linspace(0, np.pi / 32, 300)
+    pc = amp(w) ** 2 + amp(np.pi / 32 - w) ** 2
+    assert np.max(np.abs(pc - 1.0)) < 5e-5
+    sb = amp(np.linspace(1.2 * np.pi / 32, np.pi, 1500))
+    assert np.max(np.abs(sb)) < 5e-5
+
+
+def test_mp3_analysis_synthesis_roundtrip_is_int16_exact():
+    """Analysis -> synthesis reconstructs with the standard 481-sample
+    delay at unity gain; the residual (~1e-5 relative) vanishes under
+    round-to-nearest int16 — the property the PCM differential gate
+    hashes. DC passes at unity."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        mp3_analysis_filterbank,
+        mp3_synthesize_pcm,
+    )
+
+    i = np.arange(32 * 70, dtype=np.int64)
+    x = ((11 * 3 + 5 * i) % 4001 - 2000).astype(np.float64)
+    svecs, st = mp3_analysis_filterbank(x)
+    # drain the 481-sample cascade delay: 16 more analysis steps of zero
+    # INPUT (the x FIFO still holds signal), then synthesize everything
+    tail, _ = mp3_analysis_filterbank(np.zeros(512), st)
+    y, _ = mp3_synthesize_pcm(list(svecs) + list(tail))
+    aligned = y[481: 481 + len(x)]
+    assert np.max(np.abs(aligned - x)) < 0.5
+    assert np.array_equal(np.rint(aligned).astype(np.int64), x.astype(np.int64))
+    dc, _ = mp3_analysis_filterbank(np.ones(32 * 40))
+    yd, _ = mp3_synthesize_pcm(dc)
+    assert np.max(np.abs(yd[481 + 600: 481 + 664] - 1.0)) < 1e-5
+
+
+def test_mp3_full_chain_energy_constants():
+    """decode_mp3_to_pcm: granules -> xr -> alias reduce -> IMDCT/OLA ->
+    polyphase synthesis. With silent edge granules the chain's energy
+    constant is exact: E_pcm = 1152 * (E_xr_long + E_xr_short / 3) — the
+    long and short IMDCT atoms differ by exactly 3x in norm^2 (36- vs
+    12-point kernels), alias butterflies are rotations, MS is a
+    rotation, and the synthesis bank is unity-gain to the NPR ripple."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_mp3_l3,
+        decode_mp3_to_pcm,
+        encode_mp3_l3,
+    )
+
+    def silent(bt=0):
+        s = {"is": [0] * 576, "global_gain": 210, "scalefac": [0] * 21,
+             "big_values": 0, "scalefac_scale": 1}
+        if bt:
+            s["block_type"] = bt
+            s["subblock_gain"] = [0, 0, 0]
+            if bt == 2:
+                s["scalefac_s"] = [[0] * 3 for _ in range(12)]
+        return s
+
+    def short_spec(d, mixed=False):
+        is_vals = [0] * 576
+        for i in range(0, 300, 7):
+            is_vals[i] = 1 if (i // 7 + d) % 2 == 0 else -1
+        return {"is": is_vals, "global_gain": 210 + 4 * (d % 8),
+                "scalefac": [(d + b) % 2 for b in range(21)],
+                "scalefac_s": [[(d + s + w) % 4 for w in range(3)] for s in range(12)],
+                "big_values": 150, "block_type": 2,
+                "mixed_block_flag": 1 if mixed else 0,
+                "subblock_gain": [d % 3, (d + 1) % 3, 0],
+                "scalefac_compress": 15, "scalefac_scale": 1}
+
+    def long_spec(d, bt=0):
+        is_vals = [0] * 576
+        for i in range(0, 576, 13):
+            is_vals[i] = 1 if (i // 13 + d) % 2 == 0 else -1
+        sp = {"is": is_vals, "global_gain": 214,
+              "scalefac": [(d + b) % 4 for b in range(21)],
+              "big_values": 287, "scalefac_scale": 1, "scalefac_compress": 15}
+        if bt:
+            sp["block_type"] = bt
+            sp["subblock_gain"] = [0, 0, 0]
+        return sp
+
+    def ratio(specs, mode="mono", mixed_split=False):
+        blob = encode_mp3_l3(specs, mode=mode)
+        m = _decode_mp3_l3(blob)
+        out = decode_mp3_to_pcm(blob)
+        e_pcm = sum(float(np.sum(p * p)) for p in out["pcm_f"])
+        if mixed_split:
+            e_long = sum(sum(v * v for v in g.xr[:36]) for g in m["granules"])
+            e_short = sum(sum(v * v for v in g.xr[36:]) for g in m["granules"])
+            return e_pcm / (1152.0 * (e_long + e_short / 3.0))
+        e_xr = sum(v * v for g in m["granules"] for v in g.xr)
+        return e_pcm / (1152.0 * e_xr)
+
+    # long mono
+    assert abs(ratio([silent(), long_spec(1), long_spec(2), silent()]) - 1.0) < 1e-5
+    # pure short (constant 1/3 folded in)
+    r = ratio([silent(2), short_spec(1), short_spec(2), silent(2)])
+    assert abs(r - 1.0 / 3.0) < 1e-5
+    # mixed splits long/short parts exactly
+    r = ratio([silent(2), short_spec(1, True), short_spec(2, True), silent(2)],
+              mixed_split=True)
+    assert abs(r - 1.0) < 1e-5
+    # MS stereo is a rotation: L/R energy equals M/S energy
+    specs = []
+    for m_, s_ in [(silent(), silent()), (long_spec(1), long_spec(4)),
+                   (long_spec(2), long_spec(5)), (silent(), silent())]:
+        specs.extend([m_, s_])
+    assert abs(ratio(specs, mode="ms_stereo") - 1.0) < 1e-5
 
 
 def test_mp3_l3_streams_walk_through_the_probe():
