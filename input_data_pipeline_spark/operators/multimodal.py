@@ -5620,6 +5620,363 @@ def mp3_stereo_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, schema).orderBy("doc_id")
 
 
+# Short-band boundary tables as DuckDB list literals (1-indexed in SQL).
+_MP3Q_SB_SQL = "[0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192]"
+_MP3Q_SB3_SQL = "[0, 12, 24, 36, 48, 66, 90, 120, 156, 198, 252, 318, 408]"
+_MP3Q_LB_SQL = (
+    "[0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110, 134, "
+    "162, 196, 238, 288, 342, 418, 576]"
+)
+
+
+@register(
+    "mp3_shortblock_decode_features",
+    oracle=f"""
+    WITH lines AS (
+        SELECT d.doc_id AS doc_id, g.gi AS gi, 7 * j.j AS i, j.j AS j,
+               (d.doc_id % 2 = 1) AS mixed
+        FROM documents d,
+             LATERAL (SELECT unnest(range(0, 2)) AS gi) g,
+             LATERAL (SELECT unnest(range(0, 43)) AS j) j
+    ), m1 AS (
+        SELECT *,
+               len(list_filter({_MP3Q_SB3_SQL}, b -> b <= i)) AS sfbn,
+               len(list_filter({_MP3Q_LB_SQL}, b -> b <= i)) AS lbn
+        FROM lines
+    ), m2 AS (
+        SELECT *, sfbn - 1 AS sfb0,
+               ({_MP3Q_SB_SQL})[sfbn] AS s_lo,
+               ({_MP3Q_SB_SQL})[sfbn + 1] - ({_MP3Q_SB_SQL})[sfbn] AS width
+        FROM m1
+    ), m3 AS (
+        SELECT *, (i - 3 * s_lo) // width AS win FROM m2
+    ), mapped AS (
+        SELECT doc_id, gi, i, j, mixed,
+               CASE WHEN mixed AND i < 36 THEN CAST(i AS BIGINT)
+                    ELSE 18 * ((s_lo + i - 3 * s_lo - win * width) // 6)
+                         + 6 * win
+                         + ((s_lo + i - 3 * s_lo - win * width) % 6)
+               END AS ri,
+               CASE WHEN mixed AND i < 36 THEN
+                    3 + (doc_id + gi) % 5 - (doc_id + gi + lbn - 1) % 2
+                    ELSE
+                    3 + (doc_id + gi) % 5
+                      - 2 * (CASE win WHEN 0 THEN doc_id % 2
+                                      WHEN 1 THEN (doc_id + gi + 1) % 2
+                                      ELSE gi % 2 END)
+                      - (doc_id + gi + sfb0 + win) % 2
+               END AS e,
+               ((j + doc_id + gi) % 2 = 1) AS neg
+        FROM m3
+    )
+    SELECT doc_id,
+           (doc_id % 2 = 1) AS mixed,
+           CAST(COUNT(*) AS BIGINT) AS nonzero_lines,
+           CAST(SUM(CASE WHEN neg THEN 1 ELSE 0 END) AS BIGINT) AS neg_lines,
+           CAST(2 * 210 + 4 * (3 + doc_id % 5) + 4 * (3 + (doc_id + 1) % 5)
+                AS BIGINT) AS gg_sum,
+           CAST(SUM(ri + 1) AS BIGINT) AS pos_weight,
+           CAST(ROUND(1000000 * SUM(POWER(4.0, e))) AS BIGINT) AS energy_micros
+    FROM mapped
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def mp3_shortblock_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 SHORT/MIXED blocks under the differential gate (round 14).
+    Every doc carries one frame of two short-block granules (odd docs
+    mixed: coded lines 0-35 stay long scalefactor bands); nonzero coded
+    lines at every 7th position through line 294 carry closed-form
+    signs, short scalefactors, per-window subblock gains and global
+    gains, all with exponents pinned >= 0 so xr energy times 1e6 is an
+    exact integer. The oracle recomputes, per coded line, the Table B.8
+    short-band lookup, the window index, the §2.4.3.4.1 short-block
+    exponent (global_gain - 8*subblock_gain[win], scalefactor, no
+    pretab) AND the §2.4.3.4.8 reorder destination 18*(f//6) + 6*win +
+    f%6 — so the hash pins the reorder permutation (``pos_weight``), the
+    requantization (``energy_micros``), and the entropy layer
+    (``nonzero_lines``/``neg_lines``/``gg_sum``) against the REAL
+    decoder. Map-only mapInPandas with the standard core fan-out."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def granule_spec(d: int, gi: int, mixed: bool) -> dict:
+            is_vals = [0] * 576
+            for j in range(43):
+                is_vals[7 * j] = -1 if (j + d + gi) % 2 else 1
+            return {
+                "is": is_vals,
+                "global_gain": 210 + 4 * (3 + (d + gi) % 5),
+                "scalefac": [(d + gi + b) % 2 for b in range(21)],
+                "scalefac_s": [
+                    [(d + gi + sfb + w) % 2 for w in range(3)]
+                    for sfb in range(12)
+                ],
+                "big_values": 150,
+                "block_type": 2,
+                "mixed_block_flag": 1 if mixed else 0,
+                "subblock_gain": [d % 2, (d + gi + 1) % 2, gi % 2],
+                "scalefac_compress": 5,
+                "scalefac_scale": 1,
+            }
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "mixed": [], "nonzero_lines": [],
+                "neg_lines": [], "gg_sum": [], "pos_weight": [],
+                "energy_micros": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                mixed = d % 2 == 1
+                blob = encode_mp3_l3(
+                    [granule_spec(d, gi, mixed) for gi in range(2)]
+                )
+                m = _decode_mp3_l3(blob)  # REAL short-block decode
+                nz = neg = gg = posw = 0
+                energy = 0.0
+                for g in m["granules"]:
+                    nz += sum(1 for v in g.is_vals if v)
+                    neg += sum(1 for v in g.is_vals if v < 0)
+                    gg += g.global_gain
+                    posw += sum(ri + 1 for ri, v in enumerate(g.xr) if v)
+                    energy += sum(x * x for x in g.xr)
+                out["doc_id"].append(d)
+                out["mixed"].append(mixed)
+                out["nonzero_lines"].append(nz)
+                out["neg_lines"].append(neg)
+                out["gg_sum"].append(gg)
+                out["pos_weight"].append(posw)
+                out["energy_micros"].append(int(round(1_000_000 * energy)))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, mixed boolean, nonzero_lines long, neg_lines long, "
+        "gg_sum long, pos_weight long, energy_micros long"
+    )
+    return docs.mapInPandas(run, schema).orderBy("doc_id")
+
+
+@register(
+    "mp3_pcm_decode_features",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id AS d, CAST(doc_id % 4 AS INTEGER) AS v,
+               7 + doc_id % 5 AS st, 7 + (doc_id + 2) % 5 AS st2
+        FROM documents
+    ), ch0_raw AS (
+        SELECT b.d, b.v, g.gi, l.i
+        FROM base b,
+             LATERAL (SELECT unnest(range(0, 2)) AS gi) g,
+             LATERAL (SELECT unnest(range(0, 480)) AS i) l
+        WHERE l.i % b.st = 0 AND l.i < CASE WHEN b.v = 1 THEN 300 ELSE 480 END
+    ), ch0 AS (
+        SELECT d, v, gi, i,
+               len(list_filter({_MP3Q_LB_SQL}, x -> x <= i)) AS lbn
+        FROM ch0_raw
+    ), e0 AS (
+        -- intensity halves band energy where is_pos = 3 (tan(pi/4) = 1);
+        -- the last band (21) has no scalefactor and copies band 20's is_pos
+        SELECT d,
+               SUM(CASE WHEN v = 3 AND i >= 36
+                         AND (d + gi + LEAST(lbn - 1, 20)) % 4 = 1
+                        THEN 0.5 ELSE 1.0 END
+                   * POWER(4.0, (d + gi) % 6)) AS energy
+        FROM ch0 GROUP BY d
+    ), ch1 AS (
+        SELECT b.d,
+               CASE WHEN b.v = 2 THEN POWER(4.0, (b.d + g.gi + 3) % 6)
+                    ELSE POWER(4.0, (b.d + g.gi + 1) % 6) END AS p
+        FROM base b,
+             LATERAL (SELECT unnest(range(0, 2)) AS gi) g,
+             LATERAL (SELECT unnest(range(0, 480)) AS i) l
+        WHERE (b.v = 2 AND l.i % b.st2 = 3 AND l.i < 480)
+           OR (b.v = 3 AND l.i % 5 = 0 AND l.i < 36)
+    ), e1 AS (
+        SELECT d, SUM(p) AS energy FROM ch1 GROUP BY d
+    ), rt AS (
+        SELECT d.doc_id AS d,
+               CAST(MAX(ABS((11 * d.doc_id + 5 * s.i) % 4001 - 2000))
+                    AS BIGINT) AS rt_peak,
+               CAST(SUM(ABS((11 * d.doc_id + 5 * s.i) % 4001 - 2000))
+                    AS BIGINT) AS rt_sum_abs
+        FROM documents d,
+             LATERAL (SELECT unnest(range(
+                 0, 1024 + 32 * (d.doc_id % 4))) AS i) s
+        GROUP BY d.doc_id
+    )
+    SELECT b.d AS doc_id,
+           CASE b.v WHEN 0 THEN 'long'
+                    WHEN 1 THEN (CASE WHEN b.d % 8 = 5
+                                      THEN 'short_mixed' ELSE 'short' END)
+                    WHEN 2 THEN 'ms' ELSE 'intensity' END AS variant,
+           CAST(CASE WHEN b.v >= 2 THEN 2 ELSE 1 END AS BIGINT) AS n_channels,
+           CAST(CASE WHEN b.v = 1 THEN 3 ELSE 2 END AS BIGINT) AS n_frames,
+           CAST(CASE WHEN b.v = 1 THEN 3 ELSE 2 END * 1152 + 512
+                AS BIGINT) AS n_samples,
+           CAST(ROUND(1000000 * (e0.energy + COALESCE(e1.energy, 0)))
+                AS BIGINT) AS xr_energy_micros,
+           CAST(1000 AS BIGINT) AS chain_energy_milli,
+           rt.rt_peak, rt.rt_sum_abs
+    FROM base b
+    JOIN e0 ON e0.d = b.d
+    LEFT JOIN e1 ON e1.d = b.d
+    JOIN rt ON rt.d = b.d
+    ORDER BY doc_id
+    """,
+)
+def mp3_pcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 decode ALL THE WAY TO PCM under the differential gate (round
+    14; closes the polyphase seam named in rounds 12-13). Docs rotate
+    four stream shapes — long mono, short (every eighth doc mixed) with
+    a spec-legal long/start/short/stop/long window sequence, MS stereo,
+    and intensity stereo — with silent edge granules so the chain's
+    energy identity is exact: E_pcm = 1152 * (E_xr_long + E_xr_short/3)
+    (IMDCT atom norms; alias butterflies and MS are rotations; the
+    polyphase bank is unity-gain to its ~1e-5 NPR ripple).
+    ``chain_energy_milli`` hashes that identity per doc (1000 = within
+    0.05%); ``xr_energy_micros`` is the exact closed-form spectrum
+    energy the oracle recomputes (exponents pinned >= 0, intensity
+    halves where tan(is_pos*pi/12) = 1); ``rt_peak``/``rt_sum_abs``
+    drive a SECOND chain — closed-form int16 PCM through the in-repo
+    ANALYSIS filterbank then :func:`mp3_synthesize_pcm` — whose
+    481-sample-delay reconstruction is exact under round-to-nearest, so
+    any synthesis indexing error breaks the hash. Map-only mapInPandas
+    with the standard core fan-out."""
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def silent(bt: int = 0) -> dict:
+            s = {"is": [0] * 576, "global_gain": 210, "scalefac": [0] * 21,
+                 "big_values": 0, "scalefac_scale": 1, "scalefac_compress": 0}
+            if bt:
+                s["block_type"] = bt
+                s["subblock_gain"] = [0, 0, 0]
+                if bt == 2:
+                    s["scalefac_s"] = [[0] * 3 for _ in range(12)]
+            return s
+
+        def active(d: int, gi: int, st: int, lim: int, bv: int,
+                   exp_shift: int = 0, phase: int = 0) -> dict:
+            is_vals = [0] * 576
+            for i in range(phase, lim, st):
+                is_vals[i] = 1 if (i // st + d + gi) % 2 == 0 else -1
+            return {"is": is_vals,
+                    "global_gain": 210 + 4 * ((d + gi + exp_shift) % 6),
+                    "scalefac": [0] * 21, "big_values": bv,
+                    "scalefac_scale": 1, "scalefac_compress": 0}
+
+        def short_active(d: int, gi: int, st: int, mixed: bool) -> dict:
+            s = active(d, gi, st, 300, 150)
+            s["block_type"] = 2
+            s["mixed_block_flag"] = 1 if mixed else 0
+            s["subblock_gain"] = [0, 0, 0]
+            s["scalefac_s"] = [[0] * 3 for _ in range(12)]
+            return s
+
+        def intensity_right(d: int, gi: int) -> dict:
+            s = active(d, gi, 5, 36, 18, exp_shift=1)
+            s["scalefac_compress"] = 15
+            s["scalefac"] = [0] * 8 + [
+                [0, 3, 6, 7][(d + gi + b) % 4] for b in range(8, 21)
+            ]
+            return s
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "variant": [], "n_channels": [],
+                "n_frames": [], "n_samples": [], "xr_energy_micros": [],
+                "chain_energy_milli": [], "rt_peak": [], "rt_sum_abs": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                v = d % 4
+                st = 7 + d % 5
+                st2 = 7 + (d + 2) % 5
+                if v == 0:
+                    variant, mode = "long", "mono"
+                    specs = [silent(), active(d, 0, st, 480, 240),
+                             active(d, 1, st, 480, 240), silent()]
+                elif v == 1:
+                    mixed = d % 8 == 5
+                    variant, mode = ("short_mixed" if mixed else "short"), "mono"
+                    specs = [silent(), silent(1),
+                             short_active(d, 0, st, mixed),
+                             short_active(d, 1, st, mixed),
+                             silent(3), silent()]
+                elif v == 2:
+                    variant, mode = "ms", "ms_stereo"
+                    specs = [silent(), silent(),
+                             active(d, 0, st, 480, 240),
+                             active(d, 0, st2, 480, 240, exp_shift=3, phase=3),
+                             active(d, 1, st, 480, 240),
+                             active(d, 1, st2, 480, 240, exp_shift=3, phase=3),
+                             silent(), silent()]
+                else:
+                    variant, mode = "intensity", "intensity_stereo"
+                    specs = [silent(), silent(),
+                             active(d, 0, st, 480, 240), intensity_right(d, 0),
+                             active(d, 1, st, 480, 240), intensity_right(d, 1),
+                             silent(), silent()]
+                blob = encode_mp3_l3(specs, mode=mode)
+                m = _decode_mp3_l3(blob)
+                dec = decode_mp3_to_pcm(blob)  # REAL full chain
+                e_xr = 0.0
+                e_weighted = 0.0
+                for g in m["granules"]:
+                    e_g = sum(x * x for x in g.xr)
+                    e_xr += e_g
+                    if g.block_type == 2 and g.mixed_block_flag:
+                        e_long = sum(x * x for x in g.xr[:36])
+                        e_weighted += e_long + (e_g - e_long) / 3.0
+                    elif g.block_type == 2:
+                        e_weighted += e_g / 3.0
+                    else:
+                        e_weighted += e_g
+                e_pcm = sum(float(np.sum(p * p)) for p in dec["pcm_f"])
+                # roundtrip: closed-form int16 PCM -> analysis -> synthesis
+                n_rt = 1024 + 32 * (d % 4)
+                i = np.arange(n_rt, dtype=np.int64)
+                x = ((11 * d + 5 * i) % 4001 - 2000).astype(np.float64)
+                svecs, fb_state = mp3_analysis_filterbank(x)
+                tail, _ = mp3_analysis_filterbank(np.zeros(512), fb_state)
+                y, _ = mp3_synthesize_pcm(list(svecs) + list(tail))
+                r = np.rint(y[481: 481 + n_rt]).astype(np.int64)
+                out["doc_id"].append(d)
+                out["variant"].append(variant)
+                out["n_channels"].append(dec["n_channels"])
+                out["n_frames"].append(dec["n_frames"])
+                out["n_samples"].append(len(dec["pcm_f"][0]))
+                out["xr_energy_micros"].append(int(round(1_000_000 * e_xr)))
+                out["chain_energy_milli"].append(
+                    int(round(1000.0 * e_pcm / (1152.0 * e_weighted)))
+                )
+                out["rt_peak"].append(int(np.abs(r).max()))
+                out["rt_sum_abs"].append(int(np.abs(r).sum()))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, variant string, n_channels long, n_frames long, "
+        "n_samples long, xr_energy_micros long, chain_energy_milli long, "
+        "rt_peak long, rt_sum_abs long"
+    )
+    return docs.mapInPandas(run, schema).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # TIFF baseline (TIFF 6.0): uncompressed + PackBits, II and MM byte orders
 # — round 13

@@ -156,9 +156,12 @@ _PRIORITY: list[str] = [
     "doc_quality",
 ]
 # Round-14 state: if this window goes driver-green, the stalest remaining
-# evidence is the 3 r9 leftovers named above plus any round-14 additions
-# (registered after the window; locally sweep-green at both scales) — head
-# the r15 window with those, then the r10 bucket (44 queries,
+# evidence is the 3 r9 leftovers named above plus the round-14 additions
+# (registered after the window, each pre-verified driver-canon at sf0.01 +
+# sf0.1 and under the hostile-TZ fresh-process mimic:
+# `mp3_shortblock_decode_features`, `mp3_pcm_decode_features`,
+# `tiff_g4_decode_features`, `cross_codec_audio_dedup`) — head the r15
+# window with those, then the r10 bucket (44 queries,
 # `asof_order_context` ... `winnowing_fingerprints`) follows.
 
 

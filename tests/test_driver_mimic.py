@@ -73,6 +73,9 @@ QUERIES = [
     "top_quarter_supplier",
     "late_shipment_orders_by_priority",
     "au_decode_features",
+    # post-window r14 additions: MP3 short-block and full-PCM-chain gates
+    "mp3_shortblock_decode_features",
+    "mp3_pcm_decode_features",
 ]
 
 
@@ -158,6 +161,8 @@ ANSI_QUERIES = [
     "top_quarter_supplier",
     "late_shipment_orders_by_priority",
     "au_decode_features",
+    "mp3_shortblock_decode_features",
+    "mp3_pcm_decode_features",
 ]
 
 
