@@ -1925,6 +1925,31 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
         return _decode_flac(payload)
     if payload[:4] == b".snd":
         return _decode_au(payload)
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        # MP3 (round 14): full sample decode — entropy layer, IMDCT,
+        # polyphase synthesis — scaled to int16 at the conventional
+        # full-scale 32768 and folded into the uniform PCM contract, so
+        # audio_content_key treats an MP3 like any other container
+        import numpy as np
+
+        dec = decode_mp3_to_pcm(payload)
+        pcm = np.stack(
+            [
+                np.clip(np.rint(p * 32768.0), -32768, 32767)
+                for p in dec["pcm_f"]
+            ],
+            axis=1,
+        ).astype("<i2")
+        return {
+            "n_channels": dec["n_channels"],
+            "sample_width": 2,
+            "frame_rate": dec["sample_rate"],
+            "n_frames": pcm.shape[0],
+            "pcm": pcm.reshape(-1).tobytes(),
+            "codec": "mp3",
+        }
     if (
         len(payload) >= 12
         and payload[:4] == b"RIFF"
@@ -2416,6 +2441,61 @@ def audio_content_key(payload: bytes) -> str:
     )
     h.update(meta["pcm"])
     return h.hexdigest()
+
+
+def audio_robust_key(payload: bytes, segments: int = 32) -> str:
+    """NEAR-DUP content key of an audio payload — the audio analogue of
+    :func:`dhash56`: decode for real (:func:`decode_media`, any
+    supported container incl. MP3), mix to mono by integer average,
+    split into ``segments`` equal time segments (integer floor-map
+    boundaries ``(k*n)//segments``), take each segment's exact int64
+    energy sum, and hash the segments-1 adjacent-energy comparison bits
+    plus the sample rate. Two encodings of the SAME audio whose decoded
+    PCM differs only by small coding error (an MP3 and the WAV it was
+    ripped to, a lightly dithered re-master) collapse to one key — the
+    lossy-codec folding the reference gets by normalizing everything
+    through ffmpeg first (inputs/speech_to_text.py:24-26) — while
+    material with a different loudness CONTOUR separates. Two
+    stability guards keep coding error out of the bits: segments below
+    1e-4 of the stream energy clamp to zero (coding noise in silence
+    never manufactures a contour), and a comparison only fires above a
+    30% dead band (near-equal segments read as flat both before and
+    after a re-encode). Stationary material — a constant test tone —
+    therefore keys by its energy ORDER of magnitude, not its fine
+    structure: this is a contour key, not a fingerprint. Deterministic:
+    integer energies, integer thresholds."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    meta = decode_media(payload, "audio")
+    x = np.frombuffer(meta["pcm"], "<i2").astype(np.int64)
+    n_ch = meta["n_channels"]
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).sum(axis=1) // n_ch
+    n = len(x)
+    if n < segments:
+        x = np.concatenate([x, np.zeros(segments - n, np.int64)])
+        n = segments
+    bounds = (np.arange(segments + 1, dtype=np.int64) * n) // segments
+    e = np.add.reduceat(x * x, bounds[:-1]).astype(object)  # exact ints
+    total = int(sum(int(v) for v in e))
+    floor = total // 10_000
+    eq = [0 if int(v) <= floor else int(v) for v in e]
+    bits = 0
+    for k in range(segments - 1):
+        # dead-banded comparison: 10*e[k] > 13*e[k+1] is the exact-integer
+        # form of e[k] > 1.3*e[k+1]
+        if 10 * eq[k] > 13 * eq[k + 1]:
+            bits |= 1 << k
+    # the coarse loudness scale anchors stationary material: bit-length
+    # of mean segment energy (a power-of-4 step per level, far wider
+    # than any re-encode error)
+    scale = (total // segments).bit_length() // 2
+    h = hashlib.sha256()
+    h.update(struct.pack("<IQQ", meta["frame_rate"], bits, scale))
+    return h.hexdigest()[:32]
 
 
 def dhash56(payload: bytes) -> int:
@@ -5975,6 +6055,121 @@ def mp3_pcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rt_peak long, rt_sum_abs long"
     )
     return docs.mapInPandas(run, schema).orderBy("doc_id")
+
+
+@register(
+    "cross_codec_audio_dedup",
+    oracle="""
+    SELECT doc_id,
+           CAST(4 AS BIGINT) AS n_variants,
+           CAST(1 AS BIGINT) AS n_exact_keys,
+           CAST(1 AS BIGINT) AS n_robust_keys,
+           CAST(2816 AS BIGINT) AS n_samples,
+           CAST(2 AS BIGINT) AS probe_frames,
+           CAST(1 AS BIGINT) AS exact_cluster_docs
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def cross_codec_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-CODEC audio dedup (round 14; the reference folds re-encodes
+    by normalizing every upload through ffmpeg to WAV before keying,
+    inputs/speech_to_text.py:24-26 — this is that semantic on the
+    in-repo decoders). Per doc, the same audio ships in FOUR containers
+    — a real MPEG-1 Layer III stream (doc-keyed pseudo-random spectra,
+    full entropy+IMDCT+polyphase decode), the WAV rip of its decoded
+    PCM, a FLAC encode, and a float32 AU — and all four must collapse
+    to ONE :func:`audio_content_key` (sha256 over decoded PCM + playback
+    params: four independent decoders, one identity) and ONE
+    :func:`audio_robust_key`. A groupBy over the exact keys then proves
+    no two DOCS collide (``exact_cluster_docs`` = 1): the line pattern
+    is md5-derived per (doc, granule), so distinct docs carry distinct
+    spectra by construction (a modular-polynomial pattern collides —
+    a quadratic's image mod p covers only the residue classes; the
+    oracle never models the pattern, so the crypto mix costs nothing).
+    The per-doc decode fan-out is map-only; the
+    cross-doc cluster count is one hash-aggregate on a 32-byte key —
+    at 100 TB that is the same shuffle shape as ``dedup_exact``."""
+    import pyspark.sql.functions as F
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def silent() -> dict:
+            return {"is": [0] * 576, "global_gain": 210,
+                    "scalefac": [0] * 21, "big_values": 0,
+                    "scalefac_scale": 1, "scalefac_compress": 0}
+
+        def active(d: int, gi: int, gg: int) -> dict:
+            # md5-derived line pattern: doc-injective by construction (a
+            # modular-polynomial pattern collides — its image mod p only
+            # covers the quadratic residues). The oracle never models the
+            # pattern (its columns are decode-parity constants), so a
+            # cryptographic mix is free here.
+            import hashlib
+
+            seed = hashlib.md5(f"xc:{d}:{gi}".encode()).digest()
+            is_vals = [0] * 576
+            for i in range(480):
+                b = hashlib.md5(seed + i.to_bytes(2, "big")).digest()[0]
+                if b < 64:
+                    is_vals[i] = 1 if b % 2 == 0 else -1
+            return {"is": is_vals, "global_gain": gg,
+                    "scalefac": [0] * 21, "big_values": 240,
+                    "scalefac_scale": 1, "scalefac_compress": 0}
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_variants": [], "n_exact_keys": [],
+                "n_robust_keys": [], "n_samples": [], "probe_frames": [],
+                "exact_key": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                gg = 170 + 4 * (d % 3)
+                mp3 = encode_mp3_l3(
+                    [silent(), active(d, 0, gg), active(d, 1, gg), silent()]
+                )
+                meta = decode_media(mp3, "audio")  # REAL full MP3 decode
+                y = np.frombuffer(meta["pcm"], "<i2")
+                variants = [
+                    mp3,
+                    encode_wav(y, 44100),
+                    encode_flac(y, sample_rate=44100),
+                    encode_au(y, sample_rate=44100, float_width=4),
+                ]
+                ek = [audio_content_key(b) for b in variants]
+                rk = [audio_robust_key(b) for b in variants]
+                out["doc_id"].append(d)
+                out["n_variants"].append(len(variants))
+                out["n_exact_keys"].append(len(set(ek)))
+                out["n_robust_keys"].append(len(set(rk)))
+                out["n_samples"].append(len(y))
+                out["probe_frames"].append(probe_audio(mp3)["n_frames"])
+                out["exact_key"].append(ek[0])
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, n_variants long, n_exact_keys long, "
+        "n_robust_keys long, n_samples long, probe_frames long, "
+        "exact_key string"
+    )
+    keyed = docs.mapInPandas(run, schema)
+    clusters = keyed.groupBy("exact_key").agg(
+        F.count("*").alias("exact_cluster_docs")
+    )
+    return (
+        keyed.join(clusters, "exact_key")
+        .drop("exact_key")
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

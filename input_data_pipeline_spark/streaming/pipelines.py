@@ -583,6 +583,7 @@ def stream_audio_dedup(
     payload_col: str = "payload",
     ts_col: str = "ts",
     watermark: str = "10 minutes",
+    robust: bool = False,
 ) -> DataFrame:
     """Streaming ingest-time audio dedup — completes the multimodal dedup
     matrix next to ``stream_url_dedup`` (text/URL) and
@@ -592,7 +593,11 @@ def stream_audio_dedup(
     params), so re-uploads whose containers differ only in chunk layout,
     padding, or embedded metadata drop via watermark-bounded stateful
     dedup, while any audible difference — including the same G.711 code
-    bytes under the other companding law — survives. Same error-row
+    bytes under the other companding law — survives. ``robust=True``
+    swaps the key to ``multimodal.audio_robust_key`` (round 14): the
+    loudness-contour near-dup key that also folds lossy re-encodes of
+    the same audio (an MP3 next to its WAV rip), matching the
+    reference's decode-then-normalize dedup semantics. Same error-row
     contract as the image face: an undecodable payload gets ``audio_key``
     null + ``decode_err`` and bypasses the dedup key space entirely."""
     import pandas as pd
@@ -600,14 +605,17 @@ def stream_audio_dedup(
 
     from input_data_pipeline_spark.operators.multimodal import (
         audio_content_key,
+        audio_robust_key,
     )
+
+    key_fn = audio_robust_key if robust else audio_content_key
 
     @pandas_udf("struct<audio_key: string, decode_err: string>")
     def key_or_err(payloads: pd.Series) -> pd.DataFrame:
         ks, errs = [], []
         for p in payloads:
             try:
-                ks.append(audio_content_key(bytes(p)))
+                ks.append(key_fn(bytes(p)))
                 errs.append(None)
             except Exception as e:  # error row, never a dead task
                 ks.append(None)

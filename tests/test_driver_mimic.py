@@ -76,6 +76,7 @@ QUERIES = [
     # post-window r14 additions: MP3 short-block and full-PCM-chain gates
     "mp3_shortblock_decode_features",
     "mp3_pcm_decode_features",
+    "cross_codec_audio_dedup",
 ]
 
 
@@ -163,6 +164,7 @@ ANSI_QUERIES = [
     "au_decode_features",
     "mp3_shortblock_decode_features",
     "mp3_pcm_decode_features",
+    "cross_codec_audio_dedup",
 ]
 
 

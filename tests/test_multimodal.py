@@ -3175,3 +3175,76 @@ def test_g711_alaw_compress_exact_involution_and_au_alaw():
         _g711_compress(sig, "alaw").tobytes(), 6, frame_rate=8000
     )
     assert audio_content_key(encode_au(sig, alaw=True)) == audio_content_key(wav)
+
+
+def test_audio_robust_key_folds_near_dups_and_separates_contours():
+    """audio_robust_key (round 14): a lightly dithered re-master of the
+    same audio folds to one key while the exact content key separates;
+    swapping the loudness contour separates the robust key; and the four
+    containers of identical PCM (WAV/FLAC/float-AU/MP3-rip) share both
+    keys — the reference's ffmpeg-normalize folding semantics."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        audio_content_key,
+        audio_robust_key,
+        encode_au,
+        encode_flac,
+        encode_wav,
+    )
+
+    i = np.arange(32 * 256, dtype=np.int64)
+    base = (11 + 5 * i) % 4001 - 2000
+    amp = np.where((i // 256) % 2 == 0, 300, 8000)
+    y = (base * amp // 2000).astype(np.int16)
+    wav = encode_wav(y, 16000)
+
+    y2 = y.astype(np.int64).copy()
+    idx = np.arange(0, len(y2), 97)
+    y2[idx] += np.where(idx % 2 == 0, 1, -1)
+    y2 = np.clip(y2, -32768, 32767).astype(np.int16)
+    assert audio_robust_key(wav) == audio_robust_key(encode_wav(y2, 16000))
+    assert audio_content_key(wav) != audio_content_key(encode_wav(y2, 16000))
+
+    y3 = (base * np.where((i // 256) % 2 == 1, 300, 8000) // 2000).astype(np.int16)
+    assert audio_robust_key(encode_wav(y3, 16000)) != audio_robust_key(wav)
+
+    for blob in (encode_flac(y, sample_rate=16000),
+                 encode_au(y, sample_rate=16000, float_width=4)):
+        assert audio_robust_key(blob) == audio_robust_key(wav)
+        assert audio_content_key(blob) == audio_content_key(wav)
+
+
+def test_mp3_decodes_through_decode_media_and_content_keys_fold():
+    """decode_media routes MP3 through the full sample chain to int16 at
+    the conventional 32768 full scale, so an MP3 and the WAV rip of its
+    decoded PCM share an exact audio_content_key (and the robust key)."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        audio_content_key,
+        audio_robust_key,
+        decode_media,
+        encode_mp3_l3,
+        encode_wav,
+    )
+
+    def silent():
+        return {"is": [0] * 576, "global_gain": 210, "scalefac": [0] * 21,
+                "big_values": 0, "scalefac_scale": 1, "scalefac_compress": 0}
+
+    def active(gi):
+        is_vals = [0] * 576
+        for i in range(0, 480, 7):
+            is_vals[i] = 1 if (i // 7 + gi) % 2 == 0 else -1
+        return {"is": is_vals, "global_gain": 178, "scalefac": [0] * 21,
+                "big_values": 240, "scalefac_scale": 1, "scalefac_compress": 0}
+
+    mp3 = encode_mp3_l3([silent(), active(0), active(1), silent()])
+    meta = decode_media(mp3, "audio")
+    assert meta["codec"] == "mp3" and meta["frame_rate"] == 44100
+    y = np.frombuffer(meta["pcm"], "<i2")
+    assert len(y) == 2 * 1152 + 512  # two frames + filterbank flush
+    wav = encode_wav(y, 44100)
+    assert audio_content_key(mp3) == audio_content_key(wav)
+    assert audio_robust_key(mp3) == audio_robust_key(wav)

@@ -1651,6 +1651,87 @@ def test_stream_audio_dedup_keys_on_decoded_content(spark, tmp_path):
     assert junk.audio_key is None and junk.decode_err
 
 
+def test_stream_audio_dedup_robust_mode_folds_lossy_re_encodes(spark, tmp_path):
+    """Round-14 robust mode: keyed on the loudness-contour near-dup key,
+    a lightly dithered re-master (different PCM bytes — the exact key
+    separates it) arriving in a later micro-batch still drops as a dup,
+    and an MP3 next to the WAV rip of its decoded PCM folds too."""
+    import numpy as np
+    import pandas as pd
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        audio_content_key,
+        encode_mp3_l3,
+        decode_media,
+        encode_wav,
+    )
+    from input_data_pipeline_spark.streaming.pipelines import (
+        run_to_memory,
+        stream_audio_dedup,
+    )
+
+    i = np.arange(32 * 256, dtype=np.int64)
+    base = (11 + 5 * i) % 4001 - 2000
+    amp = np.where((i // 256) % 2 == 0, 300, 8000)
+    y = (base * amp // 2000).astype(np.int16)
+    wav = encode_wav(y, 16000)
+    y2 = y.astype(np.int64).copy()
+    idx = np.arange(0, len(y2), 97)
+    y2[idx] += np.where(idx % 2 == 0, 1, -1)
+    dithered = encode_wav(np.clip(y2, -32768, 32767).astype(np.int16), 16000)
+    assert audio_content_key(dithered) != audio_content_key(wav)
+
+    def sil():
+        return {"is": [0] * 576, "global_gain": 210, "scalefac": [0] * 21,
+                "big_values": 0, "scalefac_scale": 1, "scalefac_compress": 0}
+
+    def act(gi):
+        v = [0] * 576
+        for k in range(0, 480, 7):
+            v[k] = 1 if (k // 7 + gi) % 2 == 0 else -1
+        return {"is": v, "global_gain": 178, "scalefac": [0] * 21,
+                "big_values": 240, "scalefac_scale": 1, "scalefac_compress": 0}
+
+    mp3 = encode_mp3_l3([sil(), act(0), act(1), sil()])
+    rip = encode_wav(
+        np.frombuffer(decode_media(mp3, "audio")["pcm"], "<i2"), 44100
+    )
+
+    src_dir = tmp_path / "audio_robust"
+    src_dir.mkdir()
+
+    def emit(name, rows, t0):
+        pd.DataFrame(
+            {
+                "rec_id": [r[0] for r in rows],
+                "ts": [pd.Timestamp(f"2024-01-01T00:0{t0 + k}:00")
+                       for k in range(len(rows))],
+                "payload": [r[1] for r in rows],
+            }
+        ).to_parquet(src_dir / name, index=False, coerce_timestamps="us",
+                     allow_truncated_timestamps=True)
+
+    emit("b0.parquet", [("orig", wav), ("mp3", mp3)], 0)
+    sdf = spark.readStream.schema(
+        "rec_id string, ts timestamp, payload binary"
+    ).parquet(str(src_dir))
+    name = _unique("audiorobust")
+    q = run_to_memory(
+        stream_audio_dedup(sdf, watermark="1 hour", robust=True), name
+    )
+    try:
+        q.processAllAvailable()
+        emit("b1.parquet", [("dither", dithered), ("rip", rip)], 5)
+        q.processAllAvailable()
+        rows = {r.rec_id: r for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+
+    assert "orig" in rows and "mp3" in rows
+    assert "dither" not in rows  # near-dup of orig under the robust key
+    assert "rip" not in rows     # WAV rip of the MP3's decoded PCM
+
+
 def test_stream_audio_probe_matches_batch(spark, tmp_path):
     """Round-12 streaming face of the audio routing pass: probing an
     audio-blob STREAM yields row-identical results to the batch kernel —
