@@ -6380,16 +6380,52 @@ def _decode_tiff(payload: bytes) -> dict:
     photo = tags.get(262, (3, 1, 2))[2]
     spp = tags.get(277, (3, 1, 3))[2]
     planar = tags.get(284, (3, 1, 1))[2]
-    if photo != 2 or spp != 3:
-        raise ValueError("TIFF decode supports 3-sample RGB (photometric 2)")
     if planar != 1:
         raise ValueError("TIFF planar configuration 2 (planar) unsupported")
+    if comp == 4:
+        # CCITT Group 4 (T.6) bilevel — round 14. Strips reset the 2D
+        # reference line, so each decodes independently.
+        import numpy as np
+
+        if spp != 1 or photo not in (0, 1):
+            raise ValueError(
+                "TIFF G4 decode supports bilevel photometric 0/1 only"
+            )
+        if 258 in tags and arr(258) != [1]:
+            raise ValueError("TIFF G4 requires BitsPerSample 1")
+        rps_g4 = tags.get(278, (4, 1, h))[2] or h
+        offsets, counts = arr(273), arr(279)
+        if len(offsets) != len(counts):
+            raise ValueError("TIFF strip offset/count tables disagree")
+        parts = []
+        for si, (o, c) in enumerate(zip(offsets, counts)):
+            if o + c > len(payload):
+                raise ValueError("truncated TIFF strip")
+            n_rows = min(rps_g4, h - si * rps_g4)
+            parts.append(_g4_decode(payload[o: o + c], w, n_rows))
+        black = np.concatenate(parts, axis=0)
+        if black.shape != (h, w):
+            raise ValueError("TIFF G4 pixel plane incomplete")
+        # photometric 0 (WhiteIsZero, fax convention): G4 black -> dark
+        gray = (
+            (1 - black) * 255 if photo == 0 else black * 255
+        ).astype(np.uint8)
+        bgr = np.repeat(gray[:, :, None], 3, axis=2)
+        return {
+            "width": w,
+            "height": h,
+            "bit_count": 24,
+            "n_pixels": w * h,
+            "pixels": bgr.tobytes(),
+        }
+    if photo != 2 or spp != 3:
+        raise ValueError("TIFF decode supports 3-sample RGB (photometric 2)")
     if 258 in tags and arr(258) != [8, 8, 8]:
         raise ValueError("TIFF decode supports 8-bit samples only")
     if comp not in (1, 5, 8, 32773):
         raise ValueError(
-            f"TIFF compression {comp} (e.g. JPEG-in-TIFF/CCITT) requires "
-            "external media libraries (SURVEY §2.10 U1/U2)"
+            f"TIFF compression {comp} (e.g. JPEG-in-TIFF or CCITT G3) "
+            "requires external media libraries (SURVEY §2.10 U1/U2)"
         )
     predictor = tags.get(317, (3, 1, 1))[2]
     if predictor not in (1, 2):
@@ -6620,6 +6656,415 @@ def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
 # ---------------------------------------------------------------------------
 # Sun AU (.snd) audio container — round 13
 # ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# TIFF CCITT Group 4 (ITU-T T.6 / MMR) — round 14: the scanned-document
+# corpus format. Pure 2D coding: every row is coded against the row above
+# (an imaginary all-white row first) with pass/vertical/horizontal modes;
+# horizontal mode falls back to the T.4 run-length alphabets.
+#
+# DATA STANCE: the T.4 white/black terminating + makeup code tables below
+# are reproduced from the public ITU-T T.4 standard (the same tables every
+# public fax implementation embeds). They are self-checked at import for
+# per-alphabet prefix-freeness — a transposition that broke the prefix
+# property would fail fast — and the differential gate proves encoder ->
+# decoder consistency over all three modes; fidelity of individual rare
+# long-run codewords against third-party encoders is the documented
+# validation boundary (no external fax material ships in this container).
+# ---------------------------------------------------------------------------
+
+_T4_WHITE = {
+    0: "00110101", 1: "000111", 2: "0111", 3: "1000", 4: "1011",
+    5: "1100", 6: "1110", 7: "1111", 8: "10011", 9: "10100",
+    10: "00111", 11: "01000", 12: "001000", 13: "000011", 14: "110100",
+    15: "110101", 16: "101010", 17: "101011", 18: "0100111",
+    19: "0001100", 20: "0001000", 21: "0010111", 22: "0000011",
+    23: "0000100", 24: "0101000", 25: "0101011", 26: "0010011",
+    27: "0100100", 28: "0011000", 29: "00000010", 30: "00000011",
+    31: "00011010", 32: "00011011", 33: "00010010", 34: "00010011",
+    35: "00010100", 36: "00010101", 37: "00010110", 38: "00010111",
+    39: "00101000", 40: "00101001", 41: "00101010", 42: "00101011",
+    43: "00101100", 44: "00101101", 45: "00000100", 46: "00000101",
+    47: "00001010", 48: "00001011", 49: "01010010", 50: "01010011",
+    51: "01010100", 52: "01010101", 53: "00100100", 54: "00100101",
+    55: "01011000", 56: "01011001", 57: "01011010", 58: "01011011",
+    59: "01001010", 60: "01001011", 61: "00110010", 62: "00110011",
+    63: "00110100",
+    64: "11011", 128: "10010", 192: "010111", 256: "0110111",
+    320: "00110110", 384: "00110111", 448: "01100100", 512: "01100101",
+    576: "01101000", 640: "01100111", 704: "011001100", 768: "011001101",
+    832: "011010010", 896: "011010011", 960: "011010100",
+    1024: "011010101", 1088: "011010110", 1152: "011010111",
+    1216: "011011000", 1280: "011011001", 1344: "011011010",
+    1408: "011011011", 1472: "010011000", 1536: "010011001",
+    1600: "010011010", 1664: "011000", 1728: "010011011",
+}
+_T4_BLACK = {
+    0: "0000110111", 1: "010", 2: "11", 3: "10", 4: "011", 5: "0011",
+    6: "0010", 7: "00011", 8: "000101", 9: "000100", 10: "0000100",
+    11: "0000101", 12: "0000111", 13: "00000100", 14: "00000111",
+    15: "000011000", 16: "0000010111", 17: "0000011000",
+    18: "0000001000", 19: "00001100111", 20: "00001101000",
+    21: "00001101100", 22: "00000110111", 23: "00000101000",
+    24: "00000010111", 25: "00000011000", 26: "000011001010",
+    27: "000011001011", 28: "000011001100", 29: "000011001101",
+    30: "000001101000", 31: "000001101001", 32: "000001101010",
+    33: "000001101011", 34: "000011010010", 35: "000011010011",
+    36: "000011010100", 37: "000011010101", 38: "000011010110",
+    39: "000011010111", 40: "000001101100", 41: "000001101101",
+    42: "000011011010", 43: "000011011011", 44: "000001010100",
+    45: "000001010101", 46: "000001010110", 47: "000001010111",
+    48: "000001100100", 49: "000001100101", 50: "000001010010",
+    51: "000001010011", 52: "000000100100", 53: "000000110111",
+    54: "000000111000", 55: "000000100111", 56: "000000101000",
+    57: "000001011000", 58: "000001011001", 59: "000000101011",
+    60: "000000101100", 61: "000001011010", 62: "000001100110",
+    63: "000001100111",
+    64: "0000001111", 128: "000011001000", 192: "000011001001",
+    256: "000001011011", 320: "000000110011", 384: "000000110100",
+    448: "000000110101", 512: "0000001101100", 576: "0000001101101",
+    640: "0000001001010", 704: "0000001001011", 768: "0000001001100",
+    832: "0000001001101", 896: "0000001110010", 960: "0000001110011",
+    1024: "0000001110100", 1088: "0000001110101", 1152: "0000001110110",
+    1216: "0000001110111", 1280: "0000001010010", 1344: "0000001010011",
+    1408: "0000001010100", 1472: "0000001010101", 1536: "0000001011010",
+    1600: "0000001011011", 1664: "0000001100100", 1728: "0000001100101",
+}
+# extended makeup codes 1792-2560 are shared by both alphabets (T.4 §2)
+_T4_EXT = {
+    1792: "00000001000", 1856: "00000001100", 1920: "00000001101",
+    1984: "000000010010", 2048: "000000010011", 2112: "000000010100",
+    2176: "000000010101", 2240: "000000010110", 2304: "000000010111",
+    2368: "000000011100", 2432: "000000011101", 2496: "000000011110",
+    2560: "000000011111",
+}
+# T.6 2D mode codes
+_G4_MODES = {
+    "P": "0001", "H": "001", "V0": "1",
+    "VR1": "011", "VR2": "000011", "VR3": "0000011",
+    "VL1": "010", "VL2": "000010", "VL3": "0000010",
+}
+
+
+def _t4_check_prefix_free() -> None:
+    """Import-time self-check: each run-length alphabet (terminating +
+    makeup + shared extension) and the 2D mode code set are prefix-free."""
+    for name, table in (
+        ("white", {**_T4_WHITE, **_T4_EXT}),
+        ("black", {**_T4_BLACK, **_T4_EXT}),
+        ("modes", _G4_MODES),
+    ):
+        codes = sorted(table.values(), key=len)
+        for a_i, a in enumerate(codes):
+            for b in codes[a_i + 1:]:
+                if b.startswith(a):
+                    raise AssertionError(f"T.4 {name} alphabet not prefix-free: {a} < {b}")
+
+
+_t4_check_prefix_free()
+
+
+def _t4_run_bits(run: int, white: bool) -> str:
+    """T.4 run-length encoding: zero or more makeup codes (largest first)
+    plus exactly one terminating code 0-63."""
+    table = _T4_WHITE if white else _T4_BLACK
+    out = []
+    while run > 2560:
+        out.append(_T4_EXT[2560])
+        run -= 2560
+    if run >= 64:
+        mk = (run // 64) * 64
+        if mk > 1728:
+            out.append(_T4_EXT[mk])
+        else:
+            out.append(table[mk])
+        run -= mk
+    out.append(table[run])
+    return "".join(out)
+
+
+def _row_changes(row) -> list[int]:
+    """Positions where the pixel color changes, per T.4/T.6 convention
+    (position of the first pixel of each new run), terminated by two
+    sentinels at width."""
+    w = len(row)
+    ch = [j for j in range(1, w) if row[j] != row[j - 1]]
+    if w and row[0] != 0:
+        ch.insert(0, 0)
+    ch.extend([w, w])
+    return ch
+
+
+def g4_encode(rows) -> tuple[bytes, dict]:
+    """ITU-T T.6 (Group 4 / MMR) encoder over a bilevel bitmap (iterable
+    of rows; 0 = white, 1 = black). Pure 2D coding against the previous
+    row (imaginary all-white first reference): pass when b2 < a1,
+    vertical when |a1 - b1| <= 3, horizontal (T.4 run alphabets)
+    otherwise — the spec's decision order. Returns (bytes padded to a
+    byte boundary, mode-count dict) so tests can assert all three modes
+    were exercised."""
+    bits: list[str] = []
+    counts = {"P": 0, "H": 0, "V": 0}
+    w = len(rows[0])
+    ref = [0] * w
+    for row in rows:
+        a0 = -1
+        color = 0
+        cur_ch = _row_changes(row)
+        ref_ch = _row_changes(ref)
+        while True:
+            # a1: first change right of a0 with color != current color
+            a1 = w
+            for c in cur_ch:
+                if c > a0 and (c == w or (row[c] != color)):
+                    a1 = c
+                    break
+            # b1: first change on ref line right of a0 changing to !color
+            b1 = w
+            for c in ref_ch:
+                if c > a0 and (c == w or ref[c] != color):
+                    b1 = c
+                    break
+            # b2: next change after b1
+            b2 = w
+            for c in ref_ch:
+                if c > b1:
+                    b2 = c
+                    break
+            if b2 < a1:
+                bits.append(_G4_MODES["P"])
+                counts["P"] += 1
+                a0 = b2
+                continue
+            d = a1 - b1
+            if -3 <= d <= 3:
+                key = "V0" if d == 0 else (f"VR{d}" if d > 0 else f"VL{-d}")
+                bits.append(_G4_MODES[key])
+                counts["V"] += 1
+                a0 = a1
+                color ^= 1
+            else:
+                # horizontal: runs a0a1 (current color), a1a2 (opposite)
+                a2 = w
+                for c in cur_ch:
+                    if c > a1 and (c == w or row[c] == color):
+                        a2 = c
+                        break
+                start = 0 if a0 < 0 else a0
+                bits.append(_G4_MODES["H"])
+                bits.append(_t4_run_bits(a1 - start, white=(color == 0)))
+                bits.append(_t4_run_bits(a2 - a1, white=(color != 0)))
+                counts["H"] += 1
+                a0 = a2
+            if a0 >= w:
+                break
+        ref = row
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    return bytes(int(s[i: i + 8], 2) for i in range(0, len(s), 8)), counts
+
+
+def _g4_decode(data: bytes, width: int, height: int):
+    """ITU-T T.6 decoder: MSB-first bit stream, per-row 2D modes against
+    the previous row, T.4 run alphabets inside horizontal mode. Raises
+    by name on any unrecognized code (never guesses). Returns a
+    height x width numpy uint8 bitmap (1 = black)."""
+    import numpy as np
+
+    mode_dec = {v: k for k, v in _G4_MODES.items()}
+    white_dec = {v: k for k, v in {**_T4_WHITE, **_T4_EXT}.items()}
+    black_dec = {v: k for k, v in {**_T4_BLACK, **_T4_EXT}.items()}
+    bitstr = "".join(f"{b:08b}" for b in data)
+    pos = 0
+
+    def read_code(table: dict, what: str) -> str | int:
+        nonlocal pos
+        for ln in range(1, 14):
+            c = bitstr[pos: pos + ln]
+            if len(c) < ln:
+                raise ValueError(f"G4 bit stream exhausted inside {what}")
+            if c in table:
+                pos += ln
+                return table[c]
+        raise ValueError(f"invalid G4 {what} code at bit {pos}")
+
+    def read_run(white: bool) -> int:
+        total = 0
+        while True:
+            r = read_code(white_dec if white else black_dec, "run")
+            total += r
+            if r < 64:
+                return total
+
+    out = np.zeros((height, width), np.uint8)
+    ref = [0] * width
+    for y in range(height):
+        row = [0] * width
+        a0 = -1
+        color = 0
+        ref_ch = _row_changes(ref)
+        while a0 < width:
+            mode = read_code(mode_dec, "mode")
+            b1 = width
+            for c in ref_ch:
+                if c > a0 and (c == width or ref[c] != color):
+                    b1 = c
+                    break
+            b2 = width
+            for c in ref_ch:
+                if c > b1:
+                    b2 = c
+                    break
+            start = 0 if a0 < 0 else a0
+            if mode == "P":
+                for j in range(start, b2):
+                    row[j] = color
+                a0 = b2
+            elif mode == "H":
+                r1 = read_run(white=(color == 0))
+                r2 = read_run(white=(color != 0))
+                for j in range(start, min(start + r1, width)):
+                    row[j] = color
+                for j in range(start + r1, min(start + r1 + r2, width)):
+                    row[j] = color ^ 1
+                a0 = start + r1 + r2
+            else:
+                d = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
+                     "VL1": -1, "VL2": -2, "VL3": -3}[mode]
+                a1 = b1 + d
+                if a1 < 0 or a1 > width:
+                    raise ValueError("G4 vertical mode escapes the row")
+                for j in range(start, a1):
+                    row[j] = color
+                a0 = a1
+                color ^= 1
+        out[y] = row
+        ref = row
+    return out
+
+
+def encode_tiff_g4(bitmap, big_endian: bool = False,
+                   photometric: int = 0) -> bytes:
+    """Encode a bilevel (h, w) bitmap (1 = black) as a TIFF 6.0 CCITT
+    Group 4 file: compression 4, BitsPerSample 1, SamplesPerPixel 1,
+    photometric 0 (WhiteIsZero, the fax convention) or 1 (inverted),
+    single strip."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(bitmap, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("encode_tiff_g4 wants (h, w) bilevel")
+    h, w = arr.shape
+    rows = (arr if photometric == 0 else 1 - arr).tolist()
+    strip, _ = g4_encode(rows)
+    e = ">" if big_endian else "<"
+    hdr = (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(e + "I", 8)
+    n_tags = 9
+    ifd_size = 2 + 12 * n_tags + 4
+    data_off = 8 + ifd_size
+
+    def tag(tid: int, ttype: int, count: int, value: int) -> bytes:
+        if ttype == 3:
+            return struct.pack(e + "HHIHH", tid, ttype, count, value, 0)
+        return struct.pack(e + "HHII", tid, ttype, count, value)
+
+    ifd = struct.pack(e + "H", n_tags)
+    ifd += tag(256, 4, 1, w)
+    ifd += tag(257, 4, 1, h)
+    ifd += tag(258, 3, 1, 1)             # BitsPerSample 1
+    ifd += tag(259, 3, 1, 4)             # Compression: CCITT T.6
+    ifd += tag(262, 3, 1, photometric)
+    ifd += tag(273, 4, 1, data_off)      # StripOffsets
+    ifd += tag(277, 3, 1, 1)             # SamplesPerPixel
+    ifd += tag(278, 4, 1, h)             # RowsPerStrip
+    ifd += tag(279, 4, 1, len(strip))    # StripByteCounts
+    ifd += struct.pack(e + "I", 0)
+    return hdr + ifd + strip
+
+
+@register(
+    "tiff_g4_decode_features",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(18 + d.doc_id % 13 AS BIGINT) AS width,
+           CAST(10 + d.doc_id % 7 AS BIGINT) AS height,
+           (d.doc_id % 2 = 1) AS big_endian,
+           CAST(d.doc_id // 2 % 2 AS BIGINT) AS photometric,
+           CAST(SUM(CASE WHEN (7 * p.j + 3 * p.i * p.i + d.doc_id) % 11 < 4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS black_count,
+           CAST(SUM(CASE WHEN (7 * p.j + 3 * p.i * p.i + d.doc_id) % 11 < 4
+                         THEN (p.i + 1) * (p.j + 1) ELSE 0 END)
+                AS BIGINT) AS pos_weight
+    FROM documents d,
+         LATERAL (SELECT unnest(generate_series(
+             0, CAST(9 + d.doc_id % 7 AS BIGINT))) AS i) pr,
+         LATERAL (SELECT unnest(generate_series(
+             0, CAST(17 + d.doc_id % 13 AS BIGINT))) AS j) pc,
+         LATERAL (SELECT pr.i AS i, pc.j AS j) p
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def tiff_g4_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF CCITT Group 4 (T.6) under the differential gate (round 14 —
+    the scanned-document corpus format the r13 verdict named as the next
+    TIFF seam). Per doc a closed-form bilevel page (quadratic row drift,
+    so the encoder's pass/vertical/horizontal decision logic all fire —
+    pinned by pytest mode counts) round-trips through
+    :func:`encode_tiff_g4` -> the REAL :func:`_g4_decode` (2D modes
+    against the reference line + T.4 run alphabets inside horizontal
+    mode), across both byte orders and both bilevel photometrics. The
+    oracle recomputes black-pixel count AND the position-weighted sum
+    (i+1)*(j+1) — the raster must be right pixel-for-pixel, not just in
+    aggregate. Map-only mapInPandas with the standard core fan-out."""
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [], "big_endian": [],
+                "photometric": [], "black_count": [], "pos_weight": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 18 + d % 13
+                h = 10 + d % 7
+                photo = (d // 2) % 2
+                i, j = np.mgrid[0:h, 0:w]
+                bm = (((7 * j + 3 * i * i + d) % 11) < 4).astype(np.uint8)
+                blob = encode_tiff_g4(
+                    bm, big_endian=(d % 2 == 1), photometric=photo
+                )
+                m = decode_media(blob, "image")  # REAL G4 decode
+                px = np.frombuffer(m["pixels"], np.uint8).reshape(h, w, 3)
+                black = (px[:, :, 0] == 0)
+                out["doc_id"].append(d)
+                out["width"].append(m["width"])
+                out["height"].append(m["height"])
+                out["big_endian"].append(d % 2 == 1)
+                out["photometric"].append(photo)
+                out["black_count"].append(int(black.sum()))
+                out["pos_weight"].append(
+                    int((((i + 1) * (j + 1)) * black).sum())
+                )
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, width long, height long, big_endian boolean, "
+        "photometric long, black_count long, pos_weight long"
+    )
+    return docs.mapInPandas(run, schema).orderBy("doc_id")
+
 
 _AU_MAGIC = b".snd"
 _AU_ULAW = 1

@@ -77,6 +77,7 @@ QUERIES = [
     "mp3_shortblock_decode_features",
     "mp3_pcm_decode_features",
     "cross_codec_audio_dedup",
+    "tiff_g4_decode_features",
 ]
 
 
@@ -165,6 +166,7 @@ ANSI_QUERIES = [
     "mp3_shortblock_decode_features",
     "mp3_pcm_decode_features",
     "cross_codec_audio_dedup",
+    "tiff_g4_decode_features",
 ]
 
 

@@ -3248,3 +3248,52 @@ def test_mp3_decodes_through_decode_media_and_content_keys_fold():
     wav = encode_wav(y, 44100)
     assert audio_content_key(mp3) == audio_content_key(wav)
     assert audio_robust_key(mp3) == audio_robust_key(wav)
+
+
+def test_g4_codec_roundtrip_exercises_all_modes_and_raises_on_junk():
+    """ITU-T T.6 codec (round 14): random and structured bilevel bitmaps
+    round-trip exactly; the encoder's mode counts prove pass, vertical
+    AND horizontal coding all fired (horizontal = the T.4 run alphabets,
+    incl. makeup codes on a 2800-pixel run); junk bits raise by name."""
+    import numpy as np
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _g4_decode,
+        decode_media,
+        encode_tiff_g4,
+        g4_encode,
+    )
+
+    rng = np.random.default_rng(3)
+    totals = {"P": 0, "H": 0, "V": 0}
+    for trial in range(25):
+        h, w = int(rng.integers(3, 20)), int(rng.integers(4, 36))
+        if trial % 2:
+            bm = (rng.random((h, w)) < 0.35).astype(np.uint8)
+        else:
+            i, j = np.mgrid[0:h, 0:w]
+            bm = (((7 * j + 3 * i * i + trial) % 11) < 4).astype(np.uint8)
+        enc, counts = g4_encode(bm.tolist())
+        for k in counts:
+            totals[k] += counts[k]
+        assert np.array_equal(_g4_decode(enc, w, h), bm)
+    assert all(totals[k] > 0 for k in ("P", "H", "V")), totals
+
+    long_run = np.zeros((2, 3000), np.uint8)
+    long_run[1, 100:2900] = 1
+    enc, _ = g4_encode(long_run.tolist())
+    assert np.array_equal(_g4_decode(enc, 3000, 2), long_run)
+
+    with pytest.raises(ValueError, match="G4"):
+        _g4_decode(b"\x00\x00\x00\x00\x00\x00\x00", 64, 2)
+
+    # container: both photometrics and byte orders map dark pixels alike
+    i, j = np.mgrid[0:9, 0:17]
+    bm = ((j % 4) < 2).astype(np.uint8)
+    for photo in (0, 1):
+        for be in (False, True):
+            m = decode_media(encode_tiff_g4(bm, big_endian=be,
+                                            photometric=photo), "image")
+            px = np.frombuffer(m["pixels"], np.uint8).reshape(9, 17, 3)
+            assert np.array_equal((px[:, :, 0] == 0).astype(np.uint8), bm)
