@@ -6382,9 +6382,10 @@ def _decode_tiff(payload: bytes) -> dict:
     planar = tags.get(284, (3, 1, 1))[2]
     if planar != 1:
         raise ValueError("TIFF planar configuration 2 (planar) unsupported")
-    if comp == 4:
-        # CCITT Group 4 (T.6) bilevel — round 14. Strips reset the 2D
-        # reference line, so each decodes independently.
+    if comp in (2, 4):
+        # CCITT bilevel — round 14: Group 4 (T.6, comp 4) and Modified
+        # Huffman (1D T.4 rows, comp 2). Strips reset the coder state,
+        # so each decodes independently.
         import numpy as np
 
         if spp != 1 or photo not in (0, 1):
@@ -6402,7 +6403,8 @@ def _decode_tiff(payload: bytes) -> dict:
             if o + c > len(payload):
                 raise ValueError("truncated TIFF strip")
             n_rows = min(rps_g4, h - si * rps_g4)
-            parts.append(_g4_decode(payload[o: o + c], w, n_rows))
+            dec_fn = _g4_decode if comp == 4 else _mh_decode
+            parts.append(dec_fn(payload[o: o + c], w, n_rows))
         black = np.concatenate(parts, axis=0)
         if black.shape != (h, w):
             raise ValueError("TIFF G4 pixel plane incomplete")
@@ -6424,8 +6426,9 @@ def _decode_tiff(payload: bytes) -> dict:
         raise ValueError("TIFF decode supports 8-bit samples only")
     if comp not in (1, 5, 8, 32773):
         raise ValueError(
-            f"TIFF compression {comp} (e.g. JPEG-in-TIFF or CCITT G3) "
-            "requires external media libraries (SURVEY §2.10 U1/U2)"
+            f"TIFF compression {comp} (e.g. JPEG-in-TIFF or T.4-with-EOL "
+            "G3, comp 3) requires external media libraries "
+            "(SURVEY §2.10 U1/U2)"
         )
     predictor = tags.get(317, (3, 1, 1))[2]
     if predictor not in (1, 2):
@@ -6943,12 +6946,77 @@ def _g4_decode(data: bytes, width: int, height: int):
     return out
 
 
+def mh_encode(rows) -> bytes:
+    """CCITT Modified Huffman (TIFF compression 2, 'CCITT RLE'): each row
+    is an independent 1D sequence of alternating white/black run lengths
+    in the T.4 alphabets, always starting with a (possibly zero-length)
+    white run, and each row starts on a byte boundary."""
+    out = []
+    for row in rows:
+        bits = []
+        w = len(row)
+        j = 0
+        color = 0  # rows start with a white run (length may be 0)
+        while j < w:
+            run = 0
+            while j + run < w and row[j + run] == color:
+                run += 1
+            bits.append(_t4_run_bits(run, white=(color == 0)))
+            j += run
+            color ^= 1
+        s = "".join(bits)
+        s += "0" * (-len(s) % 8)
+        out.append(bytes(int(s[i: i + 8], 2) for i in range(0, len(s), 8)))
+    return b"".join(out)
+
+
+def _mh_decode(data: bytes, width: int, height: int):
+    """CCITT Modified Huffman decoder: per byte-aligned row, alternating
+    white/black T.4 runs until the row is exactly filled. Raises by name
+    on invalid codes or overrun rows; never guesses."""
+    import numpy as np
+
+    white_dec = {v: k for k, v in {**_T4_WHITE, **_T4_EXT}.items()}
+    black_dec = {v: k for k, v in {**_T4_BLACK, **_T4_EXT}.items()}
+    bitstr = "".join(f"{b:08b}" for b in data)
+    pos = 0
+    out = np.zeros((height, width), np.uint8)
+    for y in range(height):
+        j = 0
+        color = 0
+        while j < width:
+            total = 0
+            while True:
+                table = white_dec if color == 0 else black_dec
+                for ln in range(1, 14):
+                    c = bitstr[pos: pos + ln]
+                    if len(c) < ln:
+                        raise ValueError("MH bit stream exhausted inside a row")
+                    if c in table:
+                        pos += ln
+                        r = table[c]
+                        break
+                else:
+                    raise ValueError(f"invalid MH run code at bit {pos}")
+                total += r
+                if r < 64:
+                    break
+            if j + total > width:
+                raise ValueError("MH run overruns the row")
+            if color:
+                out[y, j: j + total] = 1
+            j += total
+            color ^= 1
+        pos += -pos % 8  # rows are byte-aligned
+    return out
+
+
 def encode_tiff_g4(bitmap, big_endian: bool = False,
-                   photometric: int = 0) -> bytes:
+                   photometric: int = 0, compression: int = 4) -> bytes:
     """Encode a bilevel (h, w) bitmap (1 = black) as a TIFF 6.0 CCITT
-    Group 4 file: compression 4, BitsPerSample 1, SamplesPerPixel 1,
-    photometric 0 (WhiteIsZero, the fax convention) or 1 (inverted),
-    single strip."""
+    fax file: compression 4 (Group 4 / T.6 2D) or 2 (Modified Huffman
+    1D rows), BitsPerSample 1, SamplesPerPixel 1, photometric 0
+    (WhiteIsZero, the fax convention) or 1 (inverted), single strip."""
     import struct
 
     import numpy as np
@@ -6956,9 +7024,11 @@ def encode_tiff_g4(bitmap, big_endian: bool = False,
     arr = np.asarray(bitmap, dtype=np.uint8)
     if arr.ndim != 2:
         raise ValueError("encode_tiff_g4 wants (h, w) bilevel")
+    if compression not in (2, 4):
+        raise ValueError("bilevel compression must be 2 (MH) or 4 (G4)")
     h, w = arr.shape
     rows = (arr if photometric == 0 else 1 - arr).tolist()
-    strip, _ = g4_encode(rows)
+    strip = mh_encode(rows) if compression == 2 else g4_encode(rows)[0]
     e = ">" if big_endian else "<"
     hdr = (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(e + "I", 8)
     n_tags = 9
@@ -6974,7 +7044,7 @@ def encode_tiff_g4(bitmap, big_endian: bool = False,
     ifd += tag(256, 4, 1, w)
     ifd += tag(257, 4, 1, h)
     ifd += tag(258, 3, 1, 1)             # BitsPerSample 1
-    ifd += tag(259, 3, 1, 4)             # Compression: CCITT T.6
+    ifd += tag(259, 3, 1, compression)   # Compression: CCITT T.6 or MH
     ifd += tag(262, 3, 1, photometric)
     ifd += tag(273, 4, 1, data_off)      # StripOffsets
     ifd += tag(277, 3, 1, 1)             # SamplesPerPixel
@@ -6992,6 +7062,8 @@ def encode_tiff_g4(bitmap, big_endian: bool = False,
            CAST(10 + d.doc_id % 7 AS BIGINT) AS height,
            (d.doc_id % 2 = 1) AS big_endian,
            CAST(d.doc_id // 2 % 2 AS BIGINT) AS photometric,
+           CAST(CASE WHEN d.doc_id % 5 = 0 THEN 2 ELSE 4 END
+                AS BIGINT) AS compression,
            CAST(SUM(CASE WHEN (7 * p.j + 3 * p.i * p.i + d.doc_id) % 11 < 4
                          THEN 1 ELSE 0 END) AS BIGINT) AS black_count,
            CAST(SUM(CASE WHEN (7 * p.j + 3 * p.i * p.i + d.doc_id) % 11 < 4
@@ -7018,7 +7090,10 @@ def tiff_g4_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode), across both byte orders and both bilevel photometrics. The
     oracle recomputes black-pixel count AND the position-weighted sum
     (i+1)*(j+1) — the raster must be right pixel-for-pixel, not just in
-    aggregate. Map-only mapInPandas with the standard core fan-out."""
+    aggregate. Every fifth doc ships Modified Huffman (TIFF compression
+    2: independent 1D T.4 rows, byte-aligned) instead of G4, so both
+    fax decoders sit under the same hash. Map-only mapInPandas with the
+    standard core fan-out."""
     import numpy as np
 
     docs = (
@@ -7033,17 +7108,20 @@ def tiff_g4_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = {
                 "doc_id": [], "width": [], "height": [], "big_endian": [],
-                "photometric": [], "black_count": [], "pos_weight": [],
+                "photometric": [], "compression": [], "black_count": [],
+                "pos_weight": [],
             }
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 w = 18 + d % 13
                 h = 10 + d % 7
                 photo = (d // 2) % 2
+                comp = 2 if d % 5 == 0 else 4
                 i, j = np.mgrid[0:h, 0:w]
                 bm = (((7 * j + 3 * i * i + d) % 11) < 4).astype(np.uint8)
                 blob = encode_tiff_g4(
-                    bm, big_endian=(d % 2 == 1), photometric=photo
+                    bm, big_endian=(d % 2 == 1), photometric=photo,
+                    compression=comp,
                 )
                 m = decode_media(blob, "image")  # REAL G4 decode
                 px = np.frombuffer(m["pixels"], np.uint8).reshape(h, w, 3)
@@ -7053,6 +7131,7 @@ def tiff_g4_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["height"].append(m["height"])
                 out["big_endian"].append(d % 2 == 1)
                 out["photometric"].append(photo)
+                out["compression"].append(comp)
                 out["black_count"].append(int(black.sum()))
                 out["pos_weight"].append(
                     int((((i + 1) * (j + 1)) * black).sum())
@@ -7061,7 +7140,8 @@ def tiff_g4_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = (
         "doc_id long, width long, height long, big_endian boolean, "
-        "photometric long, black_count long, pos_weight long"
+        "photometric long, compression long, black_count long, "
+        "pos_weight long"
     )
     return docs.mapInPandas(run, schema).orderBy("doc_id")
 

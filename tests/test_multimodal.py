@@ -3297,3 +3297,34 @@ def test_g4_codec_roundtrip_exercises_all_modes_and_raises_on_junk():
                                             photometric=photo), "image")
             px = np.frombuffer(m["pixels"], np.uint8).reshape(9, 17, 3)
             assert np.array_equal((px[:, :, 0] == 0).astype(np.uint8), bm)
+
+
+def test_mh_codec_roundtrip_and_bilevel_tiff_both_compressions():
+    """CCITT Modified Huffman (TIFF compression 2, round 14): random
+    bitmaps, black-first rows and makeup-code runs all round-trip, and
+    both fax compressions decode through the same TIFF bilevel branch."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _mh_decode,
+        decode_media,
+        encode_tiff_g4,
+        mh_encode,
+    )
+
+    rng = np.random.default_rng(5)
+    for t in range(15):
+        h, w = int(rng.integers(2, 16)), int(rng.integers(3, 40))
+        bm = (rng.random((h, w)) < rng.uniform(0.1, 0.9)).astype(np.uint8)
+        assert np.array_equal(_mh_decode(mh_encode(bm.tolist()), w, h), bm)
+    bm = np.zeros((3, 2900), np.uint8)
+    bm[0, :] = 1
+    bm[2, 5:2800] = 1
+    assert np.array_equal(_mh_decode(mh_encode(bm.tolist()), 2900, 3), bm)
+
+    i, j = np.mgrid[0:11, 0:23]
+    bm = (((5 * j + 2 * i * i + 3) % 9) < 4).astype(np.uint8)
+    for comp in (2, 4):
+        m = decode_media(encode_tiff_g4(bm, compression=comp), "image")
+        px = np.frombuffer(m["pixels"], np.uint8).reshape(11, 23, 3)
+        assert np.array_equal((px[:, :, 0] == 0).astype(np.uint8), bm)
