@@ -1881,17 +1881,22 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
     come back as the same bottom-up DIB plane as raw AVI (see
     :func:`_decode_avi`).
 
-    REAL for FLAC (round 12, RFC 9639): metadata block walk, frame
-    header parse with CRC-8, CONSTANT/VERBATIM/FIXED subframes with
-    rice- or escape-coded residual partitions, frame CRC-16 and the
-    STREAMINFO MD5 check (see :func:`_decode_flac`) — compressed
-    lossless audio is no longer a seam; only LPC subframes route to the
-    external-codec seam. Only genuinely external codecs (compressed
-    video/audio SAMPLE decode: H.264/AAC in MP4, interframe AVI codecs,
-    arithmetic/12-bit JPEG) stay the documented seam: those aren't in
-    this container, and on a real cluster the call MUST go through a
-    per-executor singleton (one codec/model instance per worker
-    process), never per row — reference pattern U2.
+    REAL for FLAC (rounds 12-13, RFC 9639): metadata block walk, frame
+    header parse with CRC-8, CONSTANT/VERBATIM/FIXED/LPC subframes with
+    rice- or escape-coded residual partitions, stereo decorrelation,
+    frame CRC-16 and the STREAMINFO MD5 check (see :func:`_decode_flac`)
+    — compressed lossless audio is no longer a seam.
+
+    REAL for MPEG-1 Layer III (rounds 13-14): the full sample chain —
+    entropy layer, IMDCT, polyphase synthesis — to int16 PCM (see
+    :func:`decode_mp3_to_pcm`; the synthesis window stance is documented
+    at ``_MP3_SYNTH_PROTO``), and REAL for CCITT G4/MH bilevel TIFF
+    (round 14). Only genuinely external codecs (compressed video/audio
+    SAMPLE decode: H.264/AAC in MP4, interframe AVI codecs,
+    arithmetic/12-bit JPEG, T.4-with-EOL G3 TIFF) stay the documented
+    seam: those aren't in this container, and on a real cluster the
+    call MUST go through a per-executor singleton (one codec/model
+    instance per worker process), never per row — reference pattern U2.
     """
     if modality == "image":
         if payload[:2] == b"BM":
@@ -3426,9 +3431,9 @@ def probe_audio(payload: bytes) -> dict:
             raise ValueError("truncated AU header")
         off, size, enc, rate, n_ch = _struct.unpack_from(">IIIII", payload, 4)
         n = (len(payload) - off) if size == 0xFFFFFFFF else size
-        # bytes per SAMPLE by encoding: G.711 laws 1 byte, PCM16 2,
-        # float32/float64 4/8; a frame is one sample per channel
-        bps = {1: 1, 27: 1, 3: 2, 6: 4, 7: 8}.get(enc)
+        # bytes per SAMPLE by encoding: G.711 laws / 8-bit PCM 1 byte,
+        # PCM16 2, float32/float64 4/8; a frame is one sample per channel
+        bps = {1: 1, 2: 1, 27: 1, 3: 2, 6: 4, 7: 8}.get(enc)
         frames = n // (bps * n_ch) if bps and n_ch else None
         return {
             "container": "au",
@@ -6382,8 +6387,9 @@ def _decode_tiff(payload: bytes) -> dict:
     planar = tags.get(284, (3, 1, 1))[2]
     if planar != 1:
         raise ValueError("TIFF planar configuration 2 (planar) unsupported")
-    if comp in (2, 4):
-        # CCITT bilevel — round 14: Group 4 (T.6, comp 4) and Modified
+    if comp in (2, 3, 4):
+        # CCITT bilevel — round 14: Group 4 (T.6, comp 4), Group 3 (T.4
+        # with EOLs, comp 3, 1D and 2D per T4Options bit 0) and Modified
         # Huffman (1D T.4 rows, comp 2). Strips reset the coder state,
         # so each decodes independently.
         import numpy as np
@@ -6394,6 +6400,11 @@ def _decode_tiff(payload: bytes) -> dict:
             )
         if 258 in tags and arr(258) != [1]:
             raise ValueError("TIFF G4 requires BitsPerSample 1")
+        t4opts = tags.get(292, (4, 1, 0, 0))[2]
+        if comp == 3 and t4opts & 0b10:
+            raise ValueError(
+                "TIFF G3 uncompressed mode (T4Options bit 1) unsupported"
+            )
         rps_g4 = tags.get(278, (4, 1, h))[2] or h
         offsets, counts = arr(273), arr(279)
         if len(offsets) != len(counts):
@@ -6403,8 +6414,15 @@ def _decode_tiff(payload: bytes) -> dict:
             if o + c > len(payload):
                 raise ValueError("truncated TIFF strip")
             n_rows = min(rps_g4, h - si * rps_g4)
-            dec_fn = _g4_decode if comp == 4 else _mh_decode
-            parts.append(dec_fn(payload[o: o + c], w, n_rows))
+            if comp == 4:
+                parts.append(_g4_decode(payload[o: o + c], w, n_rows))
+            elif comp == 3:
+                parts.append(
+                    _g3_decode(payload[o: o + c], w, n_rows,
+                               bool(t4opts & 0b1))
+                )
+            else:
+                parts.append(_mh_decode(payload[o: o + c], w, n_rows))
         black = np.concatenate(parts, axis=0)
         if black.shape != (h, w):
             raise ValueError("TIFF G4 pixel plane incomplete")
@@ -6426,9 +6444,8 @@ def _decode_tiff(payload: bytes) -> dict:
         raise ValueError("TIFF decode supports 8-bit samples only")
     if comp not in (1, 5, 8, 32773):
         raise ValueError(
-            f"TIFF compression {comp} (e.g. JPEG-in-TIFF or T.4-with-EOL "
-            "G3, comp 3) requires external media libraries "
-            "(SURVEY §2.10 U1/U2)"
+            f"TIFF compression {comp} (e.g. JPEG-in-TIFF) requires "
+            "external media libraries (SURVEY §2.10 U1/U2)"
         )
     predictor = tags.get(317, (3, 1, 1))[2]
     if predictor not in (1, 2):
@@ -6798,73 +6815,254 @@ def _row_changes(row) -> list[int]:
     return ch
 
 
+def _g4_row_bits(row, ref, counts: dict) -> str:
+    """Code ONE row in T.6/T.4-2D mode against its reference line:
+    pass when b2 < a1, vertical within +/-3, horizontal otherwise (the
+    spec's decision order). Shared by the G4 encoder and the G3 2D rows;
+    increments ``counts`` per mode."""
+    bits: list[str] = []
+    w = len(row)
+    a0 = -1
+    color = 0
+    cur_ch = _row_changes(row)
+    ref_ch = _row_changes(ref)
+    while True:
+        a1 = w
+        for c in cur_ch:
+            if c > a0 and (c == w or (row[c] != color)):
+                a1 = c
+                break
+        b1 = w
+        for c in ref_ch:
+            if c > a0 and (c == w or ref[c] != color):
+                b1 = c
+                break
+        b2 = w
+        for c in ref_ch:
+            if c > b1:
+                b2 = c
+                break
+        if b2 < a1:
+            bits.append(_G4_MODES["P"])
+            counts["P"] += 1
+            a0 = b2
+            continue
+        d = a1 - b1
+        if -3 <= d <= 3:
+            key = "V0" if d == 0 else (f"VR{d}" if d > 0 else f"VL{-d}")
+            bits.append(_G4_MODES[key])
+            counts["V"] += 1
+            a0 = a1
+            color ^= 1
+        else:
+            a2 = w
+            for c in cur_ch:
+                if c > a1 and (c == w or row[c] == color):
+                    a2 = c
+                    break
+            start = 0 if a0 < 0 else a0
+            bits.append(_G4_MODES["H"])
+            bits.append(_t4_run_bits(a1 - start, white=(color == 0)))
+            bits.append(_t4_run_bits(a2 - a1, white=(color != 0)))
+            counts["H"] += 1
+            a0 = a2
+        if a0 >= w:
+            break
+    return "".join(bits)
+
+
+def _mh_row_bits(row) -> str:
+    """Code ONE row as T.4 1D alternating white/black runs (white first,
+    possibly zero-length). Shared by Modified Huffman and G3 1D rows."""
+    bits = []
+    w = len(row)
+    j = 0
+    color = 0
+    while j < w:
+        run = 0
+        while j + run < w and row[j + run] == color:
+            run += 1
+        bits.append(_t4_run_bits(run, white=(color == 0)))
+        j += run
+        color ^= 1
+    return "".join(bits)
+
+
+def _bits_to_bytes(s: str) -> bytes:
+    s += "0" * (-len(s) % 8)
+    return bytes(int(s[i: i + 8], 2) for i in range(0, len(s), 8))
+
+
 def g4_encode(rows) -> tuple[bytes, dict]:
     """ITU-T T.6 (Group 4 / MMR) encoder over a bilevel bitmap (iterable
-    of rows; 0 = white, 1 = black). Pure 2D coding against the previous
-    row (imaginary all-white first reference): pass when b2 < a1,
-    vertical when |a1 - b1| <= 3, horizontal (T.4 run alphabets)
-    otherwise — the spec's decision order. Returns (bytes padded to a
-    byte boundary, mode-count dict) so tests can assert all three modes
-    were exercised."""
-    bits: list[str] = []
+    of rows; 0 = white, 1 = black): pure 2D coding against the previous
+    row (imaginary all-white first reference). Returns (bytes padded to
+    a byte boundary, mode-count dict) so tests can assert all three
+    modes were exercised."""
     counts = {"P": 0, "H": 0, "V": 0}
     w = len(rows[0])
     ref = [0] * w
+    bits = []
     for row in rows:
-        a0 = -1
-        color = 0
-        cur_ch = _row_changes(row)
-        ref_ch = _row_changes(ref)
-        while True:
-            # a1: first change right of a0 with color != current color
-            a1 = w
-            for c in cur_ch:
-                if c > a0 and (c == w or (row[c] != color)):
-                    a1 = c
-                    break
-            # b1: first change on ref line right of a0 changing to !color
-            b1 = w
-            for c in ref_ch:
-                if c > a0 and (c == w or ref[c] != color):
-                    b1 = c
-                    break
-            # b2: next change after b1
-            b2 = w
-            for c in ref_ch:
-                if c > b1:
-                    b2 = c
-                    break
-            if b2 < a1:
-                bits.append(_G4_MODES["P"])
-                counts["P"] += 1
-                a0 = b2
-                continue
-            d = a1 - b1
-            if -3 <= d <= 3:
-                key = "V0" if d == 0 else (f"VR{d}" if d > 0 else f"VL{-d}")
-                bits.append(_G4_MODES[key])
-                counts["V"] += 1
-                a0 = a1
-                color ^= 1
-            else:
-                # horizontal: runs a0a1 (current color), a1a2 (opposite)
-                a2 = w
-                for c in cur_ch:
-                    if c > a1 and (c == w or row[c] == color):
-                        a2 = c
-                        break
-                start = 0 if a0 < 0 else a0
-                bits.append(_G4_MODES["H"])
-                bits.append(_t4_run_bits(a1 - start, white=(color == 0)))
-                bits.append(_t4_run_bits(a2 - a1, white=(color != 0)))
-                counts["H"] += 1
-                a0 = a2
-            if a0 >= w:
-                break
+        bits.append(_g4_row_bits(row, ref, counts))
         ref = row
-    s = "".join(bits)
-    s += "0" * (-len(s) % 8)
-    return bytes(int(s[i: i + 8], 2) for i in range(0, len(s), 8)), counts
+    return _bits_to_bytes("".join(bits)), counts
+
+
+_G3_EOL = "000000000001"
+
+
+def g3_encode(rows, two_d: bool = False) -> tuple[bytes, dict]:
+    """ITU-T T.4 (Group 3) encoder, TIFF compression 3: an EOL before
+    EVERY row; 1D rows are the Modified Huffman alphabet. With
+    ``two_d`` (T4Options bit 0), each EOL carries a tag bit — the first
+    row is 1D (tag 1), subsequent rows 2D (tag 0) against the previous
+    row, the K-factor pattern a fax sender uses between full resyncs."""
+    counts = {"P": 0, "H": 0, "V": 0, "1D": 0}
+    bits = []
+    ref = None
+    for row in rows:
+        bits.append(_G3_EOL)
+        if two_d:
+            bits.append("1" if ref is None else "0")
+        if ref is None or not two_d:
+            bits.append(_mh_row_bits(row))
+            counts["1D"] += 1
+        else:
+            bits.append(_g4_row_bits(row, ref, counts))
+        ref = row
+    return _bits_to_bytes("".join(bits)), counts
+
+
+class _FaxBits:
+    """MSB-first bit reader over the fax alphabets: prefix-code lookup
+    for the 2D mode set and the T.4 white/black run alphabets (makeup
+    chains folded in), plus EOL scanning with fill-bit tolerance."""
+
+    _MODE_DEC = None
+    _WHITE_DEC = None
+    _BLACK_DEC = None
+
+    def __init__(self, data: bytes):
+        if _FaxBits._MODE_DEC is None:
+            _FaxBits._MODE_DEC = {v: k for k, v in _G4_MODES.items()}
+            _FaxBits._WHITE_DEC = {
+                v: k for k, v in {**_T4_WHITE, **_T4_EXT}.items()
+            }
+            _FaxBits._BLACK_DEC = {
+                v: k for k, v in {**_T4_BLACK, **_T4_EXT}.items()
+            }
+        self.bits = "".join(f"{b:08b}" for b in data)
+        self.pos = 0
+
+    def code(self, table: dict, what: str):
+        for ln in range(1, 14):
+            c = self.bits[self.pos: self.pos + ln]
+            if len(c) < ln:
+                raise ValueError(f"fax bit stream exhausted inside {what}")
+            if c in table:
+                self.pos += ln
+                return table[c]
+        raise ValueError(f"invalid fax {what} code at bit {self.pos}")
+
+    def mode(self):
+        return self.code(_FaxBits._MODE_DEC, "mode")
+
+    def run(self, white: bool) -> int:
+        total = 0
+        while True:
+            r = self.code(
+                _FaxBits._WHITE_DEC if white else _FaxBits._BLACK_DEC, "run"
+            )
+            total += r
+            if r < 64:
+                return total
+
+    def bit(self) -> int:
+        if self.pos >= len(self.bits):
+            raise ValueError("fax bit stream exhausted at a tag bit")
+        b = self.bits[self.pos]
+        self.pos += 1
+        return int(b)
+
+    def eol(self) -> None:
+        """Consume fill zeros + the 000000000001 EOL: at least 11 zeros
+        then a one (fill bits only lengthen the zero run)."""
+        zeros = 0
+        while self.pos < len(self.bits) and self.bits[self.pos] == "0":
+            zeros += 1
+            self.pos += 1
+        if self.pos >= len(self.bits):
+            raise ValueError("fax bit stream exhausted looking for EOL")
+        if zeros < 11:
+            raise ValueError(f"malformed G3 EOL (only {zeros} zero bits)")
+        self.pos += 1  # the terminating 1
+
+    def align(self) -> None:
+        self.pos += -self.pos % 8
+
+
+def _fax_row_1d(fb: "_FaxBits", width: int) -> list[int]:
+    """Decode one T.4 1D row: alternating white/black runs, white first,
+    exactly filling the row."""
+    row = [0] * width
+    j = 0
+    color = 0
+    while j < width:
+        total = fb.run(white=(color == 0))
+        if j + total > width:
+            raise ValueError("fax 1D run overruns the row")
+        if color:
+            for k in range(j, j + total):
+                row[k] = 1
+        j += total
+        color ^= 1
+    return row
+
+
+def _fax_row_2d(fb: "_FaxBits", ref: list[int], width: int) -> list[int]:
+    """Decode one 2D-coded row (T.6, or a G3 2D row) against its
+    reference line."""
+    row = [0] * width
+    a0 = -1
+    color = 0
+    ref_ch = _row_changes(ref)
+    while a0 < width:
+        mode = fb.mode()
+        b1 = width
+        for c in ref_ch:
+            if c > a0 and (c == width or ref[c] != color):
+                b1 = c
+                break
+        b2 = width
+        for c in ref_ch:
+            if c > b1:
+                b2 = c
+                break
+        start = 0 if a0 < 0 else a0
+        if mode == "P":
+            for j in range(start, b2):
+                row[j] = color
+            a0 = b2
+        elif mode == "H":
+            r1 = fb.run(white=(color == 0))
+            r2 = fb.run(white=(color != 0))
+            for j in range(start, min(start + r1, width)):
+                row[j] = color
+            for j in range(start + r1, min(start + r1 + r2, width)):
+                row[j] = color ^ 1
+            a0 = start + r1 + r2
+        else:
+            d = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
+                 "VL1": -1, "VL2": -2, "VL3": -3}[mode]
+            a1 = b1 + d
+            if a1 < 0 or a1 > width:
+                raise ValueError("fax vertical mode escapes the row")
+            for j in range(start, a1):
+                row[j] = color
+            a0 = a1
+            color ^= 1
+    return row
 
 
 def _g4_decode(data: bytes, width: int, height: int):
@@ -6874,73 +7072,35 @@ def _g4_decode(data: bytes, width: int, height: int):
     height x width numpy uint8 bitmap (1 = black)."""
     import numpy as np
 
-    mode_dec = {v: k for k, v in _G4_MODES.items()}
-    white_dec = {v: k for k, v in {**_T4_WHITE, **_T4_EXT}.items()}
-    black_dec = {v: k for k, v in {**_T4_BLACK, **_T4_EXT}.items()}
-    bitstr = "".join(f"{b:08b}" for b in data)
-    pos = 0
-
-    def read_code(table: dict, what: str) -> str | int:
-        nonlocal pos
-        for ln in range(1, 14):
-            c = bitstr[pos: pos + ln]
-            if len(c) < ln:
-                raise ValueError(f"G4 bit stream exhausted inside {what}")
-            if c in table:
-                pos += ln
-                return table[c]
-        raise ValueError(f"invalid G4 {what} code at bit {pos}")
-
-    def read_run(white: bool) -> int:
-        total = 0
-        while True:
-            r = read_code(white_dec if white else black_dec, "run")
-            total += r
-            if r < 64:
-                return total
-
+    fb = _FaxBits(data)
     out = np.zeros((height, width), np.uint8)
     ref = [0] * width
     for y in range(height):
-        row = [0] * width
-        a0 = -1
-        color = 0
-        ref_ch = _row_changes(ref)
-        while a0 < width:
-            mode = read_code(mode_dec, "mode")
-            b1 = width
-            for c in ref_ch:
-                if c > a0 and (c == width or ref[c] != color):
-                    b1 = c
-                    break
-            b2 = width
-            for c in ref_ch:
-                if c > b1:
-                    b2 = c
-                    break
-            start = 0 if a0 < 0 else a0
-            if mode == "P":
-                for j in range(start, b2):
-                    row[j] = color
-                a0 = b2
-            elif mode == "H":
-                r1 = read_run(white=(color == 0))
-                r2 = read_run(white=(color != 0))
-                for j in range(start, min(start + r1, width)):
-                    row[j] = color
-                for j in range(start + r1, min(start + r1 + r2, width)):
-                    row[j] = color ^ 1
-                a0 = start + r1 + r2
-            else:
-                d = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
-                     "VL1": -1, "VL2": -2, "VL3": -3}[mode]
-                a1 = b1 + d
-                if a1 < 0 or a1 > width:
-                    raise ValueError("G4 vertical mode escapes the row")
-                for j in range(start, a1):
-                    row[j] = color
-                a0 = a1
-                color ^= 1
+        row = _fax_row_2d(fb, ref, width)
+        out[y] = row
+        ref = row
+    return out
+
+
+def _g3_decode(data: bytes, width: int, height: int, two_d: bool):
+    """ITU-T T.4 (Group 3) decoder, TIFF compression 3: every row is
+    preceded by an EOL (fill zeros tolerated); with the 2D option each
+    EOL carries a tag bit selecting 1D or 2D coding for the next row.
+    Raises by name; never guesses."""
+    import numpy as np
+
+    fb = _FaxBits(data)
+    out = np.zeros((height, width), np.uint8)
+    ref = [0] * width
+    for y in range(height):
+        fb.eol()
+        if two_d:
+            tag = fb.bit()
+            row = (
+                _fax_row_1d(fb, width) if tag else _fax_row_2d(fb, ref, width)
+            )
+        else:
+            row = _fax_row_1d(fb, width)
         out[y] = row
         ref = row
     return out
@@ -6953,20 +7113,7 @@ def mh_encode(rows) -> bytes:
     white run, and each row starts on a byte boundary."""
     out = []
     for row in rows:
-        bits = []
-        w = len(row)
-        j = 0
-        color = 0  # rows start with a white run (length may be 0)
-        while j < w:
-            run = 0
-            while j + run < w and row[j + run] == color:
-                run += 1
-            bits.append(_t4_run_bits(run, white=(color == 0)))
-            j += run
-            color ^= 1
-        s = "".join(bits)
-        s += "0" * (-len(s) % 8)
-        out.append(bytes(int(s[i: i + 8], 2) for i in range(0, len(s), 8)))
+        out.append(_bits_to_bytes(_mh_row_bits(row)))
     return b"".join(out)
 
 
@@ -6976,47 +7123,23 @@ def _mh_decode(data: bytes, width: int, height: int):
     on invalid codes or overrun rows; never guesses."""
     import numpy as np
 
-    white_dec = {v: k for k, v in {**_T4_WHITE, **_T4_EXT}.items()}
-    black_dec = {v: k for k, v in {**_T4_BLACK, **_T4_EXT}.items()}
-    bitstr = "".join(f"{b:08b}" for b in data)
-    pos = 0
+    fb = _FaxBits(data)
     out = np.zeros((height, width), np.uint8)
     for y in range(height):
-        j = 0
-        color = 0
-        while j < width:
-            total = 0
-            while True:
-                table = white_dec if color == 0 else black_dec
-                for ln in range(1, 14):
-                    c = bitstr[pos: pos + ln]
-                    if len(c) < ln:
-                        raise ValueError("MH bit stream exhausted inside a row")
-                    if c in table:
-                        pos += ln
-                        r = table[c]
-                        break
-                else:
-                    raise ValueError(f"invalid MH run code at bit {pos}")
-                total += r
-                if r < 64:
-                    break
-            if j + total > width:
-                raise ValueError("MH run overruns the row")
-            if color:
-                out[y, j: j + total] = 1
-            j += total
-            color ^= 1
-        pos += -pos % 8  # rows are byte-aligned
+        out[y] = _fax_row_1d(fb, width)
+        fb.align()  # rows are byte-aligned
     return out
 
 
 def encode_tiff_g4(bitmap, big_endian: bool = False,
-                   photometric: int = 0, compression: int = 4) -> bytes:
+                   photometric: int = 0, compression: int = 4,
+                   two_d: bool = False) -> bytes:
     """Encode a bilevel (h, w) bitmap (1 = black) as a TIFF 6.0 CCITT
-    fax file: compression 4 (Group 4 / T.6 2D) or 2 (Modified Huffman
-    1D rows), BitsPerSample 1, SamplesPerPixel 1, photometric 0
-    (WhiteIsZero, the fax convention) or 1 (inverted), single strip."""
+    fax file: compression 4 (Group 4 / T.6 2D), 3 (Group 3 / T.4 with
+    EOLs; ``two_d`` sets T4Options bit 0 and codes rows 2D after the 1D
+    resync row) or 2 (Modified Huffman 1D rows), BitsPerSample 1,
+    SamplesPerPixel 1, photometric 0 (WhiteIsZero, the fax convention)
+    or 1 (inverted), single strip."""
     import struct
 
     import numpy as np
@@ -7024,14 +7147,19 @@ def encode_tiff_g4(bitmap, big_endian: bool = False,
     arr = np.asarray(bitmap, dtype=np.uint8)
     if arr.ndim != 2:
         raise ValueError("encode_tiff_g4 wants (h, w) bilevel")
-    if compression not in (2, 4):
-        raise ValueError("bilevel compression must be 2 (MH) or 4 (G4)")
+    if compression not in (2, 3, 4):
+        raise ValueError("bilevel compression must be 2 (MH), 3 (G3) or 4 (G4)")
     h, w = arr.shape
     rows = (arr if photometric == 0 else 1 - arr).tolist()
-    strip = mh_encode(rows) if compression == 2 else g4_encode(rows)[0]
+    if compression == 2:
+        strip = mh_encode(rows)
+    elif compression == 3:
+        strip = g3_encode(rows, two_d=two_d)[0]
+    else:
+        strip = g4_encode(rows)[0]
     e = ">" if big_endian else "<"
     hdr = (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(e + "I", 8)
-    n_tags = 9
+    n_tags = 9 + (1 if compression == 3 else 0)
     ifd_size = 2 + 12 * n_tags + 4
     data_off = 8 + ifd_size
 
@@ -7044,12 +7172,14 @@ def encode_tiff_g4(bitmap, big_endian: bool = False,
     ifd += tag(256, 4, 1, w)
     ifd += tag(257, 4, 1, h)
     ifd += tag(258, 3, 1, 1)             # BitsPerSample 1
-    ifd += tag(259, 3, 1, compression)   # Compression: CCITT T.6 or MH
+    ifd += tag(259, 3, 1, compression)   # Compression: T.6 / T.4 / MH
     ifd += tag(262, 3, 1, photometric)
     ifd += tag(273, 4, 1, data_off)      # StripOffsets
     ifd += tag(277, 3, 1, 1)             # SamplesPerPixel
     ifd += tag(278, 4, 1, h)             # RowsPerStrip
     ifd += tag(279, 4, 1, len(strip))    # StripByteCounts
+    if compression == 3:
+        ifd += tag(292, 4, 1, 1 if two_d else 0)  # T4Options
     ifd += struct.pack(e + "I", 0)
     return hdr + ifd + strip
 
@@ -7062,8 +7192,10 @@ def encode_tiff_g4(bitmap, big_endian: bool = False,
            CAST(10 + d.doc_id % 7 AS BIGINT) AS height,
            (d.doc_id % 2 = 1) AS big_endian,
            CAST(d.doc_id // 2 % 2 AS BIGINT) AS photometric,
-           CAST(CASE WHEN d.doc_id % 5 = 0 THEN 2 ELSE 4 END
-                AS BIGINT) AS compression,
+           CAST(CASE CAST(d.doc_id % 7 AS INTEGER)
+                     WHEN 0 THEN 2 WHEN 5 THEN 3 WHEN 6 THEN 3
+                     ELSE 4 END AS BIGINT) AS compression,
+           (d.doc_id % 7 = 6) AS t4_two_d,
            CAST(SUM(CASE WHEN (7 * p.j + 3 * p.i * p.i + d.doc_id) % 11 < 4
                          THEN 1 ELSE 0 END) AS BIGINT) AS black_count,
            CAST(SUM(CASE WHEN (7 * p.j + 3 * p.i * p.i + d.doc_id) % 11 < 4
@@ -7090,9 +7222,11 @@ def tiff_g4_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode), across both byte orders and both bilevel photometrics. The
     oracle recomputes black-pixel count AND the position-weighted sum
     (i+1)*(j+1) — the raster must be right pixel-for-pixel, not just in
-    aggregate. Every fifth doc ships Modified Huffman (TIFF compression
-    2: independent 1D T.4 rows, byte-aligned) instead of G4, so both
-    fax decoders sit under the same hash. Map-only mapInPandas with the
+    aggregate. Docs rotate the FULL fax matrix by doc_id %% 7: Modified
+    Huffman (compression 2, independent byte-aligned 1D rows), Group 3
+    (compression 3, EOL-per-row; one variant 1D, one 2D with the
+    T4Options tag bit and per-row tag bits) and Group 4 — four CCITT
+    decoders under the same hash. Map-only mapInPandas with the
     standard core fan-out."""
     import numpy as np
 
@@ -7108,20 +7242,22 @@ def tiff_g4_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = {
                 "doc_id": [], "width": [], "height": [], "big_endian": [],
-                "photometric": [], "compression": [], "black_count": [],
-                "pos_weight": [],
+                "photometric": [], "compression": [], "t4_two_d": [],
+                "black_count": [], "pos_weight": [],
             }
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 w = 18 + d % 13
                 h = 10 + d % 7
                 photo = (d // 2) % 2
-                comp = 2 if d % 5 == 0 else 4
+                sel = d % 7
+                comp = {0: 2, 5: 3, 6: 3}.get(sel, 4)
+                two_d = sel == 6
                 i, j = np.mgrid[0:h, 0:w]
                 bm = (((7 * j + 3 * i * i + d) % 11) < 4).astype(np.uint8)
                 blob = encode_tiff_g4(
                     bm, big_endian=(d % 2 == 1), photometric=photo,
-                    compression=comp,
+                    compression=comp, two_d=two_d,
                 )
                 m = decode_media(blob, "image")  # REAL G4 decode
                 px = np.frombuffer(m["pixels"], np.uint8).reshape(h, w, 3)
@@ -7132,6 +7268,7 @@ def tiff_g4_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["big_endian"].append(d % 2 == 1)
                 out["photometric"].append(photo)
                 out["compression"].append(comp)
+                out["t4_two_d"].append(two_d)
                 out["black_count"].append(int(black.sum()))
                 out["pos_weight"].append(
                     int((((i + 1) * (j + 1)) * black).sum())
@@ -7140,14 +7277,15 @@ def tiff_g4_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = (
         "doc_id long, width long, height long, big_endian boolean, "
-        "photometric long, compression long, black_count long, "
-        "pos_weight long"
+        "photometric long, compression long, t4_two_d boolean, "
+        "black_count long, pos_weight long"
     )
     return docs.mapInPandas(run, schema).orderBy("doc_id")
 
 
 _AU_MAGIC = b".snd"
 _AU_ULAW = 1
+_AU_PCM8 = 2
 _AU_PCM16 = 3
 _AU_FLOAT32 = 6
 _AU_FLOAT64 = 7
@@ -7240,11 +7378,14 @@ def encode_au(
 def _decode_au(payload: bytes) -> dict:
     """Parse a Sun AU file into the uniform audio-decode contract:
     big-endian header walk, annotation skip, mu-law/A-law expansion
-    through the REAL G.711 transform, big-endian PCM16 byteswap, or IEEE
+    through the REAL G.711 transform, signed 8-bit PCM widening
+    (encoding 2, round 14), big-endian PCM16 byteswap, or IEEE
     big-endian float32/float64 (encodings 6/7) scaled to int16 by
-    round-half-away(v * 32768) with clipping. The remaining unsupported
-    encodings (8-bit PCM 2, 24/32-bit PCM 4/5, G.721/G.723 ADPCM 23-26)
-    raise by name."""
+    round-half-away(v * 32768) with clipping. Multichannel files decode
+    with their interleaving preserved (AU frames are channel-
+    interleaved, same convention as WAV). The remaining unsupported
+    encodings (24/32-bit PCM 4/5, G.721/G.723 ADPCM 23-26) raise by
+    name."""
     import struct
 
     import numpy as np
@@ -7256,8 +7397,8 @@ def _decode_au(payload: bytes) -> dict:
     off, size, enc, rate, n_ch = struct.unpack_from(">IIIII", payload, 4)
     if off < 24:
         raise ValueError("AU data offset inside the header")
-    if n_ch != 1:
-        raise ValueError(f"AU decode supports mono, got {n_ch}ch")
+    if n_ch == 0:
+        raise ValueError("AU channel count 0")
     data = payload[off:]
     if size != 0xFFFFFFFF:
         if len(data) < size:
@@ -7265,25 +7406,42 @@ def _decode_au(payload: bytes) -> dict:
         data = data[:size]
     if enc in (_AU_ULAW, _AU_ALAW):
         codes = np.frombuffer(data, np.uint8)
+        if len(codes) % n_ch:
+            raise ValueError("AU data not a whole number of frames")
         law = "ulaw" if enc == _AU_ULAW else "alaw"
         pcm = _g711_expand(codes, law)
         return {
-            "n_channels": 1, "sample_width": 2, "frame_rate": rate,
-            "n_frames": len(codes), "pcm": pcm.tobytes(), "codec": law,
+            "n_channels": n_ch, "sample_width": 2, "frame_rate": rate,
+            "n_frames": len(codes) // n_ch, "pcm": pcm.tobytes(),
+            "codec": law,
+        }
+    if enc == _AU_PCM8:
+        pcm = (np.frombuffer(data, np.int8).astype(np.int16) << 8)
+        if len(pcm) % n_ch:
+            raise ValueError("AU data not a whole number of frames")
+        return {
+            "n_channels": n_ch, "sample_width": 2, "frame_rate": rate,
+            "n_frames": len(pcm) // n_ch, "pcm": pcm.astype("<i2").tobytes(),
+            "codec": "pcm_s8",
         }
     if enc == _AU_PCM16:
         if len(data) % 2:
             raise ValueError("odd AU PCM16 byte count")
         pcm = np.frombuffer(data, ">i2").astype("<i2")
+        if len(pcm) % n_ch:
+            raise ValueError("AU data not a whole number of frames")
         return {
-            "n_channels": 1, "sample_width": 2, "frame_rate": rate,
-            "n_frames": len(pcm), "pcm": pcm.tobytes(), "codec": "pcm_s16be",
+            "n_channels": n_ch, "sample_width": 2, "frame_rate": rate,
+            "n_frames": len(pcm) // n_ch, "pcm": pcm.tobytes(),
+            "codec": "pcm_s16be",
         }
     if enc in (_AU_FLOAT32, _AU_FLOAT64):
         width = 4 if enc == _AU_FLOAT32 else 8
         if len(data) % width:
             raise ValueError("AU float data not a whole number of samples")
         f = np.frombuffer(data, ">f4" if width == 4 else ">f8").astype(np.float64)
+        if len(f) % n_ch:
+            raise ValueError("AU data not a whole number of frames")
         if not np.isfinite(f).all():
             raise ValueError("non-finite AU float sample")
         # nominal [-1, 1) range -> int16: scale by 2**15, round half away
@@ -7293,12 +7451,12 @@ def _decode_au(payload: bytes) -> dict:
             np.sign(scaled) * np.floor(np.abs(scaled) + 0.5), -32768, 32767
         ).astype(np.int16)
         return {
-            "n_channels": 1, "sample_width": 2, "frame_rate": rate,
-            "n_frames": len(pcm), "pcm": pcm.tobytes(),
+            "n_channels": n_ch, "sample_width": 2, "frame_rate": rate,
+            "n_frames": len(pcm) // n_ch, "pcm": pcm.tobytes(),
             "codec": "pcm_f32be" if width == 4 else "pcm_f64be",
         }
     raise ValueError(
-        f"AU encoding {enc} (8/24/32-bit PCM or G.72x ADPCM-in-AU) "
+        f"AU encoding {enc} (24/32-bit PCM or G.72x ADPCM-in-AU) "
         "requires external media libraries (SURVEY §2.10 U1/U2)"
     )
 

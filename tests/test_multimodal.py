@@ -3285,7 +3285,7 @@ def test_g4_codec_roundtrip_exercises_all_modes_and_raises_on_junk():
     enc, _ = g4_encode(long_run.tolist())
     assert np.array_equal(_g4_decode(enc, 3000, 2), long_run)
 
-    with pytest.raises(ValueError, match="G4"):
+    with pytest.raises(ValueError, match="fax"):
         _g4_decode(b"\x00\x00\x00\x00\x00\x00\x00", 64, 2)
 
     # container: both photometrics and byte orders map dark pixels alike
@@ -3328,3 +3328,77 @@ def test_mh_codec_roundtrip_and_bilevel_tiff_both_compressions():
         m = decode_media(encode_tiff_g4(bm, compression=comp), "image")
         px = np.frombuffer(m["pixels"], np.uint8).reshape(11, 23, 3)
         assert np.array_equal((px[:, :, 0] == 0).astype(np.uint8), bm)
+
+
+def test_au_pcm8_and_multichannel_decode():
+    """AU round-14 additions: signed 8-bit PCM (encoding 2) widens to
+    int16 by << 8, and multichannel files decode with interleaving and
+    per-channel frame counts preserved across every encoding family."""
+    import struct
+
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_au,
+        probe_audio,
+    )
+
+    s8 = np.array([1, -1, 2, -2, 100, -100], np.int8)  # 3 frames x 2ch
+    hdr = struct.pack(">4sIIIII", b".snd", 24, len(s8), 2, 8000, 2)
+    m = _decode_au(hdr + s8.tobytes())
+    assert m["n_channels"] == 2 and m["n_frames"] == 3
+    assert list(np.frombuffer(m["pcm"], "<i2")) == [
+        256, -256, 512, -512, 25600, -25600,
+    ]
+    p = probe_audio(hdr + s8.tobytes())
+    assert p["n_frames"] == 3 and p["n_channels"] == 2
+
+    # stereo PCM16: frames = samples / channels
+    s16 = np.arange(8, dtype=">i2")  # 4 frames x 2ch
+    hdr = struct.pack(">4sIIIII", b".snd", 24, s16.nbytes, 3, 16000, 2)
+    m = _decode_au(hdr + s16.tobytes())
+    assert m["n_channels"] == 2 and m["n_frames"] == 4
+
+
+def test_g3_codec_roundtrip_with_eols_and_tag_bits():
+    """ITU-T T.4 Group 3 (TIFF compression 3, round 14): EOL before every
+    row (fill zeros tolerated), 1D rows in the MH alphabet, and — with
+    the T4Options 2D bit — per-row tag bits selecting 2D coding against
+    the previous row. Both variants round-trip through the TIFF
+    container; uncompressed mode (T4Options bit 1) raises by name."""
+    import numpy as np
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _g3_decode,
+        decode_media,
+        encode_tiff_g4,
+        g3_encode,
+    )
+
+    rng = np.random.default_rng(11)
+    for t in range(10):
+        h, w = int(rng.integers(2, 14)), int(rng.integers(3, 40))
+        bm = (rng.random((h, w)) < rng.uniform(0.15, 0.85)).astype(np.uint8)
+        for two_d in (False, True):
+            enc, counts = g3_encode(bm.tolist(), two_d=two_d)
+            assert np.array_equal(_g3_decode(enc, w, h, two_d), bm)
+            if two_d:
+                assert counts["1D"] == 1  # only the resync row
+    with pytest.raises(ValueError, match="EOL"):
+        _g3_decode(b"\xff\xff", 8, 1, False)
+
+    i, j = np.mgrid[0:11, 0:23]
+    bm = (((5 * j + 2 * i * i + 3) % 9) < 4).astype(np.uint8)
+    for two_d in (False, True):
+        m = decode_media(
+            encode_tiff_g4(bm, compression=3, two_d=two_d), "image"
+        )
+        px = np.frombuffer(m["pixels"], np.uint8).reshape(11, 23, 3)
+        assert np.array_equal((px[:, :, 0] == 0).astype(np.uint8), bm)
+    # T4Options uncompressed-mode bit raises by name
+    blob = bytearray(encode_tiff_g4(bm, compression=3))
+    at = blob.find((292).to_bytes(2, "little"))
+    blob[at + 8] = 0b10
+    with pytest.raises(ValueError, match="uncompressed mode"):
+        decode_media(bytes(blob), "image")
