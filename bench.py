@@ -106,6 +106,12 @@ HEADLINE = [
     "knn_ivf_pq",
     "mp3_decode_features",
     "widget_revenue_by_nation_year",
+    # round 14 additions (additive): full MP3-to-PCM chain (polyphase
+    # synthesis + roundtrip), cross-codec audio dedup (4 decoders, one
+    # identity, hash-agg cluster check), CCITT fax matrix gate
+    "mp3_pcm_decode_features",
+    "cross_codec_audio_dedup",
+    "tiff_g4_decode_features",
 ]
 
 # Per-query floors for queries newer than the r1 floor table (driver-run

@@ -2437,7 +2437,15 @@ def audio_content_key(payload: bytes) -> str:
     import hashlib
     import struct
 
-    meta = decode_media(payload, "audio")
+    return _content_key_from_meta(decode_media(payload, "audio"))
+
+
+def _content_key_from_meta(meta: dict) -> str:
+    """The :func:`audio_content_key` hash over an already-decoded meta
+    dict — kernels that need several keys per payload decode once."""
+    import hashlib
+    import struct
+
     h = hashlib.sha256()
     h.update(
         struct.pack(
@@ -2469,12 +2477,17 @@ def audio_robust_key(payload: bytes, segments: int = 32) -> str:
     therefore keys by its energy ORDER of magnitude, not its fine
     structure: this is a contour key, not a fingerprint. Deterministic:
     integer energies, integer thresholds."""
+    return _robust_key_from_meta(decode_media(payload, "audio"), segments)
+
+
+def _robust_key_from_meta(meta: dict, segments: int = 32) -> str:
+    """The :func:`audio_robust_key` hash over an already-decoded meta
+    dict (one decode, several keys)."""
     import hashlib
     import struct
 
     import numpy as np
 
-    meta = decode_media(payload, "audio")
     x = np.frombuffer(meta["pcm"], "<i2").astype(np.int64)
     n_ch = meta["n_channels"]
     if n_ch > 1:
@@ -6150,8 +6163,12 @@ def cross_codec_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     encode_flac(y, sample_rate=44100),
                     encode_au(y, sample_rate=44100, float_width=4),
                 ]
-                ek = [audio_content_key(b) for b in variants]
-                rk = [audio_robust_key(b) for b in variants]
+                # one REAL decode per container, both keys from it
+                metas = [meta] + [
+                    decode_media(b, "audio") for b in variants[1:]
+                ]
+                ek = [_content_key_from_meta(m) for m in metas]
+                rk = [_robust_key_from_meta(m) for m in metas]
                 out["doc_id"].append(d)
                 out["n_variants"].append(len(variants))
                 out["n_exact_keys"].append(len(set(ek)))
