@@ -4360,7 +4360,72 @@ _MP3_SFB_SHORT_44100 = [0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192]
 # Huffman table 1 (Annex B Table B.7): (x, y) -> (length, code).
 _MP3_HUFF1 = {(0, 0): (1, 0b1), (0, 1): (3, 0b001), (1, 0): (2, 0b01), (1, 1): (3, 0b000)}
 _MP3_HUFF1_DEC = {v: k for k, v in _MP3_HUFF1.items()}
+# Tables 2 and 3 (round 14; 3x3, no linbits) — reproduced from the public
+# Annex B Table B.7 under the same data stance as the T.4 fax alphabets:
+# each is validated at import as a COMPLETE prefix code (Kraft sum exactly
+# 1 + prefix-free), which any single mis-remembered length or codeword
+# would break with overwhelming probability; value-ASSIGNMENT fidelity
+# against third-party encoders is the documented validation boundary.
+# Tables 5-31 (4x4 and up, linbits) remain the named data seam.
+_MP3_HUFF2 = {
+    (x, y): (ln, code)
+    for x, row in enumerate(
+        [[(1, 0b1), (3, 0b010), (6, 0b000001)],
+         [(3, 0b011), (3, 0b001), (5, 0b00001)],
+         [(5, 0b00011), (5, 0b00010), (6, 0b000000)]]
+    )
+    for y, (ln, code) in enumerate(row)
+}
+_MP3_HUFF3 = {
+    (x, y): (ln, code)
+    for x, row in enumerate(
+        [[(2, 0b11), (2, 0b10), (6, 0b000001)],
+         [(3, 0b001), (2, 0b01), (5, 0b00001)],
+         [(5, 0b00011), (5, 0b00010), (6, 0b000000)]]
+    )
+    for y, (ln, code) in enumerate(row)
+}
+_MP3_HUFF_TABLES = {1: _MP3_HUFF1, 2: _MP3_HUFF2, 3: _MP3_HUFF3}
+_MP3_HUFF_DEC = {
+    t: {v: k for k, v in tab.items()} for t, tab in _MP3_HUFF_TABLES.items()
+}
 # count1 table B: 4-bit code = one's complement of the (v,w,x,y) index.
+# count1 table A (round 14): (v,w,x,y) index -> (length, code), same
+# Kraft-complete validation stance as tables 2/3 above.
+_MP3_COUNT1A = {
+    i: (ln, code)
+    for i, (ln, code) in enumerate([
+        (1, 0b1), (4, 0b0101), (4, 0b0100), (5, 0b00101),
+        (4, 0b0110), (6, 0b000101), (5, 0b00100), (6, 0b000100),
+        (4, 0b0111), (5, 0b00011), (5, 0b00110), (6, 0b000000),
+        (5, 0b00111), (6, 0b000010), (6, 0b000011), (6, 0b000001),
+    ])
+}
+_MP3_COUNT1A_DEC = {v: k for k, v in _MP3_COUNT1A.items()}
+
+
+def _mp3_check_huffman_tables() -> None:
+    """Import-time validation: every embedded Annex B alphabet is a
+    COMPLETE prefix code — Kraft sum exactly 1 and prefix-free."""
+    from fractions import Fraction
+
+    for name, tab in (
+        ("huff1", _MP3_HUFF1), ("huff2", _MP3_HUFF2),
+        ("huff3", _MP3_HUFF3), ("count1A", _MP3_COUNT1A),
+    ):
+        codes = [format(c, f"0{ln}b") for ln, c in tab.values()]
+        if len(set(codes)) != len(codes):
+            raise AssertionError(f"MP3 {name}: duplicate codewords")
+        if sum(Fraction(1, 2 ** len(c)) for c in codes) != 1:
+            raise AssertionError(f"MP3 {name}: Kraft sum != 1")
+        ss = sorted(codes, key=len)
+        for i, a in enumerate(ss):
+            for b in ss[i + 1:]:
+                if b.startswith(a):
+                    raise AssertionError(f"MP3 {name} not prefix-free")
+
+
+_mp3_check_huffman_tables()
 
 # alias-reduction butterflies, §2.4.3.4.10.1
 _MP3_ALIAS_C = [-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037]
@@ -4503,8 +4568,10 @@ def _mp3_read_scalefactors(br: "_BitReader", g: "_MP3Granule",
 def _mp3_read_huffman(br: "_BitReader", g: "_MP3Granule", part2_bits: int) -> None:
     """Big-values pairs + count1 quadruples (§2.4.2.7): region table
     selection, sign bits after each nonzero magnitude, count1 until
-    part2_3_length bits are exhausted or line 576. Tables 0/1 and count1
-    table B are implemented; other selects raise naming the Annex B seam."""
+    part2_3_length bits are exhausted or line 576. Tables 0-3 and both
+    count1 tables are implemented (2/3 and count1 A since round 14,
+    Kraft-validated at import); tables 5-31 raise naming the Annex B
+    data seam."""
     start_bit = br.bitpos()
     budget = g.part2_3_length - part2_bits
     is_vals = [0] * 576
@@ -4526,21 +4593,25 @@ def _mp3_read_huffman(br: "_BitReader", g: "_MP3Granule", part2_bits: int) -> No
             tsel = g.table_select[2]
         if tsel == 0:
             x = y = 0
-        elif tsel == 1:
+        elif tsel in _MP3_HUFF_DEC:
+            dec = _MP3_HUFF_DEC[tsel]
             ln = 0
             code = 0
             while True:
                 code = (code << 1) | br.read(1)
                 ln += 1
-                if (ln, code) in _MP3_HUFF1_DEC:
-                    x, y = _MP3_HUFF1_DEC[(ln, code)]
+                if (ln, code) in dec:
+                    x, y = dec[(ln, code)]
                     break
-                if ln > 3:
-                    raise ValueError("invalid MP3 table-1 Huffman code")
+                if ln > 6:
+                    raise ValueError(
+                        f"invalid MP3 table-{tsel} Huffman code"
+                    )
         else:
             raise NotImplementedError(
                 f"MP3 Huffman table {tsel} requires ISO 11172-3 Annex B "
-                "Table B.7 data (SURVEY §2.10 external-codec seam)"
+                "Table B.7 data (SURVEY §2.10 external-codec seam; "
+                "tables 0-3 decode)"
             )
         if x and br.read(1):
             x = -x
@@ -4549,15 +4620,21 @@ def _mp3_read_huffman(br: "_BitReader", g: "_MP3Granule", part2_bits: int) -> No
         is_vals[line] = x
         is_vals[line + 1] = y
         line += 2
-    if g.count1table_select != 1:
-        if br.bitpos() - start_bit < budget and line < 576:
-            raise NotImplementedError(
-                "MP3 count1 table A requires ISO 11172-3 Annex B Table "
-                "B.7 data (SURVEY §2.10 external-codec seam)"
-            )
     n_quads = 0
     while br.bitpos() - start_bit < budget and line + 4 <= 576:
-        idx = 15 - br.read(4)  # table B: code is the one's complement
+        if g.count1table_select == 1:
+            idx = 15 - br.read(4)  # table B: code is the one's complement
+        else:
+            ln = 0
+            code = 0
+            while True:
+                code = (code << 1) | br.read(1)
+                ln += 1
+                if (ln, code) in _MP3_COUNT1A_DEC:
+                    idx = _MP3_COUNT1A_DEC[(ln, code)]
+                    break
+                if ln > 6:
+                    raise ValueError("invalid MP3 count1-A Huffman code")
         quad = [(idx >> 3) & 1, (idx >> 2) & 1, (idx >> 1) & 1, idx & 1]
         for q in range(4):
             if quad[q] and br.read(1):
@@ -5242,8 +5319,14 @@ def _mp3_granule_bits(spec: dict, skip_groups: list[bool]) -> tuple["_BitWriter"
     window-switching granules add block_type (1/2/3), mixed_block_flag,
     subblock_gain ([3]) and — for short blocks — scalefac_s (12x3)."""
     is_vals = spec["is"]
-    if len(is_vals) != 576 or any(abs(v) > 1 for v in is_vals):
-        raise ValueError("encoder profile: 576 lines with |is| <= 1")
+    huff_table = spec.get("huff_table")  # None -> auto table 0/1
+    big_cap = 2 if huff_table in (2, 3) else 1
+    if len(is_vals) != 576:
+        raise ValueError("encoder profile: 576 spectral lines")
+    if any(abs(v) > big_cap for v in is_vals):
+        raise ValueError(
+            f"encoder profile: |is| <= {big_cap} for this table choice"
+        )
     scfc = spec.get("scalefac_compress", 9)
     slen1, slen2 = _MP3_SLEN[scfc]
     sf = spec["scalefac"]
@@ -5303,12 +5386,14 @@ def _mp3_granule_bits(spec: dict, skip_groups: list[bool]) -> tuple["_BitWriter"
         if is_vals[ln0] or is_vals[ln0 + 1]:
             ridx = 0 if ln0 < r0_end else (1 if ln0 < r1_end else 2)
             regions[ridx] = 1
+    pair_table = _MP3_HUFF_TABLES[huff_table or 1]
+    tsel_used = huff_table or 1
     line = 0
     for _ in range(big_values):
         x, y = is_vals[line], is_vals[line + 1]
         ridx = 0 if line < r0_end else (1 if line < r1_end else 2)
         if regions[ridx]:
-            ln, code = _MP3_HUFF1[(abs(x), abs(y))]
+            ln, code = pair_table[(abs(x), abs(y))]
             bw.write(code, ln)
             if x:
                 bw.write(1 if x < 0 else 0, 1)
@@ -5322,10 +5407,17 @@ def _mp3_granule_bits(spec: dict, skip_groups: list[bool]) -> tuple["_BitWriter"
         n_quads = 0
     if line + 4 * n_quads > 576:
         raise ValueError("count1 region overruns 576 lines")
+    count1_a = spec.get("count1table", "B") == "A"
     for _ in range(n_quads):
         quad = is_vals[line:line + 4]
+        if any(abs(v) > 1 for v in quad):
+            raise ValueError("count1 region carries |is| > 1")
         idx = (abs(quad[0]) << 3) | (abs(quad[1]) << 2) | (abs(quad[2]) << 1) | abs(quad[3])
-        bw.write(15 - idx, 4)  # count1 table B
+        if count1_a:
+            ln, code = _MP3_COUNT1A[idx]
+            bw.write(code, ln)
+        else:
+            bw.write(15 - idx, 4)  # count1 table B
         for v in quad:
             if v:
                 bw.write(1 if v < 0 else 0, 1)
@@ -5341,12 +5433,12 @@ def _mp3_granule_bits(spec: dict, skip_groups: list[bool]) -> tuple["_BitWriter"
         "block_type": block_type,
         "mixed_block_flag": 1 if mixed else 0,
         "subblock_gain": list(spec.get("subblock_gain", (0, 0, 0))),
-        "table_select": [1 if r else 0 for r in regions],
+        "table_select": [tsel_used if r else 0 for r in regions],
         "region0_count": r0c,
         "region1_count": r1c,
         "preflag": spec.get("preflag", 0),
         "scalefac_scale": spec.get("scalefac_scale", 1),
-        "count1table_select": 1,
+        "count1table_select": 0 if count1_a else 1,
     }
     return bw, fields
 
@@ -5372,8 +5464,10 @@ def encode_mp3_l3(
     scalefactor-band boundary, and its scalefactors at/after that
     boundary are is_pos angles the decoder expands via tan(is_pos *
     pi/12)). The entropy layer is fully spec-real; the encoder
-    restricts magnitudes to |is| <= 1 because only Huffman tables 0/1
-    are carried (the Annex B data seam)."""
+    carries Huffman tables 0-3 and both count1 tables (per-granule spec
+    keys ``huff_table``/``count1table``), so magnitudes up to |is| = 2
+    encode; larger values would need tables 5+ (the Annex B data
+    seam)."""
     n_ch = 1 if mode == "mono" else 2
     per_frame = 2 * n_ch
     if len(granules) % per_frame:
@@ -6192,6 +6286,149 @@ def cross_codec_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("exact_key")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "mp3_huffman23_decode_features",
+    oracle="""
+    WITH big AS (
+        SELECT d.doc_id AS doc_id, g.gi AS gi, j.j AS j,
+               1 + (j.j + d.doc_id + g.gi) % 2 AS mag,
+               ((j.j + d.doc_id) % 2 = 1) AS neg
+        FROM documents d,
+             LATERAL (SELECT unnest(range(0, 2)) AS gi) g,
+             LATERAL (SELECT unnest(range(0, 29)) AS j) j
+    ), quad AS (
+        SELECT d.doc_id AS doc_id, g.gi AS gi, q.q AS q,
+               200 + 4 * q.q + (d.doc_id + q.q) % 4 AS i,
+               (q.q % 2 = 1) AS neg
+        FROM documents d,
+             LATERAL (SELECT unnest(range(0, 2)) AS gi) g,
+             LATERAL (SELECT unnest(range(0, 25)) AS q) q
+        WHERE (q.q + d.doc_id) % 3 = 0
+    ), bigf AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS big_lines,
+               CAST(SUM(CASE WHEN mag = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS big2_lines,
+               CAST(SUM(CASE WHEN neg THEN 1 ELSE 0 END)
+                    AS BIGINT) AS big_neg,
+               CAST(SUM(7 * j + 1) AS BIGINT) AS big_pos_weight,
+               CAST(ROUND(1000000 * SUM(
+                   CASE WHEN mag = 1
+                        THEN POWER(4.0, (doc_id + gi) % 6) ELSE 0 END))
+                    AS BIGINT) AS energy1_micros
+        FROM big GROUP BY doc_id
+    ), quadf AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS quad_lines,
+               CAST(SUM(i + 1) AS BIGINT) AS quad_pos_weight,
+               CAST(SUM(CASE WHEN neg THEN 1 ELSE 0 END)
+                    AS BIGINT) AS quad_neg
+        FROM quad GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.big_lines, b.big2_lines, b.big_neg,
+           b.big_pos_weight, b.energy1_micros,
+           COALESCE(q.quad_lines, 0) AS quad_lines,
+           COALESCE(q.quad_pos_weight, 0) AS quad_pos_weight,
+           COALESCE(q.quad_neg, 0) AS quad_neg
+    FROM bigf b LEFT JOIN quadf q ON q.doc_id = b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def mp3_huffman23_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 Annex B Huffman tables 2/3 and count1 table A under the
+    differential gate (round 14; the tables are embedded with the
+    Kraft-complete import validation documented at _MP3_HUFF2). Each doc
+    carries one frame whose granule 0 codes big values through TABLE 2
+    and granule 1 through TABLE 3 — magnitudes alternate 1/2, so the
+    full 3x3 (x, y) alphabet is exercised, including the |is| = 2 rows
+    the table-0/1 profile could never emit — and both granules route
+    their count1 quadruples through TABLE A (count1table_select 0),
+    zero-quads included. The oracle recomputes line counts, magnitudes,
+    signs and coded positions per region plus the exact spectrum energy
+    of the |is| = 1 lines (|is| = 2 requantizes to the irrational
+    2^(4/3) scale, so those lines are pinned by count and position, not
+    energy — keeping the hash float-exact). Map-only mapInPandas with
+    the standard core fan-out."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def granule_spec(d: int, gi: int) -> dict:
+            is_vals = [0] * 576
+            for j in range(29):
+                mag = 1 + (j + d + gi) % 2
+                is_vals[7 * j] = mag if (j + d) % 2 == 0 else -mag
+            for q in range(25):
+                if (q + d) % 3 == 0:
+                    is_vals[200 + 4 * q + (d + q) % 4] = (
+                        1 if q % 2 == 0 else -1
+                    )
+            return {
+                "is": is_vals,
+                "global_gain": 210 + 4 * ((d + gi) % 6),
+                "scalefac": [0] * 21,
+                "big_values": 100,
+                "scalefac_scale": 1,
+                "scalefac_compress": 0,
+                "huff_table": 2 if gi == 0 else 3,
+                "count1table": "A",
+            }
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "big_lines": [], "big2_lines": [],
+                "big_neg": [], "big_pos_weight": [], "energy1_micros": [],
+                "quad_lines": [], "quad_pos_weight": [], "quad_neg": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                blob = encode_mp3_l3([granule_spec(d, gi) for gi in range(2)])
+                m = _decode_mp3_l3(blob)  # REAL table-2/3 + count1-A decode
+                bl = b2 = bn = bpw = ql = qpw = qn = 0
+                e1 = 0.0
+                for g in m["granules"]:
+                    assert g.count1table_select == 0
+                    for i, v in enumerate(g.is_vals):
+                        if not v:
+                            continue
+                        if i < 200:
+                            bl += 1
+                            if abs(v) == 2:
+                                b2 += 1
+                            if v < 0:
+                                bn += 1
+                            bpw += i + 1
+                            if abs(v) == 1:
+                                e1 += g.xr[i] * g.xr[i]
+                        else:
+                            ql += 1
+                            if v < 0:
+                                qn += 1
+                            qpw += i + 1
+                out["doc_id"].append(d)
+                out["big_lines"].append(bl)
+                out["big2_lines"].append(b2)
+                out["big_neg"].append(bn)
+                out["big_pos_weight"].append(bpw)
+                out["energy1_micros"].append(int(round(1_000_000 * e1)))
+                out["quad_lines"].append(ql)
+                out["quad_pos_weight"].append(qpw)
+                out["quad_neg"].append(qn)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, big_lines long, big2_lines long, big_neg long, "
+        "big_pos_weight long, energy1_micros long, quad_lines long, "
+        "quad_pos_weight long, quad_neg long"
+    )
+    return docs.mapInPandas(run, schema).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -3402,3 +3402,48 @@ def test_g3_codec_roundtrip_with_eols_and_tag_bits():
     blob[at + 8] = 0b10
     with pytest.raises(ValueError, match="uncompressed mode"):
         decode_media(bytes(blob), "image")
+
+
+def test_mp3_huffman_tables_2_3_and_count1a_roundtrip():
+    """Annex B tables 2/3 and count1 table A (round 14): |is| up to 2
+    round-trips bit-exactly through encode_mp3_l3/_decode_mp3_l3 with
+    per-granule table selection; the embedded alphabets are validated at
+    import as COMPLETE prefix codes (Kraft sum exactly 1), so a
+    mis-remembered length or codeword cannot load; tables 5+ still raise
+    by name."""
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_mp3_l3,
+        _mp3_check_huffman_tables,
+        encode_mp3_l3,
+    )
+
+    _mp3_check_huffman_tables()  # idempotent re-validation
+
+    def spec(d, gi, table):
+        is_vals = [0] * 576
+        for j in range(29):
+            mag = 1 + (j + d + gi) % 2
+            is_vals[7 * j] = mag if (j + d) % 2 == 0 else -mag
+        for q in range(25):
+            if (q + d) % 3 == 0:
+                is_vals[200 + 4 * q + (d + q) % 4] = 1 if q % 2 == 0 else -1
+        return {"is": is_vals, "global_gain": 214, "scalefac": [0] * 21,
+                "big_values": 100, "scalefac_scale": 1,
+                "scalefac_compress": 0, "huff_table": table,
+                "count1table": "A"}
+
+    for d in range(4):
+        specs = [spec(d, 0, 2), spec(d, 1, 3)]
+        m = _decode_mp3_l3(encode_mp3_l3(specs))
+        for gi, g in enumerate(m["granules"]):
+            assert g.is_vals == specs[gi]["is"]
+            assert g.count1table_select == 0
+            assert sorted(set(g.table_select) - {0}) == [2 if gi == 0 else 3]
+
+    # |is| = 2 without a 2/3 table choice is rejected by the encoder
+    bad = spec(0, 0, None)
+    bad["huff_table"] = None
+    with pytest.raises(ValueError, match="is"):
+        encode_mp3_l3([bad, spec(0, 1, 3)])
