@@ -4385,7 +4385,60 @@ _MP3_HUFF3 = {
     )
     for y, (ln, code) in enumerate(row)
 }
-_MP3_HUFF_TABLES = {1: _MP3_HUFF1, 2: _MP3_HUFF2, 3: _MP3_HUFF3}
+def _mp3_table(L, C):
+    n = len(L)
+    return {
+        (x, y): (L[x][y], C[x][y]) for x in range(n) for y in range(n)
+    }
+
+
+# Tables 5-10 (4x4 through 8x8, no linbits), same stance + validation.
+# Candidate recollections of tables 11 and 12 FAILED the Kraft check
+# (2039/2048 and 513/512) and are therefore NOT embedded — the validator
+# is the point: only alphabets it proves complete ship. Tables 11-31
+# (incl. the 16x16 pair 13/15 and the linbits families) remain the
+# named Annex B data seam.
+_MP3_HUFF5 = _mp3_table(
+    [[1, 3, 6, 7], [3, 3, 6, 7], [6, 6, 7, 8], [7, 6, 7, 8]],
+    [[1, 2, 6, 5], [3, 1, 4, 4], [7, 5, 7, 1], [6, 1, 1, 0]],
+)
+_MP3_HUFF6 = _mp3_table(
+    [[3, 3, 5, 7], [3, 2, 4, 5], [4, 4, 5, 6], [6, 5, 6, 7]],
+    [[7, 3, 5, 1], [6, 2, 3, 2], [5, 4, 4, 1], [3, 3, 2, 0]],
+)
+_MP3_HUFF7 = _mp3_table(
+    [[1, 3, 6, 8, 8, 9], [3, 4, 6, 7, 7, 8], [6, 5, 7, 8, 8, 9],
+     [7, 7, 8, 9, 9, 9], [7, 7, 8, 9, 9, 10], [8, 8, 9, 10, 10, 10]],
+    [[1, 2, 10, 19, 16, 10], [3, 3, 7, 10, 5, 3], [11, 4, 13, 17, 8, 4],
+     [12, 11, 18, 15, 11, 2], [7, 6, 9, 14, 3, 1], [6, 4, 5, 3, 2, 0]],
+)
+_MP3_HUFF8 = _mp3_table(
+    [[2, 3, 6, 8, 8, 9], [3, 2, 4, 8, 8, 8], [6, 4, 6, 8, 8, 9],
+     [8, 8, 8, 9, 9, 10], [8, 7, 8, 9, 10, 10], [9, 8, 9, 9, 11, 11]],
+    [[3, 4, 6, 18, 12, 5], [5, 1, 2, 16, 9, 3], [7, 3, 5, 14, 7, 3],
+     [19, 17, 15, 13, 10, 4], [13, 5, 8, 11, 5, 1], [12, 4, 4, 1, 1, 0]],
+)
+_MP3_HUFF9 = _mp3_table(
+    [[3, 3, 5, 6, 8, 9], [3, 3, 4, 5, 6, 8], [4, 4, 5, 6, 7, 8],
+     [6, 5, 6, 7, 7, 8], [7, 6, 7, 7, 8, 9], [8, 7, 8, 8, 9, 9]],
+    [[7, 5, 9, 14, 15, 7], [6, 4, 5, 5, 6, 7], [7, 6, 8, 8, 8, 5],
+     [15, 6, 9, 10, 5, 1], [11, 7, 9, 6, 4, 1], [14, 4, 6, 2, 6, 0]],
+)
+_MP3_HUFF10 = _mp3_table(
+    [[1, 3, 6, 8, 9, 9, 9, 10], [3, 4, 6, 7, 8, 9, 8, 8],
+     [6, 6, 7, 8, 9, 10, 9, 9], [7, 7, 8, 9, 10, 10, 9, 10],
+     [8, 8, 9, 10, 10, 10, 10, 10], [9, 9, 10, 10, 11, 11, 10, 11],
+     [8, 8, 9, 10, 10, 10, 11, 11], [9, 8, 9, 10, 10, 11, 11, 11]],
+    [[1, 2, 10, 23, 35, 30, 12, 17], [3, 3, 8, 12, 18, 21, 12, 7],
+     [11, 9, 15, 21, 32, 40, 19, 6], [14, 13, 22, 34, 46, 23, 18, 7],
+     [20, 19, 33, 47, 27, 22, 9, 3], [31, 22, 41, 26, 21, 20, 5, 3],
+     [14, 13, 10, 11, 16, 6, 5, 1], [9, 8, 7, 8, 4, 4, 2, 0]],
+)
+_MP3_HUFF_TABLES = {
+    1: _MP3_HUFF1, 2: _MP3_HUFF2, 3: _MP3_HUFF3, 5: _MP3_HUFF5,
+    6: _MP3_HUFF6, 7: _MP3_HUFF7, 8: _MP3_HUFF8, 9: _MP3_HUFF9,
+    10: _MP3_HUFF10,
+}
 _MP3_HUFF_DEC = {
     t: {v: k for k, v in tab.items()} for t, tab in _MP3_HUFF_TABLES.items()
 }
@@ -4409,10 +4462,8 @@ def _mp3_check_huffman_tables() -> None:
     COMPLETE prefix code — Kraft sum exactly 1 and prefix-free."""
     from fractions import Fraction
 
-    for name, tab in (
-        ("huff1", _MP3_HUFF1), ("huff2", _MP3_HUFF2),
-        ("huff3", _MP3_HUFF3), ("count1A", _MP3_COUNT1A),
-    ):
+    tables = [(f"huff{t}", tab) for t, tab in _MP3_HUFF_TABLES.items()]
+    for name, tab in tables + [("count1A", _MP3_COUNT1A)]:
         codes = [format(c, f"0{ln}b") for ln, c in tab.values()]
         if len(set(codes)) != len(codes):
             raise AssertionError(f"MP3 {name}: duplicate codewords")
@@ -4603,7 +4654,7 @@ def _mp3_read_huffman(br: "_BitReader", g: "_MP3Granule", part2_bits: int) -> No
                 if (ln, code) in dec:
                     x, y = dec[(ln, code)]
                     break
-                if ln > 6:
+                if ln > 11:
                     raise ValueError(
                         f"invalid MP3 table-{tsel} Huffman code"
                     )
@@ -5320,7 +5371,11 @@ def _mp3_granule_bits(spec: dict, skip_groups: list[bool]) -> tuple["_BitWriter"
     subblock_gain ([3]) and — for short blocks — scalefac_s (12x3)."""
     is_vals = spec["is"]
     huff_table = spec.get("huff_table")  # None -> auto table 0/1
-    big_cap = 2 if huff_table in (2, 3) else 1
+    # largest |is| the chosen alphabet can carry (table size - 1)
+    _caps = {None: 1, 1: 1, 2: 2, 3: 2, 5: 3, 6: 3, 7: 5, 8: 5, 9: 5, 10: 7}
+    if huff_table not in _caps:
+        raise ValueError(f"encoder carries Huffman tables 0-3 and 5-10, not {huff_table}")
+    big_cap = _caps[huff_table]
     if len(is_vals) != 576:
         raise ValueError("encoder profile: 576 spectral lines")
     if any(abs(v) > big_cap for v in is_vals):
@@ -6289,13 +6344,23 @@ def cross_codec_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "mp3_huffman23_decode_features",
+    "mp3_huffman_tables_decode_features",
     oracle="""
-    WITH big AS (
-        SELECT d.doc_id AS doc_id, g.gi AS gi, j.j AS j,
-               1 + (j.j + d.doc_id + g.gi) % 2 AS mag,
-               ((j.j + d.doc_id) % 2 = 1) AS neg
-        FROM documents d,
+    WITH base AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 4 AS INTEGER)
+                    WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 5
+                    ELSE 5 END AS cap0,
+               CASE CAST(doc_id % 4 AS INTEGER)
+                    WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 5
+                    ELSE 7 END AS cap1
+        FROM documents
+    ), big AS (
+        SELECT b.doc_id AS doc_id, g.gi AS gi, j.j AS j,
+               1 + (j.j + b.doc_id + g.gi)
+                   % (CASE WHEN g.gi = 0 THEN b.cap0 ELSE b.cap1 END) AS mag,
+               ((j.j + b.doc_id) % 2 = 1) AS neg
+        FROM base b,
              LATERAL (SELECT unnest(range(0, 2)) AS gi) g,
              LATERAL (SELECT unnest(range(0, 29)) AS j) j
     ), quad AS (
@@ -6309,8 +6374,7 @@ def cross_codec_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), bigf AS (
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS big_lines,
-               CAST(SUM(CASE WHEN mag = 2 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS big2_lines,
+               CAST(SUM(mag) AS BIGINT) AS mag_sum,
                CAST(SUM(CASE WHEN neg THEN 1 ELSE 0 END)
                     AS BIGINT) AS big_neg,
                CAST(SUM(7 * j + 1) AS BIGINT) AS big_pos_weight,
@@ -6327,7 +6391,7 @@ def cross_codec_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS quad_neg
         FROM quad GROUP BY doc_id
     )
-    SELECT b.doc_id, b.big_lines, b.big2_lines, b.big_neg,
+    SELECT b.doc_id, b.big_lines, b.mag_sum, b.big_neg,
            b.big_pos_weight, b.energy1_micros,
            COALESCE(q.quad_lines, 0) AS quad_lines,
            COALESCE(q.quad_pos_weight, 0) AS quad_pos_weight,
@@ -6336,21 +6400,21 @@ def cross_codec_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY b.doc_id
     """,
 )
-def mp3_huffman23_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MP3 Annex B Huffman tables 2/3 and count1 table A under the
-    differential gate (round 14; the tables are embedded with the
-    Kraft-complete import validation documented at _MP3_HUFF2). Each doc
-    carries one frame whose granule 0 codes big values through TABLE 2
-    and granule 1 through TABLE 3 — magnitudes alternate 1/2, so the
-    full 3x3 (x, y) alphabet is exercised, including the |is| = 2 rows
-    the table-0/1 profile could never emit — and both granules route
-    their count1 quadruples through TABLE A (count1table_select 0),
-    zero-quads included. The oracle recomputes line counts, magnitudes,
-    signs and coded positions per region plus the exact spectrum energy
-    of the |is| = 1 lines (|is| = 2 requantizes to the irrational
-    2^(4/3) scale, so those lines are pinned by count and position, not
-    energy — keeping the hash float-exact). Map-only mapInPandas with
-    the standard core fan-out."""
+def mp3_huffman_tables_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 Annex B Huffman tables 2-10 and count1 table A under the
+    differential gate (round 14; the alphabets are embedded with the
+    Kraft-complete import validation documented at _MP3_HUFF2, and the
+    same validator REJECTED the table 11/12 recollections — only proven
+    alphabets ship). Docs rotate the table pairs (2,3), (5,6), (7,8),
+    (9,10) across their two granules with magnitudes sweeping each
+    table's full |is| range, and both granules route count1 quadruples
+    through TABLE A (zero-quads included). The oracle recomputes line
+    counts, the MAGNITUDE SUM (pinning every decoded |is| value), signs
+    and coded positions per region plus the exact spectrum energy of
+    the |is| = 1 lines (larger magnitudes requantize to irrational
+    |is|^(4/3) scales, so they are pinned by mag_sum and position,
+    keeping the hash float-exact). Map-only mapInPandas with the
+    standard core fan-out."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
@@ -6360,10 +6424,14 @@ def mp3_huffman23_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        def granule_spec(d: int, gi: int) -> dict:
+        pairs = [(2, 3), (5, 6), (7, 8), (9, 10)]
+        caps = {2: 2, 3: 2, 5: 3, 6: 3, 7: 5, 8: 5, 9: 5, 10: 7}
+
+        def granule_spec(d: int, gi: int, table: int) -> dict:
+            cap = caps[table]
             is_vals = [0] * 576
             for j in range(29):
-                mag = 1 + (j + d + gi) % 2
+                mag = 1 + (j + d + gi) % cap
                 is_vals[7 * j] = mag if (j + d) % 2 == 0 else -mag
             for q in range(25):
                 if (q + d) % 3 == 0:
@@ -6377,21 +6445,24 @@ def mp3_huffman23_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame
                 "big_values": 100,
                 "scalefac_scale": 1,
                 "scalefac_compress": 0,
-                "huff_table": 2 if gi == 0 else 3,
+                "huff_table": table,
                 "count1table": "A",
             }
 
         for pdf in batches:
             out = {
-                "doc_id": [], "big_lines": [], "big2_lines": [],
+                "doc_id": [], "big_lines": [], "mag_sum": [],
                 "big_neg": [], "big_pos_weight": [], "energy1_micros": [],
                 "quad_lines": [], "quad_pos_weight": [], "quad_neg": [],
             }
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                blob = encode_mp3_l3([granule_spec(d, gi) for gi in range(2)])
-                m = _decode_mp3_l3(blob)  # REAL table-2/3 + count1-A decode
-                bl = b2 = bn = bpw = ql = qpw = qn = 0
+                t0, t1 = pairs[d % 4]
+                blob = encode_mp3_l3(
+                    [granule_spec(d, 0, t0), granule_spec(d, 1, t1)]
+                )
+                m = _decode_mp3_l3(blob)  # REAL multi-table decode
+                bl = ms = bn = bpw = ql = qpw = qn = 0
                 e1 = 0.0
                 for g in m["granules"]:
                     assert g.count1table_select == 0
@@ -6400,8 +6471,7 @@ def mp3_huffman23_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame
                             continue
                         if i < 200:
                             bl += 1
-                            if abs(v) == 2:
-                                b2 += 1
+                            ms += abs(v)
                             if v < 0:
                                 bn += 1
                             bpw += i + 1
@@ -6414,7 +6484,7 @@ def mp3_huffman23_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame
                             qpw += i + 1
                 out["doc_id"].append(d)
                 out["big_lines"].append(bl)
-                out["big2_lines"].append(b2)
+                out["mag_sum"].append(ms)
                 out["big_neg"].append(bn)
                 out["big_pos_weight"].append(bpw)
                 out["energy1_micros"].append(int(round(1_000_000 * e1)))
@@ -6424,7 +6494,7 @@ def mp3_huffman23_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame
             yield pd.DataFrame(out)
 
     schema = (
-        "doc_id long, big_lines long, big2_lines long, big_neg long, "
+        "doc_id long, big_lines long, mag_sum long, big_neg long, "
         "big_pos_weight long, energy1_micros long, quad_lines long, "
         "quad_pos_weight long, quad_neg long"
     )

@@ -78,7 +78,7 @@ QUERIES = [
     "mp3_pcm_decode_features",
     "cross_codec_audio_dedup",
     "tiff_g4_decode_features",
-    "mp3_huffman23_decode_features",
+    "mp3_huffman_tables_decode_features",
 ]
 
 
@@ -168,7 +168,7 @@ ANSI_QUERIES = [
     "mp3_pcm_decode_features",
     "cross_codec_audio_dedup",
     "tiff_g4_decode_features",
-    "mp3_huffman23_decode_features",
+    "mp3_huffman_tables_decode_features",
 ]
 
 

@@ -3404,13 +3404,14 @@ def test_g3_codec_roundtrip_with_eols_and_tag_bits():
         decode_media(bytes(blob), "image")
 
 
-def test_mp3_huffman_tables_2_3_and_count1a_roundtrip():
-    """Annex B tables 2/3 and count1 table A (round 14): |is| up to 2
-    round-trips bit-exactly through encode_mp3_l3/_decode_mp3_l3 with
-    per-granule table selection; the embedded alphabets are validated at
-    import as COMPLETE prefix codes (Kraft sum exactly 1), so a
-    mis-remembered length or codeword cannot load; tables 5+ still raise
-    by name."""
+def test_mp3_huffman_tables_2_to_10_and_count1a_roundtrip():
+    """Annex B tables 2-10 and count1 table A (round 14): magnitudes up
+    to each table's cap round-trip bit-exactly through
+    encode_mp3_l3/_decode_mp3_l3 with per-granule table selection; the
+    embedded alphabets are validated at import as COMPLETE prefix codes
+    (Kraft sum exactly 1), so a mis-remembered length or codeword cannot
+    load (the table 11/12 candidates failed that check and are not
+    embedded); unembedded tables still raise by name."""
     import pytest
 
     from input_data_pipeline_spark.operators.multimodal import (
@@ -3420,11 +3421,13 @@ def test_mp3_huffman_tables_2_3_and_count1a_roundtrip():
     )
 
     _mp3_check_huffman_tables()  # idempotent re-validation
+    caps = {2: 2, 3: 2, 5: 3, 6: 3, 7: 5, 8: 5, 9: 5, 10: 7}
 
     def spec(d, gi, table):
+        cap = caps.get(table, 1)
         is_vals = [0] * 576
         for j in range(29):
-            mag = 1 + (j + d + gi) % 2
+            mag = 1 + (j + d + gi) % cap
             is_vals[7 * j] = mag if (j + d) % 2 == 0 else -mag
         for q in range(25):
             if (q + d) % 3 == 0:
@@ -3435,15 +3438,21 @@ def test_mp3_huffman_tables_2_3_and_count1a_roundtrip():
                 "count1table": "A"}
 
     for d in range(4):
-        specs = [spec(d, 0, 2), spec(d, 1, 3)]
-        m = _decode_mp3_l3(encode_mp3_l3(specs))
-        for gi, g in enumerate(m["granules"]):
-            assert g.is_vals == specs[gi]["is"]
-            assert g.count1table_select == 0
-            assert sorted(set(g.table_select) - {0}) == [2 if gi == 0 else 3]
+        for t0, t1 in ((2, 3), (5, 6), (7, 8), (9, 10)):
+            specs = [spec(d, 0, t0), spec(d, 1, t1)]
+            m = _decode_mp3_l3(encode_mp3_l3(specs))
+            for gi, g in enumerate(m["granules"]):
+                assert g.is_vals == specs[gi]["is"]
+                assert g.count1table_select == 0
+                assert sorted(set(g.table_select) - {0}) == [t0 if gi == 0 else t1]
 
-    # |is| = 2 without a 2/3 table choice is rejected by the encoder
-    bad = spec(0, 0, None)
+    # magnitudes beyond the table-0/1 cap without a table choice reject
+    bad = spec(0, 0, 2)
     bad["huff_table"] = None
     with pytest.raises(ValueError, match="is"):
         encode_mp3_l3([bad, spec(0, 1, 3)])
+    # an unembedded table id rejects by name on the encode side
+    bad2 = spec(0, 0, 2)
+    bad2["huff_table"] = 13
+    with pytest.raises(ValueError, match="tables 0-3 and 5-10"):
+        encode_mp3_l3([bad2, spec(0, 1, 3)])
