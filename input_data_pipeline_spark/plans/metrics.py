@@ -97,6 +97,10 @@ ANCHORS = [
     # as 8-int code rows only; candidate count is bounded by the probed
     # cells, so shuffle must stay linear in corpus size
     "knn_ivf_pq",
+    # round-14 addition: cross-codec audio dedup — per-doc decode fan-out
+    # is map-only; the only exchange is the 32-byte-key hash aggregate
+    # for the cross-doc cluster count, which must stay linear in docs
+    "cross_codec_audio_dedup",
 ]
 
 
