@@ -655,6 +655,7 @@ def encode_wav(samples, frame_rate: int = 16000) -> bytes:
 # narrows to genuinely external formats (MP3/AAC-in-WAV).
 
 _WAVE_FORMAT_PCM = 0x0001
+_WAVE_FORMAT_IEEE_FLOAT = 0x0003
 _WAVE_FORMAT_ALAW = 0x0006
 _WAVE_FORMAT_MULAW = 0x0007
 _WAVE_FORMAT_IMA_ADPCM = 0x0011
@@ -674,6 +675,37 @@ def encode_wav_codes(codes: bytes, fmt_tag: int, frame_rate: int = 8000) -> byte
     fact = struct.pack("<I", len(codes))
     body = b"WAVE"
     for cid, chunk in ((b"fmt ", fmt), (b"fact", fact), (b"data", codes)):
+        body += cid + struct.pack("<I", len(chunk)) + chunk
+        if len(chunk) % 2:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_float(samples, frame_rate: int = 16000, width: int = 4,
+                     n_channels: int = 1) -> bytes:
+    """Encode channel-interleaved int16 samples as an IEEE float WAV
+    (format tag 3, little-endian float32/float64) scaled by 1/32768 —
+    the exact transform float AU uses, so the round-trip is bit-true.
+    Includes the ``fact`` chunk non-PCM WAV requires."""
+    import struct
+
+    import numpy as np
+
+    if width not in (4, 8):
+        raise ValueError("float WAV width must be 4 or 8 bytes")
+    s = np.asarray(samples, dtype=np.int16)
+    if len(s) % n_channels:
+        raise ValueError("samples not a whole number of frames")
+    f = s.astype(np.float64) / 32768.0
+    data = f.astype("<f4" if width == 4 else "<f8").tobytes()
+    block = width * n_channels
+    fmt = struct.pack(
+        "<HHIIHHH", _WAVE_FORMAT_IEEE_FLOAT, n_channels, frame_rate,
+        frame_rate * block, block, width * 8, 0,
+    )
+    fact = struct.pack("<I", len(s) // n_channels)
+    body = b"WAVE"
+    for cid, chunk in ((b"fmt ", fmt), (b"fact", fact), (b"data", data)):
         body += cid + struct.pack("<I", len(chunk)) + chunk
         if len(chunk) % 2:
             body += b"\x00"
@@ -2010,23 +2042,47 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
                 "pcm": pcm,
                 "codec": "ima_adpcm",
             }
+        if tag == _WAVE_FORMAT_IEEE_FLOAT:
+            # round 14: IEEE float WAV (little-endian float32/float64),
+            # the same nominal [-1, 1) -> int16 transform as float AU
+            import numpy as np
+
+            w = _parse_wav_chunks(payload)
+            if w["bits"] not in (32, 64):
+                raise ValueError(
+                    f"IEEE float WAV must be 32- or 64-bit, got {w['bits']}"
+                )
+            width = w["bits"] // 8
+            data = w["data"]
+            if w["fact_frames"] is not None:
+                data = data[: w["fact_frames"] * width * w["n_channels"]]
+            if len(data) % width:
+                raise ValueError("float WAV data not a whole number of samples")
+            f = np.frombuffer(
+                data, "<f4" if width == 4 else "<f8"
+            ).astype(np.float64)
+            if len(f) % w["n_channels"]:
+                raise ValueError("float WAV data not a whole number of frames")
+            if not np.isfinite(f).all():
+                raise ValueError("non-finite float WAV sample")
+            scaled = f * 32768.0
+            pcm = np.clip(
+                np.sign(scaled) * np.floor(np.abs(scaled) + 0.5),
+                -32768, 32767,
+            ).astype(np.int16)
+            return {
+                "n_channels": w["n_channels"],
+                "sample_width": 2,
+                "frame_rate": w["frame_rate"],
+                "n_frames": len(pcm) // w["n_channels"],
+                "pcm": pcm.tobytes(),
+                "codec": "pcm_f32le" if width == 4 else "pcm_f64le",
+            }
         if tag != _WAVE_FORMAT_PCM:
             raise NotImplementedError(
                 f"WAV format tag 0x{tag:04x} (e.g. MP3/AAC-in-WAV) requires "
                 "external media libraries (SURVEY §2.10 U1/U2)"
             )
-    if payload[:3] == b"ID3" or (
-        len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
-    ):
-        # the entropy layer decodes for real (_decode_mp3_l3: side info,
-        # reservoir, Huffman, requantize, IMDCT); PCM needs the Annex B
-        # Table B.3 synthesis window — the remaining seam
-        raise NotImplementedError(
-            "MP3 PCM output requires the polyphase synthesis window "
-            "(ISO 11172-3 Annex B Table B.3); use _decode_mp3_l3 for the "
-            "spec-real spectral decode, or wire ffmpeg/minimp3 here for "
-            "samples (SURVEY §2.10 U1/U2)"
-        )
     import io
     import wave
 

@@ -3456,3 +3456,38 @@ def test_mp3_huffman_tables_2_to_10_and_count1a_roundtrip():
     bad2["huff_table"] = 13
     with pytest.raises(ValueError, match="tables 0-3 and 5-10"):
         encode_mp3_l3([bad2, spec(0, 1, 3)])
+
+
+def test_ieee_float_wav_decode_and_content_key_fold():
+    """IEEE float WAV (format tag 3, round 14): k/32768 float32/float64
+    samples rescale to the source int16s bit-exactly (mono and stereo,
+    fact-chunk honored), the content key folds a float re-encode into
+    the PCM16 identity, and non-finite samples raise by name."""
+    import numpy as np
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        audio_content_key,
+        decode_media,
+        encode_wav,
+        encode_wav_float,
+    )
+
+    i = np.arange(600, dtype=np.int64)
+    y = ((13 + 7 * i) % 4001 - 2000).astype(np.int16)
+    for width in (4, 8):
+        blob = encode_wav_float(y, width=width)
+        m = decode_media(blob, "audio")
+        assert m["codec"] == ("pcm_f32le" if width == 4 else "pcm_f64le")
+        assert np.array_equal(np.frombuffer(m["pcm"], "<i2"), y)
+        assert audio_content_key(blob) == audio_content_key(encode_wav(y, 16000))
+
+    ys = np.stack([y, -y], axis=1).reshape(-1).astype(np.int16)
+    m = decode_media(encode_wav_float(ys, n_channels=2), "audio")
+    assert m["n_channels"] == 2 and m["n_frames"] == 600
+
+    blob = bytearray(encode_wav_float(y[:4]))
+    at = blob.find(b"data") + 8
+    blob[at: at + 4] = b"\x00\x00\xc0\x7f"  # NaN float32 LE
+    with pytest.raises(ValueError, match="non-finite"):
+        decode_media(bytes(blob), "audio")
