@@ -6284,7 +6284,7 @@ def mp3_pcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cross_codec_audio_dedup",
     oracle="""
     SELECT doc_id,
-           CAST(4 AS BIGINT) AS n_variants,
+           CAST(5 AS BIGINT) AS n_variants,
            CAST(1 AS BIGINT) AS n_exact_keys,
            CAST(1 AS BIGINT) AS n_robust_keys,
            CAST(2816 AS BIGINT) AS n_samples,
@@ -6301,10 +6301,12 @@ def cross_codec_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-repo decoders). Per doc, the same audio ships in FOUR containers
     — a real MPEG-1 Layer III stream (doc-keyed pseudo-random spectra,
     full entropy+IMDCT+polyphase decode), the WAV rip of its decoded
-    PCM, a FLAC encode, and a float32 AU — and all four must collapse
+    PCM, a FLAC encode, a float32 AU, and an IEEE float32 WAV — and all
+    five must collapse
     to ONE :func:`audio_content_key` (sha256 over decoded PCM + playback
     params: four independent decoders, one identity) and ONE
-    :func:`audio_robust_key`. A groupBy over the exact keys then proves
+    :func:`audio_robust_key` (five independent decoders, one identity).
+    A groupBy over the exact keys then proves
     no two DOCS collide (``exact_cluster_docs`` = 1): the line pattern
     is md5-derived per (doc, granule), so distinct docs carry distinct
     spectra by construction (a modular-polynomial pattern collides —
@@ -6367,6 +6369,7 @@ def cross_codec_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     encode_wav(y, 44100),
                     encode_flac(y, sample_rate=44100),
                     encode_au(y, sample_rate=44100, float_width=4),
+                    encode_wav_float(y, frame_rate=44100),
                 ]
                 # one REAL decode per container, both keys from it
                 metas = [meta] + [
