@@ -3502,7 +3502,7 @@ def probe_audio(payload: bytes) -> dict:
         n = (len(payload) - off) if size == 0xFFFFFFFF else size
         # bytes per SAMPLE by encoding: G.711 laws / 8-bit PCM 1 byte,
         # PCM16 2, float32/float64 4/8; a frame is one sample per channel
-        bps = {1: 1, 2: 1, 27: 1, 3: 2, 6: 4, 7: 8}.get(enc)
+        bps = {1: 1, 2: 1, 27: 1, 3: 2, 4: 3, 5: 4, 6: 4, 7: 8}.get(enc)
         frames = n // (bps * n_ch) if bps and n_ch else None
         return {
             "container": "au",
@@ -7670,6 +7670,8 @@ _AU_MAGIC = b".snd"
 _AU_ULAW = 1
 _AU_PCM8 = 2
 _AU_PCM16 = 3
+_AU_PCM24 = 4
+_AU_PCM32 = 5
 _AU_FLOAT32 = 6
 _AU_FLOAT64 = 7
 _AU_ALAW = 27
@@ -7764,10 +7766,11 @@ def _decode_au(payload: bytes) -> dict:
     through the REAL G.711 transform, signed 8-bit PCM widening
     (encoding 2, round 14), big-endian PCM16 byteswap, or IEEE
     big-endian float32/float64 (encodings 6/7) scaled to int16 by
-    round-half-away(v * 32768) with clipping. Multichannel files decode
-    with their interleaving preserved (AU frames are channel-
-    interleaved, same convention as WAV). The remaining unsupported
-    encodings (24/32-bit PCM 4/5, G.721/G.723 ADPCM 23-26) raise by
+    round-half-away(v * 32768) with clipping, and 24/32-bit linear PCM
+    (encodings 4/5) narrowed to int16 by round-half-away at the shift.
+    Multichannel files decode with their interleaving preserved (AU
+    frames are channel-interleaved, same convention as WAV). The
+    remaining unsupported encodings (G.721/G.723 ADPCM 23-26) raise by
     name."""
     import struct
 
@@ -7818,6 +7821,32 @@ def _decode_au(payload: bytes) -> dict:
             "n_frames": len(pcm) // n_ch, "pcm": pcm.tobytes(),
             "codec": "pcm_s16be",
         }
+    if enc in (_AU_PCM24, _AU_PCM32):
+        # round 14: wide linear PCM narrows to the uniform int16 contract
+        # by round-half-away at the 8/16-bit shift (same convention as
+        # the float path); big-endian like all AU sample formats
+        width = 3 if enc == _AU_PCM24 else 4
+        if len(data) % width:
+            raise ValueError("AU wide-PCM data not a whole number of samples")
+        n = len(data) // width
+        if n % n_ch:
+            raise ValueError("AU data not a whole number of frames")
+        raw = np.frombuffer(data, np.uint8).reshape(n, width)
+        val = np.zeros(n, np.int64)
+        for b in range(width):
+            val = (val << 8) | raw[:, b].astype(np.int64)
+        bits = width * 8
+        val = np.where(val >= (1 << (bits - 1)), val - (1 << bits), val)
+        shift = 1 << (bits - 17)  # half of the 2**(bits-16) step
+        pcm = np.clip(
+            np.sign(val) * ((np.abs(val) + shift) >> (bits - 16)),
+            -32768, 32767,
+        ).astype(np.int16)
+        return {
+            "n_channels": n_ch, "sample_width": 2, "frame_rate": rate,
+            "n_frames": n // n_ch, "pcm": pcm.astype("<i2").tobytes(),
+            "codec": "pcm_s24be" if width == 3 else "pcm_s32be",
+        }
     if enc in (_AU_FLOAT32, _AU_FLOAT64):
         width = 4 if enc == _AU_FLOAT32 else 8
         if len(data) % width:
@@ -7839,8 +7868,8 @@ def _decode_au(payload: bytes) -> dict:
             "codec": "pcm_f32be" if width == 4 else "pcm_f64be",
         }
     raise ValueError(
-        f"AU encoding {enc} (24/32-bit PCM or G.72x ADPCM-in-AU) "
-        "requires external media libraries (SURVEY §2.10 U1/U2)"
+        f"AU encoding {enc} (G.72x ADPCM-in-AU) requires external media "
+        "libraries (SURVEY §2.10 U1/U2)"
     )
 
 

@@ -3139,8 +3139,8 @@ def test_au_container_roundtrip_and_cross_container_content_key():
     with pytest.raises(ValueError, match="truncated AU data"):
         _decode_au(encode_au(sig)[:-10])
     blob = bytearray(encode_au(sig))
-    blob[15] = 4  # 24-bit PCM encoding id: genuinely unsupported
-    with pytest.raises(ValueError, match="AU encoding 4"):
+    blob[15] = 23  # G.721 ADPCM encoding id: genuinely unsupported
+    with pytest.raises(ValueError, match="AU encoding 23"):
         _decode_au(bytes(blob))
     fblob = bytearray(encode_au(sig, float_width=4))
     fblob[24:28] = b"\x7f\xc0\x00\x00"  # NaN sample
@@ -3491,3 +3491,35 @@ def test_ieee_float_wav_decode_and_content_key_fold():
     blob[at: at + 4] = b"\x00\x00\xc0\x7f"  # NaN float32 LE
     with pytest.raises(ValueError, match="non-finite"):
         decode_media(bytes(blob), "audio")
+
+
+def test_au_wide_pcm_24_and_32_bit_decode():
+    """AU encodings 4/5 (round 14): big-endian 24/32-bit linear PCM
+    narrows to the uniform int16 contract by round-half-away at the
+    shift — k << 8 (or << 16) recovers k exactly, half-step values round
+    away from zero — leaving G.72x ADPCM as the AU family's only seam."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import _decode_au
+
+    vals24 = [(5 << 8), -(7 << 8), (100 << 8) + 127, (100 << 8) + 128,
+              -(3 << 8) - 129]
+    raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "big") for v in vals24)
+    hdr = struct.pack(">4sIIIII", b".snd", 24, len(raw), 4, 8000, 1)
+    m = _decode_au(hdr + raw)
+    assert m["codec"] == "pcm_s24be"
+    assert list(np.frombuffer(m["pcm"], "<i2")) == [5, -7, 100, 101, -4]
+
+    vals32 = [(9 << 16), -(2 << 16), (50 << 16) + (1 << 15)]
+    raw = b"".join(int(v & 0xFFFFFFFF).to_bytes(4, "big") for v in vals32)
+    hdr = struct.pack(">4sIIIII", b".snd", 24, len(raw), 5, 8000, 1)
+    m = _decode_au(hdr + raw)
+    assert m["codec"] == "pcm_s32be"
+    assert list(np.frombuffer(m["pcm"], "<i2")) == [9, -2, 51]
+
+    hdr = struct.pack(">4sIIIII", b".snd", 24, 4, 23, 8000, 1)
+    with pytest.raises(ValueError, match="AU encoding 23"):
+        _decode_au(hdr + b"\x00\x00\x00\x00")
