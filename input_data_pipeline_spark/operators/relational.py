@@ -2464,3 +2464,263 @@ def late_shipment_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape (round 14): nation market share inside a region market
+# ---------------------------------------------------------------------------
+
+@register(
+    "nation_market_share",
+    oracle="""
+    WITH rev AS (
+      SELECT year(o.o_orderdate) AS order_year,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+               AS total_rev_micros,
+             CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_3'
+                                THEN l.l_extendedprice * (1 - l.l_discount)
+                                ELSE 0 END AS DECIMAL(18,6))) * 1000000
+                  AS BIGINT) AS nation_rev_micros
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+      GROUP BY year(o.o_orderdate))
+    SELECT order_year, nation_rev_micros, total_rev_micros,
+           CAST(nation_rev_micros // (total_rev_micros // 1000000)
+                AS BIGINT) AS share_ppm
+    FROM rev
+    ORDER BY order_year
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: the share of PROMO-part revenue inside the ASIA
+    customer market supplied by NATION_3, per order year. The classic
+    CASE-inside-SUM market-share rollup: one conditional aggregate, not
+    two scans.
+
+    Scale shape: lineitem joins orders on the fact key (the one real
+    shuffle), every dimension hop — customer side for the market filter,
+    supplier side for the share tag, part for the type filter — is a
+    broadcast, and the year rollup is map-combinable with BOTH sums in
+    one pass. share_ppm uses the overflow-safe integer form
+    num // (den // 1e6): micros totals grow with the corpus, so
+    1e6 * num would overflow int64 long before 100 TB, while this form
+    never leaves BIGINT and floors identically in both engines."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    supplier = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    cust_market = (
+        customer.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"),
+                                  F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    agg = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_market), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part.select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            stable_sum_micros(rev).alias("total_rev_micros"),
+            stable_sum_micros(
+                F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(0.0)
+            ).alias("nation_rev_micros"),
+        )
+    )
+    return agg.select(
+        "order_year",
+        "nation_rev_micros",
+        "total_rev_micros",
+        F.expr(
+            "nation_rev_micros div (total_rev_micros div 1000000)"
+        ).alias("share_ppm"),
+    ).orderBy("order_year")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape (round 14): customer order-count distribution
+# ---------------------------------------------------------------------------
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey,
+             COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey)
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of per-customer order counts,
+    counting only orders with a stated priority — customers with NO
+    qualifying orders must appear in the zero bucket, which is why the
+    join is LEFT OUTER with the predicate INSIDE the join condition
+    (pushing it to a WHERE would silently drop them, the classic Q13
+    trap).
+
+    Scale shape: the filtered orders side aggregates per customer after
+    one hash shuffle on o_custkey; the left join back to customer runs
+    on the same key; the final distribution groupBy moves one row per
+    customer COUNT VALUE (tiny). COUNT(o_orderkey) counts non-null
+    matches only, exactly like the SQL."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape (round 14): supplier diversity per part segment
+# ---------------------------------------------------------------------------
+
+@register(
+    "part_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 5, 9, 14, 20, 28, 36, 45)
+      AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers serve each (brand,
+    type, size) part segment, excluding one brand, off-list sizes, and a
+    supplier denylist (negative account balance standing in for Q16's
+    complaint predicate) — the NOT-IN-subquery + COUNT DISTINCT shape.
+
+    Scale shape: the denylist is a tiny broadcast LEFT ANTI join (never
+    a shuffled NOT IN); the part filter prunes before the fact join;
+    distinct (segment, suppkey) pairs reduce map-side before the final
+    count — the same two-level distinct-aggregate plan Catalyst picks
+    for COUNT(DISTINCT) with a grouped key."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 14, 20, 28, 36, 45)
+    )
+    denylist = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        lineitem.join(
+            F.broadcast(denylist),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape (round 14): promo revenue share per ship month
+# ---------------------------------------------------------------------------
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+    WITH rev AS (
+      SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE) AS ship_month,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+               AS total_rev_micros,
+             CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                                THEN l.l_extendedprice * (1 - l.l_discount)
+                                ELSE 0 END AS DECIMAL(18,6))) * 1000000
+                  AS BIGINT) AS promo_rev_micros
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE year(l.l_shipdate) = 1997
+      GROUP BY date_trunc('month', l.l_shipdate))
+    SELECT ship_month, promo_rev_micros, total_rev_micros,
+           CAST(promo_rev_micros // (total_rev_micros // 1000000)
+                AS BIGINT) AS promo_ppm
+    FROM rev
+    ORDER BY ship_month
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: the PROMO-part share of revenue per ship month of
+    1997 — the other canonical CASE-inside-SUM ratio rollup, this one
+    keyed on a date-truncated month (a DATE output cell, so the query
+    also guards the hostile-TZ contract).
+
+    Scale shape: the ship-year filter prunes the fact scan first; part
+    is a broadcast dimension hop; the month rollup is map-combinable
+    with both conditional sums in one pass; promo_ppm uses the same
+    overflow-safe num // (den // 1e6) integer form as the Q8 shape."""
+    lineitem = _t(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == 1997
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    agg = (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.trunc("l_shipdate", "month").alias("ship_month"))
+        .agg(
+            stable_sum_micros(rev).alias("total_rev_micros"),
+            stable_sum_micros(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+            ).alias("promo_rev_micros"),
+        )
+    )
+    return agg.select(
+        "ship_month",
+        "promo_rev_micros",
+        "total_rev_micros",
+        F.expr(
+            "promo_rev_micros div (total_rev_micros div 1000000)"
+        ).alias("promo_ppm"),
+    ).orderBy("ship_month")

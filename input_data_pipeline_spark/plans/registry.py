@@ -161,7 +161,9 @@ _PRIORITY: list[str] = [
 # sf0.1 and under the hostile-TZ fresh-process mimic:
 # `mp3_shortblock_decode_features`, `mp3_pcm_decode_features`,
 # `tiff_g4_decode_features`, `cross_codec_audio_dedup`,
-# `mp3_huffman_tables_decode_features`) — head the r15
+# `mp3_huffman_tables_decode_features`, and the four TPC-H shapes
+# `nation_market_share` / `customer_order_distribution` /
+# `part_supplier_counts` / `promo_revenue_share`) — head the r15
 # window with those, then the r10 bucket (44 queries,
 # `asof_order_context` ... `winnowing_fingerprints`) follows.
 

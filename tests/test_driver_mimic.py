@@ -79,6 +79,10 @@ QUERIES = [
     "cross_codec_audio_dedup",
     "tiff_g4_decode_features",
     "mp3_huffman_tables_decode_features",
+    # round-14 TPC-H shapes: Q8 extracts order YEAR, Q14 emits DATE
+    # month cells — TZ-sensitive by construction
+    "nation_market_share",
+    "promo_revenue_share",
 ]
 
 
@@ -169,6 +173,10 @@ ANSI_QUERIES = [
     "cross_codec_audio_dedup",
     "tiff_g4_decode_features",
     "mp3_huffman_tables_decode_features",
+    "nation_market_share",
+    "promo_revenue_share",
+    "customer_order_distribution",
+    "part_supplier_counts",
 ]
 
 

@@ -539,3 +539,41 @@ def test_round13_tpch_shapes_plan_quality(spark, sf_dir):
     q18 = _executed_plan(large_quantity_orders(spark, sf_dir))
     assert "Window" not in q18 and "Cartesian" not in q18
     assert "partial_" in q18
+
+
+def test_round14_tpch_shapes_plan_quality(spark, sf_dir):
+    """Round-14 TPC-H shapes hold the relational plan contract:
+    - Q8 shape: every dimension hop broadcast (one fact-key shuffle),
+      both conditional sums in ONE partial-combinable aggregate pass;
+    - Q13 shape: LEFT OUTER with the priority predicate in the join
+      condition, no Window, no Cartesian;
+    - Q16 shape: the supplier denylist is a broadcast LEFT ANTI (never a
+      shuffled NOT IN), part filter pruned before the fact join;
+    - Q14 shape: broadcast part hop, single aggregate pass, month keys."""
+    from input_data_pipeline_spark.operators.relational import (
+        customer_order_distribution,
+        nation_market_share,
+        part_supplier_counts,
+        promo_revenue_share,
+    )
+
+    q8 = _executed_plan(nation_market_share(spark, sf_dir))
+    assert "Cartesian" not in q8 and "Window" not in q8
+    assert q8.count("BroadcastHashJoin") >= 3
+    assert "partial_" in q8
+    # one aggregate stage computes both sums: no self-join of the fact
+    assert q8.count("SortMergeJoin") <= 1
+
+    q13 = _executed_plan(customer_order_distribution(spark, sf_dir))
+    assert "Cartesian" not in q13 and "Window" not in q13
+    assert "LeftOuter" in q13 or "BuildRight" in q13
+
+    q16 = _executed_plan(part_supplier_counts(spark, sf_dir))
+    assert "LeftAnti" in q16
+    assert "BroadcastHashJoin" in q16
+    assert "Cartesian" not in q16 and "BroadcastNestedLoopJoin" not in q16
+
+    q14 = _executed_plan(promo_revenue_share(spark, sf_dir))
+    assert "BroadcastHashJoin" in q14
+    assert "Cartesian" not in q14 and "Window" not in q14
+    assert "partial_" in q14
