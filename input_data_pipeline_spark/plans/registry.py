@@ -163,9 +163,10 @@ _PRIORITY: list[str] = [
 # `tiff_g4_decode_features`, `cross_codec_audio_dedup`,
 # `mp3_huffman_tables_decode_features`, and the four TPC-H shapes
 # `nation_market_share` / `customer_order_distribution` /
-# `part_supplier_counts` / `promo_revenue_share`) — head the r15
-# window with those, then the r10 bucket (44 queries,
-# `asof_order_context` ... `winnowing_fingerprints`) follows.
+# `part_supplier_counts` / `promo_revenue_share`) — 9 additions + the 3
+# r9 leftovers = 12 slots of the r15 head; then the r10 bucket (44
+# queries, `asof_order_context` ... `winnowing_fingerprints`) fills to 50
+# with the 6 anchors.
 
 
 def _ordered() -> dict[str, QuerySpec]:
