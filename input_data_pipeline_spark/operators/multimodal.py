@@ -4676,9 +4676,9 @@ def _mp3_read_huffman(br: "_BitReader", g: "_MP3Granule", part2_bits: int) -> No
     """Big-values pairs + count1 quadruples (§2.4.2.7): region table
     selection, sign bits after each nonzero magnitude, count1 until
     part2_3_length bits are exhausted or line 576. Tables 0-3 and both
-    count1 tables are implemented (2/3 and count1 A since round 14,
-    Kraft-validated at import); tables 5-31 raise naming the Annex B
-    data seam."""
+    count1 tables are implemented (2/3, 5-10 and count1 A since round
+    14, Kraft-validated at import); tables 11-31 raise naming the
+    Annex B data seam."""
     start_bit = br.bitpos()
     budget = g.part2_3_length - part2_bits
     is_vals = [0] * 576
@@ -4718,7 +4718,7 @@ def _mp3_read_huffman(br: "_BitReader", g: "_MP3Granule", part2_bits: int) -> No
             raise NotImplementedError(
                 f"MP3 Huffman table {tsel} requires ISO 11172-3 Annex B "
                 "Table B.7 data (SURVEY §2.10 external-codec seam; "
-                "tables 0-3 decode)"
+                "tables 0-10 decode)"
             )
         if x and br.read(1):
             x = -x
@@ -5167,14 +5167,15 @@ def mp3_analysis_filterbank(samples, state=None):
     shift them (newest first) into the 512-sample X FIFO, window by C,
     fold Y[j] = sum_i Z[j+64i], matrix S[k] = sum_j M(k,j) Y[j]. Returns
     (list of 32-float numpy vectors, fifo state). len(samples) must be a
-    multiple of 32."""
+    multiple of 32. The incoming ``state`` is copied, never mutated —
+    callers may keep and replay a FIFO snapshot."""
     import numpy as np
 
     C, _, M, _ = _mp3_filterbank_mats()
     x = np.asarray(samples, dtype=np.float64)
     if len(x) % 32:
         raise ValueError("analysis filterbank wants a multiple of 32 samples")
-    fifo = np.zeros(512) if state is None else state
+    fifo = np.zeros(512) if state is None else np.array(state, dtype=np.float64)
     out = []
     for t in range(0, len(x), 32):
         fifo[32:] = fifo[:-32]
@@ -5194,11 +5195,14 @@ def mp3_synthesize_pcm(subband_samples, state=None):
     B.3 literal is the one-line production swap; the reference instead
     shells out to ffmpeg for the whole decode,
     inputs/speech_to_text.py:24-26). Returns (float64 sample array,
-    V-FIFO state); feed 16 zero vectors to flush the 481-sample tail."""
+    V-FIFO state); feed 16 zero vectors to flush the 481-sample tail.
+    The incoming ``state`` is copied, never mutated — callers may keep
+    and replay a FIFO snapshot."""
     import numpy as np
 
     _, D, _, N = _mp3_filterbank_mats()
-    V = np.zeros(1024) if state is None else state
+    # copy: callers may keep and replay a V-FIFO snapshot
+    V = np.zeros(1024) if state is None else np.array(state, dtype=np.float64)
     out = np.empty(32 * len(subband_samples))
     for t, S in enumerate(subband_samples):
         V[64:] = V[:-64]
@@ -5430,7 +5434,10 @@ def _mp3_granule_bits(spec: dict, skip_groups: list[bool]) -> tuple["_BitWriter"
     # largest |is| the chosen alphabet can carry (table size - 1)
     _caps = {None: 1, 1: 1, 2: 2, 3: 2, 5: 3, 6: 3, 7: 5, 8: 5, 9: 5, 10: 7}
     if huff_table not in _caps:
-        raise ValueError(f"encoder carries Huffman tables 0-3 and 5-10, not {huff_table}")
+        raise ValueError(
+            "encoder accepts huff_table 1-3 and 5-10 (table 0 is auto-"
+            f"selected for all-zero regions, never passed), not {huff_table}"
+        )
     big_cap = _caps[huff_table]
     if len(is_vals) != 576:
         raise ValueError("encoder profile: 576 spectral lines")
@@ -5575,10 +5582,11 @@ def encode_mp3_l3(
     scalefactor-band boundary, and its scalefactors at/after that
     boundary are is_pos angles the decoder expands via tan(is_pos *
     pi/12)). The entropy layer is fully spec-real; the encoder
-    carries Huffman tables 0-3 and both count1 tables (per-granule spec
-    keys ``huff_table``/``count1table``), so magnitudes up to |is| = 2
-    encode; larger values would need tables 5+ (the Annex B data
-    seam)."""
+    carries Huffman tables 1-3 and 5-10 (0 auto-selected for all-zero
+    regions) and both count1 tables (per-granule spec keys
+    ``huff_table``/``count1table``), so magnitudes up to |is| = 7
+    encode; larger values would need the linbits/ESC tables 11+ (the
+    Annex B data seam)."""
     n_ch = 1 if mode == "mono" else 2
     per_frame = 2 * n_ch
     if len(granules) % per_frame:
@@ -6391,7 +6399,13 @@ def cross_codec_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_robust_keys long, n_samples long, probe_frames long, "
         "exact_key string"
     )
-    keyed = docs.mapInPandas(run, schema)
+    # The 5-encode/5-decode kernel is the most expensive map stage in the
+    # repo and feeds TWO consumers (the cluster groupBy and the probe
+    # side of the join-back). Without a materialization barrier Spark
+    # re-executes the mapInPandas subtree once per consumer — the
+    # image_dhash_near_dups idiom applies: localCheckpoint so the kernel
+    # runs exactly once.
+    keyed = docs.mapInPandas(run, schema).localCheckpoint(eager=False)
     clusters = keyed.groupBy("exact_key").agg(
         F.count("*").alias("exact_cluster_docs")
     )
@@ -6789,6 +6803,8 @@ def _decode_tiff(payload: bytes) -> dict:
                 "TIFF G3 uncompressed mode (T4Options bit 1) unsupported"
             )
         rps_g4 = tags.get(278, (4, 1, h))[2] or h
+        if 273 not in tags or 279 not in tags:
+            raise ValueError("TIFF missing StripOffsets/StripByteCounts")
         offsets, counts = arr(273), arr(279)
         if len(offsets) != len(counts):
             raise ValueError("TIFF strip offset/count tables disagree")
@@ -7430,9 +7446,13 @@ def _fax_row_2d(fb: "_FaxBits", ref: list[int], width: int) -> list[int]:
         elif mode == "H":
             r1 = fb.run(white=(color == 0))
             r2 = fb.run(white=(color != 0))
-            for j in range(start, min(start + r1, width)):
+            if start + r1 + r2 > width:
+                # same contract as the 1D path: corrupt data raises by
+                # name, never decodes to a plausible wrong raster
+                raise ValueError("fax horizontal runs overrun the row")
+            for j in range(start, start + r1):
                 row[j] = color
-            for j in range(start + r1, min(start + r1 + r2, width)):
+            for j in range(start + r1, start + r1 + r2):
                 row[j] = color ^ 1
             a0 = start + r1 + r2
         else:

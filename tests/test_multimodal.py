@@ -3454,8 +3454,13 @@ def test_mp3_huffman_tables_2_to_10_and_count1a_roundtrip():
     # an unembedded table id rejects by name on the encode side
     bad2 = spec(0, 0, 2)
     bad2["huff_table"] = 13
-    with pytest.raises(ValueError, match="tables 0-3 and 5-10"):
+    with pytest.raises(ValueError, match="huff_table 1-3 and 5-10"):
         encode_mp3_l3([bad2, spec(0, 1, 3)])
+    # table 0 is auto-only: passing it explicitly rejects by name too
+    bad3 = spec(0, 0, 2)
+    bad3["huff_table"] = 0
+    with pytest.raises(ValueError, match="auto-.?selected"):
+        encode_mp3_l3([bad3, spec(0, 1, 3)])
 
 
 def test_ieee_float_wav_decode_and_content_key_fold():
@@ -3523,3 +3528,36 @@ def test_au_wide_pcm_24_and_32_bit_decode():
     hdr = struct.pack(">4sIIIII", b".snd", 24, 4, 23, 8000, 1)
     with pytest.raises(ValueError, match="AU encoding 23"):
         _decode_au(hdr + b"\x00\x00\x00\x00")
+
+
+def test_cross_codec_dedup_kernel_runs_once_behind_checkpoint(
+    spark, tmp_path
+):
+    """Plan guard for the round-15 fix: the 5-encode/5-decode kernel in
+    ``cross_codec_audio_dedup`` feeds TWO consumers (the cluster groupBy
+    and the probe side of the join-back). The ``localCheckpoint`` barrier
+    must replace the mapInPandas subtree with a materialized-RDD scan
+    BEFORE that fan-out, so the kernel executes once per doc — the final
+    plan shows ZERO InPandas nodes (both consumers scan the checkpointed
+    RDD) — and the keys still fold five containers to one identity."""
+    import pandas as pd
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        cross_codec_audio_dedup,
+    )
+
+    pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3], "text": ["x"] * 4, "n_chars": [1] * 4}
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+    df = cross_codec_audio_dedup(spark, str(tmp_path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan, plan[:800]
+    assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan, plan[:800]
+
+    rows = df.collect()
+    assert [r.doc_id for r in rows] == [0, 1, 2, 3]
+    for r in rows:
+        assert r.n_variants == 5
+        assert r.n_exact_keys == 1 and r.n_robust_keys == 1
+        assert r.exact_cluster_docs == 1
