@@ -80,72 +80,88 @@ def _load_all() -> None:
 
 # Externally-visible enumeration order. External snapshots of the registry
 # truncate to a prefix (50 slots), so the queries that most need fresh
-# differential evidence must enumerate first. Round-14 rotation: the r13
-# window went 50/50 driver-green, so the stalest evidence is the three
-# queries registered late in r13 AFTER that window (never driver-checked)
-# and the r9 bucket (44 queries, last checked CORRECTNESS_r09). The window
-# is:
-# (a) the 3 never-driver-checked late-r13 queries;
-# (b) 41 of the 44 r9-bucket queries — the 6 LLM-core anchors (e) are
-#     pinned in every window by tests/test_registry_contract.py, so 3 of
-#     the 44 must wait for r15; the 3 chosen leftovers each have an
-#     in-window same-family sibling exercising the same operator code
-#     (`account_balance_union` ~ `union_source_batches`,
-#     `customer_period_setops` ~ `customer_order_setops_all`,
-#     `approx_distinct_users` ~ `hll_distinct_tokens`/`hll_union_sources`);
+# differential evidence must enumerate first. Round-15 rotation: the r14
+# window went 50/50 driver-green, so the stalest evidence is the 9 queries
+# registered in r14 AFTER that window (never driver-checked), the 3 r9
+# leftovers the r14 note named, and the r10 bucket (44 queries, last
+# checked CORRECTNESS_r10). The window is:
+# (a) the 9 never-driver-checked r14 additions (5 decode gates + 4 TPC-H
+#     shapes), each pre-verified driver-canon at sf0.01 + sf0.1 and under
+#     the hostile-TZ fresh-process mimic in r14 (+ judge re-run);
+# (b) the 3 r9 leftovers (`account_balance_union`,
+#     `customer_period_setops`, `approx_distinct_users`);
+# (c) 32 of the 44 r10-bucket queries — the 6 LLM-core anchors (e) are
+#     pinned in every window by tests/test_registry_contract.py, so 12 of
+#     the 44 must wait for r16; each chosen leftover has an in-window
+#     same-family sibling exercising the same operator code
+#     (`simhash_near_pairs` ~ `dedup_simhash`,
+#     `event_value_winsorized` ~ `event_value_percentiles`,
+#     `order_status_cube` / `revenue_grouping_sets` ~
+#     `order_priority_rollup` [grouping-set family],
+#     `top_events_per_user` / `segment_top_orders` /
+#     `lateral_top_customers_per_nation` ~ `top_customers_by_revenue`
+#     [top-k family], `event_transitions` ~ `event_value_deltas`
+#     [lag/lead], `urgent_high_value_orders` ~ `nation_market_share`
+#     [filter+join+agg], `returned_revenue_by_customer` ~
+#     `promo_revenue_share` [lineitem revenue agg], `orders_by_weekday` ~
+#     `orders_profile` [date-part aggregates],
+#     `loyal_customers_all_quarters` ~ `customer_order_distribution`
+#     [per-customer order grouping]);
 # (e) the 6 LLM-core anchors close the window at exactly 50.
-# Round-14 additions register AFTER the window (the late-r13 precedent:
-# pre-verified driver-canon at sf0.01 + sf0.1 and hostile-TZ fresh-process
-# mimic locally, entering the driver rotation in r15 so they do not
-# displace the stale r9 evidence). Names not listed keep registration
-# order after the listed ones.
+# Round-15 additions register AFTER the window (the established
+# precedent: pre-verified driver-canon at sf0.01 + sf0.1 and hostile-TZ
+# fresh-process mimic locally, entering the driver rotation in r16 so
+# they do not displace the stale r10 evidence). Names not listed keep
+# registration order after the listed ones.
 _PRIORITY: list[str] = [
-    # --- (a) registered late in round 13, never driver-checked ---
-    "au_decode_features",
-    "top_quarter_supplier",
-    "late_shipment_orders_by_priority",
-    # --- (b) last driver green r9 (41 of 44; leftovers noted above) ---
-    "active_user_rollup",
-    "bm25_doc_search",
-    "brand_revenue_by_supplier_nation",
-    "c4_quality_flags",
-    "ccnet_perplexity_buckets",
-    "chunk_dedup_rate",
-    "clicks_before_purchase",
-    "cluster_diversity_sample",
-    "cluster_top_terms",
-    "collect_status_tally",
-    "customer_order_setops_all",
-    "customer_value_quartiles",
-    "customers_with_open_orders",
-    "customers_without_urgent_orders",
-    "dataset_split_assignment",
-    "dedup_keep_selection",
-    "dedup_minhash_ml",
-    "doc_chunk_windows",
-    "dsir_importance_weights",
-    "embedding_principal_component",
-    "eta_formatting",
-    "event_daily_anomalies",
-    "event_hourly_gapfill",
-    "event_value_approx_percentiles",
-    "frequent_tokens_sketch",
-    "gopher_quality_flags",
-    "histogram_quantile_sketch",
-    "hll_rolling_active_users",
-    "knn_ivf_kmeans",
-    "meta_map_ops",
-    "minhash_lsh_quality",
-    "nation_pair_volume",
-    "orders_merge_upsert",
-    "path_ops",
-    "referential_integrity_audit",
-    "regional_supplier_revenue",
-    "table_profile",
-    "text_encoding_audit",
-    "union_source_batches",
-    "url_canonical_dedup",
-    "user_retention_cohorts",
+    # --- (a) registered in round 14 after its window, never
+    #     driver-checked (judge re-verified driver-canon in r14) ---
+    "mp3_shortblock_decode_features",
+    "mp3_pcm_decode_features",
+    "mp3_huffman_tables_decode_features",
+    "tiff_g4_decode_features",
+    "cross_codec_audio_dedup",
+    "nation_market_share",
+    "customer_order_distribution",
+    "part_supplier_counts",
+    "promo_revenue_share",
+    # --- (b) the 3 r9 leftovers (last driver green CORRECTNESS_r09) ---
+    "account_balance_union",
+    "customer_period_setops",
+    "approx_distinct_users",
+    # --- (c) last driver green r10 (32 of 44; leftovers noted above) ---
+    "dedup_exact",
+    "dedup_simhash",
+    "distinct_flag_status",
+    "event_props_extract",
+    "event_type_hourly",
+    "event_type_pivot",
+    "event_value_deltas",
+    "event_value_percentiles",
+    "latest_order_per_customer",
+    "multimodal_binary_meta",
+    "nation_order_counts_left",
+    "nations_with_both_roles",
+    "order_cardinalities",
+    "order_price_histogram",
+    "order_priority_rollup",
+    "order_rank_in_priority",
+    "orders_profile",
+    "part_metrics_unpivot",
+    "part_name_fuzzy_pairs",
+    "part_type_stats",
+    "pricing_summary",
+    "priority_nullsafe_join",
+    "revenue_by_region",
+    "session_window_native",
+    "signup_funnel",
+    "sliding_window_counts",
+    "snapshot_diff",
+    "suppliers_above_nation_avg",
+    "top_customers_by_revenue",
+    "user_running_totals",
+    "weekly_cohort_retention",
+    "winnowing_fingerprints",
     # --- (e) LLM-core anchors (stay in every window; workflow rule
     #     pinned by tests/test_registry_contract.py) ---
     "dedup_minhash_lsh",
@@ -155,18 +171,10 @@ _PRIORITY: list[str] = [
     "contamination_overlap",
     "doc_quality",
 ]
-# Round-14 state: if this window goes driver-green, the stalest remaining
-# evidence is the 3 r9 leftovers named above plus the round-14 additions
-# (registered after the window, each pre-verified driver-canon at sf0.01 +
-# sf0.1 and under the hostile-TZ fresh-process mimic:
-# `mp3_shortblock_decode_features`, `mp3_pcm_decode_features`,
-# `tiff_g4_decode_features`, `cross_codec_audio_dedup`,
-# `mp3_huffman_tables_decode_features`, and the four TPC-H shapes
-# `nation_market_share` / `customer_order_distribution` /
-# `part_supplier_counts` / `promo_revenue_share`) — 9 additions + the 3
-# r9 leftovers = 12 slots of the r15 head; then the r10 bucket (44
-# queries, `asof_order_context` ... `winnowing_fingerprints`) fills to 50
-# with the 6 anchors.
+# Round-15 state: if this window goes driver-green, the stalest remaining
+# evidence is the 12 r10 leftovers named above; they head the r16 window,
+# then any round-15 additions (registered after this window), then the
+# r12 bucket (44 queries) fills to 50 with the 6 anchors.
 
 
 def _ordered() -> dict[str, QuerySpec]:
