@@ -129,6 +129,13 @@ FLOORS = {
     "knn_ivf_pq": 1.633,
     "mp3_decode_features": 1.236,
     "widget_revenue_by_nation_year": 0.883,
+    # round-14 headline additions (mp3_pcm/tiff_g4: driver-run
+    # BENCH_r14.json @ sf0.1; cross_codec: r15 local best-of-3 AFTER the
+    # double-compute fix — the r14 driver value, 10.18 s, predates the
+    # localCheckpoint and would bake the defect into the bound)
+    "mp3_pcm_decode_features": 5.52,
+    "tiff_g4_decode_features": 1.26,
+    "cross_codec_audio_dedup": 6.59,
 }
 
 

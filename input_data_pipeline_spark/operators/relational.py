@@ -8,8 +8,13 @@ Design notes for the 100 TB target:
 - fact-to-fact joins (lineitem ⋈ orders) shuffle on the order key — both sides
   are written bucketed by orderkey in a production deployment, turning this
   into a co-located join; here we rely on AQE.
-- dimension joins broadcast (region/nation always; customer/supplier/part by
-  AQE size estimate), so the star probe is one shuffle-free stage.
+- dimension joins broadcast — region/nation unconditionally (5/25 rows at
+  every SF); customer/supplier/part and frames derived from them through
+  ``plans.hints.maybe_broadcast``, which attaches the hint only while
+  Catalyst's size estimate fits an executor and otherwise defers to AQE.
+  Those three dims scale linearly with SF, so at the 100 TB target the
+  guard drops the hint and the same unedited plans fall back to AQE's
+  runtime strategy instead of forcing an impossible broadcast build.
 - aggregates are partial+final automatically (hash agg with spill).
 """
 
@@ -32,6 +37,7 @@ from input_data_pipeline_spark.functions.stable import (
     stable_stddev_samp,
     stable_sum_micros,
 )
+from input_data_pipeline_spark.plans.hints import maybe_broadcast
 from input_data_pipeline_spark.plans.registry import register
 from input_data_pipeline_spark.tables import load_table
 
@@ -981,8 +987,8 @@ def brand_revenue_by_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFr
     supplier = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     return (
-        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        lineitem.join(maybe_broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(maybe_broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy(F.col("p_brand").alias("brand"), F.col("n_name").alias("supplier_nation"))
         .agg(
@@ -1643,11 +1649,11 @@ def regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
         ).select("n_nationkey", "n_name")
     )
-    supp_r = F.broadcast(
+    supp_r = maybe_broadcast(
         supp.join(local_nations, supp["s_nationkey"] == local_nations["n_nationkey"])
         .select("s_suppkey", "s_nationkey", "n_name")
     )
-    cust_r = F.broadcast(
+    cust_r = maybe_broadcast(
         cust.join(
             local_nations.select(F.col("n_nationkey").alias("cn_key")),
             cust["c_nationkey"] == F.col("cn_key"),
@@ -1719,12 +1725,12 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     it). Exact split-long revenue sum."""
     pair = [_Q7_NATION_A, _Q7_NATION_B]
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
-    supp2 = F.broadcast(
+    supp2 = maybe_broadcast(
         load_table(spark, sf_dir, "supplier")
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
-    cust2 = F.broadcast(
+    cust2 = maybe_broadcast(
         load_table(spark, sf_dir, "customer")
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
@@ -1810,7 +1816,7 @@ def small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(thr, "l_partkey")
         .filter(5 * F.col("qty") * F.col("cnt_qty") < F.col("sum_qty"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_small_lines"),
@@ -1913,12 +1919,12 @@ def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    supp = F.broadcast(
+    supp = maybe_broadcast(
         _t(spark, sf_dir, "supplier")
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", F.col("n_name").alias("src"))
     )
-    cust = F.broadcast(
+    cust = maybe_broadcast(
         _t(spark, sf_dir, "customer")
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", F.col("n_name").alias("dst"))
@@ -2039,7 +2045,7 @@ def sole_late_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
     )
-    supp = F.broadcast(
+    supp = maybe_broadcast(
         _t(spark, sf_dir, "supplier")
         .join(
             F.broadcast(_t(spark, sf_dir, "nation")),
@@ -2180,7 +2186,7 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop(best["partkey"])
         .join(part, F.col("partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supplier), F.col("suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(supplier), F.col("suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             "p_partkey",
@@ -2232,8 +2238,8 @@ def widget_revenue_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
     nation = _t(spark, sf_dir, "nation")
     orders = _t(spark, sf_dir, "orders")
     return (
-        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        lineitem.join(maybe_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
@@ -2294,7 +2300,7 @@ def brand_size_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40)
     )
     return (
-        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        lineitem.join(maybe_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .filter(clause)
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
@@ -2413,7 +2419,7 @@ def top_quarter_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue_micros") == F.col("m"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue_micros")
         .orderBy("s_suppkey")
     )
@@ -2536,9 +2542,9 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     agg = (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust_market), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(part.select("p_partkey")),
+        .join(maybe_broadcast(cust_market), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(part.select("p_partkey")),
               F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(
@@ -2651,11 +2657,11 @@ def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     return (
         lineitem.join(
-            F.broadcast(denylist),
+            maybe_broadcast(denylist),
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(
@@ -2707,7 +2713,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     agg = (
-        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        lineitem.join(maybe_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.trunc("l_shipdate", "month").alias("ship_month"))
         .agg(
             stable_sum_micros(rev).alias("total_rev_micros"),
