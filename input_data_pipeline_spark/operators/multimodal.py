@@ -6638,6 +6638,7 @@ def encode_tiff(
     lzw: bool = False,
     predictor2: bool = False,
     deflate: bool = False,
+    planar2: bool = False,
 ) -> bytes:
     """Encode a top-down (h, w, 3) BGR uint8 array as a baseline TIFF 6.0
     RGB file: 8-byte header (II little- or MM big-endian), one IFD with
@@ -6645,7 +6646,14 @@ def encode_tiff(
     pixel data in ``rows_per_strip``-row strips, optionally PackBits- or
     LZW-compressed per strip (TIFF 6.0 §9 / §13). Real structure end to
     end — a decoder slip in endianness, tag typing, strip assembly, RLE,
-    or LZW code widths corrupts the pixel plane."""
+    or LZW code widths corrupts the pixel plane.
+
+    ``planar2`` (round 15) writes PlanarConfiguration 2 (TIFF 6.0 §3):
+    each component is stored as its OWN sequence of strips —
+    StripsPerImage = SamplesPerPixel x ceil(h/rps), the full R-plane
+    strip run first, then G, then B — and each strip carries w (not 3w)
+    bytes per row. Compression and the horizontal predictor apply per
+    strip exactly as in chunky layout."""
     if sum((packbits, lzw, deflate)) > 1:
         raise ValueError("pick one of packbits/lzw/deflate")
     if predictor2 and not (lzw or deflate):
@@ -6667,19 +6675,24 @@ def encode_tiff(
         diff = rgb.astype(_np.int16)
         diff[:, 1:, :] = diff[:, 1:, :] - rgb[:, :-1, :].astype(_np.int16)
         rgb = (diff % 256).astype(_np.uint8)
-    raw_rows = [rgb[r].tobytes() for r in range(h)]
+    if planar2:
+        # planar: one row source per component, R strips then G then B
+        sources = [[rgb[r, :, k].tobytes() for r in range(h)] for k in range(3)]
+    else:
+        sources = [[rgb[r].tobytes() for r in range(h)]]
     strips = []
-    for s0 in range(0, h, rps):
-        block = b"".join(raw_rows[s0: s0 + rps])
-        if packbits:
-            block = _packbits_encode(block)
-        elif lzw:
-            block = _tiff_lzw_encode(block)
-        elif deflate:
-            import zlib
+    for raw_rows in sources:
+        for s0 in range(0, h, rps):
+            block = b"".join(raw_rows[s0: s0 + rps])
+            if packbits:
+                block = _packbits_encode(block)
+            elif lzw:
+                block = _tiff_lzw_encode(block)
+            elif deflate:
+                import zlib
 
-            block = zlib.compress(block, 6)
-        strips.append(block)
+                block = zlib.compress(block, 6)
+            strips.append(block)
     e = ">" if big_endian else "<"
     n_strips = len(strips)
     # layout: header(8) | IFD | bits_per_sample(6) | offsets(4n) | counts(4n) | strips
@@ -6714,7 +6727,7 @@ def encode_tiff(
     ifd += tag(277, 3, 1, 3)                     # SamplesPerPixel
     ifd += tag(278, 4, 1, rps)                   # RowsPerStrip
     ifd += tag(279, 4, n_strips, len(strips[0]) if n_strips == 1 else scnt_off)
-    ifd += tag(284, 3, 1, 1)                     # PlanarConfig: chunky
+    ifd += tag(284, 3, 1, 2 if planar2 else 1)   # PlanarConfig
     if predictor2:
         ifd += tag(317, 3, 1, 2)                 # Predictor: horizontal
     ifd += struct.pack(e + "I", 0)               # next IFD: none
@@ -6733,10 +6746,10 @@ def encode_tiff(
 
 
 def _decode_tiff(payload: bytes) -> dict:
-    """Parse a baseline TIFF 6.0 RGB image (both byte orders, chunky
-    planar, 8-bit samples, uncompressed or PackBits, any strip layout)
-    into the uniform top-down BGR contract. Unsupported baseline
-    variants raise by name; nothing is guessed."""
+    """Parse a baseline TIFF 6.0 RGB image (both byte orders, chunky OR
+    planar configuration 2, 8-bit samples, uncompressed/PackBits/LZW/
+    deflate, any strip layout) into the uniform top-down BGR contract.
+    Unsupported baseline variants raise by name; nothing is guessed."""
     import struct
 
     if payload[:4] == b"II*\x00":
@@ -6782,9 +6795,14 @@ def _decode_tiff(payload: bytes) -> dict:
     photo = tags.get(262, (3, 1, 2))[2]
     spp = tags.get(277, (3, 1, 3))[2]
     planar = tags.get(284, (3, 1, 1))[2]
-    if planar != 1:
-        raise ValueError("TIFF planar configuration 2 (planar) unsupported")
+    if planar not in (1, 2):
+        raise ValueError(f"TIFF planar configuration {planar} unsupported")
     if comp in (2, 3, 4):
+        if planar == 2:
+            # one sample per pixel: separate planes are meaningless
+            raise ValueError(
+                "TIFF planar configuration 2 with bilevel CCITT unsupported"
+            )
         # CCITT bilevel — round 14: Group 4 (T.6, comp 4), Group 3 (T.4
         # with EOLs, comp 3, 1D and 2D per T4Options bit 0) and Modified
         # Huffman (1D T.4 rows, comp 2). Strips reset the coder state,
@@ -6853,12 +6871,19 @@ def _decode_tiff(payload: bytes) -> dict:
     offsets, counts = arr(273), arr(279)
     if len(offsets) != len(counts):
         raise ValueError("TIFF strip offset/count tables disagree")
+    # planar config 2 (round 15): StripsPerImage = 3 x ceil(h/rps), the
+    # full R-plane strip run first, then G, then B; strip rows carry one
+    # byte per pixel instead of three
+    bands = (h + rps - 1) // rps
+    if planar == 2 and len(offsets) != 3 * bands:
+        raise ValueError("TIFF planar strip count disagrees with geometry")
     rows = bytearray()
-    row_bytes = w * 3
+    row_bytes = w if planar == 2 else w * 3
     for si, (o, c) in enumerate(zip(offsets, counts)):
         if o + c > len(payload):
             raise ValueError("truncated TIFF strip")
-        n_rows = min(rps, h - si * rps)
+        band = si % bands if planar == 2 else si
+        n_rows = min(rps, h - band * rps)
         raw = payload[o: o + c]
         if comp == 32773:
             raw = _packbits_decode(raw, n_rows * row_bytes)
@@ -6871,11 +6896,19 @@ def _decode_tiff(payload: bytes) -> dict:
         if len(raw) != n_rows * row_bytes:
             raise ValueError("TIFF strip length mismatch")
         rows += raw
-    if len(rows) != h * row_bytes:
+    if len(rows) != h * w * 3:
         raise ValueError("TIFF pixel plane incomplete")
     import numpy as np
 
-    rgb = np.frombuffer(bytes(rows), np.uint8).reshape(h, w, 3)
+    if planar == 2:
+        # (plane, h, w) -> interleaved (h, w, 3); the predictor undo
+        # below is layout-independent (it differences within a component
+        # row, which storage order does not change)
+        rgb = np.transpose(
+            np.frombuffer(bytes(rows), np.uint8).reshape(3, h, w), (1, 2, 0)
+        )
+    else:
+        rgb = np.frombuffer(bytes(rows), np.uint8).reshape(h, w, 3)
     if predictor == 2:
         # undo horizontal differencing: per-row cumulative sum mod 256
         rgb = np.cumsum(rgb.astype(np.int64), axis=1) % 256
@@ -6897,6 +6930,7 @@ def _decode_tiff(payload: bytes) -> dict:
            CASE CAST(d.doc_id % 3 AS INTEGER)
                 WHEN 0 THEN 'packbits' WHEN 1 THEN 'lzw' ELSE 'none'
            END AS compression,
+           (d.doc_id % 5 = 2) AS planar,
            CAST(6 + d.doc_id % 3 AS BIGINT) AS width,
            CAST(5 + d.doc_id % 4 AS BIGINT) AS height,
            CAST(CAST(SUM((19 * d.doc_id + 7 * p.r + 31 * p.c) % 256) AS BIGINT)
@@ -6919,7 +6953,10 @@ def tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Baseline TIFF under the differential oracle gate (round 13;
     companion to ``image_decode_features``): per document a closed-form
     test card is encoded to a REAL TIFF — odd docs big-endian (MM),
-    compression cycling none/PackBits/LZW by doc, strip height cycling
+    compression cycling none/PackBits/LZW by doc, every fifth doc in
+    PLANAR configuration 2 (separate R/G/B strip runs, round 15; mod 5
+    cross-cuts the mod-3 compression and mod-2 endianness cycles so every
+    planar x codec pairing occurs), strip height cycling
     1..3 rows so multi-strip assembly is always exercised — and decoded
     back through :func:`decode_media`'s TIFF path (IFD walk, tag typing,
     out-of-line arrays, strip reassembly, RLE, LZW early-change code
@@ -6942,8 +6979,8 @@ def tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = {
                 "doc_id": [], "big_endian": [], "compression": [],
-                "width": [], "height": [], "mean_b": [], "mean_g": [],
-                "mean_r": [],
+                "planar": [], "width": [], "height": [], "mean_b": [],
+                "mean_g": [], "mean_r": [],
             }
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
@@ -6964,6 +7001,7 @@ def tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # the decoder must undo it or the means break
                     predictor2=(d % 6 == 1),
                     rows_per_strip=1 + d % 3,
+                    planar2=(d % 5 == 2),
                 )
                 meta = decode_media(blob, "image")  # REAL TIFF decode
                 px = np.frombuffer(meta["pixels"], np.uint8).reshape(
@@ -6976,6 +7014,7 @@ def tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["compression"].append(
                     ("packbits", "lzw", "none")[d % 3]
                 )
+                out["planar"].append(d % 5 == 2)
                 out["width"].append(meta["width"])
                 out["height"].append(meta["height"])
                 out["mean_b"].append(int(sums[0]) // n)
@@ -6984,8 +7023,9 @@ def tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     schema = (
-        "doc_id long, big_endian boolean, compression string, width long, "
-        "height long, mean_b long, mean_g long, mean_r long"
+        "doc_id long, big_endian boolean, compression string, "
+        "planar boolean, width long, height long, mean_b long, "
+        "mean_g long, mean_r long"
     )
     return docs.mapInPandas(run, schema).orderBy("doc_id")
 

@@ -101,6 +101,14 @@ ANCHORS = [
     # is map-only; the only exchange is the 32-byte-key hash aggregate
     # for the cross-doc cluster count, which must stay linear in docs
     "cross_codec_audio_dedup",
+    # round-15 additions: the two CPU-dense r14 decode gates. Both are
+    # map-only Python kernels whose cost is per-doc; the anchor catches a
+    # future single-partition regression (the r13 trap: one parquet file
+    # → one partition → the kernel runs single-threaded) mechanically,
+    # because losing the repartition fan-out shows up as a super-linear
+    # wall/shuffle bend at the 10x step
+    "mp3_pcm_decode_features",
+    "tiff_g4_decode_features",
 ]
 
 

@@ -3561,3 +3561,78 @@ def test_cross_codec_dedup_kernel_runs_once_behind_checkpoint(
         assert r.n_variants == 5
         assert r.n_exact_keys == 1 and r.n_robust_keys == 1
         assert r.exact_cluster_docs == 1
+
+
+def test_tiff_planar_configuration_2_roundtrips_every_codec():
+    """PlanarConfiguration 2 (round 15): separate R/G/B strip runs must
+    reassemble to the same BGR plane as chunky layout, across both byte
+    orders, all four codecs, the predictor, and multi-strip geometry."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(1507)
+    plane = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    cases = [
+        dict(),
+        dict(big_endian=True),
+        dict(packbits=True, rows_per_strip=2),
+        dict(lzw=True, rows_per_strip=3),
+        dict(lzw=True, predictor2=True, rows_per_strip=2, big_endian=True),
+        dict(deflate=True, rows_per_strip=1),
+    ]
+    for kw in cases:
+        chunky = _decode_tiff(encode_tiff(plane, **kw))
+        planar = _decode_tiff(encode_tiff(plane, planar2=True, **kw))
+        assert planar["pixels"] == chunky["pixels"] == plane.tobytes(), kw
+        assert planar["width"] == 5 and planar["height"] == 7
+
+
+def test_tiff_planar_strip_count_and_ccitt_guards():
+    """A planar file whose strip tables disagree with 3x ceil(h/rps)
+    raises by name; planar+CCITT is an explicit named rejection."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_tiff,
+        encode_tiff_g4,
+        encode_tiff,
+    )
+
+    plane = (np.arange(90, dtype=np.uint8).reshape(6, 5, 3) * 7) % 256
+    # chunky file relabeled planar: strip count no longer matches 3x bands
+    bad = bytearray(encode_tiff(plane, rows_per_strip=2))
+    ifd_off = struct.unpack_from("<I", bad, 4)[0]
+    n_tags = struct.unpack_from("<H", bad, ifd_off)[0]
+    for t in range(n_tags):
+        off = ifd_off + 2 + 12 * t
+        if struct.unpack_from("<H", bad, off)[0] == 284:
+            struct.pack_into("<H", bad, off + 8, 2)
+    with pytest.raises(ValueError, match="planar strip count"):
+        _decode_tiff(bytes(bad))
+    # planar config 3 is not a TIFF 6.0 value: named rejection
+    for t in range(n_tags):
+        off = ifd_off + 2 + 12 * t
+        if struct.unpack_from("<H", bad, off)[0] == 284:
+            struct.pack_into("<H", bad, off + 8, 3)
+    with pytest.raises(ValueError, match="configuration 3"):
+        _decode_tiff(bytes(bad))
+    # bilevel G4 relabeled planar 2: named rejection, never a misparse
+    g4 = bytearray(encode_tiff_g4(np.zeros((4, 8), dtype=np.uint8)))
+    ifd_off = struct.unpack_from("<I", g4, 4)[0]
+    n_tags = struct.unpack_from("<H", g4, ifd_off)[0]
+    injected = False
+    for t in range(n_tags):
+        off = ifd_off + 2 + 12 * t
+        if struct.unpack_from("<H", g4, off)[0] == 284:
+            struct.pack_into("<H", g4, off + 8, 2)
+            injected = True
+    if injected:
+        with pytest.raises(ValueError, match="CCITT"):
+            _decode_tiff(bytes(g4))
