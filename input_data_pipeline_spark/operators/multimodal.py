@@ -7734,7 +7734,445 @@ _AU_PCM24 = 4
 _AU_PCM32 = 5
 _AU_FLOAT32 = 6
 _AU_FLOAT64 = 7
+_AU_G721 = 23
+_AU_G722 = 24
+_AU_G723_24 = 25
+_AU_G723_40 = 26
 _AU_ALAW = 27
+
+
+# ---------------------------------------------------------------------------
+# CCITT G.721 / G.723 ADPCM (AU encodings 23/25/26) — round 15.
+#
+# The ITU G.726 family (G.721 32 kbit/s 4-bit; G.723 24 kbit/s 3-bit and
+# 40 kbit/s 5-bit) is an adaptive-predictive coder: a 2-pole/6-zero
+# adaptive predictor, a log-domain adaptive quantizer with locked/
+# unlocked scale factors, speed control, and tone/transition detection —
+# all exactly specified fixed-point arithmetic (the reference pipeline
+# would shell this to ffmpeg like every other codec,
+# inputs/speech_to_text.py:24-26; here it is the same stdlib-only
+# differential-gate stance as the MP3/FLAC/G.711 paths).
+#
+# Data stance (the round-14 Kraft discipline, adapted): the per-codec
+# quantizer tables below are reproduced from the public spec and
+# validated at import by _g72x_check_tables() — decision levels strictly
+# increasing, output levels mirror-symmetric with the -2048 (log2 -16,
+# i.e. zero-magnitude) sentinel at both ends, every positive-half output
+# level lying strictly INSIDE its decision interval, and W(I)/F(I)
+# mirror-symmetric and nondecreasing in |I|. A mis-remembered entry
+# breaks one of these structural invariants with high probability;
+# value-assignment fidelity against third-party codecs is the documented
+# validation boundary, as for the Huffman/fax alphabets.
+# ---------------------------------------------------------------------------
+
+_G72X_POW2 = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512,
+              1024, 2048, 4096, 8192, 16384)
+
+# Per-codec tables, all in the spec's fixed-point units: decision levels
+# and output levels are log2-domain Q7 (so -2048 = -16.0 means "zero
+# magnitude"), W(I) is Q9 (G.721 stores Q4 and shifts by 5 at use, the
+# published convention), F(I) is Q9 (F values 0..7 << 9).
+_G721_QTAB = (-124, 80, 178, 246, 300, 349, 400)
+_G721_DQLN = (-2048, 4, 135, 213, 273, 323, 373, 425,
+              425, 373, 323, 273, 213, 135, 4, -2048)
+_G721_WI = (-12, 18, 41, 64, 112, 198, 355, 1122,
+            1122, 355, 198, 112, 64, 41, 18, -12)  # Q4: <<5 at use
+_G721_FI = (0, 0, 0, 0x200, 0x200, 0x200, 0x600, 0xE00,
+            0xE00, 0x600, 0x200, 0x200, 0x200, 0, 0, 0)
+
+_G723_24_QTAB = (8, 218, 331)
+_G723_24_DQLN = (-2048, 135, 273, 373, 373, 273, 135, -2048)
+_G723_24_WI = (-128, 960, 4384, 18624, 18624, 4384, 960, -128)  # Q9
+_G723_24_FI = (0, 0x200, 0x400, 0xE00, 0xE00, 0x400, 0x200, 0)
+
+_G723_40_QTAB = (-122, -16, 67, 138, 197, 249, 297, 338,
+                 377, 412, 444, 474, 501, 527, 553)
+_G723_40_DQLN = (-2048, -66, 28, 104, 169, 224, 274, 318,
+                 358, 395, 429, 459, 488, 514, 539, 566,
+                 566, 539, 514, 488, 459, 429, 395, 358,
+                 318, 274, 224, 169, 104, 28, -66, -2048)
+_G723_40_WI = (448, 448, 768, 1248, 1280, 1312, 1856, 3200,
+               4512, 5728, 7008, 8960, 11456, 14080, 16928, 22272,
+               22272, 16928, 14080, 11456, 8960, 7008, 5728, 4512,
+               3200, 1856, 1312, 1280, 1248, 768, 448, 448)  # Q9
+_G723_40_FI = (0, 0, 0, 0, 0, 0x200, 0x200, 0x200,
+               0x200, 0x200, 0x400, 0x600, 0x800, 0xA00, 0xC00, 0xC00,
+               0xC00, 0xC00, 0xA00, 0x800, 0x600, 0x400, 0x200, 0x200,
+               0x200, 0x200, 0x200, 0, 0, 0, 0, 0)
+
+# law -> (code bits, qtab, dqln, wi already Q9?, fi)
+_G72X_LAWS = {
+    "g721": (4, _G721_QTAB, _G721_DQLN,
+             tuple(w << 5 for w in _G721_WI), _G721_FI),
+    "g723_24": (3, _G723_24_QTAB, _G723_24_DQLN, _G723_24_WI, _G723_24_FI),
+    "g723_40": (5, _G723_40_QTAB, _G723_40_DQLN, _G723_40_WI, _G723_40_FI),
+}
+
+
+def _g72x_check_tables() -> None:
+    """Import-time structural validation of the G.72x quantizer tables
+    (see the data stance above)."""
+    for law, (bits, qtab, dqln, wi, fi) in _G72X_LAWS.items():
+        n = 1 << bits
+        size = len(qtab)
+        if len(dqln) != n or len(wi) != n or len(fi) != n:
+            raise AssertionError(f"{law}: table sizes disagree with {bits} bits")
+        if size != (n // 2) - 1:
+            raise AssertionError(f"{law}: qtab size {size} != 2^(bits-1)-1")
+        if list(qtab) != sorted(set(qtab)):
+            raise AssertionError(f"{law}: decision levels not increasing")
+        for i in range(n // 2):
+            if dqln[i] != dqln[n - 1 - i] or wi[i] != wi[n - 1 - i] \
+                    or fi[i] != fi[n - 1 - i]:
+                raise AssertionError(f"{law}: tables not mirror-symmetric")
+        if dqln[0] != -2048 or dqln[n - 1] != -2048:
+            raise AssertionError(f"{law}: missing zero-magnitude sentinel")
+        # each positive-half output level sits strictly inside its
+        # decision interval (the defining property of a quantizer)
+        for i in range(1, n // 2):
+            lo = qtab[i - 1]
+            hi = qtab[i] if i < size else None
+            if dqln[i] <= lo or (hi is not None and dqln[i] >= hi):
+                raise AssertionError(
+                    f"{law}: output level {i} outside its decision interval"
+                )
+        pos_wi, pos_fi = wi[: n // 2], fi[: n // 2]
+        if list(pos_wi) != sorted(pos_wi) or list(pos_fi) != sorted(pos_fi):
+            raise AssertionError(f"{law}: W(I)/F(I) not nondecreasing in |I|")
+
+
+_g72x_check_tables()
+
+
+class _G72xState:
+    """Predictor/quantizer state (G.726 §4): locked+unlocked scale
+    factors, speed control, 2 poles, 6 zeros, signal history in the
+    spec's 4-bit-exponent/6-bit-mantissa floating format."""
+
+    __slots__ = ("yl", "yu", "dms", "dml", "ap",
+                 "a", "b", "pk", "dq", "sr", "td")
+
+    def __init__(self) -> None:
+        self.yl = 34816
+        self.yu = 544
+        self.dms = 0
+        self.dml = 0
+        self.ap = 0
+        self.a = [0, 0]
+        self.b = [0] * 6
+        self.pk = [0, 0]
+        self.dq = [32] * 6
+        self.sr = [32, 32]
+        self.td = 0
+
+
+def _g72x_quan(val: int, table) -> int:
+    for i, t in enumerate(table):
+        if val < t:
+            return i
+    return len(table)
+
+
+def _g72x_fmult(an: int, srn: int) -> int:
+    """Fixed-point multiply of a predictor coefficient by a signal value
+    stored in the spec's sign/exponent/mantissa floating format."""
+    anmag = an if an > 0 else (-an) & 0x1FFF
+    anexp = _g72x_quan(anmag, _G72X_POW2) - 6
+    if anmag == 0:
+        anmant = 32
+    elif anexp >= 0:
+        anmant = anmag >> anexp
+    else:
+        anmant = anmag << -anexp
+    wanexp = anexp + ((srn >> 6) & 0xF) - 13
+    wanmant = (anmant * (srn & 0o77) + 0x30) >> 4
+    if wanexp >= 0:
+        retval = (wanmant << wanexp) & 0x7FFF
+    else:
+        retval = wanmant >> -wanexp
+    return -retval if (an ^ srn) < 0 else retval
+
+
+def _g72x_predictor_zero(st: _G72xState) -> int:
+    return sum(_g72x_fmult(st.b[i] >> 2, st.dq[i]) for i in range(6))
+
+
+def _g72x_predictor_pole(st: _G72xState) -> int:
+    return (_g72x_fmult(st.a[1] >> 2, st.sr[1])
+            + _g72x_fmult(st.a[0] >> 2, st.sr[0]))
+
+
+def _g72x_step_size(st: _G72xState) -> int:
+    """Blend the unlocked (fast) and locked (slow) scale factors by the
+    adaptation speed ap (G.726 §4.2.4 MIX)."""
+    if st.ap >= 256:
+        return st.yu
+    y = st.yl >> 6
+    dif = st.yu - y
+    al = st.ap >> 2
+    if dif > 0:
+        y += (dif * al) >> 6
+    elif dif < 0:
+        y += (dif * al + 0x3F) >> 6
+    return y
+
+
+def _g72x_quantize(d: int, y: int, qtab) -> int:
+    """Quantize the prediction difference in the log2 domain scaled by
+    y (G.726 §4.2.3 LOG/SUBTB/QUAN); negative differences take the
+    one's complement code, and the all-zeros positive code is remapped
+    to the top code (the 1988 revision)."""
+    size = len(qtab)
+    dqm = abs(d)
+    exp = _g72x_quan(dqm >> 1, _G72X_POW2)
+    mant = ((dqm << 7) >> exp) & 0x7F
+    dl = (exp << 7) + mant
+    dln = dl - (y >> 2)
+    i = _g72x_quan(dln, qtab)
+    if d < 0:
+        return (size << 1) + 1 - i
+    if i == 0:
+        return (size << 1) + 1
+    return i
+
+
+def _g72x_reconstruct(sign: bool, dqln: int, y: int) -> int:
+    """Inverse quantizer (G.726 §4.2.5): log-domain output level plus
+    scale, back to linear; negative values carry the sign in bit 15
+    with a 14-bit magnitude (the fixed-point convention the predictor
+    update relies on)."""
+    dql = dqln + (y >> 2)
+    if dql < 0:
+        return -0x8000 if sign else 0
+    dex = (dql >> 7) & 15
+    dqt = 128 + (dql & 127)
+    dq = (dqt << 7) >> (14 - dex)
+    return dq - 0x8000 if sign else dq
+
+
+def _g72x_update(st: _G72xState, code_bits: int, y: int, wi: int, fi: int,
+                 dq: int, sr: int, dqsez: int) -> None:
+    """State update common to encoder and decoder (G.726 §4.2.4-§4.2.8):
+    scale-factor adaptation, adaptive predictor coefficient updates with
+    stability limits, tone/transition detection, speed control."""
+    pk0 = 1 if dqsez < 0 else 0
+    mag = dq & 0x7FFF
+
+    # transition detect (§4.2.7): a large magnitude while in tone state
+    ylint = st.yl >> 15
+    ylfrac = (st.yl >> 10) & 0x1F
+    thr1 = (32 + ylfrac) << ylint
+    thr2 = (31 << 10) if ylint > 9 else thr1
+    dqthr = (thr2 + (thr2 >> 1)) >> 1
+    if st.td == 0 or mag <= dqthr:
+        tr = 0
+    else:
+        tr = 1
+
+    # quantizer scale factor adaptation (§4.2.4): yu fast, yl slow
+    st.yu = y + ((wi - y) >> 5)
+    if st.yu < 544:
+        st.yu = 544
+    elif st.yu > 5120:
+        st.yu = 5120
+    st.yl += st.yu + ((-st.yl) >> 6)
+
+    a2p = 0
+    if tr == 1:
+        st.a = [0, 0]
+        st.b = [0] * 6
+    else:
+        pks1 = pk0 ^ st.pk[0]
+        a2p = st.a[1] - (st.a[1] >> 7)
+        if dqsez != 0:
+            fa1 = st.a[0] if pks1 else -st.a[0]
+            if fa1 < -8191:
+                a2p -= 0x100
+            elif fa1 > 8191:
+                a2p += 0xFF
+            else:
+                a2p += fa1 >> 5
+            if pk0 ^ st.pk[1]:
+                if a2p <= -12160:
+                    a2p = -12288
+                elif a2p >= 12416:
+                    a2p = 12288
+                else:
+                    a2p -= 0x80
+            elif a2p <= -12416:
+                a2p = -12288
+            elif a2p >= 12160:
+                a2p = 12288
+            else:
+                a2p += 0x80
+        st.a[1] = a2p
+
+        st.a[0] -= st.a[0] >> 8
+        if dqsez != 0:
+            if pks1 == 0:
+                st.a[0] += 192
+            else:
+                st.a[0] -= 192
+        a1ul = 15360 - a2p  # keep |a1| <= 1 - 2^-4 - a2 (stability)
+        if st.a[0] < -a1ul:
+            st.a[0] = -a1ul
+        elif st.a[0] > a1ul:
+            st.a[0] = a1ul
+
+        for cnt in range(6):
+            if code_bits == 5:  # 40 kbit/s leaks slower
+                st.b[cnt] -= st.b[cnt] >> 9
+            else:
+                st.b[cnt] -= st.b[cnt] >> 8
+            if mag:
+                if (dq ^ st.dq[cnt]) >= 0:
+                    st.b[cnt] += 128
+                else:
+                    st.b[cnt] -= 128
+
+    # shift dq history, converting dq to the floating format (FLOAT A)
+    for cnt in range(5, 0, -1):
+        st.dq[cnt] = st.dq[cnt - 1]
+    if mag == 0:
+        st.dq[0] = 0x20 if dq >= 0 else 0x20 - 0x400
+    else:
+        exp = _g72x_quan(mag, _G72X_POW2)
+        val = (exp << 6) + ((mag << 6) >> exp)
+        st.dq[0] = val if dq >= 0 else val - 0x400
+
+    st.sr[1] = st.sr[0]
+    if sr == 0:
+        st.sr[0] = 0x20
+    elif sr > 0:
+        exp = _g72x_quan(sr, _G72X_POW2)
+        st.sr[0] = (exp << 6) + ((sr << 6) >> exp)
+    elif sr > -32768:
+        mag_sr = -sr
+        exp = _g72x_quan(mag_sr, _G72X_POW2)
+        st.sr[0] = (exp << 6) + ((mag_sr << 6) >> exp) - 0x400
+    else:
+        st.sr[0] = 0x20 - 0x400
+
+    st.pk[1] = st.pk[0]
+    st.pk[0] = pk0
+
+    # tone detect (§4.2.7): a strongly negative second pole flags tone
+    if tr == 1:
+        st.td = 0
+    elif a2p < -11776:
+        st.td = 1
+    else:
+        st.td = 0
+
+    # adaptation speed control (§4.2.6)
+    st.dms += (fi - st.dms) >> 5
+    st.dml += ((fi << 2) - st.dml) >> 7
+    if tr == 1:
+        st.ap = 256
+    elif y < 1536 or st.td == 1 \
+            or abs((st.dms << 2) - st.dml) >= (st.dml >> 3):
+        st.ap += (0x200 - st.ap) >> 4
+    else:
+        st.ap += (-st.ap) >> 4
+
+
+def g72x_encode(samples, law: str = "g721", return_reconstruction: bool = False):
+    """Encode mono int16 PCM to G.721/G.723 ADPCM codes (one int per
+    sample, ``bits`` wide). With ``return_reconstruction`` also returns
+    the encoder's internal reconstructed signal — bit-identical to what
+    :func:`g72x_decode` produces, because encoder and decoder run the
+    SAME state machine (the G.726 backward-adaptation property the
+    differential gate asserts)."""
+    import numpy as np
+
+    if law not in _G72X_LAWS:
+        raise ValueError(f"unknown G.72x law {law!r}")
+    bits, qtab, dqln_tab, wi_tab, fi_tab = _G72X_LAWS[law]
+    st = _G72xState()
+    sign_bit = 1 << (bits - 1)
+    codes = np.empty(len(samples), np.uint8)
+    recon = np.empty(len(samples), np.int16) if return_reconstruction else None
+    # .tolist(): plain-int iteration is ~2x faster than numpy scalars in
+    # this per-sample state machine
+    for k, s in enumerate(np.asarray(samples, dtype=np.int16).tolist()):
+        sl = s >> 2  # 16-bit -> the spec's 14-bit uniform PCM
+        sezi = _g72x_predictor_zero(st)
+        sez = sezi >> 1
+        se = (sezi + _g72x_predictor_pole(st)) >> 1
+        d = sl - se
+        y = _g72x_step_size(st)
+        i = _g72x_quantize(d, y, qtab)
+        dq = _g72x_reconstruct(bool(i & sign_bit), dqln_tab[i], y)
+        sr = se - (dq & 0x3FFF) if dq < 0 else se + dq
+        dqsez = sr + sez - se
+        _g72x_update(st, bits, y, wi_tab[i], fi_tab[i], dq, sr, dqsez)
+        codes[k] = i
+        if recon is not None:
+            recon[k] = max(-32768, min(32767, sr << 2))
+    return (codes, recon) if return_reconstruction else codes
+
+
+def g72x_decode(codes, law: str = "g721"):
+    """Decode G.721/G.723 ADPCM codes back to int16 PCM (the mirror of
+    :func:`g72x_encode`; same state machine, fed the code stream)."""
+    import numpy as np
+
+    if law not in _G72X_LAWS:
+        raise ValueError(f"unknown G.72x law {law!r}")
+    bits, _qtab, dqln_tab, wi_tab, fi_tab = _G72X_LAWS[law]
+    st = _G72xState()
+    mask = (1 << bits) - 1
+    sign_bit = 1 << (bits - 1)
+    out = np.empty(len(codes), np.int16)
+    code_list = codes.tolist() if hasattr(codes, "tolist") else codes
+    for k, c in enumerate(code_list):
+        i = int(c) & mask
+        sezi = _g72x_predictor_zero(st)
+        sez = sezi >> 1
+        se = (sezi + _g72x_predictor_pole(st)) >> 1
+        y = _g72x_step_size(st)
+        dq = _g72x_reconstruct(bool(i & sign_bit), dqln_tab[i], y)
+        sr = se - (dq & 0x3FFF) if dq < 0 else se + dq
+        dqsez = sr - se + sez
+        _g72x_update(st, bits, y, wi_tab[i], fi_tab[i], dq, sr, dqsez)
+        out[k] = max(-32768, min(32767, sr << 2))
+    return out
+
+
+def _g72x_pack(codes, bits: int) -> bytes:
+    """Pack code words into the AU MSB-first bitstream (final byte
+    zero-padded on the right when n*bits is not a byte multiple)."""
+    acc = nb = 0
+    out = bytearray()
+    mask = (1 << bits) - 1
+    for c in codes:
+        acc = (acc << bits) | (int(c) & mask)
+        nb += bits
+        while nb >= 8:
+            nb -= 8
+            out.append((acc >> nb) & 0xFF)
+    if nb:
+        out.append((acc << (8 - nb)) & 0xFF)
+    return bytes(out)
+
+
+def _g72x_unpack(data: bytes, bits: int):
+    """Unpack the AU MSB-first bitstream to codes; trailing bits that
+    cannot form a whole code are padding."""
+    import numpy as np
+
+    n = len(data) * 8 // bits
+    out = np.empty(n, np.uint8)
+    acc = nb = k = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nb += 8
+        while nb >= bits and k < n:
+            nb -= bits
+            out[k] = (acc >> nb) & ((1 << bits) - 1)
+            k += 1
+        acc &= (1 << nb) - 1
+    return out
 
 
 def _g711_compress(samples, law: str):
@@ -7779,14 +8217,17 @@ def encode_au(
     alaw: bool = False,
     float_width: int = 0,
     annotation: bytes = b"",
+    adpcm: str | None = None,
 ) -> bytes:
     """Encode mono int16 samples as a Sun AU file: big-endian 24-byte
     header (magic, data offset, data size, encoding, rate, channels) plus
     an optional annotation field, then big-endian 16-bit PCM, G.711
     mu-law/A-law codes (the same companding transform the WAV path
-    carries), or — ``float_width`` 4/8 — IEEE big-endian float32/float64
+    carries), ``float_width`` 4/8 — IEEE big-endian float32/float64
     samples scaled to [-1, 1) by 1/32768 (exact: every int16/2**15 is
-    representable in float32, so the round-trip is bit-true)."""
+    representable in float32, so the round-trip is bit-true) — or,
+    round 15, ``adpcm`` in {'g721','g723_24','g723_40'}: CCITT ADPCM
+    codes MSB-first-packed (AU encodings 23/25/26)."""
     import struct
 
     import numpy as np
@@ -7796,7 +8237,16 @@ def encode_au(
         raise ValueError("encode_au wants mono int16")
     if ulaw and alaw:
         raise ValueError("pick one companding law")
-    if ulaw:
+    if adpcm is not None:
+        if ulaw or alaw or float_width:
+            raise ValueError("adpcm excludes the other sample formats")
+        bits = {"g721": 4, "g723_24": 3, "g723_40": 5}.get(adpcm)
+        if bits is None:
+            raise ValueError(f"unknown G.72x law {adpcm!r}")
+        data = _g72x_pack(g72x_encode(samples, adpcm), bits)
+        enc = {"g721": _AU_G721, "g723_24": _AU_G723_24,
+               "g723_40": _AU_G723_40}[adpcm]
+    elif ulaw:
         data = _g711_compress(samples, "ulaw").astype(np.uint8).tobytes()
         enc = _AU_ULAW
     elif alaw:
@@ -7827,11 +8277,13 @@ def _decode_au(payload: bytes) -> dict:
     (encoding 2, round 14), big-endian PCM16 byteswap, or IEEE
     big-endian float32/float64 (encodings 6/7) scaled to int16 by
     round-half-away(v * 32768) with clipping, and 24/32-bit linear PCM
-    (encodings 4/5) narrowed to int16 by round-half-away at the shift.
-    Multichannel files decode with their interleaving preserved (AU
-    frames are channel-interleaved, same convention as WAV). The
-    remaining unsupported encodings (G.721/G.723 ADPCM 23-26) raise by
-    name."""
+    (encodings 4/5) narrowed to int16 by round-half-away at the shift,
+    or — round 15 — CCITT G.721/G.723 ADPCM (encodings 23/25/26)
+    through the REAL G.726-family state machine. Multichannel files
+    decode with their interleaving preserved (AU frames are
+    channel-interleaved, same convention as WAV); ADPCM is mono-only.
+    The one remaining unsupported encoding (G.722 subband ADPCM, 24)
+    raises by name."""
     import struct
 
     import numpy as np
@@ -7927,9 +8379,29 @@ def _decode_au(payload: bytes) -> dict:
             "n_frames": len(pcm) // n_ch, "pcm": pcm.tobytes(),
             "codec": "pcm_f32be" if width == 4 else "pcm_f64be",
         }
+    if enc in (_AU_G721, _AU_G723_24, _AU_G723_40):
+        # round 15: CCITT ADPCM — 4/3/5-bit codes, MSB-first bitstream;
+        # the decoder is a stateful backward-adaptive filter, so multi-
+        # channel interleaving (rare; no standard channel-state layout)
+        # raises by name rather than guessing
+        if n_ch != 1:
+            raise ValueError("AU G.72x ADPCM supports mono only")
+        law, bits = {
+            _AU_G721: ("g721", 4),
+            _AU_G723_24: ("g723_24", 3),
+            _AU_G723_40: ("g723_40", 5),
+        }[enc]
+        codes = _g72x_unpack(data, bits)
+        pcm = g72x_decode(codes, law)
+        return {
+            "n_channels": 1, "sample_width": 2, "frame_rate": rate,
+            "n_frames": len(pcm), "pcm": pcm.astype("<i2").tobytes(),
+            "codec": law,
+        }
     raise ValueError(
-        f"AU encoding {enc} (G.72x ADPCM-in-AU) requires external media "
-        "libraries (SURVEY §2.10 U1/U2)"
+        f"AU encoding {enc} "
+        f"({'G.722 subband ADPCM' if enc == _AU_G722 else 'unknown'}) "
+        "requires external media libraries (SURVEY §2.10 U1/U2)"
     )
 
 
@@ -8032,5 +8504,93 @@ def au_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = (
         "doc_id long, codec string, sample_rate long, n_samples long, "
         "peak long, sum_abs long"
+    )
+    return docs.mapInPandas(run, schema).orderBy("doc_id")
+
+
+@register(
+    "au_adpcm_decode_features",
+    oracle="""
+    SELECT d.doc_id,
+           CASE CAST(d.doc_id % 3 AS INTEGER)
+                WHEN 0 THEN 'g721' WHEN 1 THEN 'g723_24'
+                ELSE 'g723_40' END AS codec,
+           CAST(384 + (d.doc_id % 4) * 64 AS BIGINT) AS n_samples,
+           CAST(24 + CAST(((384 + (d.doc_id % 4) * 64)
+                * (CASE CAST(d.doc_id % 3 AS INTEGER)
+                        WHEN 0 THEN 4 WHEN 1 THEN 3 ELSE 5 END) + 7) // 8
+                AS BIGINT) AS BIGINT) AS au_bytes,
+           TRUE AS tracking_exact,
+           TRUE AS snr_ok
+    FROM documents d
+    ORDER BY d.doc_id
+    """,
+)
+def au_adpcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCITT G.72x ADPCM-in-AU under the differential gate (round 15):
+    per doc a deterministic sine card (amplitude/period varying by doc)
+    is G.721/G.723_24/G.723_40-encoded (doc_id % 3) into a REAL AU file
+    and decoded back through :func:`decode_media`'s AU path (header
+    walk, MSB-first bit unpacking, the full G.726-family state machine:
+    adaptive quantizer, 2-pole/6-zero predictor, scale-factor and speed
+    adaptation). Two fidelity gates ride the hash: ``tracking_exact``
+    asserts the standalone decoder reproduces the encoder's internal
+    reconstruction BIT-EXACTLY (the G.726 backward-adaptation property —
+    any divergence in any table or update step breaks it), and
+    ``snr_ok`` asserts codec-appropriate reconstruction quality (floors
+    25/20/30 dB sit far under the ~48/41/51 dB these cards measure and
+    far above the ~0 dB a broken state machine produces). Container
+    geometry (sample count, file bytes) hashes against the closed form.
+    Like the MP3 gates, the lossy sample values themselves are not
+    SQL-expressible; the paired structural+fidelity columns are the
+    documented oracle surface. Map-only mapInPandas with the standard
+    explicit core fan-out."""
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        laws = ("g721", "g723_24", "g723_40")
+        floors = {"g721": 25.0, "g723_24": 20.0, "g723_40": 30.0}
+        for pdf in batches:
+            out = {
+                "doc_id": [], "codec": [], "n_samples": [], "au_bytes": [],
+                "tracking_exact": [], "snr_ok": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                law = laws[d % 3]
+                n = 384 + (d % 4) * 64
+                amp = 4000.0 + 125.0 * (d % 8)
+                period = 24 + d % 16
+                i = np.arange(n, dtype=np.float64)
+                src = np.round(
+                    amp * np.sin(2.0 * np.pi * i / period)
+                ).astype(np.int16)
+                _codes, recon = g72x_encode(src, law, return_reconstruction=True)
+                blob = encode_au(src, sample_rate=8000, adpcm=law)
+                meta = decode_media(blob, "audio")  # REAL AU ADPCM decode
+                pcm = np.frombuffer(meta["pcm"], "<i2")
+                tail = slice(256, None)
+                err = pcm[tail].astype(np.float64) - src[tail].astype(np.float64)
+                sig = (src[tail].astype(np.float64) ** 2).mean()
+                snr = 10.0 * np.log10(sig / max((err ** 2).mean(), 1e-12))
+                out["doc_id"].append(d)
+                out["codec"].append(meta["codec"])
+                out["n_samples"].append(meta["n_frames"])
+                out["au_bytes"].append(len(blob))
+                out["tracking_exact"].append(bool(np.array_equal(pcm, recon)))
+                out["snr_ok"].append(bool(snr >= floors[law]))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, codec string, n_samples long, au_bytes long, "
+        "tracking_exact boolean, snr_ok boolean"
     )
     return docs.mapInPandas(run, schema).orderBy("doc_id")

@@ -83,6 +83,8 @@ QUERIES = [
     # month cells — TZ-sensitive by construction
     "nation_market_share",
     "promo_revenue_share",
+    # post-window r15 addition: G.72x ADPCM-in-AU gate
+    "au_adpcm_decode_features",
 ]
 
 
@@ -177,6 +179,7 @@ ANSI_QUERIES = [
     "promo_revenue_share",
     "customer_order_distribution",
     "part_supplier_counts",
+    "au_adpcm_decode_features",
 ]
 
 

@@ -3139,8 +3139,8 @@ def test_au_container_roundtrip_and_cross_container_content_key():
     with pytest.raises(ValueError, match="truncated AU data"):
         _decode_au(encode_au(sig)[:-10])
     blob = bytearray(encode_au(sig))
-    blob[15] = 23  # G.721 ADPCM encoding id: genuinely unsupported
-    with pytest.raises(ValueError, match="AU encoding 23"):
+    blob[15] = 24  # G.722 subband ADPCM: the remaining named seam (r15)
+    with pytest.raises(ValueError, match="AU encoding 24"):
         _decode_au(bytes(blob))
     fblob = bytearray(encode_au(sig, float_width=4))
     fblob[24:28] = b"\x7f\xc0\x00\x00"  # NaN sample
@@ -3525,8 +3525,10 @@ def test_au_wide_pcm_24_and_32_bit_decode():
     assert m["codec"] == "pcm_s32be"
     assert list(np.frombuffer(m["pcm"], "<i2")) == [9, -2, 51]
 
-    hdr = struct.pack(">4sIIIII", b".snd", 24, 4, 23, 8000, 1)
-    with pytest.raises(ValueError, match="AU encoding 23"):
+    # encoding 23 (G.721) decodes since round 15; 24 (G.722) remains
+    # the named seam
+    hdr = struct.pack(">4sIIIII", b".snd", 24, 4, 24, 8000, 1)
+    with pytest.raises(ValueError, match="AU encoding 24"):
         _decode_au(hdr + b"\x00\x00\x00\x00")
 
 
@@ -3636,3 +3638,134 @@ def test_tiff_planar_strip_count_and_ccitt_guards():
     if injected:
         with pytest.raises(ValueError, match="CCITT"):
             _decode_tiff(bytes(g4))
+
+
+def test_g72x_tables_are_structurally_certified():
+    """The import-time validator (the Kraft-discipline analog for the
+    quantizer tables) must reject a mis-remembered entry: mutate each
+    structural invariant and watch it fail."""
+    import pytest
+
+    from input_data_pipeline_spark.operators import multimodal as mm
+
+    mm._g72x_check_tables()  # the shipped tables certify
+
+    orig = mm._G72X_LAWS
+    try:
+        # output level pushed outside its decision interval
+        bad_dqln = list(mm._G721_DQLN)
+        bad_dqln[2], bad_dqln[13] = 500, 500
+        mm._G72X_LAWS = {"g721": (4, mm._G721_QTAB, tuple(bad_dqln),
+                                  orig["g721"][3], mm._G721_FI)}
+        with pytest.raises(AssertionError, match="decision interval"):
+            mm._g72x_check_tables()
+        # symmetry break
+        bad_wi = list(orig["g721"][3])
+        bad_wi[15] += 32
+        mm._G72X_LAWS = {"g721": (4, mm._G721_QTAB, mm._G721_DQLN,
+                                  tuple(bad_wi), mm._G721_FI)}
+        with pytest.raises(AssertionError, match="mirror-symmetric"):
+            mm._g72x_check_tables()
+        # non-increasing decision levels
+        bad_q = (80, -124, 178, 246, 300, 349, 400)
+        mm._G72X_LAWS = {"g721": (4, bad_q, mm._G721_DQLN,
+                                  orig["g721"][3], mm._G721_FI)}
+        with pytest.raises(AssertionError, match="not increasing"):
+            mm._g72x_check_tables()
+    finally:
+        mm._G72X_LAWS = orig
+
+
+def test_g72x_decoder_tracks_encoder_and_meets_codec_snr():
+    """G.726 backward adaptation: encoder and decoder run the same state
+    machine, so the standalone decoder must equal the encoder's internal
+    reconstruction BIT-EXACTLY — and reconstruction quality must land in
+    each codec's published performance band (32k ~ 20 dB on white noise,
+    24k lower, 40k higher; sine far above)."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        g72x_decode,
+        g72x_encode,
+    )
+
+    t = np.arange(1500, dtype=np.float64)
+    sine = np.round(5000 * np.sin(2 * np.pi * t / 31)).astype(np.int16)
+    rng = np.random.default_rng(1509)
+    noise = rng.integers(-6000, 6000, 1500).astype(np.int16)
+
+    def snr(dec, src):
+        e = dec[256:].astype(np.float64) - src[256:].astype(np.float64)
+        return 10 * np.log10(
+            (src[256:].astype(np.float64) ** 2).mean() / (e ** 2).mean()
+        )
+
+    bands = {"g721": (35, 17), "g723_24": (30, 11), "g723_40": (40, 21)}
+    for law, (sine_floor, noise_floor) in bands.items():
+        codes, recon = g72x_encode(sine, law, return_reconstruction=True)
+        dec = g72x_decode(codes, law)
+        assert np.array_equal(dec, recon), law
+        assert snr(dec, sine) >= sine_floor, (law, snr(dec, sine))
+        dec_n = g72x_decode(g72x_encode(noise, law), law)
+        assert snr(dec_n, noise) >= noise_floor, (law, snr(dec_n, noise))
+    # codecs rank by bitrate on the same signal
+    snrs = {
+        law: snr(g72x_decode(g72x_encode(noise, law), law), noise)
+        for law in bands
+    }
+    assert snrs["g723_24"] < snrs["g721"] < snrs["g723_40"]
+
+
+def test_au_adpcm_roundtrip_and_named_seams():
+    """AU encodings 23/25/26 decode through the container (MSB-first bit
+    packing included); G.722 (24) and multichannel ADPCM raise by name."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_au,
+        _g72x_pack,
+        _g72x_unpack,
+        encode_au,
+        g72x_decode,
+        g72x_encode,
+    )
+
+    t = np.arange(777, dtype=np.float64)  # odd count: 3/5-bit pad bits
+    src = np.round(3000 * np.sin(2 * np.pi * t / 29)).astype(np.int16)
+    for law, enc_id, bits in (("g721", 23, 4), ("g723_24", 25, 3),
+                              ("g723_40", 26, 5)):
+        blob = encode_au(src, sample_rate=8000, adpcm=law)
+        assert struct.unpack_from(">I", blob, 12)[0] == enc_id
+        meta = _decode_au(blob)
+        assert meta["codec"] == law
+        # the AU size header is BYTE-granular, so a non-byte-aligned
+        # sample count gains pad codes the decoder cannot distinguish
+        # from data (inherent to the container; every AU reader shares
+        # this). The real samples must decode as an exact prefix.
+        n_bytes = struct.unpack_from(">I", blob, 8)[0]
+        assert meta["n_frames"] == n_bytes * 8 // bits >= 777
+        expect = g72x_decode(g72x_encode(src, law), law)
+        got = np.frombuffer(meta["pcm"], "<i2")
+        assert got[:777].tolist() == expect.tolist()
+        # bit packing: unpack(pack(x)) starts with x; right-zero pad
+        # bits may form one phantom trailing code (byte granularity)
+        codes = g72x_encode(src, law)
+        unpacked = _g72x_unpack(_g72x_pack(codes, bits), bits)
+        assert len(codes) <= len(unpacked) <= len(codes) + 1
+        assert np.array_equal(unpacked[: len(codes)], codes)
+        assert all(c == 0 for c in unpacked[len(codes):])
+    with pytest.raises(ValueError, match="unknown G.72x"):
+        encode_au(src, adpcm="g722")
+    with pytest.raises(ValueError, match="excludes"):
+        encode_au(src, ulaw=True, adpcm="g721")
+    # G.722 (encoding 24) is the one remaining named AU seam
+    hdr = struct.pack(">4sIIIII", b".snd", 24, 4, 24, 8000, 1)
+    with pytest.raises(ValueError, match="G.722"):
+        _decode_au(hdr + b"\x00\x00\x00\x00")
+    # stereo ADPCM: no standard state layout -> named raise
+    hdr = struct.pack(">4sIIIII", b".snd", 24, 4, 23, 8000, 2)
+    with pytest.raises(ValueError, match="mono"):
+        _decode_au(hdr + b"\x00\x00\x00\x00")
