@@ -162,14 +162,14 @@ def _decode_png(payload: bytes) -> dict:
     if width <= 0 or height <= 0:
         raise ValueError(f"degenerate PNG dimensions {width}x{height}")
     ch = {2: 3, 6: 4}.get(ctype)
-    if ch is None or depth != 8:
+    if ch is None or depth not in (8, 16):
         raise ValueError(
             f"unsupported PNG format (color_type={ctype}, depth={depth}; "
-            "need 8-bit truecolor RGB/RGBA — palette/gray need no new "
+            "need 8/16-bit truecolor RGB/RGBA — palette/gray need no new "
             "codec, just more branches)"
         )
-    if interlace != 0:
-        raise ValueError("Adam7-interlaced PNG unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if not idat:
         raise ValueError("no IDAT chunk found")
     try:
@@ -178,49 +178,40 @@ def _decode_png(payload: bytes) -> dict:
         # malformed-payload contract: every bad-bytes path raises
         # ValueError, so callers filtering decode failures catch this too
         raise ValueError(f"corrupt PNG DEFLATE stream: {e}") from e
-    rowlen = width * ch
-    if len(raw) != (rowlen + 1) * height:
-        raise ValueError("PNG pixel data size mismatch after inflate")
 
     import numpy as np
 
-    prev = np.zeros(rowlen, dtype=np.uint8)
-    rows = []
-    for r in range(height):
-        base = r * (rowlen + 1)
-        f = raw[base]
-        cur = np.frombuffer(raw, dtype=np.uint8, count=rowlen, offset=base + 1)
-        if f == 0:
-            line = cur.copy()
-        elif f == 1:  # sub: per-channel-lane prefix sum; uint8 wraps mod 256
-            line = np.cumsum(
-                cur.reshape(-1, ch), axis=0, dtype=np.uint8
-            ).reshape(-1)
-        elif f == 2:  # up: one wrapping add against the prior row
-            line = cur + prev
-        elif f in (3, 4):  # average / paeth: inherently sequential
-            lb = bytearray(cur.tobytes())
-            if f == 3:
-                for i in range(rowlen):
-                    a = lb[i - ch] if i >= ch else 0
-                    lb[i] = (lb[i] + ((a + int(prev[i])) >> 1)) & 0xFF
-            else:
-                for i in range(rowlen):
-                    a = lb[i - ch] if i >= ch else 0
-                    b = int(prev[i])
-                    c = int(prev[i - ch]) if i >= ch else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    lb[i] = (lb[i] + pred) & 0xFF
-            line = np.frombuffer(bytes(lb), dtype=np.uint8)
-        else:
-            raise ValueError(f"unknown PNG filter type {f}")
-        prev = line
-        rows.append(line)
+    sb = depth // 8  # bytes per sample
+    if interlace == 0:
+        rows, off = _png_unfilter(raw, 0, width, height, ch, sb)
+        if off != len(raw):
+            raise ValueError("PNG pixel data size mismatch after inflate")
+        data = rows.reshape(height, width, ch * sb)
+    else:
+        # Adam7 (round 15, RFC 2083 §2.6): seven sub-images concatenated
+        # in the one DEFLATE stream, each filtered independently, each
+        # scattered back onto the canvas by its (x0, y0, dx, dy) lattice.
+        # Passes whose lattice misses the image entirely contribute NO
+        # scanlines (not even filter bytes).
+        data = np.zeros((height, width, ch * sb), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, off = _png_unfilter(raw, off, pw, ph, ch, sb)
+            data[y0::dy, x0::dx, :] = rows.reshape(ph, pw, ch * sb)
+        if off != len(raw):
+            raise ValueError("PNG Adam7 pass data size mismatch")
 
+    if sb == 2:
+        # 16-bit samples are big-endian; the uniform contract is an
+        # 8-bit plane, so take the high byte (the PNG-recommended
+        # depth-reduction; v*257 widening round-trips bit-exactly)
+        data = data.reshape(height, width, ch, 2)[:, :, :, 0]
     # RGB(A) → BGR(A): downstream kernels index channels BMP-style
-    plane = np.concatenate(rows).reshape(-1, ch).copy()
+    plane = data.reshape(-1, ch).copy()
     plane[:, [0, 2]] = plane[:, [2, 0]]
     return {
         "width": width,
@@ -229,6 +220,71 @@ def _decode_png(payload: bytes) -> dict:
         "n_pixels": width * height,
         "pixels": plane.tobytes(),
     }
+
+
+# Adam7 pass lattice: (x0, y0, dx, dy), RFC 2083 §2.6
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, off: int, w: int, h: int, ch: int, sb: int):
+    """Invert the five standard scanline filters (RFC 2083 §6) over one
+    (sub)image of ``h`` rows x ``w`` pixels x ``ch`` channels x ``sb``
+    bytes per sample starting at ``off`` in the inflated stream. PNG
+    filtering is BYTE-wise with the left neighbor ``bpp = ch*sb`` bytes
+    back, so 8- and 16-bit rows share this code. Returns
+    ``(rows (h, w*ch*sb) uint8, next offset)``.
+
+    none is a copy, up is one wrapping numpy add against the prior row,
+    sub is a per-byte-lane prefix sum (uint8 cumsum wraps mod 256 —
+    exactly the filter's arithmetic); average and paeth stay per-byte
+    Python — each output byte depends NONLINEARLY (shift / 3-way min) on
+    the just-decoded left neighbor, so there is no closed-form scan;
+    fine for the test fixtures, and megapixel production decode goes
+    through the per-executor singleton codec seam (U2)."""
+    import numpy as np
+
+    rowlen = w * ch * sb
+    bpp = ch * sb
+    if off + h * (rowlen + 1) > len(raw):
+        raise ValueError("PNG pixel data size mismatch after inflate")
+    prev = np.zeros(rowlen, dtype=np.uint8)
+    out = np.empty((h, rowlen), dtype=np.uint8)
+    for r in range(h):
+        f = raw[off]
+        cur = np.frombuffer(raw, dtype=np.uint8, count=rowlen, offset=off + 1)
+        off += rowlen + 1
+        if f == 0:
+            line = cur.copy()
+        elif f == 1:  # sub: per-byte-lane prefix sum; uint8 wraps mod 256
+            line = np.cumsum(
+                cur.reshape(-1, bpp), axis=0, dtype=np.uint8
+            ).reshape(-1)
+        elif f == 2:  # up: one wrapping add against the prior row
+            line = cur + prev
+        elif f in (3, 4):  # average / paeth: inherently sequential
+            lb = bytearray(cur.tobytes())
+            if f == 3:
+                for i in range(rowlen):
+                    a = lb[i - bpp] if i >= bpp else 0
+                    lb[i] = (lb[i] + ((a + int(prev[i])) >> 1)) & 0xFF
+            else:
+                for i in range(rowlen):
+                    a = lb[i - bpp] if i >= bpp else 0
+                    b = int(prev[i])
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    lb[i] = (lb[i] + pred) & 0xFF
+            line = np.frombuffer(bytes(lb), dtype=np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        prev = line
+        out[r] = line
+    return out, off
 
 
 def _gif_lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytes:
@@ -461,10 +517,16 @@ def encode_bmp(plane) -> bytes:
     )
 
 
-def encode_png(plane) -> bytes:
-    """Encode a top-down (h, w, 3) BGR uint8 array as an 8-bit truecolor
-    PNG (filter 0 scanlines + one zlib deflate stream) — lossless, the
-    inverse of :func:`_decode_png`, roundtrip-pinned by test."""
+def encode_png(plane, interlace: bool = False, depth16: bool = False) -> bytes:
+    """Encode a top-down (h, w, 3) BGR uint8 array as a truecolor PNG
+    (filter 0 scanlines + one zlib deflate stream) — lossless, the
+    inverse of :func:`_decode_png`, roundtrip-pinned by test.
+
+    Round 15: ``interlace`` writes Adam7 (the seven pass sub-images
+    concatenated in the one DEFLATE stream, empty passes omitted
+    entirely); ``depth16`` writes 16-bit samples widened v -> v*257
+    (high byte == low byte, the exact inverse of the decoder's high-byte
+    reduction). Both compose."""
     import struct
     import zlib
 
@@ -475,7 +537,21 @@ def encode_png(plane) -> bytes:
     if ch != 3:
         raise ValueError(f"encode_png wants (h, w, 3) BGR, got {ch} channels")
     rgb = arr[:, :, ::-1]
-    raw = b"".join(b"\x00" + rgb[r].tobytes() for r in range(h))
+    if depth16:
+        samples = (rgb.astype(np.uint16) * 257).astype(">u2")
+        px = samples.view(np.uint8).reshape(h, w, 6)
+    else:
+        px = rgb
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            sub = px[y0::dy, x0::dx, :]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.extend(b"\x00" + sub[r].tobytes() for r in range(sub.shape[0]))
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))
 
     def chunk(typ: bytes, body: bytes) -> bytes:
         return (
@@ -483,7 +559,8 @@ def encode_png(plane) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + body))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16 if depth16 else 8, 2, 0, 0,
+                       1 if interlace else 0)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -2157,6 +2234,11 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id,
            CASE CAST(d.doc_id % 3 AS INTEGER)
                 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'gif' END AS fmt,
+           CASE WHEN d.doc_id % 3 <> 1 THEN 'plain'
+                WHEN d.doc_id % 5 = 2 AND d.doc_id % 7 = 3 THEN 'adam7_rgb48'
+                WHEN d.doc_id % 5 = 2 THEN 'adam7'
+                WHEN d.doc_id % 7 = 3 THEN 'rgb48'
+                ELSE 'plain' END AS variant,
            CAST(5 + d.doc_id % 4 AS BIGINT) AS width,
            CAST(4 + d.doc_id % 3 AS BIGINT) AS height,
            CAST((5 + d.doc_id % 4) * (4 + d.doc_id % 3) AS BIGINT) AS n_pixels,
@@ -2182,7 +2264,12 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     values are closed-form mod-256 arithmetic on (doc_id, r, c)) is
     ENCODED to a real container — BMP, PNG or GIF by doc_id — then
     DECODED back through :func:`decode_media`'s stdlib decoders, and the
-    decoded plane's exact per-channel integer means are emitted. The
+    decoded plane's exact per-channel integer means are emitted. PNG
+    docs additionally cycle Adam7 interlace (doc_id % 5 == 2) and 16-bit
+    depth (doc_id % 7 == 3, samples widened v*257 and reduced back by
+    high byte — bit-exact), round 15; the co-prime moduli hit every
+    variant pairing, and the tiny test-card geometries drive Adam7's
+    empty/partial pass edge cases hard. The
     DuckDB oracle never sees a byte of any container: it recomputes the
     means from the closed form, so a pixel mislaid anywhere in either
     half of the codec (row order, BGR/RGB swap, padding, LZW, zlib,
@@ -2212,8 +2299,9 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         names = ("bmp", "png", "gif")
         for pdf in batches:
             out = {
-                "doc_id": [], "fmt": [], "width": [], "height": [],
-                "n_pixels": [], "mean_b": [], "mean_g": [], "mean_r": [],
+                "doc_id": [], "fmt": [], "variant": [], "width": [],
+                "height": [], "n_pixels": [], "mean_b": [], "mean_g": [],
+                "mean_r": [],
             }
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
@@ -2225,7 +2313,16 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (5 * d + 3 * r_idx + 17 * c_idx) % 256,
                     (d + 23 * r_idx + 29 * c_idx) % 256,
                 ]).astype(np.uint8)
-                payload = encoders[d % 3](plane)
+                variant = "plain"
+                if d % 3 == 1:
+                    il, d16 = d % 5 == 2, d % 7 == 3
+                    payload = encode_png(plane, interlace=il, depth16=d16)
+                    variant = {
+                        (False, False): "plain", (True, False): "adam7",
+                        (False, True): "rgb48", (True, True): "adam7_rgb48",
+                    }[(il, d16)]
+                else:
+                    payload = encoders[d % 3](plane)
                 meta = decode_media(payload, "image")  # the REAL decode
                 px = np.frombuffer(meta["pixels"], np.uint8).reshape(
                     meta["height"], meta["width"], 3
@@ -2234,6 +2331,7 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
                 out["doc_id"].append(d)
                 out["fmt"].append(names[d % 3])
+                out["variant"].append(variant)
                 out["width"].append(meta["width"])
                 out["height"].append(meta["height"])
                 out["n_pixels"].append(n)
@@ -2243,8 +2341,8 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     schema = (
-        "doc_id long, fmt string, width long, height long, n_pixels long, "
-        "mean_b long, mean_g long, mean_r long"
+        "doc_id long, fmt string, variant string, width long, height long, "
+        "n_pixels long, mean_b long, mean_g long, mean_r long"
     )
     return docs.mapInPandas(run, schema).orderBy("doc_id")
 
@@ -4450,10 +4548,13 @@ def _mp3_table(L, C):
 
 # Tables 5-10 (4x4 through 8x8, no linbits), same stance + validation.
 # Candidate recollections of tables 11 and 12 FAILED the Kraft check
-# (2039/2048 and 513/512) and are therefore NOT embedded — the validator
-# is the point: only alphabets it proves complete ship. Tables 11-31
-# (incl. the 16x16 pair 13/15 and the linbits families) remain the
-# named Annex B data seam.
+# (r14: 2039/2048 and 513/512; an independent r15 re-recollection also
+# failed, 2041/2048 and duplicate/non-prefix-free) and are therefore NOT
+# embedded — the validator is the point: only alphabets it proves
+# complete ship, and repeated recollection is demonstrably not a
+# certifiable source for these. Closing the seam requires transcribing
+# ISO 11172-3 Annex B Table B.7 itself. Tables 11-31 (incl. the 16x16
+# pair 13/15 and the linbits families) remain the named data seam.
 _MP3_HUFF5 = _mp3_table(
     [[1, 3, 6, 7], [3, 3, 6, 7], [6, 6, 7, 8], [7, 6, 7, 8]],
     [[1, 2, 6, 5], [3, 1, 4, 4], [7, 5, 7, 1], [6, 1, 1, 0]],

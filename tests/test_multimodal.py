@@ -412,10 +412,14 @@ def test_decode_png_rgba_and_rejects():
     ok = make_png(2, 2, [[(0, 0, 0)] * 2] * 2)
     import struct as _s
 
-    with pytest.raises(ValueError, match="interlace"):
-        # flip the IHDR interlace byte (offset: 8 sig + 8 hdr + 12 = last IHDR byte)
-        i = 8 + 8 + 12
+    # Adam7 decodes since round 15, so relabeling a sequential stream as
+    # interlaced is now a pass-accounting corruption, not a seam; an
+    # interlace METHOD that does not exist still raises by name
+    i = 8 + 8 + 12
+    with pytest.raises(ValueError, match="mismatch"):
         decode_media(ok[:i] + b"\x01" + ok[i + 1 :], "image")
+    with pytest.raises(ValueError, match="interlace method 2"):
+        decode_media(ok[:i] + b"\x02" + ok[i + 1 :], "image")
     with pytest.raises(ValueError, match="size mismatch"):
         # claim one more row than the IDAT stream carries
         i = 8 + 8 + 4
@@ -3769,3 +3773,65 @@ def test_au_adpcm_roundtrip_and_named_seams():
     hdr = struct.pack(">4sIIIII", b".snd", 24, 4, 23, 8000, 2)
     with pytest.raises(ValueError, match="mono"):
         _decode_au(hdr + b"\x00\x00\x00\x00")
+
+
+def test_png_adam7_and_16bit_roundtrip_all_geometries():
+    """Round 15: Adam7 interlace (seven concatenated pass sub-images,
+    empty passes omitted) and 16-bit depth (v*257 widening, high-byte
+    reduction) both roundtrip bit-exactly across geometries that exercise
+    every pass-emptiness pattern (1x1 leaves only pass 1; 8x8 fills all
+    seven; non-multiples leave ragged passes)."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(157)
+    for h, w in [(1, 1), (2, 3), (7, 7), (8, 8), (9, 13), (16, 5), (31, 17)]:
+        plane = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for il in (False, True):
+            for d16 in (False, True):
+                meta = _decode_png(encode_png(plane, interlace=il, depth16=d16))
+                got = np.frombuffer(meta["pixels"], np.uint8).reshape(h, w, 3)
+                assert np.array_equal(got, plane), (h, w, il, d16)
+
+
+def test_png_adam7_guards():
+    """A truncated Adam7 stream and an unknown interlace method raise by
+    name; pass-data accounting must be exact (no silent tail)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_png,
+        encode_png,
+    )
+
+    plane = np.arange(9 * 9 * 3, dtype=np.uint8).reshape(9, 9, 3) % 256
+    blob = encode_png(plane, interlace=True)
+    # corrupt: re-deflate the inflated stream minus one pass scanline
+    sig_end = blob.index(b"IDAT") - 4
+    idat_len = struct.unpack_from(">I", blob, sig_end)[0]
+    raw = zlib.decompress(blob[sig_end + 8: sig_end + 8 + idat_len])
+    short = zlib.compress(raw[: len(raw) - 10])
+    rebuilt = (
+        blob[:sig_end]
+        + struct.pack(">I", len(short)) + b"IDAT" + short
+        + struct.pack(">I", zlib.crc32(b"IDAT" + short))
+        + blob[sig_end + 12 + idat_len:]
+    )
+    with pytest.raises(ValueError, match="mismatch"):
+        _decode_png(rebuilt)
+    # interlace method 2 does not exist
+    bad = bytearray(encode_png(plane))
+    bad[8 + 8 + 12] = 2  # IHDR interlace byte
+    # fix the IHDR CRC so the parse reaches the interlace check
+    body = bytes(bad[12:16]) + bytes(bad[16:29])
+    struct.pack_into(">I", bad, 29, zlib.crc32(body))
+    with pytest.raises(ValueError, match="interlace method 2"):
+        _decode_png(bytes(bad))
