@@ -1062,12 +1062,17 @@ def _decode_jpeg(payload: bytes) -> dict:
     baseline encoding of the same quantized coefficients decode to
     byte-identical planes (pinned by test).
 
+    Round 15 widened the accepted input space: 16-bit (Pq=1) DQT
+    tables, sampling factors up to T.81's full 1..4 per axis (4:1:1,
+    4:4:0, asymmetric chroma — any layout whose factors divide the
+    frame maxima), and DRI restart intervals inside progressive scans.
+
     Out of scope, rejected loudly: the rare arithmetic/hierarchical/
-    12-bit modes, sampling factors beyond 2 per axis, and DRI restarts
-    inside progressive scans — at that point a real libjpeg belongs
-    behind the per-executor singleton codec seam (U2). Only the
-    per-symbol huffman loop is per-bit Python; everything after the
-    coefficient tensor is numpy.
+    12-bit modes and non-divisor sampling ratios (fractional chroma
+    upsampling) — at that point a real libjpeg belongs behind the
+    per-executor singleton codec seam (U2). Only the per-symbol huffman
+    loop is per-bit Python; everything after the coefficient tensor is
+    numpy.
     """
     import struct
 
@@ -1101,15 +1106,21 @@ def _decode_jpeg(payload: bytes) -> dict:
         if marker == 0xDB:  # DQT
             i = 0
             while i < len(body):
-                if i + 65 > len(body):
-                    raise ValueError("truncated JPEG DQT segment")
                 pq, tq = body[i] >> 4, body[i] & 0xF
-                if pq != 0:
-                    raise ValueError("16-bit quantization tables unsupported")
+                if pq not in (0, 1):
+                    raise ValueError(f"bad JPEG DQT precision {pq}")
+                # Pq=1 (round 15): 16-bit big-endian table entries —
+                # T.81 B.2.4.1; low-quality/high-dynamic-range encoders
+                # emit steps past 255
+                step = 2 if pq else 1
+                if i + 1 + 64 * step > len(body):
+                    raise ValueError("truncated JPEG DQT segment")
                 q = np.zeros(64, dtype=np.int32)
-                q[_JPEG_ZIGZAG] = np.frombuffer(body[i + 1 : i + 65], np.uint8)
+                q[_JPEG_ZIGZAG] = np.frombuffer(
+                    body[i + 1 : i + 1 + 64 * step], ">u2" if pq else np.uint8
+                )
                 qtabs[tq] = q.reshape(8, 8)
-                i += 65
+                i += 1 + 64 * step
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -1133,18 +1144,26 @@ def _decode_jpeg(payload: bytes) -> dict:
             for c in range(nc):
                 cid, hv, tq = _jpeg_unpack(">BBB", body, 6 + 3 * c, "SOF0")
                 hc, vc = hv >> 4, hv & 0xF
-                if hc not in (1, 2) or vc not in (1, 2):
+                if not (1 <= hc <= 4) or not (1 <= vc <= 4):
                     raise ValueError(
-                        f"unsupported JPEG sampling factor {hc}x{vc} (1 or "
-                        "2 per axis: grayscale / 4:4:4 / 4:2:2 / 4:2:0)"
+                        f"JPEG sampling factor {hc}x{vc} outside T.81's "
+                        "1..4 range"
                     )
                 comps.append({"id": cid, "tq": tq, "hc": hc, "vc": vc})
-            if nc == 3 and (comps[1]["hc"], comps[1]["vc"], comps[2]["hc"],
-                            comps[2]["vc"]) != (1, 1, 1, 1):
-                raise ValueError(
-                    "unsupported JPEG chroma layout (Cb/Cr must be 1x1; Y "
-                    "1x1/2x1/2x2 gives 4:4:4 / 4:2:2 / 4:2:0)"
-                )
+            # round 15: arbitrary factors up to 4 per axis (4:1:1, 4:4:0,
+            # asymmetric chroma, ...) as long as every component's factor
+            # DIVIDES the frame maximum — the sample-replication upsampler
+            # is integer-ratio; the spec-legal-but-unseen fractional
+            # ratios (e.g. 3x vs 2x) raise by name
+            hmax_f = max(c["hc"] for c in comps)
+            vmax_f = max(c["vc"] for c in comps)
+            for c in comps:
+                if hmax_f % c["hc"] or vmax_f % c["vc"]:
+                    raise ValueError(
+                        f"non-divisor JPEG sampling ratio ({c['hc']}x"
+                        f"{c['vc']} vs frame max {hmax_f}x{vmax_f}) needs "
+                        "fractional upsampling — unsupported"
+                    )
             if nc == 1:
                 # single-component scans are non-interleaved: the data is
                 # the component's own block raster, whatever factor the
@@ -1199,10 +1218,6 @@ def _decode_jpeg(payload: bytes) -> dict:
                     payload, body1, width, height, comps, qtabs, htabs,
                     restart_interval,
                 )
-            if restart_interval:
-                raise ValueError(
-                    "DRI restart intervals unsupported in progressive scans"
-                )
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
             if prog_state is None:
@@ -1210,7 +1225,8 @@ def _decode_jpeg(payload: bytes) -> dict:
                     payload, body1, width, height, comps, qtabs
                 )
             pos = _jpeg_progressive_scan(
-                prog_state, body1, scan_comps, ss, se, ah, al, htabs
+                prog_state, body1, scan_comps, ss, se, ah, al, htabs,
+                restart_interval,
             )
             continue
         # APPn / COM / unknown: skip
@@ -1434,10 +1450,19 @@ def _jpeg_progressive_scan(
     ah: int,
     al: int,
     htabs: dict,
+    restart_interval: int = 0,
 ) -> int:
     """Entropy-decode ONE progressive scan (T.81 Annex G) into the
     cross-scan coefficient grids and return the offset of the marker
     that follows its entropy data.
+
+    ``restart_interval`` (round 15): DRI applies inside progressive
+    scans too — every Ri MCUs (one block per MCU in the non-interleaved
+    rasters) the reader aligns to the next RSTn marker and the scan's
+    carried state resets: DC predictors in DC-first scans, the EOB run
+    in AC scans (T.81 forbids an EOB run from crossing a restart
+    boundary). DC-refinement scans carry no state beyond the bit
+    position, but the marker still consumes.
 
     Four scan kinds, selected by (Ss, Ah):
 
@@ -1473,6 +1498,10 @@ def _jpeg_progressive_scan(
             mcu_x, mcu_y = state["mcu_x"], state["mcu_y"]
             for my in range(mcu_y):
                 for mx in range(mcu_x):
+                    m = my * mcu_x + mx
+                    if restart_interval and m and m % restart_interval == 0:
+                        r.restart(m // restart_interval - 1)
+                        pred = {c["id"]: 0 for c in scan_comps}
                     for c in scan_comps:
                         ci = comps_all.index(c)
                         gx = state["grids"][ci][0]
@@ -1496,6 +1525,10 @@ def _jpeg_progressive_scan(
             cbx, cby = _jpeg_comp_blocks(state, ci)
             for row in range(cby):
                 for col in range(cbx):
+                    m = row * cbx + col
+                    if restart_interval and m and m % restart_interval == 0:
+                        r.restart(m // restart_interval - 1)
+                        pred = {c["id"]: 0}
                     blk = state["coefs"][ci][row * gx + col]
                     if ah == 0:
                         t = _jpeg_decode_sym(r, htabs[(0, c["td"])])
@@ -1520,6 +1553,10 @@ def _jpeg_progressive_scan(
     eobrun = 0
     for row in range(cby):
         for col in range(cbx):
+            m = row * cbx + col
+            if restart_interval and m and m % restart_interval == 0:
+                r.restart(m // restart_interval - 1)
+                eobrun = 0
             blk = state["coefs"][ci][row * gx + col]
             if ah == 0:  # ---- AC first scan
                 if eobrun > 0:
@@ -1595,6 +1632,501 @@ def _jpeg_comp_blocks(state: dict, ci: int) -> tuple[int, int]:
     wc = -(-state["width"] * c["hc"] // state["hmax"])
     hc = -(-state["height"] * c["vc"] // state["vmax"])
     return -(-wc // 8), -(-hc // 8)
+
+
+# ---------------------------------------------------------------------------
+# JPEG encoders (round 15, promoted from the test fixtures so the codec
+# gets a driver-checked oracle gate like every other format): baseline
+# (SOF0) and progressive (SOF2) encode sharing the decoder's orthonormal
+# DCT basis, flat quant tables (8- or 16-bit), per-file canonical huffman
+# tables, sampling factors 4:4:4/4:2:2/4:2:0/4:1:1/4:4:0 and DRI restart
+# intervals in both modes. The reference shells media handling to
+# external tools (inputs/speech_to_text.py:24-26); these are the same
+# stdlib-only differential-gate encoders as BMP/PNG/TIFF/WAV/MP3.
+# ---------------------------------------------------------------------------
+
+def _jpeg_canonical_tables(symbols):
+    """Canonical huffman table over the symbol set actually emitted: all
+    codes one length L with n < 2^L (so the all-ones code stays unused,
+    per T.81 C.2). Returns (bits, huffval, {sym: (L, code)})."""
+    syms = sorted(set(symbols))
+    L = max(1, len(syms).bit_length())
+    bits = [0] * 16
+    bits[L - 1] = len(syms)
+    return bits, bytes(syms), {s: (L, i) for i, s in enumerate(syms)}
+
+
+def encode_jpeg(rows_rgb=None, gray_rows=None, quant=1, restart_interval=0,
+              subsampling="444", quant16=False):
+    """Encode a baseline JFIF JPEG with stdlib struct + numpy: forward
+    DCT via the same orthonormal basis the decoder inverts, flat ``quant``
+    tables, per-file canonical huffman tables covering exactly the
+    emitted symbols, optional DRI/RSTn restart intervals. Color input is
+    top-down (r, g, b) pixel rows; ``subsampling`` picks the Y sampling
+    factor ("444" = 1x1, "422" = 2x1, "420" = 2x2 with box-averaged
+    chroma) with MCU-interleaved block emission per T.81 A.2.3.
+    ``gray_rows`` encodes a single-component scan."""
+    import struct
+
+    import numpy as np
+
+    if gray_rows is not None:
+        planes = [np.asarray(gray_rows, dtype=np.float64)]
+        facs = [(1, 1)]
+    else:
+        rgb = np.asarray(rows_rgb, dtype=np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        planes = [
+            np.round(0.299 * r + 0.587 * g + 0.114 * b),
+            np.round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b),
+            np.round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b),
+        ]
+        yfac = {"444": (1, 1), "422": (2, 1), "420": (2, 2),
+                "411": (4, 1), "440": (1, 2)}[subsampling]
+        facs = [yfac, (1, 1), (1, 1)]
+    height, width = planes[0].shape
+    ncomp = len(planes)
+    hmax = max(f[0] for f in facs)
+    vmax = max(f[1] for f in facs)
+    mcu_x = -(-width // (8 * hmax))
+    mcu_y = -(-height // (8 * vmax))
+    m8 = _idct_matrix()
+    qtab = np.full((8, 8), quant, dtype=np.int32)
+
+    # per-component quantized coefficient block grids (gy x gx blocks)
+    comp_blocks = []
+    for p, (hc, vc) in zip(planes, facs):
+        th, tw = mcu_y * 8 * vc, mcu_x * 8 * hc
+        fp = np.pad(
+            p,
+            ((0, mcu_y * 8 * vmax - height), (0, mcu_x * 8 * hmax - width)),
+            mode="edge",
+        )
+        if (hc, vc) != (hmax, vmax):  # box-average down to this component
+            fy, fx = vmax // vc, hmax // hc
+            fp = np.round(fp.reshape(th, fy, tw, fx).mean(axis=(1, 3)))
+        blocks = fp.reshape(mcu_y * vc, 8, mcu_x * hc, 8).transpose(
+            0, 2, 1, 3
+        ).reshape(-1, 8, 8)
+        coefs = np.einsum("ik,nkl,jl->nij", m8, blocks - 128.0, m8)
+        comp_blocks.append(np.round(coefs / qtab).astype(np.int64))
+
+    def mag(v):
+        t = int(abs(v)).bit_length()
+        return t, (v if v >= 0 else v + (1 << t) - 1)
+
+    # pass 1: serialize blocks in MCU-interleaved order to symbol tokens
+    stream = []  # ("rst", n) | ("blk", ci, [( "dc"/"ac", sym, bits, nbits)])
+    dc_syms = [set() for _ in range(ncomp)]
+    ac_syms = [set() for _ in range(ncomp)]
+    pred = [0] * ncomp
+    for my in range(mcu_y):
+        for mx in range(mcu_x):
+            m = my * mcu_x + mx
+            if restart_interval and m and m % restart_interval == 0:
+                stream.append(("rst", (m // restart_interval - 1) % 8))
+                pred = [0] * ncomp
+            for ci, (hc, vc) in enumerate(facs):
+                gx = mcu_x * hc
+                for v in range(vc):
+                    for hh in range(hc):
+                        blk = comp_blocks[ci][(my * vc + v) * gx + mx * hc + hh]
+                        zz = [int(blk.reshape(-1)[z]) for z in _JPEG_ZIGZAG]
+                        t, bitsv = mag(zz[0] - pred[ci])
+                        pred[ci] = zz[0]
+                        toks = [("dc", t, bitsv, t)]
+                        dc_syms[ci].add(t)
+                        run = 0
+                        last_nz = max(
+                            (k for k in range(1, 64) if zz[k]), default=0
+                        )
+                        for k in range(1, last_nz + 1):
+                            if zz[k] == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                toks.append(("ac", 0xF0, 0, 0))
+                                ac_syms[ci].add(0xF0)
+                                run -= 16
+                            s, bv = mag(zz[k])
+                            sym = (run << 4) | s
+                            toks.append(("ac", sym, bv, s))
+                            ac_syms[ci].add(sym)
+                            run = 0
+                        if last_nz < 63:
+                            toks.append(("ac", 0x00, 0, 0))
+                            ac_syms[ci].add(0x00)
+                        stream.append(("blk", ci, toks))
+
+    dc_tabs = [_jpeg_canonical_tables(s) for s in dc_syms]
+    ac_tabs = [_jpeg_canonical_tables(s) for s in ac_syms]
+
+    # pass 2: emit the entropy stream with byte stuffing + restarts
+    out = bytearray()
+    acc, nacc = 0, 0
+
+    def put(val, nb):
+        nonlocal acc, nacc
+        for i in range(nb - 1, -1, -1):
+            acc = (acc << 1) | ((val >> i) & 1)
+            nacc += 1
+            if nacc == 8:
+                out.append(acc)
+                if acc == 0xFF:
+                    out.append(0x00)
+                acc, nacc = 0, 0
+
+    def flush():
+        nonlocal acc, nacc
+        if nacc:
+            put((1 << (8 - nacc)) - 1, 8 - nacc)  # pad with 1s
+
+    for item in stream:
+        if item[0] == "rst":
+            flush()
+            out += bytes([0xFF, 0xD0 + item[1]])
+            continue
+        _, ci, toks = item
+        for kind, sym, bv, nb in toks:
+            enc = (dc_tabs if kind == "dc" else ac_tabs)[ci][2]
+            L, code = enc[sym]
+            put(code, L)
+            if nb:
+                put(bv, nb)
+    flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    hdr = b"\xff\xd8"
+    hdr += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if quant16:  # Pq=1: 16-bit big-endian table entries (T.81 B.2.4.1)
+        zz_q = b"".join(
+            struct.pack(">H", int(qtab.reshape(-1)[z])) for z in _JPEG_ZIGZAG
+        )
+        hdr += seg(0xDB, bytes([0x10]) + zz_q)
+    else:
+        zz_q = bytes(int(qtab.reshape(-1)[z]) for z in _JPEG_ZIGZAG)
+        hdr += seg(0xDB, bytes([0x00]) + zz_q)
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for ci, (hc, vc) in enumerate(facs):
+        sof += bytes([ci + 1, (hc << 4) | vc, 0])
+    hdr += seg(0xC0, sof)
+    for ci in range(ncomp):
+        for tc, (bits, vals, _) in ((0, dc_tabs[ci]), (1, ac_tabs[ci])):
+            hdr += seg(0xC4, bytes([(tc << 4) | ci]) + bytes(bits) + vals)
+    if restart_interval:
+        hdr += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, (ci << 4) | ci])
+    sos += b"\x00\x3f\x00"
+    hdr += seg(0xDA, sos)
+    return hdr + bytes(out) + b"\xff\xd9"
+
+
+
+def encode_jpeg_progressive(rows_rgb=None, gray_rows=None, quant=1,
+                          subsampling="444", restart_interval=0):
+    """Encode a progressive (SOF2) JFIF JPEG exercising all four scan
+    kinds of T.81 Annex G: DC first (Al=1, interleaved per the frame's
+    MCU geometry) + DC refinement, then per component AC first scans
+    over two spectral bands (Al=1, with EOBRUN coding) + AC refinement
+    scans (the G.1.2.3 correction algorithm with buffered correction
+    bits, ZRL folding and EOB-run corrections). ``subsampling`` picks
+    the Y factor exactly like :func:`make_jpeg` ("444"/"422"/"420" —
+    AC scans then cover each component's OWN block raster, excluding the
+    MCU-padding blocks, per A.2.2). Flat quant tables — encodes the SAME
+    quantized coefficients as the baseline encoder, so baseline and
+    progressive decodes of one image must be byte-identical."""
+    import struct
+
+    import numpy as np
+
+    if gray_rows is not None:
+        planes = [np.asarray(gray_rows, dtype=np.float64)]
+        facs = [(1, 1)]
+    else:
+        rgb = np.asarray(rows_rgb, dtype=np.float64)
+        r_, g_, b_ = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        planes = [
+            np.round(0.299 * r_ + 0.587 * g_ + 0.114 * b_),
+            np.round(128 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_),
+            np.round(128 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_),
+        ]
+        yfac = {"444": (1, 1), "422": (2, 1), "420": (2, 2),
+                "411": (4, 1), "440": (1, 2)}[subsampling]
+        facs = [yfac, (1, 1), (1, 1)]
+    height, width = planes[0].shape
+    ncomp = len(planes)
+    hmax = max(f[0] for f in facs)
+    vmax = max(f[1] for f in facs)
+    mcu_x = -(-width // (8 * hmax))
+    mcu_y = -(-height // (8 * vmax))
+    m8 = _idct_matrix()
+    qtab = np.full((8, 8), quant, dtype=np.int32)
+    coefs = []   # per comp: (gy*gx, 8, 8) int blocks, grid raster order
+    grids = []   # per comp: (gx, gy) of the MCU-padded grid
+    cdims = []   # per comp: (cbx, cby) of the component's OWN raster
+    for p, (hc, vc) in zip(planes, facs):
+        th, tw = mcu_y * 8 * vc, mcu_x * 8 * hc
+        fp = np.pad(
+            p,
+            ((0, mcu_y * 8 * vmax - height), (0, mcu_x * 8 * hmax - width)),
+            mode="edge",
+        )
+        if (hc, vc) != (hmax, vmax):
+            fy, fx = vmax // vc, hmax // hc
+            fp = np.round(fp.reshape(th, fy, tw, fx).mean(axis=(1, 3)))
+        blocks = fp.reshape(mcu_y * vc, 8, mcu_x * hc, 8).transpose(
+            0, 2, 1, 3
+        ).reshape(-1, 8, 8)
+        c = np.einsum("ik,nkl,jl->nij", m8, blocks - 128.0, m8)
+        coefs.append(np.round(c / qtab).astype(np.int64))
+        grids.append((mcu_x * hc, mcu_y * vc))
+        wc = -(-width * hc // hmax)
+        hcpx = -(-height * vc // vmax)
+        cdims.append((-(-wc // 8), -(-hcpx // 8)))
+    zz = _JPEG_ZIGZAG
+
+    def mag(v):
+        t = int(abs(v)).bit_length()
+        return t, (v if v >= 0 else v + (1 << t) - 1)
+
+    def dc_block_order(scan_cis):
+        """(ci, grid_index, mcu_counter) emission order: interleaved MCU
+        order when the scan has several components, the component's own
+        raster otherwise — mirroring the decoder exactly. The counter is
+        what DRI restart boundaries tick on (MCUs interleaved, blocks
+        raster)."""
+        if len(scan_cis) > 1:
+            for my in range(mcu_y):
+                for mx in range(mcu_x):
+                    for ci in scan_cis:
+                        hc, vc = facs[ci]
+                        gx = grids[ci][0]
+                        for v in range(vc):
+                            for hh in range(hc):
+                                yield (ci, (my * vc + v) * gx + mx * hc + hh,
+                                       my * mcu_x + mx)
+        else:
+            ci = scan_cis[0]
+            gx = grids[ci][0]
+            cbx, cby = cdims[ci]
+            for row in range(cby):
+                for col in range(cbx):
+                    yield ci, row * gx + col, row * cbx + col
+
+    def rst_boundary(toks, m, seen):
+        """Emit a restart token when MCU/block counter m opens a new
+        DRI interval; returns True when state must reset."""
+        if restart_interval and m and m % restart_interval == 0 \
+                and m not in seen:
+            seen.add(m)
+            toks.append(("rst", (m // restart_interval - 1) % 8, 0))
+            return True
+        return False
+
+    def dc_first_tokens(scan_cis, al):
+        toks, pred, seen = [], {ci: 0 for ci in scan_cis}, set()
+        for ci, m, mcu in dc_block_order(scan_cis):
+            if rst_boundary(toks, mcu, seen):
+                pred = {c: 0 for c in pred}
+            d = int(coefs[ci][m][0, 0]) >> al
+            t, bv = mag(d - pred[ci])
+            pred[ci] = d
+            toks.append(("sym", (0, ci), t))
+            if t:
+                toks.append(("raw", bv, t))
+        return toks
+
+    def dc_refine_tokens(scan_cis, al):
+        toks, seen = [], set()
+        for ci, m, mcu in dc_block_order(scan_cis):
+            rst_boundary(toks, mcu, seen)
+            toks.append(("raw", (int(coefs[ci][m][0, 0]) >> al) & 1, 1))
+        return toks
+
+    def ac_blocks(ci):
+        gx = grids[ci][0]
+        cbx, cby = cdims[ci]
+        for row in range(cby):
+            for col in range(cbx):
+                yield coefs[ci][row * gx + col]
+
+    def ac_first_tokens(ci, ss, se, al):
+        toks, eobrun = [], 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                rr = eobrun.bit_length() - 1
+                toks.append(("sym", (1, ci), rr << 4))
+                if rr:
+                    toks.append(("raw", eobrun - (1 << rr), rr))
+                eobrun = 0
+
+        seen = set()
+        for bi, blk in enumerate(ac_blocks(ci)):
+            if restart_interval and bi and bi % restart_interval == 0 \
+                    and bi not in seen:
+                seen.add(bi)
+                flush_eob()
+                toks.append(("rst", (bi // restart_interval - 1) % 8, 0))
+            flat = blk.reshape(-1)
+            v = {
+                k: (1 if flat[zz[k]] >= 0 else -1) * (abs(int(flat[zz[k]])) >> al)
+                for k in range(ss, se + 1)
+            }
+            last = max((k for k in v if v[k]), default=None)
+            if last is None:
+                eobrun += 1
+                continue
+            flush_eob()
+            r = 0
+            for k in range(ss, last + 1):
+                if v[k] == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    toks.append(("sym", (1, ci), 0xF0))
+                    r -= 16
+                t, bv = mag(v[k])
+                toks.append(("sym", (1, ci), (r << 4) | t))
+                toks.append(("raw", bv, t))
+                r = 0
+            if last < se:
+                eobrun += 1
+        flush_eob()
+        return toks
+
+    def ac_refine_tokens(ci, ss, se, al):
+        toks, eobrun, be = [], 0, []
+
+        def flush_eob():
+            nonlocal eobrun, be
+            if eobrun:
+                rr = eobrun.bit_length() - 1
+                toks.append(("sym", (1, ci), rr << 4))
+                if rr:
+                    toks.append(("raw", eobrun - (1 << rr), rr))
+                toks.extend(("raw", b, 1) for b in be)
+                eobrun, be = 0, []
+
+        seen = set()
+        for bi, blk in enumerate(ac_blocks(ci)):
+            if restart_interval and bi and bi % restart_interval == 0 \
+                    and bi not in seen:
+                seen.add(bi)
+                flush_eob()
+                toks.append(("rst", (bi // restart_interval - 1) % 8, 0))
+            flat = blk.reshape(-1)
+            absv = {k: abs(int(flat[zz[k]])) >> al for k in range(ss, se + 1)}
+            eob = max((k for k in absv if absv[k] == 1), default=None)
+            r, br = 0, []
+            for k in range(ss, se + 1):
+                t = absv[k]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and eob is not None and k <= eob:
+                    flush_eob()
+                    toks.append(("sym", (1, ci), 0xF0))
+                    r -= 16
+                    toks.extend(("raw", b, 1) for b in br)
+                    br = []
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                flush_eob()
+                toks.append(("sym", (1, ci), (r << 4) | 1))
+                toks.append(("raw", 1 if flat[zz[k]] >= 0 else 0, 1))
+                toks.extend(("raw", b, 1) for b in br)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                be.extend(br)
+        flush_eob()
+        return toks
+
+    # scan script: DC first/refine over all comps, then per-comp AC
+    # first + refine over two spectral bands
+    scans = [(list(range(ncomp)), 0, 0, 0, 1, dc_first_tokens(list(range(ncomp)), 1)),
+             (list(range(ncomp)), 0, 0, 1, 0, dc_refine_tokens(list(range(ncomp)), 0))]
+    for ci in range(ncomp):
+        scans.append(([ci], 1, 5, 0, 1, ac_first_tokens(ci, 1, 5, 1)))
+        scans.append(([ci], 6, 63, 0, 1, ac_first_tokens(ci, 6, 63, 1)))
+    for ci in range(ncomp):
+        scans.append(([ci], 1, 5, 1, 0, ac_refine_tokens(ci, 1, 5, 0)))
+        scans.append(([ci], 6, 63, 1, 0, ac_refine_tokens(ci, 6, 63, 0)))
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz_q = bytes(int(qtab.reshape(-1)[z]) for z in zz)
+    out += seg(0xDB, bytes([0x00]) + zz_q)
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for ci, (hc, vc) in enumerate(facs):
+        sof += bytes([ci + 1, (hc << 4) | vc, 0])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    for scan_cis, ss, se, ah, al, toks in scans:
+        # per-scan canonical tables over the symbols actually emitted
+        syms = {}
+        for tok in toks:
+            if tok[0] == "sym":
+                syms.setdefault(tok[1], set()).add(tok[2])
+        encs = {}
+        for (tc, ci), ss_set in syms.items():
+            bits, vals, enc = _jpeg_canonical_tables(ss_set)
+            out += seg(0xC4, bytes([(tc << 4) | ci]) + bytes(bits) + vals)
+            encs[(tc, ci)] = enc
+        sos = bytes([len(scan_cis)])
+        for ci in scan_cis:
+            sos += bytes([ci + 1, (ci << 4) | ci])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        # bitstream
+        acc, nacc = 0, 0
+        ent = bytearray()
+        for tok in toks:
+            if tok[0] == "rst":
+                if nacc:  # pad to the byte boundary with 1s
+                    acc = (acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)
+                    ent.append(acc)
+                    if acc == 0xFF:
+                        ent.append(0x00)
+                    acc, nacc = 0, 0
+                ent += bytes([0xFF, 0xD0 + tok[1]])
+                continue
+            if tok[0] == "sym":
+                L, code = encs[tok[1]][tok[2]]
+                val, nb = code, L
+            else:
+                _, val, nb = tok
+            for i in range(nb - 1, -1, -1):
+                acc = (acc << 1) | ((val >> i) & 1)
+                nacc += 1
+                if nacc == 8:
+                    ent.append(acc)
+                    if acc == 0xFF:
+                        ent.append(0x00)
+                    acc, nacc = 0, 0
+        if nacc:
+            acc = (acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)
+            ent.append(acc)
+            if acc == 0xFF:
+                ent.append(0x00)
+        out += ent
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 
 
 def _decode_avi(payload: bytes, probe: bool = False) -> dict:
@@ -8693,5 +9225,115 @@ def au_adpcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = (
         "doc_id long, codec string, n_samples long, au_bytes long, "
         "tracking_exact boolean, snr_ok boolean"
+    )
+    return docs.mapInPandas(run, schema).orderBy("doc_id")
+
+
+@register(
+    "jpeg_decode_features",
+    oracle="""
+    SELECT d.doc_id,
+           CASE CAST(d.doc_id % 4 AS INTEGER)
+                WHEN 0 THEN 'baseline_444' WHEN 1 THEN 'baseline_420_dri'
+                WHEN 2 THEN 'progressive_444'
+                ELSE 'progressive_420' END AS variant,
+           (d.doc_id % 4 < 2 AND d.doc_id % 5 = 0) AS quant16,
+           CAST(9 + d.doc_id % 8 AS BIGINT) AS width,
+           CAST(8 + d.doc_id % 5 AS BIGINT) AS height,
+           CAST((9 + d.doc_id % 8) * (8 + d.doc_id % 5) AS BIGINT)
+               AS n_pixels,
+           TRUE AS err_ok,
+           TRUE AS prog_matches_baseline
+    FROM documents d
+    ORDER BY d.doc_id
+    """,
+)
+def jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG under the differential gate (round 15; until now the one
+    codec whose evidence was pytest-only because its encoders lived in
+    the test fixtures): per doc a closed-form neutral-chroma test card
+    (equal RGB, so chroma subsampling costs no luma detail) is encoded
+    baseline (SOF0) or progressive (SOF2), 4:4:4 or 4:2:0 — the 4:2:0
+    baseline rows carry a DRI restart interval, and every fifth baseline
+    doc writes its unit quant table at 16-bit Pq=1 precision (identical
+    dequantization, exercising the r15 DQT branch) — then decoded
+    through :func:`decode_media`'s full marker-walk/huffman/IDCT path.
+    Fidelity gates ride the hash: ``err_ok`` bounds the decoded plane
+    against the closed-form source (max abs error 2 at 4:4:4 flat
+    quant=1; 6 at 4:2:0 where neutral chroma still wobbles one code
+    value through BT.601), and ``prog_matches_baseline`` asserts the
+    SOF2 decode is BYTE-IDENTICAL to the SOF0 decode of the same
+    quantized coefficients (the Annex G invariant the pytest gate pins;
+    lossy sample values themselves are not SQL-expressible — the mp3
+    oracle precedent). Geometry hashes against the closed form.
+    Map-only mapInPandas with the standard explicit core fan-out."""
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        variants = ("baseline_444", "baseline_420_dri",
+                    "progressive_444", "progressive_420")
+        for pdf in batches:
+            out = {
+                "doc_id": [], "variant": [], "quant16": [], "width": [],
+                "height": [], "n_pixels": [], "err_ok": [],
+                "prog_matches_baseline": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                v = d % 4
+                w, h = 9 + d % 8, 8 + d % 5
+                r_idx = np.arange(h, dtype=np.int64).reshape(-1, 1)
+                c_idx = np.arange(w, dtype=np.int64)
+                gray = (7 * d + 5 * r_idx + 3 * c_idx) % 236 + 10
+                rows = [[(int(gray[r, c]),) * 3 for c in range(w)]
+                        for r in range(h)]
+                sub = "444" if v % 2 == 0 else "420"
+                q16 = v < 2 and d % 5 == 0
+                base_blob = encode_jpeg(
+                    rows_rgb=rows, quant=1, subsampling=sub,
+                    restart_interval=2 if v == 1 else 0, quant16=q16,
+                )
+                if v < 2:
+                    blob = base_blob
+                else:
+                    blob = encode_jpeg_progressive(
+                        rows_rgb=rows, quant=1, subsampling=sub
+                    )
+                meta = decode_media(blob, "image")  # the REAL decode
+                px = np.frombuffer(meta["pixels"], np.uint8).reshape(
+                    meta["height"], meta["width"], 3
+                )
+                err = np.abs(px.astype(np.int64) - gray[:, :, None]).max()
+                bound = 2 if sub == "444" else 6
+                if v < 2:
+                    prog_same = True  # vacuous for the baseline rows
+                else:
+                    base = decode_media(
+                        encode_jpeg(rows_rgb=rows, quant=1, subsampling=sub),
+                        "image",
+                    )
+                    prog_same = meta["pixels"] == base["pixels"]
+                out["doc_id"].append(d)
+                out["variant"].append(variants[v])
+                out["quant16"].append(q16)
+                out["width"].append(meta["width"])
+                out["height"].append(meta["height"])
+                out["n_pixels"].append(meta["n_pixels"])
+                out["err_ok"].append(bool(err <= bound))
+                out["prog_matches_baseline"].append(bool(prog_same))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, variant string, quant16 boolean, width long, "
+        "height long, n_pixels long, err_ok boolean, "
+        "prog_matches_baseline boolean"
     )
     return docs.mapInPandas(run, schema).orderBy("doc_id")

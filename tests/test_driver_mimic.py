@@ -83,8 +83,9 @@ QUERIES = [
     # month cells — TZ-sensitive by construction
     "nation_market_share",
     "promo_revenue_share",
-    # post-window r15 addition: G.72x ADPCM-in-AU gate
+    # post-window r15 additions: G.72x ADPCM-in-AU and JPEG gates
     "au_adpcm_decode_features",
+    "jpeg_decode_features",
 ]
 
 
@@ -180,6 +181,7 @@ ANSI_QUERIES = [
     "customer_order_distribution",
     "part_supplier_counts",
     "au_adpcm_decode_features",
+    "jpeg_decode_features",
 ]
 
 
