@@ -2519,3 +2519,114 @@ def ccnet_stream_thresholds(
         if r["rank"] == r["cut2"]:  # cut1 == cut2 when n < 3: same pair
             entry[1] = pair
     return p_ppm, {k: (v[0], v[1]) for k, v in cuts.items()}
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (round 15)
+# ---------------------------------------------------------------------------
+
+# Conservative regex subset valid — and equivalent — in BOTH Java's
+# engine (Spark, JVM-side) and RE2 (DuckDB): character classes, bounded
+# repetition, no backreferences or lookaround.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_IP = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+
+@register(
+    "pii_redaction_stats",
+    oracle=f"""
+    WITH injected AS (
+        SELECT doc_id,
+               text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                    || CASE WHEN doc_id % 2 = 1
+                            THEN ' alt.user-' || CAST(doc_id AS VARCHAR)
+                                 || '@mail.example.org'
+                            ELSE '' END
+                    || ' 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+                    || CAST(doc_id % 250 AS VARCHAR)
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN ' 192.168.' || CAST(doc_id % 100 AS VARCHAR) || '.1'
+                            ELSE '' END AS txt
+        FROM documents
+    ), red AS (
+        SELECT doc_id, txt,
+               regexp_replace(regexp_replace(regexp_replace(txt,
+                   '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                   '{_PII_PHONE}', '[PHONE]', 'g'),
+                   '{_PII_IP}', '[IP]', 'g') AS redacted
+        FROM injected
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(txt, '{_PII_EMAIL}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(txt, '{_PII_PHONE}')) AS BIGINT)
+               AS n_phones,
+           CAST(len(regexp_extract_all(txt, '{_PII_IP}')) AS BIGINT) AS n_ips,
+           CAST(length(redacted) AS BIGINT) AS redacted_len,
+           (NOT regexp_matches(redacted, '{_PII_EMAIL}')
+            AND NOT regexp_matches(redacted, '{_PII_PHONE}')
+            AND NOT regexp_matches(redacted, '{_PII_IP}')) AS clean
+    FROM red
+    ORDER BY doc_id
+    """,
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the corpus (round 15) — the
+    pre-training scrub every real data pipeline runs before anything
+    else touches the text. The synthetic corpus carries no PII, so
+    closed-form tokens (emails, a NANP 555 phone, IPv4s — counts varying
+    by doc) are injected identically on both sides; the MEASURED columns
+    then come from two independent regex engines — Spark's JVM
+    ``regexp_extract_all``/``regexp_replace`` (whole-stage codegen, no
+    Python in the plan) against DuckDB's RE2 — over a deliberately
+    engine-portable pattern subset (classes + bounded repetition, no
+    lookaround). Match counts, redacted length, and a post-redaction
+    cleanliness sweep all hash. Scale shape: one map-only project over
+    the corpus — the redaction pipeline at 100 TB is a pure narrow
+    stage."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" user"), did, F.lit("@example.com"),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(F.lit(" alt.user-"), did, F.lit("@mail.example.org")),
+        ).otherwise(F.lit("")),
+        F.lit(" 555-010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" 10."), (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 250).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" 192.168."),
+                     (F.col("doc_id") % 100).cast("string"), F.lit(".1")),
+        ).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(txt, _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE, "[PHONE]",
+        ),
+        _PII_IP, "[IP]",
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(txt, F.lit(_PII_EMAIL), F.lit(0)))
+            .cast("long").alias("n_emails"),
+            F.size(F.regexp_extract_all(txt, F.lit(_PII_PHONE), F.lit(0)))
+            .cast("long").alias("n_phones"),
+            F.size(F.regexp_extract_all(txt, F.lit(_PII_IP), F.lit(0)))
+            .cast("long").alias("n_ips"),
+            F.length(redacted).cast("long").alias("redacted_len"),
+            (
+                ~redacted.rlike(_PII_EMAIL)
+                & ~redacted.rlike(_PII_PHONE)
+                & ~redacted.rlike(_PII_IP)
+            ).alias("clean"),
+        )
+        .orderBy("doc_id")
+    )

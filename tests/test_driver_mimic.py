@@ -86,6 +86,7 @@ QUERIES = [
     # post-window r15 additions: G.72x ADPCM-in-AU and JPEG gates
     "au_adpcm_decode_features",
     "jpeg_decode_features",
+    "pii_redaction_stats",
 ]
 
 
@@ -182,6 +183,7 @@ ANSI_QUERIES = [
     "part_supplier_counts",
     "au_adpcm_decode_features",
     "jpeg_decode_features",
+    "pii_redaction_stats",
 ]
 
 
