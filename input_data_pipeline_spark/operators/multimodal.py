@@ -656,11 +656,18 @@ def encode_gif(plane) -> bytes:
     return bytes(out)
 
 
-def encode_avi(frames, usec_per_frame: int = 40000) -> bytes:
+def encode_avi(frames, usec_per_frame: int = 40000, audio=None,
+               audio_rate: int = 8000, audio_format: str = "pcm16") -> bytes:
     """Encode a list of top-down (h, w, 3) BGR uint8 arrays as an
     uncompressed-DIB AVI ('00db' frames, bottom-up 4-byte-padded rows) —
     the sink half of the video surface and the exact inverse of
-    :func:`_decode_avi`'s uncompressed path, roundtrip-pinned by test."""
+    :func:`_decode_avi`'s uncompressed path, roundtrip-pinned by test.
+
+    ``audio`` (round 15): a mono int16 sample array written as a second
+    'auds' stream — strh + a WAVEFORMATEX strf and one '01wb' data chunk
+    in movi — as 16-bit PCM or (``audio_format='ulaw'/'alaw'``) G.711
+    codes, the layouts :func:`extract_avi_audio` reads back. The avih
+    frame count stays the VIDEO frame count per the spec."""
     import struct
 
     import numpy as np
@@ -687,17 +694,91 @@ def encode_avi(frames, usec_per_frame: int = 40000) -> bytes:
         return b"LIST" + struct.pack("<I", 4 + len(body)) + ltype + body
 
     avih = struct.pack(
-        "<10I4x4x4x4x", usec_per_frame, 0, 0, 0, len(planes), 0, 1, 0, w, h
+        "<10I4x4x4x4x", usec_per_frame, 0, 0, 0, len(planes), 0,
+        2 if audio is not None else 1, 0, w, h
     )
     strh = (b"vids" + b"DIB ").ljust(56, b"\x00")
     strf = struct.pack(
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0
     )
-    hdrl = lst(b"hdrl", chunk(b"avih", avih)
-               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00db", dib(p)) for p in planes))
+    strls = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    movi_chunks = b"".join(chunk(b"00db", dib(p)) for p in planes)
+    if audio is not None:
+        pcm = np.asarray(audio, dtype=np.int16)
+        if pcm.ndim != 1:
+            raise ValueError("encode_avi wants mono int16 audio")
+        if audio_format == "pcm16":
+            adata, tag, bits, align = pcm.astype("<i2").tobytes(), 1, 16, 2
+        elif audio_format in ("ulaw", "alaw"):
+            tag = 7 if audio_format == "ulaw" else 6
+            adata = _g711_compress(pcm, audio_format).astype(np.uint8).tobytes()
+            bits, align = 8, 1
+        else:
+            raise ValueError(f"unknown AVI audio format {audio_format!r}")
+        astrh = (b"auds" + b"\x00" * 4).ljust(56, b"\x00")
+        astrf = struct.pack(  # WAVEFORMATEX, the WAV 'fmt ' body layout
+            "<HHIIHH", tag, 1, audio_rate, audio_rate * align, align, bits
+        )
+        strls += lst(b"strl", chunk(b"strh", astrh) + chunk(b"strf", astrf))
+        movi_chunks += chunk(b"01wb", adata)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strls)
+    movi = lst(b"movi", movi_chunks)
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def extract_avi_audio(payload: bytes) -> dict:
+    """Extract and DECODE the audio stream of an AVI container (round
+    15): a RIFF walk collects the 'auds' stream's strf — a WAVEFORMATEX,
+    byte-identical to a WAV 'fmt ' chunk body — and its '..wb' data
+    chunks in order, repackages them as an in-memory RIFF/WAVE, and
+    delegates to :func:`decode_media`'s audio path. AVI audio therefore
+    inherits the ENTIRE WAV decode matrix (PCM widths, IEEE float,
+    G.711 both laws, IMA-ADPCM) with zero new codec code, and feeds
+    ``audio_content_key`` like any first-class audio container. An AVI
+    without an audio stream, or with several, raises by name."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload (missing RIFF/'AVI ' magic)")
+    fmts: list[bytes] = []
+    audio = bytearray()
+
+    def walk(start: int, end: int) -> None:
+        stream_type = None
+        pos = start
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body0, body1 = pos + 8, pos + 8 + size
+            if body1 > end:
+                raise ValueError("truncated AVI: chunk extends past its parent")
+            if cid == b"LIST":
+                walk(body0 + 4, body1)
+            elif cid == b"strh":
+                stream_type = payload[body0 : body0 + 4]
+            elif cid == b"strf" and stream_type == b"auds":
+                if size < 16:
+                    raise ValueError(f"audio 'strf' chunk too small ({size} bytes)")
+                fmts.append(payload[body0:body1])
+            elif cid[2:4] == b"wb":
+                audio.extend(payload[body0:body1])
+            pos = body1 + (size & 1)
+
+    walk(12, len(payload))
+    if not fmts:
+        raise ValueError("AVI has no audio ('auds') stream")
+    if len(fmts) > 1:
+        raise ValueError(f"AVI has {len(fmts)} audio streams; expected one")
+
+    def wchunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    wav_body = b"WAVE" + wchunk(b"fmt ", fmts[0]) + wchunk(b"data", bytes(audio))
+    wav = b"RIFF" + struct.pack("<I", len(wav_body)) + wav_body
+    return decode_media(wav, "audio")
 
 
 def encode_wav(samples, frame_rate: int = 16000) -> bytes:
@@ -9335,5 +9416,102 @@ def jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, variant string, quant16 boolean, width long, "
         "height long, n_pixels long, err_ok boolean, "
         "prog_matches_baseline boolean"
+    )
+    return docs.mapInPandas(run, schema).orderBy("doc_id")
+
+
+@register(
+    "avi_audio_extract_features",
+    oracle="""
+    WITH samp AS (
+        SELECT d.doc_id AS doc_id,
+               CASE WHEN d.doc_id % 2 = 0 THEN
+                   CASE WHEN (255 - ((13 * d.doc_id + 7 * s.i) % 256)) >= 128
+                        THEN 132 - (((255 - ((13 * d.doc_id + 7 * s.i) % 256)) % 16) * 8 + 132)
+                                 * (1 << (((255 - ((13 * d.doc_id + 7 * s.i) % 256)) // 16) % 8))
+                        ELSE (((255 - ((13 * d.doc_id + 7 * s.i) % 256)) % 16) * 8 + 132)
+                                 * (1 << (((255 - ((13 * d.doc_id + 7 * s.i) % 256)) // 16) % 8)) - 132
+                   END
+               ELSE (11 * d.doc_id + 5 * s.i) % 4001 - 2000
+               END AS v
+        FROM documents d,
+             LATERAL (SELECT unnest(generate_series(
+                 0, CAST(255 + (d.doc_id % 4) * 64 AS BIGINT))) AS i) s
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'pcm_s16le' END AS codec,
+           CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+           CAST(256 + (doc_id % 4) * 64 AS BIGINT) AS n_samples,
+           CAST(2 + doc_id % 3 AS BIGINT) AS n_video_frames,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs
+    FROM samp
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def avi_audio_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVI AUDIO under the differential gate (round 15): per doc a tiny
+    uncompressed-DIB video plus a closed-form audio track — G.711 mu-law
+    codes sweeping the code space on even docs (the proven
+    ``au_decode_features`` expansion closed form; companded-lattice
+    samples roundtrip the compress/expand pair exactly), plain 16-bit
+    PCM on odd docs — is packed into a REAL two-stream AVI and the audio
+    pulled back through :func:`extract_avi_audio` (RIFF walk → 'auds'
+    WAVEFORMATEX + '..wb' chunk reassembly → the WAV decode matrix).
+    Decoded peak and sum-of-abs hash against the closed forms; the video
+    stream's frame count rides along from the container probe, proving
+    the two streams coexist without perturbing each other. Map-only
+    mapInPandas with the standard explicit core fan-out."""
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "codec": [], "sample_rate": [],
+                "n_samples": [], "n_video_frames": [], "peak": [],
+                "sum_abs": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 256 + (d % 4) * 64
+                sr = 8000 + (d % 3) * 4000
+                nf = 2 + d % 3
+                i = np.arange(n, dtype=np.int64)
+                frames = [
+                    np.full((3, 4, 3), (d + 17 * f) % 256, np.uint8)
+                    for f in range(nf)
+                ]
+                if d % 2 == 0:
+                    codes = ((13 * d + 7 * i) % 256).astype(np.uint8)
+                    src = _g711_expand(codes, "ulaw").astype(np.int16)
+                    blob = encode_avi(frames, audio=src, audio_rate=sr,
+                                      audio_format="ulaw")
+                else:
+                    src = ((11 * d + 5 * i) % 4001 - 2000).astype(np.int16)
+                    blob = encode_avi(frames, audio=src, audio_rate=sr)
+                meta = extract_avi_audio(blob)  # REAL container + decode
+                pcm = np.frombuffer(meta["pcm"], "<i2").astype(np.int64)
+                probe = _decode_avi(blob, probe=True)
+                out["doc_id"].append(d)
+                out["codec"].append(meta.get("codec", "pcm_s16le"))
+                out["sample_rate"].append(meta["frame_rate"])
+                out["n_samples"].append(meta["n_frames"])
+                out["n_video_frames"].append(probe["n_frames"])
+                out["peak"].append(int(np.abs(pcm).max()))
+                out["sum_abs"].append(int(np.abs(pcm).sum()))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, codec string, sample_rate long, n_samples long, "
+        "n_video_frames long, peak long, sum_abs long"
     )
     return docs.mapInPandas(run, schema).orderBy("doc_id")

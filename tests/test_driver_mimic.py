@@ -87,6 +87,7 @@ QUERIES = [
     "au_adpcm_decode_features",
     "jpeg_decode_features",
     "pii_redaction_stats",
+    "avi_audio_extract_features",
 ]
 
 
@@ -184,6 +185,7 @@ ANSI_QUERIES = [
     "au_adpcm_decode_features",
     "jpeg_decode_features",
     "pii_redaction_stats",
+    "avi_audio_extract_features",
 ]
 
 

@@ -3507,3 +3507,43 @@ def test_jpeg_progressive_dri_matches_baseline_exactly():
         make_progressive_jpeg(gray_rows=gray, quant=2, restart_interval=2),
         "image")
     assert prog["pixels"] == base["pixels"]
+
+
+def test_avi_audio_extraction_full_matrix_and_seams():
+    """Round 15: the 'auds' stream's WAVEFORMATEX + '..wb' chunks
+    repackage as RIFF/WAVE and inherit the WAV decode matrix; audio and
+    video streams coexist; no-audio and multi-audio raise by name."""
+    import numpy as np
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_avi,
+        _g711_expand,
+        encode_avi,
+        extract_avi_audio,
+    )
+
+    frames = [np.full((3, 5, 3), 40 * f, np.uint8) for f in range(3)]
+    i = np.arange(321)
+    pcm = ((11 * 3 + 5 * i) % 4001 - 2000).astype(np.int16)
+    blob = encode_avi(frames, audio=pcm, audio_rate=16000)
+    m = extract_avi_audio(blob)
+    assert m["frame_rate"] == 16000 and m["n_frames"] == 321
+    assert np.array_equal(np.frombuffer(m["pcm"], "<i2"), pcm)
+    # the video stream is untouched by the second strl / '01wb' chunk
+    v = _decode_avi(blob)
+    assert v["n_frames"] == 3 and (v["width"], v["height"]) == (5, 3)
+    # both G.711 laws roundtrip exactly on companded-lattice samples
+    for law in ("ulaw", "alaw"):
+        codes = ((13 * 3 + 7 * i) % 256).astype(np.uint8)
+        src = _g711_expand(codes, law).astype(np.int16)
+        m2 = extract_avi_audio(
+            encode_avi(frames, audio=src, audio_format=law))
+        assert m2["codec"] == law
+        assert np.array_equal(np.frombuffer(m2["pcm"], "<i2"), src)
+    with pytest.raises(ValueError, match="no audio"):
+        extract_avi_audio(encode_avi(frames))
+    with pytest.raises(ValueError, match="unknown AVI audio format"):
+        encode_avi(frames, audio=pcm, audio_format="opus")
+    with pytest.raises(ValueError, match="not an AVI"):
+        extract_avi_audio(b"RIFF\x04\x00\x00\x00WAVE")
