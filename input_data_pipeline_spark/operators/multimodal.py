@@ -9287,8 +9287,20 @@ def au_adpcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 src = np.round(
                     amp * np.sin(2.0 * np.pi * i / period)
                 ).astype(np.int16)
-                _codes, recon = g72x_encode(src, law, return_reconstruction=True)
-                blob = encode_au(src, sample_rate=8000, adpcm=law)
+                # one encoder pass feeds BOTH the container bytes and the
+                # tracking reference (encode_au would re-run the state
+                # machine; at 5k docs that third pass is real money)
+                codes, recon = g72x_encode(src, law, return_reconstruction=True)
+                bits = {"g721": 4, "g723_24": 3, "g723_40": 5}[law]
+                data = _g72x_pack(codes, bits)
+                enc_id = {"g721": 23, "g723_24": 25, "g723_40": 26}[law]
+                blob = (
+                    b".snd" + (24).to_bytes(4, "big")
+                    + len(data).to_bytes(4, "big")
+                    + enc_id.to_bytes(4, "big")
+                    + (8000).to_bytes(4, "big") + (1).to_bytes(4, "big")
+                    + data
+                )
                 meta = decode_media(blob, "audio")  # REAL AU ADPCM decode
                 pcm = np.frombuffer(meta["pcm"], "<i2")
                 tail = slice(256, None)
