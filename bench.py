@@ -112,6 +112,14 @@ HEADLINE = [
     "mp3_pcm_decode_features",
     "cross_codec_audio_dedup",
     "tiff_g4_decode_features",
+    # round 15 additions (additive): G.72x ADPCM-in-AU gate (the
+    # costliest new kernel — a per-sample Python state machine, so its
+    # wall time is tracked here on purpose), JPEG oracle gate, JVM-side
+    # PII redaction, AVI audio extraction
+    "au_adpcm_decode_features",
+    "jpeg_decode_features",
+    "pii_redaction_stats",
+    "avi_audio_extract_features",
 ]
 
 # Per-query floors for queries newer than the r1 floor table (driver-run
@@ -136,6 +144,13 @@ FLOORS = {
     "mp3_pcm_decode_features": 5.52,
     "tiff_g4_decode_features": 1.26,
     "cross_codec_audio_dedup": 6.59,
+    # round-15 first entries (local best-of-3 @ sf0.1, local[32] — no
+    # driver-run value exists yet; replace with BENCH_r15 numbers when
+    # the driver records them)
+    "au_adpcm_decode_features": 5.56,
+    "jpeg_decode_features": 1.76,
+    "pii_redaction_stats": 0.93,
+    "avi_audio_extract_features": 0.60,
 }
 
 

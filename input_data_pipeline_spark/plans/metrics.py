@@ -109,6 +109,11 @@ ANCHORS = [
     # wall/shuffle bend at the 10x step
     "mp3_pcm_decode_features",
     "tiff_g4_decode_features",
+    # round-15 additions: the G.72x state-machine gate (the repo's most
+    # CPU-dense per-doc kernel) and the JPEG gate — both map-only; the
+    # anchor catches a lost repartition fan-out mechanically
+    "au_adpcm_decode_features",
+    "jpeg_decode_features",
 ]
 
 
