@@ -2533,6 +2533,35 @@ _PII_PHONE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
 _PII_IP = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
 
 
+def with_pii_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append PII match counts and a redacted text column — the SHARED
+    batch/stream transformer (the ``with_c4_flags`` contract): the
+    ``pii_redaction_stats`` oracle query and the streaming scrub
+    (``streaming.pipelines.stream_pii_scrub``) evaluate these exact
+    column expressions, so an ingest-time scrub and a batch backfill can
+    never disagree. All JVM-side built-ins; map-only, no shuffle."""
+    c = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE, "[PHONE]",
+        ),
+        _PII_IP, "[IP]",
+    )
+    return docs.withColumns({
+        "pii_emails": F.size(
+            F.regexp_extract_all(c, F.lit(_PII_EMAIL), F.lit(0))
+        ).cast("long"),
+        "pii_phones": F.size(
+            F.regexp_extract_all(c, F.lit(_PII_PHONE), F.lit(0))
+        ).cast("long"),
+        "pii_ips": F.size(
+            F.regexp_extract_all(c, F.lit(_PII_IP), F.lit(0))
+        ).cast("long"),
+        "pii_redacted": redacted,
+    })
+
+
 @register(
     "pii_redaction_stats",
     oracle=f"""
@@ -2605,22 +2634,16 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (F.col("doc_id") % 100).cast("string"), F.lit(".1")),
         ).otherwise(F.lit("")),
     )
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(txt, _PII_EMAIL, "[EMAIL]"),
-            _PII_PHONE, "[PHONE]",
-        ),
-        _PII_IP, "[IP]",
+    tagged = with_pii_flags(
+        docs.select("doc_id", txt.alias("_pii_txt")), "_pii_txt"
     )
+    redacted = F.col("pii_redacted")
     return (
-        docs.select(
+        tagged.select(
             "doc_id",
-            F.size(F.regexp_extract_all(txt, F.lit(_PII_EMAIL), F.lit(0)))
-            .cast("long").alias("n_emails"),
-            F.size(F.regexp_extract_all(txt, F.lit(_PII_PHONE), F.lit(0)))
-            .cast("long").alias("n_phones"),
-            F.size(F.regexp_extract_all(txt, F.lit(_PII_IP), F.lit(0)))
-            .cast("long").alias("n_ips"),
+            F.col("pii_emails").alias("n_emails"),
+            F.col("pii_phones").alias("n_phones"),
+            F.col("pii_ips").alias("n_ips"),
             F.length(redacted).cast("long").alias("redacted_len"),
             (
                 ~redacted.rlike(_PII_EMAIL)

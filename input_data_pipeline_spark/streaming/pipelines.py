@@ -759,6 +759,41 @@ def stream_quality_gate(
     return out.filter(cond)
 
 
+def stream_pii_scrub(
+    docs: DataFrame,
+    redact: bool = True,
+    keep_counts: bool = True,
+) -> DataFrame:
+    """Streaming face of the PII scrub (round 15): tag every arriving
+    document with email/phone/IPv4 match counts and — with ``redact`` —
+    replace its text with the redacted form, BEFORE anything downstream
+    (dedup state, sketches, sinks) ever sees raw PII. That ordering is
+    the point of running the scrub as a stream stage: state stores and
+    checkpoints are durable, so un-scrubbed text that reaches them
+    outlives the stream.
+
+    Batch/stream parity by construction: the cells come from THE SAME
+    column transformer the oracle-checked batch query evaluates
+    (``operators/textstats.py::with_pii_flags`` — all JVM built-ins,
+    map-only, no state or watermark), so an ingest-time scrub and a
+    batch backfill can never disagree on a count or a redaction.
+    ``keep_counts=False`` drops the tag columns after redacting (the
+    sink-facing shape); ``redact=False, keep_counts=True`` is the
+    tag-only Dolma-style face."""
+    if not redact and not keep_counts:
+        raise ValueError("stream_pii_scrub with neither redact nor "
+                         "keep_counts is a no-op; refuse loudly")
+    from input_data_pipeline_spark.operators.textstats import with_pii_flags
+
+    out = with_pii_flags(docs)
+    if redact:
+        out = out.withColumn("text", F.col("pii_redacted"))
+    out = out.drop("pii_redacted")
+    if not keep_counts:
+        out = out.drop("pii_emails", "pii_phones", "pii_ips")
+    return out
+
+
 def stream_media_probe(blobs: DataFrame) -> DataFrame:
     """Streaming face of the media routing pass: probe every arriving
     binary blob for container metadata (AVI RIFF walk / MP4 box walk —

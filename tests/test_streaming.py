@@ -2073,3 +2073,91 @@ def test_stream_prototypicality_tags_match_batch(spark, tmp_path):
             assert pruned == b_pruned, (vid, ppm, cut)
         else:
             assert pruned  # at the cut the threshold form always tags
+
+
+# ---------------------------------------------------------------------------
+# Streaming PII scrub (round 15)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_pii_scrub_parity_and_shapes(spark, tmp_path):
+    """The streaming scrub must make EXACTLY the decisions the batch
+    transformer makes on the same rows (shared column expressions), must
+    redact BEFORE downstream state sees text, and must honor its two
+    shape knobs."""
+    import json
+
+    import pytest
+
+    from input_data_pipeline_spark.operators.textstats import with_pii_flags
+    from input_data_pipeline_spark.streaming.pipelines import (
+        DOC_SCHEMA,
+        run_to_memory,
+        stream_docs,
+        stream_pii_scrub,
+    )
+
+    rows = [
+        {"doc_id": 1, "ts": "2024-01-01T00:00:00", "lang": "en",
+         "source": "s0",
+         "text": "reach me at jane.doe@example.com or 555-010-1234 now"},
+        {"doc_id": 2, "ts": "2024-01-01T00:00:10", "lang": "en",
+         "source": "s0",
+         "text": "server 10.1.2.3 and backup 192.168.0.1 both up"},
+        {"doc_id": 3, "ts": "2024-01-01T00:00:20", "lang": "en",
+         "source": "s1", "text": "no pii in this one at all"},
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\n", encoding="utf-8"
+    )
+
+    name = _unique("piiscrub")
+    q = run_to_memory(stream_pii_scrub(stream_docs(spark, str(src))), name)
+    try:
+        q.processAllAvailable()
+        streamed = {r.doc_id: r for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+
+    assert streamed[1].pii_emails == 1 and streamed[1].pii_phones == 1
+    assert streamed[2].pii_ips == 2
+    assert streamed[3].text == rows[2]["text"]  # clean docs untouched
+    assert "[EMAIL]" in streamed[1].text and "[PHONE]" in streamed[1].text
+    assert "jane.doe" not in streamed[1].text
+    assert streamed[2].text.count("[IP]") == 2
+
+    # full-cell parity against the batch transformer on the same file
+    batch_df = with_pii_flags(spark.read.schema(DOC_SCHEMA).json(str(src)))
+    for b in batch_df.collect():
+        s = streamed[b.doc_id]
+        assert (s.pii_emails, s.pii_phones, s.pii_ips) == (
+            b.pii_emails, b.pii_phones, b.pii_ips)
+        assert s.text == b.pii_redacted
+
+    # shape knobs: sink-facing (no tags) and tag-only faces
+    q = run_to_memory(
+        stream_pii_scrub(stream_docs(spark, str(src)), keep_counts=False),
+        _unique("piisink"))
+    try:
+        q.processAllAvailable()
+        cols = set(spark.table(q.name).columns)
+    finally:
+        q.stop()
+    assert "pii_emails" not in cols and "pii_redacted" not in cols
+
+    q = run_to_memory(
+        stream_pii_scrub(stream_docs(spark, str(src)), redact=False),
+        _unique("piitags"))
+    try:
+        q.processAllAvailable()
+        tag_rows = {r.doc_id: r for r in spark.table(q.name).collect()}
+    finally:
+        q.stop()
+    assert tag_rows[1].text == rows[0]["text"]  # tag-only: text untouched
+    assert tag_rows[1].pii_emails == 1
+
+    with pytest.raises(ValueError, match="no-op"):
+        stream_pii_scrub(stream_docs(spark, str(src)), redact=False,
+                         keep_counts=False)
