@@ -9331,10 +9331,13 @@ def au_adpcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN 2 THEN 'progressive_444'
                 ELSE 'progressive_420' END AS variant,
            (d.doc_id % 4 < 2 AND d.doc_id % 5 = 0) AS quant16,
-           CAST(9 + d.doc_id % 8 AS BIGINT) AS width,
+           CAST(9 + d.doc_id % 8
+                + CASE WHEN d.doc_id % 4 = 1 THEN 8 ELSE 0 END
+                AS BIGINT) AS width,
            CAST(8 + d.doc_id % 5 AS BIGINT) AS height,
-           CAST((9 + d.doc_id % 8) * (8 + d.doc_id % 5) AS BIGINT)
-               AS n_pixels,
+           CAST((9 + d.doc_id % 8
+                 + CASE WHEN d.doc_id % 4 = 1 THEN 8 ELSE 0 END)
+                * (8 + d.doc_id % 5) AS BIGINT) AS n_pixels,
            TRUE AS err_ok,
            TRUE AS prog_matches_baseline
     FROM documents d
@@ -9382,7 +9385,11 @@ def jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 v = d % 4
-                w, h = 9 + d % 8, 8 + d % 5
+                # the DRI variant widens past one 16x16 MCU so restart
+                # markers actually flow (ri=1 restarts at every MCU
+                # boundary; a single-MCU card would never emit one)
+                w = 9 + d % 8 + (8 if v == 1 else 0)
+                h = 8 + d % 5
                 r_idx = np.arange(h, dtype=np.int64).reshape(-1, 1)
                 c_idx = np.arange(w, dtype=np.int64)
                 gray = (7 * d + 5 * r_idx + 3 * c_idx) % 236 + 10
@@ -9392,7 +9399,7 @@ def jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q16 = v < 2 and d % 5 == 0
                 base_blob = encode_jpeg(
                     rows_rgb=rows, quant=1, subsampling=sub,
-                    restart_interval=2 if v == 1 else 0, quant16=q16,
+                    restart_interval=1 if v == 1 else 0, quant16=q16,
                 )
                 if v < 2:
                     blob = base_blob
