@@ -1651,13 +1651,15 @@ def regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp_r = maybe_broadcast(
         supp.join(local_nations, supp["s_nationkey"] == local_nations["n_nationkey"])
-        .select("s_suppkey", "s_nationkey", "n_name")
+        .select("s_suppkey", "s_nationkey", "n_name"),
+        gauge=supp,
     )
     cust_r = maybe_broadcast(
         cust.join(
             local_nations.select(F.col("n_nationkey").alias("cn_key")),
             cust["c_nationkey"] == F.col("cn_key"),
-        ).select("c_custkey", "c_nationkey")
+        ).select("c_custkey", "c_nationkey"),
+        gauge=cust,
     )
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
@@ -1725,15 +1727,19 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     it). Exact split-long revenue sum."""
     pair = [_Q7_NATION_A, _Q7_NATION_B]
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
+    supplier_base = load_table(spark, sf_dir, "supplier")
+    customer_base = load_table(spark, sf_dir, "customer")
     supp2 = maybe_broadcast(
-        load_table(spark, sf_dir, "supplier")
+        supplier_base
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation")),
+        gauge=supplier_base,
     )
     cust2 = maybe_broadcast(
-        load_table(spark, sf_dir, "customer")
+        customer_base
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation")),
+        gauge=customer_base,
     )
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
@@ -1919,15 +1925,19 @@ def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supplier_base = _t(spark, sf_dir, "supplier")
+    customer_base = _t(spark, sf_dir, "customer")
     supp = maybe_broadcast(
-        _t(spark, sf_dir, "supplier")
+        supplier_base
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", F.col("n_name").alias("src"))
+        .select("s_suppkey", F.col("n_name").alias("src")),
+        gauge=supplier_base,
     )
     cust = maybe_broadcast(
-        _t(spark, sf_dir, "customer")
+        customer_base
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .select("c_custkey", F.col("n_name").alias("dst"))
+        .select("c_custkey", F.col("n_name").alias("dst")),
+        gauge=customer_base,
     )
     edges = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
@@ -2045,13 +2055,15 @@ def sole_late_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
     )
+    supplier_base = _t(spark, sf_dir, "supplier")
     supp = maybe_broadcast(
-        _t(spark, sf_dir, "supplier")
+        supplier_base
         .join(
             F.broadcast(_t(spark, sf_dir, "nation")),
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
-        .select("s_suppkey", F.col("n_name").alias("nation"))
+        .select("s_suppkey", F.col("n_name").alias("nation")),
+        gauge=supplier_base,
     )
     return (
         per_order.join(supp, F.col("late_supp") == F.col("s_suppkey"))
@@ -2542,8 +2554,10 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     agg = (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(maybe_broadcast(cust_market), F.col("o_custkey") == F.col("c_custkey"))
-        .join(maybe_broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(cust_market, gauge=customer),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(supp_nation, gauge=supplier),
+              F.col("l_suppkey") == F.col("s_suppkey"))
         .join(maybe_broadcast(part.select("p_partkey")),
               F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.year("o_orderdate").alias("order_year"))

@@ -39,7 +39,11 @@ from pyspark.sql import DataFrame
 DEFAULT_BROADCAST_BOUND = 512 << 20
 
 
-def maybe_broadcast(df: DataFrame, max_bytes: int = DEFAULT_BROADCAST_BOUND) -> DataFrame:
+def maybe_broadcast(
+    df: DataFrame,
+    max_bytes: int = DEFAULT_BROADCAST_BOUND,
+    gauge: DataFrame | None = None,
+) -> DataFrame:
     """Attach a broadcast hint only when Catalyst's size estimate allows.
 
     Reads ``optimizedPlan().stats().sizeInBytes`` — a driver-side
@@ -50,11 +54,23 @@ def maybe_broadcast(df: DataFrame, max_bytes: int = DEFAULT_BROADCAST_BOUND) -> 
     unavailable (e.g. a plan node that reports the BigInt max sentinel),
     the frame is returned unhinted — "don't know" must never force a
     broadcast build.
-    """
+
+    ``gauge``: optional frame whose estimate stands in for ``df``'s.
+    Catalyst's size-only stats visitor MULTIPLIES child sizes at a join
+    node, so a dimension enriched through a 25-row ``nation`` hop gets a
+    wildly inflated estimate even though an FK equi-join cannot exceed
+    the dimension's own row count. Passing the SF-scaling base table
+    (``supplier``/``customer``) as the gauge anchors the decision to the
+    quantity that actually grows with data size — exactly what the
+    100 TB stance needs — while the multiplied join estimate would
+    otherwise suppress the hint already at sf0.1."""
+    probe = gauge if gauge is not None else df
     try:
-        est = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
-        )
+        raw = probe._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j converts java.math.BigInteger to a Python int when it
+        # fits; very large estimates (the unknown-stats sentinel) can
+        # surface as the Java object — handle both
+        est = int(raw if isinstance(raw, int) else raw.toString())
     except Exception:
         return df
     if est < 0 or est > max_bytes:

@@ -9,6 +9,7 @@ measurement picks the strategy.
 """
 
 import pandas as pd
+import pyspark.sql.functions as F
 import pytest
 
 from input_data_pipeline_spark.plans.hints import maybe_broadcast
@@ -34,9 +35,20 @@ def _joined_plan(spark, dim_path, max_bytes):
 
 
 def test_hint_fires_under_the_bound(spark, dim_path):
-    out, plan = _joined_plan(spark, dim_path, max_bytes=512 << 20)
-    assert "BroadcastHashJoin" in plan, plan[:800]
-    assert out.count() == 20000
+    # auto-broadcast OFF and AQE OFF: only OUR hint can make this a
+    # broadcast join — a vacuous version of this test once passed while
+    # the helper silently returned every frame unhinted (the py4j
+    # BigInteger-to-int conversion raised inside the try)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out, plan = _joined_plan(spark, dim_path, max_bytes=512 << 20)
+        assert "BroadcastHashJoin" in plan, plan[:800]
+        assert "SortMergeJoin" not in plan, plan[:800]
+        assert out.count() == 20000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.enabled")
 
 
 def test_hint_disappears_above_the_bound(spark, dim_path):
@@ -77,3 +89,36 @@ def test_stats_failure_returns_unhinted(spark, monkeypatch):
         type(df), "_jdf", property(lambda self: Boom()), raising=False
     )
     assert maybe_broadcast(df) is df
+
+
+def test_gauge_overrides_multiplied_join_estimate(spark, dim_path):
+    # Catalyst's size-only visitor MULTIPLIES child sizes at a join, so
+    # a dim enriched through a tiny lookup gets an estimate far past any
+    # bound even though the FK join cannot grow its row count. The gauge
+    # (the scaling base table) must keep the hint alive.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        dim = spark.read.parquet(str(dim_path / "dim.parquet"))
+        fact = spark.read.parquet(str(dim_path / "fact.parquet"))
+        lookup = spark.range(1000).withColumnRenamed("id", "k")
+        enriched = dim.join(F.broadcast(lookup), "k")
+        est = int(
+            enriched._jdf.queryExecution().optimizedPlan().stats()
+            .sizeInBytes()
+        )
+        bound = 1 << 20
+        assert est > bound, est  # the multiplied estimate IS inflated
+        # without a gauge the inflated estimate suppresses the hint...
+        p1 = fact.join(maybe_broadcast(enriched, max_bytes=bound), "k")
+        assert "SortMergeJoin" in \
+            p1._jdf.queryExecution().executedPlan().toString()
+        # ...the gauge anchors the decision to the base table
+        p2 = fact.join(
+            maybe_broadcast(enriched, max_bytes=bound, gauge=dim), "k")
+        plan2 = p2._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan2, plan2[:800]
+        assert p2.count() == 20000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.enabled")
