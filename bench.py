@@ -147,7 +147,7 @@ FLOORS = {
     # round-15 first entries (local best-of-3 @ sf0.1, local[32] — no
     # driver-run value exists yet; replace with BENCH_r15 numbers when
     # the driver records them)
-    "au_adpcm_decode_features": 5.56,
+    "au_adpcm_decode_features": 4.24,
     "jpeg_decode_features": 1.76,
     "pii_redaction_stats": 0.93,
     "avi_audio_extract_features": 0.60,

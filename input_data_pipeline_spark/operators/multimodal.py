@@ -8853,6 +8853,294 @@ def g72x_decode(codes, law: str = "g721"):
     return out
 
 
+# ---------------------------------------------------------------------------
+# ITU G.722 subband ADPCM (AU encoding 24) — round 15, closing the AU
+# matrix. 16 kHz audio splits through a 24-tap quadrature-mirror filter
+# into two 8 kHz subbands, each coded by a backward-adaptive ADPCM loop
+# (the G.726-family shape: pole/zero predictor, log-domain scale factor).
+# G.722's EMBEDDED property: the lower band's 6-bit codes carry their two
+# finest bits as droppable enhancement, and a decoder using only the top
+# 4 bits (mode 3) stays bit-synchronized with every encoder — this
+# implementation codes/decodes that embedded 4-bit core (+ the full
+# 2-bit upper band), emitting spec-layout 64 kbit/s octets with zero
+# enhancement bits. Data stance: the QMF taps are validated at import by
+# near-perfect-reconstruction ARITHMETIC (tap sum exactly 2^13, symmetry,
+# power-complementarity flat within 1%); the log scale-factor table is
+# GENERATED from its closed form round(2048*2^(i/32)) (verified identical
+# to the published table); the small quantizer/adaptation tables carry
+# mirror/monotonicity invariants. The encoder's decision levels are
+# DERIVED midpoints of the mode-3 reconstruction alphabet (documented —
+# we do not claim the spec's Table 13 deadzone values); decode fidelity
+# of foreign 64 kbit streams is unaffected because every decode-side
+# table is structural or closed-form.
+# ---------------------------------------------------------------------------
+
+_G722_QMF = (3, -11, -11, 53, 12, -156, 32, 362, -210, -805, 951, 3876,
+             3876, 951, -805, -210, 362, 32, -156, 12, 53, -11, -11, 3)
+_G722_ILB = tuple(round(2048 * 2 ** (i / 32)) for i in range(32))
+_G722_WL = (-60, -30, 58, 172, 334, 538, 1198, 3042)
+_G722_RL42 = (0, 7, 6, 5, 4, 3, 2, 1, 7, 6, 5, 4, 3, 2, 1, 0)
+_G722_QM4 = (0, -20456, -12896, -8968, -6288, -4240, -2584, -1200,
+             20456, 12896, 8968, 6288, 4240, 2584, 1200, 0)
+_G722_WH = (0, -214, 798)
+_G722_RH2 = (2, 1, 2, 1)
+_G722_QM2 = (-7408, -1616, 7408, 1616)
+
+
+def _g722_check_tables() -> None:
+    """Import-time validation (the Kraft-discipline analog): QMF taps
+    prove near-perfect reconstruction arithmetically; the quantizer and
+    adaptation tables prove their mirror/monotonicity structure."""
+    import numpy as np
+
+    h = np.asarray(_G722_QMF, dtype=np.float64)
+    if len(h) != 24 or int(h.sum()) != 8192:
+        raise AssertionError("G.722 QMF taps: sum must be exactly 2^13")
+    if any(_G722_QMF[i] != _G722_QMF[23 - i] for i in range(12)):
+        raise AssertionError("G.722 QMF taps not symmetric")
+    mag = np.abs(np.fft.rfft(h, 4096)) ** 2
+    comb = mag + mag[::-1]
+    if comb.max() / comb.mean() > 1.01 or comb.min() / comb.mean() < 0.99:
+        raise AssertionError("G.722 QMF taps fail power complementarity")
+    if list(_G722_ILB) != sorted(set(_G722_ILB)) or _G722_ILB[0] != 2048 \
+            or _G722_ILB[31] != 4008:
+        raise AssertionError("G.722 log scale table broken")
+    neg = sorted(-v for v in _G722_QM4[:8])
+    pos = sorted(_G722_QM4[8:])
+    if neg != pos:
+        raise AssertionError("G.722 QM4 halves not mirror-symmetric")
+    if any(_G722_RL42[i] != _G722_RL42[i + 7] for i in range(1, 8)) \
+            or _G722_RL42[0] != 0 or _G722_RL42[15] != 0:
+        raise AssertionError("G.722 RL42 region map broken")
+    if list(_G722_WL) != sorted(_G722_WL):
+        raise AssertionError("G.722 WL multipliers not monotone")
+    if sorted(-v for v in _G722_QM2[:2]) != sorted(_G722_QM2[2:]):
+        raise AssertionError("G.722 QM2 halves not mirror-symmetric")
+
+
+_g722_check_tables()
+
+
+def _g722_sat(x: int) -> int:
+    return -32768 if x < -32768 else (32767 if x > 32767 else x)
+
+
+class _G722Band:
+    """One subband's predictor + scale-factor state (G.722 §3/§4)."""
+
+    __slots__ = ("s", "sp", "sz", "r", "p", "a", "b", "d", "nb", "det")
+
+    def __init__(self, det: int) -> None:
+        self.s = self.sp = self.sz = 0
+        self.r = [0, 0, 0]
+        self.p = [0, 0, 0]
+        self.a = [0, 0, 0]
+        self.b = [0] * 7
+        self.d = [0] * 7
+        self.nb = 0
+        self.det = det
+
+
+def _g722_block4(bd: _G722Band, d: int) -> None:
+    """Predictor update shared by both bands and both directions (G.722
+    block 4): reconstruct, adapt the two poles (with the same stability
+    region as G.726) and six zeros by sign agreement, then form the next
+    pole/zero predictions."""
+    bd.d[0] = d
+    bd.r[0] = _g722_sat(bd.s + d)
+    bd.p[0] = _g722_sat(bd.sz + d)
+
+    # UPPOL2
+    sg0, sg1, sg2 = bd.p[0] >> 15, bd.p[1] >> 15, bd.p[2] >> 15
+    wd1 = _g722_sat(bd.a[1] << 2)
+    wd2 = -wd1 if sg0 == sg1 else wd1
+    if wd2 > 32767:
+        wd2 = 32767
+    wd3 = (128 if sg0 == sg2 else -128) + (wd2 >> 7) + ((bd.a[2] * 32512) >> 15)
+    if wd3 > 12288:
+        wd3 = 12288
+    elif wd3 < -12288:
+        wd3 = -12288
+    ap2 = wd3
+
+    # UPPOL1
+    wd1 = 192 if sg0 == sg1 else -192
+    ap1 = _g722_sat(wd1 + ((bd.a[1] * 32640) >> 15))
+    wd3 = _g722_sat(15360 - ap2)
+    if ap1 > wd3:
+        ap1 = wd3
+    elif ap1 < -wd3:
+        ap1 = -wd3
+
+    # UPZERO
+    wd1 = 0 if d == 0 else 128
+    sgd = d >> 15
+    bp = [0] * 7
+    for i in range(1, 7):
+        wd2 = wd1 if (bd.d[i] >> 15) == sgd else -wd1
+        bp[i] = _g722_sat(wd2 + ((bd.b[i] * 32640) >> 15))
+
+    # DELAY
+    for i in range(6, 0, -1):
+        bd.d[i] = bd.d[i - 1]
+        bd.b[i] = bp[i]
+    bd.r[2], bd.r[1] = bd.r[1], bd.r[0]
+    bd.p[2], bd.p[1] = bd.p[1], bd.p[0]
+    bd.a[2], bd.a[1] = ap2, ap1
+
+    # FILTEP + FILTEZ + PREDIC
+    wd1 = (bd.a[1] * _g722_sat(bd.r[1] + bd.r[1])) >> 15
+    wd2 = (bd.a[2] * _g722_sat(bd.r[2] + bd.r[2])) >> 15
+    bd.sp = _g722_sat(wd1 + wd2)
+    sz = 0
+    for i in range(6, 0, -1):
+        sz += (bd.b[i] * _g722_sat(bd.d[i] + bd.d[i])) >> 15
+    bd.sz = _g722_sat(sz)
+    bd.s = _g722_sat(bd.sp + bd.sz)
+
+
+def _g722_lower_adapt(bd: _G722Band, il4: int) -> None:
+    """Lower-band log scale-factor adaptation (blocks 3L: LOGSCL +
+    SCALEL), driven by the 4-bit core code — by design, so embedded
+    decoders at every mode stay synchronized."""
+    nb = ((bd.nb * 127) >> 7) + _G722_WL[_G722_RL42[il4]]
+    bd.nb = 0 if nb < 0 else (18432 if nb > 18432 else nb)
+    wd1 = (bd.nb >> 6) & 31
+    wd2 = 8 - (bd.nb >> 11)
+    wd3 = _G722_ILB[wd1] << -wd2 if wd2 < 0 else _G722_ILB[wd1] >> wd2
+    bd.det = wd3 << 2
+
+
+def _g722_upper_adapt(bd: _G722Band, ih: int) -> None:
+    """Upper-band adaptation (blocks 3H: LOGSCH + SCALEH)."""
+    nb = ((bd.nb * 127) >> 7) + _G722_WH[_G722_RH2[ih]]
+    bd.nb = 0 if nb < 0 else (22528 if nb > 22528 else nb)
+    wd1 = (bd.nb >> 6) & 31
+    wd2 = 10 - (bd.nb >> 11)
+    wd3 = _G722_ILB[wd1] << -wd2 if wd2 < 0 else _G722_ILB[wd1] >> wd2
+    bd.det = wd3 << 2
+
+
+# derived decision midpoints over the mode-3 reconstruction magnitudes
+# (see the data stance above): positive branch includes the zero level,
+# negative branch starts at 1200
+_G722_Q4_MAGS = (0, 1200, 2584, 4240, 6288, 8968, 12896, 20456)
+_G722_Q4_MIDS = tuple(
+    (_G722_Q4_MAGS[i] + _G722_Q4_MAGS[i + 1]) // 2 for i in range(7)
+)
+_G722_Q2_MID = (1616 + 7408) // 2
+
+
+def g722_decode(data: bytes):
+    """Decode a G.722 64 kbit/s octet stream (one byte per pair of
+    16 kHz samples: bits 0-5 lower band, 6-7 upper band) to int16 PCM,
+    using the embedded 4-bit lower-band core (mode 3 — spec-sanctioned
+    for ANY conforming stream, since the adaptation path only ever reads
+    the 4-bit core) plus the full 2-bit upper band and the 24-tap QMF
+    synthesis bank."""
+    import numpy as np
+
+    low = _G722Band(det=32)
+    high = _G722Band(det=8)
+    x = [0] * 24
+    qmf = _G722_QMF
+    out = np.empty(2 * len(data), np.int16)
+    k = 0
+    for byte in data:
+        il4 = (byte & 0x3F) >> 2  # mode-3 core of the 6-bit code
+        ih = (byte >> 6) & 0x03
+        dlow = (_G722_QM4[il4] * low.det) >> 15
+        rlow = low.s + dlow
+        rlow = -16384 if rlow < -16384 else (16383 if rlow > 16383 else rlow)
+        _g722_block4(low, dlow)
+        _g722_lower_adapt(low, il4)
+        dhigh = (_G722_QM2[ih] * high.det) >> 15
+        rhigh = high.s + dhigh
+        rhigh = -16384 if rhigh < -16384 else (16383 if rhigh > 16383 else rhigh)
+        _g722_block4(high, dhigh)
+        _g722_upper_adapt(high, ih)
+        # QMF synthesis: two output samples per subband pair
+        x[:22] = x[2:]
+        x[22] = rlow + rhigh
+        x[23] = rlow - rhigh
+        xout2 = sum(x[2 * i] * qmf[2 * i] for i in range(12))
+        xout1 = sum(x[2 * i + 1] * qmf[2 * i] for i in range(12))
+        out[k] = _g722_sat(xout1 >> 11)
+        out[k + 1] = _g722_sat(xout2 >> 11)
+        k += 2
+    return out
+
+
+def g722_encode(samples, return_reconstruction: bool = False):
+    """Encode 16 kHz int16 PCM (even sample count) to G.722 octets:
+    QMF analysis, then per subband the derived-midpoint quantizer
+    against the SAME backward-adaptive state machine the decoder runs
+    (the encoder embeds the decoder, so with ``return_reconstruction``
+    the synthesized signal is bit-identical to :func:`g722_decode` of
+    the emitted stream — the tracking property the gate asserts)."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype=np.int16)
+    if pcm.ndim != 1:
+        raise ValueError("g722_encode wants mono int16")
+    if len(pcm) % 2:
+        raise ValueError("g722_encode wants an even sample count "
+                         "(one octet codes a pair)")
+    low = _G722Band(det=32)
+    high = _G722Band(det=8)
+    xa = [0] * 24
+    xs = [0] * 24
+    qmf = _G722_QMF
+    out = bytearray()
+    recon = np.empty(len(pcm), np.int16) if return_reconstruction else None
+    vals = pcm.tolist()
+    for j in range(0, len(vals), 2):
+        # QMF analysis
+        xa[:22] = xa[2:]
+        xa[22], xa[23] = vals[j], vals[j + 1]
+        sumodd = sum(xa[2 * i + 1] * qmf[2 * i] for i in range(12))
+        sumeven = sum(xa[2 * i] * qmf[2 * i] for i in range(12))
+        xlow = (sumeven + sumodd) >> 14
+        xhigh = (sumodd - sumeven) >> 14
+        # lower band: quantize the prediction error against the
+        # det-scaled derived midpoints
+        el = _g722_sat(xlow - low.s)
+        wd = abs(el)
+        m = 0
+        for mid in _G722_Q4_MIDS:
+            if wd >= (mid * low.det) >> 15:
+                m += 1
+        if el >= 0:
+            il4 = 15 - m
+        else:
+            il4 = (8 - m) % 8
+        dlow = (_G722_QM4[il4] * low.det) >> 15
+        rlow = low.s + dlow
+        rlow = -16384 if rlow < -16384 else (16383 if rlow > 16383 else rlow)
+        _g722_block4(low, dlow)
+        _g722_lower_adapt(low, il4)
+        # upper band
+        eh = _g722_sat(xhigh - high.s)
+        big = abs(eh) >= (_G722_Q2_MID * high.det) >> 15
+        ih = (2 if big else 3) if eh >= 0 else (0 if big else 1)
+        dhigh = (_G722_QM2[ih] * high.det) >> 15
+        rhigh = high.s + dhigh
+        rhigh = -16384 if rhigh < -16384 else (16383 if rhigh > 16383 else rhigh)
+        _g722_block4(high, dhigh)
+        _g722_upper_adapt(high, ih)
+        out.append((ih << 6) | (il4 << 2))  # zero enhancement bits
+        if recon is not None:
+            xs[:22] = xs[2:]
+            xs[22] = rlow + rhigh
+            xs[23] = rlow - rhigh
+            xout2 = sum(xs[2 * i] * qmf[2 * i] for i in range(12))
+            xout1 = sum(xs[2 * i + 1] * qmf[2 * i] for i in range(12))
+            recon[j] = _g722_sat(xout1 >> 11)
+            recon[j + 1] = _g722_sat(xout2 >> 11)
+    data = bytes(out)
+    return (data, recon) if return_reconstruction else data
+
+
 def _g72x_pack(codes, bits: int) -> bytes:
     """Pack code words into the AU MSB-first bitstream (final byte
     zero-padded on the right when n*bits is not a byte multiple)."""
@@ -8954,12 +9242,16 @@ def encode_au(
     if adpcm is not None:
         if ulaw or alaw or float_width:
             raise ValueError("adpcm excludes the other sample formats")
-        bits = {"g721": 4, "g723_24": 3, "g723_40": 5}.get(adpcm)
-        if bits is None:
-            raise ValueError(f"unknown G.72x law {adpcm!r}")
-        data = _g72x_pack(g72x_encode(samples, adpcm), bits)
-        enc = {"g721": _AU_G721, "g723_24": _AU_G723_24,
-               "g723_40": _AU_G723_40}[adpcm]
+        if adpcm == "g722":
+            data = g722_encode(samples)
+            enc = _AU_G722
+        else:
+            bits = {"g721": 4, "g723_24": 3, "g723_40": 5}.get(adpcm)
+            if bits is None:
+                raise ValueError(f"unknown G.72x law {adpcm!r}")
+            data = _g72x_pack(g72x_encode(samples, adpcm), bits)
+            enc = {"g721": _AU_G721, "g723_24": _AU_G723_24,
+                   "g723_40": _AU_G723_40}[adpcm]
     elif ulaw:
         data = _g711_compress(samples, "ulaw").astype(np.uint8).tobytes()
         enc = _AU_ULAW
@@ -8993,11 +9285,12 @@ def _decode_au(payload: bytes) -> dict:
     round-half-away(v * 32768) with clipping, and 24/32-bit linear PCM
     (encodings 4/5) narrowed to int16 by round-half-away at the shift,
     or — round 15 — CCITT G.721/G.723 ADPCM (encodings 23/25/26)
-    through the REAL G.726-family state machine. Multichannel files
-    decode with their interleaving preserved (AU frames are
+    through the REAL G.726-family state machine and G.722 subband ADPCM
+    (encoding 24: QMF split + embedded-mode band coders). Multichannel
+    files decode with their interleaving preserved (AU frames are
     channel-interleaved, same convention as WAV); ADPCM is mono-only.
-    The one remaining unsupported encoding (G.722 subband ADPCM, 24)
-    raises by name."""
+    Every standard AU audio encoding now decodes; unknown ids raise by
+    name."""
     import struct
 
     import numpy as np
@@ -9112,10 +9405,19 @@ def _decode_au(payload: bytes) -> dict:
             "n_frames": len(pcm), "pcm": pcm.astype("<i2").tobytes(),
             "codec": law,
         }
+    if enc == _AU_G722:
+        # round 15: subband ADPCM — one octet per PAIR of 16 kHz samples
+        if n_ch != 1:
+            raise ValueError("AU G.722 supports mono only")
+        pcm = g722_decode(data)
+        return {
+            "n_channels": 1, "sample_width": 2, "frame_rate": rate,
+            "n_frames": len(pcm), "pcm": pcm.astype("<i2").tobytes(),
+            "codec": "g722",
+        }
     raise ValueError(
-        f"AU encoding {enc} "
-        f"({'G.722 subband ADPCM' if enc == _AU_G722 else 'unknown'}) "
-        "requires external media libraries (SURVEY §2.10 U1/U2)"
+        f"AU encoding {enc} requires external media libraries "
+        "(SURVEY §2.10 U1/U2)"
     )
 
 
@@ -9226,13 +9528,14 @@ def au_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "au_adpcm_decode_features",
     oracle="""
     SELECT d.doc_id,
-           CASE CAST(d.doc_id % 3 AS INTEGER)
+           CASE CAST(d.doc_id % 4 AS INTEGER)
                 WHEN 0 THEN 'g721' WHEN 1 THEN 'g723_24'
-                ELSE 'g723_40' END AS codec,
+                WHEN 2 THEN 'g723_40' ELSE 'g722' END AS codec,
            CAST(384 + (d.doc_id % 4) * 64 AS BIGINT) AS n_samples,
            CAST(24 + CAST(((384 + (d.doc_id % 4) * 64)
-                * (CASE CAST(d.doc_id % 3 AS INTEGER)
-                        WHEN 0 THEN 4 WHEN 1 THEN 3 ELSE 5 END) + 7) // 8
+                * (CASE CAST(d.doc_id % 4 AS INTEGER)
+                        WHEN 0 THEN 4 WHEN 1 THEN 3
+                        WHEN 2 THEN 5 ELSE 4 END) + 7) // 8
                 AS BIGINT) AS BIGINT) AS au_bytes,
            TRUE AS tracking_exact,
            TRUE AS snr_ok
@@ -9243,11 +9546,14 @@ def au_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def au_adpcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCITT G.72x ADPCM-in-AU under the differential gate (round 15):
     per doc a deterministic sine card (amplitude/period varying by doc)
-    is G.721/G.723_24/G.723_40-encoded (doc_id % 3) into a REAL AU file
+    is G.721/G.723_24/G.723_40/G.722-encoded (doc_id % 4) into a REAL AU
+    file
     and decoded back through :func:`decode_media`'s AU path (header
     walk, MSB-first bit unpacking, the full G.726-family state machine:
     adaptive quantizer, 2-pole/6-zero predictor, scale-factor and speed
-    adaptation). Two fidelity gates ride the hash: ``tracking_exact``
+    adaptation; the G.722 docs additionally run the 24-tap QMF
+    analysis/synthesis banks and both embedded-mode band coders at
+    16 kHz). Two fidelity gates ride the hash: ``tracking_exact``
     asserts the standalone decoder reproduces the encoder's internal
     reconstruction BIT-EXACTLY (the G.726 backward-adaptation property —
     any divergence in any table or update step breaks it), and
@@ -9270,8 +9576,9 @@ def au_adpcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        laws = ("g721", "g723_24", "g723_40")
-        floors = {"g721": 25.0, "g723_24": 20.0, "g723_40": 30.0}
+        laws = ("g721", "g723_24", "g723_40", "g722")
+        floors = {"g721": 25.0, "g723_24": 20.0, "g723_40": 30.0,
+                  "g722": 25.0}
         for pdf in batches:
             out = {
                 "doc_id": [], "codec": [], "n_samples": [], "au_bytes": [],
@@ -9279,7 +9586,7 @@ def au_adpcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                law = laws[d % 3]
+                law = laws[d % 4]
                 n = 384 + (d % 4) * 64
                 amp = 4000.0 + 125.0 * (d % 8)
                 period = 24 + d % 16
@@ -9290,22 +9597,36 @@ def au_adpcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # one encoder pass feeds BOTH the container bytes and the
                 # tracking reference (encode_au would re-run the state
                 # machine; at 5k docs that third pass is real money)
-                codes, recon = g72x_encode(src, law, return_reconstruction=True)
-                bits = {"g721": 4, "g723_24": 3, "g723_40": 5}[law]
-                data = _g72x_pack(codes, bits)
-                enc_id = {"g721": 23, "g723_24": 25, "g723_40": 26}[law]
+                if law == "g722":
+                    data, recon = g722_encode(src, return_reconstruction=True)
+                    enc_id, rate, delay = 24, 16000, 21
+                else:
+                    codes, recon = g72x_encode(
+                        src, law, return_reconstruction=True
+                    )
+                    bits = {"g721": 4, "g723_24": 3, "g723_40": 5}[law]
+                    data = _g72x_pack(codes, bits)
+                    enc_id = {"g721": 23, "g723_24": 25, "g723_40": 26}[law]
+                    rate, delay = 8000, 0
                 blob = (
                     b".snd" + (24).to_bytes(4, "big")
                     + len(data).to_bytes(4, "big")
                     + enc_id.to_bytes(4, "big")
-                    + (8000).to_bytes(4, "big") + (1).to_bytes(4, "big")
+                    + rate.to_bytes(4, "big") + (1).to_bytes(4, "big")
                     + data
                 )
                 meta = decode_media(blob, "audio")  # REAL AU ADPCM decode
                 pcm = np.frombuffer(meta["pcm"], "<i2")
-                tail = slice(256, None)
-                err = pcm[tail].astype(np.float64) - src[tail].astype(np.float64)
-                sig = (src[tail].astype(np.float64) ** 2).mean()
+                # SNR against the source, past warm-up; G.722's QMF
+                # cascade delays by 21 samples (deterministic), so the
+                # comparison shifts by that group delay
+                a = pcm[256 + delay:].astype(np.float64)
+                b = src[256: len(src) - delay if delay else None].astype(
+                    np.float64
+                )
+                m = min(len(a), len(b))
+                err = a[:m] - b[:m]
+                sig = (b[:m] ** 2).mean()
                 snr = 10.0 * np.log10(sig / max((err ** 2).mean(), 1e-12))
                 out["doc_id"].append(d)
                 out["codec"].append(meta["codec"])

@@ -2722,8 +2722,8 @@ def test_au_container_roundtrip_and_cross_container_content_key():
     with pytest.raises(ValueError, match="truncated AU data"):
         _decode_au(encode_au(sig)[:-10])
     blob = bytearray(encode_au(sig))
-    blob[15] = 24  # G.722 subband ADPCM: the remaining named seam (r15)
-    with pytest.raises(ValueError, match="AU encoding 24"):
+    blob[15] = 99  # no such AU encoding id: unknown ids raise by name
+    with pytest.raises(ValueError, match="AU encoding 99"):
         _decode_au(bytes(blob))
     fblob = bytearray(encode_au(sig, float_width=4))
     fblob[24:28] = b"\x7f\xc0\x00\x00"  # NaN sample
@@ -3108,10 +3108,10 @@ def test_au_wide_pcm_24_and_32_bit_decode():
     assert m["codec"] == "pcm_s32be"
     assert list(np.frombuffer(m["pcm"], "<i2")) == [9, -2, 51]
 
-    # encoding 23 (G.721) decodes since round 15; 24 (G.722) remains
-    # the named seam
-    hdr = struct.pack(">4sIIIII", b".snd", 24, 4, 24, 8000, 1)
-    with pytest.raises(ValueError, match="AU encoding 24"):
+    # every standard AU audio encoding decodes since round 15; an
+    # unknown id raises by name
+    hdr = struct.pack(">4sIIIII", b".snd", 24, 4, 99, 8000, 1)
+    with pytest.raises(ValueError, match="AU encoding 99"):
         _decode_au(hdr + b"\x00\x00\x00\x00")
 
 
@@ -3341,13 +3341,14 @@ def test_au_adpcm_roundtrip_and_named_seams():
         assert np.array_equal(unpacked[: len(codes)], codes)
         assert all(c == 0 for c in unpacked[len(codes):])
     with pytest.raises(ValueError, match="unknown G.72x"):
-        encode_au(src, adpcm="g722")
+        encode_au(src, adpcm="g729")
     with pytest.raises(ValueError, match="excludes"):
         encode_au(src, ulaw=True, adpcm="g721")
-    # G.722 (encoding 24) is the one remaining named AU seam
-    hdr = struct.pack(">4sIIIII", b".snd", 24, 4, 24, 8000, 1)
-    with pytest.raises(ValueError, match="G.722"):
-        _decode_au(hdr + b"\x00\x00\x00\x00")
+    # G.722 (encoding 24) decodes since late round 15 — 4 octets carry
+    # 8 samples of near-silence from the fresh state
+    hdr = struct.pack(">4sIIIII", b".snd", 24, 4, 24, 16000, 1)
+    m24 = _decode_au(hdr + b"\x00\x00\x00\x00")
+    assert m24["codec"] == "g722" and m24["n_frames"] == 8
     # stereo ADPCM: no standard state layout -> named raise
     hdr = struct.pack(">4sIIIII", b".snd", 24, 4, 23, 8000, 2)
     with pytest.raises(ValueError, match="mono"):
@@ -3547,3 +3548,73 @@ def test_avi_audio_extraction_full_matrix_and_seams():
         encode_avi(frames, audio=pcm, audio_format="opus")
     with pytest.raises(ValueError, match="not an AVI"):
         extract_avi_audio(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_g722_tables_certify_and_decoder_tracks_encoder():
+    """G.722 (round 15): the QMF taps certify near-perfect
+    reconstruction arithmetically at import (sum 2^13, symmetry, power
+    complementarity), the log scale table IS its closed form, and the
+    decoder reproduces the encoder's internal reconstruction bit-exactly
+    with codec-appropriate SNR — high for in-band sines (~40 dB), low by
+    DESIGN for full-band white noise (6(4):2 bit allocation)."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from input_data_pipeline_spark.operators import multimodal as mm
+
+    mm._g722_check_tables()
+    # a broken tap breaks power complementarity
+    orig = mm._G722_QMF
+    try:
+        mm._G722_QMF = tuple(
+            v + (100 if i == 11 else 0) for i, v in enumerate(orig)
+        )
+        with pytest.raises(AssertionError):
+            mm._g722_check_tables()
+    finally:
+        mm._G722_QMF = orig
+
+    t = np.arange(3200, dtype=np.float64)
+    src = np.round(6000 * np.sin(2 * np.pi * t / 32)).astype(np.int16)
+    data, recon = mm.g722_encode(src, return_reconstruction=True)
+    assert len(data) == len(src) // 2  # one octet per sample pair
+    dec = mm.g722_decode(data)
+    assert np.array_equal(dec, recon)  # tracking property
+    # QMF cascade group delay is 21 samples
+    a = dec[512 + 21:].astype(np.float64)
+    b = src[512: len(src) - 21].astype(np.float64)
+    snr = 10 * math.log10((b ** 2).mean() / ((a - b) ** 2).mean())
+    assert snr >= 30, snr
+    with pytest.raises(ValueError, match="even sample count"):
+        mm.g722_encode(src[:777])
+
+
+def test_g722_in_au_container():
+    """AU encoding 24 decodes end to end; the embedded property holds:
+    zeroing the two enhancement LSBs of every octet (a mode-3 stream)
+    decodes IDENTICALLY through our core-bit decoder."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_au,
+        encode_au,
+        g722_decode,
+    )
+
+    t = np.arange(1600, dtype=np.float64)
+    src = np.round(5000 * np.sin(2 * np.pi * t / 40)).astype(np.int16)
+    blob = encode_au(src, sample_rate=16000, adpcm="g722")
+    m = _decode_au(blob)
+    assert m["codec"] == "g722" and m["frame_rate"] == 16000
+    assert m["n_frames"] == 1600
+    assert np.array_equal(
+        np.frombuffer(m["pcm"], "<i2"), g722_decode(blob[24:])
+    )
+    # enhancement-bit invariance (we emit them zero; force-set then
+    # clear to prove the decoder never reads them)
+    data = bytearray(blob[24:])
+    noisy = bytes(b | 0x03 for b in data)
+    assert np.array_equal(g722_decode(bytes(data)),
+                          g722_decode(bytes(b & ~0x03 for b in noisy)))
