@@ -144,13 +144,15 @@ FLOORS = {
     "mp3_pcm_decode_features": 5.52,
     "tiff_g4_decode_features": 1.26,
     "cross_codec_audio_dedup": 6.59,
-    # round-15 first entries (local best-of-3 @ sf0.1, local[32] — no
-    # driver-run value exists yet; replace with BENCH_r15 numbers when
-    # the driver records them)
-    "au_adpcm_decode_features": 4.24,
-    "jpeg_decode_features": 1.76,
-    "pii_redaction_stats": 0.93,
-    "avi_audio_extract_features": 0.60,
+    # round-15 first entries (the closing local bench run @ sf0.1,
+    # local[32] — bench-SESSION values like every precedent floor, not
+    # solo-run times, which measure ~2x faster and would make the 2x
+    # gate a coin flip under driver noise; replace with BENCH_r15
+    # driver numbers when recorded)
+    "au_adpcm_decode_features": 8.34,
+    "jpeg_decode_features": 2.84,
+    "pii_redaction_stats": 1.39,
+    "avi_audio_extract_features": 0.98,
 }
 
 
