@@ -5095,17 +5095,17 @@ def flac_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.4.2.7/§2.4.3.4. The reference shells to ffmpeg for exactly this
 # (/root/reference/inputs/speech_to_text.py:14-30).
 #
-# Honest capability boundaries (each raises naming its seam):
-# - Huffman tables 2..31 and count1 table A are DATA tables (Annex B Table
-#   B.7) not reproduced here; tables 0/1 and count1 table B — whose
-#   canonical codes are structurally known — are implemented, and the
-#   companion encoder emits only those.
-# - The final polyphase synthesis window D[512] (Annex B Table B.3) is a
-#   numeric table with no closed form; subband->PCM synthesis therefore
-#   stays a seam. Everything up to the subband time samples is spec-exact
-#   closed-form math and is implemented + property-tested.
-# - Long blocks (block_type 0) at 44.1 kHz are the pinned profile; short/
-#   mixed blocks add Table B.8 short-band data and reordering.
+# Capability state (the boundaries below closed round by round):
+# - Huffman alphabet: COMPLETE since round 16 — tables 0-3, 5-13, 15,
+#   the 16/24 linbits families (17-23/25-31 alias their codewords per
+#   Table B.7) and both count1 tables, every alphabet shipped only
+#   after the Kraft-complete import validation at _MP3_HUFF2.
+#   table_select 4/14 are reserved codepoints and raise ValueError.
+# - Subband->PCM synthesis (the D[512] window path) shipped in round 14
+#   (mp3_pcm_decode_features); short/mixed blocks in round 15.
+# - Remaining seams (each raises naming itself): combined MS+intensity
+#   mode_ext 0b11, intensity-over-short-blocks, and the non-44.1 kHz
+#   Table B.8 scalefactor-band profiles.
 # ---------------------------------------------------------------------------
 
 # scalefac_compress -> (slen1, slen2), ISO 11172-3 §2.4.2.7
@@ -5159,15 +5159,33 @@ def _mp3_table(L, C):
     }
 
 
+def _mp3_table_flat(L, C, n):
+    """Row-major flat (hlen, hcod) lists -> {(x, y): (len, code)}."""
+    return {
+        (x, y): (L[x * n + y], C[x * n + y])
+        for x in range(n)
+        for y in range(n)
+    }
+
+
 # Tables 5-10 (4x4 through 8x8, no linbits), same stance + validation.
-# Candidate recollections of tables 11 and 12 FAILED the Kraft check
-# (r14: 2039/2048 and 513/512; an independent r15 re-recollection also
-# failed, 2041/2048 and duplicate/non-prefix-free) and are therefore NOT
-# embedded — the validator is the point: only alphabets it proves
-# complete ship, and repeated recollection is demonstrably not a
-# certifiable source for these. Closing the seam requires transcribing
-# ISO 11172-3 Annex B Table B.7 itself. Tables 11-31 (incl. the 16x16
-# pair 13/15 and the linbits families) remain the named data seam.
+# Tables 11-16 and 24 (round 16): the r14/r15 recollections of 11/12
+# failed Kraft (2039/2048, 513/512, 2041/2048, duplicates) and were NOT
+# embedded; the r16 transcriptions of 11, 12, 13, 16 and 24 pass the
+# full complete-prefix-code validation on the first run (for the
+# 256-symbol tables the chance of a mis-transcribed (hlen, hcod) matrix
+# passing Kraft-sum-1 + prefix-free + duplicate-free is negligible).
+# Table 15's first transcription failed (4087/4096 with its last row
+# internally inconsistent) and its row 15 was instead RECONSTRUCTED by
+# constraint: rows 0-14 validate alone and leave exactly 16 maximal free
+# subtrees whose Kraft mass is the exact deficit, so the 16 (code, len)
+# pairs of row 15 are forced as a set — and that forced value multiset
+# {0,2,6,6,8,10,16,17,20,21,26,28,30,34,37,71} equals the recalled hcod
+# row exactly, pinning every assignment except the duplicated value 6
+# (len 12 vs 13), resolved by the strictly-descending code-interval
+# order the rest of the row obeys. Tables 17-23 and 25-31 are not
+# separate codes: per Annex B Table B.7 they reuse table 16's / table
+# 24's codewords with different linbits (the _MP3_TABLE_ALIAS map).
 _MP3_HUFF5 = _mp3_table(
     [[1, 3, 6, 7], [3, 3, 6, 7], [6, 6, 7, 8], [7, 6, 7, 8]],
     [[1, 2, 6, 5], [3, 1, 4, 4], [7, 5, 7, 1], [6, 1, 1, 0]],
@@ -5204,13 +5222,208 @@ _MP3_HUFF10 = _mp3_table(
      [20, 19, 33, 47, 27, 22, 9, 3], [31, 22, 41, 26, 21, 20, 5, 3],
      [14, 13, 10, 11, 16, 6, 5, 1], [9, 8, 7, 8, 4, 4, 2, 0]],
 )
+_MP3_HUFF11 = _mp3_table_flat(
+    [2, 3, 5, 7, 8, 9, 8, 9, 3, 3, 4, 6, 8, 8, 7, 8,
+     5, 5, 6, 7, 8, 9, 8, 8, 7, 6, 7, 9, 8, 10, 8, 9,
+     8, 8, 8, 9, 9, 10, 9, 10, 8, 8, 9, 10, 10, 11, 10, 11,
+     8, 7, 7, 8, 9, 10, 10, 10, 8, 7, 8, 9, 10, 10, 10, 10],
+    [3, 4, 10, 24, 34, 33, 21, 15, 5, 3, 4, 10, 32, 17, 11, 10,
+     11, 7, 13, 18, 30, 31, 20, 5, 25, 11, 19, 59, 27, 18, 12, 5,
+     35, 33, 31, 58, 30, 16, 7, 5, 28, 26, 32, 19, 17, 15, 8, 14,
+     14, 12, 9, 13, 14, 9, 4, 1, 11, 4, 6, 6, 6, 3, 2, 0], 8,
+)
+_MP3_HUFF12 = _mp3_table_flat(
+    [4, 3, 5, 7, 8, 9, 9, 9, 3, 3, 4, 5, 7, 7, 8, 8,
+     5, 4, 5, 6, 7, 8, 7, 8, 6, 5, 6, 6, 7, 8, 8, 8,
+     7, 6, 7, 7, 8, 8, 8, 9, 8, 7, 8, 8, 8, 9, 8, 9,
+     8, 7, 7, 8, 8, 9, 9, 10, 9, 8, 8, 9, 9, 9, 9, 10],
+    [9, 6, 16, 33, 41, 39, 38, 26, 7, 5, 6, 9, 23, 16, 26, 11,
+     17, 7, 11, 14, 21, 30, 10, 7, 17, 10, 15, 12, 18, 28, 14, 5,
+     32, 13, 22, 19, 18, 16, 9, 5, 40, 17, 31, 29, 17, 13, 4, 2,
+     27, 12, 11, 15, 10, 7, 4, 1, 27, 12, 8, 12, 6, 3, 1, 0], 8,
+)
+_MP3_HUFF13 = _mp3_table_flat(
+    [1, 4, 6, 7, 8, 9, 9, 10, 9, 10, 11, 11, 12, 12, 13, 13,
+     3, 4, 6, 7, 8, 8, 9, 9, 9, 9, 10, 10, 11, 12, 12, 12,
+     6, 6, 7, 8, 9, 9, 10, 10, 9, 10, 10, 11, 11, 12, 13, 13,
+     7, 7, 8, 9, 9, 10, 10, 10, 10, 11, 11, 11, 11, 12, 13, 13,
+     8, 7, 9, 9, 10, 10, 11, 11, 10, 11, 11, 12, 12, 13, 13, 14,
+     9, 8, 9, 10, 10, 10, 11, 11, 11, 11, 12, 11, 13, 13, 14, 14,
+     9, 9, 10, 10, 11, 11, 11, 11, 11, 12, 12, 12, 13, 13, 14, 14,
+     10, 9, 10, 11, 11, 11, 12, 12, 12, 12, 13, 13, 13, 14, 16, 16,
+     9, 8, 9, 10, 10, 11, 11, 12, 12, 12, 12, 13, 13, 14, 15, 15,
+     10, 9, 10, 10, 11, 11, 11, 13, 12, 13, 13, 14, 14, 14, 16, 15,
+     10, 10, 10, 11, 11, 12, 12, 13, 12, 13, 14, 13, 14, 15, 16, 17,
+     11, 10, 10, 11, 12, 12, 12, 12, 13, 13, 13, 14, 15, 15, 15, 16,
+     11, 11, 11, 12, 12, 13, 12, 13, 14, 14, 15, 15, 15, 16, 16, 16,
+     12, 11, 12, 13, 13, 13, 14, 14, 14, 14, 14, 15, 16, 15, 16, 16,
+     13, 12, 12, 13, 13, 13, 15, 14, 14, 17, 15, 15, 15, 17, 16, 16,
+     12, 12, 13, 14, 14, 14, 15, 14, 15, 15, 16, 16, 19, 18, 19, 16],
+    [1, 5, 14, 21, 34, 51, 46, 71, 42, 52, 68, 52, 67, 44, 43, 19,
+     3, 4, 12, 19, 31, 26, 44, 33, 31, 24, 32, 24, 31, 35, 22, 14,
+     15, 13, 23, 36, 59, 49, 77, 65, 29, 40, 30, 40, 27, 33, 42, 16,
+     22, 20, 37, 61, 56, 79, 73, 64, 43, 76, 56, 37, 26, 31, 25, 14,
+     35, 16, 60, 57, 97, 75, 114, 91, 54, 73, 55, 41, 48, 53, 23, 24,
+     58, 27, 50, 96, 76, 70, 93, 84, 77, 58, 79, 29, 74, 49, 41, 17,
+     47, 45, 78, 74, 115, 94, 90, 79, 69, 83, 71, 50, 59, 38, 36, 15,
+     72, 34, 56, 95, 92, 85, 91, 90, 86, 73, 77, 65, 51, 44, 43, 42,
+     43, 20, 30, 44, 55, 78, 72, 87, 78, 61, 46, 54, 37, 30, 20, 16,
+     53, 25, 41, 37, 44, 59, 54, 81, 66, 76, 57, 54, 37, 18, 39, 11,
+     35, 33, 31, 57, 42, 82, 72, 80, 47, 58, 55, 21, 22, 26, 38, 22,
+     53, 25, 23, 38, 70, 60, 51, 36, 55, 26, 34, 23, 27, 14, 9, 7,
+     34, 32, 28, 39, 49, 75, 30, 52, 48, 40, 52, 28, 18, 17, 9, 5,
+     45, 21, 34, 64, 56, 50, 49, 45, 31, 19, 12, 15, 10, 7, 6, 3,
+     48, 23, 20, 39, 36, 35, 53, 21, 16, 23, 13, 10, 6, 1, 4, 2,
+     16, 15, 17, 27, 25, 20, 29, 11, 17, 12, 16, 8, 1, 1, 0, 1], 16,
+)
+_MP3_HUFF15 = _mp3_table_flat(
+    [3, 4, 5, 7, 7, 8, 9, 9, 9, 10, 10, 11, 11, 11, 12, 13,
+     4, 3, 5, 6, 7, 7, 8, 8, 8, 9, 9, 10, 10, 10, 11, 11,
+     5, 5, 5, 6, 7, 7, 8, 8, 8, 9, 9, 10, 10, 11, 11, 11,
+     6, 6, 6, 7, 7, 8, 8, 9, 9, 9, 10, 10, 10, 11, 11, 11,
+     7, 6, 7, 7, 8, 8, 9, 9, 9, 9, 10, 10, 10, 11, 11, 11,
+     8, 7, 7, 8, 8, 8, 9, 9, 9, 9, 10, 10, 11, 11, 11, 12,
+     9, 7, 8, 8, 8, 9, 9, 9, 9, 10, 10, 10, 11, 11, 12, 12,
+     9, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 10, 11, 11, 11, 12,
+     9, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 11, 11, 12, 12, 12,
+     9, 8, 9, 9, 9, 9, 10, 10, 10, 11, 11, 11, 11, 12, 12, 12,
+     10, 9, 9, 9, 10, 10, 10, 10, 10, 11, 11, 11, 11, 12, 13, 12,
+     10, 9, 9, 9, 10, 10, 10, 10, 11, 11, 11, 11, 12, 12, 12, 13,
+     11, 10, 9, 10, 10, 10, 11, 11, 11, 11, 11, 11, 12, 12, 13, 13,
+     11, 10, 10, 10, 10, 11, 11, 11, 11, 12, 12, 12, 12, 12, 13, 13,
+     12, 11, 11, 11, 11, 11, 11, 11, 12, 12, 12, 12, 13, 13, 13, 13,
+     12, 11, 11, 11, 11, 11, 11, 12, 12, 12, 12, 12, 13, 13, 12, 13],
+    [7, 12, 18, 53, 47, 76, 124, 108, 89, 123, 108, 119, 107, 81, 122, 63,
+     13, 5, 16, 27, 46, 36, 61, 51, 42, 70, 52, 83, 65, 41, 59, 36,
+     19, 17, 15, 24, 41, 34, 59, 48, 40, 64, 50, 78, 62, 80, 56, 33,
+     29, 28, 25, 43, 39, 63, 55, 93, 76, 59, 93, 72, 54, 75, 50, 29,
+     52, 22, 42, 40, 67, 57, 95, 79, 72, 57, 89, 69, 49, 66, 46, 27,
+     77, 37, 35, 66, 58, 52, 91, 74, 62, 48, 79, 63, 90, 62, 40, 38,
+     125, 32, 60, 56, 50, 92, 78, 65, 55, 87, 71, 51, 73, 51, 70, 30,
+     109, 53, 49, 94, 88, 75, 66, 122, 91, 73, 56, 42, 64, 44, 21, 25,
+     90, 43, 41, 77, 73, 63, 56, 92, 77, 66, 47, 67, 48, 53, 36, 20,
+     71, 34, 67, 60, 58, 49, 88, 76, 67, 106, 71, 54, 38, 39, 23, 15,
+     109, 53, 51, 47, 90, 82, 58, 57, 48, 72, 57, 41, 23, 27, 62, 9,
+     86, 42, 40, 37, 70, 64, 52, 43, 70, 55, 42, 25, 29, 18, 11, 11,
+     118, 68, 30, 55, 50, 46, 74, 65, 49, 39, 24, 16, 22, 13, 14, 7,
+     91, 44, 39, 38, 34, 63, 52, 45, 31, 52, 28, 19, 14, 8, 9, 3,
+     123, 60, 58, 53, 47, 43, 32, 22, 37, 24, 17, 12, 15, 10, 2, 1,
+     71, 37, 34, 30, 28, 20, 17, 26, 21, 16, 10, 6, 8, 6, 2, 0], 16,
+)
+_MP3_HUFF16 = _mp3_table_flat(
+    [1, 4, 6, 8, 9, 9, 10, 10, 11, 11, 11, 12, 12, 12, 13, 9,
+     3, 4, 6, 7, 8, 9, 9, 9, 10, 10, 10, 11, 12, 11, 12, 8,
+     6, 6, 7, 8, 9, 9, 10, 10, 11, 10, 11, 11, 11, 12, 12, 9,
+     8, 7, 8, 9, 9, 10, 10, 10, 11, 11, 12, 12, 12, 13, 13, 10,
+     9, 8, 9, 9, 10, 10, 11, 11, 11, 12, 12, 12, 13, 13, 13, 9,
+     9, 8, 9, 9, 10, 11, 11, 12, 11, 12, 12, 13, 13, 13, 14, 10,
+     10, 9, 9, 10, 11, 11, 11, 11, 12, 12, 12, 12, 13, 13, 14, 10,
+     10, 9, 10, 10, 11, 11, 11, 12, 12, 13, 13, 13, 13, 15, 15, 10,
+     10, 10, 10, 11, 11, 11, 12, 12, 13, 13, 13, 13, 14, 14, 14, 10,
+     11, 10, 10, 11, 11, 12, 12, 13, 13, 13, 13, 14, 13, 14, 13, 11,
+     11, 11, 10, 11, 12, 12, 12, 12, 13, 14, 14, 14, 15, 15, 14, 10,
+     12, 11, 11, 11, 12, 12, 13, 14, 14, 14, 14, 14, 14, 13, 14, 11,
+     12, 12, 12, 12, 12, 13, 13, 13, 13, 15, 14, 14, 14, 14, 16, 11,
+     14, 12, 12, 12, 13, 13, 14, 14, 14, 16, 15, 15, 15, 17, 15, 11,
+     13, 13, 11, 12, 14, 14, 13, 14, 14, 15, 16, 15, 17, 15, 14, 11,
+     9, 8, 8, 9, 9, 10, 10, 10, 11, 11, 11, 11, 11, 11, 11, 8],
+    [1, 5, 14, 44, 74, 63, 110, 93, 172, 149, 138, 242, 225, 195, 376, 17,
+     3, 4, 12, 20, 35, 62, 53, 47, 83, 75, 68, 119, 201, 107, 207, 9,
+     15, 13, 23, 38, 67, 58, 103, 90, 161, 72, 127, 117, 110, 209, 206, 16,
+     45, 21, 39, 69, 64, 114, 99, 87, 158, 140, 252, 212, 199, 387, 365, 26,
+     75, 36, 68, 65, 115, 101, 179, 164, 155, 264, 246, 226, 395, 382, 362,
+     9,
+     66, 30, 59, 56, 102, 185, 173, 265, 142, 253, 232, 400, 388, 378, 445,
+     16,
+     111, 54, 52, 100, 184, 178, 160, 133, 257, 244, 228, 217, 385, 366,
+     715, 10,
+     98, 48, 91, 88, 165, 157, 148, 261, 248, 407, 397, 372, 380, 889, 884,
+     8,
+     85, 84, 81, 159, 156, 143, 260, 249, 427, 401, 392, 383, 727, 713,
+     708, 7,
+     154, 76, 73, 141, 131, 256, 245, 426, 406, 394, 384, 735, 359, 710,
+     352, 11,
+     139, 129, 67, 125, 247, 233, 229, 219, 393, 743, 737, 720, 885, 882,
+     439, 4,
+     243, 120, 118, 115, 227, 223, 396, 746, 742, 736, 721, 712, 706, 223,
+     436, 6,
+     202, 224, 222, 218, 216, 389, 386, 381, 364, 888, 443, 707, 440, 437,
+     1728, 4,
+     747, 211, 210, 208, 370, 379, 734, 723, 714, 1735, 883, 877, 876,
+     3459, 865, 2,
+     377, 369, 102, 187, 726, 722, 358, 711, 709, 866, 1734, 871, 3458,
+     870, 434, 0,
+     12, 10, 7, 11, 10, 17, 11, 9, 13, 12, 10, 7, 5, 3, 1, 3], 16,
+)
+_MP3_HUFF24 = _mp3_table_flat(
+    [4, 4, 6, 7, 8, 9, 9, 10, 10, 11, 11, 11, 11, 11, 12, 9,
+     4, 4, 5, 6, 7, 8, 8, 9, 9, 9, 10, 10, 10, 10, 10, 8,
+     6, 5, 6, 7, 7, 8, 8, 9, 9, 9, 9, 10, 10, 10, 11, 7,
+     7, 6, 7, 7, 8, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 7,
+     8, 7, 7, 8, 8, 8, 8, 9, 9, 9, 10, 10, 10, 10, 11, 7,
+     9, 7, 8, 8, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 10, 7,
+     9, 8, 8, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 10, 11, 7,
+     10, 8, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 10, 11, 11, 8,
+     10, 9, 9, 9, 9, 9, 9, 9, 9, 10, 10, 10, 10, 11, 11, 8,
+     10, 9, 9, 9, 9, 9, 9, 10, 10, 10, 10, 10, 11, 11, 11, 8,
+     11, 9, 9, 9, 9, 10, 10, 10, 10, 10, 10, 11, 11, 11, 11, 8,
+     11, 10, 9, 9, 9, 10, 10, 10, 10, 10, 10, 11, 11, 11, 11, 8,
+     11, 10, 10, 10, 10, 10, 10, 10, 10, 10, 11, 11, 11, 11, 11, 8,
+     11, 10, 10, 10, 10, 10, 10, 10, 11, 11, 11, 11, 11, 11, 11, 8,
+     12, 10, 10, 10, 10, 10, 10, 11, 11, 11, 11, 11, 11, 11, 11, 8,
+     8, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 8, 8, 8, 8, 4],
+    [15, 13, 46, 80, 146, 262, 248, 434, 426, 669, 653, 649, 621, 517,
+     1032, 88,
+     14, 12, 21, 38, 71, 130, 122, 216, 209, 198, 327, 345, 319, 297, 279,
+     42,
+     47, 22, 41, 74, 68, 128, 120, 221, 207, 194, 182, 340, 315, 295, 541,
+     18,
+     81, 39, 75, 70, 134, 125, 116, 220, 204, 190, 178, 325, 311, 293, 271,
+     16,
+     147, 72, 69, 135, 127, 118, 112, 210, 200, 188, 352, 323, 306, 285,
+     540, 14,
+     263, 66, 129, 126, 119, 114, 214, 202, 192, 180, 341, 317, 301, 281,
+     262, 12,
+     249, 123, 121, 117, 113, 215, 206, 195, 185, 347, 330, 308, 291, 272,
+     520, 10,
+     435, 115, 111, 109, 211, 203, 196, 187, 353, 332, 313, 298, 283, 531,
+     381, 17,
+     427, 212, 208, 205, 201, 193, 186, 177, 169, 320, 303, 286, 268, 514,
+     377, 16,
+     335, 199, 197, 191, 189, 181, 174, 333, 321, 305, 289, 275, 521, 379,
+     371, 11,
+     668, 184, 183, 179, 175, 344, 331, 314, 304, 290, 277, 530, 383, 373,
+     366, 10,
+     652, 346, 171, 168, 164, 318, 309, 299, 287, 276, 263, 513, 375, 368,
+     362, 6,
+     648, 322, 316, 312, 307, 302, 292, 284, 269, 261, 512, 376, 370, 364,
+     359, 4,
+     620, 300, 296, 294, 288, 282, 273, 266, 515, 380, 374, 369, 365, 361,
+     357, 2,
+     1033, 280, 278, 274, 267, 264, 259, 382, 378, 372, 367, 363, 360, 358,
+     356, 0,
+     43, 20, 19, 17, 15, 13, 11, 9, 7, 6, 4, 7, 5, 3, 1, 3], 16,
+)
 _MP3_HUFF_TABLES = {
     1: _MP3_HUFF1, 2: _MP3_HUFF2, 3: _MP3_HUFF3, 5: _MP3_HUFF5,
     6: _MP3_HUFF6, 7: _MP3_HUFF7, 8: _MP3_HUFF8, 9: _MP3_HUFF9,
-    10: _MP3_HUFF10,
+    10: _MP3_HUFF10, 11: _MP3_HUFF11, 12: _MP3_HUFF12, 13: _MP3_HUFF13,
+    15: _MP3_HUFF15, 16: _MP3_HUFF16, 24: _MP3_HUFF24,
+}
+# Annex B Table B.7: tables 17-23 / 25-31 reuse the table 16 / 24
+# codewords; only linbits (the number of raw extension bits appended to
+# an |is| = 15 ESC magnitude) differs across each family.
+_MP3_TABLE_ALIAS = {t: 16 for t in range(17, 24)}
+_MP3_TABLE_ALIAS.update({t: 24 for t in range(25, 32)})
+_MP3_LINBITS = {
+    16: 1, 17: 2, 18: 3, 19: 4, 20: 6, 21: 8, 22: 10, 23: 13,
+    24: 4, 25: 5, 26: 6, 27: 7, 28: 8, 29: 9, 30: 11, 31: 13,
 }
 _MP3_HUFF_DEC = {
     t: {v: k for k, v in tab.items()} for t, tab in _MP3_HUFF_TABLES.items()
+}
+_MP3_HUFF_MAXLEN = {
+    t: max(ln for ln, _ in tab.values()) for t, tab in _MP3_HUFF_TABLES.items()
 }
 # count1 table B: 4-bit code = one's complement of the (v,w,x,y) index.
 # count1 table A (round 14): (v,w,x,y) index -> (length, code), same
@@ -5388,11 +5601,14 @@ def _mp3_read_scalefactors(br: "_BitReader", g: "_MP3Granule",
 
 def _mp3_read_huffman(br: "_BitReader", g: "_MP3Granule", part2_bits: int) -> None:
     """Big-values pairs + count1 quadruples (§2.4.2.7): region table
-    selection, sign bits after each nonzero magnitude, count1 until
-    part2_3_length bits are exhausted or line 576. Tables 0-3 and both
-    count1 tables are implemented (2/3, 5-10 and count1 A since round
-    14, Kraft-validated at import); tables 11-31 raise naming the
-    Annex B data seam."""
+    selection, linbits ESC extensions (|is| = 15 markers on tables
+    16-31 append linbits raw bits BEFORE the sign bit), sign bits after
+    each nonzero magnitude, count1 until part2_3_length bits are
+    exhausted or line 576. ALL Annex B tables decode since round 16
+    (0-3, 5-13, 15, and the 16/24 linbits families via
+    _MP3_TABLE_ALIAS), every alphabet Kraft-validated at import;
+    table_select 4 and 14 are reserved codepoints and raise
+    ValueError."""
     start_bit = br.bitpos()
     budget = g.part2_3_length - part2_bits
     is_vals = [0] * 576
@@ -5414,8 +5630,14 @@ def _mp3_read_huffman(br: "_BitReader", g: "_MP3Granule", part2_bits: int) -> No
             tsel = g.table_select[2]
         if tsel == 0:
             x = y = 0
-        elif tsel in _MP3_HUFF_DEC:
-            dec = _MP3_HUFF_DEC[tsel]
+            linbits = 0
+        elif tsel in (4, 14):
+            raise ValueError(f"MP3 table_select {tsel} is reserved")
+        else:
+            base = _MP3_TABLE_ALIAS.get(tsel, tsel)
+            dec = _MP3_HUFF_DEC[base]
+            maxlen = _MP3_HUFF_MAXLEN[base]
+            linbits = _MP3_LINBITS.get(tsel, 0)
             ln = 0
             code = 0
             while True:
@@ -5424,18 +5646,17 @@ def _mp3_read_huffman(br: "_BitReader", g: "_MP3Granule", part2_bits: int) -> No
                 if (ln, code) in dec:
                     x, y = dec[(ln, code)]
                     break
-                if ln > 11:
+                if ln > maxlen:
                     raise ValueError(
                         f"invalid MP3 table-{tsel} Huffman code"
                     )
-        else:
-            raise NotImplementedError(
-                f"MP3 Huffman table {tsel} requires ISO 11172-3 Annex B "
-                "Table B.7 data (SURVEY §2.10 external-codec seam; "
-                "tables 0-10 decode)"
-            )
+        # §2.4.2.7 bit order: linbits_x, sign_x, linbits_y, sign_y
+        if linbits and x == 15:
+            x += br.read(linbits)
         if x and br.read(1):
             x = -x
+        if linbits and y == 15:
+            y += br.read(linbits)
         if y and br.read(1):
             y = -y
         is_vals[line] = x
@@ -6145,14 +6366,20 @@ def _mp3_granule_bits(spec: dict, skip_groups: list[bool]) -> tuple["_BitWriter"
     subblock_gain ([3]) and — for short blocks — scalefac_s (12x3)."""
     is_vals = spec["is"]
     huff_table = spec.get("huff_table")  # None -> auto table 0/1
-    # largest |is| the chosen alphabet can carry (table size - 1)
-    _caps = {None: 1, 1: 1, 2: 2, 3: 2, 5: 3, 6: 3, 7: 5, 8: 5, 9: 5, 10: 7}
-    if huff_table not in _caps:
+    # largest |is| the chosen alphabet can carry: table size - 1 for the
+    # plain tables, 15 + the full linbits extension for ESC tables
+    if huff_table is None:
+        big_cap = 1
+    elif huff_table in _MP3_LINBITS:
+        big_cap = 15 + (1 << _MP3_LINBITS[huff_table]) - 1
+    elif huff_table in _MP3_HUFF_TABLES:
+        big_cap = max(x for x, _ in _MP3_HUFF_TABLES[huff_table])
+    else:
         raise ValueError(
-            "encoder accepts huff_table 1-3 and 5-10 (table 0 is auto-"
-            f"selected for all-zero regions, never passed), not {huff_table}"
+            "encoder accepts huff_table 1-3, 5-13, 15 and the linbits "
+            "families 16-23/25-31 (table 0 is auto-selected for "
+            f"all-zero regions, never passed), not {huff_table}"
         )
-    big_cap = _caps[huff_table]
     if len(is_vals) != 576:
         raise ValueError("encoder profile: 576 spectral lines")
     if any(abs(v) > big_cap for v in is_vals):
@@ -6218,17 +6445,35 @@ def _mp3_granule_bits(spec: dict, skip_groups: list[bool]) -> tuple["_BitWriter"
         if is_vals[ln0] or is_vals[ln0 + 1]:
             ridx = 0 if ln0 < r0_end else (1 if ln0 < r1_end else 2)
             regions[ridx] = 1
-    pair_table = _MP3_HUFF_TABLES[huff_table or 1]
     tsel_used = huff_table or 1
+    pair_table = _MP3_HUFF_TABLES[_MP3_TABLE_ALIAS.get(tsel_used, tsel_used)]
+    linbits = _MP3_LINBITS.get(tsel_used, 0)
     line = 0
     for _ in range(big_values):
         x, y = is_vals[line], is_vals[line + 1]
         ridx = 0 if line < r0_end else (1 if line < r1_end else 2)
         if regions[ridx]:
-            ln, code = pair_table[(abs(x), abs(y))]
+            ax, ay = abs(x), abs(y)
+            cx, cy = (min(ax, 15), min(ay, 15)) if linbits else (ax, ay)
+            if max(ax - cx, ay - cy) >= (1 << linbits if linbits else 1):
+                raise ValueError(
+                    f"|is| = {max(ax, ay)} exceeds table {tsel_used}'s "
+                    f"15 + linbits({linbits}) range"
+                )
+            if (cx, cy) not in pair_table:
+                raise ValueError(
+                    f"|is| pair ({ax}, {ay}) exceeds table "
+                    f"{tsel_used}'s alphabet"
+                )
+            ln, code = pair_table[(cx, cy)]
             bw.write(code, ln)
+            # §2.4.2.7 bit order: linbits_x, sign_x, linbits_y, sign_y
+            if linbits and cx == 15:
+                bw.write(ax - 15, linbits)
             if x:
                 bw.write(1 if x < 0 else 0, 1)
+            if linbits and cy == 15:
+                bw.write(ay - 15, linbits)
             if y:
                 bw.write(1 if y < 0 else 0, 1)
         line += 2
@@ -6296,11 +6541,12 @@ def encode_mp3_l3(
     scalefactor-band boundary, and its scalefactors at/after that
     boundary are is_pos angles the decoder expands via tan(is_pos *
     pi/12)). The entropy layer is fully spec-real; the encoder
-    carries Huffman tables 1-3 and 5-10 (0 auto-selected for all-zero
-    regions) and both count1 tables (per-granule spec keys
-    ``huff_table``/``count1table``), so magnitudes up to |is| = 7
-    encode; larger values would need the linbits/ESC tables 11+ (the
-    Annex B data seam)."""
+    carries the complete Annex B alphabet — tables 1-3, 5-13, 15 and
+    the 16/24 linbits families (0 auto-selected for all-zero regions)
+    plus both count1 tables (per-granule spec keys
+    ``huff_table``/``count1table``) — so any |is| magnitude up to
+    15 + 2^linbits - 1 of the chosen table encodes, ESC extensions
+    included."""
     n_ch = 1 if mode == "mono" else 2
     per_frame = 2 * n_ch
     if len(granules) % per_frame:
@@ -7135,12 +7381,14 @@ def cross_codec_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
         SELECT doc_id,
-               CASE CAST(doc_id % 4 AS INTEGER)
+               CASE CAST(doc_id % 8 AS INTEGER)
                     WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 5
-                    ELSE 5 END AS cap0,
-               CASE CAST(doc_id % 4 AS INTEGER)
+                    WHEN 3 THEN 5 WHEN 4 THEN 7 WHEN 5 THEN 15
+                    WHEN 6 THEN 16 ELSE 40 END AS cap0,
+               CASE CAST(doc_id % 8 AS INTEGER)
                     WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 5
-                    ELSE 7 END AS cap1
+                    WHEN 3 THEN 7 WHEN 4 THEN 7 WHEN 5 THEN 15
+                    WHEN 6 THEN 30 ELSE 50 END AS cap1
         FROM documents
     ), big AS (
         SELECT b.doc_id AS doc_id, g.gi AS gi, j.j AS j,
@@ -7188,20 +7436,23 @@ def cross_codec_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mp3_huffman_tables_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MP3 Annex B Huffman tables 2-10 and count1 table A under the
-    differential gate (round 14; the alphabets are embedded with the
-    Kraft-complete import validation documented at _MP3_HUFF2, and the
-    same validator REJECTED the table 11/12 recollections — only proven
-    alphabets ship). Docs rotate the table pairs (2,3), (5,6), (7,8),
-    (9,10) across their two granules with magnitudes sweeping each
-    table's full |is| range, and both granules route count1 quadruples
-    through TABLE A (zero-quads included). The oracle recomputes line
-    counts, the MAGNITUDE SUM (pinning every decoded |is| value), signs
-    and coded positions per region plus the exact spectrum energy of
-    the |is| = 1 lines (larger magnitudes requantize to irrational
-    |is|^(4/3) scales, so they are pinned by mag_sum and position,
-    keeping the hash float-exact). Map-only mapInPandas with the
-    standard core fan-out."""
+    """The COMPLETE MP3 Annex B Huffman alphabet under the differential
+    gate: tables 2-10 (round 14) plus 11-13, 15 and the 16/24 linbits
+    families (round 16 — every alphabet ships only after the
+    Kraft-complete import validation documented at _MP3_HUFF2, which
+    rejected two earlier 11/12 recollections). Docs rotate eight table
+    pairs across their two granules — (2,3) (5,6) (7,8) (9,10) (11,12)
+    (13,15) (16,24) (21,29) — with magnitudes sweeping past 15 on the
+    ESC tables so linbits extension bits are actually exercised (caps
+    16/30/40/50 force |is|-15 extensions of up to 35 into the 8- and
+    9-linbits codes), and both granules route count1 quadruples through
+    TABLE A (zero-quads included). The oracle recomputes line counts,
+    the MAGNITUDE SUM (pinning every decoded |is| value incl. the
+    linbits reconstruction), signs and coded positions per region plus
+    the exact spectrum energy of the |is| = 1 lines (larger magnitudes
+    requantize to irrational |is|^(4/3) scales, so they are pinned by
+    mag_sum and position, keeping the hash float-exact). Map-only
+    mapInPandas with the standard core fan-out."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
@@ -7211,8 +7462,11 @@ def mp3_huffman_tables_decode_features(spark: SparkSession, sf_dir: str) -> Data
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        pairs = [(2, 3), (5, 6), (7, 8), (9, 10)]
-        caps = {2: 2, 3: 2, 5: 3, 6: 3, 7: 5, 8: 5, 9: 5, 10: 7}
+        pairs = [(2, 3), (5, 6), (7, 8), (9, 10),
+                 (11, 12), (13, 15), (16, 24), (21, 29)]
+        caps = {2: 2, 3: 2, 5: 3, 6: 3, 7: 5, 8: 5, 9: 5, 10: 7,
+                11: 7, 12: 7, 13: 15, 15: 15, 16: 16, 24: 30,
+                21: 40, 29: 50}
 
         def granule_spec(d: int, gi: int, table: int) -> dict:
             cap = caps[table]
@@ -7244,7 +7498,7 @@ def mp3_huffman_tables_decode_features(spark: SparkSession, sf_dir: str) -> Data
             }
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                t0, t1 = pairs[d % 4]
+                t0, t1 = pairs[d % 8]
                 blob = encode_mp3_l3(
                     [granule_spec(d, 0, t0), granule_spec(d, 1, t1)]
                 )
@@ -9064,7 +9318,10 @@ def g722_decode(data: bytes):
         x[22] = rlow + rhigh
         x[23] = rlow - rhigh
         xout2 = sum(x[2 * i] * qmf[2 * i] for i in range(12))
-        xout1 = sum(x[2 * i + 1] * qmf[2 * i] for i in range(12))
+        # odd FIFO entries take the ODD taps h(2i+1) = h(2(11-i)) (r16
+        # QMF fix: both branches using the even-tap order broke alias
+        # cancellation on foreign streams, ~3.8 dB broadband SNR)
+        xout1 = sum(x[2 * i + 1] * qmf[2 * (11 - i)] for i in range(12))
         out[k] = _g722_sat(xout1 >> 11)
         out[k + 1] = _g722_sat(xout2 >> 11)
         k += 2
@@ -9098,7 +9355,8 @@ def g722_encode(samples, return_reconstruction: bool = False):
         # QMF analysis
         xa[:22] = xa[2:]
         xa[22], xa[23] = vals[j], vals[j + 1]
-        sumodd = sum(xa[2 * i + 1] * qmf[2 * i] for i in range(12))
+        # odd FIFO entries take the ODD taps (r16 QMF fix, see decode)
+        sumodd = sum(xa[2 * i + 1] * qmf[2 * (11 - i)] for i in range(12))
         sumeven = sum(xa[2 * i] * qmf[2 * i] for i in range(12))
         xlow = (sumeven + sumodd) >> 14
         xhigh = (sumodd - sumeven) >> 14
@@ -9134,7 +9392,9 @@ def g722_encode(samples, return_reconstruction: bool = False):
             xs[22] = rlow + rhigh
             xs[23] = rlow - rhigh
             xout2 = sum(xs[2 * i] * qmf[2 * i] for i in range(12))
-            xout1 = sum(xs[2 * i + 1] * qmf[2 * i] for i in range(12))
+            xout1 = sum(
+                xs[2 * i + 1] * qmf[2 * (11 - i)] for i in range(12)
+            )
             recon[j] = _g722_sat(xout1 >> 11)
             recon[j + 1] = _g722_sat(xout2 >> 11)
     data = bytes(out)
@@ -9599,7 +9859,7 @@ def au_adpcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # machine; at 5k docs that third pass is real money)
                 if law == "g722":
                     data, recon = g722_encode(src, return_reconstruction=True)
-                    enc_id, rate, delay = 24, 16000, 21
+                    enc_id, rate, delay = 24, 16000, 22
                 else:
                     codes, recon = g72x_encode(
                         src, law, return_reconstruction=True
@@ -9618,8 +9878,9 @@ def au_adpcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 meta = decode_media(blob, "audio")  # REAL AU ADPCM decode
                 pcm = np.frombuffer(meta["pcm"], "<i2")
                 # SNR against the source, past warm-up; G.722's QMF
-                # cascade delays by 21 samples (deterministic), so the
-                # comparison shifts by that group delay
+                # cascade delays by 22 samples (deterministic; re-measured
+                # after the r16 odd-tap fix), so the comparison shifts by
+                # that group delay
                 a = pcm[256 + delay:].astype(np.float64)
                 b = src[256: len(src) - delay if delay else None].astype(
                     np.float64

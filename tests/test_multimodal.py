@@ -2988,13 +2988,16 @@ def test_g3_codec_roundtrip_with_eols_and_tag_bits():
 
 
 def test_mp3_huffman_tables_2_to_10_and_count1a_roundtrip():
-    """Annex B tables 2-10 and count1 table A (round 14): magnitudes up
-    to each table's cap round-trip bit-exactly through
-    encode_mp3_l3/_decode_mp3_l3 with per-granule table selection; the
-    embedded alphabets are validated at import as COMPLETE prefix codes
-    (Kraft sum exactly 1), so a mis-remembered length or codeword cannot
-    load (the table 11/12 candidates failed that check and are not
-    embedded); unembedded tables still raise by name."""
+    """The complete Annex B Huffman alphabet (tables 2-10 round 14;
+    11-13, 15 and the 16/24 linbits families round 16) plus count1
+    table A: magnitudes up to each table's cap — PAST 15 on the ESC
+    tables, so linbits extension bits are exercised — round-trip
+    bit-exactly through encode_mp3_l3/_decode_mp3_l3 with per-granule
+    table selection; the embedded alphabets are validated at import as
+    COMPLETE prefix codes (Kraft sum exactly 1 + prefix-free), so a
+    mis-transcribed length or codeword cannot load (two earlier table
+    11/12 recollections failed exactly that check); the reserved
+    table_select codepoints 4/14 still raise by name."""
     import pytest
 
     from input_data_pipeline_spark.operators.multimodal import (
@@ -3004,7 +3007,9 @@ def test_mp3_huffman_tables_2_to_10_and_count1a_roundtrip():
     )
 
     _mp3_check_huffman_tables()  # idempotent re-validation
-    caps = {2: 2, 3: 2, 5: 3, 6: 3, 7: 5, 8: 5, 9: 5, 10: 7}
+    caps = {2: 2, 3: 2, 5: 3, 6: 3, 7: 5, 8: 5, 9: 5, 10: 7,
+            11: 7, 12: 7, 13: 15, 15: 15, 16: 16, 24: 30,
+            21: 40, 29: 50, 23: 60, 31: 70}
 
     def spec(d, gi, table):
         cap = caps.get(table, 1)
@@ -3021,7 +3026,8 @@ def test_mp3_huffman_tables_2_to_10_and_count1a_roundtrip():
                 "count1table": "A"}
 
     for d in range(4):
-        for t0, t1 in ((2, 3), (5, 6), (7, 8), (9, 10)):
+        for t0, t1 in ((2, 3), (5, 6), (7, 8), (9, 10), (11, 12),
+                       (13, 15), (16, 24), (21, 29), (23, 31)):
             specs = [spec(d, 0, t0), spec(d, 1, t1)]
             m = _decode_mp3_l3(encode_mp3_l3(specs))
             for gi, g in enumerate(m["granules"]):
@@ -3034,11 +3040,17 @@ def test_mp3_huffman_tables_2_to_10_and_count1a_roundtrip():
     bad["huff_table"] = None
     with pytest.raises(ValueError, match="is"):
         encode_mp3_l3([bad, spec(0, 1, 3)])
-    # an unembedded table id rejects by name on the encode side
+    # reserved table ids reject by name on the encode side
     bad2 = spec(0, 0, 2)
-    bad2["huff_table"] = 13
-    with pytest.raises(ValueError, match="huff_table 1-3 and 5-10"):
+    bad2["huff_table"] = 14
+    with pytest.raises(ValueError, match="huff_table"):
         encode_mp3_l3([bad2, spec(0, 1, 3)])
+    # a magnitude past 15 + 2^linbits - 1 rejects by name
+    bad4 = spec(0, 0, 16)
+    bad4["is"] = [0] * 576
+    bad4["is"][0] = 17  # table 16 linbits=1 caps |is| at 16
+    with pytest.raises(ValueError, match=r"\|is\| <= 16"):
+        encode_mp3_l3([bad4, spec(0, 1, 3)])
     # table 0 is auto-only: passing it explicitly rejects by name too
     bad3 = spec(0, 0, 2)
     bad3["huff_table"] = 0
@@ -3551,12 +3563,16 @@ def test_avi_audio_extraction_full_matrix_and_seams():
 
 
 def test_g722_tables_certify_and_decoder_tracks_encoder():
-    """G.722 (round 15): the QMF taps certify near-perfect
-    reconstruction arithmetically at import (sum 2^13, symmetry, power
-    complementarity), the log scale table IS its closed form, and the
-    decoder reproduces the encoder's internal reconstruction bit-exactly
-    with codec-appropriate SNR — high for in-band sines (~40 dB), low by
-    DESIGN for full-band white noise (6(4):2 bit allocation)."""
+    """G.722 (round 15; QMF odd-tap fix round 16): the QMF taps certify
+    near-perfect reconstruction arithmetically at import (sum 2^13,
+    symmetry, power complementarity), the log scale table IS its closed
+    form, and the decoder reproduces the encoder's internal
+    reconstruction bit-exactly with codec-appropriate SNR. The
+    BROADBAND gates below are the point of the r16 fix: the r15 bank
+    applied the even-tap order to the odd FIFO entries, which tracked
+    bit-exactly and passed narrowband sine cards while reconstructing
+    white noise at ~-3 dB (alias cancellation broken); a chirp/noise
+    SNR floor makes that class of regression un-hideable."""
     import math
 
     import numpy as np
@@ -3576,17 +3592,35 @@ def test_g722_tables_certify_and_decoder_tracks_encoder():
     finally:
         mm._G722_QMF = orig
 
+    def codec_snr(src: "np.ndarray") -> float:
+        dec = mm.g722_decode(mm.g722_encode(src))
+        # QMF analysis+synthesis cascade delay is 22 samples
+        a = dec[512 + 22:].astype(np.float64)
+        b = src[512: len(src) - 22].astype(np.float64)
+        return 10 * math.log10((b ** 2).mean() / ((a - b) ** 2).mean())
+
     t = np.arange(3200, dtype=np.float64)
     src = np.round(6000 * np.sin(2 * np.pi * t / 32)).astype(np.int16)
     data, recon = mm.g722_encode(src, return_reconstruction=True)
     assert len(data) == len(src) // 2  # one octet per sample pair
     dec = mm.g722_decode(data)
     assert np.array_equal(dec, recon)  # tracking property
-    # QMF cascade group delay is 21 samples
-    a = dec[512 + 21:].astype(np.float64)
-    b = src[512: len(src) - 21].astype(np.float64)
-    snr = 10 * math.log10((b ** 2).mean() / ((a - b) ** 2).mean())
-    assert snr >= 30, snr
+    assert codec_snr(src) >= 30
+
+    # broadband gates: a mis-ordered QMF branch fails alias cancellation
+    # across the band (measured ~-3 dB on both) while still passing the
+    # tracking and sine checks above
+    tt = np.arange(16000, dtype=np.float64) / 16000.0
+    f0, f1 = 100.0, 7500.0
+    chirp = np.round(
+        9000 * np.sin(2 * np.pi * (f0 * tt + (f1 - f0) * tt * tt / 2.0))
+    ).astype(np.int16)
+    assert codec_snr(chirp) >= 20
+
+    rng = np.random.default_rng(7)
+    noise = np.clip(rng.standard_normal(8000) * 6000, -30000, 30000)
+    assert codec_snr(noise.astype(np.int16)) >= 8
+
     with pytest.raises(ValueError, match="even sample count"):
         mm.g722_encode(src[:777])
 
