@@ -144,15 +144,13 @@ FLOORS = {
     "mp3_pcm_decode_features": 5.52,
     "tiff_g4_decode_features": 1.26,
     "cross_codec_audio_dedup": 6.59,
-    # round-15 first entries (the closing local bench run @ sf0.1,
-    # local[32] — bench-SESSION values like every precedent floor, not
-    # solo-run times, which measure ~2x faster and would make the 2x
-    # gate a coin flip under driver noise; replace with BENCH_r15
-    # driver numbers when recorded)
-    "au_adpcm_decode_features": 8.34,
-    "jpeg_decode_features": 2.84,
-    "pii_redaction_stats": 1.39,
-    "avi_audio_extract_features": 0.98,
+    # round-15 first entries (driver-run BENCH_r15.json @ sf0.1,
+    # local[32] — replacing the interim bench-session values per the
+    # comment that shipped them, so the 2x gate tracks driver reality)
+    "au_adpcm_decode_features": 8.166,
+    "jpeg_decode_features": 2.669,
+    "pii_redaction_stats": 1.391,
+    "avi_audio_extract_features": 0.997,
 }
 
 

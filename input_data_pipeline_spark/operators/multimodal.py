@@ -704,21 +704,38 @@ def encode_avi(frames, usec_per_frame: int = 40000, audio=None,
     strls = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
     movi_chunks = b"".join(chunk(b"00db", dib(p)) for p in planes)
     if audio is not None:
-        pcm = np.asarray(audio, dtype=np.int16)
-        if pcm.ndim != 1:
-            raise ValueError("encode_avi wants mono int16 audio")
-        if audio_format == "pcm16":
-            adata, tag, bits, align = pcm.astype("<i2").tobytes(), 1, 16, 2
-        elif audio_format in ("ulaw", "alaw"):
-            tag = 7 if audio_format == "ulaw" else 6
-            adata = _g711_compress(pcm, audio_format).astype(np.uint8).tobytes()
-            bits, align = 8, 1
+        ext = b""
+        if audio_format == "mp3":
+            # round 16: a PRE-ENCODED MP3 elementary stream rides as the
+            # 'auds' payload (wFormatTag 0x0055, MPEGLAYER3WAVEFORMAT
+            # extension); extract_avi_audio's WAV repack routes it to
+            # the full MP3 PCM chain
+            if not isinstance(audio, (bytes, bytearray)):
+                raise ValueError(
+                    "mp3 AVI audio wants the pre-encoded stream bytes"
+                )
+            adata, tag, bits, align = bytes(audio), 0x0055, 0, 1
+            ext = struct.pack("<HIHHH", 1, 0, min(len(adata), 0xFFFF), 1, 0)
         else:
-            raise ValueError(f"unknown AVI audio format {audio_format!r}")
+            pcm = np.asarray(audio, dtype=np.int16)
+            if pcm.ndim != 1:
+                raise ValueError("encode_avi wants mono int16 audio")
+            if audio_format == "pcm16":
+                adata, tag, bits, align = pcm.astype("<i2").tobytes(), 1, 16, 2
+            elif audio_format in ("ulaw", "alaw"):
+                tag = 7 if audio_format == "ulaw" else 6
+                adata = _g711_compress(pcm, audio_format).astype(
+                    np.uint8
+                ).tobytes()
+                bits, align = 8, 1
+            else:
+                raise ValueError(f"unknown AVI audio format {audio_format!r}")
         astrh = (b"auds" + b"\x00" * 4).ljust(56, b"\x00")
         astrf = struct.pack(  # WAVEFORMATEX, the WAV 'fmt ' body layout
             "<HHIIHH", tag, 1, audio_rate, audio_rate * align, align, bits
         )
+        if ext:
+            astrf += struct.pack("<H", len(ext)) + ext  # cbSize + extension
         strls += lst(b"strl", chunk(b"strh", astrh) + chunk(b"strf", astrf))
         movi_chunks += chunk(b"01wb", adata)
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + strls)
@@ -817,6 +834,63 @@ _WAVE_FORMAT_IEEE_FLOAT = 0x0003
 _WAVE_FORMAT_ALAW = 0x0006
 _WAVE_FORMAT_MULAW = 0x0007
 _WAVE_FORMAT_IMA_ADPCM = 0x0011
+_WAVE_FORMAT_MPEGLAYER3 = 0x0055
+
+
+def _mp3_stream_meta(stream: bytes) -> dict:
+    """Decode an MP3 elementary stream to the uniform PCM-meta contract
+    (full sample decode: entropy layer, IMDCT, polyphase synthesis;
+    int16 at full-scale 32768). Shared by the raw-MP3, MP3-in-WAV
+    (format tag 0x0055) and — via extract_avi_audio's WAV repack —
+    MP3-in-AVI paths."""
+    import numpy as np
+
+    dec = decode_mp3_to_pcm(stream)
+    pcm = np.stack(
+        [
+            np.clip(np.rint(p * 32768.0), -32768, 32767)
+            for p in dec["pcm_f"]
+        ],
+        axis=1,
+    ).astype("<i2")
+    return {
+        "n_channels": dec["n_channels"],
+        "sample_width": 2,
+        "frame_rate": dec["sample_rate"],
+        "n_frames": pcm.shape[0],
+        "pcm": pcm.reshape(-1).tobytes(),
+        "codec": "mp3",
+    }
+
+
+def encode_wav_mp3(
+    mp3: bytes, frame_rate: int = 44100, n_frames: int | None = None,
+    n_channels: int = 1,
+) -> bytes:
+    """Wrap an MP3 elementary stream in a WAV container (format tag
+    0x0055, MPEGLAYER3WAVEFORMAT: WAVEFORMATEX + the 12-byte extension
+    wID=MPEGLAYER3_ID_MPEG, fdwFlags=0, nBlockSize, nFramesPerBlock=1,
+    nCodecDelay=0) plus the ``fact`` chunk non-PCM WAV requires.
+    Container writer ONLY — the stream bytes are stored verbatim; the
+    inverse is :func:`decode_media`'s 0x0055 arm."""
+    import struct
+
+    ext = struct.pack("<HIHHH", 1, 0, min(len(mp3), 0xFFFF), 1, 0)
+    fmt = struct.pack(
+        "<HHIIHHH", _WAVE_FORMAT_MPEGLAYER3, n_channels, frame_rate,
+        0, 1, 0, len(ext),
+    ) + ext
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    body = b"WAVE" + chunk(b"fmt ", fmt)
+    if n_frames is not None:
+        body += chunk(b"fact", struct.pack("<I", n_frames))
+    body += chunk(b"data", mp3)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def encode_wav_codes(codes: bytes, fmt_tag: int, frame_rate: int = 8000) -> bytes:
@@ -2659,24 +2733,7 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
         # polyphase synthesis — scaled to int16 at the conventional
         # full-scale 32768 and folded into the uniform PCM contract, so
         # audio_content_key treats an MP3 like any other container
-        import numpy as np
-
-        dec = decode_mp3_to_pcm(payload)
-        pcm = np.stack(
-            [
-                np.clip(np.rint(p * 32768.0), -32768, 32767)
-                for p in dec["pcm_f"]
-            ],
-            axis=1,
-        ).astype("<i2")
-        return {
-            "n_channels": dec["n_channels"],
-            "sample_width": 2,
-            "frame_rate": dec["sample_rate"],
-            "n_frames": pcm.shape[0],
-            "pcm": pcm.reshape(-1).tobytes(),
-            "codec": "mp3",
-        }
+        return _mp3_stream_meta(payload)
     if (
         len(payload) >= 12
         and payload[:4] == b"RIFF"
@@ -2768,10 +2825,28 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
                 "pcm": pcm.tobytes(),
                 "codec": "pcm_f32le" if width == 4 else "pcm_f64le",
             }
+        if tag == _WAVE_FORMAT_MPEGLAYER3:
+            # round 16: MP3-in-WAV (MPEGLAYER3WAVEFORMAT) routes the
+            # 'data' chunk — a plain MP3 elementary stream — to the
+            # EXISTING full MP3 PCM chain; the container's fact chunk
+            # (dwSampleLength) truncates the decode when present.
+            # extract_avi_audio repackages AVI 'auds' streams as WAV, so
+            # wFormatTag 0x0055 AVI audio inherits this arm for free.
+            w = _parse_wav_chunks(payload)
+            meta = _mp3_stream_meta(w["data"])
+            if (
+                w["fact_frames"] is not None
+                and w["fact_frames"] < meta["n_frames"]
+            ):
+                n = w["fact_frames"]
+                meta["pcm"] = meta["pcm"][: n * 2 * meta["n_channels"]]
+                meta["n_frames"] = n
+            return meta
         if tag != _WAVE_FORMAT_PCM:
             raise NotImplementedError(
-                f"WAV format tag 0x{tag:04x} (e.g. MP3/AAC-in-WAV) requires "
-                "external media libraries (SURVEY §2.10 U1/U2)"
+                f"WAV format tag 0x{tag:04x} (e.g. AAC-in-WAV; MP3-in-WAV "
+                "decodes since round 16) requires external media libraries "
+                "(SURVEY §2.10 U1/U2)"
             )
     import io
     import wave
@@ -7538,6 +7613,109 @@ def mp3_huffman_tables_decode_features(spark: SparkSession, sf_dir: str) -> Data
         "doc_id long, big_lines long, mag_sum long, big_neg long, "
         "big_pos_weight long, energy1_micros long, quad_lines long, "
         "quad_pos_weight long, quad_neg long"
+    )
+    return docs.mapInPandas(run, schema).orderBy("doc_id")
+
+
+@register(
+    "mp3_container_routing_features",
+    oracle="""
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 2 = 0 THEN 'wav' ELSE 'avi' END AS container,
+           'mp3' AS codec,
+           CAST(44100 AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN d.doc_id % 2 = 0
+                     THEN 1200 + (d.doc_id % 5) * 100
+                     ELSE 1664 END AS BIGINT) AS n_samples,
+           CAST(CASE WHEN d.doc_id % 2 = 0
+                     THEN 0 ELSE 2 + d.doc_id % 3 END AS BIGINT)
+               AS n_video_frames,
+           TRUE AS parity_raw
+    FROM documents d
+    ORDER BY d.doc_id
+    """,
+)
+def mp3_container_routing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3-in-WAV / MP3-in-AVI container routing under the differential
+    gate (round 16; r15 verdict task 2 — the seam was stale container
+    plumbing, not a codec gap, once the full MP3 PCM chain landed). Per
+    doc a 2-granule MP3 stream (md5-derived doc-injective line pattern)
+    is wrapped EITHER in a WAV with format tag 0x0055
+    (MPEGLAYER3WAVEFORMAT + a truncating ``fact`` chunk — even docs) or
+    as the 'auds' stream of a two-stream AVI (wFormatTag 0x0055 — odd
+    docs), then decoded through :func:`decode_media` /
+    :func:`extract_avi_audio`. ``parity_raw`` asserts the
+    container-routed PCM is BYTE-IDENTICAL to decoding the bare stream
+    (fact-truncated on the WAV side), pinning the whole routing path;
+    geometry (sample counts, the AVI's coexisting video frame count)
+    hashes against closed forms. Map-only mapInPandas with the standard
+    explicit core fan-out."""
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        def granule(d: int, gi: int, gg: int) -> dict:
+            seed = hashlib.md5(f"mc:{d}:{gi}".encode()).digest()
+            is_vals = [0] * 576
+            for i in range(480):
+                b = hashlib.md5(seed + i.to_bytes(2, "big")).digest()[0]
+                if b < 64:
+                    is_vals[i] = 1 if b % 2 == 0 else -1
+            return {"is": is_vals, "global_gain": gg,
+                    "scalefac": [0] * 21, "big_values": 240,
+                    "scalefac_scale": 1, "scalefac_compress": 0}
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "container": [], "codec": [],
+                "sample_rate": [], "n_samples": [], "n_video_frames": [],
+                "parity_raw": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                gg = 170 + 4 * (d % 3)
+                mp3 = encode_mp3_l3([granule(d, 0, gg), granule(d, 1, gg)])
+                raw = decode_media(mp3, "audio")  # bare-stream reference
+                if d % 2 == 0:
+                    fact = 1200 + (d % 5) * 100
+                    meta = decode_media(
+                        encode_wav_mp3(mp3, 44100, n_frames=fact), "audio"
+                    )
+                    ref = raw["pcm"][: fact * 2]
+                    container, nvid = "wav", 0
+                else:
+                    nvid = 2 + d % 3
+                    frames = [
+                        np.full((3, 4, 3), (d + 17 * f) % 256, np.uint8)
+                        for f in range(nvid)
+                    ]
+                    meta = extract_avi_audio(
+                        encode_avi(frames, audio=mp3, audio_rate=44100,
+                                   audio_format="mp3")
+                    )
+                    ref = raw["pcm"]
+                    container = "avi"
+                out["doc_id"].append(d)
+                out["container"].append(container)
+                out["codec"].append(meta["codec"])
+                out["sample_rate"].append(meta["frame_rate"])
+                out["n_samples"].append(meta["n_frames"])
+                out["n_video_frames"].append(nvid)
+                out["parity_raw"].append(bool(meta["pcm"] == ref))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, container string, codec string, sample_rate long, "
+        "n_samples long, n_video_frames long, parity_raw boolean"
     )
     return docs.mapInPandas(run, schema).orderBy("doc_id")
 

@@ -80,88 +80,83 @@ def _load_all() -> None:
 
 # Externally-visible enumeration order. External snapshots of the registry
 # truncate to a prefix (50 slots), so the queries that most need fresh
-# differential evidence must enumerate first. Round-15 rotation: the r14
-# window went 50/50 driver-green, so the stalest evidence is the 9 queries
-# registered in r14 AFTER that window (never driver-checked), the 3 r9
-# leftovers the r14 note named, and the r10 bucket (44 queries, last
-# checked CORRECTNESS_r10). The window is:
-# (a) the 9 never-driver-checked r14 additions (5 decode gates + 4 TPC-H
-#     shapes), each pre-verified driver-canon at sf0.01 + sf0.1 and under
-#     the hostile-TZ fresh-process mimic in r14 (+ judge re-run);
-# (b) the 3 r9 leftovers (`account_balance_union`,
-#     `customer_period_setops`, `approx_distinct_users`);
-# (c) 32 of the 44 r10-bucket queries — the 6 LLM-core anchors (e) are
-#     pinned in every window by tests/test_registry_contract.py, so 12 of
-#     the 44 must wait for r16; each chosen leftover has an in-window
-#     same-family sibling exercising the same operator code
-#     (`simhash_near_pairs` ~ `dedup_simhash`,
-#     `event_value_winsorized` ~ `event_value_percentiles`,
-#     `order_status_cube` / `revenue_grouping_sets` ~
-#     `order_priority_rollup` [grouping-set family],
-#     `top_events_per_user` / `segment_top_orders` /
-#     `lateral_top_customers_per_nation` ~ `top_customers_by_revenue`
-#     [top-k family], `event_transitions` ~ `event_value_deltas`
-#     [lag/lead], `urgent_high_value_orders` ~ `nation_market_share`
-#     [filter+join+agg], `returned_revenue_by_customer` ~
-#     `promo_revenue_share` [lineitem revenue agg], `orders_by_weekday` ~
-#     `orders_profile` [date-part aggregates],
-#     `loyal_customers_all_quarters` ~ `customer_order_distribution`
-#     [per-customer order grouping]);
+# differential evidence must enumerate first. Round-16 rotation (the plan
+# the r15 state note + r15 verdict task 3 recorded): the r15 window went
+# 50/50 driver-green, so the window is now
+# (a) the 12 r10-bucket leftovers the r15 note named (last driver green
+#     CORRECTNESS_r10);
+# (b) the 4 round-15 additions (registered after the r15 window, never
+#     driver-checked; each pre-verified driver-canon at sf0.01 + sf0.1,
+#     hostile-TZ fresh-process mimic, and judge-re-run in r15);
+# (c) 28 of the 44 r12-bucket queries (last driver green
+#     CORRECTNESS_r12). The 16 deferred to r17 each have an in-window
+#     same-family sibling exercising the same operator code:
+#     `knn_bruteforce_np` ~ `knn_bruteforce`, `knn_hyperplane_lsh` ~
+#     `knn_ivf` [anchor], `incremental_batch_dedup` /
+#     `dedup_soft_weights` ~ `dedup_minhash_lsh` [anchor],
+#     `dedup_cluster_assignment` ~ `dedup_bow_clusters`,
+#     `semantic_contamination` ~ `contamination_overlap` [anchor],
+#     `semantic_doc_search` ~ `embedding_near_pairs` [anchor],
+#     `image_decode_features` ~ `jpeg_decode_features`,
+#     `video_decode_features` / `audio_decode_features` /
+#     `g711_decode_features` ~ `avi_audio_extract_features` /
+#     `au_adpcm_decode_features` [container+codec decode family],
+#     `bpe_encode_fixed` / `tokenizer_fertility_audit` ~
+#     `unigram_encode_fixed` [tokenizer family], `charngram_language_id`
+#     / `language_confusion` / `lang_rebalance_plan` ~
+#     `fasttext_lang_filter` [language-id family];
 # (e) the 6 LLM-core anchors close the window at exactly 50.
-# Round-15 additions register AFTER the window (the established
-# precedent: pre-verified driver-canon at sf0.01 + sf0.1 and hostile-TZ
-# fresh-process mimic locally, entering the driver rotation in r16 so
-# they do not displace the stale r10 evidence). Names not listed keep
-# registration order after the listed ones.
+# Round-16 additions register AFTER the window (the established
+# precedent), entering the rotation in r17.
 _PRIORITY: list[str] = [
-    # --- (a) registered in round 14 after its window, never
-    #     driver-checked (judge re-verified driver-canon in r14) ---
-    "mp3_shortblock_decode_features",
-    "mp3_pcm_decode_features",
-    "mp3_huffman_tables_decode_features",
-    "tiff_g4_decode_features",
-    "cross_codec_audio_dedup",
-    "nation_market_share",
-    "customer_order_distribution",
-    "part_supplier_counts",
-    "promo_revenue_share",
-    # --- (b) the 3 r9 leftovers (last driver green CORRECTNESS_r09) ---
-    "account_balance_union",
-    "customer_period_setops",
-    "approx_distinct_users",
-    # --- (c) last driver green r10 (32 of 44; leftovers noted above) ---
-    "dedup_exact",
-    "dedup_simhash",
-    "distinct_flag_status",
-    "event_props_extract",
-    "event_type_hourly",
-    "event_type_pivot",
-    "event_value_deltas",
-    "event_value_percentiles",
-    "latest_order_per_customer",
-    "multimodal_binary_meta",
-    "nation_order_counts_left",
-    "nations_with_both_roles",
-    "order_cardinalities",
-    "order_price_histogram",
-    "order_priority_rollup",
-    "order_rank_in_priority",
-    "orders_profile",
-    "part_metrics_unpivot",
-    "part_name_fuzzy_pairs",
-    "part_type_stats",
-    "pricing_summary",
-    "priority_nullsafe_join",
-    "revenue_by_region",
-    "session_window_native",
-    "signup_funnel",
-    "sliding_window_counts",
-    "snapshot_diff",
-    "suppliers_above_nation_avg",
-    "top_customers_by_revenue",
-    "user_running_totals",
-    "weekly_cohort_retention",
-    "winnowing_fingerprints",
+    # --- (a) the 12 r10-bucket leftovers (last driver green
+    #     CORRECTNESS_r10; named in the r15 state note) ---
+    "simhash_near_pairs",
+    "event_value_winsorized",
+    "order_status_cube",
+    "revenue_grouping_sets",
+    "top_events_per_user",
+    "segment_top_orders",
+    "lateral_top_customers_per_nation",
+    "event_transitions",
+    "urgent_high_value_orders",
+    "returned_revenue_by_customer",
+    "orders_by_weekday",
+    "loyal_customers_all_quarters",
+    # --- (b) round-15 additions, never driver-checked ---
+    "au_adpcm_decode_features",
+    "jpeg_decode_features",
+    "pii_redaction_stats",
+    "avi_audio_extract_features",
+    # --- (c) last driver green r12 (28 of 44; deferrals noted above) ---
+    "small_qty_order_revenue",
+    "epoch_repetition_plan",
+    "hybrid_search_rrf",
+    "mp3_probe_features",
+    "trade_pagerank",
+    "flac_decode_features",
+    "sole_late_supplier_orders",
+    "idle_high_balance_customers",
+    "chunk_dedup_rewrite",
+    "sq8_recall_audit",
+    "unigram_encode_fixed",
+    "fasttext_lang_filter",
+    "image_dhash_near_dups",
+    "dedup_bow_clusters",
+    "frame_sample",
+    "asof_order_context",
+    "corpus_boilerplate_shingles",
+    "doc_length_outliers",
+    "doc_previews",
+    "knn_bruteforce",
+    "label_centroid_assignment",
+    "normalized_text_hash",
+    "segments_flatten",
+    "skew_salted_user_join",
+    "tfidf_top_terms",
+    "top_tokens",
+    "toxic_label_scaffold",
+    "youtube_id_extraction",
     # --- (e) LLM-core anchors (stay in every window; workflow rule
     #     pinned by tests/test_registry_contract.py) ---
     "dedup_minhash_lsh",
@@ -171,10 +166,10 @@ _PRIORITY: list[str] = [
     "contamination_overlap",
     "doc_quality",
 ]
-# Round-15 state: if this window goes driver-green, the stalest remaining
-# evidence is the 12 r10 leftovers named above; they head the r16 window,
-# then any round-15 additions (registered after this window), then the
-# r12 bucket (44 queries) fills to 50 with the 6 anchors.
+# Round-16 state: if this window goes driver-green, the stalest remaining
+# evidence is the 16 r12 leftovers named above; they head the r17 window,
+# then any round-16 additions (registered after this window), then the
+# r13 bucket fills to 50 with the 6 anchors.
 
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -88,6 +88,8 @@ QUERIES = [
     "jpeg_decode_features",
     "pii_redaction_stats",
     "avi_audio_extract_features",
+    # post-window r16 additions
+    "mp3_container_routing_features",
 ]
 
 
@@ -186,6 +188,7 @@ ANSI_QUERIES = [
     "jpeg_decode_features",
     "pii_redaction_stats",
     "avi_audio_extract_features",
+    "mp3_container_routing_features",
 ]
 
 

@@ -3625,6 +3625,54 @@ def test_g722_tables_certify_and_decoder_tracks_encoder():
         mm.g722_encode(src[:777])
 
 
+def test_mp3_in_wav_and_avi_route_to_the_pcm_chain():
+    """MP3-in-WAV (format tag 0x0055) and MP3-in-AVI ('auds' wFormatTag
+    0x0055) routing (round 16): both containers decode BYTE-IDENTICALLY
+    to the bare elementary stream through the existing MP3 PCM chain,
+    the WAV fact chunk truncates, and the seam raise narrows to AAC."""
+    import numpy as np
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        decode_media,
+        encode_avi,
+        encode_mp3_l3,
+        encode_wav_mp3,
+        extract_avi_audio,
+    )
+
+    is_vals = [0] * 576
+    for i in range(0, 480, 7):
+        is_vals[i] = 1 if i % 2 == 0 else -1
+    spec = {"is": is_vals, "global_gain": 178, "scalefac": [0] * 21,
+            "big_values": 240, "scalefac_scale": 1, "scalefac_compress": 0}
+    mp3 = encode_mp3_l3([spec, spec])
+    raw = decode_media(mp3, "audio")
+    assert raw["codec"] == "mp3" and raw["frame_rate"] == 44100
+
+    wav = encode_wav_mp3(mp3, 44100, n_frames=raw["n_frames"])
+    mw = decode_media(wav, "audio")
+    assert mw["codec"] == "mp3"
+    assert mw["pcm"] == raw["pcm"] and mw["n_frames"] == raw["n_frames"]
+    # fact truncation is honored
+    m_cut = decode_media(encode_wav_mp3(mp3, 44100, n_frames=500), "audio")
+    assert m_cut["n_frames"] == 500 and m_cut["pcm"] == raw["pcm"][:1000]
+
+    frames = [np.full((3, 4, 3), 40 * f, np.uint8) for f in range(2)]
+    avi = encode_avi(frames, audio=mp3, audio_rate=44100, audio_format="mp3")
+    ma = extract_avi_audio(avi)
+    assert ma["codec"] == "mp3" and ma["pcm"] == raw["pcm"]
+    # the mp3 arm wants pre-encoded bytes, not samples
+    with pytest.raises(ValueError, match="pre-encoded"):
+        encode_avi(frames, audio=np.zeros(8, np.int16), audio_format="mp3")
+    # an unknown compressed tag still raises, now naming AAC only
+    bad = bytearray(wav)
+    at = bad.find(b"fmt ")
+    bad[at + 8:at + 10] = (0x00FF).to_bytes(2, "little")
+    with pytest.raises(NotImplementedError, match="AAC"):
+        decode_media(bytes(bad), "audio")
+
+
 def test_g722_in_au_container():
     """AU encoding 24 decodes end to end; the embedded property holds:
     zeroing the two enhancement LSBs of every octet (a mode-3 stream)
