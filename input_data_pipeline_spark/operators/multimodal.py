@@ -6262,20 +6262,105 @@ def decode_mp3_to_pcm(payload: bytes, flush: bool = True) -> dict:
     }
 
 
+def _mp3_stereo_process(chans, ms: bool, intensity: bool) -> None:
+    """§2.4.3.4.9 stereo processing in the CODED domain (before short-
+    block reordering). Pure MS (mode_ext 0b10): the (m+s)/sqrt2,
+    (m-s)/sqrt2 butterfly over all 576 lines (§2.4.3.4.9.2). Intensity
+    (0b01, §2.4.3.4.9.3): every scalefactor band whose coded LOWER
+    bound lies at/after the end of the right channel's Huffman data
+    (2*big_values + 4*count1 lines) reuses the right channel's
+    scalefactors as is_pos angles — l = v*k_l, r = v*k_r with
+    ratio = tan(is_pos*pi/12), closed form, no table; is_pos 6 is the
+    fully-left pole and the illegal is_pos 7 leaves the band as coded.
+    Combined MS+intensity (0b11, round 16): MS applies BELOW the
+    intensity bound and to illegal-is_pos bands (the standard decoder
+    fallback); intensity above. Short blocks (round 16): the per-(sfb,
+    window) scalefac_s entries are the is_pos map over the coded
+    triplet layout [3*s[sfb] + w*width, ...); band 12 — like long band
+    21 — has no scalefactor of its own and copies band 11's windows.
+    Intensity over MIXED blocks stays a named seam. Long bands 21 / 20
+    convention per the standard decoders. Sets ``xr_coded`` (the
+    pre-stereo coded-domain spectra) on both granules."""
+    import math
+
+    l_g, r_g = chans
+    l_g.xr_coded = l_g.xr
+    r_g.xr_coded = r_g.xr
+    left = list(l_g.xr)
+    right = list(r_g.xr)
+    sq2 = math.sqrt(2.0)
+
+    def butterfly(lo: int, hi: int) -> None:
+        for i in range(lo, hi):
+            m, s = l_g.xr_coded[i], r_g.xr_coded[i]
+            left[i] = (m + s) / sq2
+            right[i] = (m - s) / sq2
+
+    def intensity_band(lo: int, hi: int, is_pos: int) -> None:
+        if is_pos == 7:  # illegal position: MS fallback in combined mode
+            if ms:
+                butterfly(lo, hi)
+            return
+        if is_pos == 6:
+            kl, kr = 1.0, 0.0
+        else:
+            ratio = math.tan(is_pos * math.pi / 12.0)
+            kl, kr = ratio / (1.0 + ratio), 1.0 / (1.0 + ratio)
+        for i in range(lo, hi):
+            v = l_g.xr_coded[i]
+            left[i] = v * kl
+            right[i] = v * kr
+
+    if not intensity:
+        butterfly(0, 576)
+    else:
+        bound_line = 2 * r_g.big_values + 4 * r_g.count1_quads
+        if r_g.block_type == 2:
+            if r_g.mixed_block_flag:
+                raise NotImplementedError(
+                    "MP3 intensity stereo over MIXED blocks is not "
+                    "implemented; long-, short- and combined-mode "
+                    "intensity decode"
+                )
+            s = _MP3_SFB_SHORT_44100
+            for sfb in range(13):
+                width = s[sfb + 1] - s[sfb]
+                base = 3 * s[sfb]
+                if base >= bound_line:
+                    for w in range(3):
+                        is_pos = r_g.scalefac_s[min(sfb, 11)][w]
+                        intensity_band(
+                            base + w * width, base + (w + 1) * width, is_pos
+                        )
+                elif ms:
+                    butterfly(base, 3 * s[sfb + 1])
+        else:
+            bounds = _MP3_SFB_LONG_44100
+            for sfb in range(22):
+                lo, hi = bounds[sfb], bounds[sfb + 1]
+                if lo >= bound_line:
+                    is_pos = r_g.scalefac[min(sfb, 20)]
+                    intensity_band(lo, hi, is_pos)
+                elif ms:
+                    butterfly(lo, hi)
+    l_g.xr, r_g.xr = left, right
+
+
 def _decode_mp3_l3(payload: bytes) -> dict:
     """Full entropy-layer decode of an MPEG-1 Layer III 44.1 kHz stream —
     mono (mode 0b11), independent/dual stereo (0b00/0b10), and MID/SIDE
     joint stereo (0b01 with the MS mode_extension bit; §2.4.3.4.9.2
     butterfly l=(m+s)/sqrt2, r=(m-s)/sqrt2 applied after requantization,
     with the coded-domain spectrum kept in ``xr_coded``), and — round
-    14 — pure intensity stereo (0b01 with the intensity mode_extension
-    bit; §2.4.3.4.9.3, closed-form tan(is_pos*pi/12) angles, see the
-    inline block): frame walk, CRC-16 verification when the protection
-    bit is set, side info, bit-reservoir main_data resolution,
-    per-channel scalefactors with scfsi, Huffman spectra, requantized
-    xr — plus per-granule alias reduction + IMDCT subband samples via
-    the helpers above. Combined MS+intensity (mode_ext 0b11) stays a
-    named seam. Raises on any malformed structure; never guesses.
+    14 — intensity stereo (0b01 with the intensity mode_extension bit;
+    §2.4.3.4.9.3, closed-form tan(is_pos*pi/12) angles) and — round 16
+    — combined MS+intensity (mode_ext 0b11) plus intensity over SHORT
+    blocks, all via :func:`_mp3_stereo_process` in the coded domain:
+    frame walk, CRC-16 verification when the protection bit is set,
+    side info, bit-reservoir main_data resolution, per-channel
+    scalefactors with scfsi, Huffman spectra, requantized xr — plus
+    per-granule alias reduction + IMDCT subband samples via the helpers
+    above. Raises on any malformed structure; never guesses.
     ``granules`` is flattened granule-major, channel-minor."""
     pos = 0
     if payload[:3] == b"ID3":
@@ -6306,11 +6391,6 @@ def _decode_mp3_l3(payload: bytes) -> dict:
         n_ch = 1 if mode == 0b11 else 2
         ms_stereo = mode == 0b01 and bool(mode_ext & 0x2)
         intensity = mode == 0b01 and bool(mode_ext & 0x1)
-        if ms_stereo and intensity:
-            raise NotImplementedError(
-                "MP3 combined MS+intensity stereo (mode_ext 0b11) is not "
-                "implemented; pure MS and pure intensity both decode"
-            )
         if sr_index != 0:
             raise NotImplementedError(
                 "MP3 sample decode is pinned to the 44.1 kHz Table B.8 "
@@ -6353,9 +6433,7 @@ def _decode_mp3_l3(payload: bytes) -> dict:
                     si.scfsi[ch],
                 )
                 _mp3_read_huffman(br, g, part2)
-                g.xr = _mp3_requantize(g)
-                if g.block_type == 2:
-                    g.xr = _mp3_reorder_short(g.xr, bool(g.mixed_block_flag))
+                g.xr = _mp3_requantize(g)  # CODED order; reorder below
             if n_ch == 2 and (ms or intensity) and (
                 chans[0].block_type != chans[1].block_type
                 or chans[0].mixed_block_flag != chans[1].mixed_block_flag
@@ -6363,65 +6441,19 @@ def _decode_mp3_l3(payload: bytes) -> dict:
                 raise ValueError(
                     "MP3 joint stereo with mismatched block types"
                 )
-            if intensity and n_ch == 2 and chans[1].block_type == 2:
-                raise NotImplementedError(
-                    "MP3 intensity stereo over short blocks (per-window "
-                    "is_pos regions) is not implemented; long-block "
-                    "intensity and short-block MS/LR decode"
-                )
-            if ms and n_ch == 2:
-                import math
-
-                m_g, s_g = chans
-                m_g.xr_coded = m_g.xr
-                s_g.xr_coded = s_g.xr
-                sq2 = math.sqrt(2.0)
-                left = [(m + s) / sq2 for m, s in zip(m_g.xr_coded, s_g.xr_coded)]
-                right = [(m - s) / sq2 for m, s in zip(m_g.xr_coded, s_g.xr_coded)]
-                m_g.xr, s_g.xr = left, right
-            elif intensity and n_ch == 2:
-                import math
-
-                # §2.4.3.4.9.3: intensity stereo. The intensity region is
-                # the right channel's zero part — every scalefactor band
-                # whose LOWER bound lies at/after the end of the right
-                # channel's Huffman data (2*big_values + 4*count1 lines;
-                # the in-repo encoder always ends right-channel data on an
-                # sfb boundary, so partial-band rounding never arises).
-                # There the right channel's scalefactors are REUSED as
-                # is_pos angles: is_ratio = tan(is_pos * pi/12) — closed
-                # form, no table — l = xr_l * r/(1+r), r = xr_l * 1/(1+r);
-                # is_pos 6 is the fully-left pole (k_l, k_r = 1, 0) and
-                # the illegal is_pos 7 leaves the band as coded. Band 21
-                # has no scalefactor of its own and copies band 20's
-                # is_pos (the standard decoder convention).
-                l_g, r_g = chans
-                l_g.xr_coded = l_g.xr
-                r_g.xr_coded = r_g.xr
-                bound_line = 2 * r_g.big_values + 4 * r_g.count1_quads
-                bounds = _MP3_SFB_LONG_44100
-                left = list(l_g.xr)
-                right = list(r_g.xr)
-                for sfb in range(22):
-                    lo, hi = bounds[sfb], bounds[sfb + 1]
-                    if lo < bound_line:
-                        continue
-                    is_pos = r_g.scalefac[sfb] if sfb < 21 else r_g.scalefac[20]
-                    if is_pos == 7:
-                        continue
-                    if is_pos == 6:
-                        kl, kr = 1.0, 0.0
-                    else:
-                        ratio = math.tan(is_pos * math.pi / 12.0)
-                        kl, kr = ratio / (1.0 + ratio), 1.0 / (1.0 + ratio)
-                    for i in range(lo, hi):
-                        v = l_g.xr_coded[i]
-                        left[i] = v * kl
-                        right[i] = v * kr
-                l_g.xr, r_g.xr = left, right
+            if n_ch == 2 and (ms or intensity):
+                # stereo processing happens in the CODED domain (round
+                # 16: the intensity region and its per-window is_pos map
+                # are defined over coded sfb order; short-block
+                # reordering scatters a band's triplet across the
+                # spectrum, so it must run AFTER this)
+                _mp3_stereo_process(chans, ms, intensity)
             else:
                 for g in chans:
                     g.xr_coded = g.xr
+            for g in chans:
+                if g.block_type == 2:
+                    g.xr = _mp3_reorder_short(g.xr, bool(g.mixed_block_flag))
             granules.extend(chans)
     return {
         "sample_rate": sample_rate,
@@ -6615,7 +6647,10 @@ def encode_mp3_l3(
     intensity mode_extension bit: channel 1's data must end on a
     scalefactor-band boundary, and its scalefactors at/after that
     boundary are is_pos angles the decoder expands via tan(is_pos *
-    pi/12)). The entropy layer is fully spec-real; the encoder
+    pi/12)) or "ms_intensity_stereo" (round 16 — mode_ext 0b11:
+    channel 0 is MID below the intensity bound and the intensity
+    carrier above it, per §2.4.3.4.9). The entropy layer is fully
+    spec-real; the encoder
     carries the complete Annex B alphabet — tables 1-3, 5-13, 15 and
     the 16/24 linbits families (0 auto-selected for all-zero regions)
     plus both count1 tables (per-granule spec keys
@@ -6687,10 +6722,13 @@ def encode_mp3_l3(
     mode_bits = {
         "mono": 0b11, "stereo": 0b00,
         "ms_stereo": 0b01, "intensity_stereo": 0b01,
+        "ms_intensity_stereo": 0b01,
     }[mode]
-    # mode_extension: MS bit / intensity bit (never both — combined mode
-    # is the decoder's named seam)
-    mode_ext = {"ms_stereo": 0b10, "intensity_stereo": 0b01}.get(mode, 0b00)
+    # mode_extension: MS bit / intensity bit / both (combined, round 16)
+    mode_ext = {
+        "ms_stereo": 0b10, "intensity_stereo": 0b01,
+        "ms_intensity_stereo": 0b11,
+    }.get(mode, 0b00)
     for f in range(n_frames):
         b1 = 0xE0 | (3 << 3) | (0b01 << 1) | (0 if use_crc else 1)
         b2 = (bitrate_index << 4) | (0 << 2) | (0 << 1)
@@ -7449,6 +7487,243 @@ def cross_codec_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("exact_key")
         .orderBy("doc_id")
     )
+
+
+_MP3Q_S3_SQL = (
+    "[0, 12, 24, 36, 48, 66, 90, 120, 156, 198, 252, 318, 408, 576]"
+)
+
+
+@register(
+    "mp3_stereo_matrix_decode_features",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id AS d, CAST(doc_id % 3 AS INTEGER) AS v,
+               7 + doc_id % 5 AS st
+        FROM documents
+    ), ch0 AS (
+        SELECT b.d, b.v, g.gi, l.i,
+               CASE WHEN b.v = 0
+                    THEN LEAST(len(list_filter({_MP3Q_LB_SQL},
+                                               x -> x <= l.i)) - 1, 20)
+                    ELSE LEAST(len(list_filter({_MP3Q_S3_SQL},
+                                               x -> x <= l.i)) - 1, 11)
+               END AS sfb_eff,
+               CASE WHEN b.v = 0 THEN 0
+                    ELSE (l.i - ({_MP3Q_S3_SQL})[
+                              len(list_filter({_MP3Q_S3_SQL},
+                                              x -> x <= l.i))])
+                         // ((({_MP3Q_S3_SQL})[
+                                 len(list_filter({_MP3Q_S3_SQL},
+                                                 x -> x <= l.i)) + 1]
+                              - ({_MP3Q_S3_SQL})[
+                                 len(list_filter({_MP3Q_S3_SQL},
+                                                 x -> x <= l.i))]) // 3)
+               END AS w
+        FROM base b,
+             LATERAL (SELECT unnest(range(0, 2)) AS gi) g,
+             LATERAL (SELECT unnest(range(0, 480)) AS i) l
+        WHERE l.i % b.st = 0
+          AND l.i < CASE WHEN b.v = 0 THEN 480 ELSE 300 END
+    ), ch0x AS (
+        SELECT d, v, gi, i,
+               CAST((d + gi + sfb_eff + CASE WHEN v = 0 THEN 0 ELSE w END)
+                    % 4 AS INTEGER) AS ipx,
+               i >= CASE WHEN v = 0 THEN 36 ELSE 48 END AS int_region,
+               POWER(4.0, (d + gi) % 6) AS e
+        FROM ch0
+    ), e0 AS (
+        SELECT d,
+               SUM(CASE WHEN int_region AND ipx = 1
+                        THEN 0.5 * e ELSE e END) AS energy,
+               SUM(CASE WHEN NOT int_region THEN 0
+                        WHEN ipx = 0 THEN e
+                        WHEN ipx = 1 THEN 0.25 * e
+                        WHEN ipx = 2 THEN 0
+                        WHEN v = 1 THEN 0       -- pure: is_pos 7 as coded
+                        ELSE 0.5 * e END) AS r_int
+        FROM ch0x GROUP BY d
+    ), e1 AS (
+        SELECT b.d, SUM(POWER(4.0, (b.d + g.gi + 2) % 6)) AS energy
+        FROM base b,
+             LATERAL (SELECT unnest(range(0, 2)) AS gi) g,
+             LATERAL (SELECT unnest(range(0, 480)) AS i) l
+        WHERE l.i % 5 = 0
+          AND l.i < CASE WHEN b.v = 0 THEN 36 ELSE 48 END
+        GROUP BY b.d
+    )
+    SELECT b.d AS doc_id,
+           CASE b.v WHEN 0 THEN 'combined_long'
+                    WHEN 1 THEN 'intensity_short'
+                    ELSE 'combined_short' END AS variant,
+           CAST(2 AS BIGINT) AS n_channels,
+           CAST(CASE WHEN b.v = 0 THEN 2 ELSE 3 END AS BIGINT) AS n_frames,
+           CAST(ROUND(1000000 * (e0.energy + e1.energy)) AS BIGINT)
+               AS xr_energy_micros,
+           CAST(ROUND(1000000 * e0.r_int) AS BIGINT)
+               AS right_int_energy_micros
+    FROM base b
+    JOIN e0 ON e0.d = b.d
+    JOIN e1 ON e1.d = b.d
+    ORDER BY doc_id
+    """,
+)
+def mp3_stereo_matrix_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLOSED MP3 stereo matrix under the differential gate (round
+    16; r15 verdict task 5): docs rotate combined MS+intensity over
+    long blocks, pure intensity over SHORT blocks (per-window
+    scalefac_s is_pos over the coded triplet layout) and combined over
+    short blocks. The is_pos pattern cycles {{0, 3, 6, 7}} per (doc,
+    granule, band, window), so every arm of the §2.4.3.4.9 arithmetic
+    fires: the 0.5 energy factor at is_pos 3 (tan(pi/4) = 1), the
+    fully-left pole at 6, and the ILLEGAL position 7 — MS fallback in
+    combined mode, band-as-coded in pure mode, which the
+    ``right_int_energy_micros`` column (right-channel energy restricted
+    to the intensity region, located through the spec's reorder
+    permutation for short blocks) distinguishes: 7 contributes half the
+    line energy under combined, zero under pure. Total xr energy is the
+    rotation-invariant closed form (MS preserves it; intensity scales
+    by (k_l^2 + k_r^2)). Map-only mapInPandas with the standard core
+    fan-out."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        sb = _MP3_SFB_SHORT_44100
+
+        def silent(bt: int = 0) -> dict:
+            s = {"is": [0] * 576, "global_gain": 210, "scalefac": [0] * 21,
+                 "big_values": 0, "scalefac_scale": 1,
+                 "scalefac_compress": 0}
+            if bt:
+                s["block_type"] = bt
+                s["subblock_gain"] = [0, 0, 0]
+                if bt == 2:
+                    s["scalefac_s"] = [[0] * 3 for _ in range(12)]
+            return s
+
+        def ch0_long(d: int, gi: int, st: int) -> dict:
+            iv = [0] * 576
+            for i in range(0, 480, st):
+                iv[i] = 1 if (i // st + d + gi) % 2 == 0 else -1
+            return {"is": iv, "global_gain": 210 + 4 * ((d + gi) % 6),
+                    "scalefac": [0] * 21, "big_values": 240,
+                    "scalefac_scale": 1, "scalefac_compress": 0}
+
+        def ch1_long(d: int, gi: int) -> dict:
+            iv = [0] * 576
+            for i in range(0, 36, 5):
+                iv[i] = 1 if i % 2 == 0 else -1
+            return {"is": iv, "global_gain": 210 + 4 * ((d + gi + 2) % 6),
+                    "scalefac_compress": 15,
+                    "scalefac": [0] * 8 + [[0, 3, 6, 7][(d + gi + b) % 4]
+                                           for b in range(8, 21)],
+                    "big_values": 18, "scalefac_scale": 1}
+
+        def ch0_short(d: int, gi: int, st: int) -> dict:
+            iv = [0] * 576
+            for i in range(0, 300, st):
+                iv[i] = 1 if (i // st + d + gi) % 2 == 0 else -1
+            return {"is": iv, "global_gain": 210 + 4 * ((d + gi) % 6),
+                    "scalefac": [0] * 21, "big_values": 150,
+                    "scalefac_scale": 1, "scalefac_compress": 0,
+                    "block_type": 2, "mixed_block_flag": 0,
+                    "subblock_gain": [0, 0, 0],
+                    "scalefac_s": [[0] * 3 for _ in range(12)]}
+
+        def ch1_short(d: int, gi: int) -> dict:
+            iv = [0] * 576
+            for i in range(0, 48, 5):
+                iv[i] = 1 if i % 2 == 0 else -1
+            # scalefac_s rows 0-3 (the sub-bound bands carrying REAL
+            # data) stay zero: there they are true scalefactors and
+            # would attenuate; rows 4+ are is_pos angles
+            return {"is": iv, "global_gain": 210 + 4 * ((d + gi + 2) % 6),
+                    "scalefac": [0] * 21, "big_values": 24,
+                    "scalefac_scale": 1, "scalefac_compress": 15,
+                    "block_type": 2, "mixed_block_flag": 0,
+                    "subblock_gain": [0, 0, 0],
+                    "scalefac_s": [
+                        [[0, 3, 6, 7][(d + gi + sfb + w) % 4]
+                         if sfb >= 4 else 0
+                         for w in range(3)] for sfb in range(12)
+                    ]}
+
+        def short_int_region_indices(bound: int) -> list[int]:
+            # reordered-domain image of coded lines >= bound (whole
+            # triplets; the gate's bound sits on a triplet boundary)
+            idxs = []
+            for sfb in range(13):
+                width = sb[sfb + 1] - sb[sfb]
+                if 3 * sb[sfb] < bound:
+                    continue
+                for w in range(3):
+                    for k in range(width):
+                        f = sb[sfb] + k
+                        idxs.append(18 * (f // 6) + 6 * w + (f % 6))
+            return idxs
+
+        short_idxs = short_int_region_indices(48)
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "variant": [], "n_channels": [],
+                "n_frames": [], "xr_energy_micros": [],
+                "right_int_energy_micros": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                v = d % 3
+                st = 7 + d % 5
+                if v == 0:
+                    variant, mode = "combined_long", "ms_intensity_stereo"
+                    specs = [silent(), silent(),
+                             ch0_long(d, 0, st), ch1_long(d, 0),
+                             ch0_long(d, 1, st), ch1_long(d, 1),
+                             silent(), silent()]
+                else:
+                    variant = ("intensity_short" if v == 1
+                               else "combined_short")
+                    mode = ("intensity_stereo" if v == 1
+                            else "ms_intensity_stereo")
+                    specs = [silent(), silent(), silent(1), silent(1),
+                             ch0_short(d, 0, st), ch1_short(d, 0),
+                             ch0_short(d, 1, st), ch1_short(d, 1),
+                             silent(3), silent(3), silent(), silent()]
+                m = _decode_mp3_l3(encode_mp3_l3(specs, mode=mode))
+                e_tot = 0.0
+                r_int = 0.0
+                gr = m["granules"]
+                for j in range(0, len(gr), 2):
+                    l_g, r_g = gr[j], gr[j + 1]
+                    e_tot += sum(x * x for x in l_g.xr)
+                    e_tot += sum(x * x for x in r_g.xr)
+                    if r_g.block_type == 2:
+                        r_int += sum(r_g.xr[i] * r_g.xr[i]
+                                     for i in short_idxs)
+                    else:
+                        bound = 36 if v == 0 else 48
+                        r_int += sum(x * x for x in r_g.xr[bound:])
+                out["doc_id"].append(d)
+                out["variant"].append(variant)
+                out["n_channels"].append(m["n_channels"])
+                out["n_frames"].append(m["n_frames"])
+                out["xr_energy_micros"].append(int(round(1e6 * e_tot)))
+                out["right_int_energy_micros"].append(
+                    int(round(1e6 * r_int))
+                )
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, variant string, n_channels long, n_frames long, "
+        "xr_energy_micros long, right_int_energy_micros long"
+    )
+    return docs.mapInPandas(run, schema).orderBy("doc_id")
 
 
 @register(

@@ -90,6 +90,7 @@ QUERIES = [
     "avi_audio_extract_features",
     # post-window r16 additions
     "mp3_container_routing_features",
+    "mp3_stereo_matrix_decode_features",
 ]
 
 
@@ -189,6 +190,7 @@ ANSI_QUERIES = [
     "pii_redaction_stats",
     "avi_audio_extract_features",
     "mp3_container_routing_features",
+    "mp3_stereo_matrix_decode_features",
 ]
 
 

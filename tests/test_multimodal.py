@@ -2552,23 +2552,106 @@ def test_mp3_stereo_scfsi_is_per_channel():
     assert m["granules"][3].scalefac[:11] == g0c1["scalefac"][:11]
 
 
-def test_mp3_intensity_stereo_is_a_named_seam():
+def test_mp3_combined_ms_intensity_and_short_intensity_decode():
+    """Round 16 closes the stereo matrix: combined MS+intensity
+    (mode_ext 0b11) applies the MS butterfly below the intensity bound,
+    the tan(is_pos*pi/12) ratios above it, and the MS FALLBACK on the
+    illegal is_pos 7 (pure intensity leaves that band as coded);
+    intensity over short blocks maps per-(sfb, window) scalefac_s
+    is_pos over the coded triplet layout. Mixed-block intensity stays
+    the named seam."""
+    import math
+
     import pytest
 
     from input_data_pipeline_spark.operators.multimodal import (
+        _MP3_SFB_LONG_44100 as LB,
         _decode_mp3_l3,
         encode_mp3_l3,
     )
 
-    blob = bytearray(encode_mp3_l3([_mk_granule(60), _mk_granule(61),
-                                    _mk_granule(62), _mk_granule(63)],
-                                   mode="ms_stereo"))
-    # set the intensity bit in mode_extension (header byte 3, bit 4)
-    for off in range(0, len(blob), 1):
-        if blob[off] == 0xFF and off + 3 < len(blob) and (blob[off+1] & 0xE0) == 0xE0:
-            blob[off + 3] |= 0x10
-    with pytest.raises(NotImplementedError, match="intensity"):
-        _decode_mp3_l3(bytes(blob))
+    def silent():
+        return {"is": [0] * 576, "global_gain": 210, "scalefac": [0] * 21,
+                "big_values": 0, "scalefac_scale": 1, "scalefac_compress": 0}
+
+    def mid():
+        iv = [0] * 576
+        for i in range(0, 480, 5):
+            iv[i] = 1 if (i // 5) % 2 == 0 else -1
+        return {"is": iv, "global_gain": 214, "scalefac": [0] * 21,
+                "big_values": 240, "scalefac_scale": 1,
+                "scalefac_compress": 0}
+
+    def side():
+        iv = [0] * 576
+        for i in range(0, 36, 5):
+            iv[i] = 1 if i % 2 == 0 else -1
+        return {"is": iv, "global_gain": 218, "scalefac_compress": 15,
+                "scalefac": [0] * 8 + [[0, 3, 6, 7][b % 4]
+                                       for b in range(8, 21)],
+                "big_values": 18, "scalefac_scale": 1}
+
+    blob = encode_mp3_l3(
+        [silent(), silent(), mid(), side(), mid(), side(),
+         silent(), silent()],
+        mode="ms_intensity_stereo",
+    )
+    m = _decode_mp3_l3(blob)
+    g_l, g_r = m["granules"][2], m["granules"][3]
+    sq2 = math.sqrt(2.0)
+    sf = side()["scalefac"]
+    for sfb in range(22):
+        lo, hi = LB[sfb], LB[sfb + 1]
+        for i in range(lo, hi):
+            mm, ss = g_l.xr_coded[i], g_r.xr_coded[i]
+            if lo < 36 or sf[min(sfb, 20)] == 7:  # MS region + 7-fallback
+                el, er = (mm + ss) / sq2, (mm - ss) / sq2
+            elif sf[min(sfb, 20)] == 6:
+                el, er = mm, 0.0
+            else:
+                r = math.tan(sf[min(sfb, 20)] * math.pi / 12.0)
+                el, er = mm * r / (1.0 + r), mm / (1.0 + r)
+            assert abs(g_l.xr[i] - el) < 1e-12
+            assert abs(g_r.xr[i] - er) < 1e-12
+
+    # pure intensity leaves the is_pos-7 bands AS CODED (no fallback)
+    blob_p = encode_mp3_l3(
+        [silent(), silent(), mid(), side(), mid(), side(),
+         silent(), silent()],
+        mode="intensity_stereo",
+    )
+    mp = _decode_mp3_l3(blob_p)
+    p_l, p_r = mp["granules"][2], mp["granules"][3]
+    seven = [sfb for sfb in range(8, 21) if sf[sfb] == 7][0]
+    lo, hi = LB[seven], LB[seven + 1]
+    assert p_l.xr[lo:hi] == p_l.xr_coded[lo:hi]
+    assert p_r.xr[lo:hi] == p_r.xr_coded[lo:hi]
+
+    # mixed-block intensity raises by name
+    def mixed_short(bv):
+        iv = [0] * 576
+        for i in range(0, bv * 2, 7):
+            iv[i] = 1
+        return {"is": iv, "global_gain": 214, "scalefac": [0] * 21,
+                "big_values": bv, "scalefac_scale": 1,
+                "scalefac_compress": 0, "block_type": 2,
+                "mixed_block_flag": 1, "subblock_gain": [0, 0, 0],
+                "scalefac_s": [[0] * 3 for _ in range(12)]}
+
+    def sil_bt(bt):
+        s = silent()
+        s.update(block_type=bt, subblock_gain=[0, 0, 0])
+        if bt == 2:
+            s["scalefac_s"] = [[0] * 3 for _ in range(12)]
+        return s
+
+    blob_m = encode_mp3_l3(
+        [sil_bt(1), sil_bt(1), mixed_short(24), mixed_short(12),
+         mixed_short(24), mixed_short(12), sil_bt(3), sil_bt(3)],
+        mode="intensity_stereo",
+    )
+    with pytest.raises(NotImplementedError, match="MIXED"):
+        _decode_mp3_l3(blob_m)
 
 
 def test_tiff_rejects_malformed_structures():
