@@ -5177,10 +5177,11 @@ def flac_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   after the Kraft-complete import validation at _MP3_HUFF2.
 #   table_select 4/14 are reserved codepoints and raise ValueError.
 # - Subband->PCM synthesis (the D[512] window path) shipped in round 14
-#   (mp3_pcm_decode_features); short/mixed blocks in round 15.
-# - Remaining seams (each raises naming itself): combined MS+intensity
-#   mode_ext 0b11, intensity-over-short-blocks, and the non-44.1 kHz
-#   Table B.8 scalefactor-band profiles.
+#   (mp3_pcm_decode_features); short/mixed blocks in round 15; the
+#   stereo matrix (combined MS+intensity, intensity-over-short-blocks)
+#   and the 48/32 kHz Table B.8 profiles in round 16.
+# - Remaining seams (each raises naming itself): intensity stereo over
+#   MIXED blocks; MPEG-2/2.5 low-sample-rate extensions.
 # ---------------------------------------------------------------------------
 
 # scalefac_compress -> (slen1, slen2), ISO 11172-3 §2.4.2.7
@@ -5199,6 +5200,49 @@ _MP3_SFB_LONG_44100 = [
 # 13 bands per 192-line window (widths 4,4,4,4,6,8,10,12,14,18,22,30,56);
 # bands 0-11 carry scalefactors, band 12 — like long band 21 — has none.
 _MP3_SFB_SHORT_44100 = [0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192]
+# The 48 kHz and 32 kHz Table B.8 profiles (round 16). Data stance: pure
+# spec tables with no closed form; validated structurally at import
+# (_mp3_check_band_tables: 22/13 bands ending exactly at 576/192, first
+# six widths of 4, widths non-decreasing through the penultimate band —
+# only the FINAL band may shrink, the documented truncation-at-576
+# shape every MPEG-1 profile shows). Value-level fidelity against
+# third-party encoders is the documented validation boundary, same as
+# the Huffman alphabets'.
+_MP3_SFB_LONG = {
+    44100: _MP3_SFB_LONG_44100,
+    48000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106,
+            128, 156, 190, 230, 276, 330, 384, 576],
+    32000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
+            156, 194, 240, 296, 364, 448, 550, 576],
+}
+_MP3_SFB_SHORT = {
+    44100: _MP3_SFB_SHORT_44100,
+    48000: [0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192],
+    32000: [0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192],
+}
+
+
+def _mp3_check_band_tables() -> None:
+    """Import-time structural validation of the Table B.8 profiles."""
+    for rate, tab in _MP3_SFB_LONG.items():
+        if len(tab) != 23 or tab[0] != 0 or tab[-1] != 576:
+            raise AssertionError(f"MP3 long bands {rate}: bad frame")
+        w = [tab[i + 1] - tab[i] for i in range(22)]
+        if any(x != 4 for x in w[:6]) or any(
+            w[i + 1] < w[i] for i in range(20)
+        ) or any(x <= 0 for x in w):
+            raise AssertionError(f"MP3 long bands {rate}: bad widths")
+    for rate, tab in _MP3_SFB_SHORT.items():
+        if len(tab) != 14 or tab[0] != 0 or tab[-1] != 192:
+            raise AssertionError(f"MP3 short bands {rate}: bad frame")
+        w = [tab[i + 1] - tab[i] for i in range(13)]
+        if any(x != 4 for x in w[:4]) or any(
+            w[i + 1] < w[i] for i in range(11)
+        ) or any(x <= 0 for x in w):
+            raise AssertionError(f"MP3 short bands {rate}: bad widths")
+
+
+_mp3_check_band_tables()
 # Huffman table 1 (Annex B Table B.7): (x, y) -> (length, code).
 _MP3_HUFF1 = {(0, 0): (1, 0b1), (0, 1): (3, 0b001), (1, 0): (2, 0b01), (1, 1): (3, 0b000)}
 _MP3_HUFF1_DEC = {v: k for k, v in _MP3_HUFF1.items()}
@@ -5565,7 +5609,7 @@ class _MP3Granule:
         "part2_3_length", "big_values", "global_gain", "scalefac_compress",
         "table_select", "region0_count", "region1_count", "preflag",
         "scalefac_scale", "count1table_select", "scalefac", "is_vals", "xr",
-        "xr_coded", "count1_quads",
+        "xr_coded", "count1_quads", "sample_rate",
         # window switching (round 14): block_type 0 long / 1 start /
         # 2 short / 3 stop, the mixed flag, per-window subblock gains,
         # and the 12x3 short scalefactor matrix (scalefac_s[sfb][window])
@@ -5687,7 +5731,7 @@ def _mp3_read_huffman(br: "_BitReader", g: "_MP3Granule", part2_bits: int) -> No
     start_bit = br.bitpos()
     budget = g.part2_3_length - part2_bits
     is_vals = [0] * 576
-    bounds = _MP3_SFB_LONG_44100
+    bounds = _MP3_SFB_LONG[getattr(g, "sample_rate", 44100)]
     if g.window_switching:
         # §2.4.2.7: with window switching the region counts are implied
         # and the big-values regions split at line 36 (region2 is empty)
@@ -5779,9 +5823,9 @@ def _mp3_requantize(g: "_MP3Granule") -> list[float]:
     regions to time-window order afterwards."""
     mult = 0.5 * (g.scalefac_scale + 1)
     xr = [0.0] * 576
-    bounds = _MP3_SFB_LONG_44100
+    bounds = _MP3_SFB_LONG[getattr(g, "sample_rate", 44100)]
     if g.block_type == 2:
-        s = _MP3_SFB_SHORT_44100
+        s = _MP3_SFB_SHORT[getattr(g, "sample_rate", 44100)]
         long_end = 36 if g.mixed_block_flag else 0
         # precompute coded-line -> (short sfb, window) for the short part
         for i in range(576):
@@ -5824,7 +5868,9 @@ def _mp3_requantize(g: "_MP3Granule") -> list[float]:
     return xr
 
 
-def _mp3_reorder_short(xr: list[float], mixed: bool) -> list[float]:
+def _mp3_reorder_short(
+    xr: list[float], mixed: bool, sample_rate: int = 44100
+) -> list[float]:
     """§2.4.3.4.7-8 short-block reordering: Huffman/requantized data is
     (scalefactor band, window, line) ordered; the filterbank wants
     (subband, window, line) order — per 18-line subband chunk, three
@@ -5832,7 +5878,7 @@ def _mp3_reorder_short(xr: list[float], mixed: bool) -> list[float]:
     f = s[sfb] + k (source index 3*s[sfb] + win*width + k) lands at
     18*(f//6) + 6*win + (f%6). Mixed blocks keep coded lines 0-35 (the
     long scalefactor bands) in place and reorder from short sfb 3."""
-    s = _MP3_SFB_SHORT_44100
+    s = _MP3_SFB_SHORT[sample_rate]
     out = [0.0] * 576
     start_sfb = 3 if mixed else 0
     if mixed:
@@ -6322,7 +6368,7 @@ def _mp3_stereo_process(chans, ms: bool, intensity: bool) -> None:
                     "implemented; long-, short- and combined-mode "
                     "intensity decode"
                 )
-            s = _MP3_SFB_SHORT_44100
+            s = _MP3_SFB_SHORT[getattr(r_g, "sample_rate", 44100)]
             for sfb in range(13):
                 width = s[sfb + 1] - s[sfb]
                 base = 3 * s[sfb]
@@ -6335,7 +6381,7 @@ def _mp3_stereo_process(chans, ms: bool, intensity: bool) -> None:
                 elif ms:
                     butterfly(base, 3 * s[sfb + 1])
         else:
-            bounds = _MP3_SFB_LONG_44100
+            bounds = _MP3_SFB_LONG[getattr(r_g, "sample_rate", 44100)]
             for sfb in range(22):
                 lo, hi = bounds[sfb], bounds[sfb + 1]
                 if lo >= bound_line:
@@ -6391,11 +6437,10 @@ def _decode_mp3_l3(payload: bytes) -> dict:
         n_ch = 1 if mode == 0b11 else 2
         ms_stereo = mode == 0b01 and bool(mode_ext & 0x2)
         intensity = mode == 0b01 and bool(mode_ext & 0x1)
-        if sr_index != 0:
-            raise NotImplementedError(
-                "MP3 sample decode is pinned to the 44.1 kHz Table B.8 "
-                "long-band profile"
-            )
+        if sr_index == 3:
+            raise ValueError("reserved MP3 sampling_frequency index")
+        if sample_rate is not None and _MP3_RATES[3][sr_index] != sample_rate:
+            raise ValueError("MP3 sampling rate changes mid-stream")
         if bitrate_index in (0, 15):
             raise ValueError("free-format/invalid MP3 bitrate")
         sample_rate = _MP3_RATES[3][sr_index]
@@ -6432,6 +6477,7 @@ def _decode_mp3_l3(payload: bytes) -> dict:
                     br, g, si.granules[0][ch] if gi == 1 else None,
                     si.scfsi[ch],
                 )
+                g.sample_rate = sample_rate
                 _mp3_read_huffman(br, g, part2)
                 g.xr = _mp3_requantize(g)  # CODED order; reorder below
             if n_ch == 2 and (ms or intensity) and (
@@ -6453,7 +6499,9 @@ def _decode_mp3_l3(payload: bytes) -> dict:
                     g.xr_coded = g.xr
             for g in chans:
                 if g.block_type == 2:
-                    g.xr = _mp3_reorder_short(g.xr, bool(g.mixed_block_flag))
+                    g.xr = _mp3_reorder_short(
+                        g.xr, bool(g.mixed_block_flag), sample_rate
+                    )
             granules.extend(chans)
     return {
         "sample_rate": sample_rate,
@@ -6464,7 +6512,9 @@ def _decode_mp3_l3(payload: bytes) -> dict:
     }
 
 
-def _mp3_granule_bits(spec: dict, skip_groups: list[bool]) -> tuple["_BitWriter", dict]:
+def _mp3_granule_bits(
+    spec: dict, skip_groups: list[bool], sample_rate: int = 44100
+) -> tuple["_BitWriter", dict]:
     """Encode one granule's main_data bits (scalefactors + Huffman) and
     derive the side-info fields. ``spec``: is (576 ints in CODED order,
     |v|<=1), global_gain, scalefac (21 ints), scalefac_compress,
@@ -6532,7 +6582,7 @@ def _mp3_granule_bits(spec: dict, skip_groups: list[bool]) -> tuple["_BitWriter"
                     bw.write(sf[b], ln)
                     part2 += ln
     big_values = spec["big_values"]
-    bounds = _MP3_SFB_LONG_44100
+    bounds = _MP3_SFB_LONG[sample_rate]
     if block_type:
         # window switching: implied regions, split at coded line 36
         r0c = 8 if (block_type == 2 and not mixed) else 7
@@ -6634,6 +6684,7 @@ def encode_mp3_l3(
     use_reservoir: bool = False,
     scfsi: list[int] | None = None,
     mode: str = "mono",
+    sample_rate: int = 44100,
 ) -> bytes:
     """Assemble a REAL decodable MPEG-1 Layer III 44.1 kHz stream
     (two granules per frame): true side info, bit-exact part2_3_length
@@ -6661,8 +6712,13 @@ def encode_mp3_l3(
     per_frame = 2 * n_ch
     if len(granules) % per_frame:
         raise ValueError(f"{mode} granule specs come {per_frame} per frame")
+    if sample_rate not in _MP3_SFB_LONG:
+        raise ValueError(
+            f"MPEG-1 Layer III sampling rates are 32/44.1/48 kHz, "
+            f"got {sample_rate}"
+        )
     scfsi = scfsi or [0, 0, 0, 0]
-    sr = 44100
+    sr = sample_rate
     kbps = _MP3_KBPS[3][bitrate_index - 1]
     flen = _mp3_frame_len(3, kbps, sr, 0)
     side_len = 17 if n_ch == 1 else 32
@@ -6685,7 +6741,7 @@ def encode_mp3_l3(
                     ):
                         if skip[grp] and spec["scalefac"][lo:hi] != gr0["scalefac"][lo:hi]:
                             raise ValueError("scfsi set but scalefactors differ")
-                gbits, fields = _mp3_granule_bits(spec, skip)
+                gbits, fields = _mp3_granule_bits(spec, skip, sample_rate)
                 for b in gbits.bit_list():
                     bw.write(b, 1)
                 fields_chans.append(fields)
@@ -6729,9 +6785,10 @@ def encode_mp3_l3(
         "ms_stereo": 0b10, "intensity_stereo": 0b01,
         "ms_intensity_stereo": 0b11,
     }.get(mode, 0b00)
+    sr_index = {44100: 0, 48000: 1, 32000: 2}[sample_rate]
     for f in range(n_frames):
         b1 = 0xE0 | (3 << 3) | (0b01 << 1) | (0 if use_crc else 1)
-        b2 = (bitrate_index << 4) | (0 << 2) | (0 << 1)
+        b2 = (bitrate_index << 4) | (sr_index << 2) | (0 << 1)
         b3 = (mode_bits << 6) | (mode_ext << 4)
         out += bytes([0xFF, b1, b2, b3])
         sw = _BitWriter()
@@ -7492,6 +7549,178 @@ def cross_codec_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MP3Q_S3_SQL = (
     "[0, 12, 24, 36, 48, 66, 90, 120, 156, 198, 252, 318, 408, 576]"
 )
+# 48/32 kHz Table B.8 profiles for the rate-profile oracle: long bounds
+# and 3x short triplet starts
+_MP3Q_L48_SQL = (
+    "[0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106, 128, "
+    "156, 190, 230, 276, 330, 384, 576]"
+)
+_MP3Q_L32_SQL = (
+    "[0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126, 156, "
+    "194, 240, 296, 364, 448, 550, 576]"
+)
+_MP3Q_S48_SQL = (
+    "[0, 12, 24, 36, 48, 66, 84, 114, 150, 192, 240, 300, 378, 576]"
+)
+_MP3Q_S32_SQL = (
+    "[0, 12, 24, 36, 48, 66, 90, 126, 174, 234, 312, 414, 540, 576]"
+)
+
+
+@register(
+    "mp3_rate_profiles_decode_features",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id AS d, CAST(doc_id % 4 AS INTEGER) AS v,
+               7 + doc_id % 5 AS st
+        FROM documents
+    ), lines AS (
+        SELECT b.d, b.v, b.st, g.gi, l.i,
+               CASE b.v
+                    WHEN 0 THEN len(list_filter({_MP3Q_L48_SQL},
+                                                x -> x <= l.i))
+                    WHEN 1 THEN len(list_filter({_MP3Q_S48_SQL},
+                                                x -> x <= l.i))
+                    WHEN 2 THEN len(list_filter({_MP3Q_L32_SQL},
+                                                x -> x <= l.i))
+                    ELSE len(list_filter({_MP3Q_S32_SQL},
+                                         x -> x <= l.i))
+               END AS lbn
+        FROM base b,
+             LATERAL (SELECT unnest(range(0, 2)) AS gi) g,
+             LATERAL (SELECT unnest(range(0, 480)) AS i) l
+        WHERE l.i % b.st = 0
+          AND l.i < CASE WHEN b.v % 2 = 0 THEN 480 ELSE 300 END
+    ), scaled AS (
+        SELECT d, v, gi, i, lbn,
+               CASE
+                 WHEN v % 2 = 0 THEN      -- long: sfb 21 has no scalefactor
+                   CASE WHEN lbn - 1 >= 21 THEN 0
+                        ELSE (d + gi + lbn - 1) % 4 END
+                 ELSE                     -- short: per-(sfb, window) is_pos
+                   CASE WHEN lbn - 1 >= 12 THEN 0
+                        ELSE (d + gi + (lbn - 1)
+                              + (i - (CASE WHEN v = 1
+                                           THEN ({_MP3Q_S48_SQL})[lbn]
+                                           ELSE ({_MP3Q_S32_SQL})[lbn]
+                                      END))
+                                // ((CASE WHEN v = 1
+                                          THEN ({_MP3Q_S48_SQL})[lbn + 1]
+                                               - ({_MP3Q_S48_SQL})[lbn]
+                                          ELSE ({_MP3Q_S32_SQL})[lbn + 1]
+                                               - ({_MP3Q_S32_SQL})[lbn]
+                                     END) // 3)) % 4
+                   END
+               END AS sf
+        FROM lines
+    )
+    SELECT s.d AS doc_id,
+           CASE s.v WHEN 0 THEN 'long_48000' WHEN 1 THEN 'short_48000'
+                    WHEN 2 THEN 'long_32000' ELSE 'short_32000'
+           END AS variant,
+           CAST(CASE WHEN s.v < 2 THEN 48000 ELSE 32000 END AS BIGINT)
+               AS sample_rate,
+           CAST(CASE WHEN s.v % 2 = 0 THEN 2 ELSE 3 END AS BIGINT)
+               AS n_frames,
+           CAST(ROUND(1000000 * SUM(
+               POWER(4.0, (s.d + s.gi) % 6 - s.sf))) AS BIGINT)
+               AS xr_energy_micros
+    FROM scaled s
+    GROUP BY s.d, s.v
+    ORDER BY doc_id
+    """,
+)
+def mp3_rate_profiles_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The non-44.1 kHz MPEG-1 Table B.8 profiles under the
+    differential gate (round 16; r15 verdict task 7): docs rotate
+    48 kHz long, 48 kHz short, 32 kHz long and 32 kHz short streams
+    whose scalefactors cycle (d+gi+sfb[+w]) % 4, so the decoded
+    spectrum energy depends on WHICH scalefactor band each line falls
+    in — the oracle recomputes it from its own copy of the 48/32 kHz
+    band boundaries, and any transcription slip in either long table
+    (attenuation bands), either short table (per-window triplet
+    geometry + reordering), or the region-boundary dispatch breaks the
+    hash or the decode outright. Map-only mapInPandas with the
+    standard core fan-out."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def silent(bt: int = 0) -> dict:
+            s = {"is": [0] * 576, "global_gain": 210, "scalefac": [0] * 21,
+                 "big_values": 0, "scalefac_scale": 1,
+                 "scalefac_compress": 0}
+            if bt:
+                s["block_type"] = bt
+                s["subblock_gain"] = [0, 0, 0]
+                if bt == 2:
+                    s["scalefac_s"] = [[0] * 3 for _ in range(12)]
+            return s
+
+        def long_a(d: int, gi: int, st: int) -> dict:
+            iv = [0] * 576
+            for i in range(0, 480, st):
+                iv[i] = 1 if (i // st + d + gi) % 2 == 0 else -1
+            return {"is": iv, "global_gain": 210 + 4 * ((d + gi) % 6),
+                    "scalefac": [(d + gi + b) % 4 for b in range(21)],
+                    "scalefac_compress": 9, "big_values": 240,
+                    "scalefac_scale": 1}
+
+        def short_a(d: int, gi: int, st: int) -> dict:
+            iv = [0] * 576
+            for i in range(0, 300, st):
+                iv[i] = 1 if (i // st + d + gi) % 2 == 0 else -1
+            return {"is": iv, "global_gain": 210 + 4 * ((d + gi) % 6),
+                    "scalefac": [0] * 21, "big_values": 150,
+                    "scalefac_scale": 1, "scalefac_compress": 9,
+                    "block_type": 2, "mixed_block_flag": 0,
+                    "subblock_gain": [0, 0, 0],
+                    "scalefac_s": [
+                        [(d + gi + sfb + w) % 4 for w in range(3)]
+                        for sfb in range(12)
+                    ]}
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "variant": [], "sample_rate": [],
+                "n_frames": [], "xr_energy_micros": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                v = d % 4
+                st = 7 + d % 5
+                rate = 48000 if v < 2 else 32000
+                if v % 2 == 0:
+                    variant = f"long_{rate}"
+                    specs = [silent(), long_a(d, 0, st),
+                             long_a(d, 1, st), silent()]
+                else:
+                    variant = f"short_{rate}"
+                    specs = [silent(), silent(1), short_a(d, 0, st),
+                             short_a(d, 1, st), silent(3), silent()]
+                m = _decode_mp3_l3(
+                    encode_mp3_l3(specs, sample_rate=rate)
+                )
+                e = sum(
+                    sum(x * x for x in g.xr) for g in m["granules"]
+                )
+                out["doc_id"].append(d)
+                out["variant"].append(variant)
+                out["sample_rate"].append(m["sample_rate"])
+                out["n_frames"].append(m["n_frames"])
+                out["xr_energy_micros"].append(int(round(1e6 * e)))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, variant string, sample_rate long, n_frames long, "
+        "xr_energy_micros long"
+    )
+    return docs.mapInPandas(run, schema).orderBy("doc_id")
 
 
 @register(

@@ -91,6 +91,7 @@ QUERIES = [
     # post-window r16 additions
     "mp3_container_routing_features",
     "mp3_stereo_matrix_decode_features",
+    "mp3_rate_profiles_decode_features",
 ]
 
 
@@ -191,6 +192,7 @@ ANSI_QUERIES = [
     "avi_audio_extract_features",
     "mp3_container_routing_features",
     "mp3_stereo_matrix_decode_features",
+    "mp3_rate_profiles_decode_features",
 ]
 
 
