@@ -2913,7 +2913,7 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, source string, n_bytes long, "
         "fingerprint string, est_duration_micros long"
     )
-    return payloads.mapInPandas(extract, schema).orderBy("doc_id")
+    return payloads.mapInPandas(extract, schema)
 
 
 @register(
@@ -3032,7 +3032,7 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, fmt string, variant string, width long, height long, "
         "n_pixels long, mean_b long, mean_g long, mean_r long"
     )
-    return docs.mapInPandas(run, schema).orderBy("doc_id")
+    return docs.mapInPandas(run, schema)
 
 
 @register(
@@ -3130,7 +3130,7 @@ def video_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, frame_idx int, width long, height long, n_frames long, "
         "t_micros long, mean_b long, mean_g long, mean_r long"
     )
-    return docs.mapInPandas(run, schema).orderBy("doc_id", "frame_idx")
+    return docs.mapInPandas(run, schema)
 
 
 @register(
@@ -3205,7 +3205,7 @@ def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_frames long, frame_rate long, n_channels long, "
         "sample_width long, mean_abs long, peak long, energy_mean long"
     )
-    return docs.mapInPandas(run, schema).orderBy("doc_id")
+    return docs.mapInPandas(run, schema)
 
 
 # --- perceptual-hash image near-dup dedup (round 11) ------------------------
@@ -3687,7 +3687,7 @@ def g711_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, codec string, n_frames long, frame_rate long, "
         "sample_width long, mean_abs long, peak long, energy_mean long"
     )
-    return docs.mapInPandas(run, schema).orderBy("doc_id")
+    return docs.mapInPandas(run, schema)
 
 
 @register(
@@ -3740,11 +3740,7 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     schema = "doc_id long, frame_idx int, frame_len int, frame_sig string"
-    return (
-        docs.select("doc_id", "text")
-        .mapInPandas(sample, schema)
-        .orderBy("doc_id", "frame_idx")
-    )
+    return docs.select("doc_id", "text").mapInPandas(sample, schema)
 
 
 CHUNK_BYTES = 4000  # mirrors the reference's 4000-frame chunked WAV read
@@ -4440,7 +4436,7 @@ def mp3_probe_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_frames long, sample_rate long, duration_ms long, "
         "n_bytes long, mean_bitrate_kbps long, vbr boolean"
     )
-    return docs.mapInPandas(run, schema).orderBy("doc_id")
+    return docs.mapInPandas(run, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -5156,7 +5152,7 @@ def flac_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_samples long, sample_rate long, mean_abs long, "
         "peak long, energy_mean long"
     )
-    return docs.mapInPandas(run, schema).orderBy("doc_id")
+    return docs.mapInPandas(run, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -6938,7 +6934,7 @@ def mp3_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_granules long, nonzero_lines long, neg_lines long, "
         "gg_sum long, energy_micros long"
     )
-    return docs.mapInPandas(run, schema).orderBy("doc_id")
+    return docs.mapInPandas(run, schema)
 
 
 @register(
@@ -7058,7 +7054,7 @@ def mp3_stereo_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_granule_channels long, ms_mode boolean, "
         "nonzero_lines long, ch0_energy_micros long, ch1_energy_micros long"
     )
-    return docs.mapInPandas(run, schema).orderBy("doc_id")
+    return docs.mapInPandas(run, schema)
 
 
 # Short-band boundary tables as DuckDB list literals (1-indexed in SQL).
@@ -7201,7 +7197,7 @@ def mp3_shortblock_decode_features(spark: SparkSession, sf_dir: str) -> DataFram
         "doc_id long, mixed boolean, nonzero_lines long, neg_lines long, "
         "gg_sum long, pos_weight long, energy_micros long"
     )
-    return docs.mapInPandas(run, schema).orderBy("doc_id")
+    return docs.mapInPandas(run, schema)
 
 
 @register(
@@ -7415,7 +7411,7 @@ def mp3_pcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples long, xr_energy_micros long, chain_energy_milli long, "
         "rt_peak long, rt_sum_abs long"
     )
-    return docs.mapInPandas(run, schema).orderBy("doc_id")
+    return docs.mapInPandas(run, schema)
 
 
 @register(
@@ -7720,7 +7716,7 @@ def mp3_rate_profiles_decode_features(spark: SparkSession, sf_dir: str) -> DataF
         "doc_id long, variant string, sample_rate long, n_frames long, "
         "xr_energy_micros long"
     )
-    return docs.mapInPandas(run, schema).orderBy("doc_id")
+    return docs.mapInPandas(run, schema)
 
 
 @register(
@@ -7952,7 +7948,7 @@ def mp3_stereo_matrix_decode_features(spark: SparkSession, sf_dir: str) -> DataF
         "doc_id long, variant string, n_channels long, n_frames long, "
         "xr_energy_micros long, right_int_energy_micros long"
     )
-    return docs.mapInPandas(run, schema).orderBy("doc_id")
+    return docs.mapInPandas(run, schema)
 
 
 @register(
@@ -8118,7 +8114,7 @@ def mp3_huffman_tables_decode_features(spark: SparkSession, sf_dir: str) -> Data
         "big_pos_weight long, energy1_micros long, quad_lines long, "
         "quad_pos_weight long, quad_neg long"
     )
-    return docs.mapInPandas(run, schema).orderBy("doc_id")
+    return docs.mapInPandas(run, schema)
 
 
 @register(
@@ -8221,7 +8217,7 @@ def mp3_container_routing_features(spark: SparkSession, sf_dir: str) -> DataFram
         "doc_id long, container string, codec string, sample_rate long, "
         "n_samples long, n_video_frames long, parity_raw boolean"
     )
-    return docs.mapInPandas(run, schema).orderBy("doc_id")
+    return docs.mapInPandas(run, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -8677,7 +8673,7 @@ def tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "planar boolean, width long, height long, mean_b long, "
         "mean_g long, mean_r long"
     )
-    return docs.mapInPandas(run, schema).orderBy("doc_id")
+    return docs.mapInPandas(run, schema)
 
 
 # TIFF 6.0 §13 LZW: MSB-first code packing, 9->12 bit widths with the
@@ -9373,7 +9369,7 @@ def tiff_g4_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "photometric long, compression long, t4_two_d boolean, "
         "black_count long, pos_weight long"
     )
-    return docs.mapInPandas(run, schema).orderBy("doc_id")
+    return docs.mapInPandas(run, schema)
 
 
 _AU_MAGIC = b".snd"
@@ -10463,7 +10459,7 @@ def au_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, codec string, sample_rate long, n_samples long, "
         "peak long, sum_abs long"
     )
-    return docs.mapInPandas(run, schema).orderBy("doc_id")
+    return docs.mapInPandas(run, schema)
 
 
 @register(
@@ -10583,7 +10579,7 @@ def au_adpcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, codec string, n_samples long, au_bytes long, "
         "tracking_exact boolean, snr_ok boolean"
     )
-    return docs.mapInPandas(run, schema).orderBy("doc_id")
+    return docs.mapInPandas(run, schema)
 
 
 @register(
@@ -10700,7 +10696,7 @@ def jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height long, n_pixels long, err_ok boolean, "
         "prog_matches_baseline boolean"
     )
-    return docs.mapInPandas(run, schema).orderBy("doc_id")
+    return docs.mapInPandas(run, schema)
 
 
 @register(
@@ -10797,4 +10793,4 @@ def avi_audio_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, codec string, sample_rate long, n_samples long, "
         "n_video_frames long, peak long, sum_abs long"
     )
-    return docs.mapInPandas(run, schema).orderBy("doc_id")
+    return docs.mapInPandas(run, schema)

@@ -2651,5 +2651,4 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & ~redacted.rlike(_PII_IP)
             ).alias("clean"),
         )
-        .orderBy("doc_id")
     )

@@ -577,3 +577,37 @@ def test_round14_tpch_shapes_plan_quality(spark, sf_dir):
     assert "BroadcastHashJoin" in q14
     assert "Cartesian" not in q14 and "Window" not in q14
     assert "partial_" in q14
+
+
+def test_decode_gate_plans_have_no_trailing_sort(spark, sf_dir):
+    """Round 16 (r15 verdict task 6): the map-only decode gates dropped
+    their trailing orderBy — the driver comparator is order-insensitive
+    — so their executed plans must stay narrow end-to-end: NO Sort, no
+    Join, and no exchange beyond the explicit core fan-out repartition
+    (RoundRobin). A reintroduced output sort would add a
+    rangepartitioning Exchange + Sort after the InPandas node and fail
+    here."""
+    from input_data_pipeline_spark.operators.multimodal import (
+        avi_audio_extract_features,
+        jpeg_decode_features,
+        mp3_rate_profiles_decode_features,
+    )
+    from input_data_pipeline_spark.operators.textstats import (
+        pii_redaction_stats,
+    )
+
+    for q in (
+        jpeg_decode_features,
+        mp3_rate_profiles_decode_features,
+        avi_audio_extract_features,
+        pii_redaction_stats,
+    ):
+        plan = _executed_plan(q(spark, sf_dir))
+        if q.__name__ != "pii_redaction_stats":  # pii is fully JVM-side
+            assert "InPandas" in plan, (q.__name__, plan[:400])
+        assert "Sort" not in plan, (q.__name__, plan[:800])
+        assert "Join" not in plan, (q.__name__, plan[:800])
+        for e in re.findall(r"Exchange (\w+)", plan):
+            assert e.startswith(("RoundRobin", "SinglePartition")), (
+                q.__name__, e,
+            )
