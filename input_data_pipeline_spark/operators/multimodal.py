@@ -8462,9 +8462,14 @@ def _decode_tiff(payload: bytes) -> dict:
         if 258 in tags and arr(258) != [1]:
             raise ValueError("TIFF G4 requires BitsPerSample 1")
         t4opts = tags.get(292, (4, 1, 0, 0))[2]
-        if comp == 3 and t4opts & 0b10:
+        if comp == 3 and (t4opts & 0b10) and not (t4opts & 0b1):
+            # the Annex A escape lives in the 2D mode alphabet; a pure-1D
+            # stream advertising uncompressed mode has no spec'd entry
+            # our decoder recognizes
             raise ValueError(
-                "TIFF G3 uncompressed mode (T4Options bit 1) unsupported"
+                "TIFF G3 uncompressed mode with 1D-only coding "
+                "(T4Options bit 1 without bit 0) unsupported; 2D "
+                "uncompressed decodes (round 16)"
             )
         rps_g4 = tags.get(278, (4, 1, h))[2] or h
         if 273 not in tags or 279 not in tags:
@@ -8848,6 +8853,9 @@ _G4_MODES = {
     "P": "0001", "H": "001", "V0": "1",
     "VR1": "011", "VR2": "000011", "VR3": "0000011",
     "VL1": "010", "VL2": "000010", "VL3": "0000010",
+    # T.4 §4.2.1.3.5 / T.6 extension escape: 0000001 + 3 xxx bits;
+    # xxx = 111 enters uncompressed mode (Annex A), others raise by name
+    "EXT": "0000001",
 }
 
 
@@ -8997,13 +9005,46 @@ def g4_encode(rows) -> tuple[bytes, dict]:
 _G3_EOL = "000000000001"
 
 
-def g3_encode(rows, two_d: bool = False) -> tuple[bytes, dict]:
+def _uncompressed_row_bits(row) -> str:
+    """Code one whole row in T.4 Annex A uncompressed mode: the 2D
+    extension escape (0000001 111), literal codes ("0"*n + "1" for n<=4
+    whites before each black, "000001" per five whites), and the exit
+    code whose 0-4 trailing zeros absorb the row's final white run
+    (next-run colour bit 0 — the row is complete, the decoder discards
+    it at the row boundary)."""
+    bits = ["0000001", "111"]
+    zeros = 0
+    for v in row:
+        if v:
+            while zeros >= 5:
+                bits.append("000001")
+                zeros -= 5
+            bits.append("0" * zeros + "1")
+            zeros = 0
+        else:
+            zeros += 1
+    while zeros > 4:
+        bits.append("000001")
+        zeros -= 5
+    bits.append("0" * (6 + zeros) + "1" + "0")  # exit + next-colour bit
+    return "".join(bits)
+
+
+def g3_encode(rows, two_d: bool = False,
+              uncompressed: bool = False) -> tuple[bytes, dict]:
     """ITU-T T.4 (Group 3) encoder, TIFF compression 3: an EOL before
     EVERY row; 1D rows are the Modified Huffman alphabet. With
     ``two_d`` (T4Options bit 0), each EOL carries a tag bit — the first
     row is 1D (tag 1), subsequent rows 2D (tag 0) against the previous
-    row, the K-factor pattern a fax sender uses between full resyncs."""
-    counts = {"P": 0, "H": 0, "V": 0, "1D": 0}
+    row, the K-factor pattern a fax sender uses between full resyncs.
+    With ``uncompressed`` (T4Options bit 1, requires ``two_d``) every
+    2D row is coded through the Annex A uncompressed escape instead."""
+    if uncompressed and not two_d:
+        raise ValueError(
+            "T.4 uncompressed mode is entered through the 2D extension "
+            "escape; pass two_d=True"
+        )
+    counts = {"P": 0, "H": 0, "V": 0, "1D": 0, "U": 0}
     bits = []
     ref = None
     for row in rows:
@@ -9013,6 +9054,9 @@ def g3_encode(rows, two_d: bool = False) -> tuple[bytes, dict]:
         if ref is None or not two_d:
             bits.append(_mh_row_bits(row))
             counts["1D"] += 1
+        elif uncompressed:
+            bits.append(_uncompressed_row_bits(row))
+            counts["U"] += 1
         else:
             bits.append(_g4_row_bits(row, ref, counts))
         ref = row
@@ -9141,6 +9185,50 @@ def _fax_row_2d(fb: "_FaxBits", ref: list[int], width: int) -> list[int]:
             for j in range(start + r1, start + r1 + r2):
                 row[j] = color ^ 1
             a0 = start + r1 + r2
+        elif mode == "EXT":
+            ext = f"{fb.bit()}{fb.bit()}{fb.bit()}"
+            if ext != "111":
+                raise ValueError(
+                    f"fax extension code 0000001{ext} unsupported "
+                    "(only 111 = T.4/T.6 uncompressed mode decodes)"
+                )
+            # T.4 Annex A uncompressed mode (round 16): literal pixel
+            # codes — n<=4 zeros + an emitted black ("0"*n + "1"),
+            # "000001" = five white pixels, exit = 6-10 zeros + "1"
+            # (coding 0-4 trailing whites) + the next-run colour bit
+            pos = start
+            while True:
+                zeros = 0
+                while not fb.bit():
+                    zeros += 1
+                    if zeros > 10:
+                        raise ValueError(
+                            "invalid T.4 uncompressed code (>10 zeros)"
+                        )
+                if zeros <= 4:
+                    if pos + zeros + 1 > width:
+                        raise ValueError(
+                            "T.4 uncompressed run overruns the row"
+                        )
+                    pos += zeros  # row is zero-initialized: whites free
+                    row[pos] = 1
+                    pos += 1
+                elif zeros == 5:
+                    if pos + 5 > width:
+                        raise ValueError(
+                            "T.4 uncompressed run overruns the row"
+                        )
+                    pos += 5
+                else:
+                    trailing = zeros - 6
+                    if pos + trailing > width:
+                        raise ValueError(
+                            "T.4 uncompressed exit overruns the row"
+                        )
+                    pos += trailing
+                    color = fb.bit()  # colour of the next 2D-coded run
+                    break
+            a0 = pos
         else:
             d = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
                  "VL1": -1, "VL2": -2, "VL3": -3}[mode]
@@ -9222,7 +9310,8 @@ def _mh_decode(data: bytes, width: int, height: int):
 
 def encode_tiff_g4(bitmap, big_endian: bool = False,
                    photometric: int = 0, compression: int = 4,
-                   two_d: bool = False) -> bytes:
+                   two_d: bool = False,
+                   uncompressed: bool = False) -> bytes:
     """Encode a bilevel (h, w) bitmap (1 = black) as a TIFF 6.0 CCITT
     fax file: compression 4 (Group 4 / T.6 2D), 3 (Group 3 / T.4 with
     EOLs; ``two_d`` sets T4Options bit 0 and codes rows 2D after the 1D
@@ -9243,7 +9332,7 @@ def encode_tiff_g4(bitmap, big_endian: bool = False,
     if compression == 2:
         strip = mh_encode(rows)
     elif compression == 3:
-        strip = g3_encode(rows, two_d=two_d)[0]
+        strip = g3_encode(rows, two_d=two_d, uncompressed=uncompressed)[0]
     else:
         strip = g4_encode(rows)[0]
     e = ">" if big_endian else "<"
@@ -9268,7 +9357,8 @@ def encode_tiff_g4(bitmap, big_endian: bool = False,
     ifd += tag(278, 4, 1, h)             # RowsPerStrip
     ifd += tag(279, 4, 1, len(strip))    # StripByteCounts
     if compression == 3:
-        ifd += tag(292, 4, 1, 1 if two_d else 0)  # T4Options
+        # T4Options: bit 0 = 2D coding, bit 1 = uncompressed mode allowed
+        ifd += tag(292, 4, 1, (1 if two_d else 0) | (2 if uncompressed else 0))
     ifd += struct.pack(e + "I", 0)
     return hdr + ifd + strip
 
@@ -9282,9 +9372,10 @@ def encode_tiff_g4(bitmap, big_endian: bool = False,
            (d.doc_id % 2 = 1) AS big_endian,
            CAST(d.doc_id // 2 % 2 AS BIGINT) AS photometric,
            CAST(CASE CAST(d.doc_id % 7 AS INTEGER)
-                     WHEN 0 THEN 2 WHEN 5 THEN 3 WHEN 6 THEN 3
-                     ELSE 4 END AS BIGINT) AS compression,
-           (d.doc_id % 7 = 6) AS t4_two_d,
+                     WHEN 0 THEN 2 WHEN 4 THEN 3 WHEN 5 THEN 3
+                     WHEN 6 THEN 3 ELSE 4 END AS BIGINT) AS compression,
+           (d.doc_id % 7 = 6 OR d.doc_id % 7 = 4) AS t4_two_d,
+           (d.doc_id % 7 = 4) AS t4_uncompressed,
            CAST(SUM(CASE WHEN (7 * p.j + 3 * p.i * p.i + d.doc_id) % 11 < 4
                          THEN 1 ELSE 0 END) AS BIGINT) AS black_count,
            CAST(SUM(CASE WHEN (7 * p.j + 3 * p.i * p.i + d.doc_id) % 11 < 4
@@ -9314,9 +9405,11 @@ def tiff_g4_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. Docs rotate the FULL fax matrix by doc_id %% 7: Modified
     Huffman (compression 2, independent byte-aligned 1D rows), Group 3
     (compression 3, EOL-per-row; one variant 1D, one 2D with the
-    T4Options tag bit and per-row tag bits) and Group 4 — four CCITT
-    decoders under the same hash. Map-only mapInPandas with the
-    standard core fan-out."""
+    T4Options tag bit and per-row tag bits, and — round 16 — one 2D
+    with T4Options bit 1 coding every 2D row through the Annex A
+    UNCOMPRESSED escape: literal pixel codes + the trailing-zeros exit)
+    and Group 4 — five CCITT shapes under the same hash. Map-only
+    mapInPandas with the standard core fan-out."""
     import numpy as np
 
     docs = (
@@ -9332,7 +9425,7 @@ def tiff_g4_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = {
                 "doc_id": [], "width": [], "height": [], "big_endian": [],
                 "photometric": [], "compression": [], "t4_two_d": [],
-                "black_count": [], "pos_weight": [],
+                "t4_uncompressed": [], "black_count": [], "pos_weight": [],
             }
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
@@ -9340,13 +9433,14 @@ def tiff_g4_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 h = 10 + d % 7
                 photo = (d // 2) % 2
                 sel = d % 7
-                comp = {0: 2, 5: 3, 6: 3}.get(sel, 4)
-                two_d = sel == 6
+                comp = {0: 2, 4: 3, 5: 3, 6: 3}.get(sel, 4)
+                two_d = sel in (4, 6)
+                uncomp = sel == 4
                 i, j = np.mgrid[0:h, 0:w]
                 bm = (((7 * j + 3 * i * i + d) % 11) < 4).astype(np.uint8)
                 blob = encode_tiff_g4(
                     bm, big_endian=(d % 2 == 1), photometric=photo,
-                    compression=comp, two_d=two_d,
+                    compression=comp, two_d=two_d, uncompressed=uncomp,
                 )
                 m = decode_media(blob, "image")  # REAL G4 decode
                 px = np.frombuffer(m["pixels"], np.uint8).reshape(h, w, 3)
@@ -9358,6 +9452,7 @@ def tiff_g4_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["photometric"].append(photo)
                 out["compression"].append(comp)
                 out["t4_two_d"].append(two_d)
+                out["t4_uncompressed"].append(uncomp)
                 out["black_count"].append(int(black.sum()))
                 out["pos_weight"].append(
                     int((((i + 1) * (j + 1)) * black).sum())
@@ -9367,7 +9462,7 @@ def tiff_g4_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = (
         "doc_id long, width long, height long, big_endian boolean, "
         "photometric long, compression long, t4_two_d boolean, "
-        "black_count long, pos_weight long"
+        "t4_uncompressed boolean, black_count long, pos_weight long"
     )
     return docs.mapInPandas(run, schema)
 

@@ -114,6 +114,10 @@ ANCHORS = [
     # anchor catches a lost repartition fan-out mechanically
     "au_adpcm_decode_features",
     "jpeg_decode_features",
+    # round-16 addition (r15 verdict task 9): the AVI container-walk +
+    # audio-decode shape — distinct from the AU gates (RIFF re-pack +
+    # the WAV matrix dispatch per doc), map-only, same fan-out guard
+    "avi_audio_extract_features",
 ]
 
 

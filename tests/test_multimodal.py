@@ -2654,6 +2654,63 @@ def test_mp3_combined_ms_intensity_and_short_intensity_decode():
         _decode_mp3_l3(blob_m)
 
 
+def test_tiff_g3_uncompressed_mode_roundtrip():
+    """T.4 Annex A uncompressed mode (round 16, closes the fax matrix):
+    2D rows coded through the 0000001 111 escape — literal pixel codes,
+    five-white chunks, the trailing-zeros exit — roundtrip pixel-exact;
+    1D-only streams advertising uncompressed still raise by name, as do
+    unknown extension codes."""
+    import numpy as np
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _g3_decode,
+        decode_media,
+        encode_tiff_g4,
+        g3_encode,
+    )
+
+    rng = np.random.default_rng(16)
+    for _ in range(10):
+        h, w = int(rng.integers(3, 10)), int(rng.integers(5, 30))
+        bm = (rng.random((h, w)) < 0.4).astype(np.uint8)
+        data, counts = g3_encode(list(bm), two_d=True, uncompressed=True)
+        assert counts["U"] == h - 1 and counts["1D"] == 1
+        assert np.array_equal(_g3_decode(data, w, h, two_d=True), bm)
+
+    i, j = np.mgrid[0:9, 0:21]
+    bm = (((7 * j + 3 * i * i) % 11) < 4).astype(np.uint8)
+    blob = encode_tiff_g4(bm, compression=3, two_d=True, uncompressed=True)
+    m = decode_media(blob, "image")
+    px = np.frombuffer(m["pixels"], np.uint8).reshape(9, 21, 3)
+    assert np.array_equal((px[:, :, 0] == 0).astype(np.uint8), bm)
+
+    with pytest.raises(ValueError, match="two_d=True"):
+        g3_encode(list(bm), two_d=False, uncompressed=True)
+    # a 1D-only container advertising uncompressed raises by name
+    import struct
+
+    bad = bytearray(encode_tiff_g4(bm, compression=3, two_d=False))
+    ifd_off = struct.unpack_from("<I", bad, 4)[0]
+    n_tags = struct.unpack_from("<H", bad, ifd_off)[0]
+    for t in range(n_tags):
+        off = ifd_off + 2 + 12 * t
+        if struct.unpack_from("<H", bad, off)[0] == 292:
+            struct.pack_into("<I", bad, off + 8, 2)  # bit 1 without bit 0
+    with pytest.raises(ValueError, match="1D-only"):
+        decode_media(bytes(bad), "image")
+    # unknown extension codes raise by name (0000001 110)
+    from input_data_pipeline_spark.operators.multimodal import (
+        _bits_to_bytes,
+        _fax_row_2d,
+        _FaxBits,
+    )
+
+    fb = _FaxBits(_bits_to_bytes("0000001" + "110" + "0" * 16))
+    with pytest.raises(ValueError, match="0000001110"):
+        _fax_row_2d(fb, [0] * 8, 8)
+
+
 def test_tiff_rejects_malformed_structures():
     import numpy as np
     import pytest
