@@ -1913,8 +1913,27 @@ def encode_jpeg(rows_rgb=None, gray_rows=None, quant=1, restart_interval=0,
                             ac_syms[ci].add(0x00)
                         stream.append(("blk", ci, toks))
 
-    dc_tabs = [_jpeg_canonical_tables(s) for s in dc_syms]
-    ac_tabs = [_jpeg_canonical_tables(s) for s in ac_syms]
+    # T.81 baseline permits Huffman destinations 0 and 1 only (B.2.4.2
+    # note + table F.?): the conventional layout — destination 0 for
+    # luma, destination 1 shared by both chroma components (their symbol
+    # sets merged) — keeps the emitted files strictly conforming
+    # (round 16; previously component 3 got the illegal Th=2)
+    n_dest = min(ncomp, 2)
+    dest = [min(ci, 1) for ci in range(ncomp)]
+    dc_tabs = [
+        _jpeg_canonical_tables(
+            set().union(*(dc_syms[ci] for ci in range(ncomp)
+                          if dest[ci] == t))
+        )
+        for t in range(n_dest)
+    ]
+    ac_tabs = [
+        _jpeg_canonical_tables(
+            set().union(*(ac_syms[ci] for ci in range(ncomp)
+                          if dest[ci] == t))
+        )
+        for t in range(n_dest)
+    ]
 
     # pass 2: emit the entropy stream with byte stuffing + restarts
     out = bytearray()
@@ -1943,7 +1962,7 @@ def encode_jpeg(rows_rgb=None, gray_rows=None, quant=1, restart_interval=0,
             continue
         _, ci, toks = item
         for kind, sym, bv, nb in toks:
-            enc = (dc_tabs if kind == "dc" else ac_tabs)[ci][2]
+            enc = (dc_tabs if kind == "dc" else ac_tabs)[dest[ci]][2]
             L, code = enc[sym]
             put(code, L)
             if nb:
@@ -1967,14 +1986,14 @@ def encode_jpeg(rows_rgb=None, gray_rows=None, quant=1, restart_interval=0,
     for ci, (hc, vc) in enumerate(facs):
         sof += bytes([ci + 1, (hc << 4) | vc, 0])
     hdr += seg(0xC0, sof)
-    for ci in range(ncomp):
-        for tc, (bits, vals, _) in ((0, dc_tabs[ci]), (1, ac_tabs[ci])):
-            hdr += seg(0xC4, bytes([(tc << 4) | ci]) + bytes(bits) + vals)
+    for t in range(n_dest):
+        for tc, (bits, vals, _) in ((0, dc_tabs[t]), (1, ac_tabs[t])):
+            hdr += seg(0xC4, bytes([(tc << 4) | t]) + bytes(bits) + vals)
     if restart_interval:
         hdr += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for ci in range(ncomp):
-        sos += bytes([ci + 1, (ci << 4) | ci])
+        sos += bytes([ci + 1, (dest[ci] << 4) | dest[ci]])
     sos += b"\x00\x3f\x00"
     hdr += seg(0xDA, sos)
     return hdr + bytes(out) + b"\xff\xd9"
