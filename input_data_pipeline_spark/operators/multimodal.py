@@ -19,10 +19,12 @@ over BITMAPINFOHEADER / a RIFF chunk walk, feeding
 ``sample_video_frames``; 8-bit truecolor PNG decode is REAL since
 round 9 (chunk walk + stdlib ``zlib`` inflate + scanline unfilter), and
 the later rounds added real JPEG (baseline + progressive), GIF, TIFF,
-FLAC, G.711/IMA-ADPCM, AU, and the MP3 Layer III entropy layer. The
+FLAC, G.711/IMA-ADPCM, AU, the full MP3 chain, MJPEG-in-AVI, and —
+round 16 — MP4/ISO-BMFF audio extraction (MP3 + PCM tracks). The
 remaining external-codec seams are named raises, each listed at its
-decoder: compressed ('..dc') AVI streams, MP4 containers, and the
-narrower per-format gaps documented in the MP3/TIFF/AU sections. The
+decoder: AAC and H.264 SAMPLE decode, non-MJPEG compressed AVI
+streams, and the narrower per-format gaps documented in the
+MP3/TIFF/AU sections. The
 deterministic RMS-energy segmenter
 (``transcribe_wav_energy``) stands in for the ASR engine behind the
 same per-executor-singleton pattern a real Vosk model would use, so the
@@ -2579,6 +2581,355 @@ def _probe_mp4(payload: bytes) -> dict:
     }
 
 
+def _mp4_boxes(payload: bytes, start: int, end: int):
+    """ISO BMFF box iterator (module-level twin of :func:`_probe_mp4`'s
+    closure, for the sample extractor): yields (type, body_start,
+    body_end) handling 64-bit largesize and size-0 run-to-end boxes."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4: pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 box (largesize header)")
+            (size,) = struct.unpack_from(">Q", payload, pos + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(
+                f"truncated MP4 box '{typ.decode(errors='replace')}'"
+            )
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+def _mp4_read_descriptor(buf: bytes, pos: int) -> tuple[int, int, int]:
+    """Read one MPEG-4 descriptor header (14496-1 §8.3.3 expandable
+    length): returns (tag, body_start, body_end)."""
+    tag = buf[pos]
+    pos += 1
+    ln = 0
+    for _ in range(4):
+        b = buf[pos]
+        pos += 1
+        ln = (ln << 7) | (b & 0x7F)
+        if not b & 0x80:
+            break
+    else:
+        raise ValueError("MP4 descriptor length field overruns 4 bytes")
+    return tag, pos, pos + ln
+
+
+def extract_mp4_audio(payload: bytes) -> dict:
+    """Extract and DECODE the audio track of an ISO BMFF (MP4/M4A/MOV)
+    container (round 16): a box walk finds the 'soun' trak, reads its
+    sample tables (stsd entry format + esds objectTypeIndication, stsz
+    sizes, stsc sample-to-chunk runs, stco/co64 chunk offsets — the
+    full §8.7 layout, not just the single-chunk case), reassembles the
+    samples in order, and dispatches by codec: mp4a with OTI 0x6B/0x69
+    (MPEG-1/2 audio = MP3) routes to the EXISTING full MP3 PCM chain,
+    'twos'/'sowt' route as big-/little-endian 16-bit PCM, and mp4a OTI
+    0x40 (AAC) raises naming the codec seam. An MP4 without an audio
+    track raises by name. The reference shells to ffmpeg for exactly
+    this (/root/reference/inputs/speech_to_text.py:14-30)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload (missing ftyp box)")
+    fmt = None          # stsd entry fourcc
+    oti = None          # mp4a esds objectTypeIndication
+    n_channels = 1
+    stsd_rate = None
+    sizes: list[int] = []
+    chunk_offsets: list[int] = []
+    stsc_runs: list[tuple[int, int]] = []  # (first_chunk, samples_per_chunk)
+    found_soun = False
+
+    def stbl_walk(f0: int, f1: int) -> None:
+        nonlocal fmt, oti, n_channels, stsd_rate, sizes
+        nonlocal chunk_offsets, stsc_runs
+        for t6, g0, g1 in _mp4_boxes(payload, f0, f1):
+            if t6 == b"stsd":
+                (ne,) = struct.unpack_from(">I", payload, g0 + 4)
+                if ne < 1:
+                    raise ValueError("MP4 stsd has no sample entries")
+                for typ, h0, h1 in _mp4_boxes(payload, g0 + 8, g1):
+                    fmt = typ.decode("ascii", errors="replace")
+                    # AudioSampleEntry: 8 reserved/dri + 8 version-etc,
+                    # channelcount(2) samplesize(2) pre(4) rate(16.16)
+                    n_channels = struct.unpack_from(
+                        ">H", payload, h0 + 16
+                    )[0]
+                    stsd_rate = struct.unpack_from(
+                        ">I", payload, h0 + 24
+                    )[0] >> 16
+                    if typ == b"mp4a":
+                        for t7, i0, i1 in _mp4_boxes(
+                            payload, h0 + 28, h1
+                        ):
+                            if t7 != b"esds":
+                                continue
+                            # version/flags then the ES_Descriptor tree
+                            buf = payload[i0 + 4: i1]
+                            tag, p0, p1 = _mp4_read_descriptor(buf, 0)
+                            if tag != 0x03:
+                                raise ValueError(
+                                    "MP4 esds missing ES_Descriptor"
+                                )
+                            # ES_ID(2) + flags(1), no optional fields in
+                            # the flags=0 layout every muxer writes
+                            p = p0 + 3
+                            tag, q0, q1 = _mp4_read_descriptor(buf, p)
+                            if tag != 0x04:
+                                raise ValueError(
+                                    "MP4 esds missing "
+                                    "DecoderConfigDescriptor"
+                                )
+                            oti = buf[q0]
+                    break  # first entry governs (ne > 1 is archaic)
+            elif t6 == b"stsz":
+                const_sz, cnt = struct.unpack_from(">II", payload, g0 + 4)
+                if const_sz:
+                    sizes = [const_sz] * cnt
+                else:
+                    sizes = [
+                        struct.unpack_from(">I", payload, g0 + 12 + 4 * k)[0]
+                        for k in range(cnt)
+                    ]
+            elif t6 == b"stco":
+                (cnt,) = struct.unpack_from(">I", payload, g0 + 4)
+                chunk_offsets = [
+                    struct.unpack_from(">I", payload, g0 + 8 + 4 * k)[0]
+                    for k in range(cnt)
+                ]
+            elif t6 == b"co64":
+                (cnt,) = struct.unpack_from(">I", payload, g0 + 4)
+                chunk_offsets = [
+                    struct.unpack_from(">Q", payload, g0 + 8 + 8 * k)[0]
+                    for k in range(cnt)
+                ]
+            elif t6 == b"stsc":
+                (cnt,) = struct.unpack_from(">I", payload, g0 + 4)
+                stsc_runs = [
+                    struct.unpack_from(">II", payload, g0 + 8 + 12 * k)[:2]
+                    for k in range(cnt)
+                ]
+
+    for typ, b0, b1 in _mp4_boxes(payload, 0, len(payload)):
+        if typ != b"moov":
+            continue
+        for t2, c0, c1 in _mp4_boxes(payload, b0, b1):
+            if t2 != b"trak":
+                continue
+            handler = None
+            stbl_span = None
+            for t3, d0, d1 in _mp4_boxes(payload, c0, c1):
+                if t3 != b"mdia":
+                    continue
+                for t4, e0, e1 in _mp4_boxes(payload, d0, d1):
+                    if t4 == b"hdlr":
+                        handler = payload[e0 + 8: e0 + 12]
+                    elif t4 == b"minf":
+                        for t5, f0, f1 in _mp4_boxes(payload, e0, e1):
+                            if t5 == b"stbl":
+                                stbl_span = (f0, f1)
+            if handler == b"soun":
+                if found_soun:
+                    raise ValueError(
+                        "MP4 has several audio tracks; expected one"
+                    )
+                found_soun = True
+                if stbl_span is None:
+                    raise ValueError("MP4 audio trak has no stbl")
+                stbl_walk(*stbl_span)
+    if not found_soun:
+        raise ValueError("MP4 has no audio ('soun') track")
+    if not sizes or not chunk_offsets or not stsc_runs:
+        raise ValueError("MP4 audio stbl missing stsz/stco/stsc")
+    # §8.7.4: expand stsc runs across the stco chunk list, walking each
+    # chunk's samples contiguously from its offset
+    stream = bytearray()
+    si = 0
+    for ci in range(len(chunk_offsets)):
+        spc = 0
+        for first, per in stsc_runs:
+            if first <= ci + 1:
+                spc = per
+        off = chunk_offsets[ci]
+        for _ in range(spc):
+            if si >= len(sizes):
+                break
+            if off + sizes[si] > len(payload):
+                raise ValueError("MP4 sample extends past the payload")
+            stream += payload[off: off + sizes[si]]
+            off += sizes[si]
+            si += 1
+    if si != len(sizes):
+        raise ValueError(
+            f"MP4 chunk map covers {si} of {len(sizes)} samples"
+        )
+    if fmt == "mp4a":
+        if oti in (0x6B, 0x69):  # MPEG-1 / MPEG-2 audio (MP3)
+            return _mp3_stream_meta(bytes(stream))
+        raise NotImplementedError(
+            f"MP4 mp4a objectTypeIndication 0x{(oti or 0):02x} (AAC is "
+            "0x40) requires external media libraries; on a real cluster "
+            "wire the decoder through the per-executor singleton seam "
+            "(SURVEY §2.10 U1/U2). MP3-in-MP4 (0x6b/0x69) decodes"
+        )
+    if fmt in ("twos", "sowt"):  # big-/little-endian 16-bit PCM
+        raw = np.frombuffer(
+            bytes(stream), ">i2" if fmt == "twos" else "<i2"
+        ).astype("<i2")
+        return {
+            "n_channels": n_channels,
+            "sample_width": 2,
+            "frame_rate": stsd_rate,
+            "n_frames": len(raw) // max(n_channels, 1),
+            "pcm": raw.tobytes(),
+            "codec": "pcm_s16be" if fmt == "twos" else "pcm_s16le",
+        }
+    raise NotImplementedError(
+        f"MP4 audio sample entry '{fmt}' requires external media "
+        "libraries (SURVEY §2.10 U1/U2); mp4a-MP3 and twos/sowt PCM "
+        "decode"
+    )
+
+
+def encode_mp4_audio(
+    stream: bytes, codec: str = "mp3", sample_rate: int = 44100,
+    sample_sizes: list[int] | None = None, n_chunks: int = 1,
+    timescale: int | None = None, n_samples_total: int | None = None,
+) -> bytes:
+    """Write a minimal conforming ISO BMFF container carrying one audio
+    track — the sink half of the MP4 surface and the exact inverse of
+    :func:`extract_mp4_audio`. ``codec``: "mp3" (mp4a + esds OTI 0x6B;
+    ``sample_sizes`` partitions the elementary stream into samples —
+    normally one MP3 frame each) or "twos"/"sowt" (16-bit PCM, 2-byte
+    samples). ``n_chunks`` splits the samples across several mdat
+    chunks with a multi-run stsc/stco map, so the extractor's full
+    §8.7.4 walk is exercised, not just the one-chunk fast path."""
+    import struct
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + typ + body
+
+    if codec == "mp3":
+        if not sample_sizes or sum(sample_sizes) != len(stream):
+            raise ValueError(
+                "mp3 MP4 audio wants sample_sizes summing to the stream"
+            )
+        sizes = list(sample_sizes)
+    elif codec in ("twos", "sowt"):
+        if len(stream) % 2:
+            raise ValueError("PCM16 MP4 stream must be whole samples")
+        sizes = [2] * (len(stream) // 2)
+    else:
+        raise ValueError(f"unknown MP4 audio codec {codec!r}")
+    n = len(sizes)
+    ts = timescale or sample_rate
+    dur = n_samples_total if n_samples_total is not None else n
+
+    # split samples into n_chunks contiguous chunks (sizes may differ)
+    n_chunks = max(1, min(n_chunks, n))
+    per = -(-n // n_chunks)
+    chunk_lens = []
+    k = 0
+    while k < n:
+        take = min(per, n - k)
+        chunk_lens.append(take)
+        k += take
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp42")
+    mdat = box(b"mdat", stream)
+
+    # sample table boxes
+    stts = box(b"stts", struct.pack(">II II", 0, 1, n, 1))
+    entries = []
+    prev = None
+    for ci, cl in enumerate(chunk_lens):
+        if cl != prev:
+            entries.append((ci + 1, cl))
+            prev = cl
+    stsc = box(
+        b"stsc",
+        struct.pack(">II", 0, len(entries))
+        + b"".join(struct.pack(">III", f, c, 1) for f, c in entries),
+    )
+    stsz = box(
+        b"stsz",
+        struct.pack(">III", 0, 0, n)
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    # chunk offsets point into mdat: ftyp + mdat header precede
+    base = len(ftyp) + 8
+    offs = []
+    pos = 0
+    si = 0
+    for cl in chunk_lens:
+        offs.append(base + pos)
+        pos += sum(sizes[si: si + cl])
+        si += cl
+    stco = box(
+        b"stco",
+        struct.pack(">II", 0, len(offs))
+        + b"".join(struct.pack(">I", o) for o in offs),
+    )
+    if codec == "mp3":
+        dcd = bytes([0x04, 13, 0x6B, 0x15, 0x00, 0x00, 0x00]) + \
+            struct.pack(">II", 0, 0)
+        sl = bytes([0x06, 1, 0x02])
+        es = bytes([0x03, 3 + len(dcd) + len(sl), 0x00, 0x00, 0x00]) + \
+            dcd + sl
+        esds = box(b"esds", struct.pack(">I", 0) + es)
+        entry = box(
+            b"mp4a",
+            b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 8
+            + struct.pack(">HHI I", 1, 16, 0, sample_rate << 16) + esds,
+        )
+    else:
+        entry = box(
+            codec.encode(),
+            b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 8
+            + struct.pack(">HHI I", 1, 16, 0, sample_rate << 16),
+        )
+    stsd = box(b"stsd", struct.pack(">II", 0, 1) + entry)
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    url = box(b"url ", struct.pack(">I", 1))
+    dref = box(b"dref", struct.pack(">II", 0, 1) + url)
+    dinf = box(b"dinf", dref)
+    smhd = box(b"smhd", struct.pack(">I HH", 0, 0, 0))
+    minf = box(b"minf", smhd + dinf + stbl)
+    hdlr = box(
+        b"hdlr", struct.pack(">I I", 0, 0) + b"soun" + b"\x00" * 12 + b"\x00"
+    )
+    mdhd = box(
+        b"mdhd", struct.pack(">I II I I HH", 0, 0, 0, ts, dur, 0x55C4, 0)
+    )
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">I II I 4x I 8x HHHH", 7, 0, 0, 1, dur, 0, 0, 0x0100, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 0, 0),
+    )
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">I II I I I H 10x", 0, 0, 0, ts, dur, 0x00010000, 0x0100)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">6I I", 0, 0, 0, 0, 0, 0, 2),
+    )
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
 def probe_video(payload: bytes) -> dict:
     """Container-level video metadata without decoding samples — the
     ffprobe-shaped probe a pipeline runs on every blob before deciding
@@ -2745,6 +3096,9 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
         return _decode_flac(payload)
     if payload[:4] == b".snd":
         return _decode_au(payload)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        # ISO BMFF (round 16): sample-table walk + per-codec routing
+        return extract_mp4_audio(payload)
     if payload[:3] == b"ID3" or (
         len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
     ):
@@ -8132,6 +8486,139 @@ def mp3_huffman_tables_decode_features(spark: SparkSession, sf_dir: str) -> Data
         "doc_id long, big_lines long, mag_sum long, big_neg long, "
         "big_pos_weight long, energy1_micros long, quad_lines long, "
         "quad_pos_weight long, quad_neg long"
+    )
+    return docs.mapInPandas(run, schema)
+
+
+@register(
+    "mp4_audio_extract_features",
+    oracle="""
+    WITH pcm AS (
+        SELECT d.doc_id,
+               CAST(MAX(ABS((11 * d.doc_id + 5 * s.i) % 4001 - 2000))
+                    AS BIGINT) AS peak,
+               CAST(SUM(ABS((11 * d.doc_id + 5 * s.i) % 4001 - 2000))
+                    AS BIGINT) AS sum_abs
+        FROM documents d,
+             LATERAL (SELECT unnest(generate_series(
+                 0, CAST(255 + (d.doc_id % 5) * 64 AS BIGINT))) AS i) s
+        WHERE d.doc_id % 2 = 1
+        GROUP BY d.doc_id
+    )
+    SELECT d.doc_id,
+           CASE CAST(d.doc_id % 4 AS INTEGER)
+                WHEN 0 THEN 'mp3_2chunk' WHEN 1 THEN 'pcm_be'
+                WHEN 2 THEN 'mp3_1chunk' ELSE 'pcm_le' END AS variant,
+           CASE WHEN d.doc_id % 2 = 0 THEN 'mp3'
+                WHEN d.doc_id % 4 = 1 THEN 'pcm_s16be'
+                ELSE 'pcm_s16le' END AS codec,
+           CAST(CASE WHEN d.doc_id % 2 = 0 THEN 44100 ELSE 16000 END
+                AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN d.doc_id % 2 = 0 THEN 2816
+                     ELSE 256 + (d.doc_id % 5) * 64 END
+                AS BIGINT) AS n_samples,
+           CAST(COALESCE(p.peak, 0) AS BIGINT) AS peak,
+           CAST(COALESCE(p.sum_abs, 0) AS BIGINT) AS sum_abs,
+           TRUE AS parity_raw
+    FROM documents d LEFT JOIN pcm p ON p.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def mp4_audio_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/ISO-BMFF AUDIO extraction under the differential gate (round
+    16; closes the container half of the r15 verdict's 'MP4/AAC' gap —
+    sample decode now raises ONLY for genuinely external codecs like
+    AAC). Even docs carry a 2-frame MP3 elementary stream as an mp4a
+    track (esds objectTypeIndication 0x6B), split one-sample-per-frame
+    across TWO mdat chunks (doc %% 4 == 0) or one (== 2), so the
+    §8.7.4 stsc/stco walk is exercised both ways; ``parity_raw``
+    asserts the extracted-and-decoded PCM is byte-identical to decoding
+    the bare stream. Odd docs carry closed-form 16-bit PCM as 'twos'
+    (big-endian) or 'sowt' (little-endian) sample entries over three
+    chunks; decoded peak and sum-of-abs hash against the closed forms.
+    Map-only mapInPandas with the standard explicit core fan-out."""
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def granule(d: int, gi: int) -> dict:
+            iv = [0] * 576
+            for i in range(0, 480, 7):
+                iv[i] = 1 if (i // 7 + d + gi) % 2 == 0 else -1
+            return {"is": iv, "global_gain": 210 + 4 * ((d + gi) % 6),
+                    "scalefac": [0] * 21, "big_values": 240,
+                    "scalefac_scale": 1, "scalefac_compress": 0}
+
+        def mp3_frame_sizes(mp3: bytes) -> list[int]:
+            sizes = []
+            pos = 0
+            while pos < len(mp3):
+                h2 = mp3[pos + 2]
+                kbps = _MP3_KBPS[3][((h2 >> 4) & 0xF) - 1]
+                fl = _mp3_frame_len(3, kbps, 44100, (h2 >> 1) & 1)
+                sizes.append(fl)
+                pos += fl
+            return sizes
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "variant": [], "codec": [],
+                "sample_rate": [], "n_samples": [], "peak": [],
+                "sum_abs": [], "parity_raw": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                v = d % 4
+                if v % 2 == 0:
+                    variant = "mp3_2chunk" if v == 0 else "mp3_1chunk"
+                    mp3 = encode_mp3_l3(
+                        [granule(d, 0), granule(d, 1),
+                         granule(d, 2), granule(d, 3)]
+                    )
+                    raw = decode_media(mp3, "audio")
+                    blob = encode_mp4_audio(
+                        mp3, codec="mp3", sample_rate=44100,
+                        sample_sizes=mp3_frame_sizes(mp3),
+                        n_chunks=2 if v == 0 else 1,
+                    )
+                    meta = decode_media(blob, "audio")
+                    parity = meta["pcm"] == raw["pcm"]
+                    peak = sum_abs = 0
+                else:
+                    variant = "pcm_be" if v == 1 else "pcm_le"
+                    codec = "twos" if v == 1 else "sowt"
+                    n = 256 + (d % 5) * 64
+                    i = np.arange(n, dtype=np.int64)
+                    y = ((11 * d + 5 * i) % 4001 - 2000).astype(np.int16)
+                    stream = y.astype(">i2" if v == 1 else "<i2").tobytes()
+                    blob = encode_mp4_audio(
+                        stream, codec=codec, sample_rate=16000, n_chunks=3
+                    )
+                    meta = decode_media(blob, "audio")
+                    got = np.frombuffer(meta["pcm"], "<i2")
+                    parity = np.array_equal(got, y)
+                    peak = int(np.abs(got.astype(np.int64)).max())
+                    sum_abs = int(np.abs(got.astype(np.int64)).sum())
+                out["doc_id"].append(d)
+                out["variant"].append(variant)
+                out["codec"].append(meta["codec"])
+                out["sample_rate"].append(meta["frame_rate"])
+                out["n_samples"].append(meta["n_frames"])
+                out["peak"].append(peak)
+                out["sum_abs"].append(sum_abs)
+                out["parity_raw"].append(bool(parity))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, variant string, codec string, sample_rate long, "
+        "n_samples long, peak long, sum_abs long, parity_raw boolean"
     )
     return docs.mapInPandas(run, schema)
 

@@ -92,6 +92,7 @@ QUERIES = [
     "mp3_container_routing_features",
     "mp3_stereo_matrix_decode_features",
     "mp3_rate_profiles_decode_features",
+    "mp4_audio_extract_features",
 ]
 
 
@@ -193,6 +194,7 @@ ANSI_QUERIES = [
     "mp3_container_routing_features",
     "mp3_stereo_matrix_decode_features",
     "mp3_rate_profiles_decode_features",
+    "mp4_audio_extract_features",
 ]
 
 

@@ -3813,6 +3813,78 @@ def test_mp3_in_wav_and_avi_route_to_the_pcm_chain():
         decode_media(bytes(bad), "audio")
 
 
+def test_mp4_audio_extraction_routes_mp3_and_pcm():
+    """MP4/ISO-BMFF audio extraction (round 16): the stsd/stsz/stsc/
+    stco walk reassembles samples across multi-chunk layouts; mp4a OTI
+    0x6B routes to the MP3 PCM chain byte-identically, twos/sowt PCM
+    decode with the right endianness, AAC (OTI 0x40) and unknown sample
+    entries raise by name, and malformed tables raise, never guess."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _MP3_KBPS,
+        _mp3_frame_len,
+        decode_media,
+        encode_mp3_l3,
+        encode_mp4_audio,
+        extract_mp4_audio,
+    )
+
+    iv = [0] * 576
+    for i in range(0, 480, 7):
+        iv[i] = 1 if i % 2 == 0 else -1
+    g = {"is": iv, "global_gain": 214, "scalefac": [0] * 21,
+         "big_values": 240, "scalefac_scale": 1, "scalefac_compress": 0}
+    mp3 = encode_mp3_l3([g, g, g, g])
+    raw = decode_media(mp3, "audio")
+    sizes = []
+    pos = 0
+    while pos < len(mp3):
+        h2 = mp3[pos + 2]
+        fl = _mp3_frame_len(
+            3, _MP3_KBPS[3][((h2 >> 4) & 0xF) - 1], 44100, (h2 >> 1) & 1
+        )
+        sizes.append(fl)
+        pos += fl
+    for n_chunks in (1, 2):
+        blob = encode_mp4_audio(mp3, codec="mp3", sample_rate=44100,
+                                sample_sizes=sizes, n_chunks=n_chunks)
+        m = decode_media(blob, "audio")
+        assert m["codec"] == "mp3" and m["pcm"] == raw["pcm"]
+
+    y = (np.arange(500, dtype=np.int64) * 37 % 4001 - 2000).astype(np.int16)
+    for codec, dt in (("twos", ">i2"), ("sowt", "<i2")):
+        blob = encode_mp4_audio(y.astype(dt).tobytes(), codec=codec,
+                                sample_rate=16000, n_chunks=3)
+        m = decode_media(blob, "audio")
+        assert np.array_equal(np.frombuffer(m["pcm"], "<i2"), y)
+        assert m["frame_rate"] == 16000 and m["n_frames"] == 500
+
+    # AAC raises by name at the codec seam
+    blob = bytearray(encode_mp4_audio(mp3, codec="mp3", sample_sizes=sizes))
+    at = blob.find(bytes([0x04, 13, 0x6B]))
+    blob[at + 2] = 0x40
+    with pytest.raises(NotImplementedError, match="AAC"):
+        extract_mp4_audio(bytes(blob))
+    # a chunk map that does not cover every sample raises
+    blob2 = bytearray(encode_mp4_audio(mp3, codec="mp3",
+                                       sample_sizes=sizes, n_chunks=2))
+    at = blob2.find(b"stco")
+    struct.pack_into(">I", blob2, at + 8, 1)  # lie: one chunk only
+    with pytest.raises(ValueError, match="covers"):
+        extract_mp4_audio(bytes(blob2))
+    # no audio track raises by name
+    with pytest.raises(ValueError, match="soun"):
+        extract_mp4_audio(
+            b"\x00\x00\x00\x14ftypisom\x00\x00\x02\x00isom"
+            + struct.pack(">I", 16) + b"moov"
+            + struct.pack(">I", 8) + b"free"
+        )
+
+
 def test_g722_in_au_container():
     """AU encoding 24 decodes end to end; the embedded property holds:
     zeroing the two enhancement LSBs of every octet (a mode-3 stream)
