@@ -5549,8 +5549,9 @@ def flac_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   (mp3_pcm_decode_features); short/mixed blocks in round 15; the
 #   stereo matrix (combined MS+intensity, intensity-over-short-blocks)
 #   and the 48/32 kHz Table B.8 profiles in round 16.
-# - Remaining seams (each raises naming itself): intensity stereo over
-#   MIXED blocks; MPEG-2/2.5 low-sample-rate extensions.
+# - Remaining seams (each raises naming itself): MPEG-2/2.5
+#   low-sample-rate extensions. The stereo matrix is CLOSED (mixed-block
+#   intensity landed late in round 16).
 # ---------------------------------------------------------------------------
 
 # scalefac_compress -> (slen1, slen2), ISO 11172-3 §2.4.2.7
@@ -6693,9 +6694,10 @@ def _mp3_stereo_process(chans, ms: bool, intensity: bool) -> None:
     window) scalefac_s entries are the is_pos map over the coded
     triplet layout [3*s[sfb] + w*width, ...); band 12 — like long band
     21 — has no scalefactor of its own and copies band 11's windows.
-    Intensity over MIXED blocks stays a named seam. Long bands 21 / 20
-    convention per the standard decoders. Sets ``xr_coded`` (the
-    pre-stereo coded-domain spectra) on both granules."""
+    Mixed blocks (round 16) apply the long-band is_pos map to coded
+    lines 0-35 (long sfb 0-7) and the short map from sfb 3. Long bands
+    21 / 20 convention per the standard decoders. Sets ``xr_coded``
+    (the pre-stereo coded-domain spectra) on both granules."""
     import math
 
     l_g, r_g = chans
@@ -6731,14 +6733,23 @@ def _mp3_stereo_process(chans, ms: bool, intensity: bool) -> None:
     else:
         bound_line = 2 * r_g.big_values + 4 * r_g.count1_quads
         if r_g.block_type == 2:
-            if r_g.mixed_block_flag:
-                raise NotImplementedError(
-                    "MP3 intensity stereo over MIXED blocks is not "
-                    "implemented; long-, short- and combined-mode "
-                    "intensity decode"
-                )
             s = _MP3_SFB_SHORT[getattr(r_g, "sample_rate", 44100)]
-            for sfb in range(13):
+            if r_g.mixed_block_flag:
+                # mixed (round 16): coded lines 0-35 are long sfb 0-7
+                # (is_pos from the long scalefac array), the short sfb
+                # 3+ triplets follow (every Table B.8 profile puts both
+                # boundaries at exactly 36)
+                lb = _MP3_SFB_LONG[getattr(r_g, "sample_rate", 44100)]
+                for sfb in range(8):
+                    lo, hi = lb[sfb], lb[sfb + 1]
+                    if lo >= bound_line:
+                        intensity_band(lo, hi, r_g.scalefac[sfb])
+                    elif ms:
+                        butterfly(lo, hi)
+                start_sfb = 3
+            else:
+                start_sfb = 0
+            for sfb in range(start_sfb, 13):
                 width = s[sfb + 1] - s[sfb]
                 base = 3 * s[sfb]
                 if base >= bound_line:
@@ -8096,7 +8107,7 @@ def mp3_rate_profiles_decode_features(spark: SparkSession, sf_dir: str) -> DataF
     "mp3_stereo_matrix_decode_features",
     oracle=f"""
     WITH base AS (
-        SELECT doc_id AS d, CAST(doc_id % 3 AS INTEGER) AS v,
+        SELECT doc_id AS d, CAST(doc_id % 4 AS INTEGER) AS v,
                7 + doc_id % 5 AS st
         FROM documents
     ), ch0 AS (
@@ -8127,7 +8138,7 @@ def mp3_rate_profiles_decode_features(spark: SparkSession, sf_dir: str) -> DataF
         SELECT d, v, gi, i,
                CAST((d + gi + sfb_eff + CASE WHEN v = 0 THEN 0 ELSE w END)
                     % 4 AS INTEGER) AS ipx,
-               i >= CASE WHEN v = 0 THEN 36 ELSE 48 END AS int_region,
+               i >= CASE WHEN v IN (0, 3) THEN 36 ELSE 48 END AS int_region,
                POWER(4.0, (d + gi) % 6) AS e
         FROM ch0
     ), e0 AS (
@@ -8138,7 +8149,7 @@ def mp3_rate_profiles_decode_features(spark: SparkSession, sf_dir: str) -> DataF
                         WHEN ipx = 0 THEN e
                         WHEN ipx = 1 THEN 0.25 * e
                         WHEN ipx = 2 THEN 0
-                        WHEN v = 1 THEN 0       -- pure: is_pos 7 as coded
+                        WHEN v IN (1, 3) THEN 0  -- pure: is_pos 7 as coded
                         ELSE 0.5 * e END) AS r_int
         FROM ch0x GROUP BY d
     ), e1 AS (
@@ -8147,13 +8158,14 @@ def mp3_rate_profiles_decode_features(spark: SparkSession, sf_dir: str) -> DataF
              LATERAL (SELECT unnest(range(0, 2)) AS gi) g,
              LATERAL (SELECT unnest(range(0, 480)) AS i) l
         WHERE l.i % 5 = 0
-          AND l.i < CASE WHEN b.v = 0 THEN 36 ELSE 48 END
+          AND l.i < CASE WHEN b.v IN (0, 3) THEN 36 ELSE 48 END
         GROUP BY b.d
     )
     SELECT b.d AS doc_id,
            CASE b.v WHEN 0 THEN 'combined_long'
                     WHEN 1 THEN 'intensity_short'
-                    ELSE 'combined_short' END AS variant,
+                    WHEN 2 THEN 'combined_short'
+                    ELSE 'intensity_mixed' END AS variant,
            CAST(2 AS BIGINT) AS n_channels,
            CAST(CASE WHEN b.v = 0 THEN 2 ELSE 3 END AS BIGINT) AS n_frames,
            CAST(ROUND(1000000 * (e0.energy + e1.energy)) AS BIGINT)
@@ -8170,8 +8182,9 @@ def mp3_stereo_matrix_decode_features(spark: SparkSession, sf_dir: str) -> DataF
     """The CLOSED MP3 stereo matrix under the differential gate (round
     16; r15 verdict task 5): docs rotate combined MS+intensity over
     long blocks, pure intensity over SHORT blocks (per-window
-    scalefac_s is_pos over the coded triplet layout) and combined over
-    short blocks. The is_pos pattern cycles {{0, 3, 6, 7}} per (doc,
+    scalefac_s is_pos over the coded triplet layout), combined over
+    short blocks, and intensity over MIXED blocks (the long-band is_pos
+    map on coded lines 0-35, the short map from sfb 3). The is_pos pattern cycles {{0, 3, 6, 7}} per (doc,
     granule, band, window), so every arm of the §2.4.3.4.9 arithmetic
     fires: the 0.5 energy factor at is_pos 3 (tan(pi/4) = 1), the
     fully-left pole at 6, and the ILLEGAL position 7 — MS fallback in
@@ -8252,6 +8265,29 @@ def mp3_stereo_matrix_decode_features(spark: SparkSession, sf_dir: str) -> DataF
                          for w in range(3)] for sfb in range(12)
                     ]}
 
+        def ch0_mixed(d: int, gi: int, st: int) -> dict:
+            spec = ch0_short(d, gi, st)
+            spec["mixed_block_flag"] = 1
+            return spec
+
+        def ch1_mixed(d: int, gi: int) -> dict:
+            # real data fills the LONG part (coded lines < 36, where the
+            # long scalefac rows are true scalefactors and stay zero);
+            # every scalefac_s row is an is_pos angle — the whole short
+            # region is the intensity zone
+            iv = [0] * 576
+            for i in range(0, 36, 5):
+                iv[i] = 1 if i % 2 == 0 else -1
+            return {"is": iv, "global_gain": 210 + 4 * ((d + gi + 2) % 6),
+                    "scalefac": [0] * 21, "big_values": 18,
+                    "scalefac_scale": 1, "scalefac_compress": 15,
+                    "block_type": 2, "mixed_block_flag": 1,
+                    "subblock_gain": [0, 0, 0],
+                    "scalefac_s": [
+                        [[0, 3, 6, 7][(d + gi + sfb + w) % 4]
+                         for w in range(3)] for sfb in range(12)
+                    ]}
+
         def short_int_region_indices(bound: int) -> list[int]:
             # reordered-domain image of coded lines >= bound (whole
             # triplets; the gate's bound sits on a triplet boundary)
@@ -8267,6 +8303,7 @@ def mp3_stereo_matrix_decode_features(spark: SparkSession, sf_dir: str) -> DataF
             return idxs
 
         short_idxs = short_int_region_indices(48)
+        mixed_idxs = short_int_region_indices(36)  # sfb 3+: all >= 36
 
         for pdf in batches:
             out = {
@@ -8276,7 +8313,7 @@ def mp3_stereo_matrix_decode_features(spark: SparkSession, sf_dir: str) -> DataF
             }
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                v = d % 3
+                v = d % 4
                 st = 7 + d % 5
                 if v == 0:
                     variant, mode = "combined_long", "ms_intensity_stereo"
@@ -8284,6 +8321,12 @@ def mp3_stereo_matrix_decode_features(spark: SparkSession, sf_dir: str) -> DataF
                              ch0_long(d, 0, st), ch1_long(d, 0),
                              ch0_long(d, 1, st), ch1_long(d, 1),
                              silent(), silent()]
+                elif v == 3:
+                    variant, mode = "intensity_mixed", "intensity_stereo"
+                    specs = [silent(), silent(), silent(1), silent(1),
+                             ch0_mixed(d, 0, st), ch1_mixed(d, 0),
+                             ch0_mixed(d, 1, st), ch1_mixed(d, 1),
+                             silent(3), silent(3), silent(), silent()]
                 else:
                     variant = ("intensity_short" if v == 1
                                else "combined_short")
@@ -8302,8 +8345,9 @@ def mp3_stereo_matrix_decode_features(spark: SparkSession, sf_dir: str) -> DataF
                     e_tot += sum(x * x for x in l_g.xr)
                     e_tot += sum(x * x for x in r_g.xr)
                     if r_g.block_type == 2:
-                        r_int += sum(r_g.xr[i] * r_g.xr[i]
-                                     for i in short_idxs)
+                        idxs = (mixed_idxs if r_g.mixed_block_flag
+                                else short_idxs)
+                        r_int += sum(r_g.xr[i] * r_g.xr[i] for i in idxs)
                     else:
                         bound = 36 if v == 0 else 48
                         r_int += sum(x * x for x in r_g.xr[bound:])

@@ -2627,16 +2627,35 @@ def test_mp3_combined_ms_intensity_and_short_intensity_decode():
     assert p_l.xr[lo:hi] == p_l.xr_coded[lo:hi]
     assert p_r.xr[lo:hi] == p_r.xr_coded[lo:hi]
 
-    # mixed-block intensity raises by name
-    def mixed_short(bv):
+    # mixed-block intensity (round 16, the matrix's last corner): the
+    # long part (coded lines < 36) stays L/R below the bound, the short
+    # region takes per-(sfb, window) is_pos from scalefac_s
+    import math as _math
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _MP3_SFB_SHORT_44100 as SB,
+    )
+
+    def mixed_l(bv):
         iv = [0] * 576
         for i in range(0, bv * 2, 7):
             iv[i] = 1
         return {"is": iv, "global_gain": 214, "scalefac": [0] * 21,
                 "big_values": bv, "scalefac_scale": 1,
-                "scalefac_compress": 0, "block_type": 2,
+                "scalefac_compress": 15, "block_type": 2,
                 "mixed_block_flag": 1, "subblock_gain": [0, 0, 0],
                 "scalefac_s": [[0] * 3 for _ in range(12)]}
+
+    def mixed_r():
+        iv = [0] * 576
+        for i in range(0, 36, 5):
+            iv[i] = 1
+        return {"is": iv, "global_gain": 218, "scalefac": [0] * 21,
+                "big_values": 18, "scalefac_scale": 1,
+                "scalefac_compress": 15, "block_type": 2,
+                "mixed_block_flag": 1, "subblock_gain": [0, 0, 0],
+                "scalefac_s": [[[0, 3, 6, 7][(sfb + w) % 4]
+                                for w in range(3)] for sfb in range(12)]}
 
     def sil_bt(bt):
         s = silent()
@@ -2646,12 +2665,31 @@ def test_mp3_combined_ms_intensity_and_short_intensity_decode():
         return s
 
     blob_m = encode_mp3_l3(
-        [sil_bt(1), sil_bt(1), mixed_short(24), mixed_short(12),
-         mixed_short(24), mixed_short(12), sil_bt(3), sil_bt(3)],
+        [sil_bt(1), sil_bt(1), mixed_l(100), mixed_r(),
+         mixed_l(100), mixed_r(), sil_bt(3), sil_bt(3)],
         mode="intensity_stereo",
     )
-    with pytest.raises(NotImplementedError, match="MIXED"):
-        _decode_mp3_l3(blob_m)
+    mm = _decode_mp3_l3(blob_m)
+    g_l, g_r = mm["granules"][2], mm["granules"][3]
+    exp_l = exp_r = 0.0
+    for i in range(0, 200, 7):
+        e = 4.0  # gg 214
+        if i < 36:
+            exp_l += e
+        else:
+            sfb = max(x for x in range(13) if 3 * SB[x] <= i)
+            w = (i - 3 * SB[sfb]) // (SB[sfb + 1] - SB[sfb])
+            isp = [0, 3, 6, 7][(min(sfb, 11) + w) % 4]
+            if isp == 3:
+                exp_l += e / 4
+                exp_r += e / 4
+            elif isp in (6, 7):
+                exp_l += e
+            else:
+                exp_r += e
+    exp_r += 8 * 16.0  # the right channel's own long-part lines (gg 218)
+    assert abs(sum(x * x for x in g_l.xr) - exp_l) < 1e-9
+    assert abs(sum(x * x for x in g_r.xr) - exp_r) < 1e-9
 
 
 def test_tiff_g3_uncompressed_mode_roundtrip():
