@@ -1196,6 +1196,261 @@ def _idct_matrix():
     return m
 
 
+def _decode_jpeg_lossless(payload: bytes) -> dict:
+    """Decode a LOSSLESS JPEG (SOF3, T.81 Annex H, huffman — round 16):
+    marker walk (DHT/SOF3/SOS), per-sample prediction with the seven
+    Annex H predictors (scan header Ss selects; the first line falls
+    back to predictor 1, each line's first sample to predictor 2, the
+    scan's first sample to 2^(P - Pt - 1)), DC-style difference
+    categories SSSS 0-16 (16 = +32768, no extension bits) and modulo-
+    2^16 reconstruction, then the Al point transform shift. Components
+    decode interleaved one-sample-per-MCU (lossless has no subsampling;
+    non-1x1 factors raise). Returns the image contract (``pixels`` a
+    24-bit BGR plane, precision > 8 scaled down for display) plus the
+    EXACT ``samples`` array — the gate hashes those, because lossless
+    means bit-exact, not display-close. DRI raises by name (restart
+    prediction reset is out of scope). The reference shells to external
+    image codecs for exactly this class of file (SURVEY §2.10 U1)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI marker)")
+    htabs: dict[tuple[int, int], dict] = {}
+    sof = None
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at offset {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4: pos + 2 + seglen]
+        if marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1: i + 17])
+                nv = sum(bits)
+                htabs[(tc, th)] = _jpeg_huff_table(
+                    bits, body[i + 17: i + 17 + nv]
+                )
+                i += 17 + nv
+        elif marker == 0xC3:
+            prec, h, w, nc = _jpeg_unpack(">BHHB", body, 0, "SOF3")
+            if not 2 <= prec <= 16:
+                raise ValueError(f"SOF3 precision {prec} outside 2..16")
+            comps = []
+            for c in range(nc):
+                cid, hv, _tq = _jpeg_unpack(">BBB", body, 6 + 3 * c, "SOF3")
+                if hv != 0x11:
+                    raise ValueError(
+                        "lossless JPEG with subsampling factors != 1x1 "
+                        "unsupported"
+                    )
+                comps.append(cid)
+            sof = (prec, h, w, comps)
+        elif marker == 0xDD:
+            raise ValueError(
+                "lossless JPEG restart intervals unsupported (prediction "
+                "reset semantics out of scope)"
+            )
+        elif marker == 0xDA:
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF3 header")
+            prec, h, w, comps = sof
+            ns = body[0]
+            if ns != len(comps):
+                raise ValueError(
+                    "lossless JPEG scan must cover every frame component"
+                )
+            tds = {}
+            for si in range(ns):
+                cs, tables = body[1 + 2 * si], body[2 + 2 * si]
+                tds[cs] = tables >> 4
+            ss = body[1 + 2 * ns]      # predictor selection 1-7
+            al = body[3 + 2 * ns] & 0xF  # point transform
+            if not 1 <= ss <= 7:
+                raise ValueError(f"lossless JPEG predictor {ss} invalid")
+            if al >= prec:
+                raise ValueError("point transform exceeds precision")
+            nc = len(comps)
+            default = 1 << (prec - al - 1)
+            r = _JpegBitReader(payload, pos + 2 + seglen)
+            out = np.zeros((h, w, nc), np.int64)
+            for y in range(h):
+                for x in range(w):
+                    for ci, cid in enumerate(comps):
+                        table = htabs.get((0, tds[cid]))
+                        if table is None:
+                            raise ValueError(
+                                "lossless JPEG scan references an "
+                                "undefined DHT table"
+                            )
+                        t = _jpeg_decode_sym(r, table)
+                        if t > 16:
+                            raise ValueError(
+                                f"lossless JPEG SSSS {t} invalid"
+                            )
+                        if t == 16:
+                            diff = 32768
+                        elif t:
+                            v = 0
+                            for _ in range(t):
+                                v = (v << 1) | r.bit()
+                            diff = _jpeg_extend(v, t)
+                        else:
+                            diff = 0
+                        if x == 0 and y == 0:
+                            px = default
+                        elif y == 0:
+                            px = int(out[0, x - 1, ci])
+                        elif x == 0:
+                            px = int(out[y - 1, 0, ci])
+                        else:
+                            a = int(out[y, x - 1, ci])
+                            b = int(out[y - 1, x, ci])
+                            c = int(out[y - 1, x - 1, ci])
+                            px = [a, b, c, a + b - c, a + ((b - c) >> 1),
+                                  b + ((a - c) >> 1), (a + b) >> 1][ss - 1]
+                        out[y, x, ci] = (px + diff) & 0xFFFF
+            samples = (out << al).astype(np.uint16)
+            # display plane: scale to 8 bits
+            disp = (
+                samples >> (prec - 8) if prec > 8
+                else samples << (8 - prec) if prec < 8 else samples
+            ).astype(np.uint8)
+            if nc == 1:
+                bgr = np.repeat(disp, 3, axis=2)
+            elif nc == 3:
+                bgr = disp[:, :, ::-1]  # components are RGB in the wild
+            else:
+                raise ValueError(
+                    f"lossless JPEG with {nc} components unsupported"
+                )
+            return {
+                "width": w,
+                "height": h,
+                "bit_count": 24,
+                "n_pixels": w * h,
+                "pixels": np.ascontiguousarray(bgr).tobytes(),
+                "lossless": True,
+                "precision": prec,
+                "predictor": ss,
+                "point_transform": al,
+                "samples": samples,
+            }
+        pos += 2 + seglen
+    raise ValueError("lossless JPEG has no SOS scan")
+
+
+def encode_jpeg_lossless(samples, predictor: int = 1, precision: int = 8,
+                         point_transform: int = 0) -> bytes:
+    """Encode a LOSSLESS JPEG (SOF3, T.81 Annex H): ``samples`` is an
+    (h, w) or (h, w, 3) integer array with values below 2^precision.
+    One canonical difference-category huffman table per component
+    (destination = component index — extended modes permit up to four),
+    the Ss scan field carries the predictor (1-7), Al the point
+    transform (inputs must be multiples of 2^Al). The exact inverse of
+    :func:`_decode_jpeg_lossless`, roundtrip-pinned by test and gate."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if nc not in (1, 3):
+        raise ValueError("encode_jpeg_lossless wants 1 or 3 components")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    if arr.min() < 0 or arr.max() >= (1 << precision):
+        raise ValueError(f"samples exceed {precision}-bit range")
+    if point_transform and (arr & ((1 << point_transform) - 1)).any():
+        raise ValueError("samples must be multiples of 2^point_transform")
+    coded = arr >> point_transform
+    default = 1 << (precision - point_transform - 1)
+
+    def mag(diff: int) -> tuple[int, int, int]:
+        diff &= 0xFFFF
+        if diff >= 32768:
+            if diff == 32768:
+                return 16, 0, 0
+            diff -= 65536
+        t = int(abs(diff)).bit_length()
+        return t, (diff if diff >= 0 else diff + (1 << t) - 1), t
+
+    toks = [[] for _ in range(nc)]  # per component, in MCU order
+    order = []
+    for y in range(h):
+        for x in range(w):
+            for ci in range(nc):
+                if x == 0 and y == 0:
+                    px = default
+                elif y == 0:
+                    px = int(coded[0, x - 1, ci])
+                elif x == 0:
+                    px = int(coded[y - 1, 0, ci])
+                else:
+                    a = int(coded[y, x - 1, ci])
+                    b = int(coded[y - 1, x, ci])
+                    c = int(coded[y - 1, x - 1, ci])
+                    px = [a, b, c, a + b - c, a + ((b - c) >> 1),
+                          b + ((a - c) >> 1), (a + b) >> 1][predictor - 1]
+                t, bv, nb = mag(int(coded[y, x, ci]) - px)
+                toks[ci].append((t, bv, nb))
+                order.append(ci)
+    tabs = [
+        _jpeg_canonical_tables({t for t, _, _ in toks[ci]} or {0})
+        for ci in range(nc)
+    ]
+    out = bytearray()
+    acc, nacc = 0, 0
+
+    def put(val, nb):
+        nonlocal acc, nacc
+        for i in range(nb - 1, -1, -1):
+            acc = (acc << 1) | ((val >> i) & 1)
+            nacc += 1
+            if nacc == 8:
+                out.append(acc)
+                if acc == 0xFF:
+                    out.append(0x00)
+                acc, nacc = 0, 0
+
+    idx = [0] * nc
+    for ci in order:
+        t, bv, nb = toks[ci][idx[ci]]
+        idx[ci] += 1
+        L, code = tabs[ci][2][t]
+        put(code, L)
+        if nb and t != 16:
+            put(bv, nb)
+    if nacc:
+        put((1 << (8 - nacc)) - 1, 8 - nacc)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    hdr = b"\xff\xd8"
+    sofb = struct.pack(">BHHB", precision, h, w, nc)
+    for ci in range(nc):
+        sofb += bytes([ci + 1, 0x11, 0])
+    hdr += seg(0xC3, sofb)
+    for ci in range(nc):
+        bits, vals, _enc = tabs[ci]
+        hdr += seg(0xC4, bytes([ci]) + bytes(bits) + vals)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, ci << 4])
+    sos += bytes([predictor, 0, point_transform])
+    hdr += seg(0xDA, sos)
+    return hdr + bytes(out) + b"\xff\xd9"
+
+
 def _decode_jpeg(payload: bytes) -> dict:
     """Decode a baseline JFIF JPEG (SOF0, 8-bit, huffman, 1-component
     grayscale or 3-component YCbCr at 4:4:4, 4:2:2 or 4:2:0 chroma
@@ -1327,11 +1582,13 @@ def _decode_jpeg(payload: bytes) -> dict:
                 # header advertises (T.81 A.2.2)
                 comps[0]["hc"] = comps[0]["vc"] = 1
             sof = (w, h, comps)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC3:  # SOF3: lossless (huffman) — round 16
+            return _decode_jpeg_lossless(payload)
+        elif marker in (0xC1, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: arithmetic/"
-                "hierarchical/lossless) unsupported — SOF0/SOF2 only"
+                "hierarchical) unsupported — SOF0/SOF2/SOF3 only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = _jpeg_unpack(">H", body, 0, "DRI")
@@ -8530,6 +8787,94 @@ def mp3_huffman_tables_decode_features(spark: SparkSession, sf_dir: str) -> Data
         "doc_id long, big_lines long, mag_sum long, big_neg long, "
         "big_pos_weight long, energy1_micros long, quad_lines long, "
         "quad_pos_weight long, quad_neg long"
+    )
+    return docs.mapInPandas(run, schema)
+
+
+@register(
+    "jpeg_lossless_decode_features",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id AS d,
+               CAST(1 + doc_id % 7 AS BIGINT) AS predictor,
+               CAST(CASE CAST(doc_id % 3 AS INTEGER)
+                         WHEN 0 THEN 8 WHEN 1 THEN 12 ELSE 16
+                    END AS BIGINT) AS precision,
+               CAST(6 + doc_id % 5 AS BIGINT) AS h,
+               CAST(9 + doc_id % 6 AS BIGINT) AS w,
+               CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 256 WHEN 1 THEN 4096 ELSE 65536
+               END AS modv
+        FROM documents
+    )
+    SELECT b.d AS doc_id, b.predictor, b.precision, b.w AS width,
+           b.h AS height,
+           CAST(SUM((3 * b.d + 7 * p.i * p.j + 11 * p.i + 5 * p.j)
+                    % b.modv) AS BIGINT) AS sample_sum,
+           CAST(SUM(((3 * b.d + 7 * p.i * p.j + 11 * p.i + 5 * p.j)
+                     % b.modv) * (p.i + 1) * (p.j + 1)) AS BIGINT)
+               AS sample_posw
+    FROM base b,
+         LATERAL (SELECT unnest(generate_series(0, b.h - 1)) AS i) pr,
+         LATERAL (SELECT unnest(generate_series(0, b.w - 1)) AS j) pc,
+         LATERAL (SELECT pr.i AS i, pc.j AS j) p
+    GROUP BY b.d, b.predictor, b.precision, b.w, b.h
+    ORDER BY doc_id
+    """,
+)
+def jpeg_lossless_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS JPEG (SOF3, T.81 Annex H — round 16; the first of the
+    r15 verdict's 'rare foreign modes' to land) under the differential
+    gate: per doc a closed-form sample grid — values sweeping the FULL
+    2^precision range, so 12- and 16-bit samples actually exceed 8 bits
+    — is encoded with the doc's predictor (cycling all seven Annex H
+    functions) and decoded back; the oracle recomputes the exact sample
+    sum AND the position-weighted sum, so a single wrong prediction,
+    modulo step or extension bit anywhere in the raster breaks the
+    hash. Map-only mapInPandas with the standard core fan-out."""
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "predictor": [], "precision": [],
+                "width": [], "height": [], "sample_sum": [],
+                "sample_posw": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                pred = 1 + d % 7
+                prec = [8, 12, 16][d % 3]
+                h, w = 6 + d % 5, 9 + d % 6
+                i, j = np.mgrid[0:h, 0:w]
+                x = (3 * d + 7 * i * j + 11 * i + 5 * j) % (1 << prec)
+                blob = encode_jpeg_lossless(
+                    x, predictor=pred, precision=prec
+                )
+                m = decode_media(blob, "image")  # REAL SOF3 decode
+                got = m["samples"][:, :, 0].astype(np.int64)
+                out["doc_id"].append(d)
+                out["predictor"].append(pred)
+                out["precision"].append(prec)
+                out["width"].append(m["width"])
+                out["height"].append(m["height"])
+                out["sample_sum"].append(int(got.sum()))
+                out["sample_posw"].append(
+                    int((got * (i + 1) * (j + 1)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, predictor long, precision long, width long, "
+        "height long, sample_sum long, sample_posw long"
     )
     return docs.mapInPandas(run, schema)
 

