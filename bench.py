@@ -120,6 +120,14 @@ HEADLINE = [
     "jpeg_decode_features",
     "pii_redaction_stats",
     "avi_audio_extract_features",
+    # round 16 additions (additive): MP3-in-WAV/AVI container routing,
+    # the closed stereo matrix, the 48/32 kHz Table B.8 profiles,
+    # MP4/ISO-BMFF audio extraction, and lossless (SOF3) JPEG
+    "mp3_container_routing_features",
+    "mp3_stereo_matrix_decode_features",
+    "mp3_rate_profiles_decode_features",
+    "mp4_audio_extract_features",
+    "jpeg_lossless_decode_features",
 ]
 
 # Per-query floors for queries newer than the r1 floor table (driver-run

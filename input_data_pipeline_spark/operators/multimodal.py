@@ -10511,9 +10511,12 @@ def _g72x_quan(val: int, table) -> int:
 
 def _g72x_fmult(an: int, srn: int) -> int:
     """Fixed-point multiply of a predictor coefficient by a signal value
-    stored in the spec's sign/exponent/mantissa floating format."""
+    stored in the spec's sign/exponent/mantissa floating format.
+    int.bit_length() IS _g72x_quan(v, _G72X_POW2) on the 0..32767
+    domain every caller is bounded to (round-16 hot-path swap, verified
+    bit-exact by the tracking gates)."""
     anmag = an if an > 0 else (-an) & 0x1FFF
-    anexp = _g72x_quan(anmag, _G72X_POW2) - 6
+    anexp = anmag.bit_length() - 6
     if anmag == 0:
         anmant = 32
     elif anexp >= 0:
@@ -10560,7 +10563,7 @@ def _g72x_quantize(d: int, y: int, qtab) -> int:
     to the top code (the 1988 revision)."""
     size = len(qtab)
     dqm = abs(d)
-    exp = _g72x_quan(dqm >> 1, _G72X_POW2)
+    exp = (dqm >> 1).bit_length()
     mant = ((dqm << 7) >> exp) & 0x7F
     dl = (exp << 7) + mant
     dln = dl - (y >> 2)
@@ -10672,7 +10675,7 @@ def _g72x_update(st: _G72xState, code_bits: int, y: int, wi: int, fi: int,
     if mag == 0:
         st.dq[0] = 0x20 if dq >= 0 else 0x20 - 0x400
     else:
-        exp = _g72x_quan(mag, _G72X_POW2)
+        exp = mag.bit_length()
         val = (exp << 6) + ((mag << 6) >> exp)
         st.dq[0] = val if dq >= 0 else val - 0x400
 
@@ -10680,11 +10683,11 @@ def _g72x_update(st: _G72xState, code_bits: int, y: int, wi: int, fi: int,
     if sr == 0:
         st.sr[0] = 0x20
     elif sr > 0:
-        exp = _g72x_quan(sr, _G72X_POW2)
+        exp = sr.bit_length()
         st.sr[0] = (exp << 6) + ((sr << 6) >> exp)
     elif sr > -32768:
         mag_sr = -sr
-        exp = _g72x_quan(mag_sr, _G72X_POW2)
+        exp = mag_sr.bit_length()
         st.sr[0] = (exp << 6) + ((mag_sr << 6) >> exp) - 0x400
     else:
         st.sr[0] = 0x20 - 0x400
@@ -10953,22 +10956,46 @@ _G722_Q4_MIDS = tuple(
 _G722_Q2_MID = (1616 + 7408) // 2
 
 
+def _g722_qmf_synthesize(rl, rh):
+    """Vectorized 24-tap QMF synthesis (round 16): the per-pair loop's
+    interleaved FIFO is algebraically two FIRs — with d[m] = rl-rh and
+    s[m] = rl+rh, the first output of pair m is sum_i d[m-11+i] *
+    h(2(11-i)) = convolve(d, even_taps)[m] and the second is
+    convolve(s, odd_taps)[m] (verified bit-exact against the loop;
+    the odd FIFO entries take the ODD taps h(2i+1) = h(2(11-i)) — the
+    r16 QMF fix: both branches using the even-tap order broke alias
+    cancellation on foreign streams, ~3.8 dB broadband SNR)."""
+    import numpy as np
+
+    qe = np.array([_G722_QMF[2 * i] for i in range(12)], np.int64)
+    qo = np.array([_G722_QMF[2 * (11 - i)] for i in range(12)], np.int64)
+    n = len(rl)
+    d_seq = rl - rh
+    s_seq = rl + rh
+    xout1 = np.convolve(d_seq, qe)[:n]
+    xout2 = np.convolve(s_seq, qo)[:n]
+    out = np.empty(2 * n, np.int16)
+    out[0::2] = np.clip(xout1 >> 11, -32768, 32767)
+    out[1::2] = np.clip(xout2 >> 11, -32768, 32767)
+    return out
+
+
 def g722_decode(data: bytes):
     """Decode a G.722 64 kbit/s octet stream (one byte per pair of
     16 kHz samples: bits 0-5 lower band, 6-7 upper band) to int16 PCM,
     using the embedded 4-bit lower-band core (mode 3 — spec-sanctioned
     for ANY conforming stream, since the adaptation path only ever reads
     the 4-bit core) plus the full 2-bit upper band and the 24-tap QMF
-    synthesis bank."""
+    synthesis bank (vectorized — the band coders are the only
+    sample-sequential part)."""
     import numpy as np
 
     low = _G722Band(det=32)
     high = _G722Band(det=8)
-    x = [0] * 24
-    qmf = _G722_QMF
-    out = np.empty(2 * len(data), np.int16)
-    k = 0
-    for byte in data:
+    n = len(data)
+    rl = np.empty(n, np.int64)
+    rh = np.empty(n, np.int64)
+    for k, byte in enumerate(data):
         il4 = (byte & 0x3F) >> 2  # mode-3 core of the 6-bit code
         ih = (byte >> 6) & 0x03
         dlow = (_G722_QM4[il4] * low.det) >> 15
@@ -10981,19 +11008,9 @@ def g722_decode(data: bytes):
         rhigh = -16384 if rhigh < -16384 else (16383 if rhigh > 16383 else rhigh)
         _g722_block4(high, dhigh)
         _g722_upper_adapt(high, ih)
-        # QMF synthesis: two output samples per subband pair
-        x[:22] = x[2:]
-        x[22] = rlow + rhigh
-        x[23] = rlow - rhigh
-        xout2 = sum(x[2 * i] * qmf[2 * i] for i in range(12))
-        # odd FIFO entries take the ODD taps h(2i+1) = h(2(11-i)) (r16
-        # QMF fix: both branches using the even-tap order broke alias
-        # cancellation on foreign streams, ~3.8 dB broadband SNR)
-        xout1 = sum(x[2 * i + 1] * qmf[2 * (11 - i)] for i in range(12))
-        out[k] = _g722_sat(xout1 >> 11)
-        out[k + 1] = _g722_sat(xout2 >> 11)
-        k += 2
-    return out
+        rl[k] = rlow
+        rh[k] = rhigh
+    return _g722_qmf_synthesize(rl, rh)
 
 
 def g722_encode(samples, return_reconstruction: bool = False):
@@ -11013,21 +11030,25 @@ def g722_encode(samples, return_reconstruction: bool = False):
                          "(one octet codes a pair)")
     low = _G722Band(det=32)
     high = _G722Band(det=8)
-    xa = [0] * 24
-    xs = [0] * 24
-    qmf = _G722_QMF
     out = bytearray()
-    recon = np.empty(len(pcm), np.int16) if return_reconstruction else None
-    vals = pcm.tolist()
-    for j in range(0, len(vals), 2):
-        # QMF analysis
-        xa[:22] = xa[2:]
-        xa[22], xa[23] = vals[j], vals[j + 1]
-        # odd FIFO entries take the ODD taps (r16 QMF fix, see decode)
-        sumodd = sum(xa[2 * i + 1] * qmf[2 * (11 - i)] for i in range(12))
-        sumeven = sum(xa[2 * i] * qmf[2 * i] for i in range(12))
-        xlow = (sumeven + sumodd) >> 14
-        xhigh = (sumodd - sumeven) >> 14
+    # vectorized QMF analysis (round 16; non-adaptive, so it lifts out
+    # of the sequential loop): even/odd input phases against the
+    # even/odd tap orders — odd FIFO entries take the ODD taps (r16
+    # QMF fix, see decode). Verified bit-exact against the loop.
+    ev = pcm[0::2].astype(np.int64)
+    od = pcm[1::2].astype(np.int64)
+    qe = np.array([_G722_QMF[2 * i] for i in range(12)], np.int64)
+    qo = np.array([_G722_QMF[2 * (11 - i)] for i in range(12)], np.int64)
+    m = len(ev)
+    sumeven_a = np.convolve(ev, qe[::-1])[:m]
+    sumodd_a = np.convolve(od, qo[::-1])[:m]
+    xlow_a = (sumeven_a + sumodd_a) >> 14
+    xhigh_a = (sumodd_a - sumeven_a) >> 14
+    rl_a = np.empty(m, np.int64) if return_reconstruction else None
+    rh_a = np.empty(m, np.int64) if return_reconstruction else None
+    for j2 in range(m):
+        xlow = int(xlow_a[j2])
+        xhigh = int(xhigh_a[j2])
         # lower band: quantize the prediction error against the
         # det-scaled derived midpoints
         el = _g722_sat(xlow - low.s)
@@ -11055,18 +11076,13 @@ def g722_encode(samples, return_reconstruction: bool = False):
         _g722_block4(high, dhigh)
         _g722_upper_adapt(high, ih)
         out.append((ih << 6) | (il4 << 2))  # zero enhancement bits
-        if recon is not None:
-            xs[:22] = xs[2:]
-            xs[22] = rlow + rhigh
-            xs[23] = rlow - rhigh
-            xout2 = sum(xs[2 * i] * qmf[2 * i] for i in range(12))
-            xout1 = sum(
-                xs[2 * i + 1] * qmf[2 * (11 - i)] for i in range(12)
-            )
-            recon[j] = _g722_sat(xout1 >> 11)
-            recon[j + 1] = _g722_sat(xout2 >> 11)
+        if rl_a is not None:
+            rl_a[j2] = rlow
+            rh_a[j2] = rhigh
     data = bytes(out)
-    return (data, recon) if return_reconstruction else data
+    if rl_a is None:
+        return data
+    return data, _g722_qmf_synthesize(rl_a, rh_a)
 
 
 def _g72x_pack(codes, bits: int) -> bytes:
