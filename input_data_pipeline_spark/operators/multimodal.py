@@ -6859,12 +6859,22 @@ def mp3_analysis_filterbank(samples, state=None):
     if len(x) % 32:
         raise ValueError("analysis filterbank wants a multiple of 32 samples")
     fifo = np.zeros(512) if state is None else np.array(state, dtype=np.float64)
-    out = []
-    for t in range(0, len(x), 32):
-        fifo[32:] = fifo[:-32]
-        fifo[:32] = x[t: t + 32][::-1]
-        out.append(M @ (fifo * C).reshape(8, 64).sum(axis=0))
-    return out, fifo
+    T = len(x) // 32
+    if T == 0:
+        return [], fifo
+    # round 16 vectorization: the newest-first FIFO at step t is a
+    # 512-window of reversed(x) ++ old-FIFO-tail, so every window comes
+    # from ONE sliding view; the window product, 8-fold and per-step
+    # M @ y matvec keep the loop form's exact arithmetic (pinned by
+    # test — the matvec stays per-row, a batched gemm would not be
+    # bit-identical)
+    xp = np.concatenate([x[::-1], fifo[:480]])
+    wins = np.lib.stride_tricks.sliding_window_view(xp, 512)
+    starts = len(x) - 32 * (np.arange(T) + 1)
+    W = wins[starts]                              # (T, 512), newest-first
+    Y = (W * C).reshape(T, 8, 64).sum(axis=1)     # (T, 64)
+    out = [M @ Y[t] for t in range(T)]
+    return out, np.ascontiguousarray(W[-1])
 
 
 def mp3_synthesize_pcm(subband_samples, state=None):
@@ -6886,16 +6896,37 @@ def mp3_synthesize_pcm(subband_samples, state=None):
     _, D, _, N = _mp3_filterbank_mats()
     # copy: callers may keep and replay a V-FIFO snapshot
     V = np.zeros(1024) if state is None else np.array(state, dtype=np.float64)
-    out = np.empty(32 * len(subband_samples))
-    for t, S in enumerate(subband_samples):
-        V[64:] = V[:-64]
-        V[:64] = N @ np.asarray(S, dtype=np.float64)
-        U = np.empty(512)
-        for i in range(8):
-            U[64 * i: 64 * i + 32] = V[128 * i: 128 * i + 32]
-            U[64 * i + 32: 64 * i + 64] = V[128 * i + 96: 128 * i + 128]
-        out[32 * t: 32 * t + 32] = (U * D).reshape(16, 32).sum(axis=0)
-    return out, V
+    T = len(subband_samples)
+    if T == 0:
+        return np.empty(0), V
+    # round 16 vectorization: the V FIFO at step t is the stack of the
+    # 16 newest 64-vectors v_k = N @ S_k, so compute every v_k up front
+    # and gather each step's 512-entry U with a precomputed (block,
+    # column) index map instead of shifting 1024 floats per step.
+    # Per-sample arithmetic (each N @ S matvec, the U*D window, the
+    # 16-term sum) is BIT-identical to the loop form — pinned by test.
+    S_all = np.asarray(subband_samples, dtype=np.float64)  # (T, 32)
+    vs = np.empty((16 + T, 64))
+    vs[:16] = V.reshape(16, 64)[::-1]  # oldest-first history
+    # per-vector matvec (NOT one batched gemm): BLAS gemm sums in a
+    # different order than gemv and costs bit-exactness vs the loop
+    # form; the matvec call here is byte-identical to the original
+    for t in range(T):
+        vs[16 + t] = N @ S_all[t]
+    p_idx = np.arange(512)
+    i_blk = p_idx // 64
+    j_col = p_idx % 64
+    # U[64i + j] = v_{t-2i}[j] for j < 32, v_{t-2i-1}[j] for j >= 32
+    blk_off = np.where(j_col < 32, 2 * i_blk, 2 * i_blk + 1)
+    rows = (np.arange(T)[:, None] + 16) - blk_off[None, :]
+    U_all = vs[rows, j_col[None, :]]              # (T, 512)
+    out = (U_all * D).reshape(T, 16, 32).sum(axis=1).reshape(-1)
+    # final FIFO = the 16 newest 64-blocks, newest first (T >= 1 here,
+    # so the slice stop T-1 >= 0 keeps exactly 16 entries)
+    V_out = np.ascontiguousarray(
+        vs[16 + T - 1: T - 1 if T > 1 else None: -1][:16]
+    ).reshape(-1)
+    return out, V_out
 
 
 def decode_mp3_to_pcm(payload: bytes, flush: bool = True) -> dict:
