@@ -11018,7 +11018,18 @@ def g722_decode(data: bytes):
     for ANY conforming stream, since the adaptation path only ever reads
     the 4-bit core) plus the full 2-bit upper band and the 24-tap QMF
     synthesis bank (vectorized — the band coders are the only
-    sample-sequential part)."""
+    sample-sequential part).
+
+    Documented limitation (r15 advice #3): the two ENHANCEMENT bits of
+    a foreign 64 kbit/s stream are ignored — output is mode-3 (48 kbit)
+    quality, spec-legal for an embedded decoder. Honoring them needs
+    the mode-1 6-bit reconstruction table (Table 14), which is exactly
+    the kind of 64-entry numeric spec table this repo only ships behind
+    a structural certification (see the MP3 Kraft discipline), and no
+    such certificate exists for it: the 4-bit core table in use is
+    DERIVED (mode-3 magnitudes + midpoints), not recollected, and a
+    recollected QM6 could not be cross-checked against it. The named
+    seam stays until the table can be transcribed from the spec."""
     import numpy as np
 
     low = _G722Band(det=32)

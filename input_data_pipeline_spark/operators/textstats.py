@@ -1893,25 +1893,65 @@ def _bm25_idf_corp(spark: SparkSession, sf_dir: str):
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc BM25 score table (doc_id, score_ppm) for the fixed
     benchmark query — the pre-top-k half of :func:`bm25_doc_search`,
-    shared with the batch/stream parity test of ``stream_bm25_tags``."""
-    _, dl, _, qtok, idf = _bm25_idf_corp(spark, sf_dir)
-    tf = qtok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    return (
-        tf.join(F.broadcast(idf), "token")
-        .join(dl, "doc_id")
-        .withColumn(
-            "norm_ppm",
-            F.expr("250000 + 750000 * dl * n_docs DIV sum_dl"),
+    shared with the batch/stream parity test of ``stream_bm25_tags``.
+
+    Round 16 single-pass form: the previous shape tokenized the corpus
+    THREE times (dl, qtok and sum_dl each re-evaluated the explode
+    subtree) and shuffled twice before the score join; now ONE
+    tokenize + groupBy(doc_id) pass carries dl and each query term's tf
+    as conditional aggregates, the corpus stats reduce from that same
+    frame, and scoring is a broadcast of one stats row — at corpus
+    scale that halves the scan/shuffle volume. The integer score
+    arithmetic (and the idf double -> micros rounding) is expression-
+    identical, so scores are bit-identical to the previous form and to
+    the streaming tagger (verified by exact comparison at sf0.1 and the
+    stream/batch parity test)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    nq = len(BM25_QUERY)
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[F.sum(F.when(F.col("token") == q, 1).otherwise(0)).alias(f"tf{i}")
+          for i, q in enumerate(BM25_QUERY)],
+    )
+    n_docs_df = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    stats = per_doc.agg(
+        F.sum("dl").alias("sum_dl"),
+        *[F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+          for i in range(nq)],
+    ).crossJoin(F.broadcast(n_docs_df))
+    for i in range(nq):
+        stats = stats.withColumn(
+            f"idf{i}_ppm",
+            round_micros(F.log(
+                (2 * F.col("n_docs") + 2) * F.lit(1.0)
+                / (2 * F.col(f"df{i}") + 1)
+            )),
         )
-        .withColumn(
-            "ratio_ppm",
+    scored = per_doc.crossJoin(F.broadcast(stats)).withColumn(
+        "norm_ppm", F.expr("250000 + 750000 * dl * n_docs DIV sum_dl")
+    )
+    terms = []
+    for i in range(nq):
+        scored = scored.withColumn(
+            f"r{i}",
             F.expr(
-                "(11000000 * tf * 1000000)"
-                " DIV (5000000 * tf + 6 * norm_ppm)"
+                f"(11000000 * tf{i} * 1000000)"
+                f" DIV (5000000 * tf{i} + 6 * norm_ppm)"
             ),
         )
-        .groupBy("doc_id")
-        .agg(F.sum(F.expr("idf_ppm * ratio_ppm DIV 1000000")).alias("score_ppm"))
+        terms.append(
+            f"CASE WHEN tf{i} > 0 THEN idf{i}_ppm * r{i} DIV 1000000 END"
+        )
+    return (
+        scored.filter(
+            F.expr(" OR ".join(f"tf{i} > 0" for i in range(nq)))
+        )
+        .withColumn(
+            "score_ppm",
+            F.expr(" + ".join(f"COALESCE({t}, 0)" for t in terms)),
+        )
+        .select("doc_id", "score_ppm")
     )
 
 

@@ -1727,12 +1727,21 @@ def test_companded_wav_error_paths():
     with pytest.raises(ValueError, match="mono"):
         decode_media(stereo, "audio")
 
-    # MP3-in-WAV (tag 0x55) is the documented external seam
+    # MP3-in-WAV (tag 0x55) ROUTES to the MP3 chain since round 16 —
+    # G.711 code bytes are not an MP3 stream, so the error is the MP3
+    # frame walk's sync ValueError, not a seam raise
     mp3 = ok.replace(
         struct.pack("<HHI", 7, 1, 8000), struct.pack("<HHI", 0x55, 1, 8000), 1
     )
-    with pytest.raises(NotImplementedError, match="0x0055"):
+    with pytest.raises(ValueError, match="sync|MP3"):
         decode_media(mp3, "audio")
+    # a genuinely external compressed tag still raises the named seam
+    aac = ok.replace(
+        struct.pack("<HHI", 7, 1, 8000),
+        struct.pack("<HHI", 0xFF, 1, 8000), 1,
+    )
+    with pytest.raises(NotImplementedError, match="0x00ff"):
+        decode_media(aac, "audio")
 
     # IMA: step index out of range and runt block_align must raise
     with pytest.raises(ValueError, match="step index"):
