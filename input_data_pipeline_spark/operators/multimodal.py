@@ -4825,6 +4825,97 @@ def probe_mpeg_audio(payload: bytes) -> dict:
     }
 
 
+_ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+               16000, 12000, 11025, 8000, 7350)
+
+
+def _probe_adts(payload: bytes) -> dict:
+    """ADTS (AAC transport, ISO 14496-3 §1.A.3) container probe: walk
+    the 0xFFF-sync frame headers — profile, sampling_frequency_index,
+    channel_configuration, 13-bit frame_length, CRC presence and the
+    raw_data_blocks count (each block is 1024 samples) — and derive the
+    uniform probe keys. No sample decode: that is the AAC codec seam.
+    Raises by name on truncation, lost sync, or reserved field values;
+    never guesses."""
+    pos = 0
+    n_frames = 0
+    n_blocks = 0
+    crc_frames = 0
+    sr = ch = None
+    sizes = []
+    while pos < len(payload):
+        if pos + 7 > len(payload):
+            raise ValueError("truncated ADTS frame header")
+        if payload[pos] != 0xFF or (payload[pos + 1] & 0xF6) != 0xF0:
+            raise ValueError(f"lost ADTS sync at byte {pos}")
+        protection_absent = payload[pos + 1] & 1
+        sr_idx = (payload[pos + 2] >> 2) & 0xF
+        if sr_idx >= len(_ADTS_RATES):
+            raise ValueError(f"reserved ADTS sampling index {sr_idx}")
+        this_sr = _ADTS_RATES[sr_idx]
+        this_ch = ((payload[pos + 2] & 1) << 2) | (payload[pos + 3] >> 6)
+        flen = ((payload[pos + 3] & 0x3) << 11) | (payload[pos + 4] << 3)             | (payload[pos + 5] >> 5)
+        rdb = payload[pos + 6] & 0x3
+        hdr = 7 if protection_absent else 9
+        if flen < hdr:
+            raise ValueError("ADTS frame_length smaller than its header")
+        if pos + flen > len(payload):
+            raise ValueError("truncated ADTS frame")
+        if sr is None:
+            sr, ch = this_sr, this_ch
+        elif (this_sr, this_ch) != (sr, ch):
+            raise ValueError("ADTS stream changes rate/channels mid-file")
+        n_frames += 1
+        n_blocks += rdb + 1
+        if not protection_absent:
+            crc_frames += 1
+        sizes.append(flen)
+        pos += flen
+    if not n_frames:
+        raise ValueError("no ADTS frames")
+    total = 1024 * n_blocks
+    dur = total * 1000 // sr
+    return {
+        "container": "adts",
+        "codec": "aac",
+        "sample_rate": sr,
+        "n_channels": ch,
+        "n_frames": total,
+        "duration_ms": dur,
+        "mean_bitrate_kbps": (
+            len(payload) * 8 * sr // (total * 1000) if total else None
+        ),
+        "vbr": len(set(sizes)) > 1,
+        "adts_frames": n_frames,
+        "crc_frames": crc_frames,
+    }
+
+
+def encode_adts(frame_payloads, sr_index: int = 4, channels: int = 1,
+                profile: int = 1, with_crc: bool = False) -> bytes:
+    """Wrap opaque AAC raw_data_block payloads in ADTS frame headers —
+    container writer ONLY (the payload bytes are the codec's business),
+    the inverse of :func:`_probe_adts` and the fixture for its gate.
+    ``with_crc`` emits the 9-byte protected header (CRC bytes zeroed —
+    the probe reads presence, not the checksum)."""
+    out = bytearray()
+    for body in frame_payloads:
+        hdr = 9 if with_crc else 7
+        flen = hdr + len(body)
+        if flen >= 1 << 13:
+            raise ValueError("ADTS frame exceeds the 13-bit length field")
+        b = bytearray(hdr)
+        b[0] = 0xFF
+        b[1] = 0xF0 | (0 << 3) | (0 << 1) | (0 if with_crc else 1)
+        b[2] = (profile << 6) | (sr_index << 2) | ((channels >> 2) & 1)
+        b[3] = ((channels & 0x3) << 6) | ((flen >> 11) & 0x3)
+        b[4] = (flen >> 3) & 0xFF
+        b[5] = ((flen & 0x7) << 5) | 0x1F  # buffer fullness high bits
+        b[6] = 0xFC | 0  # fullness low + 1 raw data block
+        out += b + bytes(body)
+    return bytes(out)
+
+
 def probe_audio(payload: bytes) -> dict:
     """Container-level audio metadata without decoding samples — the
     audio face of :func:`probe_video`: WAV via the RIFF chunk walk
@@ -4892,6 +4983,16 @@ def probe_audio(payload: bytes) -> dict:
             ),
             "vbr": True,  # FLAC frames are inherently variable-size
         }
+    if (
+        len(payload) >= 7
+        and payload[0] == 0xFF
+        and (payload[1] & 0xF6) == 0xF0
+    ):
+        # ADTS (round 16): the 0xFFF syncword with LAYER 00 — reserved
+        # in MPEG audio, so this arm must run BEFORE the MP3 branch,
+        # whose 0xFFE mask would swallow it. Container walk only; AAC
+        # sample decode stays the named external-codec seam.
+        return _probe_adts(payload)
     if payload[:3] == b"ID3" or (
         len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
     ):
@@ -8818,6 +8919,103 @@ def mp3_huffman_tables_decode_features(spark: SparkSession, sf_dir: str) -> Data
         "doc_id long, big_lines long, mag_sum long, big_neg long, "
         "big_pos_weight long, energy1_micros long, quad_lines long, "
         "quad_pos_weight long, quad_neg long"
+    )
+    return docs.mapInPandas(run, schema)
+
+
+@register(
+    "adts_probe_features",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id AS d,
+               3 + doc_id % 4 AS nf,
+               ([96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+                 16000, 12000, 11025, 8000, 7350])
+                   [CAST(doc_id % 13 AS INTEGER) + 1] AS sr,
+               1 + doc_id % 3 AS ch,
+               doc_id % 2 = 1 AS crc,
+               doc_id % 5 = 0 AS cbr
+        FROM documents
+    ), sz AS (
+        SELECT b.d,
+               SUM(CASE WHEN b.cbr THEN 40 ELSE 40 + (b.d + k.k) % 25 END
+                   + CASE WHEN b.crc THEN 9 ELSE 7 END) AS total_bytes
+        FROM base b,
+             LATERAL (SELECT unnest(range(0, b.nf)) AS k) k
+        GROUP BY b.d
+    )
+    SELECT b.d AS doc_id,
+           CAST(b.sr AS BIGINT) AS sample_rate,
+           CAST(b.ch AS BIGINT) AS n_channels,
+           CAST(b.nf AS BIGINT) AS adts_frames,
+           CAST(1024 * b.nf AS BIGINT) AS n_samples,
+           CAST(1024 * b.nf * 1000 // b.sr AS BIGINT) AS duration_ms,
+           CAST(s.total_bytes * 8 * b.sr // (1024 * b.nf * 1000)
+                AS BIGINT) AS mean_bitrate_kbps,
+           NOT b.cbr AS vbr,
+           CAST(CASE WHEN b.crc THEN b.nf ELSE 0 END AS BIGINT)
+               AS crc_frames
+    FROM base b JOIN sz s ON s.d = b.d
+    ORDER BY doc_id
+    """,
+)
+def adts_probe_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADTS (raw AAC transport) container probing under the
+    differential gate (round 16): per doc a REAL ADTS stream — frame
+    count, sampling index sweeping the whole 14496-3 rate table,
+    channel configuration, CRC-protected and unprotected headers,
+    constant- and variable-size frames — is written by
+    :func:`encode_adts` and walked back by the probe; every header
+    field, the 13-bit length chain, the 1024-samples-per-block
+    arithmetic and the derived duration/bitrate hash against closed
+    forms. Sample decode is the named AAC codec seam; this is the
+    ffprobe-shaped half a pipeline needs to route and budget those
+    files. Map-only mapInPandas with the standard core fan-out."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "sample_rate": [], "n_channels": [],
+                "adts_frames": [], "n_samples": [], "duration_ms": [],
+                "mean_bitrate_kbps": [], "vbr": [], "crc_frames": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nf = 3 + d % 4
+                cbr = d % 5 == 0
+                payloads = [
+                    bytes((11 * d + 7 * k + j) % 256 for j in range(
+                        40 if cbr else 40 + (d + k) % 25
+                    ))
+                    for k in range(nf)
+                ]
+                blob = encode_adts(
+                    payloads, sr_index=d % 13, channels=1 + d % 3,
+                    with_crc=(d % 2 == 1),
+                )
+                m = probe_audio(blob)  # REAL ADTS header walk
+                out["doc_id"].append(d)
+                out["sample_rate"].append(m["sample_rate"])
+                out["n_channels"].append(m["n_channels"])
+                out["adts_frames"].append(m["adts_frames"])
+                out["n_samples"].append(m["n_frames"])
+                out["duration_ms"].append(m["duration_ms"])
+                out["mean_bitrate_kbps"].append(m["mean_bitrate_kbps"])
+                out["vbr"].append(m["vbr"])
+                out["crc_frames"].append(m["crc_frames"])
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, sample_rate long, n_channels long, "
+        "adts_frames long, n_samples long, duration_ms long, "
+        "mean_bitrate_kbps long, vbr boolean, crc_frames long"
     )
     return docs.mapInPandas(run, schema)
 

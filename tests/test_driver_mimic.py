@@ -94,6 +94,7 @@ QUERIES = [
     "mp3_rate_profiles_decode_features",
     "mp4_audio_extract_features",
     "jpeg_lossless_decode_features",
+    "adts_probe_features",
 ]
 
 
@@ -197,6 +198,7 @@ ANSI_QUERIES = [
     "mp3_rate_profiles_decode_features",
     "mp4_audio_extract_features",
     "jpeg_lossless_decode_features",
+    "adts_probe_features",
 ]
 
 
