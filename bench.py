@@ -159,6 +159,15 @@ FLOORS = {
     "jpeg_decode_features": 2.669,
     "pii_redaction_stats": 1.391,
     "avi_audio_extract_features": 0.997,
+    # round-16 first entries (closing local bench SESSION @ sf0.1,
+    # local[32], yardstick 38 GFLOP/s under ~40k steal ticks — the
+    # established first-entry unit; replace with BENCH_r16 driver
+    # numbers when recorded)
+    "mp3_container_routing_features": 1.722,
+    "mp3_stereo_matrix_decode_features": 1.279,
+    "mp3_rate_profiles_decode_features": 0.929,
+    "mp4_audio_extract_features": 1.632,
+    "jpeg_lossless_decode_features": 0.64,
 }
 
 
