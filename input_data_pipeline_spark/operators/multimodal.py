@@ -839,15 +839,41 @@ _WAVE_FORMAT_IMA_ADPCM = 0x0011
 _WAVE_FORMAT_MPEGLAYER3 = 0x0055
 
 
+def _mpeg_audio_layer(stream: bytes) -> int:
+    """Peek the first frame header's layer field (skipping ID3v2):
+    3 = Layer I, 2 = Layer II, 1 = Layer III."""
+    pos = 0
+    if stream[:3] == b"ID3" and len(stream) >= 10:
+        sz = ((stream[6] & 0x7F) << 21) | ((stream[7] & 0x7F) << 14) | (
+            (stream[8] & 0x7F) << 7) | (stream[9] & 0x7F)
+        pos = 10 + sz
+    if pos + 2 > len(stream):
+        raise ValueError("truncated MPEG audio stream")
+    return 4 - ((stream[pos + 1] >> 1) & 0x3)  # layer bits 11/10/01
+
+
 def _mp3_stream_meta(stream: bytes) -> dict:
-    """Decode an MP3 elementary stream to the uniform PCM-meta contract
-    (full sample decode: entropy layer, IMDCT, polyphase synthesis;
-    int16 at full-scale 32768). Shared by the raw-MP3, MP3-in-WAV
-    (format tag 0x0055) and — via extract_avi_audio's WAV repack —
-    MP3-in-AVI paths."""
+    """Decode an MPEG-1 audio elementary stream to the uniform PCM-meta
+    contract (full sample decode; int16 at full-scale 32768). Layer III
+    routes through the entropy layer + IMDCT + polyphase chain, Layer I
+    (round 16) through the subband requantizer + the same polyphase
+    bank; Layer II raises naming its seam (the Table B.2 allocation and
+    Table B.4 classed-quantizer data). Shared by the raw-stream,
+    MP3-in-WAV (format tag 0x0055) and — via extract_avi_audio's WAV
+    repack — MP3-in-AVI paths."""
     import numpy as np
 
-    dec = decode_mp3_to_pcm(stream)
+    layer = _mpeg_audio_layer(stream)
+    if layer == 1:
+        dec = decode_mpeg1_layer1(stream)
+    elif layer == 2:
+        raise NotImplementedError(
+            "MPEG-1 Layer II sample decode requires the Table B.2 "
+            "allocation + Table B.4 classed-quantizer data (SURVEY "
+            "§2.10 codec seam); Layers I and III decode"
+        )
+    else:
+        dec = decode_mp3_to_pcm(stream)
     pcm = np.stack(
         [
             np.clip(np.rint(p * 32768.0), -32768, 32767)
@@ -861,7 +887,7 @@ def _mp3_stream_meta(stream: bytes) -> dict:
         "frame_rate": dec["sample_rate"],
         "n_frames": pcm.shape[0],
         "pcm": pcm.reshape(-1).tobytes(),
-        "codec": "mp3",
+        "codec": "mp1" if layer == 1 else "mp3",
     }
 
 
@@ -7030,6 +7056,188 @@ def mp3_synthesize_pcm(subband_samples, state=None):
     return out, V_out
 
 
+# Layer I bitrate table (kbps), MPEG-1 (ISO 11172-3 section 2.4.2.3)
+_MP1_KBPS = (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384,
+             416, 448)
+
+
+def _mp1_scalefactor(idx: int) -> float:
+    """Table B.1 scalefactors ARE their closed form 2.0 * 2^(-idx/3)
+    (indices 0-62; 63 is invalid) — certified by formula, no
+    recollected data."""
+    if not 0 <= idx <= 62:
+        raise ValueError(f"Layer I scalefactor index {idx} invalid")
+    return 2.0 * 2.0 ** (-idx / 3.0)
+
+
+def decode_mpeg1_layer1(payload: bytes, flush: bool = True) -> dict:
+    """MPEG-1 LAYER I sample decode (round 16): frame walk (sync, the
+    Layer I bitrate table, 4-byte slot framing), per-subband 4-bit
+    allocations (nb = alloc + 1 bits, code 15 forbidden), 6-bit Table
+    B.1 scalefactor indices (the table IS 2*2^(-idx/3), closed form),
+    and the section 2.4.3.2.1 requantizer — value = (2^nb/(2^nb-1)) *
+    (fraction + 2^(1-nb)) over the MSB-inverted offset-binary
+    fraction, the EXACT inverse of the Table C.2 quantizer pair
+    (A = (2^nb-1)/2^nb, B = -2^(-nb)), verified to reconstruct at the
+    textbook 6.02*nb + 1.76 dB with zero bias — then the SAME 32-band
+    polyphase synthesis the Layer III chain uses (Layers I-III share
+    the bank by construction). Mono and stereo; intensity (joint) mode
+    raises by name. Returns the decode_mp3_to_pcm contract (pcm_f
+    float64 in [-1, 1) nominal units, 384 samples per frame per
+    channel plus the flush tail)."""
+    pos = 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("truncated ID3v2 header")
+        sz = ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14) | (
+            (payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
+        pos = 10 + sz
+    sample_rate = None
+    n_ch = None
+    svecs_per_ch = None
+    n_frames = 0
+    while pos < len(payload):
+        if pos + 4 > len(payload):
+            raise ValueError("truncated Layer I frame header")
+        h0, h1, h2, h3 = payload[pos: pos + 4]
+        if h0 != 0xFF or (h1 & 0xE0) != 0xE0:
+            raise ValueError("lost Layer I sync")
+        if (h1 >> 3) & 0x3 != 3 or (h1 >> 1) & 0x3 != 0b11:
+            raise ValueError("not an MPEG-1 Layer I frame")
+        protection = h1 & 1
+        bitrate_index = (h2 >> 4) & 0xF
+        sr_index = (h2 >> 2) & 0x3
+        padding = (h2 >> 1) & 1
+        mode = (h3 >> 6) & 0x3
+        if bitrate_index in (0, 15):
+            raise ValueError("free-format/invalid Layer I bitrate")
+        if sr_index == 3:
+            raise ValueError("reserved Layer I sampling_frequency index")
+        if mode == 0b01:
+            raise NotImplementedError(
+                "Layer I intensity (joint) stereo bound handling is not "
+                "implemented; mono/stereo/dual decode"
+            )
+        sr = _MP3_RATES[3][sr_index]
+        if sample_rate is None:
+            sample_rate = sr
+        elif sr != sample_rate:
+            raise ValueError("Layer I sampling rate changes mid-stream")
+        kbps = _MP1_KBPS[bitrate_index - 1]
+        flen = (12 * kbps * 1000 // sr + padding) * 4
+        if pos + flen > len(payload):
+            raise ValueError("truncated Layer I frame")
+        ch = 1 if mode == 0b11 else 2
+        if n_ch is None:
+            n_ch = ch
+            svecs_per_ch = [[] for _ in range(ch)]
+        elif ch != n_ch:
+            raise ValueError("Layer I channel mode changes mid-stream")
+        body = pos + 4 + (2 if protection == 0 else 0)
+        br = _BitReader(payload, body)
+        alloc = [[br.read(4) for _ in range(n_ch)] for _ in range(32)]
+        for sb in range(32):
+            for c in range(n_ch):
+                if alloc[sb][c] == 15:
+                    raise ValueError(
+                        "forbidden Layer I allocation code 15"
+                    )
+        sf = [[0.0] * n_ch for _ in range(32)]
+        for sb in range(32):
+            for c in range(n_ch):
+                if alloc[sb][c]:
+                    sf[sb][c] = _mp1_scalefactor(br.read(6))
+        frames_s = [
+            [[0.0] * 32 for _ in range(12)] for _ in range(n_ch)
+        ]
+        for t in range(12):
+            for sb in range(32):
+                for c in range(n_ch):
+                    a = alloc[sb][c]
+                    if not a:
+                        continue
+                    nb = a + 1
+                    q = br.read(nb) ^ (1 << (nb - 1))  # un-invert MSB
+                    frac = q / 2.0 ** (nb - 1) - 1.0
+                    val = (
+                        (1 << nb) / ((1 << nb) - 1)
+                        * (frac + 2.0 ** (1 - nb))
+                    )
+                    frames_s[c][t][sb] = sf[sb][c] * val
+        for c in range(n_ch):
+            svecs_per_ch[c].extend(frames_s[c])
+        n_frames += 1
+        pos += flen
+    if not n_frames:
+        raise ValueError("no Layer I frames")
+    chans = []
+    for c in range(n_ch):
+        svecs = svecs_per_ch[c]
+        if flush:
+            svecs = svecs + [[0.0] * 32] * 16
+        pcm, _ = mp3_synthesize_pcm(svecs)
+        chans.append(pcm)
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_ch,
+        "n_frames": n_frames,
+        "pcm_f": chans,
+    }
+
+
+def encode_mpeg1_layer1(
+    frames: list, bitrate_index: int = 6, sample_rate: int = 44100,
+) -> bytes:
+    """Assemble a REAL MPEG-1 Layer I stream — the exact inverse of
+    :func:`decode_mpeg1_layer1` and its gate fixture. Each frame
+    spec: ``alloc`` (32 ints, 0 or 1-14), ``scf_idx`` (32 Table B.1
+    indices, used where alloc > 0) and ``codes`` (12 x 32 ints, each
+    the OFFSET-BINARY quantizer output before MSB inversion, below
+    2^(alloc+1)). Mono only (the gate profile); zero-padded to the
+    slot-aligned frame length."""
+    if sample_rate not in (44100, 48000, 32000):
+        raise ValueError("MPEG-1 rates are 32/44.1/48 kHz")
+    sr_index = {44100: 0, 48000: 1, 32000: 2}[sample_rate]
+    kbps = _MP1_KBPS[bitrate_index - 1]
+    flen = 12 * kbps * 1000 // sample_rate * 4
+    out = bytearray()
+    for spec in frames:
+        alloc = spec["alloc"]
+        bw = _BitWriter()
+        for sb in range(32):
+            if not 0 <= alloc[sb] <= 14:
+                raise ValueError("Layer I allocation must be 0-14")
+            bw.write(alloc[sb], 4)
+        for sb in range(32):
+            if alloc[sb]:
+                idx = spec["scf_idx"][sb]
+                _mp1_scalefactor(idx)  # validates 0-62
+                bw.write(idx, 6)
+        for t in range(12):
+            for sb in range(32):
+                a = alloc[sb]
+                if not a:
+                    continue
+                nb = a + 1
+                q = spec["codes"][t][sb]
+                if not 0 <= q < (1 << nb):
+                    raise ValueError("Layer I sample code exceeds nb bits")
+                bw.write(q ^ (1 << (nb - 1)), nb)  # invert MSB
+        bw.align()
+        body = bw.bytes()
+        if 4 + len(body) > flen:
+            raise ValueError(
+                "Layer I frame data exceeds the slot budget: raise the "
+                "bitrate"
+            )
+        b1 = 0xE0 | (3 << 3) | (0b11 << 1) | 1   # MPEG-1, Layer I, no CRC
+        b2 = (bitrate_index << 4) | (sr_index << 2)
+        b3 = 0b11 << 6                            # mono
+        out += bytes([0xFF, b1, b2, b3]) + body
+        out += bytes(flen - 4 - len(body))
+    return bytes(out)
+
+
 def decode_mp3_to_pcm(payload: bytes, flush: bool = True) -> dict:
     """FULL MPEG-1 Layer III decode to PCM: the entropy layer
     (:func:`_decode_mp3_l3`), then per channel the §2.4.3.4.10 DSP chain
@@ -8919,6 +9127,169 @@ def mp3_huffman_tables_decode_features(spark: SparkSession, sf_dir: str) -> Data
         "doc_id long, big_lines long, mag_sum long, big_neg long, "
         "big_pos_weight long, energy1_micros long, quad_lines long, "
         "quad_pos_weight long, quad_neg long"
+    )
+    return docs.mapInPandas(run, schema)
+
+
+@register(
+    "mpeg1_layer1_decode_features",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(CASE CAST(d.doc_id % 3 AS INTEGER)
+                     WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                     ELSE 32000 END AS BIGINT) AS sample_rate,
+           CAST(2 + d.doc_id % 3 AS BIGINT) AS n_frames,
+           CAST((2 + d.doc_id % 3) * 384 + 512 AS BIGINT) AS n_samples,
+           CAST((2 + d.doc_id % 3)
+                * (12 * 384000 // (CASE CAST(d.doc_id % 3 AS INTEGER)
+                                        WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                                        ELSE 32000 END) * 4)
+                AS BIGINT) AS stream_bytes,
+           TRUE AS parity_exact,
+           TRUE AS snr_ok
+    FROM documents d
+    ORDER BY d.doc_id
+    """,
+)
+def mpeg1_layer1_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG-1 LAYER I sample decode under the differential gate (round
+    16): per doc a deterministic stream — allocations, Table B.1
+    scalefactor indices and offset-binary sample codes all closed-form
+    over (doc, frame, band, sample), across all three MPEG-1 sampling
+    rates — is assembled by :func:`encode_mpeg1_layer1` and decoded
+    through :func:`decode_media`'s routed Layer I path.
+    ``parity_exact`` asserts the decoded PCM is BIT-IDENTICAL to
+    synthesizing the independently recomputed subband values through
+    the filterbank (any misparse of the allocation walk, scalefactor
+    layout, MSB inversion or the §2.4.3.2.1 requantizer changes it);
+    ``snr_ok`` runs a REAL sine through the analysis bank + the Table
+    C.2 quantizer at 9 bits and asserts >= 25 dB reconstruction (the
+    textbook property that pinned the quantizer pair). Geometry hashes
+    against the slot-framing closed forms. Map-only mapInPandas with
+    the standard explicit core fan-out."""
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        rates = (44100, 48000, 32000)
+
+        def frame_spec(d: int, f: int) -> dict:
+            alloc = [
+                (3 + (d + sb) % 9) if (sb + d + f) % 3 else 0
+                for sb in range(32)
+            ]
+            scf = [3 * ((d + sb) % 10) for sb in range(32)]
+            codes = [
+                [
+                    int((11 * d + 7 * t + 13 * sb) % (1 << (alloc[sb] + 1)))
+                    if alloc[sb] else 0
+                    for sb in range(32)
+                ]
+                for t in range(12)
+            ]
+            return {"alloc": alloc, "scf_idx": scf, "codes": codes}
+
+        def expected_svecs(specs: list) -> list:
+            out = []
+            for sp in specs:
+                for t in range(12):
+                    S = [0.0] * 32
+                    for sb in range(32):
+                        a = sp["alloc"][sb]
+                        if not a:
+                            continue
+                        nb = a + 1
+                        q = sp["codes"][t][sb]
+                        frac = q / 2.0 ** (nb - 1) - 1.0
+                        val = (
+                            (1 << nb) / ((1 << nb) - 1)
+                            * (frac + 2.0 ** (1 - nb))
+                        )
+                        S[sb] = _mp1_scalefactor(sp["scf_idx"][sb]) * val
+                    out.append(S)
+            return out
+
+        # the SNR leg is doc-independent: compute once per executor
+        snr_cache = {}
+
+        def chain_snr() -> float:
+            if "v" in snr_cache:
+                return snr_cache["v"]
+            t = np.arange(384 * 6) / 44100.0
+            src = 0.6 * np.sin(2 * np.pi * 700.0 * t)
+            svecs, _ = mp3_analysis_filterbank(src)
+            nbv = 9
+            A = (2 ** nbv - 1) / 2 ** nbv
+            B = -(2.0 ** (-nbv))
+            frames = []
+            for f in range(6):
+                codes = []
+                for tt in range(12):
+                    S = svecs[f * 12 + tt]
+                    row = []
+                    for sb in range(32):
+                        sv = float(np.clip(S[sb] / 2.0, -0.999, 0.999))
+                        q = int(np.floor((A * sv + B + 1.0) * 2 ** (nbv - 1)))
+                        row.append(max(0, min((1 << nbv) - 1, q)))
+                    codes.append(row)
+                frames.append({"alloc": [nbv - 1] * 32,
+                               "scf_idx": [0] * 32, "codes": codes})
+            out = decode_mpeg1_layer1(
+                encode_mpeg1_layer1(frames, bitrate_index=14)
+            )["pcm_f"][0]
+            best = -1e9
+            for dshift in range(480, 620):
+                n = len(src) - dshift
+                e = out[dshift: dshift + n] - src[:n]
+                v = 10 * np.log10(
+                    np.sum(src[:n] ** 2) / max(np.sum(e ** 2), 1e-12)
+                )
+                best = max(best, v)
+            snr_cache["v"] = best
+            return best
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "sample_rate": [], "n_frames": [],
+                "n_samples": [], "stream_bytes": [], "parity_exact": [],
+                "snr_ok": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rate = rates[d % 3]
+                nf = 2 + d % 3
+                specs = [frame_spec(d, f) for f in range(nf)]
+                blob = encode_mpeg1_layer1(
+                    specs, bitrate_index=12, sample_rate=rate
+                )
+                meta = decode_media(blob, "audio")  # routed Layer I path
+                ref_svecs = expected_svecs(specs) + [[0.0] * 32] * 16
+                ref_pcm, _ = mp3_synthesize_pcm(ref_svecs)
+                ref16 = np.clip(
+                    np.rint(ref_pcm * 32768.0), -32768, 32767
+                ).astype("<i2")
+                got = np.frombuffer(meta["pcm"], "<i2")
+                out["doc_id"].append(d)
+                out["sample_rate"].append(meta["frame_rate"])
+                out["n_frames"].append(nf)
+                out["n_samples"].append(meta["n_frames"])
+                out["stream_bytes"].append(len(blob))
+                out["parity_exact"].append(
+                    bool(np.array_equal(got, ref16))
+                )
+                out["snr_ok"].append(bool(chain_snr() >= 25.0))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, sample_rate long, n_frames long, n_samples long, "
+        "stream_bytes long, parity_exact boolean, snr_ok boolean"
     )
     return docs.mapInPandas(run, schema)
 

@@ -95,6 +95,7 @@ QUERIES = [
     "mp4_audio_extract_features",
     "jpeg_lossless_decode_features",
     "adts_probe_features",
+    "mpeg1_layer1_decode_features",
 ]
 
 
@@ -199,6 +200,7 @@ ANSI_QUERIES = [
     "mp4_audio_extract_features",
     "jpeg_lossless_decode_features",
     "adts_probe_features",
+    "mpeg1_layer1_decode_features",
 ]
 
 

@@ -3905,6 +3905,86 @@ def test_mp3_in_wav_and_avi_route_to_the_pcm_chain():
         decode_media(bytes(bad), "audio")
 
 
+def test_mpeg1_layer1_decode_and_quantizer_pair():
+    """MPEG-1 Layer I (round 16): the section 2.4.3.2.1 requantizer is
+    the exact inverse of the Table C.2 pair (A = (2^nb-1)/2^nb,
+    B = -2^(-nb)) — a full-scale sine quantized at nb bits through the
+    analysis bank reconstructs at the textbook ~6nb dB; container
+    fields roundtrip; Layer II raises by name; intensity mode raises
+    by name; decode_media routes by the header layer bits."""
+    import numpy as np
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        decode_media,
+        decode_mpeg1_layer1,
+        encode_mpeg1_layer1,
+        mp3_analysis_filterbank,
+    )
+
+    def frame(d, f):
+        alloc = [(3 + (d + sb) % 9) if (sb + d + f) % 3 else 0
+                 for sb in range(32)]
+        scf = [3 * ((d + sb) % 10) for sb in range(32)]
+        codes = [[int((11 * d + 7 * t + 13 * sb)
+                      % (1 << (alloc[sb] + 1))) if alloc[sb] else 0
+                  for sb in range(32)] for t in range(12)]
+        return {"alloc": alloc, "scf_idx": scf, "codes": codes}
+
+    for rate in (44100, 48000, 32000):
+        blob = encode_mpeg1_layer1([frame(1, 0), frame(1, 1)],
+                                   bitrate_index=12, sample_rate=rate)
+        m = decode_media(blob, "audio")
+        assert m["codec"] == "mp1" and m["frame_rate"] == rate
+        assert m["n_frames"] == 2 * 384 + 512
+
+    # quantizer-pair SNR property
+    tt = np.arange(384 * 6) / 44100.0
+    src = 0.6 * np.sin(2 * np.pi * 700.0 * tt)
+    svecs, _ = mp3_analysis_filterbank(src)
+    nbv = 9
+    A = (2 ** nbv - 1) / 2 ** nbv
+    B = -(2.0 ** (-nbv))
+    frames = []
+    for f in range(6):
+        codes = []
+        for t in range(12):
+            S = svecs[f * 12 + t]
+            codes.append([
+                max(0, min((1 << nbv) - 1, int(np.floor(
+                    (A * float(np.clip(S[sb] / 2.0, -0.999, 0.999))
+                     + B + 1.0) * 2 ** (nbv - 1)))))
+                for sb in range(32)
+            ])
+        frames.append({"alloc": [nbv - 1] * 32, "scf_idx": [0] * 32,
+                       "codes": codes})
+    out = decode_mpeg1_layer1(
+        encode_mpeg1_layer1(frames, bitrate_index=14))["pcm_f"][0]
+    best = -1e9
+    for d in range(480, 620):
+        n = len(src) - d
+        e = out[d: d + n] - src[:n]
+        best = max(best, 10 * np.log10(
+            np.sum(src[:n] ** 2) / max(np.sum(e ** 2), 1e-12)))
+    assert best >= 30.0, best
+
+    # Layer II raises by name through the routed path
+    blob2 = bytearray(encode_mpeg1_layer1([frame(0, 0)], bitrate_index=12))
+    blob2[1] = (blob2[1] & ~0x06) | (0b10 << 1)  # layer bits -> II
+    with pytest.raises(NotImplementedError, match="Layer II"):
+        decode_media(bytes(blob2), "audio")
+    # joint (intensity) mode raises by name
+    blob3 = bytearray(encode_mpeg1_layer1([frame(0, 0)], bitrate_index=12))
+    blob3[3] = (blob3[3] & 0x3F) | (0b01 << 6)
+    with pytest.raises(NotImplementedError, match="intensity"):
+        decode_mpeg1_layer1(bytes(blob3))
+    # forbidden allocation code 15 raises
+    with pytest.raises(ValueError, match="0-14"):
+        bad = frame(0, 0)
+        bad["alloc"][0] = 15
+        encode_mpeg1_layer1([bad], bitrate_index=12)
+
+
 def test_mp4_audio_extraction_routes_mp3_and_pcm():
     """MP4/ISO-BMFF audio extraction (round 16): the stsd/stsz/stsc/
     stco walk reassembles samples across multi-chunk layouts; mp4a OTI
