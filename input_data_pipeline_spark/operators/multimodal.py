@@ -840,8 +840,9 @@ _WAVE_FORMAT_MPEGLAYER3 = 0x0055
 
 
 def _mpeg_audio_layer(stream: bytes) -> int:
-    """Peek the first frame header's layer field (skipping ID3v2):
-    3 = Layer I, 2 = Layer II, 1 = Layer III."""
+    """Peek the first frame header's layer field (skipping ID3v2),
+    returned in spec numbering: 1 = Layer I, 2 = Layer II,
+    3 = Layer III (the header BITS are the reverse, 11/10/01)."""
     pos = 0
     if stream[:3] == b"ID3" and len(stream) >= 10:
         sz = ((stream[6] & 0x7F) << 21) | ((stream[7] & 0x7F) << 14) | (
@@ -857,8 +858,8 @@ def _mp3_stream_meta(stream: bytes) -> dict:
     contract (full sample decode; int16 at full-scale 32768). Layer III
     routes through the entropy layer + IMDCT + polyphase chain, Layer I
     (round 16) through the subband requantizer + the same polyphase
-    bank; Layer II raises naming its seam (the Table B.2 allocation and
-    Table B.4 classed-quantizer data). Shared by the raw-stream,
+    bank, Layer II (round 17) through the Table B.2/B.4 classed
+    requantizer + that bank. Shared by the raw-stream,
     MP3-in-WAV (format tag 0x0055) and — via extract_avi_audio's WAV
     repack — MP3-in-AVI paths."""
     import numpy as np
@@ -867,11 +868,7 @@ def _mp3_stream_meta(stream: bytes) -> dict:
     if layer == 1:
         dec = decode_mpeg1_layer1(stream)
     elif layer == 2:
-        raise NotImplementedError(
-            "MPEG-1 Layer II sample decode requires the Table B.2 "
-            "allocation + Table B.4 classed-quantizer data (SURVEY "
-            "§2.10 codec seam); Layers I and III decode"
-        )
+        dec = decode_mpeg1_layer2(stream)
     else:
         dec = decode_mp3_to_pcm(stream)
     pcm = np.stack(
@@ -887,7 +884,7 @@ def _mp3_stream_meta(stream: bytes) -> dict:
         "frame_rate": dec["sample_rate"],
         "n_frames": pcm.shape[0],
         "pcm": pcm.reshape(-1).tobytes(),
-        "codec": "mp1" if layer == 1 else "mp3",
+        "codec": {1: "mp1", 2: "mp2"}.get(layer, "mp3"),
     }
 
 
@@ -6006,7 +6003,9 @@ _MP3_HUFF1_DEC = {v: k for k, v in _MP3_HUFF1.items()}
 # 1 + prefix-free), which any single mis-remembered length or codeword
 # would break with overwhelming probability; value-ASSIGNMENT fidelity
 # against third-party encoders is the documented validation boundary.
-# Tables 5-31 (4x4 and up, linbits) remain the named data seam.
+# The alphabet is COMPLETE since round 16 (tables 5-16/24 plus the
+# 17-23/25-31 linbits aliases ship below); the remaining MP3-family
+# seams are MPEG-2/2.5 LSF and, until round 17, Layer II.
 _MP3_HUFF2 = {
     (x, y): (ln, code)
     for x, row in enumerate(
@@ -7076,8 +7075,11 @@ def decode_mpeg1_layer1(payload: bytes, flush: bool = True) -> dict:
     allocations (nb = alloc + 1 bits, code 15 forbidden), 6-bit Table
     B.1 scalefactor indices (the table IS 2*2^(-idx/3), closed form),
     and the section 2.4.3.2.1 requantizer — value = (2^nb/(2^nb-1)) *
-    (fraction + 2^(1-nb)) over the MSB-inverted offset-binary
-    fraction, the EXACT inverse of the Table C.2 quantizer pair
+    (fraction + 2^(1-nb)) over the offset-binary wire fraction read
+    directly (the spec encoder's "invert the MSB" of the
+    two's-complement sample PRODUCES offset binary, so no decoder-side
+    XOR; r16 ADVICE high fix), the EXACT inverse of the Table C.2
+    quantizer pair
     (A = (2^nb-1)/2^nb, B = -2^(-nb)), verified to reconstruct at the
     textbook 6.02*nb + 1.76 dB with zero bias — then the SAME 32-band
     polyphase synthesis the Layer III chain uses (Layers I-III share
@@ -7157,7 +7159,16 @@ def decode_mpeg1_layer1(payload: bytes, flush: bool = True) -> dict:
                     if not a:
                         continue
                     nb = a + 1
-                    q = br.read(nb) ^ (1 << (nb - 1))  # un-invert MSB
+                    # The wire code IS the offset-binary fraction: the
+                    # encoder's "invert the MSB of the two's-complement
+                    # sample" (§C.1.5.3.4) produces offset binary, so the
+                    # decoder reads it directly (wire 0 -> -1.0). An extra
+                    # XOR here would decode every code to the opposite
+                    # half-range (the r16 defect the r16 ADVICE flagged;
+                    # cross-checked against libmad layer12.c I_sample,
+                    # whose XOR + two's-complement sign-extend is
+                    # algebraically this same direct mapping).
+                    q = br.read(nb)
                     frac = q / 2.0 ** (nb - 1) - 1.0
                     val = (
                         (1 << nb) / ((1 << nb) - 1)
@@ -7192,8 +7203,10 @@ def encode_mpeg1_layer1(
     :func:`decode_mpeg1_layer1` and its gate fixture. Each frame
     spec: ``alloc`` (32 ints, 0 or 1-14), ``scf_idx`` (32 Table B.1
     indices, used where alloc > 0) and ``codes`` (12 x 32 ints, each
-    the OFFSET-BINARY quantizer output before MSB inversion, below
-    2^(alloc+1)). Mono only (the gate profile); zero-padded to the
+    the OFFSET-BINARY wire code, below 2^(alloc+1)). Offset binary is
+    already the transmitted form (§C.1.5.3.4's "invert the MSB" of the
+    two's-complement sample yields exactly it), so codes go on the
+    wire verbatim. Mono only (the gate profile); zero-padded to the
     slot-aligned frame length."""
     if sample_rate not in (44100, 48000, 32000):
         raise ValueError("MPEG-1 rates are 32/44.1/48 kHz")
@@ -7222,7 +7235,7 @@ def encode_mpeg1_layer1(
                 q = spec["codes"][t][sb]
                 if not 0 <= q < (1 << nb):
                     raise ValueError("Layer I sample code exceeds nb bits")
-                bw.write(q ^ (1 << (nb - 1)), nb)  # invert MSB
+                bw.write(q, nb)  # offset binary IS the wire form
         bw.align()
         body = bw.bytes()
         if 4 + len(body) > flen:
@@ -7233,6 +7246,380 @@ def encode_mpeg1_layer1(
         b1 = 0xE0 | (3 << 3) | (0b11 << 1) | 1   # MPEG-1, Layer I, no CRC
         b2 = (bitrate_index << 4) | (sr_index << 2)
         b3 = 0b11 << 6                            # mono
+        out += bytes([0xFF, b1, b2, b3]) + body
+        out += bytes(flen - 4 - len(body))
+    return bytes(out)
+
+
+# --- MPEG-1 Layer II (round 17; ISO 11172-3 sections 2.4.2.7/2.4.3.3) ---
+
+# Layer II bitrate table (kbps), MPEG-1 (ISO 11172-3 section 2.4.2.3)
+_MP2_KBPS = (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+
+# Table B.4 published decimals (C, D) in nlevels order — recollected spec
+# data used ONLY to certify the closed form below, never consumed directly.
+_MP2_B4_PUBLISHED = (
+    (3, 1.33333333333, 0.50000000000),
+    (5, 1.60000000000, 0.50000000000),
+    (7, 1.14285714286, 0.25000000000),
+    (9, 1.77777777778, 0.50000000000),
+    (15, 1.06666666667, 0.12500000000),
+    (31, 1.03225806452, 0.06250000000),
+    (63, 1.01587301587, 0.03125000000),
+    (127, 1.00787401575, 0.01562500000),
+    (255, 1.00392156863, 0.00781250000),
+    (511, 1.00195694716, 0.00390625000),
+    (1023, 1.00097751711, 0.00195312500),
+    (2047, 1.00048851979, 0.00097656250),
+    (4095, 1.00024420024, 0.00048828125),
+    (8191, 1.00012208522, 0.00024414063),
+    (16383, 1.00006103888, 0.00012207031),
+    (32767, 1.00003051851, 0.00006103516),
+    (65535, 1.00001525902, 0.00003051758),
+)
+
+
+def _mp2_quant_classes() -> tuple:
+    """Table B.4 quantization classes ARE their closed form — certified
+    at import against the published decimals, the same stance as the
+    G.722 ILB table (r15). For nlevels n the per-sample bit width is
+    nb = ceil(log2(n)) for the three GROUPED classes (n in {3, 5, 9};
+    three samples share one base-n group code of 5/7/10 bits = the
+    tightest integer cover of n^3) and nb = log2(n + 1) for the
+    ungrouped power-of-two-minus-one classes; the requantizer constants
+    are C = 2^nb / n (maps the extreme codes to +/-(n-1)/n) and
+    D = 1 - (n - 1) / 2^nb (centers the middle code on zero). Each
+    entry: (nlevels, wire_bits, grouped, C, D) with wire_bits the
+    GROUP-code width when grouped, else nb."""
+    out = []
+    for n, c_pub, d_pub in _MP2_B4_PUBLISHED:
+        grouped = n in (3, 5, 9)
+        nb = n.bit_length() if grouped else (n + 1).bit_length() - 1
+        if not grouped and (1 << nb) - 1 != n:
+            raise AssertionError(f"Layer II class {n} is not 2^nb - 1")
+        C = (1 << nb) / n
+        D = 1.0 - (n - 1) / (1 << nb)
+        if abs(C - c_pub) > 5e-9 or abs(D - d_pub) > 5e-9:
+            raise AssertionError(
+                f"Table B.4 closed form disagrees with the published "
+                f"decimals at nlevels={n}: C {C} vs {c_pub}, D {D} vs "
+                f"{d_pub}"
+            )
+        if grouped:
+            gbits = {3: 5, 5: 7, 9: 10}[n]
+            if not (1 << (gbits - 1)) < n ** 3 <= (1 << gbits):
+                raise AssertionError(
+                    f"group width {gbits} is not the tightest cover of "
+                    f"{n}^3"
+                )
+            out.append((n, gbits, True, C, D, nb))
+        else:
+            out.append((n, nb, False, C, D, nb))
+    return tuple(out)
+
+
+_MP2_QC = _mp2_quant_classes()
+
+# Table B.2 allocation rows: each maps allocation code k (1-based; 0 =
+# silent) to an index into _MP2_QC. Six distinct rows cover all four
+# tables; every row fully populates its nbal code space (len = 2^nbal -
+# 1), so unlike Layer I there are no forbidden allocation codes. Row
+# fidelity against the printed spec page is the documented validation
+# boundary (the import check below certifies shape + monotonicity).
+_B2_ROW_A = (0, 2, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+_B2_ROW_B = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 16)
+_B2_ROW_C = (0, 1, 2, 3, 4, 5, 16)
+_B2_ROW_D = (0, 1, 16)
+_B2_ROW_E = (0, 1, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+_B2_ROW_F = (0, 1, 3, 4, 5, 6, 7)
+
+_MP2_ALLOC_TABLES = {
+    "a": tuple([_B2_ROW_A] * 3 + [_B2_ROW_B] * 8
+               + [_B2_ROW_C] * 12 + [_B2_ROW_D] * 4),   # sblimit 27
+    "b": tuple([_B2_ROW_A] * 3 + [_B2_ROW_B] * 8
+               + [_B2_ROW_C] * 12 + [_B2_ROW_D] * 7),   # sblimit 30
+    "c": tuple([_B2_ROW_E] * 2 + [_B2_ROW_F] * 6),      # sblimit 8
+    "d": tuple([_B2_ROW_E] * 2 + [_B2_ROW_F] * 10),     # sblimit 12
+}
+
+
+def _validate_mp2_alloc_tables() -> None:
+    for key, tab in _MP2_ALLOC_TABLES.items():
+        for row in tab:
+            nbal = len(row).bit_length()
+            if len(row) + 1 != (1 << nbal):
+                raise AssertionError(
+                    f"B.2{key} row does not fill its nbal space"
+                )
+            lev = [_MP2_QC[i][0] for i in row]
+            if lev[0] != 3 or any(
+                a >= b for a, b in zip(lev, lev[1:])
+            ):
+                raise AssertionError(
+                    f"B.2{key} row not strictly increasing from 3 levels"
+                )
+
+
+_validate_mp2_alloc_tables()
+
+
+def _mp2_nbal(row: tuple) -> int:
+    return len(row).bit_length()
+
+
+def _mp2_table_select(kbps: int, nch: int, sr: int) -> str:
+    """Table B.2a-d selection (section 2.4.2.7, the dist10 pick_table
+    decision rules over bitrate-per-channel and sampling rate)."""
+    br = kbps // nch
+    if (sr == 48000 and br >= 56) or (56 <= br <= 80):
+        return "a"
+    if sr != 48000 and br >= 96:
+        return "b"
+    if sr != 32000 and br <= 48:
+        return "c"
+    return "d"
+
+
+def decode_mpeg1_layer2(payload: bytes, flush: bool = True) -> dict:
+    """MPEG-1 LAYER II sample decode (round 17): frame walk (sync, the
+    Layer II bitrate table, single-byte slot framing at 1152 samples),
+    Table B.2a-d allocation walk (nbal bits per subband, table chosen
+    by the section 2.4.2.7 bitrate/rate rules), 2-bit scfsi and Table
+    B.1 scalefactors per third-of-frame part, and the Table B.4 classed
+    requantizer s'' = C * (s''' + D) over the offset-binary wire
+    fraction — base-n degrouping first for the grouped 3/5/9-level
+    classes — then the SAME 32-band polyphase synthesis Layers I and
+    III use. Mono, stereo, dual, and joint (intensity) stereo with the
+    (mode_extension + 1) * 4 bound. Returns the decode_mp3_to_pcm
+    contract (pcm_f float64, 1152 samples per frame per channel plus
+    the flush tail). Reference behavior parity: the reference's
+    pipeline (reference repo ``transcribe_audio.py``) never parses
+    MPEG frames itself — this decoder is the engine-native replacement
+    for its external-tool decode step."""
+    pos = 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("truncated ID3v2 header")
+        sz = ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14) | (
+            (payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
+        pos = 10 + sz
+    sample_rate = None
+    n_ch = None
+    svecs_per_ch: list = []
+    n_frames = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] == 0 and all(
+            b == 0 for b in payload[pos: pos + 4]
+        ):
+            break  # zero padding tail
+        h0, h1, h2, h3 = payload[pos: pos + 4]
+        if h0 != 0xFF or (h1 & 0xE0) != 0xE0:
+            raise ValueError("lost Layer II sync")
+        if (h1 >> 3) & 0x3 != 3 or (h1 >> 1) & 0x3 != 0b10:
+            raise ValueError("not an MPEG-1 Layer II frame")
+        protection = h1 & 1
+        bitrate_index = (h2 >> 4) & 0xF
+        sr_index = (h2 >> 2) & 0x3
+        padding = (h2 >> 1) & 1
+        mode = (h3 >> 6) & 0x3
+        mode_ext = (h3 >> 4) & 0x3
+        if bitrate_index in (0, 15):
+            raise ValueError("free-format/invalid Layer II bitrate")
+        if sr_index == 3:
+            raise ValueError("reserved Layer II sampling_frequency index")
+        sr = _MP3_RATES[3][sr_index]
+        if sample_rate is None:
+            sample_rate = sr
+        elif sr != sample_rate:
+            raise ValueError("Layer II sampling rate changes mid-stream")
+        kbps = _MP2_KBPS[bitrate_index - 1]
+        flen = 144 * kbps * 1000 // sr + padding
+        if pos + flen > len(payload):
+            raise ValueError("truncated Layer II frame")
+        ch = 1 if mode == 0b11 else 2
+        if n_ch is None:
+            n_ch = ch
+            svecs_per_ch = [[] for _ in range(ch)]
+        elif ch != n_ch:
+            raise ValueError("Layer II channel mode changes mid-stream")
+        tab = _MP2_ALLOC_TABLES[_mp2_table_select(kbps, ch, sr)]
+        sblimit = len(tab)
+        bound = sblimit
+        if mode == 0b01:
+            bound = min(4 * (mode_ext + 1), sblimit)
+        br = _BitReader(payload, pos + 4 + (2 if protection == 0 else 0))
+        alloc = [[0] * ch for _ in range(sblimit)]
+        for sb in range(sblimit):
+            nbal = _mp2_nbal(tab[sb])
+            if sb < bound:
+                for c in range(ch):
+                    alloc[sb][c] = br.read(nbal)
+            else:
+                a = br.read(nbal)
+                for c in range(ch):
+                    alloc[sb][c] = a
+        scfsi = [[0] * ch for _ in range(sblimit)]
+        for sb in range(sblimit):
+            for c in range(ch):
+                if alloc[sb][c]:
+                    scfsi[sb][c] = br.read(2)
+        sf = [[(0.0, 0.0, 0.0)] * ch for _ in range(sblimit)]
+        for sb in range(sblimit):
+            for c in range(ch):
+                if not alloc[sb][c]:
+                    continue
+                si = scfsi[sb][c]
+                if si == 0:
+                    idx = (br.read(6), br.read(6), br.read(6))
+                elif si == 1:
+                    a_, b_ = br.read(6), br.read(6)
+                    idx = (a_, a_, b_)
+                elif si == 3:
+                    a_, b_ = br.read(6), br.read(6)
+                    idx = (a_, b_, b_)
+                else:
+                    a_ = br.read(6)
+                    idx = (a_, a_, a_)
+                sf[sb][c] = tuple(_mp1_scalefactor(i) for i in idx)
+        frames_s = [
+            [[0.0] * 32 for _ in range(36)] for _ in range(ch)
+        ]
+        for gr in range(12):
+            part = gr >> 2
+            for sb in range(sblimit):
+                row = tab[sb]
+                shared: tuple | None = None
+                for c in range(ch):
+                    a = alloc[sb][c]
+                    if not a:
+                        continue
+                    n, wbits, grouped, C, D, nb = _MP2_QC[row[a - 1]]
+                    if sb >= bound and shared is not None:
+                        s3 = shared
+                    elif grouped:
+                        code = br.read(wbits)
+                        if code >= n ** 3:
+                            raise ValueError(
+                                "Layer II group code exceeds nlevels^3"
+                            )
+                        s3 = (code % n, (code // n) % n, code // (n * n))
+                    else:
+                        s3 = (br.read(nb), br.read(nb), br.read(nb))
+                        if any(v == n for v in s3):
+                            raise ValueError(
+                                "forbidden all-ones Layer II sample code"
+                            )
+                    if sb >= bound:
+                        shared = s3
+                    scale = sf[sb][c][part]
+                    half = 1 << (nb - 1)
+                    for k in range(3):
+                        sddd = s3[k] / half - 1.0
+                        frames_s[c][3 * gr + k][sb] = (
+                            scale * C * (sddd + D)
+                        )
+        for c in range(ch):
+            svecs_per_ch[c].extend(frames_s[c])
+        n_frames += 1
+        pos += flen
+    if not n_frames:
+        raise ValueError("no Layer II frames")
+    chans = []
+    for c in range(n_ch):
+        svecs = svecs_per_ch[c]
+        if flush:
+            svecs = svecs + [[0.0] * 32] * 16
+        pcm, _ = mp3_synthesize_pcm(svecs)
+        chans.append(pcm)
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_ch,
+        "n_frames": n_frames,
+        "pcm_f": chans,
+    }
+
+
+def encode_mpeg1_layer2(
+    frames: list, bitrate_index: int = 11, sample_rate: int = 44100,
+) -> bytes:
+    """Assemble a REAL MPEG-1 Layer II stream — the exact inverse of
+    :func:`decode_mpeg1_layer2`. Each frame spec: ``alloc`` (one
+    allocation CODE per subband up to the selected table's sblimit; 0 =
+    silent), ``scfsi`` (2-bit pattern per allocated subband),
+    ``scf_idx`` (per subband a 3-tuple of Table B.1 indices; the scfsi
+    pattern decides how many are transmitted) and ``samples`` (12
+    granules x sblimit, each a 3-tuple of sample values below the
+    class's nlevels — grouped classes are base-n packed here, ungrouped
+    written as offset-binary wire codes directly, all-ones naturally
+    unreachable because values stop at nlevels - 1). Mono only (the
+    gate profile); zero-padded to the slot-aligned frame length."""
+    if sample_rate not in (44100, 48000, 32000):
+        raise ValueError("MPEG-1 rates are 32/44.1/48 kHz")
+    sr_index = {44100: 0, 48000: 1, 32000: 2}[sample_rate]
+    kbps = _MP2_KBPS[bitrate_index - 1]
+    flen = 144 * kbps * 1000 // sample_rate
+    tab = _MP2_ALLOC_TABLES[_mp2_table_select(kbps, 1, sample_rate)]
+    sblimit = len(tab)
+    out = bytearray()
+    for spec in frames:
+        alloc = spec["alloc"]
+        scfsi = spec.get("scfsi") or [0] * sblimit
+        bw = _BitWriter()
+        for sb in range(sblimit):
+            nbal = _mp2_nbal(tab[sb])
+            if not 0 <= alloc[sb] < (1 << nbal):
+                raise ValueError(
+                    f"Layer II allocation code {alloc[sb]} exceeds "
+                    f"nbal={nbal} at subband {sb}"
+                )
+            bw.write(alloc[sb], nbal)
+        for sb in range(sblimit):
+            if alloc[sb]:
+                bw.write(scfsi[sb], 2)
+        for sb in range(sblimit):
+            if not alloc[sb]:
+                continue
+            idx = spec["scf_idx"][sb]
+            for i in idx:
+                _mp1_scalefactor(i)  # validates 0-62
+            si = scfsi[sb]
+            if si == 0:
+                parts = (idx[0], idx[1], idx[2])
+            elif si == 1:
+                parts = (idx[0], idx[2])
+            elif si == 3:
+                parts = (idx[0], idx[1])
+            else:
+                parts = (idx[0],)
+            for i in parts:
+                bw.write(i, 6)
+        for gr in range(12):
+            for sb in range(sblimit):
+                a = alloc[sb]
+                if not a:
+                    continue
+                n, wbits, grouped, _C, _D, nb = _MP2_QC[tab[sb][a - 1]]
+                s3 = spec["samples"][gr][sb]
+                if any(not 0 <= v < n for v in s3):
+                    raise ValueError(
+                        f"Layer II sample value out of [0, {n}) at "
+                        f"granule {gr} subband {sb}"
+                    )
+                if grouped:
+                    bw.write(s3[0] + n * s3[1] + n * n * s3[2], wbits)
+                else:
+                    for v in s3:
+                        bw.write(v, nb)
+        bw.align()
+        body = bw.bytes()
+        if 4 + len(body) > flen:
+            raise ValueError(
+                "Layer II frame data exceeds the slot budget: raise "
+                "the bitrate"
+            )
+        b1 = 0xE0 | (3 << 3) | (0b10 << 1) | 1  # MPEG-1, Layer II, no CRC
+        b2 = (bitrate_index << 4) | (sr_index << 2)
+        b3 = 0b11 << 6                           # mono
         out += bytes([0xFF, b1, b2, b3]) + body
         out += bytes(flen - 4 - len(body))
     return bytes(out)
@@ -7663,7 +8050,8 @@ def encode_mp3_l3(
     mode: str = "mono",
     sample_rate: int = 44100,
 ) -> bytes:
-    """Assemble a REAL decodable MPEG-1 Layer III 44.1 kHz stream
+    """Assemble a REAL decodable MPEG-1 Layer III stream at any of the
+    three MPEG-1 rates (32/44.1/48 kHz via ``sample_rate``)
     (two granules per frame): true side info, bit-exact part2_3_length
     accounting, table-1/count1-B Huffman data, optional CRC-16, and
     optional bit-reservoir packing (main_data_begin pointing into prior
@@ -9160,8 +9548,12 @@ def mpeg1_layer1_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     through :func:`decode_media`'s routed Layer I path.
     ``parity_exact`` asserts the decoded PCM is BIT-IDENTICAL to
     synthesizing the independently recomputed subband values through
-    the filterbank (any misparse of the allocation walk, scalefactor
-    layout, MSB inversion or the §2.4.3.2.1 requantizer changes it);
+    the filterbank — it pins the allocation walk, scalefactor layout
+    and bit packing, but NOT the wire sign convention, because the
+    recomputation shares the §2.4.3.2.1 requantizer formula. The wire
+    convention itself (offset binary read directly; r16 ADVICE high
+    fix) is pinned by hard-coded spec-derived PCM constants in
+    ``tests/test_multimodal.py::test_mpeg1_layer1_wire_convention``;
     ``snr_ok`` runs a REAL sine through the analysis bank + the Table
     C.2 quantizer at 9 bits and asserts >= 25 dB reconstruction (the
     textbook property that pinned the quantizer pair). Geometry hashes
@@ -9290,6 +9682,229 @@ def mpeg1_layer1_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = (
         "doc_id long, sample_rate long, n_frames long, n_samples long, "
         "stream_bytes long, parity_exact boolean, snr_ok boolean"
+    )
+    return docs.mapInPandas(run, schema)
+
+
+@register(
+    "mpeg1_layer2_decode_features",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(CASE CAST(d.doc_id % 4 AS INTEGER)
+                     WHEN 0 THEN 48000 WHEN 1 THEN 44100
+                     WHEN 2 THEN 44100 ELSE 32000 END AS BIGINT)
+               AS sample_rate,
+           CAST(CASE CAST(d.doc_id % 4 AS INTEGER)
+                     WHEN 0 THEN 27 WHEN 1 THEN 30
+                     WHEN 2 THEN 8 ELSE 12 END AS BIGINT) AS sblimit,
+           CAST(2 + d.doc_id % 2 AS BIGINT) AS n_frames,
+           CAST((2 + d.doc_id % 2) * 1152 + 512 AS BIGINT) AS n_samples,
+           CAST((2 + d.doc_id % 2)
+                * (144 * (CASE WHEN d.doc_id % 4 < 2
+                               THEN 192000 ELSE 48000 END)
+                   // (CASE CAST(d.doc_id % 4 AS INTEGER)
+                            WHEN 0 THEN 48000 WHEN 1 THEN 44100
+                            WHEN 2 THEN 44100 ELSE 32000 END))
+                AS BIGINT) AS stream_bytes,
+           TRUE AS parity_exact,
+           TRUE AS snr_ok
+    FROM documents d
+    ORDER BY d.doc_id
+    """,
+)
+def mpeg1_layer2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG-1 LAYER II sample decode under the differential gate (round
+    17): per doc a deterministic stream — Table B.2 allocation codes,
+    all four 2-bit scfsi sharing patterns, Table B.1 scalefactor
+    indices and classed sample values, all closed-form over (doc,
+    frame, granule, band) — is assembled by
+    :func:`encode_mpeg1_layer2` and decoded through
+    :func:`decode_media`'s routed Layer II path. The doc_id % 4
+    profiles cover ALL FOUR allocation tables (B.2a at 48 kHz/192
+    kbps, B.2b at 44.1/192, B.2c at 44.1/48, B.2d at 32/48) and hence
+    the section 2.4.2.7 selection rules. ``parity_exact`` asserts the
+    decoded PCM is BIT-IDENTICAL to synthesizing the independently
+    recomputed subband values through the filterbank — it pins the
+    allocation walk, scfsi/scalefactor layout, grouped base-n
+    degrouping and bit packing; the offset-binary wire convention the
+    Table B.4 requantizer shares with Layer I is pinned by the
+    hard-coded constants in tests/test_multimodal.py (wire-convention
+    test). ``snr_ok`` runs a REAL sine through the analysis bank + the
+    14-bit class quantizer and asserts >= 25 dB reconstruction.
+    Geometry hashes against the 144*kbps/sr slot-framing closed forms.
+    Map-only mapInPandas with the standard explicit core fan-out.
+    Reference parity: the reference decodes downloaded audio with
+    external tools (reference ``transcribe_audio.py``); this closes
+    the last MPEG-1 audio layer engine-side."""
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        profiles = (  # (rate, bitrate_index) -> B.2a / b / c / d
+            (48000, 10), (44100, 10), (44100, 2), (32000, 2),
+        )
+
+        def eff_scf(idx: tuple, si: int) -> tuple:
+            if si == 0:
+                return idx
+            if si == 1:
+                return (idx[0], idx[0], idx[2])
+            if si == 3:
+                return (idx[0], idx[1], idx[1])
+            return (idx[0], idx[0], idx[0])
+
+        def frame_spec(d: int, f: int, tab: tuple) -> dict:
+            sblimit = len(tab)
+            alloc, scfsi, scf, samples = [], [], [], []
+            for sb in range(sblimit):
+                nbal = _mp2_nbal(tab[sb])
+                a = (
+                    (d + sb + f) % min(4, (1 << nbal) - 1)
+                    if (sb + d + f) % 3 else 0
+                )
+                alloc.append(a)
+                scfsi.append((d + sb) % 4)
+                scf.append((
+                    (3 * (d + sb)) % 63, (d + 2 * sb) % 63,
+                    (2 * d + 5 * sb) % 63,
+                ))
+            for gr in range(12):
+                row = []
+                for sb in range(sblimit):
+                    a = alloc[sb]
+                    if a:
+                        n = _MP2_QC[tab[sb][a - 1]][0]
+                        row.append((
+                            (7 * d + 13 * gr + sb) % n,
+                            (11 * d + 3 * gr + 5 * sb) % n,
+                            (5 * d + gr + 2 * sb) % n,
+                        ))
+                    else:
+                        row.append((0, 0, 0))
+                samples.append(row)
+            return {"alloc": alloc, "scfsi": scfsi, "scf_idx": scf,
+                    "samples": samples}
+
+        def expected_svecs(specs: list, tab: tuple) -> list:
+            out = []
+            for sp in specs:
+                for gr in range(12):
+                    part = gr >> 2
+                    for k in range(3):
+                        S = [0.0] * 32
+                        for sb in range(len(tab)):
+                            a = sp["alloc"][sb]
+                            if not a:
+                                continue
+                            n, _w, _g, C, D, nb = _MP2_QC[tab[sb][a - 1]]
+                            v = sp["samples"][gr][sb][k]
+                            idx = eff_scf(
+                                sp["scf_idx"][sb], sp["scfsi"][sb]
+                            )[part]
+                            S[sb] = _mp1_scalefactor(idx) * C * (
+                                v / (1 << (nb - 1)) - 1.0 + D
+                            )
+                        out.append(S)
+            return out
+
+        # the SNR leg is doc-independent: compute once per executor
+        snr_cache = {}
+
+        def chain_snr() -> float:
+            if "v" in snr_cache:
+                return snr_cache["v"]
+            tab = _MP2_ALLOC_TABLES["a"]
+            n, _w, _g, C, D, nb = _MP2_QC[tab[0][12]]  # code 13: 16383
+            t = np.arange(1152 * 4) / 48000.0
+            src = 0.6 * np.sin(2 * np.pi * 700.0 * t)
+            svecs, _ = mp3_analysis_filterbank(src)
+            frames = []
+            for f in range(4):
+                samples = []
+                for gr in range(12):
+                    row = [(0, 0, 0)] * 27
+                    for sb in range(3):
+                        vals = []
+                        for k in range(3):
+                            S = svecs[f * 36 + 3 * gr + k]
+                            s = float(np.clip(S[sb] / 2.0, -0.99, 0.99))
+                            v = int(np.floor(
+                                (s / C - D + 1.0) * (1 << (nb - 1)) + 0.5
+                            ))
+                            vals.append(max(0, min(n - 1, v)))
+                        row[sb] = tuple(vals)
+                    samples.append(row)
+                frames.append({
+                    "alloc": [13, 13, 13] + [0] * 24,
+                    "scfsi": [0] * 27,
+                    "scf_idx": [(0, 0, 0)] * 27,
+                    "samples": samples,
+                })
+            out = decode_mpeg1_layer2(
+                encode_mpeg1_layer2(frames, bitrate_index=10,
+                                    sample_rate=48000)
+            )["pcm_f"][0]
+            best = -1e9
+            for dshift in range(450, 620):
+                m = len(src) - dshift
+                e = out[dshift: dshift + m] - src[:m]
+                v = 10 * np.log10(
+                    np.sum(src[:m] ** 2) / max(np.sum(e ** 2), 1e-12)
+                )
+                best = max(best, v)
+            snr_cache["v"] = best
+            return best
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "sample_rate": [], "sblimit": [],
+                "n_frames": [], "n_samples": [], "stream_bytes": [],
+                "parity_exact": [], "snr_ok": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rate, bi = profiles[d % 4]
+                tab = _MP2_ALLOC_TABLES[
+                    _mp2_table_select(_MP2_KBPS[bi - 1], 1, rate)
+                ]
+                nf = 2 + d % 2
+                specs = [frame_spec(d, f, tab) for f in range(nf)]
+                blob = encode_mpeg1_layer2(
+                    specs, bitrate_index=bi, sample_rate=rate
+                )
+                meta = decode_media(blob, "audio")  # routed Layer II path
+                ref_svecs = (
+                    expected_svecs(specs, tab) + [[0.0] * 32] * 16
+                )
+                ref_pcm, _ = mp3_synthesize_pcm(ref_svecs)
+                ref16 = np.clip(
+                    np.rint(ref_pcm * 32768.0), -32768, 32767
+                ).astype("<i2")
+                got = np.frombuffer(meta["pcm"], "<i2")
+                out["doc_id"].append(d)
+                out["sample_rate"].append(meta["frame_rate"])
+                out["sblimit"].append(len(tab))
+                out["n_frames"].append(nf)
+                out["n_samples"].append(meta["n_frames"])
+                out["stream_bytes"].append(len(blob))
+                out["parity_exact"].append(
+                    bool(meta["codec"] == "mp2")
+                    and bool(np.array_equal(got, ref16))
+                )
+                out["snr_ok"].append(bool(chain_snr() >= 25.0))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, sample_rate long, sblimit long, n_frames long, "
+        "n_samples long, stream_bytes long, parity_exact boolean, "
+        "snr_ok boolean"
     )
     return docs.mapInPandas(run, schema)
 

@@ -80,84 +80,92 @@ def _load_all() -> None:
 
 # Externally-visible enumeration order. External snapshots of the registry
 # truncate to a prefix (50 slots), so the queries that most need fresh
-# differential evidence must enumerate first. Round-16 rotation (the plan
-# the r15 state note + r15 verdict task 3 recorded): the r15 window went
+# differential evidence must enumerate first. Round-17 rotation (the plan
+# the r16 registry note + r16 verdict task 1 recorded): the r16 window went
 # 50/50 driver-green, so the window is now
-# (a) the 12 r10-bucket leftovers the r15 note named (last driver green
-#     CORRECTNESS_r10);
-# (b) the 4 round-15 additions (registered after the r15 window, never
-#     driver-checked; each pre-verified driver-canon at sf0.01 + sf0.1,
-#     hostile-TZ fresh-process mimic, and judge-re-run in r15);
-# (c) 28 of the 44 r12-bucket queries (last driver green
-#     CORRECTNESS_r12). The 16 deferred to r17 each have an in-window
-#     same-family sibling exercising the same operator code:
-#     `knn_bruteforce_np` ~ `knn_bruteforce`, `knn_hyperplane_lsh` ~
-#     `knn_ivf` [anchor], `incremental_batch_dedup` /
-#     `dedup_soft_weights` ~ `dedup_minhash_lsh` [anchor],
-#     `dedup_cluster_assignment` ~ `dedup_bow_clusters`,
-#     `semantic_contamination` ~ `contamination_overlap` [anchor],
-#     `semantic_doc_search` ~ `embedding_near_pairs` [anchor],
-#     `image_decode_features` ~ `jpeg_decode_features`,
-#     `video_decode_features` / `audio_decode_features` /
-#     `g711_decode_features` ~ `avi_audio_extract_features` /
-#     `au_adpcm_decode_features` [container+codec decode family],
-#     `bpe_encode_fixed` / `tokenizer_fertility_audit` ~
-#     `unigram_encode_fixed` [tokenizer family], `charngram_language_id`
-#     / `language_confusion` / `lang_rebalance_plan` ~
-#     `fasttext_lang_filter` [language-id family];
-# (e) the 6 LLM-core anchors close the window at exactly 50.
-# Round-16 additions register AFTER the window (the established
-# precedent), entering the rotation in r17.
+# (a) the 16 r12-bucket leftovers the r16 note named (last driver green
+#     CORRECTNESS_r12 — the stalest evidence in the registry);
+# (b) the 7 round-16 additions (registered after the r16 window, never
+#     driver-checked; each pre-verified driver-canon at sf0.01 + sf0.1 and
+#     independently re-run by the r16 judge);
+# (c) 21 of the 44 r13-bucket queries (last driver green
+#     CORRECTNESS_r13). The 23 deferred to r18 each have an in-window (or
+#     r16-fresh) same-family sibling exercising the same operator code:
+#     `mp3_decode_features` / `mp3_stereo_decode_features` ~ the four
+#     in-window MP3 gates, `tiff_decode_features` ~
+#     `jpeg_lossless_decode_features` + `image_decode_features`,
+#     `knn_ivf_pq` / `pq_reconstruction_stats` ~ `knn_ivf` [anchor] +
+#     `knn_hyperplane_lsh`, `semdedup_embedding_clusters` /
+#     `kmeans_embedding_clusters` / `embedding_norm_stats` ~
+#     `embedding_near_pairs` [anchor] + `semantic_doc_search`,
+#     `lang_distribution` ~ `charngram_language_id` / `language_confusion`,
+#     `bpe_token_estimate` ~ `bpe_encode_fixed` /
+#     `tokenizer_fertility_audit`, `bloom_dedup_precheck` /
+#     `dup_cluster_size_histogram` / `source_dup_rates` ~
+#     `dedup_cluster_assignment` / `incremental_batch_dedup` /
+#     `dedup_soft_weights` + the dedup anchors, `exact_substring_coverage`
+#     / `intradoc_repetition` ~ `contamination_overlap` [anchor] +
+#     `semantic_contamination`, `pii_redaction_scaffold` ~
+#     `pii_redaction_stats` (green r16), `quality_calibration` /
+#     `quality_percentile_filter` ~ `doc_quality` [anchor],
+#     `hll_union_sources` ~ `hll_distinct_tokens`, `countmin_merge_sources`
+#     ~ `countmin_token_freq`, `user_rolling_distinct_types` /
+#     `user_trailing_window` ~ `user_sessions` / `user_value_intervals`,
+#     `mixture_sampling_plan` ~ `stratified_doc_sample` /
+#     `weighted_doc_sample_pps`;
+# (d) the 6 LLM-core anchors close the window at exactly 50.
+# Round-17 additions register AFTER the window (the established
+# precedent), entering the rotation in r18.
 _PRIORITY: list[str] = [
-    # --- (a) the 12 r10-bucket leftovers (last driver green
-    #     CORRECTNESS_r10; named in the r15 state note) ---
-    "simhash_near_pairs",
-    "event_value_winsorized",
-    "order_status_cube",
-    "revenue_grouping_sets",
-    "top_events_per_user",
-    "segment_top_orders",
-    "lateral_top_customers_per_nation",
-    "event_transitions",
-    "urgent_high_value_orders",
-    "returned_revenue_by_customer",
-    "orders_by_weekday",
-    "loyal_customers_all_quarters",
-    # --- (b) round-15 additions, never driver-checked ---
-    "au_adpcm_decode_features",
-    "jpeg_decode_features",
-    "pii_redaction_stats",
-    "avi_audio_extract_features",
-    # --- (c) last driver green r12 (28 of 44; deferrals noted above) ---
-    "small_qty_order_revenue",
-    "epoch_repetition_plan",
-    "hybrid_search_rrf",
-    "mp3_probe_features",
-    "trade_pagerank",
-    "flac_decode_features",
-    "sole_late_supplier_orders",
-    "idle_high_balance_customers",
-    "chunk_dedup_rewrite",
-    "sq8_recall_audit",
-    "unigram_encode_fixed",
-    "fasttext_lang_filter",
-    "image_dhash_near_dups",
-    "dedup_bow_clusters",
-    "frame_sample",
-    "asof_order_context",
-    "corpus_boilerplate_shingles",
-    "doc_length_outliers",
-    "doc_previews",
-    "knn_bruteforce",
-    "label_centroid_assignment",
-    "normalized_text_hash",
-    "segments_flatten",
-    "skew_salted_user_join",
-    "tfidf_top_terms",
-    "top_tokens",
-    "toxic_label_scaffold",
-    "youtube_id_extraction",
-    # --- (e) LLM-core anchors (stay in every window; workflow rule
+    # --- (a) the 16 r12-bucket leftovers (last driver green
+    #     CORRECTNESS_r12; named in the r16 registry note) ---
+    "knn_bruteforce_np",
+    "knn_hyperplane_lsh",
+    "incremental_batch_dedup",
+    "dedup_soft_weights",
+    "dedup_cluster_assignment",
+    "semantic_contamination",
+    "semantic_doc_search",
+    "image_decode_features",
+    "video_decode_features",
+    "audio_decode_features",
+    "g711_decode_features",
+    "bpe_encode_fixed",
+    "tokenizer_fertility_audit",
+    "charngram_language_id",
+    "language_confusion",
+    "lang_rebalance_plan",
+    # --- (b) round-16 additions, never driver-checked ---
+    "mp3_container_routing_features",
+    "mp3_stereo_matrix_decode_features",
+    "mp3_rate_profiles_decode_features",
+    "mp4_audio_extract_features",
+    "jpeg_lossless_decode_features",
+    "adts_probe_features",
+    "mpeg1_layer1_decode_features",
+    # --- (c) last driver green r13 (21 of 44; deferrals noted above) ---
+    "bigram_lm_doc_scores",
+    "brand_size_qty_revenue",
+    "cheapest_supplier_per_part",
+    "countmin_token_freq",
+    "curation_funnel",
+    "doc_token_stats",
+    "hll_distinct_tokens",
+    "incremental_new_docs",
+    "large_quantity_orders",
+    "oov_rate_by_source",
+    "prototypicality_prune",
+    "purchase_click_attribution",
+    "sequence_packing_plan",
+    "source_quota_cap",
+    "stratified_doc_sample",
+    "token_budget_selection",
+    "url_domain_stats",
+    "user_sessions",
+    "user_value_intervals",
+    "weighted_doc_sample_pps",
+    "widget_revenue_by_nation_year",
+    # --- (d) LLM-core anchors (stay in every window; workflow rule
     #     pinned by tests/test_registry_contract.py) ---
     "dedup_minhash_lsh",
     "ngram_jaccard_pairs",
@@ -166,10 +174,11 @@ _PRIORITY: list[str] = [
     "contamination_overlap",
     "doc_quality",
 ]
-# Round-16 state: if this window goes driver-green, the stalest remaining
-# evidence is the 16 r12 leftovers named above; they head the r17 window,
-# then any round-16 additions (registered after this window), then the
-# r13 bucket fills to 50 with the 6 anchors.
+# Round-17 state: if this window goes driver-green, the stalest remaining
+# evidence is the 23 r13 leftovers named above; they head the r18 window,
+# then any round-17 additions (registered after this window), then the
+# r14 bucket fills to 50 with the 6 anchors.
+
 
 
 def _ordered() -> dict[str, QuerySpec]:

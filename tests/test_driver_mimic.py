@@ -96,6 +96,8 @@ QUERIES = [
     "jpeg_lossless_decode_features",
     "adts_probe_features",
     "mpeg1_layer1_decode_features",
+    # post-window r17 additions
+    "mpeg1_layer2_decode_features",
 ]
 
 
@@ -201,6 +203,7 @@ ANSI_QUERIES = [
     "jpeg_lossless_decode_features",
     "adts_probe_features",
     "mpeg1_layer1_decode_features",
+    "mpeg1_layer2_decode_features",
 ]
 
 

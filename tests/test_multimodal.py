@@ -3910,7 +3910,8 @@ def test_mpeg1_layer1_decode_and_quantizer_pair():
     the exact inverse of the Table C.2 pair (A = (2^nb-1)/2^nb,
     B = -2^(-nb)) — a full-scale sine quantized at nb bits through the
     analysis bank reconstructs at the textbook ~6nb dB; container
-    fields roundtrip; Layer II raises by name; intensity mode raises
+    fields roundtrip; Layer II routes to its own decoder (round 17);
+    intensity mode raises
     by name; decode_media routes by the header layer bits."""
     import numpy as np
     import pytest
@@ -3968,11 +3969,24 @@ def test_mpeg1_layer1_decode_and_quantizer_pair():
             np.sum(src[:n] ** 2) / max(np.sum(e ** 2), 1e-12)))
     assert best >= 30.0, best
 
-    # Layer II raises by name through the routed path
-    blob2 = bytearray(encode_mpeg1_layer1([frame(0, 0)], bitrate_index=12))
-    blob2[1] = (blob2[1] & ~0x06) | (0b10 << 1)  # layer bits -> II
-    with pytest.raises(NotImplementedError, match="Layer II"):
-        decode_media(bytes(blob2), "audio")
+    # Layer II routes through its own decoder (round 17) — a real
+    # Layer II stream decodes with codec "mp2" via decode_media
+    from input_data_pipeline_spark.operators.multimodal import (
+        encode_mpeg1_layer2,
+    )
+
+    l2 = encode_mpeg1_layer2(
+        [{
+            "alloc": [1] + [0] * 29,
+            "scf_idx": [(0, 0, 0)] * 30,
+            "samples": [[(t % 3, (t + 1) % 3, (t + 2) % 3)] + [(0, 0, 0)] * 29
+                        for t in range(12)],
+        }],
+        bitrate_index=10, sample_rate=44100,
+    )
+    m2 = decode_media(l2, "audio")
+    assert m2["codec"] == "mp2" and m2["frame_rate"] == 44100
+    assert m2["n_frames"] == 1152 + 512
     # joint (intensity) mode raises by name
     blob3 = bytearray(encode_mpeg1_layer1([frame(0, 0)], bitrate_index=12))
     blob3[3] = (blob3[3] & 0x3F) | (0b01 << 6)
@@ -3983,6 +3997,197 @@ def test_mpeg1_layer1_decode_and_quantizer_pair():
         bad = frame(0, 0)
         bad["alloc"][0] = 15
         encode_mpeg1_layer1([bad], bitrate_index=12)
+
+
+def test_mpeg1_layer1_wire_convention():
+    """r16 ADVICE high fix: the Layer I wire code is OFFSET BINARY read
+    directly (wire 0 -> s''' = -1.0). This test is deliberately
+    NON-circular: the frame bytes are packed by hand (not via
+    encode_mpeg1_layer1) and the expected subband values are
+    HARD-CODED constants derived on paper from the §2.4.3.2.1 formula
+    s'' = (2^nb/(2^nb-1)) * (s''' + 2^(1-nb)) with s''' = wire/2 - 1
+    at nb=2 and Table B.1 scalefactor index 0 (= 2.0):
+
+        wire 0 -> 2.0 * (4/3) * (-1   + 1/2) = -4/3
+        wire 1 -> 2.0 * (4/3) * (-1/2 + 1/2) =  0
+        wire 2 -> 2.0 * (4/3) * ( 0   + 1/2) = +4/3
+
+    (libmad layer12.c I_sample — XOR the MSB then sign-extend two's
+    complement — reduces to this same direct mapping.) A decoder that
+    XORs the already-offset-binary wire maps wire 0 to 0 instead of
+    -4/3 and fails here, which the in-gate parity_exact leg cannot see
+    (it recomputes with the decoder's own formula)."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        decode_mpeg1_layer1,
+        mp3_synthesize_pcm,
+    )
+
+    bits = []
+
+    def put(v, n):
+        bits.extend((v >> (n - 1 - i)) & 1 for i in range(n))
+
+    put(1, 4)            # alloc sb0 = 1 -> nb = 2
+    for _ in range(31):
+        put(0, 4)        # no other subbands
+    put(0, 6)            # scalefactor index 0 -> 2.0
+    wire = [0, 1, 2, 0, 1, 2, 0, 1, 2, 0, 1, 2]
+    for t in range(12):
+        put(wire[t], 2)  # only sb0 carries samples
+    while len(bits) % 8:
+        bits.append(0)
+    body = bytes(
+        int("".join(map(str, bits[i: i + 8])), 2)
+        for i in range(0, len(bits), 8)
+    )
+    # header: MPEG-1 Layer I no-CRC, bitrate_index 12 (384 kbps),
+    # 44.1 kHz, mono -> frame length (12*384000//44100)*4 = 416 bytes
+    frame = bytes([0xFF, 0xFF, 0xC0, 0xC0]) + body
+    frame += bytes(416 - len(frame))
+
+    level = {0: -4.0 / 3.0, 1: 0.0, 2: 4.0 / 3.0}
+    svecs = []
+    for t in range(12):
+        S = [0.0] * 32
+        S[0] = level[wire[t]]
+        svecs.append(S)
+    expected, _ = mp3_synthesize_pcm(svecs + [[0.0] * 32] * 16)
+
+    out = decode_mpeg1_layer1(frame)
+    assert out["sample_rate"] == 44100 and out["n_frames"] == 1
+    got = out["pcm_f"][0]
+    assert np.array_equal(np.asarray(got), np.asarray(expected))
+
+
+def test_mpeg1_layer2_decode_tables_and_requantizer():
+    """MPEG-1 Layer II (round 17): all four Table B.2 allocation tables
+    round-trip with parity against an independent recomputation; the
+    Table B.4 closed form is import-certified against the published
+    decimals; grouped classes degroup base-n; the forbidden all-ones
+    ungrouped code and an oversized group code raise; decode_media
+    routes layer bits 0b10 to the Layer II decoder."""
+    import numpy as np
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _MP2_ALLOC_TABLES,
+        _MP2_KBPS,
+        _MP2_QC,
+        _mp1_scalefactor,
+        _mp2_nbal,
+        _mp2_table_select,
+        decode_media,
+        decode_mpeg1_layer2,
+        encode_mpeg1_layer2,
+        mp3_synthesize_pcm,
+    )
+
+    def frame(d, f, tab):
+        sblimit = len(tab)
+        alloc = [
+            (d + sb + f) % min(4, (1 << _mp2_nbal(tab[sb])) - 1)
+            if (sb + d + f) % 3 else 0
+            for sb in range(sblimit)
+        ]
+        scf = [((3 * (d + sb)) % 63, (d + 2 * sb) % 63,
+                (2 * d + 5 * sb) % 63) for sb in range(sblimit)]
+        scfsi = [(d + sb) % 4 for sb in range(sblimit)]
+        samples = []
+        for gr in range(12):
+            row = []
+            for sb in range(sblimit):
+                a = alloc[sb]
+                if a:
+                    n = _MP2_QC[tab[sb][a - 1]][0]
+                    row.append(((7 * d + gr + sb) % n,
+                                (11 * d + 3 * gr + sb) % n,
+                                (5 * d + gr + 2 * sb) % n))
+                else:
+                    row.append((0, 0, 0))
+            samples.append(row)
+        return {"alloc": alloc, "scfsi": scfsi, "scf_idx": scf,
+                "samples": samples}
+
+    def eff(idx, si):
+        return {0: idx, 1: (idx[0], idx[0], idx[2]),
+                2: (idx[0], idx[0], idx[0]),
+                3: (idx[0], idx[1], idx[1])}[si]
+
+    for rate, bi, key, sblimit in (
+        (48000, 10, "a", 27), (44100, 10, "b", 30),
+        (44100, 2, "c", 8), (32000, 2, "d", 12),
+    ):
+        tab = _MP2_ALLOC_TABLES[_mp2_table_select(
+            _MP2_KBPS[bi - 1], 1, rate)]
+        assert tab is _MP2_ALLOC_TABLES[key] and len(tab) == sblimit
+        frames = [frame(2, f, tab) for f in range(2)]
+        blob = encode_mpeg1_layer2(frames, bitrate_index=bi,
+                                   sample_rate=rate)
+        m = decode_media(blob, "audio")
+        assert m["codec"] == "mp2" and m["frame_rate"] == rate
+        assert m["n_frames"] == 2 * 1152 + 512
+        exp = []
+        for sp in frames:
+            for gr in range(12):
+                part = gr >> 2
+                for k in range(3):
+                    S = [0.0] * 32
+                    for sb in range(sblimit):
+                        a = sp["alloc"][sb]
+                        if not a:
+                            continue
+                        n, _w, _g, C, D, nb = _MP2_QC[tab[sb][a - 1]]
+                        v = sp["samples"][gr][sb][k]
+                        i = eff(sp["scf_idx"][sb], sp["scfsi"][sb])[part]
+                        S[sb] = _mp1_scalefactor(i) * C * (
+                            v / (1 << (nb - 1)) - 1.0 + D)
+                    exp.append(S)
+        ref, _ = mp3_synthesize_pcm(exp + [[0.0] * 32] * 16)
+        ref16 = np.clip(np.rint(np.asarray(ref) * 32768.0),
+                        -32768, 32767).astype("<i2")
+        assert np.array_equal(np.frombuffer(m["pcm"], "<i2"), ref16)
+
+    # hard-coded requantizer constants (independent of the code's
+    # formula, derived on paper from Table B.4): the 5-level grouped
+    # class maps sample values 0..4 to C*(m/4 - 1 + 1/2) with C = 1.6,
+    # i.e. exactly (-0.8, -0.4, 0.0, 0.4, 0.8)
+    n5 = _MP2_QC[1]
+    assert n5[0] == 5
+    got = [n5[3] * (m / (1 << (n5[5] - 1)) - 1.0 + n5[4])
+           for m in range(5)]
+    assert np.allclose(got, [-0.8, -0.4, 0.0, 0.4, 0.8], atol=1e-12)
+
+    # forbidden all-ones ungrouped code raises through the decoder
+    tab = _MP2_ALLOC_TABLES["a"]
+    base = frame(0, 0, tab)
+    base["alloc"] = [2] + [0] * 26      # sb0 code 2 -> 7 levels, nb 3
+    base["scfsi"] = [0] * 27
+    bad = bytearray(encode_mpeg1_layer2([base], bitrate_index=10,
+                                        sample_rate=48000))
+    # locate the first sample triplet: 4 header + alloc bits
+    # (3*4 + 8*4 + 12*3 + 4*2 = 88) + scfsi 2 + scf 18 = 108 bits
+    # after the 32-bit header -> byte 17, bit 4; overwrite 3 bits with 111
+    bitpos = 32 + 88 + 2 + 18
+    for i in range(3):
+        byte, bit = divmod(bitpos + i, 8)
+        bad[byte] |= 0x80 >> bit
+    with pytest.raises(ValueError, match="all-ones"):
+        decode_mpeg1_layer2(bytes(bad))
+
+    # encoder rejects out-of-range sample values and allocation codes
+    b2 = frame(0, 0, tab)
+    b2["samples"][0] = list(b2["samples"][0])
+    sb_alloc = next(sb for sb in range(27) if b2["alloc"][sb])
+    n = _MP2_QC[tab[sb_alloc][b2["alloc"][sb_alloc] - 1]][0]
+    b2["samples"][0][sb_alloc] = (n, 0, 0)
+    with pytest.raises(ValueError, match="out of"):
+        encode_mpeg1_layer2([b2], bitrate_index=10, sample_rate=48000)
+    b3 = frame(0, 0, tab)
+    b3["alloc"][26] = 4                 # ROW_D nbal=2 -> max code 3
+    with pytest.raises(ValueError, match="exceeds"):
+        encode_mpeg1_layer2([b3], bitrate_index=10, sample_rate=48000)
 
 
 def test_mp4_audio_extraction_routes_mp3_and_pcm():
