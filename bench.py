@@ -133,8 +133,10 @@ HEADLINE = [
     "adts_probe_features",
     "mpeg1_layer1_decode_features",
     # round 17 additions (additive): MPEG-1 Layer II sample decode —
-    # the last MPEG-1 audio layer, all four Table B.2 allocation tables
+    # the last MPEG-1 audio layer, all four Table B.2 allocation tables —
+    # and the MPEG-2/2.5 LSF Layer III gate over all six low rates
     "mpeg1_layer2_decode_features",
+    "mp3_lsf_decode_features",
 ]
 
 # Per-query floors for queries newer than the r1 floor table (driver-run

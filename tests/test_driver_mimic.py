@@ -98,6 +98,7 @@ QUERIES = [
     "mpeg1_layer1_decode_features",
     # post-window r17 additions
     "mpeg1_layer2_decode_features",
+    "mp3_lsf_decode_features",
 ]
 
 
@@ -204,6 +205,7 @@ ANSI_QUERIES = [
     "adts_probe_features",
     "mpeg1_layer1_decode_features",
     "mpeg1_layer2_decode_features",
+    "mp3_lsf_decode_features",
 ]
 
 

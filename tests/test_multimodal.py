@@ -4061,6 +4061,82 @@ def test_mpeg1_layer1_wire_convention():
     assert np.array_equal(np.asarray(got), np.asarray(expected))
 
 
+def test_mp3_lsf_decode_paths():
+    """MPEG-2/2.5 LSF Layer III (round 17): single-granule 72·kbps/sr
+    framing routes through decode_media at quarter rates; the slen
+    partition rows match hand-derived values; LSF intensity stereo and
+    LSF mixed blocks raise by name; the switched-block Huffman region
+    split is the table-derived bound (36 at every MPEG-1 rate, 54/72
+    long/short at 8 kHz)."""
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _MP3_SFB_LONG,
+        _MP3_SFB_SHORT,
+        _mp3_lsf_slen,
+        decode_media,
+        encode_mp3_lsf,
+    )
+
+    def long_a(sfc=202):
+        return {"is": [0] * 576, "global_gain": 210,
+                "scalefac": [1 if sfc != 202 or b < 21 else 0
+                             for b in range(21)],
+                "scalefac_compress": sfc, "big_values": 0,
+                "scalefac_scale": 1}
+
+    blob = encode_mp3_lsf([long_a(), long_a()], bitrate_index=13,
+                          sample_rate=11025)
+    m = decode_media(blob, "audio")
+    assert m["codec"] == "mp3" and m["frame_rate"] == 11025
+    assert m["n_frames"] == 2 * 576 + 512
+
+    # hand-derived slen partitions (13818-3 section 2.4.3.2): 202 =
+    # 0b011001010 -> pairs (12//5, 12%5, 10>>2, 2) = (2,2,2,2) row 0;
+    # 450-400=50 -> (12//5, 12%5, 2) = (2,2,2,0) row 1; 508-500=8 ->
+    # (8//3, 8%3) = (2,2,0,0) row 2 with implied preflag
+    assert _mp3_lsf_slen(202) == ((2, 2, 2, 2), 0, 0)
+    assert _mp3_lsf_slen(450) == ((2, 2, 2, 0), 1, 0)
+    assert _mp3_lsf_slen(508) == ((2, 2, 0, 0), 2, 1)
+
+    # the 400<=sfc<500 partition's fourth group has slen 0 over its
+    # last 3 long bands — nonzero scalefactors there cannot encode
+    bad = long_a(450)
+    bad["scalefac"] = [0] * 18 + [1, 1, 1]
+    with pytest.raises(ValueError, match="zero-slen"):
+        encode_mp3_lsf([bad], bitrate_index=13, sample_rate=22050)
+
+    # LSF intensity stereo raises by name through the frame walk
+    ms = encode_mp3_lsf([long_a(), long_a()], bitrate_index=13,
+                        mode="ms_stereo", sample_rate=22050)
+    it = bytearray(ms)
+    it[3] = (0b01 << 6) | (0b01 << 4)  # joint + intensity mode_ext
+    with pytest.raises(NotImplementedError, match="LSF intensity"):
+        decode_media(bytes(it), "audio")
+
+    # LSF mixed blocks raise by name: flip the mixed_block_flag bit of
+    # a window-switching mono frame (side-info bit 50 -> stream bit 82)
+    sb = {"is": [0] * 576, "global_gain": 210, "scalefac": [0] * 21,
+          "big_values": 0, "scalefac_scale": 1, "scalefac_compress": 0,
+          "block_type": 2, "mixed_block_flag": 0,
+          "subblock_gain": [0, 0, 0],
+          "scalefac_s": [[0] * 3 for _ in range(12)]}
+    raw = bytearray(encode_mp3_lsf([sb], bitrate_index=13,
+                                   sample_rate=22050))
+    raw[82 // 8] |= 0x80 >> (82 % 8)
+    with pytest.raises(NotImplementedError, match="mixed"):
+        decode_media(bytes(raw), "audio")
+
+    # the switched-block region bound is table-derived: 36 at all
+    # MPEG-1 rates, rate-dependent at LSF rates
+    for rate in (44100, 48000, 32000):
+        assert _MP3_SFB_LONG[rate][8] == 36
+        assert 3 * _MP3_SFB_SHORT[rate][3] == 36
+    assert _MP3_SFB_LONG[8000][8] == 108
+    assert 3 * _MP3_SFB_SHORT[8000][3] == 72
+    assert _MP3_SFB_LONG[22050][8] == 54
+
+
 def test_mpeg1_layer2_decode_tables_and_requantizer():
     """MPEG-1 Layer II (round 17): all four Table B.2 allocation tables
     round-trip with parity against an independent recomputation; the
