@@ -4243,7 +4243,10 @@ def image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(own_partner, F.col("ext_min")), F.lit(-1).cast("long")
             ).alias("nearest_partner"),
         )
-        .orderBy("doc_id")
+        # no trailing orderBy (round 17, r16 verdict task 9): the driver
+        # comparator is order-insensitive and the query already pays its
+        # join shuffle — a range-partitioning Sort on top is pure waste
+        # at corpus scale (plan-guarded in test_plans.py)
     )
 
 
@@ -7244,8 +7247,10 @@ def decode_mpeg1_layer1(payload: bytes, flush: bool = True) -> dict:
     (A = (2^nb-1)/2^nb, B = -2^(-nb)), verified to reconstruct at the
     textbook 6.02*nb + 1.76 dB with zero bias — then the SAME 32-band
     polyphase synthesis the Layer III chain uses (Layers I-III share
-    the bank by construction). Mono and stereo; intensity (joint) mode
-    raises by name. Returns the decode_mp3_to_pcm contract (pcm_f
+    the bank by construction). Mono, stereo, dual and — round 17 —
+    joint (intensity) stereo: subbands at/above the §2.4.2.4 bound
+    4*(mode_extension+1) carry one allocation and one sample code,
+    scaled per channel. Returns the decode_mp3_to_pcm contract (pcm_f
     float64 in [-1, 1) nominal units, 384 samples per frame per
     channel plus the flush tail)."""
     pos = 0
@@ -7276,11 +7281,12 @@ def decode_mpeg1_layer1(payload: bytes, flush: bool = True) -> dict:
             raise ValueError("free-format/invalid Layer I bitrate")
         if sr_index == 3:
             raise ValueError("reserved Layer I sampling_frequency index")
-        if mode == 0b01:
-            raise NotImplementedError(
-                "Layer I intensity (joint) stereo bound handling is not "
-                "implemented; mono/stereo/dual decode"
-            )
+        mode_ext = (h3 >> 4) & 0x3
+        # §2.4.2.4 joint (intensity) stereo: subbands at/above
+        # bound = 4*(mode_extension+1) carry ONE allocation and ONE set
+        # of sample codes applied to both channels, each scaled by its
+        # own scalefactor (round 17, r16 verdict task 8)
+        bound = 4 * (mode_ext + 1) if mode == 0b01 else 32
         sr = _MP3_RATES[3][sr_index]
         if sample_rate is None:
             sample_rate = sr
@@ -7298,7 +7304,13 @@ def decode_mpeg1_layer1(payload: bytes, flush: bool = True) -> dict:
             raise ValueError("Layer I channel mode changes mid-stream")
         body = pos + 4 + (2 if protection == 0 else 0)
         br = _BitReader(payload, body)
-        alloc = [[br.read(4) for _ in range(n_ch)] for _ in range(32)]
+        alloc = []
+        for sb in range(32):
+            if sb < bound:
+                alloc.append([br.read(4) for _ in range(n_ch)])
+            else:
+                a = br.read(4)
+                alloc.append([a] * n_ch)
         for sb in range(32):
             for c in range(n_ch):
                 if alloc[sb][c] == 15:
@@ -7315,9 +7327,14 @@ def decode_mpeg1_layer1(payload: bytes, flush: bool = True) -> dict:
         ]
         for t in range(12):
             for sb in range(32):
+                shared_val = None
                 for c in range(n_ch):
                     a = alloc[sb][c]
                     if not a:
+                        continue
+                    if sb >= bound and shared_val is not None:
+                        # intensity: one sample code, per-channel scale
+                        frames_s[c][t][sb] = sf[sb][c] * shared_val
                         continue
                     nb = a + 1
                     # The wire code IS the offset-binary fraction: the
@@ -7335,6 +7352,8 @@ def decode_mpeg1_layer1(payload: bytes, flush: bool = True) -> dict:
                         (1 << nb) / ((1 << nb) - 1)
                         * (frac + 2.0 ** (1 - nb))
                     )
+                    if sb >= bound:
+                        shared_val = val
                     frames_s[c][t][sb] = sf[sb][c] * val
         for c in range(n_ch):
             svecs_per_ch[c].extend(frames_s[c])
@@ -7359,44 +7378,74 @@ def decode_mpeg1_layer1(payload: bytes, flush: bool = True) -> dict:
 
 def encode_mpeg1_layer1(
     frames: list, bitrate_index: int = 6, sample_rate: int = 44100,
+    mode: str = "mono",
 ) -> bytes:
     """Assemble a REAL MPEG-1 Layer I stream — the exact inverse of
-    :func:`decode_mpeg1_layer1` and its gate fixture. Each frame
+    :func:`decode_mpeg1_layer1` and its gate fixture. Mono frame
     spec: ``alloc`` (32 ints, 0 or 1-14), ``scf_idx`` (32 Table B.1
     indices, used where alloc > 0) and ``codes`` (12 x 32 ints, each
     the OFFSET-BINARY wire code, below 2^(alloc+1)). Offset binary is
     already the transmitted form (§C.1.5.3.4's "invert the MSB" of the
     two's-complement sample yields exactly it), so codes go on the
-    wire verbatim. Mono only (the gate profile); zero-padded to the
-    slot-aligned frame length."""
+    wire verbatim. ``mode`` "stereo" and "joint" (round 17) take
+    two-channel specs (``alloc``/``scf_idx``/``codes`` each a [ch0,
+    ch1] pair) plus, for joint, ``bound`` in {4, 8, 12, 16}: subbands
+    at/above it must agree on allocation between channels and transmit
+    ONE sample code (channel 0's) with per-channel scalefactors.
+    Zero-padded to the slot-aligned frame length."""
     if sample_rate not in (44100, 48000, 32000):
         raise ValueError("MPEG-1 rates are 32/44.1/48 kHz")
+    if mode not in ("mono", "stereo", "joint"):
+        raise ValueError("Layer I encoder modes: mono/stereo/joint")
     sr_index = {44100: 0, 48000: 1, 32000: 2}[sample_rate]
     kbps = _MP1_KBPS[bitrate_index - 1]
     flen = 12 * kbps * 1000 // sample_rate * 4
+    n_ch = 1 if mode == "mono" else 2
     out = bytearray()
     for spec in frames:
-        alloc = spec["alloc"]
+        alloc = [spec["alloc"]] if n_ch == 1 else spec["alloc"]
+        scf = [spec["scf_idx"]] if n_ch == 1 else spec["scf_idx"]
+        codes = [spec["codes"]] if n_ch == 1 else spec["codes"]
+        if mode == "joint":
+            bound = spec.get("bound", 16)
+            if bound not in (4, 8, 12, 16):
+                raise ValueError("Layer I joint bound is 4/8/12/16")
+            mode_ext = bound // 4 - 1
+            if any(alloc[0][sb] != alloc[1][sb]
+                   for sb in range(bound, 32)):
+                raise ValueError(
+                    "joint-stereo allocations must match above the bound"
+                )
+        else:
+            bound = 32
+            mode_ext = 0
         bw = _BitWriter()
+        for c in range(n_ch):
+            for sb in range(32):
+                if not 0 <= alloc[c][sb] <= 14:
+                    raise ValueError("Layer I allocation must be 0-14")
         for sb in range(32):
-            if not 0 <= alloc[sb] <= 14:
-                raise ValueError("Layer I allocation must be 0-14")
-            bw.write(alloc[sb], 4)
+            for c in range(n_ch if sb < bound else 1):
+                bw.write(alloc[c][sb], 4)
         for sb in range(32):
-            if alloc[sb]:
-                idx = spec["scf_idx"][sb]
-                _mp1_scalefactor(idx)  # validates 0-62
-                bw.write(idx, 6)
+            for c in range(n_ch):
+                if alloc[c][sb]:
+                    idx = scf[c][sb]
+                    _mp1_scalefactor(idx)  # validates 0-62
+                    bw.write(idx, 6)
         for t in range(12):
             for sb in range(32):
-                a = alloc[sb]
-                if not a:
-                    continue
-                nb = a + 1
-                q = spec["codes"][t][sb]
-                if not 0 <= q < (1 << nb):
-                    raise ValueError("Layer I sample code exceeds nb bits")
-                bw.write(q, nb)  # offset binary IS the wire form
+                for c in range(n_ch if sb < bound else 1):
+                    a = alloc[c][sb]
+                    if not a:
+                        continue
+                    nb = a + 1
+                    q = codes[c][t][sb]
+                    if not 0 <= q < (1 << nb):
+                        raise ValueError(
+                            "Layer I sample code exceeds nb bits"
+                        )
+                    bw.write(q, nb)  # offset binary IS the wire form
         bw.align()
         body = bw.bytes()
         if 4 + len(body) > flen:
@@ -7406,7 +7455,10 @@ def encode_mpeg1_layer1(
             )
         b1 = 0xE0 | (3 << 3) | (0b11 << 1) | 1   # MPEG-1, Layer I, no CRC
         b2 = (bitrate_index << 4) | (sr_index << 2)
-        b3 = 0b11 << 6                            # mono
+        b3 = {
+            "mono": 0b11 << 6, "stereo": 0b00 << 6,
+            "joint": (0b01 << 6) | (mode_ext << 4),
+        }[mode]
         out += bytes([0xFF, b1, b2, b3]) + body
         out += bytes(flen - 4 - len(body))
     return bytes(out)
@@ -9222,7 +9274,8 @@ def cross_codec_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         keyed.join(clusters, "exact_key")
         .drop("exact_key")
-        .orderBy("doc_id")
+        # no trailing orderBy (round 17, r16 verdict task 9) — same
+        # rationale as image_dhash_near_dups above
     )
 
 
@@ -9859,7 +9912,10 @@ def mpeg1_layer1_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     16): per doc a deterministic stream — allocations, Table B.1
     scalefactor indices and offset-binary sample codes all closed-form
     over (doc, frame, band, sample), across all three MPEG-1 sampling
-    rates — is assembled by :func:`encode_mpeg1_layer1` and decoded
+    rates, and (round 17) every fourth doc a JOINT (intensity) stereo
+    stream whose subbands above the 4*(mode_extension+1) bound share
+    one sample code per the §2.4.2.4 rule — is assembled by
+    :func:`encode_mpeg1_layer1` and decoded
     through :func:`decode_media`'s routed Layer I path.
     ``parity_exact`` asserts the decoded PCM is BIT-IDENTICAL to
     synthesizing the independently recomputed subband values through
@@ -9903,6 +9959,44 @@ def mpeg1_layer1_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             return {"alloc": alloc, "scf_idx": scf, "codes": codes}
 
+        def frame_spec_joint(d: int, f: int, bound: int) -> dict:
+            # sparser allocations than the mono profile (two channels
+            # share the slot budget); above the bound channel 1 copies
+            # channel 0's allocation and its codes go unused (one
+            # shared sample code per the §2.4.2.4 intensity rule)
+            def al(c: int) -> list:
+                return [
+                    (2 + (d + c + sb) % 6) if (sb + d + f) % 3 else 0
+                    for sb in range(32)
+                ]
+
+            a0, a1 = al(0), al(1)
+            for sb in range(bound, 32):
+                a1[sb] = a0[sb]
+            alloc = [a0, a1]
+            scf = [
+                [3 * ((d + c + sb) % 10) for sb in range(32)]
+                for c in range(2)
+            ]
+            codes = [
+                [
+                    [
+                        int((11 * d + 7 * t + 13 * sb + 5 * c)
+                            % (1 << (alloc[c][sb] + 1)))
+                        if alloc[c][sb] else 0
+                        for sb in range(32)
+                    ]
+                    for t in range(12)
+                ]
+                for c in range(2)
+            ]
+            return {"alloc": alloc, "scf_idx": scf, "codes": codes,
+                    "bound": bound}
+
+        def _req(nb: int, q: int) -> float:
+            frac = q / 2.0 ** (nb - 1) - 1.0
+            return (1 << nb) / ((1 << nb) - 1) * (frac + 2.0 ** (1 - nb))
+
         def expected_svecs(specs: list) -> list:
             out = []
             for sp in specs:
@@ -9912,14 +10006,26 @@ def mpeg1_layer1_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         a = sp["alloc"][sb]
                         if not a:
                             continue
-                        nb = a + 1
-                        q = sp["codes"][t][sb]
-                        frac = q / 2.0 ** (nb - 1) - 1.0
-                        val = (
-                            (1 << nb) / ((1 << nb) - 1)
-                            * (frac + 2.0 ** (1 - nb))
+                        S[sb] = _mp1_scalefactor(sp["scf_idx"][sb]) * _req(
+                            a + 1, sp["codes"][t][sb]
                         )
-                        S[sb] = _mp1_scalefactor(sp["scf_idx"][sb]) * val
+                    out.append(S)
+            return out
+
+        def expected_svecs_joint(specs: list, c: int) -> list:
+            out = []
+            for sp in specs:
+                bound = sp["bound"]
+                for t in range(12):
+                    S = [0.0] * 32
+                    for sb in range(32):
+                        a = sp["alloc"][c][sb]
+                        if not a:
+                            continue
+                        src = 0 if sb >= bound else c
+                        S[sb] = _mp1_scalefactor(
+                            sp["scf_idx"][c][sb]
+                        ) * _req(a + 1, sp["codes"][src][t][sb])
                     out.append(S)
             return out
 
@@ -9972,15 +10078,40 @@ def mpeg1_layer1_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(doc_id)
                 rate = rates[d % 3]
                 nf = 2 + d % 3
-                specs = [frame_spec(d, f) for f in range(nf)]
-                blob = encode_mpeg1_layer1(
-                    specs, bitrate_index=12, sample_rate=rate
-                )
-                meta = decode_media(blob, "audio")  # routed Layer I path
-                ref_svecs = expected_svecs(specs) + [[0.0] * 32] * 16
-                ref_pcm, _ = mp3_synthesize_pcm(ref_svecs)
+                if d % 4 == 3:
+                    # joint (intensity) stereo variant (round 17): the
+                    # emitted geometry columns keep the same closed
+                    # forms (per-channel frame/sample counts and the
+                    # slot framing are mode-independent), so the oracle
+                    # is untouched; parity_exact now also pins the
+                    # shared-sample bound rule for both channels
+                    bound = 4 * (d % 3 + 1)
+                    specs = [
+                        frame_spec_joint(d, f, bound) for f in range(nf)
+                    ]
+                    blob = encode_mpeg1_layer1(
+                        specs, bitrate_index=12, sample_rate=rate,
+                        mode="joint",
+                    )
+                    meta = decode_media(blob, "audio")
+                    refs = []
+                    for c in range(2):
+                        sv = expected_svecs_joint(specs, c)
+                        pc, _ = mp3_synthesize_pcm(
+                            sv + [[0.0] * 32] * 16
+                        )
+                        refs.append(pc)
+                    ref_pcm = np.stack(refs, axis=1).reshape(-1)
+                else:
+                    specs = [frame_spec(d, f) for f in range(nf)]
+                    blob = encode_mpeg1_layer1(
+                        specs, bitrate_index=12, sample_rate=rate
+                    )
+                    meta = decode_media(blob, "audio")  # routed Layer I
+                    ref_svecs = expected_svecs(specs) + [[0.0] * 32] * 16
+                    ref_pcm, _ = mp3_synthesize_pcm(ref_svecs)
                 ref16 = np.clip(
-                    np.rint(ref_pcm * 32768.0), -32768, 32767
+                    np.rint(np.asarray(ref_pcm) * 32768.0), -32768, 32767
                 ).astype("<i2")
                 got = np.frombuffer(meta["pcm"], "<i2")
                 out["doc_id"].append(d)
@@ -12567,6 +12698,36 @@ _G722_QM4 = (0, -20456, -12896, -8968, -6288, -4240, -2584, -1200,
 _G722_WH = (0, -214, 798)
 _G722_RH2 = (2, 1, 2, 1)
 _G722_QM2 = (-7408, -1616, 7408, 1616)
+# Mode-1 (64 kbit/s) lower-band output lattice, G.722 Table 14 (round
+# 17, closing the r15/r16 enhancement-bit seam). Certification (the
+# condition the r16 verdict set for shipping it): beyond monotonicity,
+# the table must cross-check against the already-certified 4-bit core —
+# _g722_check_tables asserts (a) exact mirror anti-symmetry between the
+# negative branch (codes 4-31 strictly increasing) and the positive
+# branch (codes 32-59), and between the zero-region tails (60-61 vs
+# 62-63), and (b) the REFINEMENT property: for every il4 in 1-7 the
+# four QM6 values of codes 4*il4..4*il4+3 strictly bracket QM4[il4],
+# and each mirrored positive group brackets its QM4 twin — so a
+# mis-recalled entry would have to stay inside its 4-group bracket,
+# keep both monotone chains, AND keep its mirror twin consistent.
+_G722_QM6 = (
+    -136, -136, -136, -136,
+    -24808, -21904, -19008, -16704,
+    -14984, -13512, -12280, -11192,
+    -10232, -9360, -8576, -7856,
+    -7192, -6576, -6000, -5456,
+    -4944, -4464, -4008, -3576,
+    -3168, -2776, -2400, -2032,
+    -1688, -1360, -1040, -728,
+    24808, 21904, 19008, 16704,
+    14984, 13512, 12280, 11192,
+    10232, 9360, 8576, 7856,
+    7192, 6576, 6000, 5456,
+    4944, 4464, 4008, 3576,
+    3168, 2776, 2400, 2032,
+    1688, 1360, 1040, 728,
+    432, 136, -432, -136,
+)
 
 
 def _g722_check_tables() -> None:
@@ -12598,6 +12759,30 @@ def _g722_check_tables() -> None:
         raise AssertionError("G.722 WL multipliers not monotone")
     if sorted(-v for v in _G722_QM2[:2]) != sorted(_G722_QM2[2:]):
         raise AssertionError("G.722 QM2 halves not mirror-symmetric")
+    # QM6 (mode-1) certificate — see the table's comment block
+    q6 = _G722_QM6
+    if len(q6) != 64:
+        raise AssertionError("G.722 QM6 must have 64 entries")
+    if any(q6[i] != -136 for i in range(4)):
+        raise AssertionError("G.722 QM6 codes 0-3 are the -136 region")
+    if any(q6[4 + i] != -q6[32 + i] for i in range(28)):
+        raise AssertionError("G.722 QM6 branches not mirror-antisymmetric")
+    if q6[60] != -q6[62] or q6[61] != -q6[63]:
+        raise AssertionError("G.722 QM6 zero-region tails not mirrored")
+    if list(q6[4:32]) != sorted(q6[4:32]) or len(set(q6[4:32])) != 28:
+        raise AssertionError("G.722 QM6 negative branch not monotone")
+    for il4 in range(1, 8):
+        grp = q6[4 * il4: 4 * il4 + 4]
+        if not (min(grp) < _G722_QM4[il4] < max(grp)):
+            raise AssertionError(
+                f"G.722 QM6 group {il4} does not bracket QM4[{il4}]"
+            )
+        pgrp = q6[32 + 4 * (il4 - 1): 32 + 4 * (il4 - 1) + 4]
+        if not (min(pgrp) < _G722_QM4[7 + il4] < max(pgrp)):
+            raise AssertionError(
+                f"G.722 QM6 positive group {il4} does not bracket its "
+                f"QM4 twin"
+            )
 
 
 _g722_check_tables()
@@ -12711,6 +12896,22 @@ _G722_Q4_MIDS = tuple(
     (_G722_Q4_MAGS[i] + _G722_Q4_MAGS[i + 1]) // 2 for i in range(7)
 )
 _G722_Q2_MID = (1616 + 7408) // 2
+# mode-1 (6-bit) derived quantizer (round 17): candidate codes per sign
+# ordered by output magnitude, decision thresholds at the midpoints of
+# the certified QM6 lattice — the same derivation stance as the 4-bit
+# quantizer above (we do not claim the spec's Table 13 decision levels)
+_G722_Q6_POS = tuple(sorted(range(32, 62), key=lambda i: _G722_QM6[i]))
+_G722_Q6_NEG = tuple(
+    sorted([63, 62, *range(4, 32)], key=lambda i: -_G722_QM6[i])
+)
+_G722_Q6_POS_MIDS = tuple(
+    (_G722_QM6[_G722_Q6_POS[i]] + _G722_QM6[_G722_Q6_POS[i + 1]]) // 2
+    for i in range(len(_G722_Q6_POS) - 1)
+)
+_G722_Q6_NEG_MIDS = tuple(
+    (-_G722_QM6[_G722_Q6_NEG[i]] - _G722_QM6[_G722_Q6_NEG[i + 1]]) // 2
+    for i in range(len(_G722_Q6_NEG) - 1)
+)
 
 
 def _g722_qmf_synthesize(rl, rh):
@@ -12737,39 +12938,54 @@ def _g722_qmf_synthesize(rl, rh):
     return out
 
 
-def g722_decode(data: bytes):
+def g722_decode(data: bytes, mode: int = 3):
     """Decode a G.722 64 kbit/s octet stream (one byte per pair of
-    16 kHz samples: bits 0-5 lower band, 6-7 upper band) to int16 PCM,
-    using the embedded 4-bit lower-band core (mode 3 — spec-sanctioned
-    for ANY conforming stream, since the adaptation path only ever reads
-    the 4-bit core) plus the full 2-bit upper band and the 24-tap QMF
+    16 kHz samples: bits 0-5 lower band, 6-7 upper band) to int16 PCM.
+    ``mode`` selects the lower-band reconstruction lattice: 3 (default)
+    uses the embedded 4-bit core — spec-sanctioned for ANY conforming
+    stream, since the adaptation path only ever reads the 4-bit core —
+    and 1 (round 17) honors both enhancement bits via the certified
+    Table 14 QM6 lattice for full 64 kbit fidelity; mode 2 (the 5-bit
+    QM5 lattice) remains a named seam. The mode is a session-level
+    negotiation parameter in real G.722 use (not carried in-band), so
+    container paths default to the always-safe mode 3. Both modes run
+    the identical adaptation, so they stay bit-synchronized with every
+    conforming encoder — plus the full 2-bit upper band and the 24-tap
+    QMF
     synthesis bank (vectorized — the band coders are the only
     sample-sequential part).
 
-    Documented limitation (r15 advice #3): the two ENHANCEMENT bits of
-    a foreign 64 kbit/s stream are ignored — output is mode-3 (48 kbit)
-    quality, spec-legal for an embedded decoder. Honoring them needs
-    the mode-1 6-bit reconstruction table (Table 14), which is exactly
-    the kind of 64-entry numeric spec table this repo only ships behind
-    a structural certification (see the MP3 Kraft discipline), and no
-    such certificate exists for it: the 4-bit core table in use is
-    DERIVED (mode-3 magnitudes + midpoints), not recollected, and a
-    recollected QM6 could not be cross-checked against it. The named
-    seam stays until the table can be transcribed from the spec."""
+    The r15 advice-#3 limitation (enhancement bits ignored) closed in
+    round 17: QM6 ships behind the mirror/monotone/4-group-bracketing
+    certificate in _g722_check_tables, which cross-checks every entry
+    against the DERIVED 4-bit core alphabet — the condition the r16
+    verdict set for shipping it."""
     import numpy as np
 
+    if mode not in (1, 3):
+        raise NotImplementedError(
+            "G.722 decode modes: 1 (6-bit QM6) and 3 (4-bit core); "
+            "mode 2's 5-bit QM5 lattice is a named seam"
+        )
     low = _G722Band(det=32)
     high = _G722Band(det=8)
     n = len(data)
     rl = np.empty(n, np.int64)
     rh = np.empty(n, np.int64)
     for k, byte in enumerate(data):
-        il4 = (byte & 0x3F) >> 2  # mode-3 core of the 6-bit code
+        il6 = byte & 0x3F
+        il4 = il6 >> 2  # mode-3 core of the 6-bit code
         ih = (byte >> 6) & 0x03
-        dlow = (_G722_QM4[il4] * low.det) >> 15
+        # the predictor/adaptation state runs on the 4-bit CORE
+        # difference in every mode (the embedded property: enhancement
+        # bits refine the OUTPUT lattice only, never the state — this
+        # is what keeps any-mode decoders bit-synchronized with any
+        # conforming encoder)
+        dcore = (_G722_QM4[il4] * low.det) >> 15
+        dlow = (_G722_QM6[il6] * low.det) >> 15 if mode == 1 else dcore
         rlow = low.s + dlow
         rlow = -16384 if rlow < -16384 else (16383 if rlow > 16383 else rlow)
-        _g722_block4(low, dlow)
+        _g722_block4(low, dcore)
         _g722_lower_adapt(low, il4)
         dhigh = (_G722_QM2[ih] * high.det) >> 15
         rhigh = high.s + dhigh
@@ -12781,15 +12997,25 @@ def g722_decode(data: bytes):
     return _g722_qmf_synthesize(rl, rh)
 
 
-def g722_encode(samples, return_reconstruction: bool = False):
+def g722_encode(samples, return_reconstruction: bool = False,
+                mode: int = 3):
     """Encode 16 kHz int16 PCM (even sample count) to G.722 octets:
     QMF analysis, then per subband the derived-midpoint quantizer
     against the SAME backward-adaptive state machine the decoder runs
     (the encoder embeds the decoder, so with ``return_reconstruction``
     the synthesized signal is bit-identical to :func:`g722_decode` of
-    the emitted stream — the tracking property the gate asserts)."""
+    the emitted stream AT THE SAME MODE — the tracking property the
+    gate asserts). ``mode`` 3 (default) emits the 4-bit core with zero
+    enhancement bits; mode 1 (round 17) quantizes the lower band on
+    the full 6-bit QM6 lattice — the state still adapts on the 4-bit
+    core, so a mode-3 decoder of a mode-1 stream stays synchronized,
+    merely coarser (the embedded property)."""
     import numpy as np
 
+    if mode not in (1, 3):
+        raise NotImplementedError(
+            "G.722 encode modes: 1 (6-bit) and 3 (4-bit core)"
+        )
     pcm = np.asarray(samples, dtype=np.int16)
     if pcm.ndim != 1:
         raise ValueError("g722_encode wants mono int16")
@@ -12821,18 +13047,29 @@ def g722_encode(samples, return_reconstruction: bool = False):
         # det-scaled derived midpoints
         el = _g722_sat(xlow - low.s)
         wd = abs(el)
-        m = 0
-        for mid in _G722_Q4_MIDS:
-            if wd >= (mid * low.det) >> 15:
-                m += 1
-        if el >= 0:
-            il4 = 15 - m
+        if mode == 1:
+            cands, mids = (
+                (_G722_Q6_POS, _G722_Q6_POS_MIDS) if el >= 0
+                else (_G722_Q6_NEG, _G722_Q6_NEG_MIDS)
+            )
+            m = 0
+            for mid in mids:
+                if wd >= (mid * low.det) >> 15:
+                    m += 1
+            il6 = cands[m]
+            il4 = il6 >> 2
         else:
-            il4 = (8 - m) % 8
-        dlow = (_G722_QM4[il4] * low.det) >> 15
+            m = 0
+            for mid in _G722_Q4_MIDS:
+                if wd >= (mid * low.det) >> 15:
+                    m += 1
+            il4 = 15 - m if el >= 0 else (8 - m) % 8
+            il6 = il4 << 2
+        dcore = (_G722_QM4[il4] * low.det) >> 15
+        dlow = (_G722_QM6[il6] * low.det) >> 15 if mode == 1 else dcore
         rlow = low.s + dlow
         rlow = -16384 if rlow < -16384 else (16383 if rlow > 16383 else rlow)
-        _g722_block4(low, dlow)
+        _g722_block4(low, dcore)
         _g722_lower_adapt(low, il4)
         # upper band
         eh = _g722_sat(xhigh - high.s)
@@ -12843,7 +13080,7 @@ def g722_encode(samples, return_reconstruction: bool = False):
         rhigh = -16384 if rhigh < -16384 else (16383 if rhigh > 16383 else rhigh)
         _g722_block4(high, dhigh)
         _g722_upper_adapt(high, ih)
-        out.append((ih << 6) | (il4 << 2))  # zero enhancement bits
+        out.append((ih << 6) | il6)  # mode 3: zero enhancement bits
         if rl_a is not None:
             rl_a[j2] = rlow
             rh_a[j2] = rhigh
@@ -13310,9 +13547,21 @@ def au_adpcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # tracking reference (encode_au would re-run the state
                 # machine; at 5k docs that third pass is real money)
                 if law == "g722":
-                    data, recon = g722_encode(src, return_reconstruction=True)
+                    # every eighth doc exercises MODE 1 (round 17): the
+                    # 6-bit QM6 lattice end-to-end — encode emits real
+                    # enhancement bits, decode honors them, and the SNR
+                    # floor rises to 40 dB (the 4-bit core tops out
+                    # ~12 dB lower on these cards). Mode is a session
+                    # parameter, so the mode-1 leg decodes via
+                    # g722_decode(mode=1) on the AU payload; container
+                    # columns still come from the decode_media walk.
+                    g722_mode = 1 if d % 8 == 7 else 3
+                    data, recon = g722_encode(
+                        src, return_reconstruction=True, mode=g722_mode,
+                    )
                     enc_id, rate, delay = 24, 16000, 22
                 else:
+                    g722_mode = 3
                     codes, recon = g72x_encode(
                         src, law, return_reconstruction=True
                     )
@@ -13328,7 +13577,12 @@ def au_adpcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + data
                 )
                 meta = decode_media(blob, "audio")  # REAL AU ADPCM decode
-                pcm = np.frombuffer(meta["pcm"], "<i2")
+                if law == "g722" and g722_mode == 1:
+                    pcm = np.asarray(
+                        g722_decode(data, mode=1), dtype="<i2"
+                    )
+                else:
+                    pcm = np.frombuffer(meta["pcm"], "<i2")
                 # SNR against the source, past warm-up; G.722's QMF
                 # cascade delays by 22 samples (deterministic; re-measured
                 # after the r16 odd-tap fix), so the comparison shifts by
@@ -13346,7 +13600,10 @@ def au_adpcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["n_samples"].append(meta["n_frames"])
                 out["au_bytes"].append(len(blob))
                 out["tracking_exact"].append(bool(np.array_equal(pcm, recon)))
-                out["snr_ok"].append(bool(snr >= floors[law]))
+                floor = floors[law]
+                if law == "g722" and g722_mode == 1:
+                    floor = 40.0  # above the 4-bit core's band
+                out["snr_ok"].append(bool(snr >= floor))
             yield pd.DataFrame(out)
 
     schema = (

@@ -3911,7 +3911,7 @@ def test_mpeg1_layer1_decode_and_quantizer_pair():
     B = -2^(-nb)) — a full-scale sine quantized at nb bits through the
     analysis bank reconstructs at the textbook ~6nb dB; container
     fields roundtrip; Layer II routes to its own decoder (round 17);
-    intensity mode raises
+    joint (intensity) stereo decodes with the shared-sample bound rule
     by name; decode_media routes by the header layer bits."""
     import numpy as np
     import pytest
@@ -3987,11 +3987,52 @@ def test_mpeg1_layer1_decode_and_quantizer_pair():
     m2 = decode_media(l2, "audio")
     assert m2["codec"] == "mp2" and m2["frame_rate"] == 44100
     assert m2["n_frames"] == 1152 + 512
-    # joint (intensity) mode raises by name
-    blob3 = bytearray(encode_mpeg1_layer1([frame(0, 0)], bitrate_index=12))
-    blob3[3] = (blob3[3] & 0x3F) | (0b01 << 6)
-    with pytest.raises(NotImplementedError, match="intensity"):
-        decode_mpeg1_layer1(bytes(blob3))
+    # joint (intensity) stereo (round 17): one shared sample code above
+    # the bound, per-channel scalefactors — both channels decode to the
+    # independently synthesized expectation
+    from input_data_pipeline_spark.operators.multimodal import (
+        _mp1_scalefactor,
+        mp3_synthesize_pcm,
+    )
+
+    bound = 8
+    a0 = [(2 + sb % 6) if sb % 3 else 0 for sb in range(32)]
+    a1 = [(2 + (1 + sb) % 6) if sb % 3 else 0 for sb in range(32)]
+    for sb in range(bound, 32):
+        a1[sb] = a0[sb]
+    scf = [[3 * ((c + sb) % 10) for sb in range(32)] for c in range(2)]
+    codes = [[[(7 * t + 13 * sb + 5 * c) % (1 << (al[sb] + 1))
+               if al[sb] else 0 for sb in range(32)]
+              for t in range(12)]
+             for c, al in ((0, a0), (1, a1))]
+    jspec = {"alloc": [a0, a1], "scf_idx": scf, "codes": codes,
+             "bound": bound}
+    jblob = encode_mpeg1_layer1([jspec], bitrate_index=12, mode="joint")
+    out = decode_mpeg1_layer1(jblob)
+    assert out["n_channels"] == 2
+
+    def req(nb, q):
+        return ((1 << nb) / ((1 << nb) - 1)
+                * (q / 2.0 ** (nb - 1) - 1.0 + 2.0 ** (1 - nb)))
+
+    for c, al in ((0, a0), (1, a1)):
+        sv = []
+        for t in range(12):
+            S = [0.0] * 32
+            for sb in range(32):
+                if al[sb]:
+                    src = 0 if sb >= bound else c
+                    S[sb] = _mp1_scalefactor(scf[c][sb]) * req(
+                        al[sb] + 1, codes[src][t][sb])
+            sv.append(S)
+        exp, _ = mp3_synthesize_pcm(sv + [[0.0] * 32] * 16)
+        assert np.array_equal(np.asarray(out["pcm_f"][c]),
+                              np.asarray(exp)), f"channel {c}"
+    # mismatched allocations above the bound are rejected
+    badj = {"alloc": [a0, [x for x in a1[:7]] + [14] * 25],
+            "scf_idx": scf, "codes": codes, "bound": bound}
+    with pytest.raises(ValueError, match="match above"):
+        encode_mpeg1_layer1([badj], bitrate_index=12, mode="joint")
     # forbidden allocation code 15 raises
     with pytest.raises(ValueError, match="0-14"):
         bad = frame(0, 0)
@@ -4336,6 +4377,63 @@ def test_mp4_audio_extraction_routes_mp3_and_pcm():
             + struct.pack(">I", 16) + b"moov"
             + struct.pack(">I", 8) + b"free"
         )
+
+
+def test_g722_mode1_enhancement_bits():
+    """G.722 mode 1 (round 17, closing the r15 enhancement-bit seam):
+    the QM6 lattice certifies against the derived 4-bit core at import
+    (mirror anti-symmetry, monotone branches, 4-group bracketing of
+    QM4); a mode-1 encode/decode pair tracks bit-exactly; on lowband
+    content mode 1 clears mode 3 by ~12 dB (two extra bits); and the
+    EMBEDDED property holds — a mode-3 decode of a mode-1 stream stays
+    state-synchronized and lands in the mode-3 quality band."""
+    import numpy as np
+    import pytest
+
+    from input_data_pipeline_spark.operators import multimodal as mm
+
+    # certificate rejects a perturbed entry (bracket + mirror break)
+    orig = mm._G722_QM6
+    try:
+        mm._G722_QM6 = tuple(
+            v + (4000 if i == 10 else 0) for i, v in enumerate(orig)
+        )
+        with pytest.raises(AssertionError):
+            mm._g722_check_tables()
+    finally:
+        mm._G722_QM6 = orig
+    mm._g722_check_tables()
+
+    n = 4096
+    t = np.arange(n) / 16000.0
+    src = (9000 * np.sin(2 * np.pi * (200 + 1300 * t) * t)).astype(
+        np.int16
+    )
+
+    def snr(out):
+        a = np.asarray(out)[256 + 22:].astype(np.float64)
+        b = src[256: len(src) - 22].astype(np.float64)
+        m = min(len(a), len(b))
+        e = a[:m] - b[:m]
+        return 10 * np.log10(
+            (b[:m] ** 2).mean() / max((e ** 2).mean(), 1e-12)
+        )
+
+    d3, r3 = mm.g722_encode(src, return_reconstruction=True, mode=3)
+    d1, r1 = mm.g722_encode(src, return_reconstruction=True, mode=1)
+    assert np.array_equal(mm.g722_decode(d3, mode=3), r3)
+    assert np.array_equal(mm.g722_decode(d1, mode=1), r1)
+    s3 = snr(mm.g722_decode(d3, mode=3))
+    s1 = snr(mm.g722_decode(d1, mode=1))
+    s31 = snr(mm.g722_decode(d1, mode=3))
+    assert s1 >= s3 + 8.0, (s1, s3)
+    assert s1 >= 45.0, s1
+    assert abs(s31 - s3) < 4.0, (s31, s3)
+    # mode 2 is a named seam on both sides
+    with pytest.raises(NotImplementedError, match="mode 2|QM5"):
+        mm.g722_decode(d1, mode=2)
+    with pytest.raises(NotImplementedError, match="modes"):
+        mm.g722_encode(src, mode=2)
 
 
 def test_g722_in_au_container():

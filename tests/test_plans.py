@@ -579,6 +579,23 @@ def test_round14_tpch_shapes_plan_quality(spark, sf_dir):
     assert "partial_" in q14
 
 
+def test_joined_gate_plans_have_no_trailing_range_sort(spark, sf_dir):
+    """Round 17 (r16 verdict task 9): the two keyed decode gates that
+    legitimately shuffle for their joins still must not pay a trailing
+    output sort — a reintroduced orderBy adds an Exchange
+    rangepartitioning (+ Sort) after the join and fails here."""
+    from input_data_pipeline_spark.operators.multimodal import (
+        cross_codec_audio_dedup,
+        image_dhash_near_dups,
+    )
+
+    for q in (image_dhash_near_dups, cross_codec_audio_dedup):
+        plan = _executed_plan(q(spark, sf_dir))
+        assert "rangepartitioning" not in plan.lower(), (
+            q.__name__, plan[:800],
+        )
+
+
 def test_decode_gate_plans_have_no_trailing_sort(spark, sf_dir):
     """Round 16 (r15 verdict task 6): the map-only decode gates dropped
     their trailing orderBy — the driver comparator is order-insensitive
