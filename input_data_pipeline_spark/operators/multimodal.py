@@ -7545,6 +7545,12 @@ _B2_ROW_C = (0, 1, 2, 3, 4, 5, 16)
 _B2_ROW_D = (0, 1, 16)
 _B2_ROW_E = (0, 1, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 _B2_ROW_F = (0, 1, 3, 4, 5, 6, 7)
+# MPEG-2 LSF Layer II rows (ISO 13818-3 Table B.1; round 17): one table
+# for every half-rate stream — 4 subbands of nbal 4 (no 7-step class,
+# tops at 65535), 7 of nbal 3 (= the B.2c/d row), 19 of nbal 2 capped
+# at 9 steps. MPEG-2.5 does not define Layer II; that header raises.
+_B2_ROW_G = (0, 1, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 16)
+_B2_ROW_H = (0, 1, 3)
 
 _MP2_ALLOC_TABLES = {
     "a": tuple([_B2_ROW_A] * 3 + [_B2_ROW_B] * 8
@@ -7553,6 +7559,8 @@ _MP2_ALLOC_TABLES = {
                + [_B2_ROW_C] * 12 + [_B2_ROW_D] * 7),   # sblimit 30
     "c": tuple([_B2_ROW_E] * 2 + [_B2_ROW_F] * 6),      # sblimit 8
     "d": tuple([_B2_ROW_E] * 2 + [_B2_ROW_F] * 10),     # sblimit 12
+    "lsf": tuple([_B2_ROW_G] * 4 + [_B2_ROW_F] * 7
+                 + [_B2_ROW_H] * 19),                   # sblimit 30
 }
 
 
@@ -7628,8 +7636,16 @@ def decode_mpeg1_layer2(payload: bytes, flush: bool = True) -> dict:
         h0, h1, h2, h3 = payload[pos: pos + 4]
         if h0 != 0xFF or (h1 & 0xE0) != 0xE0:
             raise ValueError("lost Layer II sync")
-        if (h1 >> 3) & 0x3 != 3 or (h1 >> 1) & 0x3 != 0b10:
-            raise ValueError("not an MPEG-1 Layer II frame")
+        ver = (h1 >> 3) & 0x3
+        if (h1 >> 1) & 0x3 != 0b10:
+            raise ValueError("not a Layer II frame")
+        if ver == 0:
+            raise NotImplementedError(
+                "MPEG-2.5 does not define Layer II; only Layer III "
+                "uses the quarter rates"
+            )
+        if ver == 1:
+            raise ValueError("reserved MPEG version bits")
         protection = h1 & 1
         bitrate_index = (h2 >> 4) & 0xF
         sr_index = (h2 >> 2) & 0x3
@@ -7640,12 +7656,12 @@ def decode_mpeg1_layer2(payload: bytes, flush: bool = True) -> dict:
             raise ValueError("free-format/invalid Layer II bitrate")
         if sr_index == 3:
             raise ValueError("reserved Layer II sampling_frequency index")
-        sr = _MP3_RATES[3][sr_index]
+        sr = _MP3_RATES[ver][sr_index]
         if sample_rate is None:
             sample_rate = sr
         elif sr != sample_rate:
             raise ValueError("Layer II sampling rate changes mid-stream")
-        kbps = _MP2_KBPS[bitrate_index - 1]
+        kbps = (_MP2_KBPS if ver == 3 else _MP3_KBPS[2])[bitrate_index - 1]
         flen = 144 * kbps * 1000 // sr + padding
         if pos + flen > len(payload):
             raise ValueError("truncated Layer II frame")
@@ -7655,7 +7671,12 @@ def decode_mpeg1_layer2(payload: bytes, flush: bool = True) -> dict:
             svecs_per_ch = [[] for _ in range(ch)]
         elif ch != n_ch:
             raise ValueError("Layer II channel mode changes mid-stream")
-        tab = _MP2_ALLOC_TABLES[_mp2_table_select(kbps, ch, sr)]
+        # MPEG-2 LSF (round 17): ONE allocation table (13818-3 Table
+        # B.1) for every half-rate stream; MPEG-1 selects B.2a-d by the
+        # section 2.4.2.7 bitrate/rate rules
+        tab = _MP2_ALLOC_TABLES[
+            "lsf" if ver == 2 else _mp2_table_select(kbps, ch, sr)
+        ]
         sblimit = len(tab)
         bound = sblimit
         if mode == 0b01:
@@ -7754,75 +7775,128 @@ def decode_mpeg1_layer2(payload: bytes, flush: bool = True) -> dict:
 
 def encode_mpeg1_layer2(
     frames: list, bitrate_index: int = 11, sample_rate: int = 44100,
+    mode: str = "mono",
 ) -> bytes:
-    """Assemble a REAL MPEG-1 Layer II stream — the exact inverse of
-    :func:`decode_mpeg1_layer2`. Each frame spec: ``alloc`` (one
-    allocation CODE per subband up to the selected table's sblimit; 0 =
-    silent), ``scfsi`` (2-bit pattern per allocated subband),
-    ``scf_idx`` (per subband a 3-tuple of Table B.1 indices; the scfsi
-    pattern decides how many are transmitted) and ``samples`` (12
-    granules x sblimit, each a 3-tuple of sample values below the
-    class's nlevels — grouped classes are base-n packed here, ungrouped
-    written as offset-binary wire codes directly, all-ones naturally
-    unreachable because values stop at nlevels - 1). Mono only (the
-    gate profile); zero-padded to the slot-aligned frame length."""
-    if sample_rate not in (44100, 48000, 32000):
-        raise ValueError("MPEG-1 rates are 32/44.1/48 kHz")
-    sr_index = {44100: 0, 48000: 1, 32000: 2}[sample_rate]
-    kbps = _MP2_KBPS[bitrate_index - 1]
+    """Assemble a REAL Layer II stream — the exact inverse of
+    :func:`decode_mpeg1_layer2` — at the MPEG-1 rates (Table B.2a-d
+    selection) or, round 17, the MPEG-2 LSF half rates (22.05/24/16
+    kHz, the single Table B.1 allocation table). Mono frame spec:
+    ``alloc`` (one allocation CODE per subband up to the selected
+    table's sblimit; 0 = silent), ``scfsi`` (2-bit pattern per
+    allocated subband), ``scf_idx`` (per subband a 3-tuple of Table
+    B.1 indices; the scfsi pattern decides how many are transmitted)
+    and ``samples`` (12 granules x sblimit, each a 3-tuple of sample
+    values below the class's nlevels — grouped classes are base-n
+    packed here, ungrouped written as offset-binary wire codes
+    directly, all-ones naturally unreachable because values stop at
+    nlevels - 1). ``mode`` "stereo" and "joint" take two-channel specs
+    ([ch0, ch1] pairs for each key) plus, for joint, ``bound`` in
+    {4, 8, 12, 16}: subbands at/above min(bound, sblimit) must agree
+    on allocation and transmit ONE sample triplet (channel 0's) with
+    per-channel scalefactors. Zero-padded to the slot-aligned frame
+    length."""
+    if mode not in ("mono", "stereo", "joint"):
+        raise ValueError("Layer II encoder modes: mono/stereo/joint")
+    if sample_rate in (44100, 48000, 32000):
+        ver = 3
+        sr_index = {44100: 0, 48000: 1, 32000: 2}[sample_rate]
+        kbps = _MP2_KBPS[bitrate_index - 1]
+    elif sample_rate in (22050, 24000, 16000):
+        ver = 2
+        sr_index = {22050: 0, 24000: 1, 16000: 2}[sample_rate]
+        kbps = _MP3_KBPS[2][bitrate_index - 1]
+    else:
+        raise ValueError(
+            "Layer II rates are 32/44.1/48 kHz (MPEG-1) and "
+            "16/22.05/24 kHz (MPEG-2 LSF)"
+        )
     flen = 144 * kbps * 1000 // sample_rate
-    tab = _MP2_ALLOC_TABLES[_mp2_table_select(kbps, 1, sample_rate)]
+    n_ch = 1 if mode == "mono" else 2
+    tab = _MP2_ALLOC_TABLES[
+        "lsf" if ver == 2 else _mp2_table_select(kbps, n_ch, sample_rate)
+    ]
     sblimit = len(tab)
     out = bytearray()
     for spec in frames:
-        alloc = spec["alloc"]
-        scfsi = spec.get("scfsi") or [0] * sblimit
+        alloc = [spec["alloc"]] if n_ch == 1 else spec["alloc"]
+        scf = [spec["scf_idx"]] if n_ch == 1 else spec["scf_idx"]
+        samples = [spec["samples"]] if n_ch == 1 else spec["samples"]
+        scfsi_in = spec.get("scfsi")
+        if scfsi_in is None:
+            scfsi = [[0] * sblimit for _ in range(n_ch)]
+        else:
+            scfsi = [scfsi_in] if n_ch == 1 else scfsi_in
+        if mode == "joint":
+            bound = spec.get("bound", 16)
+            if bound not in (4, 8, 12, 16):
+                raise ValueError("Layer II joint bound is 4/8/12/16")
+            mode_ext = bound // 4 - 1
+            ebound = min(bound, sblimit)
+            if any(alloc[0][sb] != alloc[1][sb]
+                   for sb in range(ebound, sblimit)):
+                raise ValueError(
+                    "joint-stereo allocations must match above the bound"
+                )
+        else:
+            ebound = sblimit
+            mode_ext = 0
         bw = _BitWriter()
+        for c in range(n_ch):
+            for sb in range(sblimit):
+                nbal = _mp2_nbal(tab[sb])
+                if not 0 <= alloc[c][sb] < (1 << nbal):
+                    raise ValueError(
+                        f"Layer II allocation code {alloc[c][sb]} "
+                        f"exceeds nbal={nbal} at subband {sb}"
+                    )
         for sb in range(sblimit):
             nbal = _mp2_nbal(tab[sb])
-            if not 0 <= alloc[sb] < (1 << nbal):
-                raise ValueError(
-                    f"Layer II allocation code {alloc[sb]} exceeds "
-                    f"nbal={nbal} at subband {sb}"
-                )
-            bw.write(alloc[sb], nbal)
+            for c in range(n_ch if sb < ebound else 1):
+                bw.write(alloc[c][sb], nbal)
         for sb in range(sblimit):
-            if alloc[sb]:
-                bw.write(scfsi[sb], 2)
+            for c in range(n_ch):
+                if alloc[c][sb]:
+                    bw.write(scfsi[c][sb], 2)
         for sb in range(sblimit):
-            if not alloc[sb]:
-                continue
-            idx = spec["scf_idx"][sb]
-            for i in idx:
-                _mp1_scalefactor(i)  # validates 0-62
-            si = scfsi[sb]
-            if si == 0:
-                parts = (idx[0], idx[1], idx[2])
-            elif si == 1:
-                parts = (idx[0], idx[2])
-            elif si == 3:
-                parts = (idx[0], idx[1])
-            else:
-                parts = (idx[0],)
-            for i in parts:
-                bw.write(i, 6)
+            for c in range(n_ch):
+                if not alloc[c][sb]:
+                    continue
+                idx = scf[c][sb]
+                for i in idx:
+                    _mp1_scalefactor(i)  # validates 0-62
+                si = scfsi[c][sb]
+                if si == 0:
+                    parts = (idx[0], idx[1], idx[2])
+                elif si == 1:
+                    parts = (idx[0], idx[2])
+                elif si == 3:
+                    parts = (idx[0], idx[1])
+                else:
+                    parts = (idx[0],)
+                for i in parts:
+                    bw.write(i, 6)
         for gr in range(12):
             for sb in range(sblimit):
-                a = alloc[sb]
-                if not a:
-                    continue
-                n, wbits, grouped, _C, _D, nb = _MP2_QC[tab[sb][a - 1]]
-                s3 = spec["samples"][gr][sb]
-                if any(not 0 <= v < n for v in s3):
-                    raise ValueError(
-                        f"Layer II sample value out of [0, {n}) at "
-                        f"granule {gr} subband {sb}"
-                    )
-                if grouped:
-                    bw.write(s3[0] + n * s3[1] + n * n * s3[2], wbits)
-                else:
-                    for v in s3:
-                        bw.write(v, nb)
+                for c in range(n_ch if sb < ebound else 1):
+                    a = alloc[c][sb]
+                    if not a:
+                        continue
+                    n, wbits, grouped, _C, _D, nb = _MP2_QC[
+                        tab[sb][a - 1]
+                    ]
+                    s3 = samples[c][gr][sb]
+                    if any(not 0 <= v < n for v in s3):
+                        raise ValueError(
+                            f"Layer II sample value out of [0, {n}) at "
+                            f"granule {gr} subband {sb}"
+                        )
+                    if grouped:
+                        bw.write(
+                            s3[0] + n * s3[1] + n * n * s3[2], wbits
+                        )
+                    else:
+                        for v in s3:
+                            bw.write(v, nb)
         bw.align()
         body = bw.bytes()
         if 4 + len(body) > flen:
@@ -7830,9 +7904,12 @@ def encode_mpeg1_layer2(
                 "Layer II frame data exceeds the slot budget: raise "
                 "the bitrate"
             )
-        b1 = 0xE0 | (3 << 3) | (0b10 << 1) | 1  # MPEG-1, Layer II, no CRC
+        b1 = 0xE0 | (ver << 3) | (0b10 << 1) | 1  # Layer II, no CRC
         b2 = (bitrate_index << 4) | (sr_index << 2)
-        b3 = 0b11 << 6                           # mono
+        b3 = {
+            "mono": 0b11 << 6, "stereo": 0b00 << 6,
+            "joint": (0b01 << 6) | (mode_ext << 4),
+        }[mode]
         out += bytes([0xFF, b1, b2, b3]) + body
         out += bytes(flen - 4 - len(body))
     return bytes(out)
@@ -10363,21 +10440,20 @@ def mp3_lsf_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mpeg1_layer2_decode_features",
     oracle="""
     SELECT d.doc_id,
-           CAST(CASE CAST(d.doc_id % 4 AS INTEGER)
-                     WHEN 0 THEN 48000 WHEN 1 THEN 44100
-                     WHEN 2 THEN 44100 ELSE 32000 END AS BIGINT)
+           CAST(([48000, 44100, 44100, 32000, 22050, 16000])
+                [CAST(d.doc_id % 6 AS INTEGER) + 1] AS BIGINT)
                AS sample_rate,
-           CAST(CASE CAST(d.doc_id % 4 AS INTEGER)
-                     WHEN 0 THEN 27 WHEN 1 THEN 30
-                     WHEN 2 THEN 8 ELSE 12 END AS BIGINT) AS sblimit,
+           CAST(CASE CAST(d.doc_id % 6 AS INTEGER)
+                     WHEN 0 THEN 27 WHEN 2 THEN 8 WHEN 3 THEN 12
+                     ELSE 30 END AS BIGINT) AS sblimit,
            CAST(2 + d.doc_id % 2 AS BIGINT) AS n_frames,
            CAST((2 + d.doc_id % 2) * 1152 + 512 AS BIGINT) AS n_samples,
            CAST((2 + d.doc_id % 2)
-                * (144 * (CASE WHEN d.doc_id % 4 < 2
-                               THEN 192000 ELSE 48000 END)
-                   // (CASE CAST(d.doc_id % 4 AS INTEGER)
-                            WHEN 0 THEN 48000 WHEN 1 THEN 44100
-                            WHEN 2 THEN 44100 ELSE 32000 END))
+                * (144 * (CASE WHEN d.doc_id % 6 < 2 THEN 192000
+                               WHEN d.doc_id % 6 < 4 THEN 48000
+                               ELSE 96000 END)
+                   // ([48000, 44100, 44100, 32000, 22050, 16000])
+                      [CAST(d.doc_id % 6 AS INTEGER) + 1])
                 AS BIGINT) AS stream_bytes,
            TRUE AS parity_exact,
            TRUE AS snr_ok
@@ -10392,10 +10468,15 @@ def mpeg1_layer2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     indices and classed sample values, all closed-form over (doc,
     frame, granule, band) — is assembled by
     :func:`encode_mpeg1_layer2` and decoded through
-    :func:`decode_media`'s routed Layer II path. The doc_id % 4
-    profiles cover ALL FOUR allocation tables (B.2a at 48 kHz/192
-    kbps, B.2b at 44.1/192, B.2c at 44.1/48, B.2d at 32/48) and hence
-    the section 2.4.2.7 selection rules. ``parity_exact`` asserts the
+    :func:`decode_media`'s routed Layer II path. The doc_id % 6
+    profiles cover ALL FIVE allocation tables (B.2a at 48 kHz/192
+    kbps, B.2b at 44.1/192, B.2c at 44.1/48, B.2d at 32/48, and the
+    MPEG-2 LSF Table B.1 at both 22.05/96 and 16/96) and hence the
+    section 2.4.2.7 selection rules plus the version routing; docs
+    with d % 5 == 4 on the wide-table profiles additionally encode
+    JOINT (intensity) stereo with the (mode_extension+1)*4 bound —
+    one sample triplet above the bound, per-channel scalefactors.
+    ``parity_exact`` asserts the
     decoded PCM is BIT-IDENTICAL to synthesizing the independently
     recomputed subband values through the filterbank — it pins the
     allocation walk, scfsi/scalefactor layout, grouped base-n
@@ -10420,8 +10501,9 @@ def mpeg1_layer2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        profiles = (  # (rate, bitrate_index) -> B.2a / b / c / d
+        profiles = (  # (rate, bitrate_index) -> B.2a/b/c/d + LSF B.1 x2
             (48000, 10), (44100, 10), (44100, 2), (32000, 2),
+            (22050, 10), (16000, 10),
         )
 
         def eff_scf(idx: tuple, si: int) -> tuple:
@@ -10433,20 +10515,20 @@ def mpeg1_layer2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return (idx[0], idx[1], idx[1])
             return (idx[0], idx[0], idx[0])
 
-        def frame_spec(d: int, f: int, tab: tuple) -> dict:
+        def frame_spec(d: int, f: int, tab: tuple, c: int = 0) -> dict:
             sblimit = len(tab)
             alloc, scfsi, scf, samples = [], [], [], []
             for sb in range(sblimit):
                 nbal = _mp2_nbal(tab[sb])
                 a = (
-                    (d + sb + f) % min(4, (1 << nbal) - 1)
-                    if (sb + d + f) % 3 else 0
+                    (d + c + sb + f) % min(4, (1 << nbal) - 1)
+                    if (sb + d + c + f) % 3 else 0
                 )
                 alloc.append(a)
-                scfsi.append((d + sb) % 4)
+                scfsi.append((d + c + sb) % 4)
                 scf.append((
-                    (3 * (d + sb)) % 63, (d + 2 * sb) % 63,
-                    (2 * d + 5 * sb) % 63,
+                    (3 * (d + c + sb)) % 63, (d + c + 2 * sb) % 63,
+                    (2 * d + c + 5 * sb) % 63,
                 ))
             for gr in range(12):
                 row = []
@@ -10455,9 +10537,9 @@ def mpeg1_layer2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     if a:
                         n = _MP2_QC[tab[sb][a - 1]][0]
                         row.append((
-                            (7 * d + 13 * gr + sb) % n,
+                            (7 * d + 13 * gr + sb + c) % n,
                             (11 * d + 3 * gr + 5 * sb) % n,
-                            (5 * d + gr + 2 * sb) % n,
+                            (5 * d + gr + 2 * sb + c) % n,
                         ))
                     else:
                         row.append((0, 0, 0))
@@ -10465,26 +10547,33 @@ def mpeg1_layer2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             return {"alloc": alloc, "scfsi": scfsi, "scf_idx": scf,
                     "samples": samples}
 
+        def expected_one(sp: dict, tab: tuple,
+                         samples_src: list | None = None) -> list:
+            out = []
+            src = samples_src if samples_src is not None else sp["samples"]
+            for gr in range(12):
+                part = gr >> 2
+                for k in range(3):
+                    S = [0.0] * 32
+                    for sb in range(len(tab)):
+                        a = sp["alloc"][sb]
+                        if not a:
+                            continue
+                        n, _w, _g, C, D, nb = _MP2_QC[tab[sb][a - 1]]
+                        v = src[gr][sb][k]
+                        idx = eff_scf(
+                            sp["scf_idx"][sb], sp["scfsi"][sb]
+                        )[part]
+                        S[sb] = _mp1_scalefactor(idx) * C * (
+                            v / (1 << (nb - 1)) - 1.0 + D
+                        )
+                    out.append(S)
+            return out
+
         def expected_svecs(specs: list, tab: tuple) -> list:
             out = []
             for sp in specs:
-                for gr in range(12):
-                    part = gr >> 2
-                    for k in range(3):
-                        S = [0.0] * 32
-                        for sb in range(len(tab)):
-                            a = sp["alloc"][sb]
-                            if not a:
-                                continue
-                            n, _w, _g, C, D, nb = _MP2_QC[tab[sb][a - 1]]
-                            v = sp["samples"][gr][sb][k]
-                            idx = eff_scf(
-                                sp["scf_idx"][sb], sp["scfsi"][sb]
-                            )[part]
-                            S[sb] = _mp1_scalefactor(idx) * C * (
-                                v / (1 << (nb - 1)) - 1.0 + D
-                            )
-                        out.append(S)
+                out.extend(expected_one(sp, tab))
             return out
 
         # the SNR leg is doc-independent: compute once per executor
@@ -10543,22 +10632,67 @@ def mpeg1_layer2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                rate, bi = profiles[d % 4]
+                rate, bi = profiles[d % 6]
+                lsf = rate in (22050, 24000, 16000)
                 tab = _MP2_ALLOC_TABLES[
+                    "lsf" if lsf else
                     _mp2_table_select(_MP2_KBPS[bi - 1], 1, rate)
                 ]
+                sblimit = len(tab)
                 nf = 2 + d % 2
-                specs = [frame_spec(d, f, tab) for f in range(nf)]
-                blob = encode_mpeg1_layer2(
-                    specs, bitrate_index=bi, sample_rate=rate
-                )
-                meta = decode_media(blob, "audio")  # routed Layer II path
-                ref_svecs = (
-                    expected_svecs(specs, tab) + [[0.0] * 32] * 16
-                )
-                ref_pcm, _ = mp3_synthesize_pcm(ref_svecs)
+                joint = d % 6 in (0, 1, 4, 5) and d % 5 == 4
+                if joint:
+                    bound = 4 * (d % 4 + 1)
+                    eb = min(bound, sblimit)
+                    specs = []
+                    for f in range(nf):
+                        c0 = frame_spec(d, f, tab, 0)
+                        c1 = frame_spec(d, f, tab, 1)
+                        for sb in range(eb, sblimit):
+                            c1["alloc"][sb] = c0["alloc"][sb]
+                        specs.append({
+                            "alloc": [c0["alloc"], c1["alloc"]],
+                            "scfsi": [c0["scfsi"], c1["scfsi"]],
+                            "scf_idx": [c0["scf_idx"], c1["scf_idx"]],
+                            "samples": [c0["samples"], c1["samples"]],
+                            "bound": bound, "_chs": (c0, c1),
+                        })
+                    blob = encode_mpeg1_layer2(
+                        specs, bitrate_index=bi, sample_rate=rate,
+                        mode="joint",
+                    )
+                    meta = decode_media(blob, "audio")
+                    refs = []
+                    for c in range(2):
+                        sv = []
+                        for sp in specs:
+                            c0, c1 = sp["_chs"]
+                            cs = (c0, c1)[c]
+                            src = [
+                                [c0["samples"][gr][sb] if sb >= eb
+                                 else cs["samples"][gr][sb]
+                                 for sb in range(sblimit)]
+                                for gr in range(12)
+                            ]
+                            sv.extend(expected_one(cs, tab, src))
+                        pc, _ = mp3_synthesize_pcm(
+                            sv + [[0.0] * 32] * 16
+                        )
+                        refs.append(pc)
+                    ref_pcm = np.stack(refs, axis=1).reshape(-1)
+                else:
+                    specs = [frame_spec(d, f, tab) for f in range(nf)]
+                    blob = encode_mpeg1_layer2(
+                        specs, bitrate_index=bi, sample_rate=rate
+                    )
+                    meta = decode_media(blob, "audio")  # routed path
+                    ref_svecs = (
+                        expected_svecs(specs, tab) + [[0.0] * 32] * 16
+                    )
+                    ref_pcm, _ = mp3_synthesize_pcm(ref_svecs)
                 ref16 = np.clip(
-                    np.rint(ref_pcm * 32768.0), -32768, 32767
+                    np.rint(np.asarray(ref_pcm) * 32768.0),
+                    -32768, 32767,
                 ).astype("<i2")
                 got = np.frombuffer(meta["pcm"], "<i2")
                 out["doc_id"].append(d)

@@ -4293,6 +4293,60 @@ def test_mpeg1_layer2_decode_tables_and_requantizer():
     with pytest.raises(ValueError, match="all-ones"):
         decode_mpeg1_layer2(bytes(bad))
 
+    # MPEG-2 LSF Layer II (round 17): the single Table B.1 allocation
+    # table at the half rates, routed by version bits; MPEG-2.5 raises
+    ltab = _MP2_ALLOC_TABLES["lsf"]
+    assert len(ltab) == 30
+    assert [_mp2_nbal(r) for r in ltab] == [4] * 4 + [3] * 7 + [2] * 19
+    lspec = frame(1, 0, ltab)
+    lblob = encode_mpeg1_layer2([lspec], bitrate_index=10,
+                                sample_rate=22050)
+    lm = decode_media(lblob, "audio")
+    assert lm["codec"] == "mp2" and lm["frame_rate"] == 22050
+    assert lm["n_frames"] == 1152 + 512
+    b25 = bytearray(lblob)
+    b25[1] = (b25[1] & ~0x18) | (0 << 3)  # version bits -> MPEG-2.5
+    with pytest.raises(NotImplementedError, match="2.5"):
+        decode_mpeg1_layer2(bytes(b25))
+
+    # joint (intensity) stereo: one sample triplet above the bound,
+    # per-channel scalefactors, allocations must match above it
+    jtab = _MP2_ALLOC_TABLES["a"]
+    jc0, jc1 = frame(2, 0, jtab), frame(3, 0, jtab)
+    for sb in range(8, 27):
+        jc1["alloc"][sb] = jc0["alloc"][sb]
+    jspec = {"alloc": [jc0["alloc"], jc1["alloc"]],
+             "scfsi": [[0] * 27, [0] * 27],
+             "scf_idx": [jc0["scf_idx"], jc1["scf_idx"]],
+             "samples": [jc0["samples"], jc1["samples"]], "bound": 8}
+    jm = decode_mpeg1_layer2(encode_mpeg1_layer2(
+        [jspec], bitrate_index=12, sample_rate=48000, mode="joint"))
+    assert jm["n_channels"] == 2
+    for c, cs in ((0, jc0), (1, jc1)):
+        exp = []
+        for gr in range(12):
+            part = gr >> 2
+            for k in range(3):
+                S = [0.0] * 32
+                for sb in range(27):
+                    a = cs["alloc"][sb]
+                    if not a:
+                        continue
+                    n, _w, _g, C, D, nb = _MP2_QC[jtab[sb][a - 1]]
+                    src = jc0 if sb >= 8 else cs
+                    v = src["samples"][gr][sb][k]
+                    S[sb] = _mp1_scalefactor(cs["scf_idx"][sb][part]) \
+                        * C * (v / (1 << (nb - 1)) - 1.0 + D)
+                exp.append(S)
+        ref, _ = mp3_synthesize_pcm(exp + [[0.0] * 32] * 16)
+        assert np.array_equal(np.asarray(jm["pcm_f"][c]),
+                              np.asarray(ref)), f"joint ch {c}"
+    bad = {**jspec, "alloc": [jc0["alloc"],
+                              jc0["alloc"][:8] + [1] * 19]}
+    with pytest.raises(ValueError, match="match above"):
+        encode_mpeg1_layer2([bad], bitrate_index=12,
+                            sample_rate=48000, mode="joint")
+
     # encoder rejects out-of-range sample values and allocation codes
     b2 = frame(0, 0, tab)
     b2["samples"][0] = list(b2["samples"][0])
