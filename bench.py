@@ -137,6 +137,7 @@ HEADLINE = [
     # and the MPEG-2/2.5 LSF Layer III gate over all six low rates
     "mpeg1_layer2_decode_features",
     "mp3_lsf_decode_features",
+    "jpeg_in_tiff_decode_features",
 ]
 
 # Per-query floors for queries newer than the r1 floor table (driver-run

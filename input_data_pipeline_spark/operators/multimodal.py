@@ -11202,6 +11202,8 @@ def encode_tiff(
     predictor2: bool = False,
     deflate: bool = False,
     planar2: bool = False,
+    jpeg: bool = False,
+    jpeg_tables: bool = False,
 ) -> bytes:
     """Encode a top-down (h, w, 3) BGR uint8 array as a baseline TIFF 6.0
     RGB file: 8-byte header (II little- or MM big-endian), one IFD with
@@ -11216,9 +11218,22 @@ def encode_tiff(
     StripsPerImage = SamplesPerPixel x ceil(h/rps), the full R-plane
     strip run first, then G, then B — and each strip carries w (not 3w)
     bytes per row. Compression and the horizontal predictor apply per
-    strip exactly as in chunky layout."""
+    strip exactly as in chunky layout.
+
+    ``jpeg`` (round 17) writes new-style JPEG-in-TIFF (compression 7,
+    photometric 6): each strip is a complete baseline JPEG stream from
+    the in-repo encoder; ``jpeg_tables`` additionally hoists the shared
+    DQT segments into a tag-347 abbreviated table stream (SOI tables
+    EOI) and strips them from the per-strip streams — the TTN2 splice
+    the decoder must perform (Huffman tables stay inline per strip:
+    this encoder's canonical DHTs cover exactly each strip's emitted
+    symbols, so they legitimately differ strip to strip)."""
     if sum((packbits, lzw, deflate)) > 1:
         raise ValueError("pick one of packbits/lzw/deflate")
+    if jpeg and (packbits or lzw or deflate or predictor2 or planar2):
+        raise ValueError("jpeg strips exclude the other codings")
+    if jpeg_tables and not jpeg:
+        raise ValueError("jpeg_tables requires jpeg")
     if predictor2 and not (lzw or deflate):
         raise ValueError("predictor 2 pairs with LZW/deflate (TIFF 6.0 section 14)")
     import struct
@@ -11238,33 +11253,73 @@ def encode_tiff(
         diff = rgb.astype(_np.int16)
         diff[:, 1:, :] = diff[:, 1:, :] - rgb[:, :-1, :].astype(_np.int16)
         rgb = (diff % 256).astype(_np.uint8)
-    if planar2:
+    tables347 = b""
+    if jpeg:
+        strips = []
+        for s0 in range(0, h, rps):
+            strips.append(encode_jpeg(rows_rgb=rgb[s0: s0 + rps]))
+        if jpeg_tables:
+            def _hoist_dqt(stream: bytes) -> tuple[bytes, bytes]:
+                pos = 2
+                dqt = b""
+                rest = b""
+                while True:
+                    if stream[pos] != 0xFF:
+                        raise ValueError("bad JPEG segment stream")
+                    m = stream[pos + 1]
+                    if m == 0xDA:
+                        rest += stream[pos:]
+                        break
+                    ln = int.from_bytes(stream[pos + 2: pos + 4], "big")
+                    seg = stream[pos: pos + 2 + ln]
+                    if m == 0xDB:
+                        dqt += seg
+                    else:
+                        rest += seg
+                    pos += 2 + ln
+                return dqt, rest
+
+            dqt0 = None
+            hoisted = []
+            for s in strips:
+                dqt, rest = _hoist_dqt(s)
+                if dqt0 is None:
+                    dqt0 = dqt
+                elif dqt != dqt0:
+                    raise ValueError("strip DQT tables must agree")
+                hoisted.append(b"\xff\xd8" + rest)
+            strips = hoisted
+            tables347 = b"\xff\xd8" + (dqt0 or b"") + b"\xff\xd9"
+    elif planar2:
         # planar: one row source per component, R strips then G then B
         sources = [[rgb[r, :, k].tobytes() for r in range(h)] for k in range(3)]
     else:
         sources = [[rgb[r].tobytes() for r in range(h)]]
-    strips = []
-    for raw_rows in sources:
-        for s0 in range(0, h, rps):
-            block = b"".join(raw_rows[s0: s0 + rps])
-            if packbits:
-                block = _packbits_encode(block)
-            elif lzw:
-                block = _tiff_lzw_encode(block)
-            elif deflate:
-                import zlib
+    if not jpeg:
+        strips = []
+        for raw_rows in sources:
+            for s0 in range(0, h, rps):
+                block = b"".join(raw_rows[s0: s0 + rps])
+                if packbits:
+                    block = _packbits_encode(block)
+                elif lzw:
+                    block = _tiff_lzw_encode(block)
+                elif deflate:
+                    import zlib
 
-                block = zlib.compress(block, 6)
-            strips.append(block)
+                    block = zlib.compress(block, 6)
+                strips.append(block)
     e = ">" if big_endian else "<"
     n_strips = len(strips)
-    # layout: header(8) | IFD | bits_per_sample(6) | offsets(4n) | counts(4n) | strips
-    n_tags = 11 if predictor2 else 10
+    # layout: header(8) | IFD | bits_per_sample(6) | offsets(4n) |
+    # counts(4n) | [JPEGTables] | strips
+    n_tags = 10 + (1 if predictor2 else 0) + (1 if tables347 else 0)
     ifd_size = 2 + n_tags * 12 + 4
     bps_off = 8 + ifd_size
     soff_off = bps_off + 6
     scnt_off = soff_off + 4 * n_strips
-    data_off = scnt_off + 4 * n_strips
+    tbl_off = scnt_off + 4 * n_strips
+    data_off = tbl_off + len(tables347)
     strip_offsets = []
     pos = data_off
     for s in strips:
@@ -11283,9 +11338,11 @@ def encode_tiff(
     ifd += tag(256, 4, 1, w)                     # ImageWidth LONG
     ifd += tag(257, 4, 1, h)                     # ImageLength LONG
     ifd += tag(258, 3, 3, bps_off)               # BitsPerSample 3xSHORT
-    comp_tag = 32773 if packbits else (5 if lzw else (8 if deflate else 1))
+    comp_tag = 7 if jpeg else (
+        32773 if packbits else (5 if lzw else (8 if deflate else 1))
+    )
     ifd += tag(259, 3, 1, comp_tag)              # Compression
-    ifd += tag(262, 3, 1, 2)                     # Photometric: RGB
+    ifd += tag(262, 3, 1, 6 if jpeg else 2)      # Photometric: YCbCr/RGB
     ifd += tag(273, 4, n_strips, strip_offsets[0] if n_strips == 1 else soff_off)
     ifd += tag(277, 3, 1, 3)                     # SamplesPerPixel
     ifd += tag(278, 4, 1, rps)                   # RowsPerStrip
@@ -11293,6 +11350,8 @@ def encode_tiff(
     ifd += tag(284, 3, 1, 2 if planar2 else 1)   # PlanarConfig
     if predictor2:
         ifd += tag(317, 3, 1, 2)                 # Predictor: horizontal
+    if tables347:
+        ifd += tag(347, 7, len(tables347), tbl_off)  # JPEGTables
     ifd += struct.pack(e + "I", 0)               # next IFD: none
     out = bytearray()
     out += (b"MM" if big_endian else b"II") + struct.pack(e + "H", 42)
@@ -11303,6 +11362,7 @@ def encode_tiff(
         out += struct.pack(e + "I", o)
     for s in strips:
         out += struct.pack(e + "I", len(s))
+    out += tables347
     for s in strips:
         out += s
     return bytes(out)
@@ -11423,14 +11483,77 @@ def _decode_tiff(payload: bytes) -> dict:
             "n_pixels": w * h,
             "pixels": bgr.tobytes(),
         }
+    if comp == 7:
+        # New-style JPEG-in-TIFF (round 17; TIFF Technical Note 2 /
+        # TIFF-EP): each strip is a complete — or, with tag 347
+        # (JPEGTables), abbreviated — JPEG interchange stream, decoded
+        # by the SAME in-repo JPEG decoder (baseline + progressive):
+        # the shared table stream's body splices in after each strip's
+        # SOI, exactly the TTN2 rule. Strips stack top-down.
+        import numpy as np
+
+        if planar != 1:
+            raise ValueError(
+                "JPEG-in-TIFF requires chunky planar configuration"
+            )
+        if spp != 3 or photo != 6:
+            # photometric 6: the strips carry ordinary YCbCr JPEG (the
+            # only form real writers emit); an RGB-in-JPEG photometric
+            # 2 file would skip the BT.601 step our decoder applies
+            raise ValueError(
+                "JPEG-in-TIFF decode supports 3-sample photometric 6 "
+                "(YCbCr) only"
+            )
+        tables = b""
+        if 347 in tags:
+            ttype, count, value, slot = tags[347]
+            base = slot if count <= 4 else value
+            if base + count > len(payload):
+                raise ValueError("truncated JPEGTables tag")
+            tbl = payload[base: base + count]
+            if tbl[:2] != b"\xff\xd8" or tbl[-2:] != b"\xff\xd9":
+                raise ValueError(
+                    "JPEGTables must be an abbreviated SOI..EOI stream"
+                )
+            tables = tbl[2:-2]
+        rps_j = tags.get(278, (4, 1, h))[2] or h
+        offsets, counts = arr(273), arr(279)
+        if len(offsets) != len(counts):
+            raise ValueError("TIFF strip offset/count tables disagree")
+        rows_out = []
+        for si, (o, c) in enumerate(zip(offsets, counts)):
+            if o + c > len(payload):
+                raise ValueError("truncated TIFF strip")
+            strip = payload[o: o + c]
+            if strip[:2] != b"\xff\xd8":
+                raise ValueError("JPEG-in-TIFF strip missing SOI")
+            m = _decode_jpeg(b"\xff\xd8" + tables + strip[2:])
+            n_rows = min(rps_j, h - si * rps_j)
+            if m["width"] != w or m["height"] != n_rows:
+                raise ValueError("JPEG-in-TIFF strip geometry mismatch")
+            rows_out.append(
+                np.frombuffer(m["pixels"], np.uint8).reshape(
+                    n_rows, w, 3
+                )
+            )
+        bgr = np.concatenate(rows_out, axis=0)
+        if bgr.shape != (h, w, 3):
+            raise ValueError("JPEG-in-TIFF pixel plane incomplete")
+        return {
+            "width": w,
+            "height": h,
+            "bit_count": 24,
+            "n_pixels": w * h,
+            "pixels": bgr.tobytes(),
+        }
     if photo != 2 or spp != 3:
         raise ValueError("TIFF decode supports 3-sample RGB (photometric 2)")
     if 258 in tags and arr(258) != [8, 8, 8]:
         raise ValueError("TIFF decode supports 8-bit samples only")
     if comp not in (1, 5, 8, 32773):
         raise ValueError(
-            f"TIFF compression {comp} (e.g. JPEG-in-TIFF) requires "
-            "external media libraries (SURVEY §2.10 U1/U2)"
+            f"TIFF compression {comp} (e.g. OJPEG compression 6) "
+            "requires external media libraries (SURVEY §2.10 U1/U2)"
         )
     predictor = tags.get(317, (3, 1, 1))[2]
     if predictor not in (1, 2):
@@ -11488,6 +11611,107 @@ def _decode_tiff(payload: bytes) -> dict:
         "n_pixels": w * h,
         "pixels": rgb[:, :, ::-1].tobytes(),  # RGB -> BGR contract
     }
+
+
+@register(
+    "jpeg_in_tiff_decode_features",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(9 + d.doc_id % 8 AS BIGINT) AS width,
+           CAST(8 + d.doc_id % 5 AS BIGINT) AS height,
+           (d.doc_id % 2 = 1) AS tables_hoisted,
+           CAST((8 + d.doc_id % 5 + (3 + d.doc_id % 3) - 1)
+                // (3 + d.doc_id % 3) AS BIGINT) AS n_strips,
+           TRUE AS strips_match_reference,
+           TRUE AS err_ok
+    FROM documents d
+    ORDER BY d.doc_id
+    """,
+)
+def jpeg_in_tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-style JPEG-in-TIFF (compression 7) under the differential
+    gate (round 17; closes a named seam from the r14-r16 COVERAGE
+    lists): per doc a closed-form neutral-chroma card is wrapped as a
+    multi-strip JPEG-in-TIFF — odd docs hoist the shared DQT segments
+    into a tag-347 JPEGTables stream the decoder must splice after
+    each strip's SOI (TIFF Technical Note 2), strip height cycling
+    3-5 rows so reassembly is always multi-strip — and decoded through
+    :func:`decode_media`'s TIFF path. ``strips_match_reference``
+    asserts the container decode is BYTE-IDENTICAL to decoding each
+    strip's standalone JPEG and stacking (any slip in the tag-347
+    splice, strip walk or geometry breaks it); ``err_ok`` bounds the
+    lossy JPEG error against the card (|err| <= 4 at quant 1, the
+    jpeg_decode_features bound). Geometry hashes against the closed
+    forms. Map-only mapInPandas with the standard core fan-out."""
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "tables_hoisted": [], "n_strips": [],
+                "strips_match_reference": [], "err_ok": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 9 + d % 8, 8 + d % 5
+                rps = 3 + d % 3
+                hoist = d % 2 == 1
+                r_idx = np.arange(h, dtype=np.int64).reshape(-1, 1)
+                c_idx = np.arange(w, dtype=np.int64)
+                # neutral-chroma card (equal RGB) so 4:4:4 JPEG at
+                # quant 1 stays within the +/-4 rounding bound
+                g = ((7 * d + 11 * r_idx + 5 * c_idx) % 256).astype(
+                    np.uint8
+                )
+                plane = np.dstack([g, g, g])
+                blob = encode_tiff(
+                    plane, rows_per_strip=rps, jpeg=True,
+                    jpeg_tables=hoist, big_endian=(d % 3 == 2),
+                )
+                meta = decode_media(blob, "image")  # REAL TIFF decode
+                px = np.frombuffer(meta["pixels"], np.uint8).reshape(
+                    meta["height"], meta["width"], 3
+                )
+                refs = []
+                for s0 in range(0, h, rps):
+                    jp = encode_jpeg(
+                        rows_rgb=plane[s0: s0 + rps][:, :, ::-1]
+                    )
+                    mm = _decode_jpeg(jp)
+                    refs.append(
+                        np.frombuffer(mm["pixels"], np.uint8).reshape(
+                            -1, w, 3
+                        )
+                    )
+                ref = np.concatenate(refs)
+                err = np.abs(
+                    px.astype(np.int64) - plane.astype(np.int64)
+                ).max()
+                out["doc_id"].append(d)
+                out["width"].append(meta["width"])
+                out["height"].append(meta["height"])
+                out["tables_hoisted"].append(hoist)
+                out["n_strips"].append((h + rps - 1) // rps)
+                out["strips_match_reference"].append(
+                    bool(np.array_equal(px, ref))
+                )
+                out["err_ok"].append(bool(err <= 4))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, width long, height long, tables_hoisted boolean, "
+        "n_strips long, strips_match_reference boolean, err_ok boolean"
+    )
+    return docs.mapInPandas(run, schema)
 
 
 @register(

@@ -99,6 +99,7 @@ QUERIES = [
     # post-window r17 additions
     "mpeg1_layer2_decode_features",
     "mp3_lsf_decode_features",
+    "jpeg_in_tiff_decode_features",
 ]
 
 
@@ -206,6 +207,7 @@ ANSI_QUERIES = [
     "mpeg1_layer1_decode_features",
     "mpeg1_layer2_decode_features",
     "mp3_lsf_decode_features",
+    "jpeg_in_tiff_decode_features",
 ]
 
 

@@ -2828,7 +2828,9 @@ def test_tiff_rejects_malformed_structures():
         off = ifd_off + 2 + 12 * t
         if struct.unpack_from("<H", bad, off)[0] == 259:
             struct.pack_into("<H", bad, off + 8, 7)  # JPEG-in-TIFF
-    with pytest.raises(ValueError, match="compression 7"):
+    # compression 7 decodes since round 17 — but only photometric 6
+    # (this uncompressed-RGB file advertises photometric 2)
+    with pytest.raises(ValueError, match="photometric 6"):
         _decode_tiff(bytes(bad))
     # raw pixel data relabeled as LZW must be rejected (no ClearCode),
     # never misparsed
@@ -4100,6 +4102,64 @@ def test_mpeg1_layer1_wire_convention():
     assert out["sample_rate"] == 44100 and out["n_frames"] == 1
     got = out["pcm_f"][0]
     assert np.array_equal(np.asarray(got), np.asarray(expected))
+
+
+def test_jpeg_in_tiff_decode():
+    """New-style JPEG-in-TIFF (round 17): strips are complete or
+    tag-347-abbreviated JPEG streams; the container decode is
+    byte-identical to stacking the standalone strip decodes; error
+    paths (missing SOI, malformed JPEGTables, OJPEG compression 6)
+    raise by name."""
+    import numpy as np
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_jpeg,
+        _decode_tiff,
+        encode_jpeg,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(11)
+    h, w = 19, 13
+    plane = rng.randint(0, 256, (h, w, 3), np.uint8)
+    for jt, rps, be in ((False, h, False), (True, 7, False),
+                        (True, 5, True)):
+        blob = encode_tiff(plane, rows_per_strip=rps, jpeg=True,
+                           jpeg_tables=jt, big_endian=be)
+        m = _decode_tiff(blob)
+        got = np.frombuffer(m["pixels"], np.uint8).reshape(h, w, 3)
+        ref = np.concatenate([
+            np.frombuffer(
+                _decode_jpeg(encode_jpeg(
+                    rows_rgb=plane[s0: s0 + rps][:, :, ::-1]
+                ))["pixels"], np.uint8,
+            ).reshape(-1, w, 3)
+            for s0 in range(0, h, rps)
+        ])
+        assert np.array_equal(got, ref), (jt, rps, be)
+
+    with pytest.raises(ValueError, match="jpeg_tables requires jpeg"):
+        encode_tiff(plane, jpeg_tables=True)
+    with pytest.raises(ValueError, match="exclude"):
+        encode_tiff(plane, jpeg=True, lzw=True)
+    # malformed JPEGTables raises
+    blob = bytearray(encode_tiff(plane, jpeg=True, jpeg_tables=True))
+    at = blob.find(b"\xff\xd8", 8)      # tag-347 stream start
+    blob[at] = 0x00
+    with pytest.raises(ValueError, match="JPEGTables"):
+        _decode_tiff(bytes(blob))
+    # old-style OJPEG (compression 6) still raises by name
+    blob6 = bytearray(encode_tiff(plane))
+    # compression tag value: find tag 259 in the little-endian IFD
+    import struct
+    (n_tags,) = struct.unpack_from("<H", blob6, 8)
+    for t in range(n_tags):
+        off = 10 + 12 * t
+        if struct.unpack_from("<H", blob6, off)[0] == 259:
+            struct.pack_into("<H", blob6, off + 8, 6)
+    with pytest.raises(ValueError, match="external media"):
+        _decode_tiff(bytes(blob6))
 
 
 def test_mp3_lsf_decode_paths():
