@@ -1585,20 +1585,13 @@ def _decode_jpeg(payload: bytes) -> dict:
                         "1..4 range"
                     )
                 comps.append({"id": cid, "tq": tq, "hc": hc, "vc": vc})
-            # round 15: arbitrary factors up to 4 per axis (4:1:1, 4:4:0,
-            # asymmetric chroma, ...) as long as every component's factor
-            # DIVIDES the frame maximum — the sample-replication upsampler
-            # is integer-ratio; the spec-legal-but-unseen fractional
-            # ratios (e.g. 3x vs 2x) raise by name
-            hmax_f = max(c["hc"] for c in comps)
-            vmax_f = max(c["vc"] for c in comps)
-            for c in comps:
-                if hmax_f % c["hc"] or vmax_f % c["vc"]:
-                    raise ValueError(
-                        f"non-divisor JPEG sampling ratio ({c['hc']}x"
-                        f"{c['vc']} vs frame max {hmax_f}x{vmax_f}) needs "
-                        "fractional upsampling — unsupported"
-                    )
+            # round 15: arbitrary factors up to 4 per axis (4:1:1,
+            # 4:4:0, asymmetric chroma, ...); round 17: non-divisor
+            # ratios too (e.g. 2x vs a frame max of 3) — the upsampler
+            # in _jpeg_finish uses the nearest-floor index mapping
+            # out[r] = sub[r * fc // fmax], which IS plain replication
+            # whenever the ratio is integer, so divisor files decode
+            # byte-identically to round 15
             if nc == 1:
                 # single-component scans are non-interleaved: the data is
                 # the component's own block raster, whatever factor the
@@ -1762,14 +1755,17 @@ def _jpeg_finish(state: dict) -> dict:
             state["coefs"][ci].reshape(-1, 8, 8) * qtabs[c["tq"]]
         ).astype(np.float64)
         spatial = np.einsum("ki,nkl,lj->nij", m8, deq, m8) + 128.0
-        plane = (
+        sub = (
             spatial.reshape(gy, gx, 8, 8)
             .transpose(0, 2, 1, 3)
             .reshape(gy * 8, gx * 8)
-            .repeat(vmax // c["vc"], axis=0)
-            .repeat(hmax // c["hc"], axis=1)[:height, :width]
         )
-        planes.append(plane)
+        # nearest-floor index upsampling: identical to the round-15
+        # .repeat replication for divisor ratios, and the spec-legal
+        # choice (T.81 mandates no filter) for fractional ones (r17)
+        ridx = np.arange(height) * c["vc"] // vmax
+        cidx = np.arange(width) * c["hc"] // hmax
+        planes.append(sub[np.ix_(ridx, cidx)])
     if len(planes) == 1:
         y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         bgr = np.repeat(y[:, :, None], 3, axis=2)
@@ -2118,9 +2114,24 @@ def encode_jpeg(rows_rgb=None, gray_rows=None, quant=1, restart_interval=0,
             np.round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b),
             np.round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b),
         ]
-        yfac = {"444": (1, 1), "422": (2, 1), "420": (2, 2),
-                "411": (4, 1), "440": (1, 2)}[subsampling]
-        facs = [yfac, (1, 1), (1, 1)]
+        if isinstance(subsampling, (tuple, list)):
+            # explicit per-component (h, v) factors (round 17) — the
+            # way to emit T.81-legal NON-DIVISOR ratios; components
+            # whose factor does not divide the frame max downsample by
+            # nearest-floor point sampling (the encoder-side choice is
+            # free; the decoder's upsampler is under test)
+            facs = [tuple(f) for f in subsampling]
+            if len(facs) != 3 or any(
+                not (1 <= f[0] <= 4 and 1 <= f[1] <= 4) for f in facs
+            ):
+                raise ValueError(
+                    "explicit subsampling wants three (h, v) pairs in "
+                    "1..4"
+                )
+        else:
+            yfac = {"444": (1, 1), "422": (2, 1), "420": (2, 2),
+                    "411": (4, 1), "440": (1, 2)}[subsampling]
+            facs = [yfac, (1, 1), (1, 1)]
     height, width = planes[0].shape
     ncomp = len(planes)
     hmax = max(f[0] for f in facs)
@@ -2139,9 +2150,17 @@ def encode_jpeg(rows_rgb=None, gray_rows=None, quant=1, restart_interval=0,
             ((0, mcu_y * 8 * vmax - height), (0, mcu_x * 8 * hmax - width)),
             mode="edge",
         )
-        if (hc, vc) != (hmax, vmax):  # box-average down to this component
-            fy, fx = vmax // vc, hmax // hc
-            fp = np.round(fp.reshape(th, fy, tw, fx).mean(axis=(1, 3)))
+        if (hc, vc) != (hmax, vmax):
+            if vmax % vc == 0 and hmax % hc == 0:
+                # divisor ratio: box-average down to this component
+                fy, fx = vmax // vc, hmax // hc
+                fp = np.round(fp.reshape(th, fy, tw, fx).mean(axis=(1, 3)))
+            else:
+                # non-divisor ratio (round 17): nearest-floor point
+                # sampling from the full-resolution padded plane
+                ridx = np.arange(th) * vmax // vc
+                cidx = np.arange(tw) * hmax // hc
+                fp = fp[np.ix_(ridx, cidx)]
         blocks = fp.reshape(mcu_y * vc, 8, mcu_x * hc, 8).transpose(
             0, 2, 1, 3
         ).reshape(-1, 8, 8)
@@ -11204,6 +11223,7 @@ def encode_tiff(
     planar2: bool = False,
     jpeg: bool = False,
     jpeg_tables: bool = False,
+    jpeg_subsampling="444",
 ) -> bytes:
     """Encode a top-down (h, w, 3) BGR uint8 array as a baseline TIFF 6.0
     RGB file: 8-byte header (II little- or MM big-endian), one IFD with
@@ -11257,7 +11277,10 @@ def encode_tiff(
     if jpeg:
         strips = []
         for s0 in range(0, h, rps):
-            strips.append(encode_jpeg(rows_rgb=rgb[s0: s0 + rps]))
+            strips.append(encode_jpeg(
+                rows_rgb=rgb[s0: s0 + rps],
+                subsampling=jpeg_subsampling,
+            ))
         if jpeg_tables:
             def _hoist_dqt(stream: bytes) -> tuple[bytes, bytes]:
                 pos = 2
@@ -11665,17 +11688,32 @@ def jpeg_in_tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w, h = 9 + d % 8, 8 + d % 5
                 rps = 3 + d % 3
                 hoist = d % 2 == 1
-                r_idx = np.arange(h, dtype=np.int64).reshape(-1, 1)
-                c_idx = np.arange(w, dtype=np.int64)
-                # neutral-chroma card (equal RGB) so 4:4:4 JPEG at
-                # quant 1 stays within the +/-4 rounding bound
-                g = ((7 * d + 11 * r_idx + 5 * c_idx) % 256).astype(
-                    np.uint8
-                )
+                # every fifth doc additionally exercises NON-DIVISOR
+                # sampling (round 17): a monotone luma ramp card under
+                # Y factor 2 vs chroma 3 — the decoder's nearest-floor
+                # fractional upsampler reconstructs a gentle ramp
+                # within a small bound, while a mapping slip compresses
+                # the ramp and blows past it; divisor docs keep the
+                # neutral-chroma card and the tight quant-1 bound
+                nondiv = d % 5 == 3
+                if nondiv:
+                    # monotone, wrap-free ramp: a fractional-upsample
+                    # index is off by at most ~1 source pixel, so the
+                    # reconstruction error stays within ~2 ramp steps
+                    ramp = (3 * d) % 120 + 8 * np.arange(w, dtype=np.int64)
+                    g = np.tile(ramp, (h, 1)).astype(np.uint8)
+                else:
+                    r_idx = np.arange(h, dtype=np.int64).reshape(-1, 1)
+                    c_idx = np.arange(w, dtype=np.int64)
+                    g = ((7 * d + 11 * r_idx + 5 * c_idx) % 256).astype(
+                        np.uint8
+                    )
                 plane = np.dstack([g, g, g])
+                sub = ((2, 1), (3, 1), (3, 1)) if nondiv else "444"
                 blob = encode_tiff(
                     plane, rows_per_strip=rps, jpeg=True,
                     jpeg_tables=hoist, big_endian=(d % 3 == 2),
+                    jpeg_subsampling=sub,
                 )
                 meta = decode_media(blob, "image")  # REAL TIFF decode
                 px = np.frombuffer(meta["pixels"], np.uint8).reshape(
@@ -11684,7 +11722,8 @@ def jpeg_in_tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 refs = []
                 for s0 in range(0, h, rps):
                     jp = encode_jpeg(
-                        rows_rgb=plane[s0: s0 + rps][:, :, ::-1]
+                        rows_rgb=plane[s0: s0 + rps][:, :, ::-1],
+                        subsampling=sub,
                     )
                     mm = _decode_jpeg(jp)
                     refs.append(
@@ -11704,7 +11743,7 @@ def jpeg_in_tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["strips_match_reference"].append(
                     bool(np.array_equal(px, ref))
                 )
-                out["err_ok"].append(bool(err <= 4))
+                out["err_ok"].append(bool(err <= (25 if nondiv else 4)))
             yield pd.DataFrame(out)
 
     schema = (

@@ -1162,14 +1162,17 @@ def test_decode_jpeg_rejects_non_baseline():
     for hv in (b"\x22", b"\x31"):
         meta = decode_media(ok[: j + 1] + hv + ok[j + 2 :], "image")
         assert (meta["width"], meta["height"]) == (8, 8)
-    # a NON-DIVISOR color layout (Y 3x1 vs Cb 2x1) raises by name —
-    # both patches are header-level, caught before any entropy decode
+    # NON-DIVISOR color layouts (e.g. Y 2x1 vs Cb 3x1) DECODE since
+    # round 17 via the nearest-floor fractional upsampler — covered by
+    # test_jpeg_nondivisor_sampling; a header-patched stream whose
+    # entropy data disagrees with the patched MCU geometry still fails
+    # loudly inside the scan
     color = make_jpeg(rows_rgb=[[(1, 2, 3)] * 8] * 8)
     ic = color.index(b"\xff\xc0")
     nd = bytearray(color)
     nd[ic + 11] = 0x31  # Y hv
     nd[ic + 14] = 0x21  # Cb hv
-    with pytest.raises(ValueError, match="non-divisor"):
+    with pytest.raises(ValueError, match="huffman|truncated|entropy"):
         decode_media(bytes(nd), "image")
     # truncate mid-scan: whichever layer hits the cliff first (segment
     # walk, entropy reader, or a half-swallowed marker) must ValueError
@@ -3714,17 +3717,51 @@ def test_jpeg_411_and_440_sampling_factors():
     plane = np.frombuffer(meta["pixels"], np.uint8).reshape(h, w, 3)
     err = np.abs(plane.astype(int) - np.asarray(rows)[:, :, ::-1])
     assert err.max() <= 6, err.max()
-    # non-divisor ratio: Y 3x1 against Cb 2x1 (both header-level
-    # patches — the check fires before any entropy decode)
+    # factors outside T.81's range still raise at the header
     blob = bytearray(make_jpeg(rows_rgb=rows))
     i = blob.index(b"\xff\xc0")
-    blob[i + 11] = 0x31  # Y hv byte
-    blob[i + 14] = 0x21  # Cb hv byte
-    with pytest.raises(ValueError, match="non-divisor"):
-        _decode_jpeg(bytes(blob))
     blob[i + 11] = 0x51  # factor 5: outside T.81's range
     with pytest.raises(ValueError, match="1..4 range"):
         _decode_jpeg(bytes(blob))
+
+
+def test_jpeg_nondivisor_sampling():
+    """Non-divisor sampling ratios (round 17): the decoder upsamples by
+    the nearest-floor index mapping — identical to replication for
+    divisor ratios (pinned by the unchanged divisor-family tests) and
+    spec-legal for fractional ones (T.81 mandates no filter). A gentle
+    monotone ramp reconstructs within ~2 ramp steps under Y 2 vs
+    chroma-max 3 and under a fractional chroma gradient; explicit
+    per-component factors outside 1..4 are rejected at encode."""
+    import numpy as np
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_jpeg,
+        encode_jpeg,
+    )
+
+    h, w = 17, 30
+    ramp = np.clip(np.arange(w) * 8, 0, 255).astype(np.float64)
+    card = np.stack([np.tile(ramp, (h, 1))] * 3, axis=2)
+    jp = encode_jpeg(rows_rgb=card, subsampling=((2, 1), (3, 1), (3, 1)))
+    m = _decode_jpeg(jp)
+    px = np.frombuffer(m["pixels"], np.uint8).reshape(h, w, 3)
+    assert np.abs(px.astype(np.int64) - card.astype(np.int64)).max() <= 25
+
+    r = np.tile(np.clip(np.arange(w) * 8, 0, 255), (h, 1))
+    card2 = np.stack([r, np.full((h, w), 128.0), 255 - r], axis=2)
+    jp2 = encode_jpeg(rows_rgb=card2,
+                      subsampling=((3, 1), (2, 1), (2, 1)))
+    m2 = _decode_jpeg(jp2)
+    px2 = np.frombuffer(m2["pixels"], np.uint8).reshape(h, w, 3)
+    err2 = np.abs(
+        px2.astype(np.int64) - card2[:, :, ::-1].astype(np.int64)
+    ).max()
+    assert err2 <= 40, err2
+
+    with pytest.raises(ValueError, match="three \\(h, v\\) pairs"):
+        encode_jpeg(rows_rgb=card, subsampling=((5, 1), (1, 1), (1, 1)))
 
 
 def test_jpeg_progressive_dri_matches_baseline_exactly():
