@@ -178,10 +178,15 @@ FLOORS = {
     "mp4_audio_extract_features": 1.680,
     "jpeg_lossless_decode_features": 0.658,
     # round-17 first entries (closing local bench SESSION @ sf0.1,
-    # local[32] — the established first-entry unit; replace with
-    # BENCH_r17 driver numbers when recorded): the two r16 queries
-    # newly added to the headline set plus the r17 Layer II gate
-    # (values set from the r17 bench session below)
+    # local[32], yardstick 20.6 GFLOP/s under ~29k steal ticks — the
+    # established first-entry unit; replace with BENCH_r17 driver
+    # numbers when recorded): the two r16 queries newly added to the
+    # headline set plus the three r17 gates
+    "adts_probe_features": 0.649,
+    "mpeg1_layer1_decode_features": 2.205,
+    "mpeg1_layer2_decode_features": 2.904,
+    "mp3_lsf_decode_features": 1.617,
+    "jpeg_in_tiff_decode_features": 2.700,
 }
 
 

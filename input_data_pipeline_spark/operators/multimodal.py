@@ -3355,10 +3355,12 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
     REAL for MPEG-1 Layer III (rounds 13-14): the full sample chain —
     entropy layer, IMDCT, polyphase synthesis — to int16 PCM (see
     :func:`decode_mp3_to_pcm`; the synthesis window stance is documented
-    at ``_MP3_SYNTH_PROTO``), and REAL for CCITT G4/MH bilevel TIFF
-    (round 14). Only genuinely external codecs (compressed video/audio
+    at ``_MP3_SYNTH_PROTO``), and REAL for CCITT bilevel TIFF — G4/MH
+    round 14, T.4-with-EOL G3 (1D and 2D) also round 14, JPEG-in-TIFF
+    round 17. Only genuinely external codecs (compressed video/audio
     SAMPLE decode: H.264/AAC in MP4, interframe AVI codecs,
-    arithmetic/12-bit JPEG, T.4-with-EOL G3 TIFF) stay the documented
+    arithmetic/hierarchical/12-bit JPEG, old-style OJPEG TIFF) stay the
+    documented
     seam: those aren't in this container, and on a real cluster the
     call MUST go through a per-executor singleton (one codec/model
     instance per worker process), never per row — reference pattern U2.

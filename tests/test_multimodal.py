@@ -3389,7 +3389,9 @@ def test_cross_codec_dedup_kernel_runs_once_behind_checkpoint(
     assert "InPandas" not in plan, plan[:800]
     assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan, plan[:800]
 
-    rows = df.collect()
+    rows = sorted(df.collect(), key=lambda r: r.doc_id)
+    # no output order contract since the r17 trailing-sort trim — the
+    # driver comparator is order-insensitive
     assert [r.doc_id for r in rows] == [0, 1, 2, 3]
     for r in rows:
         assert r.n_variants == 5
