@@ -138,6 +138,7 @@ HEADLINE = [
     "mpeg1_layer2_decode_features",
     "mp3_lsf_decode_features",
     "jpeg_in_tiff_decode_features",
+    "jpeg_precision12_features",
 ]
 
 # Per-query floors for queries newer than the r1 floor table (driver-run

@@ -1568,11 +1568,17 @@ def _decode_jpeg(payload: bytes) -> dict:
                     raise ValueError("truncated JPEG DHT segment")
                 htabs[(tc, th)] = _jpeg_huff_table(bits, body[i + 17 : i + 17 + nv])
                 i += 17 + nv
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential (round 17: the
+            # 12-bit home) / SOF2 progressive
             progressive = marker == 0xC2
             prec, h, w, nc = _jpeg_unpack(">BHHB", body, 0, "SOF0")
-            if prec != 8:
-                raise ValueError(f"unsupported JPEG sample precision {prec}")
+            if prec not in (8, 12) or (prec == 12 and marker == 0xC0):
+                raise ValueError(
+                    f"unsupported JPEG sample precision {prec} for SOF "
+                    f"marker 0xFF{marker:02X} (8-bit everywhere; 12-bit "
+                    "in SOF1/SOF2 per T.81)"
+                )
             if nc not in (1, 3):
                 raise ValueError(f"unsupported JPEG component count {nc}")
             comps = []
@@ -1597,14 +1603,14 @@ def _decode_jpeg(payload: bytes) -> dict:
                 # the component's own block raster, whatever factor the
                 # header advertises (T.81 A.2.2)
                 comps[0]["hc"] = comps[0]["vc"] = 1
-            sof = (w, h, comps)
+            sof = (w, h, comps, prec)
         elif marker == 0xC3:  # SOF3: lossless (huffman) — round 16
             return _decode_jpeg_lossless(payload)
-        elif marker in (0xC1, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: arithmetic/"
-                "hierarchical) unsupported — SOF0/SOF2/SOF3 only"
+                "hierarchical) unsupported — SOF0/SOF1/SOF2/SOF3 only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = _jpeg_unpack(">H", body, 0, "DRI")
@@ -1614,7 +1620,7 @@ def _decode_jpeg(payload: bytes) -> dict:
             if not body:
                 raise ValueError("truncated JPEG SOS segment")
             ns = body[0]
-            width, height, comps = sof
+            width, height, comps, prec = sof
             if len(body) < 4 + 2 * ns:
                 raise ValueError("truncated JPEG SOS segment")
             scan = {}
@@ -1646,7 +1652,7 @@ def _decode_jpeg(payload: bytes) -> dict:
                         )
                 return _jpeg_scan(
                     payload, body1, width, height, comps, qtabs, htabs,
-                    restart_interval,
+                    restart_interval, prec,
                 )
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
@@ -1654,6 +1660,7 @@ def _decode_jpeg(payload: bytes) -> dict:
                 prog_state = _jpeg_progressive_init(
                     payload, body1, width, height, comps, qtabs
                 )
+                prog_state["prec"] = prec
             pos = _jpeg_progressive_scan(
                 prog_state, body1, scan_comps, ss, se, ah, al, htabs,
                 restart_interval,
@@ -1675,6 +1682,7 @@ def _jpeg_scan(
     qtabs: dict,
     htabs: dict,
     restart_interval: int,
+    prec: int = 8,
 ) -> dict:
     """Entropy-decode the interleaved baseline scan and finish with
     vectorized numpy: coefficient tensor → dequant → IDCT → per-component
@@ -1735,6 +1743,7 @@ def _jpeg_scan(
         "vmax": vmax,
         "grids": grids,
         "coefs": coefs,
+        "prec": prec,
     })
 
 
@@ -1747,6 +1756,7 @@ def _jpeg_finish(state: dict) -> dict:
     width, height = state["width"], state["height"]
     comps, qtabs = state["comps"], state["qtabs"]
     hmax, vmax = state["hmax"], state["vmax"]
+    prec = state.get("prec", 8)
     m8 = _idct_matrix()
     planes = []
     for ci, c in enumerate(comps):
@@ -1754,7 +1764,14 @@ def _jpeg_finish(state: dict) -> dict:
         deq = (
             state["coefs"][ci].reshape(-1, 8, 8) * qtabs[c["tq"]]
         ).astype(np.float64)
-        spatial = np.einsum("ki,nkl,lj->nij", m8, deq, m8) + 128.0
+        # level shift by 2^(P-1); 12-bit planes (round 17, SOF1/SOF2)
+        # rescale to the uniform 8-bit BGR contract — the chroma center
+        # 2048/16 lands back on 128, so the BT.601 step is unchanged
+        spatial = np.einsum("ki,nkl,lj->nij", m8, deq, m8) + float(
+            1 << (prec - 1)
+        )
+        if prec == 12:
+            spatial = spatial / 16.0
         sub = (
             spatial.reshape(gy, gx, 8, 8)
             .transpose(0, 2, 1, 3)
@@ -2090,7 +2107,7 @@ def _jpeg_canonical_tables(symbols):
 
 
 def encode_jpeg(rows_rgb=None, gray_rows=None, quant=1, restart_interval=0,
-              subsampling="444", quant16=False):
+              subsampling="444", quant16=False, precision=8):
     """Encode a baseline JFIF JPEG with stdlib struct + numpy: forward
     DCT via the same orthonormal basis the decoder inverts, flat ``quant``
     tables, per-file canonical huffman tables covering exactly the
@@ -2098,11 +2115,18 @@ def encode_jpeg(rows_rgb=None, gray_rows=None, quant=1, restart_interval=0,
     top-down (r, g, b) pixel rows; ``subsampling`` picks the Y sampling
     factor ("444" = 1x1, "422" = 2x1, "420" = 2x2 with box-averaged
     chroma) with MCU-interleaved block emission per T.81 A.2.3.
-    ``gray_rows`` encodes a single-component scan."""
+    ``gray_rows`` encodes a single-component scan. ``precision`` 12
+    (round 17) writes an SOF1 extended-sequential stream: input sample
+    values are 0..4095, the level shift and chroma center move to
+    2048, and everything else — quant, Huffman construction, MCU
+    interleave — is shared with the 8-bit path."""
     import struct
 
     import numpy as np
 
+    if precision not in (8, 12):
+        raise ValueError("JPEG sample precision is 8 or 12 (T.81)")
+    center = 1 << (precision - 1)
     if gray_rows is not None:
         planes = [np.asarray(gray_rows, dtype=np.float64)]
         facs = [(1, 1)]
@@ -2111,8 +2135,8 @@ def encode_jpeg(rows_rgb=None, gray_rows=None, quant=1, restart_interval=0,
         r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
         planes = [
             np.round(0.299 * r + 0.587 * g + 0.114 * b),
-            np.round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b),
-            np.round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b),
+            np.round(center - 0.168736 * r - 0.331264 * g + 0.5 * b),
+            np.round(center + 0.5 * r - 0.418688 * g - 0.081312 * b),
         ]
         if isinstance(subsampling, (tuple, list)):
             # explicit per-component (h, v) factors (round 17) — the
@@ -2164,7 +2188,7 @@ def encode_jpeg(rows_rgb=None, gray_rows=None, quant=1, restart_interval=0,
         blocks = fp.reshape(mcu_y * vc, 8, mcu_x * hc, 8).transpose(
             0, 2, 1, 3
         ).reshape(-1, 8, 8)
-        coefs = np.einsum("ik,nkl,jl->nij", m8, blocks - 128.0, m8)
+        coefs = np.einsum("ik,nkl,jl->nij", m8, blocks - float(center), m8)
         comp_blocks.append(np.round(coefs / qtab).astype(np.int64))
 
     def mag(v):
@@ -2283,10 +2307,10 @@ def encode_jpeg(rows_rgb=None, gray_rows=None, quant=1, restart_interval=0,
     else:
         zz_q = bytes(int(qtab.reshape(-1)[z]) for z in _JPEG_ZIGZAG)
         hdr += seg(0xDB, bytes([0x00]) + zz_q)
-    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    sof = struct.pack(">BHHB", precision, height, width, ncomp)
     for ci, (hc, vc) in enumerate(facs):
         sof += bytes([ci + 1, (hc << 4) | vc, 0])
-    hdr += seg(0xC0, sof)
+    hdr += seg(0xC0 if precision == 8 else 0xC1, sof)
     for t in range(n_dest):
         for tc, (bits, vals, _) in ((0, dc_tabs[t]), (1, ac_tabs[t])):
             hdr += seg(0xC4, bytes([(tc << 4) | t]) + bytes(bits) + vals)
@@ -11636,6 +11660,98 @@ def _decode_tiff(payload: bytes) -> dict:
         "n_pixels": w * h,
         "pixels": rgb[:, :, ::-1].tobytes(),  # RGB -> BGR contract
     }
+
+
+@register(
+    "jpeg_precision12_features",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(10 + d.doc_id % 7 AS BIGINT) AS width,
+           CAST(9 + d.doc_id % 6 AS BIGINT) AS height,
+           CAST((10 + d.doc_id % 7) * (9 + d.doc_id % 6) AS BIGINT)
+               AS n_pixels,
+           (d.doc_id % 2 = 1) AS grayscale,
+           TRUE AS err_ok,
+           TRUE AS consistent_with_8bit
+    FROM documents d
+    ORDER BY d.doc_id
+    """,
+)
+def jpeg_precision12_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-bit extended-sequential JPEG (SOF1) under the differential
+    gate (round 17; closes the '12-bit JPEG' named seam from the
+    r14-r16 COVERAGE lists): per doc a closed-form 12-bit card —
+    grayscale on odd docs, neutral-chroma color on even — is encoded
+    at precision 12 (2048 level shift, SOF1 marker) and decoded
+    through :func:`decode_media`'s JPEG path onto the uniform 8-bit
+    BGR contract. ``err_ok`` bounds the reconstruction against
+    card/16 by 2 8-bit units (quant 1); ``consistent_with_8bit``
+    asserts the 12-bit encode of v*16+8 decodes within stacked
+    rounding (<= 4) of the 8-bit encode of v — the scaling-convention
+    pin. Geometry hashes against the closed forms. Map-only
+    mapInPandas with the standard explicit core fan-out."""
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [], "n_pixels": [],
+                "grayscale": [], "err_ok": [], "consistent_with_8bit": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 10 + d % 7, 9 + d % 6
+                gray = d % 2 == 1
+                r_idx = np.arange(h, dtype=np.int64).reshape(-1, 1)
+                c_idx = np.arange(w, dtype=np.int64)
+                card = ((97 * d + 173 * r_idx + 311 * c_idx) % 4096
+                        ).astype(np.float64)
+                if gray:
+                    jp = encode_jpeg(gray_rows=card, precision=12)
+                else:
+                    jp = encode_jpeg(
+                        rows_rgb=np.stack([card] * 3, axis=2),
+                        precision=12,
+                    )
+                meta = decode_media(jp, "image")  # routed SOF1 decode
+                px = np.frombuffer(meta["pixels"], np.uint8).reshape(
+                    meta["height"], meta["width"], 3
+                )
+                err = np.abs(
+                    px[:, :, 0].astype(np.float64) - card / 16.0
+                ).max()
+                v8 = (97 * d + 173 * r_idx + 311 * c_idx) % 256
+                pa = np.frombuffer(decode_media(encode_jpeg(
+                    gray_rows=v8.astype(np.float64)), "image",
+                )["pixels"], np.uint8).astype(np.int64)
+                pb = np.frombuffer(decode_media(encode_jpeg(
+                    gray_rows=v8.astype(np.float64) * 16 + 8,
+                    precision=12), "image",
+                )["pixels"], np.uint8).astype(np.int64)
+                out["doc_id"].append(d)
+                out["width"].append(meta["width"])
+                out["height"].append(meta["height"])
+                out["n_pixels"].append(meta["n_pixels"])
+                out["grayscale"].append(gray)
+                out["err_ok"].append(bool(err <= 2.0))
+                out["consistent_with_8bit"].append(
+                    bool(np.abs(pa - pb).max() <= 4)
+                )
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, width long, height long, n_pixels long, "
+        "grayscale boolean, err_ok boolean, consistent_with_8bit boolean"
+    )
+    return docs.mapInPandas(run, schema)
 
 
 @register(

@@ -100,6 +100,7 @@ QUERIES = [
     "mpeg1_layer2_decode_features",
     "mp3_lsf_decode_features",
     "jpeg_in_tiff_decode_features",
+    "jpeg_precision12_features",
 ]
 
 
@@ -208,6 +209,7 @@ ANSI_QUERIES = [
     "mpeg1_layer2_decode_features",
     "mp3_lsf_decode_features",
     "jpeg_in_tiff_decode_features",
+    "jpeg_precision12_features",
 ]
 
 

@@ -3766,6 +3766,54 @@ def test_jpeg_nondivisor_sampling():
         encode_jpeg(rows_rgb=card, subsampling=((5, 1), (1, 1), (1, 1)))
 
 
+def test_jpeg_12bit_extended_sequential():
+    """12-bit JPEG (round 17): SOF1 extended-sequential streams with
+    2048 level shift decode through the shared scan machinery and
+    rescale onto the uniform 8-bit BGR contract (2048/16 = 128 keeps
+    BT.601 unchanged); a 12-bit encode of v*16+8 agrees with the 8-bit
+    encode of v within stacked rounding; 12-bit baseline (SOF0) is
+    rejected per T.81."""
+    import numpy as np
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(9)
+    h, w = 18, 22
+    card12 = np.stack(
+        [rng.randint(0, 4096, (h, w)).astype(np.float64)] * 3, axis=2
+    )
+    m = _decode_jpeg(encode_jpeg(rows_rgb=card12, precision=12))
+    px = np.frombuffer(m["pixels"], np.uint8).reshape(h, w, 3)
+    assert np.abs(px.astype(np.float64) - card12 / 16.0).max() <= 2.0
+
+    g12 = rng.randint(0, 4096, (h, w)).astype(np.float64)
+    m2 = _decode_jpeg(encode_jpeg(gray_rows=g12, precision=12))
+    px2 = np.frombuffer(m2["pixels"], np.uint8).reshape(h, w, 3)
+    assert np.abs(px2[:, :, 0].astype(np.float64) - g12 / 16.0).max() <= 2.0
+
+    v8 = rng.randint(0, 256, (h, w, 3)).astype(np.float64)
+    pa = np.frombuffer(
+        _decode_jpeg(encode_jpeg(rows_rgb=v8))["pixels"], np.uint8
+    ).astype(np.int64)
+    pb = np.frombuffer(
+        _decode_jpeg(encode_jpeg(rows_rgb=v8 * 16 + 8, precision=12))
+        ["pixels"], np.uint8,
+    ).astype(np.int64)
+    assert np.abs(pa - pb).max() <= 4
+
+    blob = bytearray(encode_jpeg(rows_rgb=v8))
+    i = blob.index(b"\xff\xc0")
+    blob[i + 4] = 12
+    with pytest.raises(ValueError, match="precision 12 for SOF"):
+        _decode_jpeg(bytes(blob))
+    with pytest.raises(ValueError, match="8 or 12"):
+        encode_jpeg(rows_rgb=v8, precision=10)
+
+
 def test_jpeg_progressive_dri_matches_baseline_exactly():
     """DRI inside progressive scans (round 15): restart markers reset DC
     predictors and EOB runs per interval in every scan kind, and the
