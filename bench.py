@@ -188,6 +188,8 @@ FLOORS = {
     "mpeg1_layer2_decode_features": 2.904,
     "mp3_lsf_decode_features": 1.617,
     "jpeg_in_tiff_decode_features": 2.700,
+    # late r17 addition (final closing session, yardstick 69 GFLOP/s)
+    "jpeg_precision12_features": 2.237,
 }
 
 

@@ -3383,7 +3383,7 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
     round 14, T.4-with-EOL G3 (1D and 2D) also round 14, JPEG-in-TIFF
     round 17. Only genuinely external codecs (compressed video/audio
     SAMPLE decode: H.264/AAC in MP4, interframe AVI codecs,
-    arithmetic/hierarchical/12-bit JPEG, old-style OJPEG TIFF) stay the
+    arithmetic/hierarchical JPEG, old-style OJPEG TIFF) stay the
     documented
     seam: those aren't in this container, and on a real cluster the
     call MUST go through a per-executor singleton (one codec/model

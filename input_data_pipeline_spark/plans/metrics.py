@@ -118,6 +118,10 @@ ANCHORS = [
     # audio-decode shape — distinct from the AU gates (RIFF re-pack +
     # the WAV matrix dispatch per doc), map-only, same fan-out guard
     "avi_audio_extract_features",
+    # round-17 addition: the Layer II gate — the round's flagship codec
+    # kernel (five allocation tables + polyphase synthesis per doc),
+    # map-only, same fan-out guard
+    "mpeg1_layer2_decode_features",
 ]
 
 
