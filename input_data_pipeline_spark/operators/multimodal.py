@@ -1499,15 +1499,17 @@ def _decode_jpeg(payload: bytes) -> dict:
 
     Round 15 widened the accepted input space: 16-bit (Pq=1) DQT
     tables, sampling factors up to T.81's full 1..4 per axis (4:1:1,
-    4:4:0, asymmetric chroma — any layout whose factors divide the
-    frame maxima), and DRI restart intervals inside progressive scans.
+    4:4:0, asymmetric chroma), and DRI restart intervals inside
+    progressive scans. Round 17 widened it again: NON-DIVISOR sampling
+    ratios (nearest-floor fractional upsampling — identical to
+    replication on divisor files) and 12-bit SOF1 extended-sequential
+    streams (2^(P-1) level shift, rescaled onto the 8-bit contract).
 
-    Out of scope, rejected loudly: the rare arithmetic/hierarchical/
-    12-bit modes and non-divisor sampling ratios (fractional chroma
-    upsampling) — at that point a real libjpeg belongs behind the
-    per-executor singleton codec seam (U2). Only the per-symbol huffman
-    loop is per-bit Python; everything after the coefficient tensor is
-    numpy.
+    Out of scope, rejected loudly: the rare arithmetic and
+    hierarchical modes — at that point a real libjpeg belongs behind
+    the per-executor singleton codec seam (U2). Only the per-symbol
+    huffman loop is per-bit Python; everything after the coefficient
+    tensor is numpy.
     """
     import struct
 
@@ -13188,10 +13190,12 @@ def g72x_decode(codes, law: str = "g721"):
 # (the G.726-family shape: pole/zero predictor, log-domain scale factor).
 # G.722's EMBEDDED property: the lower band's 6-bit codes carry their two
 # finest bits as droppable enhancement, and a decoder using only the top
-# 4 bits (mode 3) stays bit-synchronized with every encoder — this
-# implementation codes/decodes that embedded 4-bit core (+ the full
-# 2-bit upper band), emitting spec-layout 64 kbit/s octets with zero
-# enhancement bits. Data stance: the QMF taps are validated at import by
+# 4 bits (mode 3) stays bit-synchronized with every encoder. This
+# implementation codes/decodes the embedded 4-bit core (+ the full
+# 2-bit upper band) and, since round 17, the full 6-bit MODE-1 lattice
+# on both sides (the certified QM6 table below; state always adapts on
+# the core, so modes interoperate). Data stance: the QMF taps are
+# validated at import by
 # near-perfect-reconstruction ARITHMETIC (tap sum exactly 2^13, symmetry,
 # power-complementarity flat within 1%); the log scale-factor table is
 # GENERATED from its closed form round(2048*2^(i/32)) (verified identical
