@@ -4191,6 +4191,47 @@ def test_mpeg1_layer1_wire_convention():
     assert np.array_equal(np.asarray(got), np.asarray(expected))
 
 
+def test_audio_content_keys_cover_layer2_and_lsf():
+    """The round-17 codec routing surfaces transitively in the dedup
+    keys (and hence the streaming audio-dedup face, which keys through
+    the same decode_media path): a Layer II stream and an LSF Layer III
+    stream each produce stable content keys; the SAME Layer II stream
+    with container-irrelevant trailing zero padding keys identically;
+    different content keys apart."""
+    from input_data_pipeline_spark.operators.multimodal import (
+        audio_content_key,
+        encode_mp3_lsf,
+        encode_mpeg1_layer2,
+    )
+
+    def l2(d):
+        alloc = [(1 + (d + sb) % 2) if sb % 3 else 0 for sb in range(30)]
+        return encode_mpeg1_layer2([{
+            "alloc": alloc,
+            "scf_idx": [((d + sb) % 63, 0, 0) for sb in range(30)],
+            "samples": [
+                [((d + gr + sb) % 3, 0, 0) if alloc[sb] else (0, 0, 0)
+                 for sb in range(30)]
+                for gr in range(12)
+            ],
+        }], bitrate_index=10, sample_rate=44100)
+
+    a, b = l2(1), l2(2)
+    ka, kb = audio_content_key(a), audio_content_key(b)
+    assert ka != kb
+    # zero tail padding inside the slot framing is already part of the
+    # frame; APPENDED zero bytes past the last frame are container noise
+    # the frame walk stops at
+    assert audio_content_key(a + b"\x00" * 8) == ka
+
+    lsf = encode_mp3_lsf([{
+        "is": [0] * 576, "global_gain": 214, "scalefac": [1] * 21,
+        "big_values": 0, "scalefac_scale": 1, "scalefac_compress": 202,
+    }], bitrate_index=13, sample_rate=8000)
+    klsf = audio_content_key(lsf)
+    assert klsf not in (ka, kb) and len(klsf) == len(ka)
+
+
 def test_jpeg_in_tiff_decode():
     """New-style JPEG-in-TIFF (round 17): strips are complete or
     tag-347-abbreviated JPEG streams; the container decode is
