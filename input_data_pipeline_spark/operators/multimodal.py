@@ -6443,6 +6443,30 @@ _mp3_check_huffman_tables()
 _MP3_ALIAS_C = [-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037]
 
 
+def _crc16_mpeg_bits(bits) -> int:
+    """MPEG audio CRC-16 over a BIT sequence (poly 0x8005, init 0xFFFF,
+    MSB-first, no xor-out) — Layers I/II protect a non-byte-aligned
+    span (header bits 16-31 + the allocation [+ scfsi] fields,
+    ISO 11172-3 section 2.4.3.1), unlike Layer III's byte-aligned side
+    info."""
+    crc = 0xFFFF
+    for bit in bits:
+        c15 = (crc >> 15) & 1
+        crc = (crc << 1) & 0xFFFF
+        if c15 ^ bit:
+            crc ^= 0x8005
+    return crc
+
+
+def _bits_of(data: bytes, start_bit: int, n_bits: int) -> list:
+    """The n_bits bits of ``data`` starting at absolute bit offset
+    ``start_bit``, MSB-first."""
+    return [
+        (data[(start_bit + i) >> 3] >> (7 - ((start_bit + i) & 7))) & 1
+        for i in range(n_bits)
+    ]
+
+
 def _crc16_mpeg(data: bytes) -> int:
     """MPEG audio CRC-16: poly 0x8005, init 0xFFFF, MSB-first, no xor-out
     (ISO 11172-3 §2.4.3.1), over header bytes 2-3 + side info."""
@@ -7358,6 +7382,16 @@ def decode_mpeg1_layer1(payload: bytes, flush: bool = True) -> dict:
             else:
                 a = br.read(4)
                 alloc.append([a] * n_ch)
+        if protection == 0:
+            # §2.4.3.1: the Layer I CRC protects header bits 16-31 +
+            # the (non-byte-aligned in joint mode) allocation field
+            n_prot = (br.byte - body) * 8 + br.bit
+            calc = _crc16_mpeg_bits(
+                _bits_of(payload, (pos + 2) * 8, 16)
+                + _bits_of(payload, body * 8, n_prot)
+            )
+            if calc != int.from_bytes(payload[pos + 4: pos + 6], "big"):
+                raise ValueError("Layer I CRC-16 mismatch")
         for sb in range(32):
             for c in range(n_ch):
                 if alloc[sb][c] == 15:
@@ -7425,7 +7459,7 @@ def decode_mpeg1_layer1(payload: bytes, flush: bool = True) -> dict:
 
 def encode_mpeg1_layer1(
     frames: list, bitrate_index: int = 6, sample_rate: int = 44100,
-    mode: str = "mono",
+    mode: str = "mono", use_crc: bool = False,
 ) -> bytes:
     """Assemble a REAL MPEG-1 Layer I stream — the exact inverse of
     :func:`decode_mpeg1_layer1` and its gate fixture. Mono frame
@@ -7474,6 +7508,7 @@ def encode_mpeg1_layer1(
         for sb in range(32):
             for c in range(n_ch if sb < bound else 1):
                 bw.write(alloc[c][sb], 4)
+        n_prot = bw.bit_length()  # CRC span: the allocation field
         for sb in range(32):
             for c in range(n_ch):
                 if alloc[c][sb]:
@@ -7493,21 +7528,29 @@ def encode_mpeg1_layer1(
                             "Layer I sample code exceeds nb bits"
                         )
                     bw.write(q, nb)  # offset binary IS the wire form
+        body_bits = bw.bit_list()
         bw.align()
         body = bw.bytes()
-        if 4 + len(body) > flen:
+        hdr_len = 4 + (2 if use_crc else 0)
+        if hdr_len + len(body) > flen:
             raise ValueError(
                 "Layer I frame data exceeds the slot budget: raise the "
                 "bitrate"
             )
-        b1 = 0xE0 | (3 << 3) | (0b11 << 1) | 1   # MPEG-1, Layer I, no CRC
+        b1 = 0xE0 | (3 << 3) | (0b11 << 1) | (0 if use_crc else 1)
         b2 = (bitrate_index << 4) | (sr_index << 2)
         b3 = {
             "mono": 0b11 << 6, "stereo": 0b00 << 6,
             "joint": (0b01 << 6) | (mode_ext << 4),
         }[mode]
-        out += bytes([0xFF, b1, b2, b3]) + body
-        out += bytes(flen - 4 - len(body))
+        out += bytes([0xFF, b1, b2, b3])
+        if use_crc:
+            crc = _crc16_mpeg_bits(
+                _bits_of(bytes([b2, b3]), 0, 16) + body_bits[:n_prot]
+            )
+            out += crc.to_bytes(2, "big")
+        out += body
+        out += bytes(flen - hdr_len - len(body))
     return bytes(out)
 
 
@@ -7728,7 +7771,8 @@ def decode_mpeg1_layer2(payload: bytes, flush: bool = True) -> dict:
         bound = sblimit
         if mode == 0b01:
             bound = min(4 * (mode_ext + 1), sblimit)
-        br = _BitReader(payload, pos + 4 + (2 if protection == 0 else 0))
+        body2 = pos + 4 + (2 if protection == 0 else 0)
+        br = _BitReader(payload, body2)
         alloc = [[0] * ch for _ in range(sblimit)]
         for sb in range(sblimit):
             nbal = _mp2_nbal(tab[sb])
@@ -7744,6 +7788,17 @@ def decode_mpeg1_layer2(payload: bytes, flush: bool = True) -> dict:
             for c in range(ch):
                 if alloc[sb][c]:
                     scfsi[sb][c] = br.read(2)
+        if protection == 0:
+            # §2.4.3.1: the Layer II CRC protects header bits 16-31 +
+            # the allocation AND scfsi fields (data-dependent length —
+            # scfsi exists only for allocated subbands)
+            n_prot = (br.byte - body2) * 8 + br.bit
+            calc = _crc16_mpeg_bits(
+                _bits_of(payload, (pos + 2) * 8, 16)
+                + _bits_of(payload, body2 * 8, n_prot)
+            )
+            if calc != int.from_bytes(payload[pos + 4: pos + 6], "big"):
+                raise ValueError("Layer II CRC-16 mismatch")
         sf = [[(0.0, 0.0, 0.0)] * ch for _ in range(sblimit)]
         for sb in range(sblimit):
             for c in range(ch):
@@ -7822,7 +7877,7 @@ def decode_mpeg1_layer2(payload: bytes, flush: bool = True) -> dict:
 
 def encode_mpeg1_layer2(
     frames: list, bitrate_index: int = 11, sample_rate: int = 44100,
-    mode: str = "mono",
+    mode: str = "mono", use_crc: bool = False,
 ) -> bytes:
     """Assemble a REAL Layer II stream — the exact inverse of
     :func:`decode_mpeg1_layer2` — at the MPEG-1 rates (Table B.2a-d
@@ -7904,6 +7959,7 @@ def encode_mpeg1_layer2(
             for c in range(n_ch):
                 if alloc[c][sb]:
                     bw.write(scfsi[c][sb], 2)
+        n_prot = bw.bit_length()  # CRC span: allocation + scfsi fields
         for sb in range(sblimit):
             for c in range(n_ch):
                 if not alloc[c][sb]:
@@ -7944,21 +8000,29 @@ def encode_mpeg1_layer2(
                     else:
                         for v in s3:
                             bw.write(v, nb)
+        body_bits = bw.bit_list()
         bw.align()
         body = bw.bytes()
-        if 4 + len(body) > flen:
+        hdr_len = 4 + (2 if use_crc else 0)
+        if hdr_len + len(body) > flen:
             raise ValueError(
                 "Layer II frame data exceeds the slot budget: raise "
                 "the bitrate"
             )
-        b1 = 0xE0 | (ver << 3) | (0b10 << 1) | 1  # Layer II, no CRC
+        b1 = 0xE0 | (ver << 3) | (0b10 << 1) | (0 if use_crc else 1)
         b2 = (bitrate_index << 4) | (sr_index << 2)
         b3 = {
             "mono": 0b11 << 6, "stereo": 0b00 << 6,
             "joint": (0b01 << 6) | (mode_ext << 4),
         }[mode]
-        out += bytes([0xFF, b1, b2, b3]) + body
-        out += bytes(flen - 4 - len(body))
+        out += bytes([0xFF, b1, b2, b3])
+        if use_crc:
+            crc = _crc16_mpeg_bits(
+                _bits_of(bytes([b2, b3]), 0, 16) + body_bits[:n_prot]
+            )
+            out += crc.to_bytes(2, "big")
+        out += body
+        out += bytes(flen - hdr_len - len(body))
     return bytes(out)
 
 
@@ -10215,7 +10279,7 @@ def mpeg1_layer1_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ]
                     blob = encode_mpeg1_layer1(
                         specs, bitrate_index=12, sample_rate=rate,
-                        mode="joint",
+                        mode="joint", use_crc=(d % 7 == 5),
                     )
                     meta = decode_media(blob, "audio")
                     refs = []
@@ -10228,8 +10292,14 @@ def mpeg1_layer1_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ref_pcm = np.stack(refs, axis=1).reshape(-1)
                 else:
                     specs = [frame_spec(d, f) for f in range(nf)]
+                    # every seventh doc emits a CRC-protected stream
+                    # (round 17): the slot framing is bitrate-fixed, so
+                    # every geometry column is CRC-invariant and the
+                    # oracle is untouched; a CRC-span slip in either
+                    # half fails the decode outright
                     blob = encode_mpeg1_layer1(
-                        specs, bitrate_index=12, sample_rate=rate
+                        specs, bitrate_index=12, sample_rate=rate,
+                        use_crc=(d % 7 == 5),
                     )
                     meta = decode_media(blob, "audio")  # routed Layer I
                     ref_svecs = expected_svecs(specs) + [[0.0] * 32] * 16
@@ -10706,7 +10776,7 @@ def mpeg1_layer2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         })
                     blob = encode_mpeg1_layer2(
                         specs, bitrate_index=bi, sample_rate=rate,
-                        mode="joint",
+                        mode="joint", use_crc=(d % 7 == 5),
                     )
                     meta = decode_media(blob, "audio")
                     refs = []
@@ -10729,8 +10799,11 @@ def mpeg1_layer2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ref_pcm = np.stack(refs, axis=1).reshape(-1)
                 else:
                     specs = [frame_spec(d, f, tab) for f in range(nf)]
+                    # CRC-protected every seventh doc (round 17) — see
+                    # the Layer I gate note; oracle-invariant
                     blob = encode_mpeg1_layer2(
-                        specs, bitrate_index=bi, sample_rate=rate
+                        specs, bitrate_index=bi, sample_rate=rate,
+                        use_crc=(d % 7 == 5),
                     )
                     meta = decode_media(blob, "audio")  # routed path
                     ref_svecs = (

@@ -4191,6 +4191,72 @@ def test_mpeg1_layer1_wire_convention():
     assert np.array_equal(np.asarray(got), np.asarray(expected))
 
 
+def test_mpeg1_layer12_crc_protection():
+    """Layers I/II CRC-16 (round 17): the protected span is header bits
+    16-31 + the allocation [+ scfsi] fields ONLY (ISO 11172-3
+    §2.4.3.1), unlike Layer III's byte-aligned side-info span. Three
+    non-circular anchors: (1) the bit-level CRC kernel is pinned to the
+    PUBLISHED CRC-16/CMS check value (identical parameters — poly
+    0x8005, init 0xFFFF, unreflected, no xor-out — check('123456789')
+    = 0xAEE7); (2) a flipped bit INSIDE the protected span must fail
+    the decode; (3) a flipped sample bit OUTSIDE it must decode
+    cleanly (proving the span does not over-reach into sample data)."""
+    from input_data_pipeline_spark.operators.multimodal import (
+        _crc16_mpeg,
+        _crc16_mpeg_bits,
+        _bits_of,
+        decode_mpeg1_layer1,
+        decode_mpeg1_layer2,
+        encode_mpeg1_layer1,
+        encode_mpeg1_layer2,
+    )
+
+    probe = b"123456789"
+    assert _crc16_mpeg_bits(_bits_of(probe, 0, 72)) == 0xAEE7
+    # byte-aligned spans agree with the Layer III byte-CRC kernel
+    assert _crc16_mpeg_bits(_bits_of(probe, 0, 72)) == _crc16_mpeg(probe)
+
+    l1 = {
+        "alloc": [2] * 4 + [0] * 28,
+        "scf_idx": [7] * 32,
+        "codes": [[(t + sb) % 7 for t in range(12)] if sb < 4 else [0] * 12
+                  for sb in range(32)],
+    }
+    blob = encode_mpeg1_layer1([l1], bitrate_index=12, use_crc=True)
+    assert blob[1] & 1 == 0  # protection bit asserted (0 = CRC present)
+    clean = decode_mpeg1_layer1(blob)
+    # protected: first allocation nibble lives in byte 6 (after the
+    # 4-byte header + 2-byte CRC)
+    bad = bytearray(blob)
+    bad[6] ^= 0x10
+    with pytest.raises(ValueError, match="CRC"):
+        decode_mpeg1_layer1(bytes(bad))
+    # unprotected: sample bits (alloc is 32 nibbles + one 6-bit scf x4
+    # = 152 bits; flip well past it) decode cleanly to different PCM
+    bad = bytearray(blob)
+    bad[6 + 40] ^= 0x40
+    out = decode_mpeg1_layer1(bytes(bad))
+    assert out["n_frames"] == clean["n_frames"]
+
+    l2 = {
+        "alloc": [1] * 6 + [0] * 24,
+        "scfsi": [0] * 30,
+        "scf_idx": [(9, 10, 11)] * 30,
+        "samples": [[(g % 3, (g + 1) % 3, (g + 2) % 3)] * 30
+                    for g in range(12)],
+    }
+    blob = encode_mpeg1_layer2([l2], bitrate_index=11, use_crc=True)
+    assert blob[1] & 1 == 0
+    decode_mpeg1_layer2(blob)
+    bad = bytearray(blob)
+    bad[6] ^= 0x08  # inside the allocation field
+    with pytest.raises(ValueError, match="CRC"):
+        decode_mpeg1_layer2(bytes(bad))
+    bad = bytearray(blob)
+    bad[-8] ^= 0x01  # deep in the sample field / padding: unprotected
+    decode_mpeg1_layer2(bytes(bad))
+
+
 def test_audio_content_keys_cover_layer2_and_lsf():
     """The round-17 codec routing surfaces transitively in the dedup
     keys (and hence the streaming audio-dedup face, which keys through
