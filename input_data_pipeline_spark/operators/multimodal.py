@@ -832,6 +832,7 @@ def encode_wav(samples, frame_rate: int = 16000) -> bytes:
 # narrows to genuinely external formats (MP3/AAC-in-WAV).
 
 _WAVE_FORMAT_PCM = 0x0001
+_WAVE_FORMAT_MS_ADPCM = 0x0002
 _WAVE_FORMAT_IEEE_FLOAT = 0x0003
 _WAVE_FORMAT_ALAW = 0x0006
 _WAVE_FORMAT_MULAW = 0x0007
@@ -1100,6 +1101,570 @@ def _parse_wav_chunks(payload: bytes) -> dict:
     fmt["fact_frames"] = fact_frames
     fmt["data"] = data
     return fmt
+
+
+# MS ADPCM (WAVE format tag 0x0002; "Microsoft ADPCM Algorithm", RIFF New
+# Multimedia Data Types rev. 3.0, 1994 — the other ubiquitous WAV speech
+# codec next to IMA). Two small spec tables, structurally certified at
+# import like the IMA/G.72x/MP3 tables: the adaptation table is indexed
+# by the UNSIGNED nibble, so it must be MIRROR-symmetric over nibble sign
+# (ADAPT[16-k] == ADAPT[k], the signed magnitudes |n| and |-n| adapt
+# equally) and monotone non-decreasing in magnitude across indices 0..8,
+# dipping below the 256 fixed-point unit for small codes (step decay) and
+# above it for large ones (growth); every 256-scaled predictor pair
+# (a1, a2) must sit inside or on the AR(2) stability triangle
+# (|a2| <= 256, a1 + a2 <= 256, a2 - a1 <= 256) and include the identity
+# predictor (256, 0).
+_MS_ADPCM_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+_MS_ADPCM_COEFS = (
+    (256, 0), (512, -256), (0, 0), (192, 64),
+    (240, 0), (460, -208), (392, -232),
+)
+
+
+def _ms_adpcm_check_tables() -> None:
+    a = _MS_ADPCM_ADAPT
+    if len(a) != 16 or len(_MS_ADPCM_COEFS) != 7:
+        raise AssertionError("MS ADPCM table sizes")
+    if any(a[16 - k] != a[k] for k in range(1, 8)):
+        raise AssertionError("MS ADPCM adaptation table is not sign-mirror")
+    if any(a[k + 1] < a[k] for k in range(8)):
+        raise AssertionError("MS ADPCM adaptation not monotone in magnitude")
+    if not (min(a) < 256 < max(a)):
+        raise AssertionError("MS ADPCM adaptation must straddle unity")
+    if (256, 0) not in _MS_ADPCM_COEFS:
+        raise AssertionError("MS ADPCM identity predictor missing")
+    for a1, a2 in _MS_ADPCM_COEFS:
+        if abs(a2) > 256 or a1 + a2 > 256 or a2 - a1 > 256:
+            raise AssertionError(
+                f"MS ADPCM predictor ({a1},{a2}) outside the stability "
+                "triangle"
+            )
+
+
+_ms_adpcm_check_tables()
+
+
+def _div256_trunc(x: int) -> int:
+    """C-style truncate-toward-zero division by 256 (the spec pseudo-code
+    is C; Python's // floors, which differs for negative predictors)."""
+    return x // 256 if x >= 0 else -((-x) // 256)
+
+
+def _ms_adpcm_step(n: int, state: list) -> int:
+    """Advance one MS ADPCM channel ``state`` ([samp1, samp2, delta,
+    coef1, coef2]) by the unsigned nibble ``n``, returning the decoded
+    sample. The EXACT shared arithmetic for decode and the encoder's
+    tracked reconstruction: lPredSamp = (iSamp1*iCoef1 + iSamp2*iCoef2)
+    / 256 (truncating), signed nibble scales iDelta, clamp to int16,
+    then iDelta = max(16, ADAPT[n] * iDelta / 256)."""
+    samp1, samp2, delta, c1, c2 = state
+    pred = _div256_trunc(samp1 * c1 + samp2 * c2)
+    signed = n - 16 if n & 8 else n
+    samp = max(-32768, min(32767, pred + delta * signed))
+    state[1] = samp1
+    state[0] = samp
+    state[2] = max(16, (_MS_ADPCM_ADAPT[n] * delta) >> 8)
+    return samp
+
+
+def _ms_adpcm_decode(
+    data: bytes, block_align: int, n_channels: int, n_frames: int | None
+) -> bytes:
+    """MS ADPCM 'data' chunk → interleaved int16 LE PCM bytes. Block
+    layout (per the 1994 spec): per channel a predictor index byte
+    (0-6), then per channel int16 iDelta, iSamp1, iSamp2 (little
+    endian); the two header samples are emitted OLDEST FIRST (iSamp2
+    then iSamp1), then the nibble stream — high nibble first within a
+    byte, nibbles rotating across channels per sample. ``n_frames``
+    (the 'fact' count) truncates final-block padding."""
+    import struct
+
+    ch = n_channels
+    if ch not in (1, 2):
+        raise ValueError(f"MS ADPCM supports mono/stereo, got {ch}ch")
+    if block_align < 7 * ch + ch:
+        raise ValueError(f"MS ADPCM block align {block_align} too small")
+    frames: list[int] = []  # interleaved
+    for at in range(0, len(data) - len(data) % block_align, block_align):
+        blk = data[at : at + block_align]
+        states = []
+        deltas = struct.unpack_from(f"<{ch}h", blk, ch)
+        samp1 = struct.unpack_from(f"<{ch}h", blk, 3 * ch)
+        samp2 = struct.unpack_from(f"<{ch}h", blk, 5 * ch)
+        for c in range(ch):
+            pidx = blk[c]
+            if pidx >= len(_MS_ADPCM_COEFS):
+                raise ValueError(f"MS ADPCM predictor index {pidx} > 6")
+            c1, c2 = _MS_ADPCM_COEFS[pidx]
+            states.append([samp1[c], samp2[c], deltas[c], c1, c2])
+        frames.extend(samp2)
+        frames.extend(samp1)
+        pos = 0
+        for byte in blk[7 * ch :]:
+            for n in (byte >> 4, byte & 0x0F):
+                frames.append(_ms_adpcm_step(n, states[pos % ch]))
+                pos += 1
+    if n_frames is not None:
+        if n_frames * ch > len(frames):
+            raise ValueError(
+                f"MS ADPCM fact count {n_frames} exceeds decoded "
+                f"{len(frames) // ch}"
+            )
+        frames = frames[: n_frames * ch]
+    import numpy as np
+
+    return np.asarray(frames, dtype=np.int16).tobytes()
+
+
+def encode_ms_adpcm(
+    samples, n_channels: int = 1, frames_per_block: int = 128
+):
+    """Encode interleaved int16 PCM as REAL MS ADPCM blocks — the exact
+    inverse of :func:`_ms_adpcm_decode`. Per block and channel the
+    encoder trials all seven spec predictors (greedy nearest-nibble
+    quantization through the shared :func:`_ms_adpcm_step` state
+    arithmetic) and keeps the least-squared-error one; iDelta seeds
+    from the block's mean |second difference| (any int16 seed is
+    wire-valid — the header carries it). Returns ``(data, block_align,
+    recon)`` with ``recon`` the encoder's internal reconstruction
+    (int16 ndarray, interleaved) which the decoder must reproduce
+    BIT-EXACTLY — the same backward-adaptation tracking contract as the
+    G.72x gate. Frame count must be a multiple of ``frames_per_block``;
+    mono nibble counts must be even (``frames_per_block`` even)."""
+    import numpy as np
+    import struct
+
+    ch = n_channels
+    pcm = np.asarray(samples, dtype=np.int16).reshape(-1, ch)
+    fpb = frames_per_block
+    if fpb < 4 or (fpb - 2) * ch % 2:
+        raise ValueError("frames_per_block must give whole nibble bytes")
+    if len(pcm) % fpb:
+        raise ValueError("sample count must be a multiple of frames_per_block")
+    block_align = 7 * ch + (fpb - 2) * ch // 2
+    out = bytearray()
+    recon = np.empty_like(pcm)
+    for b0 in range(0, len(pcm), fpb):
+        blk = pcm[b0 : b0 + fpb]
+        best = None  # (err, pidx, delta, nibbles, rec)
+        for c in range(ch):
+            col = blk[:, c].astype(np.int64)
+            d2 = np.abs(np.diff(col, 2)) if len(col) > 2 else np.array([16])
+            delta0 = int(max(16, min(32000, int(d2.mean()) // 4)))
+            for pidx, (c1, c2) in enumerate(_MS_ADPCM_COEFS):
+                state = [int(col[1]), int(col[0]), delta0, c1, c2]
+                nibbles = []
+                rec = [int(col[0]), int(col[1])]
+                err = 0
+                for s in col[2:]:
+                    samp1, samp2, delta = state[0], state[1], state[2]
+                    pred = _div256_trunc(samp1 * c1 + samp2 * c2)
+                    q = int(round((int(s) - pred) / delta))
+                    q = max(-8, min(7, q))
+                    n = q & 0x0F
+                    got = _ms_adpcm_step(n, state)
+                    nibbles.append(n)
+                    rec.append(got)
+                    err += (got - int(s)) ** 2
+                if best is None or err < best[0]:
+                    best = (err, pidx, delta0, nibbles, rec)
+            if c == 0:
+                chosen = [best]
+                best = None
+            else:
+                chosen.append(best)
+        if ch == 1:
+            chosen = chosen[:1]
+        hdr = bytes(p[1] for p in chosen)
+        hdr += struct.pack(f"<{ch}h", *(p[2] for p in chosen))
+        hdr += struct.pack(f"<{ch}h", *(int(blk[1, c]) for c in range(ch)))
+        hdr += struct.pack(f"<{ch}h", *(int(blk[0, c]) for c in range(ch)))
+        nib = []
+        for i in range(fpb - 2):
+            for c in range(ch):
+                nib.append(chosen[c][3][i])
+        body = bytes(
+            (nib[i] << 4) | nib[i + 1] for i in range(0, len(nib), 2)
+        )
+        out += hdr + body
+        for c in range(ch):
+            recon[b0 : b0 + fpb, c] = np.asarray(chosen[c][4], np.int16)
+    return bytes(out), block_align, recon.reshape(-1)
+
+
+def encode_wav_ms_adpcm(
+    data: bytes, block_align: int, n_channels: int, frame_rate: int,
+    n_frames: int, frames_per_block: int,
+) -> bytes:
+    """Wrap MS ADPCM blocks in a spec-complete WAV: WAVEFORMATEX with
+    cbSize 32 (wSamplesPerBlock, wNumCoef = 7, the seven aCoef pairs —
+    required by the 1994 spec even though they are fixed) plus the
+    mandatory 'fact' chunk."""
+    import struct
+
+    fmt = struct.pack(
+        "<HHIIHHHHH",
+        _WAVE_FORMAT_MS_ADPCM, n_channels, frame_rate,
+        frame_rate * block_align // frames_per_block, block_align, 4,
+        32, frames_per_block, len(_MS_ADPCM_COEFS),
+    )
+    for c1, c2 in _MS_ADPCM_COEFS:
+        fmt += struct.pack("<hh", c1, c2)
+    fact = struct.pack("<I", n_frames)
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+# --- AIFF / AIFF-C (round 17) ------------------------------------------------
+#
+# Apple's interchange format (AIFF-1.3 1989; AIFF-C draft 1991) is the
+# big-endian sibling of RIFF/WAVE and the default container of classic
+# Mac/pro-audio corpora. Everything here is algorithmic: IFF chunk walk,
+# the 80-bit IEEE 754 extended-precision sample rate, and compression
+# types that map onto codecs this module already ships (G.711 both laws,
+# IMA — Apple's 'ima4' framing differs from WAV's but shares the IMA
+# step tables — IEEE floats, byte-order swaps). No new spec tables.
+
+
+def _f80_decode(b: bytes) -> float:
+    """80-bit IEEE 754 extended-precision float (sign 1, exponent 15,
+    EXPLICIT-integer-bit mantissa 64) — the AIFF COMM sampleRate type."""
+    if len(b) != 10:
+        raise ValueError("extended float must be 10 bytes")
+    se = int.from_bytes(b[:2], "big")
+    mant = int.from_bytes(b[2:], "big")
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    if exp == 0x7FFF:
+        raise ValueError("non-finite AIFF sample rate")
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def _f80_encode(rate: int) -> bytes:
+    """Encode a positive integer sample rate as the 80-bit extended float
+    (exact — 64 mantissa bits dwarf any audio rate)."""
+    if rate <= 0:
+        raise ValueError("sample rate must be positive")
+    e = rate.bit_length() - 1
+    mant = rate << (63 - e)
+    return (16383 + e).to_bytes(2, "big") + mant.to_bytes(8, "big")
+
+
+def _ima4_decode(data: bytes, n_channels: int, n_frames: int) -> bytes:
+    """Apple 'ima4' AIFF-C compression → interleaved int16 LE PCM. Each
+    34-byte block (per channel, channel blocks alternating) is a 2-byte
+    big-endian preamble — the current predictor's top 9 bits OR'd with
+    the 7-bit step index — then 32 bytes of 64 nibbles, LOW nibble
+    first, expanded with the shared IMA tables
+    (:func:`_ima_adpcm_decode_block`). Unlike WAV IMA, the preamble
+    restates state (random-access seek support) and is NOT itself an
+    output sample: every block yields exactly 64 frames."""
+    import numpy as np
+
+    ch = n_channels
+    if len(data) % (34 * ch):
+        raise ValueError("ima4 data is not whole 34-byte channel blocks")
+    n_blocks = len(data) // (34 * ch)
+    if n_frames > n_blocks * 64:
+        raise ValueError(
+            f"ima4 COMM frame count {n_frames} exceeds {n_blocks * 64}"
+        )
+    chans = [[] for _ in range(ch)]
+    for blk in range(n_blocks):
+        for c in range(ch):
+            at = (blk * ch + c) * 34
+            pre = int.from_bytes(data[at : at + 2], "big")
+            pred = pre & 0xFF80
+            if pred & 0x8000:
+                pred -= 0x10000  # sign-extend the 9 predictor bits
+            index = pre & 0x7F
+            if index > 88:
+                raise ValueError(f"ima4 step index {index} out of range")
+            chans[c].extend(
+                _ima_adpcm_decode_block(data[at + 2 : at + 34], pred, index)
+            )
+    out = np.empty((n_frames, ch), dtype=np.int16)
+    for c in range(ch):
+        out[:, c] = np.asarray(chans[c][:n_frames], dtype=np.int16)
+    return out.reshape(-1).tobytes()
+
+
+def encode_ima4(samples, n_channels: int = 1):
+    """Encode interleaved int16 PCM as Apple 'ima4' blocks — the exact
+    inverse of :func:`_ima4_decode`. Per-channel state (predictor, step
+    index) carries ACROSS blocks; each block's preamble restates it.
+    The classic IMA quantizer picks each nibble, and the state advances
+    through the DECODER's expansion so the returned ``recon``
+    (interleaved int16 ndarray) is what any conforming decoder emits —
+    the tracking contract. Frame count must be a multiple of 64."""
+    import numpy as np
+
+    ch = n_channels
+    pcm = np.asarray(samples, dtype=np.int16).reshape(-1, ch)
+    if len(pcm) % 64:
+        raise ValueError("ima4 frame count must be a multiple of 64")
+    state = [[0, 0] for _ in range(ch)]  # per channel [pred, index]
+    out = bytearray()
+    recon = np.empty_like(pcm)
+    for b0 in range(0, len(pcm), 64):
+        for c in range(ch):
+            pred, index = state[c]
+            pre = ((pred & 0xFFFF) & 0xFF80) | index
+            out += pre.to_bytes(2, "big")
+            # the decoder seeds from the restated preamble — the top 9
+            # predictor bits only — so advance OUR state from the same
+            # quantized seed, keeping encode tracking bit-exact
+            seed = pre & 0xFF80
+            if seed & 0x8000:
+                seed -= 0x10000
+            pred = seed
+            nibbles = []
+            for t in range(64):
+                s = int(pcm[b0 + t, c])
+                step = _IMA_STEPS[index]
+                diff = s - pred
+                n = 0x08 if diff < 0 else 0
+                diff = abs(diff)
+                if diff >= step:
+                    n |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    n |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    n |= 1
+                # advance via the DECODER expansion (bit-test form)
+                d = step >> 3
+                if n & 1:
+                    d += step >> 2
+                if n & 2:
+                    d += step >> 1
+                if n & 4:
+                    d += step
+                pred = pred - d if n & 8 else pred + d
+                pred = max(-32768, min(32767, pred))
+                index = max(0, min(88, index + _IMA_INDEX_ADJ[n & 0x07]))
+                nibbles.append(n)
+                recon[b0 + t, c] = pred
+            out += bytes(
+                nibbles[i] | (nibbles[i + 1] << 4)
+                for i in range(0, 64, 2)
+            )
+            state[c] = [pred, index]
+    return bytes(out), recon.reshape(-1)
+
+
+_AIFC_NONE = (b"NONE",)
+_AIFC_SOWT = (b"sowt",)
+_AIFC_FL32 = (b"fl32", b"FL32")
+_AIFC_FL64 = (b"fl64", b"FL64")
+_AIFC_ULAW = (b"ulaw", b"ULAW")
+_AIFC_ALAW = (b"alaw", b"ALAW")
+_AIFC_IMA4 = (b"ima4",)
+
+
+def _decode_aiff(payload: bytes) -> dict:
+    """FORM AIFF / AIFC → the uniform PCM contract. Big-endian IFF chunk
+    walk (even padding); COMM gives channels / numSampleFrames /
+    sampleSize / 80-bit-extended sampleRate (+ AIFC compression type);
+    SSND carries offset / blockSize then data. Compression coverage:
+    NONE (big-endian PCM 8/16/24/32 — 8-bit AIFF is SIGNED and is
+    shifted to the WAV unsigned convention so the same audio in either
+    container hashes to the same content key), sowt (little-endian 16),
+    fl32/fl64 (same nominal-[-1,1) float transform as float WAV/AU),
+    ulaw/alaw (shared G.711 expanders), ima4 (:func:`_ima4_decode`).
+    Anything else (e.g. 'GSM ', 'MAC3') raises the named external-codec
+    seam."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"FORM":
+        raise ValueError("not an AIFF payload (missing FORM magic)")
+    form = payload[8:12]
+    if form not in (b"AIFF", b"AIFC"):
+        raise ValueError(f"FORM type {form!r} is not AIFF/AIFC")
+    comm = None
+    comp = b"NONE"
+    ssnd = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from(">I", payload, pos + 4)
+        body0, body1 = pos + 8, pos + 8 + size
+        if body1 > len(payload):
+            raise ValueError("truncated AIFF: chunk extends past payload")
+        if cid == b"COMM":
+            if size < 18:
+                raise ValueError(f"COMM chunk too small ({size} bytes)")
+            ch, nframes, bits = struct.unpack_from(">HIH", payload, body0)
+            rate = _f80_decode(payload[body0 + 8 : body0 + 18])
+            if form == b"AIFC":
+                if size < 22:
+                    raise ValueError("AIFC COMM missing compression type")
+                comp = payload[body0 + 18 : body0 + 22]
+            comm = (ch, nframes, bits, rate)
+        elif cid == b"SSND":
+            if size < 8:
+                raise ValueError("SSND chunk too small")
+            off, _blk = struct.unpack_from(">II", payload, body0)
+            ssnd = payload[body0 + 8 + off : body1]
+        pos = body1 + (size & 1)
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF payload missing COMM or SSND chunk")
+    ch, nframes, bits, rate = comm
+    if ch < 1 or rate <= 0:
+        raise ValueError("AIFF COMM channels/rate invalid")
+    irate = int(round(rate))
+    if comp in _AIFC_NONE:
+        width = (bits + 7) // 8
+        if width not in (1, 2, 3, 4):
+            raise ValueError(f"AIFF PCM sample size {bits} unsupported")
+        need = nframes * ch * width
+        if len(ssnd) < need:
+            raise ValueError("AIFF SSND shorter than COMM frame count")
+        raw = ssnd[:need]
+        if width == 1:
+            pcm = (
+                np.frombuffer(raw, np.int8).astype(np.int16) + 128
+            ).astype(np.uint8).tobytes()
+        else:
+            pcm = (
+                np.frombuffer(raw, f">i{width}").astype(f"<i{width}").tobytes()
+                if width in (2, 4)
+                else _swap24(raw)
+            )
+        return {
+            "n_channels": ch, "sample_width": width, "frame_rate": irate,
+            "n_frames": nframes, "pcm": pcm,
+            "codec": f"pcm_s{bits}be" if width > 1 else "pcm_s8",
+        }
+    if comp in _AIFC_SOWT:
+        need = nframes * ch * 2
+        if len(ssnd) < need:
+            raise ValueError("AIFF SSND shorter than COMM frame count")
+        return {
+            "n_channels": ch, "sample_width": 2, "frame_rate": irate,
+            "n_frames": nframes, "pcm": ssnd[:need], "codec": "pcm_s16le",
+        }
+    if comp in _AIFC_FL32 + _AIFC_FL64:
+        width = 4 if comp in _AIFC_FL32 else 8
+        need = nframes * ch * width
+        if len(ssnd) < need:
+            raise ValueError("AIFF SSND shorter than COMM frame count")
+        f = np.frombuffer(ssnd[:need], f">f{width}").astype(np.float64)
+        if not np.isfinite(f).all():
+            raise ValueError("non-finite AIFF float sample")
+        scaled = f * 32768.0
+        pcm = np.clip(
+            np.sign(scaled) * np.floor(np.abs(scaled) + 0.5), -32768, 32767
+        ).astype(np.int16)
+        return {
+            "n_channels": ch, "sample_width": 2, "frame_rate": irate,
+            "n_frames": nframes, "pcm": pcm.tobytes(),
+            "codec": f"pcm_f{width * 8}be",
+        }
+    if comp in _AIFC_ULAW + _AIFC_ALAW:
+        law = "ulaw" if comp in _AIFC_ULAW else "alaw"
+        need = nframes * ch
+        if len(ssnd) < need:
+            raise ValueError("AIFF SSND shorter than COMM frame count")
+        pcm = _g711_expand(np.frombuffer(ssnd[:need], np.uint8), law)
+        return {
+            "n_channels": ch, "sample_width": 2, "frame_rate": irate,
+            "n_frames": nframes, "pcm": pcm.tobytes(), "codec": law,
+        }
+    if comp in _AIFC_IMA4:
+        return {
+            "n_channels": ch, "sample_width": 2, "frame_rate": irate,
+            "n_frames": nframes,
+            "pcm": _ima4_decode(ssnd, ch, nframes), "codec": "ima4",
+        }
+    raise NotImplementedError(
+        f"AIFF-C compression {comp!r} requires external media libraries "
+        "(SURVEY §2.10 U1/U2); NONE/sowt/fl32/fl64/ulaw/alaw/ima4 decode"
+    )
+
+
+def _swap24(raw: bytes) -> bytes:
+    """Byte-swap packed 24-bit big-endian samples to little-endian."""
+    import numpy as np
+
+    a = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+    return a[:, ::-1].tobytes()
+
+
+def encode_aiff(
+    samples, frame_rate: int, comp: bytes = b"NONE",
+    n_channels: int = 1, width: int = 2,
+) -> bytes:
+    """Assemble a REAL AIFF (NONE) or AIFF-C (anything else) file — the
+    exact inverse of :func:`_decode_aiff`. ``samples`` is interleaved
+    int16 PCM; NONE width 1 writes signed 8-bit (top byte), width 2 the
+    big-endian int16; fl32/fl64 write the exact float forms (int16 /
+    32768 is exactly representable in binary32); ulaw/alaw compress via
+    the shared G.711 kernels; ima4 via :func:`encode_ima4`. AIFC
+    compression-name pstrings are written empty (length 0 + pad)."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype=np.int16)
+    ch = n_channels
+    if len(pcm) % ch:
+        raise ValueError("sample count not a whole number of frames")
+    nframes = len(pcm) // ch
+    if comp in _AIFC_NONE:
+        if width == 1:
+            data = (pcm.astype(np.int16) >> 8).astype(np.int8).tobytes()
+            bits = 8
+        elif width == 2:
+            data = pcm.astype(">i2").tobytes()
+            bits = 16
+        else:
+            raise ValueError("encode_aiff NONE widths: 1/2")
+    elif comp in _AIFC_SOWT:
+        data, bits = pcm.astype("<i2").tobytes(), 16
+    elif comp in _AIFC_FL32:
+        data = (pcm.astype(np.float32) / np.float32(32768.0)).astype(
+            ">f4"
+        ).tobytes()
+        bits = 32
+    elif comp in _AIFC_FL64:
+        data = (pcm.astype(np.float64) / 32768.0).astype(">f8").tobytes()
+        bits = 64
+    elif comp in _AIFC_ULAW + _AIFC_ALAW:
+        law = "ulaw" if comp in _AIFC_ULAW else "alaw"
+        data, bits = _g711_compress(pcm, law).tobytes(), 16
+    elif comp in _AIFC_IMA4:
+        data, _ = encode_ima4(pcm, n_channels=ch)
+        bits = 16
+    else:
+        raise ValueError(f"encode_aiff compression {comp!r} unsupported")
+    form = b"AIFF" if comp in _AIFC_NONE else b"AIFC"
+    commbody = struct.pack(">HIH", ch, nframes, bits) + _f80_encode(
+        frame_rate
+    )
+    if form == b"AIFC":
+        commbody += comp + b"\x00\x00"  # empty pstring, even-padded
+    comm = b"COMM" + struct.pack(">I", len(commbody)) + commbody
+    ssndbody = struct.pack(">II", 0, 0) + data
+    ssnd = b"SSND" + struct.pack(">I", len(ssndbody)) + ssndbody
+    if len(ssndbody) & 1:
+        ssnd += b"\x00"
+    body = form + comm + ssnd
+    return b"FORM" + struct.pack(">I", len(body)) + body
 
 
 # JPEG zig-zag scan order (ITU-T T.81 Figure 5): index i of the entropy
@@ -3423,6 +3988,12 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
         return _decode_flac(payload)
     if payload[:4] == b".snd":
         return _decode_au(payload)
+    if len(payload) >= 12 and payload[:4] == b"FORM" and payload[8:12] in (
+        b"AIFF", b"AIFC"
+    ):
+        # round 17: the big-endian Apple interchange container —
+        # PCM/sowt/fl32/fl64/ulaw/alaw/ima4 all decode for real
+        return _decode_aiff(payload)
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         # ISO BMFF (round 16): sample-table walk + per-codec routing
         return extract_mp4_audio(payload)
@@ -3542,6 +4113,22 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
                 meta["pcm"] = meta["pcm"][: n * 2 * meta["n_channels"]]
                 meta["n_frames"] = n
             return meta
+        if tag == _WAVE_FORMAT_MS_ADPCM:
+            # round 17: MS ADPCM (the other ubiquitous WAV speech codec
+            # next to IMA) — mono or stereo, exact integer transform
+            w = _parse_wav_chunks(payload)
+            pcm = _ms_adpcm_decode(
+                w["data"], w["block_align"], w["n_channels"],
+                w["fact_frames"],
+            )
+            return {
+                "n_channels": w["n_channels"],
+                "sample_width": 2,
+                "frame_rate": w["frame_rate"],
+                "n_frames": len(pcm) // 2 // w["n_channels"],
+                "pcm": pcm,
+                "codec": "ms_adpcm",
+            }
         if tag != _WAVE_FORMAT_PCM:
             raise NotImplementedError(
                 f"WAV format tag 0x{tag:04x} (e.g. AAC-in-WAV; MP3-in-WAV "
@@ -5101,9 +5688,51 @@ def probe_audio(payload: bytes) -> dict:
             ),
             "vbr": False,
         }
+    if len(payload) >= 12 and payload[:4] == b"FORM" and payload[8:12] in (
+        b"AIFF", b"AIFC"
+    ):
+        # round 17: COMM-only probe — no sample decode needed
+        import struct as _struct
+
+        pos, comm, comp = 12, None, b"NONE"
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (size,) = _struct.unpack_from(">I", payload, pos + 4)
+            if pos + 8 + size > len(payload):
+                raise ValueError("truncated AIFF chunk")
+            if cid == b"COMM" and size >= 18:
+                ch, nframes, bits = _struct.unpack_from(
+                    ">HIH", payload, pos + 8
+                )
+                rate = int(round(_f80_decode(payload[pos + 16 : pos + 26])))
+                if payload[8:12] == b"AIFC" and size >= 22:
+                    comp = payload[pos + 26 : pos + 30]
+                comm = (ch, nframes, bits, rate)
+            pos += 8 + size + (size & 1)
+        if comm is None:
+            raise ValueError("AIFF payload missing COMM chunk")
+        ch, nframes, bits, rate = comm
+        # mean wire bitrate by compression: PCM floats/ints carry their
+        # sample size; companded laws 8 bits; ima4 4.25 (34 bytes / 64)
+        wire_bits = (
+            8.0 if comp in _AIFC_ULAW + _AIFC_ALAW
+            else 4.25 if comp in _AIFC_IMA4
+            else float(bits)
+        )
+        return {
+            "container": "aiff" if payload[8:12] == b"AIFF" else "aifc",
+            "sample_rate": rate,
+            "n_channels": ch,
+            "n_frames": nframes or None,
+            "duration_ms": nframes * 1000 // rate if nframes and rate else None,
+            "mean_bitrate_kbps": (
+                int(rate * wire_bits * ch) // 1000 if rate else None
+            ),
+            "vbr": False,
+        }
     raise NotImplementedError(
-        "probe of non-WAV/MP3/AU audio containers requires external media "
-        "libraries (SURVEY §2.10 U1/U2)"
+        "probe of non-WAV/MP3/AU/AIFF audio containers requires external "
+        "media libraries (SURVEY §2.10 U1/U2)"
     )
 
 
@@ -11325,6 +11954,7 @@ def encode_tiff(
     jpeg: bool = False,
     jpeg_tables: bool = False,
     jpeg_subsampling="444",
+    ojpeg: bool = False,
 ) -> bytes:
     """Encode a top-down (h, w, 3) BGR uint8 array as a baseline TIFF 6.0
     RGB file: 8-byte header (II little- or MM big-endian), one IFD with
@@ -11348,7 +11978,16 @@ def encode_tiff(
     EOI) and strips them from the per-strip streams — the TTN2 splice
     the decoder must perform (Huffman tables stay inline per strip:
     this encoder's canonical DHTs cover exactly each strip's emitted
-    symbols, so they legitimately differ strip to strip)."""
+    symbols, so they legitimately differ strip to strip).
+
+    ``ojpeg`` (round 17) writes old-style OJPEG in its
+    JPEGInterchangeFormat form (compression 6, photometric 6, tags
+    513/514 pointing at ONE whole-image JPEG interchange stream, NO
+    strip tags — the shape real OJPEG scanners emitted and libtiff's
+    shim trusts)."""
+    if ojpeg and (packbits or lzw or deflate or predictor2 or planar2
+                  or jpeg):
+        raise ValueError("ojpeg excludes the other codings")
     if sum((packbits, lzw, deflate)) > 1:
         raise ValueError("pick one of packbits/lzw/deflate")
     if jpeg and (packbits or lzw or deflate or predictor2 or planar2):
@@ -11367,6 +12006,41 @@ def encode_tiff(
     h, w = arr.shape[:2]
     rps = rows_per_strip or h
     rgb = arr[:, :, ::-1]  # TIFF stores RGB samples
+    if ojpeg:
+        import struct as _struct
+
+        stream = encode_jpeg(rows_rgb=rgb, subsampling=jpeg_subsampling)
+        e = ">" if big_endian else "<"
+        n_tags = 9
+        ifd_size = 2 + n_tags * 12 + 4
+        bps_off = 8 + ifd_size
+        data_off = bps_off + 6
+
+        def _tag(tid: int, ttype: int, count: int, value: int) -> bytes:
+            if ttype == 3 and count == 1:
+                return _struct.pack(
+                    e + "HHI", tid, ttype, count
+                ) + _struct.pack(e + "HH", value, 0)
+            return _struct.pack(e + "HHII", tid, ttype, count, value)
+
+        ifd = _struct.pack(e + "H", n_tags)
+        ifd += _tag(256, 4, 1, w)
+        ifd += _tag(257, 4, 1, h)
+        ifd += _tag(258, 3, 3, bps_off)
+        ifd += _tag(259, 3, 1, 6)          # Compression: OJPEG
+        ifd += _tag(262, 3, 1, 6)          # Photometric: YCbCr
+        ifd += _tag(277, 3, 1, 3)
+        ifd += _tag(278, 4, 1, h)
+        ifd += _tag(513, 4, 1, data_off)   # JPEGInterchangeFormat
+        ifd += _tag(514, 4, 1, len(stream))
+        ifd += _struct.pack(e + "I", 0)
+        out = bytearray()
+        out += (b"MM" if big_endian else b"II") + _struct.pack(e + "H", 42)
+        out += _struct.pack(e + "I", 8)
+        out += ifd
+        out += _struct.pack(e + "HHH", 8, 8, 8)
+        out += stream
+        return bytes(out)
     if predictor2:
         # horizontal differencing per row, per sample channel (mod 256)
         import numpy as _np
@@ -11533,12 +12207,17 @@ def _decode_tiff(payload: bytes) -> dict:
             for i in range(count)
         ]
 
-    for req in (256, 257, 273, 279):
+    comp = tags.get(259, (3, 1, 1))[2]
+    # interchange-form OJPEG files carry tags 513/514 INSTEAD of strip
+    # tables (TIFF 6.0 §22 files commonly omit or corrupt them)
+    required = (
+        (256, 257) if comp == 6 and 513 in tags else (256, 257, 273, 279)
+    )
+    for req in required:
         if req not in tags:
             raise ValueError(f"TIFF missing required tag {req}")
     w = tags[256][2]
     h = tags[257][2]
-    comp = tags.get(259, (3, 1, 1))[2]
     photo = tags.get(262, (3, 1, 2))[2]
     spp = tags.get(277, (3, 1, 3))[2]
     planar = tags.get(284, (3, 1, 1))[2]
@@ -11670,14 +12349,53 @@ def _decode_tiff(payload: bytes) -> dict:
             "n_pixels": w * h,
             "pixels": bgr.tobytes(),
         }
+    if comp == 6:
+        # Old-style OJPEG (round 17): TIFF 6.0 §22 was underspecified
+        # enough that TTN2 deprecated it, but real scanner/digicam files
+        # exist in the JPEGInterchangeFormat form — tags 513/514 point
+        # at ONE complete JPEG interchange stream embedded whole — and
+        # that is also the only OJPEG form libtiff's shim trusts when
+        # present. It decodes through the same in-repo JPEG decoder.
+        # The headerless table-driven form (raw strips + tags
+        # 515/517/519/521) stays the named seam.
+        import numpy as np
+
+        if 513 not in tags or 514 not in tags:
+            raise NotImplementedError(
+                "headerless OJPEG (compression 6 without "
+                "JPEGInterchangeFormat tags 513/514) requires the "
+                "deprecated tag-51x table reassembly (SURVEY §2.10 "
+                "U1/U2); the interchange-stream OJPEG form decodes"
+            )
+        if spp != 3 or photo != 6:
+            raise ValueError(
+                "OJPEG decode supports 3-sample photometric 6 (YCbCr) "
+                "only"
+            )
+        o, c = tags[513][2], tags[514][2]
+        if o + c > len(payload):
+            raise ValueError("truncated JPEGInterchangeFormat stream")
+        stream = payload[o : o + c]
+        if stream[:2] != b"\xff\xd8":
+            raise ValueError("JPEGInterchangeFormat stream missing SOI")
+        m = _decode_jpeg(stream)
+        if m["width"] != w or m["height"] != h:
+            raise ValueError("OJPEG stream geometry disagrees with IFD")
+        return {
+            "width": w,
+            "height": h,
+            "bit_count": 24,
+            "n_pixels": w * h,
+            "pixels": m["pixels"],
+        }
     if photo != 2 or spp != 3:
         raise ValueError("TIFF decode supports 3-sample RGB (photometric 2)")
     if 258 in tags and arr(258) != [8, 8, 8]:
         raise ValueError("TIFF decode supports 8-bit samples only")
     if comp not in (1, 5, 8, 32773):
         raise ValueError(
-            f"TIFF compression {comp} (e.g. OJPEG compression 6) "
-            "requires external media libraries (SURVEY §2.10 U1/U2)"
+            f"TIFF compression {comp} requires external media libraries "
+            "(SURVEY §2.10 U1/U2)"
         )
     predictor = tags.get(317, (3, 1, 1))[2]
     if predictor not in (1, 2):
@@ -11835,9 +12553,10 @@ def jpeg_precision12_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id,
            CAST(9 + d.doc_id % 8 AS BIGINT) AS width,
            CAST(8 + d.doc_id % 5 AS BIGINT) AS height,
-           (d.doc_id % 2 = 1) AS tables_hoisted,
-           CAST((8 + d.doc_id % 5 + (3 + d.doc_id % 3) - 1)
-                // (3 + d.doc_id % 3) AS BIGINT) AS n_strips,
+           (d.doc_id % 2 = 1 AND d.doc_id % 7 <> 4) AS tables_hoisted,
+           CAST(CASE WHEN d.doc_id % 7 = 4 THEN 1
+                ELSE (8 + d.doc_id % 5 + (3 + d.doc_id % 3) - 1)
+                     // (3 + d.doc_id % 3) END AS BIGINT) AS n_strips,
            TRUE AS strips_match_reference,
            TRUE AS err_ok
     FROM documents d
@@ -11857,7 +12576,10 @@ def jpeg_in_tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     strip's standalone JPEG and stacking (any slip in the tag-347
     splice, strip walk or geometry breaks it); ``err_ok`` bounds the
     lossy JPEG error against the card (|err| <= 4 at quant 1, the
-    jpeg_decode_features bound). Geometry hashes against the closed
+    jpeg_decode_features bound). Every seventh doc is OLD-style OJPEG
+    (compression 6 in its JPEGInterchangeFormat form — tags 513/514,
+    ONE whole-image stream, no strip tables), closing that named
+    seam's common real-world shape. Geometry hashes against the closed
     forms. Map-only mapInPandas with the standard core fan-out."""
     import numpy as np
 
@@ -11880,7 +12602,12 @@ def jpeg_in_tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(doc_id)
                 w, h = 9 + d % 8, 8 + d % 5
                 rps = 3 + d % 3
-                hoist = d % 2 == 1
+                # every seventh doc is OLD-style OJPEG (round 17,
+                # closing the named compression-6 seam): tags 513/514
+                # point at one whole-image interchange stream, no strip
+                # tags at all — hoisting/striping do not apply
+                oj = d % 7 == 4
+                hoist = d % 2 == 1 and not oj
                 # every fifth doc additionally exercises NON-DIVISOR
                 # sampling (round 17): a monotone luma ramp card under
                 # Y factor 2 vs chroma 3 — the decoder's nearest-floor
@@ -11888,7 +12615,7 @@ def jpeg_in_tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # within a small bound, while a mapping slip compresses
                 # the ramp and blows past it; divisor docs keep the
                 # neutral-chroma card and the tight quant-1 bound
-                nondiv = d % 5 == 3
+                nondiv = d % 5 == 3 and not oj
                 if nondiv:
                     # monotone, wrap-free ramp: a fractional-upsample
                     # index is off by at most ~1 source pixel, so the
@@ -11903,19 +12630,27 @@ def jpeg_in_tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 plane = np.dstack([g, g, g])
                 sub = ((2, 1), (3, 1), (3, 1)) if nondiv else "444"
-                blob = encode_tiff(
-                    plane, rows_per_strip=rps, jpeg=True,
-                    jpeg_tables=hoist, big_endian=(d % 3 == 2),
-                    jpeg_subsampling=sub,
-                )
+                if oj:
+                    blob = encode_tiff(
+                        plane, ojpeg=True, big_endian=(d % 3 == 2),
+                        jpeg_subsampling=sub,
+                    )
+                else:
+                    blob = encode_tiff(
+                        plane, rows_per_strip=rps, jpeg=True,
+                        jpeg_tables=hoist, big_endian=(d % 3 == 2),
+                        jpeg_subsampling=sub,
+                    )
                 meta = decode_media(blob, "image")  # REAL TIFF decode
                 px = np.frombuffer(meta["pixels"], np.uint8).reshape(
                     meta["height"], meta["width"], 3
                 )
                 refs = []
-                for s0 in range(0, h, rps):
+                for s0 in range(0, h, h if oj else rps):
                     jp = encode_jpeg(
-                        rows_rgb=plane[s0: s0 + rps][:, :, ::-1],
+                        rows_rgb=plane[s0: s0 + (h if oj else rps)][
+                            :, :, ::-1
+                        ],
                         subsampling=sub,
                     )
                     mm = _decode_jpeg(jp)
@@ -11932,7 +12667,7 @@ def jpeg_in_tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["width"].append(meta["width"])
                 out["height"].append(meta["height"])
                 out["tables_hoisted"].append(hoist)
-                out["n_strips"].append((h + rps - 1) // rps)
+                out["n_strips"].append(1 if oj else (h + rps - 1) // rps)
                 out["strips_match_reference"].append(
                     bool(np.array_equal(px, ref))
                 )
@@ -14201,6 +14936,261 @@ def au_adpcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = (
         "doc_id long, codec string, n_samples long, au_bytes long, "
         "tracking_exact boolean, snr_ok boolean"
+    )
+    return docs.mapInPandas(run, schema)
+
+
+@register(
+    "ms_adpcm_decode_features",
+    oracle="""
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 2 = 0 THEN 'mono' ELSE 'stereo' END AS mode,
+           CAST(CASE CAST(d.doc_id % 3 AS INTEGER)
+                WHEN 0 THEN 8000 WHEN 1 THEN 11025
+                ELSE 16000 END AS BIGINT) AS sample_rate,
+           CAST(128 * (2 + d.doc_id % 3)
+                - CASE WHEN d.doc_id % 5 = 0 THEN 7 ELSE 0 END
+                AS BIGINT) AS n_samples,
+           CAST(90 + (2 + d.doc_id % 3) * 70
+                * (1 + d.doc_id % 2) AS BIGINT) AS wav_bytes,
+           TRUE AS tracking_exact,
+           TRUE AS snr_ok
+    FROM documents d
+    ORDER BY d.doc_id
+    """,
+)
+def ms_adpcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MS ADPCM-in-WAV (format tag 0x0002) under the differential gate
+    (round 17): per doc a deterministic sine card — mono or stereo by
+    parity, sample rate and block count cycling by doc — is
+    MS-ADPCM-encoded (:func:`encode_ms_adpcm`: per-block trial of all
+    seven spec predictors, shared state arithmetic) into a
+    spec-complete WAV (WAVEFORMATEX cbSize 32 + the seven aCoef pairs
+    + the mandatory 'fact' chunk) and decoded back through
+    :func:`decode_media`'s 0x0002 arm. ``tracking_exact`` asserts the
+    standalone decoder reproduces the encoder's internal reconstruction
+    BIT-EXACTLY (any slip in the adaptation table, the
+    truncate-toward-zero predictor division, or the iDelta floor breaks
+    it); ``snr_ok`` gates reconstruction fidelity (floor 28 dB; these
+    cards measure ~40-50 dB, a broken state machine ~0). Every fifth
+    doc's 'fact' count truncates the final block's padding frames.
+    Container geometry hashes against the closed form. Map-only
+    mapInPandas with the standard explicit core fan-out."""
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        rates = (8000, 11025, 16000)
+        for pdf in batches:
+            out = {
+                "doc_id": [], "mode": [], "sample_rate": [],
+                "n_samples": [], "wav_bytes": [], "tracking_exact": [],
+                "snr_ok": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ch = 1 + d % 2
+                rate = rates[d % 3]
+                n = 128 * (2 + d % 3)
+                fact = n - (7 if d % 5 == 0 else 0)
+                amp = 2500.0 + 100.0 * (d % 8)
+                period = 20 + d % 12
+                i = np.arange(n, dtype=np.float64)
+                chans = [
+                    np.round(
+                        amp * np.sin(2.0 * np.pi * (i + c * 5.0) / period)
+                    ).astype(np.int16)
+                    for c in range(ch)
+                ]
+                src = np.stack(chans, axis=1).reshape(-1)
+                data, ba, recon = encode_ms_adpcm(
+                    src, n_channels=ch, frames_per_block=128
+                )
+                wav = encode_wav_ms_adpcm(data, ba, ch, rate, fact, 128)
+                meta = decode_media(wav, "audio")  # REAL MS ADPCM decode
+                pcm = np.frombuffer(meta["pcm"], "<i2")
+                track = bool(np.array_equal(pcm, recon[: fact * ch]))
+                a = pcm.astype(np.float64)
+                b = src[: fact * ch].astype(np.float64)
+                err = a - b
+                snr = 10.0 * np.log10(
+                    (b * b).mean() / max((err * err).mean(), 1e-12)
+                )
+                out["doc_id"].append(d)
+                out["mode"].append("mono" if ch == 1 else "stereo")
+                out["sample_rate"].append(meta["frame_rate"])
+                out["n_samples"].append(meta["n_frames"])
+                out["wav_bytes"].append(len(wav))
+                out["tracking_exact"].append(track)
+                out["snr_ok"].append(bool(snr >= 28.0))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, mode string, sample_rate long, n_samples long, "
+        "wav_bytes long, tracking_exact boolean, snr_ok boolean"
+    )
+    return docs.mapInPandas(run, schema)
+
+
+@register(
+    "aiff_decode_features",
+    oracle="""
+    WITH p AS (
+        SELECT d.doc_id,
+               CAST(d.doc_id % 7 AS INTEGER) AS v,
+               64 * (3 + d.doc_id % 3) AS n,
+               CASE WHEN d.doc_id % 3 = 0 THEN 2 ELSE 1 END AS ch
+        FROM documents d
+    )
+    SELECT doc_id,
+           CASE v WHEN 0 THEN 'pcm_s16be' WHEN 1 THEN 'pcm_s16le'
+                  WHEN 2 THEN 'pcm_s8' WHEN 3 THEN 'pcm_f32be'
+                  WHEN 4 THEN 'ulaw' WHEN 5 THEN 'alaw'
+                  ELSE 'ima4' END AS codec,
+           CASE WHEN v IN (0, 2) THEN 'aiff' ELSE 'aifc' END AS container,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(ch AS BIGINT) AS n_channels,
+           CAST(CASE CAST(doc_id % 3 AS INTEGER)
+                WHEN 0 THEN 8000 WHEN 1 THEN 22050
+                ELSE 44100 END AS BIGINT) AS sample_rate,
+           CAST(12 + CASE WHEN v IN (0, 2) THEN 26 ELSE 32 END + 16
+                + CASE v WHEN 0 THEN 2 * n * ch WHEN 1 THEN 2 * n * ch
+                         WHEN 2 THEN n * ch WHEN 3 THEN 4 * n * ch
+                         WHEN 4 THEN n * ch WHEN 5 THEN n * ch
+                         ELSE (n // 64) * 34 * ch END
+                AS BIGINT) AS aiff_bytes,
+           TRUE AS pcm_exact,
+           TRUE AS snr_ok
+    FROM p
+    ORDER BY doc_id
+    """,
+)
+def aiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIFF / AIFF-C under the differential gate (round 17): per doc a
+    deterministic sine card — stereo every third doc, frame count a
+    64-multiple so every variant shares one geometry — is written
+    through :func:`encode_aiff` cycling SEVEN compression variants
+    (big-endian PCM16, sowt little-endian, signed 8-bit, fl32 float,
+    mu-law, A-law, Apple ima4) and decoded back through
+    :func:`decode_media`'s FORM arm (IFF chunk walk, 80-bit extended
+    sample rate, per-compression codec routing). ``pcm_exact`` asserts
+    the decoded PCM equals the variant's independently computed
+    expectation (identity for the lossless forms — int16/32768 is exact
+    in binary32 — G.711 expand∘compress for the companded laws, the
+    encoder's tracked reconstruction for ima4); ``snr_ok`` gates
+    reconstruction fidelity against the SOURCE with per-variant floors.
+    Container geometry (file bytes, frames, rate decoded from the
+    80-bit extended field) hashes against the closed form. Map-only
+    mapInPandas with the standard explicit core fan-out."""
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        comps = (
+            (b"NONE", 2), (b"sowt", 2), (b"NONE", 1), (b"fl32", 2),
+            (b"ulaw", 2), (b"alaw", 2), (b"ima4", 2),
+        )
+        rates = (8000, 22050, 44100)
+        # lossless variants must be exact; 8-bit loses the low byte of a
+        # ±3k-amplitude card (~14 dB here), companded laws ~38 dB, ima4
+        # ~30 dB on these cards
+        floors = {0: None, 1: None, 3: None, 2: 8.0, 4: 30.0, 5: 30.0,
+                  6: 20.0}
+        for pdf in batches:
+            out = {
+                "doc_id": [], "codec": [], "container": [],
+                "n_samples": [], "n_channels": [], "sample_rate": [],
+                "aiff_bytes": [], "pcm_exact": [], "snr_ok": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                v = d % 7
+                comp, width = comps[v]
+                ch = 2 if d % 3 == 0 else 1
+                rate = rates[d % 3]
+                n = 64 * (3 + d % 3)
+                amp = 2600.0 + 90.0 * (d % 9)
+                period = 19 + d % 14
+                i = np.arange(n, dtype=np.float64)
+                chans = [
+                    np.round(
+                        amp * np.sin(2.0 * np.pi * (i + 7.0 * c) / period)
+                    ).astype(np.int16)
+                    for c in range(ch)
+                ]
+                src = np.stack(chans, axis=1).reshape(-1)
+                blob = encode_aiff(
+                    src, rate, comp=comp, n_channels=ch, width=width
+                )
+                meta = decode_media(blob, "audio")  # REAL AIFF decode
+                if meta["sample_width"] == 2:
+                    pcm = np.frombuffer(meta["pcm"], "<i2")
+                else:
+                    pcm = np.frombuffer(meta["pcm"], np.uint8)
+                if v in (0, 1, 3):
+                    expect = src
+                elif v == 2:
+                    expect = (
+                        (src.astype(np.int16) >> 8).astype(np.int16) + 128
+                    ).astype(np.uint8)
+                elif v in (4, 5):
+                    law = "ulaw" if v == 4 else "alaw"
+                    expect = _g711_expand(_g711_compress(src, law), law)
+                else:
+                    _, expect = encode_ima4(src, n_channels=ch)
+                exact = bool(np.array_equal(pcm, expect))
+                floor = floors[v]
+                if floor is None:
+                    snr_ok = exact
+                else:
+                    # ima4 starts from (pred 0, index 0): its attack
+                    # transient spans the first block, so the fidelity
+                    # window opens after 64 frames (worst card measures
+                    # ~32 dB there vs the 20 dB floor; including the
+                    # ramp it can dip under 16)
+                    skip = 64 * ch if v == 6 else 0
+                    a = (
+                        (pcm.astype(np.float64) - 128.0) * 256.0
+                        if v == 2 else pcm.astype(np.float64)
+                    )[skip:]
+                    b = src.astype(np.float64)[skip:]
+                    err = a - b
+                    snr = 10.0 * np.log10(
+                        max((b * b).mean(), 1e-12)
+                        / max((err * err).mean(), 1e-12)
+                    )
+                    snr_ok = bool(snr >= floor)
+                out["doc_id"].append(d)
+                out["codec"].append(meta["codec"])
+                out["container"].append(
+                    "aiff" if blob[8:12] == b"AIFF" else "aifc"
+                )
+                out["n_samples"].append(meta["n_frames"])
+                out["n_channels"].append(meta["n_channels"])
+                out["sample_rate"].append(meta["frame_rate"])
+                out["aiff_bytes"].append(len(blob))
+                out["pcm_exact"].append(exact)
+                out["snr_ok"].append(snr_ok)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, codec string, container string, n_samples long, "
+        "n_channels long, sample_rate long, aiff_bytes long, "
+        "pcm_exact boolean, snr_ok boolean"
     )
     return docs.mapInPandas(run, schema)
 

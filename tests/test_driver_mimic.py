@@ -101,6 +101,8 @@ QUERIES = [
     "mp3_lsf_decode_features",
     "jpeg_in_tiff_decode_features",
     "jpeg_precision12_features",
+    "ms_adpcm_decode_features",
+    "aiff_decode_features",
 ]
 
 
@@ -210,6 +212,8 @@ ANSI_QUERIES = [
     "mp3_lsf_decode_features",
     "jpeg_in_tiff_decode_features",
     "jpeg_precision12_features",
+    "ms_adpcm_decode_features",
+    "aiff_decode_features",
 ]
 
 

@@ -4257,6 +4257,150 @@ def test_mpeg1_layer12_crc_protection():
     decode_mpeg1_layer2(bytes(bad))
 
 
+def test_ms_adpcm_roundtrip_and_tables():
+    """MS ADPCM (round 17): the import-time table certificate holds
+    (sign-mirror adaptation, magnitude-monotone, stability-triangle
+    predictors), mono and stereo WAVs round-trip with BIT-EXACT
+    encoder/decoder tracking, the 'fact' chunk truncates, predictor
+    arithmetic truncates toward zero (a floor-division decoder fails
+    the negative-predictor vector), and malformed streams raise."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _MS_ADPCM_ADAPT,
+        _MS_ADPCM_COEFS,
+        _div256_trunc,
+        _ms_adpcm_decode,
+        _ms_adpcm_step,
+        decode_media,
+        encode_ms_adpcm,
+        encode_wav_ms_adpcm,
+    )
+
+    a = _MS_ADPCM_ADAPT
+    assert all(a[16 - k] == a[k] for k in range(1, 8))
+    assert all(a[k + 1] >= a[k] for k in range(8))
+    assert min(a) < 256 < max(a)
+    for c1, c2 in _MS_ADPCM_COEFS:
+        assert abs(c2) <= 256 and c1 + c2 <= 256 and c2 - c1 <= 256
+
+    # truncate-toward-zero: -300/256 is -1 (C), not -2 (Python floor)
+    assert _div256_trunc(-300) == -1 and _div256_trunc(300) == 1
+    # a negative-predictor step hits the trunc/floor divergence: with
+    # samp1 = -100 under the (512, -256) predictor, pred = (-51200 +
+    # 25600)/256 = -100 exactly; with samp1 = -101, samp2 = -100 the
+    # product sum is -26112 -> trunc -102 (floor would also give -102);
+    # use sum -26050 -> trunc -101, floor -102
+    st = [-101, -100, 16, 512, -256]
+    got = _ms_adpcm_step(0, st)
+    assert got == _div256_trunc(-101 * 512 + (-100) * -256)
+
+    for ch in (1, 2):
+        n = 256
+        i = np.arange(n * ch, dtype=np.float64)
+        src = np.round(
+            2800 * np.sin(2 * np.pi * i / (28 + ch))
+        ).astype(np.int16)
+        data, ba, recon = encode_ms_adpcm(
+            src, n_channels=ch, frames_per_block=128
+        )
+        assert ba == 70 * ch and len(data) == 2 * ba
+        wav = encode_wav_ms_adpcm(data, ba, ch, 8000, n, 128)
+        meta = decode_media(wav, "audio")
+        assert meta["codec"] == "ms_adpcm" and meta["n_frames"] == n
+        pcm = np.frombuffer(meta["pcm"], "<i2")
+        assert np.array_equal(pcm, recon)
+        # fact truncation drops tail frames
+        wav2 = encode_wav_ms_adpcm(data, ba, ch, 8000, n - 5, 128)
+        assert decode_media(wav2, "audio")["n_frames"] == n - 5
+
+    with pytest.raises(ValueError, match="predictor index"):
+        _ms_adpcm_decode(bytes([7]) + bytes(69), 70, 1, None)
+    with pytest.raises(ValueError, match="block align"):
+        _ms_adpcm_decode(bytes(7), 7, 1, None)
+    with pytest.raises(ValueError, match="fact count"):
+        _ms_adpcm_decode(bytes(70), 70, 1, 1000)
+
+
+def test_aiff_container_and_codecs():
+    """AIFF/AIFF-C (round 17): the 80-bit extended sample-rate field is
+    exact for every standard audio rate, all seven compression variants
+    round-trip through decode_media's FORM arm, the ima4 preamble
+    restates (and re-quantizes) carried state so decode tracks encode
+    bit-exactly across block boundaries, the same audio in WAV and
+    either AIFF byte order hashes to ONE content key (cross-container
+    dedup), and malformed files raise by name."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_aiff,
+        _f80_decode,
+        _f80_encode,
+        _ima4_decode,
+        audio_content_key,
+        decode_media,
+        encode_aiff,
+        encode_ima4,
+        encode_wav,
+        probe_audio,
+    )
+
+    for rate in (8000, 11025, 16000, 22050, 44100, 48000, 96000, 192000):
+        assert _f80_decode(_f80_encode(rate)) == float(rate)
+    with pytest.raises(ValueError, match="10 bytes"):
+        _f80_decode(b"\x00" * 9)
+    with pytest.raises(ValueError, match="non-finite"):
+        _f80_decode(b"\x7f\xff" + b"\x00" * 8)
+
+    n = 192
+    i = np.arange(n, dtype=np.float64)
+    src = np.round(2700 * np.sin(2 * np.pi * i / 21)).astype(np.int16)
+
+    # lossless forms are exact; one content key across containers
+    key = audio_content_key(encode_wav(src, frame_rate=16000))
+    for comp in (b"NONE", b"sowt"):
+        blob = encode_aiff(src, 16000, comp=comp)
+        meta = decode_media(blob, "audio")
+        assert np.array_equal(np.frombuffer(meta["pcm"], "<i2"), src)
+        assert audio_content_key(blob) == key
+
+    # fl32/fl64: int16/32768 is exactly representable -> exact
+    for comp in (b"fl32", b"fl64"):
+        meta = decode_media(encode_aiff(src, 16000, comp=comp), "audio")
+        assert np.array_equal(np.frombuffer(meta["pcm"], "<i2"), src)
+
+    # ima4 stereo: carried state + preamble restating track bit-exactly
+    src2 = np.stack([src, np.roll(src, 5)], axis=1).reshape(-1)
+    data, recon = encode_ima4(src2, n_channels=2)
+    assert len(data) == (n // 64) * 34 * 2
+    got = np.frombuffer(_ima4_decode(data, 2, n), "<i2")
+    assert np.array_equal(got, recon)
+    meta = decode_media(
+        encode_aiff(src2, 22050, comp=b"ima4", n_channels=2), "audio"
+    )
+    assert meta["codec"] == "ima4" and meta["n_channels"] == 2
+    assert np.array_equal(np.frombuffer(meta["pcm"], "<i2"), recon)
+
+    # probe: COMM-only, no sample decode
+    pr = probe_audio(encode_aiff(src, 16000, comp=b"ima4"))
+    assert pr["container"] == "aifc" and pr["n_frames"] == n
+    assert pr["duration_ms"] == n * 1000 // 16000
+
+    # error paths
+    with pytest.raises(ValueError, match="FORM type"):
+        _decode_aiff(b"FORM\x00\x00\x00\x04WAVE")
+    with pytest.raises(ValueError, match="missing COMM"):
+        _decode_aiff(b"FORM\x00\x00\x00\x04AIFF")
+    with pytest.raises(NotImplementedError, match="GSM"):
+        blob = bytearray(encode_aiff(src, 16000, comp=b"sowt"))
+        blob[blob.index(b"sowt"):blob.index(b"sowt") + 4] = b"GSM "
+        _decode_aiff(bytes(blob))
+    with pytest.raises(ValueError, match="34-byte"):
+        _ima4_decode(bytes(33), 1, 64)
+    with pytest.raises(ValueError, match="step index"):
+        _ima4_decode(bytes([0x00, 0x7F]) + bytes(32), 1, 64)
+
+
 def test_audio_content_keys_cover_layer2_and_lsf():
     """The round-17 codec routing surfaces transitively in the dedup
     keys (and hence the streaming audio-dedup face, which keys through
@@ -4343,7 +4487,23 @@ def test_jpeg_in_tiff_decode():
     blob[at] = 0x00
     with pytest.raises(ValueError, match="JPEGTables"):
         _decode_tiff(bytes(blob))
-    # old-style OJPEG (compression 6) still raises by name
+    # old-style OJPEG (round 17): the JPEGInterchangeFormat form —
+    # tags 513/514 to ONE whole-image stream, NO strip tables —
+    # decodes byte-identically to the standalone JPEG in both byte
+    # orders; the headerless strip form stays the named seam
+    for be in (False, True):
+        blob = encode_tiff(plane, ojpeg=True, big_endian=be)
+        m = _decode_tiff(blob)
+        got = np.frombuffer(m["pixels"], np.uint8).reshape(h, w, 3)
+        ref = np.frombuffer(
+            _decode_jpeg(encode_jpeg(rows_rgb=plane[:, :, ::-1]))[
+                "pixels"
+            ],
+            np.uint8,
+        ).reshape(h, w, 3)
+        assert np.array_equal(got, ref), be
+    # headerless OJPEG (compression 6 WITH strips, no 513) raises the
+    # named NotImplementedError seam
     blob6 = bytearray(encode_tiff(plane))
     # compression tag value: find tag 259 in the little-endian IFD
     import struct
@@ -4352,8 +4512,10 @@ def test_jpeg_in_tiff_decode():
         off = 10 + 12 * t
         if struct.unpack_from("<H", blob6, off)[0] == 259:
             struct.pack_into("<H", blob6, off + 8, 6)
-    with pytest.raises(ValueError, match="external media"):
+    with pytest.raises(NotImplementedError, match="headerless OJPEG"):
         _decode_tiff(bytes(blob6))
+    with pytest.raises(ValueError, match="ojpeg excludes"):
+        encode_tiff(plane, ojpeg=True, lzw=True)
 
 
 def test_mp3_lsf_decode_paths():

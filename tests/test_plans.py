@@ -605,9 +605,11 @@ def test_decode_gate_plans_have_no_trailing_sort(spark, sf_dir):
     rangepartitioning Exchange + Sort after the InPandas node and fail
     here."""
     from input_data_pipeline_spark.operators.multimodal import (
+        aiff_decode_features,
         avi_audio_extract_features,
         jpeg_decode_features,
         mp3_rate_profiles_decode_features,
+        ms_adpcm_decode_features,
     )
     from input_data_pipeline_spark.operators.textstats import (
         pii_redaction_stats,
@@ -618,6 +620,8 @@ def test_decode_gate_plans_have_no_trailing_sort(spark, sf_dir):
         mp3_rate_profiles_decode_features,
         avi_audio_extract_features,
         pii_redaction_stats,
+        ms_adpcm_decode_features,
+        aiff_decode_features,
     ):
         plan = _executed_plan(q(spark, sf_dir))
         if q.__name__ != "pii_redaction_stats":  # pii is fully JVM-side
