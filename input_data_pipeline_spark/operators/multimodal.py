@@ -3994,6 +3994,12 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
         # round 17: the big-endian Apple interchange container —
         # PCM/sowt/fl32/fl64/ulaw/alaw/ima4 all decode for real
         return _decode_aiff(payload)
+    if payload[:4] == b"OggS":
+        raise NotImplementedError(
+            "Ogg Opus/Vorbis sample decode requires external media "
+            "libraries (SURVEY §2.10 U1/U2); the container probes "
+            "(probe_audio walks pages, CRCs and ident headers)"
+        )
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         # ISO BMFF (round 16): sample-table walk + per-codec routing
         return extract_mp4_audio(payload)
@@ -5576,6 +5582,248 @@ def encode_adts(frame_payloads, sr_index: int = 4, channels: int = 1,
     return bytes(out)
 
 
+# --- Ogg container (round 17) ------------------------------------------------
+#
+# RFC 3533 page framing is fully algorithmic — lacing-value packet
+# segmentation, continuation flags, per-page CRC-32 — so the container
+# probe (the entry point every Opus/Vorbis podcast file hits) closes
+# with zero codec tables. Sample decode of the Opus/Vorbis payloads is
+# the named external-codec seam in decode_media.
+
+_OGG_CRC_TABLE = []
+for _b in range(256):
+    _r = _b << 24
+    for _ in range(8):
+        _r = ((_r << 1) ^ 0x04C11DB7 if _r & 0x80000000 else _r << 1) \
+            & 0xFFFFFFFF
+    _OGG_CRC_TABLE.append(_r)
+del _b, _r
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg page CRC-32 (RFC 3533 §6): poly 0x04C11DB7, init 0,
+    UNreflected, no final xor — equivalently CRC-32/POSIX (cksum)
+    without its final complement, pinned by test against the published
+    POSIX check value."""
+    crc = 0
+    for byte in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[
+            ((crc >> 24) & 0xFF) ^ byte
+        ]
+    return crc
+
+
+def encode_ogg(
+    packets, page_granules, serial: int = 0x5370_6172,
+    audio_per_page: int = 3, n_header_packets: int = 2,
+    max_segs_per_page: int = 255,
+) -> bytes:
+    """Assemble a REAL Ogg stream (RFC 3533) — the fixture inverse of
+    :func:`_probe_ogg`. The first ``n_header_packets`` packets get the
+    RFC-mandated layout (ident packet ALONE on the BOS page, remaining
+    header packets on page 1); audio packets then fill pages
+    ``audio_per_page`` at a time. Packets lace into 255-byte segments
+    with a <255 terminator; a packet whose lacing exceeds
+    ``max_segs_per_page`` spans pages with the continuation flag set on
+    the follow-on page (how real muxers carry >64 KiB packets).
+    ``page_granules`` maps AUDIO page index -> granule position; header
+    pages carry granule 0, pages where no packet completes carry -1 as
+    the spec requires. CRC-32 is computed over each page with the CRC
+    field zeroed."""
+    import struct
+
+    lacings = []  # per packet: list of lacing values
+    for p in packets:
+        lv = [255] * (len(p) // 255) + [len(p) % 255]
+        lacings.append(lv)
+    # page plan: list of (packet slices); header pages first
+    pages = []  # each: list of (pkt_idx, seg_lo, seg_hi, is_tail)
+    cur: list = []
+    cur_segs = 0
+    audio_on_page = 0
+
+    def flush():
+        nonlocal cur, cur_segs, audio_on_page
+        if cur:
+            pages.append(cur)
+        cur, cur_segs, audio_on_page = [], 0, 0
+
+    for pi, lv in enumerate(lacings):
+        if pi == 1 or pi == n_header_packets:
+            flush()
+        if pi >= n_header_packets and audio_on_page >= audio_per_page:
+            flush()
+        if pi >= n_header_packets:
+            audio_on_page += 1
+        lo = 0
+        while lo < len(lv):
+            room = max_segs_per_page - cur_segs
+            hi = min(len(lv), lo + room)
+            if hi == lo:
+                flush()
+                continue
+            cur.append((pi, lo, hi, hi == len(lv)))
+            cur_segs += hi - lo
+            if hi < len(lv):
+                flush()
+            lo = hi
+    flush()
+    out = bytearray()
+    seq = 0
+    audio_page = 0
+    for pgi, segs in enumerate(pages):
+        htype = 0
+        if segs[0][1] > 0:
+            htype |= 0x01  # continued packet
+        if pgi == 0:
+            htype |= 0x02  # BOS
+        if pgi == len(pages) - 1:
+            htype |= 0x04  # EOS
+        completes_audio = any(
+            tail and pi >= n_header_packets for pi, _, _, tail in segs
+        )
+        header_page = all(pi < n_header_packets for pi, _, _, _ in segs)
+        if header_page:
+            granule = 0
+        elif completes_audio:
+            granule = page_granules[audio_page]
+            audio_page += 1
+        else:
+            granule = (1 << 64) - 1  # -1: no packet completes here
+        lace = []
+        body = b""
+        for pi, lo, hi, _tail in segs:
+            lace.extend(lacings[pi][lo:hi])
+            plo = lo * 255
+            phi = min(len(packets[pi]), plo + sum(lacings[pi][lo:hi]))
+            body += packets[pi][plo:phi]
+        hdr = b"OggS" + bytes([0, htype]) + struct.pack(
+            "<QIII", granule, serial, seq, 0
+        ) + bytes([len(lace)]) + bytes(lace)
+        page = bytearray(hdr + body)
+        crc = _ogg_crc(bytes(page))
+        struct.pack_into("<I", page, 22, crc)
+        out += page
+        seq += 1
+    return bytes(out)
+
+
+def make_opus_head(
+    channels: int = 1, pre_skip: int = 312, input_rate: int = 48000,
+) -> bytes:
+    """RFC 7845 §5.1 OpusHead identification packet (version 1, mapping
+    family 0)."""
+    import struct
+
+    return b"OpusHead" + bytes([1, channels]) + struct.pack(
+        "<HIh", pre_skip, input_rate, 0
+    ) + bytes([0])
+
+
+def make_vorbis_ident(channels: int = 1, rate: int = 44100) -> bytes:
+    """Vorbis I §4.2.2 identification header packet (packet type 1)."""
+    import struct
+
+    return b"\x01vorbis" + struct.pack(
+        "<IBIiii", 0, channels, rate, 0, 128000, 0
+    ) + bytes([0xB8, 0x01])  # blocksizes 2^8/2^11, framing bit
+
+
+def _probe_ogg(payload: bytes) -> dict:
+    """Ogg container probe (RFC 3533 page walk): validates every page's
+    magic, version and CRC-32, counts pages and COMPLETED packets
+    (continuation-aware lacing), identifies the codec from the first
+    packet's magic (OpusHead / \\x01vorbis / \\x7fFLAC), and reads
+    duration from the final granule position — for Opus, granules count
+    48 kHz samples and include the pre-skip (RFC 7845 §4), which is
+    subtracted. Returns the uniform probe keys plus ogg_pages /
+    ogg_packets / codec."""
+    import struct
+
+    pos = 0
+    n_pages = 0
+    n_packets = 0
+    first_packet = b""
+    first_done = False
+    last_granule = 0
+    mid_packet = False
+    while pos < len(payload):
+        if payload[pos : pos + 4] != b"OggS":
+            raise ValueError("Ogg page boundary missing OggS capture")
+        if payload[pos + 4] != 0:
+            raise ValueError(f"Ogg stream version {payload[pos + 4]} != 0")
+        htype = payload[pos + 5]
+        if bool(htype & 0x01) != mid_packet:
+            raise ValueError("Ogg continuation flag disagrees with lacing")
+        granule, _serial, _seq, crc = struct.unpack_from(
+            "<QIII", payload, pos + 6
+        )
+        n_segs = payload[pos + 26]
+        lace = payload[pos + 27 : pos + 27 + n_segs]
+        body0 = pos + 27 + n_segs
+        body_len = sum(lace)
+        if body0 + body_len > len(payload):
+            raise ValueError("truncated Ogg page")
+        page = bytearray(payload[pos : body0 + body_len])
+        struct.pack_into("<I", page, 22, 0)
+        if _ogg_crc(bytes(page)) != crc:
+            raise ValueError("Ogg page CRC-32 mismatch")
+        off = body0
+        for lv in lace:
+            if not first_done:
+                first_packet += payload[off : off + lv]
+            off += lv
+            mid_packet = lv == 255
+            if lv < 255:
+                n_packets += 1
+                first_done = True
+        if granule != (1 << 64) - 1:
+            last_granule = granule
+        n_pages += 1
+        pos = body0 + body_len
+    if mid_packet:
+        raise ValueError("Ogg stream ends mid-packet")
+    if n_pages == 0:
+        raise ValueError("empty Ogg stream")
+    codec = "unknown"
+    rate = None
+    ch = None
+    n_samples = None
+    if first_packet[:8] == b"OpusHead":
+        codec = "opus"
+        ch = first_packet[9]
+        (pre_skip,) = struct.unpack_from("<H", first_packet, 10)
+        rate = 48000  # Opus always decodes at 48 kHz; the ident field
+        # records the ORIGINAL input rate, informational only
+        n_samples = max(0, last_granule - pre_skip)
+    elif first_packet[:7] == b"\x01vorbis":
+        codec = "vorbis"
+        ch = first_packet[11]
+        (rate,) = struct.unpack_from("<I", first_packet, 12)
+        n_samples = last_granule
+    elif first_packet[:5] == b"\x7fFLAC":
+        codec = "flac"
+        n_samples = last_granule
+    if rate == 0:
+        raise ValueError("Ogg ident header rate is zero")
+    dur = n_samples * 1000 // rate if n_samples and rate else None
+    return {
+        "container": "ogg",
+        "codec": codec,
+        "sample_rate": rate,
+        "n_channels": ch,
+        "n_frames": n_samples or None,
+        "duration_ms": dur,
+        "mean_bitrate_kbps": (
+            len(payload) * 8 * rate // (n_samples * 1000)
+            if n_samples and rate else None
+        ),
+        "vbr": True,
+        "ogg_pages": n_pages,
+        "ogg_packets": n_packets,
+    }
+
+
 def probe_audio(payload: bytes) -> dict:
     """Container-level audio metadata without decoding samples — the
     audio face of :func:`probe_video`: WAV via the RIFF chunk walk
@@ -5688,6 +5936,9 @@ def probe_audio(payload: bytes) -> dict:
             ),
             "vbr": False,
         }
+    if payload[:4] == b"OggS":
+        # round 17: RFC 3533 page walk + ident-header codec routing
+        return _probe_ogg(payload)
     if len(payload) >= 12 and payload[:4] == b"FORM" and payload[8:12] in (
         b"AIFF", b"AIFC"
     ):
@@ -11558,6 +11809,135 @@ def adts_probe_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, sample_rate long, n_channels long, "
         "adts_frames long, n_samples long, duration_ms long, "
         "mean_bitrate_kbps long, vbr boolean, crc_frames long"
+    )
+    return docs.mapInPandas(run, schema)
+
+
+@register(
+    "ogg_probe_features",
+    oracle="""
+    WITH p AS (
+        SELECT d.doc_id,
+               (d.doc_id % 2 = 0) AS is_opus,
+               5 + d.doc_id % 7 AS na,
+               CASE WHEN d.doc_id % 2 = 0 THEN 48000
+                    WHEN d.doc_id % 4 = 1 THEN 22050
+                    ELSE 44100 END AS rate
+        FROM documents d
+    ),
+    b AS (
+        SELECT p.doc_id,
+               SUM(40 + (p.doc_id + i.i) % 50) AS audio_bytes
+        FROM p,
+             LATERAL (SELECT unnest(generate_series(0, p.na - 1)) AS i) i
+        GROUP BY p.doc_id
+    )
+    SELECT p.doc_id,
+           CASE WHEN is_opus THEN 'opus' ELSE 'vorbis' END AS codec,
+           CAST(CASE WHEN p.doc_id % 3 = 0 THEN 2 ELSE 1 END
+                AS BIGINT) AS n_channels,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(2 + (na + 2) // 3 AS BIGINT) AS n_pages,
+           CAST(na + CASE WHEN is_opus THEN 2 ELSE 3 END
+                AS BIGINT) AS n_packets,
+           CAST(na * CASE WHEN is_opus THEN 960 ELSE 512 END
+                AS BIGINT) AS n_samples,
+           CAST(na * CASE WHEN is_opus THEN 960 ELSE 512 END
+                * 1000 // rate AS BIGINT) AS duration_ms,
+           CAST(27 * (2 + (na + 2) // 3) + na
+                + CASE WHEN is_opus THEN 44 ELSE 76 END
+                + b.audio_bytes AS BIGINT) AS ogg_bytes
+    FROM p JOIN b USING (doc_id)
+    ORDER BY p.doc_id
+    """,
+)
+def ogg_probe_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg container probe under the differential gate (round 17): per
+    doc a REAL RFC 3533 stream — OpusHead (even docs) or a Vorbis ident
+    header (odd docs), a comment header (+ the Vorbis setup packet),
+    then 5-11 opaque audio packets laced three per page with real
+    per-page CRC-32s and granule positions — is assembled by
+    :func:`encode_ogg` and walked back by :func:`probe_audio`'s OggS
+    arm, which validates EVERY page's magic, version and CRC, counts
+    pages and completed packets continuation-aware, routes the codec
+    from the first packet's magic, and derives duration from the final
+    granule (Opus granules run at 48 kHz and include the pre-skip,
+    subtracted per RFC 7845 §4). Every geometry column — page count,
+    packet count, sample count, duration, total container bytes — is
+    recomputed by the oracle closed-form, so a lacing slip, a wrong
+    header-page split, a CRC over the wrong span, or a pre-skip sign
+    error breaks the hash. Sample decode of the packet payloads is the
+    named external-codec seam. Map-only mapInPandas with the standard
+    core fan-out."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "codec": [], "n_channels": [],
+                "sample_rate": [], "n_pages": [], "n_packets": [],
+                "n_samples": [], "duration_ms": [], "ogg_bytes": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                opus = d % 2 == 0
+                ch = 2 if d % 3 == 0 else 1
+                na = 5 + d % 7
+                audio = [
+                    bytes([(d + i) % 256]) * (40 + (d + i) % 50)
+                    for i in range(na)
+                ]
+                if opus:
+                    pre = 312
+                    pk = [
+                        make_opus_head(
+                            channels=ch, pre_skip=pre, input_rate=44100
+                        ),
+                        b"OpusTags" + (7).to_bytes(4, "little")
+                        + b"fixture" + (0).to_bytes(4, "little"),
+                    ] + audio
+                    nh, spp = 2, 960
+                    grans = [
+                        pre + spp * min(na, 3 * (k + 1))
+                        for k in range((na + 2) // 3)
+                    ]
+                else:
+                    rate = 22050 if d % 4 == 1 else 44100
+                    pk = [
+                        make_vorbis_ident(channels=ch, rate=rate),
+                        b"\x03vorbis" + bytes(8) + b"\x01",
+                        b"\x05vorbis" + bytes(20),
+                    ] + audio
+                    nh, spp = 3, 512
+                    grans = [
+                        spp * min(na, 3 * (k + 1))
+                        for k in range((na + 2) // 3)
+                    ]
+                blob = encode_ogg(
+                    pk, grans, n_header_packets=nh, audio_per_page=3
+                )
+                m = probe_audio(blob)  # REAL page walk + CRC + ident
+                out["doc_id"].append(d)
+                out["codec"].append(m["codec"])
+                out["n_channels"].append(m["n_channels"])
+                out["sample_rate"].append(m["sample_rate"])
+                out["n_pages"].append(m["ogg_pages"])
+                out["n_packets"].append(m["ogg_packets"])
+                out["n_samples"].append(m["n_frames"])
+                out["duration_ms"].append(m["duration_ms"])
+                out["ogg_bytes"].append(len(blob))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, codec string, n_channels long, sample_rate long, "
+        "n_pages long, n_packets long, n_samples long, duration_ms long, "
+        "ogg_bytes long"
     )
     return docs.mapInPandas(run, schema)
 

@@ -103,6 +103,7 @@ QUERIES = [
     "jpeg_precision12_features",
     "ms_adpcm_decode_features",
     "aiff_decode_features",
+    "ogg_probe_features",
 ]
 
 
@@ -214,6 +215,7 @@ ANSI_QUERIES = [
     "jpeg_precision12_features",
     "ms_adpcm_decode_features",
     "aiff_decode_features",
+    "ogg_probe_features",
 ]
 
 

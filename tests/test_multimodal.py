@@ -4401,6 +4401,79 @@ def test_aiff_container_and_codecs():
         _ima4_decode(bytes([0x00, 0x7F]) + bytes(32), 1, 64)
 
 
+def test_ogg_container_probe():
+    """Ogg (round 17): the page CRC-32 kernel is pinned to the
+    PUBLISHED CRC-32/POSIX check value (same poly/init/reflection as
+    RFC 3533's variant; POSIX adds only a final complement —
+    crc('123456789') ^ 0xFFFFFFFF == 0x765E7680); page walks count
+    packets continuation-aware across spanning packets; Opus duration
+    subtracts pre-skip; every corruption class raises; sample decode is
+    the named seam."""
+    from input_data_pipeline_spark.operators.multimodal import (
+        _ogg_crc,
+        _probe_ogg,
+        decode_media,
+        encode_ogg,
+        make_opus_head,
+        make_vorbis_ident,
+        probe_audio,
+    )
+
+    assert _ogg_crc(b"123456789") ^ 0xFFFFFFFF == 0x765E7680
+
+    audio = [bytes([i]) * (40 + i) for i in range(6)]
+    pk = [
+        make_opus_head(channels=2, pre_skip=312, input_rate=44100),
+        b"OpusTags" + (7).to_bytes(4, "little") + b"fixture"
+        + (0).to_bytes(4, "little"),
+    ] + audio
+    grans = [312 + 960 * 3, 312 + 960 * 6]
+    blob = encode_ogg(pk, grans, n_header_packets=2)
+    m = probe_audio(blob)
+    assert m["codec"] == "opus" and m["sample_rate"] == 48000
+    assert m["ogg_pages"] == 4 and m["ogg_packets"] == 8
+    assert m["n_frames"] == 5760 and m["duration_ms"] == 120
+    assert m["n_channels"] == 2 and m["vbr"]
+
+    # vorbis: rate from the ident header drives the duration
+    pk = [
+        make_vorbis_ident(channels=1, rate=22050),
+        b"\x03vorbis" + bytes(8) + b"\x01",
+        b"\x05vorbis" + bytes(20),
+    ] + audio[:4]
+    blob = encode_ogg(pk, [512 * 3, 512 * 4], n_header_packets=3)
+    m = _probe_ogg(blob)
+    assert m["codec"] == "vorbis" and m["sample_rate"] == 22050
+    assert m["n_frames"] == 2048 and m["ogg_packets"] == 7
+
+    # a 600-byte packet forced across pages: the continuation page
+    # carries flag 0x01 and granule -1, and the packet counts ONCE
+    pk = [make_opus_head(), b"OpusTags" + bytes(8), bytes(600), bytes(50)]
+    blob = encode_ogg(pk, [960, 1920], n_header_packets=2,
+                      max_segs_per_page=2)
+    m = _probe_ogg(blob)
+    assert m["ogg_pages"] == 4 and m["ogg_packets"] == 4
+    assert blob.count(b"OggS") == 4
+    # the third page is the continuation page: header type bit 0 set
+    third = blob.index(b"OggS", blob.index(b"OggS", 28) + 4)
+    third = blob.index(b"OggS", third + 4)
+    assert blob[third + 5] & 0x01
+
+    # corruption classes
+    bad = bytearray(blob)
+    bad[-3] ^= 0x08
+    with pytest.raises(ValueError, match="CRC-32 mismatch"):
+        _probe_ogg(bytes(bad))
+    bad = bytearray(blob)
+    bad[4] = 1
+    with pytest.raises(ValueError, match="version"):
+        _probe_ogg(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        _probe_ogg(blob[:-10])
+    with pytest.raises(NotImplementedError, match="Ogg Opus/Vorbis"):
+        decode_media(blob, "audio")
+
+
 def test_audio_content_keys_cover_layer2_and_lsf():
     """The round-17 codec routing surfaces transitively in the dedup
     keys (and hence the streaming audio-dedup face, which keys through
