@@ -1063,21 +1063,57 @@ def _decode_ima_adpcm(data: bytes, block_align: int, n_frames: int | None) -> by
     return np.asarray(samples, dtype=np.int16).tobytes()
 
 
+# WAVE_FORMAT_EXTENSIBLE SubFormat GUIDs share one fixed tail after the
+# 4-byte (little-endian) equivalent format tag:
+# XXXXXXXX-0000-0010-8000-00aa00389b71 (KSDATAFORMAT media subtype).
+_WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+_KS_SUBTYPE_TAIL = bytes.fromhex("000010008000" + "00aa00389b71")
+
+
 def _parse_wav_chunks(payload: bytes) -> dict:
     """RIFF/WAVE chunk walk for the non-PCM formats stdlib ``wave``
     rejects: returns fmt fields + the raw data chunk + the 'fact' frame
-    count (required by the spec for compressed formats)."""
+    count (required by the spec for compressed formats).
+
+    Round 17 extensions — the two forms modern writers emit:
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolves ``tag`` to the SubFormat
+    GUID's embedded equivalent tag (tail validated against the fixed
+    KSDATAFORMAT suffix) and surfaces ``valid_bits`` / ``channel_mask``;
+    RF64/BW64 (EBU 3306 — WAVs past the 4 GiB RIFF limit) reads the
+    mandatory leading 'ds64' chunk and substitutes its 64-bit sizes
+    wherever a 32-bit field carries the 0xFFFFFFFF sentinel."""
     import struct
 
-    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
+    rf64 = payload[:4] in (b"RF64", b"BW64")
+    if len(payload) < 12 or (
+        payload[:4] != b"RIFF" and not rf64
+    ) or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/RF64 + WAVE magic)")
     fmt = None
     data = None
     fact_frames = None
+    ds64 = None
     pos = 12
+    first_chunk = True
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if rf64 and first_chunk:
+            if cid != b"ds64":
+                raise ValueError("RF64 must lead with the ds64 chunk")
+            if size < 28:
+                raise ValueError("ds64 chunk too small")
+            riff_sz, data_sz, sample_cnt = struct.unpack_from(
+                "<QQQ", payload, pos + 8
+            )
+            ds64 = {"riff": riff_sz, "data": data_sz, "samples": sample_cnt}
+        first_chunk = False
+        if cid == b"data" and size == 0xFFFFFFFF:
+            if ds64 is None:
+                raise ValueError(
+                    "data size sentinel 0xFFFFFFFF without a ds64 chunk"
+                )
+            size = ds64["data"]
         body0, body1 = pos + 8, pos + 8 + size
         if body1 > len(payload):
             raise ValueError("truncated WAV: chunk extends past the payload")
@@ -1090,9 +1126,31 @@ def _parse_wav_chunks(payload: bytes) -> dict:
             fmt = {
                 "tag": tag, "n_channels": ch, "frame_rate": rate,
                 "block_align": align, "bits": bits,
+                "valid_bits": None, "channel_mask": None,
             }
+            if tag == _WAVE_FORMAT_EXTENSIBLE:
+                if size < 40:
+                    raise ValueError(
+                        "WAVE_FORMAT_EXTENSIBLE fmt chunk must carry the "
+                        "22-byte extension"
+                    )
+                vb, mask, sub = struct.unpack_from(
+                    "<HII", payload, body0 + 18
+                )
+                if payload[body0 + 28 : body0 + 40] != _KS_SUBTYPE_TAIL:
+                    raise ValueError(
+                        "extensible SubFormat GUID tail is not the "
+                        "KSDATAFORMAT subtype"
+                    )
+                if sub == _WAVE_FORMAT_EXTENSIBLE:
+                    raise ValueError("extensible SubFormat cannot nest")
+                fmt["tag"] = sub
+                fmt["valid_bits"] = vb
+                fmt["channel_mask"] = mask
         elif cid == b"fact" and size >= 4:
             (fact_frames,) = struct.unpack_from("<I", payload, body0)
+            if fact_frames == 0xFFFFFFFF and ds64 is not None:
+                fact_frames = ds64["samples"]
         elif cid == b"data":
             data = payload[body0:body1]
         pos = body1 + (size & 1)  # RIFF pads chunks to even offsets
@@ -1100,6 +1158,7 @@ def _parse_wav_chunks(payload: bytes) -> dict:
         raise ValueError("WAV payload missing 'fmt ' or 'data' chunk")
     fmt["fact_frames"] = fact_frames
     fmt["data"] = data
+    fmt["rf64"] = rf64
     return fmt
 
 
@@ -1321,6 +1380,50 @@ def encode_wav_ms_adpcm(
         + b"data" + struct.pack("<I", len(data)) + data
         + (b"\x00" if len(data) & 1 else b"")
     )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def encode_wav_extensible(
+    data: bytes, sub_tag: int, n_channels: int, frame_rate: int,
+    bits: int, valid_bits: int | None = None, channel_mask: int = 0,
+    n_frames: int | None = None, rf64: bool = False,
+) -> bytes:
+    """Wrap raw sample bytes in a WAVE_FORMAT_EXTENSIBLE container
+    (fmt chunk with the 22-byte extension: wValidBitsPerSample,
+    dwChannelMask, SubFormat GUID = little-endian ``sub_tag`` + the
+    fixed KSDATAFORMAT tail) — and, with ``rf64``, in an RF64 container
+    (EBU 3306): 'RF64' magic, 0xFFFFFFFF RIFF/data size sentinels, the
+    mandatory leading ds64 chunk carrying the real 64-bit sizes. The
+    inverse of :func:`_parse_wav_chunks`' round-17 extensions."""
+    import struct
+
+    align = max(1, (bits // 8) * n_channels)
+    fmt = struct.pack(
+        "<HHIIHHHHI",
+        _WAVE_FORMAT_EXTENSIBLE, n_channels, frame_rate,
+        frame_rate * align, align, bits, 22,
+        valid_bits if valid_bits is not None else bits, channel_mask,
+    ) + sub_tag.to_bytes(4, "little") + _KS_SUBTYPE_TAIL
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if n_frames is not None:
+        body += b"fact" + struct.pack(
+            "<I", 4
+        ) + struct.pack("<I", 0xFFFFFFFF if rf64 else n_frames)
+    data_size = 0xFFFFFFFF if rf64 else len(data)
+    body += b"data" + struct.pack("<I", data_size) + data
+    if len(data) & 1:
+        body += b"\x00"
+    if rf64:
+        ds64 = struct.pack(
+            "<QQQI", 0, len(data), n_frames or 0, 0
+        )
+        body = b"ds64" + struct.pack("<I", len(ds64)) + ds64 + body
+        out = b"RF64" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE" + body
+        # ds64's riffSize field: total file bytes minus the 8-byte
+        # RF64 header, patched now that the layout is final
+        out = bytearray(out)
+        struct.pack_into("<Q", out, 20, len(out) - 8)
+        return bytes(out)
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
@@ -4013,7 +4116,7 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
         return _mp3_stream_meta(payload)
     if (
         len(payload) >= 12
-        and payload[:4] == b"RIFF"
+        and payload[:4] in (b"RIFF", b"RF64", b"BW64")
         and payload[8:12] == b"WAVE"
     ):
         import struct
@@ -4027,25 +4130,34 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
             if 0 <= at <= len(payload) - 10
             else _WAVE_FORMAT_PCM
         )
+        # round 17: WAVE_FORMAT_EXTENSIBLE resolves to its SubFormat's
+        # embedded tag, and RF64 needs the ds64-aware chunk walk; both
+        # then dispatch through the SAME per-codec arms below
+        ext_or_rf64 = (
+            tag == _WAVE_FORMAT_EXTENSIBLE or payload[:4] != b"RIFF"
+        )
+        if ext_or_rf64:
+            tag = _parse_wav_chunks(payload)["tag"]
         if tag in (_WAVE_FORMAT_ALAW, _WAVE_FORMAT_MULAW):
             w = _parse_wav_chunks(payload)
-            if w["n_channels"] != 1 or w["bits"] != 8:
+            if w["bits"] != 8:
                 raise ValueError(
-                    f"G.711 WAV must be mono 8-bit, got "
-                    f"{w['n_channels']}ch/{w['bits']}-bit"
+                    f"G.711 WAV must be 8-bit, got {w['bits']}-bit"
                 )
             law = "alaw" if tag == _WAVE_FORMAT_ALAW else "ulaw"
             codes = w["data"]
             if w["fact_frames"] is not None:
-                codes = codes[: w["fact_frames"]]
+                # fact counts FRAMES; expansion itself is per-byte and
+                # channel-agnostic (round 17: stereo G.711 decodes)
+                codes = codes[: w["fact_frames"] * w["n_channels"]]
             import numpy as np
 
             pcm = _g711_expand(np.frombuffer(codes, np.uint8), law)
             return {
-                "n_channels": 1,
+                "n_channels": w["n_channels"],
                 "sample_width": 2,  # EXPANDED width; source codes are 8-bit
                 "frame_rate": w["frame_rate"],
-                "n_frames": len(codes),
+                "n_frames": len(codes) // w["n_channels"],
                 "pcm": pcm.tobytes(),
                 "codec": law,
             }
@@ -4141,6 +4253,27 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
                 "decodes since round 16) requires external media libraries "
                 "(SURVEY §2.10 U1/U2)"
             )
+        if ext_or_rf64:
+            # extensible-PCM / RF64-PCM: stdlib wave cannot read either
+            # container form, but the samples are plain interleaved LE
+            # PCM — emit the exact dict shape of the stdlib path so the
+            # content key matches the same audio in a classic WAV
+            w = _parse_wav_chunks(payload)
+            if w["bits"] % 8 or not 1 <= w["bits"] // 8 <= 4:
+                raise ValueError(f"PCM bit depth {w['bits']} unsupported")
+            width = w["bits"] // 8
+            data = w["data"]
+            if w["fact_frames"] is not None:
+                data = data[: w["fact_frames"] * width * w["n_channels"]]
+            if len(data) % (width * w["n_channels"]):
+                raise ValueError("PCM data not a whole number of frames")
+            return {
+                "n_channels": w["n_channels"],
+                "sample_width": width,
+                "frame_rate": w["frame_rate"],
+                "n_frames": len(data) // width // w["n_channels"],
+                "pcm": data,
+            }
     import io
     import wave
 
@@ -5831,7 +5964,9 @@ def probe_audio(payload: bytes) -> dict:
     alone), MP3 via the frame-header walk. Uniform keys: container,
     sample_rate, n_channels, n_frames, duration_ms, mean_bitrate_kbps,
     vbr."""
-    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+    if len(payload) >= 12 and payload[:4] in (
+        b"RIFF", b"RF64", b"BW64"
+    ) and payload[8:12] == b"WAVE":
         w = _parse_wav_chunks(payload)
         if w["block_align"]:
             if w["fact_frames"] is not None:
@@ -11938,6 +12073,151 @@ def ogg_probe_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, codec string, n_channels long, sample_rate long, "
         "n_pages long, n_packets long, n_samples long, duration_ms long, "
         "ogg_bytes long"
+    )
+    return docs.mapInPandas(run, schema)
+
+
+@register(
+    "wav_ext_decode_features",
+    oracle="""
+    WITH p AS (
+        SELECT d.doc_id,
+               CAST(d.doc_id % 4 AS INTEGER) AS v,
+               160 + (d.doc_id % 7) * 16 AS n,
+               CASE WHEN d.doc_id % 3 = 0 THEN 2 ELSE 1 END AS ch,
+               CASE CAST(d.doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 16000 WHEN 1 THEN 22050
+                    ELSE 48000 END AS rate
+        FROM documents d
+    ),
+    s AS (
+        SELECT p.doc_id, p.v, p.n, p.ch, p.rate,
+               CASE WHEN p.v = 2 THEN
+                   CASE WHEN xor((17 * p.doc_id + 31 * j.j) % 256, 85)
+                             >= 128 THEN 1 ELSE -1 END *
+                   CASE WHEN (xor((17 * p.doc_id + 31 * j.j) % 256, 85)
+                              // 16) % 8 = 0
+                            THEN (xor((17 * p.doc_id + 31 * j.j) % 256,
+                                      85) % 16) * 16 + 8
+                        WHEN (xor((17 * p.doc_id + 31 * j.j) % 256, 85)
+                              // 16) % 8 = 1
+                            THEN (xor((17 * p.doc_id + 31 * j.j) % 256,
+                                      85) % 16) * 16 + 264
+                        ELSE ((xor((17 * p.doc_id + 31 * j.j) % 256, 85)
+                               % 16) * 16 + 264)
+                             * (1 << ((xor((17 * p.doc_id + 31 * j.j)
+                                           % 256, 85) // 16) % 8 - 1))
+                   END
+               ELSE (11 * p.doc_id + 7 * j.j) % 2001 - 1000
+               END AS s
+        FROM p,
+             LATERAL (SELECT unnest(generate_series(
+                 0, p.n * p.ch - 1)) AS j) j
+    )
+    SELECT doc_id,
+           CASE v WHEN 0 THEN 'ext_pcm16' WHEN 1 THEN 'ext_f32'
+                  WHEN 2 THEN 'ext_alaw' ELSE 'rf64_pcm16' END AS variant,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(rate AS BIGINT) AS frame_rate,
+           CAST(ch AS BIGINT) AS n_channels,
+           CAST(CASE WHEN ch = 2 THEN 3 ELSE 4 END AS BIGINT)
+               AS channel_mask,
+           CAST(2 AS BIGINT) AS sample_width,
+           CAST(SUM(ABS(s)) // (n * ch) AS BIGINT) AS mean_abs,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+           CAST(SUM(s * s) // (n * ch) AS BIGINT) AS energy_mean
+    FROM s GROUP BY doc_id, v, n, ch, rate ORDER BY doc_id
+    """,
+)
+def wav_ext_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAVE_FORMAT_EXTENSIBLE and RF64 — the two container forms modern
+    WAV writers emit — under the differential gate (round 17): per doc
+    a closed-form signal is wrapped as extensible PCM16 / extensible
+    IEEE float32 / extensible A-law (closed-form CODE bytes, expanded
+    in SQL exactly as the g711 gate does) / RF64 PCM16 with 0xFFFFFFFF
+    size sentinels resolved through the mandatory ds64 chunk, and
+    decoded back through :func:`decode_media`'s WAV arm, which resolves
+    the SubFormat GUID's embedded tag (tail validated) and dispatches
+    the SAME per-codec arms as classic WAVs. ``channel_mask`` is read
+    back from the extension, and exact integer signal statistics hash
+    against the oracle's recomputation — a GUID slip, ds64 misread, or
+    sentinel mishandling breaks the decode outright. Map-only
+    mapInPandas with the standard explicit core fan-out."""
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        names = ("ext_pcm16", "ext_f32", "ext_alaw", "rf64_pcm16")
+        rates = (16000, 22050, 48000)
+        for pdf in batches:
+            out = {
+                "doc_id": [], "variant": [], "n_frames": [],
+                "frame_rate": [], "n_channels": [], "channel_mask": [],
+                "sample_width": [], "mean_abs": [], "peak": [],
+                "energy_mean": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                v = d % 4
+                ch = 2 if d % 3 == 0 else 1
+                rate = rates[d % 3]
+                n = 160 + (d % 7) * 16
+                mask = 0x3 if ch == 2 else 0x4
+                j = np.arange(n * ch, dtype=np.int64)
+                src = ((11 * d + 7 * j) % 2001 - 1000).astype(np.int16)
+                if v == 0:
+                    blob = encode_wav_extensible(
+                        src.astype("<i2").tobytes(), _WAVE_FORMAT_PCM,
+                        ch, rate, 16, channel_mask=mask,
+                    )
+                elif v == 1:
+                    f = (
+                        src.astype(np.float32) / np.float32(32768.0)
+                    ).astype("<f4").tobytes()
+                    blob = encode_wav_extensible(
+                        f, _WAVE_FORMAT_IEEE_FLOAT, ch, rate, 32,
+                        channel_mask=mask,
+                    )
+                elif v == 2:
+                    codes = (
+                        (17 * d + 31 * j) % 256
+                    ).astype(np.uint8).tobytes()
+                    blob = encode_wav_extensible(
+                        codes, _WAVE_FORMAT_ALAW, ch, rate, 8,
+                        valid_bits=8, channel_mask=mask,
+                    )
+                else:
+                    blob = encode_wav_extensible(
+                        src.astype("<i2").tobytes(), _WAVE_FORMAT_PCM,
+                        ch, rate, 16, channel_mask=mask, n_frames=n,
+                        rf64=True,
+                    )
+                meta = decode_media(blob, "audio")  # REAL container walk
+                pcm = np.frombuffer(meta["pcm"], "<i2").astype(np.int64)
+                w = _parse_wav_chunks(blob)
+                out["doc_id"].append(d)
+                out["variant"].append(names[v])
+                out["n_frames"].append(meta["n_frames"])
+                out["frame_rate"].append(meta["frame_rate"])
+                out["n_channels"].append(meta["n_channels"])
+                out["channel_mask"].append(w["channel_mask"])
+                out["sample_width"].append(meta["sample_width"])
+                out["mean_abs"].append(int(np.abs(pcm).sum()) // len(pcm))
+                out["peak"].append(int(np.abs(pcm).max()))
+                out["energy_mean"].append(int((pcm * pcm).sum()) // len(pcm))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, variant string, n_frames long, frame_rate long, "
+        "n_channels long, channel_mask long, sample_width long, "
+        "mean_abs long, peak long, energy_mean long"
     )
     return docs.mapInPandas(run, schema)
 

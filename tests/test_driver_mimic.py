@@ -104,6 +104,7 @@ QUERIES = [
     "ms_adpcm_decode_features",
     "aiff_decode_features",
     "ogg_probe_features",
+    "wav_ext_decode_features",
 ]
 
 
@@ -216,6 +217,7 @@ ANSI_QUERIES = [
     "ms_adpcm_decode_features",
     "aiff_decode_features",
     "ogg_probe_features",
+    "wav_ext_decode_features",
 ]
 
 

@@ -1723,12 +1723,22 @@ def test_companded_wav_error_paths():
         encode_wav_codes(b"\x00", 1)
 
     ok = encode_wav_codes(bytes(range(64)), 7)
-    # stereo G.711 is out of scope -> ValueError, not a wrong decode
+    # stereo G.711 decodes since round 17 (expansion is per-byte and
+    # channel-agnostic): frames halve, codes expand unchanged
     stereo = ok.replace(
         struct.pack("<HHI", 7, 1, 8000), struct.pack("<HHI", 7, 2, 8000), 1
     )
-    with pytest.raises(ValueError, match="mono"):
-        decode_media(stereo, "audio")
+    mono_meta = decode_media(ok, "audio")
+    st_meta = decode_media(stereo, "audio")
+    assert st_meta["n_channels"] == 2
+    assert st_meta["n_frames"] == mono_meta["n_frames"] // 2
+    assert st_meta["pcm"] == mono_meta["pcm"]
+    # a non-8-bit companded container still raises
+    bad_bits = ok.replace(
+        struct.pack("<HH", 1, 8), struct.pack("<HH", 1, 16), 1
+    )
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_media(bad_bits, "audio")
 
     # MP3-in-WAV (tag 0x55) ROUTES to the MP3 chain since round 16 —
     # G.711 code bytes are not an MP3 stream, so the error is the MP3
@@ -4472,6 +4482,84 @@ def test_ogg_container_probe():
         _probe_ogg(blob[:-10])
     with pytest.raises(NotImplementedError, match="Ogg Opus/Vorbis"):
         decode_media(blob, "audio")
+
+
+def test_wav_extensible_and_rf64():
+    """WAVE_FORMAT_EXTENSIBLE + RF64 (round 17): the SubFormat GUID's
+    embedded tag dispatches the SAME per-codec arms as classic WAVs
+    (PCM/float/G.711/MS-ADPCM all resolve), the KSDATAFORMAT tail is
+    validated, nested-extensible SubFormats are rejected, RF64 resolves
+    0xFFFFFFFF size sentinels through the mandatory leading ds64 chunk,
+    and extensible-PCM hashes to the SAME content key as the identical
+    classic WAV."""
+    import struct
+
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _WAVE_FORMAT_EXTENSIBLE,
+        _WAVE_FORMAT_IEEE_FLOAT,
+        _WAVE_FORMAT_PCM,
+        _parse_wav_chunks,
+        audio_content_key,
+        decode_media,
+        encode_wav,
+        encode_wav_extensible,
+        probe_audio,
+    )
+
+    n = 160
+    src = (np.arange(n, dtype=np.int64) * 37 % 1801 - 900).astype(np.int16)
+    raw = src.astype("<i2").tobytes()
+
+    blob = encode_wav_extensible(raw, _WAVE_FORMAT_PCM, 1, 16000, 16,
+                                 channel_mask=0x4)
+    m = decode_media(blob, "audio")
+    assert np.array_equal(np.frombuffer(m["pcm"], "<i2"), src)
+    assert audio_content_key(blob) == audio_content_key(encode_wav(src))
+    w = _parse_wav_chunks(blob)
+    assert w["tag"] == _WAVE_FORMAT_PCM and w["channel_mask"] == 0x4
+    assert w["valid_bits"] == 16
+
+    # float32 via the extensible GUID
+    f = (src.astype(np.float32) / np.float32(32768.0)).astype("<f4")
+    m = decode_media(
+        encode_wav_extensible(f.tobytes(), _WAVE_FORMAT_IEEE_FLOAT,
+                              1, 16000, 32), "audio",
+    )
+    assert m["codec"] == "pcm_f32le"
+    assert np.array_equal(np.frombuffer(m["pcm"], "<i2"), src)
+
+    # RF64: sentinels resolved through ds64; probe agrees
+    blob = encode_wav_extensible(raw, _WAVE_FORMAT_PCM, 1, 48000, 16,
+                                 channel_mask=0x4, n_frames=n, rf64=True)
+    assert blob[:4] == b"RF64"
+    assert struct.unpack_from("<I", blob, 4)[0] == 0xFFFFFFFF
+    m = decode_media(blob, "audio")
+    assert m["n_frames"] == n
+    assert np.array_equal(np.frombuffer(m["pcm"], "<i2"), src)
+    pr = probe_audio(blob)
+    assert pr["n_frames"] == n and pr["container"] == "wav"
+
+    # GUID tail corruption raises; nested extensible raises
+    bad = bytearray(encode_wav_extensible(raw, _WAVE_FORMAT_PCM, 1,
+                                          16000, 16))
+    at = bad.find(bytes.fromhex("000010008000"))
+    bad[at + 2] ^= 1
+    with pytest.raises(ValueError, match="KSDATAFORMAT"):
+        decode_media(bytes(bad), "audio")
+    with pytest.raises(ValueError, match="cannot nest"):
+        decode_media(
+            encode_wav_extensible(raw, _WAVE_FORMAT_EXTENSIBLE, 1,
+                                  16000, 16), "audio",
+        )
+    # RF64 without the leading ds64 raises
+    bad = bytearray(encode_wav_extensible(raw, _WAVE_FORMAT_PCM, 1,
+                                          16000, 16, n_frames=n,
+                                          rf64=True))
+    bad[12:16] = b"JUNK"
+    with pytest.raises(ValueError, match="ds64"):
+        decode_media(bytes(bad), "audio")
 
 
 def test_audio_content_keys_cover_layer2_and_lsf():

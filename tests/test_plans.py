@@ -611,6 +611,7 @@ def test_decode_gate_plans_have_no_trailing_sort(spark, sf_dir):
         mp3_rate_profiles_decode_features,
         ms_adpcm_decode_features,
         ogg_probe_features,
+        wav_ext_decode_features,
     )
     from input_data_pipeline_spark.operators.textstats import (
         pii_redaction_stats,
@@ -624,6 +625,7 @@ def test_decode_gate_plans_have_no_trailing_sort(spark, sf_dir):
         ms_adpcm_decode_features,
         aiff_decode_features,
         ogg_probe_features,
+        wav_ext_decode_features,
     ):
         plan = _executed_plan(q(spark, sf_dir))
         if q.__name__ != "pii_redaction_stats":  # pii is fully JVM-side
