@@ -658,6 +658,289 @@ def encode_gif(plane) -> bytes:
     return bytes(out)
 
 
+# --- netpbm + TGA (round 17) --------------------------------------------------
+#
+# Two fully-algorithmic image families that still circulate in ML and
+# graphics corpora: the netpbm ASCII/binary ladder (PBM/PGM/PPM — the
+# classic interchange format of vision datasets and test suites) and
+# Targa (uncompressed + RLE truecolor/grayscale — texture pipelines).
+# Zero spec tables; both decode into the uniform top-down BGR contract.
+
+
+def _decode_netpbm(payload: bytes) -> dict:
+    """P1-P6 netpbm decode: token scanner that honors '#' comments in
+    headers, ASCII (P1/P2/P3) and binary (P4/P5/P6) rasters, 1- and
+    2-byte binary samples by maxval, and 255*v//maxval scaling. PBM
+    semantics: 1 = black -> 0, 0 = white -> 255."""
+    import numpy as np
+
+    magic = payload[:2]
+    if magic[:1] != b"P" or magic[1:2] not in b"123456":
+        raise ValueError("not a netpbm payload (missing P1-P6 magic)")
+    kind = int(magic[1:2])
+    pos = 2
+
+    def token() -> int:
+        nonlocal pos
+        while pos < len(payload):
+            ch = payload[pos : pos + 1]
+            if ch == b"#":
+                nl = payload.find(b"\n", pos)
+                if nl < 0:
+                    raise ValueError("unterminated netpbm comment")
+                pos = nl + 1
+            elif ch.isspace():
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated netpbm header")
+        return int(payload[start:pos])
+
+    w = token()
+    h = token()
+    if w < 1 or h < 1:
+        raise ValueError("netpbm dimensions must be positive")
+    bitmap = kind in (1, 4)
+    maxval = 1 if bitmap else token()
+    if not 1 <= maxval <= 65535:
+        raise ValueError(f"netpbm maxval {maxval} out of range")
+    n_ch = 3 if kind in (3, 6) else 1
+    if kind in (1, 2, 3):
+        vals = []
+        if kind == 1:
+            # P1 digits need no whitespace separation
+            for ch in payload[pos:]:
+                if ch in b"01":
+                    vals.append(ch - 0x30)
+                elif not bytes([ch]).isspace():
+                    raise ValueError("P1 raster must be 0/1 digits")
+                if len(vals) == w * h:
+                    break
+        else:
+            for _ in range(w * h * n_ch):
+                vals.append(token())
+        if len(vals) < w * h * n_ch:
+            raise ValueError("netpbm raster shorter than the header claims")
+        a = np.asarray(vals, dtype=np.int64)
+    else:
+        pos += 1  # exactly ONE whitespace byte after the header
+        if kind == 4:
+            stride = (w + 7) // 8
+            need = stride * h
+            raw = payload[pos : pos + need]
+            if len(raw) < need:
+                raise ValueError("truncated P4 raster")
+            bits = np.unpackbits(
+                np.frombuffer(raw, np.uint8).reshape(h, stride), axis=1
+            )[:, :w]
+            a = bits.astype(np.int64).reshape(-1)
+        else:
+            width = 2 if maxval > 255 else 1
+            need = w * h * n_ch * width
+            raw = payload[pos : pos + need]
+            if len(raw) < need:
+                raise ValueError("truncated netpbm raster")
+            a = np.frombuffer(
+                raw, ">u2" if width == 2 else np.uint8
+            ).astype(np.int64)
+    if a.max(initial=0) > maxval:
+        raise ValueError("netpbm sample exceeds maxval")
+    if bitmap:
+        px = (1 - a) * 255  # 1 = black
+    else:
+        px = a * 255 // maxval
+    if n_ch == 1:
+        rgb = np.repeat(
+            px.reshape(h, w, 1).astype(np.uint8), 3, axis=2
+        )
+    else:
+        rgb = px.reshape(h, w, 3).astype(np.uint8)
+    bgr = rgb[:, :, ::-1]
+    return {
+        "width": w, "height": h, "bit_count": 24, "n_pixels": w * h,
+        "pixels": bgr.tobytes(),
+    }
+
+
+def encode_netpbm(plane, kind: int, maxval: int = 255) -> bytes:
+    """Encode a top-down (h, w, 3) BGR array (or (h, w) gray / 0-1
+    bitmap) as netpbm P1-P6 — the fixture inverse of
+    :func:`_decode_netpbm`. Gray/bitmap kinds take the (h, w) plane;
+    P1/P4 expect 0/1 with 1 = black."""
+    import numpy as np
+
+    a = np.asarray(plane)
+    if kind in (3, 6):
+        if a.ndim != 3:
+            raise ValueError("PPM wants (h, w, 3) BGR")
+        h, w = a.shape[:2]
+        flat = a[:, :, ::-1].reshape(-1).astype(np.int64)
+        hdr = f"P{kind}\n{w} {h}\n{maxval}\n".encode()
+    elif kind in (2, 5):
+        if a.ndim != 2:
+            raise ValueError("PGM wants (h, w) gray")
+        h, w = a.shape
+        flat = a.reshape(-1).astype(np.int64)
+        hdr = f"P{kind}\n{w} {h}\n{maxval}\n".encode()
+    else:
+        if a.ndim != 2:
+            raise ValueError("PBM wants (h, w) bits")
+        h, w = a.shape
+        flat = a.reshape(-1).astype(np.int64)
+        hdr = f"P{kind}\n{w} {h}\n".encode()
+    if kind in (1, 2, 3):
+        return hdr + b" ".join(
+            str(int(v)).encode() for v in flat
+        ) + b"\n"
+    if kind == 4:
+        bits = a.astype(np.uint8)
+        stride = (w + 7) // 8
+        padded = np.zeros((h, stride * 8), np.uint8)
+        padded[:, :w] = bits
+        return hdr + np.packbits(padded, axis=1).tobytes()
+    width = 2 if maxval > 255 else 1
+    return hdr + flat.astype(">u2" if width == 2 else np.uint8).tobytes()
+
+
+def _looks_like_tga(payload: bytes) -> bool:
+    """TGA has no magic; accept only the untyped-header shapes this
+    decoder supports (image types 2/3/10/11, colormap type 0) so other
+    formats cannot alias into the TGA arm."""
+    return (
+        len(payload) >= 18
+        and payload[1] == 0
+        and payload[2] in (2, 3, 10, 11)
+        and payload[16] in (8, 24, 32)
+    )
+
+
+def _decode_tga(payload: bytes) -> dict:
+    """Targa decode: uncompressed (type 2/3) and RLE (10/11) truecolor
+    (24/32-bit BGR[A], alpha dropped) and 8-bit grayscale, both row
+    origins (descriptor bit 5). Colormapped types raise by name."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 18:
+        raise ValueError("truncated TGA header")
+    id_len, cmap_type, itype = payload[0], payload[1], payload[2]
+    if cmap_type != 0 or itype in (1, 9):
+        raise NotImplementedError(
+            "colormapped TGA (types 1/9) is not implemented; "
+            "truecolor/grayscale, raw and RLE, decode"
+        )
+    if itype not in (2, 3, 10, 11):
+        raise ValueError(f"TGA image type {itype} unsupported")
+    w, h = struct.unpack_from("<HH", payload, 12)
+    bpp, desc = payload[16], payload[17]
+    if w < 1 or h < 1:
+        raise ValueError("TGA dimensions must be positive")
+    if itype in (3, 11):
+        if bpp != 8:
+            raise ValueError("grayscale TGA must be 8-bit")
+        n_ch = 1
+    else:
+        if bpp not in (24, 32):
+            raise ValueError(f"truecolor TGA bpp {bpp} unsupported")
+        n_ch = bpp // 8
+    pos = 18 + id_len
+    need = w * h * n_ch
+    if itype in (2, 3):
+        raw = payload[pos : pos + need]
+        if len(raw) < need:
+            raise ValueError("truncated TGA raster")
+    else:
+        out = bytearray()
+        while len(out) < need:
+            if pos >= len(payload):
+                raise ValueError("truncated TGA RLE stream")
+            head = payload[pos]
+            pos += 1
+            count = (head & 0x7F) + 1
+            if head & 0x80:
+                px = payload[pos : pos + n_ch]
+                if len(px) < n_ch:
+                    raise ValueError("truncated TGA RLE run pixel")
+                out += px * count
+                pos += n_ch
+            else:
+                chunk = payload[pos : pos + count * n_ch]
+                if len(chunk) < count * n_ch:
+                    raise ValueError("truncated TGA RLE raw packet")
+                out += chunk
+                pos += count * n_ch
+        if len(out) != need:
+            raise ValueError("TGA RLE output overruns the raster")
+        raw = bytes(out)
+    a = np.frombuffer(raw, np.uint8).reshape(h, w, n_ch)
+    if n_ch == 1:
+        bgr = np.repeat(a, 3, axis=2)
+    else:
+        bgr = a[:, :, :3]  # TGA stores BGR(A); alpha dropped
+    if not desc & 0x20:  # origin bottom-left -> flip to top-down
+        bgr = bgr[::-1]
+    return {
+        "width": w, "height": h, "bit_count": 24, "n_pixels": w * h,
+        "pixels": np.ascontiguousarray(bgr).tobytes(),
+    }
+
+
+def encode_tga(plane, rle: bool = False, top_down: bool = False) -> bytes:
+    """Encode a top-down (h, w, 3) BGR array (or (h, w) gray) as TGA —
+    types 2/3 raw or 10/11 RLE, either row origin. RLE packets follow
+    the spec's 128-pixel cap and never cross rows."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(plane, dtype=np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    n_ch = 1 if gray else 3
+    itype = (3 if gray else 2) + (8 if rle else 0)
+    hdr = struct.pack(
+        "<BBBHHBHHHHBB", 0, 0, itype, 0, 0, 0, 0, 0, w, h,
+        8 * n_ch, 0x20 if top_down else 0,
+    )
+    rows = a if top_down else a[::-1]
+    if not rle:
+        return hdr + rows.tobytes()
+    out = bytearray(hdr)
+    px = rows.reshape(h, w, n_ch)
+    for r in range(h):
+        c = 0
+        while c < w:
+            run = 1
+            while (
+                c + run < w and run < 128
+                and (px[r, c + run] == px[r, c]).all()
+            ):
+                run += 1
+            if run >= 2:
+                out.append(0x80 | (run - 1))
+                out += px[r, c].tobytes()
+                c += run
+            else:
+                lit = 1
+                while (
+                    c + lit < w and lit < 128
+                    and not (
+                        c + lit + 1 < w
+                        and (px[r, c + lit] == px[r, c + lit + 1]).all()
+                    )
+                ):
+                    lit += 1
+                out.append(lit - 1)
+                out += px[r, c : c + lit].tobytes()
+                c += lit
+    return bytes(out)
+
+
 def encode_avi(frames, usec_per_frame: int = 40000, audio=None,
                audio_rate: int = 8000, audio_format: str = "pcm16") -> bytes:
     """Encode a list of top-down (h, w, 3) BGR uint8 arrays as an
@@ -4070,6 +4353,11 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
             return _decode_gif(payload)
         if payload[:4] in (b"II*\x00", b"MM\x00*"):
             return _decode_tiff(payload)
+        if payload[:1] == b"P" and payload[1:2] in b"123456":
+            # round 17: the netpbm family (PBM/PGM/PPM, ASCII + binary)
+            return _decode_netpbm(payload)
+        if _looks_like_tga(payload):
+            return _decode_tga(payload)
         raise NotImplementedError(
             "real decode of non-BMP/PNG/JPEG/GIF/TIFF image formats "
             "requires external media libraries; wire PIL here on a real "
@@ -12218,6 +12506,145 @@ def wav_ext_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, variant string, n_frames long, frame_rate long, "
         "n_channels long, channel_mask long, sample_width long, "
         "mean_abs long, peak long, energy_mean long"
+    )
+    return docs.mapInPandas(run, schema)
+
+
+@register(
+    "netpbm_tga_decode_features",
+    oracle="""
+    WITH p AS (
+        SELECT d.doc_id,
+               CAST(d.doc_id % 8 AS INTEGER) AS v,
+               6 + d.doc_id % 5 AS w,
+               5 + d.doc_id % 4 AS h
+        FROM documents d
+    ),
+    px AS (
+        SELECT p.doc_id, p.v, p.w, p.h,
+               CASE WHEN p.v IN (1, 7)
+                        THEN (19 * p.doc_id + 7 * g.r + 31 * g.c) % 256
+                    WHEN p.v = 3
+                        THEN ((19 * p.doc_id + 7 * g.r + 31 * g.c) % 16)
+                             * 17
+                    WHEN p.v = 4
+                        THEN 255 * (1 - (p.doc_id + g.r + g.c) % 2)
+                    ELSE (19 * p.doc_id + 7 * g.r + 31 * g.c) % 256
+               END AS b,
+               CASE WHEN p.v IN (0, 2, 5, 6)
+                        THEN (11 * p.doc_id + 5 * g.r + 23 * g.c) % 256
+                    WHEN p.v IN (1, 7)
+                        THEN (19 * p.doc_id + 7 * g.r + 31 * g.c) % 256
+                    WHEN p.v = 3
+                        THEN ((19 * p.doc_id + 7 * g.r + 31 * g.c) % 16)
+                             * 17
+                    ELSE 255 * (1 - (p.doc_id + g.r + g.c) % 2)
+               END AS g,
+               CASE WHEN p.v IN (0, 2, 5, 6)
+                        THEN (3 * p.doc_id + 13 * g.r + 37 * g.c) % 256
+                    WHEN p.v IN (1, 7)
+                        THEN (19 * p.doc_id + 7 * g.r + 31 * g.c) % 256
+                    WHEN p.v = 3
+                        THEN ((19 * p.doc_id + 7 * g.r + 31 * g.c) % 16)
+                             * 17
+                    ELSE 255 * (1 - (p.doc_id + g.r + g.c) % 2)
+               END AS r
+        FROM p,
+             LATERAL (SELECT unnest(generate_series(0, p.h - 1)) AS r) gr,
+             LATERAL (SELECT unnest(generate_series(0, p.w - 1)) AS c) gc,
+             LATERAL (SELECT gr.r AS r, gc.c AS c) g
+    )
+    SELECT doc_id,
+           CASE v WHEN 0 THEN 'p6' WHEN 1 THEN 'p5' WHEN 2 THEN 'p3'
+                  WHEN 3 THEN 'p2_maxval15' WHEN 4 THEN 'p4'
+                  WHEN 5 THEN 'tga_raw' WHEN 6 THEN 'tga_rle'
+                  ELSE 'tga_gray_rle' END AS variant,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(CAST(SUM(b) AS BIGINT) // (w * h) AS BIGINT) AS mean_b,
+           CAST(CAST(SUM(g) AS BIGINT) // (w * h) AS BIGINT) AS mean_g,
+           CAST(CAST(SUM(r) AS BIGINT) // (w * h) AS BIGINT) AS mean_r
+    FROM px GROUP BY doc_id, v, w, h ORDER BY doc_id
+    """,
+)
+def netpbm_tga_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """netpbm + TGA under the differential gate (round 17): per doc a
+    closed-form test card is written through :func:`encode_netpbm` /
+    :func:`encode_tga` cycling EIGHT variants — binary and ASCII PPM,
+    binary PGM, ASCII PGM at maxval 15 (exercising 255*v//maxval
+    scaling), packed-bit PBM (1 = black), raw bottom-up TGA, RLE
+    top-down TGA, grayscale RLE TGA — and decoded back through
+    :func:`decode_media`'s image arm. The oracle recomputes each
+    channel's exact mean from the same closed form, so a token-scanner
+    slip, a bit-order error in P4, a missed row flip, an RLE
+    run/literal confusion, or a maxval scaling bug breaks the hash.
+    Map-only mapInPandas with the standard explicit core fan-out."""
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        names = ("p6", "p5", "p3", "p2_maxval15", "p4", "tga_raw",
+                 "tga_rle", "tga_gray_rle")
+        for pdf in batches:
+            out = {
+                "doc_id": [], "variant": [], "width": [], "height": [],
+                "mean_b": [], "mean_g": [], "mean_r": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                v = d % 8
+                w, h = 6 + d % 5, 5 + d % 4
+                r = np.arange(h, dtype=np.int64).reshape(-1, 1)
+                c = np.arange(w, dtype=np.int64)
+                bgr = np.stack([
+                    (19 * d + 7 * r + 31 * c) % 256,
+                    (11 * d + 5 * r + 23 * c) % 256,
+                    (3 * d + 13 * r + 37 * c) % 256,
+                ], axis=2).astype(np.uint8)
+                gray = ((19 * d + 7 * r + 31 * c) % 256).astype(np.uint8)
+                if v == 0:
+                    blob = encode_netpbm(bgr, 6)
+                elif v == 1:
+                    blob = encode_netpbm(gray, 5)
+                elif v == 2:
+                    blob = encode_netpbm(bgr, 3)
+                elif v == 3:
+                    blob = encode_netpbm(
+                        (gray % 16).astype(np.uint8), 2, maxval=15
+                    )
+                elif v == 4:
+                    blob = encode_netpbm(
+                        ((d + r + c) % 2).astype(np.uint8), 4
+                    )
+                elif v == 5:
+                    blob = encode_tga(bgr)
+                elif v == 6:
+                    blob = encode_tga(bgr, rle=True, top_down=True)
+                else:
+                    blob = encode_tga(gray, rle=True)
+                meta = decode_media(blob, "image")  # REAL decode
+                px = np.frombuffer(meta["pixels"], np.uint8).reshape(
+                    meta["height"], meta["width"], 3
+                ).astype(np.int64)
+                out["doc_id"].append(d)
+                out["variant"].append(names[v])
+                out["width"].append(meta["width"])
+                out["height"].append(meta["height"])
+                out["mean_b"].append(int(px[:, :, 0].sum()) // (w * h))
+                out["mean_g"].append(int(px[:, :, 1].sum()) // (w * h))
+                out["mean_r"].append(int(px[:, :, 2].sum()) // (w * h))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, variant string, width long, height long, "
+        "mean_b long, mean_g long, mean_r long"
     )
     return docs.mapInPandas(run, schema)
 

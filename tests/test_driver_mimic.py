@@ -105,6 +105,7 @@ QUERIES = [
     "aiff_decode_features",
     "ogg_probe_features",
     "wav_ext_decode_features",
+    "netpbm_tga_decode_features",
 ]
 
 
@@ -218,6 +219,7 @@ ANSI_QUERIES = [
     "aiff_decode_features",
     "ogg_probe_features",
     "wav_ext_decode_features",
+    "netpbm_tga_decode_features",
 ]
 
 

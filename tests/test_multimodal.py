@@ -4562,6 +4562,95 @@ def test_wav_extensible_and_rf64():
         decode_media(bytes(bad), "audio")
 
 
+def test_netpbm_and_tga_decode():
+    """netpbm + TGA (round 17): every family member round-trips (ASCII
+    and binary, 1/2-byte samples, packed bits, raw and RLE TGA in both
+    row origins), headers honor '#' comments, maxval scaling is exact
+    (255*v//maxval), PBM 1 means black, 32-bit TGA drops alpha, the
+    TGA sniffer cannot alias other formats, and malformed rasters
+    raise."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_netpbm,
+        _decode_tga,
+        _looks_like_tga,
+        decode_media,
+        encode_netpbm,
+        encode_tga,
+    )
+
+    h, w = 7, 11
+    r = np.arange(h).reshape(-1, 1)
+    c = np.arange(w)
+    bgr = np.stack(
+        [(7 * r + 31 * c) % 256, (5 * r + 23 * c) % 256,
+         (13 * r + 37 * c) % 256], axis=2,
+    ).astype(np.uint8)
+    gray = bgr[:, :, 0]
+
+    for kind in (3, 6):
+        got = decode_media(encode_netpbm(bgr, kind), "image")
+        assert np.array_equal(
+            np.frombuffer(got["pixels"], np.uint8).reshape(h, w, 3), bgr
+        ), kind
+    # comments + arbitrary whitespace in the header
+    blob = encode_netpbm(gray, 5)
+    blob = blob.replace(b"P5\n", b"P5\n# a comment\n \t")
+    got = _decode_netpbm(blob)
+    assert got["width"] == w and got["height"] == h
+
+    # 16-bit P5: big-endian samples, 255*v//65535
+    g16 = gray.astype(np.uint16) * 257
+    got = _decode_netpbm(encode_netpbm(g16, 5, maxval=65535))
+    assert np.array_equal(
+        np.frombuffer(got["pixels"], np.uint8).reshape(h, w, 3)[:, :, 0],
+        gray,
+    )
+    # PBM: 1 = black in BOTH ASCII and packed forms
+    bits = ((r + c) % 2).astype(np.uint8)
+    for kind in (1, 4):
+        got = _decode_netpbm(encode_netpbm(bits, kind))
+        px = np.frombuffer(got["pixels"], np.uint8).reshape(h, w, 3)
+        assert np.array_equal(px[:, :, 0], (1 - bits) * 255), kind
+
+    with pytest.raises(ValueError, match="exceeds maxval"):
+        _decode_netpbm(b"P2\n2 1\n10\n5 11\n")
+    with pytest.raises(ValueError, match="truncated netpbm raster"):
+        _decode_netpbm(b"P5\n4 4\n255\n" + bytes(5))
+    with pytest.raises(ValueError, match="truncated netpbm"):
+        _decode_netpbm(b"P3\n2 1\n255\n1 2 3\n")
+
+    # TGA: 32-bit alpha dropped; colormapped raises; sniffer rejects
+    # non-TGA shapes
+    for rle in (False, True):
+        for td in (False, True):
+            got = _decode_tga(encode_tga(bgr, rle=rle, top_down=td))
+            assert np.array_equal(
+                np.frombuffer(got["pixels"], np.uint8).reshape(h, w, 3),
+                bgr,
+            ), (rle, td)
+    rgba = np.dstack([bgr, np.full((h, w), 99, np.uint8)])
+    import struct
+
+    blob32 = struct.pack(
+        "<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, w, h, 32, 0x28
+    ) + rgba.tobytes()
+    got = _decode_tga(blob32)
+    assert np.array_equal(
+        np.frombuffer(got["pixels"], np.uint8).reshape(h, w, 3), bgr
+    )
+    cmapped = struct.pack(
+        "<BBBHHBHHHHBB", 0, 1, 1, 0, 4, 24, 0, 0, w, h, 8, 0
+    ) + bytes(w * h)
+    with pytest.raises(NotImplementedError, match="colormapped"):
+        _decode_tga(cmapped)
+    assert not _looks_like_tga(b"\x00" * 18)
+    assert not _looks_like_tga(b"P6\n1 1\n255\n" + bytes(10))
+    with pytest.raises(ValueError, match="RLE"):
+        _decode_tga(encode_tga(bgr, rle=True)[:-9])
+
+
 def test_audio_content_keys_cover_layer2_and_lsf():
     """The round-17 codec routing surfaces transitively in the dedup
     keys (and hence the streaming audio-dedup face, which keys through
