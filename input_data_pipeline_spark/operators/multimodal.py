@@ -1563,20 +1563,23 @@ def _ms_adpcm_decode(
 
 
 def encode_ms_adpcm(
-    samples, n_channels: int = 1, frames_per_block: int = 128
+    samples, n_channels: int = 1, frames_per_block: int = 128,
+    predictor: int | None = None,
 ):
     """Encode interleaved int16 PCM as REAL MS ADPCM blocks — the exact
     inverse of :func:`_ms_adpcm_decode`. Per block and channel the
-    encoder trials all seven spec predictors (greedy nearest-nibble
-    quantization through the shared :func:`_ms_adpcm_step` state
-    arithmetic) and keeps the least-squared-error one; iDelta seeds
-    from the block's mean |second difference| (any int16 seed is
-    wire-valid — the header carries it). Returns ``(data, block_align,
-    recon)`` with ``recon`` the encoder's internal reconstruction
-    (int16 ndarray, interleaved) which the decoder must reproduce
-    BIT-EXACTLY — the same backward-adaptation tracking contract as the
-    G.72x gate. Frame count must be a multiple of ``frames_per_block``;
-    mono nibble counts must be even (``frames_per_block`` even)."""
+    encoder runs greedy nearest-nibble quantization through the shared
+    :func:`_ms_adpcm_step` state arithmetic; ``predictor`` pins one of
+    the seven spec predictors (any is wire-valid — the header carries
+    the index), while None trials all seven and keeps the
+    least-squared-error one (7x the work; fixture cycles pin instead).
+    iDelta seeds from the block's mean |second difference|. Returns
+    ``(data, block_align, recon)`` with ``recon`` the encoder's
+    internal reconstruction (int16 ndarray, interleaved) which the
+    decoder must reproduce BIT-EXACTLY — the same backward-adaptation
+    tracking contract as the G.72x gate. Frame count must be a
+    multiple of ``frames_per_block``; mono nibble counts must be even
+    (``frames_per_block`` even)."""
     import numpy as np
     import struct
 
@@ -1587,17 +1590,23 @@ def encode_ms_adpcm(
         raise ValueError("frames_per_block must give whole nibble bytes")
     if len(pcm) % fpb:
         raise ValueError("sample count must be a multiple of frames_per_block")
+    if predictor is not None and not 0 <= predictor <= 6:
+        raise ValueError("MS ADPCM predictor index is 0-6")
     block_align = 7 * ch + (fpb - 2) * ch // 2
     out = bytearray()
     recon = np.empty_like(pcm)
     for b0 in range(0, len(pcm), fpb):
         blk = pcm[b0 : b0 + fpb]
+        trials = (
+            range(7) if predictor is None else (predictor,)
+        )
         best = None  # (err, pidx, delta, nibbles, rec)
         for c in range(ch):
             col = blk[:, c].astype(np.int64)
             d2 = np.abs(np.diff(col, 2)) if len(col) > 2 else np.array([16])
             delta0 = int(max(16, min(32000, int(d2.mean()) // 4)))
-            for pidx, (c1, c2) in enumerate(_MS_ADPCM_COEFS):
+            for pidx in trials:
+                c1, c2 = _MS_ADPCM_COEFS[pidx]
                 state = [int(col[1]), int(col[0]), delta0, c1, c2]
                 nibbles = []
                 rec = [int(col[0]), int(col[1])]
@@ -16050,17 +16059,20 @@ def ms_adpcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MS ADPCM-in-WAV (format tag 0x0002) under the differential gate
     (round 17): per doc a deterministic sine card — mono or stereo by
     parity, sample rate and block count cycling by doc — is
-    MS-ADPCM-encoded (:func:`encode_ms_adpcm`: per-block trial of all
-    seven spec predictors, shared state arithmetic) into a
-    spec-complete WAV (WAVEFORMATEX cbSize 32 + the seven aCoef pairs
-    + the mandatory 'fact' chunk) and decoded back through
-    :func:`decode_media`'s 0x0002 arm. ``tracking_exact`` asserts the
-    standalone decoder reproduces the encoder's internal reconstruction
-    BIT-EXACTLY (any slip in the adaptation table, the
+    MS-ADPCM-encoded (:func:`encode_ms_adpcm`, the predictor pinned by
+    doc so all seven spec pairs are exercised corpus-wide at 1/7 the
+    trial cost) into a spec-complete WAV (WAVEFORMATEX cbSize 32 + the
+    seven aCoef pairs + the mandatory 'fact' chunk) and decoded back
+    through :func:`decode_media`'s 0x0002 arm. ``tracking_exact``
+    asserts the standalone decoder reproduces the encoder's internal
+    reconstruction BIT-EXACTLY (any slip in the adaptation table, the
     truncate-toward-zero predictor division, or the iDelta floor breaks
-    it); ``snr_ok`` gates reconstruction fidelity (floor 28 dB; these
-    cards measure ~40-50 dB, a broken state machine ~0). Every fifth
-    doc's 'fact' count truncates the final block's padding frames.
+    it); ``snr_ok`` gates reconstruction fidelity with PER-PREDICTOR
+    floors ~5-10 dB under each pinned pair's measured worst on these
+    cards (predictor 2 is the spec's degenerate no-prediction (0, 0)
+    pair and legitimately bottoms out ~15 dB; a broken state machine
+    measures ~0 on every predictor). Every fifth doc's 'fact' count
+    truncates the final block's padding frames.
     Container geometry hashes against the closed form. Map-only
     mapInPandas with the standard explicit core fan-out."""
     import numpy as np
@@ -16097,8 +16109,12 @@ def ms_adpcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for c in range(ch)
                 ]
                 src = np.stack(chans, axis=1).reshape(-1)
+                # pin the predictor by doc (all seven exercised
+                # corpus-wide) instead of trialling all seven per block
+                # — 7x less fixture CPU, identical wire validity
                 data, ba, recon = encode_ms_adpcm(
-                    src, n_channels=ch, frames_per_block=128
+                    src, n_channels=ch, frames_per_block=128,
+                    predictor=d % 7,
                 )
                 wav = encode_wav_ms_adpcm(data, ba, ch, rate, fact, 128)
                 meta = decode_media(wav, "audio")  # REAL MS ADPCM decode
@@ -16116,7 +16132,10 @@ def ms_adpcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["n_samples"].append(meta["n_frames"])
                 out["wav_bytes"].append(len(wav))
                 out["tracking_exact"].append(track)
-                out["snr_ok"].append(bool(snr >= 28.0))
+                # measured worst per pinned predictor on these cards:
+                # 26.6/39.5/15.4/24.3/26.7/40.3/20.1 dB
+                floor = (20.0, 33.0, 10.0, 18.0, 20.0, 33.0, 14.0)[d % 7]
+                out["snr_ok"].append(bool(snr >= floor))
             yield pd.DataFrame(out)
 
     schema = (
