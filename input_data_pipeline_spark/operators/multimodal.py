@@ -2062,6 +2062,191 @@ def encode_aiff(
     return b"FORM" + struct.pack(">I", len(body)) + body
 
 
+# --- CAF (round 17) -----------------------------------------------------------
+#
+# Apple's Core Audio Format ("caff") — the modern macOS/iOS sibling of
+# AIFF, unbounded sizes via signed-64-bit chunk lengths. The audio
+# description chunk names codecs this module already ships (lpcm in
+# every width/endianness/float combination, ulaw, alaw, ima4), so the
+# container closes with pure chunk-walk code.
+
+
+def _decode_caf(payload: bytes) -> dict:
+    """CAF decode → the uniform PCM contract. Chunk walk ('desc' must
+    precede 'data'; a -1 data size means to-end-of-file, the streaming
+    form); 'desc' carries a float64 big-endian sample rate, the codec
+    4CC, lpcm flags (bit 0 float, bit 1 little-endian), and the packet
+    geometry that sizes the decode. Codecs: lpcm (8/16/24/32-bit int,
+    float32/64, both endiannesses), ulaw/alaw (shared G.711 expanders),
+    ima4 (:func:`_ima4_decode` — CAF uses the same 34-byte blocks as
+    AIFF-C). Anything else (e.g. 'aac ') raises the named seam."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 8 or payload[:4] != b"caff":
+        raise ValueError("not a CAF payload (missing caff magic)")
+    ver, _flags = struct.unpack_from(">HH", payload, 4)
+    if ver != 1:
+        raise ValueError(f"CAF version {ver} != 1")
+    desc = None
+    data = None
+    pos = 8
+    while pos + 12 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from(">q", payload, pos + 4)
+        body0 = pos + 12
+        if size == -1:
+            if cid != b"data":
+                raise ValueError("only the CAF data chunk may be unsized")
+            size = len(payload) - body0
+        if size < 0 or body0 + size > len(payload):
+            raise ValueError("truncated CAF: chunk extends past payload")
+        if cid == b"desc":
+            if size < 32:
+                raise ValueError("CAF desc chunk must be 32 bytes")
+            rate, fmt, flags, bpp, fpp, ch, bits = struct.unpack_from(
+                ">d4sIIIII", payload, body0
+            )
+            desc = (rate, fmt, flags, bpp, fpp, ch, bits)
+        elif cid == b"data":
+            if size < 4:
+                raise ValueError("CAF data chunk missing the edit count")
+            data = payload[body0 + 4 : body0 + size]
+        pos = body0 + size
+    if desc is None or data is None:
+        raise ValueError("CAF payload missing desc or data chunk")
+    rate, fmt, flags, bpp, fpp, ch, bits = desc
+    if rate <= 0 or ch < 1:
+        raise ValueError("CAF desc rate/channels invalid")
+    irate = int(round(rate))
+    if fmt == b"lpcm":
+        is_float = bool(flags & 0x1)
+        little = bool(flags & 0x2)
+        width = bits // 8
+        if is_float and width not in (4, 8):
+            raise ValueError("CAF float lpcm must be 32- or 64-bit")
+        if not is_float and width not in (1, 2, 3, 4):
+            raise ValueError(f"CAF lpcm bit depth {bits} unsupported")
+        if bpp != width * ch or fpp != 1:
+            raise ValueError("CAF lpcm packet geometry disagrees with desc")
+        nframes = len(data) // bpp
+        raw = data[: nframes * bpp]
+        e = "<" if little else ">"
+        if is_float:
+            f = np.frombuffer(raw, f"{e}f{width}").astype(np.float64)
+            if not np.isfinite(f).all():
+                raise ValueError("non-finite CAF float sample")
+            scaled = f * 32768.0
+            pcm = np.clip(
+                np.sign(scaled) * np.floor(np.abs(scaled) + 0.5),
+                -32768, 32767,
+            ).astype(np.int16).tobytes()
+            width_out = 2
+            codec = f"pcm_f{bits}{'le' if little else 'be'}"
+        elif width == 1:
+            pcm = (
+                np.frombuffer(raw, np.int8).astype(np.int16) + 128
+            ).astype(np.uint8).tobytes()
+            width_out = 1
+            codec = "pcm_s8"
+        else:
+            pcm = (
+                raw if little
+                else (
+                    np.frombuffer(raw, f">i{width}").astype(
+                        f"<i{width}"
+                    ).tobytes()
+                    if width in (2, 4) else _swap24(raw)
+                )
+            )
+            width_out = width
+            codec = f"pcm_s{bits}{'le' if little else 'be'}"
+        return {
+            "n_channels": ch, "sample_width": width_out,
+            "frame_rate": irate, "n_frames": nframes, "pcm": pcm,
+            "codec": codec,
+        }
+    if fmt in (b"ulaw", b"alaw"):
+        law = fmt.decode()
+        nframes = len(data) // ch
+        pcm = _g711_expand(
+            np.frombuffer(data[: nframes * ch], np.uint8), law
+        )
+        return {
+            "n_channels": ch, "sample_width": 2, "frame_rate": irate,
+            "n_frames": nframes, "pcm": pcm.tobytes(), "codec": law,
+        }
+    if fmt == b"ima4":
+        if bpp != 34 * ch or fpp != 64:
+            raise ValueError("CAF ima4 packet geometry must be 34B/64")
+        nframes = len(data) // bpp * fpp
+        return {
+            "n_channels": ch, "sample_width": 2, "frame_rate": irate,
+            "n_frames": nframes,
+            "pcm": _ima4_decode(data[: nframes // 64 * bpp], ch, nframes),
+            "codec": "ima4",
+        }
+    raise NotImplementedError(
+        f"CAF format {fmt!r} requires external media libraries (SURVEY "
+        "§2.10 U1/U2); lpcm/ulaw/alaw/ima4 decode"
+    )
+
+
+def encode_caf(
+    samples, frame_rate: int, fmt: bytes = b"lpcm",
+    n_channels: int = 1, width: int = 2, little: bool = False,
+    is_float: bool = False, unsized_data: bool = False,
+) -> bytes:
+    """Assemble a REAL CAF file — the exact inverse of
+    :func:`_decode_caf`. ``samples`` is interleaved int16 PCM; lpcm
+    writes it at ``width``/``little``/``is_float`` (floats are exact:
+    int16/32768 fits binary32), ulaw/alaw compress via the shared
+    G.711 kernels, ima4 via :func:`encode_ima4`. ``unsized_data``
+    writes the streaming-form data chunk (size -1, to end of file)."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype=np.int16)
+    ch = n_channels
+    if len(pcm) % ch:
+        raise ValueError("sample count not a whole number of frames")
+    if fmt == b"lpcm":
+        flags = (0x1 if is_float else 0) | (0x2 if little else 0)
+        e = "<" if little else ">"
+        if is_float:
+            data = (
+                pcm.astype(np.float64) / 65536.0 * 2.0
+            ).astype(f"{e}f{width}").tobytes() if width == 8 else (
+                pcm.astype(np.float32) / np.float32(32768.0)
+            ).astype(f"{e}f4").tobytes()
+            bits = width * 8
+        elif width == 1:
+            data = (pcm >> 8).astype(np.int8).tobytes()
+            bits = 8
+        else:
+            data = pcm.astype(f"{e}i2").tobytes()
+            bits = 16
+        bpp, fpp = (bits // 8) * ch, 1
+    elif fmt in (b"ulaw", b"alaw"):
+        data = _g711_compress(pcm, fmt.decode()).tobytes()
+        flags, bits, bpp, fpp = 0, 8, ch, 1
+    elif fmt == b"ima4":
+        data, _ = encode_ima4(pcm, n_channels=ch)
+        flags, bits, bpp, fpp = 0, 16, 34 * ch, 64
+    else:
+        raise ValueError(f"encode_caf format {fmt!r} unsupported")
+    desc = struct.pack(
+        ">d4sIIIII", float(frame_rate), fmt, flags, bpp, fpp, ch, bits
+    )
+    out = b"caff" + struct.pack(">HH", 1, 0)
+    out += b"desc" + struct.pack(">q", len(desc)) + desc
+    dsize = -1 if unsized_data else 4 + len(data)
+    out += b"data" + struct.pack(">q", dsize) + struct.pack(">I", 0) + data
+    return out
+
+
 # JPEG zig-zag scan order (ITU-T T.81 Figure 5): index i of the entropy
 # stream maps to _JPEG_ZIGZAG[i] in row-major 8x8 block order.
 _JPEG_ZIGZAG = [
@@ -4394,6 +4579,10 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
         # round 17: the big-endian Apple interchange container —
         # PCM/sowt/fl32/fl64/ulaw/alaw/ima4 all decode for real
         return _decode_aiff(payload)
+    if payload[:4] == b"caff":
+        # round 17: Apple Core Audio Format — lpcm (every combination),
+        # ulaw/alaw, ima4 all decode for real
+        return _decode_caf(payload)
     if payload[:4] == b"OggS":
         raise NotImplementedError(
             "Ogg Opus/Vorbis sample decode requires external media "
@@ -6371,6 +6560,25 @@ def probe_audio(payload: bytes) -> dict:
     if payload[:4] == b"OggS":
         # round 17: RFC 3533 page walk + ident-header codec routing
         return _probe_ogg(payload)
+    if payload[:4] == b"caff":
+        # round 17: desc-chunk probe via the full walk (cheap: CAF data
+        # is not parsed, only sliced)
+        m = _decode_caf(payload)
+        return {
+            "container": "caf",
+            "sample_rate": m["frame_rate"],
+            "n_channels": m["n_channels"],
+            "n_frames": m["n_frames"],
+            "duration_ms": (
+                m["n_frames"] * 1000 // m["frame_rate"]
+                if m["n_frames"] and m["frame_rate"] else None
+            ),
+            "mean_bitrate_kbps": (
+                len(payload) * 8 * m["frame_rate"]
+                // (m["n_frames"] * 1000) if m["n_frames"] else None
+            ),
+            "vbr": False,
+        }
     if len(payload) >= 12 and payload[:4] == b"FORM" and payload[8:12] in (
         b"AIFF", b"AIFC"
     ):
@@ -16297,6 +16505,150 @@ def aiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, codec string, container string, n_samples long, "
         "n_channels long, sample_rate long, aiff_bytes long, "
         "pcm_exact boolean, snr_ok boolean"
+    )
+    return docs.mapInPandas(run, schema)
+
+
+@register(
+    "caf_decode_features",
+    oracle="""
+    WITH p AS (
+        SELECT d.doc_id,
+               CAST(d.doc_id % 8 AS INTEGER) AS v,
+               64 * (3 + d.doc_id % 3) AS n,
+               CASE WHEN d.doc_id % 3 = 0 THEN 2 ELSE 1 END AS ch
+        FROM documents d
+    )
+    SELECT doc_id,
+           CASE v WHEN 0 THEN 'pcm_s16be' WHEN 1 THEN 'pcm_s16le'
+                  WHEN 2 THEN 'pcm_f32le' WHEN 3 THEN 'pcm_f64be'
+                  WHEN 4 THEN 'pcm_s8' WHEN 5 THEN 'ulaw'
+                  WHEN 6 THEN 'alaw' ELSE 'ima4' END AS codec,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(ch AS BIGINT) AS n_channels,
+           CAST(CASE CAST(doc_id % 3 AS INTEGER)
+                WHEN 0 THEN 16000 WHEN 1 THEN 22050
+                ELSE 44100 END AS BIGINT) AS sample_rate,
+           CAST(68 + CASE v WHEN 0 THEN 2 * n * ch WHEN 1 THEN 2 * n * ch
+                            WHEN 2 THEN 4 * n * ch WHEN 3 THEN 8 * n * ch
+                            WHEN 4 THEN n * ch WHEN 5 THEN n * ch
+                            WHEN 6 THEN n * ch
+                            ELSE (n // 64) * 34 * ch END
+                AS BIGINT) AS caf_bytes,
+           TRUE AS pcm_exact,
+           TRUE AS snr_ok
+    FROM p
+    ORDER BY doc_id
+    """,
+)
+def caf_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apple CAF under the differential gate (round 17): per doc a
+    deterministic sine card — stereo every third doc, frame count a
+    64-multiple so ima4 shares the geometry — is written through
+    :func:`encode_caf` cycling EIGHT variants (lpcm int16 both
+    endiannesses, float32 LE, float64 BE, signed 8-bit, mu-law, A-law,
+    ima4; every seventh doc uses the unsized streaming-form data
+    chunk) and decoded back through :func:`decode_media`'s caff arm
+    (chunk walk, float64 BE sample rate, lpcm flag decoding, packet
+    geometry validation). ``pcm_exact`` asserts the decoded PCM equals
+    the variant's independently computed expectation; ``snr_ok`` gates
+    fidelity against the SOURCE with per-variant floors (ima4 past its
+    one-block attack transient, 8-bit at its quantization bound).
+    Container geometry hashes against the closed form. Map-only
+    mapInPandas with the standard explicit core fan-out."""
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        kw = (
+            dict(width=2), dict(width=2, little=True),
+            dict(width=4, is_float=True, little=True),
+            dict(width=8, is_float=True), dict(width=1), {}, {}, {},
+        )
+        fmts = (b"lpcm", b"lpcm", b"lpcm", b"lpcm", b"lpcm", b"ulaw",
+                b"alaw", b"ima4")
+        rates = (16000, 22050, 44100)
+        floors = {4: 8.0, 5: 30.0, 6: 30.0, 7: 20.0}
+        for pdf in batches:
+            out = {
+                "doc_id": [], "codec": [], "n_samples": [],
+                "n_channels": [], "sample_rate": [], "caf_bytes": [],
+                "pcm_exact": [], "snr_ok": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                v = d % 8
+                ch = 2 if d % 3 == 0 else 1
+                rate = rates[d % 3]
+                n = 64 * (3 + d % 3)
+                amp = 2550.0 + 85.0 * (d % 9)
+                period = 18 + d % 15
+                i = np.arange(n, dtype=np.float64)
+                chans = [
+                    np.round(
+                        amp * np.sin(2.0 * np.pi * (i + 6.0 * c) / period)
+                    ).astype(np.int16)
+                    for c in range(ch)
+                ]
+                src = np.stack(chans, axis=1).reshape(-1)
+                blob = encode_caf(
+                    src, rate, fmt=fmts[v], n_channels=ch,
+                    unsized_data=(d % 7 == 2), **kw[v],
+                )
+                meta = decode_media(blob, "audio")  # REAL CAF decode
+                if meta["sample_width"] == 2:
+                    pcm = np.frombuffer(meta["pcm"], "<i2")
+                else:
+                    pcm = np.frombuffer(meta["pcm"], np.uint8)
+                if v in (0, 1, 2, 3):
+                    expect = src
+                elif v == 4:
+                    expect = (
+                        (src.astype(np.int16) >> 8).astype(np.int16) + 128
+                    ).astype(np.uint8)
+                elif v in (5, 6):
+                    law = "ulaw" if v == 5 else "alaw"
+                    expect = _g711_expand(_g711_compress(src, law), law)
+                else:
+                    _, expect = encode_ima4(src, n_channels=ch)
+                exact = bool(np.array_equal(pcm, expect))
+                floor = floors.get(v)
+                if floor is None:
+                    snr_ok = exact
+                else:
+                    skip = 64 * ch if v == 7 else 0
+                    a = (
+                        (pcm.astype(np.float64) - 128.0) * 256.0
+                        if v == 4 else pcm.astype(np.float64)
+                    )[skip:]
+                    b = src.astype(np.float64)[skip:]
+                    err = a - b
+                    snr = 10.0 * np.log10(
+                        max((b * b).mean(), 1e-12)
+                        / max((err * err).mean(), 1e-12)
+                    )
+                    snr_ok = bool(snr >= floor)
+                out["doc_id"].append(d)
+                out["codec"].append(meta["codec"])
+                out["n_samples"].append(meta["n_frames"])
+                out["n_channels"].append(meta["n_channels"])
+                out["sample_rate"].append(meta["frame_rate"])
+                out["caf_bytes"].append(len(blob))
+                out["pcm_exact"].append(exact)
+                out["snr_ok"].append(snr_ok)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, codec string, n_samples long, n_channels long, "
+        "sample_rate long, caf_bytes long, pcm_exact boolean, "
+        "snr_ok boolean"
     )
     return docs.mapInPandas(run, schema)
 

@@ -106,6 +106,7 @@ QUERIES = [
     "ogg_probe_features",
     "wav_ext_decode_features",
     "netpbm_tga_decode_features",
+    "caf_decode_features",
 ]
 
 
@@ -220,6 +221,7 @@ ANSI_QUERIES = [
     "ogg_probe_features",
     "wav_ext_decode_features",
     "netpbm_tga_decode_features",
+    "caf_decode_features",
 ]
 
 

