@@ -3924,6 +3924,157 @@ def _decode_avi(payload: bytes, probe: bool = False) -> dict:
     return out
 
 
+# Y4M colorspaces this decoder accepts, with per-frame chroma plane
+# geometry as (width divisor, height divisor); None = no chroma planes.
+_Y4M_CHROMA = {
+    b"C444": (1, 1),
+    b"C422": (2, 1),
+    b"C420jpeg": (2, 2),  # centered siting: nearest replication is exact
+    b"Cmono": None,
+}
+
+
+def _decode_y4m(payload: bytes) -> dict:
+    """YUV4MPEG2 decode (the raw-video interchange format of codec and
+    ML pipelines) into the SAME contract as :func:`_decode_avi`:
+    ``width/height/n_frames/usec_per_frame/frames`` with each frame a
+    bottom-up padded 24-bit BGR DIB. Stream header parameters W/H/F
+    (frame rate as a num:den rational) are required; colorspaces
+    C444/C422/C420jpeg/Cmono decode (other sitings — C420mpeg2,
+    C420paldv — raise by name: their half-pel chroma offsets need a
+    resampling filter, not replication). BT.601 conversion runs
+    FULL-range when the stream carries XCOLORRANGE=FULL (the ffmpeg
+    extension) and the Y4M-conventional LIMITED range (Y 16-235,
+    C 16-240) otherwise."""
+    import numpy as np
+
+    nl = payload.find(b"\n")
+    if not payload.startswith(b"YUV4MPEG2") or nl < 0:
+        raise ValueError("not a Y4M payload (missing YUV4MPEG2 magic)")
+    w = h = None
+    num = den = None
+    cs = b"C420jpeg"  # the spec default colorspace is 4:2:0
+    full_range = False
+    for tokenb in payload[9:nl].split():
+        if tokenb[:1] == b"W":
+            w = int(tokenb[1:])
+        elif tokenb[:1] == b"H":
+            h = int(tokenb[1:])
+        elif tokenb[:1] == b"F":
+            num, den = (int(x) for x in tokenb[1:].split(b":"))
+        elif tokenb[:1] == b"C":
+            cs = tokenb
+        elif tokenb == b"XCOLORRANGE=FULL":
+            full_range = True
+        # I (interlacing) and A (aspect) params don't affect plane decode
+    if not w or not h or not num or not den:
+        raise ValueError("Y4M header missing W/H/F parameters")
+    if cs not in _Y4M_CHROMA:
+        raise NotImplementedError(
+            f"Y4M colorspace {cs.decode(errors='replace')} is not "
+            "implemented (C420mpeg2/C420paldv siting needs a chroma "
+            "resampling filter); C444/C422/C420jpeg/Cmono decode"
+        )
+    sub = _Y4M_CHROMA[cs]
+    ysz = w * h
+    csz = 0 if sub is None else ((w + sub[0] - 1) // sub[0]) * (
+        (h + sub[1] - 1) // sub[1]
+    )
+    fsz = ysz + 2 * csz
+    stride = (w * 3 + 3) // 4 * 4
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if not payload[pos:].startswith(b"FRAME") or fnl < 0:
+            raise ValueError("Y4M frame boundary missing FRAME marker")
+        body0 = fnl + 1
+        if body0 + fsz > len(payload):
+            raise ValueError("truncated Y4M frame")
+        y = np.frombuffer(
+            payload[body0 : body0 + ysz], np.uint8
+        ).reshape(h, w).astype(np.float64)
+        if sub is None:
+            cb = cr = None
+        else:
+            cw = (w + sub[0] - 1) // sub[0]
+            chh = (h + sub[1] - 1) // sub[1]
+            cb = np.frombuffer(
+                payload[body0 + ysz : body0 + ysz + csz], np.uint8
+            ).reshape(chh, cw)
+            cr = np.frombuffer(
+                payload[body0 + ysz + csz : body0 + fsz], np.uint8
+            ).reshape(chh, cw)
+            cb = cb.repeat(sub[1], 0).repeat(sub[0], 1)[:h, :w].astype(
+                np.float64
+            )
+            cr = cr.repeat(sub[1], 0).repeat(sub[0], 1)[:h, :w].astype(
+                np.float64
+            )
+        if not full_range:
+            y = (y - 16.0) * (255.0 / 219.0)
+            if cb is not None:
+                cb = (cb - 128.0) * (255.0 / 224.0)
+                cr = (cr - 128.0) * (255.0 / 224.0)
+        elif cb is not None:
+            cb = cb - 128.0
+            cr = cr - 128.0
+        if cb is None:
+            bgr = np.repeat(
+                np.clip(np.round(y), 0, 255).astype(np.uint8)[:, :, None],
+                3, axis=2,
+            )
+        else:
+            bgr = np.stack(
+                [
+                    y + 1.772 * cb,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.402 * cr,
+                ],
+                axis=2,
+            )
+            bgr = np.clip(np.round(bgr), 0, 255).astype(np.uint8)
+        dib = np.zeros((h, stride), np.uint8)
+        dib[:, : w * 3] = bgr.reshape(h, w * 3)[::-1]
+        frames.append(dib.tobytes())
+        pos = body0 + fsz
+    return {
+        "width": w,
+        "height": h,
+        "bit_count": 24,
+        "n_frames": len(frames),
+        "usec_per_frame": den * 1_000_000 // num,
+        "frames": frames,
+    }
+
+
+def encode_y4m(
+    yuv_frames, frame_rate=(25, 1), colorspace: bytes = b"C444",
+    full_range: bool = True,
+) -> bytes:
+    """Assemble a REAL YUV4MPEG2 stream — the fixture inverse of
+    :func:`_decode_y4m`. ``yuv_frames`` is a list of (y, cb, cr) uint8
+    plane triples (cb/cr None for Cmono), each plane already at the
+    colorspace's subsampled geometry."""
+    import numpy as np
+
+    num, den = frame_rate
+    hdr = b"YUV4MPEG2 "
+    y0 = np.asarray(yuv_frames[0][0], np.uint8)
+    h, w = y0.shape
+    hdr += b"W%d H%d F%d:%d Ip A1:1 %s" % (w, h, num, den, colorspace)
+    if full_range:
+        hdr += b" XCOLORRANGE=FULL"
+    out = bytearray(hdr + b"\n")
+    for y, cb, cr in yuv_frames:
+        out += b"FRAME\n"
+        out += np.asarray(y, np.uint8).tobytes()
+        if cb is not None:
+            out += np.asarray(cb, np.uint8).tobytes()
+            out += np.asarray(cr, np.uint8).tobytes()
+    return bytes(out)
+
+
 def _probe_mp4(payload: bytes) -> dict:
     """ISO BMFF (MP4/MOV) container METADATA probe with stdlib ``struct``
     — no codec needed for metadata: a box walk (ISO/IEC 14496-12 §4.2,
@@ -4435,9 +4586,45 @@ def probe_video(payload: bytes) -> dict:
             "duration_ms": m["duration_ms"],
             "n_tracks": m["n_tracks"],
         }
+    if payload.startswith(b"YUV4MPEG2"):
+        # round 17: header-line parse + frame-size arithmetic only — the
+        # frame count falls out of the byte length, no plane is touched
+        import struct as _struct
+
+        nl = payload.find(b"\n")
+        w = h = num = den = None
+        cs = b"C420jpeg"
+        for tok in payload[9:nl].split():
+            if tok[:1] == b"W":
+                w = int(tok[1:])
+            elif tok[:1] == b"H":
+                h = int(tok[1:])
+            elif tok[:1] == b"F":
+                num, den = (int(x) for x in tok[1:].split(b":"))
+            elif tok[:1] == b"C":
+                cs = tok
+        if not w or not h or not num or not den:
+            raise ValueError("Y4M header missing W/H/F parameters")
+        sub = _Y4M_CHROMA.get(cs)
+        csz = (
+            0 if sub is None and cs == b"Cmono"
+            else ((w + 1) // 2) * ((h + 1) // 2) if sub is None
+            else ((w + sub[0] - 1) // sub[0])
+            * ((h + sub[1] - 1) // sub[1])
+        )
+        per = 6 + w * h + 2 * csz  # "FRAME\n" + planes
+        nf = (len(payload) - nl - 1) // per
+        return {
+            "container": "y4m",
+            "width": w,
+            "height": h,
+            "n_frames": nf,
+            "duration_ms": nf * (den * 1_000_000 // num) // 1000,
+            "n_tracks": 1,
+        }
     raise NotImplementedError(
-        "probe of non-AVI/MP4 video containers requires external media "
-        "libraries (SURVEY §2.10 U1/U2)"
+        "probe of non-AVI/MP4/Y4M video containers requires external "
+        "media libraries (SURVEY §2.10 U1/U2)"
     )
 
 
@@ -4560,6 +4747,9 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
     if modality == "video":
         if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
             return _decode_avi(payload)
+        if payload.startswith(b"YUV4MPEG2"):
+            # round 17: raw planar YUV interchange — full sample decode
+            return _decode_y4m(payload)
         raise NotImplementedError(
             "real decode of non-AVI video requires external media "
             "libraries; wire ffmpeg here on a real cluster (SURVEY §2.10 U1/U2)"
@@ -16649,6 +16839,151 @@ def caf_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, codec string, n_samples long, n_channels long, "
         "sample_rate long, caf_bytes long, pcm_exact boolean, "
         "snr_ok boolean"
+    )
+    return docs.mapInPandas(run, schema)
+
+
+@register(
+    "y4m_decode_features",
+    oracle="""
+    WITH p AS (
+        SELECT d.doc_id,
+               CAST(d.doc_id % 4 AS INTEGER) AS v,
+               2 + d.doc_id % 3 AS nf,
+               8 + 2 * (d.doc_id % 4) AS w,
+               6 + 2 * (d.doc_id % 3) AS h,
+               CASE CAST(d.doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 25 WHEN 1 THEN 30 ELSE 24 END AS fps
+        FROM documents d
+    ),
+    px AS (
+        SELECT p.doc_id, p.v, p.nf, p.w, p.h, p.fps,
+               CASE WHEN p.v = 3 THEN
+                   LEAST(255, GREATEST(0, ROUND(
+                       ((19 * p.doc_id + 7 * g.r + 31 * g.c + 11 * g.t)
+                        % 256 - 16) * 255.0 / 219.0)))
+               ELSE (19 * p.doc_id + 7 * g.r + 31 * g.c + 11 * g.t) % 256
+               END AS y
+        FROM p,
+             LATERAL (SELECT unnest(generate_series(0, p.nf - 1)) AS t) gt,
+             LATERAL (SELECT unnest(generate_series(0, p.h - 1)) AS r) gr,
+             LATERAL (SELECT unnest(generate_series(0, p.w - 1)) AS c) gc,
+             LATERAL (SELECT gt.t AS t, gr.r AS r, gc.c AS c) g
+    )
+    SELECT doc_id,
+           CASE v WHEN 0 THEN 'c444' WHEN 1 THEN 'c420jpeg'
+                  WHEN 2 THEN 'cmono' ELSE 'c444_limited' END AS variant,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(1000000 // fps AS BIGINT) AS usec_per_frame,
+           CAST(CAST(SUM(y) AS BIGINT) // (nf * w * h) AS BIGINT)
+               AS mean_px,
+           TRUE AS chroma_ok
+    FROM px GROUP BY doc_id, v, nf, w, h, fps ORDER BY doc_id
+    """,
+)
+def y4m_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YUV4MPEG2 under the differential gate (round 17): per doc a
+    closed-form luma card over 2-4 frames is written through
+    :func:`encode_y4m` cycling C444 / C420jpeg / Cmono full-range and
+    C444 LIMITED-range (the Y4M convention without XCOLORRANGE=FULL) —
+    neutral chroma, so the decoded gray channel is the exact Y (or the
+    exact limited-range expansion, no rounding ties by construction)
+    and the oracle recomputes its mean closed-form across every frame.
+    ``chroma_ok`` separately feeds one NON-neutral C444 frame through
+    the decoder and checks the full BT.601 matrix against an
+    independent in-kernel reference, so neutral-chroma stats can't mask
+    a matrix slip. Frame geometry (count from the byte stream, usec
+    per frame from the F rational) hashes against the closed form.
+    Map-only mapInPandas with the standard explicit core fan-out."""
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        names = ("c444", "c420jpeg", "cmono", "c444_limited")
+        for pdf in batches:
+            out = {
+                "doc_id": [], "variant": [], "width": [], "height": [],
+                "n_frames": [], "usec_per_frame": [], "mean_px": [],
+                "chroma_ok": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                v = d % 4
+                nf = 2 + d % 3
+                w, h = 8 + 2 * (d % 4), 6 + 2 * (d % 3)
+                fps = (25, 30, 24)[d % 3]
+                r = np.arange(h, dtype=np.int64).reshape(-1, 1)
+                c = np.arange(w, dtype=np.int64)
+                ys = [
+                    ((19 * d + 7 * r + 31 * c + 11 * t) % 256).astype(
+                        np.uint8
+                    )
+                    for t in range(nf)
+                ]
+                if v == 0 or v == 3:
+                    neutral = np.full((h, w), 128, np.uint8)
+                    frames = [(y, neutral, neutral) for y in ys]
+                    cs, full = b"C444", v == 0
+                elif v == 1:
+                    n2 = np.full((h // 2, w // 2), 128, np.uint8)
+                    frames = [(y, n2, n2) for y in ys]
+                    cs, full = b"C420jpeg", True
+                else:
+                    frames = [(y, None, None) for y in ys]
+                    cs, full = b"Cmono", True
+                blob = encode_y4m(
+                    frames, frame_rate=(fps, 1), colorspace=cs,
+                    full_range=full,
+                )
+                m = decode_media(blob, "video")  # REAL Y4M decode
+                stride = (w * 3 + 3) // 4 * 4
+                total = 0
+                for f in m["frames"]:
+                    a = np.frombuffer(f, np.uint8).reshape(h, stride)
+                    total += int(a[:, 0 : w * 3 : 3].astype(np.int64).sum())
+                # chroma leg: one colored C444 frame vs an independent
+                # BT.601 reference computed here from the same planes
+                cb = ((r + 2 * c + d) % 256).astype(np.uint8)
+                cr = ((3 * r + c + d) % 256).astype(np.uint8)
+                cblob = encode_y4m(
+                    [(ys[0], cb, cr)], colorspace=b"C444",
+                    full_range=True,
+                )
+                cm = decode_media(cblob, "video")
+                got = np.frombuffer(
+                    cm["frames"][0], np.uint8
+                ).reshape(h, stride)[:, : w * 3][::-1].reshape(h, w, 3)
+                yf = ys[0].astype(np.float64)
+                cbf = cb.astype(np.float64) - 128.0
+                crf = cr.astype(np.float64) - 128.0
+                ref = np.clip(np.round(np.stack([
+                    yf + 1.772 * cbf,
+                    yf - 0.344136 * cbf - 0.714136 * crf,
+                    yf + 1.402 * crf,
+                ], axis=2)), 0, 255).astype(np.uint8)
+                out["doc_id"].append(d)
+                out["variant"].append(names[v])
+                out["width"].append(m["width"])
+                out["height"].append(m["height"])
+                out["n_frames"].append(m["n_frames"])
+                out["usec_per_frame"].append(m["usec_per_frame"])
+                out["mean_px"].append(total // (nf * w * h))
+                out["chroma_ok"].append(bool(np.array_equal(got, ref)))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, variant string, width long, height long, "
+        "n_frames long, usec_per_frame long, mean_px long, "
+        "chroma_ok boolean"
     )
     return docs.mapInPandas(run, schema)
 

@@ -107,6 +107,7 @@ QUERIES = [
     "wav_ext_decode_features",
     "netpbm_tga_decode_features",
     "caf_decode_features",
+    "y4m_decode_features",
 ]
 
 
@@ -222,6 +223,7 @@ ANSI_QUERIES = [
     "wav_ext_decode_features",
     "netpbm_tga_decode_features",
     "caf_decode_features",
+    "y4m_decode_features",
 ]
 
 

@@ -4722,6 +4722,74 @@ def test_caf_container_and_codecs():
         _decode_caf(bytes(blob))
 
 
+def test_y4m_decode():
+    """Y4M (round 17): header parse (W/H/F + colorspace + the ffmpeg
+    XCOLORRANGE extension), per-frame plane slicing for
+    C444/C422/C420jpeg/Cmono, full- vs limited-range BT.601, nearest
+    chroma replication, DIB frame contract shared with AVI (bottom-up
+    padded rows — sample_video_frames consumes Y4M unchanged), probe
+    without touching planes, and named seams for siting variants."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_y4m,
+        decode_media,
+        encode_y4m,
+        probe_video,
+    )
+
+    h, w = 6, 10
+    r = np.arange(h).reshape(-1, 1)
+    c = np.arange(w)
+    Y = ((7 * r + 31 * c) % 256).astype(np.uint8)
+    neutral = np.full((h, w), 128, np.uint8)
+
+    def top_down(frame):
+        stride = (w * 3 + 3) // 4 * 4
+        a = np.frombuffer(frame, np.uint8).reshape(h, stride)[:, : w * 3]
+        return a[::-1].reshape(h, w, 3)
+
+    # full-range neutral chroma: gray == Y exactly, all colorspaces
+    for cs, mk in [
+        (b"C444", lambda: (Y, neutral, neutral)),
+        (b"C422", lambda: (Y, neutral[:, ::2], neutral[:, ::2])),
+        (b"C420jpeg", lambda: (Y, neutral[::2, ::2], neutral[::2, ::2])),
+        (b"Cmono", lambda: (Y, None, None)),
+    ]:
+        m = decode_media(
+            encode_y4m([mk()], colorspace=cs, full_range=True), "video"
+        )
+        assert np.array_equal(top_down(m["frames"][0])[:, :, 0], Y), cs
+    # limited range expands 16-235 to full swing
+    m = decode_media(
+        encode_y4m([(Y, neutral, neutral)], colorspace=b"C444",
+                   full_range=False), "video",
+    )
+    exp = np.clip(
+        np.round((Y.astype(np.float64) - 16.0) * 255.0 / 219.0), 0, 255
+    ).astype(np.uint8)
+    assert np.array_equal(top_down(m["frames"][0])[:, :, 0], exp)
+
+    # frame pacing + probe + the shared downstream kernel
+    frames = [(np.roll(Y, t, 1), neutral, neutral) for t in range(5)]
+    blob = encode_y4m(frames, frame_rate=(30, 1), colorspace=b"C444")
+    m = decode_media(blob, "video")
+    assert m["n_frames"] == 5 and m["usec_per_frame"] == 33333
+    pr = probe_video(blob)
+    assert pr["container"] == "y4m" and pr["n_frames"] == 5
+    assert pr["duration_ms"] == 5 * 33333 // 1000
+
+    with pytest.raises(NotImplementedError, match="C420mpeg2"):
+        _decode_y4m(blob.replace(b"C444", b"C420mpeg2", 1))
+    with pytest.raises(ValueError, match="truncated Y4M frame"):
+        _decode_y4m(blob[:-3])
+    with pytest.raises(ValueError, match="FRAME marker"):
+        _decode_y4m(blob[: blob.index(b"FRAME")] + b"JUNK!\n" +
+                    blob[blob.index(b"FRAME") + 6:])
+    with pytest.raises(ValueError, match="W/H/F"):
+        _decode_y4m(b"YUV4MPEG2 W8 H8\nFRAME\n" + bytes(64))
+
+
 def test_audio_content_keys_cover_layer2_and_lsf():
     """The round-17 codec routing surfaces transitively in the dedup
     keys (and hence the streaming audio-dedup face, which keys through

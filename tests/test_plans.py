@@ -612,6 +612,7 @@ def test_decode_gate_plans_have_no_trailing_sort(spark, sf_dir):
         ms_adpcm_decode_features,
         caf_decode_features,
         netpbm_tga_decode_features,
+        y4m_decode_features,
         ogg_probe_features,
         wav_ext_decode_features,
     )
@@ -631,6 +632,7 @@ def test_decode_gate_plans_have_no_trailing_sort(spark, sf_dir):
         wav_ext_decode_features,
         netpbm_tga_decode_features,
         caf_decode_features,
+        y4m_decode_features,
     ):
         plan = _executed_plan(q(spark, sf_dir))
         if q.__name__ != "pii_redaction_stats":  # pii is fully JVM-side
