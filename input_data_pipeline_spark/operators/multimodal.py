@@ -1316,34 +1316,166 @@ def _ima_adpcm_decode_block(data: bytes, pred: int, index: int) -> list[int]:
     return out
 
 
-def _decode_ima_adpcm(data: bytes, block_align: int, n_frames: int | None) -> bytes:
-    """Mono IMA ADPCM 'data' chunk → int16 LE PCM bytes. Each block is a
-    4-byte header (int16 predictor — also the block's FIRST output
-    sample — uint8 step index, reserved) followed by low-nibble-first
-    sample nibbles. ``n_frames`` (the 'fact' chunk count) truncates the
-    final block's tail padding when present."""
+def _decode_ima_adpcm(
+    data: bytes, block_align: int, n_frames: int | None,
+    n_channels: int = 1,
+) -> bytes:
+    """IMA ADPCM 'data' chunk → interleaved int16 LE PCM bytes. Each
+    block opens with a 4-byte header PER CHANNEL (int16 predictor —
+    also that channel's FIRST output sample — uint8 step index,
+    reserved); mono data then runs low-nibble-first, while stereo
+    (round 17) interleaves 4-BYTE WORDS per channel — 8 samples of
+    channel 0, 8 of channel 1, ... — per the IMA/Microsoft multi-channel
+    layout. ``n_frames`` (the 'fact' chunk count) truncates the final
+    block's tail padding when present."""
     import struct
 
-    if block_align < 5:
+    ch = n_channels
+    if ch not in (1, 2):
+        raise ValueError(f"IMA ADPCM supports mono/stereo, got {ch}ch")
+    if block_align < (5 if ch == 1 else 16):
         raise ValueError(f"IMA ADPCM block align {block_align} too small")
-    samples: list[int] = []
-    for at in range(0, len(data) - len(data) % block_align, block_align):
-        pred, index, _rsvd = struct.unpack_from("<hBB", data, at)
-        if index > 88:
-            raise ValueError(f"IMA ADPCM step index {index} out of range")
-        samples.append(pred)
-        samples.extend(
-            _ima_adpcm_decode_block(data[at + 4 : at + block_align], pred, index)
+    if ch == 2 and (block_align - 8) % 8:
+        raise ValueError(
+            "stereo IMA ADPCM data must be whole 4-byte channel words"
         )
-    if n_frames is not None:
-        if n_frames > len(samples):
-            raise ValueError(
-                f"IMA ADPCM fact count {n_frames} exceeds decoded {len(samples)}"
+    frames: list[int] = []  # interleaved
+    for at in range(0, len(data) - len(data) % block_align, block_align):
+        states = []
+        for c in range(ch):
+            pred, index, _rsvd = struct.unpack_from("<hBB", data, at + 4 * c)
+            if index > 88:
+                raise ValueError(
+                    f"IMA ADPCM step index {index} out of range"
+                )
+            states.append((pred, index))
+        frames.extend(p for p, _ in states)
+        body = data[at + 4 * ch : at + block_align]
+        if ch == 1:
+            frames.extend(
+                _ima_adpcm_decode_block(body, states[0][0], states[0][1])
             )
-        samples = samples[:n_frames]
+        else:
+            cols = [[], []]
+            st = list(states)
+            for w0 in range(0, len(body), 8):
+                for c in range(2):
+                    word = body[w0 + 4 * c : w0 + 4 * c + 4]
+                    out = _ima_adpcm_decode_block(word, *st[c])
+                    # carry (pred, index) across words: re-derive index
+                    # by replaying is wasteful, so track via the last
+                    # sample + the block decoder's own state walk
+                    cols[c].extend(out)
+                    st[c] = (out[-1], _ima_index_after(word, st[c][1]))
+            for k in range(len(cols[0])):
+                frames.append(cols[0][k])
+                frames.append(cols[1][k])
+    if n_frames is not None:
+        if n_frames * ch > len(frames):
+            raise ValueError(
+                f"IMA ADPCM fact count {n_frames} exceeds decoded "
+                f"{len(frames) // ch}"
+            )
+        frames = frames[: n_frames * ch]
     import numpy as np
 
-    return np.asarray(samples, dtype=np.int16).tobytes()
+    return np.asarray(frames, dtype=np.int16).tobytes()
+
+
+def _ima_index_after(data: bytes, index: int) -> int:
+    """The IMA step index after consuming ``data``'s nibbles from
+    ``index`` — state carry for the stereo word interleave."""
+    for byte in data:
+        for n in (byte & 0x0F, byte >> 4):
+            index = max(0, min(88, index + _IMA_INDEX_ADJ[n & 0x07]))
+    return index
+
+
+def encode_ima_wav(
+    samples, n_channels: int = 1, frames_per_block: int = 505,
+    frame_rate: int = 8000, n_frames: int | None = None,
+) -> bytes:
+    """Encode interleaved int16 PCM as a REAL IMA-ADPCM WAV — the exact
+    inverse of :func:`_decode_ima_adpcm`'s arm (mono low-nibble-first
+    stream; stereo 4-byte channel-word interleave). Each block's header
+    carries its first frame verbatim plus the carried step index, and
+    the quantizer advances through the DECODER's own expansion so any
+    conforming decoder reproduces the returned stream exactly. Frame
+    count must be a multiple of ``frames_per_block``; the block's
+    nibble payload must pack into whole bytes (mono) or whole 4-byte
+    words (stereo): frames_per_block of the form 8k+1 works for both."""
+    import struct
+
+    import numpy as np
+
+    ch = n_channels
+    pcm = np.asarray(samples, dtype=np.int16).reshape(-1, ch)
+    fpb = frames_per_block
+    if (fpb - 1) % (2 if ch == 1 else 8):
+        raise ValueError("frames_per_block must pack whole nibble words")
+    if len(pcm) % fpb:
+        raise ValueError("sample count must be a multiple of frames_per_block")
+    block_align = 4 * ch + (fpb - 1) * ch // 2
+    out = bytearray()
+    index = [0] * ch
+    for b0 in range(0, len(pcm), fpb):
+        nib = [[] for _ in range(ch)]
+        for c in range(ch):
+            pred = int(pcm[b0, c])
+            out += struct.pack("<hBB", pred, index[c], 0)
+            for t in range(1, fpb):
+                s = int(pcm[b0 + t, c])
+                step = _IMA_STEPS[index[c]]
+                diff = s - pred
+                n = 0x08 if diff < 0 else 0
+                diff = abs(diff)
+                if diff >= step:
+                    n |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    n |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    n |= 1
+                d = step >> 3
+                if n & 1:
+                    d += step >> 2
+                if n & 2:
+                    d += step >> 1
+                if n & 4:
+                    d += step
+                pred = pred - d if n & 8 else pred + d
+                pred = max(-32768, min(32767, pred))
+                index[c] = max(
+                    0, min(88, index[c] + _IMA_INDEX_ADJ[n & 0x07])
+                )
+                nib[c].append(n)
+        if ch == 1:
+            out += bytes(
+                nib[0][i] | (nib[0][i + 1] << 4)
+                for i in range(0, len(nib[0]), 2)
+            )
+        else:
+            for w0 in range(0, len(nib[0]), 8):
+                for c in range(2):
+                    grp = nib[c][w0 : w0 + 8]
+                    out += bytes(
+                        grp[i] | (grp[i + 1] << 4) for i in range(0, 8, 2)
+                    )
+    data = bytes(out)
+    fmt = struct.pack(
+        "<HHIIHHHH", _WAVE_FORMAT_IMA_ADPCM, ch, frame_rate,
+        frame_rate * block_align // fpb, block_align, 4, 2, fpb,
+    )
+    fact = struct.pack("<I", n_frames if n_frames is not None
+                       else len(pcm))
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
 # WAVE_FORMAT_EXTENSIBLE SubFormat GUIDs share one fixed tail after the
@@ -4839,18 +4971,15 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
             }
         if tag == _WAVE_FORMAT_IMA_ADPCM:
             w = _parse_wav_chunks(payload)
-            if w["n_channels"] != 1:
-                raise ValueError(
-                    f"IMA ADPCM decode supports mono, got {w['n_channels']}ch"
-                )
             pcm = _decode_ima_adpcm(
-                w["data"], w["block_align"], w["fact_frames"]
+                w["data"], w["block_align"], w["fact_frames"],
+                w["n_channels"],
             )
             return {
-                "n_channels": 1,
+                "n_channels": w["n_channels"],
                 "sample_width": 2,
                 "frame_rate": w["frame_rate"],
-                "n_frames": len(pcm) // 2,
+                "n_frames": len(pcm) // 2 // w["n_channels"],
                 "pcm": pcm,
                 "codec": "ima_adpcm",
             }

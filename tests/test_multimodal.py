@@ -4790,6 +4790,57 @@ def test_y4m_decode():
         _decode_y4m(b"YUV4MPEG2 W8 H8\nFRAME\n" + bytes(64))
 
 
+def test_ima_adpcm_stereo_wav():
+    """Stereo IMA-in-WAV (round 17): the 4-byte channel-word interleave
+    decodes with INDEPENDENT per-channel state — each decoded channel
+    is bit-identical to the mono decode of the same channel encoded
+    alone (the quantizer recursion sees the same sample sequence either
+    way) — fact counts frames, and malformed stereo geometry raises."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_ima_adpcm,
+        decode_media,
+        encode_ima_wav,
+    )
+
+    n = 9 * 14
+    i = np.arange(n, dtype=np.float64)
+    a = np.round(2100 * np.sin(2 * np.pi * i / 29)).astype(np.int16)
+    b = np.round(1700 * np.sin(2 * np.pi * (i + 3) / 23)).astype(np.int16)
+    src = np.stack([a, b], axis=1).reshape(-1)
+
+    st = decode_media(encode_ima_wav(src, n_channels=2,
+                                     frames_per_block=9), "audio")
+    assert st["codec"] == "ima_adpcm" and st["n_channels"] == 2
+    stereo = np.frombuffer(st["pcm"], "<i2").reshape(-1, 2)
+    for k, chan in enumerate((a, b)):
+        mono = decode_media(
+            encode_ima_wav(chan, frames_per_block=9), "audio"
+        )
+        assert np.array_equal(
+            stereo[:, k], np.frombuffer(mono["pcm"], "<i2")
+        ), k
+    # fidelity sanity on the lossy codec
+    err = stereo.reshape(-1).astype(float) - src.astype(float)
+    snr = 10 * np.log10(
+        (src.astype(float) ** 2).mean() / max((err ** 2).mean(), 1e-12)
+    )
+    assert snr > 12.0
+
+    st = decode_media(encode_ima_wav(src, n_channels=2,
+                                     frames_per_block=9,
+                                     n_frames=n - 5), "audio")
+    assert st["n_frames"] == n - 5
+
+    with pytest.raises(ValueError, match="whole 4-byte"):
+        _decode_ima_adpcm(bytes(20), 20, None, 2)
+    with pytest.raises(ValueError, match="block align"):
+        _decode_ima_adpcm(bytes(8), 8, None, 2)
+    with pytest.raises(ValueError, match="frames_per_block"):
+        encode_ima_wav(src, n_channels=2, frames_per_block=10)
+
+
 def test_audio_content_keys_cover_layer2_and_lsf():
     """The round-17 codec routing surfaces transitively in the dedup
     keys (and hence the streaming audio-dedup face, which keys through
