@@ -138,6 +138,16 @@ HEADLINE = [
     "mpeg1_layer2_decode_features",
     "mp3_lsf_decode_features",
     "jpeg_in_tiff_decode_features",
+    # round 17 continuation (additive): the container/format sweep —
+    # MS ADPCM, AIFF/AIFF-C, CAF, Ogg probe, extensible/RF64 WAV,
+    # netpbm+TGA, YUV4MPEG2
+    "ms_adpcm_decode_features",
+    "aiff_decode_features",
+    "caf_decode_features",
+    "ogg_probe_features",
+    "wav_ext_decode_features",
+    "netpbm_tga_decode_features",
+    "y4m_decode_features",
     "jpeg_precision12_features",
 ]
 
@@ -190,6 +200,17 @@ FLOORS = {
     "jpeg_in_tiff_decode_features": 2.700,
     # late r17 addition (final closing session, yardstick 69 GFLOP/s)
     "jpeg_precision12_features": 2.237,
+    # r17 continuation first entries (closing bench SESSION @ sf0.1,
+    # local[32], yardstick 34.7 GFLOP/s under ~47k steal ticks — the
+    # established first-entry unit; replace with BENCH_r17 driver
+    # numbers when recorded): the container/format sweep gates
+    "ms_adpcm_decode_features": 1.123,
+    "aiff_decode_features": 0.545,
+    "caf_decode_features": 0.587,
+    "ogg_probe_features": 0.598,
+    "wav_ext_decode_features": 0.567,
+    "netpbm_tga_decode_features": 0.580,
+    "y4m_decode_features": 0.636,
 }
 
 

@@ -4848,9 +4848,10 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
     at ``_MP3_SYNTH_PROTO``), and REAL for CCITT bilevel TIFF — G4/MH
     round 14, T.4-with-EOL G3 (1D and 2D) also round 14, JPEG-in-TIFF
     round 17. Only genuinely external codecs (compressed video/audio
-    SAMPLE decode: H.264/AAC in MP4, interframe AVI codecs,
-    arithmetic/hierarchical JPEG, old-style OJPEG TIFF) stay the
-    documented
+    SAMPLE decode: H.264/AAC in MP4, interframe AVI codecs, Ogg
+    Opus/Vorbis payloads, arithmetic/hierarchical JPEG, headerless
+    tag-51x OJPEG — the JPEGInterchangeFormat OJPEG form decodes, round
+    17) stay the documented
     seam: those aren't in this container, and on a real cluster the
     call MUST go through a per-executor singleton (one codec/model
     instance per worker process), never per row — reference pattern U2.
@@ -4872,9 +4873,9 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
         if _looks_like_tga(payload):
             return _decode_tga(payload)
         raise NotImplementedError(
-            "real decode of non-BMP/PNG/JPEG/GIF/TIFF image formats "
-            "requires external media libraries; wire PIL here on a real "
-            "cluster (SURVEY §2.10 U1/U2)"
+            "real decode of non-BMP/PNG/JPEG/GIF/TIFF/netpbm/TGA image "
+            "formats requires external media libraries; wire PIL here "
+            "on a real cluster (SURVEY §2.10 U1/U2)"
         )
     if modality == "video":
         if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
@@ -4883,7 +4884,7 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
             # round 17: raw planar YUV interchange — full sample decode
             return _decode_y4m(payload)
         raise NotImplementedError(
-            "real decode of non-AVI video requires external media "
+            "real decode of non-AVI/Y4M video requires external media "
             "libraries; wire ffmpeg here on a real cluster (SURVEY §2.10 U1/U2)"
         )
     if modality != "audio":
@@ -6762,6 +6763,314 @@ def _probe_ogg(payload: bytes) -> dict:
     }
 
 
+# --- audio tag / metadata extraction (round 17) -------------------------------
+#
+# Provenance metadata (title/artist/album/date) drives curation joins
+# and dedup hints in a real training-data pipeline. All four tag
+# systems here are algorithmic: ID3v2.3/2.4 (synchsafe sizes, frame
+# text encodings, unsynchronization), the trailing ID3v1 block, Vorbis
+# comments (Ogg's OpusTags / \x03vorbis packet), and RIFF LIST/INFO.
+
+_ID3V2_TEXT = {
+    "TIT2": "title", "TPE1": "artist", "TALB": "album",
+    "TDRC": "date", "TYER": "date", "TRCK": "track", "TCON": "genre",
+}
+_WAV_INFO = {
+    b"INAM": "title", b"IART": "artist", b"IPRD": "album",
+    b"ICRD": "date", b"IGNR": "genre",
+}
+_VORBIS_KEYS = {
+    "title": "title", "artist": "artist", "album": "album",
+    "date": "date", "tracknumber": "track", "genre": "genre",
+}
+
+
+def _synchsafe(b: bytes) -> int:
+    """28-bit synchsafe integer (ID3v2 §6.2): 4 bytes, 7 bits each."""
+    if any(x & 0x80 for x in b):
+        raise ValueError("ID3v2 synchsafe byte has bit 7 set")
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def _id3_text(body: bytes) -> str:
+    """Decode an ID3v2 text frame body: leading encoding byte 0
+    (latin-1), 1 (UTF-16 with BOM), 2 (UTF-16BE) or 3 (UTF-8), then
+    the text, tolerant of trailing NULs."""
+    if not body:
+        return ""
+    enc = body[0]
+    raw = body[1:]
+    if enc == 0:
+        s = raw.decode("latin-1")
+    elif enc == 1:
+        s = raw.decode("utf-16")
+    elif enc == 2:
+        s = raw.decode("utf-16-be")
+    elif enc == 3:
+        s = raw.decode("utf-8")
+    else:
+        raise ValueError(f"ID3v2 text encoding {enc} undefined")
+    return s.rstrip("\x00")
+
+
+def _parse_id3v2(payload: bytes) -> tuple[dict, int]:
+    """Parse a leading ID3v2.3/2.4 tag → (normalized tags, tag bytes
+    incl. header). v2.2 (3-char frame ids) raises by name. The
+    unsynchronization flag reverses the 0xFF 0x00 -> 0xFF insertion
+    before frame parsing (v2.3 whole-tag semantics)."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        raise ValueError("not an ID3v2 tag")
+    ver, rev, flags = payload[3], payload[4], payload[5]
+    if ver == 2:
+        raise NotImplementedError(
+            "ID3v2.2 (3-char frame ids) is not implemented; v2.3/v2.4 "
+            "parse"
+        )
+    if ver not in (3, 4):
+        raise ValueError(f"ID3v2.{ver} unknown")
+    size = _synchsafe(payload[6:10])
+    total = 10 + size + (10 if flags & 0x10 else 0)  # footer flag
+    body = payload[10 : 10 + size]
+    if flags & 0x80:  # unsynchronized: drop the inserted 0x00s
+        body = body.replace(b"\xff\x00", b"\xff")
+    pos = 0
+    if flags & 0x40:  # extended header: self-sized, skip
+        if len(body) < 4:
+            raise ValueError("truncated ID3v2 extended header")
+        ehs = (
+            _synchsafe(body[0:4]) if ver == 4
+            else int.from_bytes(body[0:4], "big") + 4
+        )
+        pos = ehs
+    tags: dict = {}
+    while pos + 10 <= len(body):
+        fid = body[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        fsz = (
+            _synchsafe(body[pos + 4 : pos + 8]) if ver == 4
+            else int.from_bytes(body[pos + 4 : pos + 8], "big")
+        )
+        fbody = body[pos + 10 : pos + 10 + fsz]
+        if len(fbody) < fsz:
+            raise ValueError("truncated ID3v2 frame")
+        name = fid.decode("latin-1")
+        key = _ID3V2_TEXT.get(name)
+        if key and key not in tags:
+            tags[key] = _id3_text(fbody)
+        pos += 10 + fsz
+    return tags, total
+
+
+def _parse_id3v1(payload: bytes) -> dict:
+    """The trailing 128-byte ID3v1 'TAG' block → normalized tags (empty
+    dict when absent)."""
+    if len(payload) < 128 or payload[-128:-125] != b"TAG":
+        return {}
+    blk = payload[-128:]
+
+    def field(a: int, b: int) -> str:
+        return blk[a:b].split(b"\x00")[0].decode(
+            "latin-1", errors="replace"
+        ).strip()
+
+    out = {}
+    for key, a, b in (
+        ("title", 3, 33), ("artist", 33, 63), ("album", 63, 93),
+        ("date", 93, 97),
+    ):
+        v = field(a, b)
+        if v:
+            out[key] = v
+    return out
+
+
+def _parse_vorbis_comments(packet: bytes, skip: int) -> dict:
+    """A Vorbis-comment block (after its ``skip``-byte magic): LE32
+    vendor length + vendor, LE32 count, then count LE32-length-prefixed
+    UTF-8 'KEY=value' entries; keys case-insensitive."""
+    import struct
+
+    pos = skip
+    (vlen,) = struct.unpack_from("<I", packet, pos)
+    pos += 4 + vlen
+    (count,) = struct.unpack_from("<I", packet, pos)
+    pos += 4
+    tags: dict = {}
+    for _ in range(count):
+        if pos + 4 > len(packet):
+            raise ValueError("truncated Vorbis comment block")
+        (ln,) = struct.unpack_from("<I", packet, pos)
+        pos += 4
+        entry = packet[pos : pos + ln].decode("utf-8")
+        pos += ln
+        if "=" not in entry:
+            raise ValueError("Vorbis comment entry missing '='")
+        k, v = entry.split("=", 1)
+        key = _VORBIS_KEYS.get(k.lower())
+        if key and key not in tags:
+            tags[key] = v
+    return tags
+
+
+def extract_audio_tags(payload: bytes) -> dict:
+    """Normalized provenance tags (title/artist/album/date/track/genre,
+    missing keys absent) from whatever tag system the container
+    carries: a leading ID3v2.3/2.4 tag (with ID3v1 fallback for keys
+    v2 lacks), a bare trailing ID3v1 block, the Vorbis-comment packet
+    of an Ogg stream (OpusTags or packet-type-3 vorbis), or RIFF
+    LIST/INFO. Containers with no tag system yield {}."""
+    import struct
+
+    if payload[:3] == b"ID3":
+        tags, total = _parse_id3v2(payload)
+        for k, v in _parse_id3v1(payload).items():
+            tags.setdefault(k, v)
+        return tags
+    if payload[:4] == b"OggS":
+        # find the SECOND packet (the comment header) via the page walk
+        pos = 0
+        packets: list[bytes] = [b""]
+        while pos < len(payload) and len(packets) < 3:
+            if payload[pos : pos + 4] != b"OggS":
+                raise ValueError("Ogg page boundary missing OggS capture")
+            n_segs = payload[pos + 26]
+            lace = payload[pos + 27 : pos + 27 + n_segs]
+            off = pos + 27 + n_segs
+            for lv in lace:
+                packets[-1] += payload[off : off + lv]
+                off += lv
+                if lv < 255:
+                    packets.append(b"")
+            pos = off
+        if len(packets) < 3:
+            return {}
+        second = packets[1]
+        if second[:8] == b"OpusTags":
+            return _parse_vorbis_comments(second, 8)
+        if second[:7] == b"\x03vorbis":
+            return _parse_vorbis_comments(second, 7)
+        return {}
+    if payload[:4] in (b"RIFF", b"RF64", b"BW64") and payload[8:12] in (
+        b"WAVE", b"AVI "
+    ):
+        tags: dict = {}
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body0 = pos + 8
+            if cid == b"LIST" and payload[body0 : body0 + 4] == b"INFO":
+                at = body0 + 4
+                while at + 8 <= body0 + size:
+                    sub = payload[at : at + 4]
+                    (ssz,) = struct.unpack_from("<I", payload, at + 4)
+                    key = _WAV_INFO.get(sub)
+                    if key and key not in tags:
+                        tags[key] = payload[
+                            at + 8 : at + 8 + ssz
+                        ].split(b"\x00")[0].decode("utf-8",
+                                                   errors="replace")
+                    at += 8 + ssz + (ssz & 1)
+            pos = body0 + size + (size & 1)
+        return tags
+    if _parse_id3v1(payload):
+        return _parse_id3v1(payload)
+    return {}
+
+
+def encode_id3v2(
+    tags: dict, version: int = 4, utf16: bool = False,
+    unsync: bool = False, padding: int = 16,
+) -> bytes:
+    """Assemble a REAL ID3v2.3/2.4 tag from normalized keys — the
+    fixture inverse of :func:`_parse_id3v2`. v2.4 writes synchsafe
+    frame sizes and TDRC; v2.3 plain big-endian sizes and TYER;
+    ``utf16`` writes encoding 1 (UTF-16 with BOM), else UTF-8 (v2.4)
+    or latin-1 (v2.3); ``unsync`` applies the whole-tag 0xFF 0x00
+    insertion and sets the header flag."""
+    rev = {v: k for k, v in _ID3V2_TEXT.items() if k != "TYER"}
+    if version == 3:
+        rev["date"] = "TYER"
+    body = b""
+    for key, val in tags.items():
+        fid = rev[key].encode()
+        if utf16:
+            fb = b"\x01" + val.encode("utf-16")  # BOM included
+        elif version == 4:
+            fb = b"\x03" + val.encode("utf-8")
+        else:
+            fb = b"\x00" + val.encode("latin-1")
+        sz = (
+            bytes([(len(fb) >> s) & 0x7F for s in (21, 14, 7, 0)])
+            if version == 4
+            else len(fb).to_bytes(4, "big")
+        )
+        body += fid + sz + b"\x00\x00" + fb
+    body += bytes(padding)
+    flags = 0
+    if unsync:
+        body = body.replace(b"\xff", b"\xff\x00")
+        flags |= 0x80
+    hdr = b"ID3" + bytes([version, 0, flags]) + bytes(
+        [(len(body) >> s) & 0x7F for s in (21, 14, 7, 0)]
+    )
+    return hdr + body
+
+
+def encode_id3v1(tags: dict) -> bytes:
+    """The trailing 128-byte ID3v1 block from normalized keys."""
+    def pad(s: str, n: int) -> bytes:
+        b = s.encode("latin-1", errors="replace")[:n]
+        return b + bytes(n - len(b))
+
+    return (
+        b"TAG" + pad(tags.get("title", ""), 30)
+        + pad(tags.get("artist", ""), 30)
+        + pad(tags.get("album", ""), 30)
+        + pad(tags.get("date", ""), 4) + bytes(30) + bytes([255])
+    )
+
+
+def make_vorbis_comments(
+    tags: dict, opus: bool = True, vendor: str = "fixture"
+) -> bytes:
+    """An OpusTags / packet-type-3 vorbis comment packet from
+    normalized keys — the fixture inverse of
+    :func:`_parse_vorbis_comments`."""
+    import struct
+
+    rev = {v: k.upper() for k, v in _VORBIS_KEYS.items()}
+    out = b"OpusTags" if opus else b"\x03vorbis"
+    vb = vendor.encode()
+    out += struct.pack("<I", len(vb)) + vb
+    out += struct.pack("<I", len(tags))
+    for key, val in tags.items():
+        entry = (rev[key] + "=" + val).encode("utf-8")
+        out += struct.pack("<I", len(entry)) + entry
+    if not opus:
+        out += b"\x01"  # vorbis framing bit
+    return out
+
+
+def encode_wav_info(wav: bytes, tags: dict) -> bytes:
+    """Append a RIFF LIST/INFO chunk with the normalized tags to an
+    existing WAV, fixing up the RIFF size."""
+    import struct
+
+    rev = {v: k for k, v in _WAV_INFO.items()}
+    body = b"INFO"
+    for key, val in tags.items():
+        vb = val.encode("utf-8") + b"\x00"
+        body += rev[key] + struct.pack("<I", len(vb)) + vb
+        if len(vb) & 1:
+            body += b"\x00"
+    chunk = b"LIST" + struct.pack("<I", len(body)) + body
+    out = bytearray(wav + chunk)
+    struct.pack_into("<I", out, 4, len(out) - 8)
+    return bytes(out)
+
+
 def probe_audio(payload: bytes) -> dict:
     """Container-level audio metadata without decoding samples — the
     audio face of :func:`probe_video`: WAV via the RIFF chunk walk
@@ -6941,8 +7250,8 @@ def probe_audio(payload: bytes) -> dict:
             "vbr": False,
         }
     raise NotImplementedError(
-        "probe of non-WAV/MP3/AU/AIFF audio containers requires external "
-        "media libraries (SURVEY §2.10 U1/U2)"
+        "probe of non-WAV/MP3/AU/AIFF/CAF/Ogg audio containers requires "
+        "external media libraries (SURVEY §2.10 U1/U2)"
     )
 
 
@@ -17113,6 +17422,94 @@ def y4m_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, variant string, width long, height long, "
         "n_frames long, usec_per_frame long, mean_px long, "
         "chroma_ok boolean"
+    )
+    return docs.mapInPandas(run, schema)
+
+
+@register(
+    "audio_tags_features",
+    oracle="""
+    SELECT d.doc_id,
+           CASE CAST(d.doc_id % 4 AS INTEGER)
+                WHEN 0 THEN 'id3v24' WHEN 1 THEN 'id3v23_unsync'
+                WHEN 2 THEN 'ogg' ELSE 'wav_info' END AS source,
+           'Tïtle-' || CAST(d.doc_id AS VARCHAR) AS title,
+           'Ärtist-' || CAST(d.doc_id % 97 AS VARCHAR) AS artist,
+           'Album-' || CAST(d.doc_id % 53 AS VARCHAR) AS album,
+           CAST(1990 + d.doc_id % 30 AS VARCHAR) AS date_tag
+    FROM documents d
+    ORDER BY d.doc_id
+    """,
+)
+def audio_tags_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-tag extraction under the differential gate (round
+    17): per doc the SAME four normalized tags (non-ASCII title/artist
+    on purpose) are carried by the doc's tag system — ID3v2.4 UTF-8
+    frames, ID3v2.3 UTF-16 frames under whole-tag unsynchronization,
+    an Ogg OpusTags comment packet (real pages, CRC'd), or a RIFF
+    LIST/INFO chunk appended to a real WAV — and recovered through
+    :func:`extract_audio_tags`. The ID3 variants carry the album ONLY
+    in a trailing ID3v1 block, so the v2-with-v1-fallback merge is on
+    the hash path, as are synchsafe sizes, text encodings 1/3, the
+    0xFF 0x00 unsync reversal, Vorbis comment length framing, and INFO
+    sub-chunk padding. The oracle rebuilds every string closed-form.
+    Map-only mapInPandas with the standard explicit core fan-out."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        names = ("id3v24", "id3v23_unsync", "ogg", "wav_info")
+        for pdf in batches:
+            out = {
+                "doc_id": [], "source": [], "title": [], "artist": [],
+                "album": [], "date_tag": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                v = d % 4
+                tags = {
+                    "title": f"Tïtle-{d}",
+                    "artist": f"Ärtist-{d % 97}",
+                    "album": f"Album-{d % 53}",
+                    "date": str(1990 + d % 30),
+                }
+                if v in (0, 1):
+                    v2 = {k: tags[k] for k in ("title", "artist", "date")}
+                    blob = encode_id3v2(
+                        v2, version=4 if v == 0 else 3,
+                        utf16=(v == 1), unsync=(v == 1),
+                    ) + encode_id3v1({"album": tags["album"]})
+                elif v == 2:
+                    pk = [
+                        make_opus_head(),
+                        make_vorbis_comments(tags),
+                        bytes(40),
+                    ]
+                    blob = encode_ogg(pk, [960], n_header_packets=2)
+                else:
+                    i = np.arange(64, dtype=np.int64)
+                    wav = encode_wav(
+                        ((7 * d + 11 * i) % 1001 - 500).astype(np.int16)
+                    )
+                    blob = encode_wav_info(wav, tags)
+                got = extract_audio_tags(blob)  # REAL tag walk
+                out["doc_id"].append(d)
+                out["source"].append(names[v])
+                out["title"].append(got.get("title"))
+                out["artist"].append(got.get("artist"))
+                out["album"].append(got.get("album"))
+                out["date_tag"].append(got.get("date"))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, source string, title string, artist string, "
+        "album string, date_tag string"
     )
     return docs.mapInPandas(run, schema)
 

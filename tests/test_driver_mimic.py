@@ -108,6 +108,7 @@ QUERIES = [
     "netpbm_tga_decode_features",
     "caf_decode_features",
     "y4m_decode_features",
+    "audio_tags_features",
 ]
 
 
@@ -224,6 +225,7 @@ ANSI_QUERIES = [
     "netpbm_tga_decode_features",
     "caf_decode_features",
     "y4m_decode_features",
+    "audio_tags_features",
 ]
 
 

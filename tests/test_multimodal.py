@@ -4841,6 +4841,69 @@ def test_ima_adpcm_stereo_wav():
         encode_ima_wav(src, n_channels=2, frames_per_block=10)
 
 
+def test_audio_tags_extraction():
+    """Tag extraction (round 17): ID3v2.3/2.4 across all four text
+    encodings with synchsafe sizes and whole-tag unsynchronization,
+    ID3v1 fallback merge (v2 wins shared keys; v1 fills gaps), Vorbis
+    comments via OpusTags AND packet-type-3 vorbis, RIFF LIST/INFO with
+    odd-length padding, bare-ID3v1 payloads, tag-less payloads -> {},
+    and the ID3v2.2 named seam."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _parse_id3v2,
+        encode_id3v1,
+        encode_id3v2,
+        encode_ogg,
+        encode_wav,
+        encode_wav_info,
+        extract_audio_tags,
+        make_opus_head,
+        make_vorbis_comments,
+        make_vorbis_ident,
+    )
+
+    tags = {"title": "Tïtle-5", "artist": "Ärtist-5",
+            "album": "Album-5", "date": "1995"}
+    v2 = {k: tags[k] for k in ("title", "artist", "date")}
+    for ver, utf16, unsync in (
+        (4, False, False), (3, True, True), (4, True, True),
+        (3, False, False),
+    ):
+        blob = encode_id3v2(
+            v2, version=ver, utf16=utf16, unsync=unsync
+        ) + encode_id3v1({"album": tags["album"]})
+        assert extract_audio_tags(blob) == tags, (ver, utf16, unsync)
+    # v2 wins shared keys over a conflicting v1
+    blob = encode_id3v2(v2) + encode_id3v1(
+        {"title": "WRONG", "album": tags["album"]}
+    )
+    assert extract_audio_tags(blob) == tags
+
+    for opus in (True, False):
+        if opus:
+            pk = [make_opus_head(), make_vorbis_comments(tags),
+                  bytes(40)]
+            nh = 2
+        else:
+            pk = [make_vorbis_ident(),
+                  make_vorbis_comments(tags, opus=False),
+                  b"\x05vorbis" + bytes(8), bytes(40)]
+            nh = 3
+        blob = encode_ogg(pk, [960], n_header_packets=nh)
+        assert extract_audio_tags(blob) == tags, opus
+
+    wav = encode_wav(np.arange(64, dtype=np.int16))
+    assert extract_audio_tags(encode_wav_info(wav, tags)) == tags
+    assert extract_audio_tags(wav) == {}
+    t1 = {"title": "T1", "artist": "A1", "album": "B1", "date": "1999"}
+    assert extract_audio_tags(bytes(64) + encode_id3v1(t1)) == t1
+    with pytest.raises(NotImplementedError, match="ID3v2.2"):
+        _parse_id3v2(b"ID3\x02\x00\x00\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="synchsafe"):
+        _parse_id3v2(b"ID3\x04\x00\x00\x00\x00\x00\x80")
+
+
 def test_audio_content_keys_cover_layer2_and_lsf():
     """The round-17 codec routing surfaces transitively in the dedup
     keys (and hence the streaming audio-dedup face, which keys through

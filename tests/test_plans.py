@@ -610,6 +610,7 @@ def test_decode_gate_plans_have_no_trailing_sort(spark, sf_dir):
         jpeg_decode_features,
         mp3_rate_profiles_decode_features,
         ms_adpcm_decode_features,
+        audio_tags_features,
         caf_decode_features,
         netpbm_tga_decode_features,
         y4m_decode_features,
@@ -633,6 +634,7 @@ def test_decode_gate_plans_have_no_trailing_sort(spark, sf_dir):
         netpbm_tga_decode_features,
         caf_decode_features,
         y4m_decode_features,
+        audio_tags_features,
     ):
         plan = _executed_plan(q(spark, sf_dir))
         if q.__name__ != "pii_redaction_stats":  # pii is fully JVM-side
