@@ -148,6 +148,7 @@ HEADLINE = [
     "wav_ext_decode_features",
     "netpbm_tga_decode_features",
     "y4m_decode_features",
+    "audio_tags_features",
     "jpeg_precision12_features",
 ]
 
@@ -211,6 +212,9 @@ FLOORS = {
     "wav_ext_decode_features": 0.567,
     "netpbm_tga_decode_features": 0.580,
     "y4m_decode_features": 0.636,
+    # final r17 addition (closing bench session, yardstick 26.7 GFLOP/s
+    # under ~19k steal ticks)
+    "audio_tags_features": 0.457,
 }
 
 
