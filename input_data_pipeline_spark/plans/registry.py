@@ -176,14 +176,14 @@ _PRIORITY: list[str] = [
 ]
 # Round-17 state: if this window goes driver-green, the stalest remaining
 # evidence is the 23 r13 leftovers named above; they head the r18 window,
-# then the ELEVEN round-17 additions (registered after this window, each
+# then the TWELVE round-17 additions (registered after this window, each
 # pre-verified driver-canon at sf0.01 + sf0.1): mpeg1_layer2_decode_
 # features, mp3_lsf_decode_features, jpeg_in_tiff_decode_features,
 # jpeg_precision12_features (session 1) and ms_adpcm_decode_features,
 # aiff_decode_features, ogg_probe_features, wav_ext_decode_features,
-# netpbm_tga_decode_features, caf_decode_features, y4m_decode_features
-# (session 2's container/format sweep); then the r14 bucket fills to 50
-# with the 6 anchors.
+# netpbm_tga_decode_features, caf_decode_features, y4m_decode_features,
+# audio_tags_features (session 2's container/format sweep); then the
+# r14 bucket fills to 50 with the 6 anchors.
 
 
 
