@@ -6775,6 +6775,10 @@ _ID3V2_TEXT = {
     "TIT2": "title", "TPE1": "artist", "TALB": "album",
     "TDRC": "date", "TYER": "date", "TRCK": "track", "TCON": "genre",
 }
+_ID3V22_TEXT = {
+    "TT2": "title", "TP1": "artist", "TAL": "album",
+    "TYE": "date", "TRK": "track", "TCO": "genre",
+}
 _WAV_INFO = {
     b"INAM": "title", b"IART": "artist", b"IPRD": "album",
     b"ICRD": "date", b"IGNR": "genre",
@@ -6814,27 +6818,29 @@ def _id3_text(body: bytes) -> str:
 
 
 def _parse_id3v2(payload: bytes) -> tuple[dict, int]:
-    """Parse a leading ID3v2.3/2.4 tag → (normalized tags, tag bytes
-    incl. header). v2.2 (3-char frame ids) raises by name. The
-    unsynchronization flag reverses the 0xFF 0x00 -> 0xFF insertion
-    before frame parsing (v2.3 whole-tag semantics)."""
+    """Parse a leading ID3v2.2/2.3/2.4 tag → (normalized tags, tag
+    bytes incl. header). v2.2 (round 17) uses 3-char frame ids with
+    3-byte sizes and only encodings 0/1; a v2.2 compression flag
+    raises. The unsynchronization flag reverses the 0xFF 0x00 -> 0xFF
+    insertion before frame parsing (whole-tag semantics)."""
     if payload[:3] != b"ID3" or len(payload) < 10:
         raise ValueError("not an ID3v2 tag")
     ver, rev, flags = payload[3], payload[4], payload[5]
-    if ver == 2:
-        raise NotImplementedError(
-            "ID3v2.2 (3-char frame ids) is not implemented; v2.3/v2.4 "
-            "parse"
-        )
-    if ver not in (3, 4):
+    if ver not in (2, 3, 4):
         raise ValueError(f"ID3v2.{ver} unknown")
+    if ver == 2 and flags & 0x40:
+        raise NotImplementedError(
+            "ID3v2.2 compressed tags are not implemented (the flag was "
+            "never given an on-wire definition); uncompressed v2.2 and "
+            "v2.3/v2.4 parse"
+        )
     size = _synchsafe(payload[6:10])
-    total = 10 + size + (10 if flags & 0x10 else 0)  # footer flag
+    total = 10 + size + (10 if ver != 2 and flags & 0x10 else 0)  # footer
     body = payload[10 : 10 + size]
     if flags & 0x80:  # unsynchronized: drop the inserted 0x00s
         body = body.replace(b"\xff\x00", b"\xff")
     pos = 0
-    if flags & 0x40:  # extended header: self-sized, skip
+    if ver != 2 and flags & 0x40:  # extended header: self-sized, skip
         if len(body) < 4:
             raise ValueError("truncated ID3v2 extended header")
         ehs = (
@@ -6842,23 +6848,33 @@ def _parse_id3v2(payload: bytes) -> tuple[dict, int]:
             else int.from_bytes(body[0:4], "big") + 4
         )
         pos = ehs
+    idn = 3 if ver == 2 else 4
+    hdrn = 6 if ver == 2 else 10
     tags: dict = {}
-    while pos + 10 <= len(body):
-        fid = body[pos : pos + 4]
-        if fid == b"\x00\x00\x00\x00":
+    while pos + hdrn <= len(body):
+        fid = body[pos : pos + idn]
+        if fid == bytes(idn):
             break  # padding
-        fsz = (
-            _synchsafe(body[pos + 4 : pos + 8]) if ver == 4
-            else int.from_bytes(body[pos + 4 : pos + 8], "big")
-        )
-        fbody = body[pos + 10 : pos + 10 + fsz]
+        if ver == 2:
+            fsz = int.from_bytes(body[pos + 3 : pos + 6], "big")
+        elif ver == 4:
+            fsz = _synchsafe(body[pos + 4 : pos + 8])
+        else:
+            fsz = int.from_bytes(body[pos + 4 : pos + 8], "big")
+        fbody = body[pos + hdrn : pos + hdrn + fsz]
         if len(fbody) < fsz:
             raise ValueError("truncated ID3v2 frame")
         name = fid.decode("latin-1")
-        key = _ID3V2_TEXT.get(name)
+        key = (
+            _ID3V22_TEXT.get(name) if ver == 2 else _ID3V2_TEXT.get(name)
+        )
         if key and key not in tags:
+            if ver == 2 and fbody[:1] not in (b"\x00", b"\x01"):
+                raise ValueError(
+                    "ID3v2.2 text frames define only encodings 0/1"
+                )
             tags[key] = _id3_text(fbody)
-        pos += 10 + fsz
+        pos += hdrn + fsz
     return tags, total
 
 
@@ -6983,15 +6999,18 @@ def encode_id3v2(
     tags: dict, version: int = 4, utf16: bool = False,
     unsync: bool = False, padding: int = 16,
 ) -> bytes:
-    """Assemble a REAL ID3v2.3/2.4 tag from normalized keys — the
+    """Assemble a REAL ID3v2.2/2.3/2.4 tag from normalized keys — the
     fixture inverse of :func:`_parse_id3v2`. v2.4 writes synchsafe
-    frame sizes and TDRC; v2.3 plain big-endian sizes and TYER;
-    ``utf16`` writes encoding 1 (UTF-16 with BOM), else UTF-8 (v2.4)
-    or latin-1 (v2.3); ``unsync`` applies the whole-tag 0xFF 0x00
-    insertion and sets the header flag."""
-    rev = {v: k for k, v in _ID3V2_TEXT.items() if k != "TYER"}
-    if version == 3:
-        rev["date"] = "TYER"
+    frame sizes and TDRC; v2.3 plain big-endian sizes and TYER; v2.2
+    3-char ids with 3-byte sizes; ``utf16`` writes encoding 1 (UTF-16
+    with BOM), else UTF-8 (v2.4) or latin-1; ``unsync`` applies the
+    whole-tag 0xFF 0x00 insertion and sets the header flag."""
+    if version == 2:
+        rev = {v: k for k, v in _ID3V22_TEXT.items()}
+    else:
+        rev = {v: k for k, v in _ID3V2_TEXT.items() if k != "TYER"}
+        if version == 3:
+            rev["date"] = "TYER"
     body = b""
     for key, val in tags.items():
         fid = rev[key].encode()
@@ -7001,12 +7020,15 @@ def encode_id3v2(
             fb = b"\x03" + val.encode("utf-8")
         else:
             fb = b"\x00" + val.encode("latin-1")
-        sz = (
-            bytes([(len(fb) >> s) & 0x7F for s in (21, 14, 7, 0)])
-            if version == 4
-            else len(fb).to_bytes(4, "big")
-        )
-        body += fid + sz + b"\x00\x00" + fb
+        if version == 2:
+            body += fid + len(fb).to_bytes(3, "big") + fb
+        else:
+            sz = (
+                bytes([(len(fb) >> s) & 0x7F for s in (21, 14, 7, 0)])
+                if version == 4
+                else len(fb).to_bytes(4, "big")
+            )
+            body += fid + sz + b"\x00\x00" + fb
     body += bytes(padding)
     flags = 0
     if unsync:
@@ -17430,9 +17452,10 @@ def y4m_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "audio_tags_features",
     oracle="""
     SELECT d.doc_id,
-           CASE CAST(d.doc_id % 4 AS INTEGER)
+           CASE CAST(d.doc_id % 5 AS INTEGER)
                 WHEN 0 THEN 'id3v24' WHEN 1 THEN 'id3v23_unsync'
-                WHEN 2 THEN 'ogg' ELSE 'wav_info' END AS source,
+                WHEN 2 THEN 'ogg' WHEN 3 THEN 'wav_info'
+                ELSE 'id3v22_utf16' END AS source,
            'Tïtle-' || CAST(d.doc_id AS VARCHAR) AS title,
            'Ärtist-' || CAST(d.doc_id % 97 AS VARCHAR) AS artist,
            'Album-' || CAST(d.doc_id % 53 AS VARCHAR) AS album,
@@ -17446,8 +17469,9 @@ def audio_tags_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     17): per doc the SAME four normalized tags (non-ASCII title/artist
     on purpose) are carried by the doc's tag system — ID3v2.4 UTF-8
     frames, ID3v2.3 UTF-16 frames under whole-tag unsynchronization,
-    an Ogg OpusTags comment packet (real pages, CRC'd), or a RIFF
-    LIST/INFO chunk appended to a real WAV — and recovered through
+    an Ogg OpusTags comment packet (real pages, CRC'd), a RIFF
+    LIST/INFO chunk appended to a real WAV, or an ID3v2.2 tag (3-char
+    frame ids, 3-byte sizes, UTF-16 text) — and recovered through
     :func:`extract_audio_tags`. The ID3 variants carry the album ONLY
     in a trailing ID3v1 block, so the v2-with-v1-fallback merge is on
     the hash path, as are synchsafe sizes, text encodings 1/3, the
@@ -17464,7 +17488,8 @@ def audio_tags_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        names = ("id3v24", "id3v23_unsync", "ogg", "wav_info")
+        names = ("id3v24", "id3v23_unsync", "ogg", "wav_info",
+                 "id3v22_utf16")
         for pdf in batches:
             out = {
                 "doc_id": [], "source": [], "title": [], "artist": [],
@@ -17472,18 +17497,18 @@ def audio_tags_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                v = d % 4
+                v = d % 5
                 tags = {
                     "title": f"Tïtle-{d}",
                     "artist": f"Ärtist-{d % 97}",
                     "album": f"Album-{d % 53}",
                     "date": str(1990 + d % 30),
                 }
-                if v in (0, 1):
+                if v in (0, 1, 4):
                     v2 = {k: tags[k] for k in ("title", "artist", "date")}
                     blob = encode_id3v2(
-                        v2, version=4 if v == 0 else 3,
-                        utf16=(v == 1), unsync=(v == 1),
+                        v2, version={0: 4, 1: 3, 4: 2}[v],
+                        utf16=(v in (1, 4)), unsync=(v == 1),
                     ) + encode_id3v1({"album": tags["album"]})
                 elif v == 2:
                     pk = [

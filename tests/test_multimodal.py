@@ -4868,7 +4868,7 @@ def test_audio_tags_extraction():
     v2 = {k: tags[k] for k in ("title", "artist", "date")}
     for ver, utf16, unsync in (
         (4, False, False), (3, True, True), (4, True, True),
-        (3, False, False),
+        (3, False, False), (2, True, False), (2, True, True),
     ):
         blob = encode_id3v2(
             v2, version=ver, utf16=utf16, unsync=unsync
@@ -4898,8 +4898,15 @@ def test_audio_tags_extraction():
     assert extract_audio_tags(wav) == {}
     t1 = {"title": "T1", "artist": "A1", "album": "B1", "date": "1999"}
     assert extract_audio_tags(bytes(64) + encode_id3v1(t1)) == t1
-    with pytest.raises(NotImplementedError, match="ID3v2.2"):
-        _parse_id3v2(b"ID3\x02\x00\x00\x00\x00\x00\x00")
+    # v2.2 (round 17): 3-char ids parse; the undefined compression
+    # flag and the encodings v2.2 never had raise by name
+    with pytest.raises(NotImplementedError, match="compressed"):
+        _parse_id3v2(b"ID3\x02\x00\x40\x00\x00\x00\x00")
+    blob = bytearray(encode_id3v2(v2, version=2))
+    at = blob.index(b"TT2") + 6
+    blob[at] = 3  # UTF-8 marker: not a v2.2 encoding
+    with pytest.raises(ValueError, match="encodings 0/1"):
+        _parse_id3v2(bytes(blob))
     with pytest.raises(ValueError, match="synchsafe"):
         _parse_id3v2(b"ID3\x04\x00\x00\x00\x00\x00\x80")
 
