@@ -4548,10 +4548,59 @@ def extract_mp4_audio(payload: bytes) -> dict:
             "pcm": raw.tobytes(),
             "codec": "pcm_s16be" if fmt == "twos" else "pcm_s16le",
         }
+    if fmt in ("ulaw", "alaw"):
+        # round 17: QuickTime G.711 sample entries — per-byte expansion
+        pcm = _g711_expand(np.frombuffer(bytes(stream), np.uint8), fmt)
+        return {
+            "n_channels": n_channels,
+            "sample_width": 2,
+            "frame_rate": stsd_rate,
+            "n_frames": len(pcm) // max(n_channels, 1),
+            "pcm": pcm.tobytes(),
+            "codec": fmt,
+        }
+    if fmt in ("fl32", "fl64"):
+        # round 17: QuickTime big-endian float PCM, the same nominal
+        # [-1, 1) -> int16 transform as float WAV/AU/AIFF
+        width = 4 if fmt == "fl32" else 8
+        f = np.frombuffer(bytes(stream), f">f{width}").astype(np.float64)
+        if not np.isfinite(f).all():
+            raise ValueError("non-finite MP4 float sample")
+        scaled = f * 32768.0
+        pcm = np.clip(
+            np.sign(scaled) * np.floor(np.abs(scaled) + 0.5),
+            -32768, 32767,
+        ).astype(np.int16)
+        return {
+            "n_channels": n_channels,
+            "sample_width": 2,
+            "frame_rate": stsd_rate,
+            "n_frames": len(pcm) // max(n_channels, 1),
+            "pcm": pcm.tobytes(),
+            "codec": f"pcm_f{width * 8}be",
+        }
+    if fmt in ("in24", "in32"):
+        # round 17: QuickTime big-endian 24/32-bit integer PCM
+        width = 3 if fmt == "in24" else 4
+        raw = bytes(stream)
+        if len(raw) % width:
+            raise ValueError("MP4 integer PCM not whole samples")
+        pcm = (
+            _swap24(raw) if width == 3
+            else np.frombuffer(raw, ">i4").astype("<i4").tobytes()
+        )
+        return {
+            "n_channels": n_channels,
+            "sample_width": width,
+            "frame_rate": stsd_rate,
+            "n_frames": len(raw) // width // max(n_channels, 1),
+            "pcm": pcm,
+            "codec": f"pcm_s{width * 8}be",
+        }
     raise NotImplementedError(
         f"MP4 audio sample entry '{fmt}' requires external media "
-        "libraries (SURVEY §2.10 U1/U2); mp4a-MP3 and twos/sowt PCM "
-        "decode"
+        "libraries (SURVEY §2.10 U1/U2); mp4a-MP3, twos/sowt, "
+        "ulaw/alaw, fl32/fl64 and in24/in32 PCM decode"
     )
 
 
@@ -4583,6 +4632,13 @@ def encode_mp4_audio(
         if len(stream) % 2:
             raise ValueError("PCM16 MP4 stream must be whole samples")
         sizes = [2] * (len(stream) // 2)
+    elif codec in ("ulaw", "alaw"):
+        sizes = [1] * len(stream)
+    elif codec in ("fl32", "fl64", "in24", "in32"):
+        w = {"fl32": 4, "fl64": 8, "in24": 3, "in32": 4}[codec]
+        if len(stream) % w:
+            raise ValueError("MP4 PCM stream must be whole samples")
+        sizes = [w] * (len(stream) // w)
     else:
         raise ValueError(f"unknown MP4 audio codec {codec!r}")
     n = len(sizes)
@@ -13600,6 +13656,164 @@ def jpeg_lossless_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame
     schema = (
         "doc_id long, predictor long, precision long, width long, "
         "height long, sample_sum long, sample_posw long"
+    )
+    return docs.mapInPandas(run, schema)
+
+
+@register(
+    "mp4_pcm_variants_features",
+    oracle="""
+    WITH p AS (
+        SELECT d.doc_id,
+               CAST(d.doc_id % 6 AS INTEGER) AS v,
+               192 + (d.doc_id % 4) * 64 AS n,
+               CASE WHEN d.doc_id % 6 < 2 THEN 8000
+                    WHEN d.doc_id % 3 = 0 THEN 16000
+                    WHEN d.doc_id % 3 = 1 THEN 22050
+                    ELSE 44100 END AS rate
+        FROM documents d
+    ),
+    s AS (
+        SELECT p.doc_id, p.v, p.n, p.rate,
+               CASE
+               WHEN p.v = 0 THEN
+                   CASE WHEN (255 - (17 * p.doc_id + 31 * i.i) % 256)
+                             >= 128
+                        THEN 132 - (((255 - (17 * p.doc_id + 31 * i.i)
+                                      % 256) % 16) * 8 + 132)
+                             * (1 << (((255 - (17 * p.doc_id
+                                       + 31 * i.i) % 256) // 16) % 8))
+                        ELSE (((255 - (17 * p.doc_id + 31 * i.i) % 256)
+                               % 16) * 8 + 132)
+                             * (1 << (((255 - (17 * p.doc_id
+                                       + 31 * i.i) % 256) // 16) % 8))
+                             - 132
+                   END
+               WHEN p.v = 1 THEN
+                   CASE WHEN xor((17 * p.doc_id + 31 * i.i) % 256, 85)
+                             >= 128 THEN 1 ELSE -1 END *
+                   CASE WHEN (xor((17 * p.doc_id + 31 * i.i) % 256, 85)
+                              // 16) % 8 = 0
+                            THEN (xor((17 * p.doc_id + 31 * i.i) % 256,
+                                      85) % 16) * 16 + 8
+                        WHEN (xor((17 * p.doc_id + 31 * i.i) % 256, 85)
+                              // 16) % 8 = 1
+                            THEN (xor((17 * p.doc_id + 31 * i.i) % 256,
+                                      85) % 16) * 16 + 264
+                        ELSE ((xor((17 * p.doc_id + 31 * i.i) % 256, 85)
+                               % 16) * 16 + 264)
+                             * (1 << ((xor((17 * p.doc_id + 31 * i.i)
+                                           % 256, 85) // 16) % 8 - 1))
+                   END
+               ELSE (13 * p.doc_id + 7 * i.i) % 3201 - 1600
+               END AS s
+        FROM p,
+             LATERAL (SELECT unnest(generate_series(0, p.n - 1)) AS i) i
+    )
+    SELECT doc_id,
+           CASE v WHEN 0 THEN 'ulaw' WHEN 1 THEN 'alaw'
+                  WHEN 2 THEN 'pcm_f32be' WHEN 3 THEN 'pcm_f64be'
+                  WHEN 4 THEN 'pcm_s24be' ELSE 'pcm_s32be' END AS codec,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+           CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs
+    FROM s GROUP BY doc_id, v, n, rate ORDER BY doc_id
+    """,
+)
+def mp4_pcm_variants_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QuickTime PCM/G.711 sample entries in MP4/MOV under the
+    differential gate (round 17, additive next to
+    mp4_audio_extract_features which stays on the mp3/twos/sowt cycle
+    the driver window pinned): per doc one of SIX sample-entry codecs —
+    'ulaw'/'alaw' carrying closed-form CODE bytes (the oracle expands
+    both laws in SQL exactly as the g711 gate does), big-endian
+    'fl32'/'fl64' floats (int16/32768 exact), and 'in24'/'in32'
+    big-endian integers (values scaled by 256/65536 so the decoded
+    wide samples map back onto the same closed form) — is muxed by
+    :func:`encode_mp4_audio` across three chunks and decoded back
+    through the §8.7.4 stbl walk. Exact integer stats at int16 scale
+    hash against the oracle. Map-only mapInPandas with the standard
+    explicit core fan-out."""
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        fmts = ("ulaw", "alaw", "fl32", "fl64", "in24", "in32")
+        for pdf in batches:
+            out = {
+                "doc_id": [], "codec": [], "sample_rate": [],
+                "n_samples": [], "peak": [], "sum_abs": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                v = d % 6
+                n = 192 + (d % 4) * 64
+                rate = (
+                    8000 if v < 2
+                    else (16000, 22050, 44100)[d % 3]
+                )
+                i = np.arange(n, dtype=np.int64)
+                if v < 2:
+                    stream = ((17 * d + 31 * i) % 256).astype(
+                        np.uint8
+                    ).tobytes()
+                else:
+                    s = ((13 * d + 7 * i) % 3201 - 1600).astype(np.int16)
+                    if v == 2:
+                        stream = (
+                            s.astype(np.float32) / np.float32(32768.0)
+                        ).astype(">f4").tobytes()
+                    elif v == 3:
+                        stream = (
+                            s.astype(np.float64) / 32768.0
+                        ).astype(">f8").tobytes()
+                    elif v == 4:
+                        w24 = (s.astype(np.int64) * 256).astype("<i4")
+                        stream = (
+                            w24.view(np.uint8).reshape(-1, 4)[:, 2::-1]
+                        ).tobytes()
+                    else:
+                        stream = (
+                            s.astype(np.int64) * 65536
+                        ).astype(">i4").tobytes()
+                blob = encode_mp4_audio(
+                    stream, codec=fmts[v], sample_rate=rate, n_chunks=3
+                )
+                meta = decode_media(blob, "audio")  # REAL stbl walk
+                if meta["sample_width"] == 2:
+                    vals = np.frombuffer(meta["pcm"], "<i2").astype(
+                        np.int64
+                    )
+                elif meta["sample_width"] == 3:
+                    b3 = np.frombuffer(meta["pcm"], np.uint8).reshape(
+                        -1, 3
+                    ).astype(np.int64)
+                    raw = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+                    raw = np.where(raw >= 1 << 23, raw - (1 << 24), raw)
+                    vals = raw // 256
+                else:
+                    vals = np.frombuffer(meta["pcm"], "<i4").astype(
+                        np.int64
+                    ) // 65536
+                out["doc_id"].append(d)
+                out["codec"].append(meta["codec"])
+                out["sample_rate"].append(meta["frame_rate"])
+                out["n_samples"].append(meta["n_frames"])
+                out["peak"].append(int(np.abs(vals).max()))
+                out["sum_abs"].append(int(np.abs(vals).sum()))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, codec string, sample_rate long, n_samples long, "
+        "peak long, sum_abs long"
     )
     return docs.mapInPandas(run, schema)
 

@@ -109,6 +109,7 @@ QUERIES = [
     "caf_decode_features",
     "y4m_decode_features",
     "audio_tags_features",
+    "mp4_pcm_variants_features",
 ]
 
 
@@ -226,6 +227,7 @@ ANSI_QUERIES = [
     "caf_decode_features",
     "y4m_decode_features",
     "audio_tags_features",
+    "mp4_pcm_variants_features",
 ]
 
 

@@ -4911,6 +4911,70 @@ def test_audio_tags_extraction():
         _parse_id3v2(b"ID3\x04\x00\x00\x00\x00\x00\x80")
 
 
+def test_mp4_quicktime_pcm_entries():
+    """QuickTime PCM/G.711 MP4 sample entries (round 17): ulaw/alaw
+    code streams expand exactly, big-endian fl32/fl64 round-trip int16
+    exactly, in24/in32 keep their native widths with byte order
+    swapped to LE, all through the multi-chunk stbl walk; unknown
+    entries still raise the named seam listing the supported set."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _g711_compress,
+        _g711_expand,
+        decode_media,
+        encode_mp4_audio,
+        extract_mp4_audio,
+    )
+
+    n = 160
+    s = (np.arange(n, dtype=np.int64) * 43 % 1901 - 950).astype(np.int16)
+
+    for law in ("ulaw", "alaw"):
+        codes = _g711_compress(s, law).tobytes()
+        m = decode_media(
+            encode_mp4_audio(codes, codec=law, sample_rate=8000,
+                             n_chunks=3), "audio",
+        )
+        assert m["codec"] == law
+        assert np.array_equal(
+            np.frombuffer(m["pcm"], "<i2"),
+            _g711_expand(np.frombuffer(codes, np.uint8), law),
+        )
+    for fmt, w in (("fl32", 4), ("fl64", 8)):
+        f = (s.astype(np.float64) / 32768.0).astype(f">f{w}").tobytes()
+        m = decode_media(
+            encode_mp4_audio(f, codec=fmt, sample_rate=16000), "audio"
+        )
+        assert m["codec"] == f"pcm_f{w * 8}be"
+        assert np.array_equal(np.frombuffer(m["pcm"], "<i2"), s)
+    i24 = b"".join(
+        int(v).to_bytes(3, "big", signed=True)
+        for v in (s.astype(np.int64) * 256)
+    )
+    m = decode_media(
+        encode_mp4_audio(i24, codec="in24", sample_rate=22050), "audio"
+    )
+    assert m["codec"] == "pcm_s24be" and m["sample_width"] == 3
+    b3 = np.frombuffer(m["pcm"], np.uint8).reshape(-1, 3).astype(np.int64)
+    raw = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+    raw = np.where(raw >= 1 << 23, raw - (1 << 24), raw)
+    assert np.array_equal(raw // 256, s.astype(np.int64))
+    i32 = (s.astype(np.int64) * 65536).astype(">i4").tobytes()
+    m = decode_media(
+        encode_mp4_audio(i32, codec="in32", sample_rate=22050), "audio"
+    )
+    assert np.array_equal(
+        np.frombuffer(m["pcm"], "<i4") // 65536, s.astype(np.int64)
+    )
+    # unknown entries raise, naming the supported set
+    blob = bytearray(encode_mp4_audio(i32, codec="in32"))
+    at = blob.index(b"in32", blob.index(b"stsd"))
+    blob[at : at + 4] = b"alac"
+    with pytest.raises(NotImplementedError, match="in24/in32"):
+        extract_mp4_audio(bytes(blob))
+
+
 def test_audio_content_keys_cover_layer2_and_lsf():
     """The round-17 codec routing surfaces transitively in the dedup
     keys (and hence the streaming audio-dedup face, which keys through

@@ -612,6 +612,7 @@ def test_decode_gate_plans_have_no_trailing_sort(spark, sf_dir):
         ms_adpcm_decode_features,
         audio_tags_features,
         caf_decode_features,
+        mp4_pcm_variants_features,
         netpbm_tga_decode_features,
         y4m_decode_features,
         ogg_probe_features,
@@ -635,6 +636,7 @@ def test_decode_gate_plans_have_no_trailing_sort(spark, sf_dir):
         caf_decode_features,
         y4m_decode_features,
         audio_tags_features,
+        mp4_pcm_variants_features,
     ):
         plan = _executed_plan(q(spark, sf_dir))
         if q.__name__ != "pii_redaction_stats":  # pii is fully JVM-side
