@@ -149,6 +149,7 @@ HEADLINE = [
     "netpbm_tga_decode_features",
     "y4m_decode_features",
     "audio_tags_features",
+    "mp4_pcm_variants_features",
     "jpeg_precision12_features",
 ]
 
@@ -212,9 +213,10 @@ FLOORS = {
     "wav_ext_decode_features": 0.567,
     "netpbm_tga_decode_features": 0.580,
     "y4m_decode_features": 0.636,
-    # final r17 addition (closing bench session, yardstick 26.7 GFLOP/s
-    # under ~19k steal ticks)
+    # final r17 additions (closing bench sessions, yardsticks 26.7 and
+    # 9.4 GFLOP/s under ~19k/~44k steal ticks)
     "audio_tags_features": 0.457,
+    "mp4_pcm_variants_features": 0.636,
 }
 
 
