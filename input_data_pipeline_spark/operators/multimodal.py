@@ -808,20 +808,50 @@ def encode_netpbm(plane, kind: int, maxval: int = 255) -> bytes:
 
 def _looks_like_tga(payload: bytes) -> bool:
     """TGA has no magic; accept only the untyped-header shapes this
-    decoder supports (image types 2/3/10/11, colormap type 0) so other
+    decoder supports (truecolor/gray types 2/3/10/11 with colormap
+    type 0, colormapped types 1/9 with colormap type 1) so other
     formats cannot alias into the TGA arm."""
+    if len(payload) < 18:
+        return False
+    if payload[1] == 0:
+        return payload[2] in (2, 3, 10, 11) and payload[16] in (8, 24, 32)
     return (
-        len(payload) >= 18
-        and payload[1] == 0
-        and payload[2] in (2, 3, 10, 11)
-        and payload[16] in (8, 24, 32)
+        payload[1] == 1
+        and payload[2] in (1, 9)
+        and payload[16] in (8, 16)
+        and payload[7] in (15, 16, 24, 32)
     )
+
+
+def _tga_palette(payload: bytes, pos: int, cmap_len: int, entry_bits: int):
+    """Read a TGA colormap at ``pos`` into an (n, 3) BGR uint8 palette.
+    24-bit entries are BGR, 32-bit BGRA (alpha dropped), 15/16-bit
+    little-endian A1R5G5B5 with each 5-bit channel expanded by
+    ``(c << 3) | (c >> 2)``. Returns (palette, next_pos)."""
+    import numpy as np
+
+    entry_bytes = (entry_bits + 7) // 8
+    raw = payload[pos : pos + cmap_len * entry_bytes]
+    if len(raw) < cmap_len * entry_bytes:
+        raise ValueError("truncated TGA colormap")
+    a = np.frombuffer(raw, np.uint8).reshape(cmap_len, entry_bytes)
+    if entry_bits in (24, 32):
+        pal = a[:, :3].copy()
+    else:  # 15/16-bit A1R5G5B5
+        v = a[:, 0].astype(np.uint16) | (a[:, 1].astype(np.uint16) << 8)
+        pal = np.empty((cmap_len, 3), np.uint8)
+        for ch, shift in ((0, 0), (1, 5), (2, 10)):  # B, G, R
+            c5 = (v >> shift) & 31
+            pal[:, ch] = ((c5 << 3) | (c5 >> 2)).astype(np.uint8)
+    return pal, pos + cmap_len * entry_bytes
 
 
 def _decode_tga(payload: bytes) -> dict:
     """Targa decode: uncompressed (type 2/3) and RLE (10/11) truecolor
-    (24/32-bit BGR[A], alpha dropped) and 8-bit grayscale, both row
-    origins (descriptor bit 5). Colormapped types raise by name."""
+    (24/32-bit BGR[A], alpha dropped) and 8-bit grayscale, plus
+    colormapped types 1/9 (8/16-bit indices, 15/16/24/32-bit map
+    entries, nonzero first-entry index honoured), both row origins
+    (descriptor bit 5)."""
     import struct
 
     import numpy as np
@@ -829,18 +859,26 @@ def _decode_tga(payload: bytes) -> dict:
     if len(payload) < 18:
         raise ValueError("truncated TGA header")
     id_len, cmap_type, itype = payload[0], payload[1], payload[2]
-    if cmap_type != 0 or itype in (1, 9):
-        raise NotImplementedError(
-            "colormapped TGA (types 1/9) is not implemented; "
-            "truecolor/grayscale, raw and RLE, decode"
-        )
-    if itype not in (2, 3, 10, 11):
+    if itype not in (1, 2, 3, 9, 10, 11):
         raise ValueError(f"TGA image type {itype} unsupported")
+    cmapped = itype in (1, 9)
+    if cmapped != (cmap_type == 1):
+        raise ValueError("TGA colormap type disagrees with image type")
+    cmap_first, cmap_len = struct.unpack_from("<HH", payload, 3)
+    entry_bits = payload[7]
     w, h = struct.unpack_from("<HH", payload, 12)
     bpp, desc = payload[16], payload[17]
     if w < 1 or h < 1:
         raise ValueError("TGA dimensions must be positive")
-    if itype in (3, 11):
+    if cmapped:
+        if bpp not in (8, 16):
+            raise ValueError(f"colormapped TGA index size {bpp} unsupported")
+        if entry_bits not in (15, 16, 24, 32):
+            raise ValueError(f"TGA colormap entry size {entry_bits}")
+        if cmap_len < 1:
+            raise ValueError("colormapped TGA with empty colormap")
+        n_ch = bpp // 8
+    elif itype in (3, 11):
         if bpp != 8:
             raise ValueError("grayscale TGA must be 8-bit")
         n_ch = 1
@@ -849,8 +887,11 @@ def _decode_tga(payload: bytes) -> dict:
             raise ValueError(f"truecolor TGA bpp {bpp} unsupported")
         n_ch = bpp // 8
     pos = 18 + id_len
+    palette = None
+    if cmapped:
+        palette, pos = _tga_palette(payload, pos, cmap_len, entry_bits)
     need = w * h * n_ch
-    if itype in (2, 3):
+    if itype in (1, 2, 3):
         raw = payload[pos : pos + need]
         if len(raw) < need:
             raise ValueError("truncated TGA raster")
@@ -878,7 +919,16 @@ def _decode_tga(payload: bytes) -> dict:
             raise ValueError("TGA RLE output overruns the raster")
         raw = bytes(out)
     a = np.frombuffer(raw, np.uint8).reshape(h, w, n_ch)
-    if n_ch == 1:
+    if cmapped:
+        idx = (
+            a[:, :, 0].astype(np.int64)
+            if bpp == 8
+            else (a[:, :, 0].astype(np.int64) | (a[:, :, 1].astype(np.int64) << 8))
+        ) - cmap_first
+        if (idx < 0).any() or (idx >= cmap_len).any():
+            raise ValueError("TGA pixel index outside the colormap")
+        bgr = palette[idx]
+    elif n_ch == 1:
         bgr = np.repeat(a, 3, axis=2)
     else:
         bgr = a[:, :, :3]  # TGA stores BGR(A); alpha dropped
@@ -890,10 +940,17 @@ def _decode_tga(payload: bytes) -> dict:
     }
 
 
-def encode_tga(plane, rle: bool = False, top_down: bool = False) -> bytes:
+def encode_tga(plane, rle: bool = False, top_down: bool = False,
+               palette=None, cmap_bits: int = 24,
+               cmap_first: int = 0) -> bytes:
     """Encode a top-down (h, w, 3) BGR array (or (h, w) gray) as TGA —
-    types 2/3 raw or 10/11 RLE, either row origin. RLE packets follow
-    the spec's 128-pixel cap and never cross rows."""
+    types 2/3 raw or 10/11 RLE, either row origin. With ``palette``
+    ((n, 3) BGR uint8), ``plane`` is an (h, w) index array and the
+    output is colormapped type 1/9 with ``cmap_bits`` (16 packs each
+    channel's top 5 bits as A1R5G5B5, 24/32 store BGR[A]) and
+    first-entry index ``cmap_first`` (indices written are
+    ``plane + cmap_first``). RLE packets follow the spec's 128-pixel
+    cap and never cross rows."""
     import struct
 
     import numpy as np
@@ -901,12 +958,43 @@ def encode_tga(plane, rle: bool = False, top_down: bool = False) -> bytes:
     a = np.asarray(plane, dtype=np.uint8)
     gray = a.ndim == 2
     h, w = a.shape[:2]
-    n_ch = 1 if gray else 3
-    itype = (3 if gray else 2) + (8 if rle else 0)
-    hdr = struct.pack(
-        "<BBBHHBHHHHBB", 0, 0, itype, 0, 0, 0, 0, 0, w, h,
-        8 * n_ch, 0x20 if top_down else 0,
-    )
+    cmap = b""
+    if palette is not None:
+        pal = np.asarray(palette, dtype=np.uint8)
+        if not gray:
+            raise ValueError("colormapped TGA wants an (h, w) index plane")
+        if cmap_bits == 16:
+            v = (
+                (pal[:, 0].astype(np.uint16) >> 3)
+                | ((pal[:, 1].astype(np.uint16) >> 3) << 5)
+                | ((pal[:, 2].astype(np.uint16) >> 3) << 10)
+            )
+            cmap = v.astype("<u2").tobytes()
+        elif cmap_bits == 24:
+            cmap = pal.tobytes()
+        elif cmap_bits == 32:
+            cmap = np.concatenate(
+                [pal, np.full((len(pal), 1), 255, np.uint8)], axis=1
+            ).tobytes()
+        else:
+            raise ValueError(f"cmap_bits {cmap_bits} unsupported")
+        if int(a.max()) + cmap_first > 255:
+            raise ValueError("index + cmap_first exceeds 8-bit indices")
+        a = (a + np.uint8(cmap_first)).astype(np.uint8)
+        n_ch = 1
+        itype = 1 + (8 if rle else 0)
+        hdr = struct.pack(
+            "<BBBHHBHHHHBB", 0, 1, itype, cmap_first, len(pal),
+            cmap_bits, 0, 0, w, h, 8, 0x20 if top_down else 0,
+        )
+    else:
+        n_ch = 1 if gray else 3
+        itype = (3 if gray else 2) + (8 if rle else 0)
+        hdr = struct.pack(
+            "<BBBHHBHHHHBB", 0, 0, itype, 0, 0, 0, 0, 0, w, h,
+            8 * n_ch, 0x20 if top_down else 0,
+        )
+    hdr += cmap
     rows = a if top_down else a[::-1]
     if not rle:
         return hdr + rows.tobytes()
@@ -13438,7 +13526,7 @@ def wav_ext_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH p AS (
         SELECT d.doc_id,
-               CAST(d.doc_id % 8 AS INTEGER) AS v,
+               CAST(d.doc_id % 11 AS INTEGER) AS v,
                6 + d.doc_id % 5 AS w,
                5 + d.doc_id % 4 AS h
         FROM documents d
@@ -13452,6 +13540,17 @@ def wav_ext_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                              * 17
                     WHEN p.v = 4
                         THEN 255 * (1 - (p.doc_id + g.r + g.c) % 2)
+                    WHEN p.v IN (8, 9) THEN
+                        (7 * p.doc_id
+                         + 11 * ((p.doc_id + 3 * g.r + 5 * g.c) % 16))
+                        % 256
+                    WHEN p.v = 10 THEN
+                        ((7 * p.doc_id
+                          + 11 * ((p.doc_id + 3 * g.r + 5 * g.c) % 16))
+                         % 256 // 8) * 8
+                        + ((7 * p.doc_id
+                            + 11 * ((p.doc_id + 3 * g.r + 5 * g.c) % 16))
+                           % 256 // 8) // 4
                     ELSE (19 * p.doc_id + 7 * g.r + 31 * g.c) % 256
                END AS b,
                CASE WHEN p.v IN (0, 2, 5, 6)
@@ -13461,6 +13560,17 @@ def wav_ext_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN p.v = 3
                         THEN ((19 * p.doc_id + 7 * g.r + 31 * g.c) % 16)
                              * 17
+                    WHEN p.v IN (8, 9) THEN
+                        (13 * p.doc_id
+                         + 5 * ((p.doc_id + 3 * g.r + 5 * g.c) % 16))
+                        % 256
+                    WHEN p.v = 10 THEN
+                        ((13 * p.doc_id
+                          + 5 * ((p.doc_id + 3 * g.r + 5 * g.c) % 16))
+                         % 256 // 8) * 8
+                        + ((13 * p.doc_id
+                            + 5 * ((p.doc_id + 3 * g.r + 5 * g.c) % 16))
+                           % 256 // 8) // 4
                     ELSE 255 * (1 - (p.doc_id + g.r + g.c) % 2)
                END AS g,
                CASE WHEN p.v IN (0, 2, 5, 6)
@@ -13470,6 +13580,17 @@ def wav_ext_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN p.v = 3
                         THEN ((19 * p.doc_id + 7 * g.r + 31 * g.c) % 16)
                              * 17
+                    WHEN p.v IN (8, 9) THEN
+                        (3 * p.doc_id
+                         + 17 * ((p.doc_id + 3 * g.r + 5 * g.c) % 16))
+                        % 256
+                    WHEN p.v = 10 THEN
+                        ((3 * p.doc_id
+                          + 17 * ((p.doc_id + 3 * g.r + 5 * g.c) % 16))
+                         % 256 // 8) * 8
+                        + ((3 * p.doc_id
+                            + 17 * ((p.doc_id + 3 * g.r + 5 * g.c) % 16))
+                           % 256 // 8) // 4
                     ELSE 255 * (1 - (p.doc_id + g.r + g.c) % 2)
                END AS r
         FROM p,
@@ -13481,7 +13602,9 @@ def wav_ext_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE v WHEN 0 THEN 'p6' WHEN 1 THEN 'p5' WHEN 2 THEN 'p3'
                   WHEN 3 THEN 'p2_maxval15' WHEN 4 THEN 'p4'
                   WHEN 5 THEN 'tga_raw' WHEN 6 THEN 'tga_rle'
-                  ELSE 'tga_gray_rle' END AS variant,
+                  WHEN 7 THEN 'tga_gray_rle'
+                  WHEN 8 THEN 'tga_cmap_raw' WHEN 9 THEN 'tga_cmap_rle'
+                  ELSE 'tga_cmap16' END AS variant,
            CAST(w AS BIGINT) AS width,
            CAST(h AS BIGINT) AS height,
            CAST(CAST(SUM(b) AS BIGINT) // (w * h) AS BIGINT) AS mean_b,
@@ -13493,15 +13616,20 @@ def wav_ext_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def netpbm_tga_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """netpbm + TGA under the differential gate (round 17): per doc a
     closed-form test card is written through :func:`encode_netpbm` /
-    :func:`encode_tga` cycling EIGHT variants — binary and ASCII PPM,
+    :func:`encode_tga` cycling ELEVEN variants — binary and ASCII PPM,
     binary PGM, ASCII PGM at maxval 15 (exercising 255*v//maxval
     scaling), packed-bit PBM (1 = black), raw bottom-up TGA, RLE
-    top-down TGA, grayscale RLE TGA — and decoded back through
-    :func:`decode_media`'s image arm. The oracle recomputes each
-    channel's exact mean from the same closed form, so a token-scanner
-    slip, a bit-order error in P4, a missed row flip, an RLE
-    run/literal confusion, or a maxval scaling bug breaks the hash.
-    Map-only mapInPandas with the standard explicit core fan-out."""
+    top-down TGA, grayscale RLE TGA, and (round-17 continuation) three
+    COLORMAPPED TGA forms: raw type 1 with a 24-bit map and nonzero
+    first-entry index, RLE type 9 with a 32-bit map, and a raw 16-bit
+    A1R5G5B5 map exercising the (c<<3)|(c>>2) expansion — and decoded
+    back through :func:`decode_media`'s image arm. The oracle
+    recomputes each channel's exact mean from the same closed form, so
+    a token-scanner slip, a bit-order error in P4, a missed row flip,
+    an RLE run/literal confusion, a maxval scaling bug, a palette
+    lookup off by the first-entry index, or a 5-bit expansion slip
+    breaks the hash. Map-only mapInPandas with the standard explicit
+    core fan-out."""
     import numpy as np
 
     docs = (
@@ -13514,7 +13642,8 @@ def netpbm_tga_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         names = ("p6", "p5", "p3", "p2_maxval15", "p4", "tga_raw",
-                 "tga_rle", "tga_gray_rle")
+                 "tga_rle", "tga_gray_rle", "tga_cmap_raw",
+                 "tga_cmap_rle", "tga_cmap16")
         for pdf in batches:
             out = {
                 "doc_id": [], "variant": [], "width": [], "height": [],
@@ -13522,7 +13651,7 @@ def netpbm_tga_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                v = d % 8
+                v = d % 11
                 w, h = 6 + d % 5, 5 + d % 4
                 r = np.arange(h, dtype=np.int64).reshape(-1, 1)
                 c = np.arange(w, dtype=np.int64)
@@ -13532,6 +13661,13 @@ def netpbm_tga_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (3 * d + 13 * r + 37 * c) % 256,
                 ], axis=2).astype(np.uint8)
                 gray = ((19 * d + 7 * r + 31 * c) % 256).astype(np.uint8)
+                k = np.arange(16, dtype=np.int64)
+                pal = np.stack([
+                    (7 * d + 11 * k) % 256,
+                    (13 * d + 5 * k) % 256,
+                    (3 * d + 17 * k) % 256,
+                ], axis=1).astype(np.uint8)
+                idx = ((d + 3 * r + 5 * c) % 16).astype(np.uint8)
                 if v == 0:
                     blob = encode_netpbm(bgr, 6)
                 elif v == 1:
@@ -13550,8 +13686,17 @@ def netpbm_tga_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     blob = encode_tga(bgr)
                 elif v == 6:
                     blob = encode_tga(bgr, rle=True, top_down=True)
-                else:
+                elif v == 7:
                     blob = encode_tga(gray, rle=True)
+                elif v == 8:
+                    blob = encode_tga(idx, palette=pal, cmap_first=4)
+                elif v == 9:
+                    blob = encode_tga(
+                        idx, rle=True, top_down=True, palette=pal,
+                        cmap_bits=32,
+                    )
+                else:
+                    blob = encode_tga(idx, palette=pal, cmap_bits=16)
                 meta = decode_media(blob, "image")  # REAL decode
                 px = np.frombuffer(meta["pixels"], np.uint8).reshape(
                     meta["height"], meta["width"], 3

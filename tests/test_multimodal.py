@@ -4640,11 +4640,37 @@ def test_netpbm_and_tga_decode():
     assert np.array_equal(
         np.frombuffer(got["pixels"], np.uint8).reshape(h, w, 3), bgr
     )
-    cmapped = struct.pack(
-        "<BBBHHBHHHHBB", 0, 1, 1, 0, 4, 24, 0, 0, w, h, 8, 0
-    ) + bytes(w * h)
-    with pytest.raises(NotImplementedError, match="colormapped"):
-        _decode_tga(cmapped)
+    # colormapped (round-17 continuation): every map width, both RLE
+    # forms, nonzero first-entry index; 16-bit entries expand by
+    # (c << 3) | (c >> 2); out-of-map indices rejected
+    pal = np.stack(
+        [(11 * np.arange(16)) % 256, (5 + 13 * np.arange(16)) % 256,
+         (17 * np.arange(16)) % 256], axis=1,
+    ).astype(np.uint8)
+    idx = ((3 * r + 5 * c) % 16).astype(np.uint8)
+    for rle in (False, True):
+        for bits, first in ((24, 0), (32, 4), (16, 7)):
+            blob = encode_tga(
+                idx, rle=rle, palette=pal, cmap_bits=bits, cmap_first=first
+            )
+            assert _looks_like_tga(blob)
+            got = _decode_tga(blob)
+            px = np.frombuffer(got["pixels"], np.uint8).reshape(h, w, 3)
+            if bits == 16:
+                p5 = (pal >> 3).astype(np.uint8)
+                exp = ((p5 << 3) | (p5 >> 2))[idx]
+            else:
+                exp = pal[idx]
+            assert np.array_equal(px, exp), (rle, bits)
+    with pytest.raises(ValueError, match="outside the colormap"):
+        _decode_tga(encode_tga(idx, palette=pal[:8]))
+    with pytest.raises(ValueError, match="truncated TGA colormap"):
+        _decode_tga(encode_tga(idx, palette=pal)[: 18 + 20])
+    with pytest.raises(ValueError, match="disagrees"):
+        _decode_tga(
+            struct.pack("<BBBHHBHHHHBB", 0, 1, 2, 0, 4, 24,
+                        0, 0, w, h, 24, 0) + bytes(w * h * 3 + 12)
+        )
     assert not _looks_like_tga(b"\x00" * 18)
     assert not _looks_like_tga(b"P6\n1 1\n255\n" + bytes(10))
     with pytest.raises(ValueError, match="RLE"):
