@@ -4144,14 +4144,53 @@ def _decode_avi(payload: bytes, probe: bool = False) -> dict:
     return out
 
 
-# Y4M colorspaces this decoder accepts, with per-frame chroma plane
-# geometry as (width divisor, height divisor); None = no chroma planes.
+# Y4M colorspaces this decoder accepts: ((width divisor, height
+# divisor), siting mode); None = no chroma planes. "box" = interstitial
+# siting reconstructed by nearest replication (C420jpeg's centered
+# sample serves all four lumas); "mpeg2" = horizontally CO-SITED with
+# the left luma column (half-pel linear between columns), vertically
+# interstitial (replication); "paldv" = co-sited horizontally, and
+# vertically Cb is sited on EVEN luma rows / Cr on ODD rows with
+# half-pel linear between.
 _Y4M_CHROMA = {
-    b"C444": (1, 1),
-    b"C422": (2, 1),
-    b"C420jpeg": (2, 2),  # centered siting: nearest replication is exact
-    b"Cmono": None,
+    b"C444": ((1, 1), "box"),
+    b"C422": ((2, 1), "box"),
+    b"C420jpeg": ((2, 2), "box"),
+    b"C420mpeg2": ((2, 2), "mpeg2"),
+    b"C420paldv": ((2, 2), "paldv"),
+    b"Cmono": (None, None),
 }
+
+
+def _y4m_upsample_chroma(plane, w: int, h: int, siting: str, comp: str):
+    """Reconstruct a full-resolution (h, w) chroma plane from a
+    subsampled one per the colorspace's siting, horizontal pass first
+    then vertical, all integer with round-half-up ``(a + b + 1) >> 1``
+    half-pel midpoints and edge clamping. ``comp`` ('cb'/'cr') only
+    matters for paldv's row-parity siting."""
+    import numpy as np
+
+    p = plane.astype(np.int64)
+    # horizontal: co-sited with the left luma of each pair
+    right = np.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+    hh = np.empty((p.shape[0], 2 * p.shape[1]), np.int64)
+    hh[:, 0::2] = p
+    hh[:, 1::2] = (p + right + 1) >> 1
+    hh = hh[:, :w]
+    if siting == "mpeg2":  # vertically interstitial: replication
+        out = hh.repeat(2, 0)[:h]
+    else:  # paldv: Cb sited on even luma rows, Cr on odd
+        down = np.concatenate([hh[1:], hh[-1:]], axis=0)
+        up = np.concatenate([hh[:1], hh[:-1]], axis=0)
+        out = np.empty((2 * hh.shape[0], w), np.int64)
+        if comp == "cb":
+            out[0::2] = hh
+            out[1::2] = (hh + down + 1) >> 1
+        else:
+            out[1::2] = hh
+            out[0::2] = (up + hh + 1) >> 1
+        out = out[:h]
+    return out.astype(np.uint8)
 
 
 def _decode_y4m(payload: bytes) -> dict:
@@ -4160,9 +4199,10 @@ def _decode_y4m(payload: bytes) -> dict:
     ``width/height/n_frames/usec_per_frame/frames`` with each frame a
     bottom-up padded 24-bit BGR DIB. Stream header parameters W/H/F
     (frame rate as a num:den rational) are required; colorspaces
-    C444/C422/C420jpeg/Cmono decode (other sitings — C420mpeg2,
-    C420paldv — raise by name: their half-pel chroma offsets need a
-    resampling filter, not replication). BT.601 conversion runs
+    C444/C422/C420jpeg/Cmono decode by replication and (round-17
+    continuation) C420mpeg2/C420paldv reconstruct their co-sited
+    half-pel chroma through :func:`_y4m_upsample_chroma`; other
+    colorspaces raise by name. BT.601 conversion runs
     FULL-range when the stream carries XCOLORRANGE=FULL (the ffmpeg
     extension) and the Y4M-conventional LIMITED range (Y 16-235,
     C 16-240) otherwise."""
@@ -4192,10 +4232,10 @@ def _decode_y4m(payload: bytes) -> dict:
     if cs not in _Y4M_CHROMA:
         raise NotImplementedError(
             f"Y4M colorspace {cs.decode(errors='replace')} is not "
-            "implemented (C420mpeg2/C420paldv siting needs a chroma "
-            "resampling filter); C444/C422/C420jpeg/Cmono decode"
+            "implemented; C444/C422/C420jpeg/C420mpeg2/C420paldv/"
+            "Cmono decode"
         )
-    sub = _Y4M_CHROMA[cs]
+    sub, siting = _Y4M_CHROMA[cs]
     ysz = w * h
     csz = 0 if sub is None else ((w + sub[0] - 1) // sub[0]) * (
         (h + sub[1] - 1) // sub[1]
@@ -4225,12 +4265,14 @@ def _decode_y4m(payload: bytes) -> dict:
             cr = np.frombuffer(
                 payload[body0 + ysz + csz : body0 + fsz], np.uint8
             ).reshape(chh, cw)
-            cb = cb.repeat(sub[1], 0).repeat(sub[0], 1)[:h, :w].astype(
-                np.float64
-            )
-            cr = cr.repeat(sub[1], 0).repeat(sub[0], 1)[:h, :w].astype(
-                np.float64
-            )
+            if siting == "box":
+                cb = cb.repeat(sub[1], 0).repeat(sub[0], 1)[:h, :w]
+                cr = cr.repeat(sub[1], 0).repeat(sub[0], 1)[:h, :w]
+            else:
+                cb = _y4m_upsample_chroma(cb, w, h, siting, "cb")
+                cr = _y4m_upsample_chroma(cr, w, h, siting, "cr")
+            cb = cb.astype(np.float64)
+            cr = cr.astype(np.float64)
         if not full_range:
             y = (y - 16.0) * (255.0 / 219.0)
             if cb is not None:
@@ -4881,9 +4923,10 @@ def probe_video(payload: bytes) -> dict:
                 cs = tok
         if not w or not h or not num or not den:
             raise ValueError("Y4M header missing W/H/F parameters")
-        sub = _Y4M_CHROMA.get(cs)
+        ent = _Y4M_CHROMA.get(cs)
+        sub = ent[0] if ent is not None else None
         csz = (
-            0 if sub is None and cs == b"Cmono"
+            0 if ent is not None and sub is None  # Cmono
             else ((w + 1) // 2) * ((h + 1) // 2) if sub is None
             else ((w + sub[0] - 1) // sub[0])
             * ((h + sub[1] - 1) // sub[1])
@@ -17667,7 +17710,7 @@ def caf_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH p AS (
         SELECT d.doc_id,
-               CAST(d.doc_id % 4 AS INTEGER) AS v,
+               CAST(d.doc_id % 6 AS INTEGER) AS v,
                2 + d.doc_id % 3 AS nf,
                8 + 2 * (d.doc_id % 4) AS w,
                6 + 2 * (d.doc_id % 3) AS h,
@@ -17691,7 +17734,9 @@ def caf_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CASE v WHEN 0 THEN 'c444' WHEN 1 THEN 'c420jpeg'
-                  WHEN 2 THEN 'cmono' ELSE 'c444_limited' END AS variant,
+                  WHEN 2 THEN 'cmono' WHEN 3 THEN 'c444_limited'
+                  WHEN 4 THEN 'c420mpeg2' ELSE 'c420paldv'
+           END AS variant,
            CAST(w AS BIGINT) AS width,
            CAST(h AS BIGINT) AS height,
            CAST(nf AS BIGINT) AS n_frames,
@@ -17705,18 +17750,57 @@ def caf_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def y4m_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """YUV4MPEG2 under the differential gate (round 17): per doc a
     closed-form luma card over 2-4 frames is written through
-    :func:`encode_y4m` cycling C444 / C420jpeg / Cmono full-range and
-    C444 LIMITED-range (the Y4M convention without XCOLORRANGE=FULL) —
-    neutral chroma, so the decoded gray channel is the exact Y (or the
-    exact limited-range expansion, no rounding ties by construction)
-    and the oracle recomputes its mean closed-form across every frame.
-    ``chroma_ok`` separately feeds one NON-neutral C444 frame through
-    the decoder and checks the full BT.601 matrix against an
-    independent in-kernel reference, so neutral-chroma stats can't mask
-    a matrix slip. Frame geometry (count from the byte stream, usec
-    per frame from the F rational) hashes against the closed form.
-    Map-only mapInPandas with the standard explicit core fan-out."""
+    :func:`encode_y4m` cycling SIX variants — C444 / C420jpeg / Cmono
+    full-range, C444 LIMITED-range (the Y4M convention without
+    XCOLORRANGE=FULL), and (round-17 continuation) C420mpeg2 and
+    C420paldv — neutral chroma (128 reconstructs to 128 under every
+    siting filter), so the decoded gray channel is the exact Y and the
+    oracle recomputes its mean closed-form across every frame.
+    ``chroma_ok`` separately feeds one NON-neutral frame IN THE DOC'S
+    OWN COLORSPACE through the decoder and checks it against an
+    independent per-pixel in-kernel reference — the BT.601 matrix for
+    the C444 variants, and matrix PLUS the co-sited half-pel
+    H-then-V reconstruction (Cb even rows / Cr odd rows for paldv)
+    for the 4:2:0 sitings — so neutral-chroma stats can't mask a
+    matrix or siting slip. Frame geometry (count from the byte
+    stream, usec per frame from the F rational) hashes against the
+    closed form. Map-only mapInPandas with the standard explicit core
+    fan-out."""
     import numpy as np
+
+    def ref_upsample(plane, w, h, mode, comp):
+        # independent per-pixel reference for the siting arithmetic
+        # (scalar loops; the decoder is vectorized)
+        p = plane.astype(np.int64)
+        ch, cw = p.shape
+
+        def hval(row, xx):
+            j = xx // 2
+            if xx % 2 == 0:
+                return p[row, j]
+            return (p[row, j] + p[row, min(j + 1, cw - 1)] + 1) // 2
+
+        out = np.empty((h, w), np.int64)
+        for yy in range(h):
+            i = yy // 2
+            for xx in range(w):
+                if mode == "mpeg2":
+                    out[yy, xx] = hval(i, xx)
+                elif comp == "cb":
+                    if yy % 2 == 0:
+                        out[yy, xx] = hval(i, xx)
+                    else:
+                        out[yy, xx] = (
+                            hval(i, xx) + hval(min(i + 1, ch - 1), xx) + 1
+                        ) // 2
+                else:
+                    if yy % 2 == 1:
+                        out[yy, xx] = hval(i, xx)
+                    else:
+                        out[yy, xx] = (
+                            hval(max(i - 1, 0), xx) + hval(i, xx) + 1
+                        ) // 2
+        return out
 
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -17727,7 +17811,8 @@ def y4m_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        names = ("c444", "c420jpeg", "cmono", "c444_limited")
+        names = ("c444", "c420jpeg", "cmono", "c444_limited",
+                 "c420mpeg2", "c420paldv")
         for pdf in batches:
             out = {
                 "doc_id": [], "variant": [], "width": [], "height": [],
@@ -17736,7 +17821,7 @@ def y4m_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                v = d % 4
+                v = d % 6
                 nf = 2 + d % 3
                 w, h = 8 + 2 * (d % 4), 6 + 2 * (d % 3)
                 fps = (25, 30, 24)[d % 3]
@@ -17752,10 +17837,13 @@ def y4m_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     neutral = np.full((h, w), 128, np.uint8)
                     frames = [(y, neutral, neutral) for y in ys]
                     cs, full = b"C444", v == 0
-                elif v == 1:
+                elif v == 1 or v >= 4:
                     n2 = np.full((h // 2, w // 2), 128, np.uint8)
                     frames = [(y, n2, n2) for y in ys]
-                    cs, full = b"C420jpeg", True
+                    cs = (b"C420jpeg", b"C420mpeg2", b"C420paldv")[
+                        0 if v == 1 else v - 3
+                    ]
+                    full = True
                 else:
                     frames = [(y, None, None) for y in ys]
                     cs, full = b"Cmono", True
@@ -17769,12 +17857,30 @@ def y4m_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for f in m["frames"]:
                     a = np.frombuffer(f, np.uint8).reshape(h, stride)
                     total += int(a[:, 0 : w * 3 : 3].astype(np.int64).sum())
-                # chroma leg: one colored C444 frame vs an independent
-                # BT.601 reference computed here from the same planes
-                cb = ((r + 2 * c + d) % 256).astype(np.uint8)
-                cr = ((3 * r + c + d) % 256).astype(np.uint8)
+                # chroma leg: one colored frame in the doc's own
+                # colorspace vs an independent reference computed here
+                # from the same planes (per-pixel siting + BT.601)
+                if v in (4, 5):
+                    r2 = np.arange(h // 2, dtype=np.int64).reshape(-1, 1)
+                    c2 = np.arange(w // 2, dtype=np.int64)
+                    cb = ((r2 + 2 * c2 + d) % 256).astype(np.uint8)
+                    cr = ((3 * r2 + c2 + d) % 256).astype(np.uint8)
+                    mode = "mpeg2" if v == 4 else "paldv"
+                    cbu = ref_upsample(cb, w, h, mode, "cb").astype(
+                        np.float64
+                    )
+                    cru = ref_upsample(cr, w, h, mode, "cr").astype(
+                        np.float64
+                    )
+                    ccs = b"C420mpeg2" if v == 4 else b"C420paldv"
+                else:
+                    cb = ((r + 2 * c + d) % 256).astype(np.uint8)
+                    cr = ((3 * r + c + d) % 256).astype(np.uint8)
+                    cbu = cb.astype(np.float64)
+                    cru = cr.astype(np.float64)
+                    ccs = b"C444"
                 cblob = encode_y4m(
-                    [(ys[0], cb, cr)], colorspace=b"C444",
+                    [(ys[0], cb, cr)], colorspace=ccs,
                     full_range=True,
                 )
                 cm = decode_media(cblob, "video")
@@ -17782,8 +17888,8 @@ def y4m_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     cm["frames"][0], np.uint8
                 ).reshape(h, stride)[:, : w * 3][::-1].reshape(h, w, 3)
                 yf = ys[0].astype(np.float64)
-                cbf = cb.astype(np.float64) - 128.0
-                crf = cr.astype(np.float64) - 128.0
+                cbf = cbu - 128.0
+                crf = cru - 128.0
                 ref = np.clip(np.round(np.stack([
                     yf + 1.772 * cbf,
                     yf - 0.344136 * cbf - 0.714136 * crf,

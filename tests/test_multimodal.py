@@ -4805,8 +4805,39 @@ def test_y4m_decode():
     assert pr["container"] == "y4m" and pr["n_frames"] == 5
     assert pr["duration_ms"] == 5 * 33333 // 1000
 
-    with pytest.raises(NotImplementedError, match="C420mpeg2"):
-        _decode_y4m(blob.replace(b"C444", b"C420mpeg2", 1))
+    # co-sited sitings (round-17 continuation): neutral chroma is a
+    # fixed point of every reconstruction filter, so gray == Y exactly
+    from input_data_pipeline_spark.operators.multimodal import (
+        _y4m_upsample_chroma,
+    )
+
+    n2 = neutral[::2, ::2]
+    for cs in (b"C420mpeg2", b"C420paldv"):
+        m = decode_media(
+            encode_y4m([(Y, n2, n2)], colorspace=cs, full_range=True),
+            "video",
+        )
+        assert np.array_equal(top_down(m["frames"][0])[:, :, 0], Y), cs
+    # horizontal co-sited half-pel: a 2x chroma column ramp
+    # reconstructs the unit ramp exactly (even cols co-sited, odd cols
+    # exact midpoints)
+    ramp_h = np.tile(2 * np.arange(5, dtype=np.uint8), (3, 1))
+    up = _y4m_upsample_chroma(ramp_h, 10, 6, "mpeg2", "cb")
+    exp_row = np.array([0, 1, 2, 3, 4, 5, 6, 7, 8, 8])  # last col clamps
+    assert np.array_equal(up, np.tile(exp_row, (6, 1)))
+    # paldv row parity: Cb rows sit on even luma rows, Cr on odd —
+    # a 2x vertical ramp pins both lattices (edge rows clamp)
+    ramp_v = np.tile(2 * np.arange(3, dtype=np.uint8).reshape(-1, 1), (1, 5))
+    up_cb = _y4m_upsample_chroma(ramp_v, 10, 6, "paldv", "cb")
+    assert np.array_equal(up_cb[:, 0], np.array([0, 1, 2, 3, 4, 4])), up_cb
+    up_cr = _y4m_upsample_chroma(ramp_v, 10, 6, "paldv", "cr")
+    assert np.array_equal(up_cr[:, 0], np.array([0, 0, 1, 2, 3, 4])), up_cr
+    # mpeg2 vertical stays interstitial: rows replicate
+    up2 = _y4m_upsample_chroma(ramp_v, 10, 6, "mpeg2", "cb")
+    assert np.array_equal(up2[:, 0], np.array([0, 0, 2, 2, 4, 4]))
+
+    with pytest.raises(NotImplementedError, match="C411"):
+        _decode_y4m(blob.replace(b"C444", b"C411", 1))
     with pytest.raises(ValueError, match="truncated Y4M frame"):
         _decode_y4m(blob[:-3])
     with pytest.raises(ValueError, match="FRAME marker"):
