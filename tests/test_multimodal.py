@@ -5530,11 +5530,33 @@ def test_g722_mode1_enhancement_bits():
     assert s1 >= s3 + 8.0, (s1, s3)
     assert s1 >= 45.0, s1
     assert abs(s31 - s3) < 4.0, (s31, s3)
-    # mode 2 is a named seam on both sides
-    with pytest.raises(NotImplementedError, match="mode 2|QM5"):
-        mm.g722_decode(d1, mode=2)
+
+    # mode 2 (round-17 continuation, closing the QM5 seam): the QM5
+    # certificate is two-sided (QM4 pair bracket below, QM6 children
+    # above) and rejects a perturbed entry; tracking holds; fidelity
+    # sits BETWEEN the core and mode 1 (~6 dB each way, one bit per
+    # step); the embedded property holds; the aux LSB stays zero
+    orig5 = mm._G722_QM5
+    try:
+        mm._G722_QM5 = tuple(
+            v + (900 if i == 6 else 0) for i, v in enumerate(orig5)
+        )
+        with pytest.raises(AssertionError):
+            mm._g722_check_tables()
+    finally:
+        mm._G722_QM5 = orig5
+    mm._g722_check_tables()
+    d2, r2 = mm.g722_encode(src, return_reconstruction=True, mode=2)
+    assert np.array_equal(mm.g722_decode(d2, mode=2), r2)
+    s2 = snr(mm.g722_decode(d2, mode=2))
+    s32 = snr(mm.g722_decode(d2, mode=3))
+    assert s3 + 3.0 <= s2 <= s1 - 3.0, (s3, s2, s1)
+    assert abs(s32 - s3) < 4.0, (s32, s3)
+    assert all((b & 1) == 0 for b in d2)
     with pytest.raises(NotImplementedError, match="modes"):
-        mm.g722_encode(src, mode=2)
+        mm.g722_encode(src, mode=0)
+    with pytest.raises(NotImplementedError, match="modes"):
+        mm.g722_decode(d1, mode=4)
 
 
 def test_g722_in_au_container():
