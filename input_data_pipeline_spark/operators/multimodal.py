@@ -14298,6 +14298,68 @@ def _packbits_decode(data: bytes, expect: int) -> bytes:
     return bytes(out)
 
 
+def _ojpeg_split_tables(stream: bytes):
+    """Split a baseline JPEG interchange stream into the pieces the
+    deprecated TIFF 6.0 §22 tag-51x form stores separately: the
+    quantization tables (64 zigzag bytes each, keyed by destination),
+    the Huffman tables (16 BITS counts + VALUES, keyed by class and
+    destination), the SOF0 component specs, the SOS table bindings,
+    and the raw entropy-coded bytes (byte-stuffed, EOI stripped).
+    The inverse of the reassembly :func:`_decode_tiff` performs for
+    compression-6 files without tags 513/514."""
+    pos = 2
+    dqt: dict[int, bytes] = {}
+    dht: dict[tuple[int, int], bytes] = {}
+    sof = None
+    sos = None
+    while pos + 4 <= len(stream):
+        if stream[pos] != 0xFF:
+            raise ValueError("bad JPEG segment stream")
+        m = stream[pos + 1]
+        ln = int.from_bytes(stream[pos + 2: pos + 4], "big")
+        body = stream[pos + 4: pos + 2 + ln]
+        if m == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                if pq:
+                    raise ValueError("tag-51x OJPEG stores 8-bit Q tables")
+                dqt[tq] = bytes(body[i + 1: i + 65])
+                i += 65
+        elif m == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                n = sum(body[i + 1: i + 17])
+                dht[(tc, th)] = bytes(body[i + 1: i + 17 + n])
+                i += 17 + n
+        elif m == 0xC0:
+            ncomp = body[5]
+            sof = [
+                (body[6 + 3 * k], body[7 + 3 * k] >> 4,
+                 body[7 + 3 * k] & 15, body[8 + 3 * k])
+                for k in range(ncomp)
+            ]
+        elif m == 0xDA:
+            ns = body[0]
+            scomps = [
+                (body[1 + 2 * k], body[2 + 2 * k] >> 4,
+                 body[2 + 2 * k] & 15)
+                for k in range(ns)
+            ]
+            entropy = stream[pos + 2 + ln:]
+            if entropy.endswith(b"\xff\xd9"):
+                entropy = entropy[:-2]
+            sos = (scomps, bytes(entropy))
+            break
+        elif m != 0xC0 and 0xC1 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            raise ValueError("tag-51x OJPEG wants a baseline (SOF0) stream")
+        pos += 2 + ln
+    if sof is None or sos is None:
+        raise ValueError("JPEG stream missing SOF0/SOS")
+    return dqt, dht, sof, sos
+
+
 def encode_tiff(
     plane,
     big_endian: bool = False,
@@ -14311,6 +14373,7 @@ def encode_tiff(
     jpeg_tables: bool = False,
     jpeg_subsampling="444",
     ojpeg: bool = False,
+    ojpeg_headerless: bool = False,
 ) -> bytes:
     """Encode a top-down (h, w, 3) BGR uint8 array as a baseline TIFF 6.0
     RGB file: 8-byte header (II little- or MM big-endian), one IFD with
@@ -14340,7 +14403,21 @@ def encode_tiff(
     JPEGInterchangeFormat form (compression 6, photometric 6, tags
     513/514 pointing at ONE whole-image JPEG interchange stream, NO
     strip tags — the shape real OJPEG scanners emitted and libtiff's
-    shim trusts)."""
+    shim trusts).
+
+    ``ojpeg_headerless`` (round 17) writes the fully deprecated
+    HEADERLESS OJPEG form (TIFF 6.0 §22): the strip carries raw
+    entropy-coded bytes with NO JPEG markers at all, and every table
+    the codestream would normally declare inline is scattered across
+    the tag-51x family — 512 JPEGProc, 519 JPEGQTables / 520
+    JPEGDCTables / 521 JPEGACTables (one offset per component, each
+    pointing at raw table bytes), 530 YCbCrSubSampling. A decoder must
+    reassemble a conforming interchange stream from the tags before it
+    can decode a single MCU — exactly the reassembly libtiff's OJPEG
+    shim performs for tag-51x files."""
+    if ojpeg_headerless and (packbits or lzw or deflate or predictor2
+                             or planar2 or jpeg or ojpeg):
+        raise ValueError("ojpeg_headerless excludes the other codings")
     if ojpeg and (packbits or lzw or deflate or predictor2 or planar2
                   or jpeg):
         raise ValueError("ojpeg excludes the other codings")
@@ -14362,6 +14439,86 @@ def encode_tiff(
     h, w = arr.shape[:2]
     rps = rows_per_strip or h
     rgb = arr[:, :, ::-1]  # TIFF stores RGB samples
+    if ojpeg_headerless:
+        import struct as _struct
+
+        stream = encode_jpeg(rows_rgb=rgb, subsampling=jpeg_subsampling)
+        dqt, dht, sof, (scomps, entropy) = _ojpeg_split_tables(stream)
+        ncomp = len(sof)
+        if ncomp != 3:
+            raise ValueError("headerless OJPEG fixture wants 3 components")
+        y_h, y_v = sof[0][1], sof[0][2]
+        if any(c[1] != 1 or c[2] != 1 for c in sof[1:]):
+            raise ValueError("tag 530 expresses Y-factor subsampling only")
+        td = {c[0]: c[1] for c in scomps}
+        ta = {c[0]: c[2] for c in scomps}
+        # per-component raw table blobs in the tag-51x shape (Q: 64
+        # zigzag bytes; DC/AC: 16 BITS counts + VALUES, no class/dest
+        # byte — TIFF 6.0 §22's field definitions)
+        qblob = [dqt[sof[k][3]] for k in range(ncomp)]
+        dblob = [dht[(0, td[sof[k][0]])] for k in range(ncomp)]
+        ablob = [dht[(1, ta[sof[k][0]])] for k in range(ncomp)]
+        e = ">" if big_endian else "<"
+        n_tags = 14
+        ifd_size = 2 + n_tags * 12 + 4
+        bps_off = 8 + ifd_size
+        qoff_off = bps_off + 6
+        doff_off = qoff_off + 4 * ncomp
+        aoff_off = doff_off + 4 * ncomp
+        tbl_off = aoff_off + 4 * ncomp
+        # identical table bytes are stored ONCE and every component's
+        # offset points at the same place — the dedup-by-offset case a
+        # reassembling decoder must handle when binding destinations
+        blob_at: dict[bytes, int] = {}
+        table_bytes = bytearray()
+
+        def _place(b: bytes) -> int:
+            if b not in blob_at:
+                blob_at[b] = tbl_off + len(table_bytes)
+                table_bytes.extend(b)
+            return blob_at[b]
+
+        qoffs = [_place(b) for b in qblob]
+        doffs = [_place(b) for b in dblob]
+        aoffs = [_place(b) for b in ablob]
+        data_off = tbl_off + len(table_bytes)
+
+        def _htag(tid: int, ttype: int, count: int, value: int) -> bytes:
+            if ttype == 3 and count == 1:
+                return _struct.pack(
+                    e + "HHI", tid, ttype, count
+                ) + _struct.pack(e + "HH", value, 0)
+            return _struct.pack(e + "HHII", tid, ttype, count, value)
+
+        ifd = _struct.pack(e + "H", n_tags)
+        ifd += _htag(256, 4, 1, w)
+        ifd += _htag(257, 4, 1, h)
+        ifd += _htag(258, 3, 3, bps_off)
+        ifd += _htag(259, 3, 1, 6)            # Compression: OJPEG
+        ifd += _htag(262, 3, 1, 6)            # Photometric: YCbCr
+        ifd += _htag(273, 4, 1, data_off)     # StripOffsets: raw entropy
+        ifd += _htag(277, 3, 1, 3)
+        ifd += _htag(278, 4, 1, h)
+        ifd += _htag(279, 4, 1, len(entropy))
+        ifd += _htag(512, 3, 1, 1)            # JPEGProc: baseline
+        ifd += _htag(519, 4, ncomp, qoff_off)  # JPEGQTables
+        ifd += _htag(520, 4, ncomp, doff_off)  # JPEGDCTables
+        ifd += _htag(521, 4, ncomp, aoff_off)  # JPEGACTables
+        # YCbCrSubSampling: two SHORTs, packed INLINE in the value slot
+        ifd += _struct.pack(e + "HHI", 530, 3, 2) + _struct.pack(
+            e + "HH", y_h, y_v
+        )
+        ifd += _struct.pack(e + "I", 0)
+        out = bytearray()
+        out += (b"MM" if big_endian else b"II") + _struct.pack(e + "H", 42)
+        out += _struct.pack(e + "I", 8)
+        out += ifd
+        out += _struct.pack(e + "HHH", 8, 8, 8)
+        for o in qoffs + doffs + aoffs:
+            out += _struct.pack(e + "I", o)
+        out += table_bytes
+        out += entropy
+        return bytes(out)
     if ojpeg:
         import struct as _struct
 
@@ -14708,41 +14865,134 @@ def _decode_tiff(payload: bytes) -> dict:
     if comp == 6:
         # Old-style OJPEG (round 17): TIFF 6.0 §22 was underspecified
         # enough that TTN2 deprecated it, but real scanner/digicam files
-        # exist in the JPEGInterchangeFormat form — tags 513/514 point
-        # at ONE complete JPEG interchange stream embedded whole — and
-        # that is also the only OJPEG form libtiff's shim trusts when
-        # present. It decodes through the same in-repo JPEG decoder.
-        # The headerless table-driven form (raw strips + tags
-        # 515/517/519/521) stays the named seam.
+        # exist in two shapes. The JPEGInterchangeFormat form — tags
+        # 513/514 point at ONE complete JPEG interchange stream
+        # embedded whole — is the form libtiff's shim trusts when
+        # present. The HEADERLESS tag-51x form (closed later in round
+        # 17) carries raw markerless entropy strips plus the deprecated
+        # table tags (512 JPEGProc, 519/520/521 per-component Q/DC/AC
+        # table offsets, 515 restart interval, 530 subsampling); the
+        # decoder reassembles a conforming interchange stream per strip
+        # — exactly libtiff's tif_ojpeg reassembly — and routes it
+        # through the same in-repo JPEG decoder.
         import numpy as np
 
-        if 513 not in tags or 514 not in tags:
-            raise NotImplementedError(
-                "headerless OJPEG (compression 6 without "
-                "JPEGInterchangeFormat tags 513/514) requires the "
-                "deprecated tag-51x table reassembly (SURVEY §2.10 "
-                "U1/U2); the interchange-stream OJPEG form decodes"
-            )
         if spp != 3 or photo != 6:
             raise ValueError(
                 "OJPEG decode supports 3-sample photometric 6 (YCbCr) "
                 "only"
             )
-        o, c = tags[513][2], tags[514][2]
-        if o + c > len(payload):
-            raise ValueError("truncated JPEGInterchangeFormat stream")
-        stream = payload[o : o + c]
-        if stream[:2] != b"\xff\xd8":
-            raise ValueError("JPEGInterchangeFormat stream missing SOI")
-        m = _decode_jpeg(stream)
-        if m["width"] != w or m["height"] != h:
-            raise ValueError("OJPEG stream geometry disagrees with IFD")
+        if 513 in tags and 514 in tags:
+            o, c = tags[513][2], tags[514][2]
+            if o + c > len(payload):
+                raise ValueError("truncated JPEGInterchangeFormat stream")
+            stream = payload[o : o + c]
+            if stream[:2] != b"\xff\xd8":
+                raise ValueError(
+                    "JPEGInterchangeFormat stream missing SOI"
+                )
+            m = _decode_jpeg(stream)
+            if m["width"] != w or m["height"] != h:
+                raise ValueError("OJPEG stream geometry disagrees with IFD")
+            return {
+                "width": w,
+                "height": h,
+                "bit_count": 24,
+                "n_pixels": w * h,
+                "pixels": m["pixels"],
+            }
+        proc = tags.get(512, (3, 1, 1, 0))[2]
+        if proc != 1:
+            raise NotImplementedError(
+                f"OJPEG JPEGProc {proc} (14 = lossless) requires the "
+                "tag-517/518 lossless path; baseline (proc 1) decodes"
+            )
+        for t in (519, 520, 521):
+            if t not in tags:
+                raise ValueError(
+                    "headerless OJPEG missing tag-51x table offsets "
+                    "(519/520/521)"
+                )
+        qoffs, dcoffs, acoffs = arr(519), arr(520), arr(521)
+        if not (len(qoffs) == len(dcoffs) == len(acoffs) == spp):
+            raise ValueError(
+                "tag-51x table counts disagree with SamplesPerPixel"
+            )
+        sub = arr(530) if 530 in tags else [2, 2]  # TIFF 6.0 default
+        sub_h, sub_v = sub[0], sub[1] if len(sub) > 1 else sub[0]
+        dri = tags.get(515, (3, 1, 0, 0))[2]
+
+        def _dests(offs: list[int]) -> tuple[list[int], list[int]]:
+            # components sharing one table point at ONE offset; dedupe
+            # to destinations so the rebuilt stream stays within the
+            # 4-slot baseline limit
+            uniq: list[int] = []
+            ids = []
+            for o in offs:
+                if o not in uniq:
+                    uniq.append(o)
+                ids.append(uniq.index(o))
+            return uniq, ids
+
+        quniq, qids = _dests(qoffs)
+        duniq, dids = _dests(dcoffs)
+        auniq, aids = _dests(acoffs)
+        head = bytearray(b"\xff\xd8")
+        for tid, o in enumerate(quniq):
+            if o + 64 > len(payload):
+                raise ValueError("truncated JPEGQTables data")
+            head += b"\xff\xdb" + (67).to_bytes(2, "big")
+            head += bytes([tid]) + payload[o: o + 64]
+        for cls, uniq in ((0, duniq), (1, auniq)):
+            for tid, o in enumerate(uniq):
+                if o + 16 > len(payload):
+                    raise ValueError("truncated JPEG Huffman table tag")
+                n = 16 + sum(payload[o: o + 16])
+                if o + n > len(payload):
+                    raise ValueError("truncated JPEG Huffman table tag")
+                head += b"\xff\xc4" + (3 + n).to_bytes(2, "big")
+                head += bytes([(cls << 4) | tid]) + payload[o: o + n]
+        if dri:
+            head += b"\xff\xdd\x00\x04" + int(dri).to_bytes(2, "big")
+        rps_o = tags.get(278, (4, 1, h))[2] or h
+        if 273 not in tags or 279 not in tags:
+            raise ValueError("TIFF missing StripOffsets/StripByteCounts")
+        offsets, counts = arr(273), arr(279)
+        if len(offsets) != len(counts):
+            raise ValueError("TIFF strip offset/count tables disagree")
+        rows_out = []
+        for si, (o, c) in enumerate(zip(offsets, counts)):
+            if o + c > len(payload):
+                raise ValueError("truncated OJPEG strip")
+            n_rows = min(rps_o, h - si * rps_o)
+            sof = b"\xff\xc0" + (8 + 3 * spp).to_bytes(2, "big")
+            sof += bytes([8]) + int(n_rows).to_bytes(2, "big")
+            sof += int(w).to_bytes(2, "big") + bytes([spp])
+            for k in range(spp):
+                hv = (sub_h << 4) | sub_v if k == 0 else 0x11
+                sof += bytes([k + 1, hv, qids[k]])
+            sos = b"\xff\xda" + (6 + 2 * spp).to_bytes(2, "big")
+            sos += bytes([spp])
+            for k in range(spp):
+                sos += bytes([k + 1, (dids[k] << 4) | aids[k]])
+            sos += b"\x00\x3f\x00"
+            m = _decode_jpeg(
+                bytes(head) + sof + sos + payload[o: o + c] + b"\xff\xd9"
+            )
+            if m["width"] != w or m["height"] != n_rows:
+                raise ValueError("OJPEG strip geometry disagrees with IFD")
+            rows_out.append(
+                np.frombuffer(m["pixels"], np.uint8).reshape(n_rows, w, 3)
+            )
+        bgr = np.concatenate(rows_out, axis=0)
+        if bgr.shape != (h, w, 3):
+            raise ValueError("OJPEG pixel plane incomplete")
         return {
             "width": w,
             "height": h,
             "bit_count": 24,
             "n_pixels": w * h,
-            "pixels": m["pixels"],
+            "pixels": bgr.tobytes(),
         }
     if photo != 2 or spp != 3:
         raise ValueError("TIFF decode supports 3-sample RGB (photometric 2)")
@@ -14909,8 +15159,12 @@ def jpeg_precision12_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id,
            CAST(9 + d.doc_id % 8 AS BIGINT) AS width,
            CAST(8 + d.doc_id % 5 AS BIGINT) AS height,
-           (d.doc_id % 2 = 1 AND d.doc_id % 7 <> 4) AS tables_hoisted,
-           CAST(CASE WHEN d.doc_id % 7 = 4 THEN 1
+           CASE CAST(d.doc_id % 7 AS INTEGER)
+                WHEN 4 THEN 'interchange' WHEN 2 THEN 'headerless'
+                ELSE 'jpeg7' END AS form,
+           (d.doc_id % 2 = 1 AND d.doc_id % 7 <> 4
+            AND d.doc_id % 7 <> 2) AS tables_hoisted,
+           CAST(CASE WHEN d.doc_id % 7 IN (2, 4) THEN 1
                 ELSE (8 + d.doc_id % 5 + (3 + d.doc_id % 3) - 1)
                      // (3 + d.doc_id % 3) END AS BIGINT) AS n_strips,
            TRUE AS strips_match_reference,
@@ -14932,11 +15186,17 @@ def jpeg_in_tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     strip's standalone JPEG and stacking (any slip in the tag-347
     splice, strip walk or geometry breaks it); ``err_ok`` bounds the
     lossy JPEG error against the card (|err| <= 4 at quant 1, the
-    jpeg_decode_features bound). Every seventh doc is OLD-style OJPEG
-    (compression 6 in its JPEGInterchangeFormat form — tags 513/514,
-    ONE whole-image stream, no strip tables), closing that named
-    seam's common real-world shape. Geometry hashes against the closed
-    forms. Map-only mapInPandas with the standard core fan-out."""
+    jpeg_decode_features bound). Docs at doc_id % 7 == 4 are OLD-style
+    OJPEG (compression 6 in its JPEGInterchangeFormat form — tags
+    513/514, ONE whole-image stream, no strip tables); docs at
+    doc_id % 7 == 2 are the fully deprecated HEADERLESS OJPEG form
+    (raw markerless entropy strip + tag-51x table offsets 519/520/521,
+    JPEGProc 512, YCbCrSubSampling 530 — odd docs 4:2:0 so the tag-530
+    sampling reassembly is live), closing both named OJPEG seams: the
+    decoder rebuilds a conforming interchange stream from the
+    scattered tags before a single MCU decodes. Geometry hashes
+    against the closed forms. Map-only mapInPandas with the standard
+    core fan-out."""
     import numpy as np
 
     docs = (
@@ -14950,7 +15210,7 @@ def jpeg_in_tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             out = {
-                "doc_id": [], "width": [], "height": [],
+                "doc_id": [], "width": [], "height": [], "form": [],
                 "tables_hoisted": [], "n_strips": [],
                 "strips_match_reference": [], "err_ok": [],
             }
@@ -14958,12 +15218,17 @@ def jpeg_in_tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(doc_id)
                 w, h = 9 + d % 8, 8 + d % 5
                 rps = 3 + d % 3
-                # every seventh doc is OLD-style OJPEG (round 17,
-                # closing the named compression-6 seam): tags 513/514
-                # point at one whole-image interchange stream, no strip
-                # tags at all — hoisting/striping do not apply
+                # doc_id % 7 == 4: OLD-style OJPEG (round 17, closing
+                # the named compression-6 seam): tags 513/514 point at
+                # one whole-image interchange stream, no strip tags at
+                # all — hoisting/striping do not apply.
+                # doc_id % 7 == 2: HEADERLESS OJPEG (round 17, closing
+                # the last OJPEG seam): raw markerless entropy strip +
+                # tag-51x tables the decoder must reassemble; odd docs
+                # 4:2:0 so tag 530 drives a real subsampled rebuild
                 oj = d % 7 == 4
-                hoist = d % 2 == 1 and not oj
+                hl = d % 7 == 2
+                hoist = d % 2 == 1 and not oj and not hl
                 # every fifth doc additionally exercises NON-DIVISOR
                 # sampling (round 17): a monotone luma ramp card under
                 # Y factor 2 vs chroma 3 — the decoder's nearest-floor
@@ -14971,7 +15236,9 @@ def jpeg_in_tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # within a small bound, while a mapping slip compresses
                 # the ramp and blows past it; divisor docs keep the
                 # neutral-chroma card and the tight quant-1 bound
-                nondiv = d % 5 == 3 and not oj
+                # (tag 530 cannot express a non-divisor factor, so the
+                # headerless docs stay divisor-sampled)
+                nondiv = d % 5 == 3 and not oj and not hl
                 if nondiv:
                     # monotone, wrap-free ramp: a fractional-upsample
                     # index is off by at most ~1 source pixel, so the
@@ -14985,11 +15252,21 @@ def jpeg_in_tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         np.uint8
                     )
                 plane = np.dstack([g, g, g])
-                sub = ((2, 1), (3, 1), (3, 1)) if nondiv else "444"
+                if nondiv:
+                    sub = ((2, 1), (3, 1), (3, 1))
+                elif hl and d % 2 == 1:
+                    sub = "420"
+                else:
+                    sub = "444"
                 if oj:
                     blob = encode_tiff(
                         plane, ojpeg=True, big_endian=(d % 3 == 2),
                         jpeg_subsampling=sub,
+                    )
+                elif hl:
+                    blob = encode_tiff(
+                        plane, ojpeg_headerless=True,
+                        big_endian=(d % 3 == 2), jpeg_subsampling=sub,
                     )
                 else:
                     blob = encode_tiff(
@@ -15002,9 +15279,10 @@ def jpeg_in_tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     meta["height"], meta["width"], 3
                 )
                 refs = []
-                for s0 in range(0, h, h if oj else rps):
+                whole = oj or hl
+                for s0 in range(0, h, h if whole else rps):
                     jp = encode_jpeg(
-                        rows_rgb=plane[s0: s0 + (h if oj else rps)][
+                        rows_rgb=plane[s0: s0 + (h if whole else rps)][
                             :, :, ::-1
                         ],
                         subsampling=sub,
@@ -15022,8 +15300,14 @@ def jpeg_in_tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["doc_id"].append(d)
                 out["width"].append(meta["width"])
                 out["height"].append(meta["height"])
+                out["form"].append(
+                    "interchange" if oj
+                    else ("headerless" if hl else "jpeg7")
+                )
                 out["tables_hoisted"].append(hoist)
-                out["n_strips"].append(1 if oj else (h + rps - 1) // rps)
+                out["n_strips"].append(
+                    1 if whole else (h + rps - 1) // rps
+                )
                 out["strips_match_reference"].append(
                     bool(np.array_equal(px, ref))
                 )
@@ -15031,7 +15315,8 @@ def jpeg_in_tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     schema = (
-        "doc_id long, width long, height long, tables_hoisted boolean, "
+        "doc_id long, width long, height long, form string, "
+        "tables_hoisted boolean, "
         "n_strips long, strips_match_reference boolean, err_ok boolean"
     )
     return docs.mapInPandas(run, schema)

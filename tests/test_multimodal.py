@@ -5133,20 +5133,72 @@ def test_jpeg_in_tiff_decode():
             np.uint8,
         ).reshape(h, w, 3)
         assert np.array_equal(got, ref), be
-    # headerless OJPEG (compression 6 WITH strips, no 513) raises the
-    # named NotImplementedError seam
-    blob6 = bytearray(encode_tiff(plane))
-    # compression tag value: find tag 259 in the little-endian IFD
+    # HEADERLESS OJPEG (round 17, closing the last OJPEG seam): raw
+    # markerless entropy strip + tag-51x tables; the reassembled decode
+    # is byte-identical to the standalone whole-image JPEG in both byte
+    # orders and under tag-530 4:2:0 subsampling
+    for be in (False, True):
+        for sub in ("444", "420"):
+            blob = encode_tiff(plane, ojpeg_headerless=True,
+                               big_endian=be, jpeg_subsampling=sub)
+            assert b"\xff\xd8" not in blob  # truly markerless
+            m = _decode_tiff(blob)
+            got = np.frombuffer(m["pixels"], np.uint8).reshape(h, w, 3)
+            ref = np.frombuffer(
+                _decode_jpeg(encode_jpeg(
+                    rows_rgb=plane[:, :, ::-1], subsampling=sub,
+                ))["pixels"],
+                np.uint8,
+            ).reshape(h, w, 3)
+            assert np.array_equal(got, ref), (be, sub)
+    # the chroma components share one Q and one Huffman pair: their
+    # tag-51x offsets must point at the SAME bytes (stored once), and
+    # the decoder's dedup-by-offset keeps the rebuilt stream within
+    # the 4-slot baseline limit
     import struct
+    hl = encode_tiff(plane, ojpeg_headerless=True)
+    (n_tags,) = struct.unpack_from("<H", hl, 8)
+    slots = {}
+    for t in range(n_tags):
+        off = 10 + 12 * t
+        tid = struct.unpack_from("<H", hl, off)[0]
+        slots[tid] = off + 8
+    for tid in (519, 520, 521):
+        base = struct.unpack_from("<I", hl, slots[tid])[0]
+        offs = struct.unpack_from("<3I", hl, base)
+        assert offs[1] == offs[2], tid
+        if tid == 519:
+            # all three components share ONE quant table at quant=1
+            assert offs[0] == offs[1], tid
+        else:
+            # luma Huffman tables differ from the shared chroma pair
+            assert offs[0] != offs[1], tid
+    # compression 6 with strips but NO tag-51x tables is invalid
+    blob6 = bytearray(encode_tiff(plane))
     (n_tags,) = struct.unpack_from("<H", blob6, 8)
     for t in range(n_tags):
         off = 10 + 12 * t
         if struct.unpack_from("<H", blob6, off)[0] == 259:
             struct.pack_into("<H", blob6, off + 8, 6)
-    with pytest.raises(NotImplementedError, match="headerless OJPEG"):
+    # RGB photometric: the YCbCr-only guard fires first
+    with pytest.raises(ValueError, match="photometric 6"):
         _decode_tiff(bytes(blob6))
+    # a real headerless blob with the table tag struck out
+    hl2 = bytearray(hl)
+    struck = struct.unpack_from("<H", hl2, slots[519] - 8)[0]
+    struct.pack_into("<H", hl2, slots[519] - 8, 0xFFFF)
+    assert struck == 519  # sanity: we struck the JPEGQTables entry
+    with pytest.raises(ValueError, match="tag-51x"):
+        _decode_tiff(bytes(hl2))
+    # lossless JPEGProc 14 stays the named seam
+    hl3 = bytearray(hl)
+    struct.pack_into("<H", hl3, slots[512], 14)
+    with pytest.raises(NotImplementedError, match="JPEGProc 14"):
+        _decode_tiff(bytes(hl3))
     with pytest.raises(ValueError, match="ojpeg excludes"):
         encode_tiff(plane, ojpeg=True, lzw=True)
+    with pytest.raises(ValueError, match="ojpeg_headerless excludes"):
+        encode_tiff(plane, ojpeg_headerless=True, jpeg=True)
 
 
 def test_mp3_lsf_decode_paths():
