@@ -151,6 +151,9 @@ HEADLINE = [
     "audio_tags_features",
     "mp4_pcm_variants_features",
     "jpeg_precision12_features",
+    # round 17 final session (additive): REAL Ogg Vorbis sample decode
+    # (self-describing codebooks, floor 1, residues 0/1/2, coupling)
+    "vorbis_decode_features",
 ]
 
 # Per-query floors for queries newer than the r1 floor table (driver-run

@@ -5094,10 +5094,19 @@ def decode_media(payload: bytes, modality: str = "audio") -> dict:
         # ulaw/alaw, ima4 all decode for real
         return _decode_caf(payload)
     if payload[:4] == b"OggS":
+        # round 17: Ogg Vorbis decodes for REAL (self-describing
+        # codebooks, floor 1, residues 0/1/2, coupling, mixed block
+        # lapping); Opus stays a named seam — its SILK/CELT layers
+        # need spec data tables this repo cannot certify
+        n_segs = payload[26] if len(payload) > 26 else 0
+        lace0 = payload[27] if n_segs else 0
+        first = payload[27 + n_segs: 27 + n_segs + lace0]
+        if first[:7] == b"\x01vorbis":
+            return _decode_vorbis(payload)
         raise NotImplementedError(
-            "Ogg Opus/Vorbis sample decode requires external media "
-            "libraries (SURVEY §2.10 U1/U2); the container probes "
-            "(probe_audio walks pages, CRCs and ident headers)"
+            "Ogg Opus sample decode requires external media libraries "
+            "(SURVEY §2.10 U1/U2); Ogg Vorbis decodes for real (round "
+            "17) and the container probes cover Opus/FLAC framing"
         )
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         # ISO BMFF (round 16): sample-table walk + per-codec routing
@@ -6947,6 +6956,1091 @@ def _probe_ogg(payload: bytes) -> dict:
         "vbr": True,
         "ogg_pages": n_pages,
         "ogg_packets": n_packets,
+    }
+
+
+# --- Ogg Vorbis sample decode (round 17) --------------------------------------
+#
+# Vorbis I is fully self-describing: every Huffman codebook, floor
+# configuration and residue cascade arrives in the stream's own setup
+# header, so (unlike AAC, whose ~1,500-pair scalefactor/spectrum
+# codebooks are spec data this repo cannot certify from recall) a
+# complete sample decoder needs NO embedded spec tables beyond two
+# closed forms certified below: the floor-1 inverse-dB curve (a pure
+# geometric series pinned at both published endpoints) and the
+# sin(pi/2 * sin^2) window. Reference behavior: the reference engine's
+# media module decodes Ogg Vorbis through its codec adapters; here the
+# decode is a from-scratch Vorbis I implementation over the existing
+# RFC 3533 page walk. Floor type 0 (LSP) raises by name — libvorbis
+# has emitted floor 1 exclusively since 2002, so type 0 exists only in
+# ancient beta streams.
+
+
+class _VEOP(ValueError):
+    """End of packet hit mid-read. ONLY a Vorbis audio-packet body may
+    treat this as legal truncation (Vorbis I §1.1.4: the packet decodes
+    with the remaining vectors zeroed); anywhere else it is an error."""
+
+
+class _VBits:
+    """LSB-first bit reader (Vorbis I §2: bits fill each byte starting
+    at the LSB; multi-bit values assemble LSB-first)."""
+
+    __slots__ = ("d", "pos")
+
+    def __init__(self, d: bytes):
+        self.d = d
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        pos = self.pos
+        end = pos + n
+        if end > 8 * len(self.d):
+            raise _VEOP("Vorbis packet truncated")
+        chunk = int.from_bytes(self.d[pos >> 3: (end + 7) >> 3], "little")
+        self.pos = end
+        return (chunk >> (pos & 7)) & ((1 << n) - 1)
+
+    def read_bit(self) -> int:
+        pos = self.pos
+        if pos >= 8 * len(self.d):
+            raise _VEOP("Vorbis packet truncated")
+        self.pos = pos + 1
+        return (self.d[pos >> 3] >> (pos & 7)) & 1
+
+
+def _vilog(x: int) -> int:
+    """Vorbis ilog (§9.2.1): bit position of the highest set bit + 1;
+    non-positive inputs yield 0. Pinned by the spec's own examples
+    (ilog(0)=0, ilog(1)=1, ilog(2)=2, ilog(3)=2, ilog(4)=3, ilog(7)=3)
+    in tests."""
+    return x.bit_length() if x > 0 else 0
+
+
+def _vorbis_float_unpack(x: int) -> float:
+    """float32_unpack (§9.2.2): 21-bit mantissa, 10-bit exponent
+    (bias 788), sign in bit 31."""
+    mantissa = x & 0x1FFFFF
+    exponent = (x & 0x7FE00000) >> 21
+    if x & 0x80000000:
+        mantissa = -mantissa
+    return float(mantissa) * 2.0 ** (exponent - 788)
+
+
+def _vorbis_float_pack(v: float) -> int:
+    """Inverse of :func:`_vorbis_float_unpack` for the integral values
+    the fixture encoder writes (codebook minimum/delta)."""
+    sign = 0
+    if v < 0:
+        sign, v = 1, -v
+    m = int(v)
+    if m != v:
+        raise ValueError("fixture float pack wants integral values")
+    exp = 788
+    while m >= (1 << 21):
+        if m & 1:
+            raise ValueError("mantissa overflow")
+        m >>= 1
+        exp += 1
+    return (sign << 31) | (exp << 21) | m
+
+
+def _vorbis_codewords(lengths) -> dict:
+    """Assign Huffman codewords from lengths exactly as Vorbis I §3.2.1
+    prescribes: entries in order, each taking the numerically smallest
+    available codeword of its length (MSB-first bit strings). Returns
+    {entry: (length, codeword)}; entries with length None are unused
+    (sparse). Certified in tests against the spec's own worked example
+    (lengths 2,4,4,4,4,2,3,3 -> 00,0100,0101,0110,0111,10,110,111).
+    Raises on an over-subscribed tree; an under-subscribed (incomplete)
+    tree is legal and simply leaves codeword space unused."""
+    free: list[tuple[int, int]] = [(0, 0)]  # (code, len) free subtrees
+
+    def _key(t):
+        return t[0] << (34 - t[1])
+
+    out: dict[int, tuple[int, int]] = {}
+    for i, ln in enumerate(lengths):
+        if ln is None:
+            continue
+        if not 1 <= ln <= 32:
+            raise ValueError("Vorbis codeword length out of range")
+        for fi, (c, cl) in enumerate(free):
+            if cl <= ln:
+                break
+        else:
+            raise ValueError("over-subscribed Vorbis Huffman tree")
+        del free[fi]
+        code, cl2 = c, cl
+        while cl2 < ln:
+            code <<= 1
+            cl2 += 1
+            free.append((code | 1, cl2))
+        out[i] = (ln, code)
+        free.sort(key=_key)
+    return out
+
+
+class _VorbisBook:
+    """One parsed codebook: Huffman decode table plus (for lookup types
+    1/2) the VQ value vectors (§3.2/§3.3)."""
+
+    __slots__ = ("dims", "entries", "table", "maxlen", "lookup", "vq")
+
+    def __init__(self, br: "_VBits"):
+        if br.read(24) != 0x564342:
+            raise ValueError("Vorbis codebook sync pattern missing")
+        self.dims = br.read(16)
+        self.entries = br.read(24)
+        lengths: list = []
+        if br.read_bit():  # ordered
+            cur_len = br.read(5) + 1
+            while len(lengths) < self.entries:
+                num = br.read(_vilog(self.entries - len(lengths)))
+                if len(lengths) + num > self.entries:
+                    raise ValueError("ordered codebook length overrun")
+                lengths.extend([cur_len] * num)
+                cur_len += 1
+        else:
+            sparse = br.read_bit()
+            for _ in range(self.entries):
+                if sparse and not br.read_bit():
+                    lengths.append(None)
+                else:
+                    lengths.append(br.read(5) + 1)
+        codes = _vorbis_codewords(lengths)
+        self.table = {v: e for e, v in codes.items()}
+        self.maxlen = max((ln for ln, _ in codes.values()), default=0)
+        self.lookup = br.read(4)
+        self.vq = None
+        if self.lookup in (1, 2):
+            minimum = _vorbis_float_unpack(br.read(32))
+            delta = _vorbis_float_unpack(br.read(32))
+            value_bits = br.read(4) + 1
+            sequence_p = br.read_bit()
+            if self.lookup == 1:
+                lv = 0
+                while (lv + 1) ** self.dims <= self.entries:
+                    lv += 1
+                n_mult = lv
+            else:
+                n_mult = self.entries * self.dims
+            mult = [br.read(value_bits) for _ in range(n_mult)]
+            import numpy as np
+
+            vq = np.empty((self.entries, self.dims))
+            for e in range(self.entries):
+                last = 0.0
+                if self.lookup == 1:
+                    idiv = 1
+                    for d in range(self.dims):
+                        off = (e // idiv) % n_mult
+                        v = mult[off] * delta + minimum + last
+                        if sequence_p:
+                            last = v
+                        vq[e, d] = v
+                        idiv *= n_mult
+                else:
+                    for d in range(self.dims):
+                        v = mult[e * self.dims + d] * delta + minimum + last
+                        if sequence_p:
+                            last = v
+                        vq[e, d] = v
+            self.vq = vq
+        elif self.lookup != 0:
+            raise ValueError(f"Vorbis codebook lookup type {self.lookup}")
+
+    def scalar(self, br: "_VBits") -> int:
+        """Tree-walk decode to an entry number (scalar context)."""
+        code = 0
+        for ln in range(1, self.maxlen + 1):
+            code = (code << 1) | br.read_bit()
+            e = self.table.get((ln, code))
+            if e is not None:
+                return e
+        raise ValueError("invalid Vorbis codeword")
+
+    def vector(self, br: "_VBits"):
+        """Decode to the entry's VQ value vector (VQ context)."""
+        if self.vq is None:
+            raise ValueError("VQ read from a lookup-0 codebook")
+        return self.vq[self.scalar(br)]
+
+
+# floor1_inverse_dB_table (Vorbis I §10.1): 256 float32 amplitudes.
+# The published table is an exact geometric series — entry i equals
+# 1.0649863e-07 * r**i with r chosen so entry 255 is 1.0, i.e.
+# table[i] = exp(ln(1.0649863e-07) * (255 - i) / 255). Certified
+# generatively: the published endpoints (1.0649863e-07 ... 1.0) pin the
+# curve, and the published second/third entries (1.1341951e-07,
+# 1.2079015e-07) match this closed form to float32 precision (checked
+# in tests), so the whole 256-entry table follows without transcribing
+# it — the same closed-form-over-recall rule the G.722 ILB table used.
+def _floor1_inverse_db_table():
+    import numpy as np
+
+    i = np.arange(256)
+    return np.exp(np.log(1.0649863e-07) * (255 - i) / 255.0).astype(
+        np.float32
+    ).astype(np.float64)
+
+
+_F1_DB = None
+
+
+def _f1_db():
+    global _F1_DB
+    if _F1_DB is None:
+        _F1_DB = _floor1_inverse_db_table()
+    return _F1_DB
+
+
+def _render_point(x0: int, y0: int, x1: int, y1: int, x: int) -> int:
+    """Floor-1 line prediction (§9.2.6): truncating integer slope."""
+    dy = y1 - y0
+    adx = x1 - x0
+    ady = abs(dy)
+    err = ady * (x - x0)
+    off = err // adx
+    return y0 - off if dy < 0 else y0 + off
+
+
+def _render_line(x0: int, y0: int, x1: int, y1: int, v) -> None:
+    """Floor-1 segment rasterizer (§9.2.7): Bresenham in the quantized
+    dB domain, base slope truncated TOWARD ZERO with error
+    accumulation. Writes v[x0 .. x1-1]."""
+    dy = y1 - y0
+    adx = x1 - x0
+    base = int(dy / adx)  # trunc toward zero, NOT floor
+    sy = base - 1 if dy < 0 else base + 1
+    ady = abs(dy) - abs(base) * adx
+    v[x0] = y0
+    err = 0
+    y = y0
+    for x in range(x0 + 1, x1):
+        err += ady
+        if err >= adx:
+            err -= adx
+            y += sy
+        else:
+            y += base
+        v[x] = y
+
+
+_FLOOR1_RANGES = (256, 128, 86, 64)
+
+
+def _parse_floor1(br: "_VBits", n_books: int) -> dict:
+    partitions = br.read(5)
+    part_classes = [br.read(4) for _ in range(partitions)]
+    maxclass = max(part_classes, default=-1)
+    class_dims, class_sub, masterbooks, sub_books = [], [], [], []
+    for c in range(maxclass + 1):
+        class_dims.append(br.read(3) + 1)
+        sub = br.read(2)
+        class_sub.append(sub)
+        if sub:
+            mb = br.read(8)
+            if mb >= n_books:
+                raise ValueError("floor1 masterbook out of range")
+            masterbooks.append(mb)
+        else:
+            masterbooks.append(-1)
+        row = []
+        for _ in range(1 << sub):
+            b = br.read(8) - 1
+            if b >= n_books:
+                raise ValueError("floor1 subclass book out of range")
+            row.append(b)
+        sub_books.append(row)
+    multiplier = br.read(2) + 1
+    rangebits = br.read(4)
+    xlist = [0, 1 << rangebits]
+    for p in range(partitions):
+        for _ in range(class_dims[part_classes[p]]):
+            xlist.append(br.read(rangebits))
+    if len(set(xlist)) != len(xlist):
+        raise ValueError("floor1 X values must be unique")
+    return {
+        "type": 1,
+        "partition_classes": part_classes,
+        "class_dims": class_dims,
+        "class_subclasses": class_sub,
+        "masterbooks": masterbooks,
+        "subclass_books": sub_books,
+        "multiplier": multiplier,
+        "rangebits": rangebits,
+        "xlist": xlist,
+    }
+
+
+def _floor1_decode(br: "_VBits", fl: dict, books) -> list | None:
+    """Per-channel floor packet decode (§7.2.1). Returns the Y vector
+    or None for an unused (silent) channel."""
+    if not br.read_bit():
+        return None
+    rng = _FLOOR1_RANGES[fl["multiplier"] - 1]
+    bits = _vilog(rng - 1)
+    y = [br.read(bits), br.read(bits)]
+    for c in fl["partition_classes"]:
+        cdim = fl["class_dims"][c]
+        cbits = fl["class_subclasses"][c]
+        csub = (1 << cbits) - 1
+        cval = 0
+        if cbits:
+            cval = books[fl["masterbooks"][c]].scalar(br)
+        for _ in range(cdim):
+            b = fl["subclass_books"][c][cval & csub]
+            cval >>= cbits
+            y.append(books[b].scalar(br) if b >= 0 else 0)
+    return y
+
+
+def _floor1_synthesis(fl: dict, y: list, n2: int):
+    """Floor curve synthesis (§7.2.2-7.2.4): amplitude fit (room/
+    prediction arithmetic), sorted-X line rendering, inverse-dB map.
+    Returns the linear floor vector of length n2."""
+    import numpy as np
+
+    X = fl["xlist"]
+    rng = _FLOOR1_RANGES[fl["multiplier"] - 1]
+    npts = len(X)
+    step2 = [False] * npts
+    fy = [0] * npts
+    step2[0] = step2[1] = True
+    fy[0], fy[1] = y[0], y[1]
+    for i in range(2, npts):
+        # neighbor search over PRECEDING list positions (coded order)
+        lo = hi = None
+        for j in range(i):
+            if X[j] < X[i] and (lo is None or X[j] > X[lo]):
+                lo = j
+            if X[j] > X[i] and (hi is None or X[j] < X[hi]):
+                hi = j
+        pred = _render_point(X[lo], fy[lo], X[hi], fy[hi], X[i])
+        val = y[i]
+        highroom = rng - pred
+        lowroom = pred
+        room = 2 * min(highroom, lowroom)
+        if val:
+            step2[lo] = step2[hi] = step2[i] = True
+            if val >= room:
+                if highroom > lowroom:
+                    fy[i] = val - lowroom + pred
+                else:
+                    fy[i] = pred - (val - highroom) - 1
+            elif val & 1:
+                fy[i] = pred - ((val + 1) >> 1)
+            else:
+                fy[i] = pred + (val >> 1)
+        else:
+            step2[i] = False
+            fy[i] = pred
+        fy[i] = min(max(fy[i], 0), rng - 1)
+    order = sorted(range(npts), key=lambda i: X[i])
+    mult = fl["multiplier"]
+    # render on a full-width scratch (X may exceed n2 for a short
+    # block) so a clipped segment keeps its TRUE slope, then slice
+    vec = np.zeros(max(n2, max(X) + 1), dtype=np.int64)
+    lx, ly = 0, fy[order[0]] * mult
+    for oi in order[1:]:
+        if not step2[oi]:
+            continue
+        hx, hy = X[oi], fy[oi] * mult
+        _render_line(lx, ly, hx, hy, vec)
+        lx, ly = hx, hy
+    vec[lx:] = ly  # beyond the last point the curve holds its value
+    vec = vec[:n2]
+    np.clip(vec, 0, 255, out=vec)
+    return _f1_db()[vec]
+
+
+def _parse_residue(br: "_VBits", rtype: int, n_books: int) -> dict:
+    begin = br.read(24)
+    end = br.read(24)
+    psize = br.read(24) + 1
+    classifications = br.read(6) + 1
+    classbook = br.read(8)
+    if classbook >= n_books:
+        raise ValueError("residue classbook out of range")
+    cascade = []
+    for _ in range(classifications):
+        low = br.read(3)
+        high = br.read(5) if br.read_bit() else 0
+        cascade.append((high << 3) | low)
+    books = []
+    for c in range(classifications):
+        row = []
+        for p in range(8):
+            if cascade[c] & (1 << p):
+                b = br.read(8)
+                if b >= n_books:
+                    raise ValueError("residue book out of range")
+                row.append(b)
+            else:
+                row.append(-1)
+        books.append(row)
+    return {
+        "type": rtype,
+        "begin": begin,
+        "end": end,
+        "psize": psize,
+        "classifications": classifications,
+        "classbook": classbook,
+        "cascade": cascade,
+        "books": books,
+    }
+
+
+def _residue_core(br: "_VBits", rc: dict, books, do_decode: list,
+                  vlen: int):
+    """Residue partition decode (§8.6.2-8.6.4) over `len(do_decode)`
+    vectors of length vlen (format 2 passes ONE virtual vector).
+    End-of-packet mid-decode is legal and leaves the rest zeroed."""
+    import numpy as np
+
+    vs = [np.zeros(vlen) for _ in do_decode]
+    begin = min(rc["begin"], vlen)
+    end = min(rc["end"], vlen)
+    psize = rc["psize"]
+    parts = (end - begin) // psize
+    if parts <= 0:
+        return vs
+    cb = books[rc["classbook"]]
+    classwords = cb.dims
+    nclass = rc["classifications"]
+    cls = [[0] * (parts + classwords) for _ in do_decode]
+    try:
+        for p in range(8):
+            pc = 0
+            while pc < parts:
+                if p == 0:
+                    for j, dd in enumerate(do_decode):
+                        if not dd:
+                            continue
+                        temp = cb.scalar(br)
+                        for i in range(classwords - 1, -1, -1):
+                            cls[j][pc + i] = temp % nclass
+                            temp //= nclass
+                for _ in range(classwords):
+                    if pc >= parts:
+                        break
+                    for j, dd in enumerate(do_decode):
+                        if not dd:
+                            continue
+                        c = cls[j][pc]
+                        if not (rc["cascade"][c] & (1 << p)):
+                            continue
+                        b = rc["books"][c][p]
+                        book = books[b]
+                        offset = begin + pc * psize
+                        if rc["type"] == 0:
+                            step = psize // book.dims
+                            for k in range(step):
+                                vec = book.vector(br)
+                                for d in range(book.dims):
+                                    vs[j][offset + k + d * step] += vec[d]
+                        else:
+                            k = 0
+                            while k < psize:
+                                vec = book.vector(br)
+                                for d in range(book.dims):
+                                    vs[j][offset + k] += vec[d]
+                                    k += 1
+                    pc += 1
+    except _VEOP:
+        pass  # §1.1.4: legal end of packet — remainder stays zero
+    return vs
+
+
+def _imdct(X, n: int, _cache={}):
+    """Vorbis inverse MDCT (§ transform definition): y[j] =
+    sum_k X[k] cos(pi/(2n) (2j+1+n/2)(2k+1)), j in [0, n). Direct
+    matrix product — fixture blocks are <= 2048 so O(n^2/2) is cheap
+    and exactly matches the defining formula the tests certify TDAC
+    perfect reconstruction against."""
+    import numpy as np
+
+    C = _cache.get(n)
+    if C is None:
+        j = np.arange(n).reshape(-1, 1)
+        k = np.arange(n // 2)
+        C = np.cos(np.pi / (2 * n) * (2 * j + 1 + n // 2) * (2 * k + 1))
+        _cache[n] = C
+    return C @ X
+
+
+def _vorbis_window(n: int, prev_long: bool, next_long: bool, n0: int,
+                   _cache={}):
+    """Vorbis window (§4.3.1): sin(pi/2 sin^2(...)) slopes; a long
+    block adjacent to a short one carries the SHORT slope centered in
+    the corresponding half (zeros outside it on the left, ones inside,
+    mirrored on the right)."""
+    import numpy as np
+
+    key = (n, prev_long, next_long, n0)
+    w = _cache.get(key)
+    if w is not None:
+        return w
+    w = np.zeros(n)
+    center = n // 2
+    if prev_long:
+        ls, ln_ = 0, center
+    else:
+        ls, ln_ = n // 4 - n0 // 4, n0 // 2
+    le = ls + ln_
+    if next_long:
+        rs, rn = center, n - center
+    else:
+        rs, rn = 3 * n // 4 - n0 // 4, n0 // 2
+    re = rs + rn
+    i = np.arange(ln_)
+    w[ls:le] = np.sin(
+        np.pi / 2 * np.sin(np.pi / (2 * ln_) * (i + 0.5)) ** 2
+    )
+    w[le:rs] = 1.0
+    i = np.arange(rn)
+    w[rs:re] = np.sin(
+        np.pi / 2
+        * np.sin(np.pi / (2 * rn) * (i + 0.5) + np.pi / 2) ** 2
+    )
+    _cache[key] = w
+    return w
+
+
+def _ogg_packets(payload: bytes) -> tuple[list[bytes], int]:
+    """Reassemble ALL logical packets from an Ogg stream (lacing- and
+    continuation-aware, CRC-checked by reusing the page arithmetic of
+    :func:`_probe_ogg`). Returns (packets, last_granule)."""
+    import struct
+
+    pos = 0
+    packets: list[bytes] = []
+    cur = bytearray()
+    mid = False
+    last_granule = 0
+    while pos < len(payload):
+        if payload[pos: pos + 4] != b"OggS":
+            raise ValueError("Ogg page boundary missing OggS capture")
+        htype = payload[pos + 5]
+        if bool(htype & 0x01) != mid:
+            raise ValueError("Ogg continuation flag disagrees with lacing")
+        granule, _serial, _seq, crc = struct.unpack_from(
+            "<QIII", payload, pos + 6
+        )
+        n_segs = payload[pos + 26]
+        lace = payload[pos + 27: pos + 27 + n_segs]
+        body0 = pos + 27 + n_segs
+        body_len = sum(lace)
+        if body0 + body_len > len(payload):
+            raise ValueError("truncated Ogg page")
+        page = bytearray(payload[pos: body0 + body_len])
+        struct.pack_into("<I", page, 22, 0)
+        if _ogg_crc(bytes(page)) != crc:
+            raise ValueError("Ogg page CRC-32 mismatch")
+        off = body0
+        for lv in lace:
+            cur += payload[off: off + lv]
+            off += lv
+            mid = lv == 255
+            if lv < 255:
+                packets.append(bytes(cur))
+                cur = bytearray()
+        if granule != (1 << 64) - 1:
+            last_granule = granule
+        pos = body0 + body_len
+    if mid:
+        raise ValueError("Ogg stream ends mid-packet")
+    return packets, last_granule
+
+
+def _vorbis_setup(ident: bytes, setup: bytes) -> dict:
+    """Parse the identification + setup headers into decode state."""
+    import struct
+
+    if ident[:7] != b"\x01vorbis":
+        raise ValueError("Vorbis identification packet missing")
+    version, channels, rate = struct.unpack_from("<IBI", ident, 7)
+    if version != 0:
+        raise ValueError(f"Vorbis version {version} != 0")
+    if channels == 0 or rate == 0:
+        raise ValueError("Vorbis ident: zero channels or rate")
+    bs = ident[28]
+    bs0, bs1 = 1 << (bs & 0x0F), 1 << (bs >> 4)
+    if not (64 <= bs0 <= 8192 and bs0 <= bs1 <= 8192):
+        raise ValueError("Vorbis blocksizes out of range")
+    if not ident[29] & 1:
+        raise ValueError("Vorbis ident framing bit unset")
+    if setup[:7] != b"\x05vorbis":
+        raise ValueError("Vorbis setup packet missing")
+    br = _VBits(setup[7:])
+    books = [_VorbisBook(br) for _ in range(br.read(8) + 1)]
+    for _ in range(br.read(6) + 1):  # time domain transforms: all zero
+        if br.read(16) != 0:
+            raise ValueError("Vorbis time transform != 0")
+    floors = []
+    for _ in range(br.read(6) + 1):
+        ft = br.read(16)
+        if ft == 0:
+            raise NotImplementedError(
+                "Vorbis floor type 0 (LSP) is not implemented; every "
+                "libvorbis encoder since 2002 emits floor 1, which "
+                "decodes fully"
+            )
+        if ft != 1:
+            raise ValueError(f"Vorbis floor type {ft}")
+        floors.append(_parse_floor1(br, len(books)))
+    residues = []
+    for _ in range(br.read(6) + 1):
+        rt = br.read(16)
+        if rt not in (0, 1, 2):
+            raise ValueError(f"Vorbis residue type {rt}")
+        residues.append(_parse_residue(br, rt, len(books)))
+    mappings = []
+    for _ in range(br.read(6) + 1):
+        if br.read(16) != 0:
+            raise ValueError("Vorbis mapping type != 0")
+        submaps = br.read(4) + 1 if br.read_bit() else 1
+        coupling = []
+        if br.read_bit():
+            for _ in range(br.read(8) + 1):
+                mag = br.read(_vilog(channels - 1))
+                ang = br.read(_vilog(channels - 1))
+                if mag == ang or mag >= channels or ang >= channels:
+                    raise ValueError("Vorbis coupling channels invalid")
+                coupling.append((mag, ang))
+        if br.read(2) != 0:
+            raise ValueError("Vorbis mapping reserved bits set")
+        if submaps > 1:
+            mux = [br.read(4) for _ in range(channels)]
+            if any(m >= submaps for m in mux):
+                raise ValueError("Vorbis mux out of range")
+        else:
+            mux = [0] * channels
+        submap_floor, submap_residue = [], []
+        for _ in range(submaps):
+            br.read(8)  # unused time config
+            f = br.read(8)
+            r = br.read(8)
+            if f >= len(floors) or r >= len(residues):
+                raise ValueError("Vorbis submap floor/residue range")
+            submap_floor.append(f)
+            submap_residue.append(r)
+        mappings.append({
+            "submaps": submaps, "coupling": coupling, "mux": mux,
+            "floor": submap_floor, "residue": submap_residue,
+        })
+    modes = []
+    for _ in range(br.read(6) + 1):
+        blockflag = br.read_bit()
+        if br.read(16) != 0 or br.read(16) != 0:
+            raise ValueError("Vorbis mode window/transform type != 0")
+        m = br.read(8)
+        if m >= len(mappings):
+            raise ValueError("Vorbis mode mapping out of range")
+        modes.append((blockflag, m))
+    if not br.read_bit():
+        raise ValueError("Vorbis setup framing bit unset")
+    return {
+        "channels": channels, "rate": rate, "bs0": bs0, "bs1": bs1,
+        "books": books, "floors": floors, "residues": residues,
+        "mappings": mappings, "modes": modes,
+    }
+
+
+def _vorbis_decode_packet(st: dict, pkt: bytes):
+    """Decode ONE audio packet to (windowed_time_domain (ch, n),
+    blockflag). Floor/residue/coupling per §4.3."""
+    import numpy as np
+
+    br = _VBits(pkt)
+    if br.read_bit() != 0:
+        raise ValueError("not a Vorbis audio packet")
+    nmodes = len(st["modes"])
+    blockflag, mi = st["modes"][br.read(_vilog(nmodes - 1))]
+    n = st["bs1"] if blockflag else st["bs0"]
+    prev_long = next_long = True
+    if blockflag:
+        prev_long = bool(br.read_bit())
+        next_long = bool(br.read_bit())
+    mp = st["mappings"][mi]
+    ch = st["channels"]
+    n2 = n // 2
+    floors = st["floors"]
+    residues = st["residues"]
+    books = st["books"]
+    floor_y = []
+    no_residue = []
+    try:
+        for c in range(ch):
+            fl = floors[mp["floor"][mp["mux"][c]]]
+            y = _floor1_decode(br, fl, books)
+            floor_y.append(y)
+            no_residue.append(y is None)
+    except _VEOP:
+        # EOP before the floors complete: whole packet yields silence
+        floor_y += [None] * (ch - len(floor_y))
+        no_residue += [True] * (ch - len(no_residue))
+    # §4.3.4: a coupled pair decodes residue if EITHER side has floor
+    for mag, ang in mp["coupling"]:
+        if not (no_residue[mag] and no_residue[ang]):
+            no_residue[mag] = no_residue[ang] = False
+    resid = [None] * ch
+    for s in range(mp["submaps"]):
+        rc = residues[mp["residue"][s]]
+        chans = [c for c in range(ch) if mp["mux"][c] == s]
+        dd = [not no_residue[c] for c in chans]
+        if rc["type"] == 2:
+            if any(dd):
+                virt = _residue_core(br, rc, books, [True],
+                                     len(chans) * n2)[0]
+                for i, c in enumerate(chans):
+                    resid[c] = virt[i::len(chans)].copy()
+            else:
+                for c in chans:
+                    resid[c] = np.zeros(n2)
+        else:
+            vs = _residue_core(br, rc, books, dd, n2)
+            for i, c in enumerate(chans):
+                resid[c] = vs[i]
+    # inverse coupling (square polar), REVERSE declaration order
+    for mag, ang in reversed(mp["coupling"]):
+        M = resid[mag]
+        A = resid[ang]
+        newM = M.copy()
+        newA = A.copy()
+        pos = M > 0
+        ap = A > 0
+        newA[pos & ap] = (M - A)[pos & ap]
+        newM[pos & ~ap] = (M + A)[pos & ~ap]
+        newA[pos & ~ap] = M[pos & ~ap]
+        newA[~pos & ap] = (M + A)[~pos & ap]
+        newM[~pos & ~ap] = (M - A)[~pos & ~ap]
+        newA[~pos & ~ap] = M[~pos & ~ap]
+        resid[mag] = newM
+        resid[ang] = newA
+    out = np.zeros((ch, n))
+    w = _vorbis_window(n, prev_long, next_long, st["bs0"])
+    for c in range(ch):
+        if floor_y[c] is None:
+            continue
+        fl = floors[mp["floor"][mp["mux"][c]]]
+        curve = _floor1_synthesis(fl, floor_y[c], n2)
+        out[c] = w * _imdct(curve * resid[c], n)
+    return out, n
+
+
+def _decode_vorbis_float(payload: bytes):
+    """Full Ogg Vorbis decode to float PCM in [-1, 1): header parse,
+    per-packet floor+residue+coupling+IMDCT, windowed overlap-add on an
+    absolute-time accumulator (valid output runs center-of-first-frame
+    to center-of-last-frame, §4.3.8), final-granule tail trim."""
+    import numpy as np
+
+    packets, last_granule = _ogg_packets(payload)
+    if len(packets) < 3:
+        raise ValueError("Vorbis stream wants 3 header packets")
+    if packets[1][:7] != b"\x03vorbis":
+        raise ValueError("Vorbis comment packet missing")
+    st = _vorbis_setup(packets[0], packets[2])
+    ch = st["channels"]
+    sizes = []
+    frames = []
+    for pkt in packets[3:]:
+        td, n = _vorbis_decode_packet(st, pkt)
+        frames.append(td)
+        sizes.append(n)
+    if not frames:
+        return np.zeros((ch, 0)), st
+    # absolute-time frame starts: consecutive centers advance by
+    # (n_k + n_{k+1})/4, so start_{k+1} = start_k + 3n_k/4 - n_{k+1}/4.
+    # A long block right after a short one starts BEFORE absolute time
+    # zero (its left window is zero outside the short lap region), so
+    # the accumulator carries a left margin.
+    starts = [0]
+    for k in range(len(sizes) - 1):
+        starts.append(starts[k] + 3 * sizes[k] // 4 - sizes[k + 1] // 4)
+    base = -min(0, min(starts))
+    acc = np.zeros(
+        (ch, base + max(s + n for s, n in zip(starts, sizes)))
+    )
+    centers = []
+    for start, td, n in zip(starts, frames, sizes):
+        acc[:, base + start: base + start + n] += td
+        centers.append(base + start + n // 2)
+    pcm = acc[:, centers[0]: centers[-1]]
+    n_avail = pcm.shape[1]
+    if last_granule and last_granule < n_avail:
+        pcm = pcm[:, :last_granule]  # spec: final-page tail trim
+    return pcm, st
+
+
+class _VBitsW:
+    """LSB-first bit writer — the packing inverse of :class:`_VBits`."""
+
+    __slots__ = ("buf", "acc", "n")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc |= (v & ((1 << n) - 1)) << self.n
+        self.n += n
+        while self.n >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def code(self, codes: dict, entry: int) -> None:
+        """Emit entry's Huffman codeword MSB-first (§3.2.1 read order)."""
+        ln, code = codes[entry]
+        for b in range(ln - 1, -1, -1):
+            self.write((code >> b) & 1, 1)
+
+    def getvalue(self) -> bytes:
+        out = bytes(self.buf)
+        if self.n:
+            out += bytes([self.acc & 0xFF])
+        return out
+
+
+# Fixture codebook set: a residue classbook (2 classes x 2 classwords),
+# a 16-entry 2-dim lookup-2 residue VQ book over the integer alphabet
+# {-2,-1,0,1}^2, and the floor masterbook/subclass books. All four are
+# Kraft-complete (asserted in tests).
+_VORBIS_FIX_BOOKS = (
+    {"dims": 2, "entries": 4, "lengths": (2, 2, 2, 2), "lookup": 0},
+    # entry e decodes to the pair (e//4 - 2, e%4 - 2): the full integer
+    # alphabet {-2,-1,0,1}^2 via minimum -2, delta 1, 2-bit multiplicands
+    {"dims": 2, "entries": 16, "lengths": (4,) * 16, "lookup": 2,
+     "minimum": -2, "delta": 1, "value_bits": 2,
+     "mult": tuple(m for e in range(16) for m in (e // 4, e % 4))},
+    {"dims": 1, "entries": 4, "lengths": (1, 2, 3, 3), "lookup": 0},
+    {"dims": 1, "entries": 8, "lengths": (3,) * 8, "lookup": 0},
+)
+
+
+def _vorbis_write_book(w: "_VBitsW", b: dict) -> None:
+    w.write(0x564342, 24)
+    w.write(b["dims"], 16)
+    w.write(b["entries"], 24)
+    w.write(0, 1)  # unordered
+    w.write(0, 1)  # dense
+    for ln in b["lengths"]:
+        w.write(ln - 1, 5)
+    w.write(b["lookup"], 4)
+    if b["lookup"] == 2:
+        w.write(_vorbis_float_pack(b["minimum"]), 32)
+        w.write(_vorbis_float_pack(b["delta"]), 32)
+        w.write(b["value_bits"] - 1, 4)
+        w.write(0, 1)  # sequence_p
+        for m in b["mult"]:
+            w.write(m, b["value_bits"])
+
+
+def encode_vorbis(frames, channels: int = 1, rate: int = 8000,
+                  blocksizes=(64, 256), residue_type: int = 2,
+                  coupling: bool = False,
+                  floor_partitioned: bool = False,
+                  audio_per_page: int = 3) -> bytes:
+    """Assemble a REAL conforming Ogg Vorbis stream — the fixture
+    inverse of :func:`_decode_vorbis`. The three header packets carry
+    the fixed fixture codebook set, one floor-1 config (simple
+    two-point when ``floor_partitioned`` is False: partitions=0,
+    multiplier 1, rangebits 6; else a one-partition class with a
+    masterbook + one live subclass book, multiplier 2), one residue
+    config of ``residue_type`` (begin 0, end clamped by block,
+    partition size 8, 2 classifications, cascade 0 / pass-0-only) and
+    two modes (short/long). ``frames`` drive the audio packets:
+
+        {"blockflag": 0|1,
+         "floors": per channel None (silent) or {"y": [...], "cval": n},
+         "res_cls": per decoded vector: class per partition,
+         "res_ent": per decoded vector: {partition: [VQ entries]}}
+
+    The encoder mirrors the decode control flow exactly (including the
+    coupled-pair do-not-decode rule and the type-2 virtual vector), so
+    every emitted bit is read back by spec-order decoding."""
+    import math
+    import struct
+
+    bs0, bs1 = blocksizes
+    books = _VORBIS_FIX_BOOKS
+    codes = [_vorbis_codewords(b["lengths"]) for b in books]
+    # --- header packet 1: identification
+    ident = b"\x01vorbis" + struct.pack(
+        "<IBIiii", 0, channels, rate, 0, 0, 0
+    ) + bytes([
+        (int(math.log2(bs1)) << 4) | int(math.log2(bs0)), 0x01,
+    ])
+    # --- header packet 2: comment (empty, framing bit set)
+    comment = b"\x03vorbis" + struct.pack("<II", 0, 0) + b"\x01"
+    # --- header packet 3: setup
+    w = _VBitsW()
+    w.write(len(books) - 1, 8)
+    for b in books:
+        _vorbis_write_book(w, b)
+    w.write(0, 6)
+    w.write(0, 16)  # one time transform, type 0
+    w.write(0, 6)   # one floor
+    w.write(1, 16)  # floor type 1
+    if floor_partitioned:
+        w.write(1, 5)      # partitions
+        w.write(0, 4)      # partition class list: class 0
+        w.write(2 - 1, 3)  # class 0 dims = 2
+        w.write(1, 2)      # subclasses = 1 (2 slots)
+        w.write(2, 8)      # masterbook: book 2
+        w.write(0, 8)      # subclass slot 0: unused (book -1)
+        w.write(3 + 1, 8)  # subclass slot 1: book 3
+        w.write(2 - 1, 2)  # multiplier 2 (range 128)
+        w.write(6, 4)      # rangebits
+        w.write(16, 6)     # X[2]
+        w.write(40, 6)     # X[3]
+        floor_cfg = {"bits": 7, "dims": 2}
+    else:
+        w.write(0, 5)      # partitions = 0: pure two-point line floor
+        w.write(1 - 1, 2)  # multiplier 1 (range 256)
+        w.write(6, 4)      # rangebits
+        floor_cfg = {"bits": 8, "dims": 0}
+    w.write(0, 6)             # one residue
+    w.write(residue_type, 16)
+    w.write(0, 24)            # begin
+    w.write(65536, 24)        # end (clamped per block at decode)
+    w.write(8 - 1, 24)        # partition size 8
+    w.write(2 - 1, 6)         # 2 classifications
+    w.write(0, 8)             # classbook: book 0
+    w.write(0, 3)             # class 0 cascade low bits: 0 (no decode)
+    w.write(0, 1)
+    w.write(1, 3)             # class 1 cascade: pass 0 only
+    w.write(0, 1)
+    w.write(1, 8)             # class 1 pass 0: book 1
+    w.write(0, 6)             # one mapping, type 0
+    w.write(0, 16)
+    w.write(0, 1)             # one submap
+    if coupling:
+        if channels < 2:
+            raise ValueError("coupling wants 2+ channels")
+        w.write(1, 1)
+        w.write(0, 8)  # one step
+        w.write(0, _vilog(channels - 1))  # magnitude: ch 0
+        w.write(1, _vilog(channels - 1))  # angle: ch 1
+    else:
+        w.write(0, 1)
+    w.write(0, 2)             # reserved
+    w.write(0, 8)             # submap time placeholder
+    w.write(0, 8)             # floor 0
+    w.write(0, 8)             # residue 0
+    w.write(1, 6)             # two modes
+    w.write(0, 1)             # mode 0: short
+    w.write(0, 16)
+    w.write(0, 16)
+    w.write(0, 8)
+    w.write(1, 1)             # mode 1: long
+    w.write(0, 16)
+    w.write(0, 16)
+    w.write(0, 8)
+    w.write(1, 1)             # framing
+    setup = b"\x05vorbis" + w.getvalue()
+    # --- audio packets
+    flags = [f["blockflag"] for f in frames]
+    pkts = [ident, comment, setup]
+    for k, f in enumerate(frames):
+        w = _VBitsW()
+        w.write(0, 1)
+        w.write(f["blockflag"], 1)  # mode number == blockflag here
+        n = bs1 if f["blockflag"] else bs0
+        if f["blockflag"]:
+            w.write(flags[k - 1] if k > 0 else 1, 1)   # prev window flag
+            w.write(flags[k + 1] if k + 1 < len(flags) else 1, 1)
+        no_residue = []
+        for c in range(channels):
+            spec = f["floors"][c]
+            if spec is None:
+                w.write(0, 1)
+                no_residue.append(True)
+                continue
+            w.write(1, 1)
+            y = spec["y"]
+            w.write(y[0], floor_cfg["bits"])
+            w.write(y[1], floor_cfg["bits"])
+            if floor_partitioned:
+                cval = spec["cval"]
+                w.code(codes[2], cval)
+                for j in range(floor_cfg["dims"]):
+                    live = (cval >> j) & 1  # slot 1 = book 3 live
+                    if live:
+                        w.code(codes[3], y[2 + j])
+            no_residue.append(False)
+        for mag, ang in ([(0, 1)] if coupling else []):
+            if not (no_residue[mag] and no_residue[ang]):
+                no_residue[mag] = no_residue[ang] = False
+        n2 = n // 2
+        if residue_type == 2:
+            vecs = [] if all(no_residue) else [0]
+            vlen = channels * n2
+        else:
+            vecs = [c for c in range(channels) if not no_residue[c]]
+            vlen = n2
+        parts = min(65536, vlen) // 8
+        for p in range(8):
+            pc = 0
+            while pc < parts:
+                if p == 0:
+                    for vi, _v in enumerate(vecs):
+                        cls = f["res_cls"][vi]
+                        c0 = cls[pc] if pc < len(cls) else 0
+                        c1 = cls[pc + 1] if pc + 1 < len(cls) else 0
+                        w.code(codes[0], c0 * 2 + c1)
+                for _ in range(2):  # classwords
+                    if pc >= parts:
+                        break
+                    for vi, _v in enumerate(vecs):
+                        cls = f["res_cls"][vi]
+                        c = cls[pc] if pc < len(cls) else 0
+                        if c != 1:
+                            continue
+                        for e in f["res_ent"][vi][pc]:
+                            w.code(codes[1], e)
+                    pc += 1
+        pkts.append(w.getvalue())
+    # --- page granules: cumulative returned samples after each page's
+    # last completed audio packet (frame 0 primes the lap, returns 0)
+    sizes = [bs1 if bf else bs0 for bf in flags]
+    cum = [0]
+    for k in range(1, len(sizes)):
+        cum.append(cum[-1] + (sizes[k - 1] + sizes[k]) // 4)
+    n_pages = (len(cum) + audio_per_page - 1) // audio_per_page
+    page_granules = [
+        cum[min((i + 1) * audio_per_page, len(cum)) - 1]
+        for i in range(n_pages)
+    ]
+    return encode_ogg(
+        pkts, page_granules, audio_per_page=audio_per_page,
+        n_header_packets=3,
+    )
+
+
+def _decode_vorbis(payload: bytes) -> dict:
+    """Ogg Vorbis to the uniform PCM contract (int16 at the
+    conventional full-scale 32768, matching the MP3/AAC-free audio
+    matrix)."""
+    import numpy as np
+
+    pcm, st = _decode_vorbis_float(payload)
+    ch, n = pcm.shape
+    ints = np.clip(np.rint(pcm * 32768.0), -32768, 32767).astype(np.int16)
+    inter = ints.T.reshape(-1)
+    return {
+        "n_channels": ch,
+        "sample_width": 2,
+        "frame_rate": st["rate"],
+        "n_frames": n,
+        "pcm": inter.tobytes(),
+        "codec": "vorbis",
     }
 
 
@@ -13415,6 +14509,276 @@ def ogg_probe_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, codec string, n_channels long, sample_rate long, "
         "n_pages long, n_packets long, n_samples long, duration_ms long, "
         "ogg_bytes long"
+    )
+    return docs.mapInPandas(run, schema)
+
+
+def _vorbis_fixture_plan(d: int):
+    """Deterministic per-doc Vorbis fixture plan shared by the gate's
+    encode and its primitive-layer re-synthesis: frame blockflags,
+    per-channel floor Y values, residue classes and VQ entries. The
+    pytest suite re-derives the same plan INDEPENDENTLY and synthesizes
+    expected PCM with its own numpy floor/IMDCT/window code."""
+    ch = 1 + d % 2
+    rtype = d % 3
+    coupling = d % 4 == 3
+    partitioned = d % 5 == 2
+    silent = d % 7 == 3
+    K = 4 + d % 3
+    flags = [(d + k) % 2 for k in range(K)]
+    frames = []
+    for f, bf in enumerate(flags):
+        n2 = (256 if bf else 64) // 2
+        floors = []
+        for c in range(ch):
+            if silent and c == ch - 1 and f % 2 == 0:
+                floors.append(None)
+                continue
+            if partitioned:
+                cval = (d + f + c) % 4
+                floors.append({"cval": cval, "y": [
+                    (3 * d + 7 * f + c) % 128,
+                    (5 * d + 11 * f + 3 * c) % 128,
+                    ((2 * d + f) % 8) if (cval & 1) else 0,
+                    ((3 * d + 2 * f) % 8) if (cval & 2) else 0,
+                ]})
+            else:
+                floors.append({"y": [(3 * d + 7 * f + c) % 256,
+                                     (5 * d + 11 * f + 3 * c) % 256]})
+        no_res = [fl is None for fl in floors]
+        if coupling and not all(no_res):
+            no_res = [False] * ch
+        if rtype == 2:
+            vecs = 0 if all(no_res) else 1
+            vlen = ch * n2
+        else:
+            vecs = sum(1 for x in no_res if not x)
+            vlen = n2
+        res_cls, res_ent = [], []
+        for vi in range(vecs):
+            parts = vlen // 8
+            cls = [(d + f + p + vi) % 2 for p in range(parts)]
+            ent = {p: [(13 * d + 5 * f + 7 * p + 3 * s + vi) % 16
+                       for s in range(4)]
+                   for p in range(parts) if cls[p] == 1}
+            res_cls.append(cls)
+            res_ent.append(ent)
+        frames.append({"blockflag": bf, "floors": floors,
+                       "res_cls": res_cls, "res_ent": res_ent})
+    return {
+        "channels": ch, "rtype": rtype, "coupling": coupling,
+        "partitioned": partitioned, "silent": silent, "flags": flags,
+        "frames": frames, "rate": 8000 + (d % 3) * 4000,
+    }
+
+
+def _vorbis_plan_synthesis(plan: dict):
+    """Expected PCM from the plan via the PRIMITIVE layer only —
+    floor-1 synthesis, IMDCT, window, absolute-time OLA — with no
+    bitstream in the loop. Comparing :func:`_decode_vorbis_float`
+    against this certifies the entire bitstream layer (LSB packing,
+    codeword assignment/decode, VQ lookup, residue control flow,
+    coupling wiring, granule math); the primitive layer itself is
+    certified in tests against an independent numpy synthesis plus the
+    spec's external anchors (codeword worked example, TDAC perfect
+    reconstruction, published inverse-dB entries)."""
+    import numpy as np
+
+    ch = plan["channels"]
+    rtype = plan["rtype"]
+    flags = plan["flags"]
+    fl_simple = {"type": 1, "partition_classes": [], "class_dims": [],
+                 "class_subclasses": [], "masterbooks": [],
+                 "subclass_books": [], "multiplier": 1, "rangebits": 6,
+                 "xlist": [0, 64]}
+    fl_part = {"type": 1, "partition_classes": [0], "class_dims": [2],
+               "class_subclasses": [1], "masterbooks": [2],
+               "subclass_books": [[-1, 3]], "multiplier": 2,
+               "rangebits": 6, "xlist": [0, 64, 16, 40]}
+    fl = fl_part if plan["partitioned"] else fl_simple
+    sizes = [256 if bf else 64 for bf in flags]
+    starts = [0]
+    for k in range(len(sizes) - 1):
+        starts.append(starts[k] + 3 * sizes[k] // 4 - sizes[k + 1] // 4)
+    base = -min(0, min(starts))
+    acc = np.zeros((ch, base + max(s + n for s, n in zip(starts, sizes))))
+    centers = []
+    for f, bf in enumerate(flags):
+        n = sizes[f]
+        n2 = n // 2
+        fr = plan["frames"][f]
+        vlen = ch * n2 if rtype == 2 else n2
+        rv = []
+        for vi in range(len(fr["res_cls"])):
+            v = np.zeros(vlen)
+            for p, cls in enumerate(fr["res_cls"][vi]):
+                if cls != 1:
+                    continue
+                for k4, e in enumerate(fr["res_ent"][vi][p]):
+                    a, b = e // 4 - 2, e % 4 - 2
+                    if rtype == 0:
+                        v[p * 8 + k4] += a
+                        v[p * 8 + k4 + 4] += b
+                    else:
+                        v[p * 8 + 2 * k4] += a
+                        v[p * 8 + 2 * k4 + 1] += b
+            rv.append(v)
+        res = [np.zeros(n2) for _ in range(ch)]
+        if rtype == 2:
+            if rv:
+                for c in range(ch):
+                    res[c] = rv[0][c::ch].copy()
+        else:
+            vi = 0
+            no_res = [x is None for x in fr["floors"]]
+            if plan["coupling"] and not all(no_res):
+                no_res = [False] * ch
+            for c in range(ch):
+                if not no_res[c]:
+                    res[c] = rv[vi]
+                    vi += 1
+        if plan["coupling"]:
+            M, A = res[0], res[1]
+            nM, nA = M.copy(), A.copy()
+            pos = M > 0
+            ap = A > 0
+            nA[pos & ap] = (M - A)[pos & ap]
+            nM[pos & ~ap] = (M + A)[pos & ~ap]
+            nA[pos & ~ap] = M[pos & ~ap]
+            nA[~pos & ap] = (M + A)[~pos & ap]
+            nM[~pos & ~ap] = (M - A)[~pos & ~ap]
+            nA[~pos & ~ap] = M[~pos & ~ap]
+            res = [nM, nA]
+        pl = bool(flags[f - 1]) if f > 0 else True
+        nl = bool(flags[f + 1]) if f + 1 < len(flags) else True
+        if not bf:
+            pl = nl = True
+        w = _vorbis_window(n, pl, nl, 64)
+        for c in range(ch):
+            if fr["floors"][c] is None:
+                continue
+            curve = _floor1_synthesis(fl, fr["floors"][c]["y"], n2)
+            acc[c, base + starts[f]: base + starts[f] + n] += (
+                w * _imdct(curve * res[c], n)
+            )
+        centers.append(base + starts[f] + n // 2)
+    return acc[:, centers[0]: centers[-1]]
+
+
+@register(
+    "vorbis_decode_features",
+    oracle="""
+    WITH p AS (
+        SELECT d.doc_id,
+               4 + d.doc_id % 3 AS nf,
+               CAST(1 + d.doc_id % 2 AS BIGINT) AS ch,
+               CAST(8000 + (d.doc_id % 3) * 4000 AS BIGINT) AS rate
+        FROM documents d
+    ),
+    h AS (
+        SELECT p.doc_id,
+               CAST(SUM((64 + 192 * ((p.doc_id + k.k - 1) % 2)
+                    + 64 + 192 * ((p.doc_id + k.k) % 2)) // 4)
+                   AS BIGINT) AS n_samples
+        FROM p,
+             LATERAL (SELECT unnest(generate_series(1, p.nf - 1)) AS k) k
+        GROUP BY p.doc_id
+    )
+    SELECT p.doc_id,
+           CAST(p.doc_id % 3 AS BIGINT) AS residue_type,
+           (p.doc_id % 4 = 3) AS coupled,
+           (p.doc_id % 5 = 2) AS floor_partitioned,
+           p.ch AS n_channels,
+           p.rate AS sample_rate,
+           h.n_samples,
+           CAST(2 + (p.nf + 2) // 3 AS BIGINT) AS n_pages,
+           CAST(3 + p.nf AS BIGINT) AS n_packets,
+           TRUE AS pcm_matches_plan,
+           TRUE AS probe_agrees
+    FROM p JOIN h USING (doc_id)
+    ORDER BY p.doc_id
+    """,
+)
+def vorbis_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Ogg Vorbis sample decode under the differential gate
+    (round 17; closes the Vorbis half of the Ogg named seam): per doc a
+    conforming Vorbis I stream — self-describing codebooks, floor 1
+    (simple two-point line, or every fifth doc the partitioned
+    masterbook/subclass form), residue type cycling 0/1/2 by doc,
+    stereo with square-polar coupling every fourth doc, a silent
+    channel every seventh, and a mixed 64/256 blockflag pattern so
+    short/long lapping (including the negative-start long-after-short
+    window) is always live — is assembled by :func:`encode_vorbis` and
+    decoded back by :func:`_decode_vorbis_float` (LSB-first packing,
+    spec codeword assignment, VQ lookup types, floor amplitude fit +
+    inverse-dB curve, residue cascade/classword control flow, inverse
+    coupling, IMDCT + windowed overlap-add, granule trim).
+    ``pcm_matches_plan`` pins the decode BIT-EXACTLY (<=1e-12) against
+    :func:`_vorbis_plan_synthesis`, which rebuilds expected PCM from
+    the plan through the primitive layer with no bitstream in the loop
+    — any slip in the bitstream layer breaks it; the primitive layer is
+    itself certified in tests against an independent numpy synthesis
+    and the spec's external anchors (§3.2.1 worked example, TDAC
+    perfect reconstruction at scale 4/n, published inverse-dB table
+    entries). The oracle recomputes n_samples from the lapping
+    arithmetic — hop (n_prev+n_cur)/4 per frame — plus page/packet
+    counts from the mux plan. Map-only mapInPandas with the standard
+    core fan-out."""
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "residue_type": [], "coupled": [],
+                "floor_partitioned": [], "n_channels": [],
+                "sample_rate": [], "n_samples": [], "n_pages": [],
+                "n_packets": [], "pcm_matches_plan": [],
+                "probe_agrees": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                plan = _vorbis_fixture_plan(d)
+                blob = encode_vorbis(
+                    plan["frames"], channels=plan["channels"],
+                    rate=plan["rate"], residue_type=plan["rtype"],
+                    coupling=plan["coupling"],
+                    floor_partitioned=plan["partitioned"],
+                )
+                pcm, st = _decode_vorbis_float(blob)  # REAL decode
+                exp = _vorbis_plan_synthesis(plan)
+                probe = _probe_ogg(blob)  # REAL page walk + CRC
+                out["doc_id"].append(d)
+                out["residue_type"].append(plan["rtype"])
+                out["coupled"].append(plan["coupling"])
+                out["floor_partitioned"].append(plan["partitioned"])
+                out["n_channels"].append(plan["channels"])
+                out["sample_rate"].append(st["rate"])
+                out["n_samples"].append(pcm.shape[1])
+                out["n_pages"].append(probe["ogg_pages"])
+                out["n_packets"].append(probe["ogg_packets"])
+                out["pcm_matches_plan"].append(bool(
+                    pcm.shape == exp.shape
+                    and float(np.abs(pcm - exp).max()) <= 1e-12
+                ))
+                out["probe_agrees"].append(
+                    probe["n_frames"] == pcm.shape[1]
+                    and probe["codec"] == "vorbis"
+                )
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, residue_type long, coupled boolean, "
+        "floor_partitioned boolean, n_channels long, sample_rate long, "
+        "n_samples long, n_pages long, n_packets long, "
+        "pcm_matches_plan boolean, probe_agrees boolean"
     )
     return docs.mapInPandas(run, schema)
 

@@ -110,6 +110,7 @@ QUERIES = [
     "y4m_decode_features",
     "audio_tags_features",
     "mp4_pcm_variants_features",
+    "vorbis_decode_features",
 ]
 
 
@@ -228,6 +229,7 @@ ANSI_QUERIES = [
     "y4m_decode_features",
     "audio_tags_features",
     "mp4_pcm_variants_features",
+    "vorbis_decode_features",
 ]
 
 

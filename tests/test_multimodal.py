@@ -4480,7 +4480,8 @@ def test_ogg_container_probe():
         _probe_ogg(bytes(bad))
     with pytest.raises(ValueError, match="truncated"):
         _probe_ogg(blob[:-10])
-    with pytest.raises(NotImplementedError, match="Ogg Opus/Vorbis"):
+    # since the round-17 Vorbis closure only Opus remains a named seam
+    with pytest.raises(NotImplementedError, match="Ogg Opus"):
         decode_media(blob, "audio")
 
 
@@ -5638,3 +5639,441 @@ def test_g722_in_au_container():
     noisy = bytes(b | 0x03 for b in data)
     assert np.array_equal(g722_decode(bytes(data)),
                           g722_decode(bytes(b & ~0x03 for b in noisy)))
+
+
+def test_vorbis_primitives():
+    """Vorbis building blocks against EXTERNAL anchors: the spec's own
+    ilog examples, the §3.2.1 codeword-assignment worked example, the
+    float32 bias-788 format, the published floor1_inverse_dB_table
+    endpoints/leading entries, and the Princen-Bradley window power
+    identity the lapped transform depends on."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _f1_db,
+        _vilog,
+        _vorbis_codewords,
+        _vorbis_float_pack,
+        _vorbis_float_unpack,
+        _vorbis_window,
+    )
+
+    # ilog: Vorbis I §9.2.1 examples verbatim
+    assert [_vilog(x) for x in (0, 1, 2, 3, 4, 7)] == [0, 1, 2, 2, 3, 3]
+    assert _vilog(-3) == 0
+    # codeword assignment: the spec's worked example — lengths
+    # [2,4,4,4,4,2,3,3] must yield 00,0100,0101,0110,0111,10,110,111
+    codes = _vorbis_codewords([2, 4, 4, 4, 4, 2, 3, 3])
+    assert codes == {
+        0: (2, 0b00), 1: (4, 0b0100), 2: (4, 0b0101), 3: (4, 0b0110),
+        4: (4, 0b0111), 5: (2, 0b10), 6: (3, 0b110), 7: (3, 0b111),
+    }
+    # sparse entries skip codeword space; over-subscription raises
+    sp = _vorbis_codewords([1, None, 1])
+    assert sp == {0: (1, 0), 2: (1, 1)}
+    import pytest
+
+    with pytest.raises(ValueError, match="over-subscribed"):
+        _vorbis_codewords([1, 1, 1])
+    # float32 pack/unpack: bias-788 integral values round-trip exactly
+    for v in (0, 1, -1, -2, 8, 255, -1000, 1 << 20):
+        assert _vorbis_float_unpack(_vorbis_float_pack(v)) == float(v)
+    # mantissa/exponent split: 2^21 needs an exponent bump
+    assert _vorbis_float_unpack(_vorbis_float_pack(1 << 21)) == float(1 << 21)
+    # floor1 inverse-dB table: geometric closed form pinned at the
+    # PUBLISHED endpoints and leading entries (float32 agreement)
+    t = _f1_db()
+    assert len(t) == 256
+    assert np.float32(t[0]) == np.float32(1.0649863e-07)
+    assert np.float32(t[1]) == np.float32(1.1341951e-07)
+    assert np.float32(t[2]) == np.float32(1.2079015e-07)
+    assert abs(t[255] - 1.0) < 1e-12
+    ratios = t[1:] / t[:-1]
+    # geometric up to the table's float32 quantization
+    assert np.allclose(ratios, ratios[0], rtol=1e-6)
+    # Princen-Bradley: w[i]^2 + w[i+n/2]^2 == 1 for the full-slope
+    # window — the identity TDAC reconstruction requires
+    for n in (64, 256):
+        w = _vorbis_window(n, True, True, n)
+        assert np.allclose(w[: n // 2] ** 2 + w[n // 2:] ** 2, 1.0)
+
+
+def test_vorbis_tdac_reconstruction():
+    """The IMDCT + window pair achieves PERFECT reconstruction under
+    50%-overlap MDCT analysis at scale 4/n — the Princen-Bradley TDAC
+    certificate: any sign/phase/offset slip in the IMDCT formula or
+    window breaks it catastrophically."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _imdct,
+        _vorbis_window,
+    )
+
+    n = 64
+    rng = np.random.RandomState(3)
+    x = rng.standard_normal(4 * n)
+    w = _vorbis_window(n, True, True, n)
+    j = np.arange(n).reshape(-1, 1)
+    k = np.arange(n // 2)
+    C = np.cos(np.pi / (2 * n) * (2 * j + 1 + n // 2) * (2 * k + 1))
+    rec = np.zeros(len(x))
+    for s in range(0, len(x) - n + 1, n // 2):
+        X = (4.0 / n) * (C.T @ (w * x[s: s + n]))
+        rec[s: s + n] += w * _imdct(X, n)
+    assert np.abs(
+        rec[n // 2: len(x) - n] - x[n // 2: len(x) - n]
+    ).max() < 1e-10
+
+
+def _vorbis_expected_pcm(flags, ch, d, rtype, coupling, partitioned,
+                         silent, bs0=64, bs1=256):
+    """INDEPENDENT numpy synthesis of the fixture plan — shares no code
+    with the decoder (own render_line/render_point/floor/IMDCT/window/
+    OLA), so a slip on either side breaks parity."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import _f1_db
+
+    table = _f1_db()
+
+    def render_line(x0, y0, x1, y1, v):
+        dy = y1 - y0
+        adx = x1 - x0
+        base = int(dy / adx)
+        sy = base - 1 if dy < 0 else base + 1
+        ady = abs(dy) - abs(base) * adx
+        v[x0] = y0
+        err = 0
+        y = y0
+        for x in range(x0 + 1, x1):
+            err += ady
+            if err >= adx:
+                err -= adx
+                y += sy
+            else:
+                y += base
+            v[x] = y
+
+    def render_point(x0, y0, x1, y1, x):
+        dy = y1 - y0
+        off = abs(dy) * (x - x0) // (x1 - x0)
+        return y0 - off if dy < 0 else y0 + off
+
+    def floor_curve(ys, cval, n2):
+        if not partitioned:
+            vec = np.zeros(max(n2, 65), dtype=np.int64)
+            render_line(0, ys[0], 64, ys[1], vec)
+            vec[64:] = ys[1]
+            return table[np.clip(vec[:n2], 0, 255)]
+        X = [0, 64, 16, 40]
+        rng_ = 128
+        fy = [ys[0], ys[1], 0, 0]
+        st2 = [True, True, False, False]
+        for i in (2, 3):
+            lo = hi = None
+            for jj in range(i):
+                if X[jj] < X[i] and (lo is None or X[jj] > X[lo]):
+                    lo = jj
+                if X[jj] > X[i] and (hi is None or X[jj] < X[hi]):
+                    hi = jj
+            pred = render_point(X[lo], fy[lo], X[hi], fy[hi], X[i])
+            val = ys[i]
+            hr, lr = rng_ - pred, pred
+            room = 2 * min(hr, lr)
+            if val:
+                st2[lo] = st2[hi] = st2[i] = True
+                if val >= room:
+                    fy[i] = (val - lr + pred) if hr > lr else (
+                        pred - (val - hr) - 1
+                    )
+                elif val & 1:
+                    fy[i] = pred - ((val + 1) >> 1)
+                else:
+                    fy[i] = pred + (val >> 1)
+            else:
+                st2[i] = False
+                fy[i] = pred
+            fy[i] = min(max(fy[i], 0), rng_ - 1)
+        order = sorted(range(4), key=lambda i: X[i])
+        vec = np.zeros(max(n2, 65), dtype=np.int64)
+        lx, ly = 0, fy[order[0]] * 2
+        for oi in order[1:]:
+            if not st2[oi]:
+                continue
+            hx, hy = X[oi], fy[oi] * 2
+            render_line(lx, ly, hx, hy, vec)
+            lx, ly = hx, hy
+        vec[lx:] = ly
+        return table[np.clip(vec[:n2], 0, 255)]
+
+    def imdct(X, n):
+        n2 = n // 2
+        j = np.arange(n).reshape(-1, 1)
+        k = np.arange(n2)
+        return np.cos(
+            np.pi / (2 * n) * (2 * j + 1 + n2) * (2 * k + 1)
+        ) @ X
+
+    def window(n, pl, nl):
+        w = np.zeros(n)
+        c = n // 2
+        ls, ln_ = (0, c) if pl else (n // 4 - bs0 // 4, bs0 // 2)
+        le = ls + ln_
+        rs, rn = (c, n - c) if nl else (3 * n // 4 - bs0 // 4, bs0 // 2)
+        re = rs + rn
+        i = np.arange(ln_)
+        w[ls:le] = np.sin(
+            np.pi / 2 * np.sin(np.pi / (2 * ln_) * (i + 0.5)) ** 2
+        )
+        w[le:rs] = 1.0
+        i = np.arange(rn)
+        w[rs:re] = np.sin(
+            np.pi / 2
+            * np.sin(np.pi / (2 * rn) * (i + 0.5) + np.pi / 2) ** 2
+        )
+        return w
+
+    frames, plans = _vorbis_fixture_frames(
+        flags, ch, d, rtype, coupling, partitioned, silent, bs0, bs1
+    )
+    sizes = [bs1 if bf else bs0 for bf in flags]
+    starts = [0]
+    for k in range(len(sizes) - 1):
+        starts.append(starts[k] + 3 * sizes[k] // 4 - sizes[k + 1] // 4)
+    base = -min(0, min(starts))
+    acc = np.zeros((ch, base + max(s + n for s, n in zip(starts, sizes))))
+    centers = []
+    for f, bf in enumerate(flags):
+        n = sizes[f]
+        n2 = n // 2
+        floors, res_cls, res_ent, vecs = plans[f]
+        vlen = ch * n2 if rtype == 2 else n2
+        parts = vlen // 8
+        rv = []
+        for vi in range(len(vecs)):
+            v = np.zeros(vlen)
+            for p in range(parts):
+                if res_cls[vi][p] == 1:
+                    if rtype == 0:
+                        for k4 in range(4):
+                            e = res_ent[vi][p][k4]
+                            v[p * 8 + k4] += e // 4 - 2
+                            v[p * 8 + k4 + 4] += e % 4 - 2
+                    else:
+                        vals = []
+                        for e in res_ent[vi][p]:
+                            vals += [e // 4 - 2, e % 4 - 2]
+                        v[p * 8: (p + 1) * 8] = vals
+            rv.append(v)
+        res = [np.zeros(n2) for _ in range(ch)]
+        if rtype == 2:
+            if vecs:
+                for c in range(ch):
+                    res[c] = rv[0][c::ch].copy()
+        else:
+            for vi, c in enumerate(vecs):
+                res[c] = rv[vi]
+        if coupling:
+            M, A = res[0], res[1]
+            nM, nA = M.copy(), A.copy()
+            for i in range(n2):
+                if M[i] > 0:
+                    if A[i] > 0:
+                        nA[i] = M[i] - A[i]
+                    else:
+                        nA[i] = M[i]
+                        nM[i] = M[i] + A[i]
+                else:
+                    if A[i] > 0:
+                        nA[i] = M[i] + A[i]
+                    else:
+                        nA[i] = M[i]
+                        nM[i] = M[i] - A[i]
+            res = [nM, nA]
+        pl = bool(flags[f - 1]) if f > 0 else True
+        nl = bool(flags[f + 1]) if f + 1 < len(flags) else True
+        if not bf:
+            pl = nl = True
+        w = window(n, pl, nl)
+        for c in range(ch):
+            if floors[c] is None:
+                continue
+            fc = floor_curve(floors[c]["y"], floors[c].get("cval"), n2)
+            acc[c, base + starts[f]: base + starts[f] + n] += w * imdct(
+                fc * res[c], n
+            )
+        centers.append(base + starts[f] + n // 2)
+    return acc[:, centers[0]: centers[-1]]
+
+
+def _vorbis_fixture_frames(flags, ch, d, rtype, coupling, partitioned,
+                           silent, bs0=64, bs1=256):
+    """Shared deterministic fixture plan (frames + per-frame plan)."""
+    frames = []
+    plans = []
+    for f, bf in enumerate(flags):
+        n = bs1 if bf else bs0
+        n2 = n // 2
+        floors = []
+        for c in range(ch):
+            if silent and c == ch - 1 and f % 2 == 0:
+                floors.append(None)
+                continue
+            if partitioned:
+                cval = (d + f + c) % 4
+                y = [(3 * d + 7 * f + c) % 128,
+                     (5 * d + 11 * f + 3 * c) % 128,
+                     ((2 * d + f) % 8) if (cval & 1) else 0,
+                     ((3 * d + 2 * f) % 8) if (cval & 2) else 0]
+                floors.append({"y": y, "cval": cval})
+            else:
+                floors.append({"y": [(3 * d + 7 * f + c) % 256,
+                                     (5 * d + 11 * f + 3 * c) % 256]})
+        no_res = [fl is None for fl in floors]
+        if coupling and not all(no_res):
+            no_res = [False] * ch
+        if rtype == 2:
+            vecs = [] if all(no_res) else [0]
+            vlen = ch * n2
+        else:
+            vecs = [c for c in range(ch) if not no_res[c]]
+            vlen = n2
+        parts = vlen // 8
+        res_cls, res_ent = [], []
+        for vi in range(len(vecs)):
+            cls = [(d + f + p + vi) % 2 for p in range(parts)]
+            ent = {p: [(13 * d + 5 * f + 7 * p + 3 * s + vi) % 16
+                       for s in range(4)]
+                   for p in range(parts) if cls[p] == 1}
+            res_cls.append(cls)
+            res_ent.append(ent)
+        frames.append({"blockflag": bf, "floors": floors,
+                       "res_cls": res_cls, "res_ent": res_ent})
+        plans.append((floors, res_cls, res_ent, vecs))
+    return frames, plans
+
+
+def test_vorbis_decode_parity():
+    """Full Ogg Vorbis decode is BIT-EXACT against the independent
+    numpy synthesis across residue types 0/1/2, mono/stereo, square-
+    polar coupling, the partitioned floor (masterbook + subclass
+    books), silent channels and mixed 64/256 block lapping (including
+    the long-after-short negative-start window edge)."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_vorbis_float,
+        encode_vorbis,
+    )
+
+    flags = [0, 1, 0, 1, 1]
+    cases = [
+        (1, 5, 0, False, False, False),
+        (1, 6, 1, False, True, False),
+        (2, 7, 2, True, False, False),
+        (2, 8, 0, True, False, True),
+        (2, 9, 2, False, False, True),
+        (1, 10, 1, False, False, False),
+    ]
+    for ch, d, rtype, coupling, partitioned, silent in cases:
+        frames, _ = _vorbis_fixture_frames(
+            flags, ch, d, rtype, coupling, partitioned, silent
+        )
+        blob = encode_vorbis(
+            frames, channels=ch, rate=8000, residue_type=rtype,
+            coupling=coupling, floor_partitioned=partitioned,
+        )
+        pcm, st = _decode_vorbis_float(blob)
+        exp = _vorbis_expected_pcm(
+            flags, ch, d, rtype, coupling, partitioned, silent
+        )
+        assert pcm.shape == exp.shape, (ch, d, rtype)
+        assert np.abs(pcm - exp).max() < 1e-12, (
+            ch, d, rtype, coupling, partitioned, silent
+        )
+
+
+def test_vorbis_contract_and_edges():
+    """decode_media routing, the uniform PCM contract, probe agreement,
+    granule tail-trim, legal end-of-packet truncation, and the named
+    seams (Opus, floor type 0)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_vorbis_float,
+        _ogg_crc,
+        _ogg_packets,
+        _probe_ogg,
+        _vorbis_decode_packet,
+        _vorbis_setup,
+        decode_media,
+        encode_ogg,
+        encode_vorbis,
+        make_opus_head,
+    )
+
+    flags = [0, 0, 1, 0]
+    frames, _ = _vorbis_fixture_frames(flags, 1, 4, 1, False, False,
+                                       False)
+    blob = encode_vorbis(frames, channels=1, rate=16000, residue_type=1)
+    m = decode_media(blob, "audio")
+    assert m["codec"] == "vorbis"
+    assert m["n_channels"] == 1 and m["frame_rate"] == 16000
+    # sizes 64,64,256,64 -> hops (64+64)/4 + (64+256)/4 + (256+64)/4
+    assert m["n_frames"] == 32 + 80 + 80
+    p = _probe_ogg(blob)
+    assert p["codec"] == "vorbis" and p["n_frames"] == m["n_frames"]
+    pcm = np.frombuffer(m["pcm"], "<i2")
+    assert len(pcm) == m["n_frames"]
+    # granule tail-trim: shrink the final page's granule, re-CRC, and
+    # the decoder must drop exactly those samples
+    pages = []
+    pos = 0
+    while pos < len(blob):
+        n_segs = blob[pos + 26]
+        body = pos + 27 + n_segs + sum(blob[pos + 27: pos + 27 + n_segs])
+        pages.append(bytearray(blob[pos:body]))
+        pos = body
+    (g,) = struct.unpack_from("<Q", pages[-1], 6)
+    struct.pack_into("<Q", pages[-1], 6, g - 7)
+    struct.pack_into("<I", pages[-1], 22, 0)
+    struct.pack_into("<I", pages[-1], 22, _ogg_crc(bytes(pages[-1])))
+    trimmed, _ = _decode_vorbis_float(b"".join(bytes(x) for x in pages))
+    assert trimmed.shape[1] == m["n_frames"] - 7
+    # end-of-packet mid-residue is LEGAL (§1.1.4): the packet decodes
+    # with the remaining vectors zeroed instead of raising
+    pkts, _ = _ogg_packets(blob)
+    st = _vorbis_setup(pkts[0], pkts[2])
+    full, n = _vorbis_decode_packet(st, pkts[3])
+    part, n2_ = _vorbis_decode_packet(st, pkts[3][: max(2, len(pkts[3]) // 2)])
+    assert n2_ == n and part.shape == full.shape
+    # Opus stays the named seam
+    opus = encode_ogg([make_opus_head(), b"OpusTags\0\0\0\0\0\0\0\0"],
+                      [0], n_header_packets=2)
+    with pytest.raises(NotImplementedError, match="Ogg Opus"):
+        decode_media(opus, "audio")
+    # floor type 0 (LSP) raises by name
+    from input_data_pipeline_spark.operators.multimodal import (
+        _VBitsW,
+        _vorbis_write_book,
+        _VORBIS_FIX_BOOKS,
+    )
+
+    w = _VBitsW()
+    w.write(0, 8)
+    _vorbis_write_book(w, _VORBIS_FIX_BOOKS[0])
+    w.write(0, 6)
+    w.write(0, 16)
+    w.write(0, 6)
+    w.write(0, 16)  # floor type 0
+    with pytest.raises(NotImplementedError, match="floor type 0"):
+        _vorbis_setup(pkts[0], b"\x05vorbis" + w.getvalue())
+    # corrupt page CRC raises
+    bad = bytearray(blob)
+    bad[-1] ^= 0x5A
+    with pytest.raises(ValueError, match="CRC-32"):
+        decode_media(bytes(bad), "audio")
