@@ -153,7 +153,9 @@ HEADLINE = [
     "jpeg_precision12_features",
     # round 17 final session (additive): REAL Ogg Vorbis sample decode
     # (self-describing codebooks, floor 1, residues 0/1/2, coupling)
+    # and hierarchical (DHP/EXP/SOF5) JPEG
     "vorbis_decode_features",
+    "jpeg_hierarchical_features",
 ]
 
 # Per-query floors for queries newer than the r1 floor table (driver-run

@@ -2973,11 +2973,20 @@ def _decode_jpeg(payload: bytes) -> dict:
             sof = (w, h, comps, prec)
         elif marker == 0xC3:  # SOF3: lossless (huffman) — round 16
             return _decode_jpeg_lossless(payload)
-        elif marker in (0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xDE:  # DHP: hierarchical mode (round 17)
+            return _decode_jpeg_hierarchical(payload)
+        elif marker in (0xC5, 0xC6, 0xC7):
             raise ValueError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: arithmetic/"
-                "hierarchical) unsupported — SOF0/SOF1/SOF2/SOF3 only"
+                f"differential SOF marker 0xFF{marker:02X} outside a "
+                "DHP-led hierarchical stream; hierarchical JPEG decodes "
+                "via its DHP segment (round 17)"
+            )
+        elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"arithmetic-coded JPEG (SOF marker 0xFF{marker:02X}) "
+                "requires the QM-coder Qe state table — spec data this "
+                "repo cannot certify from recall; huffman SOF0/SOF1/"
+                "SOF2/SOF3 and hierarchical SOF5 decode"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = _jpeg_unpack(">H", body, 0, "DRI")
@@ -3050,6 +3059,8 @@ def _jpeg_scan(
     htabs: dict,
     restart_interval: int,
     prec: int = 8,
+    finish: bool = True,
+    dc_predict: bool = True,
 ) -> dict:
     """Entropy-decode the interleaved baseline scan and finish with
     vectorized numpy: coefficient tensor → dequant → IDCT → per-component
@@ -3058,7 +3069,10 @@ def _jpeg_scan(
     components' sampling factors (T.81 A.2.3): an MCU spans
     8*hmax x 8*vmax pixels and carries hc*vc blocks per component in
     left-to-right, top-to-bottom order — 4:2:0's 2x2 Y + 1 Cb + 1 Cr is
-    just the (2,2)/(1,1)/(1,1) instance of that."""
+    just the (2,2)/(1,1)/(1,1) instance of that. With ``finish=False``
+    the raw decode state (coefficient grids + geometry) is returned
+    instead — the hierarchical path (round 17) needs per-frame spatial
+    planes before any color transform."""
     import numpy as np
 
     hmax, vmax, mcu_x, mcu_y, grids = _jpeg_geometry(
@@ -3080,7 +3094,13 @@ def _jpeg_scan(
                 for v in range(c["vc"]):
                     for hh in range(c["hc"]):
                         t = _jpeg_decode_sym(r, dc_tab)
-                        pred[ci] += _jpeg_extend(r.receive(t), t)
+                        dc_diff = _jpeg_extend(r.receive(t), t)
+                        # differential hierarchical frames (round 17)
+                        # code DC with PRED always zero (T.81 F.1.1.5.1)
+                        if dc_predict:
+                            pred[ci] += dc_diff
+                        else:
+                            pred[ci] = dc_diff
                         block = coefs[ci][
                             (my * c["vc"] + v) * gx + mx * c["hc"] + hh
                         ]
@@ -3101,7 +3121,7 @@ def _jpeg_scan(
                                 r.receive(size), size
                             )
                             k += 1
-    return _jpeg_finish({
+    state = {
         "width": width,
         "height": height,
         "comps": comps,
@@ -3111,7 +3131,8 @@ def _jpeg_scan(
         "grids": grids,
         "coefs": coefs,
         "prec": prec,
-    })
+    }
+    return _jpeg_finish(state) if finish else state
 
 
 def _jpeg_finish(state: dict) -> dict:
@@ -3471,6 +3492,473 @@ def _jpeg_canonical_tables(symbols):
     bits = [0] * 16
     bits[L - 1] = len(syms)
     return bits, bytes(syms), {s: (L, i) for i, s in enumerate(syms)}
+
+
+def _jpeg_expand(plane, eh: int, ev: int):
+    """T.81 hierarchical EXP reference upsampling (Annex J): doubling
+    by interpolation — even output samples copy the input, odd samples
+    are the rounded mean (a + b + 1) >> 1 of the two neighbors, with
+    edge replication (so the final odd sample equals the last input
+    sample). Integer in, integer out."""
+    import numpy as np
+
+    if eh:
+        a = plane
+        b = np.concatenate([plane[:, 1:], plane[:, -1:]], axis=1)
+        out = np.empty((a.shape[0], a.shape[1] * 2), dtype=a.dtype)
+        out[:, 0::2] = a
+        out[:, 1::2] = (a + b + 1) >> 1
+        plane = out
+    if ev:
+        a = plane
+        b = np.concatenate([plane[1:, :], plane[-1:, :]], axis=0)
+        out = np.empty((a.shape[0] * 2, a.shape[1]), dtype=a.dtype)
+        out[0::2, :] = a
+        out[1::2, :] = (a + b + 1) >> 1
+        plane = out
+    return plane
+
+
+def _jpeg_hier_spatial(state: dict, differential: bool):
+    """Per-component spatial planes from a finish=False scan state:
+    dequant + IDCT, PLUS the 2^(P-1) level shift only in
+    non-differential frames (T.81 A.3.1 — differential frames code
+    sample differences, which are not level-shifted). Cropped to frame
+    dims (hierarchical scope is 1x1 factors, so plane dims == frame
+    dims)."""
+    import numpy as np
+
+    m8 = _idct_matrix()
+    out = []
+    for ci, c in enumerate(state["comps"]):
+        deq = (
+            state["coefs"][ci].reshape(-1, 8, 8)
+            * state["qtabs"][c["tq"]]
+        ).astype(np.float64)
+        sp = np.einsum("ki,nkl,lj->nij", m8, deq, m8)
+        if not differential:
+            sp += 128.0
+        gx, gy = state["grids"][ci]
+        plane = (
+            sp.reshape(gy, gx, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(gy * 8, gx * 8)
+        )
+        out.append(plane[: state["height"], : state["width"]])
+    return out
+
+
+def _decode_jpeg_hierarchical(payload: bytes) -> dict:
+    """Hierarchical JPEG decode (T.81 Annex J, round 17; closes the
+    hierarchical half of the arithmetic/hierarchical named seam): a
+    DHP-led sequence of frames over shared reference components — a
+    non-differential first frame at reduced resolution, then per stage
+    an optional EXP doubling of the references (:func:`_jpeg_expand`,
+    cropped to the next frame's dims) followed by a DIFFERENTIAL
+    sequential frame (SOF5) whose dequant+IDCT output — no level shift,
+    and DC coded with PRED always zero in differential frames — ADDS to
+    the references, clamped to [0, 255] after every stage. Scope: 8-bit,
+    1x1 sampling factors, grayscale or 3-component YCbCr, huffman
+    sequential frames; differential progressive (SOF6) / differential
+    lossless (SOF7) / arithmetic coding raise by name (the arithmetic
+    QM-coder's 113-row Qe state table is spec data this repo cannot
+    certify from recall). Final references feed the same grayscale /
+    BT.601 back half as baseline."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI marker)")
+    qtabs: dict[int, "np.ndarray"] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    restart_interval = 0
+    dhp = None
+    refs: list | None = None
+    cur = None  # current frame: (differential, w, h, comps)
+    pending_exp = (0, 0)
+    pos = 2
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at offset {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        if 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4: pos + 2 + seglen]
+        if pos + 2 + seglen > len(payload):
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise ValueError("hierarchical scope is 8-bit DQT")
+                q = np.zeros(64, dtype=np.int32)
+                q[_JPEG_ZIGZAG] = np.frombuffer(
+                    body[i + 1: i + 65], np.uint8
+                )
+                qtabs[tq] = q.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1: i + 17])
+                nv = sum(bits)
+                htabs[(tc, th)] = _jpeg_huff_table(
+                    bits, body[i + 17: i + 17 + nv]
+                )
+                i += 17 + nv
+        elif marker == 0xDD:
+            (restart_interval,) = _jpeg_unpack(">H", body, 0, "DRI")
+        elif marker == 0xDE:  # DHP: hierarchical frame parameters
+            prec, h, w, nc = _jpeg_unpack(">BHHB", body, 0, "DHP")
+            if prec != 8:
+                raise NotImplementedError(
+                    "hierarchical decode scope is 8-bit precision"
+                )
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported component count {nc}")
+            ids = [body[6 + 3 * c] for c in range(nc)]
+            dhp = (w, h, ids)
+        elif marker == 0xDF:  # EXP: expand references before next frame
+            if refs is None:
+                raise ValueError("JPEG EXP before any reference frame")
+            eh, ev = body[0] >> 4, body[0] & 0xF
+            if eh not in (0, 1) or ev not in (0, 1):
+                raise ValueError("JPEG EXP nibbles must be 0 or 1")
+            pending_exp = (eh, ev)
+        elif marker in (0xC0, 0xC1, 0xC5):
+            if dhp is None:
+                raise ValueError(
+                    "hierarchical frame without a DHP segment"
+                )
+            differential = marker == 0xC5
+            prec, h, w, nc = _jpeg_unpack(">BHHB", body, 0, "SOF")
+            if prec != 8:
+                raise NotImplementedError(
+                    "hierarchical decode scope is 8-bit precision"
+                )
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = _jpeg_unpack(">BBB", body, 6 + 3 * c, "SOF")
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "hierarchical decode scope is 1x1 sampling "
+                        "factors in every frame"
+                    )
+                comps.append({"id": cid, "tq": tq, "hc": 1, "vc": 1})
+            if [c["id"] for c in comps] != dhp[2]:
+                raise NotImplementedError(
+                    "per-component hierarchical frames (component "
+                    "subset differing from DHP) are out of scope"
+                )
+            if differential and refs is None:
+                raise ValueError("differential frame without reference")
+            if not differential and refs is not None:
+                raise ValueError(
+                    "second non-differential hierarchical frame"
+                )
+            cur = (differential, w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC6, 0xC7):
+            raise NotImplementedError(
+                f"hierarchical frame marker 0xFF{marker:02X} "
+                "(progressive/lossless stage) is out of scope; "
+                "sequential SOF0/SOF1 + differential SOF5 decode"
+            )
+        elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "arithmetic-coded JPEG requires the QM-coder Qe state "
+                "table (spec data this repo cannot certify); huffman "
+                "frames decode"
+            )
+        elif marker == 0xDA:
+            if cur is None:
+                raise ValueError("JPEG SOS before a frame header")
+            differential, w, h, comps = cur
+            ns = body[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "hierarchical scope is one interleaved scan per "
+                    "frame"
+                )
+            for s in range(ns):
+                cs, tables = body[1 + 2 * s], body[2 + 2 * s]
+                for c in comps:
+                    if c["id"] == cs:
+                        c["td"], c["ta"] = tables >> 4, tables & 0xF
+            state = _jpeg_scan(
+                payload, pos + 2 + seglen, w, h, comps, qtabs, htabs,
+                restart_interval, finish=False,
+                dc_predict=not differential,
+            )
+            planes = _jpeg_hier_spatial(state, differential)
+            if differential:
+                eh, ev = pending_exp
+                pending_exp = (0, 0)
+                new_refs = []
+                for ref, diff in zip(refs, planes):
+                    if eh or ev:
+                        ref = _jpeg_expand(ref, eh, ev)
+                    ref = ref[:h, :w]
+                    if ref.shape != (h, w):
+                        raise ValueError(
+                            "hierarchical reference smaller than the "
+                            "differential frame"
+                        )
+                    new_refs.append(np.clip(
+                        ref + np.round(diff).astype(np.int64), 0, 255
+                    ))
+                refs = new_refs
+            else:
+                refs = [
+                    np.clip(np.round(p), 0, 255).astype(np.int64)
+                    for p in planes
+                ]
+            cur = None
+            pos = _jpeg_next_marker(payload, pos + 2 + seglen)
+            continue
+        pos += 2 + seglen
+    if refs is None or dhp is None:
+        raise ValueError("hierarchical JPEG produced no image")
+    w, h, _ids = dhp
+    if any(r.shape != (h, w) for r in refs):
+        raise ValueError(
+            "hierarchical references do not reach the DHP dimensions"
+        )
+    if len(refs) == 1:
+        y = refs[0].astype(np.uint8)
+        bgr = np.repeat(y[:, :, None], 3, axis=2)
+    else:
+        y = refs[0].astype(np.float64)
+        cb = refs[1].astype(np.float64) - 128.0
+        cr = refs[2].astype(np.float64) - 128.0
+        bgr = np.stack(
+            [
+                y + 1.772 * cb,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.402 * cr,
+            ],
+            axis=2,
+        )
+        bgr = np.clip(np.round(bgr), 0, 255).astype(np.uint8)
+    return {
+        "width": w,
+        "height": h,
+        "bit_count": 24,
+        "n_pixels": w * h,
+        "pixels": bgr.tobytes(),
+    }
+
+
+def encode_jpeg_hierarchical(gray_rows=None, rows_rgb=None,
+                             levels: int = 2, quant: int = 1) -> bytes:
+    """Encode a hierarchical (DHP-led) JPEG — the fixture inverse of
+    :func:`_decode_jpeg_hierarchical`. The pyramid point-samples the
+    source by 2 per level (ceil dims); the coarsest level becomes a
+    non-differential SOF0 frame, and each finer level is an EXP
+    doubling followed by a differential SOF5 frame coding the residual
+    against the decoder's own reconstruction (the encoder mirrors the
+    dequant+IDCT+clamp stages exactly, so the final output error is
+    bounded by the last stage's DCT rounding alone — |err| <= 4 at
+    quant 1, the baseline bound). DC is predicted within
+    non-differential scans and coded with PRED=0 in differential ones;
+    per-frame canonical huffman tables at destinations 0/1."""
+    import struct
+
+    import numpy as np
+
+    if (gray_rows is None) == (rows_rgb is None):
+        raise ValueError("exactly one of gray_rows/rows_rgb")
+    if levels < 1:
+        raise ValueError("levels >= 1")
+    if gray_rows is not None:
+        planes = [np.asarray(gray_rows, dtype=np.float64)]
+    else:
+        rgb = np.asarray(rows_rgb, dtype=np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        planes = [
+            np.round(0.299 * r + 0.587 * g + 0.114 * b),
+            np.round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b),
+            np.round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b),
+        ]
+    planes = [np.clip(p, 0, 255) for p in planes]
+    ncomp = len(planes)
+    h, w = planes[0].shape
+    # pyramid: level 0 = full resolution, level k point-samples stride
+    # 2^k (ceil dims match repeated EXP-doubling + crop)
+    targets = [planes]
+    for _ in range(levels - 1):
+        targets.append([p[::2, ::2] for p in targets[-1]])
+    targets.reverse()  # coarsest first
+    m8 = _idct_matrix()
+    qtab = np.full((8, 8), quant, dtype=np.int64)
+
+    def frame(planes_int, differential):
+        """Encode one sequential frame; returns (segments bytes,
+        decoder-mirror reconstruction planes)."""
+        fh, fw = planes_int[0].shape
+        mcu_x, mcu_y = -(-fw // 8), -(-fh // 8)
+        comp_blocks = []
+        recon = []
+        for p in planes_int:
+            fp = np.pad(
+                p.astype(np.float64),
+                ((0, mcu_y * 8 - fh), (0, mcu_x * 8 - fw)),
+                mode="edge",
+            )
+            blocks = fp.reshape(mcu_y, 8, mcu_x, 8).transpose(
+                0, 2, 1, 3
+            ).reshape(-1, 8, 8)
+            shift = 0.0 if differential else 128.0
+            coefs = np.einsum("ik,nkl,jl->nij", m8, blocks - shift, m8)
+            qc = np.round(coefs / qtab).astype(np.int64)
+            comp_blocks.append(qc)
+            sp = np.einsum(
+                "ki,nkl,lj->nij", m8, (qc * qtab).astype(np.float64), m8
+            ) + shift
+            rp = sp.reshape(mcu_y, mcu_x, 8, 8).transpose(
+                0, 2, 1, 3
+            ).reshape(mcu_y * 8, mcu_x * 8)[:fh, :fw]
+            recon.append(rp)
+        # tokens, MCU-interleaved (1x1 factors: one block per comp)
+        def magv(v):
+            t = int(abs(int(v))).bit_length()
+            return t, (v if v >= 0 else v + (1 << t) - 1)
+
+        stream = []
+        dc_syms = [set() for _ in range(ncomp)]
+        ac_syms = [set() for _ in range(ncomp)]
+        pred = [0] * ncomp
+        for m in range(mcu_x * mcu_y):
+            for ci in range(ncomp):
+                blk = comp_blocks[ci][m]
+                zz = [int(blk.reshape(-1)[z]) for z in _JPEG_ZIGZAG]
+                base = 0 if differential else pred[ci]
+                t, bv = magv(zz[0] - base)
+                pred[ci] = zz[0]
+                toks = [("dc", t, bv, t)]
+                dc_syms[ci].add(t)
+                run = 0
+                last_nz = max(
+                    (k for k in range(1, 64) if zz[k]), default=0
+                )
+                for k in range(1, last_nz + 1):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        toks.append(("ac", 0xF0, 0, 0))
+                        ac_syms[ci].add(0xF0)
+                        run -= 16
+                    s, bv2 = magv(zz[k])
+                    sym = (run << 4) | s
+                    toks.append(("ac", sym, bv2, s))
+                    ac_syms[ci].add(sym)
+                    run = 0
+                if last_nz < 63:
+                    toks.append(("ac", 0x00, 0, 0))
+                    ac_syms[ci].add(0x00)
+                stream.append((ci, toks))
+        n_dest = min(ncomp, 2)
+        dest = [min(ci, 1) for ci in range(ncomp)]
+        dc_tabs = [
+            _jpeg_canonical_tables(set().union(
+                *(dc_syms[ci] for ci in range(ncomp) if dest[ci] == t)
+            ))
+            for t in range(n_dest)
+        ]
+        ac_tabs = [
+            _jpeg_canonical_tables(set().union(
+                *(ac_syms[ci] for ci in range(ncomp) if dest[ci] == t)
+            ))
+            for t in range(n_dest)
+        ]
+        out = bytearray()
+        acc, nacc = 0, 0
+
+        def put(val, nb):
+            nonlocal acc, nacc
+            for i in range(nb - 1, -1, -1):
+                acc = (acc << 1) | ((val >> i) & 1)
+                nacc += 1
+                if nacc == 8:
+                    out.append(acc)
+                    if acc == 0xFF:
+                        out.append(0x00)
+                    acc, nacc = 0, 0
+
+        for ci, toks in stream:
+            for kind, sym, bv, nb in toks:
+                L, code = (
+                    dc_tabs if kind == "dc" else ac_tabs
+                )[dest[ci]][2][sym]
+                put(code, L)
+                if nb:
+                    put(bv, nb)
+        if nacc:
+            put((1 << (8 - nacc)) - 1, 8 - nacc)
+
+        def seg(marker, sbody):
+            return bytes([0xFF, marker]) + struct.pack(
+                ">H", len(sbody) + 2
+            ) + sbody
+
+        segs = b""
+        for t in range(n_dest):
+            for tc, (bits, vals, _) in ((0, dc_tabs[t]),
+                                        (1, ac_tabs[t])):
+                segs += seg(0xC4, bytes([(tc << 4) | t]) + bytes(bits)
+                            + vals)
+        sof = struct.pack(">BHHB", 8, fh, fw, ncomp)
+        for ci in range(ncomp):
+            sof += bytes([ci + 1, 0x11, 0])
+        segs += seg(0xC5 if differential else 0xC0, sof)
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            sos += bytes([ci + 1, (dest[ci] << 4) | dest[ci]])
+        sos += b"\x00\x3f\x00"
+        segs += seg(0xDA, sos)
+        return segs + bytes(out), recon
+
+    def seg(marker, sbody):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(sbody) + 2
+        ) + sbody
+
+    out = bytearray(b"\xff\xd8")
+    zz_q = bytes(int(qtab.reshape(-1)[z]) for z in _JPEG_ZIGZAG)
+    out += seg(0xDB, bytes([0x00]) + zz_q)
+    dhp = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        dhp += bytes([ci + 1, 0x11, 0])
+    out += seg(0xDE, dhp)
+    # coarsest: non-differential frame; encoder mirrors the decoder's
+    # clamp-to-int after every stage so residuals are computed against
+    # the decoder's actual references
+    body, recon = frame([t.astype(np.int64) for t in targets[0]], False)
+    out += body
+    refs = [np.clip(np.round(r), 0, 255).astype(np.int64) for r in recon]
+    for lv in range(1, levels):
+        tgt = targets[lv]
+        th, tw = tgt[0].shape
+        eh = 1 if tw > refs[0].shape[1] else 0
+        ev = 1 if th > refs[0].shape[0] else 0
+        if eh or ev:
+            out += seg(0xDF, bytes([(eh << 4) | ev]))
+            refs = [_jpeg_expand(r, eh, ev)[:th, :tw] for r in refs]
+        diffs = [t.astype(np.int64) - r for t, r in zip(tgt, refs)]
+        body, recon = frame(diffs, True)
+        out += body
+        refs = [
+            np.clip(r + np.round(d).astype(np.int64), 0, 255)
+            for r, d in zip(refs, recon)
+        ]
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def encode_jpeg(rows_rgb=None, gray_rows=None, quant=1, restart_interval=0,
@@ -16682,6 +17170,94 @@ def jpeg_in_tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width long, height long, form string, "
         "tables_hoisted boolean, "
         "n_strips long, strips_match_reference boolean, err_ok boolean"
+    )
+    return docs.mapInPandas(run, schema)
+
+
+@register(
+    "jpeg_hierarchical_features",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(9 + d.doc_id % 8 AS BIGINT) AS width,
+           CAST(8 + d.doc_id % 5 AS BIGINT) AS height,
+           (d.doc_id % 2 = 0) AS gray,
+           CAST(2 + d.doc_id % 3 AS BIGINT) AS levels,
+           CAST(1 + d.doc_id % 3 AS BIGINT) AS n_differential,
+           TRUE AS err_ok
+    FROM documents d
+    ORDER BY d.doc_id
+    """,
+)
+def jpeg_hierarchical_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical JPEG (T.81 Annex J) under the differential gate
+    (round 17; closes the hierarchical half of the arithmetic/
+    hierarchical named seam): per doc a closed-form card — grayscale on
+    even docs, neutral-chroma color on odd — is encoded as a DHP-led
+    pyramid of 2-4 levels (point-sampled coarsest frame, then per stage
+    an EXP reference doubling plus a differential SOF5 frame coding the
+    residual with PRED=0 DC) and decoded back through
+    :func:`decode_media`'s JPEG path. ``err_ok`` bounds |err| <= 2:
+    because the LAST stage codes the full-resolution residual at quant
+    1, the pyramid reconstructs TIGHTER than a plain baseline encode —
+    a slip in the EXP interpolator, the differential no-level-shift
+    rule, or the PRED=0 DC convention blows the bound immediately
+    (cumulative per-block drift). ``n_differential`` counts the SOF5
+    markers on the wire. Map-only mapInPandas with the standard core
+    fan-out."""
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [], "gray": [],
+                "levels": [], "n_differential": [], "err_ok": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 9 + d % 8, 8 + d % 5
+                gray = d % 2 == 0
+                levels = 2 + d % 3
+                r_idx = np.arange(h, dtype=np.int64).reshape(-1, 1)
+                c_idx = np.arange(w, dtype=np.int64)
+                g = ((7 * d + 11 * r_idx + 5 * c_idx) % 256).astype(
+                    np.uint8
+                )
+                if gray:
+                    blob = encode_jpeg_hierarchical(
+                        gray_rows=g, levels=levels
+                    )
+                else:
+                    blob = encode_jpeg_hierarchical(
+                        rows_rgb=np.dstack([g, g, g]), levels=levels
+                    )
+                meta = decode_media(blob, "image")  # REAL decode
+                px = np.frombuffer(meta["pixels"], np.uint8).reshape(
+                    meta["height"], meta["width"], 3
+                )
+                ref = np.dstack([g, g, g])
+                err = np.abs(
+                    px.astype(np.int64) - ref.astype(np.int64)
+                ).max()
+                out["doc_id"].append(d)
+                out["width"].append(meta["width"])
+                out["height"].append(meta["height"])
+                out["gray"].append(gray)
+                out["levels"].append(levels)
+                out["n_differential"].append(blob.count(b"\xff\xc5"))
+                out["err_ok"].append(bool(err <= 2))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, width long, height long, gray boolean, "
+        "levels long, n_differential long, err_ok boolean"
     )
     return docs.mapInPandas(run, schema)
 

@@ -111,6 +111,7 @@ QUERIES = [
     "audio_tags_features",
     "mp4_pcm_variants_features",
     "vorbis_decode_features",
+    "jpeg_hierarchical_features",
 ]
 
 
@@ -230,6 +231,7 @@ ANSI_QUERIES = [
     "audio_tags_features",
     "mp4_pcm_variants_features",
     "vorbis_decode_features",
+    "jpeg_hierarchical_features",
 ]
 
 

@@ -1144,10 +1144,15 @@ def test_decode_jpeg_rejects_non_baseline():
 
     gray = [[10 * r for _ in range(8)] for r in range(8)]
     ok = make_jpeg(gray_rows=gray)
-    # flip SOF0 -> SOF9 (arithmetic coding: genuinely out of scope)
+    # flip SOF0 -> SOF9 (arithmetic coding: genuinely data-blocked —
+    # the QM-coder Qe table cannot be certified from recall)
     i = ok.index(b"\xff\xc0")
-    with pytest.raises(ValueError, match="non-baseline"):
+    with pytest.raises(NotImplementedError, match="arithmetic-coded"):
         decode_media(ok[:i] + b"\xff\xc9" + ok[i + 2 :], "image")
+    # a differential SOF outside a DHP-led stream is invalid (the
+    # hierarchical path decodes SOF5 only after a DHP segment)
+    with pytest.raises(ValueError, match="DHP-led"):
+        decode_media(ok[:i] + b"\xff\xc5" + ok[i + 2 :], "image")
     # flip SOF0 -> SOF2: the baseline scan header (Ss=0, Se=63) is not a
     # legal PROGRESSIVE scan — rejected, not misparsed
     with pytest.raises(ValueError, match="DC scan must have Se=0"):
@@ -6077,3 +6082,75 @@ def test_vorbis_contract_and_edges():
     bad[-1] ^= 0x5A
     with pytest.raises(ValueError, match="CRC-32"):
         decode_media(bytes(bad), "audio")
+
+
+def test_jpeg_hierarchical_decode():
+    """Hierarchical JPEG (T.81 Annex J, round 17): DHP-led pyramid with
+    EXP reference doubling and differential SOF5 stages round-trips
+    within the stage-bounded error (gray <=1 — tighter than baseline
+    because the LAST stage codes the full-resolution residual at quant
+    1; color <=5 with the BT.601 round trip on top); the EXP interpolator is pinned by hand values; DC in
+    differential frames is coded with PRED=0 (a predicting decoder
+    would show the cumulative per-block drift this test's multi-MCU
+    frames make visible); error paths raise by name."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _decode_jpeg,
+        _jpeg_expand,
+        encode_jpeg_hierarchical,
+    )
+
+    # EXP interpolator: out[2i]=in[i], out[2i+1]=(a+b+1)>>1, edge
+    # replication (last odd sample equals the last input sample)
+    p = np.array([[0, 10], [20, 30]], dtype=np.int64)
+    assert _jpeg_expand(p, 1, 0).tolist() == [
+        [0, 5, 10, 10], [20, 25, 30, 30]
+    ]
+    assert _jpeg_expand(p, 0, 1).tolist() == [
+        [0, 10], [10, 20], [20, 30], [20, 30]
+    ]
+    rng = np.random.RandomState(5)
+    for h, w, levels, gray in (
+        (19, 13, 2, True), (21, 17, 3, True), (33, 9, 4, True),
+        (16, 16, 2, False), (19, 13, 3, False), (8, 8, 1, True),
+    ):
+        if gray:
+            src = rng.randint(0, 256, (h, w)).astype(np.uint8)
+            blob = encode_jpeg_hierarchical(gray_rows=src, levels=levels)
+            m = _decode_jpeg(blob)
+            px = np.frombuffer(m["pixels"], np.uint8).reshape(h, w, 3)
+            err = np.abs(px[:, :, 0].astype(int) - src.astype(int)).max()
+            bound = 1
+        else:
+            src = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            blob = encode_jpeg_hierarchical(rows_rgb=src, levels=levels)
+            m = _decode_jpeg(blob)
+            px = np.frombuffer(m["pixels"], np.uint8).reshape(
+                h, w, 3
+            )[:, :, ::-1]
+            err = np.abs(px.astype(int) - src.astype(int)).max()
+            bound = 5  # BT.601 forward/backward rounding on top
+        assert (m["width"], m["height"]) == (w, h)
+        assert err <= bound, (h, w, levels, gray, err)
+        assert blob.count(b"\xff\xc5") == levels - 1  # SOF5 per stage
+        assert blob.count(b"\xff\xde") == 1           # one DHP
+        assert blob.count(b"\xff\xdf") >= levels - 1  # EXP per stage
+    # error paths
+    src = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    blob = encode_jpeg_hierarchical(gray_rows=src, levels=2)
+    # differential progressive (SOF6) stays out of scope: flip SOF5
+    i = blob.index(b"\xff\xc5")
+    with pytest.raises(NotImplementedError, match="progressive/lossless"):
+        _decode_jpeg(blob[:i] + b"\xff\xc6" + blob[i + 2:])
+    # EXP before any reference frame
+    j = blob.index(b"\xff\xde")
+    (dlen,) = struct.unpack_from(">H", blob, j + 2)
+    exp_seg = b"\xff\xdf\x00\x03\x10"
+    with pytest.raises(ValueError, match="EXP before"):
+        _decode_jpeg(
+            blob[: j + 2 + dlen] + exp_seg + blob[j + 2 + dlen:]
+        )
