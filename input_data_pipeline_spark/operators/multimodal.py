@@ -4643,6 +4643,7 @@ def _decode_avi(payload: bytes, probe: bool = False) -> dict:
 _Y4M_CHROMA = {
     b"C444": ((1, 1), "box"),
     b"C422": ((2, 1), "box"),
+    b"C411": ((4, 1), "box"),  # round 17: DV-heritage 4:1:1, cosited
     b"C420jpeg": ((2, 2), "box"),
     b"C420mpeg2": ((2, 2), "mpeg2"),
     b"C420paldv": ((2, 2), "paldv"),
@@ -4720,7 +4721,7 @@ def _decode_y4m(payload: bytes) -> dict:
     if cs not in _Y4M_CHROMA:
         raise NotImplementedError(
             f"Y4M colorspace {cs.decode(errors='replace')} is not "
-            "implemented; C444/C422/C420jpeg/C420mpeg2/C420paldv/"
+            "implemented; C444/C422/C411/C420jpeg/C420mpeg2/C420paldv/"
             "Cmono decode"
         )
     sub, siting = _Y4M_CHROMA[cs]

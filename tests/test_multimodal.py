@@ -4757,7 +4757,7 @@ def test_caf_container_and_codecs():
 def test_y4m_decode():
     """Y4M (round 17): header parse (W/H/F + colorspace + the ffmpeg
     XCOLORRANGE extension), per-frame plane slicing for
-    C444/C422/C420jpeg/Cmono, full- vs limited-range BT.601, nearest
+    C444/C422/C411/C420jpeg/Cmono, full- vs limited-range BT.601, nearest
     chroma replication, DIB frame contract shared with AVI (bottom-up
     padded rows — sample_video_frames consumes Y4M unchanged), probe
     without touching planes, and named seams for siting variants."""
@@ -4785,6 +4785,7 @@ def test_y4m_decode():
     for cs, mk in [
         (b"C444", lambda: (Y, neutral, neutral)),
         (b"C422", lambda: (Y, neutral[:, ::2], neutral[:, ::2])),
+        (b"C411", lambda: (Y, neutral[:, ::4], neutral[:, ::4])),
         (b"C420jpeg", lambda: (Y, neutral[::2, ::2], neutral[::2, ::2])),
         (b"Cmono", lambda: (Y, None, None)),
     ]:
@@ -4842,8 +4843,10 @@ def test_y4m_decode():
     up2 = _y4m_upsample_chroma(ramp_v, 10, 6, "mpeg2", "cb")
     assert np.array_equal(up2[:, 0], np.array([0, 0, 2, 2, 4, 4]))
 
-    with pytest.raises(NotImplementedError, match="C411"):
-        _decode_y4m(blob.replace(b"C444", b"C411", 1))
+    # C411 decodes since the round-17 final session; an unknown
+    # colorspace token still raises by name
+    with pytest.raises(NotImplementedError, match="C410"):
+        _decode_y4m(blob.replace(b"C444", b"C410", 1))
     with pytest.raises(ValueError, match="truncated Y4M frame"):
         _decode_y4m(blob[:-3])
     with pytest.raises(ValueError, match="FRAME marker"):
