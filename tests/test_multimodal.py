@@ -6157,3 +6157,39 @@ def test_jpeg_hierarchical_decode():
         _decode_jpeg(
             blob[: j + 2 + dlen] + exp_seg + blob[j + 2 + dlen:]
         )
+
+
+def test_audio_content_key_covers_vorbis():
+    """Ogg Vorbis participates in the dedup content keys through the
+    same decode_media path as every other codec (round-17 final
+    session): identical streams key identically, different residue
+    content keys apart, and the key length/shape matches the family."""
+    from input_data_pipeline_spark.operators.multimodal import (
+        audio_content_key,
+        encode_vorbis,
+    )
+
+    def stream(d):
+        # near-unity floors (y ~ 250 -> table value ~ 0.9) so the
+        # decoded PCM is LOUD enough to survive int16 quantization —
+        # the tiny parity-fixture floors (~1e-6) quantize to silence
+        frames = []
+        for f, bf in enumerate([0, 1, 0]):
+            n2 = (256 if bf else 64) // 2
+            parts = n2 // 8
+            cls = [(d + f + p) % 2 for p in range(parts)]
+            ent = {p: [(13 * d + 5 * f + 7 * p + 3 * s) % 16
+                       for s in range(4)]
+                   for p in range(parts) if cls[p] == 1}
+            frames.append({
+                "blockflag": bf,
+                "floors": [{"y": [250 - d % 3, 252]}],
+                "res_cls": [cls], "res_ent": [ent],
+            })
+        return encode_vorbis(frames, channels=1, rate=8000,
+                             residue_type=1)
+
+    ka = audio_content_key(stream(3))
+    kb = audio_content_key(stream(4))
+    assert ka != kb and len(ka) == 64
+    assert audio_content_key(stream(3)) == ka
