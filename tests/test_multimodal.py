@@ -6028,6 +6028,12 @@ def test_vorbis_contract_and_edges():
     frames, _ = _vorbis_fixture_frames(flags, 1, 4, 1, False, False,
                                        False)
     blob = encode_vorbis(frames, channels=1, rate=16000, residue_type=1)
+    # EXTERNAL packing anchor: the 24-bit codebook sync 0x564342
+    # written LSB-first at the start of the setup body must appear as
+    # the literal ASCII "BCV" every real Vorbis setup header carries
+    # right after \x05vorbis — wrong bit order scrambles it
+    pkts0, _g0 = _ogg_packets(blob)
+    assert pkts0[2][:7] == b"\x05vorbis" and pkts0[2][8:11] == b"BCV"
     m = decode_media(blob, "audio")
     assert m["codec"] == "vorbis"
     assert m["n_channels"] == 1 and m["frame_rate"] == 16000
