@@ -222,6 +222,12 @@ FLOORS = {
     # 9.4 GFLOP/s under ~19k/~44k steal ticks)
     "audio_tags_features": 0.457,
     "mp4_pcm_variants_features": 0.636,
+    # r17 final session first entries (closing bench SESSION @ sf0.1,
+    # local[32], yardstick 8.8 GFLOP/s under ~43k steal ticks — a
+    # heavily stolen interval, so these floors are conservative;
+    # replace with BENCH_r17 driver numbers when recorded)
+    "vorbis_decode_features": 1.589,
+    "jpeg_hierarchical_features": 1.353,
 }
 
 
