@@ -116,6 +116,18 @@ def _load_all() -> None:
 # (d) the 6 LLM-core anchors close the window at exactly 50.
 # Round-17 additions register AFTER the window (the established
 # precedent), entering the rotation in r18.
+#
+# r18 rotation note (write the new window at the START of r18): head
+# with the 23 r13-bucket leftovers named in (c) above, then the 14
+# r17 additions (session 1: mpeg1_layer2 / mp3_lsf / jpeg_in_tiff /
+# jpeg_precision12; session 2: ms_adpcm / aiff / ogg_probe / wav_ext /
+# netpbm_tga / caf / y4m / audio_tags; continuation: mp4_pcm_variants;
+# final session: vorbis_decode_features, jpeg_hierarchical_features —
+# that is 15 total, so either widen to 51 or defer one with an
+# in-window sibling, e.g. jpeg_precision12 ~ jpeg_lossless/jpeg_in_tiff),
+# then r14-bucket fills to 50 with the 6 anchors. Also replace the r17
+# first-entry bench floors with BENCH_r17 driver numbers per the
+# bench.py comments.
 _PRIORITY: list[str] = [
     # --- (a) the 16 r12-bucket leftovers (last driver green
     #     CORRECTNESS_r12; named in the r16 registry note) ---
