@@ -156,6 +156,11 @@ HEADLINE = [
     # and hierarchical (DHP/EXP/SOF5) JPEG
     "vorbis_decode_features",
     "jpeg_hierarchical_features",
+    # r17 final session (additive): the audio training-prep DSP trio —
+    # rational resampling, VAD segmentation, MFCC features
+    "audio_resample_features",
+    "audio_vad_features",
+    "audio_mfcc_features",
 ]
 
 # Per-query floors for queries newer than the r1 floor table (driver-run

@@ -8533,6 +8533,422 @@ def _decode_vorbis(payload: bytes) -> dict:
     }
 
 
+# --- audio training-prep DSP (round 17): resample / VAD / MFCC ---------------
+#
+# The three preparation steps a large-scale speech/audio training
+# pipeline runs on every clip before featurization or packing:
+# resample-to-model-rate, voice-activity segmentation, and MFCC
+# features. All pure-formula DSP (windowed-sinc polyphase, frame
+# energy state machine, mel filterbank + DCT-II) — no spec tables, no
+# external libs; numpy-vectorized inside mapInPandas kernels so the
+# hot path is C even though the control flow is Python.
+
+
+def resample_pcm(pcm, sr_in: int, sr_out: int, taps_per_phase: int = 16):
+    """Rational polyphase resampler: int16-range float in, float out.
+    The rate change L/M = sr_out/sr_in (reduced) is realized as a
+    windowed-sinc interpolation filter evaluated at the exact rational
+    output instants t_k = k*M/L input samples — mathematically the
+    upsample-by-L -> lowpass -> downsample-by-M cascade without
+    materializing the upsampled signal. The kernel is a Hann-windowed
+    sinc with cutoff min(sr_in, sr_out)/2 (expressed in input-sample
+    units: fc = min(1, L/M)/2 cycles/sample), ``taps_per_phase`` input
+    samples each side; each output's tap weights are normalized to sum
+    1 so DC passes EXACTLY regardless of phase (the polyphase-branch
+    normalization rule). Output length is ceil(n * L / M) — the
+    convention the oracle recomputes. Edge samples use zero padding."""
+    import math
+
+    import numpy as np
+
+    if sr_in <= 0 or sr_out <= 0:
+        raise ValueError("sample rates must be positive")
+    x = np.asarray(pcm, dtype=np.float64)
+    if sr_in == sr_out:
+        return x.copy()
+    g = math.gcd(sr_in, sr_out)
+    L, M = sr_out // g, sr_in // g
+    n = len(x)
+    n_out = -(-n * L // M)
+    if n_out == 0 or n == 0:
+        return np.zeros(0)
+    k = np.arange(n_out)
+    # exact rational instants as integer + fractional parts (avoids
+    # float drift at large k: k*M = pos_int*L + rem with rem < L)
+    pos_int = (k * M) // L
+    frac = ((k * M) % L) / L  # in [0, 1) input samples
+    fc = 0.5 * min(1.0, L / M)
+    offs = np.arange(-taps_per_phase + 1, taps_per_phase + 1)
+    # tap time distances: (frac - off) for each output row
+    t = frac[:, None] - offs[None, :]
+    h = 2 * fc * np.sinc(2 * fc * t)
+    # Hann window over the tap span keeps sidelobes down
+    h *= 0.5 + 0.5 * np.cos(np.pi * t / taps_per_phase)
+    h /= h.sum(axis=1, keepdims=True)  # per-phase DC normalization
+    idx = pos_int[:, None] + offs[None, :]
+    valid = (idx >= 0) & (idx < n)
+    xv = np.where(valid, x[np.clip(idx, 0, n - 1)], 0.0)
+    return (xv * h).sum(axis=1)
+
+
+def vad_segments(pcm, sr: int, frame_ms: int = 20,
+                 thresh_dbfs: float = -35.0, hang_frames: int = 2):
+    """Energy voice-activity detection with hangover: the PCM (int16
+    full-scale 32768) is cut into ``frame_ms`` frames; a frame is HOT
+    when its RMS exceeds ``thresh_dbfs`` dB below full scale; a
+    segment opens at a hot frame and closes only after ``hang_frames``
+    consecutive cold frames (the hangover keeps intra-word pauses from
+    splitting a segment). Returns (flags, segments) where flags is the
+    per-frame hot bool array and segments a list of (start_frame,
+    end_frame_exclusive) pairs INCLUDING any trailing hangover frames.
+    The state machine is exactly reproducible in SQL over closed-form
+    frame energies — the gate's oracle replays it with window
+    functions."""
+    import numpy as np
+
+    x = np.asarray(pcm, dtype=np.float64)
+    flen = max(1, sr * frame_ms // 1000)
+    n_frames = len(x) // flen
+    if n_frames == 0:
+        return np.zeros(0, dtype=bool), []
+    frames = x[: n_frames * flen].reshape(n_frames, flen)
+    rms = np.sqrt((frames ** 2).mean(axis=1))
+    thresh = 32768.0 * (10.0 ** (thresh_dbfs / 20.0))
+    hot = rms > thresh
+    segments = []
+    start = None
+    cold = 0
+    for i, hflag in enumerate(hot):
+        if hflag:
+            if start is None:
+                start = i
+            cold = 0
+        elif start is not None:
+            cold += 1
+            if cold > hang_frames:
+                segments.append((start, i - cold + 1 + hang_frames))
+                start = None
+                cold = 0
+    if start is not None:
+        segments.append((start, n_frames))
+    return hot, segments
+
+
+def _mel_filterbank(sr: int, n_fft: int, n_mels: int):
+    """Triangular mel filterbank (HTK convention: mel = 2595 *
+    log10(1 + f/700)), n_mels rows over the n_fft//2+1 rFFT bins,
+    edges equally spaced in mel between 0 and sr/2."""
+    import numpy as np
+
+    def mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64)
+                                 / 700.0)
+
+    def imel(m):
+        return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0)
+                        - 1.0)
+
+    edges_hz = imel(np.linspace(0.0, float(mel(sr / 2)), n_mels + 2))
+    bins = np.floor((n_fft + 1) * edges_hz / sr).astype(np.int64)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for m in range(n_mels):
+        lo, ce, hi = bins[m], bins[m + 1], bins[m + 2]
+        for b in range(lo, ce):
+            if ce > lo:
+                fb[m, b] = (b - lo) / (ce - lo)
+        for b in range(ce, hi):
+            if hi > ce:
+                fb[m, b] = (hi - b) / (hi - ce)
+    return fb
+
+
+def mfcc_features(pcm, sr: int, n_fft: int = 256, hop: int = 128,
+                  n_mels: int = 20, n_mfcc: int = 13):
+    """MFCC matrix (n_frames, n_mfcc): Hann-windowed frames -> power
+    rFFT -> mel filterbank -> log -> orthonormal DCT-II. Frame count
+    is 1 + (n - n_fft)//hop for n >= n_fft (else 0) — the closed form
+    the oracle recomputes. All numpy; the log floor 1e-10 keeps silent
+    frames finite."""
+    import numpy as np
+
+    x = np.asarray(pcm, dtype=np.float64)
+    n = len(x)
+    if n < n_fft:
+        return np.zeros((0, n_mfcc))
+    n_frames = 1 + (n - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = x[idx] * np.hanning(n_fft)[None, :]
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    fb = _mel_filterbank(sr, n_fft, n_mels)
+    logmel = np.log(np.maximum(power @ fb.T, 1e-10))
+    # orthonormal DCT-II over the mel axis
+    m = np.arange(n_mels)
+    dct = np.cos(np.pi / n_mels * (m[None, :] + 0.5) * np.arange(
+        n_mfcc)[:, None])
+    dct *= np.sqrt(2.0 / n_mels)
+    dct[0] /= np.sqrt(2.0)
+    return logmel @ dct.T
+
+
+@register(
+    "audio_resample_features",
+    oracle="""
+    WITH p AS (
+        SELECT d.doc_id,
+               CAST(d.doc_id % 4 AS INTEGER) AS pair,
+               1500 + (d.doc_id % 5) * 200 AS n_in
+        FROM documents d
+    )
+    SELECT doc_id,
+           CASE pair WHEN 0 THEN 8000 WHEN 1 THEN 44100
+                WHEN 2 THEN 16000 ELSE 22050 END AS sr_in,
+           CASE pair WHEN 2 THEN 8000 ELSE 16000 END AS sr_out,
+           CAST(n_in AS BIGINT) AS n_in,
+           CAST(CASE pair
+                WHEN 0 THEN n_in * 2
+                WHEN 1 THEN (n_in * 160 + 440) // 441
+                WHEN 2 THEN (n_in + 1) // 2
+                ELSE (n_in * 320 + 440) // 441 END AS BIGINT) AS n_out,
+           TRUE AS dc_exact,
+           TRUE AS sine_snr_ok
+    FROM p
+    ORDER BY doc_id
+    """,
+)
+def audio_resample_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rational resampling under the differential gate (round 17; the
+    resample-to-model-rate prep step every speech pipeline runs at
+    scale): per doc a rate pair cycles through up (8k->16k), the
+    awkward 44.1k->16k (L/M = 160/441), down (16k->8k) and
+    22.05k->16k (320/441); the oracle recomputes the EXACT output
+    length ceil(n*L/M) per pair from the closed forms. ``dc_exact``
+    asserts a constant signal passes the interior bit-exactly (the
+    per-phase kernel normalization rule — any tap-weight slip breaks
+    it); ``sine_snr_ok`` bounds a doc-dependent pure tone's
+    reconstruction above 55 dB SNR against the analytically resampled
+    tone. Map-only mapInPandas with the standard core fan-out."""
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        pairs = ((8000, 16000), (44100, 16000), (16000, 8000),
+                 (22050, 16000))
+        for pdf in batches:
+            out = {
+                "doc_id": [], "sr_in": [], "sr_out": [], "n_in": [],
+                "n_out": [], "dc_exact": [], "sine_snr_ok": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                sr_in, sr_out = pairs[d % 4]
+                n_in = 1500 + (d % 5) * 200
+                g = np.gcd(sr_in, sr_out)
+                L, M = sr_out // g, sr_in // g
+                marg = 20 * max(1, -(-L // M)) + 20
+                dc = np.full(n_in, float(500 + d % 1000))
+                ydc = resample_pcm(dc, sr_in, sr_out)
+                dc_ok = bool(
+                    np.abs(ydc[marg:-marg] - dc[0]).max() < 1e-9
+                )
+                f0 = 200.0 + (d % 7) * 150.0  # < min(sr)/2 always
+                t1 = np.arange(n_in) / sr_in
+                x = np.sin(2 * np.pi * f0 * t1) * 10000.0
+                y = resample_pcm(x, sr_in, sr_out)
+                t2 = np.arange(len(y)) / sr_out
+                ref = np.sin(2 * np.pi * f0 * t2) * 10000.0
+                e = y[marg:-marg] - ref[marg:-marg]
+                snr = 10.0 * np.log10(
+                    (ref[marg:-marg] ** 2).sum()
+                    / max(float((e ** 2).sum()), 1e-30)
+                )
+                out["doc_id"].append(d)
+                out["sr_in"].append(sr_in)
+                out["sr_out"].append(sr_out)
+                out["n_in"].append(n_in)
+                out["n_out"].append(len(y))
+                out["dc_exact"].append(dc_ok)
+                out["sine_snr_ok"].append(bool(snr > 55.0))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, sr_in long, sr_out long, n_in long, n_out long, "
+        "dc_exact boolean, sine_snr_ok boolean"
+    )
+    return docs.mapInPandas(run, schema)
+
+
+@register(
+    "audio_vad_features",
+    oracle="""
+    WITH p AS (
+        SELECT d.doc_id, 20 + d.doc_id % 7 AS nf
+        FROM documents d
+    ),
+    f AS (
+        SELECT p.doc_id, p.nf, i.i AS frame,
+               ((p.doc_id + i.i) % 5 < 2
+                OR (p.doc_id + i.i) % 11 = 7) AS hot
+        FROM p,
+             LATERAL (SELECT unnest(generate_series(0, p.nf - 1)) AS i) i
+    ),
+    h AS (
+        SELECT doc_id, nf, frame,
+               frame - LAG(frame) OVER (
+                   PARTITION BY doc_id ORDER BY frame
+               ) AS gap
+        FROM f WHERE hot
+    )
+    SELECT p.doc_id,
+           CAST(p.nf AS BIGINT) AS n_frames,
+           CAST(COALESCE(hh.n_hot, 0) AS BIGINT) AS n_hot,
+           CAST(COALESCE(hh.n_segments, 0) AS BIGINT) AS n_segments
+    FROM p LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS n_hot,
+               SUM(CASE WHEN gap IS NULL OR gap > 3 THEN 1 ELSE 0 END)
+                   AS n_segments
+        FROM h GROUP BY doc_id
+    ) hh USING (doc_id)
+    ORDER BY p.doc_id
+    """,
+)
+def audio_vad_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy VAD under the differential gate (round 17): per doc a
+    closed-form hot/cold frame pattern — hot iff (d+f)%5 < 2 or
+    (d+f)%11 == 7, so isolated single-frame bursts and short gaps both
+    occur — is synthesized as 20 ms PCM frames (5000 amplitude vs
+    silence) and segmented by :func:`vad_segments` (threshold -35
+    dBFS, hangover 2). The ORACLE REPLAYS THE STATE MACHINE in SQL:
+    hot frames via the closed form, and a segment starts exactly at a
+    hot frame whose gap from the previous hot frame exceeds
+    hangover+1 (the merge rule) — LAG over the hot-frame sequence. A
+    drift in the hangover arithmetic or the energy threshold
+    misclassifies a frame and flips the counts. Map-only
+    mapInPandas."""
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        sr = 8000
+        flen = sr * 20 // 1000
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "n_hot": [],
+                   "n_segments": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nf = 20 + d % 7
+                hot_plan = [
+                    (d + f) % 5 < 2 or (d + f) % 11 == 7
+                    for f in range(nf)
+                ]
+                pcm = np.concatenate([
+                    np.full(flen, 5000.0) if hflag else np.zeros(flen)
+                    for hflag in hot_plan
+                ])
+                hot, segs = vad_segments(pcm, sr)  # REAL state machine
+                out["doc_id"].append(d)
+                out["n_frames"].append(len(hot))
+                out["n_hot"].append(int(hot.sum()))
+                out["n_segments"].append(len(segs))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, n_frames long, n_hot long, n_segments long"
+    )
+    return docs.mapInPandas(run, schema)
+
+
+@register(
+    "audio_mfcc_features",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(1 + (4000 + (d.doc_id % 4) * 512 - 256) // 128
+                AS BIGINT) AS n_frames,
+           CAST(13 AS BIGINT) AS n_mfcc,
+           TRUE AS all_finite,
+           TRUE AS tone_peak_stable,
+           TRUE AS louder_is_bigger_c0
+    FROM documents d
+    ORDER BY d.doc_id
+    """,
+)
+def audio_mfcc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MFCC extraction under the differential gate (round 17): per doc
+    a pure tone at a doc-dependent frequency runs through
+    :func:`mfcc_features` (Hann frames, power rFFT, HTK mel
+    filterbank, orthonormal DCT-II). The oracle pins the closed-form
+    frame count 1 + (n - n_fft)//hop; ``tone_peak_stable`` asserts the
+    dominant log-mel bin (recomputed per frame pre-DCT) is the same in
+    every interior frame — a windowing or filterbank-edge slip makes
+    the peak wander; ``louder_is_bigger_c0`` checks c0 ordering
+    between the tone and a 20 dB quieter copy (DCT-II c0 is the
+    log-energy aggregate). Map-only mapInPandas."""
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        sr = 16000
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_frames": [], "n_mfcc": [],
+                "all_finite": [], "tone_peak_stable": [],
+                "louder_is_bigger_c0": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 4000 + (d % 4) * 512
+                f0 = 300.0 + (d % 9) * 400.0
+                t = np.arange(n) / sr
+                x = np.sin(2 * np.pi * f0 * t) * 10000.0
+                mf = mfcc_features(x, sr)
+                fb = _mel_filterbank(sr, 256, 20)
+                idx = np.arange(256)[None, :] + 128 * np.arange(
+                    mf.shape[0]
+                )[:, None]
+                pw = np.abs(np.fft.rfft(
+                    x[idx] * np.hanning(256)[None, :], axis=1
+                )) ** 2
+                peaks = np.argmax(pw @ fb.T, axis=1)
+                quiet = mfcc_features(x * 0.1, sr)
+                out["doc_id"].append(d)
+                out["n_frames"].append(mf.shape[0])
+                out["n_mfcc"].append(mf.shape[1])
+                out["all_finite"].append(bool(np.isfinite(mf).all()))
+                out["tone_peak_stable"].append(
+                    bool((peaks == peaks[0]).all())
+                )
+                out["louder_is_bigger_c0"].append(
+                    bool((mf[:, 0] > quiet[:, 0]).all())
+                )
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, n_frames long, n_mfcc long, all_finite boolean, "
+        "tone_peak_stable boolean, louder_is_bigger_c0 boolean"
+    )
+    return docs.mapInPandas(run, schema)
+
+
 # --- audio tag / metadata extraction (round 17) -------------------------------
 #
 # Provenance metadata (title/artist/album/date) drives curation joins

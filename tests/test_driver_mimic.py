@@ -112,6 +112,9 @@ QUERIES = [
     "mp4_pcm_variants_features",
     "vorbis_decode_features",
     "jpeg_hierarchical_features",
+    "audio_resample_features",
+    "audio_vad_features",
+    "audio_mfcc_features",
 ]
 
 
@@ -232,6 +235,9 @@ ANSI_QUERIES = [
     "mp4_pcm_variants_features",
     "vorbis_decode_features",
     "jpeg_hierarchical_features",
+    "audio_resample_features",
+    "audio_vad_features",
+    "audio_mfcc_features",
 ]
 
 

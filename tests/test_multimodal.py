@@ -6199,3 +6199,93 @@ def test_audio_content_key_covers_vorbis():
     kb = audio_content_key(stream(4))
     assert ka != kb and len(ka) == 64
     assert audio_content_key(stream(3)) == ka
+
+
+def test_audio_dsp_resample():
+    """Rational polyphase resampler certificates: exact output length
+    ceil(n*L/M), EXACT interior DC pass (per-phase normalization), and
+    >60 dB sine SNR up, down, and across the awkward 44.1k family."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        resample_pcm,
+    )
+
+    x = np.full(1000, 1234.0)
+    for a, b in ((8000, 16000), (44100, 16000), (16000, 8000),
+                 (22050, 16000), (8000, 11025)):
+        g = np.gcd(a, b)
+        L, M = b // g, a // g
+        y = resample_pcm(x, a, b)
+        assert len(y) == -(-1000 * L // M), (a, b, len(y))
+        marg = 20 * max(1, (L + M - 1) // M) + 20
+        assert np.abs(y[marg:-marg] - 1234.0).max() < 1e-9, (a, b)
+    # identity rate is a copy
+    assert np.array_equal(resample_pcm(x, 8000, 8000), x)
+
+    def snr(a, b):
+        e = a - b
+        return 10 * np.log10((b ** 2).sum() / max((e ** 2).sum(), 1e-30))
+
+    for sr1, sr2, f0 in ((8000, 16000, 440.0), (44100, 16000, 1000.0),
+                         (16000, 8000, 700.0)):
+        t1 = np.arange(sr1) / sr1
+        x = np.sin(2 * np.pi * f0 * t1) * 10000
+        y = resample_pcm(x, sr1, sr2)
+        t2 = np.arange(len(y)) / sr2
+        ref = np.sin(2 * np.pi * f0 * t2) * 10000
+        assert snr(y[200:-200], ref[200:-200]) > 60, (sr1, sr2)
+
+
+def test_audio_dsp_vad_and_mfcc():
+    """VAD state machine: bursts within the hangover merge (with the
+    hangover tail included in the segment span), longer gaps split;
+    mel filterbank is triangular in [0,1] with HTK edges; MFCC frame
+    count follows the closed form and a pure tone concentrates energy
+    in the expected mel region."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators.multimodal import (
+        _mel_filterbank,
+        mfcc_features,
+        vad_segments,
+    )
+
+    sr = 8000
+    fl = sr * 20 // 1000
+    quiet = np.zeros(fl)
+    loud = np.full(fl, 5000.0)
+    sig = np.concatenate([quiet] * 3 + [loud] * 4 + [quiet] * 2
+                         + [loud] * 2 + [quiet] * 5)
+    hot, segs = vad_segments(sig, sr)
+    assert hot.tolist() == [False] * 3 + [True] * 4 + [False] * 2 + [
+        True] * 2 + [False] * 5
+    # 2-frame gap <= hangover merges; span includes the hangover tail
+    assert segs == [(3, 13)], segs
+    sig2 = np.concatenate([loud] * 2 + [quiet] * 4 + [loud] * 3)
+    _h, segs2 = vad_segments(sig2, sr)
+    assert segs2 == [(0, 4), (6, 9)], segs2
+    # trailing-hot segment closes at the end without hangover overrun
+    _h, segs3 = vad_segments(np.concatenate([quiet, loud, loud]), sr)
+    assert segs3 == [(1, 3)]
+
+    fb = _mel_filterbank(16000, 256, 20)
+    assert fb.shape == (20, 129)
+    assert (fb >= 0).all() and fb.max() <= 1.0
+    # HTK mel edges are monotonically wider toward high frequency
+    widths = (fb > 0).sum(axis=1)
+    assert widths[-1] > widths[0]
+    t = np.arange(16000) / 16000
+    x = np.sin(2 * np.pi * 1000 * t) * 10000
+    mf = mfcc_features(x, 16000)
+    assert mf.shape == (1 + (16000 - 256) // 128, 13)
+    assert np.isfinite(mf).all()
+    # a 1 kHz tone's log-mel peak bin: recompute independently
+    fbpow = np.abs(np.fft.rfft(
+        x[:256] * np.hanning(256))) ** 2 @ fb.T
+    peak = int(np.argmax(fbpow))
+    logmel = np.log(np.maximum(np.abs(np.fft.rfft(
+        x[1280:1280 + 256] * np.hanning(256))) ** 2 @ fb.T, 1e-10))
+    assert int(np.argmax(logmel)) == peak
+    # short input yields zero frames, not an error
+    assert mfcc_features(np.zeros(100), 16000).shape == (0, 13)
