@@ -233,6 +233,11 @@ FLOORS = {
     # replace with BENCH_r17 driver numbers when recorded)
     "vorbis_decode_features": 1.589,
     "jpeg_hierarchical_features": 1.353,
+    # DSP trio first entries (second closing bench SESSION @ sf0.1,
+    # local[32], yardstick 13.2 GFLOP/s under ~77k steal ticks)
+    "audio_resample_features": 1.841,
+    "audio_vad_features": 0.688,
+    "audio_mfcc_features": 0.888,
 }
 
 
