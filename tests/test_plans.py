@@ -617,6 +617,11 @@ def test_decode_gate_plans_have_no_trailing_sort(spark, sf_dir):
         y4m_decode_features,
         ogg_probe_features,
         wav_ext_decode_features,
+        vorbis_decode_features,
+        jpeg_hierarchical_features,
+        audio_resample_features,
+        audio_vad_features,
+        audio_mfcc_features,
     )
     from input_data_pipeline_spark.operators.textstats import (
         pii_redaction_stats,
@@ -637,6 +642,13 @@ def test_decode_gate_plans_have_no_trailing_sort(spark, sf_dir):
         y4m_decode_features,
         audio_tags_features,
         mp4_pcm_variants_features,
+        # r17 final session: the Vorbis/hierarchical-JPEG gates and
+        # the audio DSP trio are map-only too
+        vorbis_decode_features,
+        jpeg_hierarchical_features,
+        audio_resample_features,
+        audio_vad_features,
+        audio_mfcc_features,
     ):
         plan = _executed_plan(q(spark, sf_dir))
         if q.__name__ != "pii_redaction_stats":  # pii is fully JVM-side
