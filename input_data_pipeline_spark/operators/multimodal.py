@@ -9625,7 +9625,39 @@ def _crc8(data: bytes) -> int:
     return c
 
 
+_CRC16_POS_TABLES = None  # (KMAX, 256) uint16: T_k[b] = (b << (8k+16)) mod P
+
+
+def _crc16_pos_tables(kmax: int):
+    """Position-dependent CRC-16 tables: CRC is linear over GF(2), so
+    crc(data) = XOR_i T_{n-1-i}[data[i]] with T_0 the classic byte table
+    and T_{k+1}[b] = (T_k[b] << 8) mod P — one fancy-indexed XOR-reduce
+    replaces the per-byte loop (round 17)."""
+    import numpy as np
+
+    global _CRC16_POS_TABLES
+    if _CRC16_POS_TABLES is None or len(_CRC16_POS_TABLES) < kmax:
+        size = max(kmax, 4096)
+        base = np.asarray(_FLAC_CRC16, dtype=np.uint16)
+        tables = np.empty((size, 256), dtype=np.uint16)
+        tables[0] = base
+        prev = base
+        for k in range(1, size):
+            prev = base[prev >> 8] ^ ((prev & 0xFF) << 8).astype(np.uint16)
+            tables[k] = prev
+        _CRC16_POS_TABLES = tables
+    return _CRC16_POS_TABLES
+
+
 def _crc16(data: bytes) -> int:
+    n = len(data)
+    if n >= 64:
+        import numpy as np
+
+        tables = _crc16_pos_tables(n)
+        b = np.frombuffer(data, dtype=np.uint8)
+        k = np.arange(n - 1, -1, -1)
+        return int(np.bitwise_xor.reduce(tables[k, b]))
     c = 0
     for b in data:
         c = _FLAC_CRC16[((c >> 8) ^ b) & 0xFF] ^ ((c << 8) & 0xFFFF)
@@ -9675,6 +9707,32 @@ class _BitWriter:
         for i in range(self.nbits - 1, -1, -1):
             out.append((self.acc >> i) & 1)
         return out
+
+    def write_bits(self, bits) -> None:
+        """Append a uint8 0/1 array of bits in order — the vectorized
+        bulk path (``np.packbits``) for rice-coded residual runs, exactly
+        equivalent to ``write(b, 1)`` per element."""
+        import numpy as np
+
+        nb = int(len(bits))
+        if nb == 0:
+            return
+        if self.nbits:
+            pend = [(self.acc >> (self.nbits - 1 - i)) & 1 for i in range(self.nbits)]
+            bits = np.concatenate([np.asarray(pend, dtype=np.uint8), bits])
+            nb += self.nbits
+            self.acc = 0
+            self.nbits = 0
+        rem = nb & 7
+        main = bits[: nb - rem]
+        if len(main):
+            self.buf += np.packbits(main).tobytes()
+        if rem:
+            acc = 0
+            for b in bits[nb - rem :]:
+                acc = (acc << 1) | int(b)
+            self.acc = acc
+            self.nbits = rem
 
 
 class _BitReader:
@@ -9739,9 +9797,11 @@ class _BitReader:
 def _flac_fixed_residual(samples, order: int):
     """Residual of the FIXED predictor of the given order (RFC 9639
     §10.2.2: successive differencing)."""
-    out = [int(s) for s in samples]
+    import numpy as np
+
+    out = np.asarray(samples, dtype=np.int64)
     for _ in range(order):
-        out = [out[i] - out[i - 1] for i in range(1, len(out))]
+        out = np.diff(out)
     return out
 
 
@@ -9749,48 +9809,119 @@ def _rice_cost(res: list[int], r: int) -> int:
     return sum(((e << 1) ^ (e >> 63) if e >= 0 else (-e << 1) - 1) >> r for e in res) + len(res) * (r + 1)
 
 
+def _flac_zigzag(res):
+    """Vectorized rice zigzag: non-negative e -> 2e, negative -> -2e-1."""
+    import numpy as np
+
+    res = np.asarray(res, dtype=np.int64)
+    return np.where(res >= 0, res << 1, ((-res) << 1) - 1)
+
+
+def _fixed_width_bits(vals, width: int):
+    """MSB-first bit matrix of ``vals & ((1 << width) - 1)`` flattened —
+    the vectorized equivalent of ``write(v, width)`` per element."""
+    import numpy as np
+
+    vals = np.asarray(vals, dtype=np.int64)
+    shifts = np.arange(width - 1, -1, -1, dtype=np.int64)
+    return ((vals[:, None] >> shifts[None, :]) & 1).astype(np.uint8).ravel()
+
+
 def _flac_write_residual(
     bw: "_BitWriter",
-    res: list[int],
+    res,
     n: int,
     order: int,
     partition_order: int,
     force_escape: bool,
 ) -> None:
     """Rice/escape residual partition writer shared by the FIXED and LPC
-    subframe encoders (RFC 9639 §10.2.4)."""
+    subframe encoders (RFC 9639 §10.2.4). Vectorized (round 17): each
+    rice code is (m >> r) zero bits, a 1, then the r low bits of m — the
+    whole partition's bit array is assembled with numpy and packed in one
+    ``write_bits`` call, bit-identical to the per-residual loop."""
+    import numpy as np
+
     po = partition_order
     while (n >> po) << po != n or (n >> po) <= order:
         po -= 1  # partition order must divide n and cover warmup
     bw.write(0b00, 2)  # 4-bit rice parameters
     bw.write(po, 4)
+    res = np.asarray(res, dtype=np.int64)
     idx = 0
     for p in range(1 << po):
         cnt = (n >> po) - (order if p == 0 else 0)
         part = res[idx : idx + cnt]
         idx += cnt
         if force_escape:
-            raw_bits = max(
-                (e if e >= 0 else ~e).bit_length() + 1 for e in part
-            ) if part else 1
+            raw_bits = (
+                int(np.maximum(part, ~part).max()).bit_length() + 1
+                if cnt
+                else 1
+            )
             bw.write(0b1111, 4)
             bw.write(raw_bits, 5)
-            for e in part:
-                bw.write(e & ((1 << raw_bits) - 1), raw_bits)
+            bw.write_bits(_fixed_width_bits(part, raw_bits))
         else:
-            r = min(range(15), key=lambda rr: _rice_cost(part, rr))
+            m = _flac_zigzag(part)
+            # first-minimum over r in 0..14, same tie rule as min(range(15))
+            shifts = np.arange(15, dtype=np.int64)
+            costs = (m[None, :] >> shifts[:, None]).sum(axis=1) + cnt * (
+                shifts + 1
+            )
+            r = int(np.argmin(costs))
             bw.write(r, 4)
-            for e in part:
-                m = (e << 1) if e >= 0 else ((-e << 1) - 1)
-                bw.write_unary(m >> r)
-                bw.write(m & ((1 << r) - 1), r)
+            q = m >> r
+            lens = q + 1 + r
+            off = np.cumsum(lens) - lens
+            bits = np.zeros(int(lens.sum()), dtype=np.uint8)
+            bits[off + q] = 1
+            if r:
+                tail_idx = (off + q + 1)[:, None] + np.arange(r)[None, :]
+                tail_shifts = np.arange(r - 1, -1, -1, dtype=np.int64)
+                bits[tail_idx.ravel()] = (
+                    (m[:, None] >> tail_shifts[None, :]) & 1
+                ).astype(np.uint8).ravel()
+            bw.write_bits(bits)
+
+
+def _flac_bit_aux(data: bytes):
+    """Unpacked bit array + set-bit positions for a payload — computed
+    once per decode and shared by every vectorized residual read."""
+    import numpy as np
+
+    bits_arr = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    return bits_arr, np.flatnonzero(bits_arr).tolist()
+
+
+def _read_signed_block(bits_arr, s: int, cnt: int, width: int):
+    """``cnt`` MSB-first two's-complement reads of ``width`` bits starting
+    at absolute bit ``s`` — the vectorized ``read_signed`` loop."""
+    import numpy as np
+
+    if width == 0:
+        return np.zeros(cnt, dtype=np.int64), s
+    end = s + cnt * width
+    if end > len(bits_arr):
+        raise ValueError("truncated FLAC bitstream")
+    seg = bits_arr[s:end].reshape(cnt, width).astype(np.int64)
+    weights = (1 << np.arange(width - 1, -1, -1, dtype=np.int64))
+    vals = seg @ weights
+    if width > 0:
+        vals = np.where(seg[:, 0] == 1, vals - (1 << width), vals)
+    return vals, end
 
 
 def _flac_read_residual(
-    br: "_BitReader", block_size: int, order: int
-) -> list[int]:
+    br: "_BitReader", block_size: int, order: int, aux=None
+):
     """Rice/escape residual partition reader shared by the FIXED and LPC
-    subframe decoders."""
+    subframe decoders. Vectorized (round 17): the payload's set-bit
+    positions (``aux``) turn each partition's unary scan into one skip
+    loop over one-positions, with the r-bit suffixes and zigzag undone in
+    numpy — value-identical to the per-sample reader."""
+    import numpy as np
+
     method = br.read(2)
     if method > 1:
         raise ValueError("reserved FLAC residual coding method")
@@ -9798,7 +9929,12 @@ def _flac_read_residual(
     po = br.read(4)
     if (block_size >> po) << po != block_size:
         raise ValueError("FLAC partition order does not divide block")
-    res: list[int] = []
+    if aux is None:
+        aux = _flac_bit_aux(br.data)
+    bits_arr, ones = aux
+    import bisect
+
+    parts = []
     for p in range(1 << po):
         cnt = (block_size >> po) - (order if p == 0 else 0)
         if cnt < 0:
@@ -9806,13 +9942,46 @@ def _flac_read_residual(
         r = br.read(pbits)
         if r == (1 << pbits) - 1:
             raw = br.read(5)
-            res.extend(br.read_signed(raw) if raw else 0 for _ in range(cnt))
+            s = br.byte * 8 + br.bit
+            vals, s = _read_signed_block(bits_arr, s, cnt, raw)
+            br.byte, br.bit = s >> 3, s & 7
+            parts.append(vals)
         else:
-            for _ in range(cnt):
-                q = br.read_unary()
-                m = (q << r) | br.read(r)
-                res.append((m >> 1) ^ -(m & 1))
-    return res
+            s = br.byte * 8 + br.bit
+            j = bisect.bisect_left(ones, s)
+            no = len(ones)
+            qs = [0] * cnt
+            ts = [0] * cnt
+            for k in range(cnt):
+                while True:
+                    if j >= no:
+                        raise ValueError("truncated FLAC bitstream")
+                    t = ones[j]
+                    j += 1
+                    if t >= s:
+                        break
+                q = t - s
+                if q > 1 << 24:
+                    raise ValueError("runaway unary code in FLAC bitstream")
+                qs[k] = q
+                ts[k] = t
+                s = t + 1 + r
+            if s > len(bits_arr):
+                raise ValueError("truncated FLAC bitstream")
+            br.byte, br.bit = s >> 3, s & 7
+            q_arr = np.asarray(qs, dtype=np.int64)
+            if r:
+                t_arr = np.asarray(ts, dtype=np.int64)
+                idx = t_arr[:, None] + 1 + np.arange(r, dtype=np.int64)[None, :]
+                seg = bits_arr[idx].astype(np.int64)
+                low = seg @ (1 << np.arange(r - 1, -1, -1, dtype=np.int64))
+                m = (q_arr << r) | low
+            else:
+                m = q_arr
+            parts.append((m >> 1) ^ -(m & 1))
+    if not parts:
+        return np.zeros(0, dtype=np.int64)
+    return np.concatenate(parts)
 
 
 def _flac_encode_subframe(
@@ -9827,32 +9996,36 @@ def _flac_encode_subframe(
     """One subframe (RFC 9639 §10.2) at an arbitrary sample width —
     ``bits`` is 16 for plain channels and 17 for the side channel of a
     decorrelated stereo pair."""
+    import numpy as np
+
     n = len(block)
     mask = (1 << bits) - 1
+    blk = np.asarray(block, dtype=np.int64)
     if force_verbatim:
         bw.write(0, 1)
         bw.write(0b000001, 6)
         bw.write(0, 1)
-        for s in block:
-            bw.write(s & mask, bits)
-    elif n and all(s == block[0] for s in block):
+        bw.write_bits(_fixed_width_bits(blk, bits))
+    elif n and bool((blk == blk[0]).all()):
         bw.write(0, 1)
         bw.write(0b000000, 6)
         bw.write(0, 1)
-        bw.write(block[0] & mask, bits)
+        bw.write(int(blk[0]) & mask, bits)
     elif force_lpc is not None and n > len(force_lpc[0]):
         coefs, shift, precision = force_lpc
         order = len(coefs)
-        res = [
-            int(block[i])
-            - (sum(c * block[i - 1 - j] for j, c in enumerate(coefs)) >> shift)
-            for i in range(order, n)
-        ]
+        # FIR over the ORIGINAL samples (the encoder predicts from the
+        # input, not the reconstruction), so the prediction is one
+        # correlation; int64 >> is the same arithmetic floor shift
+        pred = np.zeros(n - order, dtype=np.int64)
+        for j, c in enumerate(coefs):
+            pred += int(c) * blk[order - 1 - j : n - 1 - j]
+        res = blk[order:] - (pred >> shift)
         bw.write(0, 1)
         bw.write(0b100000 | (order - 1), 6)
         bw.write(0, 1)
         for s in block[:order]:
-            bw.write(s & mask, bits)
+            bw.write(int(s) & mask, bits)
         bw.write(precision - 1, 4)
         bw.write(shift, 5)
         for c in coefs:
@@ -9860,16 +10033,18 @@ def _flac_encode_subframe(
         _flac_write_residual(bw, res, n, order, partition_order, force_escape)
     else:
         orders = [o for o in (0, 1, 2) if o < n]
-        best = min(
-            orders,
-            key=lambda o: _rice_cost(_flac_fixed_residual(block, o), 8),
-        )
-        res = _flac_fixed_residual(block, best)
+        costs = [
+            int((_flac_zigzag(_flac_fixed_residual(blk, o)) >> 8).sum())
+            + (n - o) * 9
+            for o in orders
+        ]
+        best = orders[costs.index(min(costs))]
+        res = _flac_fixed_residual(blk, best)
         bw.write(0, 1)
         bw.write(0b001000 | best, 6)
         bw.write(0, 1)
         for s in block[:best]:
-            bw.write(s & mask, bits)
+            bw.write(int(s) & mask, bits)
         _flac_write_residual(bw, res, n, best, partition_order, force_escape)
 
 
@@ -9961,11 +10136,11 @@ def encode_flac(
         hdr = bw.bytes()
         bw = _BitWriter()
         if not stereo:
-            channels = [([int(s) for s in blk], 16)]
+            channels = [(np.asarray(blk, dtype=np.int64), 16)]
         else:
-            left = [int(x) for x in blk[:, 0]]
-            right = [int(x) for x in blk[:, 1]]
-            side = [l - r for l, r in zip(left, right)]
+            left = np.asarray(blk[:, 0], dtype=np.int64)
+            right = np.asarray(blk[:, 1], dtype=np.int64)
+            side = left - right
             if stereo_mode == "independent":
                 channels = [(left, 16), (right, 16)]
             elif stereo_mode == "left_side":
@@ -9973,7 +10148,7 @@ def encode_flac(
             elif stereo_mode == "right_side":
                 channels = [(side, 17), (right, 16)]
             else:  # mid_side
-                mid = [(l + r) >> 1 for l, r in zip(left, right)]
+                mid = (left + right) >> 1
                 channels = [(mid, 16), (side, 17)]
         for ch_block, bits in channels:
             _flac_encode_subframe(
@@ -9999,11 +10174,15 @@ _FLAC_FIXED_COEFS = {
 
 
 def _flac_read_subframe(
-    br: "_BitReader", block_size: int, bits: int
-) -> list[int]:
+    br: "_BitReader", block_size: int, bits: int, aux=None
+):
     """One subframe (any type: CONSTANT/VERBATIM/FIXED/LPC) at the given
     sample width — 16 for plain channels, 17 for the side channel of a
-    decorrelated stereo pair (RFC 9639 §9.1.4)."""
+    decorrelated stereo pair (RFC 9639 §9.1.4). Returns int64 samples;
+    FIXED reconstruction is the order-fold cumulative sum (round 17),
+    value-identical to the per-sample predictor loop."""
+    import numpy as np
+
     if br.read(1) != 0:
         raise ValueError("FLAC subframe padding bit set")
     stype = br.read(6)
@@ -10012,19 +10191,32 @@ def _flac_read_subframe(
         wasted = br.read_unary() + 1
     eff = bits - wasted
     if stype == 0b000000:
-        block = [br.read_signed(eff)] * block_size
+        block = np.full(block_size, br.read_signed(eff), dtype=np.int64)
     elif stype == 0b000001:
-        block = [br.read_signed(eff) for _ in range(block_size)]
+        if aux is None:
+            aux = _flac_bit_aux(br.data)
+        s = br.byte * 8 + br.bit
+        block, s = _read_signed_block(aux[0], s, block_size, eff)
+        br.byte, br.bit = s >> 3, s & 7
     elif 0b001000 <= stype <= 0b001100:
         order = stype & 0x07
         if order > 4:
             raise ValueError("reserved FLAC FIXED order")
-        block = [br.read_signed(eff) for _ in range(order)]
-        res = _flac_read_residual(br, block_size, order)
-        coefs = _FLAC_FIXED_COEFS[order]
-        for e in res:
-            pred = sum(c * block[-i - 1] for i, c in enumerate(coefs))
-            block.append(e + pred)
+        warm = [br.read_signed(eff) for _ in range(order)]
+        res = _flac_read_residual(br, block_size, order, aux)
+        # integrate the order-th difference: seeds are the successive
+        # differences of the warmup tail, one exact cumsum per order
+        arr = np.asarray(res, dtype=np.int64)
+        seeds = []
+        cur = np.asarray(warm, dtype=np.int64)
+        for _ in range(order):
+            seeds.append(int(cur[-1]))
+            cur = np.diff(cur)
+        for k in range(order - 1, -1, -1):
+            arr = np.cumsum(
+                np.concatenate((np.asarray([seeds[k]], dtype=np.int64), arr))
+            )[1:]
+        block = np.concatenate((np.asarray(warm, dtype=np.int64), arr))
     elif stype >= 0b100000:
         # LPC subframe (RFC 9639 §10.2.3): quantized predictor
         # coefficients + arithmetic right shift — pure integer
@@ -10041,16 +10233,17 @@ def _flac_read_subframe(
         if shift & 0x10:
             raise ValueError("negative FLAC LPC shift is forbidden")
         coefs = [br.read_signed(prec) for _ in range(order)]
-        res = _flac_read_residual(br, block_size, order)
-        for e in res:
+        res = _flac_read_residual(br, block_size, order, aux)
+        for e in res.tolist():
             pred = (
                 sum(c * block[-1 - j] for j, c in enumerate(coefs)) >> shift
             )
             block.append(e + pred)
+        block = np.asarray(block, dtype=np.int64)
     else:
         raise ValueError("reserved FLAC subframe type")
     if wasted:
-        block = [v << wasted for v in block]
+        block = block << wasted
     return block
 
 
@@ -10109,10 +10302,14 @@ def _decode_flac(payload: bytes) -> dict:
     if streaminfo["sample_rate"] == 0:
         raise ValueError("STREAMINFO sample rate is zero")
 
-    decoded: list[int] = []
+    import numpy as np
+
+    aux = _flac_bit_aux(payload)
+    chunks: list = []
+    decoded_len = 0
     n_ch = streaminfo["n_channels"]
     total = streaminfo["total_samples"]
-    while len(decoded) < total * n_ch:
+    while decoded_len < total * n_ch:
         frame_start = pos
         br = _BitReader(payload, pos)
         if br.read(14) != 0b11111111111110:
@@ -10171,31 +10368,32 @@ def _decode_flac(payload: bytes) -> dict:
         if (n_ch == 1) != (chan == 0b0000):
             raise ValueError("frame channel assignment contradicts STREAMINFO")
         bits0 = bps
+
+        def _interleave(a, b):
+            out = np.empty(len(a) * 2, dtype=np.int64)
+            out[0::2] = a
+            out[1::2] = b
+            return out
+
         if chan == 0b0000:
-            block = _flac_read_subframe(br, block_size, bits0)
+            block = _flac_read_subframe(br, block_size, bits0, aux)
         elif chan == 0b0001:
-            left = _flac_read_subframe(br, block_size, bits0)
-            right = _flac_read_subframe(br, block_size, bits0)
-            block = [v for pair in zip(left, right) for v in pair]
+            left = _flac_read_subframe(br, block_size, bits0, aux)
+            right = _flac_read_subframe(br, block_size, bits0, aux)
+            block = _interleave(left, right)
         elif chan == 0b1000:  # left/side
-            left = _flac_read_subframe(br, block_size, bits0)
-            side = _flac_read_subframe(br, block_size, bits0 + 1)
-            block = [
-                v for l, sd in zip(left, side) for v in (l, l - sd)
-            ]
+            left = _flac_read_subframe(br, block_size, bits0, aux)
+            side = _flac_read_subframe(br, block_size, bits0 + 1, aux)
+            block = _interleave(left, left - side)
         elif chan == 0b1001:  # right/side
-            side = _flac_read_subframe(br, block_size, bits0 + 1)
-            right = _flac_read_subframe(br, block_size, bits0)
-            block = [
-                v for sd, r in zip(side, right) for v in (sd + r, r)
-            ]
+            side = _flac_read_subframe(br, block_size, bits0 + 1, aux)
+            right = _flac_read_subframe(br, block_size, bits0, aux)
+            block = _interleave(side + right, right)
         elif chan == 0b1010:  # mid/side
-            mid = _flac_read_subframe(br, block_size, bits0)
-            side = _flac_read_subframe(br, block_size, bits0 + 1)
-            block = []
-            for m, sd in zip(mid, side):
-                m2 = (m << 1) | (sd & 1)
-                block.extend(((m2 + sd) >> 1, (m2 - sd) >> 1))
+            mid = _flac_read_subframe(br, block_size, bits0, aux)
+            side = _flac_read_subframe(br, block_size, bits0 + 1, aux)
+            m2 = (mid << 1) | (side & 1)
+            block = _interleave((m2 + side) >> 1, (m2 - side) >> 1)
         else:
             raise ValueError(
                 "FLAC channel assignments beyond mono/stereo are out of "
@@ -10209,14 +10407,16 @@ def _decode_flac(payload: bytes) -> dict:
             payload[crc_end : crc_end + 2], "big"
         ):
             raise ValueError("FLAC frame CRC-16 mismatch")
-        decoded.extend(block)
+        chunks.append(block)
+        decoded_len += len(block)
         pos = crc_end + 2
 
-    import numpy as np
-
-    if len(decoded) > total * n_ch:
+    decoded = (
+        np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.int64)
+    )
+    if decoded_len > total * n_ch:
         decoded = decoded[: total * n_ch]
-    pcm = np.asarray(decoded, dtype=np.int16).astype("<i2").tobytes()
+    pcm = decoded.astype(np.int16).astype("<i2").tobytes()
     if streaminfo["md5"] != b"\x00" * 16:
         if hashlib.md5(pcm).digest() != streaminfo["md5"]:
             raise ValueError("FLAC decoded-PCM MD5 mismatch")
