@@ -48,10 +48,12 @@ _TOKEN_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def corpus_token_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared exploded token index ``(doc_id, source, pos, tok)``, built and
-    persisted ONCE per (session, corpus) and reused by every corpus-hygiene
-    query — the 2-gram boilerplate miner, the 5-gram contamination check
-    and the OOV audit all derive from this single scan + tokenization
-    instead of each re-reading and re-splitting documents.
+    persisted ONCE per (session, corpus) and reused by the corpus-hygiene
+    queries that need POSITIONED token rows — the OOV audit and the
+    chunk-grain curation passes — instead of each re-reading and
+    re-splitting documents. (The k-gram miners stopped consuming it in
+    round 17: their shingles assemble map-side from the token array,
+    which beats paying the index's per-query window exchange + sort.)
 
     100 TB shape: the in-memory stand-in for a PERSISTED shingle index — a
     parquet table bucketed by doc_id, written once per corpus snapshot and
@@ -83,24 +85,22 @@ def corpus_token_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-def _kgrams_from_index(tok: DataFrame, k: int) -> DataFrame:
-    """(doc_id, sh) rows of k-word shingles from the token index, fully in
-    codegen + one window.
-
-    ``lead`` lookaheads → concat; docs with < k tokens emit nothing
-    (matching the DuckDB range() fragment). Same shape as
-    ``dedup._exploded_shingles2`` but parameterized and without the
-    degenerate-doc sentinel — corpus hygiene wants only true k-grams.
-    """
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
-    return (
-        tok.select("doc_id", *[ld.alias(f"t{i}") for i, ld in enumerate(leads)])
-        .filter(F.col(f"t{k-1}").isNotNull())
-        .select(
-            "doc_id",
-            F.concat_ws(" ", *[f"t{i}" for i in range(k)]).alias("sh"),
-        )
+def _kgrams_map_only(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, sh) rows of k-word shingles, fully map-side: tokenize,
+    slice/array_join per position, explode — no window, no exchange
+    (round 17; replaces the lead-window form over the token index, which
+    paid a full exchange + sort of the exploded token rows per query).
+    Docs with < k tokens emit nothing (matching the DuckDB range()
+    fragment; the ``where`` also guards ``sequence``'s descending-range
+    behavior for short docs). Same strings as the window form: position
+    i yields tokens[i..i+k-1] joined by single spaces."""
+    t = T.tokens("text")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (k - 1)),
+        lambda i: F.array_join(F.slice(t, i, k), " "),
+    )
+    return docs.where(F.size(t) >= k).select(
+        "doc_id", F.explode(shingles).alias("sh")
     )
 
 
@@ -224,7 +224,7 @@ def corpus_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     total = docs.agg(F.count(F.lit(1)).alias("n_docs"))  # metadata-only scan
     df = (
-        _kgrams_from_index(corpus_token_index(spark, sf_dir), 2)
+        _kgrams_map_only(fan_out(docs), 2)
         .distinct()
         .groupBy("sh")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
@@ -290,7 +290,9 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     and is exactly the frequency-prefiltering production decontamination
     uses. Everything else is map-side-combinable aggregation.
     """
-    sh = _kgrams_from_index(corpus_token_index(spark, sf_dir), 5).distinct()
+    sh = _kgrams_map_only(
+        fan_out(load_table(spark, sf_dir, "documents")), 5
+    ).distinct()
     rare = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))

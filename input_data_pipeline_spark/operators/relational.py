@@ -1913,15 +1913,21 @@ def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines agree bit-for-bit (the float formulation would be
     order-dependent across shuffle partitionings).
 
-    Scale shape: the edge table comes from ONE corpus-sized join+reduce
-    (the ``nation_pair_volume`` shape: dimensions broadcast onto the
-    fact, map-side-combinable count). Every iteration after that touches
-    only the node-sized rank table (broadcast onto the edges) and the
-    edge table — a groupBy(dst) shuffle of |E| rows, never the facts.
-    That is exactly distributed PageRank's cost model: iterations are
-    O(|E|), independent of corpus size once edges are built. Dangling
-    nodes (no out-edges) keep receiving the teleport term and simply
-    contribute nothing, deterministically."""
+    Scale shape (round 17): the edge table comes from ONE corpus-sized
+    join+reduce (the ``nation_pair_volume`` shape: dimensions broadcast
+    onto the fact, map-side-combinable count). The reduced table is
+    nation²-bounded (≤ 625 rows at ANY corpus scale — the node set is
+    the nation dimension, not the facts), so the four rank iterations
+    run driver-side on the collected edge list — the same bounded-model
+    pattern as the k-means centroid collect — instead of as four
+    broadcast-join + shuffle rounds whose per-iteration data is 25 rows
+    (the r16 plan carried 39 Exchanges / 10 SortMergeJoins of pure
+    scheduling overhead; iterations on node-sized state belong on the
+    driver exactly like centroids). Integer ppm arithmetic is identical
+    (Python ``//`` == Spark ``DIV`` on these non-negative values), so
+    the output is bit-for-bit the oracle's. Dangling nodes (no
+    out-edges) keep receiving the teleport term and simply contribute
+    nothing, deterministically."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -1939,65 +1945,36 @@ def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", F.col("n_name").alias("dst")),
         gauge=customer_base,
     )
-    edges = (
+    edge_rows = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
+        .collect()  # nation²-bounded: ≤ |nation|² rows at any scale
     )
-    # edges are node²-bounded: cut the corpus-sized lineage here so the
-    # 4 iteration plans reuse the reduced table, not the fact joins
-    edges = edges.localCheckpoint(eager=True)
-    nodes = (
-        edges.select(F.col("src").alias("nation"))
-        .union(edges.select("dst"))
-        .distinct()
-    )
-    ncnt = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
-    ow = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    e = edges.join(ow, "src")
-    r = nodes.crossJoin(F.broadcast(ncnt)).select(
-        "nation", F.expr("1000000 DIV n_nodes").alias("pr_ppm")
-    )
-    teleport = F.expr(f"(1000 - {_PR_DAMP_PM}) * 1000 DIV n_nodes")
+    edges = [(r["src"], r["dst"], int(r["w"])) for r in edge_rows]
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n_nodes = len(nodes)
+    ow: dict[str, int] = {}
+    in_w: dict[str, int] = {}
+    for s, d, w in edges:
+        ow[s] = ow.get(s, 0) + w
+        in_w[d] = in_w.get(d, 0) + w
+    rank = {nd: 1_000_000 // n_nodes for nd in nodes}
+    teleport = (1000 - _PR_DAMP_PM) * 1000 // n_nodes
     for _ in range(_PR_ITERS):
-        contrib = (
-            e.join(
-                F.broadcast(r.withColumnRenamed("nation", "src")), "src"
-            )
-            .groupBy("dst")
-            .agg(
-                F.sum(
-                    F.expr(f"({_PR_DAMP_PM} * pr_ppm * w) DIV (1000 * ow)")
-                ).alias("inc")
-            )
-        )
-        r = (
-            nodes.crossJoin(F.broadcast(ncnt))
-            .join(contrib, F.col("nation") == F.col("dst"), "left")
-            .select(
-                "nation",
-                (teleport + F.coalesce("inc", F.lit(0))).alias("pr_ppm"),
-            )
-        )
-    in_w = edges.groupBy(F.col("dst").alias("nation")).agg(
-        F.sum("w").alias("in_weight")
-    )
-    out_w = edges.groupBy(F.col("src").alias("nation")).agg(
-        F.sum("w").alias("out_weight")
-    )
-    return (
-        r.join(out_w, "nation", "left")
-        .join(in_w, "nation", "left")
-        .select(
-            "nation",
-            "pr_ppm",
-            F.coalesce("out_weight", F.lit(0)).cast("long").alias("out_weight"),
-            F.coalesce("in_weight", F.lit(0)).cast("long").alias("in_weight"),
-        )
-        .orderBy(F.desc("pr_ppm"), "nation")
-    )
+        inc = dict.fromkeys(nodes, 0)
+        for s, d, w in edges:
+            inc[d] += (_PR_DAMP_PM * rank[s] * w) // (1000 * ow[s])
+        rank = {nd: teleport + inc[nd] for nd in nodes}
+    out_rows = [
+        (nd, rank[nd], ow.get(nd, 0), in_w.get(nd, 0)) for nd in nodes
+    ]
+    return spark.createDataFrame(
+        out_rows,
+        "nation string, pr_ppm long, out_weight long, in_weight long",
+    ).orderBy(F.desc("pr_ppm"), "nation")
 
 
 # ---------------------------------------------------------------------------

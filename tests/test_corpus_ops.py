@@ -49,25 +49,30 @@ def test_oov_share_bounds_and_token_conservation(spark, sf_dir):
 
 
 def test_hygiene_queries_share_one_token_index(spark, sf_dir):
-    """The three corpus-hygiene queries must all read the SAME persisted
-    token index (one documents scan + tokenization per session), visible as
-    an InMemoryRelation in each optimized plan and a single cache entry."""
+    """Positioned-token consumers (the OOV audit) read the ONE persisted
+    token index; the k-gram miners assemble shingles MAP-SIDE from the
+    token array (round 17) — no Window exchange+sort and no index
+    dependency in their plans."""
     from input_data_pipeline_spark.operators import corpus
 
     corpus._TOKEN_INDEX_CACHE.clear()
-    dfs = [
-        corpus.contamination_overlap(spark, sf_dir),
-        corpus.corpus_boilerplate_shingles(spark, sf_dir),
-        corpus.oov_rate_by_source(spark, sf_dir),
-    ]
+    contam = corpus.contamination_overlap(spark, sf_dir)
+    boiler = corpus.corpus_boilerplate_shingles(spark, sf_dir)
+    # the k-gram miners must NOT have built (or consumed) the index
+    assert len(corpus._TOKEN_INDEX_CACHE) == 0
+    oov = corpus.oov_rate_by_source(spark, sf_dir)
     assert len(corpus._TOKEN_INDEX_CACHE) == 1
-    for df in dfs:
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
-        # contamination_overlap additionally localCheckpoints its rare-
-        # filtered join input, which shows as LogicalRDD and hides the
-        # upstream cached index; the other two show the InMemoryRelation.
-        assert "InMemoryRelation" in plan or "LogicalRDD" in plan, plan[:500]
-        df.collect()  # materialize through the shared index — must not error
+    plan = oov._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan, plan[:500]
+    # map-only shingle assembly: the lead-window k-gram form is gone
+    # (contamination keeps its legitimate top-1 row_number window)
+    for df in (contam, boiler):
+        phys = df._jdf.queryExecution().executedPlan().toString()
+        assert "lead(" not in phys, phys[:500]
+        df.collect()  # must still materialize cleanly
+    boiler_phys = boiler._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in boiler_phys, boiler_phys[:500]
+    oov.collect()
 
 
 def test_quality_calibration_deciles_partition_corpus(spark, sf_dir):
@@ -155,11 +160,11 @@ def test_planted_skew_hot_shingle_stays_bounded(spark, tmp_path):
 
     from input_data_pipeline_spark.operators.corpus import (
         _CONTAM_DF_CAP,
-        _kgrams_from_index,
+        _kgrams_map_only,
         contamination_overlap,
-        corpus_token_index,
         exact_substring_coverage,
     )
+    from input_data_pipeline_spark.tables import load_table
 
     hot = "alpha bravo charlie delta echo foxtrot golf hotel"
     rows = []
@@ -174,7 +179,7 @@ def test_planted_skew_hot_shingle_stays_bounded(spark, tmp_path):
     sf_dir = str(tmp_path)
 
     # --- contamination: hot 5-grams have df=100 >> cap, and are dropped ---
-    sh = _kgrams_from_index(corpus_token_index(spark, sf_dir), 5).distinct()
+    sh = _kgrams_map_only(load_table(spark, sf_dir, "documents"), 5).distinct()
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     assert dfreq.agg(F.max("df")).first()[0] >= 100  # the skew IS planted
     shr = sh.join(
