@@ -2476,19 +2476,44 @@ _JPEG_ZIGZAG = [
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 ]
 
+_JPEG_ZIGZAG_NP = None
+
+
+def _jpeg_zigzag_np():
+    """The zigzag table as a cached numpy index array — one fancy-index
+    gathers a block's 64 coefficients in zigzag order (round 17; the
+    per-coefficient reshape/index loop was a top encode hotspot)."""
+    import numpy as np
+
+    global _JPEG_ZIGZAG_NP
+    if _JPEG_ZIGZAG_NP is None:
+        _JPEG_ZIGZAG_NP = np.asarray(_JPEG_ZIGZAG)
+    return _JPEG_ZIGZAG_NP
+
 
 def _jpeg_huff_table(bits: list[int], vals: bytes) -> dict:
     """Canonical huffman table from a DHT segment's BITS/HUFFVAL arrays
-    (T.81 Annex C): {(code_length, code): symbol}."""
+    (T.81 Annex C): {(code_length, code): symbol}. Key ``-1`` (round 17)
+    holds a 256-entry peek-8 LUT — ``lut[next8bits]`` is
+    ``(length << 8) | symbol`` for codes of ≤ 8 bits, -1 otherwise —
+    the fast path of :func:`_jpeg_decode_sym`; integer keys never
+    collide with the (length, code) tuple keys."""
     table = {}
+    lut = [-1] * 256
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             table[(length, code)] = vals[k]
+            if length <= 8:
+                lo = code << (8 - length)
+                lut[lo : lo + (1 << (8 - length))] = [
+                    (length << 8) | vals[k]
+                ] * (1 << (8 - length))
             code += 1
             k += 1
         code <<= 1
+    table[-1] = lut
     return table
 
 
@@ -2503,34 +2528,59 @@ class _JpegBitReader:
         self.cur = 0
         self.nbits = 0
 
+    def _pull(self) -> None:
+        """Append the next entropy byte to the bit buffer (legacy error
+        contract: hard errors on EOF, dangling 0xFF, or a marker)."""
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError(
+                    "truncated JPEG entropy stream (dangling 0xFF)"
+                )
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed 0xFF data byte
+            else:
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} inside entropy data"
+                )
+        self.cur = ((self.cur << 8) | b) & 0xFFFFFFFF
+        self.nbits += 8
+
+    def _try_pull(self) -> bool:
+        """Opportunistic pull for peeks: a marker, dangling 0xFF or EOF
+        is a soft stop (False) — the consuming read reproduces the
+        legacy error if those bits are actually needed. Only data bytes
+        are ever consumed, so restart alignment is unchanged."""
+        pos = self.pos
+        data = self.data
+        if pos >= len(data):
+            return False
+        b = data[pos]
+        if b == 0xFF:
+            if pos + 1 >= len(data) or data[pos + 1] != 0x00:
+                return False
+            self.pos = pos + 2
+        else:
+            self.pos = pos + 1
+        self.cur = ((self.cur << 8) | b) & 0xFFFFFFFF
+        self.nbits += 8
+        return True
+
     def bit(self) -> int:
         if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated JPEG entropy stream")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                if self.pos >= len(self.data):
-                    raise ValueError(
-                        "truncated JPEG entropy stream (dangling 0xFF)"
-                    )
-                nxt = self.data[self.pos]
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed 0xFF data byte
-                else:
-                    raise ValueError(
-                        f"unexpected marker 0xFF{nxt:02X} inside entropy data"
-                    )
-            self.cur = b
-            self.nbits = 8
+            self._pull()
         self.nbits -= 1
         return (self.cur >> self.nbits) & 1
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        while self.nbits < n:
+            self._pull()
+        self.nbits -= n
+        return (self.cur >> self.nbits) & ((1 << n) - 1)
 
     def restart(self, idx: int) -> None:
         """Byte-align and consume the expected RSTn marker (T.81 §E.2.4)."""
@@ -2557,6 +2607,26 @@ def _jpeg_unpack(fmt: str, body: bytes, off: int, seg: str):
 
 
 def _jpeg_decode_sym(r: _JpegBitReader, table: dict) -> int:
+    # fast path (round 17): peek 8 bits, resolve ≤8-bit codes with one
+    # LUT hit; opportunistic pulls soft-stop at markers/EOF so segment
+    # boundaries fall through to the legacy per-bit walk (same errors)
+    lut = table.get(-1)
+    while lut is not None and r.nbits < 8:
+        if not r._try_pull():
+            break
+    if lut is not None and r.nbits >= 8:
+        entry = lut[(r.cur >> (r.nbits - 8)) & 0xFF]
+        if entry >= 0:
+            r.nbits -= entry >> 8
+            return entry & 0xFF
+        code = (r.cur >> (r.nbits - 8)) & 0xFF
+        r.nbits -= 8
+        for length in range(9, 17):
+            code = (code << 1) | r.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG huffman code")
     code = 0
     for length in range(1, 17):
         code = (code << 1) | r.bit()
@@ -2571,17 +2641,24 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v - ((1 << t) - 1) if t > 0 and v < (1 << (t - 1)) else v
 
 
+_IDCT_M = None
+
+
 def _idct_matrix():
     """Orthonormal 8-point DCT-II basis M (rows = frequencies): spatial =
     M.T @ coef @ M inverts the 2-D DCT — two 8x8 matmuls per block, all
-    numpy."""
+    numpy. Computed once per process (round 17; it was rebuilt per
+    call)."""
     import numpy as np
 
-    n = np.arange(8)
-    m = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
-    m[0] *= np.sqrt(1 / 8)
-    m[1:] *= np.sqrt(2 / 8)
-    return m
+    global _IDCT_M
+    if _IDCT_M is None:
+        n = np.arange(8)
+        m = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+        m[0] *= np.sqrt(1 / 8)
+        m[1:] *= np.sqrt(2 / 8)
+        _IDCT_M = m
+    return _IDCT_M
 
 
 def _decode_jpeg_lossless(payload: bytes) -> dict:
@@ -2799,15 +2876,18 @@ def encode_jpeg_lossless(samples, predictor: int = 1, precision: int = 8,
     acc, nacc = 0, 0
 
     def put(val, nb):
+        # chunked bit accumulation (round 17): same MSB-first stream and
+        # 0xFF00 stuffing as the per-bit loop, one append per byte
         nonlocal acc, nacc
-        for i in range(nb - 1, -1, -1):
-            acc = (acc << 1) | ((val >> i) & 1)
-            nacc += 1
-            if nacc == 8:
-                out.append(acc)
-                if acc == 0xFF:
-                    out.append(0x00)
-                acc, nacc = 0, 0
+        acc = (acc << nb) | (val & ((1 << nb) - 1))
+        nacc += nb
+        while nacc >= 8:
+            nacc -= 8
+            b = (acc >> nacc) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        acc &= (1 << nacc) - 1
 
     idx = [0] * nc
     for ci in order:
@@ -4066,19 +4146,18 @@ def encode_jpeg(rows_rgb=None, gray_rows=None, quant=1, restart_interval=0,
                 for v in range(vc):
                     for hh in range(hc):
                         blk = comp_blocks[ci][(my * vc + v) * gx + mx * hc + hh]
-                        zz = [int(blk.reshape(-1)[z]) for z in _JPEG_ZIGZAG]
+                        zz = blk.reshape(-1)[_jpeg_zigzag_np()].tolist()
                         t, bitsv = mag(zz[0] - pred[ci])
                         pred[ci] = zz[0]
                         toks = [("dc", t, bitsv, t)]
                         dc_syms[ci].add(t)
-                        run = 0
-                        last_nz = max(
-                            (k for k in range(1, 64) if zz[k]), default=0
-                        )
-                        for k in range(1, last_nz + 1):
-                            if zz[k] == 0:
-                                run += 1
+                        # walk only the nonzero coefficients; zero gaps
+                        # become the run nibble / ZRL tokens directly
+                        prev = 0
+                        for k in range(1, 64):
+                            if not zz[k]:
                                 continue
+                            run = k - prev - 1
                             while run > 15:
                                 toks.append(("ac", 0xF0, 0, 0))
                                 ac_syms[ci].add(0xF0)
@@ -4087,8 +4166,8 @@ def encode_jpeg(rows_rgb=None, gray_rows=None, quant=1, restart_interval=0,
                             sym = (run << 4) | s
                             toks.append(("ac", sym, bv, s))
                             ac_syms[ci].add(sym)
-                            run = 0
-                        if last_nz < 63:
+                            prev = k
+                        if prev < 63:
                             toks.append(("ac", 0x00, 0, 0))
                             ac_syms[ci].add(0x00)
                         stream.append(("blk", ci, toks))
@@ -4120,15 +4199,18 @@ def encode_jpeg(rows_rgb=None, gray_rows=None, quant=1, restart_interval=0,
     acc, nacc = 0, 0
 
     def put(val, nb):
+        # chunked bit accumulation (round 17): same MSB-first stream and
+        # 0xFF00 stuffing as the per-bit loop, one append per byte
         nonlocal acc, nacc
-        for i in range(nb - 1, -1, -1):
-            acc = (acc << 1) | ((val >> i) & 1)
-            nacc += 1
-            if nacc == 8:
-                out.append(acc)
-                if acc == 0xFF:
-                    out.append(0x00)
-                acc, nacc = 0, 0
+        acc = (acc << nb) | (val & ((1 << nb) - 1))
+        nacc += nb
+        while nacc >= 8:
+            nacc -= 8
+            b = (acc >> nacc) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        acc &= (1 << nacc) - 1
 
     def flush():
         nonlocal acc, nacc
