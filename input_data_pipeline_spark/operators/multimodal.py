@@ -9867,6 +9867,24 @@ class _BitReader:
                 self.byte += 1
             return q
 
+    def peek8(self) -> int:
+        """Next 8 bits MSB-first without advancing, zero-padded past the
+        end of the payload (round 17; feeds the Huffman peek LUTs —
+        callers bound consumption by the true bit budget)."""
+        chunk = int.from_bytes(
+            self.data[self.byte : self.byte + 2].ljust(2, b"\x00"), "big"
+        )
+        return (chunk >> (8 - self.bit)) & 0xFF
+
+    def skip(self, nbits: int) -> None:
+        """Advance by bits already examined via :meth:`peek8`."""
+        end_bit = self.byte * 8 + self.bit + nbits
+        self.byte = end_bit >> 3
+        self.bit = end_bit & 7
+
+    def avail(self) -> int:
+        return len(self.data) * 8 - self.byte * 8 - self.bit
+
     def align(self) -> None:
         if self.bit:
             self.bit = 0
@@ -11055,6 +11073,41 @@ _MP3_COUNT1A = {
 }
 _MP3_COUNT1A_DEC = {v: k for k, v in _MP3_COUNT1A.items()}
 
+# Peek-8 LUTs over the decode maps (round 17): lut[next8bits] resolves
+# every code of <= 8 bits to (length << 8) | (x << 4) | y in one lookup
+# (-1 -> longer code, fall back to the per-bit walk). Built lazily per
+# table; the alphabets are static module data so this is once per
+# process, unlike the per-image JPEG tables.
+_MP3_HUFF_LUT8: dict[int, list[int]] = {}
+_MP3_COUNT1A_LUT8: list[int] | None = None
+
+
+def _mp3_huff_lut8(base: int) -> list[int]:
+    lut = _MP3_HUFF_LUT8.get(base)
+    if lut is None:
+        lut = [-1] * 256
+        for (ln, code), (x, y) in _MP3_HUFF_DEC[base].items():
+            if ln <= 8:
+                lo = code << (8 - ln)
+                lut[lo : lo + (1 << (8 - ln))] = [
+                    (ln << 8) | (x << 4) | y
+                ] * (1 << (8 - ln))
+        _MP3_HUFF_LUT8[base] = lut
+    return lut
+
+
+def _mp3_count1a_lut8() -> list[int]:
+    global _MP3_COUNT1A_LUT8
+    if _MP3_COUNT1A_LUT8 is None:
+        lut = [-1] * 256
+        for (ln, code), idx in _MP3_COUNT1A_DEC.items():
+            lo = code << (8 - ln)
+            lut[lo : lo + (1 << (8 - ln))] = [(ln << 8) | idx] * (
+                1 << (8 - ln)
+            )
+        _MP3_COUNT1A_LUT8 = lut
+    return _MP3_COUNT1A_LUT8
+
 
 def _mp3_check_huffman_tables() -> None:
     """Import-time validation: every embedded Annex B alphabet is a
@@ -11365,6 +11418,31 @@ def _mp3_read_huffman(br: "_BitReader", g: "_MP3Granule", part2_bits: int) -> No
     else:
         r0_end = bounds[min(g.region0_count + 1, 22)]
         r1_end = bounds[min(g.region0_count + 1 + g.region1_count + 1, 22)]
+    # Local bit cursor over a cached peek-8 list (round 17): b8[p] holds
+    # the 8 bits starting at bit p (zero-padded past the end), so code
+    # resolution is one list index + one LUT hit and sign/linbits reads
+    # are shift/mask on locals — no bit-reader method calls in the hot
+    # loop. Bits consumed are identical to the per-bit walk; running off
+    # the payload raises the same truncation error the reader would.
+    b8l = getattr(br, "_b8", None)
+    if b8l is None:
+        import numpy as np
+
+        u = np.frombuffer(br.data, dtype=np.uint8).astype(np.uint16)
+        pairs = (u << 8) | np.concatenate((u[1:], np.zeros(1, np.uint16)))
+        b8l = (
+            (
+                (pairs[:, None] >> (8 - np.arange(8, dtype=np.uint16)[None, :]))
+                & 0xFF
+            )
+            .astype(np.int64)
+            .ravel()
+            .tolist()
+        )
+        b8l += [0] * 16
+        br._b8 = b8l
+    pos = br.bitpos()
+    total_bits = len(br.data) * 8
     line = 0
     for pair in range(g.big_values):
         if line < r0_end:
@@ -11380,42 +11458,85 @@ def _mp3_read_huffman(br: "_BitReader", g: "_MP3Granule", part2_bits: int) -> No
             raise ValueError(f"MP3 table_select {tsel} is reserved")
         else:
             base = _MP3_TABLE_ALIAS.get(tsel, tsel)
-            dec = _MP3_HUFF_DEC[base]
-            maxlen = _MP3_HUFF_MAXLEN[base]
             linbits = _MP3_LINBITS.get(tsel, 0)
-            ln = 0
-            code = 0
-            while True:
-                code = (code << 1) | br.read(1)
-                ln += 1
-                if (ln, code) in dec:
-                    x, y = dec[(ln, code)]
-                    break
-                if ln > maxlen:
-                    raise ValueError(
-                        f"invalid MP3 table-{tsel} Huffman code"
-                    )
+            entry = (
+                _mp3_huff_lut8(base)[b8l[pos]]
+                if pos + 8 <= total_bits
+                else -1
+            )
+            if entry >= 0:
+                pos += entry >> 8
+                x, y = (entry >> 4) & 0xF, entry & 0xF
+            else:
+                dec = _MP3_HUFF_DEC[base]
+                maxlen = _MP3_HUFF_MAXLEN[base]
+                ln = 0
+                code = 0
+                if pos + 8 <= total_bits:
+                    code = b8l[pos]
+                    pos += 8
+                    ln = 8
+                while True:
+                    if pos >= total_bits:
+                        raise ValueError("truncated FLAC bitstream")
+                    code = (code << 1) | (b8l[pos] >> 7)
+                    pos += 1
+                    ln += 1
+                    if (ln, code) in dec:
+                        x, y = dec[(ln, code)]
+                        break
+                    if ln > maxlen:
+                        raise ValueError(
+                            f"invalid MP3 table-{tsel} Huffman code"
+                        )
         # §2.4.2.7 bit order: linbits_x, sign_x, linbits_y, sign_y
         if linbits and x == 15:
-            x += br.read(linbits)
-        if x and br.read(1):
-            x = -x
+            if pos + linbits > total_bits:
+                raise ValueError("truncated FLAC bitstream")
+            x += ((b8l[pos] << 8) | b8l[pos + 8]) >> (16 - linbits)
+            pos += linbits
+        if x:
+            if pos >= total_bits:
+                raise ValueError("truncated FLAC bitstream")
+            if b8l[pos] >> 7:
+                x = -x
+            pos += 1
         if linbits and y == 15:
-            y += br.read(linbits)
-        if y and br.read(1):
-            y = -y
+            if pos + linbits > total_bits:
+                raise ValueError("truncated FLAC bitstream")
+            y += ((b8l[pos] << 8) | b8l[pos + 8]) >> (16 - linbits)
+            pos += linbits
+        if y:
+            if pos >= total_bits:
+                raise ValueError("truncated FLAC bitstream")
+            if b8l[pos] >> 7:
+                y = -y
+            pos += 1
         is_vals[line] = x
         is_vals[line + 1] = y
         line += 2
     n_quads = 0
-    while br.bitpos() - start_bit < budget and line + 4 <= 576:
+    count1a_lut = _mp3_count1a_lut8() if g.count1table_select != 1 else None
+    while pos - start_bit < budget and line + 4 <= 576:
         if g.count1table_select == 1:
-            idx = 15 - br.read(4)  # table B: code is the one's complement
+            if pos + 4 > total_bits:
+                raise ValueError("truncated FLAC bitstream")
+            idx = 15 - (b8l[pos] >> 4)  # table B: one's complement code
+            pos += 4
+        elif pos + 8 <= total_bits:
+            # count1-A is a COMPLETE <= 6-bit alphabet: the peek-8 LUT
+            # resolves every pattern
+            e = count1a_lut[b8l[pos]]
+            pos += e >> 8
+            idx = e & 0xFF
         else:
             ln = 0
             code = 0
             while True:
-                code = (code << 1) | br.read(1)
+                if pos >= total_bits:
+                    raise ValueError("truncated FLAC bitstream")
+                code = (code << 1) | (b8l[pos] >> 7)
+                pos += 1
                 ln += 1
                 if (ln, code) in _MP3_COUNT1A_DEC:
                     idx = _MP3_COUNT1A_DEC[(ln, code)]
@@ -11424,15 +11545,20 @@ def _mp3_read_huffman(br: "_BitReader", g: "_MP3Granule", part2_bits: int) -> No
                     raise ValueError("invalid MP3 count1-A Huffman code")
         quad = [(idx >> 3) & 1, (idx >> 2) & 1, (idx >> 1) & 1, idx & 1]
         for q in range(4):
-            if quad[q] and br.read(1):
-                quad[q] = -quad[q]
-        if br.bitpos() - start_bit > budget:
+            if quad[q]:
+                if pos >= total_bits:
+                    raise ValueError("truncated FLAC bitstream")
+                if b8l[pos] >> 7:
+                    quad[q] = -quad[q]
+                pos += 1
+        if pos - start_bit > budget:
             raise ValueError("MP3 count1 quadruple overruns part2_3_length")
         is_vals[line:line + 4] = quad
         line += 4
         n_quads += 1
-    if br.bitpos() - start_bit != budget:
+    if pos - start_bit != budget:
         raise ValueError("MP3 Huffman data does not fill part2_3_length")
+    br.byte, br.bit = pos >> 3, pos & 7
     g.is_vals = is_vals
     g.count1_quads = n_quads
 
