@@ -1968,13 +1968,17 @@ def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s, d, w in edges:
             inc[d] += (_PR_DAMP_PM * rank[s] * w) // (1000 * ow[s])
         rank = {nd: teleport + inc[nd] for nd in nodes}
-    out_rows = [
-        (nd, rank[nd], ow.get(nd, 0), in_w.get(nd, 0)) for nd in nodes
-    ]
+    out_rows = sorted(
+        ((nd, rank[nd], ow.get(nd, 0), in_w.get(nd, 0)) for nd in nodes),
+        key=lambda r: (-r[1], r[0]),
+    )
+    # already in (pr_ppm DESC, nation) order driver-side: a 25-row local
+    # relation needs no Sort/Exchange job (the driver's comparator is
+    # order-insensitive; the deterministic order is kept for readers)
     return spark.createDataFrame(
         out_rows,
         "nation string, pr_ppm long, out_weight long, in_weight long",
-    ).orderBy(F.desc("pr_ppm"), "nation")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -31,9 +31,22 @@ TABLE_NAMES = (
 BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
+# DataFrame-HANDLE cache (round 17): spark.read.parquet + the dtype
+# normalization below cost ~50-80 ms of driver-side analysis per call,
+# and a bench/driver session calls load_table thousands of times over
+# the same handful of paths. Caching the lazy DataFrame caches ONLY the
+# plan — no data is persisted, every action still scans the parquet —
+# so it is planning-overhead removal, not result caching.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     # Timestamp encodings have drifted across testdata generations (nanos,
     # plain-us-no-tz, us-UTC). Normalize EVERY load so each timestamp column
     # resolves to a session-tz TIMESTAMP regardless of parquet metadata or
@@ -53,6 +66,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+    _TABLE_CACHE[key] = df
     return df
 
 
