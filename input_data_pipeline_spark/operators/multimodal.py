@@ -7306,11 +7306,43 @@ for _b in range(256):
 del _b, _r
 
 
+_OGG_CRC_POS_TABLES = None  # (KMAX, 256) uint32: T_k[b] = (b << (8k+32)) mod P
+
+
+def _ogg_crc_pos_tables(kmax: int):
+    """Position-dependent CRC-32 tables (round 17; the same linearity
+    trick as _crc16_pos_tables): crc(data) = XOR_i T_{n-1-i}[data[i]]
+    with T_0 the classic byte table and T_{k+1}[b] = (T_k[b] << 8) mod
+    P."""
+    import numpy as np
+
+    global _OGG_CRC_POS_TABLES
+    if _OGG_CRC_POS_TABLES is None or len(_OGG_CRC_POS_TABLES) < kmax:
+        size = max(kmax, 8192)
+        base = np.asarray(_OGG_CRC_TABLE, dtype=np.uint32)
+        tables = np.empty((size, 256), dtype=np.uint32)
+        tables[0] = base
+        prev = base
+        for k in range(1, size):
+            prev = base[prev >> 24] ^ (prev << np.uint32(8))
+            tables[k] = prev
+        _OGG_CRC_POS_TABLES = tables
+    return _OGG_CRC_POS_TABLES
+
+
 def _ogg_crc(data: bytes) -> int:
     """Ogg page CRC-32 (RFC 3533 §6): poly 0x04C11DB7, init 0,
     UNreflected, no final xor — equivalently CRC-32/POSIX (cksum)
     without its final complement, pinned by test against the published
     POSIX check value."""
+    n = len(data)
+    if n >= 64:
+        import numpy as np
+
+        tables = _ogg_crc_pos_tables(n)
+        b = np.frombuffer(data, dtype=np.uint8)
+        k = np.arange(n - 1, -1, -1)
+        return int(np.bitwise_xor.reduce(tables[k, b]))
     crc = 0
     for byte in data:
         crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[
@@ -8367,10 +8399,16 @@ class _VBitsW:
             self.n -= 8
 
     def code(self, codes: dict, entry: int) -> None:
-        """Emit entry's Huffman codeword MSB-first (§3.2.1 read order)."""
+        """Emit entry's Huffman codeword MSB-first (§3.2.1 read order):
+        one bit-reversed write (the LSB-first packer emits a value's low
+        bit first, so reversing the codeword yields exactly the per-bit
+        MSB-first emission — round 17, replaces ln single-bit writes)."""
         ln, code = codes[entry]
-        for b in range(ln - 1, -1, -1):
-            self.write((code >> b) & 1, 1)
+        v = 0
+        for _ in range(ln):
+            v = (v << 1) | (code & 1)
+            code >>= 1
+        self.write(v, ln)
 
     def getvalue(self) -> bytes:
         out = bytes(self.buf)
@@ -8658,15 +8696,28 @@ def resample_pcm(pcm, sr_in: int, sr_out: int, taps_per_phase: int = 16):
     # exact rational instants as integer + fractional parts (avoids
     # float drift at large k: k*M = pos_int*L + rem with rem < L)
     pos_int = (k * M) // L
-    frac = ((k * M) % L) / L  # in [0, 1) input samples
     fc = 0.5 * min(1.0, L / M)
     offs = np.arange(-taps_per_phase + 1, taps_per_phase + 1)
-    # tap time distances: (frac - off) for each output row
-    t = frac[:, None] - offs[None, :]
-    h = 2 * fc * np.sinc(2 * fc * t)
-    # Hann window over the tap span keeps sidelobes down
-    h *= 0.5 + 0.5 * np.cos(np.pi * t / taps_per_phase)
-    h /= h.sum(axis=1, keepdims=True)  # per-phase DC normalization
+    if L < n_out:
+        # only L distinct phases exist: build the L tap-weight rows once
+        # and gather per output (round 17) — elementwise-identical to
+        # evaluating the sinc at every output row (same frac = r/L
+        # floats, same ufunc results), just without recomputing each
+        # phase n_out/L times
+        fr = np.arange(L) / L
+        t = fr[:, None] - offs[None, :]
+        h = 2 * fc * np.sinc(2 * fc * t)
+        h *= 0.5 + 0.5 * np.cos(np.pi * t / taps_per_phase)
+        h /= h.sum(axis=1, keepdims=True)
+        h = h[(k * M) % L]
+    else:
+        frac = ((k * M) % L) / L  # in [0, 1) input samples
+        # tap time distances: (frac - off) for each output row
+        t = frac[:, None] - offs[None, :]
+        h = 2 * fc * np.sinc(2 * fc * t)
+        # Hann window over the tap span keeps sidelobes down
+        h *= 0.5 + 0.5 * np.cos(np.pi * t / taps_per_phase)
+        h /= h.sum(axis=1, keepdims=True)  # per-phase DC normalization
     idx = pos_int[:, None] + offs[None, :]
     valid = (idx >= 0) & (idx < n)
     xv = np.where(valid, x[np.clip(idx, 0, n - 1)], 0.0)
