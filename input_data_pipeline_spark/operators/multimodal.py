@@ -9832,14 +9832,28 @@ class _BitWriter:
 
     def bit_list(self) -> list[int]:
         """All written bits in order (for splicing one writer's stream
-        into another at a non-byte boundary — MP3 granule packing)."""
-        out = []
-        for b in self.buf:
-            for i in range(7, -1, -1):
-                out.append((b >> i) & 1)
+        into another at a non-byte boundary — MP3 granule packing).
+        Vectorized via np.unpackbits (round 17) — same ints."""
+        import numpy as np
+
+        out = np.unpackbits(
+            np.frombuffer(bytes(self.buf), dtype=np.uint8)
+        ).tolist()
         for i in range(self.nbits - 1, -1, -1):
             out.append((self.acc >> i) & 1)
         return out
+
+    def extend(self, other: "_BitWriter") -> None:
+        """Splice another writer's entire bit stream onto this one —
+        the bulk np.packbits path (round 17); bit-identical to writing
+        ``other.bit_list()`` one bit at a time."""
+        import numpy as np
+
+        self.write_bits(
+            np.unpackbits(np.frombuffer(bytes(other.buf), dtype=np.uint8))
+        )
+        if other.nbits:
+            self.write(other.acc, other.nbits)
 
     def write_bits(self, bits) -> None:
         """Append a uint8 0/1 array of bits in order — the vectorized
@@ -13389,8 +13403,7 @@ def encode_mp3_l3(
                         if skip[grp] and spec["scalefac"][lo:hi] != gr0["scalefac"][lo:hi]:
                             raise ValueError("scfsi set but scalefactors differ")
                 gbits, fields = _mp3_granule_bits(spec, skip, sample_rate)
-                for b in gbits.bit_list():
-                    bw.write(b, 1)
+                bw.extend(gbits)
                 fields_chans.append(fields)
             fields_frame.append(fields_chans)
         bw.align()
@@ -13520,8 +13533,7 @@ def encode_mp3_lsf(
             gbits, fields = _mp3_granule_bits(
                 spec, [False] * 4, sample_rate, lsf=True,
             )
-            for b in gbits.bit_list():
-                bw.write(b, 1)
+            bw.extend(gbits)
             fields_chans.append(fields)
         bw.align()
         md = bw.bytes()
