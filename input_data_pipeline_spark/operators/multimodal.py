@@ -12232,41 +12232,83 @@ def decode_mpeg1_layer1(payload: bytes, flush: bool = True) -> dict:
             for c in range(n_ch):
                 if alloc[sb][c]:
                     sf[sb][c] = _mp1_scalefactor(br.read(6))
-        frames_s = [
-            [[0.0] * 32 for _ in range(12)] for _ in range(n_ch)
-        ]
+        # Vectorized sample section (round 17): the (t, sb, c) slot
+        # layout is fully determined by the allocations, so compute
+        # every slot's width and bit offset up front, gather all codes
+        # with one fancy-indexed 16-bit peek, and requantize
+        # elementwise. The wire code IS the offset-binary fraction: the
+        # encoder's "invert the MSB of the two's-complement sample"
+        # (§C.1.5.3.4) produces offset binary, so the decoder reads it
+        # directly (wire 0 -> -1.0). An extra XOR here would decode
+        # every code to the opposite half-range (the r16 defect the r16
+        # ADVICE flagged; cross-checked against libmad layer12.c
+        # I_sample, whose XOR + two's-complement sign-extend is
+        # algebraically this same direct mapping). The per-slot float
+        # math (q / 2^(nb-1) - 1, the 2^nb/(2^nb-1) gain, the sf
+        # multiply) is the same IEEE ops elementwise as the scalar loop.
+        import numpy as np
+
+        slot_nb = []   # read width per coded slot, stream order
+        slot_t = []
+        slot_sb = []
+        slot_c = []    # -1 -> intensity slot shared by both channels
         for t in range(12):
             for sb in range(32):
-                shared_val = None
-                for c in range(n_ch):
-                    a = alloc[sb][c]
-                    if not a:
-                        continue
-                    if sb >= bound and shared_val is not None:
-                        # intensity: one sample code, per-channel scale
-                        frames_s[c][t][sb] = sf[sb][c] * shared_val
-                        continue
-                    nb = a + 1
-                    # The wire code IS the offset-binary fraction: the
-                    # encoder's "invert the MSB of the two's-complement
-                    # sample" (§C.1.5.3.4) produces offset binary, so the
-                    # decoder reads it directly (wire 0 -> -1.0). An extra
-                    # XOR here would decode every code to the opposite
-                    # half-range (the r16 defect the r16 ADVICE flagged;
-                    # cross-checked against libmad layer12.c I_sample,
-                    # whose XOR + two's-complement sign-extend is
-                    # algebraically this same direct mapping).
-                    q = br.read(nb)
-                    frac = q / 2.0 ** (nb - 1) - 1.0
-                    val = (
-                        (1 << nb) / ((1 << nb) - 1)
-                        * (frac + 2.0 ** (1 - nb))
-                    )
-                    if sb >= bound:
-                        shared_val = val
-                    frames_s[c][t][sb] = sf[sb][c] * val
+                if sb >= bound:
+                    a = alloc[sb][0]
+                    if a:
+                        slot_nb.append(a + 1)
+                        slot_t.append(t)
+                        slot_sb.append(sb)
+                        slot_c.append(-1)
+                else:
+                    for c in range(n_ch):
+                        a = alloc[sb][c]
+                        if a:
+                            slot_nb.append(a + 1)
+                            slot_t.append(t)
+                            slot_sb.append(sb)
+                            slot_c.append(c)
+        nb_arr = np.asarray(slot_nb, dtype=np.int64)
+        n_slots = len(slot_nb)
+        frames_np = np.zeros((n_ch, 12, 32))
+        if n_slots:
+            start = br.byte * 8 + br.bit
+            offs = start + np.cumsum(nb_arr) - nb_arr
+            end_bit = int(offs[-1] + nb_arr[-1])
+            if end_bit > len(payload) * 8:
+                raise ValueError("truncated FLAC bitstream")
+            lo_byte = start >> 3
+            hi_byte = ((end_bit + 7) >> 3) + 3
+            raw = payload[lo_byte:hi_byte].ljust(hi_byte - lo_byte, b"\x00")
+            by = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+            # 24-bit windows: widths reach 15 bits at bit offsets up to
+            # 7 within a byte, so a 3-byte window always covers a slot
+            tri = (by[:-2] << 16) | (by[1:-1] << 8) | by[2:]
+            rel = offs - (lo_byte << 3)
+            q = (tri[rel >> 3] >> (24 - (rel & 7) - nb_arr)) & (
+                (np.int64(1) << nb_arr) - 1
+            )
+            p2m1 = np.power(2.0, nb_arr - 1)
+            frac = q / p2m1 - 1.0
+            p2 = p2m1 * 2.0
+            val = (p2 / (p2 - 1.0)) * (frac + 2.0 / p2)
+            sf_np = np.asarray(sf)  # (32, n_ch)
+            t_a = np.asarray(slot_t)
+            sb_a = np.asarray(slot_sb)
+            c_a = np.asarray(slot_c)
+            own = c_a >= 0
+            frames_np[
+                np.where(own, c_a, 0), t_a, sb_a
+            ] = sf_np[sb_a, np.where(own, c_a, 0)] * val
+            if n_ch == 2:
+                sh = ~own
+                frames_np[1, t_a[sh], sb_a[sh]] = (
+                    sf_np[sb_a[sh], 1] * val[sh]
+                )
+            br.byte, br.bit = end_bit >> 3, end_bit & 7
         for c in range(n_ch):
-            svecs_per_ch[c].extend(frames_s[c])
+            svecs_per_ch[c].extend(frames_np[c].tolist())
         n_frames += 1
         pos += flen
     if not n_frames:
