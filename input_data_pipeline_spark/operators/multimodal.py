@@ -12688,45 +12688,118 @@ def decode_mpeg1_layer2(payload: bytes, flush: bool = True) -> dict:
                     a_ = br.read(6)
                     idx = (a_, a_, a_)
                 sf[sb][c] = tuple(_mp1_scalefactor(i) for i in idx)
-        frames_s = [
-            [[0.0] * 32 for _ in range(36)] for _ in range(ch)
-        ]
-        for gr in range(12):
-            part = gr >> 2
-            for sb in range(sblimit):
-                row = tab[sb]
-                shared: tuple | None = None
-                for c in range(ch):
-                    a = alloc[sb][c]
-                    if not a:
-                        continue
-                    n, wbits, grouped, C, D, nb = _MP2_QC[row[a - 1]]
-                    if sb >= bound and shared is not None:
-                        s3 = shared
-                    elif grouped:
-                        code = br.read(wbits)
-                        if code >= n ** 3:
-                            raise ValueError(
-                                "Layer II group code exceeds nlevels^3"
-                            )
-                        s3 = (code % n, (code // n) % n, code // (n * n))
-                    else:
-                        s3 = (br.read(nb), br.read(nb), br.read(nb))
-                        if any(v == n for v in s3):
-                            raise ValueError(
-                                "forbidden all-ones Layer II sample code"
-                            )
-                    if sb >= bound:
-                        shared = s3
-                    scale = sf[sb][c][part]
-                    half = 1 << (nb - 1)
-                    for k in range(3):
-                        sddd = s3[k] / half - 1.0
-                        frames_s[c][3 * gr + k][sb] = (
-                            scale * C * (sddd + D)
-                        )
+        # Vectorized sample section (round 17, the Layer I recipe): the
+        # slot sequence of ONE granule repeats 12x, so compute each
+        # slot's class/width once, lay out every read's bit offset with
+        # a cumsum, gather all codes through 24-bit windows, degroup and
+        # requantize elementwise (s'' = C * (s''' + D) in the scalar
+        # loop's exact evaluation order: (scale*C) * (sddd + D)).
+        import numpy as np
+
+        sl_sb, sl_c = [], []  # c = -1 -> intensity slot (both channels)
+        sl_n, sl_C, sl_D, sl_nb = [], [], [], []
+        sl_grouped = []
+        read_w = []  # widths per read, one granule, stream order
+        sl_rpos = []  # first read index of each slot
+        for sb in range(sblimit):
+            row = tab[sb]
+            cs = range(ch) if sb < bound else (-1,)
+            for c in cs:
+                a = alloc[sb][c if c >= 0 else 0]
+                if not a:
+                    continue
+                n, wbits, grouped, C, D, nb = _MP2_QC[row[a - 1]]
+                sl_sb.append(sb)
+                sl_c.append(c)
+                sl_n.append(n)
+                sl_C.append(C)
+                sl_D.append(D)
+                sl_nb.append(nb)
+                sl_grouped.append(bool(grouped))
+                sl_rpos.append(len(read_w))
+                if grouped:
+                    read_w.append(wbits)
+                else:
+                    read_w.extend((nb, nb, nb))
+        n_slots = len(sl_sb)
+        frames_np = np.zeros((ch, 36, 32))
+        if n_slots:
+            w1 = np.asarray(read_w, dtype=np.int64)
+            wg = np.tile(w1, 12)  # 12 granules, same layout
+            start = br.byte * 8 + br.bit
+            offs = start + np.cumsum(wg) - wg
+            end_bit = int(offs[-1] + wg[-1])
+            if end_bit > len(payload) * 8:
+                raise ValueError("truncated FLAC bitstream")
+            lo_byte = start >> 3
+            hi_byte = ((end_bit + 7) >> 3) + 3
+            raw = payload[lo_byte:hi_byte].ljust(hi_byte - lo_byte, b"\x00")
+            by = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+            tri = (by[:-2] << 16) | (by[1:-1] << 8) | by[2:]
+            rel = offs - (lo_byte << 3)
+            vals = (
+                tri[rel >> 3] >> (24 - (rel & 7) - wg)
+            ) & ((np.int64(1) << wg) - 1)
+            vals = vals.reshape(12, len(read_w))
+            rpos = np.asarray(sl_rpos)
+            grp = np.asarray(sl_grouped)
+            n_arr = np.asarray(sl_n, dtype=np.int64)
+            # per-slot 3 read indices: grouped slots reference the one
+            # group code three times, then degroup base-n
+            idx3 = rpos[:, None] + np.where(
+                grp[:, None], 0, np.arange(3)[None, :]
+            )
+            V = vals[:, idx3]  # (12, n_slots, 3)
+            code = V[:, :, 0]
+            if bool(np.any(code[:, grp] >= (n_arr[grp] ** 3)[None, :])):
+                raise ValueError("Layer II group code exceeds nlevels^3")
+            if bool(np.any(V[:, ~grp, :] == n_arr[~grp][None, :, None])):
+                raise ValueError("forbidden all-ones Layer II sample code")
+            deg = np.stack(
+                (
+                    code % n_arr[None, :],
+                    (code // n_arr[None, :]) % n_arr[None, :],
+                    code // (n_arr[None, :] ** 2),
+                ),
+                axis=2,
+            )
+            s3 = np.where(grp[None, :, None], deg, V)
+            half = (np.int64(1) << (np.asarray(sl_nb) - 1)).astype(np.float64)
+            sddd = s3 / half[None, :, None] - 1.0
+            base = sddd + np.asarray(sl_D)[None, :, None]
+            sf_np = np.asarray(sf)  # (sblimit, ch, 3)
+            C_arr = np.asarray(sl_C)
+            sb_a = np.asarray(sl_sb)
+            c_a = np.asarray(sl_c)
+            part = (np.arange(12) >> 2)  # (12,)
+            t_idx = (3 * np.arange(12))[:, None, None] + np.arange(3)[
+                None, None, :
+            ]  # (12, 1, 3)
+            own = c_a >= 0
+            c_own = np.where(own, c_a, 0)
+            scale0 = sf_np[sb_a[None, :], c_own[None, :], part[:, None]]
+            res0 = (scale0 * C_arr[None, :])[:, :, None] * base
+            frames_np[
+                np.broadcast_to(c_own[None, :, None], res0.shape),
+                np.broadcast_to(t_idx, res0.shape),
+                np.broadcast_to(sb_a[None, :, None], res0.shape),
+            ] = res0
+            if ch == 2 and bool(np.any(~own)):
+                sh = ~own
+                scale1 = sf_np[sb_a[sh][None, :], 1, part[:, None]]
+                res1 = (scale1 * C_arr[sh][None, :])[:, :, None] * base[
+                    :, sh, :
+                ]
+                frames_np[
+                    np.broadcast_to(
+                        np.asarray([1])[None, :, None], res1.shape
+                    ),
+                    np.broadcast_to(t_idx, res1.shape),
+                    np.broadcast_to(sb_a[sh][None, :, None], res1.shape),
+                ] = res1
+            br.byte, br.bit = end_bit >> 3, end_bit & 7
         for c in range(ch):
-            svecs_per_ch[c].extend(frames_s[c])
+            svecs_per_ch[c].extend(frames_np[c].tolist())
         n_frames += 1
         pos += flen
     if not n_frames:

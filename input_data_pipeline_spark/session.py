@@ -47,6 +47,16 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # --- broadcast: dims in a star schema should always broadcast ---
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- joins: allow shuffled-hash when a per-partition build fits
+        # (guide §3.1: often faster than sort-merge, spills are AQE's
+        # problem); the AQE threshold also lets a planned sort-merge
+        # flip to shuffled-hash at runtime from MEASURED sizes — both
+        # size-guarded, so the 100 TB fallback remains sort-merge ---
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         # --- Arrow for every pandas/py boundary (UDFs, toPandas) ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
