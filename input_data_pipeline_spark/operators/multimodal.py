@@ -7686,11 +7686,20 @@ def _vorbis_codewords(lengths) -> dict:
     return out
 
 
+# Byte bit-reversal table: Vorbis packs codewords LSB-first into bytes
+# while §3.2.1 codewords are MSB-first bit strings, so the raw 8-bit
+# peek at the cursor is the first 8 codeword bits in reversed order.
+_VREV8 = tuple(
+    int(f"{b:08b}"[::-1], 2) for b in range(256)
+)
+
+
 class _VorbisBook:
     """One parsed codebook: Huffman decode table plus (for lookup types
     1/2) the VQ value vectors (§3.2/§3.3)."""
 
-    __slots__ = ("dims", "entries", "table", "maxlen", "lookup", "vq")
+    __slots__ = ("dims", "entries", "table", "maxlen", "lookup", "vq",
+                 "lut8")
 
     def __init__(self, br: "_VBits"):
         if br.read(24) != 0x564342:
@@ -7716,6 +7725,7 @@ class _VorbisBook:
         codes = _vorbis_codewords(lengths)
         self.table = {v: e for e, v in codes.items()}
         self.maxlen = max((ln for ln, _ in codes.values()), default=0)
+        self.lut8 = None  # peek-8 decode LUT, built on first scalar()
         self.lookup = br.read(4)
         self.vq = None
         if self.lookup in (1, 2):
@@ -7755,10 +7765,58 @@ class _VorbisBook:
         elif self.lookup != 0:
             raise ValueError(f"Vorbis codebook lookup type {self.lookup}")
 
+    def _build_lut8(self) -> list:
+        """256-entry peek-8 decode LUT: slot = the next 8 RAW packet
+        bits at the cursor (LSB-first order, i.e. exactly the value
+        ``peek8`` yields); value = ``(entry, length)`` for the unique
+        codeword of length <= 8 prefixing those bits (prefix-free, so
+        at most one exists), else None. Codewords are MSB-first bit
+        strings, so a length-ln code ``c`` owns every slot whose LOW ln
+        bits equal bit-reversed ``c``."""
+        lut: list = [None] * 256
+        for (ln, code), e in self.table.items():
+            if ln > 8:
+                continue
+            rev = _VREV8[code << (8 - ln)]
+            hit = (e, ln)
+            for j in range(1 << (8 - ln)):
+                lut[rev | (j << ln)] = hit
+        self.lut8 = lut
+        return lut
+
     def scalar(self, br: "_VBits") -> int:
-        """Tree-walk decode to an entry number (scalar context)."""
+        """Decode one codeword to its entry number (scalar context).
+
+        Fast path: probe the peek-8 LUT with the next 8 raw bits —
+        one chunked fetch replaces up to 8 per-bit reads. A miss means
+        NO prefix of length <= 8 is a codeword (prefix-free code), so
+        the per-bit walk resumes at length 9 seeded with those 8 bits.
+        Within 8 bits of the packet end the original per-bit walk runs
+        unchanged, preserving the exact _VEOP truncation bit position.
+        Bits consumed are identical to the per-bit walk by
+        construction."""
+        d = br.d
+        pos = br.pos
+        start = 1
         code = 0
-        for ln in range(1, self.maxlen + 1):
+        if pos + 8 <= 8 * len(d):
+            chunk = (
+                int.from_bytes(d[pos >> 3: (pos + 15) >> 3], "little")
+                >> (pos & 7)
+            ) & 0xFF
+            lut = self.lut8
+            if lut is None:
+                lut = self._build_lut8()
+            hit = lut[chunk]
+            if hit is not None:
+                br.pos = pos + hit[1]
+                return hit[0]
+            if self.maxlen <= 8:
+                raise ValueError("invalid Vorbis codeword")
+            br.pos = pos + 8
+            code = _VREV8[chunk]
+            start = 9
+        for ln in range(start, self.maxlen + 1):
             code = (code << 1) | br.read_bit()
             e = self.table.get((ln, code))
             if e is not None:
@@ -8039,19 +8097,36 @@ def _residue_core(br: "_VBits", rc: dict, books, do_decode: list,
                         b = rc["books"][c][p]
                         book = books[b]
                         offset = begin + pc * psize
+                        # slice-assign whole VQ vectors (identical
+                        # element adds); fall back to per-element
+                        # writes when a malformed geometry would
+                        # overrun, so the IndexError lands on the
+                        # exact offending element as before
                         if rc["type"] == 0:
-                            step = psize // book.dims
+                            dims = book.dims
+                            step = psize // dims
                             for k in range(step):
                                 vec = book.vector(br)
-                                for d in range(book.dims):
-                                    vs[j][offset + k + d * step] += vec[d]
+                                s = offset + k
+                                if s + (dims - 1) * step < vlen:
+                                    vs[j][s: s + dims * step: step] \
+                                        += vec
+                                else:
+                                    for d in range(dims):
+                                        vs[j][s + d * step] += vec[d]
                         else:
                             k = 0
+                            dims = book.dims
                             while k < psize:
                                 vec = book.vector(br)
-                                for d in range(book.dims):
-                                    vs[j][offset + k] += vec[d]
-                                    k += 1
+                                s = offset + k
+                                if s + dims <= vlen:
+                                    vs[j][s: s + dims] += vec
+                                    k += dims
+                                else:
+                                    for d in range(dims):
+                                        vs[j][offset + k] += vec[d]
+                                        k += 1
                     pc += 1
     except _VEOP:
         pass  # §1.1.4: legal end of packet — remainder stays zero
@@ -8381,22 +8456,22 @@ def _decode_vorbis_float(payload: bytes):
 
 
 class _VBitsW:
-    """LSB-first bit writer — the packing inverse of :class:`_VBits`."""
+    """LSB-first bit writer — the packing inverse of :class:`_VBits`.
 
-    __slots__ = ("buf", "acc", "n")
+    Round 17: writes buffer ``(value, nbits)`` pairs and
+    :meth:`getvalue` assembles the whole stream in one vectorized pass
+    — stream bit ``i`` is bit ``i - start`` of its pair's value,
+    bytes filled LSB-first (``np.packbits(bitorder="little")``), the
+    final partial byte zero-padded — bit-identical to the incremental
+    acc/shift packer this replaces."""
+
+    __slots__ = ("pairs",)
 
     def __init__(self):
-        self.buf = bytearray()
-        self.acc = 0
-        self.n = 0
+        self.pairs: list = []
 
     def write(self, v: int, n: int) -> None:
-        self.acc |= (v & ((1 << n) - 1)) << self.n
-        self.n += n
-        while self.n >= 8:
-            self.buf.append(self.acc & 0xFF)
-            self.acc >>= 8
-            self.n -= 8
+        self.pairs.append((v, n))
 
     def code(self, codes: dict, entry: int) -> None:
         """Emit entry's Huffman codeword MSB-first (§3.2.1 read order):
@@ -8404,17 +8479,33 @@ class _VBitsW:
         bit first, so reversing the codeword yields exactly the per-bit
         MSB-first emission — round 17, replaces ln single-bit writes)."""
         ln, code = codes[entry]
+        if ln <= 8:
+            self.pairs.append((_VREV8[code << (8 - ln)], ln))
+            return
         v = 0
         for _ in range(ln):
             v = (v << 1) | (code & 1)
             code >>= 1
-        self.write(v, ln)
+        self.pairs.append((v, ln))
 
     def getvalue(self) -> bytes:
-        out = bytes(self.buf)
-        if self.n:
-            out += bytes([self.acc & 0xFF])
-        return out
+        import numpy as np
+
+        if not self.pairs:
+            return b""
+        values = np.array([p[0] for p in self.pairs], dtype=np.int64)
+        widths = np.array([p[1] for p in self.pairs], dtype=np.int64)
+        ends = np.cumsum(widths)
+        total = int(ends[-1])
+        if total == 0:
+            return b""
+        shift = np.arange(total, dtype=np.int64) - np.repeat(
+            ends - widths, widths
+        )
+        bits = ((np.repeat(values, widths) >> shift) & 1).astype(
+            np.uint8
+        )
+        return np.packbits(bits, bitorder="little").tobytes()
 
 
 # Fixture codebook set: a residue classbook (2 classes x 2 classwords),
@@ -9880,6 +9971,32 @@ class _BitWriter:
                 acc = (acc << 1) | int(b)
             self.acc = acc
             self.nbits = rem
+
+    def write_codes(self, values, widths) -> None:
+        """Append a run of variable-width codes — exactly equivalent
+        to ``write(v, w)`` per pair, vectorized: each code's bits are
+        gathered MSB-first by one shift/mask over np.repeat-expanded
+        values (bit at stream position i inside code c is
+        ``(v >> (end_c - 1 - i)) & 1``), then bulk-packed via
+        write_bits. Values must fit int64; negative values mask to
+        their low ``w`` two's-complement bits, as write() does."""
+        import numpy as np
+
+        values = np.asarray(values, dtype=np.int64)
+        widths = np.asarray(widths, dtype=np.int64)
+        if values.size == 0:
+            return
+        ends = np.cumsum(widths)
+        total = int(ends[-1])
+        if total == 0:
+            return
+        shift = np.repeat(ends, widths) - 1 - np.arange(
+            total, dtype=np.int64
+        )
+        bits = (
+            (np.repeat(values, widths) >> shift) & 1
+        ).astype(np.uint8)
+        self.write_bits(bits)
 
 
 class _BitReader:
@@ -12922,28 +13039,54 @@ def encode_mpeg1_layer2(
                     parts = (idx[0],)
                 for i in parts:
                     bw.write(i, 6)
-        for gr in range(12):
-            for sb in range(sblimit):
-                for c in range(n_ch if sb < ebound else 1):
-                    a = alloc[c][sb]
-                    if not a:
-                        continue
-                    n, wbits, grouped, _C, _D, nb = _MP2_QC[
-                        tab[sb][a - 1]
-                    ]
-                    s3 = samples[c][gr][sb]
-                    if any(not 0 <= v < n for v in s3):
-                        raise ValueError(
-                            f"Layer II sample value out of [0, {n}) at "
-                            f"granule {gr} subband {sb}"
-                        )
-                    if grouped:
-                        bw.write(
-                            s3[0] + n * s3[1] + n * n * s3[2], wbits
-                        )
-                    else:
-                        for v in s3:
-                            bw.write(v, nb)
+        # sample section, vectorized (round 17): one (granule x slot)
+        # layout assembled per frame and bulk-spliced — identical bits
+        # to the per-slot write loop (granule-major stream order, slot
+        # order = (sb, then channel up to the joint bound))
+        import numpy as np
+
+        S = [
+            np.asarray(samples[c], dtype=np.int64).reshape(
+                12, sblimit, 3
+            )
+            for c in range(n_ch)
+        ]
+        val_cols: list = []   # per slot: (12, k) codes (k = 1 or 3)
+        wid_row: list = []    # per slot: k widths
+        viol: list = []       # (first_bad_gr, slot_pos, sb, n)
+        pos = 0
+        for sb in range(sblimit):
+            for c in range(n_ch if sb < ebound else 1):
+                a = alloc[c][sb]
+                if not a:
+                    continue
+                n, wbits, grouped, _C, _D, nb = _MP2_QC[tab[sb][a - 1]]
+                col = S[c][:, sb, :]            # (12, 3)
+                bad = (col < 0) | (col >= n)
+                if bad.any():
+                    viol.append(
+                        (int(np.argmax(bad.any(axis=1))), pos, sb, n)
+                    )
+                if grouped:
+                    val_cols.append(
+                        (col[:, 0] + n * col[:, 1] + n * n * col[:, 2])
+                        .reshape(12, 1)
+                    )
+                    wid_row.append([wbits])
+                else:
+                    val_cols.append(col)
+                    wid_row.append([nb] * 3)
+                pos += 1
+        if viol:
+            _gr, _p, bad_sb, bad_n = min(viol)
+            raise ValueError(
+                f"Layer II sample value out of [0, {bad_n}) at "
+                f"granule {_gr} subband {bad_sb}"
+            )
+        if val_cols:
+            vmat = np.concatenate(val_cols, axis=1)       # (12, K)
+            wrow = np.concatenate(wid_row)                # (K,)
+            bw.write_codes(vmat.ravel(), np.tile(wrow, 12))
         body_bits = bw.bit_list()
         bw.align()
         body = bw.bytes()
@@ -13379,6 +13522,10 @@ def _mp3_granule_bits(
     tsel_used = huff_table or 1
     pair_table = _MP3_HUFF_TABLES[_MP3_TABLE_ALIAS.get(tsel_used, tsel_used)]
     linbits = _MP3_LINBITS.get(tsel_used, 0)
+    # accumulate (value, width) pairs and bulk-splice once per granule
+    # (round 17) — identical bits to the per-line write() sequence
+    vals: list = []
+    wids: list = []
     line = 0
     for _ in range(big_values):
         x, y = is_vals[line], is_vals[line + 1]
@@ -13397,16 +13544,21 @@ def _mp3_granule_bits(
                     f"{tsel_used}'s alphabet"
                 )
             ln, code = pair_table[(cx, cy)]
-            bw.write(code, ln)
+            vals.append(code)
+            wids.append(ln)
             # §2.4.2.7 bit order: linbits_x, sign_x, linbits_y, sign_y
             if linbits and cx == 15:
-                bw.write(ax - 15, linbits)
+                vals.append(ax - 15)
+                wids.append(linbits)
             if x:
-                bw.write(1 if x < 0 else 0, 1)
+                vals.append(1 if x < 0 else 0)
+                wids.append(1)
             if linbits and cy == 15:
-                bw.write(ay - 15, linbits)
+                vals.append(ay - 15)
+                wids.append(linbits)
             if y:
-                bw.write(1 if y < 0 else 0, 1)
+                vals.append(1 if y < 0 else 0)
+                wids.append(1)
         line += 2
     last_nz = max((i for i, v in enumerate(is_vals) if v), default=-1)
     if last_nz >= line:
@@ -13423,13 +13575,17 @@ def _mp3_granule_bits(
         idx = (abs(quad[0]) << 3) | (abs(quad[1]) << 2) | (abs(quad[2]) << 1) | abs(quad[3])
         if count1_a:
             ln, code = _MP3_COUNT1A[idx]
-            bw.write(code, ln)
+            vals.append(code)
+            wids.append(ln)
         else:
-            bw.write(15 - idx, 4)  # count1 table B
+            vals.append(15 - idx)  # count1 table B
+            wids.append(4)
         for v in quad:
             if v:
-                bw.write(1 if v < 0 else 0, 1)
+                vals.append(1 if v < 0 else 0)
+                wids.append(1)
         line += 4
+    bw.write_codes(vals, wids)
     # any table-1 region containing only (0,0) pairs still consumed bits;
     # regions with zero coded pairs keep table 0
     fields = {
@@ -15608,26 +15764,35 @@ def mpeg1_layer2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def expected_one(sp: dict, tab: tuple,
                          samples_src: list | None = None) -> list:
-            out = []
+            # vectorized closed form (round 17): identical IEEE ops in
+            # the scalar loop's order — (sf * C) * ((v / 2^(nb-1) -
+            # 1.0) + D) elementwise over the (granule, k, subband)
+            # block; unallocated subbands stay exactly 0.0
             src = samples_src if samples_src is not None else sp["samples"]
-            for gr in range(12):
-                part = gr >> 2
-                for k in range(3):
-                    S = [0.0] * 32
-                    for sb in range(len(tab)):
-                        a = sp["alloc"][sb]
-                        if not a:
-                            continue
-                        n, _w, _g, C, D, nb = _MP2_QC[tab[sb][a - 1]]
-                        v = src[gr][sb][k]
-                        idx = eff_scf(
-                            sp["scf_idx"][sb], sp["scfsi"][sb]
-                        )[part]
-                        S[sb] = _mp1_scalefactor(idx) * C * (
-                            v / (1 << (nb - 1)) - 1.0 + D
-                        )
-                    out.append(S)
-            return out
+            out = np.zeros((12, 3, 32))
+            sbs = [sb for sb in range(len(tab)) if sp["alloc"][sb]]
+            if sbs:
+                Cs, Ds, divs = [], [], []
+                sfv = np.empty((3, len(sbs)))
+                for i, sb in enumerate(sbs):
+                    _n, _w, _g, C, D, nb = _MP2_QC[
+                        tab[sb][sp["alloc"][sb] - 1]
+                    ]
+                    Cs.append(C)
+                    Ds.append(D)
+                    divs.append(float(1 << (nb - 1)))
+                    eff = eff_scf(sp["scf_idx"][sb], sp["scfsi"][sb])
+                    for part in range(3):
+                        sfv[part, i] = _mp1_scalefactor(eff[part])
+                A = np.asarray(src, dtype=np.float64)[:, sbs, :]
+                Vt = A.transpose(0, 2, 1)            # (12, k, sb)
+                part_idx = np.arange(12) >> 2
+                out[:, :, sbs] = (
+                    sfv[part_idx][:, None, :] * np.asarray(Cs)
+                ) * (
+                    Vt / np.asarray(divs) - 1.0 + np.asarray(Ds)
+                )
+            return out.reshape(36, 32).tolist()
 
         def expected_svecs(specs: list, tab: tuple) -> list:
             out = []
