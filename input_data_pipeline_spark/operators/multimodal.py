@@ -10168,12 +10168,17 @@ def _flac_write_residual(
 
 
 def _flac_bit_aux(data: bytes):
-    """Unpacked bit array + set-bit positions for a payload — computed
-    once per decode and shared by every vectorized residual read."""
+    """Unpacked bit array, set-bit positions and ones-before-position
+    prefix counts for a payload — computed once per decode and shared
+    by every vectorized residual read. ``cum[p]`` = number of set bits
+    strictly before bit ``p`` (so ``cum[p]`` is the index of the first
+    one at or after ``p``)."""
     import numpy as np
 
     bits_arr = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
-    return bits_arr, np.flatnonzero(bits_arr).tolist()
+    cum = np.zeros(len(bits_arr) + 1, dtype=np.int64)
+    np.cumsum(bits_arr, dtype=np.int64, out=cum[1:])
+    return bits_arr, np.flatnonzero(bits_arr).astype(np.int64), cum
 
 
 def _read_signed_block(bits_arr, s: int, cnt: int, width: int):
@@ -10213,8 +10218,9 @@ def _flac_read_residual(
         raise ValueError("FLAC partition order does not divide block")
     if aux is None:
         aux = _flac_bit_aux(br.data)
-    bits_arr, ones = aux
-    import bisect
+    bits_arr, ones, cum = aux
+    nbits = len(bits_arr)
+    no = len(ones)
 
     parts = []
     for p in range(1 << po):
@@ -10228,35 +10234,53 @@ def _flac_read_residual(
             vals, s = _read_signed_block(bits_arr, s, cnt, raw)
             br.byte, br.bit = s >> 3, s & 7
             parts.append(vals)
+        elif cnt == 0:
+            parts.append(np.zeros(0, dtype=np.int64))
         else:
+            # unary terminators are ones of the payload, but suffix
+            # bits contribute ones of their own. r == 0: terminators
+            # ARE consecutive ones — pure slice. r > 0: hop the
+            # terminator chain through a window of candidate ones
+            # (each code consumes 1 terminator + at most r suffix
+            # ones) via next-terminator indices computed vectorized
+            # from the prefix counts (round 17); value- and
+            # error-identical to the per-sample skip loop.
             s = br.byte * 8 + br.bit
-            j = bisect.bisect_left(ones, s)
-            no = len(ones)
-            qs = [0] * cnt
-            ts = [0] * cnt
-            for k in range(cnt):
-                while True:
-                    if j >= no:
+            j0 = int(cum[s])
+            if r == 0:
+                ts = ones[j0: j0 + cnt]
+                if len(ts) < cnt:
+                    raise ValueError("truncated FLAC bitstream")
+            else:
+                hi = min(no, j0 + cnt * (1 + r) + 1)
+                seg = ones[j0: hi]
+                seg_n = len(seg)
+                nxt = (
+                    cum[np.minimum(seg + (1 + r), nbits)] - j0
+                ).tolist()
+                js = [0] * cnt
+                j = 0
+                for k in range(cnt):
+                    if j >= seg_n:
                         raise ValueError("truncated FLAC bitstream")
-                    t = ones[j]
-                    j += 1
-                    if t >= s:
-                        break
-                q = t - s
-                if q > 1 << 24:
-                    raise ValueError("runaway unary code in FLAC bitstream")
-                qs[k] = q
-                ts[k] = t
-                s = t + 1 + r
-            if s > len(bits_arr):
+                    js[k] = j
+                    j = nxt[j]
+                ts = seg[js]
+            ss = np.empty(cnt, dtype=np.int64)
+            ss[0] = s
+            if cnt > 1:
+                ss[1:] = ts[:-1] + (1 + r)
+            q_arr = ts - ss
+            if int(q_arr.max()) > 1 << 24:
+                raise ValueError("runaway unary code in FLAC bitstream")
+            s = int(ts[-1]) + 1 + r
+            if s > nbits:
                 raise ValueError("truncated FLAC bitstream")
             br.byte, br.bit = s >> 3, s & 7
-            q_arr = np.asarray(qs, dtype=np.int64)
             if r:
-                t_arr = np.asarray(ts, dtype=np.int64)
-                idx = t_arr[:, None] + 1 + np.arange(r, dtype=np.int64)[None, :]
-                seg = bits_arr[idx].astype(np.int64)
-                low = seg @ (1 << np.arange(r - 1, -1, -1, dtype=np.int64))
+                idx = ts[:, None] + 1 + np.arange(r, dtype=np.int64)[None, :]
+                seg_b = bits_arr[idx].astype(np.int64)
+                low = seg_b @ (1 << np.arange(r - 1, -1, -1, dtype=np.int64))
                 m = (q_arr << r) | low
             else:
                 m = q_arr
@@ -13415,7 +13439,7 @@ def _mp3_granule_bits(
         )
     if len(is_vals) != 576:
         raise ValueError("encoder profile: 576 spectral lines")
-    if any(abs(v) > big_cap for v in is_vals):
+    if max(map(abs, is_vals)) > big_cap:
         raise ValueError(
             f"encoder profile: |is| <= {big_cap} for this table choice"
         )
@@ -13560,7 +13584,11 @@ def _mp3_granule_bits(
                 vals.append(1 if y < 0 else 0)
                 wids.append(1)
         line += 2
-    last_nz = max((i for i, v in enumerate(is_vals) if v), default=-1)
+    last_nz = -1
+    for i in range(575, -1, -1):
+        if is_vals[i]:
+            last_nz = i
+            break
     if last_nz >= line:
         n_quads = (last_nz - line) // 4 + 1
     else:
