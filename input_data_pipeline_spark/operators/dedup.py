@@ -1476,8 +1476,15 @@ def bloom_dedup_precheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     nfp = docs.filter(is_new).select(
         F.col("doc_id").alias("new_doc"), T.fingerprint("text").alias("fp")
     )
-    cfp = docs.filter(~is_new).select(T.fingerprint("text").alias("fp")).distinct()
-    bloom = bloom_bitmap(cfp)
+    cfp_all = docs.filter(~is_new).select(T.fingerprint("text").alias("fp"))
+    # the bitmap absorbs duplicate fingerprints (bit_or is idempotent),
+    # so its leg skips the corpus-wide distinct exchange outright — the
+    # per-partition partial bit_or already reduces each partition to
+    # <= m/64 word rows before any shuffle (round 17; guide §2.4). The
+    # exact-verify side keeps distinct: its partial dedup shrinks the
+    # corpus fingerprints map-side before the semi-join shuffle.
+    bloom = bloom_bitmap(cfp_all)
+    cfp = cfp_all.distinct()
     probe = (
         nfp.select("new_doc", "fp", F.explode(bloom_positions(F.col("fp"))).alias("pos"))
         .join(
@@ -1499,6 +1506,11 @@ def bloom_dedup_precheck(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bloom_hit"),
         )
     )
+    # Materialize the batch-sized probe result once (round 17): both the
+    # hit slice and the final assembly consume it, and without the
+    # checkpoint the whole scan + bloom-build + probe subtree executes
+    # TWICE (the same double-compute class the cross-codec gate fixed).
+    probe = probe.localCheckpoint(eager=False)
     # Exact verification ships ONLY the bloom-hit slice to the corpus join;
     # a left-semi marks the genuine dups.
     hits = probe.filter(F.col("bloom_hit")).join(cfp, "fp", "left_semi").select(

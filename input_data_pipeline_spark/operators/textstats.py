@@ -1310,7 +1310,16 @@ def hll_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (
         docs.select("source", F.explode(T.tokens("text")).alias("token")).distinct()
     )
-    hashed = _hll_hashed(tok, "source", "token")
+    # materialize the hashed distinct-token table once (round 17): the
+    # merged-register, direct-register and exact-count legs all consume
+    # it, and without the checkpoint each leg re-executes the corpus
+    # scan + tokenize + distinct subtree (3 scans -> 1). The
+    # checkpointed state is vocab x |sources| bounded — in production
+    # it is the per-source register tables that would be stored, and
+    # the token table would stream through once.
+    hashed = _hll_hashed(tok, "source", "token").localCheckpoint(
+        eager=False
+    )
     per_src = _hll_registers(hashed, "source")
     merged = per_src.groupBy("bucket").agg(F.max("rho").alias("rho"))
     direct = _hll_registers(hashed)
@@ -1320,7 +1329,7 @@ def hll_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_buckets_used", _hll_raw_estimate().alias("raw_m")
     )
     est_d = fold_d.select(_hll_raw_estimate().alias("raw_d"))
-    meta = tok.agg(
+    meta = hashed.agg(
         F.countDistinct("source").alias("n_sources"),
         F.countDistinct("token").alias("exact_distinct"),
     )
