@@ -1638,9 +1638,19 @@ def bigram_lm_doc_scores(
     registry query scores against the full table (top_n=None) so the
     DuckDB oracle stays the exact corpus LM."""
     bi = _bigram_instances(load_table(spark, sf_dir, "documents"))
-    d = bi.groupBy("doc_id", "lang", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    # one tokenize feeds everything (round 17): the per-doc distinct-
+    # bigram counts are materialized once (the same wire-sized table
+    # the lookup join already carries), and the model's c(w1,w2) table
+    # is their exact integer re-aggregation — previously the scorer,
+    # c2 and c1 each re-executed the corpus tokenize (3 scans -> 1)
+    d = (
+        bi.groupBy("doc_id", "lang", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    cnt2 = d.groupBy("bg").agg(F.sum("cnt").alias("c2"))
     return (
-        d.join(_bigram_p(bi, top_n=top_n), "bg")
+        d.join(_bigram_p_from_cnt2(cnt2, top_n=top_n), "bg")
         .groupBy("doc_id", "lang")
         .agg(
             F.sum("cnt").alias("n_bigrams"),
@@ -1685,11 +1695,21 @@ def _bigram_p(bi: DataFrame, top_n: int | None = None) -> DataFrame:
     a TakeOrderedAndProject (bounded per-partition heaps), never a global
     sort."""
     cnt2 = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    return _bigram_p_from_cnt2(cnt2, top_n)
+
+
+def _bigram_p_from_cnt2(cnt2: DataFrame, top_n: int | None) -> DataFrame:
+    """Model assembly from the (bg, c2) count table. c(w1·) is the SUM
+    of c(w1,w2) over the unpruned bigram counts (exact integer
+    partition of the occurrence count — round 17), so the denominator
+    derives from the vocab-sized table instead of re-scanning the
+    corpus occurrences; pruning still happens after, keeping surviving
+    probabilities on full-corpus denominators."""
+    cnt1 = cnt2.groupBy(
+        F.substring_index("bg", _BG_SEP, 1).alias("w1")
+    ).agg(F.sum("c2").alias("c1"))
     if top_n is not None:
         cnt2 = cnt2.orderBy(F.desc("c2"), "bg").limit(top_n)
-    cnt1 = bi.groupBy(
-        F.substring_index("bg", _BG_SEP, 1).alias("w1")
-    ).agg(F.count(F.lit(1)).alias("c1"))
     return (
         cnt2.join(cnt1, F.substring_index(cnt2["bg"], _BG_SEP, 1) == cnt1["w1"])
         .select("bg", F.expr("c2 * 1000000 DIV c1").alias("p_ppm"))
@@ -1918,11 +1938,15 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
     nq = len(BM25_QUERY)
+    # materialized once (round 17): the stats reduce and the scorer
+    # both consume per_doc, and without the checkpoint each leg
+    # re-executes the corpus tokenize+groupBy (2 tokenizes -> 1); the
+    # checkpointed table is one narrow int row per doc
     per_doc = tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("dl"),
         *[F.sum(F.when(F.col("token") == q, 1).otherwise(0)).alias(f"tf{i}")
           for i, q in enumerate(BM25_QUERY)],
-    )
+    ).localCheckpoint(eager=False)
     n_docs_df = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     stats = per_doc.agg(
         F.sum("dl").alias("sum_dl"),
