@@ -1032,10 +1032,14 @@ def countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. Nothing vocabulary-sized ever reaches the driver.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # vocab-sized token-frequency table, materialized once (round 17):
+    # the counter build and the exact top-20 probe both consume it —
+    # without the checkpoint each leg re-executes the corpus tokenize
     counts = (
         docs.select(F.explode(T.tokens("text")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
     cells = cms_cells(counts)
     top20 = counts.orderBy(F.desc("n"), "token").limit(20)
@@ -1194,9 +1198,15 @@ def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (
         docs.select("source", F.explode(T.tokens("text")).alias("token")).distinct()
     )
-    regs = _hll_registers(_hll_hashed(tok, "source", "token"), "source")
+    # one corpus scan (round 17): register build and exact count both
+    # read the checkpointed hashed distinct-token table (vocab x
+    # |sources| bounded) instead of re-executing scan+tokenize+distinct
+    hashed = _hll_hashed(tok, "source", "token").localCheckpoint(
+        eager=False
+    )
+    regs = _hll_registers(hashed, "source")
     folded = _hll_fold(regs, "source")
-    exact = tok.groupBy("source").agg(
+    exact = hashed.groupBy("source").agg(
         F.countDistinct("token").alias("exact_distinct")
     )
     return (
