@@ -1590,10 +1590,19 @@ def cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the optimizer broadcasts it at test scale on its own, and at 100 TB
     # this correctly becomes a doc_id-keyed shuffle join.
     joined = tok.join(av, tok["doc_id"] == av["vec_id"]).select("cid", "token")
-    cc = joined.groupBy("cid", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    # |cluster x token| bounded count table, materialized once (round
+    # 17): every row of `joined` carries exactly one cid, so the corpus
+    # token counts and the scalar total are exact integer sums of cc —
+    # previously the corp and tot legs each re-executed the corpus
+    # tokenize + assignment join (3 executions -> 1)
+    cc = (
+        joined.groupBy("cid", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     ct = cc.groupBy("cid").agg(F.sum("cnt").alias("total_c"))
-    corp = joined.groupBy("token").agg(F.count(F.lit(1)).alias("cnt_g"))
-    tot = joined.agg(F.count(F.lit(1)).alias("total_g"))
+    corp = cc.groupBy("token").agg(F.sum("cnt").alias("cnt_g"))
+    tot = cc.agg(F.sum("cnt").alias("total_g"))
     lift = (
         cc.filter(F.col("cnt") >= _CLT_MIN_COUNT)
         .join(F.broadcast(ct), "cid")

@@ -794,7 +794,15 @@ def lang_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     its language's rate), so incremental appends never resample old data.
     """
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    # |langs|-row count table, materialized once: the floor reduce and
+    # the rate build both consume it, and each re-ran the corpus
+    # aggregate without the checkpoint (3 scans -> 2; the tagging pass
+    # keeps its own scan, round 17)
+    counts = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint(eager=False)
+    )
     floor_docs = counts.agg(F.min("n_docs").alias("floor_docs"))
     rates = counts.crossJoin(F.broadcast(floor_docs)).select(
         "lang",
@@ -1532,7 +1540,16 @@ def countmin_merge_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("source", F.explode(T.tokens("text")).alias("token"))
-    counts = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+    # one corpus tokenize (round 17): the per-source frequency table is
+    # vocab x |sources| bounded and every other leg is its exact
+    # integer re-aggregation — global counts = SUM of per-source counts
+    # and the token total = SUM of all counts, so the direct-sketch and
+    # mass-conservation legs stop re-scanning the corpus (4 scans -> 1)
+    counts = (
+        tok.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     per_src = (
         counts.select(
             "source",
@@ -1552,9 +1569,13 @@ def countmin_merge_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "d", "pos")
         .agg(F.sum("n").alias("counter"))
     )
-    merged = per_src.groupBy("d", "pos").agg(F.sum("counter").alias("counter"))
+    merged = (
+        per_src.groupBy("d", "pos")
+        .agg(F.sum("counter").alias("counter"))
+        .localCheckpoint(eager=False)  # D x W cells, consumed twice
+    )
     direct = cms_cells(
-        tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        counts.groupBy("token").agg(F.sum("n").alias("n"))
     )
     m = merged.alias("m")
     dr = direct.alias("dr")
@@ -1574,7 +1595,7 @@ def countmin_merge_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass = merged.filter(F.col("d") == 0).agg(
         F.sum("counter").alias("merged_mass")
     )
-    total = tok.agg(F.count(F.lit(1)).alias("n_tokens"))
+    total = counts.agg(F.sum("n").alias("n_tokens"))
     return (
         diff.crossJoin(F.broadcast(mass))
         .crossJoin(F.broadcast(total))

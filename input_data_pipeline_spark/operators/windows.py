@@ -920,7 +920,14 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     its cohort-size join broadcasts. Dates derive from the UTC-pinned
     session, matching the oracle's naive-timestamp cast."""
     ev = load_table(spark, sf_dir, "events")
-    act = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    # users x days bounded; materialized once so the cohort build and
+    # the activity join stop re-executing the events scan + distinct
+    # (3 corpus scans -> 1, round 17)
+    act = (
+        ev.select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     coh = act.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
     sized = coh.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_size"))
     joined = (
@@ -983,7 +990,16 @@ def active_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-day HLL registers merged bucket-wise over the trailing window —
     is `hll_union_sources`' register algebra applied temporally.)"""
     ev = load_table(spark, sf_dir, "events")
-    act = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    # (user, day) activity pairs — users x days bounded, far smaller
+    # than the event stream. Materialized once (round 17): the day
+    # grid, DAU, WAU and MAU legs all consume it, and without the
+    # checkpoint each leg re-executed the events scan + distinct
+    # (5 corpus scans -> 1).
+    act = (
+        ev.select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     days = act.select("d").distinct()
 
     def trailing(n_days: int, name: str) -> DataFrame:
@@ -1093,10 +1109,13 @@ def hll_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
+    # users x days bounded, materialized once (round 17): register
+    # build, day grid and the exact-WAU leg all read it (4 events
+    # scans -> 1)
     act = ev.select(
         F.col("user_id").cast("string").alias("token"),
         F.col("ts").cast("date").alias("d"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     days = act.select("d").distinct()
 
     regs = _hll_registers(_hll_hashed(act, "d", "token"), "d")
@@ -1243,9 +1262,16 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     vm = ev.select("event_type", micros("value").alias("v"))
+    # per-type bounds: |event types| rows, consumed by both the bin
+    # pass and the quantile targets — materialized once so each
+    # consumer stops re-running the full bounds scan (round 17). vm
+    # itself stays unmaterialized deliberately: its two remaining
+    # consumers (bin counts, exact rank leg) each re-scan parquet with
+    # 2-column pruning, which beats checkpointing a raw row-per-event
+    # projection at scale.
     stats = vm.groupBy("event_type").agg(
         F.min("v").alias("lo"), F.max("v").alias("hi"), F.count(F.lit(1)).alias("n")
-    )
+    ).localCheckpoint(eager=False)
     width = f"(((hi - lo) DIV {_HQ_BINS}) + 1)"
     binned = hq_bin_counts(vm, stats)
     wcum = Window.partitionBy("event_type").orderBy("bin").rowsBetween(
