@@ -708,6 +708,10 @@ def event_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     before anything cross-joins.
     """
     events = load_table(spark, sf_dir, "events")
+    # |types| x |hours| bounded — materialized once (round 17): the
+    # grid bounds and the type list re-derive from it exactly
+    # (date_trunc is monotonic, so min/max of the truncated hours equal
+    # the truncated min/max ts), collapsing 3 event scans to 1
     hourly = (
         events.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
         .agg(
@@ -715,15 +719,16 @@ def event_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("value"))
             .alias("avg_v"),
         )
+        .localCheckpoint(eager=False)
     )
-    bounds = events.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    bounds = hourly.agg(
+        F.min("hour").alias("h0"),
+        F.max("hour").alias("h1"),
     )
     grid = bounds.select(
         F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour")
     )
-    dense = events.select("event_type").distinct().crossJoin(F.broadcast(grid))
+    dense = hourly.select("event_type").distinct().crossJoin(F.broadcast(grid))
     w = (
         Window.partitionBy("event_type").orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
