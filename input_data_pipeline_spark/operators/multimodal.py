@@ -11769,6 +11769,57 @@ def _mp3_read_huffman(br: "_BitReader", g: "_MP3Granule", part2_bits: int) -> No
     g.count1_quads = n_quads
 
 
+_MP3_POW43 = None
+_MP3_REQUANT_MAPS: dict = {}
+
+
+def _mp3_pow43():
+    """|is|^(4/3) for the full reachable magnitude range 0..8206
+    (15 + the 13-bit linbits ceiling) — each entry computed with the
+    SAME Python float pow the scalar requantizer used, built once per
+    process."""
+    global _MP3_POW43
+    if _MP3_POW43 is None:
+        import numpy as np
+
+        _MP3_POW43 = np.asarray(
+            [float(v ** (4.0 / 3.0)) for v in range(8207)]
+        )
+    return _MP3_POW43
+
+
+def _mp3_requant_maps(sr: int, long_end: int):
+    """Cached coded-line -> band index maps for one (sample_rate,
+    long_end) pair: long sfb per line, and for the short region the
+    (short sfb, window) pair per line — exactly the per-line walks of
+    the scalar requantizer, run once."""
+    key = (sr, long_end)
+    m = _MP3_REQUANT_MAPS.get(key)
+    if m is None:
+        import numpy as np
+
+        bounds = _MP3_SFB_LONG[sr]
+        long_sfb = np.empty(576, dtype=np.int64)
+        sfb = 0
+        for i in range(576):
+            while i >= bounds[sfb + 1]:
+                sfb += 1
+            long_sfb[i] = sfb
+        s = _MP3_SFB_SHORT[sr]
+        short_sfb = np.zeros(576, dtype=np.int64)
+        short_win = np.zeros(576, dtype=np.int64)
+        sfb = 0
+        for i in range(long_end, 576):
+            while 3 * s[sfb + 1] <= i:
+                sfb += 1
+            width = s[sfb + 1] - s[sfb]
+            short_sfb[i] = sfb
+            short_win[i] = (i - 3 * s[sfb]) // width
+        m = (long_sfb, short_sfb, short_win)
+        _MP3_REQUANT_MAPS[key] = m
+    return m
+
+
 def _mp3_requantize(g: "_MP3Granule") -> list[float]:
     """§2.4.3.4.1. Long blocks (incl. start/stop): xr_i = sign(is_i)
     * |is_i|^(4/3) * 2^((global_gain-210)/4)
@@ -11779,51 +11830,62 @@ def _mp3_requantize(g: "_MP3Granule") -> list[float]:
     (long sfb 0-7) and the short rule from line 36 (short sfb 3+). The
     result stays in CODED order — :func:`_mp3_reorder_short` maps short
     regions to time-window order afterwards."""
+    import numpy as np
+
     mult = 0.5 * (g.scalefac_scale + 1)
-    xr = [0.0] * 576
-    bounds = _MP3_SFB_LONG[getattr(g, "sample_rate", 44100)]
+    sr = getattr(g, "sample_rate", 44100)
+    # round 17 vectorization, bit-exact by construction: |is| <= 8206
+    # (15 + the 13-bit linbits ceiling), so |is|^(4/3) is a lazily built
+    # 8207-entry table computed with the SAME Python float pow; every
+    # band's 2^exp scale is likewise computed scalar (exp is an exact
+    # quarter-integer either way), and numpy only gathers and multiplies
+    # elementwise in the scalar loop's order (sign * mag) * scale.
+    va = np.asarray(g.is_vals, dtype=np.int64)
+    absv = np.abs(va)
+    p43 = _mp3_pow43()
+    if int(absv.max(initial=0)) < len(p43):
+        mag = p43[absv]
+    else:  # beyond any conformant stream; same Python pow per element
+        mag = np.asarray([float(v ** (4.0 / 3.0)) for v in absv.tolist()])
+    sgn = np.sign(va).astype(np.float64)
+    base = 0.25 * (g.global_gain - 210)
     if g.block_type == 2:
-        s = _MP3_SFB_SHORT[getattr(g, "sample_rate", 44100)]
         long_end = 36 if g.mixed_block_flag else 0
-        # precompute coded-line -> (short sfb, window) for the short part
-        for i in range(576):
-            v = g.is_vals[i]
-            if not v:
-                continue
-            if i < long_end:
-                sfb = 0
-                while i >= bounds[sfb + 1]:
-                    sfb += 1
-                sf = g.scalefac[sfb]
-                pre = _MP3_PRETAB[sfb] if g.preflag else 0
-                exp = 0.25 * (g.global_gain - 210) - mult * (sf + pre)
-            else:
-                # coded order: (sfb, window, line-in-band); line i sits at
-                # 3*s[sfb] + win*width + k
-                sfb = 0
-                while 3 * s[sfb + 1] <= i:
-                    sfb += 1
-                width = s[sfb + 1] - s[sfb]
-                win = (i - 3 * s[sfb]) // width
+        long_sfb, short_sfb, short_win = _mp3_requant_maps(sr, long_end)
+        scale = np.empty(576)
+        if long_end:
+            # lines < 36 map to long sfb <= 7, so the sfb < 21 guard
+            # never fires here; it only keeps the 22-band table build
+            # in-bounds
+            lsc = [
+                2.0 ** (base - mult * (
+                    (g.scalefac[sfb] if sfb < 21 else 0)
+                    + (_MP3_PRETAB[sfb] if g.preflag else 0)
+                ))
+                for sfb in range(22)
+            ]
+            scale[:long_end] = np.asarray(lsc)[long_sfb[:long_end]]
+        ssc = np.empty((13, 3))
+        for sfb in range(13):
+            for win in range(3):
                 sf = g.scalefac_s[sfb][win] if sfb < 12 else 0
-                exp = (
+                ssc[sfb, win] = 2.0 ** (
                     0.25 * (g.global_gain - 210 - 8 * g.subblock_gain[win])
                     - mult * sf
                 )
-            xr[i] = (1.0 if v > 0 else -1.0) * (abs(v) ** (4.0 / 3.0)) * (2.0 ** exp)
-        return xr
-    sfb = 0
-    for i in range(576):
-        while i >= bounds[sfb + 1]:
-            sfb += 1
-        v = g.is_vals[i]
-        if not v:
-            continue
-        sf = g.scalefac[sfb] if sfb < 21 else 0
-        pre = _MP3_PRETAB[sfb] if g.preflag else 0
-        exp = 0.25 * (g.global_gain - 210) - mult * (sf + pre)
-        xr[i] = (1.0 if v > 0 else -1.0) * (abs(v) ** (4.0 / 3.0)) * (2.0 ** exp)
-    return xr
+        scale[long_end:] = ssc[
+            short_sfb[long_end:], short_win[long_end:]
+        ]
+        return ((sgn * mag) * scale).tolist()
+    long_sfb, _s, _w = _mp3_requant_maps(sr, 0)
+    lsc = [
+        2.0 ** (base - mult * (
+            (g.scalefac[sfb] if sfb < 21 else 0)
+            + (_MP3_PRETAB[sfb] if g.preflag else 0)
+        ))
+        for sfb in range(22)
+    ]
+    return ((sgn * mag) * np.asarray(lsc)[long_sfb]).tolist()
 
 
 def _mp3_reorder_short(
@@ -19523,7 +19585,16 @@ def _g72x_fmult(an: int, srn: int) -> int:
 
 
 def _g72x_predictor_zero(st: _G72xState) -> int:
-    return sum(_g72x_fmult(st.b[i] >> 2, st.dq[i]) for i in range(6))
+    # FMULT sum over the six zero taps, unrolled (round 17): same
+    # integer terms in the same order, without generator/sum frames on
+    # the per-sample hot path
+    b = st.b
+    dq = st.dq
+    f = _g72x_fmult
+    return (
+        f(b[0] >> 2, dq[0]) + f(b[1] >> 2, dq[1]) + f(b[2] >> 2, dq[2])
+        + f(b[3] >> 2, dq[3]) + f(b[4] >> 2, dq[4]) + f(b[5] >> 2, dq[5])
+    )
 
 
 def _g72x_predictor_pole(st: _G72xState) -> int:
@@ -19986,31 +20057,34 @@ def _g722_block4(bd: _G722Band, d: int) -> None:
     elif ap1 < -wd3:
         ap1 = -wd3
 
-    # UPZERO
+    # UPZERO (locals bound once per sample — round 17; same ints)
     wd1 = 0 if d == 0 else 128
     sgd = d >> 15
+    dl = bd.d
+    bl = bd.b
+    sat = _g722_sat
     bp = [0] * 7
     for i in range(1, 7):
-        wd2 = wd1 if (bd.d[i] >> 15) == sgd else -wd1
-        bp[i] = _g722_sat(wd2 + ((bd.b[i] * 32640) >> 15))
+        wd2 = wd1 if (dl[i] >> 15) == sgd else -wd1
+        bp[i] = sat(wd2 + ((bl[i] * 32640) >> 15))
 
     # DELAY
     for i in range(6, 0, -1):
-        bd.d[i] = bd.d[i - 1]
-        bd.b[i] = bp[i]
+        dl[i] = dl[i - 1]
+        bl[i] = bp[i]
     bd.r[2], bd.r[1] = bd.r[1], bd.r[0]
     bd.p[2], bd.p[1] = bd.p[1], bd.p[0]
     bd.a[2], bd.a[1] = ap2, ap1
 
     # FILTEP + FILTEZ + PREDIC
-    wd1 = (bd.a[1] * _g722_sat(bd.r[1] + bd.r[1])) >> 15
-    wd2 = (bd.a[2] * _g722_sat(bd.r[2] + bd.r[2])) >> 15
-    bd.sp = _g722_sat(wd1 + wd2)
+    wd1 = (ap1 * sat(bd.r[1] + bd.r[1])) >> 15
+    wd2 = (ap2 * sat(bd.r[2] + bd.r[2])) >> 15
+    bd.sp = sp = sat(wd1 + wd2)
     sz = 0
     for i in range(6, 0, -1):
-        sz += (bd.b[i] * _g722_sat(bd.d[i] + bd.d[i])) >> 15
-    bd.sz = _g722_sat(sz)
-    bd.s = _g722_sat(bd.sp + bd.sz)
+        sz += (bl[i] * sat(dl[i] + dl[i])) >> 15
+    bd.sz = sz = sat(sz)
+    bd.s = sat(sp + sz)
 
 
 def _g722_lower_adapt(bd: _G722Band, il4: int) -> None:
