@@ -11913,6 +11913,9 @@ def _mp3_reorder_short(
     return out
 
 
+_MP3_ALIAS_CSCA = None
+
+
 def mp3_alias_reduce(xr: list[float], block_type: int = 0,
                      mixed: bool = False) -> list[float]:
     """§2.4.3.4.10.1 anti-alias butterflies across the long-block subband
@@ -11921,19 +11924,34 @@ def mp3_alias_reduce(xr: list[float], block_type: int = 0,
     inside their long region (subbands 0|1)."""
     import math
 
+    import numpy as np
+
     if block_type == 2 and not mixed:
         return list(xr)
-    out = list(xr)
-    cs = [1.0 / math.sqrt(1.0 + c * c) for c in _MP3_ALIAS_C]
-    ca = [c / math.sqrt(1.0 + c * c) for c in _MP3_ALIAS_C]
+    # round 17 vectorization: every boundary's 8 butterflies touch
+    # disjoint lines, so all (boundary, i) pairs compute elementwise in
+    # one pass — (a*cs - b*ca, b*cs + a*ca) exactly as the scalar loop;
+    # cs/ca are the same closed-form scalars, built once per process
+    global _MP3_ALIAS_CSCA
+    if _MP3_ALIAS_CSCA is None:
+        cs = [1.0 / math.sqrt(1.0 + c * c) for c in _MP3_ALIAS_C]
+        ca = [c / math.sqrt(1.0 + c * c) for c in _MP3_ALIAS_C]
+        sbs = np.arange(1, 32).reshape(-1, 1)
+        i8 = np.arange(8)
+        _MP3_ALIAS_CSCA = (
+            np.asarray(cs), np.asarray(ca),
+            18 * sbs - 1 - i8, 18 * sbs + i8,
+        )
+    cs_a, ca_a, idx_a, idx_b = _MP3_ALIAS_CSCA
     n_bound = 1 if (block_type == 2 and mixed) else 31
-    for sb in range(1, n_bound + 1):
-        for i in range(8):
-            a = out[18 * sb - 1 - i]
-            b = out[18 * sb + i]
-            out[18 * sb - 1 - i] = a * cs[i] - b * ca[i]
-            out[18 * sb + i] = b * cs[i] + a * ca[i]
-    return out
+    out = np.asarray(xr, dtype=np.float64)
+    ia = idx_a[:n_bound]
+    ib = idx_b[:n_bound]
+    a = out[ia]
+    b = out[ib]
+    out[ia] = a * cs_a - b * ca_a
+    out[ib] = b * cs_a + a * ca_a
+    return out.tolist()
 
 
 def _mp3_imdct_window(block_type: int) -> list[float]:
@@ -13473,6 +13491,44 @@ def _decode_mp3_l3(payload: bytes) -> dict:
     }
 
 
+_MP3_PAIR_ARRAYS: dict = {}
+_MP3_COUNT1A_ARR = None
+
+
+def _mp3_pair_arrays(key: int):
+    """(length, codeword) lookup arrays for one Annex B pair alphabet —
+    the dict flattened to 16x16 gather tables (length -1 marks absent
+    pairs), built once per process per table."""
+    m = _MP3_PAIR_ARRAYS.get(key)
+    if m is None:
+        import numpy as np
+
+        ln_t = np.full((16, 16), -1, dtype=np.int64)
+        code_t = np.zeros((16, 16), dtype=np.int64)
+        for (x, y), (ln, code) in _MP3_HUFF_TABLES[key].items():
+            ln_t[x, y] = ln
+            code_t[x, y] = code
+        m = (ln_t, code_t)
+        _MP3_PAIR_ARRAYS[key] = m
+    return m
+
+
+def _mp3_count1a_arrays():
+    """Count1 table A as gather arrays (lengths, codewords)."""
+    global _MP3_COUNT1A_ARR
+    if _MP3_COUNT1A_ARR is None:
+        import numpy as np
+
+        ln1 = np.empty(16, dtype=np.int64)
+        code1 = np.empty(16, dtype=np.int64)
+        for i in range(16):
+            ln, code = _MP3_COUNT1A[i]
+            ln1[i] = ln
+            code1[i] = code
+        _MP3_COUNT1A_ARR = (ln1, code1)
+    return _MP3_COUNT1A_ARR
+
+
 def _mp3_granule_bits(
     spec: dict, skip_groups: list[bool], sample_rate: int = 44100,
     lsf: bool = False,
@@ -13599,58 +13655,71 @@ def _mp3_granule_bits(
     # pick region tables FIRST: a region whose pairs are all (0,0) uses
     # table 0, which codes NO bits — writing table-1 codes there would
     # desynchronize the decoder's region-table dispatch
-    regions = [0, 0, 0]
-    for p in range(big_values):
-        ln0 = 2 * p
-        if is_vals[ln0] or is_vals[ln0 + 1]:
-            ridx = 0 if ln0 < r0_end else (1 if ln0 < r1_end else 2)
-            regions[ridx] = 1
+    import numpy as np
+
     tsel_used = huff_table or 1
-    pair_table = _MP3_HUFF_TABLES[_MP3_TABLE_ALIAS.get(tsel_used, tsel_used)]
+    tsel_key = _MP3_TABLE_ALIAS.get(tsel_used, tsel_used)
     linbits = _MP3_LINBITS.get(tsel_used, 0)
-    # accumulate (value, width) pairs and bulk-splice once per granule
-    # (round 17) — identical bits to the per-line write() sequence
-    vals: list = []
-    wids: list = []
-    line = 0
-    for _ in range(big_values):
-        x, y = is_vals[line], is_vals[line + 1]
-        ridx = 0 if line < r0_end else (1 if line < r1_end else 2)
-        if regions[ridx]:
-            ax, ay = abs(x), abs(y)
-            cx, cy = (min(ax, 15), min(ay, 15)) if linbits else (ax, ay)
-            if max(ax - cx, ay - cy) >= (1 << linbits if linbits else 1):
+    # round 17: the whole big-values + count1 emission assembles as one
+    # (value, width) matrix — row-major flatten reproduces the per-pair
+    # write order exactly (§2.4.2.7: code, linbits_x, sign_x, linbits_y,
+    # sign_y), absent slots carry width 0 and emit nothing
+    va = np.asarray(is_vals, dtype=np.int64)
+    regions = [0, 0, 0]
+    n_vals: list = []
+    n_wids: list = []
+    if big_values:
+        px = va[0: 2 * big_values: 2]
+        py = va[1: 2 * big_values: 2]
+        lines = np.arange(big_values, dtype=np.int64) * 2
+        ridx = np.where(lines < r0_end, 0, np.where(lines < r1_end, 1, 2))
+        nz = (px != 0) | (py != 0)
+        for r in range(3):
+            if bool(np.any(nz & (ridx == r))):
+                regions[r] = 1
+        coded = np.asarray(regions, dtype=bool)[ridx]
+        ax = np.abs(px)
+        ay = np.abs(py)
+        if linbits:
+            cx = np.minimum(ax, 15)
+            cy = np.minimum(ay, 15)
+        else:
+            cx, cy = ax, ay
+        over = np.maximum(ax - cx, ay - cy) >= (
+            (1 << linbits) if linbits else 1
+        )
+        ln_t, code_t = _mp3_pair_arrays(tsel_key)
+        ln_p = ln_t[cx, cy]
+        bad = coded & (over | (ln_p < 0))
+        if bool(np.any(bad)):
+            k = int(np.argmax(bad))
+            if over[k]:
                 raise ValueError(
-                    f"|is| = {max(ax, ay)} exceeds table {tsel_used}'s "
-                    f"15 + linbits({linbits}) range"
+                    f"|is| = {max(int(ax[k]), int(ay[k]))} exceeds table "
+                    f"{tsel_used}'s 15 + linbits({linbits}) range"
                 )
-            if (cx, cy) not in pair_table:
-                raise ValueError(
-                    f"|is| pair ({ax}, {ay}) exceeds table "
-                    f"{tsel_used}'s alphabet"
-                )
-            ln, code = pair_table[(cx, cy)]
-            vals.append(code)
-            wids.append(ln)
-            # §2.4.2.7 bit order: linbits_x, sign_x, linbits_y, sign_y
-            if linbits and cx == 15:
-                vals.append(ax - 15)
-                wids.append(linbits)
-            if x:
-                vals.append(1 if x < 0 else 0)
-                wids.append(1)
-            if linbits and cy == 15:
-                vals.append(ay - 15)
-                wids.append(linbits)
-            if y:
-                vals.append(1 if y < 0 else 0)
-                wids.append(1)
-        line += 2
-    last_nz = -1
-    for i in range(575, -1, -1):
-        if is_vals[i]:
-            last_nz = i
-            break
+            raise ValueError(
+                f"|is| pair ({int(ax[k])}, {int(ay[k])}) exceeds table "
+                f"{tsel_used}'s alphabet"
+            )
+        one = np.ones(big_values, dtype=np.int64)
+        zero = np.zeros(big_values, dtype=np.int64)
+        V = np.stack(
+            [code_t[cx, cy], ax - 15, (px < 0).astype(np.int64),
+             ay - 15, (py < 0).astype(np.int64)], axis=1,
+        )
+        W = np.stack(
+            [ln_p,
+             np.where(cx == 15, linbits, 0) if linbits else zero,
+             np.where(px != 0, one, zero),
+             np.where(cy == 15, linbits, 0) if linbits else zero,
+             np.where(py != 0, one, zero)], axis=1,
+        ) * coded[:, None]
+        n_vals.append(V.ravel())
+        n_wids.append(W.ravel())
+    line = 2 * big_values
+    nz_idx = np.flatnonzero(va)
+    last_nz = int(nz_idx[-1]) if len(nz_idx) else -1
     if last_nz >= line:
         n_quads = (last_nz - line) // 4 + 1
     else:
@@ -13658,24 +13727,31 @@ def _mp3_granule_bits(
     if line + 4 * n_quads > 576:
         raise ValueError("count1 region overruns 576 lines")
     count1_a = spec.get("count1table", "B") == "A"
-    for _ in range(n_quads):
-        quad = is_vals[line:line + 4]
-        if any(abs(v) > 1 for v in quad):
+    if n_quads:
+        quads = va[line: line + 4 * n_quads].reshape(-1, 4)
+        aq = np.abs(quads)
+        if bool(np.any(aq > 1)):
             raise ValueError("count1 region carries |is| > 1")
-        idx = (abs(quad[0]) << 3) | (abs(quad[1]) << 2) | (abs(quad[2]) << 1) | abs(quad[3])
+        idx = (aq[:, 0] << 3) | (aq[:, 1] << 2) | (aq[:, 2] << 1) | aq[:, 3]
         if count1_a:
-            ln, code = _MP3_COUNT1A[idx]
-            vals.append(code)
-            wids.append(ln)
+            ln1, code1 = _mp3_count1a_arrays()
+            qv = code1[idx]
+            qw = ln1[idx]
         else:
-            vals.append(15 - idx)  # count1 table B
-            wids.append(4)
-        for v in quad:
-            if v:
-                vals.append(1 if v < 0 else 0)
-                wids.append(1)
-        line += 4
-    bw.write_codes(vals, wids)
+            qv = 15 - idx  # count1 table B
+            qw = np.full(n_quads, 4, dtype=np.int64)
+        n_vals.append(
+            np.concatenate(
+                [qv[:, None], (quads < 0).astype(np.int64)], axis=1
+            ).ravel()
+        )
+        n_wids.append(
+            np.concatenate(
+                [qw[:, None], (quads != 0).astype(np.int64)], axis=1
+            ).ravel()
+        )
+    if n_vals:
+        bw.write_codes(np.concatenate(n_vals), np.concatenate(n_wids))
     # any table-1 region containing only (0,0) pairs still consumed bits;
     # regions with zero coded pairs keep table 0
     fields = {
