@@ -12607,19 +12607,36 @@ def encode_mpeg1_layer1(
                     idx = scf[c][sb]
                     _mp1_scalefactor(idx)  # validates 0-62
                     bw.write(idx, 6)
-        for t in range(12):
-            for sb in range(32):
-                for c in range(n_ch if sb < bound else 1):
-                    a = alloc[c][sb]
-                    if not a:
-                        continue
-                    nb = a + 1
-                    q = codes[c][t][sb]
-                    if not 0 <= q < (1 << nb):
-                        raise ValueError(
-                            "Layer I sample code exceeds nb bits"
-                        )
-                    bw.write(q, nb)  # offset binary IS the wire form
+        # sample section, vectorized (round 17): one (granule x slot)
+        # layout bulk-spliced — identical bits to the per-slot write
+        # loop (granule-major, slot order = (sb, then channel up to
+        # the joint bound)); offset binary IS the wire form
+        import numpy as np
+
+        C = [
+            np.asarray(codes[c], dtype=np.int64).reshape(12, 32)
+            for c in range(n_ch)
+        ]
+        cols: list = []
+        wrow: list = []
+        for sb in range(32):
+            for c in range(n_ch if sb < bound else 1):
+                a = alloc[c][sb]
+                if not a:
+                    continue
+                col = C[c][:, sb]
+                if bool(np.any((col < 0) | (col >= (1 << (a + 1))))):
+                    raise ValueError(
+                        "Layer I sample code exceeds nb bits"
+                    )
+                cols.append(col.reshape(12, 1))
+                wrow.append(a + 1)
+        if cols:
+            vmat = np.concatenate(cols, axis=1)
+            bw.write_codes(
+                vmat.ravel(),
+                np.tile(np.asarray(wrow, dtype=np.int64), 12),
+            )
         body_bits = bw.bit_list()
         bw.align()
         body = bw.bytes()
@@ -15449,36 +15466,51 @@ def mpeg1_layer1_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             frac = q / 2.0 ** (nb - 1) - 1.0
             return (1 << nb) / ((1 << nb) - 1) * (frac + 2.0 ** (1 - nb))
 
+        def _req_rows(alloc: list, scf_idx: list):
+            # per-subband scalar constants, computed with the exact
+            # _req/_mp1_scalefactor expressions (vectorized round 17:
+            # numpy then only divides/multiplies elementwise in _req's
+            # order; unallocated columns are zeroed explicitly)
+            sfv = np.empty(32)
+            gain = np.empty(32)
+            add = np.empty(32)
+            div = np.empty(32)
+            for sb in range(32):
+                a = alloc[sb]
+                nb = a + 1
+                sfv[sb] = _mp1_scalefactor(scf_idx[sb]) if a else 0.0
+                gain[sb] = (1 << nb) / ((1 << nb) - 1)
+                add[sb] = 2.0 ** (1 - nb)
+                div[sb] = 2.0 ** (nb - 1)
+            return sfv, gain, add, div
+
         def expected_svecs(specs: list) -> list:
             out = []
             for sp in specs:
-                for t in range(12):
-                    S = [0.0] * 32
-                    for sb in range(32):
-                        a = sp["alloc"][sb]
-                        if not a:
-                            continue
-                        S[sb] = _mp1_scalefactor(sp["scf_idx"][sb]) * _req(
-                            a + 1, sp["codes"][t][sb]
-                        )
-                    out.append(S)
+                sfv, gain, add, div = _req_rows(sp["alloc"], sp["scf_idx"])
+                codes = np.asarray(sp["codes"], dtype=np.int64)
+                M = sfv * (gain * (codes / div - 1.0 + add))
+                zero = [sb for sb in range(32) if not sp["alloc"][sb]]
+                if zero:
+                    M[:, zero] = 0.0
+                out.extend(M.tolist())
             return out
 
         def expected_svecs_joint(specs: list, c: int) -> list:
             out = []
             for sp in specs:
                 bound = sp["bound"]
-                for t in range(12):
-                    S = [0.0] * 32
-                    for sb in range(32):
-                        a = sp["alloc"][c][sb]
-                        if not a:
-                            continue
-                        src = 0 if sb >= bound else c
-                        S[sb] = _mp1_scalefactor(
-                            sp["scf_idx"][c][sb]
-                        ) * _req(a + 1, sp["codes"][src][t][sb])
-                    out.append(S)
+                sfv, gain, add, div = _req_rows(
+                    sp["alloc"][c], sp["scf_idx"][c]
+                )
+                codes = np.asarray(sp["codes"][c], dtype=np.int64).copy()
+                codes0 = np.asarray(sp["codes"][0], dtype=np.int64)
+                codes[:, bound:] = codes0[:, bound:]
+                M = sfv * (gain * (codes / div - 1.0 + add))
+                zero = [sb for sb in range(32) if not sp["alloc"][c][sb]]
+                if zero:
+                    M[:, zero] = 0.0
+                out.extend(M.tolist())
             return out
 
         # the SNR leg is doc-independent: compute once per executor
