@@ -659,3 +659,140 @@ def test_decode_gate_plans_have_no_trailing_sort(spark, sf_dir):
             assert e.startswith(("RoundRobin", "SinglePartition")), (
                 q.__name__, e,
             )
+
+
+def test_single_scan_restructures_share_one_corpus_pass(spark, sf_dir):
+    """Round-17 optimization: the sketch/rollup/LM queries that used to
+    re-derive a bounded intermediate per leg now materialize it once
+    (lazy localCheckpoint) — the executed plan must show at most the
+    deliberate number of parquet scans, with every other leg reading
+    the checkpointed RDD. Guards the single-scan claim of
+    OPTIMIZATION_r17.md against silent re-expansion."""
+    import re as _re
+
+    from input_data_pipeline_spark.operators.dedup import bloom_dedup_precheck
+    from input_data_pipeline_spark.operators.similarity import cluster_top_terms
+    from input_data_pipeline_spark.operators.textstats import (
+        bigram_lm_doc_scores,
+        countmin_merge_sources,
+        countmin_token_freq,
+        hll_distinct_tokens,
+        hll_union_sources,
+    )
+    from input_data_pipeline_spark.operators.windows import (
+        active_user_rollup,
+        event_hourly_gapfill,
+        hll_rolling_active_users,
+        user_retention_cohorts,
+    )
+
+    max_scans = {
+        bloom_dedup_precheck: 2,      # bitmap leg + exact-verify leg
+        hll_union_sources: 0,         # all legs read the checkpoint
+        hll_distinct_tokens: 0,
+        countmin_token_freq: 0,
+        countmin_merge_sources: 0,
+        bigram_lm_doc_scores: 0,
+        cluster_top_terms: 0,
+        active_user_rollup: 0,
+        user_retention_cohorts: 0,
+        hll_rolling_active_users: 0,
+        event_hourly_gapfill: 0,
+    }
+    for q, bound in max_scans.items():
+        plan = _executed_plan(q(spark, sf_dir))
+        n = len(_re.findall(r"Scan parquet", plan))
+        assert n <= bound, (q.__name__, n, bound, plan[:600])
+        if bound == 0:  # the one materialized pass feeds every leg
+            assert "ExistingRDD" in plan or "LocalTableScan" in plan, (
+                q.__name__, plan[:600],
+            )
+
+
+def test_bitwriter_write_codes_matches_sequential_writes():
+    """write_codes (round 17 bulk emitter) is bit-identical to write()
+    per pair — including width-0 pairs (emit nothing), negative values
+    (mask to their low w bits) and widths past 32, across byte
+    alignments."""
+    import random
+
+    from input_data_pipeline_spark.operators.multimodal import _BitWriter
+
+    rng = random.Random(1712)
+    for trial in range(25):
+        pairs = []
+        for _ in range(rng.randrange(0, 60)):
+            w = rng.choice([0, 1, 1, 2, 3, 4, 7, 8, 9, 13, 17, 24, 33, 40])
+            v = rng.randrange(-(1 << 41), 1 << 41)
+            pairs.append((v, w))
+        lead = rng.randrange(0, 7)  # start mid-byte too
+        a = _BitWriter()
+        b = _BitWriter()
+        if lead:
+            a.write(0x15, lead)
+            b.write(0x15, lead)
+        for v, w in pairs:
+            a.write(v, w)
+        b.write_codes([v for v, _ in pairs], [w for _, w in pairs])
+        assert a.bit_list() == b.bit_list(), (trial, pairs[:5])
+
+
+def test_vorbis_peek8_lut_matches_tree_walk():
+    """The peek-8 decode LUT (round 17) agrees with the §3.2.1 codeword
+    table on every possible 8-bit peek: a slot decodes to (entry, len)
+    iff exactly one codeword of length <= 8 prefixes the peek's
+    LSB-first bit sequence, else it is None (longer-codeword or
+    invalid paths fall back to the per-bit walk)."""
+    from input_data_pipeline_spark.operators.multimodal import (
+        _VBitsW,
+        _VorbisBook,
+        _VBits,
+    )
+
+    # build a book with mixed lengths incl. >8-bit codewords via the
+    # ordered layout: entries of lengths 2,3,3,4,..., padded so some
+    # codewords exceed 8 bits (under-subscribed trees are legal)
+    w = _VBitsW()
+    w.write(0x564342, 24)
+    w.write(1, 16)            # dims
+    w.write(12, 24)           # entries
+    w.write(1, 1)             # ordered
+    w.write(1, 5)             # first length - 1 -> 2
+    # ordered counts: ilog-coded number of entries per length step
+    w.write(1, _ilog(12))     # 1 entry of len 2
+    w.write(2, _ilog(11))     # 2 of len 3
+    w.write(3, _ilog(9))      # 3 of len 4
+    w.write(2, _ilog(6))      # 2 of len 5
+    w.write(1, _ilog(4))      # 1 of len 6
+    w.write(1, _ilog(3))      # 1 of len 7
+    w.write(1, _ilog(2))      # 1 of len 8
+    w.write(1, _ilog(1))      # 1 of len 9
+    w.write(0, 4)             # lookup type 0
+    book = _VorbisBook(_VBits(w.getvalue()))
+    lut = book._build_lut8()
+    assert book.maxlen == 9
+    rev = {}
+    for (ln, code), e in book.table.items():
+        if ln <= 8:
+            # expand this codeword to all peeks it owns
+            r = int(f"{code:0{ln}b}"[::-1], 2)
+            for j in range(1 << (8 - ln)):
+                rev[r | (j << ln)] = (e, ln)
+    for peek in range(256):
+        assert lut[peek] == rev.get(peek), peek
+    # decode equivalence through the byte-aligned fast path vs a fresh
+    # per-bit walk, for every entry incl. the 9-bit one
+    for (ln, code), e in book.table.items():
+        wb = _VBitsW()
+        for i in range(ln - 1, -1, -1):  # MSB-first emission
+            wb.write((code >> i) & 1, 1)
+        wb.write(0, 16)  # pad so the peek never trips end-of-packet
+        br = _VBits(wb.getvalue())
+        assert book.scalar(br) == e, (ln, code)
+        assert br.pos == ln
+
+
+def _ilog(x: int) -> int:
+    from input_data_pipeline_spark.operators.multimodal import _vilog
+
+    return _vilog(x)
