@@ -200,44 +200,31 @@ FLOORS = {
     "mp3_rate_profiles_decode_features": 1.017,
     "mp4_audio_extract_features": 1.680,
     "jpeg_lossless_decode_features": 0.658,
-    # round-17 first entries (closing local bench SESSION @ sf0.1,
-    # local[32], yardstick 20.6 GFLOP/s under ~29k steal ticks — the
-    # established first-entry unit; replace with BENCH_r17 driver
-    # numbers when recorded): the two r16 queries newly added to the
-    # headline set plus the three r17 gates
-    "adts_probe_features": 0.649,
-    "mpeg1_layer1_decode_features": 2.205,
-    "mpeg1_layer2_decode_features": 2.904,
-    "mp3_lsf_decode_features": 1.617,
-    "jpeg_in_tiff_decode_features": 2.700,
-    # late r17 addition (final closing session, yardstick 69 GFLOP/s)
-    "jpeg_precision12_features": 2.237,
-    # r17 continuation first entries (closing bench SESSION @ sf0.1,
-    # local[32], yardstick 34.7 GFLOP/s under ~47k steal ticks — the
-    # established first-entry unit; replace with BENCH_r17 driver
-    # numbers when recorded): the container/format sweep gates
-    "ms_adpcm_decode_features": 1.123,
-    "aiff_decode_features": 0.545,
-    "caf_decode_features": 0.587,
-    "ogg_probe_features": 0.598,
-    "wav_ext_decode_features": 0.567,
-    "netpbm_tga_decode_features": 0.580,
-    "y4m_decode_features": 0.636,
-    # final r17 additions (closing bench sessions, yardsticks 26.7 and
-    # 9.4 GFLOP/s under ~19k/~44k steal ticks)
-    "audio_tags_features": 0.457,
-    "mp4_pcm_variants_features": 0.636,
-    # r17 final session first entries (closing bench SESSION @ sf0.1,
-    # local[32], yardstick 8.8 GFLOP/s under ~43k steal ticks — a
-    # heavily stolen interval, so these floors are conservative;
-    # replace with BENCH_r17 driver numbers when recorded)
-    "vorbis_decode_features": 1.589,
-    "jpeg_hierarchical_features": 1.353,
-    # DSP trio first entries (second closing bench SESSION @ sf0.1,
-    # local[32], yardstick 13.2 GFLOP/s under ~77k steal ticks)
-    "audio_resample_features": 1.841,
-    "audio_vad_features": 0.688,
-    "audio_mfcc_features": 0.888,
+    # round-17 entries, updated in round 18 to the BENCH_r17 DRIVER
+    # numbers (sf0.1, local[32], cold JVM) per the "replace with
+    # BENCH_r17 driver numbers when recorded" notes that shipped the
+    # interim session-measured values — the 2x acceptance gate now
+    # tracks driver reality (VERDICT r17, next-round item 6)
+    "adts_probe_features": 0.301,
+    "mpeg1_layer1_decode_features": 1.027,
+    "mpeg1_layer2_decode_features": 1.298,
+    "mp3_lsf_decode_features": 0.862,
+    "jpeg_in_tiff_decode_features": 1.234,
+    "jpeg_precision12_features": 0.887,
+    "ms_adpcm_decode_features": 0.743,
+    "aiff_decode_features": 0.408,
+    "caf_decode_features": 0.348,
+    "ogg_probe_features": 0.331,
+    "wav_ext_decode_features": 0.346,
+    "netpbm_tga_decode_features": 0.368,
+    "y4m_decode_features": 0.392,
+    "audio_tags_features": 0.307,
+    "mp4_pcm_variants_features": 0.335,
+    "vorbis_decode_features": 0.888,
+    "jpeg_hierarchical_features": 0.810,
+    "audio_resample_features": 0.623,
+    "audio_vad_features": 0.333,
+    "audio_mfcc_features": 0.511,
 }
 
 

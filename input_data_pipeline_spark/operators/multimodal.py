@@ -7307,18 +7307,25 @@ del _b, _r
 
 
 _OGG_CRC_POS_TABLES = None  # (KMAX, 256) uint32: T_k[b] = (b << (8k+32)) mod P
+# Cap the position-table length (round 18, ADVICE): an uncapped table
+# scales with the largest payload seen and is retained for process
+# lifetime (a 64 KiB page would pin ~67 MB per executor process).
+# Larger payloads fold blockwise via CRC linearity:
+# crc(a||b) = shift(crc(a), len(b)) ^ crc(b).
+_OGG_CRC_POS_CAP = 8192
 
 
 def _ogg_crc_pos_tables(kmax: int):
     """Position-dependent CRC-32 tables (round 17; the same linearity
     trick as _crc16_pos_tables): crc(data) = XOR_i T_{n-1-i}[data[i]]
     with T_0 the classic byte table and T_{k+1}[b] = (T_k[b] << 8) mod
-    P."""
+    P. Capped at ``_OGG_CRC_POS_CAP`` rows (~8 MB)."""
     import numpy as np
 
     global _OGG_CRC_POS_TABLES
+    kmax = min(kmax, _OGG_CRC_POS_CAP)
     if _OGG_CRC_POS_TABLES is None or len(_OGG_CRC_POS_TABLES) < kmax:
-        size = max(kmax, 8192)
+        size = _OGG_CRC_POS_CAP
         base = np.asarray(_OGG_CRC_TABLE, dtype=np.uint32)
         tables = np.empty((size, 256), dtype=np.uint32)
         tables[0] = base
@@ -7339,10 +7346,28 @@ def _ogg_crc(data: bytes) -> int:
     if n >= 64:
         import numpy as np
 
-        tables = _ogg_crc_pos_tables(n)
-        b = np.frombuffer(data, dtype=np.uint8)
-        k = np.arange(n - 1, -1, -1)
-        return int(np.bitwise_xor.reduce(tables[k, b]))
+        step = _OGG_CRC_POS_CAP
+        tables = _ogg_crc_pos_tables(min(n, step))
+        # First chunk takes the remainder so every subsequent shift is
+        # by a full `step` block (shift amount must stay <= table size).
+        first = n % step or step
+        crc = 0
+        pos = 0
+        for m in [first] + [step] * ((n - first) // step):
+            b = np.frombuffer(data, dtype=np.uint8, count=m, offset=pos)
+            pos += m
+            k = np.arange(m - 1, -1, -1)
+            block = int(np.bitwise_xor.reduce(tables[k, b]))
+            if crc:
+                # shift(crc, m bytes): crc = sum_j byte_j * x^(8j), so
+                # crc * x^(8m) mod P = XOR_j T_{m-4+j}[byte_j] (m >= 4
+                # always holds here: every follow-on chunk is a full step)
+                s = 0
+                for j in range(4):
+                    s ^= int(tables[m - 4 + j, (crc >> (8 * j)) & 0xFF])
+                block ^= s
+            crc = block
+        return crc
     crc = 0
     for byte in data:
         crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[
@@ -9850,18 +9875,24 @@ def _crc8(data: bytes) -> int:
 
 
 _CRC16_POS_TABLES = None  # (KMAX, 256) uint16: T_k[b] = (b << (8k+16)) mod P
+# Cap + blockwise fold (round 18, ADVICE): same policy as the Ogg CRC-32
+# tables — bound the per-process retention instead of growing with the
+# largest FLAC frame seen.
+_CRC16_POS_CAP = 4096
 
 
 def _crc16_pos_tables(kmax: int):
     """Position-dependent CRC-16 tables: CRC is linear over GF(2), so
     crc(data) = XOR_i T_{n-1-i}[data[i]] with T_0 the classic byte table
     and T_{k+1}[b] = (T_k[b] << 8) mod P — one fancy-indexed XOR-reduce
-    replaces the per-byte loop (round 17)."""
+    replaces the per-byte loop (round 17). Capped at ``_CRC16_POS_CAP``
+    rows (~2 MB)."""
     import numpy as np
 
     global _CRC16_POS_TABLES
+    kmax = min(kmax, _CRC16_POS_CAP)
     if _CRC16_POS_TABLES is None or len(_CRC16_POS_TABLES) < kmax:
-        size = max(kmax, 4096)
+        size = _CRC16_POS_CAP
         base = np.asarray(_FLAC_CRC16, dtype=np.uint16)
         tables = np.empty((size, 256), dtype=np.uint16)
         tables[0] = base
@@ -9878,10 +9909,25 @@ def _crc16(data: bytes) -> int:
     if n >= 64:
         import numpy as np
 
-        tables = _crc16_pos_tables(n)
-        b = np.frombuffer(data, dtype=np.uint8)
-        k = np.arange(n - 1, -1, -1)
-        return int(np.bitwise_xor.reduce(tables[k, b]))
+        step = _CRC16_POS_CAP
+        tables = _crc16_pos_tables(min(n, step))
+        first = n % step or step
+        c = 0
+        pos = 0
+        for m in [first] + [step] * ((n - first) // step):
+            b = np.frombuffer(data, dtype=np.uint8, count=m, offset=pos)
+            pos += m
+            k = np.arange(m - 1, -1, -1)
+            block = int(np.bitwise_xor.reduce(tables[k, b]))
+            if c:
+                # shift(c, m bytes) = XOR_j T_{m-2+j}[byte_j] (m >= 2
+                # always: every follow-on chunk is a full step)
+                s = int(tables[m - 2, c & 0xFF]) ^ int(
+                    tables[m - 1, (c >> 8) & 0xFF]
+                )
+                block ^= s
+            c = block
+        return c
     c = 0
     for b in data:
         c = _FLAC_CRC16[((c >> 8) ^ b) & 0xFF] ^ ((c << 8) & 0xFFFF)
@@ -11684,7 +11730,7 @@ def _mp3_read_huffman(br: "_BitReader", g: "_MP3Granule", part2_bits: int) -> No
                     ln = 8
                 while True:
                     if pos >= total_bits:
-                        raise ValueError("truncated FLAC bitstream")
+                        raise ValueError("truncated MP3 bitstream")
                     code = (code << 1) | (b8l[pos] >> 7)
                     pos += 1
                     ln += 1
@@ -11698,23 +11744,23 @@ def _mp3_read_huffman(br: "_BitReader", g: "_MP3Granule", part2_bits: int) -> No
         # §2.4.2.7 bit order: linbits_x, sign_x, linbits_y, sign_y
         if linbits and x == 15:
             if pos + linbits > total_bits:
-                raise ValueError("truncated FLAC bitstream")
+                raise ValueError("truncated MP3 bitstream")
             x += ((b8l[pos] << 8) | b8l[pos + 8]) >> (16 - linbits)
             pos += linbits
         if x:
             if pos >= total_bits:
-                raise ValueError("truncated FLAC bitstream")
+                raise ValueError("truncated MP3 bitstream")
             if b8l[pos] >> 7:
                 x = -x
             pos += 1
         if linbits and y == 15:
             if pos + linbits > total_bits:
-                raise ValueError("truncated FLAC bitstream")
+                raise ValueError("truncated MP3 bitstream")
             y += ((b8l[pos] << 8) | b8l[pos + 8]) >> (16 - linbits)
             pos += linbits
         if y:
             if pos >= total_bits:
-                raise ValueError("truncated FLAC bitstream")
+                raise ValueError("truncated MP3 bitstream")
             if b8l[pos] >> 7:
                 y = -y
             pos += 1
@@ -11726,7 +11772,7 @@ def _mp3_read_huffman(br: "_BitReader", g: "_MP3Granule", part2_bits: int) -> No
     while pos - start_bit < budget and line + 4 <= 576:
         if g.count1table_select == 1:
             if pos + 4 > total_bits:
-                raise ValueError("truncated FLAC bitstream")
+                raise ValueError("truncated MP3 bitstream")
             idx = 15 - (b8l[pos] >> 4)  # table B: one's complement code
             pos += 4
         elif pos + 8 <= total_bits:
@@ -11740,7 +11786,7 @@ def _mp3_read_huffman(br: "_BitReader", g: "_MP3Granule", part2_bits: int) -> No
             code = 0
             while True:
                 if pos >= total_bits:
-                    raise ValueError("truncated FLAC bitstream")
+                    raise ValueError("truncated MP3 bitstream")
                 code = (code << 1) | (b8l[pos] >> 7)
                 pos += 1
                 ln += 1
@@ -11753,7 +11799,7 @@ def _mp3_read_huffman(br: "_BitReader", g: "_MP3Granule", part2_bits: int) -> No
         for q in range(4):
             if quad[q]:
                 if pos >= total_bits:
-                    raise ValueError("truncated FLAC bitstream")
+                    raise ValueError("truncated MP3 bitstream")
                 if b8l[pos] >> 7:
                     quad[q] = -quad[q]
                 pos += 1
@@ -12498,7 +12544,7 @@ def decode_mpeg1_layer1(payload: bytes, flush: bool = True) -> dict:
             offs = start + np.cumsum(nb_arr) - nb_arr
             end_bit = int(offs[-1] + nb_arr[-1])
             if end_bit > len(payload) * 8:
-                raise ValueError("truncated FLAC bitstream")
+                raise ValueError("truncated Layer I frame")
             lo_byte = start >> 3
             hi_byte = ((end_bit + 7) >> 3) + 3
             raw = payload[lo_byte:hi_byte].ljust(hi_byte - lo_byte, b"\x00")
@@ -12968,7 +13014,7 @@ def decode_mpeg1_layer2(payload: bytes, flush: bool = True) -> dict:
             offs = start + np.cumsum(wg) - wg
             end_bit = int(offs[-1] + wg[-1])
             if end_bit > len(payload) * 8:
-                raise ValueError("truncated FLAC bitstream")
+                raise ValueError("truncated Layer II frame")
             lo_byte = start >> 3
             hi_byte = ((end_bit + 7) >> 3) + 3
             raw = payload[lo_byte:hi_byte].ljust(hi_byte - lo_byte, b"\x00")

@@ -1956,6 +1956,13 @@ def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = [(r["src"], r["dst"], int(r["w"])) for r in edge_rows]
     nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
     n_nodes = len(nodes)
+    if not nodes:
+        # empty fact tables: the distributed formulation returned an empty
+        # frame; the driver-side iteration must not divide by n_nodes == 0
+        return spark.createDataFrame(
+            [],
+            "nation string, pr_ppm long, out_weight long, in_weight long",
+        )
     ow: dict[str, int] = {}
     in_w: dict[str, int] = {}
     for s, d, w in edges:

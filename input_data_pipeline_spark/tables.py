@@ -37,7 +37,31 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 # the same handful of paths. Caching the lazy DataFrame caches ONLY the
 # plan — no data is persisted, every action still scans the parquet —
 # so it is planning-overhead removal, not result caching.
+#
+# IMMUTABLE-TESTDATA ASSUMPTION (round 18, ADVICE): the cached handle
+# captures the resolved schema and file listing at first load. If the
+# parquet under the same sf_dir is REGENERATED within one Spark
+# application, the cached handle would serve stale files/schema
+# silently — a writer that regenerates data in-session must call
+# ``invalidate_table_cache(sf_dir)`` (or with no args to drop
+# everything) before re-reading.
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# fan_out's scan-partition probe forces a full analysis + RDD
+# conversion per call (~30-80 ms driver-side); the answer is a constant
+# of the cached handle's file listing, so memoize it per handle id.
+_NPART_CACHE: dict[int, int] = {}
+
+
+def invalidate_table_cache(sf_dir: str | None = None) -> None:
+    """Drop cached table handles (all apps) for ``sf_dir``, or every
+    cached handle when ``sf_dir`` is None. Required after regenerating
+    parquet under a previously loaded directory within one session."""
+    if sf_dir is None:
+        _TABLE_CACHE.clear()
+    else:
+        for key in [k for k in _TABLE_CACHE if k[1] == sf_dir]:
+            del _TABLE_CACHE[key]
+    _NPART_CACHE.clear()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -86,9 +110,27 @@ def fan_out(df: DataFrame) -> DataFrame:
     cases by construction.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if _scan_partitions(df) < target:
         return df.repartition(target)
     return df
+
+
+def _scan_partitions(df: DataFrame) -> int:
+    """Memoized ``df.rdd.getNumPartitions()`` (round 18, guide §5 driver
+    work): the probe forces a full analysis + physical-plan + RDD
+    conversion on the driver per call, but its answer is a constant of
+    the frame's file listing — for the cached ``load_table`` handles one
+    probe per session suffices. Keyed by object id with a weakref
+    finalizer so a collected frame can never serve a stale id."""
+    import weakref
+
+    key = id(df)
+    n = _NPART_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _NPART_CACHE[key] = n
+        weakref.finalize(df, _NPART_CACHE.pop, key, None)
+    return n
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
