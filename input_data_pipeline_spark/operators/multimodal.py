@@ -19930,13 +19930,12 @@ def _g72x_update(st: _G72xState, code_bits: int, y: int, wi: int, fi: int,
         st.ap += (-st.ap) >> 4
 
 
-def g72x_encode(samples, law: str = "g721", return_reconstruction: bool = False):
-    """Encode mono int16 PCM to G.721/G.723 ADPCM codes (one int per
-    sample, ``bits`` wide). With ``return_reconstruction`` also returns
-    the encoder's internal reconstructed signal — bit-identical to what
-    :func:`g72x_decode` produces, because encoder and decoder run the
-    SAME state machine (the G.726 backward-adaptation property the
-    differential gate asserts)."""
+def _g72x_encode_ref(samples, law: str = "g721",
+                     return_reconstruction: bool = False):
+    """Spec-block reference encoder: the per-sample loop composed from
+    the named G.726 blocks above (FMULT/MIX/QUAN/RECONST/update). Kept
+    as the certification surface; :func:`g72x_encode` is the inlined
+    hot path, pinned bit-identical to this by test."""
     import numpy as np
 
     if law not in _G72X_LAWS:
@@ -19966,9 +19965,8 @@ def g72x_encode(samples, law: str = "g721", return_reconstruction: bool = False)
     return (codes, recon) if return_reconstruction else codes
 
 
-def g72x_decode(codes, law: str = "g721"):
-    """Decode G.721/G.723 ADPCM codes back to int16 PCM (the mirror of
-    :func:`g72x_encode`; same state machine, fed the code stream)."""
+def _g72x_decode_ref(codes, law: str = "g721"):
+    """Spec-block reference decoder (see :func:`_g72x_encode_ref`)."""
     import numpy as np
 
     if law not in _G72X_LAWS:
@@ -19991,6 +19989,294 @@ def g72x_decode(codes, law: str = "g721"):
         _g72x_update(st, bits, y, wi_tab[i], fi_tab[i], dq, sr, dqsez)
         out[k] = max(-32768, min(32767, sr << 2))
     return out
+
+
+# Packed FMULT decomposition table (round 18): for anmag in 0..0x1FFF,
+# _G72X_FLT[anmag] = (anexp + 6) << 6 | anmant with anexp = bit_length - 6
+# and anmant = anmag >> anexp (or << -anexp; 32 for zero) — one list
+# index replaces a bit_length call + two branches on the 8-FMULT-per-
+# sample hot path. Values verified against the inline decomposition at
+# build time.
+def _g72x_build_flt():
+    out = []
+    for anmag in range(0x2000):
+        anexp = anmag.bit_length() - 6
+        if anmag == 0:
+            anmant = 32
+        elif anexp >= 0:
+            anmant = anmag >> anexp
+        else:
+            anmant = anmag << -anexp
+        assert 32 <= anmant <= 63 or (anmag == 0 and anmant == 32)
+        out.append(((anexp + 6) << 6) | anmant)
+    return tuple(out)
+
+
+_G72X_FLT = _g72x_build_flt()
+
+
+def _g72x_run(values, law: str, is_decode: bool, want_recon: bool):
+    """Shared inlined G.72x state machine (round 18, guide §4.2: the
+    per-sample helper calls — 8 FMULTs, MIX, QUAN, RECONST and the
+    whole update block per sample — were ~60% of the au_adpcm kernel;
+    this single loop body keeps every state variable in a local and
+    transcribes the SAME integer expressions in the same order. The
+    spec-block composition survives as ``_g72x_encode_ref`` /
+    ``_g72x_decode_ref``; byte-identity on every law/branch is pinned
+    by ``test_g72x_inlined_loop_matches_spec_blocks``).
+
+    ``values``: 14-bit ``sl`` inputs (encode) or raw codes (decode).
+    Returns (codes, recon) with either possibly None."""
+    bits, qtab, dqln_tab, wi_tab, fi_tab = _G72X_LAWS[law]
+    sign_bit = 1 << (bits - 1)
+    mask = (1 << bits) - 1
+    top_code = (len(qtab) << 1) + 1
+    sh = 9 if bits == 5 else 8  # 40 kbit/s zeros leak slower
+    # _G72xState() initial values, as locals
+    yl, yu, dms, dml, ap = 34816, 544, 0, 0, 0
+    a0 = a1 = 0
+    b0 = b1 = b2 = b3 = b4 = b5 = 0
+    pk0s = pk1s = 0
+    dq0 = dq1 = dq2 = dq3 = dq4 = dq5 = 32
+    sr0 = sr1 = 32
+    td = 0
+    codes = [] if not is_decode else None
+    recon = [] if want_recon else None
+    for v in values:
+        # FMULT x6 over the zero taps (SEZI), then x2 over the poles
+        an = b0 >> 2
+        t = _G72X_FLT[an if an > 0 else (-an) & 0x1FFF]
+        wanexp = (t >> 6) + ((dq0 >> 6) & 0xF) - 19
+        wanmant = ((t & 63) * (dq0 & 0o77) + 0x30) >> 4
+        r = (wanmant << wanexp) & 0x7FFF if wanexp >= 0 else wanmant >> -wanexp
+        sezi = -r if (an ^ dq0) < 0 else r
+        an = b1 >> 2
+        t = _G72X_FLT[an if an > 0 else (-an) & 0x1FFF]
+        wanexp = (t >> 6) + ((dq1 >> 6) & 0xF) - 19
+        wanmant = ((t & 63) * (dq1 & 0o77) + 0x30) >> 4
+        r = (wanmant << wanexp) & 0x7FFF if wanexp >= 0 else wanmant >> -wanexp
+        sezi += -r if (an ^ dq1) < 0 else r
+        an = b2 >> 2
+        t = _G72X_FLT[an if an > 0 else (-an) & 0x1FFF]
+        wanexp = (t >> 6) + ((dq2 >> 6) & 0xF) - 19
+        wanmant = ((t & 63) * (dq2 & 0o77) + 0x30) >> 4
+        r = (wanmant << wanexp) & 0x7FFF if wanexp >= 0 else wanmant >> -wanexp
+        sezi += -r if (an ^ dq2) < 0 else r
+        an = b3 >> 2
+        t = _G72X_FLT[an if an > 0 else (-an) & 0x1FFF]
+        wanexp = (t >> 6) + ((dq3 >> 6) & 0xF) - 19
+        wanmant = ((t & 63) * (dq3 & 0o77) + 0x30) >> 4
+        r = (wanmant << wanexp) & 0x7FFF if wanexp >= 0 else wanmant >> -wanexp
+        sezi += -r if (an ^ dq3) < 0 else r
+        an = b4 >> 2
+        t = _G72X_FLT[an if an > 0 else (-an) & 0x1FFF]
+        wanexp = (t >> 6) + ((dq4 >> 6) & 0xF) - 19
+        wanmant = ((t & 63) * (dq4 & 0o77) + 0x30) >> 4
+        r = (wanmant << wanexp) & 0x7FFF if wanexp >= 0 else wanmant >> -wanexp
+        sezi += -r if (an ^ dq4) < 0 else r
+        an = b5 >> 2
+        t = _G72X_FLT[an if an > 0 else (-an) & 0x1FFF]
+        wanexp = (t >> 6) + ((dq5 >> 6) & 0xF) - 19
+        wanmant = ((t & 63) * (dq5 & 0o77) + 0x30) >> 4
+        r = (wanmant << wanexp) & 0x7FFF if wanexp >= 0 else wanmant >> -wanexp
+        sezi += -r if (an ^ dq5) < 0 else r
+        sez = sezi >> 1
+        an = a1 >> 2
+        t = _G72X_FLT[an if an > 0 else (-an) & 0x1FFF]
+        wanexp = (t >> 6) + ((sr1 >> 6) & 0xF) - 19
+        wanmant = ((t & 63) * (sr1 & 0o77) + 0x30) >> 4
+        r = (wanmant << wanexp) & 0x7FFF if wanexp >= 0 else wanmant >> -wanexp
+        sei = sezi + (-r if (an ^ sr1) < 0 else r)
+        an = a0 >> 2
+        t = _G72X_FLT[an if an > 0 else (-an) & 0x1FFF]
+        wanexp = (t >> 6) + ((sr0 >> 6) & 0xF) - 19
+        wanmant = ((t & 63) * (sr0 & 0o77) + 0x30) >> 4
+        r = (wanmant << wanexp) & 0x7FFF if wanexp >= 0 else wanmant >> -wanexp
+        se = (sei + (-r if (an ^ sr0) < 0 else r)) >> 1
+        # MIX (step size)
+        if ap >= 256:
+            y = yu
+        else:
+            y = yl >> 6
+            dif = yu - y
+            al = ap >> 2
+            if dif > 0:
+                y += (dif * al) >> 6
+            elif dif < 0:
+                y += (dif * al + 0x3F) >> 6
+        if is_decode:
+            i = v & mask
+        else:
+            # LOG/SUBTB/QUAN
+            d = v - se
+            dqm = d if d >= 0 else -d
+            exp = (dqm >> 1).bit_length()
+            dln = (exp << 7) + (((dqm << 7) >> exp) & 0x7F) - (y >> 2)
+            i = 0
+            for t in qtab:
+                if dln < t:
+                    break
+                i += 1
+            if d < 0:
+                i = top_code - i
+            elif i == 0:
+                i = top_code
+            codes.append(i)
+        # RECONST
+        dql = dqln_tab[i] + (y >> 2)
+        if dql < 0:
+            dq = -0x8000 if i & sign_bit else 0
+        else:
+            dq = ((128 + (dql & 127)) << 7) >> (14 - ((dql >> 7) & 15))
+            if i & sign_bit:
+                dq -= 0x8000
+        sr = se - (dq & 0x3FFF) if dq < 0 else se + dq
+        dqsez = sr + sez - se
+        if recon is not None:
+            recon.append(-32768 if sr < -8192 else
+                         (32767 if sr > 8191 else sr << 2))
+        # --- update block (G.726 §4.2.4-§4.2.8), same ints in order ---
+        pk0 = 1 if dqsez < 0 else 0
+        mag = dq & 0x7FFF
+        ylint = yl >> 15
+        thr2 = (31 << 10) if ylint > 9 else (32 + ((yl >> 10) & 0x1F)) << ylint
+        tr = 1 if td != 0 and mag > (thr2 + (thr2 >> 1)) >> 1 else 0
+        yu = y + ((wi_tab[i] - y) >> 5)
+        if yu < 544:
+            yu = 544
+        elif yu > 5120:
+            yu = 5120
+        yl += yu + ((-yl) >> 6)
+        a2p = 0
+        if tr == 1:
+            a0 = a1 = 0
+            b0 = b1 = b2 = b3 = b4 = b5 = 0
+        else:
+            pks1 = pk0 ^ pk0s
+            a2p = a1 - (a1 >> 7)
+            if dqsez != 0:
+                fa1 = a0 if pks1 else -a0
+                if fa1 < -8191:
+                    a2p -= 0x100
+                elif fa1 > 8191:
+                    a2p += 0xFF
+                else:
+                    a2p += fa1 >> 5
+                if pk0 ^ pk1s:
+                    if a2p <= -12160:
+                        a2p = -12288
+                    elif a2p >= 12416:
+                        a2p = 12288
+                    else:
+                        a2p -= 0x80
+                elif a2p <= -12416:
+                    a2p = -12288
+                elif a2p >= 12160:
+                    a2p = 12288
+                else:
+                    a2p += 0x80
+            a1 = a2p
+            a0 -= a0 >> 8
+            if dqsez != 0:
+                a0 += 192 if pks1 == 0 else -192
+            a1ul = 15360 - a2p
+            if a0 < -a1ul:
+                a0 = -a1ul
+            elif a0 > a1ul:
+                a0 = a1ul
+            if mag:
+                # leak first, then the sign-agreement nudge (ref order)
+                b0 = b0 - (b0 >> sh) + (128 if (dq ^ dq0) >= 0 else -128)
+                b1 = b1 - (b1 >> sh) + (128 if (dq ^ dq1) >= 0 else -128)
+                b2 = b2 - (b2 >> sh) + (128 if (dq ^ dq2) >= 0 else -128)
+                b3 = b3 - (b3 >> sh) + (128 if (dq ^ dq3) >= 0 else -128)
+                b4 = b4 - (b4 >> sh) + (128 if (dq ^ dq4) >= 0 else -128)
+                b5 = b5 - (b5 >> sh) + (128 if (dq ^ dq5) >= 0 else -128)
+            else:
+                b0 -= b0 >> sh
+                b1 -= b1 >> sh
+                b2 -= b2 >> sh
+                b3 -= b3 >> sh
+                b4 -= b4 >> sh
+                b5 -= b5 >> sh
+        # FLOAT A + dq delay line
+        dq5, dq4, dq3, dq2, dq1 = dq4, dq3, dq2, dq1, dq0
+        if mag == 0:
+            dq0 = 0x20 if dq >= 0 else 0x20 - 0x400
+        else:
+            exp = mag.bit_length()
+            val = (exp << 6) + ((mag << 6) >> exp)
+            dq0 = val if dq >= 0 else val - 0x400
+        sr1 = sr0
+        if sr == 0:
+            sr0 = 0x20
+        elif sr > 0:
+            exp = sr.bit_length()
+            sr0 = (exp << 6) + ((sr << 6) >> exp)
+        elif sr > -32768:
+            mag_sr = -sr
+            exp = mag_sr.bit_length()
+            sr0 = (exp << 6) + ((mag_sr << 6) >> exp) - 0x400
+        else:
+            sr0 = 0x20 - 0x400
+        pk1s = pk0s
+        pk0s = pk0
+        if tr == 1:
+            td = 0
+        elif a2p < -11776:
+            td = 1
+        else:
+            td = 0
+        fi = fi_tab[i]
+        dms += (fi - dms) >> 5
+        dml += ((fi << 2) - dml) >> 7
+        if tr == 1:
+            ap = 256
+        elif y < 1536 or td == 1 \
+                or abs((dms << 2) - dml) >= (dml >> 3):
+            ap += (0x200 - ap) >> 4
+        else:
+            ap += (-ap) >> 4
+    return codes, recon
+
+
+def g72x_encode(samples, law: str = "g721", return_reconstruction: bool = False):
+    """Encode mono int16 PCM to G.721/G.723 ADPCM codes (one int per
+    sample, ``bits`` wide). With ``return_reconstruction`` also returns
+    the encoder's internal reconstructed signal — bit-identical to what
+    :func:`g72x_decode` produces, because encoder and decoder run the
+    SAME state machine (the G.726 backward-adaptation property the
+    differential gate asserts). Inlined hot loop; the spec-block
+    composition is :func:`_g72x_encode_ref`, bit-identity pinned by
+    test."""
+    import numpy as np
+
+    if law not in _G72X_LAWS:
+        raise ValueError(f"unknown G.72x law {law!r}")
+    sl = [s >> 2 for s in np.asarray(samples, dtype=np.int16).tolist()]
+    codes, recon = _g72x_run(sl, law, False, return_reconstruction)
+    codes_np = np.asarray(codes, np.uint8) if codes else \
+        np.empty(0, np.uint8)
+    if not return_reconstruction:
+        return codes_np
+    recon_np = np.asarray(recon, np.int16) if recon else np.empty(0, np.int16)
+    return codes_np, recon_np
+
+
+def g72x_decode(codes, law: str = "g721"):
+    """Decode G.721/G.723 ADPCM codes back to int16 PCM (the mirror of
+    :func:`g72x_encode`; same state machine, fed the code stream).
+    Inlined hot loop; spec-block composition in
+    :func:`_g72x_decode_ref`, bit-identity pinned by test."""
+    import numpy as np
+
+    if law not in _G72X_LAWS:
+        raise ValueError(f"unknown G.72x law {law!r}")
+    code_list = codes.tolist() if hasattr(codes, "tolist") else [
+        int(c) for c in codes
+    ]
+    _, recon = _g72x_run(code_list, law, True, True)
+    return np.asarray(recon, np.int16) if recon else np.empty(0, np.int16)
 
 
 # ---------------------------------------------------------------------------
@@ -20180,11 +20466,12 @@ class _G722Band:
         self.det = det
 
 
-def _g722_block4(bd: _G722Band, d: int) -> None:
-    """Predictor update shared by both bands and both directions (G.722
+def _g722_block4_ref(bd: _G722Band, d: int) -> None:
+    """Spec-block reference for the shared predictor update (G.722
     block 4): reconstruct, adapt the two poles (with the same stability
     region as G.726) and six zeros by sign agreement, then form the next
-    pole/zero predictions."""
+    pole/zero predictions. :func:`_g722_block4` is the unrolled hot
+    path, pinned bit-identical by test."""
     bd.d[0] = d
     bd.r[0] = _g722_sat(bd.s + d)
     bd.p[0] = _g722_sat(bd.sz + d)
@@ -20239,6 +20526,126 @@ def _g722_block4(bd: _G722Band, d: int) -> None:
         sz += (bl[i] * sat(dl[i] + dl[i])) >> 15
     bd.sz = sz = sat(sz)
     bd.s = sat(sp + sz)
+
+
+def _g722_block4(bd: _G722Band, d: int) -> None:
+    """Unrolled block-4 hot path (round 18, guide §4.2): same integer
+    expressions as :func:`_g722_block4_ref` with the saturations inline,
+    both 6-tap loops unrolled, and every state slot bound to a local —
+    the per-sample call was ~25% of the au_adpcm kernel. Bit-identity
+    pinned by ``test_g722_block4_unrolled_matches_ref``."""
+    dl = bd.d
+    bl = bd.b
+    # d1..d6 = the PRIOR six differences (ref's dl[1..6]; dl[0] is a
+    # stale duplicate of dl[1] between calls)
+    d1, d2, d3, d4, d5, d6 = dl[1], dl[2], dl[3], dl[4], dl[5], dl[6]
+    b1, b2, b3, b4, b5, b6 = bl[1], bl[2], bl[3], bl[4], bl[5], bl[6]
+    rl = bd.r
+    pl = bd.p
+    al = bd.a
+    a1, a2 = al[1], al[2]
+    r0 = bd.s + d
+    r0 = -32768 if r0 < -32768 else (32767 if r0 > 32767 else r0)
+    p0 = bd.sz + d
+    p0 = -32768 if p0 < -32768 else (32767 if p0 > 32767 else p0)
+
+    # UPPOL2
+    sg0, sg1, sg2 = p0 >> 15, pl[1] >> 15, pl[2] >> 15
+    wd1 = a1 << 2
+    wd1 = -32768 if wd1 < -32768 else (32767 if wd1 > 32767 else wd1)
+    wd2 = -wd1 if sg0 == sg1 else wd1
+    if wd2 > 32767:
+        wd2 = 32767
+    ap2 = (128 if sg0 == sg2 else -128) + (wd2 >> 7) + ((a2 * 32512) >> 15)
+    if ap2 > 12288:
+        ap2 = 12288
+    elif ap2 < -12288:
+        ap2 = -12288
+
+    # UPPOL1
+    ap1 = (192 if sg0 == sg1 else -192) + ((a1 * 32640) >> 15)
+    ap1 = -32768 if ap1 < -32768 else (32767 if ap1 > 32767 else ap1)
+    wd3 = 15360 - ap2  # always within int16 given the ap2 clamp
+    if ap1 > wd3:
+        ap1 = wd3
+    elif ap1 < -wd3:
+        ap1 = -wd3
+
+    # UPZERO, unrolled over the six zeros
+    nudge = 0 if d == 0 else 128
+    sgd = d >> 15
+    bp1 = (nudge if (d1 >> 15) == sgd else -nudge) + ((b1 * 32640) >> 15)
+    bp1 = -32768 if bp1 < -32768 else (32767 if bp1 > 32767 else bp1)
+    bp2 = (nudge if (d2 >> 15) == sgd else -nudge) + ((b2 * 32640) >> 15)
+    bp2 = -32768 if bp2 < -32768 else (32767 if bp2 > 32767 else bp2)
+    bp3 = (nudge if (d3 >> 15) == sgd else -nudge) + ((b3 * 32640) >> 15)
+    bp3 = -32768 if bp3 < -32768 else (32767 if bp3 > 32767 else bp3)
+    bp4 = (nudge if (d4 >> 15) == sgd else -nudge) + ((b4 * 32640) >> 15)
+    bp4 = -32768 if bp4 < -32768 else (32767 if bp4 > 32767 else bp4)
+    bp5 = (nudge if (d5 >> 15) == sgd else -nudge) + ((b5 * 32640) >> 15)
+    bp5 = -32768 if bp5 < -32768 else (32767 if bp5 > 32767 else bp5)
+    bp6 = (nudge if (d6 >> 15) == sgd else -nudge) + ((b6 * 32640) >> 15)
+    bp6 = -32768 if bp6 < -32768 else (32767 if bp6 > 32767 else bp6)
+
+    # DELAY (ref: dl[0]=d first, then dl[i]=dl[i-1] — so dl[1] takes the
+    # CURRENT d and d6 drops out)
+    dl[0] = d
+    dl[1] = d
+    dl[2] = d1
+    dl[3] = d2
+    dl[4] = d3
+    dl[5] = d4
+    dl[6] = d5
+    bl[1] = bp1
+    bl[2] = bp2
+    bl[3] = bp3
+    bl[4] = bp4
+    bl[5] = bp5
+    bl[6] = bp6
+    r1 = rl[1]
+    rl[2] = r1
+    rl[1] = r0
+    rl[0] = r0
+    pl[2] = pl[1]
+    pl[1] = p0
+    pl[0] = p0
+    al[2] = ap2
+    al[1] = ap1
+
+    # FILTEP + FILTEZ + PREDIC (sat(x+x) of an int16 value is exact for
+    # |x| <= 16383 and clamps at the same points as the ref)
+    t = r0 + r0
+    t = -32768 if t < -32768 else (32767 if t > 32767 else t)
+    wd1 = (ap1 * t) >> 15
+    t = r1 + r1
+    t = -32768 if t < -32768 else (32767 if t > 32767 else t)
+    sp = wd1 + ((ap2 * t) >> 15)
+    sp = -32768 if sp < -32768 else (32767 if sp > 32767 else sp)
+    bd.sp = sp
+    # FILTEZ over the POST-delay history: tap 1 takes the current d,
+    # taps 2..6 take d1..d5 (d6 dropped out)
+    t = d5 + d5
+    t = -32768 if t < -32768 else (32767 if t > 32767 else t)
+    sz = (bp6 * t) >> 15
+    t = d4 + d4
+    t = -32768 if t < -32768 else (32767 if t > 32767 else t)
+    sz += (bp5 * t) >> 15
+    t = d3 + d3
+    t = -32768 if t < -32768 else (32767 if t > 32767 else t)
+    sz += (bp4 * t) >> 15
+    t = d2 + d2
+    t = -32768 if t < -32768 else (32767 if t > 32767 else t)
+    sz += (bp3 * t) >> 15
+    t = d1 + d1
+    t = -32768 if t < -32768 else (32767 if t > 32767 else t)
+    sz += (bp2 * t) >> 15
+    t = d + d
+    t = -32768 if t < -32768 else (32767 if t > 32767 else t)
+    sz += (bp1 * t) >> 15
+    sz = -32768 if sz < -32768 else (32767 if sz > 32767 else sz)
+    bd.sz = sz
+    s = sp + sz
+    bd.s = -32768 if s < -32768 else (32767 if s > 32767 else s)
 
 
 def _g722_lower_adapt(bd: _G722Band, il4: int) -> None:

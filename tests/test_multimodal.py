@@ -6289,3 +6289,77 @@ def test_audio_dsp_vad_and_mfcc():
     assert int(np.argmax(logmel)) == peak
     # short input yields zero frames, not an error
     assert mfcc_features(np.zeros(100), 16000).shape == (0, 13)
+
+
+def test_g72x_inlined_loop_matches_spec_blocks():
+    """Round-18 optimization contract: the inlined G.72x hot loop
+    (g72x_encode/g72x_decode) is bit-identical to the spec-block
+    composition (_g72x_encode_ref/_g72x_decode_ref) on every law, for
+    codes, reconstruction and decode — including transition/tone paths
+    driven by full-range noise and arbitrary code streams."""
+    import numpy as np
+
+    from input_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(42)
+    streams = [
+        np.zeros(300, np.int16),
+        np.full(300, 32767, np.int16),
+        np.full(300, -32768, np.int16),
+        (np.sin(np.arange(1500) * 0.07) * 20000).astype(np.int16),
+        rng.integers(-32768, 32768, 2000).astype(np.int16),
+        rng.integers(-50, 50, 800).astype(np.int16),
+        np.array([], np.int16),
+    ]
+    for law in ("g721", "g723_24", "g723_40"):
+        bits = mm._G72X_LAWS[law][0]
+        for s in streams:
+            c_ref, r_ref = mm._g72x_encode_ref(
+                s, law, return_reconstruction=True
+            )
+            c_new, r_new = mm.g72x_encode(s, law, return_reconstruction=True)
+            assert np.array_equal(c_ref, c_new)
+            assert np.array_equal(r_ref, r_new)
+            assert c_ref.dtype == c_new.dtype and r_ref.dtype == r_new.dtype
+            assert np.array_equal(
+                mm._g72x_decode_ref(c_ref, law), mm.g72x_decode(c_new, law)
+            )
+        allc = rng.integers(0, 1 << bits, 3000).astype(np.uint8)
+        assert np.array_equal(
+            mm._g72x_decode_ref(allc, law), mm.g72x_decode(allc, law)
+        )
+    # the packed FMULT table agrees with the inline decomposition
+    for anmag in (0, 1, 31, 32, 63, 64, 4095, 8191):
+        anexp = anmag.bit_length() - 6
+        anmant = (
+            32 if anmag == 0
+            else (anmag >> anexp if anexp >= 0 else anmag << -anexp)
+        )
+        assert mm._G72X_FLT[anmag] == ((anexp + 6) << 6) | anmant
+
+
+def test_g722_block4_unrolled_matches_ref():
+    """Round-18 optimization contract: the unrolled block-4 predictor
+    update leaves the FULL band state identical to the spec-block
+    reference at every step, for both bands' initial scale factors and
+    adversarial difference values."""
+    import random
+
+    from input_data_pipeline_spark.operators import multimodal as mm
+
+    rng = random.Random(7)
+    for det0 in (32, 8):
+        b1 = mm._G722Band(det=det0)
+        b2 = mm._G722Band(det=det0)
+        for step in range(4000):
+            d = rng.choice(
+                [0, 1, -1, 32767, -32768, 12288, -12288,
+                 rng.randint(-20456, 20456)]
+            )
+            mm._g722_block4(b1, d)
+            mm._g722_block4_ref(b2, d)
+            s1 = (b1.s, b1.sp, b1.sz, list(b1.r), list(b1.p), list(b1.a),
+                  list(b1.b), list(b1.d), b1.nb, b1.det)
+            s2 = (b2.s, b2.sp, b2.sz, list(b2.r), list(b2.p), list(b2.a),
+                  list(b2.b), list(b2.d), b2.nb, b2.det)
+            assert s1 == s2, step
