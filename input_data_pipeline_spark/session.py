@@ -57,6 +57,16 @@ def get_spark(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             str(64 * 1024 * 1024),
         )
+        # --- codegen class cache (round 18, guide §5 driver/executor
+        # work): the default 100-entry cache thrashes once a session
+        # runs more than ~100 distinct WholeStageCodegen fragments —
+        # this engine's 223-query registry recompiles EVERY fragment on
+        # EVERY re-run (measured: 26.5 -> 20.0 s on a 30-query
+        # min-of-3 sweep just from raising it). Scale-independent: any
+        # long-lived driver or executor running a workload this wide
+        # hits the same thrash; ~4k compiled classes is well within a
+        # multi-GB JVM. Static conf, so it must be set at build time.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         # --- Arrow for every pandas/py boundary (UDFs, toPandas) ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
