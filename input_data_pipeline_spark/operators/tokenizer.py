@@ -70,31 +70,54 @@ def _initial_symbols(words: DataFrame) -> DataFrame:
     )
 
 
-def _merge_pair_udf(left: str, right: str):
-    """Arrow-batched application of ONE merge to a symbol-array column:
-    replace adjacent (left, right) with left+right, leftmost-first and
-    non-overlapping (the published algorithm's scan order — 'aaa' under
-    merge (a,a) becomes ('aa','a'))."""
+def _merge_pair_expr(left: str, right: str, col) -> F.Column:
+    """Apply ONE merge to a symbol-array column with a pure-Catalyst
+    ``aggregate`` fold (round 18, guide §4.1): replace adjacent
+    (left, right) with left+right, leftmost-first and non-overlapping
+    (the published algorithm's scan order — 'aaa' under merge (a,a)
+    becomes ('aa','a')).
+
+    The fold carries (res, carry): each symbol either completes a merge
+    with the carried one, flushes the carry, or becomes the new carry —
+    exactly the index walk of the scalar reference, so the result is
+    identical element-for-element (pinned by the pure-Python-reference
+    training test). Replaces the round-11 pandas UDF: the training
+    loop's per-iteration plan is now JVM-only — no ArrowEvalPython node
+    shipping the vocabulary-sized symbol table across the Python
+    boundary every merge."""
     merged = left + right
+    null_s = F.lit(None).cast("string")
+    empty = F.array().cast("array<string>")
 
-    @pandas_udf("array<string>")
-    def apply(col: pd.Series) -> pd.Series:
-        out = []
-        for syms in col:
-            n = len(syms)
-            res = []
-            i = 0
-            while i < n:
-                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
-                    res.append(merged)
-                    i += 2
-                else:
-                    res.append(syms[i])
-                    i += 1
-            out.append(res)
-        return pd.Series(out)
+    def step(acc, s):
+        return (
+            F.when(
+                acc["carry"].isNull(),
+                F.struct(acc["res"].alias("res"), s.alias("carry")),
+            )
+            .when(
+                (acc["carry"] == F.lit(left)) & (s == F.lit(right)),
+                F.struct(
+                    F.concat(acc["res"], F.array(F.lit(merged))).alias("res"),
+                    null_s.alias("carry"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["res"], F.array(acc["carry"])).alias("res"),
+                    s.alias("carry"),
+                )
+            )
+        )
 
-    return apply
+    return F.aggregate(
+        col,
+        F.struct(empty.alias("res"), null_s.alias("carry")),
+        step,
+        lambda acc: F.when(acc["carry"].isNull(), acc["res"]).otherwise(
+            F.concat(acc["res"], F.array(acc["carry"]))
+        ),
+    )
 
 
 def train_bpe_merges(
@@ -141,7 +164,7 @@ def train_bpe_merges(
         left, right, pf = best[0]["left"], best[0]["right"], best[0]["pf"]
         merges.append((left, right, pf))
         words = words.withColumn(
-            "syms", _merge_pair_udf(left, right)(F.col("syms"))
+            "syms", _merge_pair_expr(left, right, F.col("syms"))
         ).localCheckpoint()  # truncate per-iteration lineage
     return merges
 

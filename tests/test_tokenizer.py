@@ -415,3 +415,30 @@ def test_unigram_viterbi_unk_and_tiebreak():
     # score and length; lexicographic prefers ("a","aa")
     lp2 = {"aa": math.log(0.5), "a": math.log(0.5)}
     assert _viterbi_segment("aaa", lp2, -50.0, 4) == ["a", "aa"]
+
+
+def test_merge_apply_plan_is_jvm_only(spark):
+    """Round-18 optimization contract: applying a merge to the symbol
+    table is a pure-Catalyst aggregate fold — no Python-eval node ships
+    the vocabulary-sized column across the JVM/Python boundary in the
+    training loop (guide section 4.1)."""
+    import pyspark.sql.functions as F
+
+    from input_data_pipeline_spark.operators.tokenizer import (
+        _initial_symbols,
+        _merge_pair_expr,
+    )
+
+    words = _initial_symbols(
+        spark.createDataFrame(
+            [("aaa", 3), ("aab", 2)], "word string, freq long"
+        )
+    )
+    stepped = words.withColumn(
+        "syms", _merge_pair_expr("a", "a", F.col("syms"))
+    )
+    plan = stepped._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    # the fold replays the published leftmost-first non-overlap scan
+    got = {tuple(r["syms"]) for r in stepped.collect()}
+    assert ("aa", "a", "</w>") in got and ("aa", "b", "</w>") in got
