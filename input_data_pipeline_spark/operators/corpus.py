@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from input_data_pipeline_spark.functions import text as T
 from input_data_pipeline_spark.plans.registry import register
-from input_data_pipeline_spark.tables import fan_out, load_table
+from input_data_pipeline_spark.tables import fan_out, load_table, materialize
 
 from input_data_pipeline_spark.functions.text import (
     DUCK_TOKENS as _DUCK_TOKENS,
@@ -301,9 +301,11 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The filtered shingle table feeds BOTH join sides; without
     # materialization Spark re-runs the explode→distinct→df-filter pipeline
-    # once per consumer (~4 passes measured). In production this is a
-    # persisted shingle index; here localCheckpoint plays that role.
-    shr = sh.join(rare, "sh").localCheckpoint(eager=False)
+    # once per consumer (~4 passes measured). CORPUS-scale table
+    # (shingle-row-sized): see tables.materialize for the 100 TB landing
+    # story (a persisted shingle index); the narrow (doc_id, sh)
+    # projection is what materializes.
+    shr = materialize(sh.join(rare, "sh"), "corpus")
     ev = shr.filter(F.col("doc_id") % 20 == 0).select(
         F.col("doc_id").alias("eval_doc"), "sh"
     )
