@@ -11348,6 +11348,46 @@ def _mp3_huff_lut8(base: int) -> list[int]:
     return lut
 
 
+_MP3_HUFF_LUT8S: dict[int, list[int]] = {}
+
+
+def _mp3_huff_lut8s(tsel: int) -> list[int]:
+    """Sign-folding peek-8 LUT (round 18, VERDICT item 3): resolves the
+    big-values codeword AND both sign bits from one 8-bit peek when they
+    fit. Keyed by the ORIGINAL table_select (linbits differ across
+    aliases of one code table). Slot = -1 when unresolvable (LUT miss,
+    an x/y == 15 linbits escape — those read linbits BEFORE the sign —
+    or code+signs wider than the peek); otherwise
+    ``(consumed << 16) | ((x + 16) << 8) | (y + 16)`` with x/y already
+    signed. Census-tested against the per-bit walk over all 256 peeks
+    of every table (test_mp3_sign_fold_lut_census)."""
+    lut = _MP3_HUFF_LUT8S.get(tsel)
+    if lut is None:
+        base = _MP3_TABLE_ALIAS.get(tsel, tsel)
+        linbits = _MP3_LINBITS.get(tsel, 0)
+        lut = [-1] * 256
+        for (ln, code), (x, y) in _MP3_HUFF_DEC[base].items():
+            if linbits and (x == 15 or y == 15):
+                continue
+            total = ln + (1 if x else 0) + (1 if y else 0)
+            if total > 8:
+                continue
+            hi = code << (8 - ln)
+            for rest in range(1 << (8 - ln)):
+                peek = hi | rest
+                p = ln
+                xv, yv = x, y
+                if xv and (peek >> (7 - p)) & 1:
+                    xv = -xv
+                p += 1 if x else 0
+                if yv and (peek >> (7 - p)) & 1:
+                    yv = -yv
+                p += 1 if y else 0
+                lut[peek] = (p << 16) | ((xv + 16) << 8) | (yv + 16)
+        _MP3_HUFF_LUT8S[tsel] = lut
+    return lut
+
+
 def _mp3_count1a_lut8() -> list[int]:
     global _MP3_COUNT1A_LUT8
     if _MP3_COUNT1A_LUT8 is None:
@@ -11696,6 +11736,9 @@ def _mp3_read_huffman(br: "_BitReader", g: "_MP3Granule", part2_bits: int) -> No
     pos = br.bitpos()
     total_bits = len(br.data) * 8
     line = 0
+    cur_tsel = -1
+    lut8 = lut8s = None
+    base = linbits = 0
     for pair in range(g.big_values):
         if line < r0_end:
             tsel = g.table_select[0]
@@ -11703,16 +11746,37 @@ def _mp3_read_huffman(br: "_BitReader", g: "_MP3Granule", part2_bits: int) -> No
             tsel = g.table_select[1]
         else:
             tsel = g.table_select[2]
+        if tsel != cur_tsel:
+            # per-region table bind (round 18): tsel changes at most
+            # twice per granule, so the dict probes leave the pair loop
+            cur_tsel = tsel
+            if tsel == 0:
+                lut8 = lut8s = None
+            elif tsel in (4, 14):
+                raise ValueError(f"MP3 table_select {tsel} is reserved")
+            else:
+                base = _MP3_TABLE_ALIAS.get(tsel, tsel)
+                linbits = _MP3_LINBITS.get(tsel, 0)
+                lut8 = _mp3_huff_lut8(base)
+                lut8s = _mp3_huff_lut8s(tsel)
         if tsel == 0:
             x = y = 0
-            linbits = 0
-        elif tsel in (4, 14):
-            raise ValueError(f"MP3 table_select {tsel} is reserved")
+            is_vals[line + 1] = is_vals[line] = 0
+            line += 2
+            continue
         else:
-            base = _MP3_TABLE_ALIAS.get(tsel, tsel)
-            linbits = _MP3_LINBITS.get(tsel, 0)
+            # sign-folded fast path (round 18): code + both sign bits
+            # resolved from one peek when they fit in 8 bits
+            if pos + 8 <= total_bits:
+                e2 = lut8s[b8l[pos]]
+                if e2 >= 0:
+                    pos += e2 >> 16
+                    is_vals[line] = ((e2 >> 8) & 0xFF) - 16
+                    is_vals[line + 1] = (e2 & 0xFF) - 16
+                    line += 2
+                    continue
             entry = (
-                _mp3_huff_lut8(base)[b8l[pos]]
+                lut8[b8l[pos]]
                 if pos + 8 <= total_bits
                 else -1
             )

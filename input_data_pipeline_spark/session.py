@@ -45,6 +45,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # --- scan sizing: keep splits near the sweet spot for parquet ---
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # --- parquet timestamp normalization (round 18: hoisted from
+        # load_table so sessions built here never pay the per-first-touch
+        # conf round trips; load_table still sets them defensively for
+        # foreign sessions — the driver's own session is not ours) ---
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # --- broadcast: dims in a star schema should always broadcast ---
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # --- joins: allow shuffled-hash when a per-partition build fits

@@ -6363,3 +6363,50 @@ def test_g722_block4_unrolled_matches_ref():
             s2 = (b2.s, b2.sp, b2.sz, list(b2.r), list(b2.p), list(b2.a),
                   list(b2.b), list(b2.d), b2.nb, b2.det)
             assert s1 == s2, step
+
+
+def test_mp3_sign_fold_lut_census():
+    """Round-18 optimization contract: the sign-folding peek-8 LUT
+    (_mp3_huff_lut8s) agrees with the plain code LUT + explicit sign
+    reads on every slot of every valid table_select, and only folds
+    where the escape path cannot fire (no x/y == 15 when the table has
+    linbits) and the code plus its sign bits fit the peek."""
+    from input_data_pipeline_spark.operators import multimodal as mm
+
+    tsels = sorted(
+        set(list(mm._MP3_HUFF_DEC) + list(mm._MP3_TABLE_ALIAS)) - {4, 14}
+    )
+    checked = 0
+    for tsel in tsels:
+        base = mm._MP3_TABLE_ALIAS.get(tsel, tsel)
+        if base not in mm._MP3_HUFF_DEC:
+            continue
+        linbits = mm._MP3_LINBITS.get(tsel, 0)
+        lut8 = mm._mp3_huff_lut8(base)
+        lut2 = mm._mp3_huff_lut8s(tsel)
+        for peek in range(256):
+            e2 = lut2[peek]
+            e1 = lut8[peek]
+            if e2 >= 0:
+                assert e1 >= 0
+                ln = e1 >> 8
+                x, y = (e1 >> 4) & 0xF, e1 & 0xF
+                assert not (linbits and (x == 15 or y == 15))
+                xv, yv = ((e2 >> 8) & 0xFF) - 16, (e2 & 0xFF) - 16
+                assert abs(xv) == x and abs(yv) == y
+                p = ln
+                if x:
+                    assert (xv < 0) == bool((peek >> (7 - p)) & 1)
+                    p += 1
+                if y:
+                    assert (yv < 0) == bool((peek >> (7 - p)) & 1)
+                    p += 1
+                assert (e2 >> 16) == p <= 8
+            elif e1 >= 0:
+                ln = e1 >> 8
+                x, y = (e1 >> 4) & 0xF, e1 & 0xF
+                assert (linbits and (x == 15 or y == 15)) or (
+                    ln + (1 if x else 0) + (1 if y else 0) > 8
+                )
+            checked += 1
+    assert checked == 256 * 29
