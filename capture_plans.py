@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for headline queries to plans/r17/.
+"""Dump .explain("formatted") for headline queries to plans/rNN/ (env SPARK_GRAFT_PLANS_DIR, default r18).
 
 Usage: python capture_plans.py before|after [--only name1,name2] [--all]
 
@@ -39,7 +39,7 @@ def main() -> None:
 
         names = [n for n in HEADLINE if n in _REGISTRY]
 
-    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", "r17")
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r18"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans")
     for name in names:

@@ -1374,9 +1374,14 @@ def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so AQE would coalesce the join to ~1 task — but the work here is the
     # per-pair levenshtein inside each block, invisible to size-based
     # planning. Compute-bound joins must pin their parallelism to the
-    # blocks, not the bytes.
-    a = a.repartition(32, F.col("a.p_brand"), F.col("a.band"))
-    b = b.repartition(32, F.col("b.p_brand"), F.col("b.probe"))
+    # blocks, not the bytes. Round 18: core-adaptive (the hard-coded 32
+    # ruined the driver's 8-core scaling measurement and any cluster
+    # deployment); 2x cores because only ~75 (brand, band) block keys
+    # exist — a finer hash spreads the heavy blocks with fewer multi-
+    # block collisions per task (guide §2.5 key-to-partition ratio).
+    n_part = 2 * spark.sparkContext.defaultParallelism
+    a = a.repartition(n_part, F.col("a.p_brand"), F.col("a.band"))
+    b = b.repartition(n_part, F.col("b.p_brand"), F.col("b.probe"))
     return (
         a.join(
             b,
