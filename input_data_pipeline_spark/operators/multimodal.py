@@ -12431,9 +12431,14 @@ def mp3_synthesize_pcm(subband_samples, state=None):
     vs[:16] = V.reshape(16, 64)[::-1]  # oldest-first history
     # per-vector matvec (NOT one batched gemm): BLAS gemm sums in a
     # different order than gemv and costs bit-exactness vs the loop
-    # form; the matvec call here is byte-identical to the original
+    # form; the matvec call here is byte-identical to the original.
+    # round 18: dot(..., out=row) is the SAME cblas dgemv call — `out`
+    # only removes the per-step temporary + copy (the loop's cost was
+    # numpy dispatch, not flops); byte-identity re-pinned by the golden
+    # gate harness after the change
+    dot = np.dot
     for t in range(T):
-        vs[16 + t] = N @ S_all[t]
+        dot(N, S_all[t], out=vs[16 + t])
     p_idx = np.arange(512)
     i_blk = p_idx // 64
     j_col = p_idx % 64
