@@ -4194,42 +4194,52 @@ def encode_jpeg(rows_rgb=None, gray_rows=None, quant=1, restart_interval=0,
         for t in range(n_dest)
     ]
 
-    # pass 2: emit the entropy stream with byte stuffing + restarts
+    # pass 2: emit the entropy stream with byte stuffing + restarts.
+    # Round-18 bulk form (guide §4.2): gather every (code, width) per
+    # restart segment, pack the whole segment's bits with one
+    # np.packbits (padding the tail with 1s, as the per-put flush did),
+    # then insert the 0x00 stuffing byte after every emitted 0xFF —
+    # byte-identical to the round-17 per-token put() loop by
+    # construction (stuffing never altered the bit accumulator).
     out = bytearray()
-    acc, nacc = 0, 0
+    seg_v: list = []
+    seg_w: list = []
 
-    def put(val, nb):
-        # chunked bit accumulation (round 17): same MSB-first stream and
-        # 0xFF00 stuffing as the per-bit loop, one append per byte
-        nonlocal acc, nacc
-        acc = (acc << nb) | (val & ((1 << nb) - 1))
-        nacc += nb
-        while nacc >= 8:
-            nacc -= 8
-            b = (acc >> nacc) & 0xFF
-            out.append(b)
-            if b == 0xFF:
-                out.append(0x00)
-        acc &= (1 << nacc) - 1
-
-    def flush():
-        nonlocal acc, nacc
-        if nacc:
-            put((1 << (8 - nacc)) - 1, 8 - nacc)  # pad with 1s
+    def emit_segment() -> None:
+        if not seg_v:
+            return
+        v = np.asarray(seg_v, dtype=np.int64)
+        w = np.asarray(seg_w, dtype=np.int64)
+        ends = np.cumsum(w)
+        total = int(ends[-1])
+        shift = np.repeat(ends, w) - 1 - np.arange(total, dtype=np.int64)
+        bits = ((np.repeat(v, w) >> shift) & 1).astype(np.uint8)
+        pad = (-total) % 8
+        if pad:
+            bits = np.concatenate([bits, np.ones(pad, np.uint8)])
+        arr = np.packbits(bits)
+        ff = np.flatnonzero(arr == 0xFF)
+        if len(ff):
+            arr = np.insert(arr, ff + 1, np.uint8(0))
+        out.extend(arr.tobytes())
+        seg_v.clear()
+        seg_w.clear()
 
     for item in stream:
         if item[0] == "rst":
-            flush()
+            emit_segment()
             out += bytes([0xFF, 0xD0 + item[1]])
             continue
         _, ci, toks = item
         for kind, sym, bv, nb in toks:
             enc = (dc_tabs if kind == "dc" else ac_tabs)[dest[ci]][2]
             L, code = enc[sym]
-            put(code, L)
+            seg_v.append(code)
+            seg_w.append(L)
             if nb:
-                put(bv, nb)
-    flush()
+                seg_v.append(bv)
+                seg_w.append(nb)
+    emit_segment()
 
     def seg(marker, body):
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
